@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central loaders for the driver-generated TPC-H-ish corpus (TESTDATA.md,
+  * FIXTURES.md): one parquet file per table at `$sfDir/<name>.parquet`.
+  *
+  * Scale posture: loaders return bare scans so Catalyst keeps column
+  * pruning and predicate pushdown all the way to the parquet reader;
+  * nothing here caches, collects, or repartitions. At cluster scale the
+  * same code reads a partitioned directory instead of a single file —
+  * the plan shape is identical.
+  *
+  * Reference note: the StellarSQL checkout at /root/reference was empty at
+  * survey time (SURVEY.md §0); its table abstraction (named tables of
+  * typed rows) maps to the Spark catalog + DataFrame per SURVEY §1.1.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Runtime confs every contract query needs. The driver's Verify/Bench
+    * sessions do NOT set these (SURVEY §1.3), and they are runtime SQLConfs,
+    * so each query path calls tune() first. Idempotent and cheap. */
+  def tune(spark: SparkSession): SparkSession = {
+    val c = spark.conf
+    c.set("spark.sql.session.timeZone", "UTC")
+    c.set("spark.sql.adaptive.enabled", "true")
+    // events.parquet carries INT64 TIMESTAMP(NANOS,false), which the default
+    // Spark 4 reader rejects (PARQUET_TYPE_ILLEGAL). Read it as epoch-nano
+    // LongType instead; queries treat `ts` as a BIGINT and never emit a raw
+    // nanosecond timestamp (oracle compares epoch_ns(ts)).
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    tune(spark).read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+
+  /** events with `ts` as epoch-nanos BIGINT (see tune()). */
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
