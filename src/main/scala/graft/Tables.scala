@@ -48,6 +48,18 @@ object Tables {
 
   /** events with `ts` as epoch-nanos BIGINT (see tune()). */
   def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+
+  /** events with `ts` truncated to epoch-MICROS (BIGINT, integer division —
+    * no double round-trip). DuckDB 1.0 reads the same parquet as a
+    * microsecond TIMESTAMP (it truncates the nano component), so every
+    * cross-checked event query computes on this µs view; `epoch_us(ts)`
+    * is the oracle-side equivalent. */
+  def eventsUs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    events(s, d).withColumn("ts", expr("ts div 1000"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -1,0 +1,252 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Core scan / projection / filter / sort surface — SURVEY §2.1, §2.2,
+  * §2.6 (S1–S6, P1–P8, O1–O2). This is the reference-equivalent query
+  * core (StellarSQL's SELECT/WHERE over typed tables; checkout was empty
+  * at survey time — SURVEY.md §0), expressed declaratively so Catalyst
+  * pushes filters and projections into the parquet scan.
+  */
+object Core {
+
+  /** S1 — full table scan (smallest dim; proves footer-schema read). */
+  def s1Scan(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.region(spark, sfDir).orderBy(col("r_regionkey"))
+
+  /** S2 — projection + predicate pushed to the parquet reader. At 100 TB
+    * this is the difference between reading 2 columns of a few row groups
+    * and the full table: `.explain` shows PushedFilters + 3-col ReadSchema. */
+  def s2Pushdown(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 45.0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      // (l_orderkey, l_linenumber) is NOT unique in this datagen — sort by
+      // every emitted column so ties are bitwise-identical rows.
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  /** S3 — nanosecond-timestamp scan (events.parquet; SURVEY §1.3): ts is
+    * read as epoch-nano BIGINT, truncated to µs (DuckDB's precision for
+    * this file) and emitted as ts_us, never as a raw timestamp. */
+  def s3EventsScan(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.eventsUs(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts").as("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** S5 — CSV + JSON secondary sources: round-trips a small frame through
+    * both formats under java.io.tmpdir and reads it back (rows-only check). */
+  def s5CsvJson(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_s5").toString
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", 2.5), (3L, "gamma", 3.5))
+      .toDF("id", "name", "score")
+    df.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    df.write.mode("overwrite").json(s"$base/json")
+    val csv = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$base/csv")
+      .select(col("id").cast("long"), col("name"), col("score").cast("double"))
+    val json = spark.read.json(s"$base/json")
+      .select(col("id").cast("long"), col("name"), col("score").cast("double"))
+    csv.unionByName(json)
+      .groupBy(col("id"), col("name"))
+      .agg(count(lit(1)).as("n_formats"), sum(col("score")).cast("double").as("sum_score"))
+      .orderBy(col("id"))
+  }
+
+  /** S6 — in-memory table (CREATE TABLE + INSERT VALUES analog): literal
+    * rows registered as a temp view and queried through the catalog. */
+  def s6InMemory(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Seq((1, "ada"), (2, "grace"), (3, "edsger"), (4, "barbara"))
+      .toDF("id", "name")
+      .createOrReplaceTempView("graft_people")
+    spark.sql(
+      "SELECT id, name, length(name) AS name_len FROM graft_people " +
+      "WHERE id <> 3 ORDER BY id")
+  }
+
+  /** P1 — projection with derived columns. */
+  def p1Projection(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_name"),
+        (col("p_retailprice") * 1.1).as("marked_up"),
+        (col("p_size") + 5).as("padded_size"))
+      .orderBy(col("p_partkey"))
+
+  /** P2 — comparison predicates (=, <>, <, <=, >, >=). */
+  def p2FilterCmp(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") >= 30.0 && col("l_quantity") <= 40.0 &&
+        col("l_discount") < 0.05 && col("l_tax") > 0.0 &&
+        col("l_returnflag") =!= "A" && col("l_linestatus") === "O")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_tax"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_tax"))
+
+  /** P3 — boolean combinators AND / OR / NOT. */
+  def p3FilterBool(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter((col("o_orderstatus") === "F" && col("o_totalprice") > 400000.0)
+        || (col("o_orderpriority") === "1-URGENT" && !(col("o_orderstatus") === "O")))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** P4 — IN / BETWEEN / LIKE membership, range, and pattern predicates. */
+  def p4InBetweenLike(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY") &&
+        col("c_acctbal").between(1000.0, 5000.0) &&
+        col("c_name").like("%7"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  /** P5 — NULL handling: the corpus is null-free, so nulls are synthesized
+    * by an outer join against a heavily filtered build side, then probed
+    * with IS NULL / coalesce / nullif. */
+  def p5Nulls(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val bigOrders = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 450000.0)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    cust.join(bigOrders, cust("c_custkey") === bigOrders("o_custkey"), "left_outer")
+      .select(col("c_custkey"),
+        col("o_orderkey").isNull.as("no_big_order"),
+        coalesce(col("o_totalprice"), lit(0.0)).as("big_total"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).isNull.as("is_building"))
+      .orderBy(col("c_custkey"), col("big_total"))
+  }
+
+  /** P6 — explicit casts among int/long/double/decimal/string/date.
+    * double→int is spelled floor()+cast on both sides: Spark casts by
+    * truncation while DuckDB rounds, so the portable form is explicit. */
+  def p6Cast(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_linenumber") === 1)
+      .select(col("l_orderkey"),
+        col("l_quantity").cast("decimal(18,2)").cast("double").as("qty_dec"),
+        floor(col("l_extendedprice")).cast("long").as("price_floor"),
+        col("l_linenumber").cast("long").as("line_long"),
+        col("l_linenumber").cast("string").as("line_str"),
+        col("l_shipdate").cast("date").cast("string").as("ship_day"))
+      .orderBy(col("l_orderkey"), col("qty_dec"), col("price_floor"),
+        col("ship_day"))
+
+  /** P7 — CASE WHEN conditional projection. */
+  def p7CaseWhen(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        when(col("o_totalprice") >= 300000.0, "large")
+          .when(col("o_totalprice") >= 100000.0, "medium")
+          .otherwise("small").as("tier"))
+      .orderBy(col("o_orderkey"))
+
+  /** P8 — LIMIT with a total order for determinism. */
+  def p8Limit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+      .limit(20)
+
+  /** O1 — global multi-key sort with explicit null placement (range-
+    * partitioned SortExec: total order without a single-node bottleneck). */
+  def o1SortMulti(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"))
+      .orderBy(col("seg_or_null").desc_nulls_last, col("c_acctbal").asc,
+        col("c_custkey").asc)
+
+  /** O2 — top-K: ORDER BY + LIMIT collapses to TakeOrderedAndProject (per-
+    * partition heaps + driver merge — no global sort of 100 TB). */
+  def o2TopK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_scan" -> (s1Scan _),
+    "s2_pushdown" -> (s2Pushdown _),
+    "s3_events_scan" -> (s3EventsScan _),
+    "s5_csv_json" -> (s5CsvJson _),
+    "s6_inmemory" -> (s6InMemory _),
+    "p1_projection" -> (p1Projection _),
+    "p2_filter_cmp" -> (p2FilterCmp _),
+    "p3_filter_bool" -> (p3FilterBool _),
+    "p4_in_between_like" -> (p4InBetweenLike _),
+    "p5_nulls" -> (p5Nulls _),
+    "p6_cast" -> (p6Cast _),
+    "p7_case_when" -> (p7CaseWhen _),
+    "p8_limit" -> (p8Limit _),
+    "o1_sort_multi" -> (o1SortMulti _),
+    "o2_topk" -> (o2TopK _))
+
+  val oracles: Map[String, String] = Map(
+    "s1_scan" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+    "s2_pushdown" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+       "WHERE l_quantity > 45.0 ORDER BY l_orderkey, l_linenumber, l_quantity"),
+    "s3_events_scan" ->
+      ("SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value " +
+       "FROM events WHERE event_type = 'purchase' ORDER BY event_id"),
+    "s6_inmemory" ->
+      ("SELECT id, name, CAST(length(name) AS INT) AS name_len FROM " +
+       "(VALUES (1,'ada'),(2,'grace'),(3,'edsger'),(4,'barbara')) p(id,name) " +
+       "WHERE id <> 3 ORDER BY id"),
+    "p1_projection" ->
+      ("SELECT p_partkey, p_name, p_retailprice * 1.1 AS marked_up, " +
+       "p_size + 5 AS padded_size FROM part ORDER BY p_partkey"),
+    "p2_filter_cmp" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax " +
+       "FROM lineitem WHERE l_quantity >= 30.0 AND l_quantity <= 40.0 " +
+       "AND l_discount < 0.05 AND l_tax > 0.0 AND l_returnflag <> 'A' " +
+       "AND l_linestatus = 'O' ORDER BY l_orderkey, l_linenumber, " +
+       "l_quantity, l_discount, l_tax"),
+    "p3_filter_bool" ->
+      ("SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice " +
+       "FROM orders WHERE (o_orderstatus = 'F' AND o_totalprice > 400000.0) " +
+       "OR (o_orderpriority = '1-URGENT' AND NOT (o_orderstatus = 'O')) " +
+       "ORDER BY o_orderkey"),
+    "p4_in_between_like" ->
+      ("SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer " +
+       "WHERE c_mktsegment IN ('BUILDING','MACHINERY') " +
+       "AND c_acctbal BETWEEN 1000.0 AND 5000.0 AND c_name LIKE '%7' " +
+       "ORDER BY c_custkey"),
+    "p5_nulls" ->
+      ("SELECT c_custkey, o_orderkey IS NULL AS no_big_order, " +
+       "COALESCE(o_totalprice, 0.0) AS big_total, " +
+       "NULLIF(c_mktsegment, 'BUILDING') IS NULL AS is_building " +
+       "FROM customer LEFT JOIN " +
+       "(SELECT o_custkey, o_orderkey, o_totalprice FROM orders " +
+       "WHERE o_totalprice > 450000.0) big ON c_custkey = big.o_custkey " +
+       "ORDER BY c_custkey, big_total"),
+    "p6_cast" ->
+      ("SELECT l_orderkey, " +
+       "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty_dec, " +
+       "CAST(floor(l_extendedprice) AS BIGINT) AS price_floor, " +
+       "CAST(l_linenumber AS BIGINT) AS line_long, " +
+       "CAST(l_linenumber AS VARCHAR) AS line_str, " +
+       "strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_day " +
+       "FROM lineitem WHERE l_linenumber = 1 " +
+       "ORDER BY l_orderkey, qty_dec, price_floor, ship_day"),
+    "p7_case_when" ->
+      ("SELECT o_orderkey, CASE WHEN o_totalprice >= 300000.0 THEN 'large' " +
+       "WHEN o_totalprice >= 100000.0 THEN 'medium' ELSE 'small' END AS tier " +
+       "FROM orders ORDER BY o_orderkey"),
+    "p8_limit" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 20",
+    "o1_sort_multi" ->
+      ("SELECT c_custkey, c_acctbal, c_mktsegment, " +
+       "NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null FROM customer " +
+       "ORDER BY seg_or_null DESC NULLS LAST, c_acctbal ASC, c_custkey ASC"),
+    "o2_topk" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+       "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"))
+}

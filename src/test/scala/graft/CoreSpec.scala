@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Core
+
+class CoreSpec extends SparkSpec {
+  test("s1 scan: 5 regions in key order") {
+    val r = Core.s1Scan(spark, sf).collect()
+    assert(r.map(_.getAs[Int]("r_regionkey")).toSeq == Seq(0, 1, 2, 3, 4))
+  }
+
+  test("s2 pushdown: filter reaches the parquet scan") {
+    val plan = Core.s2Pushdown(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(l_quantity"),
+      s"expected pushed filter in plan:\n$plan")
+    assert(Core.s2Pushdown(spark, sf).collect()
+      .forall(_.getAs[Double]("l_quantity") > 45.0))
+  }
+
+  test("s3 events scan: µs timestamps, no raw ns emitted") {
+    val rows = Core.s3EventsScan(spark, sf).limit(50).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("ts_us") > 1700000000000000L))
+    assert(rows.forall(_.getAs[String]("event_type") == "purchase"))
+  }
+
+  test("s5 csv/json round-trip: both formats agree") {
+    val rows = Core.s5CsvJson(spark, sf).collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getAs[Long]("n_formats") == 2))
+  }
+
+  test("p5 nulls: outer join synthesizes nulls and coalesce fills them") {
+    val rows = Core.p5Nulls(spark, sf).collect()
+    assert(rows.exists(_.getAs[Boolean]("no_big_order")))
+    assert(rows.filter(_.getAs[Boolean]("no_big_order"))
+      .forall(_.getAs[Double]("big_total") == 0.0))
+  }
+
+  test("p8/o2: limit is exact and ordered") {
+    val top = Core.o2TopK(spark, sf).collect()
+    assert(top.length == 10)
+    val prices = top.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+}
