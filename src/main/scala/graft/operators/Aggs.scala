@@ -47,9 +47,114 @@ object Aggs {
       "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
       "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
 
+  /** A2 — global (ungrouped) aggregate: one-row totals over lineitem. */
+  def a2Global(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).agg(
+      Det.dsum(col("l_quantity")).as("total_qty"),
+      Det.dsum(col("l_extendedprice")).as("total_price"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_extendedprice")).as("max_price"),
+      count(lit(1)).as("n_rows"))
+
+  /** A3 — COUNT(DISTINCT): exact distinct users per event type (Catalyst
+    * plans the two-phase expand; only distinct keys cross the wire). */
+  def a3CountDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.eventsUs(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** A4 — approximate distinct (HLL++). No oracle: DuckDB's sketch is a
+    * different algorithm; ScalaTest bounds it against the exact count. */
+  def a4ApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.eventsUs(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+
+  /** A5 — ROLLUP with grouping-null coalescing: revenue by
+    * (year, priority), (year), and grand total. */
+  def a5Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .withColumn("y", year(col("o_orderdate")).cast("long"))
+      .rollup(col("y"), col("o_orderpriority"))
+      .agg(Det.dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(coalesce(col("y"), lit(-1L)).as("year_c"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("prio_c"),
+        col("revenue"), col("n_orders"))
+      .orderBy(col("year_c"), col("prio_c"))
+
+  /** A6 — HAVING: post-aggregation filter on customer spend. */
+  def a6Having(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(Det.dsum(col("o_totalprice")).as("spend"),
+        count(lit(1)).as("n_orders"))
+      .filter(col("spend") > 2000000.0)
+      .orderBy(col("o_custkey"))
+
+  /** A7 — collect_set with forced ordering (collect order is
+    * nondeterministic — SURVEY §7.3#6, so always sort_array). */
+  def a7CollectSorted(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.eventsUs(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("types"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** A8 — custom typed UDAF: order-independent weighted mean of event
+    * value, weighted by a deterministic per-user weight. */
+  def a8WeightedMean(spark: SparkSession, sfDir: String): DataFrame = {
+    val wmean = udaf(graft.functions.WeightedMean)
+    Tables.eventsUs(spark, sfDir)
+      .withColumn("w", pmod(col("user_id"), lit(10L)) + 1L)
+      .groupBy(col("event_type"))
+      .agg(wmean(col("value"), col("w")).as("wmean_value"),
+        sum(col("w")).as("total_w"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "a1_pricing_summary" -> (a1PricingSummary _))
+    "a1_pricing_summary" -> (a1PricingSummary _),
+    "a2_global" -> (a2Global _),
+    "a3_count_distinct" -> (a3CountDistinct _),
+    "a4_approx_distinct" -> (a4ApproxDistinct _),
+    "a5_rollup" -> (a5Rollup _),
+    "a6_having" -> (a6Having _),
+    "a7_collect_sorted" -> (a7CollectSorted _),
+    "a8_weighted_mean" -> (a8WeightedMean _))
 
   val oracles: Map[String, String] = Map(
-    "a1_pricing_summary" -> a1Oracle)
+    "a1_pricing_summary" -> a1Oracle,
+    "a2_global" ->
+      (s"SELECT ${d.dsum("l_quantity")} AS total_qty, " +
+       s"${d.dsum("l_extendedprice")} AS total_price, " +
+       "MIN(l_quantity) AS min_qty, MAX(l_extendedprice) AS max_price, " +
+       "COUNT(*) AS n_rows FROM lineitem"),
+    "a3_count_distinct" ->
+      ("SELECT event_type, COUNT(DISTINCT user_id) AS n_users, " +
+       "COUNT(*) AS n_events FROM events GROUP BY event_type ORDER BY event_type"),
+    "a5_rollup" ->
+      (s"SELECT COALESCE(y, -1) AS year_c, COALESCE(p, 'ALL') AS prio_c, " +
+       s"${d.dsum("o_totalprice")} AS revenue, COUNT(*) AS n_orders FROM " +
+       "(SELECT CAST(year(o_orderdate) AS BIGINT) AS y, o_orderpriority AS p, " +
+       "o_totalprice FROM orders) t GROUP BY ROLLUP(y, p) " +
+       "ORDER BY year_c, prio_c"),
+    "a6_having" ->
+      (s"SELECT o_custkey, ${d.dsum("o_totalprice")} AS spend, " +
+       "COUNT(*) AS n_orders FROM orders GROUP BY o_custkey " +
+       s"HAVING ${d.dsum("o_totalprice")} > 2000000.0 ORDER BY o_custkey"),
+    "a7_collect_sorted" ->
+      ("SELECT user_id, list_sort(list(DISTINCT event_type)) AS types, " +
+       "COUNT(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id"),
+    "a8_weighted_mean" ->
+      ("SELECT event_type, " +
+       "CAST(SUM(CAST(value*w AS DECIMAL(18,4))) AS DOUBLE)/" +
+       "CAST(SUM(w) AS BIGINT) AS wmean_value, " +
+       "CAST(SUM(w) AS BIGINT) AS total_w FROM " +
+       "(SELECT event_type, value, user_id % 10 + 1 AS w FROM events) t " +
+       "GROUP BY event_type ORDER BY event_type"))
 }
