@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** Window functions — SURVEY §2.5 (W1–W7).
+  *
+  * One shuffle per distinct partitioning; all event windows partition on
+  * user_id (150 keys here, millions at scale — well-distributed), and
+  * window ORDER BY always ends in a unique tie-break `(ts, event_id)` so
+  * frames are deterministic. Running/sliding double sums route through
+  * DECIMAL (Spark accumulates sequentially, DuckDB may use a segment
+  * tree — only exact arithmetic is association-proof).
+  */
+object Windows {
+
+  private def wUser = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts"), col("event_id"))
+
+  /** W1 — row_number / rank / dense_rank: rn over the unique (ts,event_id)
+    * order; rank/dense_rank over event_type (real tie groups). */
+  def w1Ranks(spark: SparkSession, sfDir: String): DataFrame = {
+    val wTies = Window.partitionBy(col("user_id")).orderBy(col("event_type"))
+    Tables.eventsUs(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        row_number().over(wUser).cast("long").as("rn"),
+        rank().over(wTies).cast("long").as("rnk"),
+        dense_rank().over(wTies).cast("long").as("drnk"))
+      .orderBy(col("event_id"))
+  }
+
+  /** W2 — ntile / percent_rank / cume_dist over orders by totalprice. */
+  def w2Ntile(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** W3 — lag / lead: inter-event gaps (µs) per user. */
+  def w3LagLead(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.eventsUs(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        (col("ts") - lag(col("ts"), 1).over(wUser)).as("gap_prev_us"),
+        (lead(col("ts"), 1).over(wUser) - col("ts")).as("gap_next_us"))
+      .orderBy(col("event_id"))
+
+  /** W4 — running aggregate, ROWS frame: cumulative value per user. */
+  def w4Running(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.eventsUs(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        sum(col("value").cast(Det.Money))
+          .over(wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_value"))
+      .orderBy(col("event_id"))
+
+  /** W5 — sliding aggregate, RANGE frame: trailing-1h sum per user on the
+    * µs timeline. */
+  def w5RangeSliding(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.eventsUs(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        sum(col("value").cast(Det.Money)).over(w).cast("double")
+          .as("trailing_1h_value"),
+        count(lit(1)).over(w).as("trailing_1h_n"))
+      .orderBy(col("event_id"))
+  }
+
+  /** W6 — top-k per group: 3 priciest orders per customer. */
+  def w6TopKPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** W7 — first/last value over a full-partition frame: first and last
+    * event type per user-day (emitted once per user-day). */
+  def w7FirstLast(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.eventsUs(spark, sfDir)
+      .withColumn("day", expr("ts div 86400000000"))
+      .select(col("user_id"), col("day"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type"))
+      .distinct()
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w1_ranks" -> (w1Ranks _),
+    "w2_ntile" -> (w2Ntile _),
+    "w3_lag_lead" -> (w3LagLead _),
+    "w4_running" -> (w4Running _),
+    "w5_range_sliding" -> (w5RangeSliding _),
+    "w6_topk_per_group" -> (w6TopKPerGroup _),
+    "w7_first_last" -> (w7FirstLast _))
+
+  val oracles: Map[String, String] = Map(
+    "w1_ranks" ->
+      ("SELECT event_id, user_id, " +
+       "CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn, " +
+       "CAST(rank() OVER (PARTITION BY user_id ORDER BY event_type) AS BIGINT) AS rnk, " +
+       "CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS BIGINT) AS drnk " +
+       "FROM events ORDER BY event_id"),
+    "w2_ntile" ->
+      ("SELECT o_orderkey, " +
+       "CAST(ntile(4) OVER w AS BIGINT) AS quartile, " +
+       "percent_rank() OVER w AS pr, cume_dist() OVER w AS cd FROM orders " +
+       "WINDOW w AS (ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey"),
+    "w3_lag_lead" ->
+      ("SELECT event_id, user_id, " +
+       "epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_prev_us, " +
+       "lead(epoch_us(ts), 1) OVER w - epoch_us(ts) AS gap_next_us FROM events " +
+       "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) " +
+       "ORDER BY event_id"),
+    "w4_running" ->
+      ("SELECT event_id, user_id, " +
+       "CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER " +
+       "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) " +
+       "AS running_value FROM events ORDER BY event_id"),
+    "w5_range_sliding" ->
+      ("SELECT event_id, user_id, " +
+       "CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS trailing_1h_value, " +
+       "COUNT(*) OVER w AS trailing_1h_n FROM events " +
+       "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) " +
+       "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+    "w6_topk_per_group" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM " +
+       "(SELECT o_custkey, o_orderkey, o_totalprice, " +
+       "CAST(row_number() OVER (PARTITION BY o_custkey " +
+       "ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn " +
+       "FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "w7_first_last" ->
+      ("SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day, " +
+       "first_value(event_type) OVER w AS first_type, " +
+       "last_value(event_type) OVER w AS last_type FROM events " +
+       "WINDOW w AS (PARTITION BY user_id, epoch_us(ts) // 86400000000 " +
+       "ORDER BY epoch_us(ts), event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+       "ORDER BY user_id, day"))
+}
