@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** Multimodal-column operators — SURVEY §2.8 L7 + the binary-column
+  * plumbing a training-data pipeline needs (X7) and a corpus-trained
+  * language-ID heuristic (X3).
+  */
+object Multimodal {
+
+  /** L7 — multimodal join: documents ⋈ embeddings (doc_id = vec_id
+    * domain), label histogram per language with text + vector stats
+    * carried through the join. */
+  def l7MultimodalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    docs.join(emb, docs("doc_id") === emb("vec_id"), "inner")
+      .groupBy(col("lang"), col("label"))
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("n_chars").cast("double")).as("sum_chars"),
+        (sum(element_at(col("embedding"), 1).cast("double")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+          .cast("double") / count(lit(1))).as("mean_dim1"))
+      .orderBy(col("lang"), col("label"))
+  }
+
+  /** X3 — language ID via corpus-trained profiles (rows-only): the top-10
+    * most frequent words per language form each language's profile; a doc
+    * is classified to the language whose profile overlaps its word set
+    * most (ties → alphabetical). Everything is DataFrame-parallel: train
+    * and classify are two grouped aggs and a broadcast join. */
+  def x3LangId(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+    val wTop = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("word").asc)
+    val profiles = words.groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 10)
+      .select(col("lang").as("cand_lang"), col("word"))
+    val wBest = Window.partitionBy(col("doc_id"))
+      .orderBy(col("overlap").desc, col("cand_lang").asc)
+    words.select(col("doc_id"), col("lang"), col("word")).distinct()
+      .join(broadcast(profiles), "word")
+      .groupBy(col("doc_id"), col("lang"), col("cand_lang"))
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        col("cand_lang").as("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X7 — binary ("image") column plumbing: bytes + typed metadata +
+    * batched per-partition decode. The decode itself is a STUB — no
+    * imaging libraries ship in this container — producing a deterministic
+    * fake feature from the bytes; the Spark-side contract (binary column,
+    * metadata struct, mapPartitions batch shape, output schema) is real.
+    * At scale the iterator-per-partition shape is exactly where a native
+    * decoder (JNI/Python worker) slots in. */
+  def x7BinaryDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val withBytes = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        struct(col("source").as("origin"), col("n_chars").as("byte_len"),
+          lit("fake/raw").as("format")).as("meta"))
+    val decoded = withBytes
+      .select(col("doc_id"), col("payload"), col("meta.byte_len").as("blen"))
+      .as[(Long, Array[Byte], Long)]
+      .mapPartitions { it =>
+        // STUB decoder: stands in for image/audio decode (no codec libs in
+        // this container). Deterministic per payload; batch-per-partition.
+        it.map { case (id, bytes, blen) =>
+          val checksum = bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) & 0xffffffffL)
+          val fakeWidth = (checksum % 640 + 1).toInt
+          val fakeHeight = (checksum % 480 + 1).toInt
+          (id, blen, fakeWidth, fakeHeight, checksum)
+        }
+      }
+      .toDF("doc_id", "byte_len", "width", "height", "checksum")
+    decoded.orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l7_multimodal_join" -> (l7MultimodalJoin _),
+    "x3_langid" -> (x3LangId _),
+    "x7_binary_decode" -> (x7BinaryDecode _))
+
+  import Det.{sql => d}
+  val oracles: Map[String, String] = Map(
+    "l7_multimodal_join" ->
+      ("SELECT lang, label, COUNT(*) AS n, " +
+       s"${d.dsum("CAST(n_chars AS DOUBLE)")} AS sum_chars, " +
+       "CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,8))) AS DOUBLE) " +
+       "/ COUNT(*) AS mean_dim1 " +
+       "FROM documents JOIN embeddings ON doc_id = vec_id " +
+       "GROUP BY lang, label ORDER BY lang, label"))
+}
