@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ Aggs.queries ++ Joins.queries ++ SetOps.queries ++
       Windows.queries ++ Scalars.queries ++ TextOps.queries ++
-      Dedup.queries ++ SimSearch.queries ++ Multimodal.queries
+      Dedup.queries ++ SimSearch.queries ++ Multimodal.queries ++
+      graft.streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Core.oracles ++ Aggs.oracles ++ Joins.oracles ++ SetOps.oracles ++
       Windows.oracles ++ Scalars.oracles ++ TextOps.oracles ++
-      Dedup.oracles ++ SimSearch.oracles ++ Multimodal.oracles
+      Dedup.oracles ++ SimSearch.oracles ++ Multimodal.oracles ++
+      graft.streaming.Streams.oracles
 }

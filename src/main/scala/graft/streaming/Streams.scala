@@ -1,0 +1,204 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+// top-level (not object-private): Catalyst codegen instantiates these from
+// generated classes, which cannot access private nested types
+case class EvRow(event_id: Long, user_id: Long, value: Double)
+case class UserStats(user_id: Long, n_events: Long, max_value: Double)
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+import graft.{Det, Tables}
+
+/** Structured Streaming operators — SURVEY §2.9 (ST1–ST7).
+  *
+  * Each contract query replays events.parquet through a real file-source
+  * streaming query (Trigger.AvailableNow → memory sink) and returns the
+  * sink table: the streaming engine genuinely runs — micro-batch
+  * planning, state store, watermarks — and because the replay is a
+  * finite prefix, the result equals the batch computation, which is what
+  * the DuckDB oracle checks. Windowed aggregations use `complete` output
+  * so windows still open at end-of-stream are emitted too.
+  *
+  * Watermark LATE-DATA semantics (not observable in a single replay) are
+  * covered by the MemoryStream batch-equivalence specs in StreamsSpec.
+  *
+  * Scale posture: state is keyed by (window × type) / user / event_id —
+  * bounded by key cardinality, not stream length; watermarks bound the
+  * dedup/session state at 100 TB/day rates.
+  */
+object Streams {
+
+  /** Stage the events file into a fresh directory `copies` times (the
+    * file streaming source reads directories; >1 copy simulates a
+    * duplicated feed for the dedup operator). */
+  private def stage(sfDir: String, copies: Int): String = {
+    val dir = Files.createTempDirectory("graft_stream")
+    val src = Paths.get(s"$sfDir/events.parquet")
+    (0 until copies).foreach { i =>
+      Files.copy(src, dir.resolve(s"events_$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    dir.toString
+  }
+
+  /** File-source event stream with `ts_us` (BIGINT µs) and `ts_t`
+    * (TimestampType, µs precision) columns. */
+  def eventStream(spark: SparkSession, sfDir: String, copies: Int = 1): DataFrame = {
+    val schema = Tables.events(spark, sfDir).schema
+    Tables.tune(spark).readStream.schema(schema).parquet(stage(sfDir, copies))
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+  }
+
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run a streaming frame to completion into a memory sink, return it. */
+  def runToTable(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"graft_sink_${sinkCounter.incrementAndGet()}"
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** ST1 — tumbling 10-minute window: count + sum(value) per event type. */
+  def st1Tumbling(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventStream(spark, sfDir)
+      .withWatermark("ts_t", "15 minutes")
+      .groupBy(window(col("ts_t"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(Det.Money)).cast("double").as("sum_value"))
+    runToTable(spark, agg, OutputMode.Complete())
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  /** ST2 — sliding window 10 min / 5 min: every event lands in 2 windows. */
+  def st2Sliding(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventStream(spark, sfDir)
+      .withWatermark("ts_t", "15 minutes")
+      .groupBy(window(col("ts_t"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(spark, agg, OutputMode.Complete())
+      .select(unix_timestamp(col("window.start")).as("win_start"), col("n"))
+      .orderBy(col("win_start"))
+  }
+
+  /** ST3 — session windows: per-user sessions with a 30-minute gap. */
+  def st3Session(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventStream(spark, sfDir)
+      .withWatermark("ts_t", "15 minutes")
+      .groupBy(session_window(col("ts_t"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    runToTable(spark, agg, OutputMode.Complete())
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start_us"),
+        unix_micros(col("session_window.end")).as("sess_end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("sess_start_us"))
+  }
+
+  /** ST5 — streaming dedup within watermark: the staged feed carries every
+    * event twice; state drops the second sighting of each event_id. */
+  def st5StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dedup = eventStream(spark, sfDir, copies = 2)
+      .withWatermark("ts_t", "15 minutes")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+    val counted = runToTable(spark, dedup, OutputMode.Append())
+    counted.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** ST6 — stateful per-key processing (flatMapGroupsWithState): running
+    * per-user event count and max value, emitted each batch. */
+  def st6Stateful(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[EvRow] = eventStream(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value")).as[EvRow]
+    val updated = ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserStats, UserStats](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state) =>
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, Double.MinValue))
+          var n = prev.n_events
+          var mx = prev.max_value
+          rows.foreach { r => n += 1; mx = math.max(mx, r.value) }
+          val next = UserStats(uid, n, mx)
+          state.update(next)
+          Iterator(next)
+      }
+    // the update sink holds one row per user per micro-batch; counts are
+    // monotonic, so max() collapses to the final state regardless of how
+    // AvailableNow split the replay
+    runToTable(spark, updated.toDF(), OutputMode.Update())
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("max_value")).as("max_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** ST7 — stream-static join: streaming events against the static
+    * customer dimension (broadcast), aggregated per market segment. */
+  def st7StreamStatic(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = eventStream(spark, sfDir)
+      .join(broadcast(cust), col("user_id") === col("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(Det.Money)).cast("double").as("sum_value"))
+    runToTable(spark, joined, OutputMode.Complete())
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_tumbling" -> (st1Tumbling _),
+    "st2_sliding" -> (st2Sliding _),
+    "st3_session" -> (st3Session _),
+    "st5_stream_dedup" -> (st5StreamDedup _),
+    "st6_stateful" -> (st6Stateful _),
+    "st7_stream_static" -> (st7StreamStatic _))
+
+  val oracles: Map[String, String] = Map(
+    "st1_tumbling" ->
+      ("SELECT (epoch_us(ts) // 600000000) * 600 AS win_start, event_type, " +
+       "COUNT(*) AS n, " +
+       "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+       "FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"),
+    "st2_sliding" ->
+      // every event belongs to the two 5-min-aligned 10-min windows
+      // covering it: start = floor(t/300)*300 and that minus 300
+      ("SELECT win_start, COUNT(*) AS n FROM (" +
+       "SELECT (epoch_us(ts) // 300000000) * 300 AS win_start FROM events " +
+       "UNION ALL " +
+       "SELECT (epoch_us(ts) // 300000000) * 300 - 300 AS win_start FROM events" +
+       ") t GROUP BY win_start ORDER BY win_start"),
+    "st3_session" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +
+       "flagged AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER " +
+       "(PARTITION BY user_id ORDER BY t) > 1800000000 " +
+       "OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL " +
+       "THEN 1 ELSE 0 END AS new_sess FROM e), " +
+       "sess AS (SELECT user_id, t, SUM(new_sess) OVER " +
+       "(PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING " +
+       "AND CURRENT ROW) AS sid FROM flagged) " +
+       "SELECT user_id, MIN(t) AS sess_start_us, " +
+       "MAX(t) + 1800000000 AS sess_end_us, COUNT(*) AS n_events " +
+       "FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start_us"),
+    "st5_stream_dedup" ->
+      ("SELECT event_type, COUNT(*) AS n FROM events " +
+       "GROUP BY event_type ORDER BY event_type"),
+    "st6_stateful" ->
+      ("SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value " +
+       "FROM events GROUP BY user_id ORDER BY user_id"),
+    "st7_stream_static" ->
+      ("SELECT c_mktsegment, COUNT(*) AS n_events, " +
+       "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+       "FROM events JOIN customer ON user_id = c_custkey " +
+       "GROUP BY c_mktsegment ORDER BY c_mktsegment"))
+}

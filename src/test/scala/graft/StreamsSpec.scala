@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Streams
+
+class StreamsSpec extends SparkSpec {
+
+  test("st1 tumbling streaming agg equals batch agg (batch equivalence)") {
+    val streamed = Streams.st1Tumbling(spark, sf).collect()
+    val batch = Tables.eventsUs(spark, sf)
+      .groupBy((expr("ts div 600000000") * 600).as("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[Long]("win_start"), r.getAs[String]("event_type")) ->
+        r.getAs[Long]("n")).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { r =>
+      val k = (r.getAs[Long]("win_start"), r.getAs[String]("event_type"))
+      assert(batch(k) == r.getAs[Long]("n"), s"window $k")
+    }
+  }
+
+  test("st4 watermark: late event beyond watermark is dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val counts = input.toDF().toDF("ts_t", "v")
+      .withWatermark("ts_t", "15 minutes")
+      .groupBy(window(col("ts_t"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("string").as("ws"), col("n"))
+    val q = counts.writeStream.outputMode("append")
+      .format("memory").queryName("st4_sink")
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    def t(s: String) = Timestamp.valueOf(s)
+    // batch 1: two events in [10:00,10:10), one far later → watermark 11:45
+    input.addData((t("2024-01-01 10:00:30"), 1L), (t("2024-01-01 10:05:00"), 2L),
+      (t("2024-01-01 12:00:00"), 3L))
+    q.processAllAvailable()
+    // batch 2: late event for the already-closed 10:00 window → dropped
+    input.addData((t("2024-01-01 10:02:00"), 4L))
+    q.processAllAvailable()
+    // batch 3: advance watermark past 12:10 so that window also closes
+    input.addData((t("2024-01-01 13:00:00"), 5L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("st4_sink").collect()
+      .map(r => r.getAs[String]("ws") -> r.getAs[Long]("n")).toMap
+    assert(rows("2024-01-01 10:00:00") == 2L,
+      s"late event must not be counted: $rows")
+    assert(rows("2024-01-01 12:00:00") == 1L)
+  }
+
+  test("st5 dedup: doubled feed collapses to original counts") {
+    val dedup = Streams.st5StreamDedup(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    val batch = Tables.eventsUs(spark, sf).groupBy("event_type").count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    assert(dedup == batch)
+  }
+
+  test("st6 stateful: final state equals batch aggregate") {
+    val st = Streams.st6Stateful(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("max_value"))).toMap
+    val batch = Tables.eventsUs(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n"), max("value").as("mx")).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("mx"))).toMap
+    assert(st == batch)
+  }
+}
