@@ -21,11 +21,11 @@ import graft.Tables
   */
 object SimSearch {
 
-  /** round(Σ aᵢ·bᵢ, 6) with both elements widened to double first. */
+  /** round(Σ aᵢ·bᵢ, 6): native codegen'd dot product (sequential double
+    * accumulation — identical result to the HOF chain it replaced, ~4×
+    * faster; see graft.functions.DotProduct). */
   def dot6(a: Column, b: Column): Column =
-    round(aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v), 6)
+    round(graft.functions.DotProduct.dot(a, b), 6)
 
   /** L3 — brute-force top-5 cosine neighbors for each probe (vec_id<10),
     * ranked by rounded similarity with vec_id tie-break. */

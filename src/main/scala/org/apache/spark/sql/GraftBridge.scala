@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark 4's private[sql] Column↔Expression conversions so the
+  * graft library can expose native Catalyst expressions (e.g.
+  * graft.functions.DotProduct) as user-facing Columns. This is the
+  * documented extension-library pattern: the classic converters live
+  * behind private[sql] since the Spark Connect split.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** ScalaCheck property layer (SURVEY §5.2): algebraic laws that must hold
+  * for any data, run over generated in-memory tables. */
+class PropertySpec extends SparkSpec {
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(20).withInitialSeed(42L), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val rowsGen =
+    Gen.listOfN(60, Gen.zip(Gen.chooseNum(-50L, 50L), Gen.chooseNum(-5.0, 5.0)))
+
+  test("filter conjunction law: filter(p && q) == filter(p).filter(q)") {
+    import spark.implicits._
+    check(Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "v")
+      val p = col("k") > 0L
+      val q = col("v") < 2.5
+      df.filter(p && q).count() == df.filter(p).filter(q).count()
+    })
+  }
+
+  test("sort is a permutation: orderBy preserves multiset") {
+    import spark.implicits._
+    check(Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "v")
+      val sorted = df.orderBy(col("k"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      sorted.sorted.sameElements(rows.sorted) &&
+        sorted.sameElements(rows.sorted)
+    })
+  }
+
+  test("decimal-routed sum equals exact BigDecimal fold") {
+    import spark.implicits._
+    check(Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "v")
+      val got = df.agg(Det.dsum(col("v"))).collect()(0).getDouble(0)
+      val expect = rows.map { case (_, v) =>
+        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      got == expect
+    })
+  }
+
+  test("groupBy count partitions the table") {
+    import spark.implicits._
+    check(Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "v")
+      val grouped = df.groupBy(pmod(col("k"), lit(7L))).count()
+        .agg(sum("count")).collect()(0).getLong(0)
+      grouped == rows.length
+    })
+  }
+}
