@@ -125,14 +125,24 @@ object Joins {
   }
 
   /** J10 — interval/overlap self-join: pairs of events of one user within
-    * 5 minutes. Equi key user_id bounds the pair space per user. */
+    * 5 minutes. Time-bucketed band join: joining on (user_id, 5-min
+    * bucket) — with one side replicated into its 3 adjacent buckets —
+    * turns the per-user O(m²) pair space into O(m × bucket-density),
+    * which is what survives a 100× scale-up of events-per-user. A pair
+    * within 5 min differs by ≤1 bucket, so coverage is exact; the
+    * a-side bucket is single-valued, so no pair matches twice. */
   def j10Interval(spark: SparkSession, sfDir: String): DataFrame = {
     val a = Tables.eventsUs(spark, sfDir)
       .select(col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"))
+      .withColumn("bucket", expr("ts_a div 300000000"))
     val b = Tables.eventsUs(spark, sfDir)
       .select(col("user_id").as("user_b"), col("event_id").as("id_b"),
         col("ts").as("ts_b"))
-    a.join(b, col("user_id") === col("user_b") && col("id_a") < col("id_b") &&
+      .withColumn("bucket", explode(array(
+        expr("ts_b div 300000000 - 1"), expr("ts_b div 300000000"),
+        expr("ts_b div 300000000 + 1"))))
+    a.join(b, col("user_id") === col("user_b") &&
+        a("bucket") === b("bucket") && col("id_a") < col("id_b") &&
         abs(col("ts_a") - col("ts_b")) <= 300000000L, "inner")
       .select(col("user_id"), col("id_a"), col("id_b"),
         abs(col("ts_a") - col("ts_b")).as("gap_us"))

@@ -31,14 +31,33 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
-  /** W2 — ntile / percent_rank / cume_dist over orders by totalprice. */
+  /** W2 — ntile / percent_rank / cume_dist over ALL orders by totalprice.
+    * An unpartitioned Spark Window would move every row to one partition
+    * (the WindowExec warning); instead the global rank is computed
+    * scalably: range-partitioned sort + distributed zipWithIndex, then
+    * the closed-form definitions. The oracle uses DuckDB's NATIVE
+    * ntile/percent_rank/cume_dist — proving this formulation reproduces
+    * standard window semantics exactly. Ordering is unique (totalprice,
+    * orderkey), so rank = row_number. */
   def w2Ntile(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"),
-        ntile(4).over(w).cast("long").as("quartile"),
-        percent_rank().over(w).as("pr"),
-        cume_dist().over(w).as("cd"))
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val n = o.count() // O(1) driver scalar, not data movement
+    val ranked = o.orderBy(col("o_totalprice"), col("o_orderkey"))
+      .rdd.zipWithIndex // preserves range-partitioned sort order
+      .map { case (r, i) => (r.getLong(0), i + 1) }
+      .toDF("o_orderkey", "rn")
+    // exact ntile(k) distribution: the first n%k buckets hold ceil(n/k)
+    val k = 4L
+    val q = n / k
+    val m = n % k
+    val t = (q + 1) * m // rows in the oversized buckets
+    ranked.select(col("o_orderkey"),
+        when(col("rn") <= t, expr(s"(rn - 1) div ${q + 1} + 1"))
+          .otherwise(expr(s"$m + (rn - $t - 1) div $q + 1")).as("quartile"),
+        ((col("rn") - 1) / (n - 1).toDouble).as("pr"),
+        (col("rn") / n.toDouble).as("cd"))
       .orderBy(col("o_orderkey"))
   }
 
