@@ -1,0 +1,12 @@
+package graft.functions
+
+import org.apache.spark.sql.{GraftBridge, SparkSession}
+
+/** SQL-surface registration for the library's native expressions, so the
+  * E2 entry point (spark.sql strings) can call them like builtins. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    GraftBridge.registerFunction(spark, "graft_dot",
+      exprs => DotProduct(exprs(0), exprs(1)))
+  }
+}
