@@ -87,6 +87,29 @@ object Aggs {
         col("revenue"), col("n_orders"))
       .orderBy(col("year_c"), col("prio_c"))
 
+  /** A5b — CUBE: all four grouping combinations of (year, status). */
+  def a5bCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .withColumn("y", year(col("o_orderdate")).cast("long"))
+      .cube(col("y"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        Det.dsum(col("o_totalprice")).as("revenue"))
+      .select(coalesce(col("y"), lit(-1L)).as("year_c"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status_c"),
+        col("n_orders"), col("revenue"))
+      .orderBy(col("year_c"), col("status_c"))
+
+  /** A10 — pivot: event counts per user spread across one column per
+    * event type (fixed pivot domain keeps the schema static — the only
+    * scalable form; dynamic pivot would need a driver-side distinct). */
+  def a10Pivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.eventsUs(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
   /** A6 — HAVING: post-aggregation filter on customer spend. */
   def a6Having(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
@@ -123,6 +146,8 @@ object Aggs {
     "a3_count_distinct" -> (a3CountDistinct _),
     "a4_approx_distinct" -> (a4ApproxDistinct _),
     "a5_rollup" -> (a5Rollup _),
+    "a5b_cube" -> (a5bCube _),
+    "a10_pivot" -> (a10Pivot _),
     "a6_having" -> (a6Having _),
     "a7_collect_sorted" -> (a7CollectSorted _),
     "a8_weighted_mean" -> (a8WeightedMean _))
@@ -143,6 +168,20 @@ object Aggs {
        "(SELECT CAST(year(o_orderdate) AS BIGINT) AS y, o_orderpriority AS p, " +
        "o_totalprice FROM orders) t GROUP BY ROLLUP(y, p) " +
        "ORDER BY year_c, prio_c"),
+    "a5b_cube" ->
+      (s"SELECT COALESCE(y, -1) AS year_c, COALESCE(s, 'ALL') AS status_c, " +
+       s"COUNT(*) AS n_orders, ${d.dsum("o_totalprice")} AS revenue FROM " +
+       "(SELECT CAST(year(o_orderdate) AS BIGINT) AS y, o_orderstatus AS s, " +
+       "o_totalprice FROM orders) t GROUP BY CUBE(y, s) " +
+       "ORDER BY year_c, status_c"),
+    "a10_pivot" ->
+      ("SELECT user_id, " +
+       "COUNT(*) FILTER (event_type = 'click') AS click, " +
+       "COUNT(*) FILTER (event_type = 'error') AS error, " +
+       "COUNT(*) FILTER (event_type = 'purchase') AS purchase, " +
+       "COUNT(*) FILTER (event_type = 'signup') AS signup, " +
+       "COUNT(*) FILTER (event_type = 'view') AS view " +
+       "FROM events GROUP BY user_id ORDER BY user_id"),
     "a6_having" ->
       (s"SELECT o_custkey, ${d.dsum("o_totalprice")} AS spend, " +
        "COUNT(*) AS n_orders FROM orders GROUP BY o_custkey " +

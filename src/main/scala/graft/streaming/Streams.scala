@@ -7,6 +7,29 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 case class EvRow(event_id: Long, user_id: Long, value: Double)
 case class UserStats(user_id: Long, n_events: Long, max_value: Double)
 
+/** ST6b processor: typed per-key running stats in a ValueState. */
+class RunningStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvRow, UserStats] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var state: ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Double)]("stats",
+      Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[EvRow],
+      timerValues: TimerValues): Iterator[UserStats] = {
+    val (n0, mx0) = if (state.exists()) state.get() else (0L, Double.MinValue)
+    var n = n0
+    var mx = mx0
+    rows.foreach { r => n += 1; mx = math.max(mx, r.value) }
+    state.update((n, mx))
+    Iterator(UserStats(key, n, mx))
+  }
+}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
@@ -142,6 +165,37 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** ST6b — transformWithState (the Spark-4-native arbitrary-state API,
+    * successor to flatMapGroupsWithState): same per-user running stats,
+    * held in a typed ValueState on the RocksDB state store. */
+  def st6bTransformWithState(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds: Dataset[EvRow] = eventStream(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("value")).as[EvRow]
+      val updated = ds.groupByKey(_.user_id)
+        .transformWithState(new RunningStatsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      runToTable(spark, updated.toDF(), OutputMode.Update())
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("max_value")).as("max_value"))
+        .orderBy(col("user_id"))
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   /** ST7 — stream-static join: streaming events against the static
     * customer dimension (broadcast), aggregated per market segment. */
   def st7StreamStatic(spark: SparkSession, sfDir: String): DataFrame = {
@@ -162,6 +216,7 @@ object Streams {
     "st3_session" -> (st3Session _),
     "st5_stream_dedup" -> (st5StreamDedup _),
     "st6_stateful" -> (st6Stateful _),
+    "st6b_tws" -> (st6bTransformWithState _),
     "st7_stream_static" -> (st7StreamStatic _))
 
   val oracles: Map[String, String] = Map(
@@ -194,6 +249,9 @@ object Streams {
       ("SELECT event_type, COUNT(*) AS n FROM events " +
        "GROUP BY event_type ORDER BY event_type"),
     "st6_stateful" ->
+      ("SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value " +
+       "FROM events GROUP BY user_id ORDER BY user_id"),
+    "st6b_tws" ->
       ("SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value " +
        "FROM events GROUP BY user_id ORDER BY user_id"),
     "st7_stream_static" ->
