@@ -137,13 +137,30 @@ object Streams {
       .orderBy(col("event_type"))
   }
 
+  /** Streaming event rows typed for the stateful operators. */
+  private def evRows(spark: SparkSession, sfDir: String): Dataset[EvRow] = {
+    import spark.implicits._
+    eventStream(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value")).as[EvRow]
+  }
+
+  /** Run a per-user stateful stream to the update sink and collapse to
+    * final state: the sink holds one row per user per micro-batch, and
+    * the running stats are monotonic, so max() yields the final values
+    * regardless of how AvailableNow split the replay. */
+  private def collapseUpdates(spark: SparkSession,
+      updated: Dataset[UserStats]): DataFrame =
+    runToTable(spark, updated.toDF(), OutputMode.Update())
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("max_value")).as("max_value"))
+      .orderBy(col("user_id"))
+
   /** ST6 — stateful per-key processing (flatMapGroupsWithState): running
     * per-user event count and max value, emitted each batch. */
   def st6Stateful(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ds: Dataset[EvRow] = eventStream(spark, sfDir)
-      .select(col("event_id"), col("user_id"), col("value")).as[EvRow]
-    val updated = ds.groupByKey(_.user_id)
+    val updated = evRows(spark, sfDir).groupByKey(_.user_id)
       .flatMapGroupsWithState[UserStats, UserStats](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case (uid, rows, state) =>
@@ -155,37 +172,24 @@ object Streams {
           state.update(next)
           Iterator(next)
       }
-    // the update sink holds one row per user per micro-batch; counts are
-    // monotonic, so max() collapses to the final state regardless of how
-    // AvailableNow split the replay
-    runToTable(spark, updated.toDF(), OutputMode.Update())
-      .groupBy(col("user_id"))
-      .agg(max(col("n_events")).as("n_events"),
-        max(col("max_value")).as("max_value"))
-      .orderBy(col("user_id"))
+    collapseUpdates(spark, updated)
   }
 
   /** ST6b — transformWithState (the Spark-4-native arbitrary-state API,
     * successor to flatMapGroupsWithState): same per-user running stats,
     * held in a typed ValueState on the RocksDB state store. */
   def st6bTransformWithState(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val prevProvider = spark.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass")
     // transformWithState requires the RocksDB provider
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val ds: Dataset[EvRow] = eventStream(spark, sfDir)
-        .select(col("event_id"), col("user_id"), col("value")).as[EvRow]
-      val updated = ds.groupByKey(_.user_id)
+      import spark.implicits._
+      val updated = evRows(spark, sfDir).groupByKey(_.user_id)
         .transformWithState(new RunningStatsProcessor,
           org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
-      runToTable(spark, updated.toDF(), OutputMode.Update())
-        .groupBy(col("user_id"))
-        .agg(max(col("n_events")).as("n_events"),
-          max(col("max_value")).as("max_value"))
-        .orderBy(col("user_id"))
+      collapseUpdates(spark, updated)
     } finally {
       prevProvider match {
         case Some(p) =>
