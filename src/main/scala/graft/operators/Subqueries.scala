@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** Subquery / CTE surface + gap-filling resample. Correlated subqueries
+  * exercise Catalyst's decorrelation rewrites (SURVEY §4.2 —
+  * RewriteCorrelatedScalarSubquery, RewritePredicateSubquery): the
+  * engine turns them into joins, so they scale like joins.
+  */
+object Subqueries {
+
+  private def views(spark: SparkSession, sfDir: String): Unit = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("v_customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("v_orders")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("v_nation")
+  }
+
+  /** SQL5 — correlated scalar subquery + IN-subquery + EXISTS, all
+    * decorrelated by Catalyst into joins. */
+  def sql5Subqueries(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(
+      """SELECT c_custkey, c_acctbal
+        |FROM v_customer c
+        |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM v_customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |  AND c_nationkey IN (SELECT n_nationkey FROM v_nation
+        |                      WHERE n_regionkey <= 2)
+        |  AND EXISTS (SELECT 1 FROM v_orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** SQL6 — chained CTEs with a window inside: revenue per customer, then
+    * each customer's share of their nation's total. */
+  def sql6Cte(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(
+      """WITH spend AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey, c_nationkey
+        |), ranked AS (
+        |  SELECT c_custkey, c_nationkey, total,
+        |    CAST(SUM(CAST(total AS DECIMAL(18,4))) OVER
+        |      (PARTITION BY c_nationkey) AS DOUBLE) AS nation_total
+        |  FROM spend
+        |)
+        |SELECT c_custkey, total, round(total / nation_total, 6) AS share
+        |FROM ranked ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** X11 — gap-filling resample: per-user daily event counts INCLUDING
+    * empty days, via a generated per-user day spine (sequence + explode)
+    * left-joined to actuals. The spine is generated distributed —
+    * sequence() per user row, no driver loop. */
+  def x11GapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = Tables.eventsUs(spark, sfDir)
+      .select(col("user_id"), expr("ts div 86400000000").as("day"))
+    val actual = days.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    spine.join(actual, Seq("user_id", "day"), "left_outer")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql5_subqueries" -> (sql5Subqueries _),
+    "sql6_cte" -> (sql6Cte _),
+    "x11_gapfill" -> (x11GapFill _))
+
+  val oracles: Map[String, String] = Map(
+    "sql5_subqueries" ->
+      ("SELECT c_custkey, c_acctbal FROM customer c " +
+       "WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2 " +
+       "WHERE c2.c_nationkey = c.c_nationkey) " +
+       "AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2) " +
+       "AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+       "AND o.o_totalprice > 400000.0) ORDER BY c_custkey"),
+    "sql6_cte" ->
+      ("WITH spend AS (SELECT c_custkey, c_nationkey, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
+       "FROM customer JOIN orders ON c_custkey = o_custkey " +
+       "GROUP BY c_custkey, c_nationkey), " +
+       "ranked AS (SELECT c_custkey, c_nationkey, total, " +
+       "CAST(SUM(CAST(total AS DECIMAL(18,4))) OVER " +
+       "(PARTITION BY c_nationkey) AS DOUBLE) AS nation_total FROM spend) " +
+       "SELECT c_custkey, total, round(total / nation_total, 6) AS share " +
+       "FROM ranked ORDER BY c_custkey"),
+    "x11_gapfill" ->
+      ("WITH days AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day " +
+       "FROM events), actual AS (SELECT user_id, day, COUNT(*) AS n " +
+       "FROM days GROUP BY user_id, day), " +
+       "bounds AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 " +
+       "FROM days GROUP BY user_id), " +
+       "spine AS (SELECT user_id, d0 + g AS day FROM bounds, range(0, 40) r(g) " +
+       "WHERE d0 + g <= d1) " +
+       "SELECT spine.user_id, spine.day, COALESCE(n, 0) AS n_events " +
+       "FROM spine LEFT JOIN actual ON spine.user_id = actual.user_id " +
+       "AND spine.day = actual.day ORDER BY spine.user_id, spine.day"))
+}
