@@ -115,8 +115,44 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** X12 — dedup clustering: connected components over the verified
+    * near-dup pair graph, each doc labeled with its cluster representative
+    * (minimum doc_id reachable). Iterative min-label propagation: each
+    * round is one distributed join+agg, converging in O(log component
+    * diameter) rounds; lineage is truncated per round with
+    * localCheckpoint so the plan stays constant-size. This is the step a
+    * real pipeline runs after pair detection — "keep one doc per cluster". */
+  def x12DedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = l2MinHashDedup(spark, sfDir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 15) {
+      val nbrMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(col("a")).agg(min(col("label")).as("nbr_label"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("a"), "left_outer")
+        .select(labels("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("new_label"))
+        .localCheckpoint(true)
+      val changed = updated.join(labels, "id")
+        .filter(col("new_label") =!= col("label")).count()
+      labels = updated.withColumnRenamed("new_label", "label")
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l2_minhash_dedup" -> (l2MinHashDedup _),
+    "x12_dedup_clusters" -> (x12DedupClusters _),
     "x1_simhash" -> (x1SimHash _))
 
   /** Oracle: exhaustive exact shingle-Jaccard (O(pairs-sharing-a-shingle),
@@ -130,5 +166,19 @@ object Dedup {
        "GROUP BY 1, 2) " +
        "SELECT doc_a, doc_b, inter / (na.n_sh + nb.n_sh - inter) AS jaccard " +
        "FROM i JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b " +
-       "WHERE inter / (na.n_sh + nb.n_sh - inter) > 0.6 ORDER BY doc_a, doc_b"))
+       "WHERE inter / (na.n_sh + nb.n_sh - inter) > 0.6 ORDER BY doc_a, doc_b"),
+    "x12_dedup_clusters" ->
+      (s"WITH RECURSIVE s AS (SELECT DISTINCT doc_id, ngram FROM (${TextOps.ngramSql(3)}) t), " +
+       "n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id), " +
+       "i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter " +
+       "FROM s a JOIN s b ON a.ngram = b.ngram AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+       "pairs AS (SELECT doc_a, doc_b FROM i " +
+       "JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b " +
+       "WHERE inter / (na.n_sh + nb.n_sh - inter) > 0.6), " +
+       "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs " +
+       "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+       "reach AS (SELECT DISTINCT a AS src, a AS dst FROM edges " +
+       "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a) " +
+       "SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach " +
+       "GROUP BY src ORDER BY doc_id"))
 }

@@ -31,6 +31,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(rand > 12, s"random pair unexpectedly close: $rand")
   }
 
+  test("x12 clusters: both endpoints of every pair share a representative") {
+    val reps = Dedup.x12DedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+    val pairs = Dedup.l2MinHashDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    pairs.foreach { case (a, b) =>
+      assert(reps(a) == reps(b), s"pair ($a,$b) split across clusters")
+    }
+    // representative is the minimum member of its cluster
+    reps.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.keys.min == rep)
+    }
+  }
+
   test("l3 top-k: self excluded, ranks 1..5, sims descending") {
     val rows = SimSearch.l3TopKCosine(spark, sf).collect()
     assert(rows.length == 50)
