@@ -33,6 +33,8 @@ object Det {
   object sql {
     def dsum(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(18,4))) AS DOUBLE)"
     def dsum6(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
-    def davg(e: String): String = s"${dsum(e)}/COUNT(*)"
+    // COUNT(e), not COUNT(*): the Spark side divides by count(c), which
+    // skips nulls — the two spellings must stay aligned on nullable input
+    def davg(e: String): String = s"${dsum(e)}/COUNT(($e))"
   }
 }

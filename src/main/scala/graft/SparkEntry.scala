@@ -16,7 +16,7 @@ object SparkEntry {
     Aggs.a1PricingSummary(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ Aggs.queries ++ Joins.queries ++ SetOps.queries ++
       Windows.queries ++ Scalars.queries ++ TextOps.queries ++
       Dedup.queries ++ SimSearch.queries ++ Multimodal.queries ++
@@ -25,7 +25,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     Core.oracles ++ Aggs.oracles ++ Joins.oracles ++ SetOps.oracles ++
       Windows.oracles ++ Scalars.oracles ++ TextOps.oracles ++
       Dedup.oracles ++ SimSearch.oracles ++ Multimodal.oracles ++

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression: dot product of two float vectors in double
   * precision, sequential accumulation (identical result order to the
@@ -19,10 +20,27 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs must be array<float>; no ExpectsInputTypes (AbstractDataType is
-  // private[sql] in Spark 4), callers are internal and typed
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+
+  // ExpectsInputTypes is not usable here (AbstractDataType is private[sql]
+  // in Spark 4), and getFloat on a non-float ArrayData either throws or —
+  // worse, on UnsafeArrayData — silently misreads half of each 8-byte slot.
+  // graft_dot is registered as a session SQL function (GraftFunctions), so
+  // reject anything but array<float> at analysis time.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFloatArray(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType)) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

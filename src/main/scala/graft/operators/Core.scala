@@ -38,10 +38,13 @@ object Core {
       .orderBy(col("event_id"))
 
   /** S5 — CSV + JSON secondary sources: round-trips a small frame through
-    * both formats under java.io.tmpdir and reads it back (rows-only check). */
+    * both formats under java.io.tmpdir and reads it back (rows-only check).
+    * Fixed directory (not createTempDirectory): overwrite-in-place, so
+    * repeated bench/verify rounds don't accumulate orphaned temp dirs. */
   def s5CsvJson(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_s5").toString
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_s5").getAbsolutePath
     val df = Seq((1L, "alpha", 1.5), (2L, "beta", 2.5), (3L, "gamma", 3.5))
       .toDF("id", "name", "score")
     df.write.mode("overwrite").option("header", "true").csv(s"$base/csv")

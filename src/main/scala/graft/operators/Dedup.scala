@@ -42,8 +42,9 @@ object Dedup {
     * regardless of corpus size. */
   def signatures(spark: SparkSession, sfDir: String): DataFrame = {
     // nonnegative 32-bit shingle hash, widened to long for the affine perm
+    // (pmod, not (h + Prime) % Prime: the latter yields -1 for Int.MinValue)
     val sh = shingleSet(spark, sfDir)
-      .withColumn("h", (hash(col("ngram")).cast("long") + Prime) % Prime)
+      .withColumn("h", pmod(hash(col("ngram")).cast("long"), lit(Prime)))
     val mins = perms.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % Prime).as(s"m$i")
     }
@@ -145,6 +146,13 @@ object Dedup {
       labels = updated.withColumnRenamed("new_label", "label")
       converged = changed == 0
       iter += 1
+    }
+    if (!converged) {
+      // never expected at contract scale (components are near-dup clusters
+      // of diameter ≪ 15), but do not let a truncated propagation pass
+      // silently as a correct clustering
+      System.err.println(
+        s"[x12] label propagation hit the $iter-iteration cap before converging")
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
       .orderBy(col("doc_id"))

@@ -54,11 +54,16 @@ import graft.{Det, Tables}
   */
 object Streams {
 
-  /** Stage the events file into a fresh directory `copies` times (the
-    * file streaming source reads directories; >1 copy simulates a
-    * duplicated feed for the dedup operator). */
+  /** Stage the events file into a directory `copies` times (the file
+    * streaming source reads directories; >1 copy simulates a duplicated
+    * feed for the dedup operator). The directory is fixed per
+    * (sfDir, copies) and files are copied with REPLACE_EXISTING, so
+    * repeated replays reuse it instead of leaking one staged copy of
+    * events.parquet per streaming query per run. */
   private def stage(sfDir: String, copies: Int): String = {
-    val dir = Files.createTempDirectory("graft_stream")
+    val dir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_${(sfDir.hashCode & 0x7fffffff).toHexString}_$copies")
+    Files.createDirectories(dir)
     val src = Paths.get(s"$sfDir/events.parquet")
     (0 until copies).foreach { i =>
       Files.copy(src, dir.resolve(s"events_$i.parquet"),
