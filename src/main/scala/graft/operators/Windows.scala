@@ -45,7 +45,7 @@ object Windows {
       .select(col("o_orderkey"), col("o_totalprice"))
     val n = o.count() // O(1) driver scalar, not data movement
     val ranked = o.orderBy(col("o_totalprice"), col("o_orderkey"))
-      .rdd.zipWithIndex // preserves range-partitioned sort order
+      .rdd.zipWithIndex() // preserves range-partitioned sort order
       .map { case (r, i) => (r.getLong(0), i + 1) }
       .toDF("o_orderkey", "rn")
     // exact ntile(k) distribution: the first n%k buckets hold ceil(n/k)
