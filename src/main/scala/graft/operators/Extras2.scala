@@ -65,13 +65,49 @@ object Extras2 {
         |FROM v_embeddings ORDER BY vec_id""".stripMargin)
   }
 
+  /** X13 — deterministic content-hash sampling: keep documents whose
+    * md5(text) prefix falls under a threshold (~10%). Unlike RNG-based
+    * df.sample, the sample is reproducible across engines, runs, and
+    * repartitionings — the only sane way to carve a stable dev slice out
+    * of a 100 TB corpus — and portable enough to oracle. */
+  def x13HashSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(substring(md5(col("text").cast("binary")), 1, 2) <= "19")
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("text").cast("binary")), 1, 2).as("bucket"))
+      .orderBy(col("doc_id"))
+
+  /** F2b — date/interval arithmetic: day/month/year offsets with
+    * end-of-month clamping (both engines clamp Jan 31 + 1 month). */
+  def f2bDateArith(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        date_add(col("o_orderdate").cast("date"), 30).cast("string").as("plus_30d"),
+        add_months(col("o_orderdate").cast("date"), 2).cast("string").as("plus_2m"),
+        add_months(col("o_orderdate").cast("date"), -12).cast("string").as("minus_1y"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_2002"))
+      .orderBy(col("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x13_hash_sample" -> (x13HashSample _),
+    "f2b_date_arith" -> (f2bDateArith _),
     "f9_hash" -> (f9Hash _),
     "a9_stats" -> (a9Stats _),
     "s8_partition_prune" -> (s8PartitionPrune _),
     "sql3_vector_norm" -> (sql3VectorNorm _))
 
   val oracles: Map[String, String] = Map(
+    "x13_hash_sample" ->
+      ("SELECT doc_id, lang, substr(md5(text), 1, 2) AS bucket FROM documents " +
+       "WHERE substr(md5(text), 1, 2) <= '19' ORDER BY doc_id"),
+    "f2b_date_arith" ->
+      ("SELECT o_orderkey, " +
+       "strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d, " +
+       "strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus_2m, " +
+       "strftime(CAST(o_orderdate AS DATE) - INTERVAL 12 MONTH, '%Y-%m-%d') AS minus_1y, " +
+       "date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002 " +
+       "FROM orders ORDER BY o_orderkey"),
     "f9_hash" ->
       ("SELECT p_partkey, md5(p_name) AS name_md5, sha256(p_name) AS name_sha256 " +
        "FROM part ORDER BY p_partkey"),
