@@ -1,0 +1,145 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable, corpus-agnostic text-pipeline operators: the public library
+  * surface (the contract queries in graft.operators are thin bindings of
+  * these to the test corpus). Every function takes caller-supplied
+  * frames/columns and returns a declarative plan — no collects, no
+  * table-name assumptions, safe to point at any corpus size.
+  */
+object TextPipeline {
+
+  /** Word n-grams of `textCol` as an array column (documents shorter than
+    * n words yield an empty array). */
+  def ngramsCol(textCol: Column, n: Int): Column = {
+    val words = split(textCol, " ")
+    when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => array_join(slice(words, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct (id, shingle) pairs for a document frame. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(ngramsCol(col(textCol), n)).as("ngram"))
+      .distinct()
+
+  /** MinHash + LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * @param shingleSet distinct (doc_id, ngram) pairs (see [[shingles]])
+    * @param numPerms   minhash permutations (signature width)
+    * @param bandRows   rows per LSH band; recall at threshold t is
+    *                   1-(1-t^bandRows)^(numPerms/bandRows)
+    * @param threshold  exact-Jaccard cutoff (pairs strictly above survive)
+    * @return (doc_a, doc_b, jaccard), doc_a < doc_b
+    *
+    * Shuffle-bounded end to end: signatures are one grouped agg, candidates
+    * come only from equal LSH buckets, and the exact verify joins only the
+    * candidate pairs' shingles.
+    */
+  def nearDupPairs(shingleSet: DataFrame, numPerms: Int = 128,
+      bandRows: Int = 2, threshold: Double = 0.6,
+      seed: Long = 42L): DataFrame = {
+    val prime = 2147483647L
+    val rnd = new scala.util.Random(seed)
+    val perms = Seq.fill(numPerms)((rnd.nextInt(Int.MaxValue - 2).toLong * 2 + 1,
+      rnd.nextInt(Int.MaxValue - 1).toLong + 1))
+
+    val sh = shingleSet.withColumn("h", pmod(hash(col("ngram")).cast("long"), lit(prime)))
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % prime).as(s"m$i")
+    }
+    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+
+    val bandCols = (0 until numPerms / bandRows).map { bi =>
+      val rows = (0 until bandRows).map(ri => col(s"m${bi * bandRows + ri}"))
+      xxhash64((lit(bi) +: rows): _*)
+    }
+    val bands = sig.select(col("doc_id"), posexplode(array(bandCols: _*))
+      .as(Seq("band_idx", "band_hash")))
+    val b2 = bands.select(col("doc_id").as("doc_b0"),
+      col("band_idx").as("bi2"), col("band_hash").as("bh2"))
+    val cands = bands.join(b2,
+        col("band_idx") === col("bi2") && col("band_hash") === col("bh2") &&
+        col("doc_id") < col("doc_b0"))
+      .select(col("doc_id").as("doc_a"), col("doc_b0").as("doc_b"))
+      .distinct()
+
+    val sizes = shingleSet.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val sa = shingleSet.select(col("doc_id").as("da"), col("ngram"))
+    val sb = shingleSet.select(col("doc_id").as("db"), col("ngram").as("ngram_b"))
+    cands
+      .join(sa, col("doc_a") === col("da"))
+      .join(sb, col("doc_b") === col("db") && col("ngram") === col("ngram_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") > threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Connected components over an undirected pair graph: each node labeled
+    * with the minimum node id reachable. Iterative min-label propagation,
+    * one distributed join+agg per round, lineage truncated per round. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 15): DataFrame = {
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val edges = p.union(p.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(col("a")).agg(min(col("label")).as("nbr_label"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("a"), "left_outer")
+        .select(labels("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("new_label"))
+        .localCheckpoint(true)
+      val changed = updated.join(labels, "id")
+        .filter(col("new_label") =!= col("label")).count()
+      labels = updated.withColumnRenamed("new_label", "label")
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged) {
+      System.err.println(
+        s"[graft] connectedComponents: iteration cap $maxIter hit before convergence")
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+  }
+
+  /** Heuristic document quality score in [0,1]: length, lexical
+    * diversity (type-token ratio), mean word length. */
+  def qualityScore(textCol: Column): Column = {
+    val words = split(textCol, " ")
+    val nWords = size(words).cast("long")
+    val ttr = size(array_distinct(words)).cast("long") / nWords
+    val meanWlen = length(regexp_replace(textCol, " ", "")).cast("long") / nWords
+    round(lit(0.4) * least(nWords / 50.0, lit(1.0)) +
+      lit(0.3) * ttr + lit(0.3) * least(meanWlen / 6.0, lit(1.0)), 6)
+  }
+
+  /** BPE-ish token count: greedy ≤4-char alphanumeric chunks. */
+  def tokenCount(textCol: Column): Column =
+    size(regexp_extract_all(textCol, lit("[a-z0-9]{1,4}"), lit(0))).cast("long")
+
+  /** Winnowing fingerprint: minimum md5 over n-gram windows. Documents
+    * sharing a fingerprint share an n-word span. */
+  def winnowingFingerprint(textCol: Column, n: Int = 8): Column =
+    array_min(transform(ngramsCol(textCol, n), g => md5(g)))
+
+  /** Deterministic content-hash sample predicate: keeps ~(k/256) of rows
+    * based on the first md5 byte of `keyCol` — reproducible across
+    * engines, runs, and repartitionings. */
+  def hashSamplePredicate(keyCol: Column, outOf256: Int): Column =
+    substring(md5(keyCol.cast("binary")), 1, 2) <= f"${outOf256 - 1}%02x"
+}

@@ -1,0 +1,81 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.DotProduct
+
+/** Reusable similarity-search operators over embedding frames
+  * (id + array<float> vector). Cosine ≡ dot for unit-normalized vectors;
+  * similarities are rounded to 6 dp so results are independent of
+  * summation order. The codegen'd [[graft.functions.DotProduct]] does the
+  * inner loop.
+  */
+object VectorPipeline {
+
+  /** round(a·b, 6) via the native codegen expression. */
+  def sim(a: Column, b: Column): Column = round(DotProduct.dot(a, b), 6)
+
+  /** Brute-force top-k neighbors of each probe (exact; the correctness
+    * baseline — use [[ivfTopK]] when corpus × probes is large). */
+  def topKCosine(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pe"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("ce"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    p.crossJoin(c)
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"), sim(col("pe"), col("ce")).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-style approximate top-k: vectors are assigned to their nearest
+    * centroid; probes score only the nprobe nearest buckets. Centroids
+    * are broadcast (tiny); candidate count per probe is
+    * corpus/centroids × nprobe instead of the full corpus. */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val cents = centroids.select(col(idCol).as("cent_id"), col(vecCol).as("ce"))
+    val wAssign = Window.partitionBy(col("vid"))
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    val assigned = corpus
+      .select(col(idCol).as("vid"), col(vecCol).as("ve"))
+      .crossJoin(broadcast(cents))
+      .select(col("vid"), col("ve"), col("cent_id"),
+        sim(col("ve"), col("ce")).as("csim"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vid"), col("ve"), col("cent_id"))
+    val wRoute = Window.partitionBy(col("probe_id"))
+      .orderBy(col("psim").desc, col("cent_id").asc)
+    val routes = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pe"))
+      .crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("pe"), col("cent_id"),
+        sim(col("pe"), col("ce")).as("psim"))
+      .withColumn("rrn", row_number().over(wRoute))
+      .filter(col("rrn") <= nprobe)
+      .select(col("probe_id"), col("pe"), col("cent_id"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    routes.join(assigned, "cent_id")
+      .filter(col("vid") =!= col("probe_id"))
+      .select(col("probe_id"), col("vid").as("neighbor_id"),
+        sim(col("pe"), col("ve")).as("sim"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** All pairs with similarity at or above `threshold` (brute force —
+    * the exact baseline for near-dup detection in embedding space). */
+  def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("ea"))
+    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("eb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), sim(col("ea"), col("eb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

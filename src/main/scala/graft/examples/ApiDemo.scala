@@ -1,0 +1,55 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.api.{TextPipeline, VectorPipeline}
+
+/** Usage example for the reusable library API: applies the pipeline
+  * operators to frames with caller-chosen column names (nothing here
+  * touches the test-corpus table loaders). Run:
+  *   runMain graft.examples.ApiDemo
+  */
+object ApiDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // a corpus with custom column names (id/body, not doc_id/text)
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (200L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      (300L, "completely different content about spark query engines and plans"),
+      (400L, "spark query engines compile plans into whole stage generated code")
+    ).toDF("id", "body")
+
+    val sh = TextPipeline.shingles(corpus, "id", "body", 3)
+    val pairs = TextPipeline.nearDupPairs(sh, threshold = 0.5)
+    println("near-dup pairs:")
+    pairs.orderBy("doc_a").show(false)
+
+    val clusters = TextPipeline.connectedComponents(pairs)
+    println("clusters:")
+    clusters.orderBy("doc_id").show(false)
+
+    println("quality + tokens + fingerprint:")
+    corpus.select(col("id"),
+      TextPipeline.qualityScore(col("body")).as("quality"),
+      TextPipeline.tokenCount(col("body")).as("tokens"),
+      substring(TextPipeline.winnowingFingerprint(col("body"), 5), 1, 8).as("fp8"))
+      .orderBy("id").show(false)
+
+    // vectors with custom column names
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)), (4L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vid", "vec")
+    println("top-2 neighbors per probe:")
+    VectorPipeline.topKCosine(vecs, vecs.filter(col("vid") <= 2), "vid", "vec", 2)
+      .orderBy("probe_id", "rank").show(false)
+
+    spark.stop()
+  }
+}

@@ -20,82 +20,22 @@ import graft.Tables
   */
 object Dedup {
 
-  private val Prime = 2147483647L // 2^31 - 1
-  private val NumPerms = 128
-  private val BandRows = 2 // r=2 → 64 bands
-
-  /** Fixed-seed universal-hash parameters (a odd, b nonzero). */
-  private[operators] val perms: Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(NumPerms)((rnd.nextInt(Int.MaxValue - 2).toLong * 2 + 1,
-      rnd.nextInt(Int.MaxValue - 1).toLong + 1))
-  }
-
   /** Distinct (doc_id, shingle-string) pairs — the exact-verify ground
     * set, identical to what the DuckDB oracle computes. */
   def shingleSet(spark: SparkSession, sfDir: String): DataFrame =
-    TextOps.ngrams(spark, sfDir, 3)
-      .select(col("doc_id"), col("ngram")).distinct()
+    graft.api.TextPipeline.shingles(
+      Tables.documents(spark, sfDir), "doc_id", "text", 3)
 
-  /** MinHash signatures: one row per doc, NumPerms min-hash columns.
-    * A single grouped aggregation — signature state is 128 longs per doc
-    * regardless of corpus size. */
-  def signatures(spark: SparkSession, sfDir: String): DataFrame = {
-    // nonnegative 32-bit shingle hash, widened to long for the affine perm
-    // (pmod, not (h + Prime) % Prime: the latter yields -1 for Int.MinValue)
-    val sh = shingleSet(spark, sfDir)
-      .withColumn("h", pmod(hash(col("ngram")).cast("long"), lit(Prime)))
-    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("h") + lit(b)) % Prime).as(s"m$i")
-    }
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-  }
-
-  /** LSH band buckets: (doc_id, band_idx, band_hash). */
-  def bands(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = signatures(spark, sfDir)
-    val bandCols = (0 until NumPerms / BandRows).map { bi =>
-      val rows = (0 until BandRows).map(ri => col(s"m${bi * BandRows + ri}"))
-      xxhash64((lit(bi) +: rows): _*)
-    }
-    sig.select(col("doc_id"), posexplode(array(bandCols: _*))
-      .as(Seq("band_idx", "band_hash")))
-  }
-
-  /** L2 — MinHash-LSH near-dedup: candidate pairs from shared buckets,
-    * then exact shingle-Jaccard > 0.6 verification. Output is identical
-    * to the oracle's exhaustive exact computation as long as LSH recall
-    * at the threshold is 1 (see class doc). */
-  def l2MinHashDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val b1 = bands(spark, sfDir)
-    val b2 = b1.select(col("doc_id").as("doc_b0"),
-      col("band_idx").as("bi2"), col("band_hash").as("bh2"))
-    val cands = b1.join(b2,
-        col("band_idx") === col("bi2") && col("band_hash") === col("bh2") &&
-        col("doc_id") < col("doc_b0"))
-      .select(col("doc_id").as("doc_a"), col("doc_b0").as("doc_b"))
-      .distinct()
-
-    val s = shingleSet(spark, sfDir)
-    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val sa = s.select(col("doc_id").as("da"), col("ngram"))
-    val sb = s.select(col("doc_id").as("db"), col("ngram").as("ngram_b"))
-    val inter = cands
-      .join(sa, col("doc_a") === col("da"))
-      .join(sb, col("doc_b") === col("db") && col("ngram") === col("ngram_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("inter") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") > 0.6)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  /** L2 — MinHash-LSH near-dedup (delegates to the reusable
+    * [[graft.api.TextPipeline.nearDupPairs]]): candidate pairs from
+    * shared LSH buckets, exact shingle-Jaccard > 0.6 verification.
+    * Output is identical to the oracle's exhaustive exact computation as
+    * long as LSH recall at the threshold is 1 (see class doc). */
+  def l2MinHashDedup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.TextPipeline.nearDupPairs(shingleSet(spark, sfDir))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
-  /** X1 — SimHash: 64-bit signed projection of the doc's shingle set;
+    /** X1 — SimHash: 64-bit signed projection of the doc's shingle set;
     * near-dups differ in few bits (verified in ScalaTest against the
     * planted pairs). Bit-majority is computed columnar: explode shingles,
     * sum ±1 per bit, reassemble. Emitted as the raw signature (rows-only
@@ -116,47 +56,13 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** X12 — dedup clustering: connected components over the verified
-    * near-dup pair graph, each doc labeled with its cluster representative
-    * (minimum doc_id reachable). Iterative min-label propagation: each
-    * round is one distributed join+agg, converging in O(log component
-    * diameter) rounds; lineage is truncated per round with
-    * localCheckpoint so the plan stays constant-size. This is the step a
-    * real pipeline runs after pair detection — "keep one doc per cluster". */
-  def x12DedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = l2MinHashDedup(spark, sfDir)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 15) {
-      val nbrMin = edges.join(labels, edges("b") === labels("id"))
-        .groupBy(col("a")).agg(min(col("label")).as("nbr_label"))
-      val updated = labels.join(nbrMin, labels("id") === nbrMin("a"), "left_outer")
-        .select(labels("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("new_label"))
-        .localCheckpoint(true)
-      val changed = updated.join(labels, "id")
-        .filter(col("new_label") =!= col("label")).count()
-      labels = updated.withColumnRenamed("new_label", "label")
-      converged = changed == 0
-      iter += 1
-    }
-    if (!converged) {
-      // never expected at contract scale (components are near-dup clusters
-      // of diameter ≪ 15), but do not let a truncated propagation pass
-      // silently as a correct clustering
-      System.err.println(
-        s"[x12] label propagation hit the $iter-iteration cap before converging")
-    }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+  /** X12 — dedup clustering (delegates to
+    * [[graft.api.TextPipeline.connectedComponents]]): each doc in a
+    * verified near-dup pair labeled with its cluster representative
+    * (minimum doc_id reachable) — "keep one doc per cluster". */
+  def x12DedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.TextPipeline.connectedComponents(l2MinHashDedup(spark, sfDir))
       .orderBy(col("doc_id"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l2_minhash_dedup" -> (l2MinHashDedup _),

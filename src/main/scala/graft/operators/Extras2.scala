@@ -72,7 +72,7 @@ object Extras2 {
     * of a 100 TB corpus — and portable enough to oracle. */
   def x13HashSample(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .filter(substring(md5(col("text").cast("binary")), 1, 2) <= "19")
+      .filter(graft.api.TextPipeline.hashSamplePredicate(col("text"), 26))
       .select(col("doc_id"), col("lang"),
         substring(md5(col("text").cast("binary")), 1, 2).as("bucket"))
       .orderBy(col("doc_id"))

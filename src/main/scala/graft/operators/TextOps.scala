@@ -16,16 +16,13 @@ import graft.{Det, Tables}
   */
 object TextOps {
 
-  /** (doc_id, pos, ngram) for word n-grams. Docs are guaranteed ≥10 words
-    * (FIXTURES.md), so `sequence(0, size-n)` never runs backwards. */
-  def ngramCol(n: Int): Column =
-    transform(sequence(lit(0), size(col("words")) - n),
-      i => array_join(slice(col("words"), i + 1, lit(n)), " "))
-
+  /** (doc_id, pos, ngram) for word n-grams (column logic shared with the
+    * reusable API — graft.api.TextPipeline.ngramsCol). */
   def ngrams(spark: SparkSession, sfDir: String, n: Int): DataFrame =
     Tables.documents(spark, sfDir)
-      .withColumn("words", split(col("text"), " "))
-      .select(col("doc_id"), posexplode(ngramCol(n)).as(Seq("pos", "ngram")))
+      .select(col("doc_id"),
+        posexplode(graft.api.TextPipeline.ngramsCol(col("text"), n))
+          .as(Seq("pos", "ngram")))
 
   /** DuckDB-side n-gram extraction (range join over word positions). */
   def ngramSql(n: Int): String =
@@ -98,10 +95,7 @@ object TextOps {
         size(array_distinct(col("words"))).cast("long") / col("n_words"))
       .withColumn("mean_wlen",
         length(regexp_replace(col("text"), " ", "")).cast("long") / col("n_words"))
-      .withColumn("quality", round(
-        lit(0.4) * least(col("n_words") / 50.0, lit(1.0)) +
-        lit(0.3) * col("ttr") +
-        lit(0.3) * least(col("mean_wlen") / 6.0, lit(1.0)), 6))
+      .withColumn("quality", graft.api.TextPipeline.qualityScore(col("text")))
       .select(col("doc_id"), col("n_words"), col("n_chars2"), col("ttr"),
         col("mean_wlen"), col("quality"))
       .orderBy(col("doc_id"))
@@ -111,9 +105,7 @@ object TextOps {
   def x5Tokens(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
-      .withColumn("n_tokens",
-        size(regexp_extract_all(col("text"), lit("[a-z0-9]{1,4}"), lit(0)))
-          .cast("long"))
+      .withColumn("n_tokens", graft.api.TextPipeline.tokenCount(col("text")))
       .select(col("doc_id"), col("n_words"), col("n_tokens"),
         (col("n_tokens") / col("n_words")).as("tokens_per_word"))
       .orderBy(col("doc_id"))
@@ -123,9 +115,8 @@ object TextOps {
     * with one tiny value per document (constant state at 100 TB). */
   def x6Fingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("fp", array_min(transform(ngramCol(8), g => md5(g))))
-      .select(col("doc_id"), col("fp"))
+      .select(col("doc_id"),
+        graft.api.TextPipeline.winnowingFingerprint(col("text"), 8).as("fp"))
       .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
