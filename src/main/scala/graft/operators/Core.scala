@@ -60,6 +60,23 @@ object Core {
       .orderBy(col("id"))
   }
 
+  /** S5b — ORC source/sink round-trip (rows-only: DuckDB has no ORC
+    * reader): lineitem slice written as ORC, read back, aggregated, and
+    * checked against the parquet-sourced equivalent in CoreSpec. */
+  def s5bOrc(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_s5b_${(sfDir.hashCode & 0x7fffffff).toHexString}").getAbsolutePath
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 45.0)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .write.mode("overwrite").orc(dir)
+    Tables.tune(spark).read.orc(dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        graft.Det.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** S6 — in-memory table (CREATE TABLE + INSERT VALUES analog): literal
     * rows registered as a temp view and queried through the catalog. */
   def s6InMemory(spark: SparkSession, sfDir: String): DataFrame = {
@@ -178,6 +195,7 @@ object Core {
     "s2_pushdown" -> (s2Pushdown _),
     "s3_events_scan" -> (s3EventsScan _),
     "s5_csv_json" -> (s5CsvJson _),
+    "s5b_orc" -> (s5bOrc _),
     "s6_inmemory" -> (s6InMemory _),
     "p1_projection" -> (p1Projection _),
     "p2_filter_cmp" -> (p2FilterCmp _),

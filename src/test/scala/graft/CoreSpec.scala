@@ -23,6 +23,17 @@ class CoreSpec extends SparkSpec {
     assert(rows.forall(_.getAs[String]("event_type") == "purchase"))
   }
 
+  test("s5b orc round-trip equals the parquet-sourced aggregate") {
+    import org.apache.spark.sql.functions._
+    val orc = Core.s5bOrc(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val direct = Tables.lineitem(spark, sf).filter("l_quantity > 45.0")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(orc == direct)
+  }
+
   test("s5 csv/json round-trip: both formats agree") {
     val rows = Core.s5CsvJson(spark, sf).collect()
     assert(rows.length == 3)
