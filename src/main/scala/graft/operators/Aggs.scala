@@ -120,11 +120,13 @@ object Aggs {
       .orderBy(col("o_custkey"))
 
   /** A7 — collect_set with forced ordering (collect order is
-    * nondeterministic — SURVEY §7.3#6, so always sort_array). */
+    * nondeterministic — SURVEY §7.3#6, so always sort_array). The list is
+    * emitted joined to a string: the driver's compare sorts rows by every
+    * column and raw array cells are unhashable there (round-1 failure). */
   def a7CollectSorted(spark: SparkSession, sfDir: String): DataFrame =
     Tables.eventsUs(spark, sfDir)
       .groupBy(col("user_id"))
-      .agg(sort_array(collect_set(col("event_type"))).as("types"),
+      .agg(array_join(sort_array(collect_set(col("event_type"))), "|").as("types"),
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
 
@@ -187,7 +189,7 @@ object Aggs {
        "COUNT(*) AS n_orders FROM orders GROUP BY o_custkey " +
        s"HAVING ${d.dsum("o_totalprice")} > 2000000.0 ORDER BY o_custkey"),
     "a7_collect_sorted" ->
-      ("SELECT user_id, list_sort(list(DISTINCT event_type)) AS types, " +
+      ("SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types, " +
        "COUNT(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id"),
     "a8_weighted_mean" ->
       ("SELECT event_type, " +

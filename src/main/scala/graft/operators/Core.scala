@@ -208,6 +208,7 @@ object Core {
     "o1_sort_multi" -> (o1SortMulti _),
     "o2_topk" -> (o2TopK _))
 
+  import graft.Det.{sql => d}
   val oracles: Map[String, String] = Map(
     "s1_scan" ->
       "SELECT * FROM region ORDER BY r_regionkey",
@@ -217,6 +218,20 @@ object Core {
     "s3_events_scan" ->
       ("SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value " +
        "FROM events WHERE event_type = 'purchase' ORDER BY event_id"),
+    // Round-trip oracles: the CSV/JSON one pins the literal input rows
+    // (each id seen in exactly 2 formats, score summed twice); the ORC one
+    // computes the same aggregate straight from parquet — both verify the
+    // sink+source preserved values exactly.
+    "s5_csv_json" ->
+      ("SELECT * FROM (VALUES " +
+       "(CAST(1 AS BIGINT),'alpha',CAST(2 AS BIGINT),CAST(3.0 AS DOUBLE))," +
+       "(CAST(2 AS BIGINT),'beta',CAST(2 AS BIGINT),CAST(5.0 AS DOUBLE))," +
+       "(CAST(3 AS BIGINT),'gamma',CAST(2 AS BIGINT),CAST(7.0 AS DOUBLE))) " +
+       "t(id,name,n_formats,sum_score) ORDER BY id"),
+    "s5b_orc" ->
+      (s"SELECT l_returnflag, COUNT(*) AS n, ${d.dsum("l_quantity")} AS sum_qty " +
+       "FROM lineitem WHERE l_quantity > 45.0 " +
+       "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "s6_inmemory" ->
       ("SELECT id, name, CAST(length(name) AS INT) AS name_len FROM " +
        "(VALUES (1,'ada'),(2,'grace'),(3,'edsger'),(4,'barbara')) p(id,name) " +

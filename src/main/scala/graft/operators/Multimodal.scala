@@ -26,7 +26,7 @@ object Multimodal {
       .orderBy(col("lang"), col("label"))
   }
 
-  /** X3 — language ID via corpus-trained profiles (rows-only): the top-10
+  /** X3 — language ID via corpus-trained profiles: the top-10
     * most frequent words per language form each language's profile; a doc
     * is classified to the language whose profile overlaps its word set
     * most (ties → alphabetical). Everything is DataFrame-parallel: train
@@ -99,5 +99,22 @@ object Multimodal {
        "CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,8))) AS DOUBLE) " +
        "/ COUNT(*) AS mean_dim1 " +
        "FROM documents JOIN embeddings ON doc_id = vec_id " +
-       "GROUP BY lang, label ORDER BY lang, label"))
+       "GROUP BY lang, label ORDER BY lang, label"),
+    // Same train+classify pipeline in SQL: top-10 words per language
+    // (count desc, word asc), overlap of each doc's distinct word set
+    // against every profile, argmax with the same deterministic tie-break.
+    "x3_langid" ->
+      ("WITH words AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word " +
+       "FROM documents), " +
+       "profiles AS (SELECT lang AS cand_lang, word FROM " +
+       "(SELECT lang, word, row_number() OVER " +
+       "(PARTITION BY lang ORDER BY COUNT(*) DESC, word ASC) AS rn " +
+       "FROM words GROUP BY lang, word) t WHERE rn <= 10), " +
+       "dw AS (SELECT DISTINCT doc_id, lang, word FROM words), " +
+       "ov AS (SELECT doc_id, lang, cand_lang, COUNT(*) AS overlap " +
+       "FROM dw JOIN profiles USING (word) GROUP BY doc_id, lang, cand_lang) " +
+       "SELECT doc_id, lang AS true_lang, cand_lang AS pred_lang FROM " +
+       "(SELECT doc_id, lang, cand_lang, row_number() OVER " +
+       "(PARTITION BY doc_id ORDER BY overlap DESC, cand_lang ASC) AS rn " +
+       "FROM ov) t WHERE rn = 1 ORDER BY doc_id"))
 }

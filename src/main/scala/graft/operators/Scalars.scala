@@ -76,7 +76,11 @@ object Scalars {
         element_at(col("embedding"), 64).as("last_dim"),
         array_max(col("embedding")).as("max_dim"),
         array_min(col("embedding")).as("min_dim"),
-        slice(sort_array(col("embedding")), 1, 3).as("bottom3"),
+        // bottom-3 as scalar columns, not an array: the driver's compare
+        // sorts rows by every column and array cells are unhashable there
+        element_at(sort_array(col("embedding")), 1).as("bottom1"),
+        element_at(sort_array(col("embedding")), 2).as("bottom2"),
+        element_at(sort_array(col("embedding")), 3).as("bottom3"),
         // compare in DOUBLE on both engines: a float literal here would
         // compare in float space while DuckDB promotes to double
         size(filter(col("embedding"), x => x > lit(0.0))).cast("long")
@@ -119,8 +123,9 @@ object Scalars {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("word"))
 
-  /** F8 — scalar UDFs (URL validator + cosine). No oracle: not portable
-    * SQL; covered by ScalaTest and a rows-only check. */
+  /** F8 — scalar UDFs (URL validator + cosine). The validator's regex is
+    * RE2-compatible, so the oracle re-expresses it via DuckDB
+    * regexp_full_match over the same constructed url column. */
   def f8Udf(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.Udfs
     Tables.documents(spark, sfDir)
@@ -186,7 +191,9 @@ object Scalars {
        "embedding[1] AS first_dim, embedding[64] AS last_dim, " +
        "list_aggregate(embedding, 'max') AS max_dim, " +
        "list_aggregate(embedding, 'min') AS min_dim, " +
-       "list_slice(list_sort(embedding), 1, 3) AS bottom3, " +
+       "list_sort(embedding)[1] AS bottom1, " +
+       "list_sort(embedding)[2] AS bottom2, " +
+       "list_sort(embedding)[3] AS bottom3, " +
        "CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive, " +
        "len(list_filter(embedding, x -> x > 0.29)) > 0 AS has_large " +
        "FROM embeddings ORDER BY vec_id"),
@@ -203,5 +210,12 @@ object Scalars {
     "f7_explode" ->
       ("SELECT word, COUNT(*) AS cnt FROM " +
        "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) t " +
-       "WHERE length(word) > 0 GROUP BY word ORDER BY word"))
+       "WHERE length(word) > 0 GROUP BY word ORDER BY word"),
+    "f8_udf" ->
+      ("SELECT doc_id, url, " +
+       "regexp_full_match(url, '(https?)://([A-Za-z0-9.-]+)(:[0-9]{1,5})?(/[^\\s]*)?') AS valid " +
+       "FROM (SELECT doc_id, CASE WHEN doc_id % 3 = 0 " +
+       "THEN 'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR) " +
+       "ELSE 'not a url ' || source END AS url FROM documents) t " +
+       "ORDER BY doc_id"))
 }

@@ -59,6 +59,17 @@ def main():
             f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").df()
         exp = exp[sorted(exp.columns)]
         got = got[sorted(got.columns)]
+        # Driver-faithful step: the driver sorts rows by ALL columns before
+        # hashing; array/struct cells raise "unhashable ndarray" there (the
+        # round-1 a7/f4 failures). Reproduce that locally so it dies here.
+        try:
+            exp = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+            got = got.sort_values(list(got.columns)).reset_index(drop=True)
+        except TypeError as e:
+            print(f"FAIL {name}: driver-style sort failed (array/struct "
+                  f"output column?): {e}")
+            n_fail += 1
+            continue
         if list(exp.columns) != list(got.columns):
             print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
             n_fail += 1
