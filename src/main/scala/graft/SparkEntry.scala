@@ -20,8 +20,8 @@ object SparkEntry {
     Core.queries ++ Aggs.queries ++ Joins.queries ++ SetOps.queries ++
       Windows.queries ++ Scalars.queries ++ TextOps.queries ++
       Dedup.queries ++ SimSearch.queries ++ Multimodal.queries ++
-      ScaleOps.queries ++ Extras2.queries ++ Subqueries.queries ++
-      graft.streaming.Streams.queries
+      ScaleOps.queries ++ Extras2.queries ++ Extras3.queries ++
+      Subqueries.queries ++ graft.streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,6 +29,6 @@ object SparkEntry {
     Core.oracles ++ Aggs.oracles ++ Joins.oracles ++ SetOps.oracles ++
       Windows.oracles ++ Scalars.oracles ++ TextOps.oracles ++
       Dedup.oracles ++ SimSearch.oracles ++ Multimodal.oracles ++
-      ScaleOps.oracles ++ Extras2.oracles ++ Subqueries.oracles ++
-      graft.streaming.Streams.oracles
+      ScaleOps.oracles ++ Extras2.oracles ++ Extras3.oracles ++
+      Subqueries.oracles ++ graft.streaming.Streams.oracles
 }

@@ -48,7 +48,12 @@ object TextPipeline {
     val perms = Seq.fill(numPerms)((rnd.nextInt(Int.MaxValue - 2).toLong * 2 + 1,
       rnd.nextInt(Int.MaxValue - 1).toLong + 1))
 
-    val sh = shingleSet.withColumn("h", pmod(hash(col("ngram")).cast("long"), lit(prime)))
+    // The shingle set feeds four plan branches (signatures, sizes, both
+    // sides of the exact verify); materialize it once instead of
+    // recomputing the upstream explode+distinct per branch. At cluster
+    // scale the same role is played by checkpointing to reliable storage.
+    val shingles = shingleSet.localCheckpoint(true)
+    val sh = shingles.withColumn("h", pmod(hash(col("ngram")).cast("long"), lit(prime)))
     val mins = perms.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % prime).as(s"m$i")
     }
@@ -58,8 +63,11 @@ object TextPipeline {
       val rows = (0 until bandRows).map(ri => col(s"m${bi * bandRows + ri}"))
       xxhash64((lit(bi) +: rows): _*)
     }
+    // bands self-joins below — materialize so the 128-column signature
+    // aggregation runs once, not once per join side
     val bands = sig.select(col("doc_id"), posexplode(array(bandCols: _*))
       .as(Seq("band_idx", "band_hash")))
+      .localCheckpoint(true)
     val b2 = bands.select(col("doc_id").as("doc_b0"),
       col("band_idx").as("bi2"), col("band_hash").as("bh2"))
     val cands = bands.join(b2,
@@ -68,9 +76,9 @@ object TextPipeline {
       .select(col("doc_id").as("doc_a"), col("doc_b0").as("doc_b"))
       .distinct()
 
-    val sizes = shingleSet.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val sa = shingleSet.select(col("doc_id").as("da"), col("ngram"))
-    val sb = shingleSet.select(col("doc_id").as("db"), col("ngram").as("ngram_b"))
+    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val sa = shingles.select(col("doc_id").as("da"), col("ngram"))
+    val sb = shingles.select(col("doc_id").as("db"), col("ngram").as("ngram_b"))
     cands
       .join(sa, col("doc_a") === col("da"))
       .join(sb, col("doc_b") === col("db") && col("ngram") === col("ngram_b"))
@@ -99,14 +107,15 @@ object TextPipeline {
     while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(col("a")).agg(min(col("label")).as("nbr_label"))
+      // carry old and new label in one frame: the convergence count reads
+      // the same materialized result, no extra join per round
       val updated = labels.join(nbrMin, labels("id") === nbrMin("a"), "left_outer")
-        .select(labels("id"),
+        .select(labels("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("new_label"))
         .localCheckpoint(true)
-      val changed = updated.join(labels, "id")
-        .filter(col("new_label") =!= col("label")).count()
-      labels = updated.withColumnRenamed("new_label", "label")
+      val changed = updated.filter(col("new_label") =!= col("old_label")).count()
+      labels = updated.select(col("id"), col("new_label").as("label"))
       converged = changed == 0
       iter += 1
     }

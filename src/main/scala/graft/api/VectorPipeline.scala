@@ -67,6 +67,48 @@ object VectorPipeline {
       .filter(col("rank") <= k)
   }
 
+  /** Random-hyperplane LSH top-k (SimHash for embeddings): each vector
+    * hashes to a `numPlanes`-bit bucket from the signs of seeded random
+    * projections; probes search their own bucket plus every 1-bit-flip
+    * neighbor (multi-probe) and exact-rerank only those candidates.
+    *
+    * Candidates per probe ≈ corpus × (numPlanes+1) / 2^numPlanes instead
+    * of the full corpus — the collision probability for a pair at angle θ
+    * is (1-θ/π)^numPlanes, so truly-near vectors (θ→0) collide w.h.p.
+    * while random directions almost never do. Approximate by design:
+    * recall depends on the corpus actually containing near neighbors
+    * (ScalaTest checks candidate discipline and rank correctness). */
+  def hyperplaneLshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, numPlanes: Int = 8, dims: Int = 64,
+      seed: Long = 7L): DataFrame = {
+    require(numPlanes <= 30, "bucket id is an Int")
+    val rnd = new scala.util.Random(seed)
+    val planes: Seq[Array[Float]] =
+      Seq.fill(numPlanes)(Array.fill(dims)(rnd.nextGaussian().toFloat))
+    def bucketOf(vec: Column): Column =
+      planes.zipWithIndex.map { case (pl, i) =>
+        when(DotProduct.dot(vec, typedlit(pl)) > 0d, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("ce"))
+      .withColumn("bucket", bucketOf(col("ce")))
+    // multi-probe: exact bucket + all 1-bit flips; each corpus vector
+    // lives in exactly one bucket, so candidates need no dedup
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pe"))
+      .withColumn("b0", bucketOf(col("pe")))
+      .withColumn("bucket", explode(array(
+        (col("b0") +: (0 until numPlanes).map(i =>
+          col("b0").bitwiseXOR(lit(1 << i)))): _*)))
+      .select(col("probe_id"), col("pe"), col("bucket"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    p.join(c, "bucket")
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        sim(col("pe"), col("ce")).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** All pairs with similarity at or above `threshold` (brute force —
     * the exact baseline for near-dup detection in embedding space). */
   def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String,

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{Det, Tables}
+
+/** Round-2 surface widening: string aggregation, unpivot, explicit
+  * grouping sets, distribution window functions, embedding centroids,
+  * latest-record-per-key compaction, and a hyperplane-LSH ANN variant.
+  *
+  * All scale-safe: each is a single grouped aggregation / window over a
+  * pre-partitioned key, no driver-side loops, no collects.
+  */
+object Extras3 {
+
+  /** A11 — string aggregation (listagg/string_agg): supplier names per
+    * nation, sorted inside the group so the concatenation is
+    * order-independent (collect order is nondeterministic — SURVEY
+    * §7.3#6). */
+  def a11StringAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.supplier(spark, sfDir)
+      .groupBy(col("s_nationkey"))
+      .agg(array_join(sort_array(collect_list(col("s_name"))), "|").as("names"),
+        count(lit(1)).as("n_suppliers"),
+        Det.dsum(col("s_acctbal")).as("sum_bal"))
+      .orderBy(col("s_nationkey"))
+
+  /** A12 — unpivot (wide→long): part metrics melted to (metric, val)
+    * rows via the native Dataset.unpivot (MELT) operator. */
+  def a12Unpivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("retail"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retail")),
+        "metric", "val")
+      .orderBy(col("p_partkey"), col("metric"))
+
+  /** A5c — explicit GROUPING SETS (beyond rollup/cube): revenue by
+    * (year), by (status), and the grand total — three sets that neither
+    * ROLLUP nor CUBE expresses alone. SQL surface: the DataFrame API has
+    * no grouping-sets builder. */
+  def a5cGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders_gs")
+    spark.sql(
+      "SELECT COALESCE(CAST(y AS BIGINT), -1) AS year_c, " +
+      "COALESCE(o_orderstatus, 'ALL') AS status_c, COUNT(*) AS n_orders, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+      "FROM (SELECT year(o_orderdate) AS y, o_orderstatus, o_totalprice " +
+      "FROM graft_orders_gs) " +
+      "GROUP BY GROUPING SETS ((y), (o_orderstatus), ()) " +
+      "ORDER BY year_c, status_c")
+  }
+
+  /** W8 — distribution window functions: percent_rank, cume_dist, and
+    * nth_value over customers ranked by balance within market segment.
+    * The ORDER BY carries a unique tie-break so rank positions (and the
+    * rank-derived doubles) are identical across engines. */
+  def w8Distribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        nth_value(col("c_name"), 2).over(wFull).as("runner_up"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  /** L8 — per-label embedding centroids: elementwise mean over the
+    * vector column via posexplode + grouped agg (shuffle volume =
+    * labels × dims, not rows × dims — map-side combine does the heavy
+    * lifting; the natural first step of k-means / IVF training). */
+  def l8Centroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(col("v").cast("double").cast(DecimalType(18, 8))).cast("double")
+          / count(lit(1))).as("mean_v"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        col("mean_v"), col("n_vecs"))
+      .orderBy(col("label"), col("dim"))
+
+  /** X15 — latest-record-per-key compaction (CDC/snapshot dedup): each
+    * user's most recent event via max_by over a composite (ts, event_id)
+    * order — one grouped agg, no window sort of the full table. */
+  def x15LatestByKey(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.eventsUs(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_type"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_value"),
+        max(col("ts")).as("last_ts_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** X14 — hyperplane-LSH ANN (rows-only; approximate by design): see
+    * [[graft.api.VectorPipeline.hyperplaneLshTopK]]. Multi-probe over
+    * 1-bit-flip buckets; exact rerank within candidates. */
+  def x14LshAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    graft.api.VectorPipeline.hyperplaneLshTopK(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a11_string_agg" -> (a11StringAgg _),
+    "a12_unpivot" -> (a12Unpivot _),
+    "a5c_grouping_sets" -> (a5cGroupingSets _),
+    "w8_distribution" -> (w8Distribution _),
+    "l8_centroids" -> (l8Centroids _),
+    "x15_latest_by_key" -> (x15LatestByKey _),
+    "x14_lsh_ann" -> (x14LshAnn _))
+
+  val oracles: Map[String, String] = Map(
+    "a11_string_agg" ->
+      ("SELECT s_nationkey, string_agg(s_name, '|' ORDER BY s_name) AS names, " +
+       "COUNT(*) AS n_suppliers, " +
+       "CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal " +
+       "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"),
+    "a12_unpivot" ->
+      ("SELECT p_partkey, metric, val FROM (" +
+       "SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part " +
+       "UNION ALL " +
+       "SELECT p_partkey, 'retail' AS metric, p_retailprice AS val FROM part) t " +
+       "ORDER BY p_partkey, metric"),
+    "a5c_grouping_sets" ->
+      ("SELECT COALESCE(CAST(y AS BIGINT), -1) AS year_c, " +
+       "COALESCE(o_orderstatus, 'ALL') AS status_c, COUNT(*) AS n_orders, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+       "FROM (SELECT year(o_orderdate) AS y, o_orderstatus, o_totalprice " +
+       "FROM orders) t " +
+       "GROUP BY GROUPING SETS ((y), (o_orderstatus), ()) " +
+       "ORDER BY year_c, status_c"),
+    "w8_distribution" ->
+      ("SELECT c_custkey, c_mktsegment, c_acctbal, " +
+       "round(percent_rank() OVER w, 6) AS pr, " +
+       "round(cume_dist() OVER w, 6) AS cd, " +
+       "nth_value(c_name, 2) OVER (PARTITION BY c_mktsegment " +
+       "ORDER BY c_acctbal DESC, c_custkey ASC " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS runner_up " +
+       "FROM customer " +
+       "WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) " +
+       "ORDER BY c_mktsegment, c_custkey"),
+    "l8_centroids" ->
+      ("SELECT label, d AS dim, " +
+       "CAST(SUM(CAST(CAST(embedding[d+1] AS DOUBLE) AS DECIMAL(18,8))) AS DOUBLE)" +
+       "/COUNT(*) AS mean_v, COUNT(*) AS n_vecs " +
+       "FROM embeddings CROSS JOIN " +
+       "(SELECT CAST(range AS BIGINT) AS d FROM range(0, 64)) r " +
+       "GROUP BY label, d ORDER BY label, dim"),
+    // DuckDB 1.0's arg_max has no composite-key overload, so the oracle
+    // re-expresses max_by as a window top-1 with the same tie-break
+    "x15_latest_by_key" ->
+      ("SELECT user_id, event_type AS last_type, value AS last_value, " +
+       "t AS last_ts_us, n_events FROM " +
+       "(SELECT user_id, event_type, value, epoch_us(ts) AS t, " +
+       "row_number() OVER (PARTITION BY user_id " +
+       "ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn, " +
+       "COUNT(*) OVER (PARTITION BY user_id) AS n_events FROM events) s " +
+       "WHERE rn = 1 ORDER BY user_id"))
+}

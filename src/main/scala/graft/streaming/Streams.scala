@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 
 // top-level (not object-private): Catalyst codegen instantiates these from
 // generated classes, which cannot access private nested types
@@ -83,12 +84,41 @@ object Streams {
 
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Run a streaming frame to completion into a memory sink, return it. */
-  def runToTable(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
+  /** Run a streaming frame to completion into a memory sink, return it.
+    *
+    * Shuffle partitions are dropped to 8 for the micro-batch run: each
+    * stateful operator opens one state store per shuffle partition per
+    * batch, so at local scale the per-partition store commit dominates.
+    * (On a real cluster this knob is sized to executor count; state
+    * partitioning is fixed at first checkpoint, and every contract query
+    * starts from a fresh checkpoint.) */
+  def runToTable(spark: SparkSession, df: DataFrame, mode: OutputMode,
+      partitions: Int = 8): DataFrame = {
     val name = s"graft_sink_${sinkCounter.incrementAndGet()}"
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf
+      .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    // The trailing no-data micro-batch only advances the watermark to
+    // evict state; none of the contract sinks depend on it (Complete /
+    // Update re-emit on data batches; dedup and the inner join emit
+    // eagerly). Skipping it saves a full state-store round per query.
+    // A production append-mode windowed agg would need it back on —
+    // restored in the finally block so only these replays skip it.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
+        val ps = q.recentProgress
+        System.err.println(s"[graft] $name: ${ps.length} batches, " +
+          ps.map(p => s"${p.batchId}:${p.durationMs.asScala.map { case (k, v) => s"$k=$v" }.mkString(",")}").mkString(" | "))
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
     spark.table(name)
   }
 
@@ -219,7 +249,36 @@ object Streams {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** ST8 — stream-stream inner join with an event-time bound: each click
+    * joined to the same user's purchases within the following hour.
+    * Watermarks on both sides + the time-range condition bound the join
+    * state (buffered rows expire once the watermark passes), which is
+    * what keeps this runnable on an unbounded feed. Inner-join matches
+    * emit eagerly, so the finite replay yields the full batch result. */
+  def st8StreamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val clicks = eventStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_t").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = eventStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_t").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+    // the join runs 4 state stores per shuffle partition per batch; at
+    // replay scale the store commits dominate, so keep partitions low
+    runToTable(spark, joined, OutputMode.Append(), partitions = 2)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("value").cast(Det.Money)).cast("double").as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st8_stream_stream" -> (st8StreamStreamJoin _),
     "st1_tumbling" -> (st1Tumbling _),
     "st2_sliding" -> (st2Sliding _),
     "st3_session" -> (st3Session _),
@@ -267,5 +326,15 @@ object Streams {
       ("SELECT c_mktsegment, COUNT(*) AS n_events, " +
        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
        "FROM events JOIN customer ON user_id = c_custkey " +
-       "GROUP BY c_mktsegment ORDER BY c_mktsegment"))
+       "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "st8_stream_stream" ->
+      ("SELECT cu AS user_id, COUNT(*) AS n_pairs, " +
+       "CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS sum_value FROM " +
+       "(SELECT c.cu, p.v FROM " +
+       "(SELECT user_id AS cu, epoch_us(ts) AS ct FROM events " +
+       "WHERE event_type = 'click') c JOIN " +
+       "(SELECT user_id AS pu, epoch_us(ts) AS pt, value AS v FROM events " +
+       "WHERE event_type = 'purchase') p " +
+       "ON c.cu = p.pu AND p.pt >= c.ct AND p.pt <= c.ct + 3600000000) s " +
+       "GROUP BY cu ORDER BY user_id"))
 }

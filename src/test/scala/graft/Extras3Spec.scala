@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Extras3, SimSearch}
+
+class Extras3Spec extends SparkSpec {
+
+  test("x14 hyperplane LSH: candidates are bucket-disciplined and ranked correctly") {
+    val res = Extras3.x14LshAnn(spark, sf).collect()
+    // per probe: ranks are 1..n ascending with sims non-increasing,
+    // self excluded
+    res.groupBy(_.getAs[Long]("probe_id")).foreach { case (pid, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length).toSeq, s"probe $pid ranks")
+      val sims = sorted.map(_.getAs[Double]("sim")).toSeq
+      assert(sims == sims.sorted.reverse, s"probe $pid sims not descending")
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != pid))
+    }
+    // every LSH result's sim can never exceed the brute-force best
+    val brute = SimSearch.l3TopKCosine(spark, sf).collect()
+      .filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Double]("sim")).toMap
+    res.filter(_.getAs[Long]("rank") == 1L).foreach { r =>
+      val pid = r.getAs[Long]("probe_id")
+      assert(r.getAs[Double]("sim") <= brute(pid) + 1e-9,
+        s"probe $pid: LSH top-1 beats brute force?")
+    }
+  }
+
+  test("x14 hyperplane LSH: deterministic across runs") {
+    val a = Extras3.x14LshAnn(spark, sf).collect().map(_.toString).toSeq
+    val b = Extras3.x14LshAnn(spark, sf).collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("a11 string_agg: names sorted within group, counts reconcile") {
+    val rows = Extras3.a11StringAgg(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_suppliers")).sum
+    assert(total == Tables.supplier(spark, sf).count())
+    rows.foreach { r =>
+      val names = r.getAs[String]("names").split('|').toSeq
+      assert(names == names.sorted, "names not sorted in group")
+      assert(names.length == r.getAs[Long]("n_suppliers"))
+    }
+  }
+
+  test("a12 unpivot: long form has 2 rows per part, metrics complete") {
+    val df = Extras3.a12Unpivot(spark, sf)
+    val nParts = Tables.part(spark, sf).count()
+    assert(df.count() == 2 * nParts)
+    assert(df.select("metric").distinct().collect().map(_.getString(0)).sorted
+      .toSeq == Seq("retail", "size"))
+  }
+
+  test("l8 centroids: 64 dims per label, means bounded by dim range") {
+    val rows = Extras3.l8Centroids(spark, sf).collect()
+    val byLabel = rows.groupBy(_.getAs[Int]("label"))
+    byLabel.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("dim")).sorted.toSeq == (0L to 63L).toSeq)
+    }
+    // unit vectors: every coordinate in [-1,1], so means are too
+    assert(rows.forall(r => math.abs(r.getAs[Double]("mean_v")) <= 1.0))
+  }
+
+  test("x15 latest-by-key equals window-based last record") {
+    import org.apache.spark.sql.expressions.Window
+    val viaAgg = Extras3.x15LatestByKey(spark, sf)
+      .select("user_id", "last_type", "last_value")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val viaWindow = Tables.eventsUs(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"))
+    assert(viaAgg.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaAgg).isEmpty)
+  }
+}
