@@ -32,6 +32,12 @@ object Tables {
     // LongType instead; queries treat `ts` as a BIGINT and never emit a raw
     // nanosecond timestamp (oracle compares epoch_ns(ts)).
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // TypedImperativeAggregates (MinHashAgg) run in ObjectHashAggregateExec,
+    // which falls back to sort-based aggregation after 128 distinct groups
+    // per task by default — far too conservative for a 1 KiB signature
+    // buffer (1M groups ≈ 1 GiB across a whole executor, and real corpora
+    // shard groups across many partitions anyway).
+    c.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
     spark
   }
 

@@ -44,9 +44,6 @@ object TextPipeline {
       bandRows: Int = 2, threshold: Double = 0.6,
       seed: Long = 42L): DataFrame = {
     val prime = 2147483647L
-    val rnd = new scala.util.Random(seed)
-    val perms = Seq.fill(numPerms)((rnd.nextInt(Int.MaxValue - 2).toLong * 2 + 1,
-      rnd.nextInt(Int.MaxValue - 1).toLong + 1))
 
     // The shingle set feeds four plan branches (signatures, sizes, both
     // sides of the exact verify); materialize it once instead of
@@ -54,13 +51,14 @@ object TextPipeline {
     // scale the same role is played by checkpointing to reliable storage.
     val shingles = shingleSet.localCheckpoint(true)
     val sh = shingles.withColumn("h", pmod(hash(col("ngram")).cast("long"), lit(prime)))
-    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("h") + lit(b)) % prime).as(s"m$i")
-    }
-    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    // single native aggregate instead of numPerms min() columns — see
+    // graft.functions.MinHashAgg for why (Janino blowup on wide aggs)
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhash(col("h"), numPerms, seed).as("sig"))
 
     val bandCols = (0 until numPerms / bandRows).map { bi =>
-      val rows = (0 until bandRows).map(ri => col(s"m${bi * bandRows + ri}"))
+      val rows = (0 until bandRows).map(ri =>
+        element_at(col("sig"), bi * bandRows + ri + 1))
       xxhash64((lit(bi) +: rows): _*)
     }
     // bands self-joins below — materialize so the 128-column signature
