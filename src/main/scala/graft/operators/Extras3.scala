@@ -108,7 +108,45 @@ object Extras3 {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** A14 — boolean/conditional aggregates: count_if, bool_and, bool_or,
+    * plus FILTER-style conditional sums, per order status. */
+  def a14BoolAggs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count_if(col("o_totalprice") > 200000.0).as("n_big"),
+        bool_and(col("o_totalprice") > 0.0).as("all_positive"),
+        bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+        Det.dsum(when(col("o_orderpriority") === "1-URGENT",
+          col("o_totalprice")).otherwise(0.0)).as("urgent_revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  /** F10 — bitwise function family over supplier keys. */
+  def f10Bitwise(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"),
+        (col("s_suppkey").bitwiseAND(lit(255L))).as("low8"),
+        (col("s_suppkey").bitwiseOR(lit(4096L))).as("with_flag"),
+        (col("s_suppkey").bitwiseXOR(lit(0x5aL))).as("xored"),
+        shiftleft(col("s_suppkey"), 3).as("shl3"),
+        shiftright(col("s_suppkey"), 2).as("shr2"),
+        bit_count(col("s_suppkey")).cast("long").as("popcount"))
+      .orderBy(col("s_suppkey"))
+
+  /** O8 — pagination: total order + LIMIT/OFFSET via the native
+    * Dataset.offset operator (rows 101–150 of customers by balance). */
+  def o8Offset(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      .offset(100)
+      .limit(50)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a14_bool_aggs" -> (a14BoolAggs _),
+    "f10_bitwise" -> (f10Bitwise _),
+    "o8_offset" -> (o8Offset _),
     "a11_string_agg" -> (a11StringAgg _),
     "a12_unpivot" -> (a12Unpivot _),
     "a5c_grouping_sets" -> (a5cGroupingSets _),
@@ -118,6 +156,24 @@ object Extras3 {
     "x14_lsh_ann" -> (x14LshAnn _))
 
   val oracles: Map[String, String] = Map(
+    "a14_bool_aggs" ->
+      ("SELECT o_orderstatus, " +
+       "CAST(count_if(o_totalprice > 200000.0) AS BIGINT) AS n_big, " +
+       "bool_and(o_totalprice > 0.0) AS all_positive, " +
+       "bool_or(o_orderpriority = '1-URGENT') AS any_urgent, " +
+       "CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT' " +
+       "THEN o_totalprice ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) " +
+       "AS urgent_revenue, COUNT(*) AS n " +
+       "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "f10_bitwise" ->
+      ("SELECT s_suppkey, s_suppkey & 255 AS low8, " +
+       "s_suppkey | 4096 AS with_flag, xor(s_suppkey, 90) AS xored, " +
+       "s_suppkey << 3 AS shl3, s_suppkey >> 2 AS shr2, " +
+       "CAST(bit_count(s_suppkey) AS BIGINT) AS popcount " +
+       "FROM supplier ORDER BY s_suppkey"),
+    "o8_offset" ->
+      ("SELECT c_custkey, c_name, c_acctbal FROM customer " +
+       "ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 50 OFFSET 100"),
     "a11_string_agg" ->
       ("SELECT s_nationkey, string_agg(s_name, '|' ORDER BY s_name) AS names, " +
        "COUNT(*) AS n_suppliers, " +

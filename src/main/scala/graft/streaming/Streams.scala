@@ -277,8 +277,39 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** ST9 — streaming file (parquet) sink: filtered purchases streamed to
+    * a partitioned parquet directory with checkpointing (exactly-once via
+    * the sink's transaction log), read back and aggregated. The batch
+    * read proves the committed files are complete and consistent. */
+  def st9FileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val outDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_st9_${(sfDir.hashCode & 0x7fffffff).toHexString}").getAbsolutePath
+    // fresh output per run: the file sink's log would otherwise treat the
+    // prior run's files as already-committed and skip the replay
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(outDir), true)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = eventStream(spark, sfDir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"), col("ts_us"))
+        .writeStream.format("parquet")
+        .option("path", s"$outDir/data")
+        .option("checkpointLocation", s"$outDir/chk")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    Tables.tune(spark).read.parquet(s"$outDir/data")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(Det.Money)).cast("double").as("sum_value"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st8_stream_stream" -> (st8StreamStreamJoin _),
+    "st9_file_sink" -> (st9FileSink _),
     "st1_tumbling" -> (st1Tumbling _),
     "st2_sliding" -> (st2Sliding _),
     "st3_session" -> (st3Session _),
@@ -336,5 +367,10 @@ object Streams {
        "(SELECT user_id AS pu, epoch_us(ts) AS pt, value AS v FROM events " +
        "WHERE event_type = 'purchase') p " +
        "ON c.cu = p.pu AND p.pt >= c.ct AND p.pt <= c.ct + 3600000000) s " +
-       "GROUP BY cu ORDER BY user_id"))
+       "GROUP BY cu ORDER BY user_id"),
+    "st9_file_sink" ->
+      ("SELECT COUNT(*) AS n, " +
+       "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value, " +
+       "MIN(event_id) AS min_id, MAX(event_id) AS max_id " +
+       "FROM events WHERE event_type = 'purchase'"))
 }
