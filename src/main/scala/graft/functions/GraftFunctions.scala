@@ -8,5 +8,9 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     GraftBridge.registerFunction(spark, "graft_dot",
       exprs => DotProduct(exprs(0), exprs(1)))
+    // aggregate: the analyzer wraps a bare AggregateFunction returned by
+    // a registry builder in an AggregateExpression automatically
+    GraftBridge.registerFunction(spark, "graft_minhash",
+      exprs => MinHashAgg(exprs.head, numPerms = 128, seed = 42L))
   }
 }

@@ -143,7 +143,75 @@ object Extras3 {
       .offset(100)
       .limit(50)
 
+  /** F11 — map function family: construct, merge, transform, and read
+    * map columns; every output is a scalar the oracle derives directly
+    * from `k` (map semantics checked, dialect-portable compare). */
+  def f11MapFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val parsed = Tables.eventsUs(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+    parsed
+      .withColumn("m", map_concat(
+        map(lit("k"), col("k")),
+        map(lit("k2"), col("k") * 2)))
+      .withColumn("m3", transform_values(col("m"), (_, v) => v * 3))
+      .withColumn("mf", map_filter(col("m"), (key, _) => key === "k2"))
+      .select(col("event_id"),
+        size(col("m")).cast("long").as("n_keys"),
+        element_at(col("m"), "k").as("k_val"),
+        element_at(col("m"), "k2").as("k2_val"),
+        array_join(sort_array(map_keys(col("m"))), ",").as("keys_str"),
+        aggregate(map_values(col("m")), lit(0L), (acc, v) => acc + v)
+          .as("vals_sum"),
+        element_at(col("m3"), "k2").as("k2_tripled"),
+        size(col("mf")).cast("long").as("n_filtered"))
+      .orderBy(col("event_id"))
+  }
+
+  /** F12 — array function family over document word lists. */
+  def f12ArrayFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        size(array_distinct(words)).cast("long").as("n_distinct"),
+        array_contains(words, "data").as("has_data"),
+        array_position(words, "data").as("pos_data"),
+        array_join(slice(sort_array(words), 1, 3), " ").as("sorted_first3"),
+        size(flatten(array(words, words))).cast("long").as("n_doubled"),
+        element_at(array_repeat(col("lang"), 3), 2).as("lang_mid"),
+        size(array_remove(words, element_at(words, 1))).cast("long")
+          .as("n_wo_first"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** S7b — catalog-managed table: filtered lineitem saved via
+    * saveAsTable into the session catalog (spark-warehouse parquet),
+    * read back through the catalog, and aggregated. Covers the
+    * CREATE TABLE AS / catalog-read path next to the path-based S-family. */
+  def s7bCatalogTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = "graft_cat_lineitem"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // the in-memory catalog is per-session but the warehouse directory
+    // persists; a stale location from an earlier session makes
+    // saveAsTable refuse, so clear it explicitly
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), t)
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 49.0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+      .write.mode("overwrite").saveAsTable(t)
+    spark.table(t)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f11_map_funcs" -> (f11MapFuncs _),
+    "f12_array_funcs" -> (f12ArrayFuncs _),
+    "s7b_catalog_table" -> (s7bCatalogTable _),
     "a14_bool_aggs" -> (a14BoolAggs _),
     "f10_bitwise" -> (f10Bitwise _),
     "o8_offset" -> (o8Offset _),
@@ -155,7 +223,31 @@ object Extras3 {
     "x15_latest_by_key" -> (x15LatestByKey _),
     "x14_lsh_ann" -> (x14LshAnn _))
 
+  import Det.{sql => d}
   val oracles: Map[String, String] = Map(
+    // every f11 output is a direct function of k, so the oracle computes
+    // them without needing DuckDB's (different) map dialect
+    "f11_map_funcs" ->
+      ("SELECT event_id, CAST(2 AS BIGINT) AS n_keys, k AS k_val, " +
+       "k * 2 AS k2_val, 'k,k2' AS keys_str, k * 3 AS vals_sum, " +
+       "k * 6 AS k2_tripled, CAST(1 AS BIGINT) AS n_filtered FROM " +
+       "(SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
+       "FROM events) t ORDER BY event_id"),
+    "f12_array_funcs" ->
+      ("SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, " +
+       "CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct, " +
+       "list_contains(w, 'data') AS has_data, " +
+       "CAST(COALESCE(list_position(w, 'data'), 0) AS BIGINT) AS pos_data, " +
+       "array_to_string(list_slice(list_sort(w), 1, 3), ' ') AS sorted_first3, " +
+       "CAST(len(w) * 2 AS BIGINT) AS n_doubled, " +
+       "lang AS lang_mid, " +
+       "CAST(len(list_filter(w, x -> x <> w[1])) AS BIGINT) AS n_wo_first " +
+       "FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents) t " +
+       "ORDER BY doc_id"),
+    "s7b_catalog_table" ->
+      (s"SELECT l_returnflag, COUNT(*) AS n, ${d.dsum("l_quantity")} AS sum_qty " +
+       "FROM lineitem WHERE l_quantity > 49.0 " +
+       "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "a14_bool_aggs" ->
       ("SELECT o_orderstatus, " +
        "CAST(count_if(o_totalprice > 200000.0) AS BIGINT) AS n_big, " +

@@ -63,6 +63,19 @@ class Extras3Spec extends SparkSpec {
     assert(rows.forall(r => math.abs(r.getAs[Double]("mean_v")) <= 1.0))
   }
 
+  test("graft_minhash SQL aggregate equals the DataFrame MinHashAgg path") {
+    import graft.operators.Dedup
+    functions.GraftFunctions.register(spark)
+    val sh = Dedup.shingleSet(spark, sf)
+      .withColumn("h", pmod(hash(col("ngram")).cast("long"), lit(2147483647L)))
+    sh.createOrReplaceTempView("v_shingles")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_minhash(h) AS sig FROM v_shingles GROUP BY doc_id")
+    val viaDf = sh.groupBy(col("doc_id"))
+      .agg(functions.MinHashAgg.minhash(col("h")).as("sig"))
+    assert(viaSql.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaSql).isEmpty)
+  }
+
   test("x15 latest-by-key equals window-based last record") {
     import org.apache.spark.sql.expressions.Window
     val viaAgg = Extras3.x15LatestByKey(spark, sf)
