@@ -75,11 +75,16 @@ object TextPipeline {
       .distinct()
 
     val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val sa = shingles.select(col("doc_id").as("da"), col("ngram"))
-    val sb = shingles.select(col("doc_id").as("db"), col("ngram").as("ngram_b"))
+    // exact verify joins on a 64-bit shingle hash, not the string: same
+    // intersection counts (collision odds ~n²/2⁶⁵, deterministic either
+    // way) with an 8-byte shuffle key instead of a variable-width string
+    val sa = shingles.select(col("doc_id").as("da"),
+      xxhash64(col("ngram")).as("ng_h"))
+    val sb = shingles.select(col("doc_id").as("db"),
+      xxhash64(col("ngram")).as("ng_h_b"))
     cands
       .join(sa, col("doc_a") === col("da"))
-      .join(sb, col("doc_b") === col("db") && col("ngram") === col("ngram_b"))
+      .join(sb, col("doc_b") === col("db") && col("ng_h") === col("ng_h_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")

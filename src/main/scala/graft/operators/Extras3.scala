@@ -108,6 +108,31 @@ object Extras3 {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** S9 — sorted layout write + stats-pruned read: lineitem
+    * range-partitioned and sorted by ship date, written as parquet, read
+    * back with a date filter. Because each file/row-group covers a
+    * narrow l_shipdate range, the parquet min/max stats let the scan
+    * skip almost everything outside the predicate — this layout step is
+    * what makes selective scans cheap on a 100 TB table. */
+  def s9SortedWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_s9_${(sfDir.hashCode & 0x7fffffff).toHexString}").getAbsolutePath
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        col("l_quantity"), col("l_extendedprice"))
+      .repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions(col("l_shipdate"))
+      .write.mode("overwrite").parquet(dir)
+    Tables.tune(spark).read.parquet(dir)
+      .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-09-01").cast("timestamp"))
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date").cast("string")
+        .as("ship_month"))
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("ship_month"))
+  }
+
   /** A14 — boolean/conditional aggregates: count_if, bool_and, bool_or,
     * plus FILTER-style conditional sums, per order status. */
   def a14BoolAggs(spark: SparkSession, sfDir: String): DataFrame =
@@ -209,6 +234,7 @@ object Extras3 {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s9_sorted_write" -> (s9SortedWrite _),
     "f11_map_funcs" -> (f11MapFuncs _),
     "f12_array_funcs" -> (f12ArrayFuncs _),
     "s7b_catalog_table" -> (s7bCatalogTable _),
@@ -225,6 +251,13 @@ object Extras3 {
 
   import Det.{sql => d}
   val oracles: Map[String, String] = Map(
+    "s9_sorted_write" ->
+      ("SELECT strftime(CAST(date_trunc('month', l_shipdate) AS DATE), " +
+       "'%Y-%m-%d') AS ship_month, COUNT(*) AS n, " +
+       s"${d.dsum("l_extendedprice")} AS revenue FROM lineitem " +
+       "WHERE l_shipdate >= TIMESTAMP '1997-06-01' " +
+       "AND l_shipdate < TIMESTAMP '1997-09-01' " +
+       "GROUP BY 1 ORDER BY ship_month"),
     // every f11 output is a direct function of k, so the oracle computes
     // them without needing DuckDB's (different) map dialect
     "f11_map_funcs" ->

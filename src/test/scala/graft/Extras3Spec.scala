@@ -76,6 +76,16 @@ class Extras3Spec extends SparkSpec {
     assert(viaSql.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaSql).isEmpty)
   }
 
+  test("s9 sorted write: date predicate is pushed to the parquet scan") {
+    val df = Extras3.s9SortedWrite(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(l_shipdate") ,
+      s"expected l_shipdate pushdown in:\n$plan")
+    assert(df.collect().map(_.getAs[String]("ship_month")).toSeq ==
+      Seq("1997-06-01", "1997-07-01", "1997-08-01"))
+  }
+
   test("x15 latest-by-key equals window-based last record") {
     import org.apache.spark.sql.expressions.Window
     val viaAgg = Extras3.x15LatestByKey(spark, sf)
