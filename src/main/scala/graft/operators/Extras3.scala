@@ -133,6 +133,61 @@ object Extras3 {
       .orderBy(col("ship_month"))
   }
 
+  /** F13 — JSON construction round-trip: struct → to_json → from_json →
+    * field access. Each output is a scalar the oracle derives from the
+    * source columns, so cross-engine JSON text formatting never appears
+    * in the compared result. */
+  def f13JsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sk",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bal",
+        org.apache.spark.sql.types.DoubleType)))
+    Tables.supplier(spark, sfDir)
+      .withColumn("j", to_json(struct(col("s_suppkey").as("sk"),
+        col("s_acctbal").as("bal"))))
+      .withColumn("back", from_json(col("j"), schema))
+      .select(col("s_suppkey"),
+        col("back.sk").as("sk_back"),
+        col("back.bal").as("bal_back"),
+        get_json_object(col("j"), "$.sk").cast("long").as("sk_path"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** F14 — null-handling family: nullif, nvl/nvl2, coalesce chain, and
+    * null-safe equality (<=>), exercised through an outer join that
+    * actually synthesizes nulls. */
+  def f14NullFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val bigOrders = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 500000.0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big"))
+    cust.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"),
+        coalesce(col("n_big"), lit(0L)).as("n_big_c"),
+        nvl2(col("n_big"), lit("whale"), lit("regular")).as("tier"),
+        nullif(col("c_nationkey"), lit(0)).as("nation_nz"),
+        (col("n_big") <=> lit(null)).as("no_big"),
+        nanvl(col("c_acctbal") / when(col("c_acctbal") =!= 0.0,
+          col("c_acctbal")).otherwise(lit(0.0)), lit(-1.0)).as("unit_or_flag"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** A15 — approximate percentiles (sketch family, like A4's HLL): no
+    * oracle — DuckDB's approximation differs — but the exact percentile
+    * runs alongside and the spec bounds the error. */
+  def a15ApproxPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("p50_approx"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** A14 — boolean/conditional aggregates: count_if, bool_and, bool_or,
     * plus FILTER-style conditional sums, per order status. */
   def a14BoolAggs(spark: SparkSession, sfDir: String): DataFrame =
@@ -234,6 +289,9 @@ object Extras3 {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f13_json_roundtrip" -> (f13JsonRoundtrip _),
+    "f14_null_funcs" -> (f14NullFuncs _),
+    "a15_approx_percentile" -> (a15ApproxPercentile _),
     "s9_sorted_write" -> (s9SortedWrite _),
     "f11_map_funcs" -> (f11MapFuncs _),
     "f12_array_funcs" -> (f12ArrayFuncs _),
@@ -251,6 +309,22 @@ object Extras3 {
 
   import Det.{sql => d}
   val oracles: Map[String, String] = Map(
+    // to_json doubles use shortest round-trip representation, so the
+    // parsed-back values equal the source columns exactly
+    "f13_json_roundtrip" ->
+      ("SELECT s_suppkey, s_suppkey AS sk_back, s_acctbal AS bal_back, " +
+       "s_suppkey AS sk_path FROM supplier ORDER BY s_suppkey"),
+    "f14_null_funcs" ->
+      ("SELECT c_custkey, COALESCE(n_big, 0) AS n_big_c, " +
+       "CASE WHEN n_big IS NOT NULL THEN 'whale' ELSE 'regular' END AS tier, " +
+       "NULLIF(c_nationkey, 0) AS nation_nz, " +
+       "n_big IS NULL AS no_big, " +
+       "CAST(CASE WHEN c_acctbal = 0.0 THEN -1.0 ELSE 1.0 END AS DOUBLE) " +
+       "AS unit_or_flag " +
+       "FROM customer LEFT JOIN " +
+       "(SELECT o_custkey, COUNT(*) AS n_big FROM orders " +
+       "WHERE o_totalprice > 500000.0 GROUP BY o_custkey) b " +
+       "ON c_custkey = o_custkey ORDER BY c_custkey"),
     "s9_sorted_write" ->
       ("SELECT strftime(CAST(date_trunc('month', l_shipdate) AS DATE), " +
        "'%Y-%m-%d') AS ship_month, COUNT(*) AS n, " +

@@ -86,6 +86,14 @@ class Extras3Spec extends SparkSpec {
       Seq("1997-06-01", "1997-07-01", "1997-08-01"))
   }
 
+  test("a15 approx percentile within 1% of exact") {
+    Extras3.a15ApproxPercentile(spark, sf).collect().foreach { r =>
+      val ap = r.getAs[Double]("p50_approx")
+      val ex = r.getAs[Double]("p50_exact")
+      assert(math.abs(ap - ex) / ex < 0.01, s"approx $ap vs exact $ex")
+    }
+  }
+
   test("x15 latest-by-key equals window-based last record") {
     import org.apache.spark.sql.expressions.Window
     val viaAgg = Extras3.x15LatestByKey(spark, sf)
