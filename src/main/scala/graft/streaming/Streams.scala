@@ -307,9 +307,39 @@ object Streams {
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
   }
 
+  /** ST10 — foreachBatch sink: per-micro-batch custom write logic (the
+    * escape hatch for sinks Spark lacks — JDBC upserts, multi-table
+    * fan-out). Each batch appends to a parquet dir tagged with its batch
+    * id; the read-back aggregate equals the batch computation. */
+  def st10ForeachBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_st10_${(sfDir.hashCode & 0x7fffffff).toHexString}").getAbsolutePath
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = eventStream(spark, sfDir)
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(dir)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    Tables.tune(spark).read.parquet(dir)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_id")).as("n_distinct"),
+        sum(col("value").cast(Det.Money)).cast("double").as("sum_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st8_stream_stream" -> (st8StreamStreamJoin _),
     "st9_file_sink" -> (st9FileSink _),
+    "st10_foreach_batch" -> (st10ForeachBatch _),
     "st1_tumbling" -> (st1Tumbling _),
     "st2_sliding" -> (st2Sliding _),
     "st3_session" -> (st3Session _),
@@ -372,5 +402,9 @@ object Streams {
       ("SELECT COUNT(*) AS n, " +
        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value, " +
        "MIN(event_id) AS min_id, MAX(event_id) AS max_id " +
-       "FROM events WHERE event_type = 'purchase'"))
+       "FROM events WHERE event_type = 'purchase'"),
+    "st10_foreach_batch" ->
+      ("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_distinct, " +
+       "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+       "FROM events WHERE event_type = 'error'"))
 }
