@@ -47,9 +47,13 @@ object TextPipeline {
 
     // The shingle set feeds four plan branches (signatures, sizes, both
     // sides of the exact verify); materialize it once instead of
-    // recomputing the upstream explode+distinct per branch. At cluster
-    // scale the same role is played by checkpointing to reliable storage.
-    val shingles = shingleSet.localCheckpoint(true)
+    // recomputing the upstream explode+distinct per branch — unless the
+    // caller already handed us a checkpointed frame. At cluster scale
+    // the same role is played by checkpointing to reliable storage.
+    val shingles = shingleSet.queryExecution.logical match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => shingleSet
+      case _ => shingleSet.localCheckpoint(true)
+    }
     val sh = shingles.withColumn("h", pmod(hash(col("ngram")).cast("long"), lit(prime)))
     // single native aggregate instead of numPerms min() columns — see
     // graft.functions.MinHashAgg for why (Janino blowup on wide aggs)

@@ -21,10 +21,22 @@ import graft.Tables
 object Dedup {
 
   /** Distinct (doc_id, shingle-string) pairs — the exact-verify ground
-    * set, identical to what the DuckDB oracle computes. */
+    * set, identical to what the DuckDB oracle computes.
+    *
+    * Memoized per (session, corpus) as an eager localCheckpoint: three
+    * contract queries (L2, X1, X12) start from the same shingle
+    * explode+distinct, and a deterministic materialization shared within
+    * the session is exactly the "reuse a partitioning across stages"
+    * play a 100 TB pipeline would make (there it would be a persisted
+    * intermediate table). */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def shingleSet(spark: SparkSession, sfDir: String): DataFrame =
-    graft.api.TextPipeline.shingles(
-      Tables.documents(spark, sfDir), "doc_id", "text", 3)
+    shingleCache.computeIfAbsent((spark, sfDir), _ =>
+      graft.api.TextPipeline.shingles(
+        Tables.documents(spark, sfDir), "doc_id", "text", 3)
+        .localCheckpoint(true))
 
   /** L2 — MinHash-LSH near-dedup (delegates to the reusable
     * [[graft.api.TextPipeline.nearDupPairs]]): candidate pairs from
