@@ -86,14 +86,14 @@ object Streams {
 
   /** Run a streaming frame to completion into a memory sink, return it.
     *
-    * Shuffle partitions are dropped to 8 for the micro-batch run: each
+    * Shuffle partitions are dropped to 4 for the micro-batch run: each
     * stateful operator opens one state store per shuffle partition per
     * batch, so at local scale the per-partition store commit dominates.
     * (On a real cluster this knob is sized to executor count; state
     * partitioning is fixed at first checkpoint, and every contract query
     * starts from a fresh checkpoint.) */
   def runToTable(spark: SparkSession, df: DataFrame, mode: OutputMode,
-      partitions: Int = 8): DataFrame = {
+      partitions: Int = 4): DataFrame = {
     val name = s"graft_sink_${sinkCounter.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf
