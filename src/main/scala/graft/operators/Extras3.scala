@@ -188,6 +188,28 @@ object Extras3 {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** J12 — optimizer-banded range join: clicks × errors within the
+    * following minute, written as the NAIVE pure range join (no equi
+    * key). Without [[graft.plans.BandedRangeJoinRule]] Catalyst can only
+    * nested-loop this; with the rule installed the optimizer rewrites it
+    * to a banded equi-join (checked by Extras3Spec). Same declarative
+    * query, cluster-viable plan. */
+  def j12RangeJoinAuto(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(spark)
+    val ev = Tables.eventsUs(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("id_a"), col("ts").as("ts_a"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("id_b"), col("ts").as("ts_b"))
+    clicks.join(errors,
+        col("ts_b") >= col("ts_a") &&
+        col("ts_b") <= col("ts_a") + lit(60000000L), "inner")
+      .groupBy(col("id_a"))
+      .agg(count(lit(1)).as("n_errors"),
+        min(col("ts_b") - col("ts_a")).as("min_gap_us"))
+      .orderBy(col("id_a"))
+  }
+
   /** A14 — boolean/conditional aggregates: count_if, bool_and, bool_or,
     * plus FILTER-style conditional sums, per order status. */
   def a14BoolAggs(spark: SparkSession, sfDir: String): DataFrame =
@@ -289,6 +311,7 @@ object Extras3 {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j12_range_join_auto" -> (j12RangeJoinAuto _),
     "f13_json_roundtrip" -> (f13JsonRoundtrip _),
     "f14_null_funcs" -> (f14NullFuncs _),
     "a15_approx_percentile" -> (a15ApproxPercentile _),
@@ -309,6 +332,14 @@ object Extras3 {
 
   import Det.{sql => d}
   val oracles: Map[String, String] = Map(
+    "j12_range_join_auto" ->
+      ("SELECT id_a, COUNT(*) AS n_errors, MIN(tb - ta) AS min_gap_us FROM " +
+       "(SELECT event_id AS id_a, epoch_us(ts) AS ta FROM events " +
+       "WHERE event_type = 'click') a JOIN " +
+       "(SELECT event_id AS id_b, epoch_us(ts) AS tb FROM events " +
+       "WHERE event_type = 'error') b " +
+       "ON tb >= ta AND tb <= ta + 60000000 " +
+       "GROUP BY id_a ORDER BY id_a"),
     // to_json doubles use shortest round-trip representation, so the
     // parsed-back values equal the source columns exactly
     "f13_json_roundtrip" ->

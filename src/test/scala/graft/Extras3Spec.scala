@@ -86,6 +86,33 @@ class Extras3Spec extends SparkSpec {
       Seq("1997-06-01", "1997-07-01", "1997-08-01"))
   }
 
+  test("j12: BandedRangeJoinRule replaces the nested-loop join with a banded equi-join") {
+    val df = Extras3.j12RangeJoinAuto(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join not banded:\n$plan")
+    assert(plan.contains("__graft_band"), s"band columns missing:\n$plan")
+    // same result as the un-rewritten nested-loop join
+    val ev = Tables.eventsUs(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("id_a"), col("ts").as("ts_a"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("id_b"), col("ts").as("ts_b"))
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Nil
+    val naive =
+      try clicks.join(errors,
+          col("ts_b") >= col("ts_a") &&
+          col("ts_b") <= col("ts_a") + lit(60000000L), "inner")
+        .groupBy(col("id_a"))
+        .agg(count(lit(1)).as("n_errors"),
+          min(col("ts_b") - col("ts_a")).as("min_gap_us"))
+        .collect().map(_.toString).sorted.toSeq
+      finally spark.experimental.extraOptimizations = prev
+    assert(df.collect().map(_.toString).sorted.toSeq == naive)
+  }
+
   test("a15 approx percentile within 1% of exact") {
     Extras3.a15ApproxPercentile(spark, sf).collect().foreach { r =>
       val ap = r.getAs[Double]("p50_approx")
