@@ -44,6 +44,13 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     tune(spark).read.parquet(s"$sfDir/$name.parquet")
 
+  /** Deterministic per-(purpose, corpus) scratch directory under the JVM
+    * tmpdir — the single spelling for every sink round-trip operator. */
+  def scratchDir(tag: String, sfDir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${tag}_${(sfDir.hashCode & 0x7fffffff).toHexString}")
+      .getAbsolutePath
+
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

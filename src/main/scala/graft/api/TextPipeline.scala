@@ -5,9 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Reusable, corpus-agnostic text-pipeline operators: the public library
   * surface (the contract queries in graft.operators are thin bindings of
-  * these to the test corpus). Every function takes caller-supplied
-  * frames/columns and returns a declarative plan — no collects, no
-  * table-name assumptions, safe to point at any corpus size.
+  * these to the test corpus). Functions take caller-supplied
+  * frames/columns, make no table-name assumptions, and never collect to
+  * the driver. Note: [[nearDupPairs]] and [[connectedComponents]]
+  * EAGERLY materialize their reused intermediates via localCheckpoint at
+  * call time (batch inputs only) — multi-branch reuse and iterative
+  * lineage truncation require it; on a cluster substitute reliable
+  * checkpointing / a persisted intermediate table.
   */
 object TextPipeline {
 

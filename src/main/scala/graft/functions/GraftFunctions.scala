@@ -10,7 +10,10 @@ object GraftFunctions {
       exprs => DotProduct(exprs(0), exprs(1)))
     // aggregate: the analyzer wraps a bare AggregateFunction returned by
     // a registry builder in an AggregateExpression automatically
-    GraftBridge.registerFunction(spark, "graft_minhash",
-      exprs => MinHashAgg(exprs.head, numPerms = 128, seed = 42L))
+    GraftBridge.registerFunction(spark, "graft_minhash", { exprs =>
+      require(exprs.length == 1,
+        s"graft_minhash expects exactly 1 argument, got ${exprs.length}")
+      MinHashAgg(exprs.head, numPerms = 128, seed = 42L)
+    })
   }
 }

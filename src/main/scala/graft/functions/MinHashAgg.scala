@@ -46,7 +46,9 @@ case class MinHashAgg(
   }
 
   override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
+  // a group whose inputs are all null never updates the buffer; eval
+  // returns null then (matching what per-column min() would produce)
+  override def nullable: Boolean = child.nullable
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def createAggregationBuffer(): Array[Long] =
@@ -73,7 +75,11 @@ case class MinHashAgg(
     a
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+  override def eval(buf: Array[Long]): Any =
+    // untouched buffer ⇒ no non-null input reached this group: any real
+    // update writes (a*h+b) % prime < 2^31, far below the sentinel
+    if (numPerms > 0 && buf(0) == Long.MaxValue) null
+    else new GenericArrayData(buf.clone())
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(numPerms * 8)

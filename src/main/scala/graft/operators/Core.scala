@@ -64,8 +64,7 @@ object Core {
     * reader): lineitem slice written as ORC, read back, aggregated, and
     * checked against the parquet-sourced equivalent in CoreSpec. */
   def s5bOrc(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_s5b_${(sfDir.hashCode & 0x7fffffff).toHexString}").getAbsolutePath
+    val dir = Tables.scratchDir("s5b", sfDir)
     Tables.lineitem(spark, sfDir)
       .filter(col("l_quantity") > 45.0)
       .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))

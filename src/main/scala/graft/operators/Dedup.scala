@@ -29,14 +29,26 @@ object Dedup {
     * the session is exactly the "reuse a partitioning across stages"
     * play a 100 TB pipeline would make (there it would be a persisted
     * intermediate table). */
+  // weak on the session so a stopped SparkSession (and the checkpointed
+  // blocks only it can read) can be collected instead of pinned forever
   private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
-  def shingleSet(spark: SparkSession, sfDir: String): DataFrame =
-    shingleCache.computeIfAbsent((spark, sfDir), _ =>
+  def shingleSet(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSession = shingleCache.synchronized {
+      var m = shingleCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        shingleCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(sfDir, _ =>
       graft.api.TextPipeline.shingles(
         Tables.documents(spark, sfDir), "doc_id", "text", 3)
         .localCheckpoint(true))
+  }
 
   /** L2 — MinHash-LSH near-dedup (delegates to the reusable
     * [[graft.api.TextPipeline.nearDupPairs]]): candidate pairs from

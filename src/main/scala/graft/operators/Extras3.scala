@@ -115,8 +115,7 @@ object Extras3 {
     * skip almost everything outside the predicate — this layout step is
     * what makes selective scans cheap on a 100 TB table. */
   def s9SortedWrite(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_s9_${(sfDir.hashCode & 0x7fffffff).toHexString}").getAbsolutePath
+    val dir = Tables.scratchDir("s9", sfDir)
     Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
         col("l_quantity"), col("l_extendedprice"))

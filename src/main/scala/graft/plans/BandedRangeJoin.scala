@@ -117,9 +117,11 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           val w = Literal(c, LongType)
           val bandL = Alias(floorDiv(aExpr, w), s"${BandPrefix}_l")()
           val newLeft = Project(left.output :+ bandL, left)
-          val bandROut = AttributeReference(s"${BandPrefix}_r", LongType,
-            nullable = false)()
           val bDiv = floorDiv(bExpr, w)
+          // a null b-side value bands to null (joins nothing) — declare
+          // the attribute's nullability accordingly
+          val bandROut = AttributeReference(s"${BandPrefix}_r", LongType,
+            nullable = bDiv.nullable)()
           val gen = Generate(
             Explode(CreateArray(Seq(bDiv, Subtract(bDiv, Literal(1L))))),
             unrequiredChildIndex = Nil, outer = false, qualifier = None,

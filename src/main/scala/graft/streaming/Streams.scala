@@ -282,8 +282,7 @@ object Streams {
     * the sink's transaction log), read back and aggregated. The batch
     * read proves the committed files are complete and consistent. */
   def st9FileSink(spark: SparkSession, sfDir: String): DataFrame = {
-    val outDir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_st9_${(sfDir.hashCode & 0x7fffffff).toHexString}").getAbsolutePath
+    val outDir = Tables.scratchDir("st9", sfDir)
     // fresh output per run: the file sink's log would otherwise treat the
     // prior run's files as already-committed and skip the replay
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -312,8 +311,7 @@ object Streams {
     * fan-out). Each batch appends to a parquet dir tagged with its batch
     * id; the read-back aggregate equals the batch computation. */
   def st10ForeachBatch(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_st10_${(sfDir.hashCode & 0x7fffffff).toHexString}").getAbsolutePath
+    val dir = Tables.scratchDir("st10", sfDir)
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(dir), true)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -65,7 +65,9 @@ def main():
         try:
             exp = exp.sort_values(list(exp.columns)).reset_index(drop=True)
             got = got.sort_values(list(got.columns)).reset_index(drop=True)
-        except TypeError as e:
+        except (TypeError, ValueError) as e:
+            # TypeError for multi-column lexsort over array cells,
+            # ValueError for the single-column case
             print(f"FAIL {name}: driver-style sort failed (array/struct "
                   f"output column?): {e}")
             n_fail += 1
