@@ -98,6 +98,29 @@ object Extras3 {
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
 
+  /** W9 — batch sessionization: the lag + running-sum session-id
+    * assignment (gap > 30 min starts a new session), the batch twin of
+    * the streaming session_window (ST3) — one shuffle on user_id, two
+    * window passes, then a grouped agg. Output matches ST3's exactly
+    * (session end = last event + gap). */
+  def w9BatchSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val gapUs = 1800000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.eventsUs(spark, sfDir)
+      .withColumn("new_sess",
+        when(col("ts") - lag(col("ts"), 1).over(w) > gapUs ||
+          lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("sess_start_us"),
+        (max(col("ts")) + gapUs).as("sess_end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sess_start_us"), col("sess_end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("sess_start_us"))
+  }
+
   /** X14 — hyperplane-LSH ANN (rows-only; approximate by design): see
     * [[graft.api.VectorPipeline.hyperplaneLshTopK]]. Multi-probe over
     * 1-bit-flip buckets; exact rerank within candidates. */
@@ -311,6 +334,7 @@ object Extras3 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j12_range_join_auto" -> (j12RangeJoinAuto _),
+    "w9_batch_sessionize" -> (w9BatchSessionize _),
     "f13_json_roundtrip" -> (f13JsonRoundtrip _),
     "f14_null_funcs" -> (f14NullFuncs _),
     "a15_approx_percentile" -> (a15ApproxPercentile _),
@@ -331,6 +355,20 @@ object Extras3 {
 
   import Det.{sql => d}
   val oracles: Map[String, String] = Map(
+    // same SQL as the streaming session-window oracle (ST3): batch and
+    // stream must agree on the session decomposition
+    "w9_batch_sessionize" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +
+       "flagged AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER " +
+       "(PARTITION BY user_id ORDER BY t) > 1800000000 " +
+       "OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL " +
+       "THEN 1 ELSE 0 END AS new_sess FROM e), " +
+       "sess AS (SELECT user_id, t, SUM(new_sess) OVER " +
+       "(PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING " +
+       "AND CURRENT ROW) AS sid FROM flagged) " +
+       "SELECT user_id, MIN(t) AS sess_start_us, " +
+       "MAX(t) + 1800000000 AS sess_end_us, COUNT(*) AS n_events " +
+       "FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start_us"),
     "j12_range_join_auto" ->
       ("SELECT id_a, COUNT(*) AS n_errors, MIN(tb - ta) AS min_gap_us FROM " +
        "(SELECT event_id AS id_a, epoch_us(ts) AS ta FROM events " +
