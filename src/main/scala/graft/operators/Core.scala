@@ -43,8 +43,8 @@ object Core {
     * repeated bench/verify rounds don't accumulate orphaned temp dirs. */
   def s5CsvJson(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_s5").getAbsolutePath
+    // per-corpus scratch: two JVMs on different SFs must not share a dir
+    val base = Tables.scratchDir("s5", sfDir)
     val df = Seq((1L, "alpha", 1.5), (2L, "beta", 2.5), (3L, "gamma", 3.5))
       .toDF("id", "name", "score")
     df.write.mode("overwrite").option("header", "true").csv(s"$base/csv")

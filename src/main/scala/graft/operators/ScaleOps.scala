@@ -50,7 +50,9 @@ object ScaleOps {
         s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
       if (loc.exists()) {
         def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
+          // listFiles returns null (not empty) on I/O or permission error
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
           f.delete()
         }
         rm(loc)

@@ -24,12 +24,16 @@ object TextOps {
         posexplode(graft.api.TextPipeline.ngramsCol(col("text"), n))
           .as(Seq("pos", "ngram")))
 
-  /** DuckDB-side n-gram extraction (range join over word positions). */
+  /** DuckDB-side n-gram extraction (range join over word positions).
+    * The position spine must cover the longest document (fixture max is
+    * 99 words); 1024 leaves 10× headroom so a corpus regeneration with
+    * longer docs cannot silently truncate the oracle while the Spark
+    * side (uncapped ngramsCol) keeps all positions. */
   def ngramSql(n: Int): String =
     "SELECT doc_id, CAST(g AS BIGINT) AS pos, " +
     s"array_to_string(list_slice(words, g + 1, g + $n), ' ') AS ngram FROM " +
     "(SELECT doc_id, string_split(text, ' ') AS words FROM documents) w, " +
-    s"range(0, 99) r(g) WHERE g <= len(words) - $n"
+    s"range(0, 1024) r(g) WHERE g <= len(words) - $n"
 
   /** L1 — exact dedup proved by construction: the corpus has zero exact
     * duplicate texts, so doubling it and deduplicating on text yields
@@ -117,6 +121,10 @@ object TextOps {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         graft.api.TextPipeline.winnowingFingerprint(col("text"), 8).as("fp"))
+      // a doc shorter than the 8-word window has no fingerprint; drop it
+      // like the oracle's GROUP BY over exploded n-grams does (fixture
+      // min is 10 words, so this is future-corpus armor, not behavior)
+      .filter(col("fp").isNotNull)
       .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

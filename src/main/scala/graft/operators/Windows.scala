@@ -43,7 +43,11 @@ object Windows {
     import spark.implicits._
     val o = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_totalprice"))
-    val n = o.count() // O(1) driver scalar, not data movement
+    // cost honesty: count() is one scan job and zipWithIndex runs an
+    // internal size pass that re-executes the sort before the real pass
+    // — three executions at this size is fine; at cluster scale persist
+    // the sorted frame (or take n from a pre-computed stat) first
+    val n = o.count()
     val ranked = o.orderBy(col("o_totalprice"), col("o_orderkey"))
       .rdd.zipWithIndex() // preserves range-partitioned sort order
       .map { case (r, i) => (r.getLong(0), i + 1) }
@@ -53,10 +57,12 @@ object Windows {
     val q = n / k
     val m = n % k
     val t = (q + 1) * m // rows in the oversized buckets
+    // percent_rank of a single-row partition is 0.0, not 0/0
+    val pr = if (n > 1) (col("rn") - 1) / (n - 1).toDouble else lit(0.0)
     ranked.select(col("o_orderkey"),
         when(col("rn") <= t, expr(s"(rn - 1) div ${q + 1} + 1"))
           .otherwise(expr(s"$m + (rn - $t - 1) div $q + 1")).as("quartile"),
-        ((col("rn") - 1) / (n - 1).toDouble).as("pr"),
+        pr.as("pr"),
         (col("rn") / n.toDouble).as("cd"))
       .orderBy(col("o_orderkey"))
   }

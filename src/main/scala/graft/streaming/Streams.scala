@@ -62,13 +62,17 @@ object Streams {
     * repeated replays reuse it instead of leaking one staged copy of
     * events.parquet per streaming query per run. */
   private def stage(sfDir: String, copies: Int): String = {
-    val dir = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_stream_${(sfDir.hashCode & 0x7fffffff).toHexString}_$copies")
+    val dir = Paths.get(Tables.scratchDir(s"stream$copies", sfDir))
     Files.createDirectories(dir)
     val src = Paths.get(s"$sfDir/events.parquet")
+    val srcSize = Files.size(src)
     (0 until copies).foreach { i =>
-      Files.copy(src, dir.resolve(s"events_$i.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+      val dst = dir.resolve(s"events_$i.parquet")
+      // copy only when missing or stale — ~10 streaming queries share
+      // this staging and the source never changes within a run
+      if (!Files.exists(dst) || Files.size(dst) != srcSize) {
+        Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+      }
     }
     dir.toString
   }
@@ -83,6 +87,15 @@ object Streams {
   }
 
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drop every memory-sink table this object registered. Each replay
+    * registers a fresh graft_sink_N temp view holding its full result in
+    * driver memory; a long-lived session that runs many replays should
+    * call this once downstream consumers are done with the frames. */
+  def dropSinks(spark: SparkSession): Unit =
+    (1 to sinkCounter.get()).foreach { i =>
+      spark.catalog.dropTempView(s"graft_sink_$i")
+    }
 
   /** Run a streaming frame to completion into a memory sink, return it.
     *
