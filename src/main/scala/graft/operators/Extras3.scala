@@ -232,6 +232,21 @@ object Extras3 {
       .orderBy(col("id_a"))
   }
 
+  /** F15 — string family #2: reverse / repeat / split_part / right /
+    * starts_with / ends_with / translate (initcap omitted — no DuckDB
+    * counterpart to oracle against). */
+  def f15String2(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        reverse(col("p_name")).as("rev_name"),
+        expr("repeat(p_brand, 2)").as("brand_x2"),
+        expr("split_part(p_type, ' ', 1)").as("type_head"),
+        expr("right(p_name, 4)").as("name_tail4"),
+        col("p_name").startsWith("a").as("starts_a"),
+        col("p_type").endsWith("STEEL").as("ends_steel"),
+        translate(col("p_brand"), "#123456789", "N---------").as("brand_shape"))
+      .orderBy(col("p_partkey"))
+
   /** A14 — boolean/conditional aggregates: count_if, bool_and, bool_or,
     * plus FILTER-style conditional sums, per order status. */
   def a14BoolAggs(spark: SparkSession, sfDir: String): DataFrame =
@@ -335,6 +350,7 @@ object Extras3 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j12_range_join_auto" -> (j12RangeJoinAuto _),
     "w9_batch_sessionize" -> (w9BatchSessionize _),
+    "f15_string2" -> (f15String2 _),
     "f13_json_roundtrip" -> (f13JsonRoundtrip _),
     "f14_null_funcs" -> (f14NullFuncs _),
     "a15_approx_percentile" -> (a15ApproxPercentile _),
@@ -355,6 +371,15 @@ object Extras3 {
 
   import Det.{sql => d}
   val oracles: Map[String, String] = Map(
+    "f15_string2" ->
+      ("SELECT p_partkey, reverse(p_name) AS rev_name, " +
+       "repeat(p_brand, 2) AS brand_x2, " +
+       "split_part(p_type, ' ', 1) AS type_head, " +
+       "right(p_name, 4) AS name_tail4, " +
+       "starts_with(p_name, 'a') AS starts_a, " +
+       "ends_with(p_type, 'STEEL') AS ends_steel, " +
+       "translate(p_brand, '#123456789', 'N---------') AS brand_shape " +
+       "FROM part ORDER BY p_partkey"),
     // same SQL as the streaming session-window oracle (ST3): batch and
     // stream must agree on the session decomposition
     "w9_batch_sessionize" ->
