@@ -59,10 +59,11 @@ object Multimodal {
   /** X7 — binary ("image") column plumbing: bytes + typed metadata +
     * batched per-partition decode. The decode itself is a STUB — no
     * imaging libraries ship in this container — producing a deterministic
-    * fake feature from the bytes; the Spark-side contract (binary column,
-    * metadata struct, mapPartitions batch shape, output schema) is real.
-    * At scale the iterator-per-partition shape is exactly where a native
-    * decoder (JNI/Python worker) slots in. */
+    * fake feature from the MD5 of the bytes (so the oracle can recompute
+    * it); the Spark-side contract (binary column, metadata struct,
+    * mapPartitions batch shape, output schema) is real. At scale the
+    * iterator-per-partition shape is exactly where a native decoder
+    * (JNI/Python worker) slots in. */
   def x7BinaryDecode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val withBytes = Tables.documents(spark, sfDir)
@@ -74,15 +75,21 @@ object Multimodal {
       .as[(Long, Array[Byte], Long)]
       .mapPartitions { it =>
         // STUB decoder: stands in for image/audio decode (no codec libs in
-        // this container). Deterministic per payload; batch-per-partition.
+        // this container). Deterministic per payload — derived from the
+        // MD5 of the bytes so the DuckDB oracle can recompute it —
+        // with the per-partition iterator shape a real decoder needs
+        // (one MessageDigest per partition, reused per record).
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, bytes, blen) =>
-          val checksum = bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) & 0xffffffffL)
-          val fakeWidth = (checksum % 640 + 1).toInt
-          val fakeHeight = (checksum % 480 + 1).toInt
-          (id, blen, fakeWidth, fakeHeight, checksum)
+          md.reset()
+          val hex = md.digest(bytes).map("%02x".format(_)).mkString
+          val a = hex(0).toInt; val b = hex(1).toInt; val c = hex(2).toInt
+          val fakeWidth = ((a * 31 + b) % 640 + 1).toLong
+          val fakeHeight = ((b * 31 + c) % 480 + 1).toLong
+          (id, blen, fakeWidth, fakeHeight, hex)
         }
       }
-      .toDF("doc_id", "byte_len", "width", "height", "checksum")
+      .toDF("doc_id", "byte_len", "width", "height", "digest")
     decoded.orderBy(col("doc_id"))
   }
 
@@ -100,6 +107,16 @@ object Multimodal {
        "/ COUNT(*) AS mean_dim1 " +
        "FROM documents JOIN embeddings ON doc_id = vec_id " +
        "GROUP BY lang, label ORDER BY lang, label"),
+    // the fake-decode outputs are pure functions of md5(payload), which
+    // DuckDB computes identically over the same UTF-8 bytes
+    "x7_binary_decode" ->
+      ("SELECT doc_id, n_chars AS byte_len, " +
+       "CAST((ascii(substr(h, 1, 1)) * 31 + ascii(substr(h, 2, 1))) % 640 + 1 " +
+       "AS BIGINT) AS width, " +
+       "CAST((ascii(substr(h, 2, 1)) * 31 + ascii(substr(h, 3, 1))) % 480 + 1 " +
+       "AS BIGINT) AS height, h AS digest FROM " +
+       "(SELECT doc_id, n_chars, md5(text) AS h FROM documents) t " +
+       "ORDER BY doc_id"),
     // Same train+classify pipeline in SQL: top-10 words per language
     // (count desc, word asc), overlap of each doc's distinct word set
     // against every profile, argmax with the same deterministic tie-break.

@@ -83,8 +83,8 @@ class LlmOpsSpec extends SparkSpec {
     val b = Multimodal.x7BinaryDecode(spark, sf).collect()
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
     a.foreach { r =>
-      assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 640)
-      assert(r.getAs[Int]("height") >= 1 && r.getAs[Int]("height") <= 480)
+      assert(r.getAs[Long]("width") >= 1L && r.getAs[Long]("width") <= 640L)
+      assert(r.getAs[Long]("height") >= 1L && r.getAs[Long]("height") <= 480L)
     }
   }
 
