@@ -58,4 +58,29 @@ class PropertySpec extends SparkSpec {
       grouped == rows.length
     })
   }
+
+  test("banded range-join rule: rewritten join equals nested loop, negatives included") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.install(spark)
+    // values cross zero so the pmod floor-division banding path is
+    // exercised on negatives the corpus never produces
+    val valsGen = Gen.listOfN(40, Gen.chooseNum(-1000L, 1000L))
+    check(Prop.forAll(Gen.zip(valsGen, valsGen)) { case (as, bs) =>
+      val a = as.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id_a", "ts_a")
+      val b = bs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id_b", "ts_b")
+      val cond = col("ts_b") >= col("ts_a") &&
+        col("ts_b") <= col("ts_a") + lit(97L)
+      val banded = a.join(b, cond, "inner")
+        .select("id_a", "id_b").collect().map(_.toString).sorted.toSeq
+      // reference: driver-side nested loop over the same lists
+      val expect = (for {
+        (av, ai) <- as.zipWithIndex
+        (bv, bi) <- bs.zipWithIndex
+        if bv >= av && bv <= av + 97L
+      } yield s"[$ai,$bi]").sorted
+      banded == expect
+    })
+  }
 }
