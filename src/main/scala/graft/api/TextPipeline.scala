@@ -25,11 +25,22 @@ object TextPipeline {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct (id, shingle) pairs for a document frame. */
+  /** Distinct (id, shingle) pairs for a document frame. Dedup happens
+    * inside each document row (array_distinct before explode) — the
+    * global (doc_id, ngram) distinct is exactly per-doc distinct, so no
+    * shuffle is ever needed for it. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        explode(ngramsCol(col(textCol), n)).as("ngram"))
-      .distinct()
+      explode(array_distinct(ngramsCol(col(textCol), n))).as("ngram"))
+
+  /** Distinct (id, 64-bit shingle hash) pairs — the compact form
+    * [[nearDupPairsHashed]] consumes: hashing before materialization
+    * shrinks the frame to two longs per shingle. */
+  def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(transform(ngramsCol(col(textCol), n),
+        g => xxhash64(g)))).as("ng_h"))
 
   /** MinHash + LSH near-duplicate pairs with exact-Jaccard verification.
     *
@@ -46,19 +57,31 @@ object TextPipeline {
     */
   def nearDupPairs(shingleSet: DataFrame, numPerms: Int = 128,
       bandRows: Int = 2, threshold: Double = 0.6,
+      seed: Long = 42L): DataFrame =
+    nearDupPairsHashed(
+      shingleSet.select(col("doc_id"), xxhash64(col("ngram")).as("ng_h")),
+      numPerms, bandRows, threshold, seed)
+
+  /** [[nearDupPairs]] over pre-hashed shingles (see [[shingleHashes]]):
+    * identical pipeline, but every stage — the materialized shingle set,
+    * the minhash input, and both sides of the exact verify — carries an
+    * 8-byte hash instead of the shingle string. Intersection counts are
+    * identical up to 64-bit collisions (~n²/2⁶⁵, deterministic). */
+  def nearDupPairsHashed(shingleHashes: DataFrame, numPerms: Int = 128,
+      bandRows: Int = 2, threshold: Double = 0.6,
       seed: Long = 42L): DataFrame = {
     val prime = 2147483647L
 
     // The shingle set feeds four plan branches (signatures, sizes, both
     // sides of the exact verify); materialize it once instead of
-    // recomputing the upstream explode+distinct per branch — unless the
-    // caller already handed us a checkpointed frame. At cluster scale
-    // the same role is played by checkpointing to reliable storage.
-    val shingles = shingleSet.queryExecution.logical match {
-      case _: org.apache.spark.sql.execution.LogicalRDD => shingleSet
-      case _ => shingleSet.localCheckpoint(true)
+    // recomputing the upstream explode per branch — unless the caller
+    // already handed us a checkpointed frame. At cluster scale the same
+    // role is played by checkpointing to reliable storage.
+    val shingles = shingleHashes.queryExecution.logical match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => shingleHashes
+      case _ => shingleHashes.localCheckpoint(true)
     }
-    val sh = shingles.withColumn("h", pmod(hash(col("ngram")).cast("long"), lit(prime)))
+    val sh = shingles.withColumn("h", pmod(col("ng_h"), lit(prime)))
     // single native aggregate instead of numPerms min() columns — see
     // graft.functions.MinHashAgg for why (Janino blowup on wide aggs)
     val sig = sh.groupBy(col("doc_id"))
@@ -83,13 +106,8 @@ object TextPipeline {
       .distinct()
 
     val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // exact verify joins on a 64-bit shingle hash, not the string: same
-    // intersection counts (collision odds ~n²/2⁶⁵, deterministic either
-    // way) with an 8-byte shuffle key instead of a variable-width string
-    val sa = shingles.select(col("doc_id").as("da"),
-      xxhash64(col("ngram")).as("ng_h"))
-    val sb = shingles.select(col("doc_id").as("db"),
-      xxhash64(col("ngram")).as("ng_h_b"))
+    val sa = shingles.select(col("doc_id").as("da"), col("ng_h"))
+    val sb = shingles.select(col("doc_id").as("db"), col("ng_h").as("ng_h_b"))
     cands
       .join(sa, col("doc_a") === col("da"))
       .join(sb, col("doc_b") === col("db") && col("ng_h") === col("ng_h_b"))

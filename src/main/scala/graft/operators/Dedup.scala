@@ -20,22 +20,29 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Distinct (doc_id, shingle-string) pairs — the exact-verify ground
-    * set, identical to what the DuckDB oracle computes.
-    *
-    * Memoized per (session, corpus) as an eager localCheckpoint: three
-    * contract queries (L2, X1, X12) start from the same shingle
-    * explode+distinct, and a deterministic materialization shared within
-    * the session is exactly the "reuse a partitioning across stages"
-    * play a 100 TB pipeline would make (there it would be a persisted
-    * intermediate table). */
+  /** The hashed shingle set is memoized per (session, corpus) as an
+    * eager localCheckpoint: three contract queries (L2, X1, X12) start
+    * from the same per-doc shingle expansion, and a deterministic
+    * materialization shared within the session is exactly the "reuse a
+    * partitioning across stages" play a 100 TB pipeline would make
+    * (there it would be a persisted intermediate table). */
   // weak on the session so a stopped SparkSession (and the checkpointed
   // blocks only it can read) can be collected instead of pinned forever
   private val shingleCache =
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
-  def shingleSet(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Distinct (doc_id, shingle) string pairs (uncached — only specs and
+    * ad-hoc callers need the strings; the contract pipeline runs on the
+    * hashed form below). */
+  def shingleSet(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.TextPipeline.shingles(
+      Tables.documents(spark, sfDir), "doc_id", "text", 3)
+
+  /** Memoized (doc_id, xxhash64(shingle)) set — two longs per shingle
+    * instead of a string, deduplicated per document before explode (no
+    * shuffle), shared by L2/X1/X12. */
+  def shingleHashSet(spark: SparkSession, sfDir: String): DataFrame = {
     val perSession = shingleCache.synchronized {
       var m = shingleCache.get(spark)
       if (m == null) {
@@ -45,7 +52,7 @@ object Dedup {
       m
     }
     perSession.computeIfAbsent(sfDir, _ =>
-      graft.api.TextPipeline.shingles(
+      graft.api.TextPipeline.shingleHashes(
         Tables.documents(spark, sfDir), "doc_id", "text", 3)
         .localCheckpoint(true))
   }
@@ -56,7 +63,7 @@ object Dedup {
     * Output is identical to the oracle's exhaustive exact computation as
     * long as LSH recall at the threshold is 1 (see class doc). */
   def l2MinHashDedup(spark: SparkSession, sfDir: String): DataFrame =
-    graft.api.TextPipeline.nearDupPairs(shingleSet(spark, sfDir))
+    graft.api.TextPipeline.nearDupPairsHashed(shingleHashSet(spark, sfDir))
       .orderBy(col("doc_a"), col("doc_b"))
 
     /** X1 — SimHash: 64-bit signed projection of the doc's shingle set;
@@ -65,8 +72,9 @@ object Dedup {
     * sum ±1 per bit, reassemble. Emitted as the raw signature (rows-only
     * check; not portably SQL-expressible). */
   def x1SimHash(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingleSet(spark, sfDir)
-      .withColumn("h", xxhash64(col("ngram")))
+    // ng_h IS xxhash64(shingle), so the signature is unchanged by the
+    // switch to the hashed shingle set
+    val sh = shingleHashSet(spark, sfDir).withColumn("h", col("ng_h"))
     // per (doc, bit): contribution +1 if bit set else -1; then majority
     val bitCols = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1)
