@@ -232,6 +232,12 @@ object Streams {
     // transformWithState requires the RocksDB provider
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // changelog checkpointing ships per-batch deltas instead of a full
+    // RocksDB snapshot upload per commit — the production setting for
+    // frequent small batches
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
     try {
       import spark.implicits._
       val updated = evRows(spark, sfDir).groupByKey(_.user_id)
