@@ -73,12 +73,67 @@ object Subqueries {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** SQL7 — lateral correlated subquery: each nation's top-2 suppliers
+    * by balance via JOIN LATERAL with ORDER BY + LIMIT inside — the SQL
+    * twin of the window top-k (w6), planned by Catalyst's lateral-join
+    * decorrelation. */
+  def sql7Lateral(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("v_supplier")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("v_nation")
+    spark.sql(
+      """SELECT n.n_nationkey, t.s_suppkey, t.s_acctbal
+        |FROM v_nation n
+        |JOIN LATERAL (
+        |  SELECT s_suppkey, s_acctbal FROM v_supplier s
+        |  WHERE s.s_nationkey = n.n_nationkey
+        |  ORDER BY s_acctbal DESC, s_suppkey ASC
+        |  LIMIT 2
+        |) t
+        |ORDER BY n_nationkey, s_acctbal DESC, s_suppkey""".stripMargin)
+  }
+
+  /** SQL9 — recursive CTE (Spark 4 WITH RECURSIVE): transitive closure
+    * of a small literal edge DAG — the SQL-native form of the
+    * connected-components walk (x12). Spark 4.1 supports only UNION ALL
+    * in the recursive step; path uniqueness on this DAG (simple chains)
+    * makes that equivalent to UNION. */
+  def sql9Recursive(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(
+      """WITH RECURSIVE reach(src, dst) AS (
+        |  SELECT src, dst FROM VALUES
+        |    (1, 2), (2, 3), (3, 4), (10, 11), (11, 12) AS e(src, dst)
+        |  UNION ALL
+        |  SELECT r.src, e.dst
+        |  FROM reach r
+        |  JOIN (SELECT src, dst FROM VALUES
+        |    (1, 2), (2, 3), (3, 4), (10, 11), (11, 12) AS e(src, dst)) e
+        |  ON r.dst = e.src
+        |)
+        |SELECT src, dst FROM reach ORDER BY src, dst""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql5_subqueries" -> (sql5Subqueries _),
     "sql6_cte" -> (sql6Cte _),
+    "sql7_lateral" -> (sql7Lateral _),
+    "sql9_recursive" -> (sql9Recursive _),
     "x11_gapfill" -> (x11GapFill _))
 
   val oracles: Map[String, String] = Map(
+    "sql7_lateral" ->
+      ("SELECT n.n_nationkey, t.s_suppkey, t.s_acctbal FROM nation n " +
+       "JOIN LATERAL (SELECT s_suppkey, s_acctbal FROM supplier s " +
+       "WHERE s.s_nationkey = n.n_nationkey " +
+       "ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 2) t ON true " +
+       "ORDER BY n_nationkey, s_acctbal DESC, s_suppkey"),
+    "sql9_recursive" ->
+      ("WITH RECURSIVE reach(src, dst) AS (" +
+       "SELECT src, dst FROM (VALUES (1, 2), (2, 3), (3, 4), (10, 11), " +
+       "(11, 12)) e(src, dst) " +
+       "UNION ALL " +
+       "SELECT r.src, e.dst FROM reach r JOIN " +
+       "(SELECT src, dst FROM (VALUES (1, 2), (2, 3), (3, 4), (10, 11), " +
+       "(11, 12)) e2(src, dst)) e ON r.dst = e.src) " +
+       "SELECT src, dst FROM reach ORDER BY src, dst"),
     "sql5_subqueries" ->
       ("SELECT c_custkey, c_acctbal FROM customer c " +
        "WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2 " +
