@@ -111,7 +111,37 @@ object Subqueries {
         |)
         |SELECT src, dst FROM reach ORDER BY src, dst""".stripMargin)
 
+  /** S10 — generator source: the range() table-valued function, data
+    * synthesized with no input table (the spine-builder primitive; x11's
+    * gapfill derives its spine from data, this is the pure form). */
+  def s10Range(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(
+      "SELECT id, id * id AS sq, id % 7 AS m, " +
+      "CAST(id AS DOUBLE) / 999.0 AS frac " +
+      "FROM range(0, 1000) ORDER BY id")
+
+  /** SQL10 — named windows (WINDOW clause): one spec shared by a rank
+    * and a running decimal sum. */
+  def sql10WindowClause(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderkey, o_custkey,
+        |  rank() OVER w AS rnk,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w2 AS DOUBLE)
+        |    AS run_total
+        |FROM v_orders
+        |WINDOW
+        |  w AS (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey),
+        |  w2 AS (PARTITION BY o_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_range" -> (s10Range _),
+    "sql10_window_clause" -> (sql10WindowClause _),
     "sql5_subqueries" -> (sql5Subqueries _),
     "sql6_cte" -> (sql6Cte _),
     "sql7_lateral" -> (sql7Lateral _),
@@ -119,6 +149,20 @@ object Subqueries {
     "x11_gapfill" -> (x11GapFill _))
 
   val oracles: Map[String, String] = Map(
+    "s10_range" ->
+      ("SELECT range AS id, range * range AS sq, range % 7 AS m, " +
+       "CAST(range AS DOUBLE) / 999.0 AS frac " +
+       "FROM range(0, 1000) ORDER BY id"),
+    "sql10_window_clause" ->
+      ("SELECT o_orderkey, o_custkey, rank() OVER w AS rnk, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w2 AS DOUBLE) " +
+       "AS run_total FROM orders " +
+       "WINDOW w AS (PARTITION BY o_custkey " +
+       "ORDER BY o_totalprice DESC, o_orderkey), " +
+       "w2 AS (PARTITION BY o_custkey " +
+       "ORDER BY o_totalprice DESC, o_orderkey " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+       "ORDER BY o_orderkey"),
     "sql7_lateral" ->
       ("SELECT n.n_nationkey, t.s_suppkey, t.s_acctbal FROM nation n " +
        "JOIN LATERAL (SELECT s_suppkey, s_acctbal FROM supplier s " +
