@@ -139,7 +139,20 @@ object Scalars {
       .orderBy(col("doc_id"))
   }
 
+  /** F16 — VARIANT (Spark 4's semi-structured type): parse_json into a
+    * variant column, typed extraction with variant_get, missing-path
+    * null via try_variant_get, and schema introspection. */
+  def f16Variant(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.eventsUs(spark, sfDir)
+      .withColumn("v", expr("parse_json(props)"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.k', 'long')").as("k_typed"),
+        expr("try_variant_get(v, '$.missing', 'long')").as("k_missing"),
+        expr("schema_of_variant(v)").as("v_schema"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f16_variant" -> (f16Variant _),
     "f1_string" -> (f1String _),
     "f2_date" -> (f2Date _),
     "f3_math" -> (f3Math _),
@@ -151,6 +164,13 @@ object Scalars {
 
   import Det.{sql => d}
   val oracles: Map[String, String] = Map(
+    // props is always {"k": <int>} so the variant schema is constant
+    "f16_variant" ->
+      ("SELECT event_id, " +
+       "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed, " +
+       "CAST(NULL AS BIGINT) AS k_missing, " +
+       "'OBJECT<k: BIGINT>' AS v_schema " +
+       "FROM events ORDER BY event_id"),
     "f1_string" ->
       ("SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo, " +
        "CAST(length(p_name) AS BIGINT) AS len, " +
