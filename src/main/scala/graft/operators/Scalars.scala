@@ -151,8 +151,28 @@ object Scalars {
         expr("schema_of_variant(v)").as("v_schema"))
       .orderBy(col("event_id"))
 
+  /** F17 — URL function family (the full treatment of the reference's
+    * distinctive URL type, beyond F8's validator): component extraction
+    * via parse_url (null on malformed input — the constrained-type
+    * failure mode) and encode/decode round-trip. */
+  def f17UrlFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("url",
+        when(pmod(col("doc_id"), lit(3L)) === 0L,
+          concat(lit("https://"), col("source"), lit(".example.com/d/"),
+            col("doc_id").cast("string")))
+          .otherwise(concat(lit("not a url "), col("source"))))
+      .select(col("doc_id"),
+        expr("try_parse_url(url, 'HOST')").as("host"),
+        expr("try_parse_url(url, 'PROTOCOL')").as("proto"),
+        expr("try_parse_url(url, 'PATH')").as("path"),
+        expr("url_encode(source)").as("enc"),
+        expr("url_decode(url_encode(source))").as("dec"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f16_variant" -> (f16Variant _),
+    "f17_url_funcs" -> (f17UrlFuncs _),
     "f1_string" -> (f1String _),
     "f2_date" -> (f2Date _),
     "f3_math" -> (f3Math _),
@@ -171,6 +191,16 @@ object Scalars {
        "CAST(NULL AS BIGINT) AS k_missing, " +
        "'OBJECT<k: BIGINT>' AS v_schema " +
        "FROM events ORDER BY event_id"),
+    // the URL construction is known, so components derive directly; the
+    // malformed branch (spaces) yields parse_url nulls; source values
+    // are URL-safe so encode/decode are identity
+    "f17_url_funcs" ->
+      ("SELECT doc_id, " +
+       "CASE WHEN doc_id % 3 = 0 THEN source || '.example.com' END AS host, " +
+       "CASE WHEN doc_id % 3 = 0 THEN 'https' END AS proto, " +
+       "CASE WHEN doc_id % 3 = 0 THEN '/d/' || CAST(doc_id AS VARCHAR) END AS path, " +
+       "source AS enc, source AS dec " +
+       "FROM documents ORDER BY doc_id"),
     "f1_string" ->
       ("SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo, " +
        "CAST(length(p_name) AS BIGINT) AS len, " +
