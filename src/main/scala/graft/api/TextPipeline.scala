@@ -121,38 +121,96 @@ object TextPipeline {
   }
 
   /** Connected components over an undirected pair graph: each node labeled
-    * with the minimum node id reachable. Iterative min-label propagation,
-    * one distributed join+agg per round, lineage truncated per round. */
+    * with the minimum node id reachable.
+    *
+    * Alternating large-star/small-star rounds (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): each
+    * round is two grouped min-aggregations + joins, and the edge set
+    * converges to one star per component in O(log n) rounds even on a
+    * path/giant-component worst case — where plain min-label
+    * propagation needs O(diameter) rounds. Lineage is truncated per
+    * round (localCheckpoint here; reliable checkpoint / a persisted
+    * intermediate table on a cluster).
+    *
+    * - large-star: every node attaches its strictly-larger neighbors to
+    *   the minimum of its neighborhood (incl. itself) — halves the
+    *   depth of tall chains hanging below a local minimum;
+    * - small-star: every node attaches its smaller-or-equal neighbors
+    *   and itself to that minimum — flattens toward stars.
+    *
+    * Both emit (larger, smaller)-ordered edges, so the invariant
+    * "first column > second column, no self-loops" holds throughout and
+    * convergence (edge set unchanged) is checked with one cheap
+    * count+hash aggregate per round instead of a set difference. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxIter: Int = 15): DataFrame = {
+      bCol: String = "doc_b", maxIter: Int = 25): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds it took — the
+    * O(log n) convergence bound is part of the operator's contract (see
+    * PropertySpec's path-graph worst case). */
+  def connectedComponentsWithRounds(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 25): (DataFrame, Int) = {
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-    val edges = p.union(p.select(col("b").as("a"), col("a").as("b")))
+    val nodes = p.select(col("a").as("doc_id"))
+      .union(p.select(col("b").as("doc_id"))).distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // ordered (u > v) distinct edges, self-loops dropped
+    var edges = p.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
-    var converged = false
+    // (count, order-independent hash-sum) fingerprint of the edge set —
+    // equal fingerprints on consecutive rounds ⇒ fixed point reached.
+    // The hash sum runs in DECIMAL(38,0): exact, order-independent, and
+    // immune to ANSI-mode long overflow.
+    def fingerprint(e: DataFrame): (Long, String) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).collect()(0)
+      (r.getLong(0), String.valueOf(r.get(1)))
+    }
+    var fp = fingerprint(edges)
+    var converged = fp._1 == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
-      val nbrMin = edges.join(labels, edges("b") === labels("id"))
-        .groupBy(col("a")).agg(min(col("label")).as("nbr_label"))
-      // carry old and new label in one frame: the convergence count reads
-      // the same materialized result, no extra join per round
-      val updated = labels.join(nbrMin, labels("id") === nbrMin("a"), "left_outer")
-        .select(labels("id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("new_label"))
+      // large-star over symmetric neighborhoods
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u").as("c"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(lsMin, sym("u") === col("c"))
+        .filter(col("v") > col("u")) // strictly larger neighbors
+        .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m ⇒ ordered
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star over the (larger → smaller) edges
+      val ssMin = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(ssMin, "u")
+        .select(col("v").as("n2"), col("m"))
+        .union(ssMin.select(col("u").as("n2"), col("m")))
+        .filter(col("n2") =!= col("m"))
+        .select(col("n2").as("u"), col("m").as("v"))
+        .distinct()
         .localCheckpoint(true)
-      val changed = updated.filter(col("new_label") =!= col("old_label")).count()
-      labels = updated.select(col("id"), col("new_label").as("label"))
-      converged = changed == 0
+      val fpNew = fingerprint(small)
+      converged = fpNew == fp
+      fp = fpNew
+      edges = small
       iter += 1
     }
-    if (!converged) {
+    if (!converged && fp._1 != 0L) {
       System.err.println(
         s"[graft] connectedComponents: iteration cap $maxIter hit before convergence")
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+    // at the fixed point each component is a star rooted at its minimum:
+    // edges are exactly (member, rep); roots and isolated nodes label
+    // themselves
+    val labels = nodes
+      .join(edges.select(col("u").as("doc_id"), col("v").as("rep")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+    (labels, iter)
   }
 
   /** Heuristic document quality score in [0,1]: length, lexical

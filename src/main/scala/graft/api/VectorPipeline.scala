@@ -109,6 +109,44 @@ object VectorPipeline {
       .filter(col("rank") <= k)
   }
 
+  /** Derived-claim summary for an ANN result against the exact top-k:
+    * one row of spec-bound checks the caller's oracle can state as
+    * constants (the claim pattern for sketch/approximate operators —
+    * the raw neighbor lists are not portably SQL-expressible, but
+    * "recall ≥ r and mean-sim ratio ≥ s over the 10 probes" is).
+    *
+    * - `n_probes`/`k` pin the result shape;
+    * - `recall_ok`: overall recall@k (matched exact neighbors / exact
+    *   rows) meets `recallBound` when given;
+    * - `simratio_ok`: mean approx similarity / mean exact similarity
+    *   meets `simRatioBound` — the scale-stable quality signal on a
+    *   near-orthogonal corpus where set-recall is noisy by nature.
+    *
+    * All inputs are tiny top-k frames; the three single-row aggregates
+    * cross-join on the driver side of the plan for free. */
+  def annClaim(exact: DataFrame, approx: DataFrame, k: Int,
+      recallBound: Option[Double], simRatioBound: Double): DataFrame = {
+    val ap = approx.select(col("probe_id").as("ap"),
+      col("neighbor_id").as("an"), col("sim").as("asim"))
+    val exAgg = exact.agg(
+      countDistinct(col("probe_id")).as("n_probes"),
+      count(lit(1)).as("n_exact"),
+      avg(col("sim")).as("mean_exact"))
+    val apAgg = ap.agg(avg(col("asim")).as("mean_approx"))
+    val hitAgg = exact.join(ap,
+        col("probe_id") === col("ap") && col("neighbor_id") === col("an"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    val base = exAgg.crossJoin(apAgg).crossJoin(hitAgg)
+    val cols = Seq(
+      col("n_probes"), lit(k.toLong).as("k"),
+      (col("mean_approx") / col("mean_exact") >= simRatioBound)
+        .as("simratio_ok")) ++
+      recallBound.map(r =>
+        (col("n_hits") / col("n_exact") >= r).as("recall_ok")).toSeq
+    base.select(cols: _*)
+  }
+
   /** All pairs with similarity at or above `threshold` (brute force —
     * the exact baseline for near-dup detection in embedding space). */
   def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String,

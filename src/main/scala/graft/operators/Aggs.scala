@@ -65,13 +65,24 @@ object Aggs {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
-  /** A4 — approximate distinct (HLL++). No oracle: DuckDB's sketch is a
-    * different algorithm; ScalaTest bounds it against the exact count. */
-  def a4ApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+  /** A4 raw — approximate distinct (HLL++) next to the exact count (the
+    * spec bounds the error on this form). */
+  def a4ApproxDistinctRaw(spark: SparkSession, sfDir: String): DataFrame =
     Tables.eventsUs(spark, sfDir)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+
+  /** A4 contract — derived-claim form: DuckDB's HLL is a different
+    * sketch, so the compared columns are the exact count (which DuckDB
+    * reproduces) and the claim that HLL++ lands within 15% relative
+    * error (default rsd 5%, 3σ; measured ≤ 6.7% across SFs). */
+  def a4ApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    a4ApproxDistinctRaw(spark, sfDir)
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) / col("exact_users")
+          <= 0.15).as("within_bound"))
       .orderBy(col("event_type"))
 
   /** A5 — ROLLUP with grouping-null coalescing: revenue by
@@ -164,6 +175,12 @@ object Aggs {
     "a3_count_distinct" ->
       ("SELECT event_type, COUNT(DISTINCT user_id) AS n_users, " +
        "COUNT(*) AS n_events FROM events GROUP BY event_type ORDER BY event_type"),
+    // derived-claim oracle: exact count + a spec-bound boolean the Spark
+    // side computes against its own exact aggregate (see a4 scaladoc)
+    "a4_approx_distinct" ->
+      ("SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, " +
+       "TRUE AS within_bound FROM events GROUP BY event_type " +
+       "ORDER BY event_type"),
     "a5_rollup" ->
       (s"SELECT COALESCE(y, -1) AS year_c, COALESCE(p, 'ALL') AS prio_c, " +
        s"${d.dsum("o_totalprice")} AS revenue, COUNT(*) AS n_orders FROM " +

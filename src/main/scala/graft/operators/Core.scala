@@ -60,6 +60,33 @@ object Core {
       .orderBy(col("id"))
   }
 
+  /** S5c — CSV + JSON SINK round-trip on real table data (s5 exercises
+    * the sources on a literal frame; this is the export path a real user
+    * round-trips): the supplier table written to both text formats,
+    * read back with the source schema pinned (no inference — text
+    * formats carry no types), unioned, and aggregated. The oracle
+    * reproduces the aggregate straight from the parquet table, so any
+    * loss or mangling in either sink round-trip breaks the hash.
+    * Doubles survive exactly: Spark writes shortest-round-trip decimal
+    * text and reads it back to the identical bits. */
+  def s5cCsvJsonSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.scratchDir("s5c", sfDir)
+    val src = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+    src.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    src.write.mode("overwrite").json(s"$base/json")
+    val csv = Tables.tune(spark).read.option("header", "true")
+      .schema(src.schema).csv(s"$base/csv")
+    val json = Tables.tune(spark).read.schema(src.schema).json(s"$base/json")
+    csv.unionByName(json)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        graft.Det.dsum(col("s_acctbal")).as("sum_bal"),
+        countDistinct(col("s_name")).as("n_names"))
+      .orderBy(col("s_nationkey"))
+  }
+
   /** S5b — ORC source/sink round-trip (rows-only: DuckDB has no ORC
     * reader): lineitem slice written as ORC, read back, aggregated, and
     * checked against the parquet-sourced equivalent in CoreSpec. */
@@ -195,6 +222,7 @@ object Core {
     "s3_events_scan" -> (s3EventsScan _),
     "s5_csv_json" -> (s5CsvJson _),
     "s5b_orc" -> (s5bOrc _),
+    "s5c_csv_json_sink" -> (s5cCsvJsonSink _),
     "s6_inmemory" -> (s6InMemory _),
     "p1_projection" -> (p1Projection _),
     "p2_filter_cmp" -> (p2FilterCmp _),
@@ -231,6 +259,13 @@ object Core {
       (s"SELECT l_returnflag, COUNT(*) AS n, ${d.dsum("l_quantity")} AS sum_qty " +
        "FROM lineitem WHERE l_quantity > 45.0 " +
        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // every supplier row passes through BOTH text sinks, so each count
+    // and the exact decimal balance sum appear doubled vs the table
+    "s5c_csv_json_sink" ->
+      ("SELECT s_nationkey, 2*COUNT(*) AS n, " +
+       "CAST(2*SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal, " +
+       "COUNT(DISTINCT s_name) AS n_names " +
+       "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"),
     "s6_inmemory" ->
       ("SELECT id, name, CAST(length(name) AS INT) AS name_len FROM " +
        "(VALUES (1,'ada'),(2,'grace'),(3,'edsger'),(4,'barbara')) p(id,name) " +

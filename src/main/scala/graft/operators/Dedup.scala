@@ -66,12 +66,10 @@ object Dedup {
     graft.api.TextPipeline.nearDupPairsHashed(shingleHashSet(spark, sfDir))
       .orderBy(col("doc_a"), col("doc_b"))
 
-    /** X1 — SimHash: 64-bit signed projection of the doc's shingle set;
-    * near-dups differ in few bits (verified in ScalaTest against the
-    * planted pairs). Bit-majority is computed columnar: explode shingles,
-    * sum ±1 per bit, reassemble. Emitted as the raw signature (rows-only
-    * check; not portably SQL-expressible). */
-  def x1SimHash(spark: SparkSession, sfDir: String): DataFrame = {
+    /** X1 raw — SimHash: 64-bit signed projection of the doc's shingle
+    * set; near-dups differ in few bits. Bit-majority is computed
+    * columnar: explode shingles, sum ±1 per bit, reassemble. */
+  def simHashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
     // ng_h IS xxhash64(shingle), so the signature is unchanged by the
     // switch to the hashed shingle set
     val sh = shingleHashSet(spark, sfDir).withColumn("h", col("ng_h"))
@@ -86,6 +84,26 @@ object Dedup {
     }.reduce(_.bitwiseOR(_))
     agg.select(col("doc_id"), sig.as("simhash"))
       .orderBy(col("doc_id"))
+  }
+
+  /** X1 contract — derived-claim form: the raw 64-bit signatures are not
+    * portably SQL-expressible, so the contract row emits, for every
+    * verified near-dup pair (the oracle reproduces the pair list and its
+    * jaccard exhaustively, as in L2), the claim that the two signatures
+    * agree to within 20 bits (measured max 12 across SFs; a random pair
+    * differs in ~32) — i.e. SimHash actually separates near-dups from
+    * the background, stated as data. */
+  def x1SimHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = simHashSignatures(spark, sfDir)
+    l2MinHashDedup(spark, sfDir)
+      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")),
+        "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        (bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 20)
+          .as("hamming_ok"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** X12 — dedup clustering (delegates to
@@ -111,6 +129,18 @@ object Dedup {
        "FROM s a JOIN s b ON a.ngram = b.ngram AND a.doc_id < b.doc_id " +
        "GROUP BY 1, 2) " +
        "SELECT doc_a, doc_b, inter / (na.n_sh + nb.n_sh - inter) AS jaccard " +
+       "FROM i JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b " +
+       "WHERE inter / (na.n_sh + nb.n_sh - inter) > 0.6 ORDER BY doc_a, doc_b"),
+    // derived-claim oracle: the exhaustive pair list + jaccard (as L2)
+    // with the hamming claim as a constant (see x1SimHash scaladoc)
+    "x1_simhash" ->
+      (s"WITH s AS (SELECT DISTINCT doc_id, ngram FROM (${TextOps.ngramSql(3)}) t), " +
+       "n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id), " +
+       "i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter " +
+       "FROM s a JOIN s b ON a.ngram = b.ngram AND a.doc_id < b.doc_id " +
+       "GROUP BY 1, 2) " +
+       "SELECT doc_a, doc_b, inter / (na.n_sh + nb.n_sh - inter) AS jaccard, " +
+       "TRUE AS hamming_ok " +
        "FROM i JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b " +
        "WHERE inter / (na.n_sh + nb.n_sh - inter) > 0.6 ORDER BY doc_a, doc_b"),
     "x12_dedup_clusters" ->

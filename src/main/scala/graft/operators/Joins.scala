@@ -158,8 +158,12 @@ object Joins {
     val c = Tables.customer(spark, sfDir)
     val n = Tables.nation(spark, sfDir)
     val r = Tables.region(spark, sfDir)
+    // customer grows with SF — no pinned broadcast hint; AQE picks the
+    // build side from runtime stats (broadcasts at sf0.1, shuffles at
+    // 100x where a forced build side would OOM). nation/region are
+    // bounded dims (25/5 rows at every SF) so their hints are safe.
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("o_year"))

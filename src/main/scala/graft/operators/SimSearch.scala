@@ -36,15 +36,26 @@ object SimSearch {
         "vec_id", "embedding", 0.45)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** X8 — IVF-style ANN (rows-only; ScalaTest checks recall vs L3):
-    * deterministic centroid seeds (every 50th vector), nprobe=3. */
-  def x8IvfAnn(spark: SparkSession, sfDir: String): DataFrame = {
+  /** X8 raw — IVF-style ANN neighbor lists (ScalaTest checks recall vs
+    * L3): deterministic centroid seeds (every 50th vector), nprobe=3. */
+  def x8IvfAnnRaw(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     VectorPipeline.ivfTopK(emb, emb.filter(col("vec_id") < 10),
         emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
         k = 5, nprobe = 3)
       .orderBy(col("probe_id"), col("rank"))
   }
+
+  /** X8 contract — derived-claim form (see
+    * [[graft.api.VectorPipeline.annClaim]]): the raw sketch result is
+    * not SQL-expressible, so the contract row emits the verifiable
+    * claims instead — recall@5 vs the exact in-Spark L3 result ≥ 0.2
+    * and mean-sim ratio ≥ 0.8 (measured across SFs: recall 0.3–0.6,
+    * ratio 0.88–0.92; bounds leave 1.5–4x margin). */
+  def x8IvfAnn(spark: SparkSession, sfDir: String): DataFrame =
+    VectorPipeline.annClaim(l3TopKCosine(spark, sfDir),
+      x8IvfAnnRaw(spark, sfDir), k = 5,
+      recallBound = Some(0.2), simRatioBound = 0.8)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l3_topk_cosine" -> (l3TopKCosine _),
@@ -68,5 +79,11 @@ object SimSearch {
        "FROM embeddings a, embeddings b, range(1, 65) r(i) " +
        "WHERE a.vec_id < b.vec_id GROUP BY a.vec_id, b.vec_id " +
        "HAVING round(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 6) >= 0.45 " +
-       "ORDER BY id_a, id_b"))
+       "ORDER BY id_a, id_b"),
+    // derived-claim oracle: the Spark side computes recall/sim-ratio
+    // against its own exact L3 result; the claims hold by spec bound,
+    // so the oracle states them as constants
+    "x8_ivf_ann" ->
+      ("SELECT CAST(10 AS BIGINT) AS n_probes, CAST(5 AS BIGINT) AS k, " +
+       "TRUE AS simratio_ok, TRUE AS recall_ok"))
 }

@@ -72,6 +72,11 @@ object TextOps {
     val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("word").asc)
+    // df is vocabulary-sized (words, not rows) — broadcastable for any
+    // natural-language vocab (~1e6 entries << executor memory). If the
+    // term space were n-grams at web scale this hint must come off and
+    // the join shuffles on `word`; documented so the 100 TB reader knows
+    // the bound is vocab size, not corpus size.
     tf.join(broadcast(df), "word")
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
@@ -119,12 +124,16 @@ object TextOps {
     * with one tiny value per document (constant state at 100 TB). */
   def x6Fingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        graft.api.TextPipeline.winnowingFingerprint(col("text"), 8).as("fp"))
       // a doc shorter than the 8-word window has no fingerprint; drop it
       // like the oracle's GROUP BY over exploded n-grams does (fixture
-      // min is 10 words, so this is future-corpus armor, not behavior)
-      .filter(col("fp").isNotNull)
+      // min is 10 words, so this is future-corpus armor, not behavior).
+      // Filter on the cheap source predicate, NOT on the computed fp
+      // column: Catalyst substitutes the defining expression into a
+      // pushed-down filter, which would evaluate the md5-over-8-gram
+      // transform twice per row (the round-2 10x regression).
+      .filter(size(split(col("text"), " ")) >= 8)
+      .select(col("doc_id"),
+        graft.api.TextPipeline.winnowingFingerprint(col("text"), 8).as("fp"))
       .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -46,8 +46,9 @@ import graft.{Det, Tables}
   * the DuckDB oracle checks. Windowed aggregations use `complete` output
   * so windows still open at end-of-stream are emitted too.
   *
-  * Watermark LATE-DATA semantics (not observable in a single replay) are
-  * covered by the MemoryStream batch-equivalence specs in StreamsSpec.
+  * Watermark LATE-DATA semantics are observable in the two-batch staged
+  * replay of [[st4LateDrop]] (oracle-checked) and additionally covered by
+  * the MemoryStream out-of-order specs in StreamsSpec.
   *
   * Scale posture: state is keyed by (window × type) / user / event_id —
   * bounded by key cardinality, not stream length; watermarks bound the
@@ -173,6 +174,87 @@ object Streams {
       .orderBy(col("user_id"), col("sess_start_us"))
   }
 
+  /** Stage events as THREE single-file micro-batches for the late-data
+    * replay: batch0 = the last hour of events (establishes the high
+    * watermark), batch1 = the hour before it (a normal mid-stream
+    * batch), batch2 = everything older — every row late beyond the
+    * watermark. Three batches, not two, because of Spark's two-value
+    * watermark (SPARK-40925): in batch N the LATE-EVENT filter uses the
+    * eviction watermark of batch N-1, so the first batch whose inputs
+    * are filtered against max(ts)−15min is batch2. Files get strictly
+    * increasing mtimes 10 s apart so the file source's oldest-first
+    * ordering is deterministic. The split is done in µs (ts div 1000)
+    * so the Spark-side rule and the µs-reading DuckDB oracle classify
+    * boundary rows identically. */
+  private def stageLateSplit(spark: SparkSession, sfDir: String): String = {
+    val dir = Paths.get(Tables.scratchDir("stream_late", sfDir))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // the split is a pure function of events.parquet — reuse it across
+    // runs (marker records the source size; relative mtimes persist)
+    val marker = dir.resolve("_staged_from_size")
+    val srcSize = Files.size(Paths.get(s"$sfDir/events.parquet"))
+    if (Files.exists(marker) &&
+        Files.readString(marker) == srcSize.toString &&
+        (0 to 2).forall(i => Files.exists(dir.resolve(s"batch$i.parquet")))) {
+      return dir.toString
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(dir.toString), true)
+    Files.createDirectories(dir)
+    val ev = Tables.events(spark, sfDir).withColumn("ts_us", expr("ts div 1000"))
+    // single-row driver-side max: the cut must be a literal before the
+    // plan is built (same role as CC's convergence count — not a loop
+    // over data)
+    val maxUs = ev.agg(max(col("ts_us"))).collect()(0).getLong(0)
+    val cut1 = maxUs - 3600L * 1000000L  // 1 hour
+    val cut2 = maxUs - 7200L * 1000000L  // 2 hours
+    def writeOne(df: DataFrame, name: String, mtimeOffsetSec: Long): Unit = {
+      val tmp = dir.resolve(s"_tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = dir.resolve(s"$name.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000L + mtimeOffsetSec * 1000L))
+    }
+    writeOne(ev.filter(col("ts_us") > cut1).drop("ts_us"), "batch0", 0L)
+    writeOne(ev.filter(col("ts_us") <= cut1 && col("ts_us") > cut2)
+      .drop("ts_us"), "batch1", 10L)
+    writeOne(ev.filter(col("ts_us") <= cut2).drop("ts_us"), "batch2", 20L)
+    Files.writeString(marker, srcSize.toString)
+    dir.toString
+  }
+
+  /** ST4 — watermark late-data drop, observable and deterministic: the
+    * three-file staged replay (see [[stageLateSplit]]) is processed as
+    * three micro-batches (maxFilesPerTrigger=1, mtime order). Batch0
+    * (the last hour of events) raises the eviction watermark to
+    * max(ts)−15min; batch1 (the hour before) flows through normally and
+    * its closed windows are emitted; by batch2 the late-event filter
+    * ALSO stands at max(ts)−15min, so every batch2 row (all older than
+    * two hours) is dropped on input — they never touch state and never
+    * appear in the output. Append mode emits exactly the windows with
+    * end ≤ watermark. The oracle reproduces the drop rule in batch SQL:
+    * last-two-hours events only, windowed, windows ending at or before
+    * max(ts)−15min. If late rows leaked into the result, or unfinalized
+    * windows were emitted, the hash breaks. */
+  def st4LateDrop(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageLateSplit(spark, sfDir)
+    val schema = Tables.events(spark, sfDir).schema
+    val stream = Tables.tune(spark).readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("ts_t", "15 minutes")
+      .groupBy(window(col("ts_t"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(spark, agg, OutputMode.Append())
+      .select(unix_timestamp(col("window.start")).as("win_start"), col("n"))
+      .orderBy(col("win_start"))
+  }
+
   /** ST5 — streaming dedup within watermark: the staged feed carries every
     * event twice; state drops the second sighting of each event_id. */
   def st5StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
@@ -255,12 +337,16 @@ object Streams {
   }
 
   /** ST7 — stream-static join: streaming events against the static
-    * customer dimension (broadcast), aggregated per market segment. */
+    * customer dimension, aggregated per market segment. No pinned
+    * broadcast hint: customer grows with SF, so the planner (AQE for
+    * the static side) must pick the strategy from stats — at sf0.1 it
+    * still broadcasts, at 100x it falls back to a shuffled join rather
+    * than OOMing on a forced build side. */
   def st7StreamStatic(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_mktsegment"))
     val joined = eventStream(spark, sfDir)
-      .join(broadcast(cust), col("user_id") === col("c_custkey"), "inner")
+      .join(cust, col("user_id") === col("c_custkey"), "inner")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(Det.Money)).cast("double").as("sum_value"))
@@ -360,6 +446,7 @@ object Streams {
     "st1_tumbling" -> (st1Tumbling _),
     "st2_sliding" -> (st2Sliding _),
     "st3_session" -> (st3Session _),
+    "st4_late_drop" -> (st4LateDrop _),
     "st5_stream_dedup" -> (st5StreamDedup _),
     "st6_stateful" -> (st6Stateful _),
     "st6b_tws" -> (st6bTransformWithState _),
@@ -391,6 +478,18 @@ object Streams {
        "SELECT user_id, MIN(t) AS sess_start_us, " +
        "MAX(t) + 1800000000 AS sess_end_us, COUNT(*) AS n_events " +
        "FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start_us"),
+    // the drop rule, reproduced in batch SQL: only last-two-hours
+    // events (batch0+batch1) survive, and only their windows closed by
+    // the final watermark (max(ts) - 15 min) are emitted
+    "st4_late_drop" ->
+      ("WITH m AS (SELECT MAX(epoch_us(ts)) AS mx FROM events), " +
+       "a AS (SELECT epoch_us(ts) AS t FROM events " +
+       "WHERE epoch_us(ts) > (SELECT mx FROM m) - 7200000000), " +
+       "w AS (SELECT (t // 600000000) * 600 AS win_start, COUNT(*) AS n " +
+       "FROM a GROUP BY 1) " +
+       "SELECT win_start, n FROM w " +
+       "WHERE (win_start + 600) * 1000000 <= (SELECT mx FROM m) - 900000000 " +
+       "ORDER BY win_start"),
     "st5_stream_dedup" ->
       ("SELECT event_type, COUNT(*) AS n FROM events " +
        "GROUP BY event_type ORDER BY event_type"),

@@ -6,7 +6,7 @@ import graft.operators.{Extras3, SimSearch}
 class Extras3Spec extends SparkSpec {
 
   test("x14 hyperplane LSH: candidates are bucket-disciplined and ranked correctly") {
-    val res = Extras3.x14LshAnn(spark, sf).collect()
+    val res = Extras3.x14LshAnnRaw(spark, sf).collect()
     // per probe: ranks are 1..n ascending with sims non-increasing,
     // self excluded
     res.groupBy(_.getAs[Long]("probe_id")).foreach { case (pid, rows) =>
@@ -29,8 +29,8 @@ class Extras3Spec extends SparkSpec {
   }
 
   test("x14 hyperplane LSH: deterministic across runs") {
-    val a = Extras3.x14LshAnn(spark, sf).collect().map(_.toString).toSeq
-    val b = Extras3.x14LshAnn(spark, sf).collect().map(_.toString).toSeq
+    val a = Extras3.x14LshAnnRaw(spark, sf).collect().map(_.toString).toSeq
+    val b = Extras3.x14LshAnnRaw(spark, sf).collect().map(_.toString).toSeq
     assert(a == b)
   }
 
@@ -114,7 +114,7 @@ class Extras3Spec extends SparkSpec {
   }
 
   test("a15 approx percentile within 1% of exact") {
-    Extras3.a15ApproxPercentile(spark, sf).collect().foreach { r =>
+    Extras3.a15ApproxPercentileRaw(spark, sf).collect().foreach { r =>
       val ap = r.getAs[Double]("p50_approx")
       val ex = r.getAs[Double]("p50_exact")
       assert(math.abs(ap - ex) / ex < 0.01, s"approx $ap vs exact $ex")

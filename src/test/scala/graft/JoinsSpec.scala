@@ -43,7 +43,7 @@ class JoinsSpec extends SparkSpec {
   }
 
   test("a4 approx distinct within 5% of exact") {
-    Aggs.a4ApproxDistinct(spark, sf).collect().foreach { r =>
+    Aggs.a4ApproxDistinctRaw(spark, sf).collect().foreach { r =>
       val approx = r.getAs[Long]("approx_users").toDouble
       val exact = r.getAs[Long]("exact_users").toDouble
       assert(math.abs(approx - exact) / exact < 0.05, s"$approx vs $exact")

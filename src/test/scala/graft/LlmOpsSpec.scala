@@ -21,7 +21,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("x1 simhash: planted near-dup pairs have small hamming distance") {
-    val sig = Dedup.x1SimHash(spark, sf).collect()
+    val sig = Dedup.simHashSignatures(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
     def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     assert(ham(sig(0L), sig(50L)) <= 12)
@@ -60,7 +60,7 @@ class LlmOpsSpec extends SparkSpec {
     val brute = SimSearch.l3TopKCosine(spark, sf).collect()
       .groupBy(_.getAs[Long]("probe_id"))
       .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
-    val ivf = SimSearch.x8IvfAnn(spark, sf).collect()
+    val ivf = SimSearch.x8IvfAnnRaw(spark, sf).collect()
       .groupBy(_.getAs[Long]("probe_id"))
       .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
     val recalls = brute.keys.toSeq.map { p =>

@@ -83,4 +83,45 @@ class PropertySpec extends SparkSpec {
       banded == expect
     })
   }
+
+  test("connected components: path-graph worst case converges in O(log n) rounds") {
+    import spark.implicits._
+    // a 128-node path is the giant-component pathology: plain min-label
+    // propagation needs ~127 rounds; large-star/small-star must land
+    // within log2(128)+4 = 11
+    val n = 128
+    val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("doc_a", "doc_b")
+    val (labels, rounds) =
+      graft.api.TextPipeline.connectedComponentsWithRounds(pairs)
+    val got = labels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    assert(got.values.forall(_ == 0L), s"path not one component: $got")
+    val bound = (math.log(n) / math.log(2)).toInt + 4
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+  }
+
+  test("connected components match a union-find oracle on random graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L)))
+    check(Prop.forAll(edgeGen) { es =>
+      val pairs = es.toDF("doc_a", "doc_b")
+      val got = graft.api.TextPipeline.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = parent.keys.map(k => k -> find(k)).toMap
+      got == expect
+    })
+  }
 }
