@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-(session, key) memoization of eagerly-materialized frames.
+  *
+  * Several contract queries share an expensive intermediate (the hashed
+  * shingle set, the verified near-dup pairs, the exact top-k baseline).
+  * Recomputing it per query would overstate every downstream operator's
+  * cost; materializing it once per session is exactly the "reuse a
+  * partitioning across stages" play a 100 TB pipeline makes (there the
+  * same role is played by a persisted intermediate table / reliable
+  * checkpoint). Callers pass a `build` that ends in
+  * `.localCheckpoint(true)` so the cached plan is a materialized scan,
+  * not live lineage.
+  *
+  * Keys are weak on the session so a stopped SparkSession (and the
+  * checkpointed blocks only it can read) can be collected. */
+object Memo {
+  private val caches =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  def apply(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val perSession = caches.synchronized {
+      var m = caches.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        caches.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(key, _ => build)
+  }
+}

@@ -20,18 +20,6 @@ import graft.Tables
   */
 object Dedup {
 
-  /** The hashed shingle set is memoized per (session, corpus) as an
-    * eager localCheckpoint: three contract queries (L2, X1, X12) start
-    * from the same per-doc shingle expansion, and a deterministic
-    * materialization shared within the session is exactly the "reuse a
-    * partitioning across stages" play a 100 TB pipeline would make
-    * (there it would be a persisted intermediate table). */
-  // weak on the session so a stopped SparkSession (and the checkpointed
-  // blocks only it can read) can be collected instead of pinned forever
-  private val shingleCache =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
-
   /** Distinct (doc_id, shingle) string pairs (uncached — only specs and
     * ad-hoc callers need the strings; the contract pipeline runs on the
     * hashed form below). */
@@ -41,21 +29,22 @@ object Dedup {
 
   /** Memoized (doc_id, xxhash64(shingle)) set — two longs per shingle
     * instead of a string, deduplicated per document before explode (no
-    * shuffle), shared by L2/X1/X12. */
-  def shingleHashSet(spark: SparkSession, sfDir: String): DataFrame = {
-    val perSession = shingleCache.synchronized {
-      var m = shingleCache.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        shingleCache.put(spark, m)
-      }
-      m
-    }
-    perSession.computeIfAbsent(sfDir, _ =>
+    * shuffle), shared by L2/X1/X12 (see [[graft.Memo]]). */
+  def shingleHashSet(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Memo(spark, s"shingles:$sfDir") {
       graft.api.TextPipeline.shingleHashes(
         Tables.documents(spark, sfDir), "doc_id", "text", 3)
-        .localCheckpoint(true))
-  }
+        .localCheckpoint(true)
+    }
+
+  /** Memoized verified near-dup pairs — L2 emits them, X1 joins
+    * signatures onto them, X12 clusters them; one LSH+verify run per
+    * (session, corpus) instead of three. */
+  def nearDupPairsFrame(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Memo(spark, s"neardup:$sfDir") {
+      graft.api.TextPipeline.nearDupPairsHashed(shingleHashSet(spark, sfDir))
+        .localCheckpoint(true)
+    }
 
   /** L2 — MinHash-LSH near-dedup (delegates to the reusable
     * [[graft.api.TextPipeline.nearDupPairs]]): candidate pairs from
@@ -63,7 +52,7 @@ object Dedup {
     * Output is identical to the oracle's exhaustive exact computation as
     * long as LSH recall at the threshold is 1 (see class doc). */
   def l2MinHashDedup(spark: SparkSession, sfDir: String): DataFrame =
-    graft.api.TextPipeline.nearDupPairsHashed(shingleHashSet(spark, sfDir))
+    nearDupPairsFrame(spark, sfDir)
       .orderBy(col("doc_a"), col("doc_b"))
 
     /** X1 raw — SimHash: 64-bit signed projection of the doc's shingle
@@ -95,7 +84,7 @@ object Dedup {
     * the background, stated as data. */
   def x1SimHash(spark: SparkSession, sfDir: String): DataFrame = {
     val sig = simHashSignatures(spark, sfDir)
-    l2MinHashDedup(spark, sfDir)
+    nearDupPairsFrame(spark, sfDir)
       .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")),
         "doc_a")
       .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")),
@@ -111,7 +100,7 @@ object Dedup {
     * verified near-dup pair labeled with its cluster representative
     * (minimum doc_id reachable) — "keep one doc per cluster". */
   def x12DedupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    graft.api.TextPipeline.connectedComponents(l2MinHashDedup(spark, sfDir))
+    graft.api.TextPipeline.connectedComponents(nearDupPairsFrame(spark, sfDir))
       .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

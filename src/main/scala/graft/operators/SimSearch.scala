@@ -20,14 +20,21 @@ object SimSearch {
   /** round(Σ aᵢ·bᵢ, 6) via the native codegen DotProduct expression. */
   def dot6(a: Column, b: Column): Column = VectorPipeline.sim(a, b)
 
+  /** Memoized exact top-5 frame — L3 emits it and the x8/x14 derived
+    * claims compare against it; one brute-force pass per (session,
+    * corpus) instead of three (see [[graft.Memo]]). */
+  def exactTopK(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Memo(spark, s"l3exact:$sfDir") {
+      val emb = Tables.embeddings(spark, sfDir)
+      VectorPipeline.topKCosine(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5)
+        .localCheckpoint(true)
+    }
+
   /** L3 — brute-force top-5 cosine neighbors for each probe (vec_id<10),
     * ranked by rounded similarity with vec_id tie-break. */
-  def l3TopKCosine(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-    VectorPipeline.topKCosine(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", 5)
-      .orderBy(col("probe_id"), col("rank"))
-  }
+  def l3TopKCosine(spark: SparkSession, sfDir: String): DataFrame =
+    exactTopK(spark, sfDir).orderBy(col("probe_id"), col("rank"))
 
   /** X2 — embedding-cosine near-duplicate pairs (sim ≥ 0.45; the corpus
     * is near-orthogonal, max pairwise 0.51). */
