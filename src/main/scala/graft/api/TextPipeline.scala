@@ -25,22 +25,33 @@ object TextPipeline {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct (id, shingle) pairs for a document frame. Dedup happens
-    * inside each document row (array_distinct before explode) — the
-    * global (doc_id, ngram) distinct is exactly per-doc distinct, so no
-    * shuffle is ever needed for it. */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  /** (doc_id, pos, ngram) rows via the native
+    * [[graft.functions.WordNGrams]] generator — the codegen'd UDTF
+    * spelling of `posexplode(ngramsCol(...))` (measured 5.7× faster on
+    * the 260k-row l6 build: the HOF chain interprets its lambda per
+    * element, the generator stays in whole-stage codegen). `distinct`
+    * dedups per document INSIDE the generator, so no shuffle is ever
+    * needed for shingle-set construction. */
+  def ngramRows(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      distinct: Boolean = false): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(ngramsCol(col(textCol), n))).as("ngram"))
+      graft.functions.WordNGrams.ngrams(col(textCol), n, distinct)
+        .as(Seq("pos", "ngram")))
+
+  /** Distinct (id, shingle) pairs for a document frame (per-doc dedup
+    * inside the generator — the global (doc_id, ngram) distinct is
+    * exactly per-doc distinct, so it costs no shuffle). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    ngramRows(docs, idCol, textCol, n, distinct = true)
+      .select(col("doc_id"), col("ngram"))
 
   /** Distinct (id, 64-bit shingle hash) pairs — the compact form
-    * [[nearDupPairsHashed]] consumes: hashing before materialization
+    * [[nearDupPairsHashed]] consumes: hashing at generation time
     * shrinks the frame to two longs per shingle. */
   def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(transform(ngramsCol(col(textCol), n),
-        g => xxhash64(g)))).as("ng_h"))
+    ngramRows(docs, idCol, textCol, n, distinct = true)
+      .select(col("doc_id"), xxhash64(col("ngram")).as("ng_h"))
 
   /** MinHash + LSH near-duplicate pairs with exact-Jaccard verification.
     *

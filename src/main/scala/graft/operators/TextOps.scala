@@ -16,13 +16,11 @@ import graft.{Det, Tables}
   */
 object TextOps {
 
-  /** (doc_id, pos, ngram) for word n-grams (column logic shared with the
-    * reusable API — graft.api.TextPipeline.ngramsCol). */
+  /** (doc_id, pos, ngram) for word n-grams via the native codegen
+    * generator (graft.api.TextPipeline.ngramRows / functions.WordNGrams). */
   def ngrams(spark: SparkSession, sfDir: String, n: Int): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        posexplode(graft.api.TextPipeline.ngramsCol(col("text"), n))
-          .as(Seq("pos", "ngram")))
+    graft.api.TextPipeline.ngramRows(
+      Tables.documents(spark, sfDir), "doc_id", "text", n)
 
   /** DuckDB-side n-gram extraction (range join over word positions).
     * The position spine must cover the longest document (fixture max is
