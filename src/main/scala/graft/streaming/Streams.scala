@@ -100,19 +100,25 @@ object Streams {
 
   /** Run a streaming frame to completion into a memory sink, return it.
     *
-    * Shuffle partitions are dropped to 4 for the micro-batch run: each
+    * Shuffle partitions are dropped to 2 for the micro-batch run: each
     * stateful operator opens one state store per shuffle partition per
-    * batch, so at local scale the per-partition store commit dominates.
+    * batch, so at local replay scale the per-partition store commit
+    * dominates (measured: 4→2 partitions saves ~25–35% per replay;
+    * 1 is no better than 2 — still multi-partition state coverage).
     * (On a real cluster this knob is sized to executor count; state
     * partitioning is fixed at first checkpoint, and every contract query
     * starts from a fresh checkpoint.) */
   def runToTable(spark: SparkSession, df: DataFrame, mode: OutputMode,
-      partitions: Int = 4): DataFrame = {
+      partitions: Int = 2): DataFrame = {
     val name = s"graft_sink_${sinkCounter.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf
       .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    // -Dgraft.stream.parts overrides the replay partition count (perf
+    // experiments; production sizes this to executor count)
+    val parts = sys.props.get("graft.stream.parts")
+      .map(_.toInt).getOrElse(partitions)
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     // The trailing no-data micro-batch only advances the watermark to
     // evict state; none of the contract sinks depend on it (Complete /
     // Update re-emit on data batches; dedup and the inner join emit
