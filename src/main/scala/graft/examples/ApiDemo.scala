@@ -25,13 +25,18 @@ object ApiDemo {
       (400L, "spark query engines compile plans into whole stage generated code")
     ).toDF("id", "body")
 
+    // native codegen n-gram generator (UDTF): (pos, ngram) rows
+    println("n-gram rows (WordNGrams generator):")
+    TextPipeline.ngramRows(corpus, "id", "body", 3)
+      .filter(col("doc_id") === 100L).show(3, false)
+
     val sh = TextPipeline.shingles(corpus, "id", "body", 3)
     val pairs = TextPipeline.nearDupPairs(sh, threshold = 0.5)
     println("near-dup pairs:")
     pairs.orderBy("doc_a").show(false)
 
-    val clusters = TextPipeline.connectedComponents(pairs)
-    println("clusters:")
+    val (clusters, rounds) = TextPipeline.connectedComponentsWithRounds(pairs)
+    println(s"clusters (converged in $rounds large/small-star rounds):")
     clusters.orderBy("doc_id").show(false)
 
     println("quality + tokens + fingerprint:")

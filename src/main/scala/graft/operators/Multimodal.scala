@@ -93,10 +93,37 @@ object Multimodal {
     decoded.orderBy(col("doc_id"))
   }
 
+  /** X16 — frame-sample + resize plumbing (the video/audio analog of
+    * X7's image decode): each payload is sampled into 4 evenly-spaced
+    * "frames" (offset slices — the frame-sample primitive), each frame
+    * "resized" to a fixed-width 8-char thumbnail, then pooled per
+    * document (count / coverage / min-hash fingerprint / first
+    * thumbnail). The sampling arithmetic and features are pure functions
+    * of the payload bytes so DuckDB reproduces them exactly; at scale
+    * the same explode → per-frame transform → pooling agg shape carries
+    * a real codec behind the X7-style per-partition decoder. */
+  def x16FrameSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        greatest(lit(1L), (length(col("text")) / 4).cast("long")).as("stride"))
+      .select(col("doc_id"), col("text"), col("stride"),
+        explode(sequence(lit(0L), lit(3L))).as("f"))
+      .withColumn("frame",
+        expr("substring(text, cast(f * stride + 1 as int), cast(stride as int))"))
+      .filter(length(col("frame")) > 0)
+      .withColumn("thumb", rpad(substring(col("frame"), 1, 8), 8, "_"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length(col("frame"))).cast("long").as("covered_chars"),
+        min(md5(col("frame"))).as("pooled_fp"),
+        min(col("thumb")).as("min_thumb"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l7_multimodal_join" -> (l7MultimodalJoin _),
     "x3_langid" -> (x3LangId _),
-    "x7_binary_decode" -> (x7BinaryDecode _))
+    "x7_binary_decode" -> (x7BinaryDecode _),
+    "x16_frame_sample" -> (x16FrameSample _))
 
   import Det.{sql => d}
   val oracles: Map[String, String] = Map(
@@ -117,6 +144,20 @@ object Multimodal {
        "AS BIGINT) AS height, h AS digest FROM " +
        "(SELECT doc_id, n_chars, md5(text) AS h FROM documents) t " +
        "ORDER BY doc_id"),
+    // frame arithmetic is integer-exact on both engines; md5/rpad agree
+    // byte-for-byte on the same UTF-8 text
+    "x16_frame_sample" ->
+      ("WITH fr AS (SELECT doc_id, " +
+       "substr(text, CAST(f * stride + 1 AS INT), CAST(stride AS INT)) AS frame " +
+       "FROM (SELECT doc_id, text, " +
+       "GREATEST(1, length(text) // 4) AS stride FROM documents) d, " +
+       "range(0, 4) r(f)) " +
+       "SELECT doc_id, COUNT(*) AS n_frames, " +
+       "CAST(SUM(length(frame)) AS BIGINT) AS covered_chars, " +
+       "MIN(md5(frame)) AS pooled_fp, " +
+       "MIN(rpad(substr(frame, 1, 8), 8, '_')) AS min_thumb " +
+       "FROM fr WHERE length(frame) > 0 " +
+       "GROUP BY doc_id ORDER BY doc_id"),
     // Same train+classify pipeline in SQL: top-10 words per language
     // (count desc, word asc), overlap of each doc's distinct word set
     // against every profile, argmax with the same deterministic tie-break.
