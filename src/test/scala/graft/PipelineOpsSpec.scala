@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PipelineOps
+
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("x17 contamination: flagged docs really share a 3-gram with the eval slice") {
+    val res = PipelineOps.x17Contamination(spark, sf).collect()
+    assert(res.nonEmpty, "no contaminated docs found at sf0.001")
+    // no eval doc flags itself, counts are positive
+    res.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 97 != 0)
+      assert(r.getAs[Long]("n_shared") >= 1L)
+      assert(r.getAs[Long]("n_eval_docs") >= 1L)
+    }
+    // independent recompute: 3-gram sets of flagged vs eval docs intersect
+    val grams = graft.api.TextPipeline
+      .shingles(Tables.documents(spark, sf), "doc_id", "text", 3)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[String]("ngram")).toSet).toMap
+    val evalGrams = grams.collect { case (id, g) if id % 97 == 0 => g }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val flagged = res.map(_.getAs[Long]("doc_id")).toSet
+    val expected = grams.collect {
+      case (id, g) if id % 97 != 0 && g.exists(evalGrams) => id
+    }.toSet
+    assert(flagged == expected)
+  }
+
+  test("x18 repetition metrics: known values on a hand-built doc") {
+    val docs = Seq(
+      (1L, "a a a a"),             // grams: "a a a"x2 -> dup 0.5; top-word 1.0
+      (2L, "a b c d e"),           // all grams distinct, top word 1/5
+      (3L, "x y x y x y")          // grams: "x y x","y x y" repeat -> dup 0.5
+    ).toDF("doc_id", "text")
+    val (dup, top) = PipelineOps.repetitionMetrics(col("text"))
+    val m = docs.select(col("doc_id"), dup.as("d"), top.as("t")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(m(1L) == ((0.5, 1.0)))
+    assert(m(2L) == ((0.0, 0.2)))
+    assert(m(3L) == ((0.5, 0.5)))
+  }
+
+  test("x18 on the corpus: fractions bounded, verdict consistent") {
+    val rows = PipelineOps.x18Repetition(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 3).count())
+    rows.foreach { r =>
+      val d = r.getAs[Double]("dup_gram_frac")
+      val t = r.getAs[Double]("top_word_frac")
+      assert(d >= 0.0 && d < 1.0)
+      assert(t > 0.0 && t <= 1.0)
+      assert(r.getAs[Boolean]("repetitive") == (d > 0.02 || t > 0.2))
+    }
+  }
+
+  test("x19 stratified sample: thresholds per stratum, weights match") {
+    val rows = PipelineOps.x19StratifiedSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val en = r.getAs[String]("lang") == "en"
+      assert(r.getAs[String]("bucket") <= (if (en) "0f" else "3f"))
+      assert(r.getAs[Double]("weight") == (if (en) 16.0 else 4.0))
+    }
+    // the sample is a deterministic subset: re-running yields identical rows
+    val again = PipelineOps.x19StratifiedSample(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // en is down-sampled harder than the rest (that's the point)
+    val total = Tables.documents(spark, sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = rows.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    val enRate = kept.getOrElse("en", 0).toDouble / total("en")
+    val restRate = (rows.length - kept.getOrElse("en", 0)).toDouble /
+      (total.values.sum - total("en"))
+    assert(enRate < restRate)
+  }
+}
