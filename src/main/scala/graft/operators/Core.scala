@@ -216,8 +216,24 @@ object Core {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(10)
 
+  /** S11 — custom DataSource V2 scan ([[graft.sources.SeqSource]]): the
+    * connector-extension tier. The `id` band is consumed by the source's
+    * own filter pushdown, so only the slices intersecting [50k,150k) are
+    * ever planned (source-level partition pruning — asserted in
+    * SeqSourceSpec), and the scan reports post-pushdown statistics. The
+    * aggregate then runs over exactly the surviving rows. */
+  def s11Dsv2Source(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft-seq")
+      .option("start", 0).option("end", 200000).option("slices", 64)
+      .load()
+      .filter(col("id") >= 50000 && col("id") < 150000)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), graft.Det.dsum(col("val")).as("sum_val"))
+      .orderBy(col("bucket"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_scan" -> (s1Scan _),
+    "s11_dsv2_source" -> (s11Dsv2Source _),
     "s2_pushdown" -> (s2Pushdown _),
     "s3_events_scan" -> (s3EventsScan _),
     "s5_csv_json" -> (s5CsvJson _),
@@ -239,6 +255,13 @@ object Core {
   val oracles: Map[String, String] = Map(
     "s1_scan" ->
       "SELECT * FROM region ORDER BY r_regionkey",
+    // mirrors SeqSource.valueOf: the oracle regenerates the same
+    // deterministic sequence with DuckDB's range() table function
+    "s11_dsv2_source" ->
+      ("SELECT CAST(id % 100 AS INT) AS bucket, COUNT(*) AS n, " +
+       d.dsum("((id * 2654435761) % 1000) / 10.0") + " AS sum_val " +
+       "FROM (SELECT range AS id FROM range(50000, 150000)) t " +
+       "GROUP BY 1 ORDER BY 1"),
     "s2_pushdown" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
        "WHERE l_quantity > 45.0 ORDER BY l_orderkey, l_linenumber, l_quantity"),
