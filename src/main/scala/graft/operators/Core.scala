@@ -216,6 +216,32 @@ object Core {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(10)
 
+  /** S12 — schema evolution across parquet file generations: an old
+    * writer produced (key, name, acctbal), a new writer (key, name,
+    * nationkey); `mergeSchema=true` reconciles the union schema with
+    * nulls for absent columns, exactly like a long-lived 100 TB table
+    * whose producers evolved mid-stream. The aggregate proves null
+    * accounting: per-generation counts + the exact balance sum survive
+    * the merge. (Merged-footer inference costs one extra listing pass at
+    * scale — production pins the union schema in a catalog; same plan.) */
+  def s12MergeSchema(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.scratchDir("s12", sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    s.filter(col("s_suppkey") % 2 === 0)
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .write.mode("overwrite").parquet(s"$base/gen1")
+    s.filter(col("s_suppkey") % 2 =!= 0)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      .write.mode("overwrite").parquet(s"$base/gen2")
+    Tables.tune(spark).read.option("mergeSchema", "true")
+      .parquet(s"$base/gen1", s"$base/gen2")
+      .agg(count(lit(1)).as("n"),
+        count(col("s_acctbal")).as("n_gen1"),
+        count(col("s_nationkey")).as("n_gen2"),
+        graft.Det.dsum(col("s_acctbal")).as("bal_gen1"),
+        countDistinct(col("s_name")).as("n_names"))
+  }
+
   /** S11 — custom DataSource V2 scan ([[graft.sources.SeqSource]]): the
     * connector-extension tier. The `id` band is consumed by the source's
     * own filter pushdown, so only the slices intersecting [50k,150k) are
@@ -234,6 +260,7 @@ object Core {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_scan" -> (s1Scan _),
     "s11_dsv2_source" -> (s11Dsv2Source _),
+    "s12_merge_schema" -> (s12MergeSchema _),
     "s2_pushdown" -> (s2Pushdown _),
     "s3_events_scan" -> (s3EventsScan _),
     "s5_csv_json" -> (s5CsvJson _),
@@ -262,6 +289,15 @@ object Core {
        d.dsum("((id * 2654435761) % 1000) / 10.0") + " AS sum_val " +
        "FROM (SELECT range AS id FROM range(50000, 150000)) t " +
        "GROUP BY 1 ORDER BY 1"),
+    // the oracle recomputes the evolution split straight from supplier:
+    // even keys carried acctbal (gen1), odd keys nationkey (gen2)
+    "s12_merge_schema" ->
+      ("SELECT COUNT(*) AS n, " +
+       "CAST(COUNT(CASE WHEN s_suppkey % 2 = 0 THEN 1 END) AS BIGINT) AS n_gen1, " +
+       "CAST(COUNT(CASE WHEN s_suppkey % 2 <> 0 THEN 1 END) AS BIGINT) AS n_gen2, " +
+       "CAST(SUM(CASE WHEN s_suppkey % 2 = 0 " +
+       "THEN CAST(s_acctbal AS DECIMAL(18,4)) END) AS DOUBLE) AS bal_gen1, " +
+       "COUNT(DISTINCT s_name) AS n_names FROM supplier"),
     "s2_pushdown" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
        "WHERE l_quantity > 45.0 ORDER BY l_orderkey, l_linenumber, l_quantity"),

@@ -92,10 +92,71 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  /** PII patterns shared by the Spark side and (verbatim) the DuckDB
+    * oracle — keep them in the RE2 ∩ java.util.regex common subset:
+    * no backreferences, no lookaround, POSIX classes only. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val IpRe = "([0-9]{1,3}\\.)([0-9]{1,3}\\.)([0-9]{1,3}\\.)[0-9]{1,3}"
+  val PhoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** X20 — PII redaction (scrub-before-training): count and replace
+    * email / IPv4 / phone spans per document. The corpus is synthetic
+    * word-soup with no natural PII, so a deterministic slice of docs gets
+    * PII planted first (`doc_id % {7,11,13}`) — the redactor then has
+    * real positives to find and the oracle reproduces both steps.
+    * Per-row regex work only: zero shuffles, SF-invariant, stays inside
+    * whole-stage codegen. */
+  def x20PiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = Tables.documents(spark, sfDir).select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0, lit(" reach me at user42@example.com now"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit(" call 555-0142 today"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, lit(" from 192.168.10.77 gateway"))
+        .otherwise(lit(""))).as("t"))
+    // scrub emails first (they contain digits/dots that the narrower
+    // patterns could then safely never see), then IPs, then phones
+    planted.select(col("doc_id"),
+      size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("t"), lit(IpRe), lit(0))).as("n_ips"),
+      size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).as("n_phones"),
+      regexp_replace(regexp_replace(regexp_replace(col("t"),
+        EmailRe, "<EMAIL>"), IpRe, "<IP>"), PhoneRe, "<PHONE>").as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X21 — sequence packing (concat-and-chop): lay each language's
+    * token stream end-to-end in deterministic doc_id order and cut
+    * fixed-capacity context windows; emit each doc's window id, offset,
+    * and whether it straddles a boundary. One window shuffle partitioned
+    * by language — at 100 TB the partition key becomes (lang, shard) so
+    * no single stream serializes; the assignment stays deterministic
+    * because shards are content-hash buckets, not arrival order. */
+  def x21PackSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cap = 512
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("end_tok", sum(col("n_tokens")).over(w))
+      .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"start_tok div $cap").as("bin"),
+        (col("start_tok") % cap).as("offset"),
+        (expr(s"(end_tok - 1) div $cap") > expr(s"start_tok div $cap"))
+          .as("straddles"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x17_contamination" -> (x17Contamination _),
     "x18_repetition" -> (x18Repetition _),
-    "x19_stratified_sample" -> (x19StratifiedSample _))
+    "x19_stratified_sample" -> (x19StratifiedSample _),
+    "x20_pii_redact" -> (x20PiiRedact _),
+    "x21_pack_sequences" -> (x21PackSequences _))
 
   val oracles: Map[String, String] = Map(
     "x17_contamination" ->
@@ -123,5 +184,27 @@ object PipelineOps {
        "CAST(CASE WHEN lang = 'en' THEN 16.0 ELSE 4.0 END AS DOUBLE) AS weight " +
        "FROM documents " +
        "WHERE substr(md5(text), 1, 2) <= (CASE WHEN lang = 'en' THEN '0f' ELSE '3f' END) " +
-       "ORDER BY doc_id"))
+       "ORDER BY doc_id"),
+    "x20_pii_redact" ->
+      ("WITH p AS (SELECT doc_id, text " +
+       "|| (CASE WHEN doc_id % 7 = 0 THEN ' reach me at user42@example.com now' ELSE '' END) " +
+       "|| (CASE WHEN doc_id % 11 = 0 THEN ' call 555-0142 today' ELSE '' END) " +
+       "|| (CASE WHEN doc_id % 13 = 0 THEN ' from 192.168.10.77 gateway' ELSE '' END) AS t " +
+       "FROM documents) SELECT doc_id, " +
+       s"CAST(len(regexp_extract_all(t, '$EmailRe')) AS INT) AS n_emails, " +
+       s"CAST(len(regexp_extract_all(t, '$IpRe')) AS INT) AS n_ips, " +
+       s"CAST(len(regexp_extract_all(t, '$PhoneRe')) AS INT) AS n_phones, " +
+       s"regexp_replace(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'), " +
+       s"'$IpRe', '<IP>', 'g'), '$PhoneRe', '<PHONE>', 'g') AS clean " +
+       "FROM p ORDER BY doc_id"),
+    "x21_pack_sequences" ->
+      ("WITH d AS (SELECT doc_id, lang, " +
+       "CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents), " +
+       "c AS (SELECT doc_id, lang, n_tokens, SUM(n_tokens) OVER " +
+       "(PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING " +
+       "AND CURRENT ROW) AS end_tok FROM d) " +
+       "SELECT doc_id, lang, n_tokens, (end_tok - n_tokens) // 512 AS bin, " +
+       "(end_tok - n_tokens) % 512 AS offset, " +
+       "((end_tok - 1) // 512) > ((end_tok - n_tokens) // 512) AS straddles " +
+       "FROM c ORDER BY doc_id"))
 }

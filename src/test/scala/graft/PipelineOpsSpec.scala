@@ -56,6 +56,50 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("x20 pii redaction: planted spans found and scrubbed, clean text has none") {
+    val rows = PipelineOps.x20PiiRedact(spark, sf).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("n_emails") == (if (id % 7 == 0) 1 else 0))
+      assert(r.getAs[Int]("n_phones") == (if (id % 11 == 0) 1 else 0))
+      assert(r.getAs[Int]("n_ips") == (if (id % 13 == 0) 1 else 0))
+      val clean = r.getAs[String]("clean")
+      assert(!clean.contains("@") && !clean.contains("555-0142") &&
+        !clean.contains("192.168"))
+      if (id % 7 == 0) assert(clean.contains("<EMAIL>"))
+      if (id % 11 == 0) assert(clean.contains("<PHONE>"))
+      if (id % 13 == 0) assert(clean.contains("<IP>"))
+    }
+  }
+
+  test("x21 packing: contiguous per-lang streams, offsets consistent, capacity respected") {
+    val rows = PipelineOps.x21PackSequences(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, docs) =>
+      val ordered = docs.sortBy(_.getAs[Long]("doc_id"))
+      var stream = 0L
+      ordered.foreach { r =>
+        assert(r.getAs[Long]("bin") == stream / 512)
+        assert(r.getAs[Long]("offset") == stream % 512)
+        stream += r.getAs[Int]("n_tokens")
+        val endBin = (stream - 1) / 512
+        assert(r.getAs[Boolean]("straddles") == (endBin > r.getAs[Long]("bin")))
+      }
+    }
+    // docs are 10-99 words << 512 capacity: a doc never spans 3 windows,
+    // and every interior window is fully filled by construction
+    assert(rows.forall(r => r.getAs[Int]("n_tokens") < 512))
+  }
+
+  test("s12 merge-schema read: union schema with per-generation null accounting") {
+    val r = graft.operators.Core.s12MergeSchema(spark, sf).collect().head
+    val s = Tables.supplier(spark, sf)
+    assert(r.getAs[Long]("n") == s.count())
+    assert(r.getAs[Long]("n_gen1") + r.getAs[Long]("n_gen2") == r.getAs[Long]("n"))
+    val wantBal = s.filter(col("s_suppkey") % 2 === 0)
+      .agg(Det.dsum(col("s_acctbal"))).collect().head.getDouble(0)
+    assert(r.getAs[Double]("bal_gen1") == wantBal)
+  }
+
   test("x19 stratified sample: thresholds per stratum, weights match") {
     val rows = PipelineOps.x19StratifiedSample(spark, sf).collect()
     assert(rows.nonEmpty)
