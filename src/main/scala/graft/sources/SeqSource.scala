@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -54,7 +55,8 @@ class SeqSource extends TableProvider
     new SeqTable(
       properties.asScala.getOrElse("start", "0").toLong,
       properties.asScala.getOrElse("end", "1000").toLong,
-      properties.asScala.getOrElse("slices", "8").toInt)
+      properties.asScala.getOrElse("slices", "8").toInt,
+      properties.asScala.getOrElse("rowsPerBatch", "1000").toLong)
 }
 
 object SeqSource {
@@ -68,16 +70,18 @@ object SeqSource {
   def valueOf(id: Long): Double = ((id * 2654435761L) % 1000L) / 10.0
 }
 
-class SeqTable(start: Long, end: Long, slices: Int) extends Table with SupportsRead {
+class SeqTable(start: Long, end: Long, slices: Int, rowsPerBatch: Long)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_seq($start,$end,$slices)"
   override def schema(): StructType = SeqSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(start, end, slices)
+    new SeqScanBuilder(start, end, slices, rowsPerBatch)
 }
 
-class SeqScanBuilder(start: Long, end: Long, slices: Int) extends ScanBuilder
+class SeqScanBuilder(start: Long, end: Long, slices: Int, rowsPerBatch: Long)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo = start
@@ -106,18 +110,22 @@ class SeqScanBuilder(start: Long, end: Long, slices: Int) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SeqScan(start, end, slices, lo, hi, required)
+  override def build(): Scan =
+    new SeqScan(start, end, slices, rowsPerBatch, lo, hi, required)
 }
 
 /** One pre-split chunk of the sequence, clamped to the pushed bounds —
   * the source's "file/row-group" analog. */
 case class SeqPartition(lo: Long, hi: Long) extends InputPartition
 
-class SeqScan(start: Long, end: Long, slices: Int, lo: Long, hi: Long,
+class SeqScan(start: Long, end: Long, slices: Int, rowsPerBatch: Long,
+    lo: Long, hi: Long,
     required: StructType) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SeqMicroBatchStream(lo, hi, rowsPerBatch, required)
   override def description(): String =
     s"graft-seq [$start,$end) slices=$slices pushed=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
 
@@ -143,6 +151,55 @@ class SeqScan(start: Long, end: Long, slices: Int, lo: Long, hi: Long,
       util.OptionalLong.of(rows * (8 + 4 + 8))
     override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
   }
+}
+
+/** Position in the sequence — the stream's offset is just the next id. */
+case class SeqOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+/** Micro-batch stream over the same sequence, with admission control:
+  * each trigger admits at most `rowsPerBatch` ids, so an AvailableNow
+  * replay drains [lo, hi) in ceil(range/rowsPerBatch) deterministic
+  * batches (Spark's AvailableNow wrapper honors the read limit while
+  * draining to the offset captured at query start). Offsets are plain
+  * sequence positions — restart-safe via their JSON form. */
+class SeqMicroBatchStream(lo: Long, hi: Long, rowsPerBatch: Long,
+    required: StructType) extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // the available range is static ([lo, hi) is fixed at plan time), so
+  // the AvailableNow target needs no capture — reportLatestOffset
+  // already returns the constant end the drain runs to
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def initialOffset(): Offset = SeqOffset(lo)
+  override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+  override def reportLatestOffset(): Offset = SeqOffset(hi)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-controlled path")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val pos = start.asInstanceOf[SeqOffset].pos
+    limit match {
+      case r: ReadMaxRows => SeqOffset(math.min(pos + r.maxRows(), hi))
+      case _: ReadAllAvailable => SeqOffset(hi)
+      case _ => SeqOffset(hi)
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SeqOffset].pos
+    val e = end.asInstanceOf[SeqOffset].pos
+    if (s >= e) Array.empty
+    else Array(SeqPartition(s, e))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(required)
 }
 
 class SeqReaderFactory(required: StructType) extends PartitionReaderFactory {

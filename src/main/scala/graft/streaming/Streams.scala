@@ -445,7 +445,25 @@ object Streams {
         sum(col("value").cast(Det.Money)).cast("double").as("sum_value"))
   }
 
+  /** ST11 — custom DataSource V2 MICRO-BATCH source: the graft-seq
+    * connector's streaming face ([[graft.sources.SeqMicroBatchStream]]).
+    * Admission control caps each trigger at rowsPerBatch ids, so the
+    * AvailableNow replay drains 100k ids in 5 deterministic batches; the
+    * Complete-mode aggregate then equals the batch aggregate of the same
+    * range, which is what the DuckDB range() oracle recomputes. */
+  def st11SeqStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val stream = spark.readStream.format("graft-seq")
+      .option("start", 0).option("end", 100000)
+      .option("rowsPerBatch", 20000).load()
+    val agg = stream.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("val").cast(Det.Money)).cast("double").as("sum_val"))
+    runToTable(spark, agg, OutputMode.Complete())
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st11_dsv2_stream" -> (st11SeqStream _),
     "st8_stream_stream" -> (st8StreamStreamJoin _),
     "st9_file_sink" -> (st9FileSink _),
     "st10_foreach_batch" -> (st10ForeachBatch _),
@@ -459,6 +477,11 @@ object Streams {
     "st7_stream_static" -> (st7StreamStatic _))
 
   val oracles: Map[String, String] = Map(
+    "st11_dsv2_stream" ->
+      ("SELECT CAST(id % 100 AS INT) AS bucket, COUNT(*) AS n, " +
+       "CAST(SUM(CAST((((id * 2654435761) % 1000) / 10.0) AS DECIMAL(18,4))) AS DOUBLE) AS sum_val " +
+       "FROM (SELECT range AS id FROM range(0, 100000)) t " +
+       "GROUP BY 1 ORDER BY 1"),
     "st1_tumbling" ->
       ("SELECT (epoch_us(ts) // 600000000) * 600 AS win_start, event_type, " +
        "COUNT(*) AS n, " +

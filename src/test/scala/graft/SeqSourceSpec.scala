@@ -60,6 +60,28 @@ class SeqSourceSpec extends SparkSpec {
     assert(only.distinct().count() == 100)
   }
 
+  test("micro-batch stream: admission control drains in fixed batches, equals batch read") {
+    import org.apache.spark.sql.streaming.Trigger
+    val stream = spark.readStream.format("graft-seq")
+      .option("start", 0).option("end", 1000).option("rowsPerBatch", 300).load()
+    val q = stream.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("val").as("s"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("seq_stream_test").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // 1000 ids at <=300/trigger: 4 data batches (300+300+300+100)
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches == 4, s"expected 4 data batches, saw $dataBatches: " +
+      q.recentProgress.map(_.numInputRows).mkString(","))
+    assert(q.recentProgress.filter(_.numInputRows > 0)
+      .map(_.numInputRows).sum == 1000)
+    val got = spark.table("seq_stream_test").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val want = seq(0, 1000, 4).groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
   test("contract query equals the same aggregate over spark.range") {
     val got = graft.operators.Core.s11Dsv2Source(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
