@@ -123,6 +123,21 @@ object Windows {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** W10 — same top-k-per-group semantics as W6, but through the custom
+    * physical operator (graft.plans.GroupTopK: logical node + Strategy +
+    * two-phase exec with map-side heap pruning). The oracle is the
+    * standard window formulation — proving the custom plan reproduces
+    * window semantics while shuffling only ≤ groups×k rows per map
+    * partition instead of the whole input. */
+  def w10TopKExec(spark: SparkSession, sfDir: String): DataFrame =
+    graft.plans.GroupTopK(
+        Tables.orders(spark, sfDir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        groupCols = Seq("o_custkey"),
+        orderSpec = Seq(("o_totalprice", false), ("o_orderkey", true)),
+        k = 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w1_ranks" -> (w1Ranks _),
     "w2_ntile" -> (w2Ntile _),
@@ -130,7 +145,8 @@ object Windows {
     "w4_running" -> (w4Running _),
     "w5_range_sliding" -> (w5RangeSliding _),
     "w6_topk_per_group" -> (w6TopKPerGroup _),
-    "w7_first_last" -> (w7FirstLast _))
+    "w7_first_last" -> (w7FirstLast _),
+    "w10_topk_exec" -> (w10TopKExec _))
 
   val oracles: Map[String, String] = Map(
     "w1_ranks" ->
@@ -175,5 +191,12 @@ object Windows {
        "WINDOW w AS (PARTITION BY user_id, epoch_us(ts) // 86400000000 " +
        "ORDER BY epoch_us(ts), event_id " +
        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
-       "ORDER BY user_id, day"))
+       "ORDER BY user_id, day"),
+    "w10_topk_exec" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice FROM " +
+       "(SELECT o_custkey, o_orderkey, o_totalprice, " +
+       "row_number() OVER (PARTITION BY o_custkey " +
+       "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
+       "FROM orders) t WHERE rn <= 3 " +
+       "ORDER BY o_custkey, o_totalprice DESC, o_orderkey"))
 }

@@ -1,0 +1,190 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+import scala.collection.mutable
+
+/** Grouped top-k as a first-class physical operator — the full custom
+  * Catalyst tier: logical node + planner Strategy + two-phase SparkPlan,
+  * installed through the public `spark.experimental.extraStrategies` hook.
+  *
+  * Why not a window function? `row_number().over(partitionBy(g).orderBy(o))
+  * <= k` (the W6 formulation) shuffles EVERY row to its group's reducer and
+  * sorts whole groups before discarding all but k rows. At 100 TB that plan
+  * moves the entire input through the exchange. This operator plans as
+  *
+  *   GroupTopKExec(final)            -- streaming take-k per group; O(1) mem
+  *     +- Sort(grouping ++ order)    -- inserted by EnsureRequirements;
+  *     |                                SortExec spills, so the reduce side
+  *     |                                is robust to any group size
+  *     +- Exchange(hash(grouping))   -- sees ONLY the survivors
+  *        +- GroupTopKExec(partial)  -- per-partition bounded heaps
+  *           +- scan ...
+  *
+  * The partial pass caps the exchange input at |groups-per-partition| × k
+  * rows — the same map-side-combine asymmetry a partial aggregate gets, but
+  * for an order-dependent operator no built-in partial agg expresses.
+  * Partial-pass memory is likewise bounded by live-groups × k row copies
+  * (strictly ≤ the partition's input; a production hardening would spill
+  * the heap table like ObjectHashAggregate does past a group-count
+  * threshold — at that point the pass can also simply pass rows through,
+  * since the final stage alone is already correct and spill-safe).
+  *
+  * Correctness of the split: top-k(⋃ᵢ top-k(partᵢ)) = top-k(⋃ᵢ partᵢ) for
+  * any total order — elements pruned by a partial heap are dominated by k
+  * better elements of the same group that the partial DID keep.
+  */
+case class GroupTopKNode(
+    grouping: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k >= 1, s"GroupTopK needs k >= 1, got $k")
+  require(grouping.nonEmpty,
+    "GroupTopK needs grouping keys; global top-k is Spark's own " +
+      "TakeOrderedAndProject (orderBy.limit)")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan)
+      : GroupTopKNode = copy(child = newChild)
+}
+
+/** Planner strategy: one logical node → partial + final pair. The final
+  * stage declares distribution/ordering requirements and lets
+  * EnsureRequirements plan the exchange and the (spillable) sort — never
+  * hand-schedule what the planner already does. */
+object GroupTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GroupTopKNode(g, o, k, child) =>
+      GroupTopKExec(g, o, k, partial = false,
+        GroupTopKExec(g, o, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+case class GroupTopKExec(
+    grouping: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  /** Final stage: rows of one group must be co-located and contiguous in
+    * sort order. Partial runs on whatever partitioning the scan produced. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(grouping) :: Nil
+
+  private def groupAscending: Seq[SortOrder] =
+    grouping.map(SortOrder(_, Ascending))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil) else Seq(groupAscending ++ order)
+
+  /** The final stage preserves its required child ordering, so a parent
+    * needing group-sorted output gets it for free. */
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil else groupAscending ++ order
+
+  override protected def doExecute(): RDD[InternalRow] =
+    if (partial) executePartial() else executeFinal()
+
+  /** Map side: one bounded max-heap per live group; a row enters only if
+    * its group has < k rows or it beats the group's current worst. */
+  private def executePartial(): RDD[InternalRow] = {
+    val g = grouping
+    val o = order
+    val kk = k
+    val childOutput = child.output
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(g, childOutput)
+      val ord = RowOrdering.create(o, childOutput)
+      val heaps = new java.util.HashMap[UnsafeRow,
+        mutable.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = mutable.PriorityQueue.empty[InternalRow](ord)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kk) heap.enqueue(row.copy())
+        else if (ord.compare(row, heap.head) < 0) {
+          heap.dequeue(); heap.enqueue(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator)
+    }, preservesPartitioning = true)
+  }
+
+  /** Reduce side: input arrives hash-partitioned by group and sorted by
+    * (grouping, order) — emit the first k rows of each group run. O(1)
+    * memory; spill safety lives in the SortExec below. */
+  private def executeFinal(): RDD[InternalRow] = {
+    val g = grouping
+    val kk = k
+    val childOutput = child.output
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(g, childOutput)
+      var current: UnsafeRow = null
+      var emitted = 0
+      iter.flatMap { row =>
+        val key = keyProj(row)
+        if (current == null || key != current) {
+          current = key.copy()
+          emitted = 1
+          Iterator.single(row)
+        } else if (emitted < kk) {
+          emitted += 1
+          Iterator.single(row)
+        } else Iterator.empty
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan)
+      : GroupTopKExec = copy(child = newChild)
+}
+
+/** User-facing surface: `GroupTopK(df, groups, orderCols, k)`. */
+object GroupTopK {
+
+  /** Idempotently register the strategy on a live session (the driver owns
+    * session construction, so contract queries install at call time). */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(GroupTopKStrategy)) {
+      spark.experimental.extraStrategies = cur :+ GroupTopKStrategy
+    }
+  }
+
+  /** Top-k rows per group. `orderSpec` is (column, ascending); the caller
+    * should end it with a unique tie-break column for deterministic output,
+    * exactly as a window-function formulation would. */
+  def apply(df: DataFrame, groupCols: Seq[String],
+      orderSpec: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    install(spark)
+    val analyzed = df.queryExecution.analyzed
+    def attr(name: String): Attribute = analyzed.output
+      .find(_.name.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $name not in ${analyzed.output.map(_.name).mkString(", ")}"))
+    val order = orderSpec.map { case (c, asc) =>
+      SortOrder(attr(c), if (asc) Ascending else Descending)
+    }
+    GraftBridge.ofRows(spark,
+      GroupTopKNode(groupCols.map(attr), order, k, analyzed))
+  }
+}
