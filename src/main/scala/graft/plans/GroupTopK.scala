@@ -14,10 +14,15 @@ import scala.collection.mutable
   * Catalyst tier: logical node + planner Strategy + two-phase SparkPlan,
   * installed through the public `spark.experimental.extraStrategies` hook.
   *
-  * Why not a window function? `row_number().over(partitionBy(g).orderBy(o))
-  * <= k` (the W6 formulation) shuffles EVERY row to its group's reducer and
-  * sorts whole groups before discarding all but k rows. At 100 TB that plan
-  * moves the entire input through the exchange. This operator plans as
+  * Why not a window function? Spark 4 already optimizes the
+  * `row_number().over(partitionBy(g).orderBy(o)) <= k` pattern with
+  * WindowGroupLimit, which does prune map-side — but its partial stage
+  * first SORTS the whole map partition (O(n log n) + sort spill risk on
+  * every mapper) before walking group runs, and the reduce side still
+  * computes the rank column and filters it. On engines or filter shapes
+  * where that rewrite doesn't fire, the window plan shuffles every row.
+  * This operator guarantees the pruned shape by construction and replaces
+  * the map-side sort with one O(n log k) bounded-heap pass:
   *
   *   GroupTopKExec(final)            -- streaming take-k per group; O(1) mem
   *     +- Sort(grouping ++ order)    -- inserted by EnsureRequirements;
@@ -28,9 +33,9 @@ import scala.collection.mutable
   *           +- scan ...
   *
   * The partial pass caps the exchange input at |groups-per-partition| × k
-  * rows — the same map-side-combine asymmetry a partial aggregate gets, but
-  * for an order-dependent operator no built-in partial agg expresses.
-  * Partial-pass memory is likewise bounded by live-groups × k row copies
+  * rows — the same bound WindowGroupLimit(Partial) achieves, but without
+  * sorting the map partition to get it (one heap pass, no spill surface).
+  * Partial-pass memory is bounded by live-groups × k row copies
   * (strictly ≤ the partition's input; a production hardening would spill
   * the heap table like ObjectHashAggregate does past a group-count
   * threshold — at that point the pass can also simply pass rows through,
