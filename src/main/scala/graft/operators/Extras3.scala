@@ -98,6 +98,35 @@ object Extras3 {
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
 
+  /** X25 — SCD Type-2 dimension build (warehouse CDC pattern): collapse
+    * each user's event stream into validity ranges — one row per run of
+    * equal event_type, carrying [valid_from, valid_to) in epoch-µs and
+    * the run's event count; the open current run gets valid_to = -1.
+    * Change points come from lag, versions from a running sum, ranges
+    * from a grouped agg, and the close-out timestamp from lead — all
+    * three window passes share one user_id partitioning, so the plan
+    * carries a single shuffle keyed by the dimension's natural key
+    * (exactly how the build shards on a 1000-executor cluster). */
+  def x25Scd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("event_type"), 1).over(byTime)
+    val versioned = Tables.eventsUs(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(byTime))
+    val byVersion = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    versioned
+      .groupBy(col("user_id"), col("version"), col("event_type"))
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to",
+        coalesce(lead(col("valid_from"), 1).over(byVersion), lit(-1L)))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("n_events"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   /** W9 — batch sessionization: the lag + running-sum session-id
     * assignment (gap > 30 min starts a new session), the batch twin of
     * the streaming session_window (ST3) — one shuffle on user_id, two
@@ -392,6 +421,7 @@ object Extras3 {
     "w8_distribution" -> (w8Distribution _),
     "l8_centroids" -> (l8Centroids _),
     "x15_latest_by_key" -> (x15LatestByKey _),
+    "x25_scd2" -> (x25Scd2 _),
     "x14_lsh_ann" -> (x14LshAnn _))
 
   import Det.{sql => d}
@@ -546,5 +576,19 @@ object Extras3 {
        "row_number() OVER (PARTITION BY user_id " +
        "ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn, " +
        "COUNT(*) OVER (PARTITION BY user_id) AS n_events FROM events) s " +
-       "WHERE rn = 1 ORDER BY user_id"))
+       "WHERE rn = 1 ORDER BY user_id"),
+    "x25_scd2" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id, event_type " +
+       "FROM events), " +
+       "c AS (SELECT *, CASE WHEN LAG(event_type) OVER w IS NULL " +
+       "OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg " +
+       "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+       "v AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version FROM c), " +
+       "r AS (SELECT user_id, CAST(version AS BIGINT) AS version, event_type, " +
+       "MIN(ts) AS valid_from, COUNT(*) AS n_events " +
+       "FROM v GROUP BY user_id, version, event_type) " +
+       "SELECT user_id, version, event_type, valid_from, " +
+       "COALESCE(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version), -1) " +
+       "AS valid_to, n_events FROM r ORDER BY user_id, version"))
 }

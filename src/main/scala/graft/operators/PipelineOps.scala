@@ -151,12 +151,111 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  /** X22 — segment-level exact dedup (the distributed answer to
+    * suffix-array substring dedup, Lee et al. 2021 "Deduplicating
+    * Training Data Makes Language Models Better"): chop every document
+    * into consecutive 16-word segments, keep only the globally-first
+    * occurrence of each segment (first = smallest (doc_id, seg_idx)),
+    * and report per document how many of its segments survive.
+    *
+    * Scale posture: the only shuffle is keyed by the segment's md5 —
+    * a fixed 32-byte key, never the segment text — so exchange rows
+    * stay narrow no matter how long documents get; everything else is
+    * per-row generation and a final per-doc partial agg. First-wins is
+    * decided by a rank over (doc_id, seg_idx), which is deterministic
+    * across any partitioning because the pair is unique per occurrence. */
+  def x22SegmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segLen = 16
+    val words = split(col("text"), " ")
+    val segs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0),
+          floor((size(words) - 1) / lit(segLen)).cast("int")),
+          i => array_join(slice(words, i * segLen + 1, lit(segLen)), " "))))
+      .withColumnRenamed("pos", "seg_idx")
+      .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
+        md5(col("col")).as("fp"))
+    val firstWins = Window.partitionBy(col("fp"))
+      .orderBy(col("doc_id"), col("seg_idx"))
+    segs.withColumn("kept", row_number().over(firstWins) === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X23 — overlapping context-window chunking (the RAG / long-context
+    * ingestion primitive): cut each document's token stream into 64-token
+    * windows at stride 32, emitting per chunk its offset, true length,
+    * and content fingerprint. Pure per-row array generation — zero
+    * shuffles, SF-invariant, and the generated rows carry an md5 instead
+    * of chunk text so downstream exchanges stay narrow. */
+  def x23Chunk(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cap, stride) = (64, 32)
+    val words = split(col("text"), " ")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(words).as("n_words"), posexplode(
+        transform(sequence(lit(0),
+          floor((size(words) - 1) / lit(stride)).cast("int")),
+          i => md5(array_join(slice(words, i * stride + 1, lit(cap)), " ")))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        (col("pos") * stride).cast("long").as("start_tok"),
+        least(lit(cap), col("n_words") - col("pos") * stride)
+          .cast("long").as("n_tok"),
+        col("col").as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** X27 — vocabulary heavy hitters via a mergeable Misra-Gries sketch
+    * ([[graft.functions.HeavyHittersAgg]], k=8 counters): candidate top
+    * terms of the corpus in one pass with k counters of state per
+    * partition instead of a full word-count shuffle.
+    *
+    * Contract form is a derived claim (the sketch itself is
+    * engine-specific): the exact side recomputes true counts in Spark
+    * and checks the two Misra-Gries guarantees — every word with
+    * frequency above n/(k+1) appears among the candidates, and every
+    * estimate is an undercount by at most n/(k+1). DuckDB reproduces
+    * the exact columns and the claims as literal TRUE. */
+  def x27HeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 8
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+    val sketch = words
+      .agg(graft.functions.HeavyHittersAgg.heavyHitters(col("word"), k)
+        .as("hh"))
+      .select(explode(col("hh")).as("c"))
+      .select(col("c.item").as("word"), col("c.est").as("est"))
+    val exact = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val n = words.agg(count(lit(1)).as("n"))
+    val joined = exact.join(sketch, Seq("word"), "left")
+      .crossJoin(n)
+    joined.agg(
+      max(col("n")).as("n_tokens"),
+      sum(when(col("cnt") > col("n") / (k + 1), 1L).otherwise(0L))
+        .as("n_heavy_true"),
+      // MG guarantee 1: true-heavy words are always among the candidates
+      min(when(col("cnt") > col("n") / (k + 1), col("est").isNotNull)
+        .otherwise(lit(true)).cast("int")).cast("boolean")
+        .as("heavy_all_found"),
+      // MG guarantee 2: est <= exact and exact - est <= n/(k+1)
+      min(when(col("est").isNotNull,
+        col("est") <= col("cnt") &&
+          (col("cnt") - col("est")) <= col("n") / (k + 1))
+        .otherwise(lit(true)).cast("int")).cast("boolean")
+        .as("bounds_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x27_heavy_hitters" -> (x27HeavyHitters _),
     "x17_contamination" -> (x17Contamination _),
     "x18_repetition" -> (x18Repetition _),
     "x19_stratified_sample" -> (x19StratifiedSample _),
     "x20_pii_redact" -> (x20PiiRedact _),
-    "x21_pack_sequences" -> (x21PackSequences _))
+    "x21_pack_sequences" -> (x21PackSequences _),
+    "x22_segment_dedup" -> (x22SegmentDedup _),
+    "x23_chunk" -> (x23Chunk _))
 
   val oracles: Map[String, String] = Map(
     "x17_contamination" ->
@@ -197,6 +296,34 @@ object PipelineOps {
        s"regexp_replace(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'), " +
        s"'$IpRe', '<IP>', 'g'), '$PhoneRe', '<PHONE>', 'g') AS clean " +
        "FROM p ORDER BY doc_id"),
+    // derived-claim oracle: exact token/heavy counts + the Misra-Gries
+    // guarantees the Spark side checks against its own exact aggregate
+    "x27_heavy_hitters" ->
+      ("WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), " +
+       "t AS (SELECT COUNT(*) AS n FROM w), " +
+       "c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word) " +
+       "SELECT (SELECT n FROM t) AS n_tokens, " +
+       "CAST((SELECT COUNT(*) FROM c WHERE cnt > (SELECT n FROM t) / 9.0) AS BIGINT) " +
+       "AS n_heavy_true, TRUE AS heavy_all_found, TRUE AS bounds_ok"),
+    "x22_segment_dedup" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), " +
+       "s AS (SELECT doc_id, CAST(g AS BIGINT) AS seg_idx, " +
+       "md5(array_to_string(list_slice(words, g*16+1, g*16+16), ' ')) AS fp " +
+       "FROM w, range(0, 1024) r(g) WHERE g <= (len(words) - 1) // 16), " +
+       "k AS (SELECT doc_id, " +
+       "ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, seg_idx) = 1 AS kept " +
+       "FROM s) " +
+       "SELECT doc_id, COUNT(*) AS n_segments, " +
+       "CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+       "FROM k GROUP BY doc_id ORDER BY doc_id"),
+    "x23_chunk" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents) " +
+       "SELECT doc_id, CAST(g AS BIGINT) AS chunk_idx, " +
+       "CAST(g * 32 AS BIGINT) AS start_tok, " +
+       "CAST(LEAST(64, len(words) - g * 32) AS BIGINT) AS n_tok, " +
+       "md5(array_to_string(list_slice(words, g*32+1, g*32+64), ' ')) AS chunk_fp " +
+       "FROM w, range(0, 1024) r(g) WHERE g <= (len(words) - 1) // 32 " +
+       "ORDER BY doc_id, chunk_idx"),
     "x21_pack_sequences" ->
       ("WITH d AS (SELECT doc_id, lang, " +
        "CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents), " +

@@ -70,6 +70,85 @@ object ScaleOps {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
   }
 
+  /** X24 — bloom-filter pre-filtered join (the runtime-filter pattern,
+    * explicit): build a bloom over the selective build side's join keys
+    * (top ~2% orders by price), prune the fact side against it BEFORE
+    * the shuffle, then run the exact join — bloom false positives are
+    * removed by the join itself, so the result is exact and the oracle
+    * is the plain join.
+    *
+    * Spark's `InjectRuntimeFilter` does this automatically inside one
+    * query when stats justify it; the explicit form also covers what the
+    * optimizer can't: building the bloom once and reusing it across many
+    * queries/scans (the dim-filter-changes-rarely pattern). The sketch
+    * is built distributed (treeAggregate) and ships to executors as a
+    * ~120 KB plan literal evaluated by Spark's own codegen'd
+    * `BloomFilterMightContain` — no per-row Scala UDF serde. At 100 TB
+    * the exchange carries ~2% of lineitem instead of all of it. */
+  def x24BloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 490000.0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val bf = o.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))
+    val might = GraftBridge.column(BloomFilterMightContain(
+      Literal.create(bytes,
+        org.apache.spark.sql.types.BinaryType),
+      GraftBridge.expression(li("l_orderkey"))))
+    li.filter(might)
+      .join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+      .groupBy(col("o_orderkey"))
+      .agg(max(col("o_totalprice")).as("price"),
+        Det.dsum(col("l_extendedprice")).as("line_revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** The 8-bit × 8-bit Morton/Z-order interleave as a SQL expression
+    * string — one spelling shared verbatim by the Spark side and the
+    * DuckDB oracle so the curve is provably the same on both engines. */
+  def zInterleaveSql(x: String, y: String): String =
+    (0 until 8).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
+  /** X26 — Z-order clustered layout (multi-dimensional pruning): map
+    * two query dimensions onto an 8-bit grid, interleave the bits into a
+    * Morton key, range-repartition + sort the table by that key, and
+    * write parquet. Points close on the Z-curve are close in BOTH
+    * dimensions, so every file's (custkey-bucket × price-bucket)
+    * bounding box is tight and a 2-D box predicate prunes row groups on
+    * either column's min/max stats — one clustered layout serves both
+    * single-dimension and conjunctive filters, where a plain sort serves
+    * only its leading column. The contract query round-trips the layout
+    * and runs a 2-D box aggregate; the oracle is the same box on the
+    * base table (layout must not change semantics). */
+  def x26ZorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val dir = Tables.scratchDir("x26_zorder", sfDir)
+    val zed = Tables.orders(spark, sfDir)
+      .withColumn("xb", pmod(col("o_custkey"), lit(256L)))
+      .withColumn("yb", floor(col("o_totalprice") / 2000.0).cast("long"))
+      .withColumn("zval", expr(zInterleaveSql("xb", "yb")))
+    zed.repartitionByRange(8, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("xb").between(32L, 95L) && col("yb").between(64L, 159L))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        Det.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** SQL1 — E2 entry surface: TPC-H Q3-style shipping priority, written
     * as a SQL string over registered temp views (SparkSqlParser → same
     * Catalyst pipeline as the DataFrame API). */
@@ -111,6 +190,8 @@ object ScaleOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x9_salted_agg" -> (x9SaltedAgg _),
     "x10_bucketed_join" -> (x10BucketedJoin _),
+    "x24_bloom_join" -> (x24BloomJoin _),
+    "x26_zorder_layout" -> (x26ZorderLayout _),
     "sql1_shipping_priority" -> (sql1ShippingPriority _),
     "sql2_top_returners" -> (sql2TopReturners _))
 
@@ -124,6 +205,19 @@ object ScaleOps {
        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
        "WHERE l_quantity > 45.0 AND o_orderpriority = '1-URGENT' " +
        "ORDER BY l_orderkey, l_linenumber, l_extendedprice"),
+    "x24_bloom_join" ->
+      (s"SELECT o_orderkey, MAX(o_totalprice) AS price, " +
+       s"${d.dsum("l_extendedprice")} AS line_revenue, COUNT(*) AS n_lines " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "WHERE o_totalprice > 490000.0 " +
+       "GROUP BY o_orderkey ORDER BY o_orderkey"),
+    "x26_zorder_layout" ->
+      (s"SELECT o_orderstatus, COUNT(*) AS n_orders, " +
+       s"${d.dsum("o_totalprice")} AS revenue FROM " +
+       "(SELECT o_orderstatus, o_totalprice, o_custkey % 256 AS xb, " +
+       "CAST(FLOOR(o_totalprice / 2000.0) AS BIGINT) AS yb FROM orders) t " +
+       "WHERE xb BETWEEN 32 AND 95 AND yb BETWEEN 64 AND 159 " +
+       "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "sql1_shipping_priority" ->
       ("SELECT o_orderkey, " +
        s"${d.dsum("l_extendedprice*(1.0-l_discount)")} AS revenue, " +

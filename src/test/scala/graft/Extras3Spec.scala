@@ -135,4 +135,43 @@ class Extras3Spec extends SparkSpec {
     assert(viaAgg.exceptAll(viaWindow).isEmpty &&
       viaWindow.exceptAll(viaAgg).isEmpty)
   }
+
+  test("x25 scd2: ranges tile each user's timeline and runs reconstruct the stream") {
+    val ranges = Extras3.x25Scd2(spark, sf).collect()
+    val events = Tables.eventsUs(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    ranges.groupBy(_.getAs[Long]("user_id")).foreach { case (uid, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("version"))
+      // versions are 1..n dense; ranges chain: valid_to = next valid_from
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("version") == i + 1L)
+        val vt = r.getAs[Long]("valid_to")
+        if (i < ordered.length - 1)
+          assert(vt == ordered(i + 1).getAs[Long]("valid_from"))
+        else assert(vt == -1L)
+      }
+      // no two adjacent ranges share an event_type (else they'd be one run)
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("event_type") != b.getAs[String]("event_type"))
+        case _ =>
+      }
+      // exact reconstruction: collapse the user's (ts, event_id)-sorted
+      // stream into runs of equal type and compare every field
+      val runs = events.filter(_._1 == uid).sortBy(e => (e._2, e._3))
+        .foldLeft(Vector.empty[(String, Long, Long)]) { // (type, from, n)
+          case (acc, (_, ts, _, tpe)) =>
+            if (acc.nonEmpty && acc.last._1 == tpe)
+              acc.init :+ ((tpe, acc.last._2, acc.last._3 + 1))
+            else acc :+ ((tpe, ts, 1L))
+        }
+      assert(ordered.length == runs.length)
+      ordered.zip(runs).foreach { case (r, (tpe, from, n)) =>
+        assert(r.getAs[String]("event_type") == tpe)
+        assert(r.getAs[Long]("valid_from") == from)
+        assert(r.getAs[Long]("n_events") == n)
+      }
+    }
+  }
 }

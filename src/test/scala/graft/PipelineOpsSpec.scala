@@ -90,6 +90,84 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Int]("n_tokens") < 512))
   }
 
+  test("x22 segment dedup: first occurrence wins, duplicated doc loses its segments") {
+    // doc 3 repeats doc 1's text: every segment of 3 is a dup of 1's
+    val docs = Seq(
+      (1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 wa wb wc wd we wf g0 g1"),
+      (2L, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9 ua ub uc ud ue uf"),
+      (3L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 wa wb wc wd we wf g0 g1")
+    ).toDF("doc_id", "text")
+    // rebuild through the public op by pointing at a scratch corpus dir
+    val dir = Tables.scratchDir("x22fix", sf)
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = PipelineOps.x22SegmentDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_segments"), r.getAs[Long]("n_kept"))).toMap
+    assert(m(1L) == ((2L, 2L)))   // 18 words -> 2 segments, both first
+    assert(m(2L) == ((1L, 1L)))
+    assert(m(3L) == ((2L, 0L)))   // exact copy: every segment already seen
+    // corpus-level conservation: kept <= segments, every doc present
+    val corpus = PipelineOps.x22SegmentDedup(spark, sf).collect()
+    assert(corpus.length == Tables.documents(spark, sf).count())
+    corpus.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_segments"))
+      assert(r.getAs[Long]("n_segments") >= 1L)
+    }
+  }
+
+  test("x23 chunking: offsets stride correctly and cover every token") {
+    val rows = PipelineOps.x23Chunk(spark, sf).collect()
+    val nWords = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, chunks) =>
+      val n = nWords(id)
+      val ordered = chunks.sortBy(_.getAs[Long]("chunk_idx"))
+      // chunk count is ceil(n/32) exactly
+      assert(ordered.length.toLong == (n + 31) / 32)
+      ordered.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Long]("chunk_idx") == i.toLong)
+        assert(c.getAs[Long]("start_tok") == i * 32L)
+        // true length: capped at 64, truncated at the doc end
+        assert(c.getAs[Long]("n_tok") == math.min(64L, n - i * 32L))
+      }
+      // last chunk reaches the end of the doc exactly
+      val last = ordered.last
+      assert(last.getAs[Long]("start_tok") + last.getAs[Long]("n_tok") == n)
+    }
+  }
+
+  test("x27 heavy hitters: MG guarantees hold on a skewed stream across partitions") {
+    import graft.functions.HeavyHittersAgg
+    // zipf-ish: item i has 2^(10-i) copies, i = 0..9 -> n = 2046
+    val data = (0 until 10).flatMap(i => Seq.fill(1 << (10 - i))(s"it$i"))
+    val df = spark.sparkContext.parallelize(data, 8).toDF("w")
+    val k = 4
+    val sketch = df.agg(HeavyHittersAgg.heavyHitters(col("w"), k).as("hh"))
+      .select(explode(col("hh")).as("c"))
+      .select(col("c.item"), col("c.est")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch.size <= k)
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = data.size.toLong
+    exact.foreach { case (item, cnt) =>
+      if (cnt > n.toDouble / (k + 1)) assert(sketch.contains(item),
+        s"true heavy hitter $item (cnt=$cnt) missing from sketch")
+    }
+    sketch.foreach { case (item, est) =>
+      assert(est <= exact(item))
+      assert(exact(item) - est <= n.toDouble / (k + 1))
+    }
+    // deterministic across identical runs
+    val again = df.agg(HeavyHittersAgg.heavyHitters(col("w"), k)).collect()
+    val first = df.agg(HeavyHittersAgg.heavyHitters(col("w"), k)).collect()
+    assert(again.map(_.toString).toSeq == first.map(_.toString).toSeq)
+    // contract query: single row, claims hold at sf0.001
+    val claim = PipelineOps.x27HeavyHitters(spark, sf).collect()
+    assert(claim.length == 1)
+    assert(claim.head.getAs[Boolean]("heavy_all_found"))
+    assert(claim.head.getAs[Boolean]("bounds_ok"))
+  }
+
   test("s12 merge-schema read: union schema with per-generation null accounting") {
     val r = graft.operators.Core.s12MergeSchema(spark, sf).collect().head
     val s = Tables.supplier(spark, sf)

@@ -27,4 +27,67 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
     assert(salted == direct)
   }
+
+  test("x24 bloom join: pre-filter is exact after the join and prunes the fact side") {
+    import org.apache.spark.sql.functions._
+    val res = ScaleOps.x24BloomJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).filter(col("o_totalprice") > 490000.0),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(max(col("o_totalprice")).as("p"),
+        Det.dsum(col("l_extendedprice")).as("rev"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(res == plain)
+    // the bloom really prunes: rows surviving the pre-filter are a small
+    // superset of true matches (fpp 1% on a ~2% selective build side)
+    val o = Tables.orders(spark, sf).filter(col("o_totalprice") > 490000.0)
+    val bf = o.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val li = Tables.lineitem(spark, sf).select("l_orderkey").collect()
+      .map(_.getLong(0))
+    val kept = li.count(bf.mightContain)
+    val trueMatch = {
+      val keys = o.select("o_orderkey").collect().map(_.getLong(0)).toSet
+      li.count(keys)
+    }
+    assert(kept >= trueMatch)
+    assert(kept <= trueMatch + (li.length * 0.02).toInt + 10,
+      s"bloom pruned too little: kept=$kept true=$trueMatch of ${li.length}")
+  }
+
+  test("x26 z-order: interleave matches reference bits and layout tightens file bounds") {
+    import org.apache.spark.sql.functions._
+    // reference Morton implementation on sample points
+    def morton(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val pts = Seq((0L, 0L), (255L, 255L), (1L, 0L), (0L, 1L), (170L, 85L), (37L, 201L))
+    import spark.implicits._
+    val got = pts.toDF("xb", "yb")
+      .withColumn("z", expr(ScaleOps.zInterleaveSql("xb", "yb")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) => assert(got((x, y)) == morton(x, y), s"($x,$y)") }
+    // semantics: the boxed aggregate over the layout equals the base table
+    val viaLayout = ScaleOps.x26ZorderLayout(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val base = Tables.orders(spark, sf)
+      .withColumn("xb", pmod(col("o_custkey"), lit(256L)))
+      .withColumn("yb", floor(col("o_totalprice") / 2000.0).cast("long"))
+      .filter(col("xb").between(32L, 95L) && col("yb").between(64L, 159L))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("rev"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(viaLayout == base)
+    // clustering quality: per-file xb bounding boxes must be tighter than
+    // the full 0..255 domain for most files (that's what enables 2-D
+    // row-group pruning on a non-leading column)
+    val dir = Tables.scratchDir("x26_zorder", sf)
+    val widths = spark.read.parquet(dir)
+      .select(col("xb"), input_file_name().as("f"))
+      .groupBy(col("f")).agg((max(col("xb")) - min(col("xb"))).as("w"))
+      .collect().map(_.getAs[Long]("w"))
+    assert(widths.length > 1, "expected multiple files from range partitioning")
+    assert(widths.count(_ < 200L) >= widths.length / 2,
+      s"z-layout should tighten xb ranges, got widths ${widths.mkString(",")}")
+  }
 }
