@@ -53,6 +53,58 @@ object TextPipeline {
     ngramRows(docs, idCol, textCol, n, distinct = true)
       .select(col("doc_id"), xxhash64(col("ngram")).as("ng_h"))
 
+  /** Consecutive fixed-length word segments of each document as
+    * (doc_id, seg_idx, fp) rows — fp is the segment's md5, so every
+    * downstream shuffle carries 32-byte keys instead of segment text.
+    * The trailing short segment is included. */
+  def segments(docs: DataFrame, idCol: String, textCol: String,
+      segLen: Int): DataFrame = {
+    val words = split(col(textCol), " ")
+    docs.select(col(idCol).as("doc_id"), posexplode(
+        transform(sequence(lit(0),
+          floor((size(words) - 1) / lit(segLen)).cast("int")),
+          i => array_join(slice(words, i * segLen + 1, lit(segLen)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("seg_idx"),
+        md5(col("col")).as("fp"))
+  }
+
+  /** Segment-level exact dedup (the distributed shape of suffix-array
+    * substring dedup, Lee et al. 2021): globally keep only the FIRST
+    * occurrence of every `segLen`-word segment — first means smallest
+    * (doc_id, seg_idx), which is deterministic under any partitioning
+    * because the pair is unique per occurrence. Returns per-document
+    * (doc_id, n_segments, n_kept). The only shuffle is keyed by the
+    * segment fingerprint. */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      segLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstWins = Window.partitionBy(col("fp"))
+      .orderBy(col("doc_id"), col("seg_idx"))
+    segments(docs, idCol, textCol, segLen)
+      .withColumn("kept", row_number().over(firstWins) === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
+  /** Overlapping context-window chunks (`cap` tokens at `stride`) per
+    * document: (doc_id, chunk_idx, start_tok, n_tok, chunk_fp) rows.
+    * Pure per-row generation — zero shuffles — and the chunk travels as
+    * its md5 fingerprint, not text. */
+  def chunks(docs: DataFrame, idCol: String, textCol: String,
+      cap: Int, stride: Int): DataFrame = {
+    val words = split(col(textCol), " ")
+    docs.select(col(idCol).as("doc_id"), size(words).as("n_words"), posexplode(
+        transform(sequence(lit(0),
+          floor((size(words) - 1) / lit(stride)).cast("int")),
+          i => md5(array_join(slice(words, i * stride + 1, lit(cap)), " ")))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        (col("pos") * stride).cast("long").as("start_tok"),
+        least(lit(cap), col("n_words") - col("pos") * stride)
+          .cast("long").as("n_tok"),
+        col("col").as("chunk_fp"))
+  }
+
   /** MinHash + LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * @param shingleSet distinct (doc_id, ngram) pairs (see [[shingles]])

@@ -39,6 +39,19 @@ object ApiDemo {
     println(s"clusters (converged in $rounds large/small-star rounds):")
     clusters.orderBy("doc_id").show(false)
 
+    println("segment dedup (12-word segments, doc 200 shares doc 100's prefix):")
+    TextPipeline.segmentDedup(corpus, "id", "body", 12)
+      .orderBy("doc_id").show(false)
+
+    println("overlapping chunks (8 tokens, stride 4):")
+    TextPipeline.chunks(corpus, "id", "body", 8, 4)
+      .filter(col("doc_id") === 100L).show(false)
+
+    println("heavy hitters (Misra-Gries, k=4) over all corpus words:")
+    corpus.select(explode(split(col("body"), " ")).as("w"))
+      .agg(graft.functions.HeavyHittersAgg.heavyHitters(col("w"), 4).as("hh"))
+      .select(explode(col("hh")).as("c")).select("c.item", "c.est").show(false)
+
     println("quality + tokens + fingerprint:")
     corpus.select(col("id"),
       TextPipeline.qualityScore(col("body")).as("quality"),

@@ -54,6 +54,40 @@ object Extras2 {
       .orderBy(col("o_orderkey"))
   }
 
+  /** S14 — dynamic partition overwrite (partitioned-sink maintenance):
+    * the full table is laid out partitioned by priority, then ONE
+    * partition is re-stated with corrected prices under
+    * `partitionOverwriteMode=DYNAMIC` — only partitions present in the
+    * incremental frame are replaced, the other four stay untouched.
+    * This is the daily-restatement primitive of a partitioned 100 TB
+    * warehouse (re-run one day, never rewrite the table). The read-back
+    * aggregate proves both halves: the target partition carries the
+    * corrected values and the untouched partitions still carry the
+    * originals (a static overwrite would have emptied them). */
+  def s14DynamicOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val dir = Tables.scratchDir("s14_dynover", sfDir)
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try {
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+      Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"),
+          (col("o_totalprice") * 1.1).as("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+    } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    s.read.parquet(dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        graft.Det.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** SQL3 — the custom codegen expression registered into the session
     * FunctionRegistry and called from a SQL string: vector self-dot
     * (≈1.0 for the unit-normalized corpus). */
@@ -95,6 +129,7 @@ object Extras2 {
     "f9_hash" -> (f9Hash _),
     "a9_stats" -> (a9Stats _),
     "s8_partition_prune" -> (s8PartitionPrune _),
+    "s14_dynamic_overwrite" -> (s14DynamicOverwrite _),
     "sql3_vector_norm" -> (sql3VectorNorm _))
 
   val oracles: Map[String, String] = Map(
@@ -122,6 +157,12 @@ object Extras2 {
     "s8_partition_prune" ->
       ("SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS BIGINT) AS o_year " +
        "FROM orders WHERE year(o_orderdate) = 1997 ORDER BY o_orderkey"),
+    "s14_dynamic_overwrite" ->
+      ("SELECT o_orderpriority, COUNT(*) AS n, " +
+       "CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT' " +
+       "THEN o_totalprice * 1.1 ELSE o_totalprice END AS DECIMAL(18,4))) " +
+       "AS DOUBLE) AS revenue " +
+       "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "sql3_vector_norm" ->
       ("SELECT vec_id, round(SUM(CAST(embedding[i] AS DOUBLE) * " +
        "CAST(embedding[i] AS DOUBLE)), 6) AS norm2 " +

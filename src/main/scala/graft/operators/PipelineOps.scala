@@ -151,61 +151,23 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
-  /** X22 — segment-level exact dedup (the distributed answer to
-    * suffix-array substring dedup, Lee et al. 2021 "Deduplicating
-    * Training Data Makes Language Models Better"): chop every document
-    * into consecutive 16-word segments, keep only the globally-first
-    * occurrence of each segment (first = smallest (doc_id, seg_idx)),
-    * and report per document how many of its segments survive.
-    *
-    * Scale posture: the only shuffle is keyed by the segment's md5 —
-    * a fixed 32-byte key, never the segment text — so exchange rows
-    * stay narrow no matter how long documents get; everything else is
-    * per-row generation and a final per-doc partial agg. First-wins is
-    * decided by a rank over (doc_id, seg_idx), which is deterministic
-    * across any partitioning because the pair is unique per occurrence. */
-  def x22SegmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val segLen = 16
-    val words = split(col("text"), " ")
-    val segs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0),
-          floor((size(words) - 1) / lit(segLen)).cast("int")),
-          i => array_join(slice(words, i * segLen + 1, lit(segLen)), " "))))
-      .withColumnRenamed("pos", "seg_idx")
-      .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
-        md5(col("col")).as("fp"))
-    val firstWins = Window.partitionBy(col("fp"))
-      .orderBy(col("doc_id"), col("seg_idx"))
-    segs.withColumn("kept", row_number().over(firstWins) === 1)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_segments"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+  /** X22 — segment-level exact dedup: corpus binding of
+    * [[graft.api.TextPipeline.segmentDedup]] (16-word segments, global
+    * first-occurrence wins; the only shuffle is keyed by segment md5 —
+    * see the API scaladoc for the full scale argument). */
+  def x22SegmentDedup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.TextPipeline
+      .segmentDedup(Tables.documents(spark, sfDir), "doc_id", "text", 16)
       .orderBy(col("doc_id"))
-  }
 
   /** X23 — overlapping context-window chunking (the RAG / long-context
-    * ingestion primitive): cut each document's token stream into 64-token
-    * windows at stride 32, emitting per chunk its offset, true length,
-    * and content fingerprint. Pure per-row array generation — zero
-    * shuffles, SF-invariant, and the generated rows carry an md5 instead
-    * of chunk text so downstream exchanges stay narrow. */
-  def x23Chunk(spark: SparkSession, sfDir: String): DataFrame = {
-    val (cap, stride) = (64, 32)
-    val words = split(col("text"), " ")
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), size(words).as("n_words"), posexplode(
-        transform(sequence(lit(0),
-          floor((size(words) - 1) / lit(stride)).cast("int")),
-          i => md5(array_join(slice(words, i * stride + 1, lit(cap)), " ")))))
-      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
-        (col("pos") * stride).cast("long").as("start_tok"),
-        least(lit(cap), col("n_words") - col("pos") * stride)
-          .cast("long").as("n_tok"),
-        col("col").as("chunk_fp"))
+    * ingestion primitive): corpus binding of
+    * [[graft.api.TextPipeline.chunks]] (64-token windows at stride 32;
+    * zero shuffle, fingerprints instead of chunk text). */
+  def x23Chunk(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.TextPipeline
+      .chunks(Tables.documents(spark, sfDir), "doc_id", "text", 64, 32)
       .orderBy(col("doc_id"), col("chunk_idx"))
-  }
 
   /** X27 — vocabulary heavy hitters via a mergeable Misra-Gries sketch
     * ([[graft.functions.HeavyHittersAgg]], k=8 counters): candidate top

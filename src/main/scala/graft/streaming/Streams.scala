@@ -388,6 +388,94 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** Stage events + two sentinel files for the OUTER join replay: file0
+    * is the whole real feed, file1/file2 each carry one click and one
+    * purchase for user −1 at max(ts)+3h and +4h. Outer-join null rows
+    * only emit when the watermark proves no future match can arrive, and
+    * the global watermark is the MIN across both sides' watermark nodes
+    * (each fed post-filter), so the sentinels carry BOTH event types —
+    * a click-only sentinel would leave the purchase-side watermark
+    * pinned at the real feed's end and the nulls unemitted. Two sentinel
+    * batches, not one, because eviction in batch N uses the watermark
+    * computed after batch N−1 (SPARK-40925): the batch that ingests
+    * sentinel2 evicts with sentinel1's watermark = max(ts)+2h, which
+    * clears every real click's 1-hour join window deterministically —
+    * no dependence on trailing no-data batches. */
+  private def stageOuterSplit(spark: SparkSession, sfDir: String): String = {
+    val dir = Paths.get(Tables.scratchDir("stream_outer", sfDir))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = dir.resolve("_staged_from_size")
+    val srcSize = Files.size(Paths.get(s"$sfDir/events.parquet"))
+    if (Files.exists(marker) &&
+        Files.readString(marker) == srcSize.toString &&
+        Files.exists(dir.resolve("batch0.parquet")) &&
+        (1 to 2).forall(i => Files.exists(dir.resolve(s"sentinel$i.parquet")))) {
+      return dir.toString
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(dir.toString), true)
+    Files.createDirectories(dir)
+    val ev = Tables.events(spark, sfDir)
+    val maxNs = ev.agg(max(col("ts"))).collect()(0).getLong(0)
+    def writeOne(df: DataFrame, name: String, mtimeOffsetSec: Long): Unit = {
+      val tmp = dir.resolve(s"_tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = dir.resolve(s"$name.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000L + mtimeOffsetSec * 1000L))
+    }
+    def sentinel(id: Long, hours: Long): DataFrame = {
+      import spark.implicits._
+      val ts = maxNs + hours * 3600L * 1000000000L
+      Seq((id, ts, -1L, "click", 0.0, "{}"),
+        (id - 1, ts, -1L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    }
+    writeOne(ev, "batch0", 0L)
+    writeOne(sentinel(-1L, 3L), "sentinel1", 10L)
+    writeOne(sentinel(-3L, 4L), "sentinel2", 20L)
+    Files.writeString(marker, srcSize.toString)
+    dir.toString
+  }
+
+  /** ST12 — stream-stream LEFT OUTER join with event-time bounds: every
+    * click joined to the same user's purchases within the following
+    * hour, and clicks with NO such purchase emitted with nulls once the
+    * watermark proves the window closed — the semantics inner joins
+    * (ST8) sidestep, exercised deterministically via the staged sentinel
+    * replay ([[stageOuterSplit]]). State stays bounded exactly as in
+    * ST8; the null-emission adds no state, only an eviction-time emit. */
+  def st12StreamStreamOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageOuterSplit(spark, sfDir)
+    val schema = Tables.events(spark, sfDir).schema
+    def src = Tables.tune(spark).readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_t").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_t").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+    runToTable(spark, joined, OutputMode.Append())
+      .filter(col("c_user") =!= -1L)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(col("value")).as("n_pairs"),
+        (count(lit(1)) - count(col("value"))).as("n_unmatched"),
+        coalesce(sum(col("value").cast(Det.Money)).cast("double"), lit(0.0))
+          .as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** ST9 — streaming file (parquet) sink: filtered purchases streamed to
     * a partitioned parquet directory with checkpointing (exactly-once via
     * the sink's transaction log), read back and aggregated. The batch
@@ -465,6 +553,7 @@ object Streams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st11_dsv2_stream" -> (st11SeqStream _),
     "st8_stream_stream" -> (st8StreamStreamJoin _),
+    "st12_stream_outer" -> (st12StreamStreamOuter _),
     "st9_file_sink" -> (st9FileSink _),
     "st10_foreach_batch" -> (st10ForeachBatch _),
     "st1_tumbling" -> (st1Tumbling _),
@@ -539,6 +628,18 @@ object Streams {
        "(SELECT c.cu, p.v FROM " +
        "(SELECT user_id AS cu, epoch_us(ts) AS ct FROM events " +
        "WHERE event_type = 'click') c JOIN " +
+       "(SELECT user_id AS pu, epoch_us(ts) AS pt, value AS v FROM events " +
+       "WHERE event_type = 'purchase') p " +
+       "ON c.cu = p.pu AND p.pt >= c.ct AND p.pt <= c.ct + 3600000000) s " +
+       "GROUP BY cu ORDER BY user_id"),
+    "st12_stream_outer" ->
+      ("SELECT cu AS user_id, COUNT(v) AS n_pairs, " +
+       "CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_unmatched, " +
+       "COALESCE(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE), 0.0) " +
+       "AS sum_value FROM " +
+       "(SELECT c.cu, p.v FROM " +
+       "(SELECT user_id AS cu, epoch_us(ts) AS ct FROM events " +
+       "WHERE event_type = 'click') c LEFT JOIN " +
        "(SELECT user_id AS pu, epoch_us(ts) AS pt, value AS v FROM events " +
        "WHERE event_type = 'purchase') p " +
        "ON c.cu = p.pu AND p.pt >= c.ct AND p.pt <= c.ct + 3600000000) s " +

@@ -65,6 +65,30 @@ class StreamsSpec extends SparkSpec {
     assert(dedup == batch)
   }
 
+  test("st12 outer join: null rows emitted for unmatched clicks, equals batch left join") {
+    val got = Streams.st12StreamStreamOuter(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val c = Tables.eventsUs(spark, sf).filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("ct"))
+    val p = Tables.eventsUs(spark, sf).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pt"), col("value"))
+    val want = c.join(p, col("cu") === col("pu") &&
+        col("pt") >= col("ct") && col("pt") <= col("ct") + 3600000000L,
+        "left_outer")
+      .groupBy(col("cu"))
+      .agg(count(col("value")).as("n_pairs"),
+        (count(lit(1)) - count(col("value"))).as("n_unmatched"),
+        coalesce(sum(col("value").cast(Det.Money)).cast("double"), lit(0.0))
+          .as("s"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == want)
+    // the outer semantics are actually exercised: some clicks have no
+    // purchase within the hour, and the sentinel user never leaks out
+    assert(got.values.map(_._2).sum > 0, "expected unmatched clicks")
+    assert(!got.contains(-1L))
+  }
+
   test("st6 stateful: final state equals batch aggregate") {
     val st = Streams.st6Stateful(spark, sf).collect()
       .map(r => r.getAs[Long]("user_id") ->
