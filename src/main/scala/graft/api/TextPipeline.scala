@@ -105,6 +105,19 @@ object TextPipeline {
         col("col").as("chunk_fp"))
   }
 
+  /** Content-defined chunk count of a document (rolling-hash CDC, the
+    * storage-dedup boundary rule): a chunk boundary falls BEFORE every
+    * word whose md5 starts with '0' (p = 1/16 ⇒ expected chunk length
+    * 16 words), so chunk boundaries move with content, not offsets —
+    * an insertion early in a doc shifts fixed-stride chunks everywhere
+    * but leaves CDC chunks after the edit identical. Returns the chunk
+    * count (≥ 1); pure per-row column math. */
+  def cdcChunkCount(textCol: Column): Column = {
+    val words = split(textCol, " ")
+    lit(1) + size(filter(slice(words, lit(2), size(words) - 1),
+      w => substring(md5(w), 1, 1) === "0"))
+  }
+
   /** MinHash + LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * @param shingleSet distinct (doc_id, ngram) pairs (see [[shingles]])

@@ -127,6 +127,31 @@ object Extras3 {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** A16 — rolling 7-day distinct users (trailing WAU per day), in the
+    * shape that scales: COUNT(DISTINCT) OVER a RANGE window re-scans
+    * every window, so instead each distinct (user, day) pair CONTRIBUTES
+    * to the 7 window-days it covers — dedup pairs, explode the 7-day
+    * contribution interval, dedup (user, window-day), count per day.
+    * Three bounded shuffles (distinct-pairs, distinct-contributions,
+    * final count), each keyed wider than raw events, none carrying
+    * duplicate users — at 100 TB the state is active-pairs-sized, never
+    * a per-window re-scan. Window-days past the data's end are clipped
+    * by a broadcast 1-row max join. */
+  def a16RollingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.eventsUs(spark, sfDir)
+      .select(col("user_id"), expr("ts div 86400000000").as("day"))
+      .distinct()
+    val contrib = pairs
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("wday"))
+      .distinct()
+    val maxDay = pairs.agg(max(col("day")).as("maxd"))
+    contrib.join(broadcast(maxDay), col("wday") <= col("maxd"))
+      .groupBy(col("wday"))
+      .agg(count(lit(1)).as("n_active_users"))
+      .orderBy(col("wday"))
+  }
+
   /** W9 — batch sessionization: the lag + running-sum session-id
     * assignment (gap > 30 min starts a new session), the batch twin of
     * the streaming session_window (ST3) — one shuffle on user_id, two
@@ -422,6 +447,7 @@ object Extras3 {
     "l8_centroids" -> (l8Centroids _),
     "x15_latest_by_key" -> (x15LatestByKey _),
     "x25_scd2" -> (x25Scd2 _),
+    "a16_rolling_distinct" -> (a16RollingDistinct _),
     "x14_lsh_ann" -> (x14LshAnn _))
 
   import Det.{sql => d}
@@ -577,6 +603,13 @@ object Extras3 {
        "ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn, " +
        "COUNT(*) OVER (PARTITION BY user_id) AS n_events FROM events) s " +
        "WHERE rn = 1 ORDER BY user_id"),
+    "a16_rolling_distinct" ->
+      ("WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day " +
+       "FROM events), " +
+       "c AS (SELECT DISTINCT user_id, day + g AS wday FROM d, range(0, 7) r(g)), " +
+       "m AS (SELECT MAX(day) AS maxd FROM d) " +
+       "SELECT wday, COUNT(*) AS n_active_users FROM c, m WHERE wday <= maxd " +
+       "GROUP BY wday ORDER BY wday"),
     "x25_scd2" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id, event_type " +
        "FROM events), " +

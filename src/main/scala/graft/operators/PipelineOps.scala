@@ -209,8 +209,26 @@ object PipelineOps {
         .as("bounds_ok"))
   }
 
+  /** X29 — content-defined chunking statistics: chunk counts and mean
+    * chunk length under the rolling-hash boundary rule of
+    * [[graft.api.TextPipeline.cdcChunkCount]] (boundary before words
+    * whose md5 starts with '0', expected length 16). Zero shuffle,
+    * SF-invariant; the complement of x23's fixed-stride chunking —
+    * CDC boundaries survive edits, stride boundaries don't. */
+  def x29CdcChunk(spark: SparkSession, sfDir: String): DataFrame = {
+    val nWords = size(split(col("text"), " "))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), nWords.cast("long").as("n_words"),
+        graft.api.TextPipeline.cdcChunkCount(col("text"))
+          .cast("long").as("n_chunks"))
+      .withColumn("mean_chunk_len",
+        round(col("n_words") / col("n_chunks"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x27_heavy_hitters" -> (x27HeavyHitters _),
+    "x29_cdc_chunk" -> (x29CdcChunk _),
     "x17_contamination" -> (x17Contamination _),
     "x18_repetition" -> (x18Repetition _),
     "x19_stratified_sample" -> (x19StratifiedSample _),
@@ -267,6 +285,14 @@ object PipelineOps {
        "SELECT (SELECT n FROM t) AS n_tokens, " +
        "CAST((SELECT COUNT(*) FROM c WHERE cnt > (SELECT n FROM t) / 9.0) AS BIGINT) " +
        "AS n_heavy_true, TRUE AS heavy_all_found, TRUE AS bounds_ok"),
+    "x29_cdc_chunk" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), " +
+       "c AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words, " +
+       "CAST(1 + len(list_filter(words[2:], w -> substr(md5(w), 1, 1) = '0')) " +
+       "AS BIGINT) AS n_chunks FROM w) " +
+       "SELECT doc_id, n_words, n_chunks, " +
+       "round(n_words / n_chunks, 4) AS mean_chunk_len " +
+       "FROM c ORDER BY doc_id"),
     "x22_segment_dedup" ->
       ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), " +
        "s AS (SELECT doc_id, CAST(g AS BIGINT) AS seg_idx, " +

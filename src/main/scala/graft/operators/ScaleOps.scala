@@ -81,17 +81,22 @@ object ScaleOps {
     * query when stats justify it; the explicit form also covers what the
     * optimizer can't: building the bloom once and reusing it across many
     * queries/scans (the dim-filter-changes-rarely pattern). The sketch
-    * is built distributed (treeAggregate) and ships to executors as a
-    * ~120 KB plan literal evaluated by Spark's own codegen'd
-    * `BloomFilterMightContain` — no per-row Scala UDF serde. At 100 TB
-    * the exchange carries ~2% of lineitem instead of all of it. */
+    * is built distributed (treeAggregate), sized to the measured build
+    * count (~4 KB at sf0.1), and ships to executors as a plan literal
+    * evaluated by Spark's own codegen'd `BloomFilterMightContain` — no
+    * per-row Scala UDF serde. At 100 TB the exchange carries ~2% of
+    * lineitem instead of all of it. */
   def x24BloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     val o = Tables.orders(spark, sfDir)
       .filter(col("o_totalprice") > 490000.0)
       .select(col("o_orderkey"), col("o_totalprice"))
-    val bf = o.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    // size the sketch to the measured build side (one count action —
+    // the same runtime stat AQE's own filter injection keys off): an
+    // overprovisioned bloom is a megabyte plan literal for nothing
+    val bf = o.stat.bloomFilter("o_orderkey",
+      math.max(1000L, o.count()), 0.01)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
@@ -131,8 +136,11 @@ object ScaleOps {
     * only its leading column. The contract query round-trips the layout
     * and runs a 2-D box aggregate; the oracle is the same box on the
     * base table (layout must not change semantics). */
-  def x26ZorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = Tables.tune(spark)
+  /** Write the Z-order-clustered orders layout and return its path —
+    * shared by [[x26ZorderLayout]] (row-group pruning via pushed
+    * predicates) and [[s15ManifestPrune]] (file pruning via a stats
+    * manifest). */
+  def zorderDir(spark: SparkSession, sfDir: String): String = {
     val dir = Tables.scratchDir("x26_zorder", sfDir)
     val zed = Tables.orders(spark, sfDir)
       .withColumn("xb", pmod(col("o_custkey"), lit(256L)))
@@ -141,12 +149,80 @@ object ScaleOps {
     zed.repartitionByRange(8, col("zval"))
       .sortWithinPartitions(col("zval"))
       .write.mode("overwrite").parquet(dir)
-    s.read.parquet(dir)
+    dir
+  }
+
+  def x26ZorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    s.read.parquet(zorderDir(spark, sfDir))
       .filter(col("xb").between(32L, 95L) && col("yb").between(64L, 159L))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
         Det.dsum(col("o_totalprice")).as("revenue"))
       .orderBy(col("o_orderstatus"))
+  }
+
+  /** S15 — manifest-driven FILE pruning (the Iceberg/Delta data-skipping
+    * pattern, done manually): build a per-file min/max stats manifest
+    * over the Z-clustered layout, intersect it with the query box on the
+    * driver (a metadata operation bounded by file count, exactly what a
+    * table format's scan planner does), and hand the reader only the
+    * files whose bounds overlap. Row-group pruning (x26) saves decode
+    * inside touched files; manifest pruning never opens the skipped
+    * files at all — at 100 TB that's the difference between listing a
+    * million footers and reading a thousand. The aggregate equals x26's
+    * (skipping must not change semantics) and every row carries the
+    * claim that files really were skipped. */
+  def s15ManifestPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val dir = zorderDir(spark, sfDir)
+    val manifest = s.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("xb")).as("xb_min"), max(col("xb")).as("xb_max"),
+        min(col("yb")).as("yb_min"), max(col("yb")).as("yb_max"))
+      .collect()
+    val hits = manifest.filter { r =>
+      !(r.getAs[Long]("xb_max") < 32L || r.getAs[Long]("xb_min") > 95L ||
+        r.getAs[Long]("yb_max") < 64L || r.getAs[Long]("yb_min") > 159L)
+    }.map(_.getAs[String]("f"))
+    val skipped = manifest.length - hits.length
+    s.read.parquet(hits.toIndexedSeq: _*)
+      .filter(col("xb").between(32L, 95L) && col("yb").between(64L, 159L))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        Det.dsum(col("o_totalprice")).as("revenue"))
+      .withColumn("files_skipped", lit(skipped > 0))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** X28 — salted skew JOIN (the join-side twin of x9's salted agg):
+    * the fact side joins a per-flag dimension on a 3-value key, so a
+    * plain shuffle join funnels a third of lineitem through one reducer.
+    * Salting spreads it: the fact side gets a 16-way salt, the dim side
+    * is replicated once per salt value, and the join key becomes
+    * (flag, salt) — 48 balanced partitions instead of 3 hot ones. The
+    * dim here is deliberately tiny (the semantics proof); the pattern
+    * earns its keep when the dim is too big to broadcast but small
+    * enough to replicate R ways, which is why the query pins a
+    * SHUFFLE_HASH join (broadcast would dodge the skew instead of
+    * handling it). AQE's skew-join split handles sort-merge skew
+    * automatically; explicit salting is the form that works for ANY
+    * join strategy and survives static planning. */
+  def x28SaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = 16
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("salt", pmod(xxhash64(col("l_extendedprice")), lit(r.toLong)))
+    val dim = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag")).distinct()
+      .withColumn("flag_desc", concat(lit("desc_"), col("l_returnflag")))
+      .withColumn("salt", explode(sequence(lit(0L), lit(r - 1L))))
+    li.hint("SHUFFLE_HASH")
+      .join(dim, Seq("l_returnflag", "salt"), "inner")
+      .groupBy(col("flag_desc"))
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("flag_desc"))
   }
 
   /** SQL1 — E2 entry surface: TPC-H Q3-style shipping priority, written
@@ -192,6 +268,8 @@ object ScaleOps {
     "x10_bucketed_join" -> (x10BucketedJoin _),
     "x24_bloom_join" -> (x24BloomJoin _),
     "x26_zorder_layout" -> (x26ZorderLayout _),
+    "s15_manifest_prune" -> (s15ManifestPrune _),
+    "x28_salted_join" -> (x28SaltedJoin _),
     "sql1_shipping_priority" -> (sql1ShippingPriority _),
     "sql2_top_returners" -> (sql2TopReturners _))
 
@@ -218,6 +296,19 @@ object ScaleOps {
        "CAST(FLOOR(o_totalprice / 2000.0) AS BIGINT) AS yb FROM orders) t " +
        "WHERE xb BETWEEN 32 AND 95 AND yb BETWEEN 64 AND 159 " +
        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // derived-claim column files_skipped: the oracle can't see file
+    // layout, so it checks the aggregate and the literal TRUE claim
+    "s15_manifest_prune" ->
+      (s"SELECT o_orderstatus, COUNT(*) AS n_orders, " +
+       s"${d.dsum("o_totalprice")} AS revenue, TRUE AS files_skipped FROM " +
+       "(SELECT o_orderstatus, o_totalprice, o_custkey % 256 AS xb, " +
+       "CAST(FLOOR(o_totalprice / 2000.0) AS BIGINT) AS yb FROM orders) t " +
+       "WHERE xb BETWEEN 32 AND 95 AND yb BETWEEN 64 AND 159 " +
+       "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "x28_salted_join" ->
+      (s"SELECT 'desc_' || l_returnflag AS flag_desc, COUNT(*) AS n, " +
+       s"${d.dsum("l_extendedprice")} AS revenue " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY flag_desc"),
     "sql1_shipping_priority" ->
       ("SELECT o_orderkey, " +
        s"${d.dsum("l_extendedprice*(1.0-l_discount)")} AS revenue, " +

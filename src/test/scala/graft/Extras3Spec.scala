@@ -136,6 +136,25 @@ class Extras3Spec extends SparkSpec {
       viaWindow.exceptAll(viaAgg).isEmpty)
   }
 
+  test("a16 rolling distinct equals brute-force per-day window count") {
+    val got = Extras3.a16RollingDistinct(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Tables.eventsUs(spark, sf)
+      .select(col("user_id"), expr("ts div 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxDay = pairs.map(_._2).max
+    val wdays = pairs.map(_._2).min to maxDay
+    val brute = wdays.map { d =>
+      d -> pairs.collect { case (u, day) if day >= d - 6 && day <= d => u }
+        .distinct.length.toLong
+    }.toMap
+    // every in-range window-day matches the brute-force trailing count
+    wdays.foreach { d => assert(got(d) == brute(d), s"day $d") }
+    // contribution days before the first event day exist only if some
+    // user was active then; nothing beyond maxDay survives the clip
+    assert(got.keys.max == maxDay)
+  }
+
   test("x25 scd2: ranges tile each user's timeline and runs reconstruct the stream") {
     val ranges = Extras3.x25Scd2(spark, sf).collect()
     val events = Tables.eventsUs(spark, sf)

@@ -168,6 +168,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(claim.head.getAs[Boolean]("bounds_ok"))
   }
 
+  test("x29 cdc chunking matches a reference MessageDigest recomputation") {
+    val rows = PipelineOps.x29CdcChunk(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.foreach { r =>
+      val words = docs(r.getLong(0)).split(" ")
+      val expect = 1L + words.drop(1).count(w => md5hex(w).startsWith("0"))
+      assert(r.getAs[Long]("n_chunks") == expect, s"doc ${r.getLong(0)}")
+      assert(r.getAs[Long]("n_words") == words.length.toLong)
+      assert(r.getAs[Double]("mean_chunk_len") ==
+        BigDecimal(words.length.toDouble / expect)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // boundary density ~1/16: corpus-wide mean chunk length sanity band
+    val meanLen = rows.map(_.getAs[Long]("n_words")).sum.toDouble /
+      rows.map(_.getAs[Long]("n_chunks")).sum
+    assert(meanLen > 8.0 && meanLen < 32.0, s"mean chunk len $meanLen")
+  }
+
   test("s12 merge-schema read: union schema with per-generation null accounting") {
     val r = graft.operators.Core.s12MergeSchema(spark, sf).collect().head
     val s = Tables.supplier(spark, sf)

@@ -56,6 +56,33 @@ class ScaleOpsSpec extends SparkSpec {
       s"bloom pruned too little: kept=$kept true=$trueMatch of ${li.length}")
   }
 
+  test("s15 manifest prune: skips files, result equals the unpruned box aggregate") {
+    import org.apache.spark.sql.functions._
+    val res = ScaleOps.s15ManifestPrune(spark, sf).collect()
+    assert(res.forall(_.getAs[Boolean]("files_skipped")),
+      "z-layout should let the manifest skip at least one file")
+    val viaManifest = res.map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val unpruned = ScaleOps.x26ZorderLayout(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(viaManifest == unpruned)
+  }
+
+  test("x28 salted join equals direct aggregation and avoids broadcast") {
+    import org.apache.spark.sql.functions._
+    val salted = ScaleOps.x28SaltedJoin(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val direct = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("l_extendedprice")).as("s"))
+      .collect()
+      .map(r => s"desc_${r.getString(0)}" -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted == direct)
+    val plan = ScaleOps.x28SaltedJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected the pinned shuffle-hash join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "broadcast would dodge the skew instead of handling it")
+  }
+
   test("x26 z-order: interleave matches reference bits and layout tightens file bounds") {
     import org.apache.spark.sql.functions._
     // reference Morton implementation on sample points
