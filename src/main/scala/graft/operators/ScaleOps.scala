@@ -136,20 +136,37 @@ object ScaleOps {
     * only its leading column. The contract query round-trips the layout
     * and runs a 2-D box aggregate; the oracle is the same box on the
     * base table (layout must not change semantics). */
+  private val zorderCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]()
+
   /** Write the Z-order-clustered orders layout and return its path —
     * shared by [[x26ZorderLayout]] (row-group pruning via pushed
     * predicates) and [[s15ManifestPrune]] (file pruning via a stats
-    * manifest). */
+    * manifest). Written once per (session, corpus) — the clustered
+    * layout is the reusable artifact here (on a cluster it's a table
+    * maintenance job's output, amortized over every query that reads
+    * it), so each consumer paying the write would overstate its cost. */
   def zorderDir(spark: SparkSession, sfDir: String): String = {
-    val dir = Tables.scratchDir("x26_zorder", sfDir)
-    val zed = Tables.orders(spark, sfDir)
-      .withColumn("xb", pmod(col("o_custkey"), lit(256L)))
-      .withColumn("yb", floor(col("o_totalprice") / 2000.0).cast("long"))
-      .withColumn("zval", expr(zInterleaveSql("xb", "yb")))
-    zed.repartitionByRange(8, col("zval"))
-      .sortWithinPartitions(col("zval"))
-      .write.mode("overwrite").parquet(dir)
-    dir
+    val perSession = zorderCache.synchronized {
+      var m = zorderCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        zorderCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(sfDir, { _ =>
+      val dir = Tables.scratchDir("x26_zorder", sfDir)
+      Tables.orders(spark, sfDir)
+        .withColumn("xb", pmod(col("o_custkey"), lit(256L)))
+        .withColumn("yb", floor(col("o_totalprice") / 2000.0).cast("long"))
+        .withColumn("zval", expr(zInterleaveSql("xb", "yb")))
+        .repartitionByRange(8, col("zval"))
+        .sortWithinPartitions(col("zval"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
   }
 
   def x26ZorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
