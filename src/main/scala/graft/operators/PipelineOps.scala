@@ -179,11 +179,21 @@ object PipelineOps {
     * and checks the two Misra-Gries guarantees — every word with
     * frequency above n/(k+1) appears among the candidates, and every
     * estimate is an undercount by at most n/(k+1). DuckDB reproduces
-    * the exact columns and the claims as literal TRUE. */
+    * the exact columns and the claims as literal TRUE.
+    *
+    * The corpus vocabulary is near-uniform (31 words, max share ~3.5%),
+    * which would leave the containment claim VACUOUS (no word exceeds
+    * the n/9 threshold), so every 7th token is rewritten to a planted
+    * `<sep>` separator first — share 1/7 ≈ 14.3% > n/9 ≈ 11.1%. That
+    * gives exactly one true heavy hitter the sketch MUST retain, with
+    * 32 distinct tokens > k forcing real decrements, and mirrors real
+    * corpora, where function/separator tokens dominate. */
   def x27HeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 8
     val words = Tables.documents(spark, sfDir)
-      .select(explode(split(col("text"), " ")).as("word"))
+      .select(posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .select(when(col("pos") % 7 === 0, lit("<sep>"))
+        .otherwise(col("w")).as("word"))
     val sketch = words
       .agg(graft.functions.HeavyHittersAgg.heavyHitters(col("word"), k)
         .as("hh"))
@@ -279,7 +289,9 @@ object PipelineOps {
     // derived-claim oracle: exact token/heavy counts + the Misra-Gries
     // guarantees the Spark side checks against its own exact aggregate
     "x27_heavy_hitters" ->
-      ("WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), " +
+      ("WITH s AS (SELECT string_split(text, ' ') AS words FROM documents), " +
+       "w AS (SELECT CASE WHEN g % 7 = 0 THEN '<sep>' ELSE words[g + 1] END AS word " +
+       "FROM s, range(0, 1024) r(g) WHERE g < len(words)), " +
        "t AS (SELECT COUNT(*) AS n FROM w), " +
        "c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word) " +
        "SELECT (SELECT n FROM t) AS n_tokens, " +

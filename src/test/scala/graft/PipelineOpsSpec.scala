@@ -161,9 +161,11 @@ class PipelineOpsSpec extends SparkSpec {
     val again = df.agg(HeavyHittersAgg.heavyHitters(col("w"), k)).collect()
     val first = df.agg(HeavyHittersAgg.heavyHitters(col("w"), k)).collect()
     assert(again.map(_.toString).toSeq == first.map(_.toString).toSeq)
-    // contract query: single row, claims hold at sf0.001
+    // contract query: single row, claims hold at sf0.001 and the
+    // containment claim is NON-vacuous (the planted <sep> is heavy)
     val claim = PipelineOps.x27HeavyHitters(spark, sf).collect()
     assert(claim.length == 1)
+    assert(claim.head.getAs[Long]("n_heavy_true") >= 1L)
     assert(claim.head.getAs[Boolean]("heavy_all_found"))
     assert(claim.head.getAs[Boolean]("bounds_ok"))
   }
