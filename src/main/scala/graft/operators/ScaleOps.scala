@@ -280,7 +280,57 @@ object ScaleOps {
         |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin)
   }
 
+  /** SQL11 — E2 entry surface, TPC-H Q5 shape (local supplier volume):
+    * six-table join where customer and supplier must share a nation —
+    * the classic snowflake traversal with a cross-dimension equality.
+    * Dims broadcast; the fact spine shuffles once per fact-fact hop. */
+  def sql11LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer" -> Tables.customer(spark, sfDir),
+      "orders" -> Tables.orders(spark, sfDir),
+      "lineitem" -> Tables.lineitem(spark, sfDir),
+      "supplier" -> Tables.supplier(spark, sfDir),
+      "nation" -> Tables.nation(spark, sfDir),
+      "region" -> Tables.region(spark, sfDir))
+      .foreach { case (n, df) => df.createOrReplaceTempView(s"v_$n") }
+    spark.sql(
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM v_customer
+        |JOIN v_orders ON c_custkey = o_custkey
+        |JOIN v_lineitem ON l_orderkey = o_orderkey
+        |JOIN v_supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN v_nation ON s_nationkey = n_nationkey
+        |JOIN v_region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)
+  }
+
+  /** SQL12 — E2 entry surface, TPC-H Q14 shape (promo revenue share):
+    * the ratio-of-conditional-aggregates pattern per ship month. Both
+    * sums route through DECIMAL before one double division, so the
+    * ratio is order-independent on both engines. */
+  def sql12PromoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("v_lineitem")
+    Tables.part(spark, sfDir).createOrReplaceTempView("v_part")
+    spark.sql(
+      """SELECT year(l_shipdate) AS y, month(l_shipdate) AS m,
+        |  round(100.0 *
+        |    CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) /
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+        |  6) AS promo_pct
+        |FROM v_lineitem JOIN v_part ON l_partkey = p_partkey
+        |WHERE year(l_shipdate) = 1997
+        |GROUP BY 1, 2 ORDER BY y, m""".stripMargin)
+      .selectExpr("CAST(y AS BIGINT) AS y", "CAST(m AS BIGINT) AS m",
+        "promo_pct")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql11_local_supplier" -> (sql11LocalSupplier _),
+    "sql12_promo_share" -> (sql12PromoShare _),
     "x9_salted_agg" -> (x9SaltedAgg _),
     "x10_bucketed_join" -> (x10BucketedJoin _),
     "x24_bloom_join" -> (x24BloomJoin _),
@@ -313,6 +363,23 @@ object ScaleOps {
        "CAST(FLOOR(o_totalprice / 2000.0) AS BIGINT) AS yb FROM orders) t " +
        "WHERE xb BETWEEN 32 AND 95 AND yb BETWEEN 64 AND 159 " +
        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "sql11_local_supplier" ->
+      (s"SELECT n_name, ${d.dsum("l_extendedprice*(1.0-l_discount)")} AS revenue, " +
+       "COUNT(*) AS n_lines FROM customer " +
+       "JOIN orders ON c_custkey = o_custkey " +
+       "JOIN lineitem ON l_orderkey = o_orderkey " +
+       "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       "JOIN region ON n_regionkey = r_regionkey " +
+       "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    "sql12_promo_share" ->
+      ("SELECT CAST(year(l_shipdate) AS BIGINT) AS y, " +
+       "CAST(month(l_shipdate) AS BIGINT) AS m, " +
+       "round(100.0 * " +
+       s"${d.dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END")} / " +
+       s"${d.dsum("l_extendedprice*(1.0-l_discount)")}, 6) AS promo_pct " +
+       "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+       "WHERE year(l_shipdate) = 1997 GROUP BY 1, 2 ORDER BY y, m"),
     // derived-claim column files_skipped: the oracle can't see file
     // layout, so it checks the aggregate and the literal TRUE claim
     "s15_manifest_prune" ->
