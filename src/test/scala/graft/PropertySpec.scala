@@ -102,6 +102,33 @@ class PropertySpec extends SparkSpec {
     assert(rounds <= bound, s"took $rounds rounds, bound $bound")
   }
 
+  test("misra-gries guarantees hold for random streams, k, and partitionings") {
+    import spark.implicits._
+    val streamGen = for {
+      k <- Gen.chooseNum(2, 6)
+      parts <- Gen.chooseNum(1, 8)
+      // skewed alphabet: item i drawn with weight ~ 1/(i+1)
+      items <- Gen.listOfN(300, Gen.frequency(
+        (0 until 12).map(i => (12 - i, Gen.const(s"it$i"))): _*))
+    } yield (k, parts, items)
+    check(Prop.forAll(streamGen) { case (k, parts, items) =>
+      val df = spark.sparkContext.parallelize(items, parts).toDF("w")
+      val sketch = df
+        .agg(graft.functions.HeavyHittersAgg.heavyHitters(col("w"), k).as("hh"))
+        .select(explode(col("hh")).as("c"))
+        .select(col("c.item"), col("c.est")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = items.size.toDouble
+      val bound = n / (k + 1)
+      sketch.size <= k &&
+        exact.forall { case (item, cnt) =>
+          cnt <= bound || sketch.contains(item) } &&
+        sketch.forall { case (item, est) =>
+          est <= exact(item) && exact(item) - est <= bound }
+    })
+  }
+
   test("connected components match a union-find oracle on random graphs") {
     import spark.implicits._
     val edgeGen = Gen.listOfN(40,
