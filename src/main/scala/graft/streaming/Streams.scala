@@ -7,6 +7,75 @@ import scala.jdk.CollectionConverters._
 // generated classes, which cannot access private nested types
 case class EvRow(event_id: Long, user_id: Long, value: Double)
 case class UserStats(user_id: Long, n_events: Long, max_value: Double)
+case class EvTs(user_id: Long, ts_us: Long, event_id: Long)
+case class SessionOut(user_id: Long, sess_start_us: Long,
+    sess_end_us: Long, n_events: Long)
+
+/** Timer-driven sessionization for ST13: per-user 30-minute-gap
+  * sessions closed EITHER by a later event past the gap (in
+  * handleInputRows) OR — the part only timers can express — by the
+  * event-time watermark passing last_event + gap with no further
+  * events (handleExpiredTimer). This is the streaming-native form of
+  * session_window: state is one (start, last, n) triple per live user
+  * plus one registered timer, evicted exactly when the watermark proves
+  * the session can no longer grow. */
+class SessionProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvTs, SessionOut] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  private val GapUs = 30L * 60L * 1000000L
+
+  // (sess_start_us, last_us, n_events)
+  @transient private var state: ValueState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Long, Long)]("sess",
+      Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+  private def close(s: (Long, Long, Long), key: Long): SessionOut =
+    SessionOut(key, s._1, s._2 + GapUs, s._3)
+
+  override def handleInputRows(key: Long, rows: Iterator[EvTs],
+      timerValues: TimerValues): Iterator[SessionOut] = {
+    // a micro-batch's rows carry no intra-group order guarantee; the
+    // fold below needs event-time order (ties broken by event_id)
+    val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+    val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    var cur = if (state.exists()) Option(state.get()) else None
+    sorted.foreach { e =>
+      cur = cur match {
+        case Some(s) if e.ts_us - s._2 > GapUs =>
+          closed += close(s, key); Some((e.ts_us, e.ts_us, 1L))
+        case Some(s) => Some((s._1, e.ts_us, s._3 + 1L))
+        case None => Some((e.ts_us, e.ts_us, 1L))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      // one live timer per key: re-arm at the new session horizon
+      // (materialize before deleting — no mutation under the iterator)
+      getHandle.listTimers().toArray.foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer((s._2 + GapUs) / 1000L)
+    }
+    closed.iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+    // fire only for the CURRENT horizon — a stale timer (re-armed away
+    // by a later batch) must not close a still-live session
+    if (state.exists()) {
+      val s = state.get()
+      if (expiredTimerInfo.getExpiryTimeInMs() == (s._2 + GapUs) / 1000L) {
+        state.clear()
+        return Iterator(close(s, key))
+      }
+    }
+    Iterator.empty
+  }
+}
 
 /** ST6b processor: typed per-key running stats in a ValueState. */
 class RunningStatsProcessor
@@ -476,6 +545,48 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** ST13 — timer-driven sessionization via transformWithState +
+    * event-time timers ([[SessionProcessor]]): gap-closed sessions emit
+    * from handleInputRows; the last session of every user — which no
+    * later event will ever close — emits from handleExpiredTimer once
+    * the watermark passes its horizon. The two-sentinel staged replay
+    * ([[stageOuterSplit]]) advances the watermark deterministically, so
+    * the full session set equals the batch session_window computation
+    * (ST3's oracle, minus the sentinel user). */
+  def st13TimerSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageOuterSplit(spark, sfDir)
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.TimeMode
+      val schema = Tables.events(spark, sfDir).schema
+      val stream = Tables.tune(spark).readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_t", timestamp_micros(col("ts_us")))
+        .withWatermark("ts_t", "15 minutes")
+        .select(col("user_id"), col("ts_us"), col("event_id")).as[EvTs]
+      val sessions = stream.groupByKey(_.user_id)
+        .transformWithState(new SessionProcessor,
+          TimeMode.EventTime(), OutputMode.Append())
+      runToTable(spark, sessions.toDF(), OutputMode.Append())
+        .filter(col("user_id") =!= -1L)
+        .select(col("user_id"), col("sess_start_us"), col("sess_end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("sess_start_us"))
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   /** ST9 — streaming file (parquet) sink: filtered purchases streamed to
     * a partitioned parquet directory with checkpointing (exactly-once via
     * the sink's transaction log), read back and aggregated. The batch
@@ -554,6 +665,7 @@ object Streams {
     "st11_dsv2_stream" -> (st11SeqStream _),
     "st8_stream_stream" -> (st8StreamStreamJoin _),
     "st12_stream_outer" -> (st12StreamStreamOuter _),
+    "st13_timer_sessions" -> (st13TimerSessions _),
     "st9_file_sink" -> (st9FileSink _),
     "st10_foreach_batch" -> (st10ForeachBatch _),
     "st1_tumbling" -> (st1Tumbling _),
@@ -632,6 +744,18 @@ object Streams {
        "WHERE event_type = 'purchase') p " +
        "ON c.cu = p.pu AND p.pt >= c.ct AND p.pt <= c.ct + 3600000000) s " +
        "GROUP BY cu ORDER BY user_id"),
+    "st13_timer_sessions" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +
+       "flagged AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER " +
+       "(PARTITION BY user_id ORDER BY t) > 1800000000 " +
+       "OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL " +
+       "THEN 1 ELSE 0 END AS new_sess FROM e), " +
+       "sess AS (SELECT user_id, t, SUM(new_sess) OVER " +
+       "(PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING " +
+       "AND CURRENT ROW) AS sid FROM flagged) " +
+       "SELECT user_id, MIN(t) AS sess_start_us, " +
+       "MAX(t) + 1800000000 AS sess_end_us, COUNT(*) AS n_events " +
+       "FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start_us"),
     "st12_stream_outer" ->
       ("SELECT cu AS user_id, COUNT(v) AS n_pairs, " +
        "CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_unmatched, " +

@@ -89,6 +89,29 @@ class StreamsSpec extends SparkSpec {
     assert(!got.contains(-1L))
   }
 
+  test("st13 timer sessions equal batch sessions, including timer-closed tails") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Streams.st13TimerSessions(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val want = Tables.eventsUs(spark, sf)
+      .select(col("user_id"), col("ts"))
+      .withColumn("new_sess",
+        when(col("ts") - lag(col("ts"), 1).over(w) > 1800000000L ||
+          lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_sess")).over(w))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("s"), (max(col("ts")) + 1800000000L).as("e"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want)
+    // the LAST session of every user can only close via an event-time
+    // timer (no later event exists) — all users' tails must be present
+    val lastPerUser = want.groupBy(_._1).view.mapValues(_.maxBy(_._2)).values.toSet
+    assert(lastPerUser.subsetOf(got), "timer-closed tail sessions missing")
+  }
+
   test("st6 stateful: final state equals batch aggregate") {
     val st = Streams.st6Stateful(spark, sf).collect()
       .map(r => r.getAs[Long]("user_id") ->
