@@ -152,6 +152,46 @@ object Extras3 {
       .orderBy(col("wday"))
   }
 
+  /** F18 — error-safe `try_*` function family (ANSI-mode's graceful
+    * side): try_cast on malformed numerics, try_divide by a cycling
+    * zero, try_element_at past the array end — every failure becomes
+    * NULL instead of a task abort, which is what a 100 TB batch job
+    * needs from dirty data. The oracle reproduces each NULL rule
+    * portably (TRY_CAST / CASE-guarded divide / DuckDB's NULL-on-OOB
+    * list index). */
+  def f18TryFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        when(col("p_partkey") % 3 === 0, lit("12.5"))
+          .when(col("p_partkey") % 3 === 1, lit("oops"))
+          .otherwise(lit("")).as("s"))
+      .select(col("p_partkey"),
+        expr("try_cast(s AS DOUBLE)").as("casted"),
+        expr(s"try_divide(CAST(p_partkey AS DOUBLE), " +
+          "CAST(p_partkey % 4 AS DOUBLE))").as("divided"),
+        expr("try_element_at(split(s, '\\\\.'), 2)").as("frac_part"))
+      .orderBy(col("p_partkey"))
+
+  /** F19 — Spark 4 collation-aware grouping: the supplier table is
+    * doubled with a lower-cased and an UPPER-cased copy of every name,
+    * then grouped under UNICODE_CI — the case variants MUST merge
+    * (every group carries n = 2), where a case-sensitive grouping would
+    * leave 2× the groups, so the collation semantics are load-bearing,
+    * not decorative. Output keys are lower-cased for portability; the
+    * oracle reproduces the equivalence classes with lower() grouping
+    * (identical to UNICODE_CI on this ASCII domain). */
+  def f19CollationCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = Tables.supplier(spark, sfDir)
+      .select(lower(col("s_name")).as("name_mixed"), col("s_acctbal"))
+    val hi = Tables.supplier(spark, sfDir)
+      .select(upper(col("s_name")).as("name_mixed"), col("s_acctbal"))
+    lo.unionByName(hi)
+      .groupBy(collate(col("name_mixed"), "UNICODE_CI").as("k"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("s_acctbal")).as("bal"))
+      .select(lower(col("k")).as("name_ci"), col("n"), col("bal"))
+      .orderBy(col("name_ci"))
+  }
+
   /** W9 — batch sessionization: the lag + running-sum session-id
     * assignment (gap > 30 min starts a new session), the batch twin of
     * the streaming session_window (ST3) — one shuffle on user_id, two
@@ -448,6 +488,8 @@ object Extras3 {
     "x15_latest_by_key" -> (x15LatestByKey _),
     "x25_scd2" -> (x25Scd2 _),
     "a16_rolling_distinct" -> (a16RollingDistinct _),
+    "f18_try_funcs" -> (f18TryFuncs _),
+    "f19_collation_ci" -> (f19CollationCi _),
     "x14_lsh_ann" -> (x14LshAnn _))
 
   import Det.{sql => d}
@@ -603,6 +645,20 @@ object Extras3 {
        "ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn, " +
        "COUNT(*) OVER (PARTITION BY user_id) AS n_events FROM events) s " +
        "WHERE rn = 1 ORDER BY user_id"),
+    "f18_try_funcs" ->
+      ("WITH t AS (SELECT p_partkey, CASE WHEN p_partkey % 3 = 0 THEN '12.5' " +
+       "WHEN p_partkey % 3 = 1 THEN 'oops' ELSE '' END AS s FROM part) " +
+       "SELECT p_partkey, TRY_CAST(s AS DOUBLE) AS casted, " +
+       "CASE WHEN p_partkey % 4 = 0 THEN NULL " +
+       "ELSE CAST(p_partkey AS DOUBLE) / CAST(p_partkey % 4 AS DOUBLE) END " +
+       "AS divided, " +
+       "string_split(s, '.')[2] AS frac_part " +
+       "FROM t ORDER BY p_partkey"),
+    "f19_collation_ci" ->
+      (s"SELECT lower(m) AS name_ci, COUNT(*) AS n, ${d.dsum("s_acctbal")} AS bal " +
+       "FROM (SELECT lower(s_name) AS m, s_acctbal FROM supplier " +
+       "UNION ALL SELECT upper(s_name), s_acctbal FROM supplier) t " +
+       "GROUP BY lower(m) ORDER BY name_ci"),
     "a16_rolling_distinct" ->
       ("WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day " +
        "FROM events), " +

@@ -155,6 +155,30 @@ class Extras3Spec extends SparkSpec {
     assert(got.keys.max == maxDay)
   }
 
+  test("f18 try functions: every failure mode becomes NULL, successes exact") {
+    val rows = Extras3.f18TryFuncs(spark, sf).collect()
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val casted = Option(r.get(1)).map(_.asInstanceOf[Double])
+      assert(casted == (if (k % 3 == 0) Some(12.5) else None))
+      val divided = Option(r.get(2)).map(_.asInstanceOf[Double])
+      if (k % 4 == 0) assert(divided.isEmpty, s"divide by zero must NULL (key $k)")
+      else assert(divided.contains(k.toDouble / (k % 4)))
+      val frac = Option(r.get(3)).map(_.asInstanceOf[String])
+      assert(frac == (if (k % 3 == 0) Some("5") else None))
+    }
+  }
+
+  test("f19 collation grouping: UNICODE_CI really merges the case variants") {
+    val rows = Extras3.f19CollationCi(spark, sf).collect()
+    assert(rows.length == Tables.supplier(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == 2L,
+        s"case variants of ${r.getString(0)} did not merge")
+      assert(r.getString(0) == r.getString(0).toLowerCase)
+    }
+  }
+
   test("x25 scd2: ranges tile each user's timeline and runs reconstruct the stream") {
     val ranges = Extras3.x25Scd2(spark, sf).collect()
     val events = Tables.eventsUs(spark, sf)
