@@ -192,6 +192,38 @@ object Extras3 {
       .orderBy(col("name_ci"))
   }
 
+  /** X30 — CDC MERGE-apply (the MERGE INTO semantics, composed from
+    * relational primitives because plain parquet has no row-level ops):
+    * a deterministic change feed (deletes for key%10=0, +100 balance
+    * updates for key%10∈{1,2}, inserts at key+100000 for key%10=3) is
+    * applied to the customer snapshot via one full outer join on the
+    * key — matched+D drops the row, matched+U rewrites it, unmatched
+    * inserts flow through, everything else keeps the snapshot row.
+    * One shuffle on the merge key at any scale; the op column records
+    * which arm fired so the oracle checks the routing, not just the
+    * final values. */
+  def x30ApplyCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val snap = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+    val changes = Tables.customer(spark, sfDir).select(
+      when(col("c_custkey") % 10 === 3, col("c_custkey") + 100000L)
+        .otherwise(col("c_custkey")).as("ckey"),
+      when(col("c_custkey") % 10 === 0, lit("D"))
+        .when(col("c_custkey") % 10 === 1 || col("c_custkey") % 10 === 2,
+          lit("U"))
+        .when(col("c_custkey") % 10 === 3, lit("I"))
+        .otherwise(lit(null)).as("op"),
+      (col("c_acctbal") + 100.0).as("new_bal"))
+      .filter(col("op").isNotNull)
+    snap.join(changes, snap("key") === changes("ckey"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(coalesce(col("key"), col("ckey")).as("key"),
+        when(col("op") === "U" || col("op") === "I", col("new_bal"))
+          .otherwise(col("bal")).as("bal"),
+        coalesce(col("op"), lit("K")).as("applied"))
+      .orderBy(col("key"))
+  }
+
   /** W9 — batch sessionization: the lag + running-sum session-id
     * assignment (gap > 30 min starts a new session), the batch twin of
     * the streaming session_window (ST3) — one shuffle on user_id, two
@@ -489,6 +521,7 @@ object Extras3 {
     "x25_scd2" -> (x25Scd2 _),
     "a16_rolling_distinct" -> (a16RollingDistinct _),
     "f18_try_funcs" -> (f18TryFuncs _),
+    "x30_apply_cdc" -> (x30ApplyCdc _),
     "f19_collation_ci" -> (f19CollationCi _),
     "x14_lsh_ann" -> (x14LshAnn _))
 
@@ -645,6 +678,20 @@ object Extras3 {
        "ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn, " +
        "COUNT(*) OVER (PARTITION BY user_id) AS n_events FROM events) s " +
        "WHERE rn = 1 ORDER BY user_id"),
+    "x30_apply_cdc" ->
+      ("WITH snap AS (SELECT c_custkey AS key, c_acctbal AS bal FROM customer), " +
+       "chg AS (SELECT CASE WHEN c_custkey % 10 = 3 THEN c_custkey + 100000 " +
+       "ELSE c_custkey END AS ckey, " +
+       "CASE WHEN c_custkey % 10 = 0 THEN 'D' " +
+       "WHEN c_custkey % 10 IN (1, 2) THEN 'U' " +
+       "WHEN c_custkey % 10 = 3 THEN 'I' END AS op, " +
+       "c_acctbal + 100.0 AS new_bal FROM customer " +
+       "WHERE c_custkey % 10 IN (0, 1, 2, 3)) " +
+       "SELECT COALESCE(key, ckey) AS key, " +
+       "CASE WHEN op IN ('U', 'I') THEN new_bal ELSE bal END AS bal, " +
+       "COALESCE(op, 'K') AS applied " +
+       "FROM snap FULL OUTER JOIN chg ON key = ckey " +
+       "WHERE COALESCE(op, '') <> 'D' ORDER BY key"),
     "f18_try_funcs" ->
       ("WITH t AS (SELECT p_partkey, CASE WHEN p_partkey % 3 = 0 THEN '12.5' " +
        "WHEN p_partkey % 3 = 1 THEN 'oops' ELSE '' END AS s FROM part) " +

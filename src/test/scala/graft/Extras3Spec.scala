@@ -179,6 +179,28 @@ class Extras3Spec extends SparkSpec {
     }
   }
 
+  test("x30 cdc apply: deletes gone, updates rewritten, inserts added, keeps intact") {
+    val snap = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_acctbal")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = Extras3.x30ApplyCdc(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    snap.foreach { case (k, bal) =>
+      k % 10 match {
+        case 0 => assert(!rows.contains(k), s"deleted key $k survived")
+        case 1 | 2 => assert(rows(k) == ((bal + 100.0, "U")))
+        case 3 =>
+          assert(rows(k) == ((bal, "K")), s"source row of insert must keep")
+          assert(rows(k + 100000L) == ((bal + 100.0, "I")))
+        case _ => assert(rows(k) == ((bal, "K")))
+      }
+    }
+    // cardinality: original minus deletes plus inserts
+    val dels = snap.keys.count(_ % 10 == 0)
+    val ins = snap.keys.count(_ % 10 == 3)
+    assert(rows.size == snap.size - dels + ins)
+  }
+
   test("x25 scd2: ranges tile each user's timeline and runs reconstruct the stream") {
     val ranges = Extras3.x25Scd2(spark, sf).collect()
     val events = Tables.eventsUs(spark, sf)
