@@ -138,7 +138,38 @@ object Windows {
         k = 3)
       .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
 
+  /** Decay weights 0.8^i, computed ONCE in Scala and embedded as
+    * identical double literals in both the Spark plan and the DuckDB
+    * oracle — cross-engine pow() in the last ulp is not a risk worth
+    * taking. */
+  val EwmaWeights: IndexedSeq[Double] =
+    (0 until 10).map(i => math.pow(0.8, i))
+
+  /** W11 — exponential moving average over the trailing 10 events per
+    * user (time-series smoothing — the family ROWS/RANGE frames can't
+    * express because the weight depends on the offset): spelled as a
+    * fixed sum of lag(value, i) × 0.8^i terms normalized by the weights
+    * actually present, so the frame start of each partition is handled
+    * exactly. One user_id shuffle; 10 lags share one Window operator.
+    * Both engines evaluate the identical left-associated expression
+    * over identical literals, making the doubles bit-equal before the
+    * defensive round. */
+  def w11Ewma(spark: SparkSession, sfDir: String): DataFrame = {
+    val num = EwmaWeights.zipWithIndex.map { case (wt, i) =>
+      coalesce(lag(col("value"), i).over(wUser), lit(0.0)) * lit(wt)
+    }.reduce(_ + _)
+    val den = EwmaWeights.zipWithIndex.map { case (wt, i) =>
+      when(lag(col("value"), i).over(wUser).isNotNull, lit(wt))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    Tables.eventsUs(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("ewma", round(num / den, 6))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w11_ewma" -> (w11Ewma _),
     "w1_ranks" -> (w1Ranks _),
     "w2_ntile" -> (w2Ntile _),
     "w3_lag_lead" -> (w3LagLead _),
@@ -149,6 +180,18 @@ object Windows {
     "w10_topk_exec" -> (w10TopKExec _))
 
   val oracles: Map[String, String] = Map(
+    "w11_ewma" -> {
+      val num = EwmaWeights.zipWithIndex.map { case (wt, i) =>
+        s"COALESCE(lag(value, $i) OVER w, 0.0) * $wt"
+      }.mkString(" + ")
+      val den = EwmaWeights.zipWithIndex.map { case (wt, i) =>
+        s"CASE WHEN lag(value, $i) OVER w IS NOT NULL THEN $wt ELSE 0.0 END"
+      }.mkString(" + ")
+      "SELECT event_id, epoch_us(ts) AS ts, user_id, value, " +
+        s"round(($num) / ($den), 6) AS ewma FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) " +
+        "ORDER BY user_id, ts, event_id"
+    },
     "w1_ranks" ->
       ("SELECT event_id, user_id, " +
        "CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn, " +

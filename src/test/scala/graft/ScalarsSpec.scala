@@ -46,6 +46,26 @@ class ScalarsSpec extends SparkSpec {
     }
   }
 
+  test("w11 ewma matches a driver-side recomputation over ordered streams") {
+    val rows = graft.operators.Windows.w11Ewma(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))  // (event_id, user_id, ts, value, ewma)
+    val byUser = rows.groupBy(_._2)
+    byUser.values.foreach { evs =>
+      val ordered = evs.sortBy(e => (e._3, e._1)).map(e => (e._4, e._5))
+      ordered.indices.foreach { i =>
+        val wts = graft.operators.Windows.EwmaWeights
+        val terms = (0 until math.min(10, i + 1)).map(j =>
+          ordered(i - j)._1 * wts(j))
+        val den = (0 until math.min(10, i + 1)).map(j => wts(j)).sum
+        val expect = BigDecimal(terms.sum / den)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(ordered(i)._2 - expect) < 1e-9,
+          s"at index $i: got ${ordered(i)._2}, want $expect")
+      }
+    }
+  }
+
   test("w6 top-k per group: at most 3 per customer, descending") {
     val byCust = Windows.w6TopKPerGroup(spark, sf).collect()
       .groupBy(_.getAs[Long]("o_custkey"))
