@@ -126,24 +126,35 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
-  /** X21 — sequence packing (concat-and-chop): lay each language's
+  /** X21 — sequence packing (concat-and-chop): lay each (lang, shard)
     * token stream end-to-end in deterministic doc_id order and cut
-    * fixed-capacity context windows; emit each doc's window id, offset,
-    * and whether it straddles a boundary. One window shuffle partitioned
-    * by language — at 100 TB the partition key becomes (lang, shard) so
-    * no single stream serializes; the assignment stays deterministic
-    * because shards are content-hash buckets, not arrival order. */
+    * fixed-capacity context windows; emit each doc's shard, window id,
+    * offset, and whether it straddles a boundary.
+    *
+    * Two-level packing key: the window partitions by (lang, SHARD), not
+    * lang alone — a 5-language corpus would otherwise serialize the whole
+    * token stream through 5 window tasks at 100 TB. The shard is the
+    * first md5 hex nibble of the document text (16 buckets), a
+    * deterministic CONTENT hash: assignment is stable across runs,
+    * engines, and repartitionings (arrival order never leaks in), and
+    * parallelism is langs × 16, growable by widening the nibble. Each
+    * (lang, shard) stream packs into its own bins, which is exactly how
+    * a production packer runs shards independently on different
+    * executors. */
   def x21PackSequences(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cap = 512
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
+        conv(substring(md5(col("text").cast("binary")), 1, 1), 16, 10)
+          .cast("int").as("shard"),
         size(split(col("text"), " ")).as("n_tokens"))
       .withColumn("end_tok", sum(col("n_tokens")).over(w))
       .withColumn("start_tok", col("end_tok") - col("n_tokens"))
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
         expr(s"start_tok div $cap").as("bin"),
         (col("start_tok") % cap).as("offset"),
         (expr(s"(end_tok - 1) div $cap") > expr(s"start_tok div $cap"))
@@ -324,13 +335,17 @@ object PipelineOps {
        "md5(array_to_string(list_slice(words, g*32+1, g*32+64), ' ')) AS chunk_fp " +
        "FROM w, range(0, 1024) r(g) WHERE g <= (len(words) - 1) // 32 " +
        "ORDER BY doc_id, chunk_idx"),
+    // the CAST(... AS BIGINT) on the window sum matters: DuckDB's
+    // windowed SUM(int) is HUGEINT, whose // and % render as float64 in
+    // the driver's pandas fetch and hash-mismatch Spark's LONG 0 vs 0.0
     "x21_pack_sequences" ->
       ("WITH d AS (SELECT doc_id, lang, " +
+       "CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS INT) AS shard, " +
        "CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents), " +
-       "c AS (SELECT doc_id, lang, n_tokens, SUM(n_tokens) OVER " +
-       "(PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING " +
-       "AND CURRENT ROW) AS end_tok FROM d) " +
-       "SELECT doc_id, lang, n_tokens, (end_tok - n_tokens) // 512 AS bin, " +
+       "c AS (SELECT doc_id, lang, shard, n_tokens, CAST(SUM(n_tokens) OVER " +
+       "(PARTITION BY lang, shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING " +
+       "AND CURRENT ROW) AS BIGINT) AS end_tok FROM d) " +
+       "SELECT doc_id, lang, shard, n_tokens, (end_tok - n_tokens) // 512 AS bin, " +
        "(end_tok - n_tokens) % 512 AS offset, " +
        "((end_tok - 1) // 512) > ((end_tok - n_tokens) // 512) AS straddles " +
        "FROM c ORDER BY doc_id"))

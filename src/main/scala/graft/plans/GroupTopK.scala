@@ -35,11 +35,14 @@ import scala.collection.mutable
   * The partial pass caps the exchange input at |groups-per-partition| × k
   * rows — the same bound WindowGroupLimit(Partial) achieves, but without
   * sorting the map partition to get it (one heap pass, no spill surface).
-  * Partial-pass memory is bounded by live-groups × k row copies
-  * (strictly ≤ the partition's input; a production hardening would spill
-  * the heap table like ObjectHashAggregate does past a group-count
-  * threshold — at that point the pass can also simply pass rows through,
-  * since the final stage alone is already correct and spill-safe).
+  * Partial-pass memory is bounded two ways: each tracked group holds at
+  * most k row copies, and the number of TRACKED groups is capped by
+  * `spark.graft.topk.maxLiveGroups` (default 65536). Once the cap is hit,
+  * rows of new (untracked) groups stream through unpruned — the
+  * ObjectHashAggregate fallback shape, except no sort is needed because
+  * the final stage alone is already correct and spill-safe for any input;
+  * the fallback merely trades shuffle volume for hard-bounded map memory
+  * on adversarial group cardinality.
   *
   * Correctness of the split: top-k(⋃ᵢ top-k(partᵢ)) = top-k(⋃ᵢ partᵢ) for
   * any total order — elements pruned by a partial heap are dominated by k
@@ -104,32 +107,46 @@ case class GroupTopKExec(
     if (partial) executePartial() else executeFinal()
 
   /** Map side: one bounded max-heap per live group; a row enters only if
-    * its group has < k rows or it beats the group's current worst. */
+    * its group has < k rows or it beats the group's current worst. Past
+    * `maxLiveGroups` tracked groups, rows of NEW groups pass through
+    * unpruned (streamed, never buffered) — memory stays ≤ maxLiveGroups
+    * × k row copies no matter how adversarial the group cardinality, and
+    * the final stage re-derives the exact answer either way. */
   private def executePartial(): RDD[InternalRow] = {
     val g = grouping
     val o = order
     val kk = k
     val childOutput = child.output
+    val maxLive = conf
+      .getConfString("spark.graft.topk.maxLiveGroups", "65536").toInt
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(g, childOutput)
       val ord = RowOrdering.create(o, childOutput)
       val heaps = new java.util.HashMap[UnsafeRow,
         mutable.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
+      val pruned = iter.flatMap { row =>
         val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = mutable.PriorityQueue.empty[InternalRow](ord)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < kk) heap.enqueue(row.copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue(); heap.enqueue(row.copy())
+        val heap = heaps.get(key)
+        if (heap != null) {
+          if (heap.size < kk) heap.enqueue(row.copy())
+          else if (ord.compare(row, heap.head) < 0) {
+            heap.dequeue(); heap.enqueue(row.copy())
+          }
+          Iterator.empty
+        } else if (heaps.size() < maxLive) {
+          val h = mutable.PriorityQueue.empty[InternalRow](ord)
+          h.enqueue(row.copy())
+          heaps.put(key.copy(), h)
+          Iterator.empty
+        } else {
+          // untracked group: stream the row through unpruned
+          Iterator.single(row)
         }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator)
+      // `++` is lazy: the heap dump materializes only after the input is
+      // exhausted, so pass-through rows stream ahead of it
+      pruned ++ heaps.values().iterator().asScala.flatMap(_.iterator)
     }, preservesPartitioning = true)
   }
 

@@ -1,7 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BinaryComparison, Cast, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BinaryComparison, Cast, Literal, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Aggregate => LAggregate, GlobalLimit => LGlobalLimit, LocalLimit => LLocalLimit, Project => LProject, Window => LWindow}
 import org.apache.spark.sql.execution.{FileSourceScanExec, GlobalLimitExec, LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
@@ -119,6 +121,66 @@ object PlanLint {
             s"(> 8x broadcast threshold $threshold)"))
       case _ => None
     }.distinct
+  }
+
+  /** Data-aware rule: `low-cardinality-window-key`. A window whose
+    * PARTITION BY key has a BOUNDED domain (5 languages, 5 market
+    * segments — values that do not grow with the data) funnels an
+    * unbounded input through that many tasks no matter how large the
+    * cluster: the round-3 x21 shape, which `lint`'s static
+    * `single-partition-window` rule cannot see because the key is
+    * non-empty. Cardinality is a property of the data, not the plan, so
+    * this rule MEASURES it: for every window that (a) computes an
+    * aggregate window function and (b) sits over an unbounded child
+    * (no aggregate/limit below bounding its size), it counts the
+    * distinct partition-key values and flags counts below `minKeys`.
+    *
+    * Scope is deliberately the aggregate-function windows: a running
+    * sum/count/first/last can be re-keyed to (key, content-hash shard)
+    * with per-shard semantics — exactly x21's fix — so the finding is
+    * actionable. Rank-family and offset functions (rank, percent_rank,
+    * cume_dist, ntile, lag, lead) are DEFINED on the whole partition;
+    * a low-cardinality key there (w8's per-segment percentiles) is the
+    * query's semantics, not a plan bug, and the fix — distributed
+    * quantile arithmetic — is a semantic rewrite no lint should demand.
+    *
+    * `minKeys` is parallelism-relative: in production set it near the
+    * cluster's task slots; the sf0.001 sweep uses 8 (the corpus' growing
+    * keys are ≥15 there, its bounded keys are 5).
+    *
+    * Runs count-distinct jobs (one per flagged-candidate window), so
+    * this is a test/review-time check, not a planner hook. */
+  def lowCardWindowKeys(df: DataFrame, minKeys: Long = 32): Seq[Finding] = {
+    def boundedBelow(p: LogicalPlan): Boolean =
+      p.collectFirst {
+        case _: LAggregate => (); case _: LGlobalLimit => ()
+        case _: LLocalLimit => ()
+      }.isDefined
+    def hasAggWindow(w: LWindow): Boolean =
+      w.windowExpressions.exists(_.collectFirst {
+        case we: WindowExpression
+            if we.windowFunction.isInstanceOf[AggregateExpression] => ()
+      }.isDefined)
+    // the OPTIMIZED plan: CTEs are inlined there, so a window child can
+    // be re-planned standalone (an analyzed-plan child may carry
+    // CTERelationRefs whose WithCTE definition sits above the window)
+    df.queryExecution.optimizedPlan.collect {
+      case w: LWindow
+          if w.partitionSpec.nonEmpty && hasAggWindow(w) &&
+            !boundedBelow(w.child) =>
+        val keys = w.partitionSpec.zipWithIndex
+          .map { case (e, i) => Alias(e, s"k$i")() }
+        val n = org.apache.spark.sql.GraftBridge
+          .ofRows(df.sparkSession, LProject(keys, w.child))
+          .distinct().count()
+        if (n < minKeys)
+          Some(Finding("low-cardinality-window-key", w.nodeName,
+            s"aggregate window over unbounded input partitioned by " +
+              s"${w.partitionSpec.mkString(", ")} has only $n distinct keys " +
+              s"(< $minKeys): bounded-domain key funnels the stream at scale; " +
+              "re-key to (key, content-hash shard) like x21"))
+        else None
+    }.flatten
   }
 
   /** Render a lint report for one frame. */

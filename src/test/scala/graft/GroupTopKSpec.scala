@@ -80,6 +80,40 @@ class GroupTopKSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("adversarial group cardinality: live-group cap falls back to pass-through, answer unchanged") {
+    import spark.implicits._
+    // 1000 groups x 10 rows, but the map side may only track 4 live
+    // groups: everything else must stream through unpruned and the final
+    // stage still produces the exact per-group minimum
+    val data = (0 until 10000).map(i => (i % 1000, i)).toDF("g", "v")
+      .repartition(4)
+    val prev = spark.conf.getOption("spark.graft.topk.maxLiveGroups")
+    try {
+      spark.conf.set("spark.graft.topk.maxLiveGroups", "4")
+      val topk = GroupTopK(data, Seq("g"), Seq(("v", true)), 1)
+      topk.count()
+      val got = topk.orderBy("g").collect().map(r => (r.getInt(0), r.getInt(1)))
+      assert(got.toSeq == (0 until 1000).map(g => (g, g)))
+      // the fallback really engaged: with only 4 tracked groups per
+      // partition, the exchange input far exceeds the groups x k bound a
+      // fully-heaped pass would produce (1000 x 1), yet stays finite
+      val partialOut = flatten(topk.queryExecution.executedPlan).collect {
+        case e: GroupTopKExec if e.partial => e
+      }.head.execute().count()
+      assert(partialOut > 1000L,
+        s"expected pass-through rows beyond groupsxk, got $partialOut")
+      // and map memory was bounded: tracked groups emit exactly k rows,
+      // so output < input (the 4 x (10-1) pruned rows per partition)
+      assert(partialOut < 10000L, s"no pruning at all: $partialOut")
+    } finally {
+      spark.conf.unset("spark.graft.topk.maxLiveGroups")
+      prev.foreach(spark.conf.set("spark.graft.topk.maxLiveGroups", _))
+    }
+    // default cap (65536) keeps the fully-heaped behavior on normal data
+    val normal = GroupTopK(data, Seq("g"), Seq(("v", true)), 1)
+    assert(normal.count() == 1000L)
+  }
+
   test("ties, k larger than group, and single-row groups") {
     import spark.implicits._
     // group 0: 5 equal-order rows disambiguated by the tie-break column

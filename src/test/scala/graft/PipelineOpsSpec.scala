@@ -72,22 +72,37 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
-  test("x21 packing: contiguous per-lang streams, offsets consistent, capacity respected") {
+  test("x21 packing: contiguous per-(lang,shard) streams, offsets consistent, shard is a content hash") {
     val rows = PipelineOps.x21PackSequences(spark, sf).collect()
-    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, docs) =>
-      val ordered = docs.sortBy(_.getAs[Long]("doc_id"))
-      var stream = 0L
-      ordered.foreach { r =>
-        assert(r.getAs[Long]("bin") == stream / 512)
-        assert(r.getAs[Long]("offset") == stream % 512)
-        stream += r.getAs[Int]("n_tokens")
-        val endBin = (stream - 1) / 512
-        assert(r.getAs[Boolean]("straddles") == (endBin > r.getAs[Long]("bin")))
+    rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Int]("shard")))
+      .foreach { case (_, docs) =>
+        val ordered = docs.sortBy(_.getAs[Long]("doc_id"))
+        var stream = 0L
+        ordered.foreach { r =>
+          assert(r.getAs[Long]("bin") == stream / 512)
+          assert(r.getAs[Long]("offset") == stream % 512)
+          stream += r.getAs[Int]("n_tokens")
+          val endBin = (stream - 1) / 512
+          assert(r.getAs[Boolean]("straddles") == (endBin > r.getAs[Long]("bin")))
+        }
       }
-    }
     // docs are 10-99 words << 512 capacity: a doc never spans 3 windows,
     // and every interior window is fully filled by construction
     assert(rows.forall(r => r.getAs[Int]("n_tokens") < 512))
+    // the shard is the first md5 hex nibble of the TEXT (content hash,
+    // not arrival order): recompute independently with MessageDigest
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(texts(r.getLong(0)).getBytes("UTF-8"))
+      val nibble = (h(0) >> 4) & 0xf
+      assert(r.getAs[Int]("shard") == nibble, s"doc ${r.getLong(0)}")
+    }
+    // the packing key fans out: strictly more streams than languages
+    val nStreams = rows.map(r => (r.getAs[String]("lang"), r.getAs[Int]("shard"))).distinct.length
+    val nLangs = rows.map(_.getAs[String]("lang")).distinct.length
+    assert(nStreams > nLangs, s"sharding added no fan-out: $nStreams streams / $nLangs langs")
   }
 
   test("x22 segment dedup: first occurrence wins, duplicated doc loses its segments") {

@@ -64,6 +64,49 @@ class PlanLintSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("flags a bounded-domain window partition key (the round-3 x21 shape)") {
+    // the OLD x21 plan: running sum partitioned by lang alone — 5 keys
+    // forever, so at 100 TB the whole token stream funnels through 5 tasks
+    val old = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("end_tok", sum(col("n_tokens")).over(
+        Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(PlanLint.lowCardWindowKeys(old, minKeys = 8)
+      .exists(_.rule == "low-cardinality-window-key"))
+    // the FIXED x21: (lang, content-hash shard) fans out to ~78 streams
+    // at sf0.001 — clean even at the stricter production threshold
+    val fixed = graft.operators.PipelineOps.x21PackSequences(spark, sf)
+    assert(PlanLint.lowCardWindowKeys(fixed, minKeys = 32).isEmpty)
+    // rank-family windows over a bounded key are the QUERY's semantics
+    // (per-segment percentiles have no shard-local redefinition): exempt
+    val ranks = graft.operators.Extras3.w8Distribution(spark, sf)
+    assert(PlanLint.lowCardWindowKeys(ranks, minKeys = 8).isEmpty)
+    // an aggregate window over a bounded key IS fine below an aggregate
+    // that bounds the input (group cardinality caps the partition size)
+    val bounded = Tables.documents(spark, sf)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("running", sum(col("n")).over(
+        Window.partitionBy(col("lang")).orderBy(col("source"))))
+    assert(PlanLint.lowCardWindowKeys(bounded, minKeys = 8).isEmpty)
+  }
+
+  test("sweep: every batch contract query has no bounded-domain aggregate-window key") {
+    val skipped = (name: String) => name.startsWith("st")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skipped)
+      .flatMap { name =>
+        val findings =
+          try PlanLint.lowCardWindowKeys(
+            SparkEntry.queries(name)(spark, sf), minKeys = 8)
+          catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        findings.map(f => s"$name -> $f")
+      }
+    assert(offenders.isEmpty,
+      s"\nlow-cardinality window keys:\n${offenders.mkString("\n")}")
+  }
+
   test("sweep: every batch contract query lints clean") {
     val skipped = (name: String) => name.startsWith("st") // streaming replays
     val offenders = SparkEntry.queries.keys.toSeq.sorted
