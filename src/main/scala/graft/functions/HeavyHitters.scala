@@ -93,11 +93,17 @@ case class HeavyHittersAgg(
     new GenericArrayData(rows.asInstanceOf[Array[Any]])
   }
 
+  // length-prefixed UTF-8 bytes, NOT writeUTF: writeUTF throws on items
+  // whose modified-UTF-8 encoding exceeds 65535 bytes — a shuffle-time
+  // task failure on pathological tokens
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.size)
-    for ((key, c) <- buf) { out.writeUTF(key); out.writeLong(c) }
+    for ((key, c) <- buf) {
+      val kb = key.getBytes("UTF-8")
+      out.writeInt(kb.length); out.write(kb); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -107,7 +113,12 @@ case class HeavyHittersAgg(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf(in.readUTF()) = in.readLong(); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf(new String(kb, "UTF-8")) = in.readLong()
+      i += 1
+    }
     buf
   }
 

@@ -67,20 +67,20 @@ object Extras2 {
   def s14DynamicOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
     val s = Tables.tune(spark)
     val dir = Tables.scratchDir("s14_dynover", sfDir)
-    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    try {
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "STATIC")
-      Tables.orders(spark, sfDir)
-        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
-        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
-      Tables.orders(spark, sfDir)
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey"),
-          (col("o_totalprice") * 1.1).as("o_totalprice"),
-          col("o_orderpriority"))
-        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
-    } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    // per-write option, NOT session conf: scoping the mode to the writer
+    // leaves the session untouched, so concurrent queries on the same
+    // SparkSession can never observe a half-set overwrite mode
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "STATIC")
+      .partitionBy("o_orderpriority").parquet(dir)
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"),
+        (col("o_totalprice") * 1.1).as("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "DYNAMIC")
+      .partitionBy("o_orderpriority").parquet(dir)
     s.read.parquet(dir)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),

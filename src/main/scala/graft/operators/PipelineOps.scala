@@ -27,9 +27,13 @@ object PipelineOps {
     * eval docs hit.
     *
     * The eval gram set is benchmark-sized (thousands of docs at most),
-    * so AQE broadcasts it; the corpus side stays un-shuffled until the
-    * per-doc aggregate over matches only. Swap the `% 97` slice for a
-    * real benchmark table at deployment — the plan shape is unchanged.
+    * and the broadcast is PINNED with `broadcast()`: at 100 TB the
+    * corpus side must never become the build side no matter how the
+    * stats drift, and AQE's size estimate of the eval slice (a filter
+    * over the same scan) is exactly the kind of stat that drifts. The
+    * corpus side stays un-shuffled until the per-doc aggregate over
+    * matches only. Swap the `% 97` slice for a real benchmark table at
+    * deployment — the plan shape is unchanged.
     */
   def x17Contamination(spark: SparkSession, sfDir: String): DataFrame = {
     val grams = graft.api.TextPipeline.shingles(
@@ -37,7 +41,7 @@ object PipelineOps {
     val eval = grams.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("eval_id"), col("ngram"))
     val corpus = grams.filter(col("doc_id") % 97 =!= 0)
-    corpus.join(eval, "ngram")
+    corpus.join(broadcast(eval), "ngram")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("ngram")).as("n_shared"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
@@ -299,10 +303,13 @@ object PipelineOps {
        "FROM p ORDER BY doc_id"),
     // derived-claim oracle: exact token/heavy counts + the Misra-Gries
     // guarantees the Spark side checks against its own exact aggregate
+    // word positions come from unnest-zipping each row's own
+    // range(len(words)) list — no fixed bound to silently truncate long
+    // docs (DuckDB's range TABLE function only takes constants)
     "x27_heavy_hitters" ->
       ("WITH s AS (SELECT string_split(text, ' ') AS words FROM documents), " +
-       "w AS (SELECT CASE WHEN g % 7 = 0 THEN '<sep>' ELSE words[g + 1] END AS word " +
-       "FROM s, range(0, 1024) r(g) WHERE g < len(words)), " +
+       "w AS (SELECT CASE WHEN g % 7 = 0 THEN '<sep>' ELSE wd END AS word FROM " +
+       "(SELECT unnest(words) AS wd, unnest(range(len(words))) AS g FROM s) z), " +
        "t AS (SELECT COUNT(*) AS n FROM w), " +
        "c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word) " +
        "SELECT (SELECT n FROM t) AS n_tokens, " +
@@ -319,8 +326,8 @@ object PipelineOps {
     "x22_segment_dedup" ->
       ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), " +
        "s AS (SELECT doc_id, CAST(g AS BIGINT) AS seg_idx, " +
-       "md5(array_to_string(list_slice(words, g*16+1, g*16+16), ' ')) AS fp " +
-       "FROM w, range(0, 1024) r(g) WHERE g <= (len(words) - 1) // 16), " +
+       "md5(array_to_string(list_slice(words, g*16+1, g*16+16), ' ')) AS fp FROM " +
+       "(SELECT doc_id, words, unnest(range((len(words) - 1) // 16 + 1)) AS g FROM w) z), " +
        "k AS (SELECT doc_id, " +
        "ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, seg_idx) = 1 AS kept " +
        "FROM s) " +
@@ -332,8 +339,8 @@ object PipelineOps {
        "SELECT doc_id, CAST(g AS BIGINT) AS chunk_idx, " +
        "CAST(g * 32 AS BIGINT) AS start_tok, " +
        "CAST(LEAST(64, len(words) - g * 32) AS BIGINT) AS n_tok, " +
-       "md5(array_to_string(list_slice(words, g*32+1, g*32+64), ' ')) AS chunk_fp " +
-       "FROM w, range(0, 1024) r(g) WHERE g <= (len(words) - 1) // 32 " +
+       "md5(array_to_string(list_slice(words, g*32+1, g*32+64), ' ')) AS chunk_fp FROM " +
+       "(SELECT doc_id, words, unnest(range((len(words) - 1) // 32 + 1)) AS g FROM w) z " +
        "ORDER BY doc_id, chunk_idx"),
     // the CAST(... AS BIGINT) on the window sum matters: DuckDB's
     // windowed SUM(int) is HUGEINT, whose // and % render as float64 in

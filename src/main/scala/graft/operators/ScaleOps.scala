@@ -203,7 +203,22 @@ object ScaleOps {
         r.getAs[Long]("yb_max") < 64L || r.getAs[Long]("yb_min") > 159L)
     }.map(_.getAs[String]("f"))
     val skipped = manifest.length - hits.length
-    s.read.parquet(hits.toIndexedSeq: _*)
+    if (skipped == 0)
+      // the oracle's files_skipped=TRUE claim depends on the z-order
+      // layout producing both hit and miss files; surface a layout
+      // change loudly instead of failing the compare silently
+      System.err.println(s"[s15] WARNING: 0 of ${manifest.length} files " +
+        "skipped — z-order layout no longer separates the query box")
+    if (hits.isEmpty)
+      // all files pruned: a legal outcome for a box outside the data;
+      // return the (empty) aggregate with the same schema instead of
+      // letting parquet() throw on an empty path list
+      s.read.parquet(dir).filter(lit(false))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          Det.dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("files_skipped", lit(true))
+    else s.read.parquet(hits.toIndexedSeq: _*)
       .filter(col("xb").between(32L, 95L) && col("yb").between(64L, 159L))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),

@@ -47,7 +47,12 @@ class SessionProcessor
       cur = cur match {
         case Some(s) if e.ts_us - s._2 > GapUs =>
           closed += close(s, key); Some((e.ts_us, e.ts_us, 1L))
-        case Some(s) => Some((s._1, e.ts_us, s._3 + 1L))
+        // min/max: an out-of-order event from a LATER micro-batch (legal
+        // within the watermark delay, which is < GapUs) must never move
+        // the session end backwards (it would mis-arm the close timer)
+        // or the start forwards
+        case Some(s) =>
+          Some((math.min(s._1, e.ts_us), math.max(s._2, e.ts_us), s._3 + 1L))
         case None => Some((e.ts_us, e.ts_us, 1L))
       }
     }
@@ -386,7 +391,11 @@ object Streams {
   def st6bTransformWithState(spark: SparkSession, sfDir: String): DataFrame = {
     val prevProvider = spark.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass")
-    // transformWithState requires the RocksDB provider
+    // transformWithState requires the RocksDB provider. The set/restore
+    // is session-global (the provider is fixed at stream planning, so no
+    // per-writer option exists) — safe under the harness's sequential
+    // query execution; a concurrently-planned stream on this session
+    // would need its own session via spark.newSession()
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // changelog checkpointing ships per-batch deltas instead of a full
@@ -557,6 +566,8 @@ object Streams {
     val dir = stageOuterSplit(spark, sfDir)
     val prevProvider = spark.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass")
+    // session-global set/restore: see st6b's note on the sequential-
+    // execution assumption
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {

@@ -177,6 +177,15 @@ class Extras3Spec extends SparkSpec {
         s"case variants of ${r.getString(0)} did not merge")
       assert(r.getString(0) == r.getString(0).toLowerCase)
     }
+    // cost profile: the first collated run pays one-time ICU/collator
+    // init (bench shows ~1.8 s cold for a 2k-row agg); per-row cost is
+    // tiny once warm. Assert warm runtime is well under the cold-bench
+    // figure so a future plan regression (e.g. the collation key
+    // defeating partial aggregation) shows up here as a slowdown.
+    val t0 = System.nanoTime()
+    Extras3.f19CollationCi(spark, sf).collect()
+    val warmMs = (System.nanoTime() - t0) / 1000000L
+    assert(warmMs < 1000L, s"warm f19 took ${warmMs}ms — init no longer dominates?")
   }
 
   test("x30 cdc apply: deletes gone, updates rewritten, inserts added, keeps intact") {

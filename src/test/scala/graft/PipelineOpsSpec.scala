@@ -7,8 +7,25 @@ class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
 
   test("x17 contamination: flagged docs really share a 3-gram with the eval slice") {
-    val res = PipelineOps.x17Contamination(spark, sf).collect()
+    val frame = PipelineOps.x17Contamination(spark, sf)
+    val res = frame.collect()
     assert(res.nonEmpty, "no contaminated docs found at sf0.001")
+    // the eval-gram side is the PINNED build side: a broadcast hash join
+    // with BuildRight (corpus never the build side, regardless of stats)
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.SparkPlan
+    def flat(p: SparkPlan): Seq[SparkPlan] = (p match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case q: QueryStageExec => flat(q.plan)
+      case _ => Seq(p)
+    }) ++ p.children.flatMap(flat)
+    val bhj = flat(frame.queryExecution.executedPlan)
+      .collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "x17 did not plan a broadcast hash join")
+    assert(bhj.exists(_.buildSide ==
+      org.apache.spark.sql.catalyst.optimizer.BuildRight),
+      s"eval grams not the build side: ${bhj.map(_.buildSide)}")
     // no eval doc flags itself, counts are positive
     res.foreach { r =>
       assert(r.getAs[Long]("doc_id") % 97 != 0)
