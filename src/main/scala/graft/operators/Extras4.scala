@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** Round-4 surface growth beyond the SURVEY §2 contract: the built-in
+  * XML source/sink (S16), per-language adaptive quality filtering (X31),
+  * normalized 13-gram decontamination (X32), winnowing substring
+  * fingerprints (X33), and int8 embedding quantization (X34) — each a
+  * real training-data-pipeline operation with the 100 TB shape argued in
+  * its scaladoc and a DuckDB oracle.
+  */
+object Extras4 {
+
+  /** S16 — XML source/sink round-trip (Spark 4 ships the former
+    * spark-xml as a built-in format): the supplier table written as XML
+    * rows, read back with the source schema pinned (XML carries no
+    * types), aggregated; the oracle computes the same aggregate straight
+    * from parquet, so any loss or mangling in the XML round-trip breaks
+    * the hash. Doubles survive exactly for the same reason as CSV/JSON
+    * (s5c): shortest-round-trip decimal text. */
+  def s16Xml(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Tables.scratchDir("s16_xml", sfDir)
+    val src = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+    src.write.mode("overwrite").format("xml")
+      .option("rootTag", "suppliers").option("rowTag", "supplier").save(dir)
+    Tables.tune(spark).read.format("xml").option("rowTag", "supplier")
+      .schema(src.schema).load(dir)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("s_acctbal")).as("sum_bal"),
+        countDistinct(col("s_name")).as("n_names"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** X31 — per-language adaptive quality threshold (the "drop the worst
+    * quartile of every language" curation step): score = mean word span
+    * (chars per word), rank within language, drop the bottom 25% by
+    * integer-exact arithmetic (kept ⇔ rank × 4 > n_lang — no float
+    * quantile to diverge between engines).
+    *
+    * Scale shape: per-language counts come from a grouped agg joined
+    * back via broadcast (group cardinality = languages), NOT a count
+    * window over the 5-value language key — that would funnel the corpus
+    * through 5 tasks (exactly what PlanLint's low-cardinality-window-key
+    * rule exists to catch). The rank window over (lang) remains — ranks
+    * are whole-partition semantics (see the PlanLint scaladoc); the
+    * production form at 100 TB swaps the exact rank for approx_percentile
+    * thresholds per language, same plan shape minus the sort. */
+  def x31QualityQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        round(length(col("text")) / size(split(col("text"), " ")), 6)
+          .as("score"))
+    val counts = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").asc, col("doc_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .join(broadcast(counts), "lang")
+      .filter(col("rnk") * 4 > col("n_lang"))
+      .select(col("doc_id"), col("lang"), col("score"), col("rnk"),
+        col("n_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X32 — benchmark decontamination at the industry-standard 13-gram
+    * granularity, with text normalization as a LOAD-BEARING step: the
+    * "benchmark suite" is the doc_id % 3 = 0 slice with its text
+    * UPPER-cased (planted, like x20's PII — eval suites really do differ
+    * in casing/formatting from crawled text), so raw-text grams match
+    * nothing (n_shared_raw = 0, the planted counterfactual stated as
+    * data) while lower()-normalized grams recover the true overlaps
+    * (measured: 11/9/108 contaminated docs at sf 0.001/0.01/0.1).
+    * Contrast with x17: 3-grams over this corpus flag broad phrase reuse;
+    * 13-grams isolate genuine near-copies.
+    *
+    * Same scale shape as x17: the eval-gram set is benchmark-sized and
+    * PINNED broadcast; the corpus side never shuffles. */
+  def x32Decontaminate13(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, upper(col("text")))
+          .otherwise(col("text")).as("text"))
+    def grams(df: DataFrame, textExpr: org.apache.spark.sql.Column) =
+      graft.api.TextPipeline.shingles(
+        df.select(col("doc_id"), textExpr.as("text")), "doc_id", "text", 13)
+    val corpusNorm = grams(staged.filter(col("doc_id") % 3 =!= 0),
+      lower(col("text")))
+    val corpusRaw = grams(staged.filter(col("doc_id") % 3 =!= 0), col("text"))
+    val evalNorm = grams(staged.filter(col("doc_id") % 3 === 0),
+      lower(col("text"))).select(col("ngram")).distinct()
+    val evalRaw = grams(staged.filter(col("doc_id") % 3 === 0), col("text"))
+      .select(col("ngram")).distinct()
+    val normHits = corpusNorm.join(broadcast(evalNorm), "ngram")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("ngram")).as("n_shared_norm"))
+    val rawHits = corpusRaw.join(broadcast(evalRaw), "ngram")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("ngram")).as("n_shared_raw"))
+    staged.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"))
+      .join(normHits, Seq("doc_id"), "left")
+      .join(rawHits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_norm"), lit(0L)).as("n_shared_norm"),
+        coalesce(col("n_shared_raw"), lit(0L)).as("n_shared_raw"))
+      .withColumn("contaminated", col("n_shared_norm") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** X33 — winnowing substring fingerprints (Schleimer et al. 2003, the
+    * MOSS algorithm; the substring-level complement of x22's fixed
+    * segments and l2's whole-document MinHash): hash every 8-word
+    * shingle, slide a 4-shingle window, keep each window's minimum hash.
+    * Winnowing guarantees any shared run of ≥ 11 words (8 + 4 − 1)
+    * produces at least one IDENTICAL selected fingerprint in both
+    * documents, so substring plagiarism/quotation is detectable from the
+    * tiny fingerprint set instead of the full text. Emits per document
+    * its selected-fingerprint count and how many OTHER documents share
+    * at least one fingerprint.
+    *
+    * Scale shape: the shingle scan is the codegen'd WordNGrams
+    * generator (zero shuffle); the winnow window partitions by doc_id
+    * (key cardinality = corpus size — grows with data, never a funnel);
+    * the share-count is ONE shuffle keyed by 32-byte fingerprint, volume
+    * = selected fingerprints ≈ 2/(w+1) × shingle count — the same
+    * bucket-join shape as x22, never all-pairs. The fp is the md5
+    * STRING so min() agrees lexicographically across engines. */
+  def x33Winnow(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val grams = graft.api.TextPipeline
+      .ngramRows(docs, "doc_id", "text", 8)
+      .select(col("doc_id"), col("pos"), md5(col("ngram")).as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-3, 0)
+    val fps = grams.withColumn("fp", min(col("h")).over(w))
+      .filter(col("pos") >= 3) // first complete 4-shingle window
+      .select(col("doc_id"), col("fp")).distinct()
+    val partners = fps.as("a")
+      .join(fps.as("b"), col("a.fp") === col("b.fp") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg(countDistinct(col("b.doc_id")).as("n_partners"))
+    val counts = fps.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"))
+    docs.select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X34 — int8 scalar quantization of the embedding column (the vector
+    * compression step before shipping an ANN corpus: 4× smaller than
+    * float32): per-vector min/max from the array (array_min/array_max —
+    * no explode, no join), per-dimension q = ⌊(v − lo)·255/(hi − lo)⌋
+    * clamped to 255, and the dequantization-error guarantee asserted as
+    * data — every |v − v̂| ≤ step where v̂ recenters the cell midpoint.
+    * floor() instead of round(): Spark rounds HALF_UP, DuckDB half away
+    * from zero — floor over identical IEEE doubles is bit-stable across
+    * engines.
+    *
+    * Scale shape: pure per-row array math after a single scan — zero
+    * shuffles before the final per-vector aggregate, SF-invariant. */
+  def x34Quantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        array_min(col("embedding")).cast("double").as("lo"),
+        array_max(col("embedding")).cast("double").as("hi"),
+        posexplode(col("embedding")).as(Seq("dim", "vf")))
+      .select(col("vec_id"), col("lo"), col("hi"),
+        col("vf").cast("double").as("v"))
+    val step = (col("hi") - col("lo")) / 255.0
+    val q = least(floor((col("v") - col("lo")) * 255.0
+      / (col("hi") - col("lo"))), lit(255.0)).cast("long")
+    val vhat = col("lo") + (col("q") + lit(0.5)) * step
+    base.withColumn("q", q)
+      .withColumn("err_ok", abs(col("v") - vhat) <= step)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"),
+        min(col("q")).as("q_lo"), max(col("q")).as("q_hi"),
+        round(sum(col("q")) / count(lit(1)), 6).as("mean_q"),
+        min(col("err_ok").cast("int")).cast("boolean").as("err_ok"))
+      .orderBy(col("vec_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_xml" -> (s16Xml _),
+    "x31_quality_quantile" -> (x31QualityQuantile _),
+    "x32_decontaminate13" -> (x32Decontaminate13 _),
+    "x33_winnow" -> (x33Winnow _),
+    "x34_quantize" -> (x34Quantize _))
+
+  import Det.{sql => d}
+  val oracles: Map[String, String] = Map(
+    // XML round-trip must equal the aggregate straight off parquet
+    "s16_xml" ->
+      ("SELECT s_nationkey, COUNT(*) AS n, " +
+       s"${d.dsum("s_acctbal")} AS sum_bal, " +
+       "COUNT(DISTINCT s_name) AS n_names " +
+       "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"),
+    "x31_quality_quantile" ->
+      ("WITH s AS (SELECT doc_id, lang, " +
+       "round(length(text) / len(string_split(text, ' ')), 6) AS score " +
+       "FROM documents), " +
+       "r AS (SELECT doc_id, lang, score, " +
+       "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score ASC, doc_id ASC) " +
+       "AS BIGINT) AS rnk, " +
+       "CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang FROM s) " +
+       "SELECT doc_id, lang, score, rnk, n_lang FROM r " +
+       "WHERE rnk * 4 > n_lang ORDER BY doc_id"),
+    "x32_decontaminate13" ->
+      ("WITH staged AS (SELECT doc_id, " +
+       "CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END AS text " +
+       "FROM documents), " +
+       "gn AS (SELECT DISTINCT doc_id, ngram FROM (" +
+       TextOps.ngramSqlOver(
+         "(SELECT doc_id, lower(text) AS text FROM staged)", 13) + ") t), " +
+       "gr AS (SELECT DISTINCT doc_id, ngram FROM (" +
+       TextOps.ngramSqlOver("staged", 13) + ") t), " +
+       "nh AS (SELECT c.doc_id, COUNT(DISTINCT c.ngram) AS n_shared_norm " +
+       "FROM gn c WHERE c.doc_id % 3 <> 0 AND c.ngram IN " +
+       "(SELECT ngram FROM gn WHERE doc_id % 3 = 0) GROUP BY c.doc_id), " +
+       "rh AS (SELECT c.doc_id, COUNT(DISTINCT c.ngram) AS n_shared_raw " +
+       "FROM gr c WHERE c.doc_id % 3 <> 0 AND c.ngram IN " +
+       "(SELECT ngram FROM gr WHERE doc_id % 3 = 0) GROUP BY c.doc_id) " +
+       "SELECT d.doc_id, COALESCE(nh.n_shared_norm, 0) AS n_shared_norm, " +
+       "COALESCE(rh.n_shared_raw, 0) AS n_shared_raw, " +
+       "COALESCE(nh.n_shared_norm, 0) > 0 AS contaminated " +
+       "FROM staged d LEFT JOIN nh ON d.doc_id = nh.doc_id " +
+       "LEFT JOIN rh ON d.doc_id = rh.doc_id " +
+       "WHERE d.doc_id % 3 <> 0 ORDER BY d.doc_id"),
+    "x33_winnow" ->
+      ("WITH g AS (SELECT doc_id, pos, md5(ngram) AS h FROM (" +
+       TextOps.ngramSql(8) + ") t), " +
+       "wmin AS (SELECT doc_id, pos, MIN(h) OVER (PARTITION BY doc_id " +
+       "ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp FROM g), " +
+       "fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE pos >= 3), " +
+       "cnt AS (SELECT doc_id, COUNT(*) AS n_fps FROM fps GROUP BY doc_id), " +
+       "pt AS (SELECT a.doc_id, COUNT(DISTINCT b.doc_id) AS n_partners " +
+       "FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id <> b.doc_id " +
+       "GROUP BY a.doc_id) " +
+       "SELECT d.doc_id, COALESCE(cnt.n_fps, 0) AS n_fps, " +
+       "COALESCE(pt.n_partners, 0) AS n_partners " +
+       "FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id " +
+       "LEFT JOIN pt ON d.doc_id = pt.doc_id ORDER BY d.doc_id"),
+    "x34_quantize" ->
+      ("WITH e AS (SELECT vec_id, " +
+       "CAST(list_min(embedding) AS DOUBLE) AS lo, " +
+       "CAST(list_max(embedding) AS DOUBLE) AS hi, embedding FROM embeddings), " +
+       "x AS (SELECT vec_id, lo, hi, CAST(unnest(embedding) AS DOUBLE) AS v " +
+       "FROM e), " +
+       "q AS (SELECT vec_id, lo, hi, v, " +
+       "CAST(LEAST(FLOOR((v - lo) * 255.0 / (hi - lo)), 255.0) AS BIGINT) AS qq " +
+       "FROM x) " +
+       // CAST the SUM: DuckDB SUM(BIGINT) is HUGEINT (the x21 lesson)
+       "SELECT vec_id, COUNT(*) AS n_dims, MIN(qq) AS q_lo, MAX(qq) AS q_hi, " +
+       "round(CAST(SUM(qq) AS BIGINT) / COUNT(*), 6) AS mean_q, " +
+       "CAST(MIN(CAST(abs(v - (lo + (qq + 0.5) * (hi - lo) / 255.0)) " +
+       "<= (hi - lo) / 255.0 AS INT)) AS BOOLEAN) AS err_ok " +
+       "FROM q GROUP BY vec_id ORDER BY vec_id"))
+}

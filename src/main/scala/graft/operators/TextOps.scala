@@ -27,11 +27,18 @@ object TextOps {
     * 99 words); 1024 leaves 10× headroom so a corpus regeneration with
     * longer docs cannot silently truncate the oracle while the Spark
     * side (uncapped ngramsCol) keeps all positions. */
-  def ngramSql(n: Int): String =
+  def ngramSql(n: Int): String = ngramSqlOver("documents", n)
+
+  /** Same, over any table/CTE with (doc_id, text). Word positions come
+    * from unnest-zipping each row's own range(len) list — no fixed bound
+    * to silently truncate long docs (DuckDB's range TABLE function only
+    * takes constants, so the old `range(0, 1024)` form capped docs at
+    * 1024 words). */
+  def ngramSqlOver(rel: String, n: Int): String =
     "SELECT doc_id, CAST(g AS BIGINT) AS pos, " +
     s"array_to_string(list_slice(words, g + 1, g + $n), ' ') AS ngram FROM " +
-    "(SELECT doc_id, string_split(text, ' ') AS words FROM documents) w, " +
-    s"range(0, 1024) r(g) WHERE g <= len(words) - $n"
+    s"(SELECT doc_id, words, unnest(range(len(words) - ${n - 1})) AS g FROM " +
+    s"(SELECT doc_id, string_split(text, ' ') AS words FROM $rel) w) z"
 
   /** L1 — exact dedup proved by construction: the corpus has zero exact
     * duplicate texts, so doubling it and deduplicating on text yields

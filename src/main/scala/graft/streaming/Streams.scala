@@ -554,6 +554,45 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** ST14 — stream-stream FULL OUTER join: st12's click⋈purchase window
+    * with BOTH unmatched sides emitted once the watermark proves their
+    * windows closed — unmatched clicks (no purchase followed within the
+    * hour) AND unmatched purchases (no click preceded within the hour).
+    * Same staged sentinel replay as st12 advances both sides' watermarks
+    * deterministically; state is bounded exactly as in st8/st12. */
+  def st14StreamStreamFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageOuterSplit(spark, sfDir)
+    val schema = Tables.events(spark, sfDir).schema
+    def src = Tables.tune(spark).readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_t").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_t").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "full_outer")
+    runToTable(spark, joined, OutputMode.Append())
+      .filter(coalesce(col("c_user"), col("p_user")) =!= -1L)
+      .groupBy(coalesce(col("c_user"), col("p_user")).as("user_id"))
+      .agg(
+        sum(when(col("c_ts").isNotNull && col("p_ts").isNotNull, 1L)
+          .otherwise(0L)).as("n_pairs"),
+        sum(when(col("p_ts").isNull, 1L).otherwise(0L))
+          .as("n_unm_clicks"),
+        sum(when(col("c_ts").isNull, 1L).otherwise(0L))
+          .as("n_unm_purchases"),
+        coalesce(sum(when(col("c_ts").isNotNull,
+          col("value").cast(Det.Money))).cast("double"), lit(0.0))
+          .as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** ST13 — timer-driven sessionization via transformWithState +
     * event-time timers ([[SessionProcessor]]): gap-closed sessions emit
     * from handleInputRows; the last session of every user — which no
@@ -676,6 +715,7 @@ object Streams {
     "st11_dsv2_stream" -> (st11SeqStream _),
     "st8_stream_stream" -> (st8StreamStreamJoin _),
     "st12_stream_outer" -> (st12StreamStreamOuter _),
+    "st14_stream_full_outer" -> (st14StreamStreamFullOuter _),
     "st13_timer_sessions" -> (st13TimerSessions _),
     "st9_file_sink" -> (st9FileSink _),
     "st10_foreach_batch" -> (st10ForeachBatch _),
@@ -779,6 +819,23 @@ object Streams {
        "WHERE event_type = 'purchase') p " +
        "ON c.cu = p.pu AND p.pt >= c.ct AND p.pt <= c.ct + 3600000000) s " +
        "GROUP BY cu ORDER BY user_id"),
+    "st14_stream_full_outer" ->
+      ("SELECT COALESCE(cu, pu) AS user_id, " +
+       "CAST(SUM(CASE WHEN ct IS NOT NULL AND pt IS NOT NULL THEN 1 ELSE 0 END) " +
+       "AS BIGINT) AS n_pairs, " +
+       "CAST(SUM(CASE WHEN pt IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+       "AS n_unm_clicks, " +
+       "CAST(SUM(CASE WHEN ct IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+       "AS n_unm_purchases, " +
+       "COALESCE(CAST(SUM(CASE WHEN ct IS NOT NULL " +
+       "THEN CAST(v AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS sum_value " +
+       "FROM (SELECT c.cu, c.ct, p.pu, p.pt, p.v FROM " +
+       "(SELECT user_id AS cu, epoch_us(ts) AS ct FROM events " +
+       "WHERE event_type = 'click') c FULL JOIN " +
+       "(SELECT user_id AS pu, epoch_us(ts) AS pt, value AS v FROM events " +
+       "WHERE event_type = 'purchase') p " +
+       "ON c.cu = p.pu AND p.pt >= c.ct AND p.pt <= c.ct + 3600000000) s " +
+       "GROUP BY 1 ORDER BY user_id"),
     "st9_file_sink" ->
       ("SELECT COUNT(*) AS n, " +
        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value, " +

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Extras4
+
+class Extras4Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("s16 xml round-trip equals the parquet-direct aggregate") {
+    val viaXml = Extras4.s16Xml(spark, sf).collect()
+    val direct = Tables.supplier(spark, sf)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("s_acctbal")).as("sum_bal"),
+        countDistinct(col("s_name")).as("n_names"))
+      .orderBy(col("s_nationkey")).collect()
+    assert(viaXml.toSeq == direct.toSeq)
+  }
+
+  test("x31 quality quantile: keeps exactly the top 3/4 per language, by score") {
+    val kept = Extras4.x31QualityQuantile(spark, sf).collect()
+    val all = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        round(length(col("text")) / size(split(col("text"), " ")), 6)
+          .as("score")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    all.groupBy(_._2).foreach { case (lang, docs) =>
+      val n = docs.length
+      val keptLang = kept.filter(_.getAs[String]("lang") == lang)
+      // kept count = n - floor(n/4), the integer-exact 75%
+      assert(keptLang.length == n - n / 4, s"$lang kept ${keptLang.length} of $n")
+      // every kept score >= every dropped score (ranks are score-ordered;
+      // at the boundary ties break by doc_id, so compare via rank sets)
+      val keptIds = keptLang.map(_.getAs[Long]("doc_id")).toSet
+      val sorted = docs.sortBy(d => (d._3, d._1)).map(_._1)
+      assert(sorted.takeRight(n - n / 4).toSet == keptIds,
+        s"$lang kept set is not the top-ranked 3/4")
+    }
+  }
+
+  test("x32 decontamination: normalization is load-bearing and hits are real") {
+    val rows = Extras4.x32Decontaminate13(spark, sf).collect()
+    // planted counterfactual: raw (unnormalized) grams never match the
+    // UPPER-cased eval slice
+    assert(rows.forall(_.getAs[Long]("n_shared_raw") == 0L))
+    val contaminated = rows.filter(_.getAs[Boolean]("contaminated"))
+    assert(contaminated.nonEmpty, "no 13-gram contamination found at sf0.001")
+    // independent recompute of the normalized overlap in plain Scala
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams13(s: String): Set[String] = {
+      val w = s.split(" ")
+      if (w.length < 13) Set.empty
+      else w.sliding(13).map(_.mkString(" ")).toSet
+    }
+    import java.util.Locale.ROOT
+    val evalGrams = texts.collect { case (id, t) if id % 3 == 0 =>
+      grams13(t.toUpperCase(ROOT).toLowerCase(ROOT)) // staged upper → normalized
+    }.foldLeft(Set.empty[String])(_ ++ _)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val want = grams13(texts(id).toLowerCase(ROOT)).count(evalGrams)
+      assert(r.getAs[Long]("n_shared_norm") == want.toLong, s"doc $id")
+    }
+  }
+
+  test("x33 winnowing: guarantee on a planted 11-word shared run, zeros for short docs") {
+    // two docs share an 11-word run (8-shingle + 4-window - 1): winnowing
+    // MUST select at least one identical fingerprint in both
+    val run = (0 until 11).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a0 a1 a2 a3 a4 $run a5 a6"),
+      (2L, s"b0 $run b1 b2 b3 b4 b5"),
+      (3L, "z0 z1 z2 z3 z4 z5 z6 z7 z8 z9")   // 10 words: no complete window
+    ).toDF("doc_id", "text")
+    val dir = Tables.scratchDir("x33fix", sf)
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = Extras4.x33Winnow(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_fps"), r.getAs[Long]("n_partners"))).toMap
+    assert(m(1L)._2 == 1L, s"doc 1 found no partner: $m")
+    assert(m(2L)._2 == 1L)
+    assert(m(3L) == ((0L, 0L)), "10-word doc must have no complete window")
+    // corpus level: every doc >= 11 words has fingerprints; partner
+    // relation is symmetric
+    val corpus = Extras4.x33Winnow(spark, sf).collect()
+    val nWords = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    corpus.foreach { r =>
+      val expectFps = nWords(r.getLong(0)) >= 11
+      assert((r.getAs[Long]("n_fps") > 0) == expectFps, s"doc ${r.getLong(0)}")
+    }
+    val withPartners = corpus.filter(_.getAs[Long]("n_partners") > 0)
+    assert(withPartners.nonEmpty, "no substring-sharing docs at sf0.001")
+  }
+
+  test("x34 quantization: int8 range, error bound, exact recompute on one vector") {
+    val rows = Extras4.x34Quantize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("q_lo") >= 0L && r.getAs[Long]("q_hi") <= 255L)
+      assert(r.getAs[Long]("q_lo") == 0L, "min element must quantize to 0")
+      assert(r.getAs[Boolean]("err_ok"), s"vec ${r.getLong(0)} err bound broken")
+    }
+    // recompute one vector end-to-end in plain Scala
+    val first = Tables.embeddings(spark, sf)
+      .orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("embedding")).collect().head
+    val vid = first.getLong(0)
+    val v = first.getSeq[Float](1).map(_.toDouble)
+    val (lo, hi) = (v.min, v.max)
+    val qs = v.map(x => math.min(math.floor((x - lo) * 255.0 / (hi - lo)), 255.0).toLong)
+    val got = rows.find(_.getLong(0) == vid).get
+    assert(got.getAs[Long]("n_dims") == v.length.toLong)
+    assert(got.getAs[Long]("q_lo") == qs.min && got.getAs[Long]("q_hi") == qs.max)
+    assert(got.getAs[Double]("mean_q") ==
+      BigDecimal(qs.sum.toDouble / qs.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+}

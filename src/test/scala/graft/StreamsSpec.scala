@@ -89,6 +89,35 @@ class StreamsSpec extends SparkSpec {
     assert(!got.contains(-1L))
   }
 
+  test("st14 full outer join: both unmatched sides emitted, equals batch full join") {
+    val got = Streams.st14StreamStreamFullOuter(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val c = Tables.eventsUs(spark, sf).filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("ct"))
+    val p = Tables.eventsUs(spark, sf).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pt"), col("value"))
+    val want = c.join(p, col("cu") === col("pu") &&
+        col("pt") >= col("ct") && col("pt") <= col("ct") + 3600000000L,
+        "full_outer")
+      .groupBy(coalesce(col("cu"), col("pu")).as("u"))
+      .agg(
+        sum(when(col("ct").isNotNull && col("pt").isNotNull, 1L).otherwise(0L))
+          .as("n_pairs"),
+        sum(when(col("pt").isNull, 1L).otherwise(0L)).as("n_unm_clicks"),
+        sum(when(col("ct").isNull, 1L).otherwise(0L)).as("n_unm_purchases"),
+        coalesce(sum(when(col("ct").isNotNull, col("value").cast(Det.Money)))
+          .cast("double"), lit(0.0)).as("s"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got == want)
+    // BOTH outer sides are genuinely exercised and the sentinel stays out
+    assert(got.values.map(_._2).sum > 0, "expected unmatched clicks")
+    assert(got.values.map(_._3).sum > 0, "expected unmatched purchases")
+    assert(!got.contains(-1L))
+  }
+
   test("st13 timer sessions equal batch sessions, including timer-closed tails") {
     import org.apache.spark.sql.expressions.Window
     val got = Streams.st13TimerSessions(spark, sf).collect()
