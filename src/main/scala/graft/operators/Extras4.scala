@@ -187,12 +187,61 @@ object Extras4 {
       .orderBy(col("vec_id"))
   }
 
+  /** X35 — temperature-based domain mixing (the pretraining mix
+    * primitive: flatten the language distribution with α = 0.5, as
+    * multilingual LLM recipes do): each language's sampling rate is
+    * √(min_n / n_lang) — the smallest language keeps everything, the
+    * dominant one is down-sampled toward parity — and membership is the
+    * deterministic md5-bucket test (16-bit bucket < ⌊rate·65536⌋), so
+    * the mix is reproducible across engines, runs, and repartitionings,
+    * and every kept row carries its inverse-propensity weight.
+    *
+    * Scale shape: per-language counts are a grouped agg (5 rows)
+    * broadcast back; the keep test is a pushable per-row hash — zero
+    * corpus shuffles, same as x13/x19. sqrt and floor are correctly
+    * rounded IEEE ops, so the thresholds are bit-identical in DuckDB. */
+  def x35TemperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val minN = counts.agg(min(col("n_lang")).as("mn"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .withColumn("thresh",
+        floor(sqrt(col("mn") / col("n_lang")) * 65536.0).cast("long"))
+    docs.select(col("doc_id"), col("lang"),
+        conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10)
+          .cast("long").as("bucket"))
+      .join(broadcast(rates), "lang")
+      .filter(col("bucket") < col("thresh"))
+      .select(col("doc_id"), col("lang"), col("n_lang"), col("bucket"),
+        col("thresh"), round(lit(65536.0) / col("thresh"), 6).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X37 — per-language top-k curation THROUGH the custom GroupTopK
+    * physical operator ([[graft.plans.GroupTopK]]): keep each language's
+    * 16 highest-scoring documents (mean word span, doc_id tie-break).
+    * The pipeline face of w10's operator: map-side bounded heaps prune
+    * to ≤ groups×k rows before the one shuffle, so "best k per domain"
+    * never sorts the corpus — the shape a 100 TB curation pass needs.
+    * The oracle reproduces it with a rank window. */
+  def x37CurateTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        round(length(col("text")) / size(split(col("text"), " ")), 6)
+          .as("score"))
+    graft.plans.GroupTopK(scored, Seq("lang"),
+        Seq(("score", false), ("doc_id", true)), 16)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s16_xml" -> (s16Xml _),
     "x31_quality_quantile" -> (x31QualityQuantile _),
     "x32_decontaminate13" -> (x32Decontaminate13 _),
     "x33_winnow" -> (x33Winnow _),
-    "x34_quantize" -> (x34Quantize _))
+    "x34_quantize" -> (x34Quantize _),
+    "x35_temperature_mix" -> (x35TemperatureMix _),
+    "x37_curate_topk" -> (x37CurateTopK _))
 
   import Det.{sql => d}
   val oracles: Map[String, String] = Map(
@@ -247,6 +296,29 @@ object Extras4 {
        "COALESCE(pt.n_partners, 0) AS n_partners " +
        "FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id " +
        "LEFT JOIN pt ON d.doc_id = pt.doc_id ORDER BY d.doc_id"),
+    "x35_temperature_mix" ->
+      ("WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang), " +
+       "m AS (SELECT MIN(n_lang) AS mn FROM c), " +
+       "r AS (SELECT lang, n_lang, " +
+       "CAST(FLOOR(SQRT(CAST(mn AS DOUBLE) / CAST(n_lang AS DOUBLE)) * 65536.0) " +
+       "AS BIGINT) AS thresh FROM c, m), " +
+       "b AS (SELECT doc_id, lang, CAST(" +
+       "(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096 + " +
+       "(strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256 + " +
+       "(strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16 + " +
+       "(strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) " +
+       "AS BIGINT) AS bucket FROM documents) " +
+       "SELECT doc_id, b.lang, n_lang, bucket, thresh, " +
+       "round(65536.0 / thresh, 6) AS weight " +
+       "FROM b JOIN r ON b.lang = r.lang WHERE bucket < thresh " +
+       "ORDER BY doc_id"),
+    "x37_curate_topk" ->
+      ("SELECT doc_id, lang, score FROM " +
+       "(SELECT doc_id, lang, " +
+       "round(length(text) / len(string_split(text, ' ')), 6) AS score, " +
+       "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY " +
+       "round(length(text) / len(string_split(text, ' ')), 6) DESC, doc_id ASC) " +
+       "AS rn FROM documents) t WHERE rn <= 16 ORDER BY doc_id"),
     "x34_quantize" ->
       ("WITH e AS (SELECT vec_id, " +
        "CAST(list_min(embedding) AS DOUBLE) AS lo, " +

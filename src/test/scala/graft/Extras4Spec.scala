@@ -94,6 +94,65 @@ class Extras4Spec extends SparkSpec {
     assert(withPartners.nonEmpty, "no substring-sharing docs at sf0.001")
   }
 
+  test("x35 temperature mix: flattens the language distribution, reproducible, weighted") {
+    val kept = Extras4.x35TemperatureMix(spark, sf).collect()
+    assert(kept.nonEmpty)
+    val total = Tables.documents(spark, sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = total.values.min
+    kept.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      assert(r.getAs[Long]("n_lang") == total(lang))
+      val thresh = math.floor(
+        math.sqrt(minN.toDouble / total(lang)) * 65536.0).toLong
+      assert(r.getAs[Long]("thresh") == thresh)
+      assert(r.getAs[Long]("bucket") < thresh)
+    }
+    // the point of temperature flattening: the dominant language's KEEP
+    // RATE is strictly below the smallest language's
+    val keptBy = kept.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    val maxLang = total.maxBy(_._2)._1
+    val minLang = total.minBy(_._2)._1
+    val maxRate = keptBy.getOrElse(maxLang, 0).toDouble / total(maxLang)
+    val minRate = keptBy.getOrElse(minLang, 0).toDouble / total(minLang)
+    assert(maxRate < minRate,
+      s"dominant $maxLang rate $maxRate not below smallest $minLang rate $minRate")
+    // deterministic: identical rows on a re-run
+    val again = Extras4.x35TemperatureMix(spark, sf).collect()
+    assert(kept.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("x37 curation top-k runs through GroupTopKExec and equals the rank window") {
+    val frame = Extras4.x37CurateTopK(spark, sf)
+    val got = frame.collect()
+    // plans through the custom physical operator (partial + final pair)
+    frame.queryExecution.executedPlan // force planning
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flat(p: SparkPlan): Seq[SparkPlan] = (p match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case q: QueryStageExec => flat(q.plan)
+      case _ => Seq(p)
+    }) ++ p.children.flatMap(flat)
+    val execs = flat(frame.queryExecution.executedPlan)
+      .collect { case e: graft.plans.GroupTopKExec => e }
+    assert(execs.map(_.partial).sorted == Seq(false, true),
+      s"expected partial+final GroupTopKExec, got $execs")
+    // equals the window-function formulation
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val want = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        round(length(col("text")) / size(split(col("text"), " ")), 6)
+          .as("score"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 16)
+      .drop("rn").orderBy(col("doc_id")).collect()
+    assert(got.toSeq == want.toSeq)
+    // 5 languages x 16 docs
+    assert(got.length == 80)
+  }
+
   test("x34 quantization: int8 range, error bound, exact recompute on one vector") {
     val rows = Extras4.x34Quantize(spark, sf).collect()
     assert(rows.nonEmpty)
