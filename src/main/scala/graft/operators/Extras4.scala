@@ -187,6 +187,33 @@ object Extras4 {
       .orderBy(col("vec_id"))
   }
 
+  /** S17 — Avro source/sink round-trip (spark-avro ships in the Spark 4
+    * distribution): same contract shape as S16 — lineitem slice written
+    * as Avro, read back, aggregated, oracle computed straight from
+    * parquet so any round-trip loss breaks the hash. Avro is the
+    * row-oriented interchange format of a streaming/CDC pipeline (Kafka
+    * payloads), the complement of the columnar parquet/ORC pair. */
+  def s17Avro(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Tables.scratchDir("s17_avro", sfDir)
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 45.0)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+        col("l_extendedprice"))
+      // fully-qualified provider: the Avro classes ship inside
+      // spark-sql_2.13 in this distribution but are NOT service-registered
+      // (Spark treats avro as an external module), so the "avro" short
+      // name does not resolve
+      .write.mode("overwrite")
+      .format("org.apache.spark.sql.avro.AvroFileFormat").save(dir)
+    Tables.tune(spark).read
+      .format("org.apache.spark.sql.avro.AvroFileFormat").load(dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_extendedprice")).as("sum_price"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** X35 — temperature-based domain mixing (the pretraining mix
     * primitive: flatten the language distribution with α = 0.5, as
     * multilingual LLM recipes do): each language's sampling rate is
@@ -236,6 +263,7 @@ object Extras4 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s16_xml" -> (s16Xml _),
+    "s17_avro" -> (s17Avro _),
     "x31_quality_quantile" -> (x31QualityQuantile _),
     "x32_decontaminate13" -> (x32Decontaminate13 _),
     "x33_winnow" -> (x33Winnow _),
@@ -251,6 +279,13 @@ object Extras4 {
        s"${d.dsum("s_acctbal")} AS sum_bal, " +
        "COUNT(DISTINCT s_name) AS n_names " +
        "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"),
+    "s17_avro" ->
+      ("SELECT l_returnflag, COUNT(*) AS n, " +
+       s"${d.dsum("l_quantity")} AS sum_qty, " +
+       s"${d.dsum("l_extendedprice")} AS sum_price, " +
+       "COUNT(DISTINCT l_orderkey) AS n_orders " +
+       "FROM lineitem WHERE l_quantity > 45.0 " +
+       "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "x31_quality_quantile" ->
       ("WITH s AS (SELECT doc_id, lang, " +
        "round(length(text) / len(string_split(text, ' ')), 6) AS score " +

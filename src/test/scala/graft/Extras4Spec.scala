@@ -16,6 +16,18 @@ class Extras4Spec extends SparkSpec {
     assert(viaXml.toSeq == direct.toSeq)
   }
 
+  test("s17 avro round-trip equals the parquet-direct aggregate") {
+    val viaAvro = Extras4.s17Avro(spark, sf).collect()
+    val direct = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 45.0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_extendedprice")).as("sum_price"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag")).collect()
+    assert(viaAvro.toSeq == direct.toSeq)
+  }
+
   test("x31 quality quantile: keeps exactly the top 3/4 per language, by score") {
     val kept = Extras4.x31QualityQuantile(spark, sf).collect()
     val all = Tables.documents(spark, sf)
