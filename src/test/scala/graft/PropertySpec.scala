@@ -129,6 +129,51 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("winnowing guarantee: any shared run of >= 11 words yields a common fingerprint") {
+    import spark.implicits._
+    // random docs + a shared run of random length 11..20 spliced into two
+    // of them at random offsets — winnowing (8-word shingles, window 4)
+    // must select at least one identical fingerprint in both docs
+    val word = Gen.chooseNum(0, 40).map(i => s"w$i")
+    val gen = for {
+      run <- Gen.listOfN(20, word).map(_.take(11))
+      pre1 <- Gen.listOfN(8, word); post1 <- Gen.listOfN(8, word)
+      pre2 <- Gen.listOfN(5, word); post2 <- Gen.listOfN(12, word)
+      noise <- Gen.listOfN(30, word)
+    } yield (pre1 ++ run ++ post1, pre2 ++ run ++ post2, noise)
+    check(Prop.forAll(gen) { case (d1, d2, noise) =>
+      val docs = Seq((1L, d1.mkString(" ")), (2L, d2.mkString(" ")),
+        (3L, noise.mkString(" "))).toDF("doc_id", "text")
+      val grams = graft.api.TextPipeline.ngramRows(docs, "doc_id", "text", 8)
+        .select(col("doc_id"), col("pos"), md5(col("ngram")).as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(-3, 0)
+      val fps = grams.withColumn("fp", min(col("h")).over(w))
+        .filter(col("pos") >= 3)
+        .select(col("doc_id"), col("fp")).distinct().collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getString(1)).toSet).toMap
+      (fps(1L) intersect fps(2L)).nonEmpty
+    })
+  }
+
+  test("int8 quantization bounds hold for any vector") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f))
+      .suchThat(v => v.max > v.min) // degenerate constant vectors excluded
+    check(Prop.forAll(Gen.listOfN(5, vecGen)) { vecs =>
+      val df = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      val dir = Tables.scratchDir("x34prop", sf)
+      df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val rows = graft.operators.Extras4.x34Quantize(spark, dir).collect()
+      rows.forall { r =>
+        r.getAs[Boolean]("err_ok") &&
+          r.getAs[Long]("q_lo") == 0L && r.getAs[Long]("q_hi") <= 255L
+      }
+    })
+  }
+
   test("connected components match a union-find oracle on random graphs") {
     import spark.implicits._
     val edgeGen = Gen.listOfN(40,

@@ -89,6 +89,56 @@ class StreamsSpec extends SparkSpec {
     assert(!got.contains(-1L))
   }
 
+  test("checkpoint restart: second run processes only new files, exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Paths.get(Tables.scratchDir("restart", sf))
+    // fresh dirs: the test IS about checkpoint state, so start clean
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    java.nio.file.Files.createDirectories(base.resolve("in"))
+    val ev = Tables.events(spark, sf)
+    val half1 = ev.filter(col("event_id") % 2 === 0)
+    val half2 = ev.filter(col("event_id") % 2 === 1)
+    def runOnce(): Unit = {
+      val q = Tables.tune(spark).readStream.schema(ev.schema)
+        .parquet(s"$base/in")
+        .filter(col("event_type") === "purchase")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // stage each half as one FILE (the streaming file source lists leaf
+    // files; a nested part-file directory would be invisible to it)
+    def stageFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = base.resolve(s"_tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, base.resolve(s"in/$name"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
+    }
+    stageFile(half1, "f1.parquet")
+    runOnce()
+    val afterFirst = spark.read.parquet(s"$base/out").count()
+    stageFile(half2, "f2.parquet")
+    runOnce() // RESTART from the same checkpoint: must skip f1 entirely
+    val out = spark.read.parquet(s"$base/out")
+    val want = ev.filter(col("event_type") === "purchase")
+    // exactly once: no loss, no duplicates across the restart
+    assert(out.count() == want.count(),
+      s"restart lost or duplicated rows: ${out.count()} vs ${want.count()}")
+    assert(out.select(countDistinct(col("event_id"))).collect()(0).getLong(0)
+      == want.count(), "duplicate event_ids after restart")
+    // and the first run really produced only the first half's purchases
+    assert(afterFirst ==
+      half1.filter(col("event_type") === "purchase").count())
+  }
+
   test("st14 full outer join: both unmatched sides emitted, equals batch full join") {
     val got = Streams.st14StreamStreamFullOuter(spark, sf).collect()
       .map(r => r.getLong(0) ->
