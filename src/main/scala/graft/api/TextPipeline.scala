@@ -143,11 +143,67 @@ object TextPipeline {
     * the minhash input, and both sides of the exact verify — carries an
     * 8-byte hash instead of the shingle string. Intersection counts are
     * identical up to 64-bit collisions (~n²/2⁶⁵, deterministic). */
+  /** (doc_id, band_idx, band_hash) LSH band rows for a hashed shingle
+    * frame — the DEDUP INDEX: persist this for a corpus once, and each
+    * incoming shard probes it ([[nearDupAgainstHashed]]) without ever
+    * re-reading corpus text. Same fixed seed/banding as the self-join
+    * pipeline, so probe and index band hashes are comparable. */
+  private def lshBands(shingles: DataFrame, numPerms: Int, bandRows: Int,
+      seed: Long): DataFrame = {
+    val prime = 2147483647L
+    val sh = shingles.withColumn("h", pmod(col("ng_h"), lit(prime)))
+    // single native aggregate instead of numPerms min() columns — see
+    // graft.functions.MinHashAgg for why (Janino blowup on wide aggs)
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhash(col("h"), numPerms, seed).as("sig"))
+    val bandCols = (0 until numPerms / bandRows).map { bi =>
+      val rows = (0 until bandRows).map(ri =>
+        element_at(col("sig"), bi * bandRows + ri + 1))
+      xxhash64((lit(bi) +: rows): _*)
+    }
+    sig.select(col("doc_id"), posexplode(array(bandCols: _*))
+      .as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Incremental near-dedup: near-dup pairs of PROBE docs against CORPUS
+    * docs — the production shape where a new shard is checked against an
+    * existing corpus without re-running LSH over the corpus (its bands
+    * are the persisted index; here both are built in-session). Candidate
+    * pairs come from equal (band_idx, band_hash) across the two sides —
+    * never probe×corpus — then exact Jaccard verifies on the two shingle
+    * sets. Returns (doc_new, doc_old, jaccard) above the threshold. */
+  def nearDupAgainstHashed(probeHashes: DataFrame, corpusHashes: DataFrame,
+      numPerms: Int = 128, bandRows: Int = 2, threshold: Double = 0.6,
+      seed: Long = 42L): DataFrame = {
+    val probe = probeHashes.localCheckpoint(true)
+    val corpus = corpusHashes.localCheckpoint(true)
+    val pb = lshBands(probe, numPerms, bandRows, seed)
+    val cb = lshBands(corpus, numPerms, bandRows, seed)
+      .select(col("doc_id").as("doc_old0"), col("band_idx").as("bi2"),
+        col("band_hash").as("bh2"))
+    val cands = pb.join(cb,
+        col("band_idx") === col("bi2") && col("band_hash") === col("bh2"))
+      .select(col("doc_id").as("doc_new"), col("doc_old0").as("doc_old"))
+      .distinct()
+    val na = probe.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+    val nb = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
+    val sa = probe.select(col("doc_id").as("da"), col("ng_h"))
+    val sb = corpus.select(col("doc_id").as("db"), col("ng_h").as("ng_h_b"))
+    cands
+      .join(sa, col("doc_new") === col("da"))
+      .join(sb, col("doc_old") === col("db") && col("ng_h") === col("ng_h_b"))
+      .groupBy(col("doc_new"), col("doc_old"))
+      .agg(count(lit(1)).as("inter"))
+      .join(na.select(col("doc_id").as("doc_new"), col("na")), "doc_new")
+      .join(nb.select(col("doc_id").as("doc_old"), col("nb")), "doc_old")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") > threshold)
+      .select(col("doc_new"), col("doc_old"), col("jaccard"))
+  }
+
   def nearDupPairsHashed(shingleHashes: DataFrame, numPerms: Int = 128,
       bandRows: Int = 2, threshold: Double = 0.6,
       seed: Long = 42L): DataFrame = {
-    val prime = 2147483647L
-
     // The shingle set feeds four plan branches (signatures, sizes, both
     // sides of the exact verify); materialize it once instead of
     // recomputing the upstream explode per branch — unless the caller
@@ -157,21 +213,9 @@ object TextPipeline {
       case _: org.apache.spark.sql.execution.LogicalRDD => shingleHashes
       case _ => shingleHashes.localCheckpoint(true)
     }
-    val sh = shingles.withColumn("h", pmod(col("ng_h"), lit(prime)))
-    // single native aggregate instead of numPerms min() columns — see
-    // graft.functions.MinHashAgg for why (Janino blowup on wide aggs)
-    val sig = sh.groupBy(col("doc_id"))
-      .agg(graft.functions.MinHashAgg.minhash(col("h"), numPerms, seed).as("sig"))
-
-    val bandCols = (0 until numPerms / bandRows).map { bi =>
-      val rows = (0 until bandRows).map(ri =>
-        element_at(col("sig"), bi * bandRows + ri + 1))
-      xxhash64((lit(bi) +: rows): _*)
-    }
     // bands self-joins below — materialize so the 128-column signature
     // aggregation runs once, not once per join side
-    val bands = sig.select(col("doc_id"), posexplode(array(bandCols: _*))
-      .as(Seq("band_idx", "band_hash")))
+    val bands = lshBands(shingles, numPerms, bandRows, seed)
       .localCheckpoint(true)
     val b2 = bands.select(col("doc_id").as("doc_b0"),
       col("band_idx").as("bi2"), col("band_hash").as("bh2"))

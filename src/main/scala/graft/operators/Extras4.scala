@@ -261,9 +261,78 @@ object Extras4 {
       .orderBy(col("doc_id"))
   }
 
+  /** X38 — INCREMENTAL near-dedup (the production shape l2 is the batch
+    * form of): the `doc_id % 10 = 7` slice plays the incoming shard, the
+    * rest the existing corpus; the shard's LSH bands probe the corpus'
+    * bands ([[graft.api.TextPipeline.nearDupAgainstHashed]]) — candidate
+    * volume is bounded by band collisions, NEVER probe×corpus, and the
+    * corpus side's bands are exactly the persisted index a production
+    * pipeline reuses per increment. Exact Jaccard verify as in l2.
+    * Measured non-vacuous: 4/6 straddling pairs at sf 0.001/0.01. */
+  def x38IncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val hashes = Dedup.shingleHashSet(spark, sfDir)
+    graft.api.TextPipeline.nearDupAgainstHashed(
+        hashes.filter(col("doc_id") % 10 === 7),
+        hashes.filter(col("doc_id") % 10 =!= 7))
+      .orderBy(col("doc_new"), col("doc_old"))
+  }
+
+  /** X39 — deterministic training-shard assignment (the shuffle+shard
+    * step before a training run): every doc gets a content-hash shard
+    * (md5 nibble % 8) and a position within its shard ordered by the
+    * full md5 — a reproducible global shuffle decorrelated from doc_id,
+    * identical across engines, runs, and repartitionings, so a training
+    * job can be resumed or re-sharded bit-identically.
+    *
+    * Scale shape: shard count is a CONFIG sized to the output layout
+    * (like x21's nibble — widen for more parallelism); the within-shard
+    * rank is a row_number window over the shard key, the sort a real
+    * distributed sort per shard. */
+  def x39TrainShards(spark: SparkSession, sfDir: String): DataFrame = {
+    val nShards = 8
+    val withHash = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h"))
+      .withColumn("shard",
+        (conv(substring(col("h"), 1, 1), 16, 10).cast("int") % nShards)
+          .cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    withHash.withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** S18 — small-files compaction (the #1 operational chore of a
+    * streaming-fed lake: micro-batches leave thousands of KB-files that
+    * crush scan planning): a 64-file fragmented layout is rewritten into
+    * 4 right-sized files; the claim columns prove rows and values
+    * survive exactly and the file count really dropped. At 100 TB the
+    * same op runs per-partition with target-size bin-packing — the
+    * repartition is the only shuffle and its width IS the output layout. */
+  def s18Compaction(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val base = Tables.scratchDir("s18_compact", sfDir)
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    src.repartition(64).write.mode("overwrite").parquet(s"$base/frag")
+    val frag = s.read.parquet(s"$base/frag")
+    val filesBefore = frag.select(input_file_name()).distinct().count()
+    frag.repartition(4).write.mode("overwrite").parquet(s"$base/compact")
+    val compact = s.read.parquet(s"$base/compact")
+    val filesAfter = compact.select(input_file_name()).distinct().count()
+    compact.agg(count(lit(1)).as("n_rows"),
+        Det.dsum(col("o_totalprice")).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_keys"))
+      .withColumn("n_files_after", lit(filesAfter))
+      .withColumn("compacted", lit(filesBefore > filesAfter))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s16_xml" -> (s16Xml _),
     "s17_avro" -> (s17Avro _),
+    "s18_compaction" -> (s18Compaction _),
+    "x38_incremental_dedup" -> (x38IncrementalDedup _),
+    "x39_train_shards" -> (x39TrainShards _),
     "x31_quality_quantile" -> (x31QualityQuantile _),
     "x32_decontaminate13" -> (x32Decontaminate13 _),
     "x33_winnow" -> (x33Winnow _),
@@ -279,6 +348,31 @@ object Extras4 {
        s"${d.dsum("s_acctbal")} AS sum_bal, " +
        "COUNT(DISTINCT s_name) AS n_names " +
        "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // exhaustive exact cross-side Jaccard — the Spark side must find the
+    // same straddling pairs via the banded probe (l2's oracle shape)
+    "x38_incremental_dedup" ->
+      (s"WITH s AS (SELECT DISTINCT doc_id, ngram FROM (${TextOps.ngramSql(3)}) t), " +
+       "n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id), " +
+       "i AS (SELECT a.doc_id AS doc_new, b.doc_id AS doc_old, COUNT(*) AS inter " +
+       "FROM s a JOIN s b ON a.ngram = b.ngram " +
+       "AND a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7 GROUP BY 1, 2) " +
+       "SELECT doc_new, doc_old, " +
+       "inter / (na.n_sh + nb.n_sh - inter) AS jaccard " +
+       "FROM i JOIN n na ON na.doc_id = doc_new JOIN n nb ON nb.doc_id = doc_old " +
+       "WHERE inter / (na.n_sh + nb.n_sh - inter) > 0.6 " +
+       "ORDER BY doc_new, doc_old"),
+    "x39_train_shards" ->
+      ("WITH h AS (SELECT doc_id, md5(text) AS h, " +
+       "CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) % 8 " +
+       "AS INT) AS shard FROM documents) " +
+       "SELECT doc_id, shard, " +
+       "CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) " +
+       "AS BIGINT) AS pos FROM h ORDER BY doc_id"),
+    "s18_compaction" ->
+      ("SELECT COUNT(*) AS n_rows, " +
+       s"${d.dsum("o_totalprice")} AS revenue, " +
+       "COUNT(DISTINCT o_orderkey) AS n_keys, " +
+       "CAST(4 AS BIGINT) AS n_files_after, TRUE AS compacted FROM orders"),
     "s17_avro" ->
       ("SELECT l_returnflag, COUNT(*) AS n, " +
        s"${d.dsum("l_quantity")} AS sum_qty, " +

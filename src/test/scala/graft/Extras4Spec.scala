@@ -165,6 +165,57 @@ class Extras4Spec extends SparkSpec {
     assert(got.length == 80)
   }
 
+  test("x38 incremental dedup equals exhaustive cross-side jaccard, and l2 is unchanged") {
+    val got = Extras4.x38IncrementalDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // exhaustive reference: every straddling pair from the FULL pair set
+    val all = graft.operators.Dedup.l2MinHashDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = all.flatMap { case (a, b, j) =>
+      if (a % 10 == 7 && b % 10 != 7) Some((a, b, j))
+      else if (b % 10 == 7 && a % 10 != 7) Some((b, a, j))
+      else None
+    }.toSet
+    assert(got == want, s"probe-vs-corpus pairs diverge:\n$got\nvs\n$want")
+    assert(got.nonEmpty, "no straddling near-dup pairs at sf0.001")
+    // the lshBands refactor must not have moved l2's pair set
+    assert(all.length == 28, s"l2 pair count moved: ${all.length}")
+  }
+
+  test("x39 shard assignment: deterministic, balanced-ish, positions contiguous") {
+    val rows = Extras4.x39TrainShards(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    // positions within each shard are exactly 1..n_shard
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (s, docs) =>
+      assert(s >= 0 && s < 8)
+      assert(docs.map(_.getAs[Long]("pos")).sorted.toSeq ==
+        (1L to docs.length.toLong))
+    }
+    // shard is a pure content hash: recompute via MessageDigest
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(texts(r.getLong(0)).getBytes("UTF-8"))
+      assert(r.getAs[Int]("shard") == (((h(0) >> 4) & 0xf) % 8))
+    }
+    // reproducible across runs
+    val again = Extras4.x39TrainShards(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("s18 compaction: rows and values survive, file count really drops") {
+    val r = Extras4.s18Compaction(spark, sf).collect().head
+    val want = Tables.orders(spark, sf)
+      .agg(count(lit(1)), Det.dsum(col("o_totalprice")),
+        countDistinct(col("o_orderkey"))).collect().head
+    assert(r.getAs[Long]("n_rows") == want.getLong(0))
+    assert(r.getAs[Double]("revenue") == want.getDouble(1))
+    assert(r.getAs[Long]("n_keys") == want.getLong(2))
+    assert(r.getAs[Long]("n_files_after") == 4L)
+    assert(r.getAs[Boolean]("compacted"))
+  }
+
   test("x34 quantization: int8 range, error bound, exact recompute on one vector") {
     val rows = Extras4.x34Quantize(spark, sf).collect()
     assert(rows.nonEmpty)
