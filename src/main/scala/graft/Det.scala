@@ -29,6 +29,15 @@ object Det {
     * double — both engines perform the identical double/bigint division. */
   def davg(c: Column): Column = dsum(c) / count(c)
 
+  /** Deterministic content-hash bucket in [0, 16^hexChars): the integer
+    * value of the first `hexChars` hex digits of md5(c). The ONE shared
+    * spelling of the sampling/sharding membership hash (x21's packing
+    * shard, x35's mix membership, x39's training shards) — widen
+    * hexChars for more buckets and both engines move together via
+    * [[sql.md5Bucket]]. */
+  def md5Bucket(c: Column, hexChars: Int): Column =
+    conv(substring(md5(c.cast("binary")), 1, hexChars), 16, 10).cast("long")
+
   /** Oracle-side (DuckDB SQL) spellings of the same policy. */
   object sql {
     def dsum(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(18,4))) AS DOUBLE)"
@@ -36,5 +45,16 @@ object Det {
     // COUNT(e), not COUNT(*): the Spark side divides by count(c), which
     // skips nulls — the two spellings must stay aligned on nullable input
     def davg(e: String): String = s"${dsum(e)}/COUNT(($e))"
+
+    /** DuckDB twin of [[Det.md5Bucket]] (DuckDB has no hex→int cast, so
+      * the digits are positional strpos lookups). */
+    def md5Bucket(e: String, hexChars: Int): String = {
+      val terms = (1 to hexChars).map { i =>
+        val mult = math.pow(16, (hexChars - i).toDouble).toLong
+        val nib = s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1)"
+        if (mult == 1L) nib else s"$nib * $mult"
+      }
+      s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+    }
   }
 }

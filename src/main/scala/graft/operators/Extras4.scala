@@ -235,8 +235,7 @@ object Extras4 {
       .withColumn("thresh",
         floor(sqrt(col("mn") / col("n_lang")) * 65536.0).cast("long"))
     docs.select(col("doc_id"), col("lang"),
-        conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10)
-          .cast("long").as("bucket"))
+        Det.md5Bucket(col("text"), 4).as("bucket"))
       .join(broadcast(rates), "lang")
       .filter(col("bucket") < col("thresh"))
       .select(col("doc_id"), col("lang"), col("n_lang"), col("bucket"),
@@ -292,10 +291,8 @@ object Extras4 {
     val nShards = 8
     val withHash = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        md5(col("text").cast("binary")).as("h"))
-      .withColumn("shard",
-        (conv(substring(col("h"), 1, 1), 16, 10).cast("int") % nShards)
-          .cast("int"))
+        md5(col("text").cast("binary")).as("h"),
+        (Det.md5Bucket(col("text"), 1) % nShards).cast("int").as("shard"))
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
     withHash.withColumn("pos", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
@@ -363,8 +360,7 @@ object Extras4 {
        "ORDER BY doc_new, doc_old"),
     "x39_train_shards" ->
       ("WITH h AS (SELECT doc_id, md5(text) AS h, " +
-       "CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) % 8 " +
-       "AS INT) AS shard FROM documents) " +
+       s"CAST(${d.md5Bucket("text", 1)} % 8 AS INT) AS shard FROM documents) " +
        "SELECT doc_id, shard, " +
        "CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) " +
        "AS BIGINT) AS pos FROM h ORDER BY doc_id"),
@@ -431,12 +427,8 @@ object Extras4 {
        "r AS (SELECT lang, n_lang, " +
        "CAST(FLOOR(SQRT(CAST(mn AS DOUBLE) / CAST(n_lang AS DOUBLE)) * 65536.0) " +
        "AS BIGINT) AS thresh FROM c, m), " +
-       "b AS (SELECT doc_id, lang, CAST(" +
-       "(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096 + " +
-       "(strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256 + " +
-       "(strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16 + " +
-       "(strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) " +
-       "AS BIGINT) AS bucket FROM documents) " +
+       "b AS (SELECT doc_id, lang, " +
+       s"${d.md5Bucket("text", 4)} AS bucket FROM documents) " +
        "SELECT doc_id, b.lang, n_lang, bucket, thresh, " +
        "round(65536.0 / thresh, 6) AS weight " +
        "FROM b JOIN r ON b.lang = r.lang WHERE bucket < thresh " +

@@ -153,8 +153,7 @@ object PipelineOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
-        conv(substring(md5(col("text").cast("binary")), 1, 1), 16, 10)
-          .cast("int").as("shard"),
+        graft.Det.md5Bucket(col("text"), 1).cast("int").as("shard"),
         size(split(col("text"), " ")).as("n_tokens"))
       .withColumn("end_tok", sum(col("n_tokens")).over(w))
       .withColumn("start_tok", col("end_tok") - col("n_tokens"))
@@ -347,7 +346,7 @@ object PipelineOps {
     // the driver's pandas fetch and hash-mismatch Spark's LONG 0 vs 0.0
     "x21_pack_sequences" ->
       ("WITH d AS (SELECT doc_id, lang, " +
-       "CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS INT) AS shard, " +
+       s"CAST(${graft.Det.sql.md5Bucket("text", 1)} AS INT) AS shard, " +
        "CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents), " +
        "c AS (SELECT doc_id, lang, shard, n_tokens, CAST(SUM(n_tokens) OVER " +
        "(PARTITION BY lang, shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING " +

@@ -21,64 +21,75 @@ case class SessionOut(user_id: Long, sess_start_us: Long,
   * the session can no longer grow. */
 class SessionProcessor
     extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvTs, SessionOut] {
-  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
   import org.apache.spark.sql.Encoders
 
   private val GapUs = 30L * 60L * 1000000L
 
-  // (sess_start_us, last_us, n_events)
-  @transient private var state: ValueState[(Long, Long, Long)] = _
+  // OPEN sessions for the key, each (sess_start_us, last_us, n_events).
+  // A LIST, not a single value: a session closes ONLY when the watermark
+  // proves no event can extend it (handleExpiredTimer) — never eagerly
+  // on in-batch gap detection. Eager closing diverges from batch
+  // session_window semantics when an out-of-order event (legal within
+  // the 15-min watermark delay, smaller than the 30-min gap) arrives in
+  // a later micro-batch and BRIDGES two runs: the already-emitted
+  // session could never be merged back. Until the watermark passes a
+  // gap, both sides of it stay open here, so a bridging late event
+  // merges them exactly as the batch computation would.
+  @transient private var sessions: ListState[(Long, Long, Long)] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    state = getHandle.getValueState[(Long, Long, Long)]("sess",
+    sessions = getHandle.getListState[(Long, Long, Long)]("sess",
       Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
 
   private def close(s: (Long, Long, Long), key: Long): SessionOut =
     SessionOut(key, s._1, s._2 + GapUs, s._3)
 
+  /** One live timer per key, at the EARLIEST open horizon (materialize
+    * the timer iterator before deleting — no mutation under it). */
+  private def rearm(open: Seq[(Long, Long, Long)]): Unit = {
+    getHandle.listTimers().toArray.foreach(t =>
+      getHandle.deleteTimer(t.asInstanceOf[Long]))
+    if (open.nonEmpty)
+      getHandle.registerTimer((open.map(_._2).min + GapUs) / 1000L)
+  }
+
   override def handleInputRows(key: Long, rows: Iterator[EvTs],
       timerValues: TimerValues): Iterator[SessionOut] = {
-    // a micro-batch's rows carry no intra-group order guarantee; the
-    // fold below needs event-time order (ties broken by event_id)
-    val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
-    val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-    var cur = if (state.exists()) Option(state.get()) else None
-    sorted.foreach { e =>
-      cur = cur match {
-        case Some(s) if e.ts_us - s._2 > GapUs =>
-          closed += close(s, key); Some((e.ts_us, e.ts_us, 1L))
-        // min/max: an out-of-order event from a LATER micro-batch (legal
-        // within the watermark delay, which is < GapUs) must never move
-        // the session end backwards (it would mis-arm the close timer)
-        // or the start forwards
-        case Some(s) =>
-          Some((math.min(s._1, e.ts_us), math.max(s._2, e.ts_us), s._3 + 1L))
-        case None => Some((e.ts_us, e.ts_us, 1L))
-      }
+    // interval-merge open sessions with the new events (each a 1-event
+    // mini-session): sort by start, fold adjacent pieces within the gap.
+    // Handles any arrival order, including a late event bridging two
+    // previously-separate open sessions.
+    val existing = sessions.get().toSeq
+    val incoming = rows.map(e => (e.ts_us, e.ts_us, 1L)).toSeq
+    if (sys.env.contains("GRAFT_SESS_DEBUG"))
+      System.err.println(s"[sess] key=$key existing=$existing incoming=$incoming")
+    val pieces = (existing ++ incoming).sortBy(p => (p._1, p._2))
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    pieces.foreach { p =>
+      if (merged.nonEmpty && p._1 - merged.last._2 <= GapUs) {
+        val c = merged.last
+        merged(merged.length - 1) =
+          (c._1, math.max(c._2, p._2), c._3 + p._3)
+      } else merged += p
     }
-    cur.foreach { s =>
-      state.update(s)
-      // one live timer per key: re-arm at the new session horizon
-      // (materialize before deleting — no mutation under the iterator)
-      getHandle.listTimers().toArray.foreach(t =>
-        getHandle.deleteTimer(t.asInstanceOf[Long]))
-      getHandle.registerTimer((s._2 + GapUs) / 1000L)
-    }
-    closed.iterator
+    sessions.clear()
+    merged.foreach(sessions.appendValue)
+    rearm(merged.toSeq)
+    Iterator.empty
   }
 
   override def handleExpiredTimer(key: Long, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
-    // fire only for the CURRENT horizon — a stale timer (re-armed away
-    // by a later batch) must not close a still-live session
-    if (state.exists()) {
-      val s = state.get()
-      if (expiredTimerInfo.getExpiryTimeInMs() == (s._2 + GapUs) / 1000L) {
-        state.clear()
-        return Iterator(close(s, key))
-      }
-    }
-    Iterator.empty
+    // the watermark proves which open sessions can no longer grow; emit
+    // and evict those, keep the rest open and re-arm at their horizon
+    val wm = timerValues.getCurrentWatermarkInMs()
+    val (closable, open) = sessions.get().toSeq
+      .partition(s => (s._2 + GapUs) / 1000L <= wm)
+    sessions.clear()
+    open.foreach(sessions.appendValue)
+    rearm(open)
+    closable.sortBy(_._1).iterator.map(close(_, key))
   }
 }
 

@@ -182,10 +182,13 @@ class Extras3Spec extends SparkSpec {
     // tiny once warm. Assert warm runtime is well under the cold-bench
     // figure so a future plan regression (e.g. the collation key
     // defeating partial aggregation) shows up here as a slowdown.
+    // generous bound: this guards against a plan regression that makes
+    // per-row collation cost seconds-scale, while tolerating CI load and
+    // GC pauses (a tight wall-clock assert here would be flaky)
     val t0 = System.nanoTime()
     Extras3.f19CollationCi(spark, sf).collect()
     val warmMs = (System.nanoTime() - t0) / 1000000L
-    assert(warmMs < 1000L, s"warm f19 took ${warmMs}ms — init no longer dominates?")
+    assert(warmMs < 3000L, s"warm f19 took ${warmMs}ms — init no longer dominates?")
   }
 
   test("x30 cdc apply: deletes gone, updates rewritten, inserts added, keeps intact") {

@@ -138,15 +138,7 @@ class Extras4Spec extends SparkSpec {
     val frame = Extras4.x37CurateTopK(spark, sf)
     val got = frame.collect()
     // plans through the custom physical operator (partial + final pair)
-    frame.queryExecution.executedPlan // force planning
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def flat(p: SparkPlan): Seq[SparkPlan] = (p match {
-      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
-      case q: QueryStageExec => flat(q.plan)
-      case _ => Seq(p)
-    }) ++ p.children.flatMap(flat)
-    val execs = flat(frame.queryExecution.executedPlan)
+    val execs = flattenPlan(frame.queryExecution.executedPlan)
       .collect { case e: graft.plans.GroupTopKExec => e }
     assert(execs.map(_.partial).sorted == Seq(false, true),
       s"expected partial+final GroupTopKExec, got $execs")

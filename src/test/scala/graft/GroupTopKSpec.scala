@@ -9,12 +9,7 @@ import graft.plans.{GroupTopK, GroupTopKExec}
 
 class GroupTopKSpec extends SparkSpec {
 
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-    case q: QueryStageExec => q +: flatten(q.plan)
-    case _ => p +: (p.children.flatMap(flatten) ++
-      p.subqueries.flatMap(flatten))
-  }
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = flattenPlan(p)
 
   test("equals the window-function formulation on orders") {
     val base = Tables.orders(spark, sf)

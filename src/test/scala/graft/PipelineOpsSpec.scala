@@ -13,14 +13,7 @@ class PipelineOpsSpec extends SparkSpec {
     // the eval-gram side is the PINNED build side: a broadcast hash join
     // with BuildRight (corpus never the build side, regardless of stats)
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.SparkPlan
-    def flat(p: SparkPlan): Seq[SparkPlan] = (p match {
-      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
-      case q: QueryStageExec => flat(q.plan)
-      case _ => Seq(p)
-    }) ++ p.children.flatMap(flat)
-    val bhj = flat(frame.queryExecution.executedPlan)
+    val bhj = flattenPlan(frame.queryExecution.executedPlan)
       .collect { case j: BroadcastHashJoinExec => j }
     assert(bhj.nonEmpty, "x17 did not plan a broadcast hash join")
     assert(bhj.exists(_.buildSide ==

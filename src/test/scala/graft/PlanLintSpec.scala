@@ -92,29 +92,19 @@ class PlanLintSpec extends SparkSpec {
     assert(PlanLint.lowCardWindowKeys(bounded, minKeys = 8).isEmpty)
   }
 
-  test("sweep: every batch contract query has no bounded-domain aggregate-window key") {
-    val skipped = (name: String) => name.startsWith("st")
-    val offenders = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(skipped)
-      .flatMap { name =>
-        val findings =
-          try PlanLint.lowCardWindowKeys(
-            SparkEntry.queries(name)(spark, sf), minKeys = 8)
-          catch { case e: Throwable => fail(s"$name failed to plan: $e") }
-        findings.map(f => s"$name -> $f")
-      }
-    assert(offenders.isEmpty,
-      s"\nlow-cardinality window keys:\n${offenders.mkString("\n")}")
-  }
-
-  test("sweep: every batch contract query lints clean") {
+  test("sweep: every batch contract query lints clean (static rules + window-key cardinality)") {
+    // ONE construction pass: several contract queries perform writes /
+    // LSH materialization when their frame is built, so constructing the
+    // inventory twice (once per rule) would double the slowest work
     val skipped = (name: String) => name.startsWith("st") // streaming replays
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skipped)
       .flatMap { name =>
         val findings =
-          try PlanLint.lint(SparkEntry.queries(name)(spark, sf))
-          catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+          try {
+            val df = SparkEntry.queries(name)(spark, sf)
+            PlanLint.lint(df) ++ PlanLint.lowCardWindowKeys(df, minKeys = 8)
+          } catch { case e: Throwable => fail(s"$name failed to plan: $e") }
         findings.map(f => s"$name -> $f")
       }
     assert(offenders.isEmpty, s"\nscale lint failures:\n${offenders.mkString("\n")}")

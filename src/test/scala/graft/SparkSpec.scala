@@ -18,4 +18,19 @@ trait SparkSpec extends AnyFunSuite {
   }
   /** sf0.001 is the smoke-scale corpus (≈6k lineitem rows). */
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Expand AQE/stage wrappers (and subquery plans) so plan-shape
+    * assertions see the real operators — one shared helper instead of a
+    * per-suite copy. */
+  def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val here = p match {
+      case a: AdaptiveSparkPlanExec => flattenPlan(a.executedPlan)
+      case q: QueryStageExec => q +: flattenPlan(q.plan)
+      case _ => Seq(p)
+    }
+    here ++ p.children.flatMap(flattenPlan) ++
+      p.subqueries.flatMap(flattenPlan)
+  }
 }

@@ -57,6 +57,65 @@ class StreamsSpec extends SparkSpec {
     assert(rows("2024-01-01 12:00:00") == 1L)
   }
 
+  test("sessionizer: a late event bridging two open runs merges them like batch session_window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[graft.streaming.EvTs]
+      val h = 3600L * 1000000L // 1h in µs
+      // t0 > 0: an epoch-0 event time collides with the INITIAL watermark
+      // (also 0) and is filtered as late before reaching the processor
+      val t0 = 10L * h
+      def m(min: Long) = t0 + min * 60L * 1000000L
+      val sessions = input.toDS()
+        .withColumn("ts_t", timestamp_micros(col("ts_us")))
+        .withWatermark("ts_t", "15 minutes")
+        .as[graft.streaming.EvTs]
+        .groupByKey(_.user_id)
+        .transformWithState(new graft.streaming.SessionProcessor,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      val q = sessions.toDF().writeStream.outputMode("append")
+        .format("memory").queryName("bridge_sink")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      // batch 1: t0 and t0+35min — a 35-min gap (> 30-min session gap),
+      // so an eager sessionizer would emit [t0] right here; the
+      // watermark (max-15min = t0+20min) does NOT yet prove it closed
+      input.addData(graft.streaming.EvTs(1L, m(0), 1L),
+        graft.streaming.EvTs(1L, m(35), 2L))
+      q.processAllAvailable()
+      // batch 2: late event at t0+21min (> watermark = t0+20min, legal)
+      // BRIDGES the two runs: gaps become 21min and 14min, both <= 30min
+      input.addData(graft.streaming.EvTs(1L, m(21), 3L))
+      q.processAllAvailable()
+      // batch 3: another user far ahead pushes the watermark past the
+      // merged session's horizon -> the timer closes it
+      input.addData(graft.streaming.EvTs(2L, t0 + 3L * h, 4L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("bridge_sink")
+        .filter(col("user_id") === 1L).collect()
+        .map(r => (r.getAs[Long]("sess_start_us"), r.getAs[Long]("sess_end_us"),
+          r.getAs[Long]("n_events")))
+      // batch session_window semantics: ONE session of 3 events,
+      // [t0, t0+35min+gap)
+      assert(got.toSeq == Seq((m(0), m(35 + 30), 3L)),
+        s"bridged session diverged from batch semantics: ${got.toSeq}")
+      spark.catalog.dropTempView("bridge_sink")
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("st5 dedup: doubled feed collapses to original counts") {
     val dedup = Streams.st5StreamDedup(spark, sf).collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
