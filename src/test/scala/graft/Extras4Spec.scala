@@ -208,6 +208,72 @@ class Extras4Spec extends SparkSpec {
     assert(r.getAs[Boolean]("compacted"))
   }
 
+  test("j13 null-safe join: null keys land on the <none> label instead of dropping") {
+    val rows = Extras4.j13NullSafeJoin(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val total = Tables.customer(spark, sf).count()
+    // nothing dropped: labels partition ALL customers
+    assert(rows.values.map(_._1).sum == total)
+    // the % 7 slice is exactly the <none> bucket (a plain equi-join
+    // would have lost it)
+    val wantNone = Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 7 === 0).count()
+    assert(rows("<none>")._1 == wantNone && wantNone > 0)
+  }
+
+  test("o9 union by name: missing columns null-fill per side") {
+    val rows = Extras4.o9UnionMissingCols(spark, sf).collect()
+    val n = Tables.supplier(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == 2 * n)
+    // each side filled exactly its own missing column
+    assert(rows.map(_.getAs[Long]("n_with_bal")).sum == n)
+    assert(rows.map(_.getAs[Long]("n_with_nation")).sum == n)
+  }
+
+  test("w12 ignore-nulls offsets: locf carries the last non-null reading forward") {
+    val rows = Extras4.w12IgnoreNulls(spark, sf).collect()
+    // re-derive the window's (ts, event_id) order — the output sort is
+    // by event_id, which need not follow event time
+    val tsOf = Tables.eventsUs(spark, sf).select("event_id", "ts").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, byUser) =>
+      val docs = byUser.sortBy(r =>
+        (tsOf(r.getAs[Long]("event_id")), r.getAs[Long]("event_id")))
+      var lastSeen: Option[Double] = None
+      docs.foreach { r =>
+        val v = Option(r.getAs[java.lang.Double]("v")).map(_.doubleValue)
+        val locf = Option(r.getAs[java.lang.Double]("locf")).map(_.doubleValue)
+        val prev = Option(r.getAs[java.lang.Double]("prev_reading"))
+          .map(_.doubleValue)
+        assert(prev == lastSeen, s"prev_reading at ${r.getAs[Long]("event_id")}")
+        if (v.isDefined) lastSeen = v
+        assert(locf == lastSeen, s"locf at ${r.getAs[Long]("event_id")}")
+      }
+    }
+    // the planted nulls exist (the IGNORE NULLS semantics are exercised)
+    assert(rows.exists(r => r.isNullAt(r.fieldIndex("v"))))
+  }
+
+  test("a17 median/percentiles equal a sorted-array recompute") {
+    val rows = Extras4.a17Median(spark, sf).collect()
+    val byFlag = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted)
+    def interp(v: Array[Double], q: Double): Double = {
+      val pos = q * (v.length - 1)
+      val lo = v(pos.toInt)
+      val hi = v(math.ceil(pos).toInt)
+      lo + (hi - lo) * (pos - pos.toInt)
+    }
+    rows.foreach { r =>
+      val v = byFlag(r.getString(0)).toArray
+      assert(r.getAs[Long]("n") == v.length.toLong)
+      assert(r.getAs[Double]("med_qty") == interp(v, 0.5))
+      assert(r.getAs[Double]("p25_qty") == interp(v, 0.25))
+      assert(r.getAs[Double]("p75_qty") == interp(v, 0.75))
+    }
+  }
+
   test("x34 quantization: int8 range, error bound, exact recompute on one vector") {
     val rows = Extras4.x34Quantize(spark, sf).collect()
     assert(rows.nonEmpty)
