@@ -141,19 +141,22 @@ object PipelineOps {
     * first md5 hex nibble of the document text (16 buckets), a
     * deterministic CONTENT hash: assignment is stable across runs,
     * engines, and repartitionings (arrival order never leaks in), and
-    * parallelism is langs × 16, growable by widening the nibble. Each
-    * (lang, shard) stream packs into its own bins, which is exactly how
-    * a production packer runs shards independently on different
-    * executors. */
+    * parallelism is langs × 16^width — `spark.graft.pack.shardHexChars`
+    * (default 1) widens it without touching the code, 1000-executor
+    * deployments set 2–3. Each (lang, shard) stream packs into its own
+    * bins, which is exactly how a production packer runs shards
+    * independently on different executors. (The contract oracle pins
+    * width 1; the widened form is spec-checked.) */
   def x21PackSequences(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cap = 512
+    val width = spark.conf.get("spark.graft.pack.shardHexChars", "1").toInt
     val w = Window.partitionBy(col("lang"), col("shard"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
-        graft.Det.md5Bucket(col("text"), 1).cast("int").as("shard"),
+        graft.Det.md5Bucket(col("text"), width).cast("int").as("shard"),
         size(split(col("text"), " ")).as("n_tokens"))
       .withColumn("end_tok", sum(col("n_tokens")).over(w))
       .withColumn("start_tok", col("end_tok") - col("n_tokens"))

@@ -113,6 +113,27 @@ class PipelineOpsSpec extends SparkSpec {
     val nStreams = rows.map(r => (r.getAs[String]("lang"), r.getAs[Int]("shard"))).distinct.length
     val nLangs = rows.map(_.getAs[String]("lang")).distinct.length
     assert(nStreams > nLangs, s"sharding added no fan-out: $nStreams streams / $nLangs langs")
+    // widening the nibble via conf multiplies the fan-out and keeps the
+    // per-stream packing invariants (the 100 TB knob, exercised)
+    try {
+      spark.conf.set("spark.graft.pack.shardHexChars", "2")
+      val wide = PipelineOps.x21PackSequences(spark, sf).collect()
+      assert(wide.forall(r =>
+        r.getAs[Int]("shard") >= 0 && r.getAs[Int]("shard") < 256))
+      val wideStreams = wide
+        .map(r => (r.getAs[String]("lang"), r.getAs[Int]("shard"))).distinct.length
+      assert(wideStreams > nStreams,
+        s"width 2 added no fan-out: $wideStreams vs $nStreams")
+      wide.groupBy(r => (r.getAs[String]("lang"), r.getAs[Int]("shard")))
+        .foreach { case (_, docs) =>
+          var stream = 0L
+          docs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+            assert(r.getAs[Long]("bin") == stream / 512)
+            assert(r.getAs[Long]("offset") == stream % 512)
+            stream += r.getAs[Int]("n_tokens")
+          }
+        }
+    } finally spark.conf.unset("spark.graft.pack.shardHexChars")
   }
 
   test("x22 segment dedup: first occurrence wins, duplicated doc loses its segments") {
