@@ -138,6 +138,26 @@ object Windows {
         k = 3)
       .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
 
+  /** W13 — the W6 window idiom REWRITTEN BY THE PLANNER into the custom
+    * operator: the user writes the standard `row_number().over(...) <= k`
+    * + drop pattern and [[graft.plans.GroupTopKRewrite]] (installed
+    * session-wide here, conservative guards) swaps in GroupTopKNode —
+    * map-side bounded heaps instead of WindowGroupLimit's map-partition
+    * sort, no rank computation on the survivors. Same results as the
+    * window formulation (the oracle IS the window formulation); the spec
+    * asserts the plan actually went through GroupTopKExec. */
+  def w13AutoTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GroupTopK.installRewrite(spark)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   /** Decay weights 0.8^i, computed ONCE in Scala and embedded as
     * identical double literals in both the Spark plan and the DuckDB
     * oracle — cross-engine pow() in the last ulp is not a risk worth
@@ -177,7 +197,8 @@ object Windows {
     "w5_range_sliding" -> (w5RangeSliding _),
     "w6_topk_per_group" -> (w6TopKPerGroup _),
     "w7_first_last" -> (w7FirstLast _),
-    "w10_topk_exec" -> (w10TopKExec _))
+    "w10_topk_exec" -> (w10TopKExec _),
+    "w13_auto_topk" -> (w13AutoTopK _))
 
   val oracles: Map[String, String] = Map(
     "w11_ewma" -> {
@@ -227,6 +248,13 @@ object Windows {
        "CAST(row_number() OVER (PARTITION BY o_custkey " +
        "ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn " +
        "FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "w13_auto_topk" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice FROM " +
+       "(SELECT o_custkey, o_orderkey, o_totalprice, " +
+       "row_number() OVER (PARTITION BY o_custkey " +
+       "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
+       "FROM orders) t WHERE rn <= 3 " +
+       "ORDER BY o_custkey, o_totalprice DESC, o_orderkey"),
     "w7_first_last" ->
       ("SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day, " +
        "first_value(event_type) OVER w AS first_type, " +

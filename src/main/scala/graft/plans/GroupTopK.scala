@@ -179,6 +179,75 @@ case class GroupTopKExec(
       : GroupTopKExec = copy(child = newChild)
 }
 
+/** Optimizer rewrite: the idiomatic top-k-per-group WINDOW pattern
+  *
+  *   Project(cols without rn,
+  *     Filter(rn <= k,
+  *       Window(row_number() AS rn OVER (PARTITION BY g ORDER BY o), ...)))
+  *
+  * becomes `Project(cols, GroupTopKNode(g, o, k, child))` — users write
+  * the standard Spark idiom and the planner swaps in the bounded-heap
+  * operator (map-side O(n log k) prune, no map-partition sort — see the
+  * operator scaladoc above for the full comparison with Spark's own
+  * WindowGroupLimit rewrite, which this supersedes when it applies).
+  *
+  * Guards (all must hold — anything else is left untouched):
+  *   - the Window computes EXACTLY ONE expression, a plain row_number()
+  *     (rank/dense_rank assign equal positions to ties, so their <= k
+  *     can keep MORE than k rows — only row_number is take-k);
+  *   - non-empty PARTITION BY and ORDER BY (global top-k is Spark's own
+  *     TakeOrderedAndProject);
+  *   - the filter is `rn <= k`, `rn < k+1`, or `rn = 1` on an integer
+  *     literal, k >= 1, and references nothing else;
+  *   - the Project above drops rn (no reference in the project list),
+  *     so the rewrite preserves the output schema exactly.
+  *
+  * If Spark's InsertWindowGroupLimit already placed a WindowGroupLimit
+  * below the Window for the same keys, it is stripped — GroupTopK's
+  * partial stage subsumes its map-side prune without the sort. */
+object GroupTopKRewrite
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, IntegerLiteral, LessThan, LessThanOrEqual, NamedExpression, RowNumber, WindowExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window => LWindow, WindowGroupLimit}
+
+  private def limitOf(cond: Expression,
+      rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, IntegerLiteral(k))
+        if a.exprId == rn.exprId && k >= 1 => Some(k)
+    case LessThan(a: Attribute, IntegerLiteral(k))
+        if a.exprId == rn.exprId && k >= 2 => Some(k - 1)
+    case EqualTo(a: Attribute, IntegerLiteral(1))
+        if a.exprId == rn.exprId => Some(1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projectList,
+          Filter(cond, LWindow(Seq(we: NamedExpression), part, order, wChild, _)))
+        if part.nonEmpty && order.nonEmpty =>
+      val isRowNumber = we match {
+        case Alias(WindowExpression(RowNumber(), _), _) => true
+        case _ => false
+      }
+      val rn = we.toAttribute
+      val rewritable = isRowNumber &&
+        projectList.forall(!_.references.contains(rn)) &&
+        projectList.forall(_.references.subsetOf(wChild.outputSet))
+      limitOf(cond, rn) match {
+        case Some(k) if rewritable =>
+          // strip a same-keyed WindowGroupLimit Spark already inserted
+          val base = wChild match {
+            case wgl: WindowGroupLimit
+                if wgl.partitionSpec == part && wgl.orderSpec == order =>
+              wgl.child
+            case other => other
+          }
+          Project(projectList, GroupTopKNode(part, order, k, base))
+        case _ => p
+      }
+  }
+}
+
 /** User-facing surface: `GroupTopK(df, groups, orderCols, k)`. */
 object GroupTopK {
 
@@ -188,6 +257,17 @@ object GroupTopK {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(GroupTopKStrategy)) {
       spark.experimental.extraStrategies = cur :+ GroupTopKStrategy
+    }
+  }
+
+  /** Install the strategy AND the window-idiom rewrite (session-wide,
+    * idempotent): after this, `row_number().over(...) <= k` + drop plans
+    * through GroupTopKExec automatically. */
+  def installRewrite(spark: SparkSession): Unit = {
+    install(spark)
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(GroupTopKRewrite)) {
+      spark.experimental.extraOptimizations = cur :+ GroupTopKRewrite
     }
   }
 

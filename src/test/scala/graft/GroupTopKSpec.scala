@@ -109,6 +109,54 @@ class GroupTopKSpec extends SparkSpec {
     assert(normal.count() == 1000L)
   }
 
+  test("window-idiom rewrite: row_number <= k + drop plans through GroupTopKExec") {
+    import spark.implicits._
+    graft.plans.GroupTopK.installRewrite(spark)
+    val base = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    def idiom = base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    // the rewrite fired: the plan carries the partial+final exec pair
+    val df = idiom
+    df.count()
+    val execs = flatten(df.queryExecution.executedPlan)
+      .collect { case e: GroupTopKExec => e }
+    assert(execs.map(_.partial).sorted == Seq(false, true),
+      s"rewrite did not fire: $execs")
+    // and the results equal the un-rewritten window formulation
+    val got = idiom.orderBy(col("o_custkey"), col("o_totalprice").desc,
+      col("o_orderkey")).collect()
+    val want = GroupTopK(base, Seq("o_custkey"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+      .collect()
+    assert(got.toSeq == want.toSeq)
+    // guards: rank() ties are NOT take-k — left untouched
+    val ranked = base.withColumn("r", rank().over(w))
+      .filter(col("r") <= 3).drop("r")
+    ranked.count()
+    assert(flatten(ranked.queryExecution.executedPlan)
+      .collect { case e: GroupTopKExec => e }.isEmpty,
+      "rank() variant must not rewrite")
+    // guards: a projection that KEEPS rn is schema-bearing — untouched
+    val keepsRn = base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"))
+    keepsRn.count()
+    assert(flatten(keepsRn.queryExecution.executedPlan)
+      .collect { case e: GroupTopKExec => e }.isEmpty,
+      "rn-keeping variant must not rewrite")
+    // rn = 1 (latest-per-key idiom) rewrites with k = 1
+    val top1 = base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    assert(top1.count() == base.select("o_custkey").distinct().count())
+    assert(flatten(top1.queryExecution.executedPlan)
+      .collect { case e: GroupTopKExec => e }.nonEmpty,
+      "top-1 idiom should rewrite")
+  }
+
   test("ties, k larger than group, and single-row groups") {
     import spark.implicits._
     // group 0: 5 equal-order rows disambiguated by the tie-break column
