@@ -174,6 +174,30 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("GroupTopK window-idiom rewrite equals a driver-side take-k on random tables") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GroupTopK.installRewrite(spark)
+    check(Prop.forAll(Gen.zip(rowsGen, Gen.chooseNum(1, 5))) { case (rows, k) =>
+      val df = rows.toDF("key", "v")
+        .withColumn("g", pmod(col("key"), lit(7L)))
+      val w = Window.partitionBy(col("g"))
+        .orderBy(col("v").asc, col("key").asc)
+      val got = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .collect().map(r => (r.getLong(2), r.getLong(0), r.getDouble(1)))
+        .sorted.toSeq
+      // driver-side reference (duplicates make "which copy" ambiguous,
+      // but the selected MULTISET is deterministic — compare sorted)
+      val want = rows.map { case (key, v) =>
+        (math.floorMod(key, 7L), key, v)
+      }.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        g.sortBy(t => (t._3, t._2)).take(k)
+      }.sorted
+      got == want
+    })
+  }
+
   test("connected components match a union-find oracle on random graphs") {
     import spark.implicits._
     val edgeGen = Gen.listOfN(40,
