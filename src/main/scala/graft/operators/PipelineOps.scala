@@ -151,6 +151,11 @@ object PipelineOps {
     import org.apache.spark.sql.expressions.Window
     val cap = 512
     val width = spark.conf.get("spark.graft.pack.shardHexChars", "1").toInt
+    // 16^8 overflows the int shard column into negative ids; and any
+    // non-default width diverges from the width-1-pinned contract oracle
+    // (fine for library use, fatal if set during a verify run)
+    require(width >= 1 && width <= 7,
+      s"spark.graft.pack.shardHexChars must be in [1, 7], got $width")
     val w = Window.partitionBy(col("lang"), col("shard"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

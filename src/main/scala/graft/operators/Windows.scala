@@ -145,12 +145,21 @@ object Windows {
     * map-side bounded heaps instead of WindowGroupLimit's map-partition
     * sort, no rank computation on the survivors. Same results as the
     * window formulation (the oracle IS the window formulation); the spec
-    * asserts the plan actually went through GroupTopKExec. */
+    * asserts the plan actually went through GroupTopKExec.
+    *
+    * The install is scoped to a FORKED session (same SparkContext,
+    * separate experimental methods): an optimizer rule left on the
+    * shared session would silently re-plan every later query matching
+    * the idiom (l5's top-word rn=1, x3's profile top-10, ...), making
+    * bench timings and plan expectations depend on whether w13 ran
+    * earlier. A user opts in per-session via
+    * `GroupTopK.installRewrite(spark)`. */
   def w13AutoTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.plans.GroupTopK.installRewrite(spark)
+    val s = Tables.tune(spark.newSession())
+    graft.plans.GroupTopK.installRewrite(s)
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    Tables.orders(spark, sfDir)
+    Tables.orders(s, sfDir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)

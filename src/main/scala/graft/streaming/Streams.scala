@@ -12,13 +12,21 @@ case class SessionOut(user_id: Long, sess_start_us: Long,
     sess_end_us: Long, n_events: Long)
 
 /** Timer-driven sessionization for ST13: per-user 30-minute-gap
-  * sessions closed EITHER by a later event past the gap (in
-  * handleInputRows) OR — the part only timers can express — by the
-  * event-time watermark passing last_event + gap with no further
-  * events (handleExpiredTimer). This is the streaming-native form of
-  * session_window: state is one (start, last, n) triple per live user
-  * plus one registered timer, evicted exactly when the watermark proves
-  * the session can no longer grow. */
+  * sessions, closed ONLY by the event-time watermark passing
+  * last_event + gap (handleExpiredTimer) — handleInputRows never emits,
+  * it only interval-merges events into the key's OPEN session list.
+  * This is the streaming-native form of session_window that stays
+  * batch-equivalent under out-of-order arrival: until the watermark
+  * proves a gap final, both sides of it remain open, so a late event
+  * (legal within the watermark delay) can still bridge them. State is
+  * the open-session triples (usually one) per live user plus one
+  * registered timer at the earliest horizon. */
+object SessionProcessor {
+  /** Read once per JVM — `sys.env` copies the whole environment map on
+    * every call and handleInputRows is the per-(key, batch) hot path. */
+  val Debug: Boolean = System.getenv("GRAFT_SESS_DEBUG") != null
+}
+
 class SessionProcessor
     extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvTs, SessionOut] {
   import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
@@ -46,12 +54,15 @@ class SessionProcessor
     SessionOut(key, s._1, s._2 + GapUs, s._3)
 
   /** One live timer per key, at the EARLIEST open horizon (materialize
-    * the timer iterator before deleting — no mutation under it). */
+    * the timer iterator before deleting — no mutation under it).
+    * CEIL to milliseconds: timers and watermarks are ms, horizons are
+    * µs — flooring could fire the timer while the horizon's tail
+    * microseconds are still reachable by a legal event. */
   private def rearm(open: Seq[(Long, Long, Long)]): Unit = {
     getHandle.listTimers().toArray.foreach(t =>
       getHandle.deleteTimer(t.asInstanceOf[Long]))
     if (open.nonEmpty)
-      getHandle.registerTimer((open.map(_._2).min + GapUs) / 1000L)
+      getHandle.registerTimer((open.map(_._2).min + GapUs + 999L) / 1000L)
   }
 
   override def handleInputRows(key: Long, rows: Iterator[EvTs],
@@ -62,7 +73,7 @@ class SessionProcessor
     // previously-separate open sessions.
     val existing = sessions.get().toSeq
     val incoming = rows.map(e => (e.ts_us, e.ts_us, 1L)).toSeq
-    if (sys.env.contains("GRAFT_SESS_DEBUG"))
+    if (SessionProcessor.Debug)
       System.err.println(s"[sess] key=$key existing=$existing incoming=$incoming")
     val pieces = (existing ++ incoming).sortBy(p => (p._1, p._2))
     val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
@@ -82,10 +93,13 @@ class SessionProcessor
   override def handleExpiredTimer(key: Long, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
     // the watermark proves which open sessions can no longer grow; emit
-    // and evict those, keep the rest open and re-arm at their horizon
+    // and evict those, keep the rest open and re-arm at their horizon.
+    // Strict µs comparison against wm*1000: an event at ts_us = wm*1000
+    // is NOT late, so a session whose horizon's tail microseconds exceed
+    // the watermark millisecond must stay open
     val wm = timerValues.getCurrentWatermarkInMs()
     val (closable, open) = sessions.get().toSeq
-      .partition(s => (s._2 + GapUs) / 1000L <= wm)
+      .partition(s => s._2 + GapUs <= wm * 1000L)
     sessions.clear()
     open.foreach(sessions.appendValue)
     rearm(open)
@@ -605,13 +619,15 @@ object Streams {
   }
 
   /** ST13 — timer-driven sessionization via transformWithState +
-    * event-time timers ([[SessionProcessor]]): gap-closed sessions emit
-    * from handleInputRows; the last session of every user — which no
-    * later event will ever close — emits from handleExpiredTimer once
-    * the watermark passes its horizon. The two-sentinel staged replay
-    * ([[stageOuterSplit]]) advances the watermark deterministically, so
-    * the full session set equals the batch session_window computation
-    * (ST3's oracle, minus the sentinel user). */
+    * event-time timers ([[SessionProcessor]]): EVERY session emits from
+    * handleExpiredTimer once the watermark passes its horizon — input
+    * processing only merges events into the open-session state, so
+    * out-of-order events within the watermark delay still merge exactly
+    * as batch session_window would. The two-sentinel staged replay
+    * ([[stageOuterSplit]]) advances the watermark deterministically past
+    * every real session's horizon, so the full session set equals the
+    * batch computation (ST3's oracle, minus the sentinel user, whose own
+    * sessions the watermark never closes). */
   def st13TimerSessions(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stageOuterSplit(spark, sfDir)
     val prevProvider = spark.conf.getOption(

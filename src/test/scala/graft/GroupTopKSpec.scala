@@ -110,9 +110,11 @@ class GroupTopKSpec extends SparkSpec {
   }
 
   test("window-idiom rewrite: row_number <= k + drop plans through GroupTopKExec") {
-    import spark.implicits._
-    graft.plans.GroupTopK.installRewrite(spark)
-    val base = Tables.orders(spark, sf)
+    // forked session: suites share one SparkSession, and the rewrite
+    // must not silently re-plan other tests' window queries
+    val s = Tables.tune(spark.newSession())
+    graft.plans.GroupTopK.installRewrite(s)
+    val base = Tables.orders(s, sf)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)

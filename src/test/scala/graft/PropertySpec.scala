@@ -136,7 +136,8 @@ class PropertySpec extends SparkSpec {
     // must select at least one identical fingerprint in both docs
     val word = Gen.chooseNum(0, 40).map(i => s"w$i")
     val gen = for {
-      run <- Gen.listOfN(20, word).map(_.take(11))
+      runLen <- Gen.chooseNum(11, 20)
+      run <- Gen.listOfN(runLen, word)
       pre1 <- Gen.listOfN(8, word); post1 <- Gen.listOfN(8, word)
       pre2 <- Gen.listOfN(5, word); post2 <- Gen.listOfN(12, word)
       noise <- Gen.listOfN(30, word)
@@ -175,9 +176,11 @@ class PropertySpec extends SparkSpec {
   }
 
   test("GroupTopK window-idiom rewrite equals a driver-side take-k on random tables") {
-    import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    graft.plans.GroupTopK.installRewrite(spark)
+    // forked session: the rewrite must not leak into other suites
+    val s = Tables.tune(spark.newSession())
+    import s.implicits._
+    graft.plans.GroupTopK.installRewrite(s)
     check(Prop.forAll(Gen.zip(rowsGen, Gen.chooseNum(1, 5))) { case (rows, k) =>
       val df = rows.toDF("key", "v")
         .withColumn("g", pmod(col("key"), lit(7L)))
