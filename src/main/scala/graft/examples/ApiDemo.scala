@@ -59,6 +59,30 @@ object ApiDemo {
       substring(TextPipeline.winnowingFingerprint(col("body"), 5), 1, 8).as("fp8"))
       .orderBy("id").show(false)
 
+    // incremental dedup: a new shard probed against the corpus' LSH
+    // band index (never probe x corpus)
+    val incoming = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("id", "body")
+    println("incremental near-dups of the incoming shard vs the corpus:")
+    TextPipeline.nearDupAgainstHashed(
+        TextPipeline.shingleHashes(incoming, "id", "body", 3),
+        TextPipeline.shingleHashes(corpus, "id", "body", 3),
+        threshold = 0.4)
+      .orderBy("doc_new", "doc_old").show(false)
+
+    // planner rewrite: the standard row_number idiom plans through the
+    // custom GroupTopK operator once installed on the session
+    graft.plans.GroupTopK.installRewrite(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    println("first 2 n-grams per doc, window idiom -> GroupTopKExec:")
+    val firstGrams = TextPipeline.ngramRows(corpus, "id", "body", 3)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2).drop("rn")
+    firstGrams.orderBy("doc_id", "pos").show(4, false)
+    println(firstGrams.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("GroupTopK")).mkString("\n"))
+
     // vectors with custom column names
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.9f, 0.1f, 0.0f)),
