@@ -42,23 +42,42 @@ object Extras4 {
     * integer-exact arithmetic (kept ⇔ rank × 4 > n_lang — no float
     * quantile to diverge between engines).
     *
-    * Scale shape: per-language counts come from a grouped agg joined
-    * back via broadcast (group cardinality = languages), NOT a count
-    * window over the 5-value language key — that would funnel the corpus
-    * through 5 tasks (exactly what PlanLint's low-cardinality-window-key
-    * rule exists to catch). The rank window over (lang) remains — ranks
-    * are whole-partition semantics (see the PlanLint scaladoc); the
-    * production form at 100 TB swaps the exact rank for approx_percentile
-    * thresholds per language, same plan shape minus the sort. */
+    * Scale shape — the EXACT rank without a per-language corpus sort
+    * (a naive `row_number over (partition by lang)` would funnel 100 TB
+    * through 5 window tasks, the x21 seam): decompose
+    *
+    *   rank(doc) = (#docs in lang with smaller score)
+    *             + (position of doc among its EXACT score ties, by doc_id)
+    *
+    * The first term comes from (lang, score) group counts (one scalable
+    * shuffle) cumulated per language over the DISTINCT-SCORE frame — a
+    * window, but over an aggregate-bounded input (thousands of distinct
+    * scores, not the corpus; PlanLint's low-cardinality rule explicitly
+    * exempts bounded children). The second is a window partitioned by
+    * (lang, score) — fine-grained keys that scale with the data. Both
+    * join back by (lang, score); per-language totals broadcast. */
   def x31QualityQuantile(spark: SparkSession, sfDir: String): DataFrame = {
     val scored = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
         round(length(col("text")) / size(split(col("text"), " ")), 6)
           .as("score"))
     val counts = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("score").asc, col("doc_id").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
+    // cumulative count of strictly-smaller scores, per language, over
+    // the aggregate-bounded distinct-score frame
+    val perScore = scored.groupBy(col("lang"), col("score"))
+      .agg(count(lit(1)).as("n_at"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumBelow = perScore
+      .withColumn("c_le", sum(col("n_at")).over(wCum))
+      .select(col("lang"), col("score"),
+        (col("c_le") - col("n_at")).as("c_lt"))
+    // position among exact-score ties: high-cardinality (lang, score) key
+    val wTie = Window.partitionBy(col("lang"), col("score"))
+      .orderBy(col("doc_id"))
+    scored.withColumn("tie_pos", row_number().over(wTie).cast("long"))
+      .join(cumBelow, Seq("lang", "score"))
+      .withColumn("rnk", col("c_lt") + col("tie_pos"))
       .join(broadcast(counts), "lang")
       .filter(col("rnk") * 4 > col("n_lang"))
       .select(col("doc_id"), col("lang"), col("score"), col("rnk"),
@@ -284,18 +303,38 @@ object Extras4 {
     * job can be resumed or re-sharded bit-identically.
     *
     * Scale shape: shard count is a CONFIG sized to the output layout
-    * (like x21's nibble — widen for more parallelism); the within-shard
-    * rank is a row_number window over the shard key, the sort a real
-    * distributed sort per shard. */
+    * (like x21's nibble — widen for more parallelism), and the
+    * within-shard position is computed WITHOUT ranking each whole shard
+    * in one window task (8 shards would be 8 funnels at 100 TB — the
+    * x21 seam). Because the order key is the md5 hex itself, a hash
+    * PREFIX bucket preserves the order: pos = (#docs in earlier buckets
+    * of the shard) + (position within the bucket). The bucket window
+    * partitions by (shard, 4-hex-char prefix) — ~65k fine-grained keys
+    * that grow with a wider prefix — and the cumulative-before term is a
+    * window over the aggregate-bounded distinct-bucket frame. */
   def x39TrainShards(spark: SparkSession, sfDir: String): DataFrame = {
     val nShards = 8
     val withHash = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         md5(col("text").cast("binary")).as("h"),
         (Det.md5Bucket(col("text"), 1) % nShards).cast("int").as("shard"))
-    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
-    withHash.withColumn("pos", row_number().over(w).cast("long"))
-      .select(col("doc_id"), col("shard"), col("pos"))
+      .withColumn("bucket", substring(col("h"), 1, 4))
+    val perBucket = withHash.groupBy(col("shard"), col("bucket"))
+      .agg(count(lit(1)).as("n_at"))
+    val wCum = Window.partitionBy(col("shard")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumBefore = perBucket
+      .withColumn("c_le", sum(col("n_at")).over(wCum))
+      .select(col("shard"), col("bucket"),
+        (col("c_le") - col("n_at")).as("c_before"))
+    // bucket is a PREFIX of the order key h, so (bucket, then h within
+    // bucket) is exactly the per-shard md5 order
+    val wTie = Window.partitionBy(col("shard"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    withHash.withColumn("tie", row_number().over(wTie).cast("long"))
+      .join(cumBefore, Seq("shard", "bucket"))
+      .select(col("doc_id"), col("shard"),
+        (col("c_before") + col("tie")).as("pos"))
       .orderBy(col("doc_id"))
   }
 
