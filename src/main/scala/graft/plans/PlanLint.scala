@@ -135,14 +135,19 @@ object PlanLint {
     * (no aggregate/limit below bounding its size), it counts the
     * distinct partition-key values and flags counts below `minKeys`.
     *
-    * Scope is deliberately the aggregate-function windows: a running
-    * sum/count/first/last can be re-keyed to (key, content-hash shard)
-    * with per-shard semantics — exactly x21's fix — so the finding is
-    * actionable. Rank-family and offset functions (rank, percent_rank,
-    * cume_dist, ntile, lag, lead) are DEFINED on the whole partition;
-    * a low-cardinality key there (w8's per-segment percentiles) is the
-    * query's semantics, not a plan bug, and the fix — distributed
-    * quantile arithmetic — is a semantic rewrite no lint should demand.
+    * Scope is the window functions with a KNOWN mechanical fix:
+    * aggregate functions (running sum/count/first/last) can be re-keyed
+    * to (key, content-hash shard) with per-shard semantics — exactly
+    * x21's fix — and ROW_NUMBER decomposes exactly as
+    * rank = (#rows in strictly-smaller order-key groups) + (position
+    * among exact ties), i.e. a fine-grained (key, order-value) tie
+    * window plus a cumulative count over the aggregate-bounded
+    * distinct-value frame — exactly x31/x39's fix. Other rank-family
+    * and offset functions (rank, percent_rank, cume_dist, ntile, lag,
+    * lead) are DEFINED on the whole partition; a low-cardinality key
+    * there (w8's per-segment percentiles) is the query's semantics, not
+    * a plan bug, and the fix — distributed quantile arithmetic — is a
+    * semantic rewrite no lint should demand.
     *
     * `minKeys` is parallelism-relative: in production set it near the
     * cluster's task slots; the sf0.001 sweep uses 8 (the corpus' growing
@@ -156,17 +161,19 @@ object PlanLint {
         case _: LAggregate => (); case _: LGlobalLimit => ()
         case _: LLocalLimit => ()
       }.isDefined
-    def hasAggWindow(w: LWindow): Boolean =
+    def hasFixableWindow(w: LWindow): Boolean =
       w.windowExpressions.exists(_.collectFirst {
         case we: WindowExpression
-            if we.windowFunction.isInstanceOf[AggregateExpression] => ()
+            if we.windowFunction.isInstanceOf[AggregateExpression] ||
+              we.windowFunction
+                .isInstanceOf[org.apache.spark.sql.catalyst.expressions.RowNumber] => ()
       }.isDefined)
     // the OPTIMIZED plan: CTEs are inlined there, so a window child can
     // be re-planned standalone (an analyzed-plan child may carry
     // CTERelationRefs whose WithCTE definition sits above the window)
     df.queryExecution.optimizedPlan.collect {
       case w: LWindow
-          if w.partitionSpec.nonEmpty && hasAggWindow(w) &&
+          if w.partitionSpec.nonEmpty && hasFixableWindow(w) &&
             !boundedBelow(w.child) =>
         val keys = w.partitionSpec.zipWithIndex
           .map { case (e, i) => Alias(e, s"k$i")() }
@@ -175,10 +182,11 @@ object PlanLint {
           .distinct().count()
         if (n < minKeys)
           Some(Finding("low-cardinality-window-key", w.nodeName,
-            s"aggregate window over unbounded input partitioned by " +
+            s"aggregate/row_number window over unbounded input partitioned by " +
               s"${w.partitionSpec.mkString(", ")} has only $n distinct keys " +
               s"(< $minKeys): bounded-domain key funnels the stream at scale; " +
-              "re-key to (key, content-hash shard) like x21"))
+              "re-key to (key, content-hash shard) like x21, or decompose " +
+              "the rank into tie-window + cumulative counts like x31/x39"))
         else None
     }.flatten
   }

@@ -79,8 +79,21 @@ class PlanLintSpec extends SparkSpec {
     // at sf0.001 — clean even at the stricter production threshold
     val fixed = graft.operators.PipelineOps.x21PackSequences(spark, sf)
     assert(PlanLint.lowCardWindowKeys(fixed, minKeys = 32).isEmpty)
-    // rank-family windows over a bounded key are the QUERY's semantics
-    // (per-segment percentiles have no shard-local redefinition): exempt
+    // row_number over a bounded key is ALSO fixable (decompose into a
+    // tie window + cumulative counts — x31/x39's fix): the OLD x39
+    // shape, ranking each whole shard in one window task, must fire
+    val oldX39 = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"),
+        (Det.md5Bucket(col("text"), 1) % 8).cast("int").as("shard"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))))
+    assert(PlanLint.lowCardWindowKeys(oldX39, minKeys = 9)
+      .exists(_.rule == "low-cardinality-window-key"))
+    // the decomposed x39 is clean even at the production threshold
+    assert(PlanLint.lowCardWindowKeys(
+      graft.operators.Extras4.x39TrainShards(spark, sf), minKeys = 32).isEmpty)
+    // percent_rank/cume_dist over a bounded key are the QUERY's
+    // semantics (no shard-local redefinition): exempt
     val ranks = graft.operators.Extras3.w8Distribution(spark, sf)
     assert(PlanLint.lowCardWindowKeys(ranks, minKeys = 8).isEmpty)
     // an aggregate window over a bounded key IS fine below an aggregate
