@@ -233,6 +233,36 @@ object Extras4 {
       .orderBy(col("l_returnflag"))
   }
 
+  /** S19 — NESTED parquet round-trip (struct + array + map columns):
+    * a nested shape is built from orders, written to parquet (real
+    * nested encoders — definition/repetition levels, not flat columns),
+    * read back, and FLATTENED to scalars for the compare; the oracle
+    * recomputes the same scalars straight from the flat table, so any
+    * loss or reordering inside the nested codec breaks the hash. The
+    * output stays scalar because raw struct/array columns don't survive
+    * the driver's hash compare (SURVEY §1.3). */
+  def s19NestedRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Tables.scratchDir("s19_nested", sfDir)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price")).as("meta"),
+        array(col("o_totalprice"), col("o_totalprice") * 2,
+          col("o_totalprice") * 3).as("tiers"),
+        map(lit("pri"), col("o_orderpriority"), lit("day"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd")).as("tags"))
+      .write.mode("overwrite").parquet(dir)
+    Tables.tune(spark).read.parquet(dir)
+      .select(col("o_orderkey"),
+        col("meta.status").as("status"),
+        col("meta.price").as("price"),
+        element_at(col("tiers"), 2).as("tier2"),
+        size(col("tiers")).as("n_tiers"),
+        element_at(col("tags"), "pri").as("pri"),
+        element_at(col("tags"), "day").as("day"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** X35 — temperature-based domain mixing (the pretraining mix
     * primitive: flatten the language distribution with α = 0.5, as
     * multilingual LLM recipes do): each language's sampling rate is
@@ -445,6 +475,7 @@ object Extras4 {
     "s16_xml" -> (s16Xml _),
     "s17_avro" -> (s17Avro _),
     "s18_compaction" -> (s18Compaction _),
+    "s19_nested_roundtrip" -> (s19NestedRoundtrip _),
     "x38_incremental_dedup" -> (x38IncrementalDedup _),
     "x39_train_shards" -> (x39TrainShards _),
     "x31_quality_quantile" -> (x31QualityQuantile _),
@@ -524,6 +555,11 @@ object Extras4 {
        s"${d.dsum("o_totalprice")} AS revenue, " +
        "COUNT(DISTINCT o_orderkey) AS n_keys, " +
        "CAST(4 AS BIGINT) AS n_files_after, TRUE AS compacted FROM orders"),
+    "s19_nested_roundtrip" ->
+      ("SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price, " +
+       "o_totalprice * 2 AS tier2, CAST(3 AS INT) AS n_tiers, " +
+       "o_orderpriority AS pri, strftime(o_orderdate, '%Y-%m-%d') AS day " +
+       "FROM orders ORDER BY o_orderkey"),
     "s17_avro" ->
       ("SELECT l_returnflag, COUNT(*) AS n, " +
        s"${d.dsum("l_quantity")} AS sum_qty, " +

@@ -28,6 +28,31 @@ class Extras4Spec extends SparkSpec {
     assert(viaAvro.toSeq == direct.toSeq)
   }
 
+  test("s19 nested round-trip: struct/array/map fields survive parquet exactly") {
+    val got = Extras4.s19NestedRoundtrip(spark, sf).collect()
+    val want = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .orderBy(col("o_orderkey")).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0))
+      assert(g.getAs[String]("status") == w.getString(1))
+      assert(g.getAs[Double]("price") == w.getDouble(2))
+      assert(g.getAs[Double]("tier2") == w.getDouble(2) * 2)
+      assert(g.getAs[Int]("n_tiers") == 3)
+      assert(g.getAs[String]("pri") == w.getString(3))
+      assert(g.getAs[String]("day") == w.getString(4))
+    }
+    // the written file really carries nested types
+    val schema = spark.read.parquet(Tables.scratchDir("s19_nested", sf)).schema
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    assert(schema("meta").dataType.isInstanceOf[StructType])
+    assert(schema("tiers").dataType.isInstanceOf[ArrayType])
+    assert(schema("tags").dataType.isInstanceOf[MapType])
+  }
+
   test("x31 quality quantile: keeps exactly the top 3/4 per language, by score") {
     val kept = Extras4.x31QualityQuantile(spark, sf).collect()
     val all = Tables.documents(spark, sf)
