@@ -57,16 +57,48 @@ object Extras3 {
   /** W8 — distribution window functions: percent_rank, cume_dist, and
     * nth_value over customers ranked by balance within market segment.
     * The ORDER BY carries a unique tie-break so rank positions (and the
-    * rank-derived doubles) are identical across engines. */
+    * rank-derived doubles) are identical across engines.
+    *
+    * Computed via the x31/x39 rank DECOMPOSITION, not a window over the
+    * 5-value segment key (which would funnel the table through 5 tasks
+    * at scale): the unique ordering makes rank = row position, so
+    * pr = (rank−1)/(n−1), cd = rank/n, and nth_value(2) is simply the
+    * rank-2 row per segment broadcast back. rank itself = (#rows with
+    * larger balance) + (tie position by custkey), from a fine-grained
+    * (segment, balance) tie window plus cumulative counts over the
+    * aggregate-bounded distinct-balance frame. The oracle stays DuckDB's
+    * NATIVE percent_rank/cume_dist/nth_value — proving the decomposition
+    * reproduces standard window semantics exactly. */
   def w8Distribution(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    Tables.customer(spark, sfDir)
+    val base = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal"))
+      .localCheckpoint(true)
+    val perBal = base.groupBy(col("c_mktsegment"), col("c_acctbal"))
+      .agg(count(lit(1)).as("n_at"))
+    val wCum = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perBal.withColumn("c_le", sum(col("n_at")).over(wCum))
+      .select(col("c_mktsegment"), col("c_acctbal"),
+        (col("c_le") - col("n_at")).as("c_lt"))
+    val totals = perBal.groupBy(col("c_mktsegment"))
+      .agg(sum(col("n_at")).as("n_seg"))
+    val wTie = Window.partitionBy(col("c_mktsegment"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+    val ranked = base
+      .withColumn("tie", row_number().over(wTie).cast("long"))
+      .join(cum, Seq("c_mktsegment", "c_acctbal"))
+      .withColumn("rnk", col("c_lt") + col("tie"))
+      .join(broadcast(totals), "c_mktsegment")
+    val runnerUp = ranked.filter(col("rnk") === 2)
+      .select(col("c_mktsegment"), col("c_name").as("runner_up"))
+    ranked.join(broadcast(runnerUp), Seq("c_mktsegment"), "left")
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"),
-        nth_value(col("c_name"), 2).over(wFull).as("runner_up"))
+        round(when(col("n_seg") === 1, lit(0.0))
+          .otherwise((col("rnk") - 1) / (col("n_seg") - 1)), 6).as("pr"),
+        round(col("rnk") / col("n_seg"), 6).as("cd"),
+        col("runner_up"))
       .orderBy(col("c_mktsegment"), col("c_custkey"))
   }
 

@@ -57,15 +57,21 @@ object Extras4 {
     * (lang, score) — fine-grained keys that scale with the data. Both
     * join back by (lang, score); per-language totals broadcast. */
   def x31QualityQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    // one corpus scan feeds three plan branches (per-score counts, the
+    // tie window, and via perScore the language totals) — materialize it
+    // once, the TextPipeline.nearDupPairsHashed pattern
     val scored = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
         round(length(col("text")) / size(split(col("text"), " ")), 6)
           .as("score"))
-    val counts = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      .localCheckpoint(true)
     // cumulative count of strictly-smaller scores, per language, over
     // the aggregate-bounded distinct-score frame
     val perScore = scored.groupBy(col("lang"), col("score"))
       .agg(count(lit(1)).as("n_at"))
+    // language totals from the bounded aggregate, not a corpus re-scan
+    val counts = perScore.groupBy(col("lang"))
+      .agg(sum(col("n_at")).as("n_lang"))
     val wCum = Window.partitionBy(col("lang")).orderBy(col("score"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cumBelow = perScore
@@ -344,11 +350,14 @@ object Extras4 {
     * window over the aggregate-bounded distinct-bucket frame. */
   def x39TrainShards(spark: SparkSession, sfDir: String): DataFrame = {
     val nShards = 8
+    // the hashed projection feeds the bucket counts AND the tie window —
+    // materialize once so documents is scanned (and md5'd) a single time
     val withHash = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         md5(col("text").cast("binary")).as("h"),
         (Det.md5Bucket(col("text"), 1) % nShards).cast("int").as("shard"))
       .withColumn("bucket", substring(col("h"), 1, 4))
+      .localCheckpoint(true)
     val perBucket = withHash.groupBy(col("shard"), col("bucket"))
       .agg(count(lit(1)).as("n_at"))
     val wCum = Window.partitionBy(col("shard")).orderBy(col("bucket"))

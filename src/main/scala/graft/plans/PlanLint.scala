@@ -142,12 +142,14 @@ object PlanLint {
     * rank = (#rows in strictly-smaller order-key groups) + (position
     * among exact ties), i.e. a fine-grained (key, order-value) tie
     * window plus a cumulative count over the aggregate-bounded
-    * distinct-value frame — exactly x31/x39's fix. Other rank-family
-    * and offset functions (rank, percent_rank, cume_dist, ntile, lag,
-    * lead) are DEFINED on the whole partition; a low-cardinality key
-    * there (w8's per-segment percentiles) is the query's semantics, not
-    * a plan bug, and the fix — distributed quantile arithmetic — is a
-    * semantic rewrite no lint should demand.
+    * distinct-value frame — exactly x31/x39's fix. The whole rank
+    * family follows from the same identity with the per-key total
+    * broadcast back: rank/dense_rank directly, percent_rank =
+    * (rank−1)/(n−1), cume_dist = rows_le/n, ntile closed-form from
+    * (rank, n) — w8 and w2 are the worked examples — so all of them are
+    * flagged. Only the offset functions (lag, lead, nth_value) stay
+    * exempt: their fix (broadcasting boundary rows) is shape-specific
+    * enough that a generic finding would be noise.
     *
     * `minKeys` is parallelism-relative: in production set it near the
     * cluster's task slots; the sf0.001 sweep uses 8 (the corpus' growing
@@ -161,13 +163,17 @@ object PlanLint {
         case _: LAggregate => (); case _: LGlobalLimit => ()
         case _: LLocalLimit => ()
       }.isDefined
-    def hasFixableWindow(w: LWindow): Boolean =
+    def hasFixableWindow(w: LWindow): Boolean = {
+      import org.apache.spark.sql.catalyst.expressions.{CumeDist, NTile, RankLike, RowNumberLike}
       w.windowExpressions.exists(_.collectFirst {
         case we: WindowExpression
             if we.windowFunction.isInstanceOf[AggregateExpression] ||
-              we.windowFunction
-                .isInstanceOf[org.apache.spark.sql.catalyst.expressions.RowNumber] => ()
+              we.windowFunction.isInstanceOf[RowNumberLike] ||
+              we.windowFunction.isInstanceOf[RankLike] ||
+              we.windowFunction.isInstanceOf[CumeDist] ||
+              we.windowFunction.isInstanceOf[NTile] => ()
       }.isDefined)
+    }
     // the OPTIMIZED plan: CTEs are inlined there, so a window child can
     // be re-planned standalone (an analyzed-plan child may carry
     // CTERelationRefs whose WithCTE definition sits above the window)

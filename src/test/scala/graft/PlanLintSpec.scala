@@ -92,8 +92,16 @@ class PlanLintSpec extends SparkSpec {
     // the decomposed x39 is clean even at the production threshold
     assert(PlanLint.lowCardWindowKeys(
       graft.operators.Extras4.x39TrainShards(spark, sf), minKeys = 32).isEmpty)
-    // percent_rank/cume_dist over a bounded key are the QUERY's
-    // semantics (no shard-local redefinition): exempt
+    // the whole rank family is fixable by the same identity: a bare
+    // rank() over the bounded language key must fire too
+    val oldRank = Tables.documents(spark, sf)
+      .withColumn("r", rank().over(
+        Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))))
+    assert(PlanLint.lowCardWindowKeys(oldRank, minKeys = 8)
+      .exists(_.rule == "low-cardinality-window-key"))
+    // w8's percent_rank/cume_dist/nth_value are now DECOMPOSED (tie
+    // window + cumulative counts + broadcast totals): clean by plan
+    // shape, not by exemption
     val ranks = graft.operators.Extras3.w8Distribution(spark, sf)
     assert(PlanLint.lowCardWindowKeys(ranks, minKeys = 8).isEmpty)
     // an aggregate window over a bounded key IS fine below an aggregate
