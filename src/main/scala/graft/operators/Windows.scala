@@ -41,12 +41,13 @@ object Windows {
     * orderkey), so rank = row_number. */
   def w2Ntile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // count() is one job and zipWithIndex runs an internal size pass
+    // that re-executes the sort before the real pass — materialize the
+    // projection once so the scan doesn't run three times (at cluster
+    // scale the same role is played by a persisted intermediate)
     val o = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_totalprice"))
-    // cost honesty: count() is one scan job and zipWithIndex runs an
-    // internal size pass that re-executes the sort before the real pass
-    // — three executions at this size is fine; at cluster scale persist
-    // the sorted frame (or take n from a pre-computed stat) first
+      .localCheckpoint(true)
     val n = o.count()
     val ranked = o.orderBy(col("o_totalprice"), col("o_orderkey"))
       .rdd.zipWithIndex() // preserves range-partitioned sort order

@@ -299,6 +299,36 @@ class Extras4Spec extends SparkSpec {
     }
   }
 
+  test("concurrent batch queries on forked sessions equal their sequential results") {
+    // the library's multi-session story: one SparkContext, one session
+    // per caller (the scoping w13/s14 rely on) — concurrent runs must
+    // neither interfere nor diverge
+    val names = Seq("a1_pricing_summary", "x21_pack_sequences",
+      "j13_nullsafe_join", "w8_distribution", "x35_temperature_mix",
+      "o9_union_missing")
+    val sequential = names.map(n =>
+      n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).toSeq).toMap
+    val results =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+    val errors =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = names.map { n =>
+      new Thread(() => {
+        try {
+          val s = Tables.tune(spark.newSession())
+          results.put(n,
+            SparkEntry.queries(n)(s, sf).collect().map(_.toString).toSeq)
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(180000))
+    assert(errors.isEmpty, s"concurrent failures: $errors")
+    names.foreach { n =>
+      assert(results.get(n) == sequential(n), s"$n diverged under concurrency")
+    }
+  }
+
   test("x34 quantization: int8 range, error bound, exact recompute on one vector") {
     val rows = Extras4.x34Quantize(spark, sf).collect()
     assert(rows.nonEmpty)
