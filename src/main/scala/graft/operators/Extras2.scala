@@ -19,17 +19,20 @@ object Extras2 {
       .orderBy(col("p_partkey"))
 
   /** A9 — order statistics + second moments per group: exact interpolated
-    * percentiles (identical formula on both engines given the same sorted
-    * multiset); corr/stddev are single-pass co-moments rounded past libm
-    * noise. */
+    * percentiles; corr/stddev are single-pass co-moments rounded past
+    * libm noise. The percentiles are rounded to 4 dp: the engines'
+    * interpolation FORMULAS differ (Spark a+(b−a)·q vs DuckDB
+    * (1−q)a+qb — a last-ulp divergence observed at sf0.001), but the
+    * true values sit on an exact 1e-3 grid (q ∈ {.5,.9} × 2-dp prices),
+    * so a 4-dp round absorbs the ulp and can never flip a boundary. */
   def a9Stats(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val o = Tables.orders(spark, sfDir)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy(col("l_returnflag"))
       .agg(
-        percentile(col("o_totalprice"), lit(0.5)).as("median_total"),
-        percentile(col("o_totalprice"), lit(0.9)).as("p90_total"),
+        round(percentile(col("o_totalprice"), lit(0.5)), 4).as("median_total"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90_total"),
         round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
         round(stddev_samp(col("l_extendedprice")), 4).as("price_stddev"))
       .orderBy(col("l_returnflag"))
@@ -148,8 +151,8 @@ object Extras2 {
        "FROM part ORDER BY p_partkey"),
     "a9_stats" ->
       ("SELECT l_returnflag, " +
-       "quantile_cont(o_totalprice, 0.5) AS median_total, " +
-       "quantile_cont(o_totalprice, 0.9) AS p90_total, " +
+       "round(quantile_cont(o_totalprice, 0.5), 4) AS median_total, " +
+       "round(quantile_cont(o_totalprice, 0.9), 4) AS p90_total, " +
        "round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr, " +
        "round(stddev_samp(l_extendedprice), 4) AS price_stddev " +
        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
