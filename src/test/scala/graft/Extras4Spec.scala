@@ -303,9 +303,12 @@ class Extras4Spec extends SparkSpec {
     // the library's multi-session story: one SparkContext, one session
     // per caller (the scoping w13/s14 rely on) — concurrent runs must
     // neither interfere nor diverge
+    // w13 is in the set deliberately: it installs the GroupTopK rewrite
+    // on ITS forked session mid-flight, and the post-run canary below
+    // proves the install never leaks to the shared session
     val names = Seq("a1_pricing_summary", "x21_pack_sequences",
       "j13_nullsafe_join", "w8_distribution", "x35_temperature_mix",
-      "o9_union_missing")
+      "o9_union_missing", "w13_auto_topk")
     val sequential = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).toSeq).toMap
     val results =
@@ -323,10 +326,33 @@ class Extras4Spec extends SparkSpec {
     }
     threads.foreach(_.start())
     threads.foreach(_.join(180000))
+    // distinguish a timeout (thread still alive, would otherwise read
+    // as a bogus 'diverged' and keep submitting jobs into later tests)
+    // from a real divergence
+    names.zip(threads).foreach { case (n, t) =>
+      assert(!t.isAlive, s"$n still running after 180s — timeout, not divergence")
+    }
     assert(errors.isEmpty, s"concurrent failures: $errors")
     names.foreach { n =>
       assert(results.get(n) == sequential(n), s"$n diverged under concurrency")
     }
+    // leak canary: w13 ran concurrently and installs the rewrite on its
+    // own forked session — the SHARED session must not have picked it
+    // up (results alone can't show this: the rewrite is semantics-
+    // preserving, so only the plan betrays a leak)
+    assert(!spark.experimental.extraOptimizations
+      .contains(graft.plans.GroupTopKRewrite),
+      "GroupTopKRewrite leaked onto the shared session")
+    import org.apache.spark.sql.expressions.Window
+    val idiom = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") <= 3).drop("rn")
+    idiom.count()
+    assert(flattenPlan(idiom.queryExecution.executedPlan)
+      .collect { case e: graft.plans.GroupTopKExec => e }.isEmpty,
+      "shared-session window idiom was re-planned through GroupTopKExec")
   }
 
   test("x34 quantization: int8 range, error bound, exact recompute on one vector") {
