@@ -103,31 +103,34 @@ object Extras4 {
     * 13-grams isolate genuine near-copies.
     *
     * Same scale shape as x17: the eval-gram set is benchmark-sized and
-    * PINNED broadcast; the corpus side never shuffles. */
+    * PINNED broadcast; the corpus side never shuffles. ONE shingle pass
+    * per side emits both the raw gram and its lower()-normalized twin
+    * (lowercasing never touches the space delimiter, so lower(gram of
+    * raw text) == gram of lower(text)) — the raw/norm split is a
+    * kind-tagged explode, not a second scan, and one broadcast join +
+    * one aggregate serve both counters. */
   def x32Decontaminate13(spark: SparkSession, sfDir: String): DataFrame = {
     val staged = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         when(col("doc_id") % 3 === 0, upper(col("text")))
           .otherwise(col("text")).as("text"))
-    def grams(df: DataFrame, textExpr: org.apache.spark.sql.Column) =
-      graft.api.TextPipeline.shingles(
-        df.select(col("doc_id"), textExpr.as("text")), "doc_id", "text", 13)
-    val corpusNorm = grams(staged.filter(col("doc_id") % 3 =!= 0),
-      lower(col("text")))
-    val corpusRaw = grams(staged.filter(col("doc_id") % 3 =!= 0), col("text"))
-    val evalNorm = grams(staged.filter(col("doc_id") % 3 === 0),
-      lower(col("text"))).select(col("ngram")).distinct()
-    val evalRaw = grams(staged.filter(col("doc_id") % 3 === 0), col("text"))
-      .select(col("ngram")).distinct()
-    val normHits = corpusNorm.join(broadcast(evalNorm), "ngram")
+    def both(df: DataFrame) =
+      graft.api.TextPipeline
+        .ngramRows(df, "doc_id", "text", 13, distinct = true)
+        .select(col("doc_id"), explode(map(
+          lit("raw"), col("ngram"), lit("norm"), lower(col("ngram"))))
+          .as(Seq("kind", "ngram")))
+    val evalGrams = both(staged.filter(col("doc_id") % 3 === 0))
+      .select(col("kind"), col("ngram")).distinct()
+    val hits = both(staged.filter(col("doc_id") % 3 =!= 0))
+      .join(broadcast(evalGrams), Seq("kind", "ngram"))
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("ngram")).as("n_shared_norm"))
-    val rawHits = corpusRaw.join(broadcast(evalRaw), "ngram")
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("ngram")).as("n_shared_raw"))
+      .agg(countDistinct(when(col("kind") === "norm", col("ngram")))
+          .as("n_shared_norm"),
+        countDistinct(when(col("kind") === "raw", col("ngram")))
+          .as("n_shared_raw"))
     staged.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"))
-      .join(normHits, Seq("doc_id"), "left")
-      .join(rawHits, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shared_norm"), lit(0L)).as("n_shared_norm"),
         coalesce(col("n_shared_raw"), lit(0L)).as("n_shared_raw"))
@@ -149,22 +152,48 @@ object Extras4 {
     * Scale shape: the shingle scan is the codegen'd WordNGrams
     * generator (zero shuffle); the winnow window partitions by doc_id
     * (key cardinality = corpus size — grows with data, never a funnel);
-    * the share-count is ONE shuffle keyed by 32-byte fingerprint, volume
-    * = selected fingerprints ≈ 2/(w+1) × shingle count — the same
-    * bucket-join shape as x22, never all-pairs. The fp is the md5
-    * STRING so min() agrees lexicographically across engines. */
-  def x33Winnow(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    * the share-count is ONE shuffle keyed by 32-byte fingerprint. The
+    * pairwise partner join is HOT-FINGERPRINT GUARDED (the standard
+    * winnowing-index treatment, MOSS at scale): per-fp document
+    * frequency is computed first, fingerprints shared by more than
+    * [[WinnowHotFpThreshold]] documents (boilerplate — headers,
+    * licenses, templates) are split off as a reported stop-fingerprint
+    * set (each doc's `n_stop_fps`), and only the long tail pair-joins —
+    * so the join volume per fingerprint is capped at threshold² instead
+    * of quadratic in the hottest bucket. The fp is the md5 STRING so
+    * min() agrees lexicographically across engines. */
+  val WinnowHotFpThreshold = 64L
+
+  /** Selected winnowing fingerprints (doc_id, fp) for a document frame —
+    * 8-word shingles, 4-shingle windows, per-doc distinct. */
+  def winnowFps(docs: DataFrame): DataFrame = {
     val grams = graft.api.TextPipeline
       .ngramRows(docs, "doc_id", "text", 8)
       .select(col("doc_id"), col("pos"), md5(col("ngram")).as("h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-3, 0)
-    val fps = grams.withColumn("fp", min(col("h")).over(w))
+    grams.withColumn("fp", min(col("h")).over(w))
       .filter(col("pos") >= 3) // first complete 4-shingle window
       .select(col("doc_id"), col("fp")).distinct()
-    val partners = fps.as("a")
-      .join(fps.as("b"), col("a.fp") === col("b.fp") &&
+  }
+
+  /** [[x33Winnow]] over a caller-supplied document frame with an
+    * explicit hot-fingerprint threshold (the spec layer plants a
+    * boilerplate run across hundreds of docs and asserts the pair-join
+    * input stays capped). */
+  def x33WinnowOver(docs: DataFrame, hotThreshold: Long): DataFrame = {
+    // the fingerprint set feeds four branches (doc frequency, the
+    // tagged split, per-doc counts) — materialize the window output
+    // once; at cluster scale this is the persisted fingerprint index
+    val fps = winnowFps(docs).localCheckpoint(true)
+    val dfp = fps.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+    val tagged = fps.join(dfp, "fp")
+    val tail = tagged.filter(col("n_docs") <= hotThreshold)
+      .select(col("doc_id"), col("fp"))
+    val stop = tagged.filter(col("n_docs") > hotThreshold)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_stop_fps"))
+    val partners = tail.as("a")
+      .join(tail.as("b"), col("a.fp") === col("b.fp") &&
         col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_id"))
       .agg(countDistinct(col("b.doc_id")).as("n_partners"))
@@ -173,10 +202,15 @@ object Extras4 {
     docs.select(col("doc_id"))
       .join(counts, Seq("doc_id"), "left")
       .join(partners, Seq("doc_id"), "left")
+      .join(stop, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_fps"), lit(0L)).as("n_fps"),
-        coalesce(col("n_partners"), lit(0L)).as("n_partners"))
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"),
+        coalesce(col("n_stop_fps"), lit(0L)).as("n_stop_fps"))
       .orderBy(col("doc_id"))
   }
+
+  def x33Winnow(spark: SparkSession, sfDir: String): DataFrame =
+    x33WinnowOver(Tables.documents(spark, sfDir), WinnowHotFpThreshold)
 
   /** X34 — int8 scalar quantization of the embedding column (the vector
     * compression step before shipping an ANN corpus: 4× smaller than
@@ -199,8 +233,12 @@ object Extras4 {
       .select(col("vec_id"), col("lo"), col("hi"),
         col("vf").cast("double").as("v"))
     val step = (col("hi") - col("lo")) / 255.0
-    val q = least(floor((col("v") - col("lo")) * 255.0
-      / (col("hi") - col("lo"))), lit(255.0)).cast("long")
+    // degenerate constant vector (hi == lo): (v-lo)*255/(hi-lo) is
+    // 0.0/0.0 = NaN — every dimension quantizes to cell 0 by definition
+    // (and v̂ = lo + 0.5·0 = v, so the error bound holds with step 0)
+    val q = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(floor((col("v") - col("lo")) * 255.0
+        / (col("hi") - col("lo"))), lit(255.0)).cast("long"))
     val vhat = col("lo") + (col("q") + lit(0.5)) * step
     base.withColumn("q", q)
       .withColumn("err_ok", abs(col("v") - vhat) <= step)
@@ -613,14 +651,22 @@ object Extras4 {
        "wmin AS (SELECT doc_id, pos, MIN(h) OVER (PARTITION BY doc_id " +
        "ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp FROM g), " +
        "fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE pos >= 3), " +
+       "dfp AS (SELECT fp, COUNT(*) AS n_docs FROM fps GROUP BY fp), " +
+       s"tl AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfp USING (fp) " +
+       s"WHERE n_docs <= $WinnowHotFpThreshold), " +
+       s"st AS (SELECT f.doc_id, COUNT(*) AS n_stop_fps FROM fps f " +
+       s"JOIN dfp USING (fp) WHERE n_docs > $WinnowHotFpThreshold " +
+       "GROUP BY f.doc_id), " +
        "cnt AS (SELECT doc_id, COUNT(*) AS n_fps FROM fps GROUP BY doc_id), " +
        "pt AS (SELECT a.doc_id, COUNT(DISTINCT b.doc_id) AS n_partners " +
-       "FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id <> b.doc_id " +
+       "FROM tl a JOIN tl b ON a.fp = b.fp AND a.doc_id <> b.doc_id " +
        "GROUP BY a.doc_id) " +
        "SELECT d.doc_id, COALESCE(cnt.n_fps, 0) AS n_fps, " +
-       "COALESCE(pt.n_partners, 0) AS n_partners " +
+       "COALESCE(pt.n_partners, 0) AS n_partners, " +
+       "COALESCE(st.n_stop_fps, 0) AS n_stop_fps " +
        "FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id " +
-       "LEFT JOIN pt ON d.doc_id = pt.doc_id ORDER BY d.doc_id"),
+       "LEFT JOIN pt ON d.doc_id = pt.doc_id " +
+       "LEFT JOIN st ON d.doc_id = st.doc_id ORDER BY d.doc_id"),
     "x35_temperature_mix" ->
       ("WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang), " +
        "m AS (SELECT MIN(n_lang) AS mn FROM c), " +
@@ -647,8 +693,9 @@ object Extras4 {
        "x AS (SELECT vec_id, lo, hi, CAST(unnest(embedding) AS DOUBLE) AS v " +
        "FROM e), " +
        "q AS (SELECT vec_id, lo, hi, v, " +
-       "CAST(LEAST(FLOOR((v - lo) * 255.0 / (hi - lo)), 255.0) AS BIGINT) AS qq " +
-       "FROM x) " +
+       "CASE WHEN hi = lo THEN 0 ELSE " +
+       "CAST(LEAST(FLOOR((v - lo) * 255.0 / (hi - lo)), 255.0) AS BIGINT) " +
+       "END AS qq FROM x) " +
        // CAST the SUM: DuckDB SUM(BIGINT) is HUGEINT (the x21 lesson)
        "SELECT vec_id, COUNT(*) AS n_dims, MIN(qq) AS q_lo, MAX(qq) AS q_hi, " +
        "round(CAST(SUM(qq) AS BIGINT) / COUNT(*), 6) AS mean_q, " +

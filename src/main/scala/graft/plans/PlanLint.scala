@@ -197,6 +197,80 @@ object PlanLint {
     }.flatten
   }
 
+  /** Data-aware rule: `self-join-hot-key`. An inner equi-join whose two
+    * sides are the SAME unbounded subtree (a pairwise self-join — the
+    * x33/l2 candidate-pairing shape) produces Σ_key (rows sharing key)²
+    * output: quadratic in the hottest key. Near-unique keys keep that
+    * linear; one boilerplate fingerprint/band shared by m documents
+    * makes one bucket with m rows and m² join output — a straggler/OOM
+    * at crawl scale no matter how many executors. Like
+    * [[lowCardWindowKeys]], hotness is a property of the data, not the
+    * plan, so the rule MEASURES it: for each self-equi-join it computes
+    * the max rows-per-key group on the (shared) child and flags groups
+    * above `maxGroup`. The fix is the standard winnowing-index
+    * treatment: pre-aggregate per-key frequency, split keys above a
+    * threshold into a reported stop set, pair-join only the tail —
+    * x33's guard (`WinnowHotFpThreshold`) is the worked example, and a
+    * guarded plan passes here by construction because the tail filter
+    * caps every group at the threshold.
+    *
+    * Only LIMITs below exempt a side ([[boundedOutput]]'s aggregate
+    * exemption would be wrong here: `distinct()` IS an aggregate and the
+    * unguarded x33 self-joins a distinct frame — aggregation bounds
+    * output relative to group count, not per-key group size).
+    *
+    * Runs one count job per qualifying join, so this is a test/review-
+    * time check, not a planner hook. */
+  def selfJoinHotKeys(df: DataFrame, maxGroup: Long = 64): Seq[Finding] = {
+    import org.apache.spark.sql.functions.{coalesce => fcoalesce, col => fcol, lit => flit, max => fmax}
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.InnerLike
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    def limited(p: LogicalPlan): Boolean =
+      p.collectFirst {
+        case _: LGlobalLimit => (); case _: LLocalLimit => ()
+      }.isDefined
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    df.queryExecution.optimizedPlan.collect {
+      case j: LJoin
+          if j.joinType.isInstanceOf[InnerLike] &&
+            j.left.sameResult(j.right) && !limited(j.left) =>
+        // the left-side halves of the equi conjuncts = the pairing key
+        val leftKeys = j.condition.toSeq
+          .flatMap(conjuncts)
+          .collect {
+            case EqualTo(l, r)
+                if l.references.subsetOf(j.left.outputSet) &&
+                  r.references.subsetOf(j.right.outputSet) => l
+            case EqualTo(l, r)
+                if r.references.subsetOf(j.left.outputSet) &&
+                  l.references.subsetOf(j.right.outputSet) => r
+          }
+        if (leftKeys.isEmpty) None // theta-only self-join: not this rule
+        else {
+          val aliases = leftKeys.zipWithIndex
+            .map { case (e, i) => Alias(e, s"k$i")() }
+          val keyed = org.apache.spark.sql.GraftBridge
+            .ofRows(df.sparkSession, LProject(aliases, j.left))
+          val hottest = keyed
+            .groupBy(keyed.columns.map(fcol): _*)
+            .count()
+            .agg(fcoalesce(fmax(fcol("count")), flit(0L)))
+            .collect()(0).getLong(0)
+          if (hottest > maxGroup)
+            Some(Finding("self-join-hot-key", j.nodeName,
+              s"pairwise self-equi-join on ${leftKeys.mkString(", ")} has a " +
+                s"hot key with $hottest rows (> $maxGroup): ${hottest}x$hottest " +
+                "join output from one bucket at scale; pre-aggregate per-key " +
+                "frequency and split hot keys into a stop set (the x33 guard)"))
+          else None
+        }
+    }.flatten
+  }
+
   /** Render a lint report for one frame. */
   def report(name: String, df: DataFrame): String = {
     val fs = lint(df)

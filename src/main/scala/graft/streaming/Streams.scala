@@ -94,12 +94,13 @@ class SessionProcessor
       expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
     // the watermark proves which open sessions can no longer grow; emit
     // and evict those, keep the rest open and re-arm at their horizon.
-    // Strict µs comparison against wm*1000: an event at ts_us = wm*1000
-    // is NOT late, so a session whose horizon's tail microseconds exceed
-    // the watermark millisecond must stay open
+    // STRICT µs comparison against wm*1000: an event at ts_us = wm*1000
+    // is NOT late, and the merge is inclusive (p._1 - last <= GapUs), so
+    // an on-time event at exactly horizon = wm*1000 could still extend
+    // the session — only horizons strictly below the watermark close
     val wm = timerValues.getCurrentWatermarkInMs()
     val (closable, open) = sessions.get().toSeq
-      .partition(s => s._2 + GapUs <= wm * 1000L)
+      .partition(s => s._2 + GapUs < wm * 1000L)
     sessions.clear()
     open.foreach(sessions.appendValue)
     rearm(open)

@@ -179,16 +179,10 @@ class Extras3Spec extends SparkSpec {
     }
     // cost profile: the first collated run pays one-time ICU/collator
     // init (bench shows ~1.8 s cold for a 2k-row agg); per-row cost is
-    // tiny once warm. Assert warm runtime is well under the cold-bench
-    // figure so a future plan regression (e.g. the collation key
-    // defeating partial aggregation) shows up here as a slowdown.
-    // generous bound: this guards against a plan regression that makes
-    // per-row collation cost seconds-scale, while tolerating CI load and
-    // GC pauses (a tight wall-clock assert here would be flaky)
-    val t0 = System.nanoTime()
-    Extras3.f19CollationCi(spark, sf).collect()
-    val warmMs = (System.nanoTime() - t0) / 1000000L
-    assert(warmMs < 3000L, s"warm f19 took ${warmMs}ms — init no longer dominates?")
+    // tiny once warm. The former wall-clock assertion here could flake
+    // under CI load / GC pauses (ADVICE r4) — runtime regressions are
+    // the bench harness's job, and f19 is a benched contract query, so
+    // a plan regression shows up as a per-round bench delta instead.
   }
 
   test("x30 cdc apply: deletes gone, updates rewritten, inserts added, keeps intact") {

@@ -131,6 +131,45 @@ class Extras4Spec extends SparkSpec {
     assert(withPartners.nonEmpty, "no substring-sharing docs at sf0.001")
   }
 
+  test("x33 hot-fingerprint guard: boilerplate run across 150 docs is stopped, pair-join input capped") {
+    // one boilerplate 11-word run (think license header / template)
+    // shared by 150 docs, plus one genuine near-dup pair on a DIFFERENT
+    // run — the guard must stop the former and keep the latter
+    val boiler = (0 until 11).map(i => s"bp$i").mkString(" ")
+    val run = (0 until 11).map(i => s"c$i").mkString(" ")
+    val df = (Seq(
+      (1L, s"a0 a1 a2 a3 a4 $run a5 a6"),
+      (2L, s"b0 $run b1 b2 b3 b4 b5")) ++
+      (0 until 150).map(i =>
+        (100L + i, s"u${i}a u${i}b u${i}c $boiler u${i}d u${i}e")))
+      .toDF("doc_id", "text")
+    val T = 8L
+    // the planted boilerplate fingerprint is HOT: all 150 docs share it
+    val fps = Extras4.winnowFps(df).localCheckpoint(true)
+    val dfp = fps.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+    assert(dfp.agg(max(col("n_docs"))).head.getLong(0) >= 150L)
+    // the guarded pair-join input (the tail) is capped at the threshold:
+    // no fingerprint bucket above T ever reaches the self-join
+    val tailMax = fps.join(dfp.filter(col("n_docs") <= T), "fp")
+      .groupBy(col("fp")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    assert(tailMax <= T, s"tail has a bucket of $tailMax rows (> $T)")
+    val m = Extras4.x33WinnowOver(df, T).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_partners"), r.getAs[Long]("n_stop_fps"))).toMap
+    // every boilerplate doc reports its stopped fingerprint(s)...
+    (0 until 150).foreach(i =>
+      assert(m(100L + i)._2 >= 1L, s"doc ${100 + i} reports no stop fp"))
+    // ...and the genuine near-dup pair still pairs through the tail
+    assert(m(1L)._1 >= 1L && m(2L)._1 >= 1L, s"genuine pair lost: $m")
+    // counterfactual: unguarded (threshold above corpus size), the hot
+    // bucket explodes into 150x149 pair rows — every boilerplate doc
+    // sees all the others
+    val unguarded = Extras4.x33WinnowOver(df, 1000000L).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_partners")).toMap
+    (0 until 150).foreach(i => assert(unguarded(100L + i) >= 149L))
+  }
+
   test("x35 temperature mix: flattens the language distribution, reproducible, weighted") {
     val kept = Extras4.x35TemperatureMix(spark, sf).collect()
     assert(kept.nonEmpty)

@@ -113,7 +113,31 @@ class PlanLintSpec extends SparkSpec {
     assert(PlanLint.lowCardWindowKeys(bounded, minKeys = 8).isEmpty)
   }
 
-  test("sweep: every batch contract query lints clean (static rules + window-key cardinality)") {
+  test("flags a pairwise self-equi-join with a hot key (the unguarded x33 shape)") {
+    // 100 docs sharing one boilerplate 11-word run put 100 rows on one
+    // winnowing fingerprint: the unguarded pairwise join is 100x100 in
+    // that bucket — the x33 class the rule exists for
+    import spark.implicits._
+    val boiler = (0 until 11).map(i => s"bp$i").mkString(" ")
+    val docs = (0 until 100).map(i =>
+        (i.toLong, s"u${i}a u${i}b u${i}c $boiler u${i}d u${i}e"))
+      .toSeq.toDF("doc_id", "text")
+    val fps = graft.operators.Extras4.winnowFps(docs)
+    val unguarded = fps.as("a").join(fps.as("b"),
+      col("a.fp") === col("b.fp") && col("a.doc_id") =!= col("b.doc_id"))
+    assert(PlanLint.selfJoinHotKeys(unguarded, maxGroup = 64)
+      .exists(_.rule == "self-join-hot-key"))
+    // the guarded x33 passes BY CONSTRUCTION: the tail filter caps every
+    // fingerprint bucket at the threshold before the join
+    val guarded = graft.operators.Extras4.x33WinnowOver(docs, 8L)
+    assert(PlanLint.selfJoinHotKeys(guarded, maxGroup = 8).isEmpty)
+    // the rule is threshold-relative: the same join under a bound the
+    // hottest bucket fits (100 <= 128) stays quiet — legitimate
+    // candidate-pairing joins with small buckets never fire
+    assert(PlanLint.selfJoinHotKeys(unguarded, maxGroup = 128).isEmpty)
+  }
+
+  test("sweep: every batch contract query lints clean (static rules + window-key cardinality + self-join hot keys)") {
     // ONE construction pass: several contract queries perform writes /
     // LSH materialization when their frame is built, so constructing the
     // inventory twice (once per rule) would double the slowest work
@@ -124,7 +148,8 @@ class PlanLintSpec extends SparkSpec {
         val findings =
           try {
             val df = SparkEntry.queries(name)(spark, sf)
-            PlanLint.lint(df) ++ PlanLint.lowCardWindowKeys(df, minKeys = 8)
+            PlanLint.lint(df) ++ PlanLint.lowCardWindowKeys(df, minKeys = 8) ++
+              PlanLint.selfJoinHotKeys(df, maxGroup = 64)
           } catch { case e: Throwable => fail(s"$name failed to plan: $e") }
         findings.map(f => s"$name -> $f")
       }

@@ -160,8 +160,12 @@ class PropertySpec extends SparkSpec {
 
   test("int8 quantization bounds hold for any vector") {
     import spark.implicits._
-    val vecGen = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f))
-      .suchThat(v => v.max > v.min) // degenerate constant vectors excluded
+    // degenerate constant vectors (hi == lo) included: the operator
+    // guards the 0/0 cell — every dimension lands in cell 0 with zero
+    // dequantization error
+    val vecGen = Gen.oneOf(
+      Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f)),
+      Gen.chooseNum(-10.0f, 10.0f).map(x => List.fill(16)(x)))
     check(Prop.forAll(Gen.listOfN(5, vecGen)) { vecs =>
       val df = vecs.zipWithIndex
         .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
