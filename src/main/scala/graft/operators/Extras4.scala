@@ -417,27 +417,49 @@ object Extras4 {
 
   /** S18 — small-files compaction (the #1 operational chore of a
     * streaming-fed lake: micro-batches leave thousands of KB-files that
-    * crush scan planning): a 64-file fragmented layout is rewritten into
-    * 4 right-sized files; the claim columns prove rows and values
-    * survive exactly and the file count really dropped. At 100 TB the
-    * same op runs per-partition with target-size bin-packing — the
-    * repartition is the only shuffle and its width IS the output layout. */
+    * crush scan planning): a 64-file fragmented layout is bin-packed to
+    * a MEASURED target file size — output file count = ceil(measured
+    * input bytes / `spark.graft.compact.targetFileBytes`), not a
+    * hardcoded constant. The claim columns prove rows and values survive
+    * exactly, the file count really dropped, and the output is
+    * right-sized: the written file count is within one bin of the ideal
+    * count for the bytes actually written (re-measured after the write,
+    * because compaction itself collapses per-file overhead) and the mean
+    * output file stays under 2x the target. File listings are
+    * driver-side metadata bounded by file count (the s15 class). At
+    * 100 TB the same op runs per-partition with the same arithmetic —
+    * the repartition is the only shuffle and its width IS the layout. */
   def s18Compaction(spark: SparkSession, sfDir: String): DataFrame = {
     val s = Tables.tune(spark)
     val base = Tables.scratchDir("s18_compact", sfDir)
     val src = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_totalprice"))
     src.repartition(64).write.mode("overwrite").parquet(s"$base/frag")
-    val frag = s.read.parquet(s"$base/frag")
-    val filesBefore = frag.select(input_file_name()).distinct().count()
-    frag.repartition(4).write.mode("overwrite").parquet(s"$base/compact")
+    def dataFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .listStatus(p).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+    }
+    val fragFiles = dataFiles(s"$base/frag")
+    val targetBytes =
+      s.conf.get("spark.graft.compact.targetFileBytes", "262144").toLong
+    def bins(bytes: Long): Long =
+      math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    val nOut = bins(fragFiles.map(_.getLen).sum).toInt
+    s.read.parquet(s"$base/frag").repartition(nOut)
+      .write.mode("overwrite").parquet(s"$base/compact")
+    val outFiles = dataFiles(s"$base/compact")
+    val outBytes = outFiles.map(_.getLen).sum
+    val sizeOk =
+      math.abs(outFiles.length - bins(outBytes)) <= 1 &&
+        outBytes.toDouble / outFiles.length <= 2.0 * targetBytes
     val compact = s.read.parquet(s"$base/compact")
-    val filesAfter = compact.select(input_file_name()).distinct().count()
     compact.agg(count(lit(1)).as("n_rows"),
         Det.dsum(col("o_totalprice")).as("revenue"),
         countDistinct(col("o_orderkey")).as("n_keys"))
-      .withColumn("n_files_after", lit(filesAfter))
-      .withColumn("compacted", lit(filesBefore > filesAfter))
+      .withColumn("compacted", lit(fragFiles.length > outFiles.length))
+      .withColumn("size_ok", lit(sizeOk))
   }
 
   /** J13 — NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM): rows
@@ -597,11 +619,15 @@ object Extras4 {
        "SELECT doc_id, shard, " +
        "CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) " +
        "AS BIGINT) AS pos FROM h ORDER BY doc_id"),
+    // compacted/size_ok are claims the Spark side measures from the real
+    // file listings (count dropped; output within one bin of ideal for
+    // the bytes written and mean file <= 2x target); the oracle states
+    // them as constants and recomputes the data columns from source
     "s18_compaction" ->
       ("SELECT COUNT(*) AS n_rows, " +
        s"${d.dsum("o_totalprice")} AS revenue, " +
        "COUNT(DISTINCT o_orderkey) AS n_keys, " +
-       "CAST(4 AS BIGINT) AS n_files_after, TRUE AS compacted FROM orders"),
+       "TRUE AS compacted, TRUE AS size_ok FROM orders"),
     "s19_nested_roundtrip" ->
       ("SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price, " +
        "o_totalprice * 2 AS tier2, CAST(3 AS INT) AS n_tiers, " +

@@ -260,7 +260,7 @@ class Extras4Spec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
-  test("s18 compaction: rows and values survive, file count really drops") {
+  test("s18 compaction: rows and values survive, file count drops, output right-sized") {
     val r = Extras4.s18Compaction(spark, sf).collect().head
     val want = Tables.orders(spark, sf)
       .agg(count(lit(1)), Det.dsum(col("o_totalprice")),
@@ -268,8 +268,15 @@ class Extras4Spec extends SparkSpec {
     assert(r.getAs[Long]("n_rows") == want.getLong(0))
     assert(r.getAs[Double]("revenue") == want.getDouble(1))
     assert(r.getAs[Long]("n_keys") == want.getLong(2))
-    assert(r.getAs[Long]("n_files_after") == 4L)
     assert(r.getAs[Boolean]("compacted"))
+    assert(r.getAs[Boolean]("size_ok"),
+      "output files not within a bin of ideal for the measured bytes")
+    // size-aware: the claim must keep holding when the target changes —
+    // the bin arithmetic adapts instead of a hardcoded file count
+    val sess = spark.newSession()
+    sess.conf.set("spark.graft.compact.targetFileBytes", "131072")
+    val r2 = Extras4.s18Compaction(sess, sf).collect().head
+    assert(r2.getAs[Boolean]("size_ok"))
   }
 
   test("j13 null-safe join: null keys land on the <none> label instead of dropping") {
