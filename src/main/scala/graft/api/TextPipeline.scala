@@ -87,17 +87,61 @@ object TextPipeline {
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** Tokenize `textCol` with a pluggable [[Tokenizer]], appending the
+    * token array as `outCol` and PRESERVING every input column. The
+    * per-partition shape is the x7 decode pattern: `forPartition()` runs
+    * once per task (vocab/trie/native-handle setup), the closure is the
+    * per-record hot path. Row-encoder mapPartitions, so this stage is
+    * off the codegen path by design — callers on the default whitespace
+    * tokenizer should prefer the pure-column `split` plans, which is
+    * exactly what [[chunks]] and the packing ops do. */
+  def tokenize(docs: DataFrame, textCol: String, tokenizer: Tokenizer,
+      outCol: String = "tokens"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val schema = docs.schema.add(outCol, ArrayType(StringType))
+    val idx = docs.schema.fieldIndex(textCol)
+    docs.mapPartitions { it =>
+      val f = tokenizer.forPartition()
+      it.map(r => Row.fromSeq(r.toSeq :+ (f(r.getString(idx)): Seq[String])))
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Top-`k` corpus words by (frequency desc, word asc) — the pinned
+    * deterministic vocabulary for [[VocabTokenizer]]. One grouped agg +
+    * a global top-k (TakeOrdered — never a full sort); the collect is
+    * bounded at k rows of driver-side metadata (the s15/manifest class).
+    * In production the vocab is a persisted artifact loaded once. */
+  def topVocab(docs: DataFrame, textCol: String, k: Int): Array[String] =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(k)
+      .collect().map(_.getString(0))
+
   /** Overlapping context-window chunks (`cap` tokens at `stride`) per
     * document: (doc_id, chunk_idx, start_tok, n_tok, chunk_fp) rows.
     * Pure per-row generation — zero shuffles — and the chunk travels as
-    * its md5 fingerprint, not text. */
+    * its md5 fingerprint, not text. With a non-default [[Tokenizer]] the
+    * token array comes from the [[tokenize]] seam instead of `split`,
+    * and the identical windowing arithmetic runs over it — same schema,
+    * same shuffle count (zero), token-space boundaries. */
   def chunks(docs: DataFrame, idCol: String, textCol: String,
-      cap: Int, stride: Int): DataFrame = {
-    val words = split(col(textCol), " ")
-    docs.select(col(idCol).as("doc_id"), size(words).as("n_words"), posexplode(
+      cap: Int, stride: Int,
+      tokenizer: Tokenizer = WhitespaceTokenizer): DataFrame = {
+    val base =
+      if (tokenizer eq WhitespaceTokenizer)
+        docs.select(col(idCol).as("doc_id"),
+          split(col(textCol), " ").as("toks"))
+      else
+        tokenize(docs.select(col(idCol).as("doc_id"),
+          col(textCol).as("text")), "text", tokenizer, "toks")
+          .select(col("doc_id"), col("toks"))
+    base.select(col("doc_id"), size(col("toks")).as("n_words"), posexplode(
         transform(sequence(lit(0),
-          floor((size(words) - 1) / lit(stride)).cast("int")),
-          i => md5(array_join(slice(words, i * stride + 1, lit(cap)), " ")))))
+          floor((size(col("toks")) - 1) / lit(stride)).cast("int")),
+          i => md5(array_join(slice(col("toks"), i * stride + 1, lit(cap)),
+            " ")))))
       .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
         (col("pos") * stride).cast("long").as("start_tok"),
         least(lit(cap), col("n_words") - col("pos") * stride)

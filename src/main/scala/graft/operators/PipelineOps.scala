@@ -147,7 +147,9 @@ object PipelineOps {
     * bins, which is exactly how a production packer runs shards
     * independently on different executors. (The contract oracle pins
     * width 1; the widened form is spec-checked.) */
-  def x21PackSequences(spark: SparkSession, sfDir: String): DataFrame = {
+  def x21PackSequences(spark: SparkSession, sfDir: String,
+      tokenizer: graft.api.Tokenizer = graft.api.WhitespaceTokenizer)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cap = 512
     val width = spark.conf.get("spark.graft.pack.shardHexChars", "1").toInt
@@ -159,10 +161,23 @@ object PipelineOps {
     val w = Window.partitionBy(col("lang"), col("shard"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"),
-        graft.Det.md5Bucket(col("text"), width).cast("int").as("shard"),
-        size(split(col("text"), " ")).as("n_tokens"))
+    // token counts come from the pluggable tokenizer seam when a
+    // non-default one is supplied (token-space packing); the whitespace
+    // default keeps the pure-column codegen plan the oracle pins
+    val docs = Tables.documents(spark, sfDir)
+    val counted =
+      if (tokenizer eq graft.api.WhitespaceTokenizer)
+        docs.select(col("doc_id"), col("lang"),
+          graft.Det.md5Bucket(col("text"), width).cast("int").as("shard"),
+          size(split(col("text"), " ")).as("n_tokens"))
+      else
+        graft.api.TextPipeline.tokenize(
+            docs.select(col("doc_id"), col("lang"), col("text")),
+            "text", tokenizer)
+          .select(col("doc_id"), col("lang"),
+            graft.Det.md5Bucket(col("text"), width).cast("int").as("shard"),
+            size(col("tokens")).as("n_tokens"))
+    counted
       .withColumn("end_tok", sum(col("n_tokens")).over(w))
       .withColumn("start_tok", col("end_tok") - col("n_tokens"))
       .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
@@ -265,7 +280,7 @@ object PipelineOps {
     "x18_repetition" -> (x18Repetition _),
     "x19_stratified_sample" -> (x19StratifiedSample _),
     "x20_pii_redact" -> (x20PiiRedact _),
-    "x21_pack_sequences" -> (x21PackSequences _),
+    "x21_pack_sequences" -> ((s, d) => x21PackSequences(s, d)),
     "x22_segment_dedup" -> (x22SegmentDedup _),
     "x23_chunk" -> (x23Chunk _))
 

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{TextPipeline, VocabTokenizer, WhitespaceTokenizer}
+import graft.operators.Extras5
+
+class Extras5Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenizer seam: whitespace tokenize equals split; columns preserved") {
+    val docs = Seq((1L, "aa bb cc"), (2L, "x"), (3L, ""))
+      .toDF("doc_id", "text").withColumn("extra", col("doc_id") * 10)
+    val out = TextPipeline.tokenize(docs, "text", WhitespaceTokenizer)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[scala.collection.Seq[String]]("tokens").toSeq,
+          r.getAs[Long]("extra"))).toMap
+    assert(out(1L) == ((Seq("aa", "bb", "cc"), 10L)))
+    assert(out(2L)._1 == Seq("x"))
+    assert(out(3L)._1 == Seq.empty)
+  }
+
+  test("vocab tokenizer: vocab words are single tokens, others split into <=4-char pieces") {
+    val vocab = spark.sparkContext.broadcast(Set("hello", "world"))
+    val f = new VocabTokenizer(vocab).forPartition()
+    assert(f("hello world").toSeq == Seq("hello", "world"))
+    assert(f("greetings").toSeq == Seq("gree", "ting", "s")) // ceil(9/4)=3
+    assert(f("hello greetings world ab").toSeq ==
+      Seq("hello", "gree", "ting", "s", "world", "ab"))
+    assert(f("").toSeq == Seq.empty)
+  }
+
+  test("x40: token counts are exact per the vocab rule; n_tokens >= n_words") {
+    val rows = Extras5.x40BpeTokens(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    // recompute a sample of docs driver-side against the same pinned vocab
+    val vocab = TextPipeline
+      .topVocab(Tables.documents(spark, sf), "text", 64).toSet
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(50).foreach { r =>
+      val words = texts(r.getLong(0)).split(" ", -1)
+      val want = words.map(w =>
+        if (vocab(w)) 1L else ((w.length + 3) / 4).toLong).sum
+      assert(r.getAs[Long]("n_tokens") == want, s"doc ${r.getLong(0)}")
+      assert(r.getAs[Long]("n_words") == words.length.toLong)
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("n_chunks") ==
+        (r.getAs[Long]("n_tokens") + 511L) / 512L)
+    }
+  }
+
+  test("x21/x23 token-space mode: the tokenizer parameter changes the accounting, not the shape") {
+    val docs = Tables.documents(spark, sf)
+    val vocab = new VocabTokenizer(spark.sparkContext.broadcast(
+      TextPipeline.topVocab(docs, "text", 64).toSet))
+    // x21 in token space: per-doc n_tokens equals x40's
+    val packed = graft.operators.PipelineOps
+      .x21PackSequences(spark, sf, vocab)
+      .select(col("doc_id"), col("n_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("n_tokens").toLong).toMap
+    val x40 = Extras5.x40BpeTokens(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_tokens")).toMap
+    assert(packed == x40)
+    // x23 in token space: chunk token totals equal the token count
+    val chunks = TextPipeline.chunks(docs, "doc_id", "text", 64, 64, vocab)
+      .groupBy(col("doc_id")).agg(sum(col("n_tok")).as("total")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("total")).toMap
+    assert(chunks == x40)
+    // default tokenizer still equals the word-space contract query
+    val a = graft.operators.PipelineOps.x21PackSequences(spark, sf)
+      .collect().map(_.toSeq)
+    val b = SparkEntry.queries("x21_pack_sequences")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+}
