@@ -147,6 +147,51 @@ object VectorPipeline {
     base.select(cols: _*)
   }
 
+  /** Banded near-duplicate pairs in embedding space — the l2 shape in
+    * vector space: candidates come ONLY from equal (band_idx, band_hash)
+    * buckets, never all-pairs, and exact cosine verifies candidates.
+    *
+    * Bands are EXACT sub-vector hashes (the Manku et al., WWW'07
+    * simhash-index treatment, applied to the raw vector): the `dims`
+    * dimensions split into `numBands` contiguous blocks and each block
+    * hashes whole. A pair differing in at most d dimensions shares at
+    * least numBands − d bands by pigeonhole, so for clone-style
+    * near-dups — dedup's actual target: re-encoded/perturbed copies
+    * touching few dimensions — recall is GUARANTEED when numBands > d.
+    * Random-hyperplane bands cover the noisy-everywhere case instead
+    * ([[hyperplaneLshTopK]]) but only with probabilistic recall, which
+    * cannot back an exact-match oracle.
+    *
+    * Scale shape: the corpus is hashed ONCE (bands materialized, the l2
+    * pattern), candidates are one shuffle keyed by the 8-byte band hash,
+    * and the verify joins vectors back to candidate pairs only. Volume
+    * is Σ_band (vectors sharing band)² — near-zero for float-exact
+    * bands unless vectors genuinely share blocks. */
+  def bandedCosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numBands: Int = 8, dims: Int = 64): DataFrame = {
+    require(dims % numBands == 0, "dims must split evenly into bands")
+    val width = dims / numBands
+    val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("ve"))
+    // hashed once; the self-join below reads the materialized bands on
+    // both sides (localCheckpoint — reliable checkpoint on a cluster)
+    val bands = v.select(col("vid"), posexplode(array(
+        (0 until numBands).map(b =>
+          xxhash64(lit(b), slice(col("ve"), b * width + 1, width))): _*))
+        .as(Seq("band_idx", "band_hash")))
+      .localCheckpoint(true)
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("id_a"), col("y.vid").as("id_b"))
+      .distinct()
+    val ea = v.select(col("vid").as("id_a"), col("ve").as("ea"))
+    val eb = v.select(col("vid").as("id_b"), col("ve").as("eb"))
+    cands.join(ea, "id_a").join(eb, "id_b")
+      .select(col("id_a"), col("id_b"), sim(col("ea"), col("eb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** All pairs with similarity at or above `threshold` (brute force —
     * the exact baseline for near-dup detection in embedding space). */
   def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String,

@@ -50,6 +50,36 @@ class Extras5Spec extends SparkSpec {
     }
   }
 
+  test("x41: banded near-dedup equals exhaustive brute force, never a cross join") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val df = Extras5.x41EmbedNearDup(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty, "no planted clone pair found")
+    // recall + precision: identical to the quadratic exact baseline
+    // over the same constructed corpus
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val aug = emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i % 32 === 0, -x).otherwise(x)).as("embedding"))
+    val brute = graft.api.VectorPipeline
+      .cosinePairs(emb.union(aug), "vec_id", "embedding", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute)
+    // ambient pairs never reach the verify bar: every surviving pair is
+    // a planted (original, clone) pair
+    assert(got.forall { case (a, b, _) => b == a + 1000000L })
+    // plan shape: candidates via the band join only — no cartesian, no
+    // broadcast nested loop anywhere (collect above finalized AQE)
+    val plan = flattenPlan(df.queryExecution.executedPlan)
+    assert(!plan.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(!plan.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+    // and the band self-join has no hot bucket on this corpus
+    assert(graft.plans.PlanLint.selfJoinHotKeys(df, maxGroup = 64).isEmpty)
+  }
+
   test("x21/x23 token-space mode: the tokenizer parameter changes the accounting, not the shape") {
     val docs = Tables.documents(spark, sf)
     val vocab = new VocabTokenizer(spark.sparkContext.broadcast(
