@@ -250,6 +250,70 @@ class StreamsSpec extends SparkSpec {
     assert(lastPerUser.subsetOf(got), "timer-closed tail sessions missing")
   }
 
+  test("checkpoint recovery: uncommitted batch replays once, restart drains new files, output equals batch") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val base = Paths.get(Tables.scratchDir("st9recov", sf))
+    org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    val srcDir = base.resolve("src"); Files.createDirectories(srcDir)
+    val events = Paths.get(s"$sf/events.parquet")
+    def addCopy(i: Int): Unit = Files.copy(events,
+      srcDir.resolve(s"events_$i.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = Tables.events(spark, sf).schema
+    def run(): Unit = {
+      // maxFilesPerTrigger=1 → one micro-batch per staged file, so the
+      // checkpoint carries real multi-batch offset/commit history
+      val q = Tables.tune(spark).readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/data")
+        .option("checkpointLocation", s"$base/chk")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // phase 1: three source files stream to the sink and stop cleanly
+    (0 until 3).foreach(addCopy); run()
+    // simulate a crash between offset-write and commit-write: delete the
+    // LATEST commit marker. On restart the engine must re-execute that
+    // batch — and the file sink's metadata log must NOT double its files
+    // (exactly-once is the sink log's job, not the scheduler's)
+    val commits = base.resolve("chk/commits")
+    val latest = Files.list(commits).iterator().asScala
+      .map(_.getFileName.toString).filter(_.forall(_.isDigit))
+      .map(_.toLong).max
+    Files.delete(commits.resolve(latest.toString))
+    // the local FS pairs every file with a .crc sidecar; a stale one
+    // would make the re-commit look like a concurrent writer
+    Files.deleteIfExists(commits.resolve(s".$latest.crc"))
+    // more data lands while the query is down
+    (3 until 5).foreach(addCopy)
+    // phase 2: restart from the SAME checkpoint
+    run()
+    // the replayed batch re-committed and the new files were processed
+    val afterLatest = Files.list(commits).iterator().asScala
+      .map(_.getFileName.toString).filter(_.forall(_.isDigit))
+      .map(_.toLong).max
+    assert(Files.exists(commits.resolve(latest.toString)),
+      "uncommitted batch was not replayed")
+    assert(afterLatest >= latest + 2, "new files were not processed")
+    // final committed output equals the batch oracle over ALL files:
+    // every purchase event exactly 5 times — no loss, no duplication
+    val got = Tables.tune(spark).read.parquet(s"$base/data")
+      .groupBy(col("event_id")).count()
+    val ids = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(ids.keySet == want, "event id set diverged from batch")
+    assert(ids.values.forall(_ == 5L),
+      s"duplication/loss: counts ${ids.values.toSet}")
+  }
+
   test("st6 stateful: final state equals batch aggregate") {
     val st = Streams.st6Stateful(spark, sf).collect()
       .map(r => r.getAs[Long]("user_id") ->
