@@ -619,6 +619,41 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** ST15 — stream-stream LEFT SEMI join: clicks that HAVE a purchase
+    * from the same user within the following hour, emitted once (first
+    * match) and never re-emitted — the streaming "did this action
+    * convert?" filter, completing the inner (st8) / left-outer (st12) /
+    * full-outer (st14) join family. Matches emit eagerly like inner
+    * joins, so the finite replay yields the full batch result without
+    * depending on the sentinels; the staged replay is reused anyway so
+    * the watermark provably drains both sides' state (each side is
+    * range-bounded exactly as in st8). The sentinel user's self-matching
+    * click is filtered post-sink. */
+  def st15StreamStreamSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageOuterSplit(spark, sfDir)
+    val schema = Tables.events(spark, sfDir).schema
+    def src = Tables.tune(spark).readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_t").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_t").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "left_semi")
+    runToTable(spark, joined, OutputMode.Append())
+      .filter(col("c_user") =!= -1L)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_converted_clicks"),
+        min(unix_micros(col("c_ts"))).as("first_click_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** ST13 — timer-driven sessionization via transformWithState +
     * event-time timers ([[SessionProcessor]]): EVERY session emits from
     * handleExpiredTimer once the watermark passes its horizon — input
@@ -744,6 +779,7 @@ object Streams {
     "st8_stream_stream" -> (st8StreamStreamJoin _),
     "st12_stream_outer" -> (st12StreamStreamOuter _),
     "st14_stream_full_outer" -> (st14StreamStreamFullOuter _),
+    "st15_stream_semi" -> (st15StreamStreamSemi _),
     "st13_timer_sessions" -> (st13TimerSessions _),
     "st9_file_sink" -> (st9FileSink _),
     "st10_foreach_batch" -> (st10ForeachBatch _),
@@ -847,6 +883,18 @@ object Streams {
        "WHERE event_type = 'purchase') p " +
        "ON c.cu = p.pu AND p.pt >= c.ct AND p.pt <= c.ct + 3600000000) s " +
        "GROUP BY cu ORDER BY user_id"),
+    // a click is "converted" iff SOME purchase follows within the hour;
+    // duplicates of the same (user, ts) click each count once, exactly
+    // as the streaming semi emits each left ROW once
+    "st15_stream_semi" ->
+      ("SELECT user_id, COUNT(*) AS n_converted_clicks, " +
+       "MIN(ct) AS first_click_us FROM " +
+       "(SELECT user_id, epoch_us(ts) AS ct FROM events " +
+       "WHERE event_type = 'click') c " +
+       "WHERE EXISTS (SELECT 1 FROM events p " +
+       "WHERE p.event_type = 'purchase' AND p.user_id = c.user_id " +
+       "AND epoch_us(p.ts) >= c.ct AND epoch_us(p.ts) <= c.ct + 3600000000) " +
+       "GROUP BY user_id ORDER BY user_id"),
     "st14_stream_full_outer" ->
       ("SELECT COALESCE(cu, pu) AS user_id, " +
        "CAST(SUM(CASE WHEN ct IS NOT NULL AND pt IS NOT NULL THEN 1 ELSE 0 END) " +

@@ -80,6 +80,46 @@ class Extras5Spec extends SparkSpec {
     assert(graft.plans.PlanLint.selfJoinHotKeys(df, maxGroup = 64).isEmpty)
   }
 
+  test("x42: dropped set is exactly the pairs' larger side; originals all kept") {
+    val verdicts = Extras5.x42EmbedDedupKeep(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val pairDropped = Extras5.x41EmbedNearDup(spark, sf).collect()
+      .map(_.getLong(1)).toSet
+    assert(verdicts.filterNot(_._2).keySet == pairDropped)
+    assert(pairDropped.nonEmpty)
+    // first-occurrence-wins: an original (id < 1e6) is never dropped —
+    // its clone has the larger id
+    assert(verdicts.filter(_._1 < 1000000L).values.forall(identity))
+  }
+
+  test("x43: decomposed quantiles equal Spark's exact percentile; clip is consistent") {
+    val rows = Extras5.x43Winsorize(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    // the decomposition must reproduce the buffered exact percentile
+    // (the a17 baseline) bit-for-bit after the shared 4-dp round
+    val want = Tables.documents(spark, sf)
+      .select(col("lang"),
+        round(length(col("text")) / size(split(col("text"), " ")), 6)
+          .as("score"))
+      .groupBy(col("lang"))
+      .agg(round(percentile(col("score"), lit(0.05)), 4).as("lo"),
+        round(percentile(col("score"), lit(0.95)), 4).as("hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (lo, hi) = want(r.getString(1))
+      assert(r.getDouble(3) == lo && r.getDouble(4) == hi,
+        s"bounds diverge for lang ${r.getString(1)}")
+      val (score, clipped) = (r.getDouble(2), r.getDouble(5))
+      assert(clipped >= lo && clipped <= hi)
+      assert(r.getBoolean(6) == (score < lo || score > hi))
+      if (!r.getBoolean(6)) assert(clipped == score)
+    }
+    // non-vacuous: something was clipped on both tails
+    assert(rows.exists(r => r.getBoolean(6) && r.getDouble(2) < r.getDouble(3)))
+    assert(rows.exists(r => r.getBoolean(6) && r.getDouble(2) > r.getDouble(4)))
+  }
+
   test("x21/x23 token-space mode: the tokenizer parameter changes the accounting, not the shape") {
     val docs = Tables.documents(spark, sf)
     val vocab = new VocabTokenizer(spark.sparkContext.broadcast(

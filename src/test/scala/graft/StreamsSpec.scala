@@ -314,6 +314,28 @@ class StreamsSpec extends SparkSpec {
       s"duplication/loss: counts ${ids.values.toSet}")
   }
 
+  test("st15 stream-stream semi join equals the batch semi join") {
+    val got = Streams.st15StreamStreamSemi(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = Tables.eventsUs(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    // batch LEFT SEMI: each click ROW emits once iff a match exists —
+    // the exact batch analog of the streaming semi's emission rule
+    val want = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + 3600000000L,
+        "left_semi")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), min(col("c_ts")).as("first"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("st6 stateful: final state equals batch aggregate") {
     val st = Streams.st6Stateful(spark, sf).collect()
       .map(r => r.getAs[Long]("user_id") ->
