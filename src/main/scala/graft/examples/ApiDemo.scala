@@ -83,6 +83,19 @@ object ApiDemo {
     println(firstGrams.queryExecution.executedPlan.toString.linesIterator
       .filter(_.contains("GroupTopK")).mkString("\n"))
 
+    // pluggable tokenizer seam: token-space counting + chunking with a
+    // pinned vocab (per-partition setup, columns preserved)
+    val vocab = new graft.api.VocabTokenizer(
+      spark.sparkContext.broadcast(Set("the", "quick", "spark")))
+    println("vocab-tokenized (vocab word = 1 token, else <=4-char pieces):")
+    TextPipeline.tokenize(corpus, "body", vocab)
+      .select(col("id"), size(col("tokens")).as("n_tokens"),
+        slice(col("tokens"), 1, 6).as("first6"))
+      .orderBy("id").show(false)
+    println("chunks in TOKEN space (tokenizer param, same schema):")
+    TextPipeline.chunks(corpus, "id", "body", 8, 8, vocab)
+      .filter(col("doc_id") === 100L).show(false)
+
     // vectors with custom column names
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.9f, 0.1f, 0.0f)),
@@ -91,6 +104,17 @@ object ApiDemo {
     println("top-2 neighbors per probe:")
     VectorPipeline.topKCosine(vecs, vecs.filter(col("vid") <= 2), "vid", "vec", 2)
       .orderBy("probe_id", "rank").show(false)
+
+    // banded near-dedup: vec 2 is a 1-of-3-dim edit of vec 1, so the
+    // untouched sub-vector bands pair them without any cross join
+    println("banded near-dup pairs (exact sub-vector bands + verify):")
+    val nearVecs = Seq(
+      (1L, Array(0.6f, 0.8f, 0.0f, 0.0f)), (2L, Array(0.6f, 0.8f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.6f, 0.8f))
+    ).toDF("vid", "vec")
+    VectorPipeline.bandedCosinePairs(nearVecs, "vid", "vec",
+        threshold = 0.9, numBands = 4, dims = 4)
+      .orderBy("id_a", "id_b").show(false)
 
     spark.stop()
   }
