@@ -15,6 +15,75 @@ object Subqueries {
     Tables.customer(spark, sfDir).createOrReplaceTempView("v_customer")
     Tables.orders(spark, sfDir).createOrReplaceTempView("v_orders")
     Tables.nation(spark, sfDir).createOrReplaceTempView("v_nation")
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("v_supplier")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("v_lineitem")
+    Tables.part(spark, sfDir).createOrReplaceTempView("v_part")
+  }
+
+  /** SQL13 — TPC-H Q7 shape ("volume shipping"): bilateral revenue
+    * between two nations by supplier-nation / customer-nation / ship
+    * year, through the six-table join with the nation pair disjunction.
+    * All money routed through the DECIMAL(18,6) two-factor policy. */
+  def sql13VolumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year,
+        |    l_extendedprice * (1 - l_discount) AS volume
+        |  FROM v_lineitem
+        |    JOIN v_supplier ON s_suppkey = l_suppkey
+        |    JOIN v_orders   ON o_orderkey = l_orderkey
+        |    JOIN v_customer ON c_custkey = o_custkey
+        |    JOIN v_nation n1 ON s_nationkey = n1.n_nationkey
+        |    JOIN v_nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |     OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+  }
+
+  /** SQL14 — TPC-H Q16 shape ("parts/supplier relationship"): distinct
+    * supplier counts per (brand, type) with a NOT IN anti-subquery
+    * blacklist, fully tie-broken before the LIMIT so the page is
+    * deterministic. */
+  def sql14PartsSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(
+      """SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'BRAND_0'
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM v_supplier WHERE s_acctbal < 1000.0)
+        |GROUP BY p_brand, p_type
+        |ORDER BY supplier_cnt DESC, p_brand, p_type
+        |LIMIT 20""".stripMargin)
+  }
+
+  /** SQL15 — TPC-H Q15 shape ("top supplier"): revenue per supplier over
+    * one ship year, then the supplier(s) achieving the maximum via a
+    * scalar subquery over the CTE (ties all emit — no LIMIT truncation
+    * ambiguity). */
+  def sql15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
+        |  FROM v_lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM v_supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin)
   }
 
   /** SQL5 — correlated scalar subquery + IN-subquery + EXISTS, all
@@ -146,9 +215,49 @@ object Subqueries {
     "sql6_cte" -> (sql6Cte _),
     "sql7_lateral" -> (sql7Lateral _),
     "sql9_recursive" -> (sql9Recursive _),
+    "sql13_volume_shipping" -> (sql13VolumeShipping _),
+    "sql14_parts_supplier" -> (sql14PartsSupplier _),
+    "sql15_top_supplier" -> (sql15TopSupplier _),
     "x11_gapfill" -> (x11GapFill _))
 
   val oracles: Map[String, String] = Map(
+    "sql13_volume_shipping" ->
+      ("SELECT supp_nation, cust_nation, l_year, " +
+       "CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue, " +
+       "COUNT(*) AS n_items FROM (" +
+       "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+       "year(l_shipdate) AS l_year, " +
+       "l_extendedprice * (1 - l_discount) AS volume " +
+       "FROM lineitem " +
+       "JOIN supplier ON s_suppkey = l_suppkey " +
+       "JOIN orders ON o_orderkey = l_orderkey " +
+       "JOIN customer ON c_custkey = o_custkey " +
+       "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+       "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+       "WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19') " +
+       "OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')) shipping " +
+       "GROUP BY supp_nation, cust_nation, l_year " +
+       "ORDER BY supp_nation, cust_nation, l_year"),
+    "sql14_parts_supplier" ->
+      ("SELECT p_brand, p_type, " +
+       "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt " +
+       "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+       "WHERE p_brand <> 'BRAND_0' AND l_suppkey NOT IN " +
+       "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0) " +
+       "GROUP BY p_brand, p_type " +
+       "ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 20"),
+    "sql15_top_supplier" ->
+      ("WITH rev AS (SELECT l_suppkey, " +
+       "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) " +
+       "AS DECIMAL(18,6))) AS DOUBLE) AS total_rev " +
+       "FROM lineitem " +
+       "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' " +
+       "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' " +
+       "GROUP BY l_suppkey) " +
+       "SELECT s_suppkey, s_name, total_rev " +
+       "FROM supplier JOIN rev ON s_suppkey = l_suppkey " +
+       "WHERE total_rev = (SELECT MAX(total_rev) FROM rev) " +
+       "ORDER BY s_suppkey"),
     "s10_range" ->
       ("SELECT range AS id, range * range AS sq, range % 7 AS m, " +
        "CAST(range AS DOUBLE) / 999.0 AS frac " +
