@@ -12,6 +12,48 @@ import graft.{Det, Tables}
   */
 object ScaleOps {
 
+  /** Drop a warehouse-backed table's metadata AND files: the in-memory
+    * catalog forgets tables across sessions but their warehouse
+    * directories persist, and CREATE then refuses the stale location. */
+  private def dropWarehouseTable(s: SparkSession, t: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        // listFiles returns null (not empty) on I/O or permission error
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+  }
+
+  /** S20 — bucket PRUNING on a bucketed-table scan: the scan-side
+    * payoff of x10's layout. An equality/IN filter on the bucket column
+    * restricts the scan to the matching buckets' files (the planner's
+    * optionalBucketSet — ScaleOpsSpec asserts `SelectedBucketsCount:
+    * ≤3 out of 16` in the plan), the file-layout analog of s8's
+    * partition pruning but on HASHED high-cardinality keys, which
+    * directory partitioning cannot do without one directory per key.
+    * At 100 TB a point lookup on a bucketed fact opens 1/nBuckets of
+    * the files before any row is decoded. */
+  def s20BucketPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val t = "graft_s20_orders"
+    dropWarehouseTable(s, t)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").bucketBy(16, "o_custkey")
+      .sortBy("o_custkey").saveAsTable(t)
+    s.table(t).filter(col("o_custkey").isin(7L, 42L, 101L))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** X9 — salted two-phase aggregation: l_returnflag has only 3 values,
     * so a direct groupBy at 100 TB funnels a third of the table into one
     * reducer. Salting by a 16-way key spreads the partial aggregation,
@@ -44,20 +86,8 @@ object ScaleOps {
     // idempotent re-create: the in-memory catalog forgets tables across
     // sessions but their warehouse directories persist, and CREATE then
     // refuses the stale location — drop both metadata and files first
-    Seq("graft_li_bucketed", "graft_o_bucketed").foreach { t =>
-      s.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(
-        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          // listFiles returns null (not empty) on I/O or permission error
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete()
-        }
-        rm(loc)
-      }
-    }
+    Seq("graft_li_bucketed", "graft_o_bucketed")
+      .foreach(dropWarehouseTable(s, _))
     li.write.mode("overwrite").bucketBy(nBuckets, "l_orderkey")
       .sortBy("l_orderkey").saveAsTable("graft_li_bucketed")
     o.write.mode("overwrite").bucketBy(nBuckets, "o_orderkey")
@@ -348,6 +378,7 @@ object ScaleOps {
     "sql12_promo_share" -> (sql12PromoShare _),
     "x9_salted_agg" -> (x9SaltedAgg _),
     "x10_bucketed_join" -> (x10BucketedJoin _),
+    "s20_bucket_prune" -> (s20BucketPrune _),
     "x24_bloom_join" -> (x24BloomJoin _),
     "x26_zorder_layout" -> (x26ZorderLayout _),
     "s15_manifest_prune" -> (s15ManifestPrune _),
@@ -357,6 +388,11 @@ object ScaleOps {
 
   import Det.{sql => d}
   val oracles: Map[String, String] = Map(
+    "s20_bucket_prune" ->
+      ("SELECT o_custkey, COUNT(*) AS n, " +
+       s"${d.dsum("o_totalprice")} AS revenue " +
+       "FROM orders WHERE o_custkey IN (7, 42, 101) " +
+       "GROUP BY o_custkey ORDER BY o_custkey"),
     "x9_salted_agg" ->
       (s"SELECT l_returnflag, ${d.dsum("l_extendedprice")} AS sum_price, " +
        "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),

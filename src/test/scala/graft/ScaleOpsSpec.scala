@@ -13,6 +13,17 @@ class ScaleOpsSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("s20 bucket pruning: the IN filter opens at most 3 of 16 buckets") {
+    val df = ScaleOps.s20BucketPrune(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning in plan:\n$plan")
+    assert(m.get.group(2).toInt == 16)
+    assert(m.get.group(1).toInt <= 3,
+      s"expected <= 3 buckets for a 3-key IN, got ${m.get.group(1)}")
+    assert(df.count() > 0)
+  }
+
   test("w2 distributed rank: no single-partition WindowExec in plan") {
     val plan = Windows.w2Ntile(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("Window "), s"should not use WindowExec:\n$plan")
