@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Det, Tables}
 import graft.api.{TextPipeline, VocabTokenizer}
 
 /** Round-5 surface growth: token-space accounting through the pluggable
@@ -156,11 +156,81 @@ object Extras5 {
       .orderBy(col("doc_id"))
   }
 
+  /** X45 — ordered funnel analysis (view → click → purchase): per user,
+    * the earliest view, the earliest click AT OR AFTER that view, and
+    * the earliest purchase at or after that click — the product-
+    * analytics staple where ORDER matters (a purchase before the first
+    * view does not convert the funnel).
+    *
+    * Scale shape: three window expressions over ONE user_id
+    * partitioning — the key grows with the data (never a funnel) and
+    * Spark plans all three Window operators over a single exchange
+    * (later windows reuse the child's hash partitioning). No self-joins:
+    * the stage-N timestamp is a conditional min over the same partition
+    * referencing the stage-N−1 column. The oracle computes the same
+    * stages with grouped aggregates + joins — different plan, identical
+    * values. */
+  def x45Funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.eventsUs(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts") >= col("t_view"),
+          col("ts"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") >= col("t_click"), col("ts"))).over(w))
+      .select(col("user_id"), col("t_view"), col("t_click"),
+        col("t_purchase"))
+      .distinct()
+      .withColumn("stage",
+        (when(col("t_view").isNotNull, 1).otherwise(0) +
+          when(col("t_click").isNotNull, 1).otherwise(0) +
+          when(col("t_purchase").isNotNull, 1).otherwise(0)).cast("int"))
+      .orderBy(col("user_id"))
+  }
+
+  /** S21 — snapshot-versioned table layout with time travel (the
+    * poor-man's Delta/Iceberg: immutable version directories +
+    * partition-discovered version column, the convention a lake uses
+    * when no table format is available): version 1 is the raw snapshot;
+    * version 2 is a CDC restatement computed BY READING THE v1 FILES
+    * (deletes `% 10 = 0`, +100.00 upserts on `% 10 = 1`) and written to
+    * its own directory — v1 is never touched. Reading the root
+    * partition-discovers `v` and both snapshots aggregate side by side,
+    * which is exactly a time-travel query; the oracle recomputes both
+    * versions from the source table, so any mutation of v1 during the
+    * v2 write (or loss in the v2 derivation) breaks the hash. */
+  def s21SnapshotVersions(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val base = Tables.scratchDir("s21_snap", sfDir)
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .write.mode("overwrite").parquet(s"$base/v=1")
+    // the restatement reads the COMMITTED v1 files, not the source
+    s.read.parquet(s"$base/v=1")
+      .filter(col("c_custkey") % 10 =!= 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 1, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")).as("c_acctbal"))
+      .write.mode("overwrite").parquet(s"$base/v=2")
+    s.read.option("basePath", base).parquet(s"$base/v=1", s"$base/v=2")
+      .groupBy(col("v").cast("int").as("v"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("c_custkey")).as("n_keys"),
+        Det.dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("v"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x40_bpe_tokens" -> (x40BpeTokens _),
     "x41_embed_neardup" -> (x41EmbedNearDup _),
     "x42_embed_dedup_keep" -> (x42EmbedDedupKeep _),
-    "x43_winsorize" -> (x43Winsorize _))
+    "x43_winsorize" -> (x43Winsorize _),
+    "x45_funnel" -> (x45Funnel _),
+    "s21_snapshot_versions" -> (s21SnapshotVersions _))
 
   /** Shared oracle text for the x41/x42 corpus: the UNION base and the
     * exhaustive verified-pairs query (sign-flips applied inside the
@@ -245,5 +315,36 @@ object Extras5 {
        "SELECT doc_id, s.lang, score, lo, hi, " +
        "LEAST(GREATEST(score, lo), hi) AS clipped, " +
        "(score < lo OR score > hi) AS was_clipped " +
-       "FROM s JOIN b ON s.lang = b.lang ORDER BY doc_id"))
+       "FROM s JOIN b ON s.lang = b.lang ORDER BY doc_id"),
+    // same stage values via grouped aggregates + joins (a different but
+    // value-identical plan: conditional-min windows vs per-stage aggs)
+    "x45_funnel" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type " +
+       "FROM events), " +
+       "s1 AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' " +
+       "THEN ts_us END) AS t_view FROM e GROUP BY user_id), " +
+       "s2 AS (SELECT e.user_id, MIN(ts_us) AS t_click FROM e " +
+       "JOIN s1 USING (user_id) WHERE event_type = 'click' " +
+       "AND ts_us >= t_view GROUP BY e.user_id), " +
+       "s3 AS (SELECT e.user_id, MIN(ts_us) AS t_purchase FROM e " +
+       "JOIN s2 USING (user_id) WHERE event_type = 'purchase' " +
+       "AND ts_us >= t_click GROUP BY e.user_id) " +
+       "SELECT s1.user_id, t_view, t_click, t_purchase, " +
+       "CAST((CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) + " +
+       "(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) + " +
+       "(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS INT) " +
+       "AS stage " +
+       "FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id) " +
+       "ORDER BY user_id"),
+    // both snapshots recomputed from source: v1 = raw, v2 = the CDC rule
+    "s21_snapshot_versions" ->
+      ("SELECT CAST(1 AS INT) AS v, COUNT(*) AS n, " +
+       "COUNT(DISTINCT c_custkey) AS n_keys, " +
+       s"${graft.Det.sql.dsum("c_acctbal")} AS sum_bal FROM customer " +
+       "UNION ALL " +
+       "SELECT CAST(2 AS INT), COUNT(*), COUNT(DISTINCT c_custkey), " +
+       s"${graft.Det.sql.dsum(
+         "CASE WHEN c_custkey % 10 = 1 THEN c_acctbal + 100.0 " +
+         "ELSE c_acctbal END")} FROM customer WHERE c_custkey % 10 <> 0 " +
+       "ORDER BY v"))
 }

@@ -120,6 +120,55 @@ class Extras5Spec extends SparkSpec {
     assert(rows.exists(r => r.getBoolean(6) && r.getDouble(2) > r.getDouble(4)))
   }
 
+  test("x45 funnel: stage timestamps are ordered and match a driver-side recompute") {
+    val rows = Extras5.x45Funnel(spark, sf).collect()
+    // order within the funnel whenever a stage is reached
+    rows.foreach { r =>
+      val (v, c, p) = (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))
+      if (c.isDefined) assert(v.isDefined && c.get >= v.get)
+      if (p.isDefined) assert(c.isDefined && p.get >= c.get)
+      val stage = Seq(v, c, p).count(_.isDefined)
+      assert(r.getInt(4) == stage)
+    }
+    // non-vacuous: some user converts fully, the stages are not all equal
+    assert(rows.exists(_.getInt(4) == 3))
+    // driver-side recompute for every user
+    val events = Tables.eventsUs(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val ev = events(r.getLong(0))
+      val v = ev.filter(_._3 == "view").map(_._2).minOption
+      val c = v.flatMap(t =>
+        ev.filter(e => e._3 == "click" && e._2 >= t).map(_._2).minOption)
+      val p = c.flatMap(t =>
+        ev.filter(e => e._3 == "purchase" && e._2 >= t).map(_._2).minOption)
+      assert(Option(r.get(1)).map(_.asInstanceOf[Long]) == v, s"user ${r.getLong(0)}")
+      assert(Option(r.get(2)).map(_.asInstanceOf[Long]) == c)
+      assert(Option(r.get(3)).map(_.asInstanceOf[Long]) == p)
+    }
+  }
+
+  test("s21 time travel: v1 is bit-identical to the source after the v2 write") {
+    Extras5.s21SnapshotVersions(spark, sf).collect() // runs both writes
+    val base = Tables.scratchDir("s21_snap", sf)
+    val v1 = spark.read.parquet(s"$base/v=1").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val src = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_acctbal")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(v1 == src, "v1 snapshot mutated by the v2 restatement")
+    val v2 = spark.read.parquet(s"$base/v=2").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(v2.keySet == src.keySet.filter(_ % 10 != 0))
+    v2.foreach { case (k, bal) =>
+      assert(bal == (if (k % 10 == 1) src(k) + 100.0 else src(k)))
+    }
+  }
+
   test("x21/x23 token-space mode: the tokenizer parameter changes the accounting, not the shape") {
     val docs = Tables.documents(spark, sf)
     val vocab = new VocabTokenizer(spark.sparkContext.broadcast(
