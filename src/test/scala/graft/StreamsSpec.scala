@@ -336,6 +336,63 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("foreachBatch recovery: batch-id partition overwrite makes the replay idempotent") {
+    // foreachBatch is AT-LEAST-ONCE: after a crash between offset-write
+    // and commit-write the batch re-executes, and a plain append sink
+    // would double its rows. The production fix is idempotent writes
+    // keyed by batchId — here dynamic partition overwrite into a
+    // batch_id partition, so the replay REPLACES its own partition.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val base = Paths.get(Tables.scratchDir("fb_recov", sf))
+    org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    val srcDir = base.resolve("src"); Files.createDirectories(srcDir)
+    val events = Paths.get(s"$sf/events.parquet")
+    (0 until 3).foreach(i => Files.copy(events,
+      srcDir.resolve(s"events_$i.parquet"), StandardCopyOption.REPLACE_EXISTING))
+    val schema = Tables.events(spark, sf).schema
+    val outDir = s"$base/data"
+    def run(): Unit = {
+      val q = Tables.tune(spark).readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+        .filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(outDir)
+        }
+        .option("checkpointLocation", s"$base/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    // forge the crash: drop the latest commit marker so the last batch
+    // re-executes on restart (its foreachBatch body runs AGAIN)
+    val commits = base.resolve("chk/commits")
+    val latest = Files.list(commits).iterator().asScala
+      .map(_.getFileName.toString).filter(_.forall(_.isDigit))
+      .map(_.toLong).max
+    Files.delete(commits.resolve(latest.toString))
+    Files.deleteIfExists(commits.resolve(s".$latest.crc"))
+    run()
+    // every signup event exactly 3 times (3 source copies) — the
+    // replayed batch replaced its partition instead of appending
+    val counts = Tables.tune(spark).read.parquet(outDir)
+      .groupBy(col("event_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, sf)
+      .filter(col("event_type") === "signup")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(counts.keySet == want)
+    assert(counts.values.forall(_ == 3L),
+      s"foreachBatch replay duplicated rows: ${counts.values.toSet}")
+  }
+
   test("st6 stateful: final state equals batch aggregate") {
     val st = Streams.st6Stateful(spark, sf).collect()
       .map(r => r.getAs[Long]("user_id") ->
