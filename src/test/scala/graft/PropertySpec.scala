@@ -179,6 +179,92 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("vocab tokenizer: count law holds for any text and vocab") {
+    // every word contributes 1 (in vocab) or ceil(len/4) (not) tokens —
+    // and the whitespace tokenizer is the vocab tokenizer with an
+    // all-covering vocab
+    val wordGen = Gen.chooseNum(1, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val gen = for {
+      words <- Gen.listOfN(12, wordGen)
+      vocab <- Gen.someOf(words)
+    } yield (words, vocab.toSet)
+    check(Prop.forAll(gen) { case (words, vocab) =>
+      val text = words.mkString(" ")
+      val f = new graft.api.VocabTokenizer(
+        spark.sparkContext.broadcast(vocab)).forPartition()
+      val toks = f(text)
+      val wantCount = words.map(w =>
+        if (vocab(w)) 1 else (w.length + 3) / 4).sum
+      val ws = graft.api.WhitespaceTokenizer.forPartition()(text)
+      // token count follows the rule, tokens concatenate losslessly,
+      // and the whitespace tokenizer returns exactly the words
+      toks.length == wantCount &&
+        toks.mkString == words.mkString &&
+        ws.toSeq == words
+    })
+  }
+
+  test("decomposed winsorization quantiles equal a sorted-list interpolation for any data") {
+    import spark.implicits._
+    val gen = Gen.listOfN(40, Gen.zip(Gen.oneOf("a", "b", "c"),
+      Gen.chooseNum(1, 30).map(_ / 4.0)))
+    check(Prop.forAll(gen) { rows =>
+      val dir = Tables.scratchDir("x43prop", sf)
+      rows.zipWithIndex
+        .map { case ((lang, len), i) =>
+          // build a text whose chars/words score is deterministic-ish:
+          // score only needs to be ANY double; encode via word of length
+          (i.toLong, lang, ("x" * math.max(1, (len * 4).toInt)))
+        }
+        .toDF("doc_id", "lang", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = graft.operators.Extras5.x43Winsorize(spark, dir).collect()
+      // driver-side reference: same (1-g)*lo + g*hi over the sorted
+      // list, with Spark's HALF_UP rounding
+      val scores = rows.zipWithIndex.map { case ((lang, len), _) =>
+        (lang, ("x" * math.max(1, (len * 4).toInt)).length.toDouble)
+      }
+      def q(vals: Seq[Double], p: Double): Double = {
+        val s = vals.sorted
+        val i = p * (s.length - 1)
+        val k = math.floor(i).toInt
+        val g = i - k
+        val hi = if (k + 1 < s.length) s(k + 1) else s(k)
+        BigDecimal((1.0 - g) * s(k) + g * hi)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val byLang = scores.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      out.forall { r =>
+        val vals = byLang(r.getString(1))
+        r.getDouble(3) == q(vals, 0.05) && r.getDouble(4) == q(vals, 0.95)
+      }
+    })
+  }
+
+  test("banded near-dup pairs: a clone differing in <= numBands-1 dims is ALWAYS found") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-1.0f, 1.0f))
+    val gen = for {
+      vecs <- Gen.listOfN(6, vecGen)
+      flipDim <- Gen.chooseNum(0, 15)
+      victim <- Gen.chooseNum(0, 5)
+    } yield (vecs, flipDim, victim)
+    check(Prop.forAll(gen) { case (vecs, flipDim, victim) =>
+      // clone one vector with a single flipped dimension: pigeonhole
+      // over 8 bands of 2 dims guarantees >= 7 shared bands
+      val clone = vecs(victim).zipWithIndex
+        .map { case (x, i) => if (i == flipDim) -x else x }
+      val df = (vecs :+ clone).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
+      val pairs = graft.api.VectorPipeline
+        .bandedCosinePairs(df, "id", "vec", threshold = -10.0,
+          numBands = 8, dims = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairs.contains((victim.toLong, vecs.length.toLong))
+    })
+  }
+
   test("GroupTopK window-idiom rewrite equals a driver-side take-k on random tables") {
     import org.apache.spark.sql.expressions.Window
     // forked session: the rewrite must not leak into other suites
