@@ -24,6 +24,34 @@ class ScaleOpsSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("AQE splits a planted skewed join partition (the automatic form of x28's salting)") {
+    // 90% of the fact rows share one key: without intervention that
+    // partition is the straggler x28 salts away by hand. With AQE skew
+    // handling (thresholds lowered to test scale) the runtime re-plans
+    // the oversized partition into splits — visible as skew=true on the
+    // SortMergeJoin in the final adaptive plan.
+    val s = spark.newSession()
+    Tables.tune(s)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32768")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+    import org.apache.spark.sql.functions._
+    val fact = s.range(0, 100000)
+      .select(when(col("id") % 10 < 9, 0L).otherwise(col("id") % 97).as("k"),
+        col("id").as("payload"))
+    val dim = s.range(0, 97)
+      .select(col("id").as("k"), (col("id") * 2).as("dpay"))
+    val joined = fact.join(dim, "k")
+    // collect() executes THIS frame's queryExecution (count() would spin
+    // up a separate one and leave this plan un-finalized)
+    assert(joined.collect().length == 100000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE did not mark the skewed join:\n$plan")
+  }
+
   test("w2 distributed rank: no single-partition WindowExec in plan") {
     val plan = Windows.w2Ntile(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("Window "), s"should not use WindowExec:\n$plan")
