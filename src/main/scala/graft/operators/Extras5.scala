@@ -7,8 +7,12 @@ import graft.{Det, Tables}
 import graft.api.{TextPipeline, VocabTokenizer}
 
 /** Round-5 surface growth: token-space accounting through the pluggable
-  * tokenizer seam (X40) and banded embedding near-dedup (X41) — the two
-  * gaps VERDICT r4 ranked highest for a real training-data user.
+  * tokenizer seam (X40) and banded embedding near-dedup with its keep
+  * verdict (X41/X42) — the two gaps VERDICT r4 ranked highest for a
+  * real training-data user — plus decomposed per-language winsorization
+  * (X43), ordered funnel analysis (X45), snapshot-versioned time travel
+  * (S21), native batch session_window (W14), and the higher-order fold
+  * family (F20).
   */
 object Extras5 {
 
@@ -43,22 +47,13 @@ object Extras5 {
       .orderBy(col("doc_id"))
   }
 
-  /** X41 — banded embedding near-dedup, the "drop vectors ≥ t cosine to
-    * an earlier vector" pipeline op x2 is the quadratic baseline of:
-    * candidates from [[graft.api.VectorPipeline.bandedCosinePairs]]
-    * (exact sub-vector bands — Manku et al., WWW'07 — hashed once, one
-    * band-keyed shuffle, NEVER all-pairs), exact cosine verify ≥ 0.8 on
-    * candidates only. The corpus is near-orthogonal (max ambient pair
-    * 0.51, see x2), so near-dups are PLANTED the x20/x32 way: every 5th
-    * vector re-appears (vec_id + 1,000,000) with dimensions 0 and 32
-    * sign-flipped — the 2-of-64-dimension clone a re-encoded copy
-    * produces, cosine = 1 − 2(v₀² + v₃₂²) ≈ 0.94. Pigeonhole over 8
-    * bands guarantees every clone pair shares ≥ 6 bands, so banded
-    * recall vs the exhaustive oracle is exact BY CONSTRUCTION, not by
-    * LSH luck; ambient pairs never reach the 0.8 verify bar.
-    * Sign-flip is exact in IEEE float, so both engines compute identical
-    * planted vectors. */
-  /** The x41/x42 corpus: originals plus the planted clone shard. */
+  /** The x41/x42 corpus: originals plus the planted clone shard. The
+    * test corpus is near-orthogonal (max ambient pair 0.51, see x2), so
+    * near-dups are PLANTED the x20/x32 way: every 5th vector re-appears
+    * (vec_id + 1,000,000) with dimensions 0 and 32 sign-flipped — the
+    * 2-of-64-dimension clone a re-encoded copy produces, cosine =
+    * 1 − 2(v₀² + v₃₂²) ≈ 0.94. Sign-flip is exact in IEEE float, so
+    * both engines compute identical planted vectors. */
   def cloneCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
@@ -78,6 +73,15 @@ object Extras5 {
         .localCheckpoint(true)
     }
 
+  /** X41 — banded embedding near-dedup, the "drop vectors ≥ t cosine to
+    * an earlier vector" pipeline op x2 is the quadratic baseline of:
+    * candidates from [[graft.api.VectorPipeline.bandedCosinePairs]]
+    * (exact sub-vector bands — Manku et al., WWW'07 — hashed once, one
+    * band-keyed shuffle, NEVER all-pairs), exact cosine verify ≥ 0.8 on
+    * candidates only. Pigeonhole over 8 bands guarantees every planted
+    * clone pair ([[cloneCorpus]]) shares ≥ 6 bands, so banded recall vs
+    * the exhaustive oracle is exact BY CONSTRUCTION, not by LSH luck;
+    * ambient pairs never reach the 0.8 verify bar. */
   def x41EmbedNearDup(spark: SparkSession, sfDir: String): DataFrame =
     clonePairs(spark, sfDir).orderBy(col("id_a"), col("id_b"))
 
