@@ -103,7 +103,10 @@ object TextPipeline {
     val idx = docs.schema.fieldIndex(textCol)
     docs.mapPartitions { it =>
       val f = tokenizer.forPartition()
-      it.map(r => Row.fromSeq(r.toSeq :+ (f(r.getString(idx)): Seq[String])))
+      it.map { r =>
+        val t = r.getString(idx) // null text tokenizes like empty text
+        Row.fromSeq(r.toSeq :+ (f(if (t == null) "" else t): Seq[String]))
+      }
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 

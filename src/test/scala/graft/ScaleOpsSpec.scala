@@ -24,6 +24,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("sql14's NOT IN plans as a hash anti join, never a nested loop") {
+    // NOT IN is null-aware: on a nullable key Spark can only run it as
+    // BroadcastNestedLoopJoin (per-probe scan of the whole blacklist).
+    // s_suppkey/l_suppkey are non-null, so the planner must prove that
+    // and emit a broadcast HASH anti join — lock the good plan in
+    val df = graft.operators.Subqueries.sql14PartsSupplier(spark, sf)
+    df.collect() // finalize AQE on THIS queryExecution
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"anti join degraded:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"null-aware anti join fell back to nested loop:\n$plan")
+  }
+
   test("AQE splits a planted skewed join partition (the automatic form of x28's salting)") {
     // 90% of the fact rows share one key: without intervention that
     // partition is the straggler x28 salts away by hand. With AQE skew
