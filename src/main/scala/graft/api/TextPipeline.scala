@@ -110,6 +110,53 @@ object TextPipeline {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** Train `numMerges` byte-pair-encoding merges over a corpus
+    * (Sennrich et al. 2016): start from character tokens per distinct
+    * word (weighted by word frequency — the training never touches the
+    * corpus again after the one word-count shuffle), then per round
+    * count adjacent token pairs across the vocabulary (one distributed
+    * aggregation), pick the most frequent pair (ties: lexicographic),
+    * and fuse it everywhere via [[Bpe.fuse]] — the same function
+    * [[BpeTokenizer]] applies at inference, so train and encode cannot
+    * drift. Deterministic given the corpus; the per-round top-1 is a
+    * bounded driver value (the connectedComponents-style iterative
+    * driver loop) and lineage is truncated per round. Vocabulary size,
+    * not corpus size, bounds every round's work — the property that
+    * makes BPE training tractable at 100 TB. */
+  def trainBpe(docs: DataFrame, textCol: String,
+      numMerges: Int): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var state = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, n) => (w.map(_.toString): Seq[String], n) }
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      val top = state
+        .flatMap { case (toks, n) =>
+          toks.zip(toks.drop(1)).map { case (a, b) => (a, b, n) } }
+        .toDF("a", "b", "n")
+        .groupBy(col("a"), col("b")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        state = state
+          .map { case (toks, n) =>
+            (Bpe.fuse(toks.toIndexedSeq, a, b): Seq[String], n) }
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
   /** Top-`k` corpus words by (frequency desc, word asc) — the pinned
     * deterministic vocabulary for [[VocabTokenizer]]. One grouped agg +
     * a global top-k (TakeOrdered — never a full sort); the collect is

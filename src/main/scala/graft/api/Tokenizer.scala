@@ -26,6 +26,65 @@ object WhitespaceTokenizer extends Tokenizer {
     text => if (text.isEmpty) Array.empty else text.split(" ", -1)
 }
 
+/** Shared byte-pair-encoding primitives: the fuse step used identically
+  * by training ([[TextPipeline.trainBpe]] — one corpus-wide fusion per
+  * learned merge) and inference ([[BpeTokenizer]] — rank-ordered greedy
+  * application per word). One spelling so the two sides cannot drift. */
+object Bpe {
+  /** Fuse every left-to-right occurrence of the adjacent pair (a, b). */
+  def fuse(toks: IndexedSeq[String], a: String, b: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.toIndexedSeq
+  }
+
+  /** Encode one word under a learned merge ranking: repeatedly fuse the
+    * LOWEST-rank pair present until none applies (Sennrich et al. 2016
+    * inference order). */
+  def encodeWord(word: String, rank: Map[(String, String), Int]): IndexedSeq[String] = {
+    var toks: IndexedSeq[String] = word.map(_.toString)
+    var done = toks.length <= 1
+    while (!done) {
+      val best = toks.zip(toks.tail)
+        .flatMap(p => rank.get(p).map(r => (r, p))).minByOption(_._1)
+      best match {
+        case Some((_, (a, b))) =>
+          toks = fuse(toks, a, b)
+          done = toks.length <= 1
+        case None => done = true
+      }
+    }
+    toks
+  }
+}
+
+/** Tokenizer applying LEARNED BPE merges (see [[TextPipeline.trainBpe]])
+  * in rank order per word — the inference side of real byte-pair
+  * encoding, as opposed to [[VocabTokenizer]]'s pinned-vocab shortcut.
+  * The per-partition factory builds the rank map once and memoizes
+  * word → tokens across records (crawl text repeats words constantly —
+  * exactly the amortization the seam exists for). */
+final class BpeTokenizer(
+    merges: org.apache.spark.broadcast.Broadcast[Seq[(String, String)]])
+  extends Tokenizer {
+  def forPartition(): String => Array[String] = {
+    val rank = merges.value.zipWithIndex.toMap
+    val memo = new java.util.HashMap[String, Array[String]]()
+    text =>
+      if (text.isEmpty) Array.empty
+      else text.split(" ", -1).iterator.flatMap { w =>
+        var t = memo.get(w)
+        if (t == null) { t = Bpe.encodeWord(w, rank).toArray; memo.put(w, t) }
+        t
+      }.toArray
+  }
+}
+
 /** BPE-ish vocabulary tokenizer with a PINNED vocab: a word in the
   * vocabulary is one token; any other word falls back to its ≤4-char
   * pieces (the "byte-pair" floor). Deterministic given the vocab, and —

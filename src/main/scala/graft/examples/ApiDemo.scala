@@ -96,6 +96,15 @@ object ApiDemo {
     TextPipeline.chunks(corpus, "id", "body", 8, 8, vocab)
       .filter(col("doc_id") === 100L).show(false)
 
+    // real learned BPE: train merges on the corpus, tokenize with them
+    val merges = TextPipeline.trainBpe(corpus, "body", 8)
+    println(s"learned BPE merges: ${merges.mkString(" ")}")
+    TextPipeline.tokenize(corpus, "body",
+        new graft.api.BpeTokenizer(spark.sparkContext.broadcast(merges)))
+      .select(col("id"), size(col("tokens")).as("n_bpe_tokens"),
+        slice(col("tokens"), 1, 8).as("first8"))
+      .orderBy("id").show(false)
+
     // vectors with custom column names
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.9f, 0.1f, 0.0f)),

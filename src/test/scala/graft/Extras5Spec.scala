@@ -29,6 +29,54 @@ class Extras5Spec extends SparkSpec {
     assert(f("").toSeq == Seq.empty)
   }
 
+  test("trainBpe learns the reference merge sequence; BpeTokenizer round-trips") {
+    val docs = Seq(
+      (1L, "low low low low low lower lower newest newest newest newest newest newest"),
+      (2L, "widest widest widest newest lowest low"))
+      .toDF("id", "body")
+    val merges = TextPipeline.trainBpe(docs, "body", 10)
+    assert(merges.length == 10)
+    // INDEPENDENT driver-side reference (its own fuse, its own loop)
+    // over the same word multiset
+    def refFuse(t: List[String], a: String, b: String): List[String] = t match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: refFuse(rest, a, b)
+      case x :: rest => x :: refFuse(rest, a, b)
+      case Nil => Nil
+    }
+    var state: Seq[(List[String], Long)] = docs
+      .select(explode(split(col("body"), " ")).as("w")).collect()
+      .map(_.getString(0)).groupBy(identity).toSeq
+      .map { case (w, g) => (w.map(_.toString).toList, g.length.toLong) }
+    val want = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (want.length < 10) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (toks, n) =>
+        toks.zip(toks.tail).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + n)
+      }
+      val (pair, _) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      want += pair
+      state = state.map { case (toks, n) =>
+        (refFuse(toks, pair._1, pair._2), n) }
+    }
+    assert(merges == want.toSeq, s"\nspark: $merges\nref:   $want")
+    // inference: tokens concatenate losslessly; frequent words collapse
+    // to few tokens; fewer merges can only lengthen the encoding
+    val full = new graft.api.BpeTokenizer(
+      spark.sparkContext.broadcast(merges)).forPartition()
+    val toks = full("lowest newest low")
+    assert(toks.mkString == "lowestnewestlow")
+    assert(full("newest").length < "newest".length)
+    val partial = new graft.api.BpeTokenizer(
+      spark.sparkContext.broadcast(merges.take(3))).forPartition()
+    assert(partial("lowest newest low").length >= toks.length)
+    // the seam: tokenize() carries the learned tokenizer like any other
+    val out = TextPipeline.tokenize(docs, "body",
+        new graft.api.BpeTokenizer(spark.sparkContext.broadcast(merges)))
+      .select(size(col("tokens")).as("n")).collect()
+    assert(out.forall(_.getAs[Int]("n") > 0))
+  }
+
   test("x40: token counts are exact per the vocab rule; n_tokens >= n_words") {
     val rows = Extras5.x40BpeTokens(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
