@@ -111,47 +111,49 @@ object TextPipeline {
   }
 
   /** Train `numMerges` byte-pair-encoding merges over a corpus
-    * (Sennrich et al. 2016): start from character tokens per distinct
-    * word (weighted by word frequency — the training never touches the
-    * corpus again after the one word-count shuffle), then per round
-    * count adjacent token pairs across the vocabulary (one distributed
-    * aggregation), pick the most frequent pair (ties: lexicographic),
-    * and fuse it everywhere via [[Bpe.fuse]] — the same function
-    * [[BpeTokenizer]] applies at inference, so train and encode cannot
-    * drift. Deterministic given the corpus; the per-round top-1 is a
-    * bounded driver value (the connectedComponents-style iterative
-    * driver loop) and lineage is truncated per round. Vocabulary size,
-    * not corpus size, bounds every round's work — the property that
-    * makes BPE training tractable at 100 TB. */
-  def trainBpe(docs: DataFrame, textCol: String,
-      numMerges: Int): Seq[(String, String)] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    var state = docs
+    * (Sennrich et al. 2016). The CORPUS-scale work is exactly one
+    * distributed word-frequency aggregation, capped at the `maxVocab`
+    * most frequent words (TakeOrdered — the rare-word tail contributes
+    * negligible pair mass, the standard trainer cap); the merge loop
+    * then iterates over that BOUNDED weighted vocabulary driver-side,
+    * which is how production BPE trainers operate — a 100 TB corpus is
+    * touched once, the million-row vocab table is the training set.
+    * Each round counts adjacent token pairs weighted by word frequency,
+    * picks the most frequent pair (ties: lexicographic), and fuses it
+    * everywhere via [[Bpe.fuse]] — the same function [[BpeTokenizer]]
+    * applies at inference, so train and encode cannot drift.
+    * Deterministic given the corpus. */
+  def trainBpe(docs: DataFrame, textCol: String, numMerges: Int,
+      maxVocab: Int = 1 << 20): Seq[(String, String)] = {
+    var state: Array[(IndexedSeq[String], Long)] = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .as[(String, Long)]
-      .map { case (w, n) => (w.map(_.toString): Seq[String], n) }
-      .localCheckpoint(true)
+      .orderBy(col("freq").desc, col("w").asc)
+      .limit(maxVocab)
+      .collect()
+      .map(r => (r.getString(0).map(_.toString): IndexedSeq[String],
+        r.getLong(1)))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.length < numMerges && !exhausted) {
-      val top = state
-        .flatMap { case (toks, n) =>
-          toks.zip(toks.drop(1)).map { case (a, b) => (a, b, n) } }
-        .toDF("a", "b", "n")
-        .groupBy(col("a"), col("b")).agg(sum(col("n")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
+      val counts =
+        scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (toks, n) =>
+        var i = 0
+        while (i + 1 < toks.length) {
+          val p = (toks(i), toks(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + n
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
       else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += ((a, b))
-        state = state
-          .map { case (toks, n) =>
-            (Bpe.fuse(toks.toIndexedSeq, a, b): Seq[String], n) }
-          .localCheckpoint(true)
+        val (pair, _) = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }
+        merges += pair
+        state = state.map { case (toks, n) =>
+          (Bpe.fuse(toks, pair._1, pair._2), n) }
       }
     }
     merges.toSeq

@@ -160,6 +160,34 @@ object Extras5 {
       .orderBy(col("doc_id"))
   }
 
+  /** X44 — BPE TRAINING as a contract row (derived-claim form, the
+    * x8/x27 pattern — the learned merge sequence itself is not portably
+    * SQL-expressible): [[graft.api.TextPipeline.trainBpe]] learns 16
+    * merges over the corpus (one distributed pair-count per merge,
+    * bounded by vocabulary not corpus size), the learned
+    * [[graft.api.BpeTokenizer]] re-encodes the corpus, and the row
+    * emits the exact pre-training token count (= non-space chars, which
+    * DuckDB recomputes exactly) plus the verifiable claims: 16 distinct
+    * merges learned, and the encoding genuinely compressed the corpus.
+    * The full merge-sequence exactness is covered by the spec layer
+    * against an independent reference implementation. */
+  def x44BpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = TextPipeline.trainBpe(docs, "text", 16)
+    val tok = new graft.api.BpeTokenizer(
+      spark.sparkContext.broadcast(merges))
+    val after = TextPipeline
+      .tokenize(docs.select(col("doc_id"), col("text")), "text", tok)
+      .agg(sum(size(col("tokens"))).cast("long").as("n_after"))
+    docs.agg(sum(length(regexp_replace(col("text"), " ", "")))
+        .cast("long").as("n_start_tokens"))
+      .crossJoin(after)
+      .select(lit(merges.length.toLong).as("n_merges"),
+        col("n_start_tokens"),
+        (col("n_after") < col("n_start_tokens")).as("compressed"),
+        lit(merges.distinct.length == merges.length).as("merges_distinct"))
+  }
+
   /** X45 — ordered funnel analysis (view → click → purchase): per user,
     * the earliest view, the earliest click AT OR AFTER that view, and
     * the earliest purchase at or after that click — the product-
@@ -274,6 +302,7 @@ object Extras5 {
     "x41_embed_neardup" -> (x41EmbedNearDup _),
     "x42_embed_dedup_keep" -> (x42EmbedDedupKeep _),
     "x43_winsorize" -> (x43Winsorize _),
+    "x44_bpe_train" -> (x44BpeTrain _),
     "x45_funnel" -> (x45Funnel _),
     "s21_snapshot_versions" -> (s21SnapshotVersions _))
 
@@ -386,6 +415,13 @@ object Extras5 {
        "LEAST(GREATEST(score, lo), hi) AS clipped, " +
        "(score < lo OR score > hi) AS was_clipped " +
        "FROM s JOIN b ON s.lang = b.lang ORDER BY doc_id"),
+    // derived-claim oracle: the exact char-token start count straight
+    // from the corpus, the training outcomes as spec-bound booleans
+    "x44_bpe_train" ->
+      ("SELECT CAST(16 AS BIGINT) AS n_merges, " +
+       "CAST(SUM(length(replace(text, ' ', ''))) AS BIGINT) " +
+       "AS n_start_tokens, TRUE AS compressed, TRUE AS merges_distinct " +
+       "FROM documents"),
     // same stage values via grouped aggregates + joins (a different but
     // value-identical plan: conditional-min windows vs per-stage aggs)
     "x45_funnel" ->
