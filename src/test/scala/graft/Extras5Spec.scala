@@ -200,6 +200,18 @@ class Extras5Spec extends SparkSpec {
     }
   }
 
+  test("w14 native session_window equals the w9 lag+cumsum decomposition row for row") {
+    val native = Extras5.w14SessionWindow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val decomposed = graft.operators.Extras3.w9BatchSessionize(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(native == decomposed)
+    assert(native.nonEmpty)
+  }
+
   test("s21 time travel: v1 is bit-identical to the source after the v2 write") {
     Extras5.s21SnapshotVersions(spark, sf).collect() // runs both writes
     val base = Tables.scratchDir("s21_snap", sf)
