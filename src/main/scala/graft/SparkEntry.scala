@@ -21,7 +21,8 @@ object SparkEntry {
       Windows.queries ++ Scalars.queries ++ TextOps.queries ++
       Dedup.queries ++ SimSearch.queries ++ Multimodal.queries ++
       ScaleOps.queries ++ Extras2.queries ++ Extras3.queries ++
-      Extras4.queries ++ Extras5.queries ++ PipelineOps.queries ++
+      Extras4.queries ++ Extras5.queries ++ Extras6.queries ++
+      PipelineOps.queries ++
       Subqueries.queries ++ graft.streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,6 +32,7 @@ object SparkEntry {
       Windows.oracles ++ Scalars.oracles ++ TextOps.oracles ++
       Dedup.oracles ++ SimSearch.oracles ++ Multimodal.oracles ++
       ScaleOps.oracles ++ Extras2.oracles ++ Extras3.oracles ++
-      Extras4.oracles ++ Extras5.oracles ++ PipelineOps.oracles ++
+      Extras4.oracles ++ Extras5.oracles ++ Extras6.oracles ++
+      PipelineOps.oracles ++
       Subqueries.oracles ++ graft.streaming.Streams.oracles
 }

@@ -125,15 +125,22 @@ object TextPipeline {
     * Deterministic given the corpus. */
   def trainBpe(docs: DataFrame, textCol: String, numMerges: Int,
       maxVocab: Int = 1 << 20): Seq[(String, String)] = {
-    var state: Array[(IndexedSeq[String], Long)] = docs
+    // Driver-heap bound: the training set is maxVocab weighted words
+    // stored as Array[String] of per-code-point tokens — O(maxVocab ×
+    // avg word length) string references, ~tens of bytes per code point;
+    // the default 2^20 cap on natural-language words (avg ≲ 10 cps) is
+    // a few hundred MB worst case and scales DOWN linearly with
+    // maxVocab. Truncation is graceful: dropping the rare tail removes
+    // negligible pair mass, and the merge loop over the kept head stays
+    // fully deterministic (spec-checked at a tiny maxVocab).
+    var state: Array[(Array[String], Long)] = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("w").asc)
       .limit(maxVocab)
       .collect()
-      .map(r => (r.getString(0).map(_.toString): IndexedSeq[String],
-        r.getLong(1)))
+      .map(r => (Bpe.codePointTokens(r.getString(0)), r.getLong(1)))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.length < numMerges && !exhausted) {

@@ -31,23 +31,39 @@ object WhitespaceTokenizer extends Tokenizer {
   * learned merge) and inference ([[BpeTokenizer]] — rank-ordered greedy
   * application per word). One spelling so the two sides cannot drift. */
 object Bpe {
+  /** One string per Unicode CODE POINT (surrogate-pair safe: an
+    * astral-plane character — emoji, rare CJK — is ONE base token, never
+    * two invalid UTF-16 halves). Code points are also what SQL engines'
+    * length() counts, so cross-engine token-count oracles stay exact on
+    * any corpus (the r5 ADVICE hazard). */
+  def codePointTokens(word: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
   /** Fuse every left-to-right occurrence of the adjacent pair (a, b). */
-  def fuse(toks: IndexedSeq[String], a: String, b: String): IndexedSeq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+  def fuse(toks: Array[String], a: String, b: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
     var i = 0
     while (i < toks.length) {
       if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
         out += (a + b); i += 2
       } else { out += toks(i); i += 1 }
     }
-    out.toIndexedSeq
+    out.toArray
   }
 
   /** Encode one word under a learned merge ranking: repeatedly fuse the
     * LOWEST-rank pair present until none applies (Sennrich et al. 2016
-    * inference order). */
-  def encodeWord(word: String, rank: Map[(String, String), Int]): IndexedSeq[String] = {
-    var toks: IndexedSeq[String] = word.map(_.toString)
+    * inference order). Base tokens are code points. */
+  def encodeWord(word: String, rank: Map[(String, String), Int]): Array[String] = {
+    var toks: Array[String] = codePointTokens(word)
     var done = toks.length <= 1
     while (!done) {
       val best = toks.zip(toks.tail)
@@ -74,24 +90,42 @@ final class BpeTokenizer(
   extends Tokenizer {
   def forPartition(): String => Array[String] = {
     val rank = merges.value.zipWithIndex.toMap
+    // CAPPED memo: crawl partitions have unbounded word cardinality
+    // (URLs, hashes, typos) — the hot head amortizes, the long tail
+    // must not grow executor memory for the life of the task. Past the
+    // cap, cold words are encoded without being remembered.
     val memo = new java.util.HashMap[String, Array[String]]()
     text =>
       if (text.isEmpty) Array.empty
       else text.split(" ", -1).iterator.flatMap { w =>
         var t = memo.get(w)
-        if (t == null) { t = Bpe.encodeWord(w, rank).toArray; memo.put(w, t) }
+        if (t == null) {
+          t = Bpe.encodeWord(w, rank)
+          if (memo.size < BpeTokenizer.MemoCap) memo.put(w, t)
+        }
         t
       }.toArray
   }
 }
 
+object BpeTokenizer {
+  /** Per-task memo bound: 64k entries ≈ a few MB of encoded words —
+    * covers any natural-language hot set while keeping executor memory
+    * flat on adversarial (high-cardinality) partitions. */
+  val MemoCap = 1 << 16
+}
+
 /** BPE-ish vocabulary tokenizer with a PINNED vocab: a word in the
-  * vocabulary is one token; any other word falls back to its ≤4-char
-  * pieces (the "byte-pair" floor). Deterministic given the vocab, and —
-  * because the vocab is data — SQL-oracle-able: DuckDB reproduces the
-  * token count as 1 per vocab word plus ceil(len/4) per non-vocab word.
-  * The vocab ships as a broadcast; the set is dereferenced once per
-  * partition in [[forPartition]], not per record. */
+  * vocabulary is one token; any other word falls back to its ≤4-CODE-
+  * POINT pieces (the "byte-pair" floor; code points, not UTF-16 units,
+  * so surrogate pairs never split and the piece count is exactly
+  * ceil(codepoints/4) — the same quantity SQL length()/4.0 computes).
+  * Deterministic given the vocab, and — because the vocab is data —
+  * SQL-oracle-able: DuckDB reproduces the token count as 1 per vocab
+  * word plus ceil(length(word)/4.0) per non-vocab word on ANY corpus,
+  * including astral-plane text. The vocab ships as a broadcast; the set
+  * is dereferenced once per partition in [[forPartition]], not per
+  * record. */
 final class VocabTokenizer(
     vocab: org.apache.spark.broadcast.Broadcast[Set[String]])
   extends Tokenizer {
@@ -100,7 +134,8 @@ final class VocabTokenizer(
     text =>
       if (text.isEmpty) Array.empty
       else text.split(" ", -1).iterator.flatMap { w =>
-        if (v(w)) Iterator.single(w) else w.grouped(4)
+        if (v(w)) Iterator.single(w)
+        else Bpe.codePointTokens(w).grouped(4).map(_.mkString)
       }.toArray
   }
 }

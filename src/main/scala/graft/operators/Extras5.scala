@@ -54,11 +54,25 @@ object Extras5 {
     * 2-of-64-dimension clone a re-encoded copy produces, cosine =
     * 1 − 2(v₀² + v₃₂²) ≈ 0.94. Sign-flip is exact in IEEE float, so
     * both engines compute identical planted vectors. */
+  /** Offset for planted clone ids. [[cloneCorpus]] asserts the real id
+    * range stays below it, so clone ids can never silently collide with
+    * corpus ids (which would corrupt x41/x42/x46 verdicts). */
+  val CloneOffset = 1000000L
+
   def cloneCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
+    // id-collision guard, run once per (session, sfDir): one max() agg
+    // over the id column (a column-stat-grade job), memoized so repeat
+    // corpus constructions in the same session don't re-scan
+    graft.Memo(spark, s"x41offset:$sfDir") {
+      val mx = emb.agg(max(col("vec_id")).as("mx"))
+      require(mx.head.getLong(0) < CloneOffset,
+        s"clone ids would collide: max(vec_id) >= $CloneOffset")
+      mx.localCheckpoint(true)
+    }
     emb.union(emb.filter(col("vec_id") % 5 === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"),
+      .select((col("vec_id") + CloneOffset).as("vec_id"),
         transform(col("embedding"),
           (x, i) => when(i % 32 === 0, -x).otherwise(x)).as("embedding")))
   }
@@ -309,11 +323,11 @@ object Extras5 {
   /** Shared oracle text for the x41/x42 corpus: the UNION base and the
     * exhaustive verified-pairs query (sign-flips applied inside the
     * dot so the planted clones never materialize as lists). */
-  private val CloneBaseSql =
+  private[operators] val CloneBaseSql =
     "SELECT vec_id, embedding, FALSE AS aug FROM embeddings " +
     "UNION ALL SELECT vec_id + 1000000, embedding, TRUE " +
     "FROM embeddings WHERE vec_id % 5 = 0"
-  private def cloneDotTerm(side: String): String =
+  private[operators] def cloneDotTerm(side: String): String =
     s"(CASE WHEN $side.aug AND (i - 1) % 32 = 0 " +
     s"THEN -CAST($side.embedding[i] AS DOUBLE) " +
     s"ELSE CAST($side.embedding[i] AS DOUBLE) END)"

@@ -654,6 +654,48 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** ST16 — stream-stream LEFT ANTI join: clicks with NO purchase from
+    * the same user within the following hour — the abandoned-cart
+    * query, completing the inner (st8) / left-outer (st12) / full-outer
+    * (st14) / left-semi (st15) stream-stream join family. The subtle
+    * part is eviction semantics: an anti row can only emit once the
+    * watermark PROVES no matching purchase can still arrive (the
+    * purchase-side watermark has passed click_ts + 1 hour), so the
+    * result materializes exactly at state eviction — nothing is ever
+    * emitted eagerly and later retracted. Spark's planner rejects a
+    * native stream-stream LeftAnti, so the operator is the canonical
+    * composition with IDENTICAL eviction semantics: the left-outer join
+    * (st12's operator — unmatched rows emit with nulls exactly when the
+    * watermark closes their window) filtered to the null-matched rows.
+    * The staged sentinel replay ([[stageOuterSplit]]) advances both
+    * watermarks deterministically past every real click's horizon, so
+    * the full anti set emits and equals the batch NOT EXISTS oracle. */
+  def st16StreamStreamAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageOuterSplit(spark, sfDir)
+    val schema = Tables.events(spark, sfDir).schema
+    def src = Tables.tune(spark).readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_t").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_t").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+    runToTable(spark, joined, OutputMode.Append())
+      .filter(col("p_ts").isNull) // the anti set: emitted at eviction only
+      .filter(col("c_user") =!= -1L)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_abandoned_clicks"),
+        min(unix_micros(col("c_ts"))).as("first_abandoned_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** ST13 — timer-driven sessionization via transformWithState +
     * event-time timers ([[SessionProcessor]]): EVERY session emits from
     * handleExpiredTimer once the watermark passes its horizon — input
@@ -780,6 +822,7 @@ object Streams {
     "st12_stream_outer" -> (st12StreamStreamOuter _),
     "st14_stream_full_outer" -> (st14StreamStreamFullOuter _),
     "st15_stream_semi" -> (st15StreamStreamSemi _),
+    "st16_stream_anti" -> (st16StreamStreamAnti _),
     "st13_timer_sessions" -> (st13TimerSessions _),
     "st9_file_sink" -> (st9FileSink _),
     "st10_foreach_batch" -> (st10ForeachBatch _),
@@ -892,6 +935,18 @@ object Streams {
        "(SELECT user_id, epoch_us(ts) AS ct FROM events " +
        "WHERE event_type = 'click') c " +
        "WHERE EXISTS (SELECT 1 FROM events p " +
+       "WHERE p.event_type = 'purchase' AND p.user_id = c.user_id " +
+       "AND epoch_us(p.ts) >= c.ct AND epoch_us(p.ts) <= c.ct + 3600000000) " +
+       "GROUP BY user_id ORDER BY user_id"),
+    // a click is "abandoned" iff NO purchase follows within the hour —
+    // the complement of st15's EXISTS over the same click set, so the
+    // two results partition the clicks (spec-checked)
+    "st16_stream_anti" ->
+      ("SELECT user_id, COUNT(*) AS n_abandoned_clicks, " +
+       "MIN(ct) AS first_abandoned_us FROM " +
+       "(SELECT user_id, epoch_us(ts) AS ct FROM events " +
+       "WHERE event_type = 'click') c " +
+       "WHERE NOT EXISTS (SELECT 1 FROM events p " +
        "WHERE p.event_type = 'purchase' AND p.user_id = c.user_id " +
        "AND epoch_us(p.ts) >= c.ct AND epoch_us(p.ts) <= c.ct + 3600000000) " +
        "GROUP BY user_id ORDER BY user_id"),

@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.VectorPipeline
+import graft.operators.{Extras5, Extras6}
+
+class Extras6Spec extends SparkSpec {
+  import spark.implicits._
+
+  /** A deterministic pseudo-random UNIT vector keyed by seed (unit norm
+    * so ambient pair dots stay far below the 0.8 verify bar — banded
+    * recall is only guaranteed for planted clone/duplicate pairs). */
+  private def vec(seed: Int, dims: Int = 64): Seq[Float] = {
+    val r = new scala.util.Random(seed)
+    val raw = Seq.fill(dims)(r.nextDouble() * 2 - 1)
+    val norm = math.sqrt(raw.map(x => x * x).sum)
+    raw.map(x => (x / norm).toFloat)
+  }
+
+  test("exact-dup classing: identical vectors share the min-id representative") {
+    val df = Seq(
+      (10L, vec(1)), (11L, vec(2)), (12L, vec(1)), (13L, vec(1)),
+      (14L, vec(3))).toDF("id", "v")
+    val classes = VectorPipeline.exactDupClasses(df, "id", "v")
+      .select(col("vid"), col("rep"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(classes == Map(10L -> 10L, 11L -> 11L, 12L -> 10L,
+      13L -> 10L, 14L -> 14L))
+  }
+
+  test("duplicate-class guard: a 150-member class puts ONE representative into the band join") {
+    // 150 identical vectors + a handful of distinct ones: the r5
+    // scale-killer corpus. Unguarded, every band bucket holds 150 rows
+    // and the self-join pushes 150^2 pairs per band through the shuffle;
+    // guarded, each bucket holds exactly one class representative.
+    val dupes = (0 until 150).map(i => (100L + i, vec(42)))
+    val singles = (0 until 5).map(i => (1000L + i, vec(i)))
+    val df = (dupes ++ singles).toDF("id", "v")
+    val detail = VectorPipeline.bandedCosinePairsDetail(
+      df, "id", "v", threshold = 0.8)
+    // the membership table records the full class, rep = min id
+    val classes = detail.classes.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(classes.values.count(_ == 100L) == 150)
+    // band-join input: one row per (band, representative) — the dup
+    // class contributes exactly 1 per band, so no bucket exceeds the
+    // number of DISTINCT vectors
+    val reps = classes.filter { case (v, r) => v == r }.keySet
+    assert(reps.size == 6) // 1 class rep + 5 singles
+    assert(detail.stopBands.count() == 0)
+    // pairs equal the exhaustive brute force over the same corpus:
+    // expansion reconstructs all 150*149/2 intra-class pairs exactly
+    val got = detail.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = VectorPipeline.cosinePairs(df, "id", "v", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute)
+    assert(got.size == 150 * 149 / 2)
+    // and the guarded plan passes the data-aware hot-key lint that
+    // flagged the unguarded shape
+    assert(graft.plans.PlanLint.selfJoinHotKeys(detail.pairs,
+      maxGroup = 151).isEmpty)
+  }
+
+  test("hot-band cap: buckets above the threshold become reported stop-bands and never pair-join") {
+    // 12 DISTINCT vectors sharing band 0 (first 8 dims identical, the
+    // rest unique): bucket size 12 > cap 4 -> stop-listed; no other
+    // band collides, so with the bucket suppressed there are no
+    // candidates at all. Threshold -10 would pass ANY candidate pair
+    // through the verify, so an empty result proves the cap excluded
+    // the bucket (unguarded, the same corpus yields 66 pairs).
+    val shared = vec(7).take(8)
+    val hot = (0 until 12).map { i =>
+      (i.toLong, shared ++ vec(100 + i).drop(8))
+    }
+    val df = hot.toDF("id", "v")
+    val detail = VectorPipeline.bandedCosinePairsDetail(
+      df, "id", "v", threshold = -10.0, hotBandThreshold = 4L)
+    val stops = detail.stopBands.collect()
+    assert(stops.length == 1)
+    assert(stops.head.getAs[Int]("band_idx") == 0)
+    assert(stops.head.getAs[Long]("n_reps") == 12L)
+    assert(detail.pairs.count() == 0)
+    // sanity: without the cap the bucket pairs quadratically
+    val unguarded = VectorPipeline.bandedCosinePairs(
+      df, "id", "v", threshold = -10.0, hotBandThreshold = Long.MaxValue)
+    assert(unguarded.count() == 12 * 11 / 2)
+  }
+
+  test("x47: contract pairs equal brute force; dup class collapses before the band join") {
+    val df = Extras6.x47DupClassPairs(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = VectorPipeline.cosinePairs(
+        Extras6.dupClassCorpus(spark, sf), "vec_id", "embedding", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute)
+    // the planted class: vec 0 + 50 copies -> 51*50/2 intra pairs, all
+    // involving only class members
+    assert(got.size == 51 * 50 / 2)
+    assert(got.forall { case (a, b, _) =>
+      (a == 0L || a >= 2000000L) && b >= 2000000L })
+  }
+
+  test("x46: incremental probe equals exhaustive cross-side pairs; corpus never self-pairs") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val df = Extras6.x46EmbedIncremental(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty, "no straddling clone pair found")
+    // exhaustive cross-side brute force over the same corpus
+    val corpus = Extras5.cloneCorpus(spark, sf)
+    val probe = corpus.filter(col("vec_id") >= Extras5.CloneOffset)
+      .select(col("vec_id").as("id_new"), col("embedding").as("en"))
+    val old = corpus.filter(col("vec_id") < Extras5.CloneOffset)
+      .select(col("vec_id").as("id_old"), col("embedding").as("eo"))
+    val brute = probe.crossJoin(old)
+      .select(col("id_new"), col("id_old"),
+        VectorPipeline.sim(col("en"), col("eo")).as("sim"))
+      .filter(col("sim") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute)
+    // every hit is a (clone, its original) pair
+    assert(got.forall { case (n, o, _) => n == o + Extras5.CloneOffset })
+    // plan shape: band-keyed probe join only — no cartesian, no
+    // broadcast nested loop
+    val plan = flattenPlan(df.queryExecution.executedPlan)
+    assert(!plan.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(!plan.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+  }
+
+  test("tokenizers are code-point safe: astral-plane chars never split into surrogate halves") {
+    import graft.api.{Bpe, BpeTokenizer, VocabTokenizer, TextPipeline}
+    // 😀 (U+1F600) is two UTF-16 units but ONE code point / length() unit
+    assert(Bpe.codePointTokens("a😀b").toSeq == Seq("a", "😀", "b"))
+    // VocabTokenizer: chunk count = ceil(codepoints/4), exactly what the
+    // SQL oracle's CEIL(length(word)/4.0) computes — "ab😀cd" is 5 code
+    // points -> 2 pieces (was 6 UTF-16 units -> would have been 2 pieces
+    // with a torn surrogate inside)
+    val v = new VocabTokenizer(spark.sparkContext.broadcast(Set("kept")))
+      .forPartition()
+    val pieces = v("kept ab😀cd")
+    assert(pieces.toSeq == Seq("kept", "ab😀c", "d"))
+    // no piece carries a torn (unpaired) surrogate at either edge
+    assert(pieces.forall(p =>
+      !Character.isHighSurrogate(p.last) &&
+        !Character.isLowSurrogate(p.head)))
+    // BPE: base tokens are code points; a merge learned over emoji text
+    // applies without tearing the pair
+    val docs = Seq((1L, "😀x 😀x 😀x y")).toDF("doc_id", "text")
+    val merges = TextPipeline.trainBpe(docs, "text", 1)
+    assert(merges == Seq(("😀", "x")))
+    val tok = new BpeTokenizer(spark.sparkContext.broadcast(merges))
+      .forPartition()
+    assert(tok("😀x y").toSeq == Seq("😀x", "y"))
+  }
+
+  test("trainBpe: a tiny maxVocab truncates gracefully and stays deterministic") {
+    import graft.api.TextPipeline
+    val docs = Seq(
+      (1L, "aaa aaa aaa bbb bbb rare1 rare2 rare3"),
+      (2L, "aaa bbb ccc rare4")).toDF("doc_id", "text")
+    // vocab capped at the 2 most frequent words (aaa x4, bbb x3): the
+    // rare tail contributes no pair mass, merges come from the head only
+    val m2a = TextPipeline.trainBpe(docs, "text", 4, maxVocab = 2)
+    val m2b = TextPipeline.trainBpe(docs, "text", 4, maxVocab = 2)
+    assert(m2a == m2b) // deterministic under truncation
+    // reference: pairs over {aaa w4, bbb w3} — (a,a) 8 vs (b,b) 6 ->
+    // ("a","a"); then ("aa","a") 4 vs (b,b) 6 -> ("b","b"); then
+    // ("aa","a") 4 vs ("bb","b") 3 -> ("aa","a"); then ("bb","b")
+    assert(m2a == Seq(("a", "a"), ("b", "b"), ("aa", "a"), ("bb", "b")))
+    // the uncapped run sees the rare words' digit pairs too but the
+    // head merges are stable prefixes
+    val full = TextPipeline.trainBpe(docs, "text", 4)
+    assert(full.take(2) == Seq(("a", "a"), ("b", "b")))
+  }
+
+  test("BpeTokenizer: memo cap keeps encoding correct past the bound") {
+    import graft.api.{Bpe, BpeTokenizer}
+    val merges: Seq[(String, String)] = Seq(("x", "y"))
+    val f = new BpeTokenizer(spark.sparkContext.broadcast(merges))
+      .forPartition()
+    // drive one partition function far past the memo cap with distinct
+    // words; late (uncached) words must encode identically to early ones
+    val n = BpeTokenizer.MemoCap + 100
+    val text = (0 until n).map(i => s"xy$i").mkString(" ")
+    val out = f(text)
+    val rank = merges.zipWithIndex.toMap
+    assert(out.length ==
+      (0 until n).map(i => Bpe.encodeWord(s"xy$i", rank).length).sum)
+    assert(f(s"xy${n - 1}").toSeq ==
+      Bpe.encodeWord(s"xy${n - 1}", rank).toSeq)
+  }
+
+  test("cloneCorpus: offset-collision guard fires on an oversized id") {
+    // a corpus whose max id reaches the clone offset must be refused,
+    // not silently corrupted (ADVICE r5)
+    val dir = Tables.scratchDir("x46guard", sf)
+    Seq((Extras5.CloneOffset, vec(1)), (1L, vec(2)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // the other tables are irrelevant: cloneCorpus reads embeddings only
+    val e = intercept[IllegalArgumentException] {
+      Extras5.cloneCorpus(spark, dir)
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+}

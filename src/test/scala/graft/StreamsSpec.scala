@@ -336,6 +336,68 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("st16 stream-stream anti join equals batch NOT-EXISTS; semi+anti partition the clicks") {
+    val got = Streams.st16StreamStreamAnti(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = Tables.eventsUs(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    // batch LEFT ANTI: each click ROW emits once iff NO match exists —
+    // the watermark-eviction emission rule's batch analog
+    val want = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + 3600000000L,
+        "left_anti")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), min(col("c_ts")).as("first"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+    // semi (st15) and anti (st16) partition the click set: per user,
+    // converted + abandoned = total clicks
+    val semi = Streams.st15StreamStreamSemi(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = clicks.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    total.foreach { case (u, n) =>
+      assert(semi.getOrElse(u, 0L) + got.get(u).map(_._1).getOrElse(0L) == n,
+        s"user $u: semi + anti != total clicks") }
+  }
+
+  test("native stream-stream LeftAnti is rejected by the planner (locks in the st16 composition)") {
+    // if a future Spark version starts supporting it, this fails and
+    // st16 should switch to the native operator
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = Tables.scratchDir("st16probe", sf)
+    val schema = Tables.events(spark, sf).schema
+    def src = Tables.tune(spark).readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    // stage one batch so the source dir exists
+    Tables.events(spark, sf).limit(10).write.mode("overwrite").parquet(dir)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_t").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_t").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val anti = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "left_anti")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      val q = anti.writeStream.format("noop")
+        .outputMode(OutputMode.Append()).start()
+      try q.awaitTermination(10000L) finally q.stop()
+    }
+    assert(e.getMessage.toLowerCase.contains("anti"))
+  }
+
   test("foreachBatch recovery: batch-id partition overwrite makes the replay idempotent") {
     // foreachBatch is AT-LEAST-ONCE: after a crash between offset-write
     // and commit-write the batch re-executes, and a plain append sink
