@@ -66,9 +66,63 @@ object Extras6 {
         dupClassCorpus(spark, sfDir), "vec_id", "embedding", 0.8)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** The sql16 join, one spelling for operator and spec: orders ⋈ the
+    * customers of ONE nation, aggregated per market segment. The
+    * interesting part is the PLANNING surface it exercises (below), not
+    * the shape. */
+  private[graft] val CboJoinSql =
+    "SELECT c.c_mktsegment AS c_mktsegment, COUNT(*) AS n_orders, " +
+    "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) " +
+    "AS sum_price " +
+    "FROM graft_cbo_orders o JOIN graft_cbo_customer c " +
+    "ON o.o_custkey = c.c_custkey " +
+    "WHERE c.c_nationkey = 1 " +
+    "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"
+
+  /** Registers the sql16 catalog tables once per (session, sfDir) and
+    * ANALYZEs them: table + ALL COLUMNS statistics land in the catalog
+    * (rowCount, sizeInBytes, per-column ndv/min/max/avgLen) — the
+    * surface every prior row left unexercised because parquet reads
+    * carry only file-size estimates. */
+  private[operators] def cboSetup(spark: SparkSession, sfDir: String): Unit = {
+    val s = Tables.tune(spark)
+    graft.Memo(spark, s"cbo_setup:$sfDir") {
+      val dir = Tables.scratchDir("cbo_tables", sfDir)
+      s.sql("DROP TABLE IF EXISTS graft_cbo_customer")
+      s.sql("DROP TABLE IF EXISTS graft_cbo_orders")
+      Tables.customer(s, sfDir).write.mode("overwrite")
+        .option("path", s"$dir/customer").saveAsTable("graft_cbo_customer")
+      Tables.orders(s, sfDir).write.mode("overwrite")
+        .option("path", s"$dir/orders").saveAsTable("graft_cbo_orders")
+      s.sql("ANALYZE TABLE graft_cbo_customer COMPUTE STATISTICS FOR ALL COLUMNS")
+      s.sql("ANALYZE TABLE graft_cbo_orders COMPUTE STATISTICS FOR ALL COLUMNS")
+      s.range(1).toDF("ok").localCheckpoint(true)
+    }
+    ()
+  }
+
+  /** SQL16 — cost-based-optimizer statistics exercised as a contract
+    * row: the query runs against ANALYZEd catalog tables, so join
+    * planning is informed by catalog statistics instead of raw file
+    * sizes. With CBO enabled and AQE off, the c_nationkey filter's
+    * selectivity is estimated from column stats (ndv), shrinking the
+    * dimension's size estimate below the broadcast threshold — a
+    * stats-informed broadcast that the file-size estimate alone would
+    * refuse; the spec layer pins exactly that plan difference at a
+    * threshold between the two estimates. At 100 TB this is the
+    * difference between a catalog-planned broadcast and a shuffle of
+    * the fact table when AQE's runtime stats are not yet available
+    * (first stage, no reusable exchange). Values are plan-independent;
+    * the oracle recomputes from the source parquet. */
+  def sql16CboStats(spark: SparkSession, sfDir: String): DataFrame = {
+    cboSetup(spark, sfDir)
+    Tables.tune(spark).sql(CboJoinSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x46_embed_incremental" -> (x46EmbedIncremental _),
-    "x47_embed_dup_class" -> (x47DupClassPairs _))
+    "x47_embed_dup_class" -> (x47DupClassPairs _),
+    "sql16_cbo_stats" -> (sql16CboStats _))
 
   private val DupBaseSql =
     "SELECT vec_id, embedding FROM embeddings " +
@@ -103,5 +157,13 @@ object Extras6 {
        "WHERE a.vec_id < b.vec_id " +
        "GROUP BY a.vec_id, b.vec_id " +
        s"HAVING $DupSimSql >= 0.8 " +
-       "ORDER BY id_a, id_b"))
+       "ORDER BY id_a, id_b"),
+    // the same join/aggregate straight off the source tables — the
+    // catalog-table indirection must not change a value
+    "sql16_cbo_stats" ->
+      ("SELECT c.c_mktsegment AS c_mktsegment, COUNT(*) AS n_orders, " +
+       s"${graft.Det.sql.dsum("o.o_totalprice")} AS sum_price " +
+       "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+       "WHERE c.c_nationkey = 1 " +
+       "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"))
 }

@@ -192,6 +192,62 @@ class Extras6Spec extends SparkSpec {
       Bpe.encodeWord(s"xy${n - 1}", rank).toSeq)
   }
 
+  test("sql16: catalog stats inform the broadcast decision with AQE off") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    import graft.operators.Extras6
+    // setup + values (values are plan-independent; oracle covers them)
+    val df = Extras6.sql16CboStats(spark, sf)
+    assert(df.collect().nonEmpty)
+    // pin a broadcast threshold BETWEEN the two size estimates of the
+    // SAME filtered+pruned dimension: the catalog/CBO estimate (rowCount
+    // x ndv-based filter selectivity — small) vs the file-size estimate
+    // (raw bytes scaled by column pruning only — larger). Measured, not
+    // hardcoded, so the pin holds at any SF. Only the stats-informed
+    // plan may broadcast at that threshold.
+    val keys = Seq("spark.sql.adaptive.enabled", "spark.sql.cbo.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // ANALYZE landed real stats: with CBO on, the plan carries the
+      // catalog rowCount (plain sizeInBytes-only stats would mean the
+      // ANALYZE never reached the catalog)
+      val stats = spark.table("graft_cbo_customer")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.exists(_ > 0), s"no catalog rowCount: $stats")
+      val dir = Tables.scratchDir("cbo_tables", sf)
+      def dim(c: org.apache.spark.sql.DataFrame) =
+        c.filter(col("c_nationkey") === 1)
+          .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      val estStats = dim(spark.table("graft_cbo_customer"))
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      val estFile = dim(spark.read.parquet(s"$dir/customer"))
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(estStats < estFile,
+        s"column stats should shrink the filter estimate: $estStats vs $estFile")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        ((estStats + estFile) / 2).toString)
+      val statsPlan = flattenPlan(
+        spark.sql(Extras6.CboJoinSql).queryExecution.executedPlan)
+      assert(statsPlan.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "stats-informed plan did not broadcast the filtered dimension")
+      // control: the IDENTICAL data read straight from parquet (no
+      // catalog stats) must fall back to a sort-merge join at the same
+      // threshold — proving the broadcast above came from the catalog,
+      // not the file size
+      val c = spark.read.parquet(s"$dir/customer")
+      val o = spark.read.parquet(s"$dir/orders")
+      val control = o.join(c, col("o_custkey") === col("c_custkey"))
+        .filter(col("c_nationkey") === 1)
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      val controlPlan = flattenPlan(control.queryExecution.executedPlan)
+      assert(controlPlan.exists(_.isInstanceOf[SortMergeJoinExec]),
+        "control (stats-less) plan should sort-merge at this threshold")
+      assert(!controlPlan.exists(_.isInstanceOf[BroadcastHashJoinExec]))
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("cloneCorpus: offset-collision guard fires on an oversized id") {
     // a corpus whose max id reaches the clone offset must be refused,
     // not silently corrupted (ADVICE r5)
