@@ -15,7 +15,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * not live lineage.
   *
   * Keys are weak on the session so a stopped SparkSession (and the
-  * checkpointed blocks only it can read) can be collected. */
+  * checkpointed blocks only it can read) can be collected.
+  *
+  * RE-ENTRANT by design: a memoized build may itself call Memo (e.g.
+  * x41's clone-pair build runs cloneCorpus, whose id-collision guard is
+  * memoized under its own key). `computeIfAbsent` would throw
+  * "Recursive update" on that nesting, so the build runs OUTSIDE the
+  * map's locks with a get / build / putIfAbsent sequence. Two racing
+  * threads can then both build the same key — the loser's (idempotent,
+  * plan-only) frame is discarded — which is the correct trade against a
+  * nesting-order hazard that depends on query execution order. */
 object Memo {
   private val caches =
     new java.util.WeakHashMap[SparkSession,
@@ -30,6 +39,12 @@ object Memo {
       }
       m
     }
-    perSession.computeIfAbsent(key, _ => build)
+    val hit = perSession.get(key)
+    if (hit != null) hit
+    else {
+      val built = build
+      val prev = perSession.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
   }
 }

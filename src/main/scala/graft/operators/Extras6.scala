@@ -119,9 +119,54 @@ object Extras6 {
     Tables.tune(spark).sql(CboJoinSql)
   }
 
+  /** A18 — MERGEABLE-sketch rollup (Datasketches HLL via Spark 4's
+    * `hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`): the
+    * customer table is hash-split into 8 pseudo-shards, ONE partial
+    * sketch is built per (segment, shard), and the global per-segment
+    * distinct estimate comes from MERGING the partials — the 100 TB
+    * rollup pattern where a daily job persists one sketch row per
+    * partition and arbitrary later rollups union sketches instead of
+    * re-scanning raw data (register-wise max, associative, one row per
+    * partition flowing into the merge instead of the raw keys).
+    *
+    * Derived-claim row (sketch bytes aren't portably SQL-comparable;
+    * the estimator switches between exact-sparse, HIP and composite
+    * forms, so cross-path EQUALITY is not guaranteed by the algorithm):
+    * per segment, the oracle-checkable claims are the exact distinct
+    * count plus three bounds — merged estimate within 3% of exact,
+    * direct single-pass estimate within 3% of exact, and the two paths
+    * within 2% of each other. At the test SFs the per-shard
+    * cardinalities sit in the sketch's exact-sparse range, so the
+    * bounds hold with wide margin; at crawl scale they are the
+    * published HLL error envelope (lgK=12 → ~1.6% RSE). */
+  def a18HllMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment"), col("c_custkey"))
+    val partials = c
+      .withColumn("shard", pmod(hash(col("c_custkey")), lit(8)))
+      .groupBy(col("c_mktsegment"), col("shard"))
+      .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
+    val merged = partials.groupBy(col("c_mktsegment"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+    val direct = c.groupBy(col("c_mktsegment"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("c_custkey")))
+          .as("est_direct"),
+        countDistinct(col("c_custkey")).as("n_exact"))
+    merged.join(direct, "c_mktsegment")
+      .select(col("c_mktsegment"), col("n_exact"),
+        (abs(col("est_merged") - col("n_exact")) / col("n_exact") <= 0.03)
+          .as("merged_ok"),
+        (abs(col("est_direct") - col("n_exact")) / col("n_exact") <= 0.03)
+          .as("direct_ok"),
+        (abs(col("est_merged") - col("est_direct")) / col("n_exact") <= 0.02)
+          .as("paths_agree"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x46_embed_incremental" -> (x46EmbedIncremental _),
     "x47_embed_dup_class" -> (x47DupClassPairs _),
+    "a18_hll_merge" -> (a18HllMerge _),
     "sql16_cbo_stats" -> (sql16CboStats _))
 
   private val DupBaseSql =
@@ -133,6 +178,12 @@ object Extras6 {
     "CAST(b.embedding[i] AS DOUBLE)), 6)"
 
   val oracles: Map[String, String] = Map(
+    // exact distinct counts; the sketch-path claims are stated as the
+    // constants they must evaluate to (derived-claim form, like x8/x14)
+    "a18_hll_merge" ->
+      ("SELECT c_mktsegment, COUNT(DISTINCT c_custkey) AS n_exact, " +
+       "TRUE AS merged_ok, TRUE AS direct_ok, TRUE AS paths_agree " +
+       "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     // exhaustive CROSS-side pairs over the shared clone corpus: every
     // (original, clone) pair at or above the bar, nothing else — the
     // incremental probe must find exactly these

@@ -86,6 +86,106 @@ object Subqueries {
         |ORDER BY s_suppkey""".stripMargin)
   }
 
+  /** SQL17 — TPC-H Q18 shape ("large-volume customer"): orders whose
+    * total quantity exceeds a threshold, found by an IN-subquery over a
+    * grouped HAVING aggregate, then re-joined to customer/lineitem for
+    * the order's full row. The IN-subquery plans as a left-semi join on
+    * the aggregated orderkey set — one extra shuffle over lineitem, no
+    * correlated re-execution. Page fully tie-broken before LIMIT. */
+  def sql17LargeVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM v_customer
+        |  JOIN v_orders   ON c_custkey = o_custkey
+        |  JOIN v_lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM v_lineitem
+        |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+        |GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin)
+  }
+
+  /** SQL18 — TPC-H Q21 shape ("suppliers who kept orders waiting"),
+    * adapted to this schema's columns (no commit/receipt dates): a line
+    * item is "late" when it ships more than 90 days after its order
+    * date. Per supplier: the count of late line items on multi-supplier
+    * orders where THEY were the only late supplier — one correlated
+    * EXISTS plus one correlated NOT-EXISTS-with-join, the densest
+    * decorrelation exercise in the suite (Catalyst rewrites both into
+    * semi/anti joins against lineitem⋈orders). */
+  def sql18WaitingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM v_lineitem l1
+        |  JOIN v_orders o ON o.o_orderkey = l1.l_orderkey
+        |  JOIN v_supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM v_lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM v_lineitem l3
+        |      JOIN v_orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin)
+  }
+
+  /** SQL19 — TPC-H Q22 shape ("global sales opportunity"): customers
+    * with above-average balance and no large order, grouped by nation.
+    * The scalar average is the exact DECIMAL-sum / count form (a plain
+    * double AVG would sum in engine-specific order and could flip a
+    * boundary customer between Spark and the oracle); the NOT EXISTS
+    * decorrelates to an anti join against the filtered orders side. */
+  def sql19NoBigOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(
+      """SELECT c_nationkey, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        |FROM v_customer c
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |           / COUNT(*)
+        |    FROM v_customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM v_orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin)
+  }
+
+  /** SQL20 — TPC-H Q17 shape ("small-quantity-order revenue"): per
+    * brand, the revenue from line items whose quantity is below half
+    * the part's average quantity. The correlated per-part average is
+    * the classic RewriteCorrelatedScalarSubquery case — Catalyst turns
+    * it into one grouped aggregate over lineitem joined back on
+    * partkey, so lineitem is scanned twice but never re-executed per
+    * row. Exact DECIMAL-sum / count average for the same boundary
+    * determinism as sql19. */
+  def sql20SmallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+        |    AS avg_yearly,
+        |  COUNT(*) AS n_items
+        |FROM v_lineitem l JOIN v_part ON p_partkey = l_partkey
+        |WHERE l_quantity < (
+        |  SELECT 0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+        |                AS DOUBLE) / COUNT(*))
+        |  FROM v_lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+  }
+
   /** SQL5 — correlated scalar subquery + IN-subquery + EXISTS, all
     * decorrelated by Catalyst into joins. */
   def sql5Subqueries(spark: SparkSession, sfDir: String): DataFrame = {
@@ -218,6 +318,10 @@ object Subqueries {
     "sql13_volume_shipping" -> (sql13VolumeShipping _),
     "sql14_parts_supplier" -> (sql14PartsSupplier _),
     "sql15_top_supplier" -> (sql15TopSupplier _),
+    "sql17_large_volume" -> (sql17LargeVolume _),
+    "sql18_waiting_suppliers" -> (sql18WaitingSuppliers _),
+    "sql19_no_big_order" -> (sql19NoBigOrder _),
+    "sql20_small_qty_revenue" -> (sql20SmallQtyRevenue _),
     "x11_gapfill" -> (x11GapFill _))
 
   val oracles: Map[String, String] = Map(
@@ -258,6 +362,51 @@ object Subqueries {
        "FROM supplier JOIN rev ON s_suppkey = l_suppkey " +
        "WHERE total_rev = (SELECT MAX(total_rev) FROM rev) " +
        "ORDER BY s_suppkey"),
+    "sql17_large_volume" ->
+      ("SELECT c_custkey, c_name, o_orderkey, o_totalprice, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty " +
+       "FROM customer " +
+       "JOIN orders ON c_custkey = o_custkey " +
+       "JOIN lineitem ON o_orderkey = l_orderkey " +
+       "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem " +
+       "GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) " +
+       "GROUP BY c_custkey, c_name, o_orderkey, o_totalprice " +
+       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+    "sql18_waiting_suppliers" ->
+      ("SELECT s_name, COUNT(*) AS numwait " +
+       "FROM lineitem l1 " +
+       "JOIN orders o ON o.o_orderkey = l1.l_orderkey " +
+       "JOIN supplier ON s_suppkey = l1.l_suppkey " +
+       "WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY " +
+       "AND EXISTS (SELECT 1 FROM lineitem l2 " +
+       "WHERE l2.l_orderkey = l1.l_orderkey " +
+       "AND l2.l_suppkey <> l1.l_suppkey) " +
+       "AND NOT EXISTS (SELECT 1 FROM lineitem l3 " +
+       "JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey " +
+       "WHERE l3.l_orderkey = l1.l_orderkey " +
+       "AND l3.l_suppkey <> l1.l_suppkey " +
+       "AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY) " +
+       "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"),
+    "sql19_no_big_order" ->
+      ("SELECT c_nationkey, COUNT(*) AS n_cust, " +
+       "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal " +
+       "FROM customer c " +
+       "WHERE c_acctbal > (" +
+       "SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) " +
+       "/ COUNT(*) FROM customer WHERE c_acctbal > 0) " +
+       "AND NOT EXISTS (SELECT 1 FROM orders o " +
+       "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0) " +
+       "GROUP BY c_nationkey ORDER BY c_nationkey"),
+    "sql20_small_qty_revenue" ->
+      ("SELECT p_brand, " +
+       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 " +
+       "AS avg_yearly, COUNT(*) AS n_items " +
+       "FROM lineitem l JOIN part ON p_partkey = l_partkey " +
+       "WHERE l_quantity < (" +
+       "SELECT 0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) " +
+       "AS DOUBLE) / COUNT(*)) " +
+       "FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey) " +
+       "GROUP BY p_brand ORDER BY p_brand"),
     "s10_range" ->
       ("SELECT range AS id, range * range AS sq, range % 7 AS m, " +
        "CAST(range AS DOUBLE) / 999.0 AS frac " +

@@ -222,8 +222,13 @@ object Streams {
     // The trailing no-data micro-batch only advances the watermark to
     // evict state; none of the contract sinks depend on it (Complete /
     // Update re-emit on data batches; dedup and the inner join emit
-    // eagerly). Skipping it saves a full state-store round per query.
-    // A production append-mode windowed agg would need it back on —
+    // eagerly; watermark-dependent emission is driven by sentinel
+    // BATCHES — measured here: Trigger.AvailableNow stops at the last
+    // data batch and runs no no-data batch even with the conf on, so
+    // multi-stateful chains size their sentinel LADDER to the stage
+    // count instead, one sentinel batch per stateful stage; see
+    // [[stageOuterSplit]]). Skipping it saves a full state-store round
+    // per query. A production continuous query would leave it on —
     // restored in the finally block so only these replays skip it.
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
@@ -504,7 +509,17 @@ object Streams {
     * computed after batch N−1 (SPARK-40925): the batch that ingests
     * sentinel2 evicts with sentinel1's watermark = max(ts)+2h, which
     * clears every real click's 1-hour join window deterministically —
-    * no dependence on trailing no-data batches. */
+    * no dependence on trailing no-data batches (measured: AvailableNow
+    * runs NO trailing no-data batch even when the conf is enabled, so
+    * the sentinel ladder is the only deterministic flush).
+    *
+    * PUSHDOWN TRAP, learned on st17: never filter sentinel rows INSIDE
+    * the streaming query — any deterministic predicate (e.g.
+    * `user_id >= 0`) pushes down THROUGH the watermark node to the
+    * parquet scan, the sentinel rows then never reach the watermark
+    * node, and the watermark silently freezes at the real feed's max.
+    * Sentinels must flow into the query; their output rows are dropped
+    * post-sink, batch-side (st12/st13/st17 all do this). */
   private def stageOuterSplit(spark: SparkSession, sfDir: String): String = {
     val dir = Paths.get(Tables.scratchDir("stream_outer", sfDir))
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -696,6 +711,59 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** ST17 — CHAINED stateful aggregations: a 10-minute tumbling count
+    * per event type feeding an hourly re-aggregation in ONE streaming
+    * query — two stateful operators back to back (multiple-stateful-
+    * operator support, SPARK-40925), the streaming form of a rollup
+    * pipeline that would otherwise need an intermediate topic/table.
+    * The second `window()` is applied to the FIRST aggregation's window
+    * column: Spark assigns each finalized 10-minute window to the hour
+    * containing its (end − 1µs), so aligned sub-windows roll up into
+    * exactly the hour that contains them.
+    *
+    * Emission discipline (both operators append-mode): a 10-minute
+    * window reaches the hourly operator only once the watermark
+    * finalizes it, and the hour emits only once the watermark passes
+    * the hour end. Batch N's late-input filter uses batch N−1's
+    * watermark while eviction uses batch N's (SPARK-40925), so every
+    * real sub-window reaches the hourly operator exactly once, never
+    * late — the last real sub-window finalizes in the batch ingesting
+    * sentinel1 and its hour closes in the SAME batch (within a batch,
+    * a downstream stateful operator sees the upstream's emissions and
+    * evicts with the same batch watermark), so the standard two-
+    * sentinel replay ([[stageOuterSplit]]) flushes the whole chain.
+    * The sentinel rows must flow INTO the aggregation (filtering them
+    * in-query would push the predicate down to the scan and freeze the
+    * watermark — see the stageOuterSplit scaladoc); their own windows
+    * sit above every real hour, so the batch-side cut below drops the
+    * one sentinel hour the watermark manages to close. `n_subwindows`
+    * additionally pins how many distinct non-empty 10-minute windows
+    * fed each hour. */
+  def st17ChainedAggs(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageOuterSplit(spark, sfDir)
+    val schema = Tables.events(spark, sfDir).schema
+    val stream = Tables.tune(spark).readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val tenMin = stream
+      .withWatermark("ts_t", "15 minutes")
+      .groupBy(window(col("ts_t"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val hourly = tenMin
+      .groupBy(window(col("window"), "1 hour"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_subwindows"))
+    // the last REAL hour start, in seconds — single-row driver-side max,
+    // the same role as stageOuterSplit's cut literal
+    val maxUs = Tables.eventsUs(spark, sfDir)
+      .agg(max(col("ts"))).collect()(0).getLong(0)
+    val cutSec = (maxUs / 3600000000L) * 3600L
+    runToTable(spark, hourly, OutputMode.Append())
+      .select(unix_timestamp(col("window.start")).as("hour_start"),
+        col("event_type"), col("n_events"), col("n_subwindows"))
+      .filter(col("hour_start") <= cutSec) // drop closed sentinel hours
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
   /** ST13 — timer-driven sessionization via transformWithState +
     * event-time timers ([[SessionProcessor]]): EVERY session emits from
     * handleExpiredTimer once the watermark passes its horizon — input
@@ -823,6 +891,7 @@ object Streams {
     "st14_stream_full_outer" -> (st14StreamStreamFullOuter _),
     "st15_stream_semi" -> (st15StreamStreamSemi _),
     "st16_stream_anti" -> (st16StreamStreamAnti _),
+    "st17_chained_aggs" -> (st17ChainedAggs _),
     "st13_timer_sessions" -> (st13TimerSessions _),
     "st9_file_sink" -> (st9FileSink _),
     "st10_foreach_batch" -> (st10ForeachBatch _),
@@ -841,6 +910,12 @@ object Streams {
        "CAST(SUM(CAST((((id * 2654435761) % 1000) / 10.0) AS DECIMAL(18,4))) AS DOUBLE) AS sum_val " +
        "FROM (SELECT range AS id FROM range(0, 100000)) t " +
        "GROUP BY 1 ORDER BY 1"),
+    "st17_chained_aggs" ->
+      ("WITH ten AS (SELECT (epoch_us(ts) // 600000000) * 600 AS w10, " +
+       "event_type, COUNT(*) AS n FROM events GROUP BY 1, 2) " +
+       "SELECT (w10 // 3600) * 3600 AS hour_start, event_type, " +
+       "CAST(SUM(n) AS BIGINT) AS n_events, COUNT(*) AS n_subwindows FROM ten " +
+       "GROUP BY 1, 2 ORDER BY hour_start, event_type"),
     "st1_tumbling" ->
       ("SELECT (epoch_us(ts) // 600000000) * 600 AS win_start, event_type, " +
        "COUNT(*) AS n, " +

@@ -261,4 +261,61 @@ class Extras6Spec extends SparkSpec {
     }
     assert(e.getMessage.contains("collide"))
   }
+
+  test("a18: partial HLL sketches are binary rows, one per (segment, shard), and the claims hold") {
+    val c = Tables.customer(spark, sf)
+      .select(col("c_mktsegment"), col("c_custkey"))
+    val partials = c
+      .withColumn("shard", pmod(hash(col("c_custkey")), lit(8)))
+      .groupBy(col("c_mktsegment"), col("shard"))
+      .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
+    // the rollup's input is one SKETCH row per (segment, shard) — the
+    // compaction that lets a 100 TB rollup skip the raw keys
+    val nSeg = c.select(col("c_mktsegment")).distinct().count()
+    assert(partials.count() <= nSeg * 8)
+    assert(partials.schema("sk").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val out = graft.operators.Extras6.a18HllMerge(spark, sf).collect()
+    assert(out.length == nSeg)
+    out.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4),
+        s"claim failed for ${r.getString(0)}: $r")
+    }
+  }
+
+  test("Memo is re-entrant: a memoized build may itself call Memo") {
+    // Regression: cloneCorpus' memoized id guard runs INSIDE clonePairs'
+    // memoized build; ConcurrentHashMap.computeIfAbsent threw "Recursive
+    // update" on that nesting whenever the inner key wasn't already
+    // populated — which depended on query execution ORDER (verify's map
+    // order ran x46 first and masked it; bench's sorted order hit it).
+    var innerBuilds = 0
+    val out = Memo(spark, "memo-reentrancy-outer") {
+      val inner = Memo(spark, "memo-reentrancy-inner") {
+        innerBuilds += 1
+        spark.range(3).toDF("n").localCheckpoint(true)
+      }
+      inner.agg(sum(col("n")).as("s")).localCheckpoint(true)
+    }
+    assert(out.head.getLong(0) == 3L && innerBuilds == 1)
+    // and the nested path is the one the contract actually runs:
+    // a FRESH memo state would rebuild clonePairs with the guard inside
+    assert(Memo(spark, "memo-reentrancy-inner") { fail("must be cached") }
+      .count() == 3L)
+  }
+
+  test("x41/x42 run from a cold memo in bench's sorted order") {
+    // bench iterates queries sorted by name, so x41 is the FIRST query
+    // to touch the clone-corpus memo chain — exactly the cold nested
+    // path that used to throw. A scratch sfDir guarantees cold keys
+    // even when other suites in this JVM already ran x41 on testdata.
+    val dir = Tables.scratchDir("x41cold", sf)
+    Seq((1L, vec(1)), (2L, vec(2)), (3L, vec(1)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pairs = SparkEntry.queries("x41_embed_neardup")(spark, dir)
+    assert(pairs.count() >= 1L) // the planted (1,3) identical pair
+    val keep = SparkEntry.queries("x42_embed_dedup_keep")(spark, dir)
+    assert(keep.count() >= 3L)
+  }
 }

@@ -368,6 +368,33 @@ class StreamsSpec extends SparkSpec {
         s"user $u: semi + anti != total clicks") }
   }
 
+  test("st17 chained stateful aggregations equal the batch two-level rollup") {
+    val got = Streams.st17ChainedAggs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // batch analog: the same two-level rollup computed statically —
+    // every real hour must close (sentinel watermark passes max+2h), so
+    // the streaming result is the FULL rollup, not a prefix
+    val ten = Tables.eventsUs(spark, sf)
+      .select(expr("(ts div 600000000) * 600").as("w10"), col("event_type"))
+      .groupBy(col("w10"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val want = ten
+      .select(expr("(w10 div 3600) * 3600").as("hour_start"),
+        col("event_type"), col("n"))
+      .groupBy(col("hour_start"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_subwindows"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+    // structural sanity: an hour holds at most six 10-minute windows
+    got.values.foreach { case (n, sub) =>
+      assert(sub >= 1L && sub <= 6L && n >= sub)
+    }
+  }
+
   test("native stream-stream LeftAnti is rejected by the planner (locks in the st16 composition)") {
     // if a future Spark version starts supporting it, this fails and
     // st16 should switch to the native operator
