@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Reusable, corpus-agnostic text-pipeline operators: the public library
@@ -341,6 +342,177 @@ object TextPipeline {
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") > threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Per-token candidate cap for the prefix-filter join — the x33/x41
+    * stop-set design applied to prefix tokens. A shingle appearing in
+    * more than this many PREFIXES is boilerplate-grade (a header line, a
+    * template run); it is split off as a reported stop token instead of
+    * pair-joining, capping per-token candidate volume at threshold².
+    * Rare-first prefix ordering makes hot prefix tokens structurally
+    * unlikely — a frequent shingle enters a prefix only when a document
+    * contains nothing rarer — so on natural corpora the stop set is
+    * empty and the join stays EXACT; when it is not, the reported set
+    * tells the caller which token classes to route through an exact
+    * per-group dedup (x47's representative treatment). */
+  val HotPrefixTokenCap = 256L
+
+  /** The full result of a guarded prefix-filter similarity join: the
+    * verified pairs, the reported stop-token set, and the exact-
+    * duplicate membership table (doc_id → rep). */
+  final case class PrefixJaccard(pairs: DataFrame, stopTokens: DataFrame,
+      classes: DataFrame)
+
+  /** EXACT all-pairs Jaccard similarity join via prefix filtering
+    * (Chaudhuri/Ganti/Kaushik ICDE'06; Xiao et al. PPJoin, WWW'08) —
+    * the deterministic sibling of the MinHash-LSH pipeline: no
+    * signatures, no probabilistic recall, every pair with
+    * jaccard > `threshold` found by construction at ANY threshold
+    * (LSH band recall degrades as t drops toward 0.5; the prefix
+    * filter's pruning bound is algebraic, so it does not).
+    *
+    * Input is a distinct hashed shingle frame (doc_id, ng_h) —
+    * [[shingleHashes]]' output. The classic lemma: order each set by a
+    * global token order and keep only its first |d| − ⌈t·|d|⌉ + 1
+    * tokens; any pair with J ≥ t must collide inside these prefixes,
+    * so joining prefixes (not full sets) finds a candidate superset.
+    * Ordering tokens RAREST-FIRST (ascending document frequency, doc
+    * count over the rep corpus) makes the colliding prefix tokens the
+    * selective ones — Σ_token (prefix-df)² stays near-linear where a
+    * random order would put stopword-grade shingles in every prefix.
+    *
+    * Scale shape, guarded end to end (the x41/x47 treatment in token
+    * space):
+    *  1. exact-duplicate classing on the shingle-SET fingerprint —
+    *     identical sets collapse to one representative (min doc_id), so
+    *     a class of m re-posted documents contributes ONE prefix, not
+    *     m; the class' pairs are rebuilt from the membership table at
+    *     output time (output-bound — the pairs ARE the result);
+    *  2. the shingle frame and prefix frame materialize once
+    *     (localCheckpoint; persisted index tables on a cluster);
+    *  3. prefix tokens hotter than `hotTokenCap` become reported stop
+    *     tokens ([[PrefixJaccard.stopTokens]]) and never pair-join;
+    *  4. candidates pass the length filter (t·|a| ≤ |b| — J ≥ t is
+    *     impossible across a larger size skew) before the exact
+    *     intersection-count verify, which runs only on candidates.
+    * Emits (doc_a, doc_b, jaccard), doc_a < doc_b, exact doubles. */
+  def prefixJaccardPairsDetail(shingleHashes: DataFrame, threshold: Double,
+      hotTokenCap: Long = HotPrefixTokenCap): PrefixJaccard = {
+    require(threshold > 0 && threshold < 1, "threshold in (0, 1)")
+    val sh = shingleHashes.localCheckpoint(true)
+    // 1. identical shingle sets → one representative per class
+    val setFp = sh.groupBy(col("doc_id"))
+      .agg(md5(to_json(sort_array(collect_list(col("ng_h"))))).as("set_fp"),
+        count(lit(1)).as("n_sh"))
+    val classes = setFp
+      .withColumn("rep", min(col("doc_id"))
+        .over(Window.partitionBy(col("set_fp"))))
+      .localCheckpoint(true)
+    val reps = classes.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("n_sh"))
+    val repSh = sh.join(reps.select(col("doc_id")), "doc_id")
+    // 2. rare-first prefix: rank tokens by global doc frequency
+    val tokDf = repSh.groupBy(col("ng_h")).agg(count(lit(1)).as("tok_df"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tok_df"), col("ng_h"))
+    val prefix = repSh.join(tokDf, "ng_h")
+      .join(reps, "doc_id")
+      .withColumn("rnk", row_number().over(byRarity))
+      .filter(col("rnk") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("doc_id"), col("ng_h"), col("n_sh"))
+      .localCheckpoint(true)
+    // 3. hot prefix tokens → reported stop set; only the tail pairs
+    val pfFreq = prefix.groupBy(col("ng_h")).agg(count(lit(1)).as("n_docs"))
+    val stopTokens = pfFreq.filter(col("n_docs") > hotTokenCap)
+    val tail = prefix.join(
+      pfFreq.filter(col("n_docs") <= hotTokenCap).select(col("ng_h")),
+      "ng_h")
+    // 4. candidates (with the size filter), then exact verify
+    val ta = tail.select(col("ng_h"), col("doc_id").as("doc_a"),
+      col("n_sh").as("na"))
+    val tb = tail.select(col("ng_h"), col("doc_id").as("doc_b"),
+      col("n_sh").as("nb"))
+    val cands = ta.join(tb,
+        Seq("ng_h")).filter(col("doc_a") < col("doc_b") &&
+        col("nb") >= ceil(lit(threshold) * col("na")) &&
+        col("na") >= ceil(lit(threshold) * col("nb")))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val sa = repSh.select(col("doc_id").as("da"), col("ng_h"))
+    val sb = repSh.select(col("doc_id").as("db"), col("ng_h").as("ng_h_b"))
+    val repPairs = cands
+      .join(sa, col("doc_a") === col("da"))
+      .join(sb, col("doc_b") === col("db") && col("ng_h") === col("ng_h_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(reps.select(col("doc_id").as("doc_a"), col("n_sh").as("na")),
+        "doc_a")
+      .join(reps.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")),
+        "doc_b")
+      .withColumn("jaccard",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") > threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // expansion: classes partition the id space — cross-class pairs via
+    // repPairs × membership (identical sets ⇒ identical jaccard), intra-
+    // class pairs at exactly 1.0; each unordered pair produced once.
+    val mA = classes.select(col("rep").as("doc_a"), col("doc_id").as("ma"))
+    val mB = classes.select(col("rep").as("doc_b"), col("doc_id").as("mb"))
+    val cross = repPairs.join(mA, "doc_a").join(mB, "doc_b")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("jaccard"))
+    val multi = classes.groupBy(col("rep")).agg(count(lit(1)).as("m"))
+      .filter(col("m") > 1).select(col("rep"))
+    val members = classes.select(col("rep"), col("doc_id")).join(multi, "rep")
+    val intra = members.as("a").join(members.as("b"),
+        col("a.rep") === col("b.rep") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    PrefixJaccard(cross.unionByName(intra), stopTokens,
+      classes.select(col("doc_id"), col("rep")))
+  }
+
+  /** Pairs-only face of [[prefixJaccardPairsDetail]]. */
+  def prefixJaccardPairs(shingleHashes: DataFrame, threshold: Double,
+      hotTokenCap: Long = HotPrefixTokenCap): DataFrame =
+    prefixJaccardPairsDetail(shingleHashes, threshold, hotTokenCap).pairs
+
+  /** Corpus-LM quality score (the CCNet/KenLM signal, Wenzek et al.
+    * 2020): each document's mean add-one-smoothed bigram
+    * log-probability under the unigram/bigram model induced by the
+    * corpus itself — ln((c(w1,w2) + 1) / (c(w1) + V)) averaged over the
+    * document's bigram OCCURRENCES (not types). Repetitive/boilerplate
+    * text scores high, incoherent text low; rank or winsorize on `lp`
+    * downstream (x31/x43).
+    *
+    * Two-pass scale shape: pass 1 aggregates the model (bigram counts,
+    * context counts, vocabulary size — vocabulary-sized frames, one
+    * shuffle each; persisted index tables on a cluster); pass 2 joins
+    * the document's bigram rows to the model on pre-aggregated keys
+    * (skew-safe — a hot bigram is ONE model row) and averages per doc.
+    * Emits (doc_id, n_bigrams, lp) with lp rounded to 6 dp (summation-
+    * order noise is sub-1e-13; the cosine family's policy). Documents
+    * with fewer than two words have no bigrams and are absent. */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bigrams = ngramRows(docs, idCol, textCol, 2, distinct = false)
+      .select(col("doc_id"), col("ngram"),
+        split_part(col("ngram"), lit(" "), lit(1)).as("w1"))
+      .localCheckpoint(true)
+    val unigrams = ngramRows(docs, idCol, textCol, 1, distinct = false)
+      .select(col("ngram").as("w"))
+      .localCheckpoint(true)
+    val c2 = bigrams.groupBy(col("ngram")).agg(count(lit(1)).as("c2"))
+    val c1 = unigrams.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val v = unigrams.agg(countDistinct(col("w")).as("v"))
+    bigrams
+      .join(c2, "ngram")
+      .join(c1, col("w1") === col("w"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c2") + lit(1.0)) / (col("c1") + col("v")))), 6)
+          .as("lp"))
   }
 
   /** Connected components over an undirected pair graph: each node labeled

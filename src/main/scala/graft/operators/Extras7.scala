@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.api.TextPipeline
+
+/** Round-6 second wave: the EXACT set-similarity join (the deterministic
+  * complement of the MinHash-LSH family) and corpus-LM quality scoring —
+  * the two remaining text-curation shapes a crawl-scale training
+  * pipeline runs that the board did not yet cover.
+  */
+object Extras7 {
+
+  /** X48 — exact all-pairs Jaccard join via prefix filtering
+    * ([[TextPipeline.prefixJaccardPairsDetail]]; Chaudhuri et al.
+    * ICDE'06 / PPJoin): every document pair with 3-gram-shingle Jaccard
+    * strictly above 0.5, found WITHOUT signatures — candidates come only
+    * from collisions inside rare-first prefixes, with exact-duplicate
+    * sets classed to one representative and hot prefix tokens
+    * stop-listed (x41/x47's guard design in token space). Run at t=0.5,
+    * BELOW the l2 LSH pipeline's 0.6 operating point, because this is
+    * where the exact algorithm earns its keep: b=64/r=2 band recall at
+    * J=0.5 is 1-(1-0.25)^64 ≈ 1-1e-8 per pair but degrades fast below
+    * it, while the prefix filter's pruning bound is algebraic at every
+    * threshold. The oracle recomputes the exhaustive answer, so recall
+    * AND precision are hash-checked pair by pair. */
+  def x48JaccardJoin(spark: SparkSession, sfDir: String): DataFrame =
+    TextPipeline.prefixJaccardPairs(
+        Dedup.shingleHashSet(spark, sfDir), 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** X49 — corpus-LM quality scoring (the CCNet/KenLM treatment, Wenzek
+    * et al. 2020, §4.3, as a two-pass distributed shape): score each
+    * document by the mean add-one-smoothed bigram log-probability of its
+    * own text under the LANGUAGE MODEL INDUCED BY THE CORPUS ITSELF —
+    * ln((c(w1,w2) + 1) / (c(w1) + V)) averaged over the document's
+    * bigram occurrences. Repetitive/boilerplate documents score HIGH
+    * (their bigrams dominate the corpus counts), incoherent ones score
+    * LOW — the standard perplexity-proxy signal used to rank crawl text
+    * for training-data selection.
+    *
+    * Scale shape: pass 1 builds the model — two grouped counts (bigram,
+    * unigram contexts) plus one scalar V, each one shuffle over
+    * vocabulary-sized frames; pass 2 joins the document's bigram rows to
+    * the model on the bigram/context keys (vocabulary tables, NOT the
+    * corpus — skew-safe because counts are pre-aggregated) and runs one
+    * per-doc average. Nothing is ever collected; the model tables are
+    * the only reused state and would persist as index tables on a
+    * cluster. Determinism: the per-bigram term is pure IEEE arithmetic
+    * on exact counts, identical in both engines; the per-doc mean is
+    * rounded to 6 dp (sub-1e-13 summation-order noise, same policy as
+    * the cosine family). */
+  def x49LmScore(spark: SparkSession, sfDir: String): DataFrame =
+    TextPipeline.lmScore(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x48_jaccard_join" -> (x48JaccardJoin _),
+    "x49_lm_score" -> (x49LmScore _))
+
+  val oracles: Map[String, String] = Map(
+    // the exhaustive exact answer — same frame the l2 oracle builds, at
+    // the lower threshold the exact algorithm supports
+    "x48_jaccard_join" ->
+      (s"WITH s AS (SELECT DISTINCT doc_id, ngram FROM (${TextOps.ngramSql(3)}) t), " +
+       "n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id), " +
+       "i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter " +
+       "FROM s a JOIN s b ON a.ngram = b.ngram AND a.doc_id < b.doc_id " +
+       "GROUP BY 1, 2) " +
+       "SELECT doc_a, doc_b, inter / (na.n_sh + nb.n_sh - inter) AS jaccard " +
+       "FROM i JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b " +
+       "WHERE inter / (na.n_sh + nb.n_sh - inter) > 0.5 ORDER BY doc_a, doc_b"),
+    "x49_lm_score" ->
+      (s"WITH bg AS (SELECT doc_id, ngram FROM (${TextOps.ngramSql(2)}) t), " +
+       s"uni AS (SELECT ngram AS w FROM (${TextOps.ngramSql(1)}) t), " +
+       "c2 AS (SELECT ngram, COUNT(*) AS c2 FROM bg GROUP BY 1), " +
+       "c1 AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY 1), " +
+       "v AS (SELECT COUNT(DISTINCT w) AS v FROM uni) " +
+       "SELECT b.doc_id, COUNT(*) AS n_bigrams, " +
+       "round(AVG(ln((c2.c2 + 1.0) / (c1.c1 + v.v))), 6) AS lp " +
+       "FROM bg b JOIN c2 ON b.ngram = c2.ngram " +
+       "JOIN c1 ON split_part(b.ngram, ' ', 1) = c1.w " +
+       "CROSS JOIN v GROUP BY b.doc_id ORDER BY doc_id"))
+}

@@ -186,6 +186,110 @@ object Subqueries {
         |ORDER BY p_brand""".stripMargin)
   }
 
+  /** SQL21 — TPC-H Q13 shape ("customer distribution"): orders per
+    * customer through a LEFT OUTER join whose JOIN CONDITION carries the
+    * filter (o_orderpriority <> '1-URGENT' must sit in the ON clause —
+    * in WHERE it would turn the outer join inner and drop the zero-order
+    * customers that are the query's point), then the distribution of
+    * customers over order counts. Two aggregations: the first shuffles
+    * on c_custkey (fact-sized), the second on c_count — a bounded-domain
+    * key, safe ONLY because input to it is already one row per customer
+    * (aggregate output, not a window funnel). */
+  def sql21CustDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM v_customer c LEFT OUTER JOIN v_orders o
+        |    ON c.c_custkey = o.o_custkey
+        |      AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+  }
+
+  /** SQL22 — TPC-H Q19 shape ("discounted revenue"): one join under a
+    * DISJUNCTION of per-brand conjunct bundles mixing part and lineitem
+    * predicates. The planner surface is the point: Catalyst extracts
+    * the common equi-join key from under the OR, converts the filter
+    * toward CNF, and pushes the brand/size disjuncts down to the part
+    * scan while the mixed-side residual evaluates post-join — the
+    * predicate shape naive planners turn into a cartesian re-scan per
+    * bundle. */
+  def sql22DisjunctRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+  }
+
+  /** SQL23 — TPC-H Q10 shape ("returned item reporting"): revenue lost
+    * to returns per customer over one quarter — a four-table star join
+    * (fact filtered on l_returnflag, time-range filter on orders, nation
+    * broadcast onto the grouped output), top 20 by revenue. Both range
+    * filters push to the scans; the aggregate shuffles on the composite
+    * customer key once. Tie-broken on c_custkey before LIMIT. */
+  def sql23ReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(
+      """SELECT c.c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM v_customer c
+        |  JOIN v_orders   ON o_custkey = c.c_custkey
+        |  JOIN v_lineitem ON l_orderkey = o_orderkey
+        |  JOIN v_nation   ON n_nationkey = c.c_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY c.c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin)
+  }
+
+  /** SQL24 — TPC-H Q8 shape ("national market share"): NATION_5's share
+    * of ASIA-customer revenue per order year. Six-way snowflake join
+    * (region→nation filters the customer side; a second nation alias
+    * names the supplier side) feeding a conditional-share aggregate.
+    * Share = decimal-exact conditional sum / decimal-exact total — the
+    * engines then divide the same two doubles, so the ratio is
+    * bit-identical without any rounding column. */
+  def sql24MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    Tables.region(spark, sfDir).createOrReplaceTempView("v_region")
+    spark.sql(
+      """SELECT o_year,
+        |  CAST(SUM(CAST(CASE WHEN nation = 'NATION_5' THEN volume
+        |                     ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+        |  / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS mkt_share,
+        |  COUNT(*) AS n_items
+        |FROM (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    l_extendedprice * (1 - l_discount) AS volume,
+        |    n2.n_name AS nation
+        |  FROM v_lineitem
+        |    JOIN v_supplier  ON s_suppkey = l_suppkey
+        |    JOIN v_orders    ON o_orderkey = l_orderkey
+        |    JOIN v_customer  ON c_custkey = o_custkey
+        |    JOIN v_nation n1 ON n1.n_nationkey = c_nationkey
+        |    JOIN v_region    ON r_regionkey = n1.n_regionkey
+        |    JOIN v_nation n2 ON n2.n_nationkey = s_nationkey
+        |  WHERE r_name = 'ASIA') all_nations
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin)
+  }
+
   /** SQL5 — correlated scalar subquery + IN-subquery + EXISTS, all
     * decorrelated by Catalyst into joins. */
   def sql5Subqueries(spark: SparkSession, sfDir: String): DataFrame = {
@@ -322,6 +426,10 @@ object Subqueries {
     "sql18_waiting_suppliers" -> (sql18WaitingSuppliers _),
     "sql19_no_big_order" -> (sql19NoBigOrder _),
     "sql20_small_qty_revenue" -> (sql20SmallQtyRevenue _),
+    "sql21_cust_distribution" -> (sql21CustDistribution _),
+    "sql22_disjunct_revenue" -> (sql22DisjunctRevenue _),
+    "sql23_returned_items" -> (sql23ReturnedItems _),
+    "sql24_market_share" -> (sql24MarketShare _),
     "x11_gapfill" -> (x11GapFill _))
 
   val oracles: Map[String, String] = Map(
@@ -407,6 +515,54 @@ object Subqueries {
        "AS DOUBLE) / COUNT(*)) " +
        "FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey) " +
        "GROUP BY p_brand ORDER BY p_brand"),
+    "sql21_cust_distribution" ->
+      ("SELECT c_count, COUNT(*) AS custdist FROM (" +
+       "SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count " +
+       "FROM customer c LEFT OUTER JOIN orders o " +
+       "ON c.c_custkey = o.o_custkey " +
+       "AND o.o_orderpriority <> '1-URGENT' " +
+       "GROUP BY c.c_custkey) c_orders " +
+       "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+    "sql22_disjunct_revenue" ->
+      ("SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) " +
+       "AS DECIMAL(18,6))) AS DOUBLE) AS revenue, COUNT(*) AS n_items " +
+       "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+       "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 " +
+       "AND l_quantity BETWEEN 1 AND 11) " +
+       "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25 " +
+       "AND l_quantity BETWEEN 10 AND 20) " +
+       "OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35 " +
+       "AND l_quantity BETWEEN 20 AND 30)"),
+    "sql23_returned_items" ->
+      ("SELECT c.c_custkey, c_name, c_acctbal, n_name, " +
+       "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) " +
+       "AS DECIMAL(18,6))) AS DOUBLE) AS revenue " +
+       "FROM customer c " +
+       "JOIN orders ON o_custkey = c.c_custkey " +
+       "JOIN lineitem ON l_orderkey = o_orderkey " +
+       "JOIN nation ON n_nationkey = c.c_nationkey " +
+       "WHERE l_returnflag = 'R' " +
+       "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+       "AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' " +
+       "GROUP BY c.c_custkey, c_name, c_acctbal, n_name " +
+       "ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    "sql24_market_share" ->
+      ("SELECT o_year, " +
+       "CAST(SUM(CAST(CASE WHEN nation = 'NATION_5' THEN volume " +
+       "ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) " +
+       "/ CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) " +
+       "AS mkt_share, COUNT(*) AS n_items FROM (" +
+       "SELECT year(o_orderdate) AS o_year, " +
+       "l_extendedprice * (1 - l_discount) AS volume, " +
+       "n2.n_name AS nation FROM lineitem " +
+       "JOIN supplier ON s_suppkey = l_suppkey " +
+       "JOIN orders ON o_orderkey = l_orderkey " +
+       "JOIN customer ON c_custkey = o_custkey " +
+       "JOIN nation n1 ON n1.n_nationkey = c_nationkey " +
+       "JOIN region ON r_regionkey = n1.n_regionkey " +
+       "JOIN nation n2 ON n2.n_nationkey = s_nationkey " +
+       "WHERE r_name = 'ASIA') all_nations " +
+       "GROUP BY o_year ORDER BY o_year"),
     "s10_range" ->
       ("SELECT range AS id, range * range AS sq, range % 7 AS m, " +
        "CAST(range AS DOUBLE) / 999.0 AS frac " +

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.api.TextPipeline
+
+class Extras7Spec extends SparkSpec {
+  import spark.implicits._
+
+  /** Exhaustive exact Jaccard over a hashed shingle frame — the brute
+    * force the prefix filter must reproduce exactly. */
+  private def brutePairs(sh: DataFrame, t: Double): Set[(Long, Long, Double)] = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("da"), col("ng_h"))
+    val b = sh.select(col("doc_id").as("db"), col("ng_h").as("hb"))
+    a.join(b, col("ng_h") === col("hb") && col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("j"))
+      .filter(col("j") > t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  private def shingleFrame(sets: Seq[(Long, Seq[Long])]): DataFrame =
+    sets.flatMap { case (id, hs) => hs.map(id -> _) }.toDF("doc_id", "ng_h")
+
+  test("prefix Jaccard join equals brute force on a corpus with duplicate classes and near-dups") {
+    // 3-member exact-duplicate class, one genuine near-pair (J = 0.6),
+    // one borderline-below pair (J = 0.5, excluded by the strict >),
+    // and ambient disjoint docs.
+    val sets = Seq(
+      1L -> Seq(10L, 11L, 12L, 13L),          // class rep
+      2L -> Seq(10L, 11L, 12L, 13L),          // dup
+      3L -> Seq(10L, 11L, 12L, 13L),          // dup
+      4L -> Seq(10L, 11L, 12L, 14L),          // J(1,4)=3/5=0.6 > 0.5
+      5L -> Seq(10L, 11L, 15L, 16L),          // J(1,5)=2/6=1/3
+      6L -> Seq(20L, 21L, 22L, 23L, 24L, 25L), // disjoint
+      7L -> Seq(30L, 31L))
+    val sh = shingleFrame(sets)
+    val detail = TextPipeline.prefixJaccardPairsDetail(sh, 0.5)
+    val got = detail.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brutePairs(sh, 0.5))
+    // the duplicate class expands to its 3 intra pairs at exactly 1.0
+    // and every member inherits the rep's cross pair with doc 4
+    assert(got.filter(_._3 == 1.0).map(p => (p._1, p._2)) ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(got.count(p => p._2 == 4L || p._1 == 4L) == 3)
+    assert(detail.stopTokens.count() == 0)
+    val classes = detail.classes.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(classes(2L) == 1L && classes(3L) == 1L && classes(6L) == 6L)
+  }
+
+  test("rare-first prefixes keep frequent tokens out of the candidate join") {
+    // 40 docs sharing one frequent token, each with a unique rare one:
+    // at t = 0.9 the prefix is ONE token and rare-first ordering makes
+    // it the unique token, so there are zero candidate collisions even
+    // though every pair shares the hot token.
+    val sets = (0 until 40).map(i => (i.toLong, Seq(999L, 1000L + i)))
+    val detail = TextPipeline.prefixJaccardPairsDetail(shingleFrame(sets), 0.9)
+    assert(detail.pairs.count() == 0)
+    assert(detail.stopTokens.count() == 0)
+  }
+
+  test("hot prefix tokens are stop-listed, reported, and the cap bounds the join input") {
+    // At t = 0.3 the 2-token docs keep BOTH tokens in their prefixes, so
+    // the shared token appears in 40 prefixes: above the cap of 16 it is
+    // stop-listed (reported, candidates suppressed); with the cap lifted
+    // the same corpus yields all 40*39/2 true pairs at J = 1/3.
+    val sets = (0 until 40).map(i => (i.toLong, Seq(999L, 1000L + i)))
+    val sh = shingleFrame(sets)
+    val capped = TextPipeline.prefixJaccardPairsDetail(sh, 0.3,
+      hotTokenCap = 16L)
+    val stops = capped.stopTokens.collect()
+    assert(stops.length == 1 && stops(0).getLong(1) == 40L)
+    assert(capped.pairs.count() == 0)
+    val uncapped = TextPipeline.prefixJaccardPairsDetail(sh, 0.3,
+      hotTokenCap = 1000L)
+    assert(uncapped.pairs.count() == 40L * 39 / 2)
+    assert(uncapped.pairs.collect().forall(r =>
+      math.abs(r.getDouble(2) - 1.0 / 3) < 1e-12))
+  }
+
+  test("prefix Jaccard matches the LSH pipeline at its own operating point") {
+    // Same corpus, both pipelines at t = 0.6: the exact join must find
+    // precisely the pairs the (recall-1-by-construction) LSH verify
+    // emits on the contract corpus.
+    val dir = "/root/testdata/sf0.001"
+    val sh = graft.operators.Dedup.shingleHashSet(spark, dir)
+    val exact = TextPipeline.prefixJaccardPairs(sh, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = TextPipeline.nearDupPairsHashed(sh).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact == lsh)
+    assert(exact.nonEmpty)
+  }
+
+  test("LM score ranks corpus-typical text above incoherent text") {
+    // 20 near-identical documents build a model where their shared
+    // bigrams are frequent; one ransom-note document of the same length
+    // from singleton words scores strictly lower.
+    val typical = (0 until 20).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog"))
+    val noise = Seq((99L, "zq xv jk wp mn bg ht rd lc fs"))
+    val docs = (typical ++ noise).toDF("doc_id", "text")
+    val scores = TextPipeline.lmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(0L) == scores(19L)) // identical docs, identical score
+    assert(scores(99L) < scores(0L))
+    // 9-word typical docs -> 8 bigrams; the 10-word noise doc -> 9
+    val n = TextPipeline.lmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n(0L) == 8L && n(99L) == 9L)
+  }
+
+  test("LM score is exact: hand-computed two-doc model") {
+    // doc 1: "a b a b" -> bigrams ab, ba, ab; doc 2: "a c".
+    // unigrams: a=3? no: doc1 a,b,a,b + doc2 a,c -> c(a)=3, c(b)=2, c(c)=1, V=3.
+    // c2: ab=2, ba=1, ac=1.
+    // doc1 lp = (ln(3/6) + ln(2/5) + ln(3/6)) / 3 ; doc2 lp = ln(2/6).
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val scores = TextPipeline.lmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val lp1 = (math.log(3.0 / 6) + math.log(2.0 / 5) + math.log(3.0 / 6)) / 3
+    val lp2 = math.log(2.0 / 6)
+    assert(scores(1L)._1 == 3L)
+    assert(scores(2L)._1 == 1L)
+    assert(math.abs(scores(1L)._2 - lp1) < 1e-6)
+    assert(math.abs(scores(2L)._2 - lp2) < 1e-6)
+  }
+}

@@ -313,4 +313,34 @@ class PropertySpec extends SparkSpec {
       got == expect
     })
   }
+
+  test("prefix-filter Jaccard join equals driver-side brute force for any sets and threshold") {
+    import spark.implicits._
+    // small token universe forces overlaps, duplicate sets, and subset
+    // relations; thresholds sweep the prefix-length boundary cases
+    val corpusGen = for {
+      n <- Gen.chooseNum(2, 12)
+      sets <- Gen.listOfN(n, Gen.nonEmptyListOf(Gen.chooseNum(0L, 15L)))
+      t <- Gen.oneOf(0.3, 0.5, 0.7, 0.9)
+    } yield (sets.map(_.distinct).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }, t)
+    check(Prop.forAll(corpusGen) { case (sets, t) =>
+      val sh = sets.flatMap { case (id, hs) => hs.map(id -> _) }
+        .toDF("doc_id", "ng_h")
+      val got = graft.api.TextPipeline.prefixJaccardPairs(sh, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+        .toSet
+      val byId = sets.toMap.map { case (k, v) => k -> v.toSet }
+      val ids = byId.keys.toSeq.sorted
+      val expect = (for {
+        a <- ids; b <- ids if a < b
+        inter = (byId(a) & byId(b)).size
+        j = inter.toDouble / (byId(a).size + byId(b).size - inter)
+        if j > t
+      } yield (a, b,
+        BigDecimal(j).setScale(9, BigDecimal.RoundingMode.HALF_UP))).toSet
+      got == expect
+    })
+  }
 }
