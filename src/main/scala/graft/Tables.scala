@@ -59,8 +59,25 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
 
-  /** events with `ts` as epoch-nanos BIGINT (see tune()). */
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** events with `ts` as epoch-nanos BIGINT — the contract every event
+    * query codes against. The driver corpus has shipped two physical
+    * spellings of `ts`: INT64 TIMESTAMP(NANOS) (read as LongType via
+    * nanosAsLong, already epoch-ns) and µs TIMESTAMP (current corpus).
+    * Normalize HERE, once, by schema inspection: downstream operators
+    * and the `ts div 1000` µs policy ([[eventsUs]]) stay unchanged, and
+    * the DuckDB oracle's epoch_ns(ts)/epoch_us(ts) reads the same
+    * instants from either spelling. Session TZ is pinned UTC (tune()),
+    * so the NTZ→instant cast is timezone-free. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.LongType
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ => df.withColumn(
+        "ts", expr("unix_micros(cast(ts AS TIMESTAMP)) * 1000L"))
+    }
+  }
 
   /** events with `ts` truncated to epoch-MICROS (BIGINT, integer division —
     * no double round-trip). DuckDB 1.0 reads the same parquet as a

@@ -162,19 +162,37 @@ object Streams {
     * (sfDir, copies) and files are copied with REPLACE_EXISTING, so
     * repeated replays reuse it instead of leaking one staged copy of
     * events.parquet per streaming query per run. */
-  private def stage(sfDir: String, copies: Int): String = {
+  private def stage(spark: SparkSession, sfDir: String, copies: Int): String = {
     val dir = Paths.get(Tables.scratchDir(s"stream$copies", sfDir))
-    Files.createDirectories(dir)
-    val src = Paths.get(s"$sfDir/events.parquet")
-    val srcSize = Files.size(src)
-    (0 until copies).foreach { i =>
-      val dst = dir.resolve(s"events_$i.parquet")
-      // copy only when missing or stale — ~10 streaming queries share
-      // this staging and the source never changes within a run
-      if (!Files.exists(dst) || Files.size(dst) != srcSize) {
-        Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
-      }
+    // staged files must carry the NORMALIZED events schema (ts as
+    // epoch-ns BIGINT — Tables.events), not the raw driver file's, so
+    // readStream.schema(Tables.events(..).schema) always matches the
+    // bytes on disk regardless of which physical ts spelling the driver
+    // corpus ships. One Spark write per (sfDir, copies), reused across
+    // runs via the size marker.
+    val marker = dir.resolve("_staged_from_size")
+    val srcSize = Files.size(Paths.get(s"$sfDir/events.parquet"))
+    if (Files.exists(marker) &&
+        Files.readString(marker) == srcSize.toString &&
+        (0 until copies).forall(i =>
+          Files.exists(dir.resolve(s"events_$i.parquet")))) {
+      return dir.toString
     }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir.toString), true)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve("_tmp_stage")
+    Tables.events(spark, sfDir).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    (0 until copies).foreach { i =>
+      Files.copy(part, dir.resolve(s"events_$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
+    Files.writeString(marker, srcSize.toString)
     dir.toString
   }
 
@@ -182,7 +200,8 @@ object Streams {
     * (TimestampType, µs precision) columns. */
   def eventStream(spark: SparkSession, sfDir: String, copies: Int = 1): DataFrame = {
     val schema = Tables.events(spark, sfDir).schema
-    Tables.tune(spark).readStream.schema(schema).parquet(stage(sfDir, copies))
+    Tables.tune(spark).readStream.schema(schema)
+      .parquet(stage(spark, sfDir, copies))
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
   }

@@ -261,7 +261,7 @@ class StreamsSpec extends SparkSpec {
     val events = Paths.get(s"$sf/events.parquet")
     def addCopy(i: Int): Unit = Files.copy(events,
       srcDir.resolve(s"events_$i.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    val schema = Tables.events(spark, sf).schema
+    val schema = Tables.tune(spark).read.parquet(events.toString).schema
     def run(): Unit = {
       // maxFilesPerTrigger=1 → one micro-batch per staged file, so the
       // checkpoint carries real multi-batch offset/commit history
@@ -441,7 +441,7 @@ class StreamsSpec extends SparkSpec {
     val events = Paths.get(s"$sf/events.parquet")
     (0 until 3).foreach(i => Files.copy(events,
       srcDir.resolve(s"events_$i.parquet"), StandardCopyOption.REPLACE_EXISTING))
-    val schema = Tables.events(spark, sf).schema
+    val schema = Tables.tune(spark).read.parquet(events.toString).schema
     val outDir = s"$base/data"
     def run(): Unit = {
       val q = Tables.tune(spark).readStream.schema(schema)
