@@ -290,6 +290,144 @@ object Subqueries {
         |ORDER BY o_year""".stripMargin)
   }
 
+  /** SQL25 — TPC-H Q4 shape ("order priority checking"): orders placed
+    * in one quarter having at least one late line item (ships > 60 days
+    * after the order date — the schema has no commit/receipt dates, so
+    * the lateness predicate is the same adaptation sql18 uses), counted
+    * per priority. The EXISTS decorrelates to a LEFT SEMI join on
+    * o_orderkey, so lineitem is touched once; the quarter filter pushes
+    * to the orders scan BEFORE the semi join probes, keeping the build
+    * side a single quarter of orders. */
+  def sql25OrderPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM v_orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM v_lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** SQL26 — TPC-H Q12 shape ("shipping mode / priority"): late line
+    * items of one ship year split into high- vs low-priority counts per
+    * category. The schema has no l_shipmode, so the returnflag plays the
+    * mode (same categorical role: low-cardinality lineitem attribute);
+    * lateness is the sql18/sql25 ship-lag adaptation. The two CASE sums
+    * are integer counts — no float path at all, so the cross-engine
+    * compare is exact by construction. One fact-fact join, both range
+    * filters pushed to the lineitem scan. */
+  def sql26ShipPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS low_line_count
+        |FROM v_orders JOIN v_lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag IN ('A', 'R')
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** SQL27 — TPC-H Q9 shape ("product type profit"): per supplier-nation
+    * and order year, profit on parts matching a name pattern. The schema
+    * has no partsupp, so supply cost is modeled from the part's list
+    * price (p_retailprice × quantity × 0.1) — the join tree (lineitem ⋈
+    * supplier ⋈ part ⋈ orders ⋈ nation, LIKE filter on part pushed to
+    * its scan, broadcast dims around the fact) is the exercise, not the
+    * cost constant. Per-row amount is plain double arithmetic (identical
+    * expression both engines), summed through DECIMAL(18,6). */
+  def sql27ProductProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(
+      """SELECT nation, o_year,
+        |  CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit,
+        |  COUNT(*) AS n_items
+        |FROM (
+        |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |    l_extendedprice * (1 - l_discount)
+        |      - p_retailprice * l_quantity * 0.1 AS amount
+        |  FROM v_lineitem
+        |    JOIN v_supplier ON s_suppkey = l_suppkey
+        |    JOIN v_part     ON p_partkey = l_partkey
+        |    JOIN v_orders   ON o_orderkey = l_orderkey
+        |    JOIN v_nation   ON n_nationkey = s_nationkey
+        |  WHERE p_name LIKE '%bolt%'
+        |) profit
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin)
+  }
+
+  /** SQL28 — TPC-H Q11 shape ("important stock"): per-part shipped value
+    * from one nation's suppliers, kept only where it exceeds a fraction
+    * of that nation's grand total. No partsupp, so lineitem plays the
+    * stock table. The signature move is the HAVING against a SCALAR
+    * subquery over the same derived table — Catalyst evaluates the
+    * one-row global aggregate once and broadcasts it into the HAVING
+    * filter (no per-group re-execution), which the plan spec locks in.
+    * Both HAVING sides compare as DOUBLE over exact DECIMAL sums so the
+    * boundary part set is engine-independent. */
+  def sql28ImportantStock(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(
+      """WITH supplied AS (
+        |  SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,4)) AS val
+        |  FROM v_lineitem JOIN v_supplier ON s_suppkey = l_suppkey
+        |  WHERE s_nationkey = 7
+        |)
+        |SELECT l_partkey, CAST(SUM(val) AS DOUBLE) AS value
+        |FROM supplied
+        |GROUP BY l_partkey
+        |HAVING CAST(SUM(val) AS DOUBLE) >
+        |  (SELECT CAST(SUM(val) AS DOUBLE) * 0.001 FROM supplied)
+        |ORDER BY value DESC, l_partkey""".stripMargin)
+  }
+
+  /** SQL29 — TPC-H Q20 shape ("potential part promotion"): suppliers in
+    * a nation group who dominate the supply of some qualifying part —
+    * shipped more than 1.5× their fair share of that part's total
+    * quantity. Without partsupp the availability test becomes a
+    * dominance test over lineitem (fair-share rather than a fixed
+    * fraction, so the qualifying set stays non-empty as the supplier
+    * count per part grows with SF): per-(part, supplier) quantity vs
+    * per-part total and supplier count, all reduced from the SAME
+    * single-pass pair aggregate (the total is a re-aggregate of the
+    * pair table — lineitem is scanned once), then an IN semi join
+    * filters supplier. Nested aggregation feeding a semi join is the
+    * Q20 planner exercise. */
+  def sql29PartPromotion(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(
+      """WITH perpair AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+        |  FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE 'small%'
+        |  GROUP BY l_partkey, l_suppkey
+        |), pertotal AS (
+        |  SELECT l_partkey, SUM(qty) AS total, COUNT(*) AS nsupp
+        |  FROM perpair GROUP BY l_partkey
+        |)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM v_supplier
+        |WHERE s_suppkey IN (
+        |    SELECT l_suppkey
+        |    FROM perpair JOIN pertotal USING (l_partkey)
+        |    WHERE CAST(qty AS DOUBLE) >
+        |      1.5 * CAST(total AS DOUBLE) / nsupp)
+        |  AND s_nationkey <= 5
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
   /** SQL5 — correlated scalar subquery + IN-subquery + EXISTS, all
     * decorrelated by Catalyst into joins. */
   def sql5Subqueries(spark: SparkSession, sfDir: String): DataFrame = {
@@ -430,6 +568,11 @@ object Subqueries {
     "sql22_disjunct_revenue" -> (sql22DisjunctRevenue _),
     "sql23_returned_items" -> (sql23ReturnedItems _),
     "sql24_market_share" -> (sql24MarketShare _),
+    "sql25_order_priority" -> (sql25OrderPriority _),
+    "sql26_ship_priority" -> (sql26ShipPriority _),
+    "sql27_product_profit" -> (sql27ProductProfit _),
+    "sql28_important_stock" -> (sql28ImportantStock _),
+    "sql29_part_promotion" -> (sql29PartPromotion _),
     "x11_gapfill" -> (x11GapFill _))
 
   val oracles: Map[String, String] = Map(
@@ -563,6 +706,66 @@ object Subqueries {
        "JOIN nation n2 ON n2.n_nationkey = s_nationkey " +
        "WHERE r_name = 'ASIA') all_nations " +
        "GROUP BY o_year ORDER BY o_year"),
+    "sql25_order_priority" ->
+      ("SELECT o_orderpriority, COUNT(*) AS order_count " +
+       "FROM orders o " +
+       "WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00' " +
+       "AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00' " +
+       "AND EXISTS (SELECT 1 FROM lineitem l " +
+       "WHERE l.l_orderkey = o.o_orderkey " +
+       "AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) " +
+       "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "sql26_ship_priority" ->
+      ("SELECT l_returnflag, " +
+       "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+       "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+       "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') " +
+       "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count " +
+       "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+       "WHERE l_returnflag IN ('A', 'R') " +
+       "AND l_shipdate > o_orderdate + INTERVAL 30 DAY " +
+       "AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+       "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+       "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "sql27_product_profit" ->
+      ("SELECT nation, o_year, " +
+       "CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit, " +
+       "COUNT(*) AS n_items FROM (" +
+       "SELECT n_name AS nation, year(o_orderdate) AS o_year, " +
+       "l_extendedprice * (1 - l_discount) " +
+       "- p_retailprice * l_quantity * 0.1 AS amount " +
+       "FROM lineitem " +
+       "JOIN supplier ON s_suppkey = l_suppkey " +
+       "JOIN part ON p_partkey = l_partkey " +
+       "JOIN orders ON o_orderkey = l_orderkey " +
+       "JOIN nation ON n_nationkey = s_nationkey " +
+       "WHERE p_name LIKE '%bolt%') profit " +
+       "GROUP BY nation, o_year ORDER BY nation, o_year DESC"),
+    "sql28_important_stock" ->
+      ("WITH supplied AS (" +
+       "SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,4)) AS val " +
+       "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey " +
+       "WHERE s_nationkey = 7) " +
+       "SELECT l_partkey, CAST(SUM(val) AS DOUBLE) AS value " +
+       "FROM supplied GROUP BY l_partkey " +
+       "HAVING CAST(SUM(val) AS DOUBLE) > " +
+       "(SELECT CAST(SUM(val) AS DOUBLE) * 0.001 FROM supplied) " +
+       "ORDER BY value DESC, l_partkey"),
+    "sql29_part_promotion" ->
+      ("WITH perpair AS (" +
+       "SELECT l_partkey, l_suppkey, " +
+       "SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty " +
+       "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+       "WHERE p_name LIKE 'small%' " +
+       "GROUP BY l_partkey, l_suppkey), " +
+       "pertotal AS (SELECT l_partkey, SUM(qty) AS total, " +
+       "COUNT(*) AS nsupp FROM perpair GROUP BY l_partkey) " +
+       "SELECT s_suppkey, s_name, s_acctbal FROM supplier " +
+       "WHERE s_suppkey IN (" +
+       "SELECT l_suppkey FROM perpair JOIN pertotal USING (l_partkey) " +
+       "WHERE CAST(qty AS DOUBLE) > " +
+       "1.5 * CAST(total AS DOUBLE) / nsupp) " +
+       "AND s_nationkey <= 5 ORDER BY s_suppkey"),
     "s10_range" ->
       ("SELECT range AS id, range * range AS sq, range % 7 AS m, " +
        "CAST(range AS DOUBLE) / 999.0 AS frac " +
