@@ -399,11 +399,14 @@ object Subqueries {
     * dominance test over lineitem (fair-share rather than a fixed
     * fraction, so the qualifying set stays non-empty as the supplier
     * count per part grows with SF): per-(part, supplier) quantity vs
-    * per-part total and supplier count, all reduced from the SAME
-    * single-pass pair aggregate (the total is a re-aggregate of the
-    * pair table — lineitem is scanned once), then an IN semi join
-    * filters supplier. Nested aggregation feeding a semi join is the
-    * Q20 planner exercise. */
+    * per-part total and supplier count. The total is a WINDOW over the
+    * pair aggregate, not a re-aggregate-and-join — lineitem is scanned
+    * and pair-aggregated exactly ONCE, then one l_partkey exchange
+    * feeds the window (a naive two-CTE formulation plans the pair
+    * aggregate twice unless AQE's exchange reuse rescues it). The
+    * qualifying supplier set then filters supplier through an IN semi
+    * join. Nested aggregation feeding a semi join is the Q20 planner
+    * exercise. */
   def sql29PartPromotion(spark: SparkSession, sfDir: String): DataFrame = {
     views(spark, sfDir)
     spark.sql(
@@ -413,15 +416,16 @@ object Subqueries {
         |  FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
         |  WHERE p_name LIKE 'small%'
         |  GROUP BY l_partkey, l_suppkey
-        |), pertotal AS (
-        |  SELECT l_partkey, SUM(qty) AS total, COUNT(*) AS nsupp
-        |  FROM perpair GROUP BY l_partkey
+        |), dominance AS (
+        |  SELECT l_suppkey, qty,
+        |    SUM(qty)  OVER (PARTITION BY l_partkey) AS total,
+        |    COUNT(*)  OVER (PARTITION BY l_partkey) AS nsupp
+        |  FROM perpair
         |)
         |SELECT s_suppkey, s_name, s_acctbal
         |FROM v_supplier
         |WHERE s_suppkey IN (
-        |    SELECT l_suppkey
-        |    FROM perpair JOIN pertotal USING (l_partkey)
+        |    SELECT l_suppkey FROM dominance
         |    WHERE CAST(qty AS DOUBLE) >
         |      1.5 * CAST(total AS DOUBLE) / nsupp)
         |  AND s_nationkey <= 5
@@ -758,11 +762,13 @@ object Subqueries {
        "FROM lineitem JOIN part ON p_partkey = l_partkey " +
        "WHERE p_name LIKE 'small%' " +
        "GROUP BY l_partkey, l_suppkey), " +
-       "pertotal AS (SELECT l_partkey, SUM(qty) AS total, " +
-       "COUNT(*) AS nsupp FROM perpair GROUP BY l_partkey) " +
+       "dominance AS (SELECT l_suppkey, qty, " +
+       "SUM(qty) OVER (PARTITION BY l_partkey) AS total, " +
+       "COUNT(*) OVER (PARTITION BY l_partkey) AS nsupp " +
+       "FROM perpair) " +
        "SELECT s_suppkey, s_name, s_acctbal FROM supplier " +
        "WHERE s_suppkey IN (" +
-       "SELECT l_suppkey FROM perpair JOIN pertotal USING (l_partkey) " +
+       "SELECT l_suppkey FROM dominance " +
        "WHERE CAST(qty AS DOUBLE) > " +
        "1.5 * CAST(total AS DOUBLE) / nsupp) " +
        "AND s_nationkey <= 5 ORDER BY s_suppkey"),
