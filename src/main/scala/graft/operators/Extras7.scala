@@ -55,9 +55,40 @@ object Extras7 {
     TextPipeline.lmScore(Tables.documents(spark, sfDir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** SQL30 — SQL-defined scalar UDFs (Spark 4 `CREATE FUNCTION ...
+    * RETURN <expr>`): the discounted-price and charge formulas declared
+    * ONCE as catalog functions and reused by name. Unlike a JVM UDF
+    * (f8's opaque-function tier), a SQL UDF is INLINED by the analyzer —
+    * the plan contains only the underlying arithmetic expression, so it
+    * stays inside whole-stage codegen, pushes/prunes like any
+    * expression, and costs nothing at 100 TB. The spec pins the
+    * inlining (no ScalaUDF node in the optimized plan); the oracle runs
+    * the expanded expression directly. */
+  def sql30SqlUdf(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("v_lineitem")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        |RETURNS DOUBLE RETURN p * (1 - d)""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION charge(
+        |  p DOUBLE, d DOUBLE, t DOUBLE)
+        |RETURNS DOUBLE RETURN disc_price(p, d) * (1 + t)""".stripMargin)
+    spark.sql(
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(disc_price(l_extendedprice, l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(charge(l_extendedprice, l_discount, l_tax)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS total_charge,
+        |  COUNT(*) AS n_items
+        |FROM v_lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x48_jaccard_join" -> (x48JaccardJoin _),
-    "x49_lm_score" -> (x49LmScore _))
+    "x49_lm_score" -> (x49LmScore _),
+    "sql30_sql_udf" -> (sql30SqlUdf _))
 
   val oracles: Map[String, String] = Map(
     // the exhaustive exact answer — same frame the l2 oracle builds, at
@@ -81,5 +112,14 @@ object Extras7 {
        "round(AVG(ln((c2.c2 + 1.0) / (c1.c1 + v.v))), 6) AS lp " +
        "FROM bg b JOIN c2 ON b.ngram = c2.ngram " +
        "JOIN c1 ON split_part(b.ngram, ' ', 1) = c1.w " +
-       "CROSS JOIN v GROUP BY b.doc_id ORDER BY doc_id"))
+       "CROSS JOIN v GROUP BY b.doc_id ORDER BY doc_id"),
+    // the UDF bodies expanded by hand — what Spark's analyzer inlines
+    "sql30_sql_udf" ->
+      ("SELECT l_returnflag, " +
+       "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) " +
+       "AS DECIMAL(18,6))) AS DOUBLE) AS revenue, " +
+       "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) " +
+       "AS DECIMAL(18,6))) AS DOUBLE) AS total_charge, " +
+       "COUNT(*) AS n_items " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
 }

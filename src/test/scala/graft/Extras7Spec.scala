@@ -116,6 +116,28 @@ class Extras7Spec extends SparkSpec {
     assert(n(0L) == 8L && n(99L) == 9L)
   }
 
+  test("sql30: SQL UDFs are inlined — no UDF node survives into the plans") {
+    val df = graft.operators.Extras7.sql30SqlUdf(spark, sf)
+    // the analyzer expands disc_price/charge to their defining
+    // expressions; an opaque function node in either plan would mean the
+    // hot path fell out of codegen
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val physical = df.queryExecution.executedPlan.toString
+    for (plan <- Seq(optimized, physical)) {
+      assert(!plan.contains("ScalaUDF"), plan.take(500))
+      assert(!plan.toLowerCase.contains("disc_price"), plan.take(500))
+    }
+    // and the inlined arithmetic computes the same revenue as the
+    // directly-written expression
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"))
+        .cast("double").as("revenue"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaUdf = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaUdf == direct)
+  }
+
   test("LM score is exact: hand-computed two-doc model") {
     // doc 1: "a b a b" -> bigrams ab, ba, ab; doc 2: "a c".
     // unigrams: a=3? no: doc1 a,b,a,b + doc2 a,c -> c(a)=3, c(b)=2, c(c)=1, V=3.
