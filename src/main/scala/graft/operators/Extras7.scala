@@ -85,10 +85,41 @@ object Extras7 {
         |ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** SQL31 — SQL-defined TABLE function (Spark 4 `CREATE FUNCTION ...
+    * RETURNS TABLE ... RETURN SELECT`), invoked LATERALLY with a
+    * correlated argument: "the well-funded suppliers of nation X" as a
+    * named, reusable catalog object rather than an inline subquery; the
+    * outer query counts and maxes them per nation. The analyzer inlines
+    * the body and decorrelates the lateral into a plain join + filter —
+    * the abstraction costs nothing at scale.
+    *
+    * DISCOVERED LIMIT-HOISTING HAZARD (locked out of the contract): in
+    * Spark 4.1 an ORDER BY ... LIMIT k INSIDE a correlated SQL table
+    * function is applied to the base table BEFORE the correlated filter
+    * (3 global rows instead of 3 per key), silently wrong vs the
+    * hand-written LATERAL (sql7), which plans per-key correctly. So the
+    * body stays filter-only; per-key top-k belongs to sql7/w6/w10. */
+  def sql31SqlTableFn(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("v_supplier")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("v_nation")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION nation_rich_suppliers(nk INT)
+        |RETURNS TABLE(s_suppkey BIGINT, s_acctbal DOUBLE)
+        |RETURN SELECT s_suppkey, s_acctbal FROM v_supplier
+        |  WHERE s_nationkey = nk AND s_acctbal > 1000.0""".stripMargin)
+    spark.sql(
+      """SELECT n_nationkey, COUNT(*) AS n_rich,
+        |  MAX(t.s_acctbal) AS top_bal
+        |FROM v_nation n, LATERAL nation_rich_suppliers(n.n_nationkey) t
+        |GROUP BY n_nationkey
+        |ORDER BY n_nationkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x48_jaccard_join" -> (x48JaccardJoin _),
     "x49_lm_score" -> (x49LmScore _),
-    "sql30_sql_udf" -> (sql30SqlUdf _))
+    "sql30_sql_udf" -> (sql30SqlUdf _),
+    "sql31_sql_table_fn" -> (sql31SqlTableFn _))
 
   val oracles: Map[String, String] = Map(
     // the exhaustive exact answer — same frame the l2 oracle builds, at
@@ -121,5 +152,13 @@ object Extras7 {
        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) " +
        "AS DECIMAL(18,6))) AS DOUBLE) AS total_charge, " +
        "COUNT(*) AS n_items " +
-       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // the function body expanded into the lateral — what the analyzer
+    // inlines
+    "sql31_sql_table_fn" ->
+      ("SELECT n.n_nationkey, COUNT(*) AS n_rich, " +
+       "MAX(t.s_acctbal) AS top_bal FROM nation n " +
+       "JOIN LATERAL (SELECT s_suppkey, s_acctbal FROM supplier s " +
+       "WHERE s.s_nationkey = n.n_nationkey AND s_acctbal > 1000.0) t " +
+       "ON true GROUP BY n.n_nationkey ORDER BY n_nationkey"))
 }

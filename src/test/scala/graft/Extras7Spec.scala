@@ -138,6 +138,19 @@ class Extras7Spec extends SparkSpec {
     assert(viaUdf == direct)
   }
 
+  test("sql31: correlated SQL table function equals the hand-written lateral") {
+    val viaTf = graft.operators.Extras7.sql31SqlTableFn(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Tables.supplier(spark, sf)
+      .filter(col("s_acctbal") > 1000.0)
+      .join(Tables.nation(spark, sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_nationkey"))
+      .agg(count(lit(1)).as("n_rich"), max(col("s_acctbal")).as("top_bal"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaTf == direct && viaTf.nonEmpty)
+  }
+
   test("LM score is exact: hand-computed two-doc model") {
     // doc 1: "a b a b" -> bigrams ab, ba, ab; doc 2: "a c".
     // unigrams: a=3? no: doc1 a,b,a,b + doc2 a,c -> c(a)=3, c(b)=2, c(c)=1, V=3.
