@@ -324,6 +324,126 @@ object VectorPipeline {
       .filter(col("sim") >= threshold)
   }
 
+  /** A trained product-quantization model: `codebooks` is the tiny
+    * (numSub × numCodes) centroid table (sub, code, cv); `codes` is the
+    * encoded corpus — ONE (vid, sub, code) row per sub-vector, i.e. the
+    * whole corpus compressed to numSub small ints per vector. At 100 TB
+    * the codes table (bytes per vector instead of 4·dims) is what makes
+    * exhaustive candidate scoring memory-feasible; the float vectors are
+    * only ever touched again for an optional exact re-rank. */
+  final case class PqModel(codebooks: DataFrame, codes: DataFrame)
+
+  /** (vid, sub, sv) sub-vector rows: each vector split into `numSub`
+    * contiguous width-`width` slices. */
+  private def pqSubRows(v: DataFrame, numSub: Int, width: Int): DataFrame = {
+    val subs = (0 until numSub).map(s =>
+      struct(lit(s).as("sub"), slice(col("ve"), s * width + 1, width).as("sv")))
+    v.select(col("vid"), explode(array(subs: _*)).as("q"))
+      .select(col("vid"), col("q.sub").as("sub"), col("q.sv").as("sv"))
+  }
+
+  /** Nearest-centroid assignment under L2, as an argmax of
+    * `sv·c − ½·c·c` (the −½‖c‖² form needs no per-row norm; ties break
+    * on the lower code, so assignment is total-order deterministic). */
+  private def pqAssign(subRows: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vid"), col("sub"))
+      .orderBy(col("score").desc, col("code").asc)
+    subRows.join(broadcast(cents), "sub")
+      .select(col("vid"), col("sub"), col("sv"), col("code"),
+        (DotProduct.dot(col("sv"), col("cv")) -
+          lit(0.5) * DotProduct.dot(col("cv"), col("cv"))).as("score"))
+      .withColumn("arn", row_number().over(w))
+      .filter(col("arn") === 1)
+      .select(col("vid"), col("sub"), col("sv"), col("code"))
+  }
+
+  /** Train PQ codebooks (Jégou et al., TPAMI 2011) with deterministic
+    * Lloyd iterations, fully distributed per step:
+    *  - init: each subspace's first `numCodes` sub-vectors in vid order;
+    *  - assign: broadcast the centroid table (numSub × numCodes rows —
+    *    always tiny), argmax with a total tie-break;
+    *  - update: per-(sub, code, dim) means summed through DECIMAL so the
+    *    new centroids are independent of partition merge order (float
+    *    means would make training run-dependent); empty clusters keep
+    *    their previous centroid.
+    * Only the centroid table ever reaches the driver (the standard
+    * k-means shape: the model is bounded, the data never moves). */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      numSub: Int = 8, numCodes: Int = 16, iters: Int = 3,
+      dims: Int = 64): PqModel = {
+    require(dims % numSub == 0, "dims must split evenly into subspaces")
+    val width = dims / numSub
+    val spark = corpus.sparkSession
+    val v = corpus.select(col(idCol).as("vid"), col(vecCol).as("ve"))
+    // reused iters+1 times — cut the lineage once
+    val sr = pqSubRows(v, numSub, width).localCheckpoint(true)
+    val wInit = Window.partitionBy(col("sub")).orderBy(col("vid"))
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sub",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    def centDf(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), centSchema)
+    var cents: Seq[org.apache.spark.sql.Row] = sr
+      .withColumn("rn", row_number().over(wInit))
+      .filter(col("rn") <= numCodes)
+      .select(col("sub"), (col("rn") - 1).cast("int").as("code"),
+        col("sv").as("cv"))
+      .collect().toSeq
+    for (_ <- 0 until iters) {
+      val updated = pqAssign(sr, centDf(cents))
+        .select(col("sub"), col("code"),
+          posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy(col("sub"), col("code"), col("d"))
+        .agg((sum(col("x").cast("decimal(28,10)")) / count(lit(1)))
+          .cast("float").as("m"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("d"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .collect().toSeq
+      val have = updated.map(r => (r.getInt(0), r.getInt(1))).toSet
+      cents = updated ++
+        cents.filterNot(r => have((r.getInt(0), r.getInt(1))))
+    }
+    val finalCents = centDf(cents).localCheckpoint(true)
+    val codes = pqAssign(sr, finalCents)
+      .select(col("vid"), col("sub"), col("code")).localCheckpoint(true)
+    PqModel(finalCents, codes)
+  }
+
+  /** Asymmetric-distance top-k over a trained [[PqModel]]: each probe
+    * computes a (numSub × numCodes) lookup table of partial dots against
+    * the codebooks (broadcast — never the corpus), then every corpus
+    * vector's approximate similarity is the sum of numSub LUT entries
+    * selected by its codes. The scan touches ONLY the compact codes
+    * table; partials are summed through DECIMAL for order-independence
+    * and rounded to 6 dp like every sim in this file. */
+  def pqAdcTopK(model: PqModel, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, numSub: Int = 8, dims: Int = 64): DataFrame = {
+    val width = dims / numSub
+    val p = probes.select(col(idCol).as("vid"), col(vecCol).as("ve"))
+    val lut = pqSubRows(p, numSub, width)
+      .join(broadcast(model.codebooks), "sub")
+      .select(col("vid").as("probe_id"), col("sub"), col("code"),
+        DotProduct.dot(col("sv"), col("cv"))
+          .cast("decimal(18,12)").as("part"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    model.codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vid") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vid"))
+      .agg(round(sum(col("part")).cast("double"), 6).as("sim"))
+      .select(col("probe_id"), col("vid").as("neighbor_id"), col("sim"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** All pairs with similarity at or above `threshold` (brute force —
     * the exact baseline for near-dup detection in embedding space). */
   def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String,

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.VectorPipeline
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(seed: Int, dims: Int = 64): Seq[Float] = {
+    val r = new scala.util.Random(seed)
+    val raw = Seq.fill(dims)(r.nextDouble() * 2 - 1)
+    val norm = math.sqrt(raw.map(x => x * x).sum)
+    raw.map(x => (x / norm).toFloat)
+  }
+
+  test("pq codes: one row per (vid, sub), codes within [0, numCodes)") {
+    val df = (0 until 40).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    val m = VectorPipeline.pqTrain(df, "id", "v",
+      numSub = 8, numCodes = 16, iters = 2)
+    val codes = m.codes.collect()
+    assert(codes.length == 40 * 8)
+    assert(codes.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 16))
+    assert(m.codebooks.count() == 8L * 16)
+    // every codebook centroid has the subspace width
+    assert(m.codebooks.select(max(size(col("cv"))), min(size(col("cv"))))
+      .head match { case r => r.getInt(0) == 8 && r.getInt(1) == 8 })
+  }
+
+  test("pq training and search are run-to-run deterministic") {
+    val df = (0 until 60).map(i => (i.toLong, vec(1000 + i))).toDF("id", "v")
+    val probes = df.filter(col("id") < 3)
+    def run(): Seq[(Long, Long, Double)] = {
+      val m = VectorPipeline.pqTrain(df, "id", "v",
+        numSub = 8, numCodes = 16, iters = 3)
+      VectorPipeline.pqAdcTopK(m, probes, "id", "v", k = 4, numSub = 8)
+        .orderBy("probe_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    val a = run()
+    val b = run()
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("pq retrieves a planted exact clone as the top neighbor") {
+    // clone of probe 0 at id 500: identical vectors share codes in every
+    // subspace, so the ADC score of the clone equals the probe's own
+    // quantized self-similarity — the maximum any candidate can reach.
+    val base = (0 until 50).map(i => (i.toLong, vec(77 + i)))
+    val df = (base :+ (500L, vec(77))).toDF("id", "v")
+    val top = VectorPipeline.pqAdcTopK(
+      VectorPipeline.pqTrain(df, "id", "v",
+        numSub = 16, numCodes = 16, iters = 3),
+      df.filter(col("id") === 0), "id", "v", k = 3, numSub = 16)
+      .orderBy("rank").collect()
+    assert(top.head.getLong(1) == 500L,
+      top.map(r => (r.getLong(1), r.getDouble(2))).mkString(", "))
+  }
+
+  test("pq trains when numCodes exceeds the corpus (empty clusters keep seeds)") {
+    val df = (0 until 5).map(i => (i.toLong, vec(7 + i))).toDF("id", "v")
+    val m = VectorPipeline.pqTrain(df, "id", "v",
+      numSub = 4, numCodes = 16, iters = 2, dims = 64)
+    // seeds only exist for the 5 sub-vectors per subspace; the rest of
+    // the codebook never materializes, which is fine — assignment only
+    // needs the codes that exist
+    assert(m.codes.count() == 5L * 4)
+    val top = VectorPipeline.pqAdcTopK(m, df.filter(col("id") === 0),
+      "id", "v", k = 2, numSub = 4)
+    assert(top.count() == 2)
+  }
+}
