@@ -444,6 +444,31 @@ object VectorPipeline {
       .filter(col("rank") <= k)
   }
 
+  /** Two-stage retrieval: a cheap PQ/ADC shortlist of `shortlist`
+    * candidates per probe (codes-table scan only), then an EXACT cosine
+    * re-rank of just those candidates down to top-k — the standard
+    * production ANN shape (quantizer recalls, floats decide). The float
+    * corpus is touched for shortlist × probes rows, never corpus ×
+    * probes; reported sims are exact, so ranking errors can only come
+    * from shortlist misses, which widening `shortlist` buys back at
+    * codes-scan (not float-scan) cost. */
+  def pqRerankTopK(model: PqModel, corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int,
+      numSub: Int = 8, dims: Int = 64): DataFrame = {
+    val cand = pqAdcTopK(model, probes, idCol, vecCol, shortlist,
+        numSub, dims)
+      .select(col("probe_id"), col("neighbor_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("ce"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pe"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cand.join(c, "neighbor_id").join(broadcast(p), "probe_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        sim(col("pe"), col("ce")).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** All pairs with similarity at or above `threshold` (brute force —
     * the exact baseline for near-dup detection in embedding space). */
   def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String,

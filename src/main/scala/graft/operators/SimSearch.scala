@@ -91,11 +91,34 @@ object SimSearch {
       x51PqAnnRaw(spark, sfDir), k = 5,
       recallBound = Some(0.25), simRatioBound = 0.75)
 
+  /** X52 raw — two-stage retrieval: X51's PQ model shortlists 50
+    * candidates per probe from the codes table, exact cosine re-ranks
+    * them to top-5. */
+  def x52PqRerankRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = VectorPipeline.pqTrain(emb, "vec_id", "embedding",
+      numSub = 16, numCodes = 32, iters = 4)
+    VectorPipeline.pqRerankTopK(model, emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, shortlist = 50, numSub = 16)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** X52 contract — derived-claim form: the re-rank lifts X51's raw-PQ
+    * recall floor and reports EXACT sims (so the mean-sim ratio bound
+    * tightens to 0.9). Measured across SFs: recall 0.84–0.98, ratio
+    * 0.989–1.000 — bounds 0.5/0.9 keep ≥ 1.68×/1.1× margin. */
+  def x52PqRerank(spark: SparkSession, sfDir: String): DataFrame =
+    VectorPipeline.annClaim(l3TopKCosine(spark, sfDir),
+      x52PqRerankRaw(spark, sfDir), k = 5,
+      recallBound = Some(0.5), simRatioBound = 0.9)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l3_topk_cosine" -> (l3TopKCosine _),
     "x2_cosine_neardup" -> (x2CosineNearDup _),
     "x8_ivf_ann" -> (x8IvfAnn _),
-    "x51_pq_ann" -> (x51PqAnn _))
+    "x51_pq_ann" -> (x51PqAnn _),
+    "x52_pq_rerank" -> (x52PqRerank _))
 
   val oracles: Map[String, String] = Map(
     "l3_topk_cosine" ->
@@ -122,6 +145,9 @@ object SimSearch {
       ("SELECT CAST(10 AS BIGINT) AS n_probes, CAST(5 AS BIGINT) AS k, " +
        "TRUE AS simratio_ok, TRUE AS recall_ok"),
     "x51_pq_ann" ->
+      ("SELECT CAST(10 AS BIGINT) AS n_probes, CAST(5 AS BIGINT) AS k, " +
+       "TRUE AS simratio_ok, TRUE AS recall_ok"),
+    "x52_pq_rerank" ->
       ("SELECT CAST(10 AS BIGINT) AS n_probes, CAST(5 AS BIGINT) AS k, " +
        "TRUE AS simratio_ok, TRUE AS recall_ok"))
 }
