@@ -64,6 +64,35 @@ object SimSearch {
       x8IvfAnnRaw(spark, sfDir), k = 5,
       recallBound = Some(0.2), simRatioBound = 0.8)
 
+  /** Memoized PQ model — x51 and x52 share one training run per
+    * (session, corpus), the persisted-model shape a production pipeline
+    * uses (train once, serve many query batches). [[graft.Memo]]'s
+    * design, widened to the two-frame model; weak on the session so a
+    * stopped session's checkpointed blocks can be collected. */
+  private val pqModels =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, VectorPipeline.PqModel]]()
+
+  private def pqModel(spark: SparkSession, sfDir: String): VectorPipeline.PqModel = {
+    val perSession = pqModels.synchronized {
+      var m = pqModels.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, VectorPipeline.PqModel]()
+        pqModels.put(spark, m)
+      }
+      m
+    }
+    val hit = perSession.get(sfDir)
+    if (hit != null) hit
+    else {
+      val built = VectorPipeline.pqTrain(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        numSub = 16, numCodes = 32, iters = 4)
+      val prev = perSession.putIfAbsent(sfDir, built)
+      if (prev != null) prev else built
+    }
+  }
+
   /** X51 raw — product-quantization ANN (Jégou TPAMI'11): 16 subspaces
     * × 32 codes trained with 4 deterministic Lloyd iterations on the
     * corpus itself, then asymmetric-distance top-5 for the same probes
@@ -75,9 +104,8 @@ object SimSearch {
     * more than more codes on 64-dim near-orthogonal embeddings). */
   def x51PqAnnRaw(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val model = VectorPipeline.pqTrain(emb, "vec_id", "embedding",
-      numSub = 16, numCodes = 32, iters = 4)
-    VectorPipeline.pqAdcTopK(model, emb.filter(col("vec_id") < 10),
+    VectorPipeline.pqAdcTopK(pqModel(spark, sfDir),
+        emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, numSub = 16)
       .orderBy(col("probe_id"), col("rank"))
   }
@@ -96,9 +124,7 @@ object SimSearch {
     * them to top-5. */
   def x52PqRerankRaw(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val model = VectorPipeline.pqTrain(emb, "vec_id", "embedding",
-      numSub = 16, numCodes = 32, iters = 4)
-    VectorPipeline.pqRerankTopK(model, emb,
+    VectorPipeline.pqRerankTopK(pqModel(spark, sfDir), emb,
         emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, shortlist = 50, numSub = 16)
       .orderBy(col("probe_id"), col("rank"))
