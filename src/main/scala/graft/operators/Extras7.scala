@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Det, Tables}
 import graft.api.TextPipeline
 
 /** Round-6 second wave: the EXACT set-similarity join (the deterministic
@@ -158,12 +158,64 @@ object Extras7 {
       .orderBy(col("chk"))
   }
 
+  /** X54 — incremental aggregate maintenance (materialized-view upkeep,
+    * the batch analog of a18's no-rescan rollup): per-(status, month)
+    * order metrics maintained as a PERSISTED aggregate table plus a
+    * delta. The base partition (orders strictly before the last 6
+    * months) is aggregated ONCE, written to scratch parquet keyed by a
+    * source-size marker, and every later run reads the agg table back —
+    * base ROWS are never rescanned. The delta (last 6 months) aggregates
+    * fresh, and the merge is a union + re-aggregate of PARTIALS (counts
+    * add; DECIMAL sums add; avg derives from merged sum/count — only
+    * mergeable metrics, the algebraic-aggregate discipline). The oracle
+    * recomputes the whole aggregate from scratch, so the hash compare IS
+    * the merged == full-recompute proof. At 100 TB this is the nightly
+    * pattern: yesterday's agg table + today's partition, never the
+    * history. */
+  def x54IncrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val o = Tables.orders(spark, sfDir)
+    // deterministic cut: 6 months before the max order date — a pure
+    // function of the data (single-row driver max, the stageLateSplit
+    // precedent), so base/delta membership is oracle-reproducible
+    val maxD = o.agg(max(col("o_orderdate"))).collect()(0)
+      .getAs[java.time.LocalDateTime](0)   // o_orderdate is TIMESTAMP_NTZ
+    val cut = maxD.minusMonths(6)
+    def aggOf(df: DataFrame): DataFrame = df
+      .groupBy(col("o_orderstatus"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(Det.Money)).as("total"))
+    val baseDir = Paths.get(Tables.scratchDir("x54base", sfDir))
+    val marker = baseDir.resolve("_agg_from_size")
+    val srcSize = Files.size(Paths.get(s"$sfDir/orders.parquet"))
+    val dataDir = baseDir.resolve("agg").toString
+    if (!Files.exists(marker) ||
+        Files.readString(marker) != srcSize.toString) {
+      aggOf(o.filter(col("o_orderdate") < lit(cut)))
+        .write.mode("overwrite").parquet(dataDir)
+      Files.writeString(marker, srcSize.toString)
+    }
+    val base = Tables.tune(spark).read.parquet(dataDir)
+    val delta = aggOf(o.filter(col("o_orderdate") >= lit(cut)))
+    base.unionByName(delta)
+      .groupBy(col("o_orderstatus"), col("month"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("total")).cast("double").as("total"))
+      .select(col("o_orderstatus"),
+        unix_timestamp(col("month")).as("month_start"),
+        col("n"), col("total"),
+        round(col("total") / col("n"), 6).as("avg_price"))
+      .orderBy(col("o_orderstatus"), col("month_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x48_jaccard_join" -> (x48JaccardJoin _),
     "x49_lm_score" -> (x49LmScore _),
     "sql30_sql_udf" -> (sql30SqlUdf _),
     "sql31_sql_table_fn" -> (sql31SqlTableFn _),
-    "x53_data_quality" -> (x53DataQuality _))
+    "x53_data_quality" -> (x53DataQuality _),
+    "x54_incremental_agg" -> (x54IncrementalAgg _))
 
   val oracles: Map[String, String] = Map(
     // the exhaustive exact answer — same frame the l2 oracle builds, at
@@ -234,5 +286,15 @@ object Extras7 {
        "SELECT 'quantity_min', quantity_min FROM one UNION ALL " +
        "SELECT 'quantity_max', quantity_max FROM one UNION ALL " +
        "SELECT 'discount_mean', discount_mean FROM one UNION ALL " +
-       "SELECT 'fk_orphans', fk_orphans FROM orph) t ORDER BY chk"))
+       "SELECT 'fk_orphans', fk_orphans FROM orph) t ORDER BY chk"),
+    // full recompute from scratch — the hash compare IS the
+    // merged-equals-recomputed proof for the incremental path
+    "x54_incremental_agg" ->
+      ("SELECT o_orderstatus, " +
+       "epoch_us(date_trunc('month', o_orderdate)) // 1000000 " +
+       "AS month_start, COUNT(*) AS n, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total, " +
+       "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) " +
+       "/ COUNT(*), 6) AS avg_price " +
+       "FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, month_start"))
 }

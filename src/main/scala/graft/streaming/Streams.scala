@@ -385,6 +385,46 @@ object Streams {
       .orderBy(col("win_start"))
   }
 
+  /** ST18 — UPDATE output mode: a running per-event_type (count, sum)
+    * with NO window and NO watermark — the canonical update-mode shape
+    * (append is illegal here: an unwindowed aggregate never finalizes;
+    * complete re-emits everything). Each micro-batch of the three-way
+    * time-split replay ([[stageLateSplit]], maxFilesPerTrigger=1) emits
+    * ONLY the keys it changed, so the memory sink accumulates one
+    * version row per (key, batch-containing-key). The contract output
+    * collapses to the final version per key (max n — counts are
+    * monotone) and reports `n_updates`, the number of emitted versions,
+    * which the oracle reproduces exactly because the batch cuts are
+    * deterministic functions of the data (segments at max(ts)−1h/−2h):
+    * update-mode's emit-only-changed-keys semantics is hash-checked, not
+    * just the final totals. Complete mode would emit every key every
+    * batch and break the n_updates column. */
+  def st18UpdateMode(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageLateSplit(spark, sfDir)
+    val schema = Tables.events(spark, sfDir).schema
+    val stream = Tables.tune(spark).readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    // keyed by user_id, NOT event_type: most users miss at least one of
+    // the three time segments (measured at every SF), so per-key version
+    // counts range over 1..3 and complete mode (3 for everyone) would
+    // hash-mismatch — the discriminating choice
+    val agg = stream.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(Det.Money)).cast("double").as("sum_value"))
+    val versions = runToTable(spark, agg, OutputMode.Update())
+    val wFinal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n").desc)
+    val wCount = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    versions
+      .withColumn("rn", row_number().over(wFinal))
+      .withColumn("n_updates", count(lit(1)).over(wCount))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n"), col("sum_value"),
+        col("n_updates"))
+      .orderBy(col("user_id"))
+  }
+
   /** ST5 — streaming dedup within watermark: the staged feed carries every
     * event twice; state drops the second sighting of each event_id. */
   def st5StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
@@ -921,9 +961,24 @@ object Streams {
     "st5_stream_dedup" -> (st5StreamDedup _),
     "st6_stateful" -> (st6Stateful _),
     "st6b_tws" -> (st6bTransformWithState _),
-    "st7_stream_static" -> (st7StreamStatic _))
+    "st7_stream_static" -> (st7StreamStatic _),
+    "st18_update_mode" -> (st18UpdateMode _))
 
   val oracles: Map[String, String] = Map(
+    // the three-way time-split replay's batch membership is a pure
+    // function of the data (segments at max-1h / max-2h), so the oracle
+    // reproduces update-mode's per-key version count exactly
+    "st18_update_mode" ->
+      ("WITH b AS (SELECT epoch_us(ts) AS us, user_id, value FROM events), " +
+       "m AS (SELECT MAX(us) AS mx FROM b), " +
+       "seg AS (SELECT user_id, value, CASE " +
+       "WHEN us > mx - 3600000000 THEN 0 " +
+       "WHEN us > mx - 7200000000 THEN 1 ELSE 2 END AS s " +
+       "FROM b CROSS JOIN m) " +
+       "SELECT user_id, COUNT(*) AS n, " +
+       "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value, " +
+       "CAST(COUNT(DISTINCT s) AS BIGINT) AS n_updates " +
+       "FROM seg GROUP BY user_id ORDER BY user_id"),
     "st11_dsv2_stream" ->
       ("SELECT CAST(id % 100 AS INT) AS bucket, COUNT(*) AS n, " +
        "CAST(SUM(CAST((((id * 2654435761) % 1000) / 10.0) AS DECIMAL(18,4))) AS DOUBLE) AS sum_val " +
