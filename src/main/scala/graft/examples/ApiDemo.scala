@@ -125,6 +125,36 @@ object ApiDemo {
         threshold = 0.9, numBands = 4, dims = 4)
       .orderBy("id_a", "id_b").show(false)
 
+    // exact prefix-filter Jaccard join on the same custom-named corpus
+    println("exact Jaccard pairs (prefix filter, t=0.4):")
+    TextPipeline.prefixJaccardPairs(
+        TextPipeline.shingleHashes(corpus, "id", "body", 3), 0.4)
+      .orderBy("doc_a", "doc_b").show(false)
+
+    // corpus-LM scoring: docs 100/200 share most bigrams -> high lp
+    println("corpus-LM bigram scores (higher = more corpus-typical):")
+    TextPipeline.lmScore(corpus, "id", "body").orderBy("doc_id").show(false)
+
+    // product quantization on a custom-named 8-dim embedding frame:
+    // train once, ADC-search and exact-rerank from the same model
+    val r = new scala.util.Random(7)
+    val pqVecs = (0 until 40).map { i =>
+      val raw = Array.fill(8)(r.nextDouble().toFloat * 2 - 1)
+      val n = math.sqrt(raw.map(x => x * x).sum).toFloat
+      (i.toLong, raw.map(_ / n))
+    }.toDF("vid", "vec")
+    val model = VectorPipeline.pqTrain(pqVecs, "vid", "vec",
+      numSub = 4, numCodes = 8, iters = 2, dims = 8)
+    println("PQ/ADC top-3 (codes-table scan only):")
+    VectorPipeline.pqAdcTopK(model, pqVecs.filter(col("vid") < 2),
+        "vid", "vec", k = 3, numSub = 4, dims = 8)
+      .orderBy("probe_id", "rank").show(false)
+    println("PQ shortlist + exact re-rank top-3:")
+    VectorPipeline.pqRerankTopK(model, pqVecs,
+        pqVecs.filter(col("vid") < 2), "vid", "vec",
+        k = 3, shortlist = 10, numSub = 4, dims = 8)
+      .orderBy("probe_id", "rank").show(false)
+
     spark.stop()
   }
 }
