@@ -478,6 +478,77 @@ object TextPipeline {
       hotTokenCap: Long = HotPrefixTokenCap): DataFrame =
     prefixJaccardPairsDetail(shingleHashes, threshold, hotTokenCap).pairs
 
+  /** INCREMENTAL exact Jaccard: an incoming shard probed against a
+    * persisted corpus prefix index — [[nearDupAgainstHashed]]'s
+    * production shape with [[prefixJaccardPairsDetail]]'s exactness.
+    * The corpus side (shingles, token document frequencies, prefixes)
+    * materializes ONCE (localCheckpoint here; persisted index tables on
+    * a cluster) and is never self-joined; each probe doc pairs only
+    * with corpus docs sharing a non-hot prefix token, then the exact
+    * intersection verify runs on candidates alone.
+    *
+    * The global token order that the prefix lemma requires is the
+    * CORPUS index's rarity order (ascending corpus doc frequency, tied
+    * on hash); probe tokens unseen in the corpus take frequency 0 —
+    * any consistent total order preserves the lemma, and index-order
+    * consistency is exactly what lets the probe side compute its
+    * prefixes WITHOUT touching corpus rows. The hot-token stop cap
+    * applies to the corpus prefixes (the only side that can be
+    * crawl-hot); a stop-listed token contributes no candidates, the
+    * same reported-recall trade as the self-join form.
+    * Emits (doc_new, doc_old, jaccard), exact doubles. */
+  def prefixJaccardAgainst(probeSh: DataFrame, corpusSh: DataFrame,
+      threshold: Double,
+      hotTokenCap: Long = HotPrefixTokenCap): DataFrame = {
+    require(threshold > 0 && threshold < 1, "threshold in (0, 1)")
+    val c = corpusSh.localCheckpoint(true)
+    val cSizes = c.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      .localCheckpoint(true)
+    val tokDf = c.groupBy(col("ng_h")).agg(count(lit(1)).as("tok_df"))
+      .localCheckpoint(true)
+    def prefixesOf(sh: DataFrame, sizes: DataFrame): DataFrame = {
+      val byRarity = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tok_df"), col("ng_h"))
+      sh.join(tokDf, Seq("ng_h"), "left_outer")
+        .na.fill(0L, Seq("tok_df"))
+        .join(sizes, "doc_id")
+        .withColumn("rnk", row_number().over(byRarity))
+        .filter(col("rnk") <=
+          col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+        .select(col("doc_id"), col("ng_h"), col("n_sh"))
+    }
+    val cPref = prefixesOf(c, cSizes).localCheckpoint(true)
+    val pfFreq = cPref.groupBy(col("ng_h")).agg(count(lit(1)).as("n_docs"))
+    val cTail = cPref.join(
+      pfFreq.filter(col("n_docs") <= hotTokenCap).select(col("ng_h")),
+      "ng_h")
+    val pSizes = probeSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pPref = prefixesOf(probeSh, pSizes)
+    val cands = pPref
+      .select(col("ng_h"), col("doc_id").as("doc_new"), col("n_sh").as("nn"))
+      .join(cTail.select(col("ng_h"), col("doc_id").as("doc_old"),
+        col("n_sh").as("no")), Seq("ng_h"))
+      .filter(col("no") >= ceil(lit(threshold) * col("nn")) &&
+        col("nn") >= ceil(lit(threshold) * col("no")))
+      .select(col("doc_new"), col("doc_old"))
+      .distinct()
+    val sa = probeSh.select(col("doc_id").as("dn"), col("ng_h"))
+    val sb = c.select(col("doc_id").as("dold"), col("ng_h").as("ng_h_b"))
+    cands.join(sa, col("doc_new") === col("dn"))
+      .join(sb, col("doc_old") === col("dold") &&
+        col("ng_h") === col("ng_h_b"))
+      .groupBy(col("doc_new"), col("doc_old"))
+      .agg(count(lit(1)).as("inter"))
+      .join(pSizes.select(col("doc_id").as("doc_new"), col("n_sh").as("nn")),
+        "doc_new")
+      .join(cSizes.select(col("doc_id").as("doc_old"), col("n_sh").as("no")),
+        "doc_old")
+      .withColumn("jaccard",
+        col("inter") / (col("nn") + col("no") - col("inter")))
+      .filter(col("jaccard") > threshold)
+      .select(col("doc_new"), col("doc_old"), col("jaccard"))
+  }
+
   /** Corpus-LM quality score (the CCNet/KenLM signal, Wenzek et al.
     * 2020): each document's mean add-one-smoothed bigram
     * log-probability under the unigram/bigram model induced by the

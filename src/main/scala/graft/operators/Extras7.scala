@@ -209,13 +209,30 @@ object Extras7 {
       .orderBy(col("o_orderstatus"), col("month_start"))
   }
 
+  /** X55 — incremental EXACT Jaccard dedup: the incoming shard
+    * (doc_id % 10 = 3) probed against the rest of the corpus through
+    * [[TextPipeline.prefixJaccardAgainst]] — completing the incremental
+    * family (x38 = LSH text, x46 = embeddings, x55 = exact text). The
+    * corpus prefix index is built once and never self-joined; the probe
+    * computes its prefixes under the INDEX's rarity order without
+    * touching corpus rows. Exhaustive cross-side oracle, so recall and
+    * precision are both hash-checked. */
+  def x55JaccardIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.shingleHashSet(spark, sfDir)
+    TextPipeline.prefixJaccardAgainst(
+        sh.filter(col("doc_id") % 10 === 3),
+        sh.filter(col("doc_id") % 10 =!= 3), 0.5)
+      .orderBy(col("doc_new"), col("doc_old"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x48_jaccard_join" -> (x48JaccardJoin _),
     "x49_lm_score" -> (x49LmScore _),
     "sql30_sql_udf" -> (sql30SqlUdf _),
     "sql31_sql_table_fn" -> (sql31SqlTableFn _),
     "x53_data_quality" -> (x53DataQuality _),
-    "x54_incremental_agg" -> (x54IncrementalAgg _))
+    "x54_incremental_agg" -> (x54IncrementalAgg _),
+    "x55_jaccard_incremental" -> (x55JaccardIncremental _))
 
   val oracles: Map[String, String] = Map(
     // the exhaustive exact answer — same frame the l2 oracle builds, at
@@ -296,5 +313,18 @@ object Extras7 {
        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total, " +
        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) " +
        "/ COUNT(*), 6) AS avg_price " +
-       "FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, month_start"))
+       "FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, month_start"),
+    // exhaustive cross-side recompute — recall AND precision checked
+    "x55_jaccard_incremental" ->
+      (s"WITH s AS (SELECT DISTINCT doc_id, ngram FROM (${TextOps.ngramSql(3)}) t), " +
+       "n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id), " +
+       "i AS (SELECT p.doc_id AS doc_new, c.doc_id AS doc_old, " +
+       "COUNT(*) AS inter FROM s p JOIN s c ON p.ngram = c.ngram " +
+       "AND p.doc_id % 10 = 3 AND c.doc_id % 10 <> 3 GROUP BY 1, 2) " +
+       "SELECT doc_new, doc_old, " +
+       "inter / (nn.n_sh + no.n_sh - inter) AS jaccard " +
+       "FROM i JOIN n nn ON nn.doc_id = doc_new " +
+       "JOIN n no ON no.doc_id = doc_old " +
+       "WHERE inter / (nn.n_sh + no.n_sh - inter) > 0.5 " +
+       "ORDER BY doc_new, doc_old"))
 }

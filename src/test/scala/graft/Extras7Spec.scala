@@ -98,6 +98,40 @@ class Extras7Spec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("incremental prefix Jaccard equals cross-side brute force, incl. probe-only tokens") {
+    // corpus docs 1-4; probes: 11 (near-dup of 1 with one UNSEEN token —
+    // ranks rarest under the index order, lemma must still hold), 12
+    // (exact copy of 2), 13 (disjoint)
+    val corpus = shingleFrame(Seq(
+      1L -> Seq(10L, 11L, 12L, 13L),
+      2L -> Seq(20L, 21L, 22L, 23L),
+      3L -> Seq(10L, 30L, 31L, 32L),
+      4L -> Seq(40L, 41L)))
+    val probes = shingleFrame(Seq(
+      11L -> Seq(10L, 11L, 12L, 999L),   // J(11,1)=3/5=0.6; 999 unseen
+      12L -> Seq(20L, 21L, 22L, 23L),    // J(12,2)=1.0
+      13L -> Seq(50L, 51L, 52L)))
+    val got = TextPipeline.prefixJaccardAgainst(probes, corpus, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((11L, 1L, 0.6), (12L, 2L, 1.0)))
+  }
+
+  test("incremental prefix Jaccard: hot corpus prefix tokens are stop-listed") {
+    // 40 corpus docs share token 999 in their prefixes (t=0.3 keeps both
+    // tokens of a 2-token doc); with cap 16 the probe finds nothing via
+    // the hot token, with the cap lifted it pairs with every corpus doc
+    val corpus = shingleFrame((0 until 40).map(i => (i.toLong, Seq(999L, 1000L + i))))
+    val probe = shingleFrame(Seq(500L -> Seq(999L, 2000L)))
+    val capped = TextPipeline.prefixJaccardAgainst(probe, corpus, 0.3,
+      hotTokenCap = 16L)
+    assert(capped.count() == 0)
+    val uncapped = TextPipeline.prefixJaccardAgainst(probe, corpus, 0.3,
+      hotTokenCap = 1000L)
+    assert(uncapped.count() == 40L)
+    assert(uncapped.collect().forall(r =>
+      math.abs(r.getDouble(2) - 1.0 / 3) < 1e-12))
+  }
+
   test("LM score ranks corpus-typical text above incoherent text") {
     // 20 near-identical documents build a model where their shared
     // bigrams are frequent; one ransom-note document of the same length
