@@ -185,6 +185,23 @@ class Extras7Spec extends SparkSpec {
     assert(viaTf == direct && viaTf.nonEmpty)
   }
 
+  test("f22: observed metrics ride the consuming query and match direct aggregates") {
+    val obs = new org.apache.spark.sql.Observation("x7spec_gate")
+    val li = Tables.lineitem(spark, sf).observe(obs,
+      count(lit(1)).as("n_rows"))
+    // CollectMetrics must be in the plan of the consumer
+    val consumer = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    assert(consumer.queryExecution.optimizedPlan.toString
+      .contains("CollectMetrics"))
+    consumer.count()
+    val direct = Tables.lineitem(spark, sf).count()
+    assert(obs.get("n_rows").asInstanceOf[Long] == direct)
+    // and the contract row's single-row frame carries the same values
+    val row = graft.operators.Extras7.f22Observe(spark, sf).head
+    assert(row.getAs[Long]("n_rows") == direct)
+    assert(row.getAs[Long]("n_groups") == 3L)
+  }
+
   test("LM score is exact: hand-computed two-doc model") {
     // doc 1: "a b a b" -> bigrams ab, ba, ab; doc 2: "a c".
     // unigrams: a=3? no: doc1 a,b,a,b + doc2 a,c -> c(a)=3, c(b)=2, c(c)=1, V=3.
