@@ -257,6 +257,58 @@ object Extras7 {
       .toDF("n_rows", "n_discounted", "revenue_m", "n_groups")
   }
 
+  /** SQL32 — GROUP BY ALL / ORDER BY ALL (Spark 4): the analyzer infers
+    * the grouping set from the non-aggregate select items and the total
+    * output order — the modern analytics shorthand (DuckDB-originated,
+    * now cross-engine), so the oracle runs the IDENTICAL text. Plans
+    * exactly as the explicit form: one partial+final hash aggregate. */
+  def sql32GroupByAll(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("v_orders")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total
+        |FROM v_orders
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin)
+  }
+
+  /** SQL33 — the SQL PIVOT and UNPIVOT clauses (parser surfaces distinct
+    * from a10/a12's DataFrame `pivot`/`unpivot`), composed as a
+    * round-trip: order counts pivoted into one column per status, then
+    * unpivoted straight back to long form. UNPIVOT drops the NULL cells
+    * a missing (priority, status) combination produces, so the
+    * round-trip output is exactly the grouped counts the oracle
+    * recomputes — both clauses must be right for the hash to match. */
+  def sql33PivotClause(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("v_orders")
+    spark.sql(
+      """SELECT o_orderpriority, metric, v FROM (
+        |  SELECT * FROM (
+        |    SELECT o_orderpriority, o_orderstatus FROM v_orders)
+        |  PIVOT (COUNT(*) FOR o_orderstatus
+        |         IN ('O' AS st_o, 'F' AS st_f, 'P' AS st_p))
+        |) UNPIVOT (v FOR metric IN (st_o, st_f, st_p))
+        |ORDER BY o_orderpriority, metric""".stripMargin)
+  }
+
+  /** A19 — approx_top_k (Spark 4's frequent-items sketch, the built-in
+    * sibling of x27's hand-rolled Misra-Gries): top-3 order priorities
+    * by count. With 5 distinct values under the default 10k tracked
+    * items the sketch is EXACT, so the derived claim is full value
+    * equality against the exact counts; output re-sorted by
+    * (est DESC, item) because the sketch's intra-tie order is
+    * unspecified — the tie inside the top-3 at sf0.01 is why the
+    * deterministic re-sort is load-bearing, not cosmetic. */
+  def a19ApproxTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("v_orders")
+    spark.sql(
+      """SELECT kv.item AS item, CAST(kv.count AS BIGINT) AS est
+        |FROM (SELECT explode(approx_top_k(o_orderpriority, 3)) AS kv
+        |      FROM v_orders)
+        |ORDER BY est DESC, item""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x48_jaccard_join" -> (x48JaccardJoin _),
     "x49_lm_score" -> (x49LmScore _),
@@ -265,7 +317,10 @@ object Extras7 {
     "x53_data_quality" -> (x53DataQuality _),
     "x54_incremental_agg" -> (x54IncrementalAgg _),
     "x55_jaccard_incremental" -> (x55JaccardIncremental _),
-    "f22_observe" -> (f22Observe _))
+    "f22_observe" -> (f22Observe _),
+    "sql32_group_by_all" -> (sql32GroupByAll _),
+    "sql33_pivot_clause" -> (sql33PivotClause _),
+    "a19_approx_topk" -> (a19ApproxTopK _))
 
   val oracles: Map[String, String] = Map(
     // the exhaustive exact answer — same frame the l2 oracle builds, at
@@ -367,5 +422,20 @@ object Extras7 {
        "round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) " +
        "/ 1e6, 6) AS revenue_m, " +
        "CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_groups " +
-       "FROM lineitem"))
+       "FROM lineitem"),
+    // identical text — GROUP BY ALL is DuckDB-native syntax
+    "sql32_group_by_all" ->
+      ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
+       "FROM orders GROUP BY ALL ORDER BY ALL"),
+    "sql33_pivot_clause" ->
+      ("SELECT o_orderpriority, 'st_' || lower(o_orderstatus) AS metric, " +
+       "COUNT(*) AS v FROM orders " +
+       "WHERE o_orderstatus IN ('O', 'F', 'P') " +
+       "GROUP BY 1, 2 ORDER BY o_orderpriority, metric"),
+    // exact because 5 distinct values fit far inside the sketch's
+    // tracked-item budget; ties broken by item for both engines
+    "a19_approx_topk" ->
+      ("SELECT o_orderpriority AS item, COUNT(*) AS est FROM orders " +
+       "GROUP BY 1 ORDER BY est DESC, item LIMIT 3"))
 }
