@@ -44,10 +44,35 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     tune(spark).read.parquet(s"$sfDir/$name.parquet")
 
-  /** Deterministic per-(purpose, corpus) scratch directory under the JVM
-    * tmpdir — the single spelling for every sink round-trip operator. */
+  /** Root of this PROCESS's scratch space: tmpdir/graft_scratch_<pid@host>.
+    * Namespacing scratch per process (VERDICT r6 #2) makes two concurrent
+    * Verify/Bench runs against the same sfDir unable to race each other's
+    * staging (s5b's ORC round-trip, sql16's warehouse, x54/x51 markers) —
+    * within one process, markers still de-duplicate staging work across
+    * queries exactly as before. A shutdown hook removes the whole root so
+    * repeated runs don't accumulate staged copies in tmp. */
+  private lazy val scratchRoot: java.io.File = {
+    val token = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getName.replaceAll("[^A-Za-z0-9]", "_")
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_scratch_$token")
+    root.mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+    }))
+    root
+  }
+
+  /** Deterministic per-(process, purpose, corpus) scratch directory under
+    * the JVM tmpdir — the single spelling for every sink round-trip
+    * operator. */
   def scratchDir(tag: String, sfDir: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"),
+    new java.io.File(scratchRoot,
       s"graft_${tag}_${(sfDir.hashCode & 0x7fffffff).toHexString}")
       .getAbsolutePath
 

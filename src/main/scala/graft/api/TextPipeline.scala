@@ -363,6 +363,11 @@ object TextPipeline {
   final case class PrefixJaccard(pairs: DataFrame, stopTokens: DataFrame,
       classes: DataFrame)
 
+  /** Result of an incremental prefix-filter probe: the verified pairs
+    * plus the corpus-side stop-token set the hot cap excluded (empty ⇒
+    * the probe's recall is exhaustive-exact). */
+  final case class PrefixJaccardIncr(pairs: DataFrame, stopTokens: DataFrame)
+
   /** EXACT all-pairs Jaccard similarity join via prefix filtering
     * (Chaudhuri/Ganti/Kaushik ICDE'06; Xiao et al. PPJoin, WWW'08) —
     * the deterministic sibling of the MinHash-LSH pipeline: no
@@ -495,45 +500,88 @@ object TextPipeline {
     * prefixes WITHOUT touching corpus rows. The hot-token stop cap
     * applies to the corpus prefixes (the only side that can be
     * crawl-hot); a stop-listed token contributes no candidates, the
-    * same reported-recall trade as the self-join form.
-    * Emits (doc_new, doc_old, jaccard), exact doubles. */
-  def prefixJaccardAgainst(probeSh: DataFrame, corpusSh: DataFrame,
+    * same reported-recall trade as the self-join form — and the stop
+    * set is REPORTED ([[PrefixJaccardIncr.stopTokens]], ADVICE r6) so
+    * a cap-induced recall loss on a hotter corpus surfaces as data
+    * (x56's guard row claims it empty at the tested corpora) instead
+    * of a mystery pair-set mismatch.
+    * Pairs are (doc_new, doc_old, jaccard), exact doubles. */
+  def prefixJaccardAgainstDetail(probeSh: DataFrame, corpusSh: DataFrame,
       threshold: Double,
-      hotTokenCap: Long = HotPrefixTokenCap): DataFrame = {
+      hotTokenCap: Long = HotPrefixTokenCap): PrefixJaccardIncr = {
+    val idx = buildPrefixIndex(corpusSh, threshold, hotTokenCap)
+    PrefixJaccardIncr(probePrefixIndex(idx, probeSh), idx.stopTokens)
+  }
+
+  /** A persisted corpus prefix index — the state a production ingest
+    * loop builds ONCE and probes per shard/micro-batch (x55 batch form,
+    * st19 streaming form). Every frame is materialized
+    * (localCheckpoint here; persisted index tables on a cluster):
+    * `shingles` the corpus (doc_id, ng_h) set, `sizes` per-doc shingle
+    * counts, `tokDf` the global token document frequencies that define
+    * the rarity order, `tailPrefix` the joinable (non-hot) prefix rows,
+    * `stopTokens` the hot prefix tokens excluded from candidate
+    * generation (reported — x56). */
+  final case class PrefixIndex(shingles: DataFrame, sizes: DataFrame,
+      tokDf: DataFrame, tailPrefix: DataFrame, stopTokens: DataFrame,
+      threshold: Double)
+
+  private def prefixesUnder(tokDf: DataFrame, threshold: Double)(
+      sh: DataFrame, sizes: DataFrame): DataFrame = {
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tok_df"), col("ng_h"))
+    sh.join(tokDf, Seq("ng_h"), "left_outer")
+      .na.fill(0L, Seq("tok_df"))
+      .join(sizes, "doc_id")
+      .withColumn("rnk", row_number().over(byRarity))
+      .filter(col("rnk") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("doc_id"), col("ng_h"), col("n_sh"))
+  }
+
+  /** Build the [[PrefixIndex]] for a corpus shingle frame (one pass
+    * over the corpus; see [[prefixJaccardAgainstDetail]] for the
+    * algorithm and guards). */
+  def buildPrefixIndex(corpusSh: DataFrame, threshold: Double,
+      hotTokenCap: Long = HotPrefixTokenCap): PrefixIndex = {
     require(threshold > 0 && threshold < 1, "threshold in (0, 1)")
     val c = corpusSh.localCheckpoint(true)
     val cSizes = c.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       .localCheckpoint(true)
     val tokDf = c.groupBy(col("ng_h")).agg(count(lit(1)).as("tok_df"))
       .localCheckpoint(true)
-    def prefixesOf(sh: DataFrame, sizes: DataFrame): DataFrame = {
-      val byRarity = Window.partitionBy(col("doc_id"))
-        .orderBy(col("tok_df"), col("ng_h"))
-      sh.join(tokDf, Seq("ng_h"), "left_outer")
-        .na.fill(0L, Seq("tok_df"))
-        .join(sizes, "doc_id")
-        .withColumn("rnk", row_number().over(byRarity))
-        .filter(col("rnk") <=
-          col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
-        .select(col("doc_id"), col("ng_h"), col("n_sh"))
-    }
-    val cPref = prefixesOf(c, cSizes).localCheckpoint(true)
+    val cPref = prefixesUnder(tokDf, threshold)(c, cSizes)
+      .localCheckpoint(true)
     val pfFreq = cPref.groupBy(col("ng_h")).agg(count(lit(1)).as("n_docs"))
+    val stopTokens = pfFreq.filter(col("n_docs") > hotTokenCap)
     val cTail = cPref.join(
       pfFreq.filter(col("n_docs") <= hotTokenCap).select(col("ng_h")),
-      "ng_h")
+      "ng_h").localCheckpoint(true)
+    PrefixIndex(c, cSizes, tokDf, cTail, stopTokens, threshold)
+  }
+
+  /** Probe a shingle frame against a persisted [[PrefixIndex]]: probe
+    * prefixes are computed under the INDEX's rarity order (tokens
+    * unseen in the corpus take frequency 0 — any consistent total
+    * order preserves the prefix lemma), candidates come only from
+    * non-hot prefix collisions + the length filter, and the exact
+    * intersection verify runs on candidates alone. Corpus rows are
+    * never re-paired against each other. */
+  def probePrefixIndex(idx: PrefixIndex, probeSh: DataFrame): DataFrame = {
+    val threshold = idx.threshold
     val pSizes = probeSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val pPref = prefixesOf(probeSh, pSizes)
+    val pPref = prefixesUnder(idx.tokDf, threshold)(probeSh, pSizes)
     val cands = pPref
       .select(col("ng_h"), col("doc_id").as("doc_new"), col("n_sh").as("nn"))
-      .join(cTail.select(col("ng_h"), col("doc_id").as("doc_old"),
+      .join(idx.tailPrefix.select(col("ng_h"), col("doc_id").as("doc_old"),
         col("n_sh").as("no")), Seq("ng_h"))
       .filter(col("no") >= ceil(lit(threshold) * col("nn")) &&
         col("nn") >= ceil(lit(threshold) * col("no")))
       .select(col("doc_new"), col("doc_old"))
       .distinct()
     val sa = probeSh.select(col("doc_id").as("dn"), col("ng_h"))
-    val sb = c.select(col("doc_id").as("dold"), col("ng_h").as("ng_h_b"))
+    val sb = idx.shingles.select(col("doc_id").as("dold"),
+      col("ng_h").as("ng_h_b"))
     cands.join(sa, col("doc_new") === col("dn"))
       .join(sb, col("doc_old") === col("dold") &&
         col("ng_h") === col("ng_h_b"))
@@ -541,12 +589,73 @@ object TextPipeline {
       .agg(count(lit(1)).as("inter"))
       .join(pSizes.select(col("doc_id").as("doc_new"), col("n_sh").as("nn")),
         "doc_new")
-      .join(cSizes.select(col("doc_id").as("doc_old"), col("n_sh").as("no")),
-        "doc_old")
+      .join(idx.sizes.select(col("doc_id").as("doc_old"),
+        col("n_sh").as("no")), "doc_old")
       .withColumn("jaccard",
         col("inter") / (col("nn") + col("no") - col("inter")))
       .filter(col("jaccard") > threshold)
       .select(col("doc_new"), col("doc_old"), col("jaccard"))
+  }
+
+  /** Pairs-only face of [[prefixJaccardAgainstDetail]]. */
+  def prefixJaccardAgainst(probeSh: DataFrame, corpusSh: DataFrame,
+      threshold: Double,
+      hotTokenCap: Long = HotPrefixTokenCap): DataFrame =
+    prefixJaccardAgainstDetail(probeSh, corpusSh, threshold, hotTokenCap)
+      .pairs
+
+  /** EXACT containment join (asymmetric set overlap — the quote /
+    * near-superset detector): every DIRECTED pair (src, sup) with
+    * |src ∩ sup| / |src| > `threshold` over distinct hashed shingle
+    * sets. Containment is what decontamination and quote-detection
+    * actually want — a benchmark document pasted inside a larger crawl
+    * page has low Jaccard (the page is big) but containment ≈ 1.
+    *
+    * The prefix lemma transfers to the CONTAINED side: order tokens by
+    * the global rarity order and keep src's first
+    * |src| − ⌈t·|src|⌉ + 1 tokens; if src shares NONE of them with
+    * sup, then |src \ sup| > (1−t)·|src|, so containment < t. So
+    * candidates = src-prefix tokens ⨝ corpus shingle rows (the
+    * candidate side cannot prune by ITS size — containment ignores
+    * |sup| — hence the hot-token stop cap matters even more here),
+    * plus the one admissible size filter |sup| ≥ ⌈t·|src|⌉. Exact
+    * intersection counts verify candidates; both directions of a pair
+    * emerge independently when both qualify.
+    * Emits (doc_src, doc_sup, containment), exact doubles. */
+  def containmentPairs(sh: DataFrame, threshold: Double,
+      hotTokenCap: Long = HotPrefixTokenCap): DataFrame = {
+    require(threshold > 0 && threshold < 1, "threshold in (0, 1)")
+    val c = sh.localCheckpoint(true)
+    val sizes = c.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      .localCheckpoint(true)
+    val tokDf = c.groupBy(col("ng_h")).agg(count(lit(1)).as("tok_df"))
+    val tailTok = tokDf.filter(col("tok_df") <= hotTokenCap)
+      .select(col("ng_h"))
+    val srcPref = prefixesUnder(tokDf, threshold)(c, sizes)
+      .join(tailTok, "ng_h")
+    val cands = srcPref
+      .select(col("ng_h"), col("doc_id").as("doc_src"),
+        col("n_sh").as("ns"))
+      .join(c.join(tailTok, "ng_h")
+        .select(col("ng_h"), col("doc_id").as("doc_sup")), Seq("ng_h"))
+      .filter(col("doc_src") =!= col("doc_sup"))
+      .join(sizes.select(col("doc_id").as("doc_sup"),
+        col("n_sh").as("np")), "doc_sup")
+      .filter(col("np") >= ceil(lit(threshold) * col("ns")))
+      .select(col("doc_src"), col("doc_sup"))
+      .distinct()
+    val sa = c.select(col("doc_id").as("dsrc"), col("ng_h"))
+    val sb = c.select(col("doc_id").as("dsup"), col("ng_h").as("ng_h_b"))
+    cands.join(sa, col("doc_src") === col("dsrc"))
+      .join(sb, col("doc_sup") === col("dsup") &&
+        col("ng_h") === col("ng_h_b"))
+      .groupBy(col("doc_src"), col("doc_sup"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_src"),
+        col("n_sh").as("ns")), "doc_src")
+      .withColumn("containment", col("inter") / col("ns"))
+      .filter(col("containment") > threshold)
+      .select(col("doc_src"), col("doc_sup"), col("containment"))
   }
 
   /** Corpus-LM quality score (the CCNet/KenLM signal, Wenzek et al.

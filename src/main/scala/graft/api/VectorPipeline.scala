@@ -330,8 +330,17 @@ object VectorPipeline {
     * whole corpus compressed to numSub small ints per vector. At 100 TB
     * the codes table (bytes per vector instead of 4·dims) is what makes
     * exhaustive candidate scoring memory-feasible; the float vectors are
-    * only ever touched again for an optional exact re-rank. */
-  final case class PqModel(codebooks: DataFrame, codes: DataFrame)
+    * only ever touched again for an optional exact re-rank.
+    *
+    * The model CARRIES its training config (numSub/numCodes/dims) so the
+    * serving side can never slice probes against a mismatched codebook
+    * shape — [[pqAdcTopK]]/[[pqRerankTopK]] read the geometry from the
+    * model instead of taking independent (silently-wrong-if-mismatched)
+    * parameters. */
+  final case class PqModel(codebooks: DataFrame, codes: DataFrame,
+      numSub: Int, numCodes: Int, dims: Int) {
+    def width: Int = dims / numSub
+  }
 
   /** (vid, sub, sv) sub-vector rows: each vector split into `numSub`
     * contiguous width-`width` slices. */
@@ -414,7 +423,21 @@ object VectorPipeline {
     val finalCents = centDf(cents).localCheckpoint(true)
     val codes = pqAssign(sr, finalCents)
       .select(col("vid"), col("sub"), col("code")).localCheckpoint(true)
-    PqModel(finalCents, codes)
+    PqModel(finalCents, codes, numSub, numCodes, dims)
+  }
+
+  /** Per-probe top-k through the repo's own bounded-heap operator
+    * ([[graft.plans.GroupTopK]], w10/w13): the corpus-sized per-probe
+    * partition is pruned map-side by a one-pass O(n log k) heap BY
+    * CONSTRUCTION — not by hoping the builtin WindowGroupLimit rewrite's
+    * guards fire — and the rank column is re-derived by a window over
+    * the ≤ k surviving rows per probe (bounded partitions, free). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val pruned = graft.plans.GroupTopK(scored, Seq("probe_id"),
+      Seq(("sim", false), ("neighbor_id", true)), k)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    pruned.withColumn("rank", row_number().over(w).cast("long"))
   }
 
   /** Asymmetric-distance top-k over a trained [[PqModel]]: each probe
@@ -423,25 +446,25 @@ object VectorPipeline {
     * vector's approximate similarity is the sum of numSub LUT entries
     * selected by its codes. The scan touches ONLY the compact codes
     * table; partials are summed through DECIMAL for order-independence
-    * and rounded to 6 dp like every sim in this file. */
+    * and rounded to 6 dp like every sim in this file. Probe slicing
+    * geometry comes from the model itself, so a config mismatch is
+    * impossible; the final per-probe top-k is a bounded-heap
+    * GroupTopKExec plan ([[rankTopK]]), never a corpus-sized window. */
   def pqAdcTopK(model: PqModel, probes: DataFrame, idCol: String,
-      vecCol: String, k: Int, numSub: Int = 8, dims: Int = 64): DataFrame = {
-    val width = dims / numSub
+      vecCol: String, k: Int): DataFrame = {
     val p = probes.select(col(idCol).as("vid"), col(vecCol).as("ve"))
-    val lut = pqSubRows(p, numSub, width)
+    val lut = pqSubRows(p, model.numSub, model.width)
       .join(broadcast(model.codebooks), "sub")
       .select(col("vid").as("probe_id"), col("sub"), col("code"),
         DotProduct.dot(col("sv"), col("cv"))
           .cast("decimal(18,12)").as("part"))
-    val wTop = Window.partitionBy(col("probe_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    model.codes.join(broadcast(lut), Seq("sub", "code"))
-      .filter(col("vid") =!= col("probe_id"))
-      .groupBy(col("probe_id"), col("vid"))
-      .agg(round(sum(col("part")).cast("double"), 6).as("sim"))
-      .select(col("probe_id"), col("vid").as("neighbor_id"), col("sim"))
-      .withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter(col("rank") <= k)
+    rankTopK(
+      model.codes.join(broadcast(lut), Seq("sub", "code"))
+        .filter(col("vid") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("vid"))
+        .agg(round(sum(col("part")).cast("double"), 6).as("sim"))
+        .select(col("probe_id"), col("vid").as("neighbor_id"), col("sim")),
+      k)
   }
 
   /** Two-stage retrieval: a cheap PQ/ADC shortlist of `shortlist`
@@ -453,20 +476,16 @@ object VectorPipeline {
     * from shortlist misses, which widening `shortlist` buys back at
     * codes-scan (not float-scan) cost. */
   def pqRerankTopK(model: PqModel, corpus: DataFrame, probes: DataFrame,
-      idCol: String, vecCol: String, k: Int, shortlist: Int,
-      numSub: Int = 8, dims: Int = 64): DataFrame = {
-    val cand = pqAdcTopK(model, probes, idCol, vecCol, shortlist,
-        numSub, dims)
+      idCol: String, vecCol: String, k: Int, shortlist: Int): DataFrame = {
+    val cand = pqAdcTopK(model, probes, idCol, vecCol, shortlist)
       .select(col("probe_id"), col("neighbor_id"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("ce"))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pe"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cand.join(c, "neighbor_id").join(broadcast(p), "probe_id")
-      .select(col("probe_id"), col("neighbor_id"),
-        sim(col("pe"), col("ce")).as("sim"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    rankTopK(
+      cand.join(c, "neighbor_id").join(broadcast(p), "probe_id")
+        .select(col("probe_id"), col("neighbor_id"),
+          sim(col("pe"), col("ce")).as("sim")),
+      k)
   }
 
   /** All pairs with similarity at or above `threshold` (brute force —

@@ -147,12 +147,12 @@ object ApiDemo {
       numSub = 4, numCodes = 8, iters = 2, dims = 8)
     println("PQ/ADC top-3 (codes-table scan only):")
     VectorPipeline.pqAdcTopK(model, pqVecs.filter(col("vid") < 2),
-        "vid", "vec", k = 3, numSub = 4, dims = 8)
+        "vid", "vec", k = 3)
       .orderBy("probe_id", "rank").show(false)
     println("PQ shortlist + exact re-rank top-3:")
     VectorPipeline.pqRerankTopK(model, pqVecs,
         pqVecs.filter(col("vid") < 2), "vid", "vec",
-        k = 3, shortlist = 10, numSub = 4, dims = 8)
+        k = 3, shortlist = 10)
       .orderBy("probe_id", "rank").show(false)
 
     spark.stop()

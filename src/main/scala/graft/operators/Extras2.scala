@@ -44,10 +44,10 @@ object Extras2 {
     * Extras2Spec) — the file-layout analog of 100 TB data skipping. */
   def s8PartitionPrune(spark: SparkSession, sfDir: String): DataFrame = {
     val s = Tables.tune(spark)
-    // fixed per-sfDir directory + overwrite: repeated runs rewrite in place
-    // instead of leaking a full copy of orders per invocation
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_s8_${(sfDir.hashCode & 0x7fffffff).toHexString}").getAbsolutePath
+    // fixed per-(process, sfDir) directory + overwrite: repeated runs
+    // rewrite in place instead of leaking a full copy of orders per
+    // invocation, and concurrent processes never share the path
+    val dir = Tables.scratchDir("s8", sfDir)
     Tables.orders(spark, sfDir)
       .withColumn("o_year", year(col("o_orderdate")))
       .write.mode("overwrite").partitionBy("o_year").parquet(dir)

@@ -512,18 +512,16 @@ object Extras3 {
     * CREATE TABLE AS / catalog-read path next to the path-based S-family. */
   def s7bCatalogTable(spark: SparkSession, sfDir: String): DataFrame = {
     val t = "graft_cat_lineitem"
-    spark.sql(s"DROP TABLE IF EXISTS $t")
-    // the in-memory catalog is per-session but the warehouse directory
-    // persists; a stale location from an earlier session makes
-    // saveAsTable refuse, so clear it explicitly
-    val wh = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), t)
-    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    // explicit per-process data location (Tables.scratchDir): the shared
+    // session warehouse dir would let two concurrent Verify processes
+    // race each other's table files — VERDICT r6 #2
+    val loc = s"${Tables.scratchDir("s7b_tbl", sfDir)}/$t"
+    ScaleOps.dropTableAt(spark, t, loc)
     Tables.lineitem(spark, sfDir)
       .filter(col("l_quantity") > 49.0)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_returnflag"))
-      .write.mode("overwrite").saveAsTable(t)
+      .write.mode("overwrite").option("path", loc).saveAsTable(t)
     spark.table(t)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"))

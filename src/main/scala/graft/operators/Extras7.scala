@@ -187,14 +187,17 @@ object Extras7 {
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast(Det.Money)).as("total"))
     val baseDir = Paths.get(Tables.scratchDir("x54base", sfDir))
-    val marker = baseDir.resolve("_agg_from_size")
-    val srcSize = Files.size(Paths.get(s"$sfDir/orders.parquet"))
+    val marker = baseDir.resolve("_agg_from_src")
+    // content fingerprint: size + mtime — a regenerated corpus of
+    // identical byte size still invalidates the persisted base agg
+    // (ADVICE r6), so a stale cut can never serve silently
+    val src = Paths.get(s"$sfDir/orders.parquet")
+    val srcFp = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
     val dataDir = baseDir.resolve("agg").toString
-    if (!Files.exists(marker) ||
-        Files.readString(marker) != srcSize.toString) {
+    if (!Files.exists(marker) || Files.readString(marker) != srcFp) {
       aggOf(o.filter(col("o_orderdate") < lit(cut)))
         .write.mode("overwrite").parquet(dataDir)
-      Files.writeString(marker, srcSize.toString)
+      Files.writeString(marker, srcFp)
     }
     val base = Tables.tune(spark).read.parquet(dataDir)
     val delta = aggOf(o.filter(col("o_orderdate") >= lit(cut)))
@@ -223,6 +226,25 @@ object Extras7 {
         sh.filter(col("doc_id") % 10 === 3),
         sh.filter(col("doc_id") % 10 =!= 3), 0.5)
       .orderBy(col("doc_new"), col("doc_old"))
+  }
+
+  /** X56 — x55's guard visibility row (ADVICE r6): the corpus-side
+    * stop-token set the hot-prefix cap excluded from x55's candidate
+    * generation, emitted as data. x55's "recall AND precision both
+    * hash-checked" exactness claim holds exactly while this set is
+    * EMPTY; on a hotter corpus this row fails FIRST with the count that
+    * explains x55's recall loss, instead of x55 failing as a mystery
+    * pair-set mismatch. Stop-set membership depends on the xxhash64
+    * rarity tie-break, so the SET is not oracle-expressible — but its
+    * emptiness at the tested corpora is, as a derived claim. */
+  def x56JaccardIncrGuard(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.shingleHashSet(spark, sfDir)
+    val d = TextPipeline.prefixJaccardAgainstDetail(
+      sh.filter(col("doc_id") % 10 === 3),
+      sh.filter(col("doc_id") % 10 =!= 3), 0.5)
+    d.stopTokens.agg(count(lit(1)).as("n_stop_tokens"))
+      .select(col("n_stop_tokens"),
+        (col("n_stop_tokens") === 0L).as("recall_exact"))
   }
 
   /** F22 — observed metrics (`Dataset.observe` / CollectMetricsExec):
@@ -296,17 +318,19 @@ object Extras7 {
     * sibling of x27's hand-rolled Misra-Gries): top-3 order priorities
     * by count. With 5 distinct values under the default 10k tracked
     * items the sketch is EXACT, so the derived claim is full value
-    * equality against the exact counts; output re-sorted by
-    * (est DESC, item) because the sketch's intra-tie order is
-    * unspecified — the tie inside the top-3 at sf0.01 is why the
-    * deterministic re-sort is load-bearing, not cosmetic. */
+    * equality against the exact counts. TIE-PROOF form (ADVICE r6): the
+    * sketch is asked for k=5 — ALL distinct values, so its unspecified
+    * pick among boundary-tied items can never drop a value — and the
+    * deterministic (est DESC, item) LIMIT 3 is applied HERE, matching
+    * the oracle's order exactly even when counts tie at the top-3
+    * boundary at some SF. */
   def a19ApproxTopK(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.orders(spark, sfDir).createOrReplaceTempView("v_orders")
     spark.sql(
       """SELECT kv.item AS item, CAST(kv.count AS BIGINT) AS est
-        |FROM (SELECT explode(approx_top_k(o_orderpriority, 3)) AS kv
+        |FROM (SELECT explode(approx_top_k(o_orderpriority, 5)) AS kv
         |      FROM v_orders)
-        |ORDER BY est DESC, item""".stripMargin)
+        |ORDER BY est DESC, item LIMIT 3""".stripMargin)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -317,6 +341,7 @@ object Extras7 {
     "x53_data_quality" -> (x53DataQuality _),
     "x54_incremental_agg" -> (x54IncrementalAgg _),
     "x55_jaccard_incremental" -> (x55JaccardIncremental _),
+    "x56_jaccard_incr_guard" -> (x56JaccardIncrGuard _),
     "f22_observe" -> (f22Observe _),
     "sql32_group_by_all" -> (sql32GroupByAll _),
     "sql33_pivot_clause" -> (sql33PivotClause _),
@@ -415,6 +440,10 @@ object Extras7 {
        "JOIN n no ON no.doc_id = doc_old " +
        "WHERE inter / (nn.n_sh + no.n_sh - inter) > 0.5 " +
        "ORDER BY doc_new, doc_old"),
+    // derived claim: the hot-prefix stop set is empty at the tested
+    // corpora, so x55's exhaustive-recall contract is in force
+    "x56_jaccard_incr_guard" ->
+      "SELECT CAST(0 AS BIGINT) AS n_stop_tokens, TRUE AS recall_exact",
     "f22_observe" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
        "CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) " +

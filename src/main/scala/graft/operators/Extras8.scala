@@ -1,0 +1,425 @@
+package graft.operators
+
+import org.apache.arrow.vector.{BigIntVector, Float8Vector, VarCharVector}
+import org.apache.spark.sql.{DataFrame, GraftArrow, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import graft.{Det, Tables}
+
+/** Round-7 wave: the Arrow-vectorized batch seam (f23), dynamic
+  * partition pruning (s22), and two training-data ops — the composed
+  * curation funnel (x58) and the leakage-safe cluster split (x60).
+  */
+object Extras8 {
+
+  /** F23 — the Arrow-vectorized batch seam
+    * ([[org.apache.spark.sql.GraftArrow.mapInArrowBatches]]): document
+    * scoring run as a columnar BATCH KERNEL over Arrow-encoded
+    * partitions — the exact data shape Spark ships to pandas/Arrow UDF
+    * workers, demonstrated in-JVM because the pandas tier is a
+    * PySpark-client feature with no Scala registration API (boundary
+    * documented in SURVEY §2.10). The kernel computes a whitespace
+    * token count (one pass over the UTF-8 bytes — 0x20 never occurs in
+    * a multi-byte sequence, so the byte loop equals the oracle's
+    * character replace) and a capped tokens/50 score in pure IEEE
+    * arithmetic, so DuckDB recomputes every value exactly. Batch size
+    * 128 forces multiple batches per partition at every SF — the
+    * batching path is genuinely exercised, not a single-batch
+    * degenerate. */
+  def f23ArrowBatches(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val out = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_ws_tokens", LongType),
+      StructField("score", DoubleType)))
+    GraftArrow.mapInArrowBatches(docs, out, batchSize = 128) { (in, o) =>
+      val ids = in.getVector("doc_id").asInstanceOf[BigIntVector]
+      val txt = in.getVector("text").asInstanceOf[VarCharVector]
+      val oid = o.getVector("doc_id").asInstanceOf[BigIntVector]
+      val otk = o.getVector("n_ws_tokens").asInstanceOf[BigIntVector]
+      val osc = o.getVector("score").asInstanceOf[Float8Vector]
+      val n = in.getRowCount
+      var i = 0
+      while (i < n) {
+        val bytes =
+          if (txt.isNull(i)) Array.emptyByteArray else txt.get(i)
+        var spaces = 0
+        var j = 0
+        while (j < bytes.length) {
+          if (bytes(j) == 0x20) spaces += 1
+          j += 1
+        }
+        val toks = spaces + 1L
+        oid.setSafe(i, ids.get(i))
+        otk.setSafe(i, toks)
+        osc.setSafe(i, math.min(1.0, toks / 50.0))
+        i += 1
+      }
+      n
+    }.orderBy(col("doc_id"))
+  }
+
+  /** S22 — DYNAMIC partition pruning (the runtime form of s8's static
+    * pruning): orders staged year-partitioned, joined to a tiny
+    * era-dimension whose FILTER IS ON A NON-PARTITION ATTRIBUTE — the
+    * set of fact partitions to read is unknowable at plan time and is
+    * derived at runtime from the dim's broadcast (Catalyst's
+    * PartitionPruning inserts a `dynamicpruning` subquery reusing the
+    * join's broadcast; Extras8Spec pins it in the plan along with the
+    * partition count actually read). At 100 TB this is the mainstream
+    * star-join saver: a date-dim filter prunes a date-partitioned fact
+    * to the qualifying partitions without scanning the rest. Values
+    * are plan-independent; the oracle recomputes from base orders with
+    * the dim semantics inlined. */
+  def s22DynamicPartitionPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val base = Tables.scratchDir("s22_dpp", sfDir)
+    val factDir = s"$base/fact"
+    val dimDir = s"$base/dim"
+    Tables.orders(s, sfDir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(factDir)
+    import s.implicits._
+    // the corpus spans 1995..2001 (TESTDATA); 'early' = first 3 years
+    (1995 to 2001).map(y => (y, if (y <= 1997) "early" else "late"))
+      .toDF("o_year", "era")
+      .write.mode("overwrite").parquet(dimDir)
+    val fact = s.read.parquet(factDir)
+    val dim = s.read.parquet(dimDir).filter(col("era") === "early")
+    fact.join(dim, "o_year")
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("revenue"))
+      .select(col("o_year").cast("long").as("o_year"), col("n"),
+        col("revenue"))
+      .orderBy(col("o_year"))
+  }
+
+  /** X58 — composed curation funnel (the end-to-end shape a crawl
+    * pipeline runs nightly, with per-stage observability): language
+    * gate → length gate → exact dedup, emitted as one funnel table
+    * (stage, n_docs, n_chars_total). Stage counts 0–2 are INDEPENDENT
+    * conditional aggregates in a single scan (x53's
+    * adding-checks-never-adds-scans discipline); only the dedup stage
+    * adds a grouped pass, keyed by the text itself (exact equality —
+    * x22's min-id keep rule on whole documents). Nothing is
+    * re-scanned per stage, so the funnel costs one scan + one
+    * vocabulary-sized shuffle at any corpus size. */
+  def x58CurationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val langOk = col("lang") === "en"
+    val lenOk = langOk && col("n_chars").between(120, 350)
+    val stages = d.agg(
+      count(lit(1)).as("n0"),
+      sum(col("n_chars")).as("c0"),
+      sum(when(langOk, 1L).otherwise(0L)).as("n1"),
+      sum(when(langOk, col("n_chars")).otherwise(0L)).as("c1"),
+      sum(when(lenOk, 1L).otherwise(0L)).as("n2"),
+      sum(when(lenOk, col("n_chars")).otherwise(0L)).as("c2"))
+    val kept = d.filter(lenOk)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        min(col("n_chars")).as("nc"))
+      .agg(count(lit(1)).as("n3"), sum(col("nc")).as("c3"))
+    stages.crossJoin(kept)
+      .select(explode(array(
+        struct(lit("0_raw").as("stage"), col("n0").as("n_docs"),
+          col("c0").as("n_chars_total")),
+        struct(lit("1_lang").as("stage"), col("n1").as("n_docs"),
+          col("c1").as("n_chars_total")),
+        struct(lit("2_length").as("stage"), col("n2").as("n_docs"),
+          col("c2").as("n_chars_total")),
+        struct(lit("3_dedup").as("stage"), col("n3").as("n_docs"),
+          col("c3").as("n_chars_total")))).as("kv"))
+      .select(col("kv.stage").as("stage"), col("kv.n_docs").as("n_docs"),
+        col("kv.n_chars_total").as("n_chars_total"))
+      .orderBy(col("stage"))
+  }
+
+  /** X60 — leakage-safe train/val/test split: assignment is by
+    * NEAR-DUP CLUSTER, not by document, so two near-duplicate
+    * documents can never land in different splits (the
+    * train-contaminates-eval failure mode of naive row-hash splits).
+    * Clusters come from the memoized verified near-dup pairs
+    * (l2/x12's large-star/small-star CC); singleton documents are
+    * their own cluster. The split function is rep % 10 (8/1/1) — a
+    * pure function of the cluster representative, deterministic and
+    * engine-portable (a production deployment substitutes a salted
+    * hash; the CONTRACT is cluster-atomicity, which the oracle
+    * re-verifies by recomputing clusters recursively from scratch). */
+  def x60LeakageSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val cc = graft.api.TextPipeline.connectedComponents(
+      Dedup.nearDupPairsFrame(spark, sfDir))
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+      .join(cc, Seq("doc_id"), "left_outer")
+      .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
+      .withColumn("split",
+        when(pmod(col("rep"), lit(10L)) < 8, "train")
+          .when(pmod(col("rep"), lit(10L)) === 8, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("rep"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X61 — n-gram novelty scoring (the contribution signal data
+    * selection ranks by: how much of a document is NOT already in the
+    * corpus before it): per doc, the fraction of its distinct 3-gram
+    * shingles whose FIRST occurrence (minimum doc_id) is this doc.
+    * Boilerplate re-posts score ~0, fresh text ~1 — the streaming-order
+    * analog dedups an ingest feed by information gain.
+    *
+    * Scale shape: first-seen is ONE vocabulary-sized aggregate
+    * (min doc_id per shingle — the same index table x55 keeps), the
+    * join back is token-keyed against that pre-aggregated single row
+    * per token (hot shingles cannot blow up the join), and the per-doc
+    * roll-up is one grouped agg. The novelty ratio is a single IEEE
+    * division on exact counts — identical in both engines, no rounding
+    * policy needed. */
+  def x61NgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.shingleHashSet(spark, sfDir)
+    val firstSeen = sh.groupBy(col("ng_h"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSeen, "ng_h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_sh"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_sh")).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X62 — training-mixture report: the TOP-20 sources' corpus shares
+    * with cumulative coverage in size order — the table a data-mixing
+    * run reads before choosing sampling temperatures (x35 consumes
+    * exactly these proportions). Scale shape: one grouped aggregate
+    * (per-source totals), a distributed top-k
+    * (TakeOrderedAndProject — never a global sort), and THEN the
+    * global cumulative window, which by construction sees only the k
+    * retained rows (PlanLint's single-partition-window rule exempts
+    * limit-bounded windows for exactly this shape). Shares stay
+    * fractions of the FULL corpus total, so truncation is visible as
+    * cum_share < 1 rather than silently renormalized — at web scale
+    * with millions of domains the tail's share is the honest
+    * remainder. */
+  def x62MixtureReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    val total = s.agg(sum(col("chars")).as("total"))
+    val top = s.orderBy(col("chars").desc, col("source")).limit(20)
+    val w = Window.orderBy(col("chars").desc, col("source"))
+    top.crossJoin(total)
+      .select(col("source"), col("n_docs"), col("chars"),
+        (col("chars").cast("double") / col("total")).as("share"),
+        (sum(col("chars")).over(w).cast("double") / col("total"))
+          .as("cum_share"))
+      .orderBy(col("chars").desc, col("source"))
+  }
+
+  /** A20 — Count-Min sketch frequency estimation (Cormode/Muthukrishnan
+    * 2005; Spark's public `DataFrameStatFunctions.countMinSketch`), the
+    * point-query sibling of a18's HLL and a19's top-k sketch: one pass
+    * builds the sketch, per-item counts are answered from the sketch
+    * alone. With eps 1e-4 (≈ 20k-column rows) and 5 distinct keys the
+    * fixed-seed sketch is collision-free, so the contract claim is full
+    * EQUALITY with the exact counts the oracle recomputes; at crawl
+    * scale the published ≤ εN overestimate bound takes over. Only the
+    * sketch (bounded: depth × width counters) and the 5-value domain
+    * ever reach the driver. */
+  def a20CountMin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val sketch = o.stat.countMinSketch(col("o_orderpriority"),
+      eps = 0.0001, confidence = 0.99, seed = 42)
+    val items = o.select(col("o_orderpriority")).distinct()
+      .collect().map(_.getString(0)).sorted
+    import spark.implicits._
+    items.map(i => (i, sketch.estimateCount(i)))
+      .toSeq.toDF("item", "est")
+      .orderBy(col("item"))
+  }
+
+  /** S23 — malformed-record handling on the CSV source (the crawl-feed
+    * robustness surface): a staged CSV directory of well-formed nation
+    * rows PLUS two planted malformed lines read under all three parser
+    * modes — DROPMALFORMED keeps exactly the good rows, PERMISSIVE
+    * keeps every line and quarantines the bad ones in
+    * `_corrupt_record` (the count is data, not a log line), FAILFAST
+    * refuses the file (asserted as a caught analysis/runtime error).
+    * Claims are tied to the nation row count so the oracle recomputes
+    * them; the planted-bad count is a staged constant. */
+  def s23CsvMalformed(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val dir = Tables.scratchDir("s23_csv", sfDir)
+    Tables.nation(s, sfDir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .coalesce(1).write.mode("overwrite").csv(dir)
+    // both planted lines are TYPE-malformed (unparseable INT key):
+    // the CSV reader tolerates missing/extra trailing tokens, so token
+    // count alone is not a malformed record — a wrong-typed field is
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "zz_bad.csv"),
+      "notanint,BADLAND,alsobad\nx1,BADTWO,9\n")
+    // TWO parse-avoidance fast paths must be defeated for malformed
+    // detection to mean anything: `count()` on a CSV read parses no
+    // fields at all (it counts raw lines — even a type-garbage row
+    // "counts"), and column pruning parses only the fields a query
+    // references (a bad INT field is invisible to a name-only
+    // projection, and Catalyst re-prunes aggregates no matter what the
+    // reader conf says). localCheckpoint materializes the FULL row set
+    // before any counting, so every record is completely parsed under
+    // its mode — exactly what an ingest reading all columns does.
+    val schema = "n_nationkey INT, n_name STRING, n_regionkey INT, " +
+      "_corrupt_record STRING"
+    val perm = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir).localCheckpoint(true)
+    val permAgg = perm.agg(count(col("n_name")).as("n"),
+      count(col("_corrupt_record")).as("c")).collect()(0)
+    val (nPermissive, nCorrupt) = (permAgg.getLong(0), permAgg.getLong(1))
+    val nDrop = s.read
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .option("mode", "DROPMALFORMED").csv(dir)
+      .localCheckpoint(true).count()
+    val failfastThrows =
+      try {
+        s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+          .option("mode", "FAILFAST").csv(dir).localCheckpoint(true)
+        false
+      } catch { case _: Throwable => true }
+    import s.implicits._
+    Seq((nPermissive, nDrop, nCorrupt, failfastThrows))
+      .toDF("n_permissive", "n_dropmalformed", "n_corrupt",
+        "failfast_throws")
+  }
+
+  /** X63 — exact containment join
+    * ([[graft.api.TextPipeline.containmentPairs]], t = 0.8): directed
+    * near-superset pairs — the quote/decontamination detector that
+    * Jaccard misses (a benchmark doc pasted into a big page has low
+    * Jaccard but containment ≈ 1). Candidates come only from
+    * rare-first prefix collisions of the CONTAINED side with the
+    * hot-token stop cap (the only admissible guards — containment
+    * ignores the container's size, so there is no symmetric length
+    * filter); exact intersection counts verify. The oracle recomputes
+    * every directed pair exhaustively, so recall and precision are
+    * both hash-checked. */
+  def x63ContainmentJoin(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.TextPipeline.containmentPairs(
+        Dedup.shingleHashSet(spark, sfDir), 0.8)
+      .orderBy(col("doc_src"), col("doc_sup"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x63_containment_join" -> (x63ContainmentJoin _),
+    "f23_arrow_batches" -> (f23ArrowBatches _),
+    "s22_dpp" -> (s22DynamicPartitionPrune _),
+    "x58_curation_funnel" -> (x58CurationFunnel _),
+    "x60_leakage_split" -> (x60LeakageSplit _),
+    "x61_ngram_novelty" -> (x61NgramNovelty _),
+    "x62_mixture_report" -> (x62MixtureReport _),
+    "a20_count_min" -> (a20CountMin _),
+    "s23_csv_malformed" -> (s23CsvMalformed _))
+
+  val oracles: Map[String, String] = Map(
+    // the kernel's arithmetic restated over characters: one 0x20 byte
+    // per ' ' char in UTF-8, and min(1.0, n/50.0) is exact IEEE
+    "f23_arrow_batches" ->
+      ("SELECT doc_id, " +
+       "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) " +
+       "AS n_ws_tokens, " +
+       "least(1.0, (length(text) - length(replace(text, ' ', '')) + 1) " +
+       "/ 50.0) AS score " +
+       "FROM documents ORDER BY doc_id"),
+    // dim semantics inlined: era 'early' = years 1995..1997
+    "s22_dpp" ->
+      ("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+       "COUNT(*) AS n, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+       "FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 1997 " +
+       "GROUP BY 1 ORDER BY o_year"),
+    "x58_curation_funnel" ->
+      ("WITH base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0, " +
+       "CAST(SUM(n_chars) AS BIGINT) AS c0, " +
+       "CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+       "CAST(SUM(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS BIGINT) AS c1, " +
+       "CAST(SUM(CASE WHEN lang = 'en' AND n_chars BETWEEN 120 AND 350 " +
+       "THEN 1 ELSE 0 END) AS BIGINT) AS n2, " +
+       "CAST(SUM(CASE WHEN lang = 'en' AND n_chars BETWEEN 120 AND 350 " +
+       "THEN n_chars ELSE 0 END) AS BIGINT) AS c2 FROM documents), " +
+       "ded AS (SELECT CAST(COUNT(*) AS BIGINT) AS n3, " +
+       "CAST(SUM(nc) AS BIGINT) AS c3 FROM (" +
+       "SELECT text, MIN(doc_id) AS keep_id, MIN(n_chars) AS nc " +
+       "FROM documents WHERE lang = 'en' AND n_chars BETWEEN 120 AND 350 " +
+       "GROUP BY text) t) " +
+       "SELECT stage, n_docs, n_chars_total FROM (" +
+       "SELECT '0_raw' AS stage, n0 AS n_docs, c0 AS n_chars_total FROM base " +
+       "UNION ALL SELECT '1_lang', n1, c1 FROM base " +
+       "UNION ALL SELECT '2_length', n2, c2 FROM base " +
+       "UNION ALL SELECT '3_dedup', n3, c3 FROM ded) u ORDER BY stage"),
+    // clusters recomputed recursively from scratch (x12's oracle),
+    // widened to every document; split restated from rep % 10
+    "x60_leakage_split" ->
+      (s"WITH RECURSIVE s AS (SELECT DISTINCT doc_id, ngram FROM (${TextOps.ngramSql(3)}) t), " +
+       "n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id), " +
+       "i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter " +
+       "FROM s a JOIN s b ON a.ngram = b.ngram AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+       "pairs AS (SELECT doc_a, doc_b FROM i " +
+       "JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b " +
+       "WHERE inter / (na.n_sh + nb.n_sh - inter) > 0.6), " +
+       "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs " +
+       "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+       "reach AS (SELECT DISTINCT a AS src, a AS dst FROM edges " +
+       "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a), " +
+       "cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach " +
+       "GROUP BY src) " +
+       "SELECT d.doc_id, COALESCE(cc.cluster_rep, d.doc_id) AS rep, " +
+       "CASE WHEN COALESCE(cc.cluster_rep, d.doc_id) % 10 < 8 THEN 'train' " +
+       "WHEN COALESCE(cc.cluster_rep, d.doc_id) % 10 = 8 THEN 'val' " +
+       "ELSE 'test' END AS split " +
+       "FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id " +
+       "ORDER BY d.doc_id"),
+    "x61_ngram_novelty" ->
+      (s"WITH s AS (SELECT DISTINCT doc_id, ngram FROM (${TextOps.ngramSql(3)}) t), " +
+       "f AS (SELECT ngram, MIN(doc_id) AS first_doc FROM s GROUP BY 1), " +
+       "agg AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh, " +
+       "CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) " +
+       "AS BIGINT) AS n_novel " +
+       "FROM s JOIN f ON s.ngram = f.ngram GROUP BY s.doc_id) " +
+       "SELECT doc_id, n_sh, n_novel, " +
+       "CAST(n_novel AS DOUBLE) / n_sh AS novelty " +
+       "FROM agg ORDER BY doc_id"),
+    "x62_mixture_report" ->
+      ("WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents GROUP BY 1), " +
+       "t AS (SELECT CAST(SUM(chars) AS BIGINT) AS total FROM s), " +
+       "top AS (SELECT * FROM s ORDER BY chars DESC, source LIMIT 20) " +
+       "SELECT source, n_docs, chars, " +
+       "CAST(chars AS DOUBLE) / total AS share, " +
+       "CAST(CAST(SUM(chars) OVER (ORDER BY chars DESC, source) AS BIGINT) " +
+       "AS DOUBLE) / total AS cum_share " +
+       "FROM top CROSS JOIN t ORDER BY chars DESC, source"),
+    // collision-free at this domain size under the fixed seed, so the
+    // sketch answers ARE the exact counts (see scaladoc for the bound
+    // that takes over at scale)
+    "a20_count_min" ->
+      ("SELECT o_orderpriority AS item, COUNT(*) AS est FROM orders " +
+       "GROUP BY 1 ORDER BY item"),
+    // the exhaustive directed recompute — recall AND precision checked
+    "x63_containment_join" ->
+      (s"WITH s AS (SELECT DISTINCT doc_id, ngram FROM (${TextOps.ngramSql(3)}) t), " +
+       "n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id), " +
+       "i AS (SELECT a.doc_id AS doc_src, b.doc_id AS doc_sup, " +
+       "COUNT(*) AS inter FROM s a JOIN s b ON a.ngram = b.ngram " +
+       "AND a.doc_id <> b.doc_id GROUP BY 1, 2) " +
+       "SELECT doc_src, doc_sup, inter / ns.n_sh AS containment " +
+       "FROM i JOIN n ns ON ns.doc_id = doc_src " +
+       "WHERE inter / ns.n_sh > 0.8 ORDER BY doc_src, doc_sup"),
+    // n_permissive = nation rows + 2 planted lines; dropmalformed keeps
+    // exactly the good rows; both bad lines land in _corrupt_record
+    "s23_csv_malformed" ->
+      ("SELECT (SELECT COUNT(*) FROM nation) + 2 AS n_permissive, " +
+       "(SELECT COUNT(*) FROM nation) AS n_dropmalformed, " +
+       "CAST(2 AS BIGINT) AS n_corrupt, TRUE AS failfast_throws"))
+}

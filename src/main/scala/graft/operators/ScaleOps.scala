@@ -12,21 +12,24 @@ import graft.{Det, Tables}
   */
 object ScaleOps {
 
-  /** Drop a warehouse-backed table's metadata AND files: the in-memory
-    * catalog forgets tables across sessions but their warehouse
-    * directories persist, and CREATE then refuses the stale location. */
-  private def dropWarehouseTable(s: SparkSession, t: String): Unit = {
+  /** Drop a table's metadata AND its explicit data location: catalog
+    * metadata is per-session but data directories persist, and CREATE
+    * then refuses the stale location. Contract tables use explicit
+    * per-process [[graft.Tables.scratchDir]] locations (never the
+    * SHARED session warehouse dir) so two concurrent Verify processes
+    * cannot race each other's table files — VERDICT r6 #2. */
+  private[operators] def dropTableAt(s: SparkSession, t: String,
+      loc: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $t")
-    val loc = new java.io.File(
-      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
+    val f = new java.io.File(loc)
+    if (f.exists()) {
+      def rm(x: java.io.File): Unit = {
         // listFiles returns null (not empty) on I/O or permission error
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
+        if (x.isDirectory)
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete()
       }
-      rm(loc)
+      rm(f)
     }
   }
 
@@ -42,10 +45,11 @@ object ScaleOps {
   def s20BucketPrune(spark: SparkSession, sfDir: String): DataFrame = {
     val s = Tables.tune(spark)
     val t = "graft_s20_orders"
-    dropWarehouseTable(s, t)
+    val loc = s"${Tables.scratchDir("s20_tbl", sfDir)}/$t"
+    dropTableAt(s, t, loc)
     Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .write.mode("overwrite").bucketBy(16, "o_custkey")
+      .write.mode("overwrite").option("path", loc).bucketBy(16, "o_custkey")
       .sortBy("o_custkey").saveAsTable(t)
     s.table(t).filter(col("o_custkey").isin(7L, 42L, 101L))
       .groupBy(col("o_custkey"))
@@ -84,13 +88,16 @@ object ScaleOps {
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_totalprice"))
     // idempotent re-create: the in-memory catalog forgets tables across
-    // sessions but their warehouse directories persist, and CREATE then
+    // sessions but their data directories persist, and CREATE then
     // refuses the stale location — drop both metadata and files first
+    val base = Tables.scratchDir("x10_tbl", sfDir)
     Seq("graft_li_bucketed", "graft_o_bucketed")
-      .foreach(dropWarehouseTable(s, _))
-    li.write.mode("overwrite").bucketBy(nBuckets, "l_orderkey")
+      .foreach(t => dropTableAt(s, t, s"$base/$t"))
+    li.write.mode("overwrite").option("path", s"$base/graft_li_bucketed")
+      .bucketBy(nBuckets, "l_orderkey")
       .sortBy("l_orderkey").saveAsTable("graft_li_bucketed")
-    o.write.mode("overwrite").bucketBy(nBuckets, "o_orderkey")
+    o.write.mode("overwrite").option("path", s"$base/graft_o_bucketed")
+      .bucketBy(nBuckets, "o_orderkey")
       .sortBy("o_orderkey").saveAsTable("graft_o_bucketed")
     val bl = s.table("graft_li_bucketed")
     val bo = s.table("graft_o_bucketed")

@@ -106,7 +106,7 @@ object SimSearch {
     val emb = Tables.embeddings(spark, sfDir)
     VectorPipeline.pqAdcTopK(pqModel(spark, sfDir),
         emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, numSub = 16)
+        "vec_id", "embedding", k = 5)
       .orderBy(col("probe_id"), col("rank"))
   }
 
@@ -126,7 +126,7 @@ object SimSearch {
     val emb = Tables.embeddings(spark, sfDir)
     VectorPipeline.pqRerankTopK(pqModel(spark, sfDir), emb,
         emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, shortlist = 50, numSub = 16)
+        k = 5, shortlist = 50)
       .orderBy(col("probe_id"), col("rank"))
   }
 

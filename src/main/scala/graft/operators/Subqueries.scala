@@ -554,8 +554,40 @@ object Subqueries {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** SQL34 — SQL set-operation surface (the parser forms of o4/o5/o6's
+    * DataFrame set ops) composed into one query: customers with open
+    * orders INTERSECT customers with urgent orders, EXCEPT the
+    * big-spender set; then EXCEPT ALL between two multiplicity-bearing
+    * priority projections proves bag semantics (rows survive per excess
+    * multiplicity, not per distinct value). Identical text runs in
+    * DuckDB. Both operators plan as aggregates/joins over hash
+    * partitioning — nothing single-node. */
+  def sql34SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(
+      """SELECT c, COUNT(*) AS n FROM (
+        |  SELECT c FROM (
+        |    (SELECT o_custkey AS c FROM v_orders WHERE o_orderstatus = 'O'
+        |     INTERSECT
+        |     SELECT o_custkey AS c FROM v_orders
+        |     WHERE o_orderpriority = '1-URGENT')
+        |    EXCEPT
+        |    SELECT o_custkey AS c FROM v_orders
+        |    WHERE o_totalprice > 300000.0
+        |  ) t1
+        |  UNION ALL
+        |  SELECT c FROM (
+        |    SELECT o_custkey AS c FROM v_orders WHERE o_orderstatus = 'O'
+        |    EXCEPT ALL
+        |    SELECT o_custkey AS c FROM v_orders
+        |    WHERE o_orderpriority = '1-URGENT'
+        |  ) t2
+        |) u GROUP BY c ORDER BY c""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s10_range" -> (s10Range _),
+    "sql34_set_ops" -> (sql34SetOps _),
     "sql10_window_clause" -> (sql10WindowClause _),
     "sql5_subqueries" -> (sql5Subqueries _),
     "sql6_cte" -> (sql6Cte _),
@@ -580,6 +612,25 @@ object Subqueries {
     "x11_gapfill" -> (x11GapFill _))
 
   val oracles: Map[String, String] = Map(
+    // identical text — ANSI set ops parse the same in DuckDB
+    "sql34_set_ops" ->
+      ("SELECT c, COUNT(*) AS n FROM ( " +
+       "SELECT c FROM ( " +
+       "(SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'O' " +
+       "INTERSECT " +
+       "SELECT o_custkey AS c FROM orders " +
+       "WHERE o_orderpriority = '1-URGENT') " +
+       "EXCEPT " +
+       "SELECT o_custkey AS c FROM orders WHERE o_totalprice > 300000.0 " +
+       ") t1 " +
+       "UNION ALL " +
+       "SELECT c FROM ( " +
+       "SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'O' " +
+       "EXCEPT ALL " +
+       "SELECT o_custkey AS c FROM orders " +
+       "WHERE o_orderpriority = '1-URGENT' " +
+       ") t2 " +
+       ") u GROUP BY c ORDER BY c"),
     "sql13_volume_shipping" ->
       ("SELECT supp_nation, cust_nation, l_year, " +
        "CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue, " +

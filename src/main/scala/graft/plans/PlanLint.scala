@@ -28,7 +28,10 @@ import org.apache.spark.sql.execution.window.WindowExec
   *     the broadcast rule below instead.)
   *   - `single-partition-window`: WindowExec with an empty PARTITION BY
   *     pulls the entire input through one task (the trap w2's global
-  *     quantiles avoid via distributed rank).
+  *     quantiles avoid via distributed rank). A window whose child is
+  *     bounded by a LIMIT below (GlobalLimit/TakeOrderedAndProject) is
+  *     exempt: a global window over a top-k frame is k rows in one
+  *     task by construction (x62's cumulative-share report shape).
   *   - `unpushed-parquet-filter`: an attribute-vs-literal comparison
   *     (modulo casts) that never reached the reader (PushedFilters: [])
   *     — in practice a cast blocked the translation (comparing an int
@@ -106,7 +109,12 @@ object PlanLint {
       case c: CartesianProductExec =>
         Some(Finding("cartesian-product", c.nodeName,
           "no join key and neither side broadcastable: O(n*m) compare at scale"))
-      case w: WindowExec if w.partitionSpec.isEmpty =>
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+          !flatten(w.child).exists {
+            case _: GlobalLimitExec | _: LocalLimitExec |
+                _: TakeOrderedAndProjectExec => true
+            case _ => false
+          } =>
         Some(Finding("single-partition-window", w.nodeName,
           "empty PARTITION BY funnels all rows through one task; use distributed rank"))
       case s: FileSourceScanExec if s.dataFilters.exists(castBlocked) =>

@@ -156,6 +156,16 @@ import graft.{Det, Tables}
   */
 object Streams {
 
+  /** Locate the single part file of a coalesce(1) staging write with the
+    * directory stream CLOSED afterwards (Files.list leaks a directory
+    * handle per call otherwise — ADVICE r6). */
+  private def singlePart(tmp: java.nio.file.Path): java.nio.file.Path =
+    scala.util.Using.resource(Files.list(tmp)) { st =>
+      st.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+    }
+
+
   /** Stage the events file into a directory `copies` times (the file
     * streaming source reads directories; >1 copy simulates a duplicated
     * feed for the dedup operator). The directory is fixed per
@@ -185,8 +195,7 @@ object Streams {
     val tmp = dir.resolve("_tmp_stage")
     Tables.events(spark, sfDir).coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val part = singlePart(tmp)
     (0 until copies).foreach { i =>
       Files.copy(part, dir.resolve(s"events_$i.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
@@ -341,8 +350,7 @@ object Streams {
     def writeOne(df: DataFrame, name: String, mtimeOffsetSec: Long): Unit = {
       val tmp = dir.resolve(s"_tmp_$name")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val part = singlePart(tmp)
       val dst = dir.resolve(s"$name.parquet")
       Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
       fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
@@ -598,8 +606,7 @@ object Streams {
     def writeOne(df: DataFrame, name: String, mtimeOffsetSec: Long): Unit = {
       val tmp = dir.resolve(s"_tmp_$name")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val part = singlePart(tmp)
       val dst = dir.resolve(s"$name.parquet")
       Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
       fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
@@ -943,7 +950,136 @@ object Streams {
       .orderBy(col("bucket"))
   }
 
+  /** ST19 — streaming incremental dedup: the production ingest loop
+    * assembled from shipped parts (VERDICT r6 #4). The corpus prefix
+    * index ([[graft.api.TextPipeline.buildPrefixIndex]] over every
+    * document OUTSIDE the probe shard — x55's corpus, threshold 0.5)
+    * is built ONCE per stream start; the probe shard is staged as two
+    * parquet files and replayed as two AvailableNow micro-batches
+    * (maxFilesPerTrigger=1); foreachBatch probes each batch against
+    * the index ([[graft.api.TextPipeline.probePrefixIndex]]) and
+    * appends ONLY the survivors — batch docs with no corpus near-dup
+    * above the threshold. Because every probe doc is judged against
+    * the persisted index alone, the union of per-batch survivors
+    * equals the one-shot batch result exactly (StreamsSpec pins the
+    * equivalence and that two batches really ran); the oracle
+    * recomputes survivors exhaustively. At 100 TB this is the nightly
+    * crawl-ingest shape: index built once, each arriving shard probed
+    * and filtered in stream time, corpus never self-joined. */
+  /** Stage the probe shard of documents (doc_id % 10 = 3) as two
+    * deterministic parquet files — the replay feed st19/st20 consume
+    * one file per micro-batch. Reused per (process, sfDir) via a
+    * content-fingerprint marker. */
+  private def stageProbeDocs(spark: SparkSession, sfDir: String): String = {
+    val s = Tables.tune(spark)
+    val dir = Paths.get(Tables.scratchDir("stream_docs", sfDir))
+    val docsSrc = Paths.get(s"$sfDir/documents.parquet")
+    val marker = dir.resolve("_staged_from_src")
+    val fp = s"${Files.size(docsSrc)}:" +
+      s"${Files.getLastModifiedTime(docsSrc).toMillis}"
+    if (!(Files.exists(marker) && Files.readString(marker) == fp &&
+        (0 to 1).forall(i => Files.exists(dir.resolve(s"docs_$i.parquet"))))) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir.toString), true)
+      Files.createDirectories(dir)
+      val probe = Tables.documents(s, sfDir)
+        .filter(col("doc_id") % 10 === 3)
+      (0 to 1).foreach { i =>
+        val tmp = dir.resolve(s"_tmp_docs_$i")
+        probe.filter(expr("(doc_id div 10) % 2") === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = singlePart(tmp)
+        val dst = dir.resolve(s"docs_$i.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 60000L + i * 1000L))
+      }
+      Files.writeString(marker, fp)
+    }
+    dir.toString
+  }
+
+  def st19StreamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.api.TextPipeline
+    val s = Tables.tune(spark)
+    val sh = graft.operators.Dedup.shingleHashSet(spark, sfDir)
+    val idx = TextPipeline.buildPrefixIndex(
+      sh.filter(col("doc_id") % 10 =!= 3), 0.5)
+    val dir = Paths.get(stageProbeDocs(spark, sfDir))
+    val outDir = Tables.scratchDir("st19_out", sfDir)
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(outDir), true)
+    val schema = Tables.documents(s, sfDir).schema
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val pSh = TextPipeline.shingleHashes(batch, "doc_id", "text", 3)
+          val dropped = TextPipeline.probePrefixIndex(idx, pSh)
+            .select(col("doc_new")).distinct()
+          batch.select(col("doc_id"))
+            .join(dropped, col("doc_id") === col("doc_new"), "left_anti")
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    Tables.tune(spark).read.parquet(outDir)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  /** ST20 — streaming observed metrics (f22's streaming face): quality
+    * counters ride the micro-batch stream as `Dataset.observe`
+    * expressions — per batch, CollectMetrics reports (row count, char
+    * total) through StreamingQueryProgress.observedMetrics with ZERO
+    * extra scans while the real consumer (a per-lang grouped aggregate)
+    * drives the pass. The production shape: a streaming ingest gate
+    * alerts from the progress feed instead of running audit queries.
+    * The contract row sums the per-batch metrics across the replay's
+    * two file-batches and emits them with the consumer's group count —
+    * observed-summed ≡ batch-recomputed is exactly what the oracle
+    * checks. */
+  def st20StreamingObserve(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val dir = stageProbeDocs(spark, sfDir)
+    val schema = Tables.documents(s, sfDir).schema
+    val name = s"graft_st20_sink_${sinkCounter.incrementAndGet()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .observe("graft_gate",
+        count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("sum_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination()
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val gate = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("graft_gate")))
+    val dataBatches = gate.filter(_.getLong(0) > 0L)
+    val nRows = dataBatches.map(_.getLong(0)).sum
+    val sumChars = dataBatches.map(_.getLong(1)).sum
+    val nLangs = spark.table(name).count()
+    import s.implicits._
+    Seq((nRows, sumChars, dataBatches.size.toLong, nLangs))
+      .toDF("n_rows", "sum_chars", "n_batches", "n_langs")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st19_streaming_dedup" -> (st19StreamingDedup _),
+    "st20_streaming_observe" -> (st20StreamingObserve _),
     "st11_dsv2_stream" -> (st11SeqStream _),
     "st8_stream_stream" -> (st8StreamStreamJoin _),
     "st12_stream_outer" -> (st12StreamStreamOuter _),
@@ -965,6 +1101,29 @@ object Streams {
     "st18_update_mode" -> (st18UpdateMode _))
 
   val oracles: Map[String, String] = Map(
+    // survivors recomputed exhaustively: probe docs (doc_id % 10 = 3)
+    // with NO corpus near-dup above 0.5 shingle-Jaccard (x55's corpus
+    // split and threshold)
+    "st19_streaming_dedup" ->
+      (s"WITH s AS (SELECT DISTINCT doc_id, ngram FROM (${graft.operators.TextOps.ngramSql(3)}) t), " +
+       "n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id), " +
+       "i AS (SELECT p.doc_id AS doc_new, c.doc_id AS doc_old, " +
+       "COUNT(*) AS inter FROM s p JOIN s c ON p.ngram = c.ngram " +
+       "AND p.doc_id % 10 = 3 AND c.doc_id % 10 <> 3 GROUP BY 1, 2), " +
+       "matched AS (SELECT DISTINCT doc_new FROM i " +
+       "JOIN n nn ON nn.doc_id = doc_new JOIN n no ON no.doc_id = doc_old " +
+       "WHERE inter / (nn.n_sh + no.n_sh - inter) > 0.5) " +
+       "SELECT d.doc_id FROM documents d WHERE d.doc_id % 10 = 3 " +
+       "AND d.doc_id NOT IN (SELECT doc_new FROM matched) " +
+       "ORDER BY doc_id"),
+    // observed metrics summed over the two file-batches must equal the
+    // probe shard's batch aggregates; n_batches pins the replay shape
+    "st20_streaming_observe" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, " +
+       "CAST(2 AS BIGINT) AS n_batches, " +
+       "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs " +
+       "FROM documents WHERE doc_id % 10 = 3"),
     // the three-way time-split replay's batch membership is a pure
     // function of the data (segments at max-1h / max-2h), so the oracle
     // reproduces update-mode's per-key version count exactly

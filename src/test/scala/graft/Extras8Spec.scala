@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Extras8}
+
+class Extras8Spec extends SparkSpec {
+
+  test("f23: Arrow batch seam matches a plain-DataFrame recompute " +
+      "and really runs multiple batches") {
+    val got = Extras8.f23ArrowBatches(spark, sf).collect()
+    val want = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+          + 1).cast("long").as("n_ws_tokens"))
+      .withColumn("score", least(lit(1.0), col("n_ws_tokens") / 50.0))
+      .orderBy(col("doc_id")).collect()
+    assert(got.length == want.length && got.length > 128,
+      s"need > 1 batch at batchSize=128, got ${got.length} rows")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getLong(1) == w.getLong(1)
+        && g.getDouble(2) == w.getDouble(2), s"$g vs $w")
+    }
+  }
+
+  test("f23: empty-input partitions survive the Arrow path") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = org.apache.spark.sql.GraftArrow.mapInArrowBatches(
+      empty, Extras8.f23ArrowBatches(spark, sf).schema, 16)((_, _) => 0)
+    assert(out.count() == 0)
+  }
+
+  test("s22: the fact scan is pruned by a dynamicpruning subquery " +
+      "and reads only the qualifying partitions") {
+    val df = Extras8.s22DynamicPartitionPrune(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("dynamicpruning"),
+      "expected a dynamicpruning subquery on the partitioned fact scan")
+    val factScans = flattenPlan(plan).collect {
+      case s: FileSourceScanExec
+          if s.relation.partitionSchema.fieldNames.contains("o_year") => s
+    }
+    assert(factScans.nonEmpty, "partitioned fact scan not found")
+    // the staged layout holds 7 year partitions (1992..1998); the dim
+    // filter qualifies only 1992..1994
+    val partsRead = factScans.head.metrics("numPartitions").value
+    assert(partsRead <= 3, s"DPP should read <= 3 partitions, read $partsRead")
+  }
+
+  test("x58: funnel stages are monotonically non-increasing and stage 0 " +
+      "matches the corpus") {
+    val rows = Extras8.x58CurationFunnel(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("0_raw") == Tables.documents(spark, sf).count())
+    assert(rows("0_raw") >= rows("1_lang"))
+    assert(rows("1_lang") >= rows("2_length"))
+    assert(rows("2_length") >= rows("3_dedup"))
+    assert(rows("3_dedup") > 0)
+  }
+
+  test("x60: near-dup pairs never straddle splits (cluster atomicity)") {
+    val split = Extras8.x60LeakageSplit(spark, sf)
+      .select(col("doc_id"), col("split"))
+    val pairs = Dedup.nearDupPairsFrame(spark, sf)
+    val straddle = pairs
+      .join(split.select(col("doc_id").as("doc_a"),
+        col("split").as("sa")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"),
+        col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(straddle.count() == 0, "a near-dup pair crossed split lines")
+    // and the split really partitions every document
+    assert(split.count() == Tables.documents(spark, sf).count())
+  }
+
+  test("x61: novelty is 1.0 for the first doc and in [0,1] everywhere") {
+    val rows = Extras8.x61NgramNovelty(spark, sf).collect()
+    assert(rows.head.getLong(0) == rows.map(_.getLong(0)).min)
+    assert(rows.head.getDouble(3) == 1.0,
+      "the earliest doc's shingles are all first-seen by definition")
+    assert(rows.forall(r =>
+      r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("x62: shares sum to 1 and cumulative share ends at 1") {
+    val rows = Extras8.x62MixtureReport(spark, sf).collect()
+    val shareSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"share sum $shareSum")
+    assert(math.abs(rows.last.getDouble(4) - 1.0) < 1e-9)
+    // cumulative share is non-decreasing in the emitted order
+    val cums = rows.map(_.getDouble(4))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
+  }
+
+  test("a20: count-min estimates equal exact counts at this domain size") {
+    val est = Extras8.a20CountMin(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.orders(spark, sf).groupBy(col("o_orderpriority"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == exact)
+  }
+
+  test("s23: parser modes agree on the planted-bad staging") {
+    val r = Extras8.s23CsvMalformed(spark, sf).collect()(0)
+    val nNation = Tables.nation(spark, sf).count()
+    assert(r.getLong(0) == nNation + 2)   // permissive keeps all lines
+    assert(r.getLong(1) == nNation)       // dropmalformed keeps good only
+    assert(r.getLong(2) == 2)             // both bad lines quarantined
+    assert(r.getBoolean(3))               // failfast refuses the file
+  }
+
+  test("x63: containment pairs equal the brute-force directed recompute") {
+    import graft.api.TextPipeline
+    val sh = Dedup.shingleHashSet(spark, sf)
+    val got = Extras8.x63ContainmentJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val brute = sh.select(col("doc_id").as("doc_src"), col("ng_h"))
+      .join(sh.select(col("doc_id").as("doc_sup"), col("ng_h").as("h2")),
+        col("ng_h") === col("h2") && col("doc_src") =!= col("doc_sup"))
+      .groupBy(col("doc_src"), col("doc_sup"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_src"),
+        col("n_sh").as("ns")), "doc_src")
+      .select(col("doc_src"), col("doc_sup"),
+        (col("inter") / col("ns")).as("containment"))
+      .filter(col("containment") > 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute && got.nonEmpty)
+  }
+
+  test("st20: observed metrics ride the replay with two data batches") {
+    val r = graft.streaming.Streams.st20StreamingObserve(spark, sf)
+      .collect()(0)
+    val probe = Tables.documents(spark, sf).filter(col("doc_id") % 10 === 3)
+    assert(r.getLong(0) == probe.count())
+    assert(r.getLong(2) == 2, "two file-batches must report metrics")
+  }
+
+  test("st19: streaming survivors equal the one-shot batch result " +
+      "and two micro-batches really ran") {
+    val streamed = graft.streaming.Streams.st19StreamingDedup(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    // one-shot batch equivalent: probe docs minus x55 matches
+    val sh = Dedup.shingleHashSet(spark, sf)
+    val matched = graft.api.TextPipeline.prefixJaccardAgainst(
+        sh.filter(col("doc_id") % 10 === 3),
+        sh.filter(col("doc_id") % 10 =!= 3), 0.5)
+      .select(col("doc_new")).distinct()
+    val batch = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 3)
+      .join(matched, col("doc_id") === col("doc_new"), "left_anti")
+      .select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(streamed == batch)
+    // the staged replay produced two appended batch ids
+    val out = Tables.tune(spark).read
+      .parquet(Tables.scratchDir("st19_out", sf))
+    assert(out.select(col("batch_id")).distinct().count() == 2)
+  }
+}

@@ -30,6 +30,11 @@ class PlanLintSpec extends SparkSpec {
       .withColumn("rn", row_number().over(
         Window.partitionBy("user_id").orderBy("ts")))
     assert(!PlanLint.lint(good).exists(_.rule == "single-partition-window"))
+    // a LIMIT below bounds the window input by construction (top-k
+    // report frames — x62's cumulative share), so no finding
+    val bounded = spark.range(100000).orderBy(col("id").desc).limit(20)
+      .withColumn("rn", row_number().over(Window.orderBy("id")))
+    assert(!PlanLint.lint(bounded).exists(_.rule == "single-partition-window"))
   }
 
   test("flags a cast-blocked filter that never reached the parquet reader") {

@@ -32,7 +32,7 @@ class PqSpec extends SparkSpec {
     def run(): Seq[(Long, Long, Double)] = {
       val m = VectorPipeline.pqTrain(df, "id", "v",
         numSub = 8, numCodes = 16, iters = 3)
-      VectorPipeline.pqAdcTopK(m, probes, "id", "v", k = 4, numSub = 8)
+      VectorPipeline.pqAdcTopK(m, probes, "id", "v", k = 4)
         .orderBy("probe_id", "rank")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     }
@@ -50,10 +50,21 @@ class PqSpec extends SparkSpec {
     val top = VectorPipeline.pqAdcTopK(
       VectorPipeline.pqTrain(df, "id", "v",
         numSub = 16, numCodes = 16, iters = 3),
-      df.filter(col("id") === 0), "id", "v", k = 3, numSub = 16)
+      df.filter(col("id") === 0), "id", "v", k = 3)
       .orderBy("rank").collect()
     assert(top.head.getLong(1) == 500L,
       top.map(r => (r.getLong(1), r.getDouble(2))).mkString(", "))
+  }
+
+  test("pq: ADC top-k plans through the bounded-heap GroupTopKExec") {
+    val df = (0 until 30).map(i => (i.toLong, vec(300 + i))).toDF("id", "v")
+    val top = VectorPipeline.pqAdcTopK(
+      VectorPipeline.pqTrain(df, "id", "v",
+        numSub = 8, numCodes = 8, iters = 1),
+      df.filter(col("id") < 2), "id", "v", k = 3)
+    val plans = flattenPlan(top.queryExecution.executedPlan)
+    assert(plans.exists(_.isInstanceOf[graft.plans.GroupTopKExec]),
+      "per-probe top-k must be the bounded-heap custom operator")
   }
 
   test("pq trains when numCodes exceeds the corpus (empty clusters keep seeds)") {
@@ -65,7 +76,7 @@ class PqSpec extends SparkSpec {
     // needs the codes that exist
     assert(m.codes.count() == 5L * 4)
     val top = VectorPipeline.pqAdcTopK(m, df.filter(col("id") === 0),
-      "id", "v", k = 2, numSub = 4)
+      "id", "v", k = 2)
     assert(top.count() == 2)
   }
 }
