@@ -22,7 +22,8 @@ object SparkEntry {
       Dedup.queries ++ SimSearch.queries ++ Multimodal.queries ++
       ScaleOps.queries ++ Extras2.queries ++ Extras3.queries ++
       Extras4.queries ++ Extras5.queries ++ Extras6.queries ++
-      Extras7.queries ++ Extras8.queries ++
+      Extras7.queries ++ Extras8.queries ++ Extras9.queries ++
+      Extras10.queries ++
       PipelineOps.queries ++
       Subqueries.queries ++ graft.streaming.Streams.queries
 
@@ -34,7 +35,8 @@ object SparkEntry {
       Dedup.oracles ++ SimSearch.oracles ++ Multimodal.oracles ++
       ScaleOps.oracles ++ Extras2.oracles ++ Extras3.oracles ++
       Extras4.oracles ++ Extras5.oracles ++ Extras6.oracles ++
-      Extras7.oracles ++ Extras8.oracles ++
+      Extras7.oracles ++ Extras8.oracles ++ Extras9.oracles ++
+      Extras10.oracles ++
       PipelineOps.oracles ++
       Subqueries.oracles ++ graft.streaming.Streams.oracles
 }

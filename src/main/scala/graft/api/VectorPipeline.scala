@@ -156,6 +156,64 @@ object VectorPipeline {
     * volume at threshold² rather than quadratic in the hottest bucket. */
   val HotBandThreshold = 1024L
 
+  /** MMR re-rank (Maximal Marginal Relevance, Carbonell/Goldstein
+    * SIGIR 1998): greedy selection of `k` results from each probe's
+    * shortlist maximizing `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)` — the
+    * classic redundancy-penalized re-ranker a retrieval endpoint runs
+    * AFTER ANN shortlisting (x8/x51/x52 produce the shortlist; this
+    * diversifies it). Runs as mapGroups over per-probe shortlists: each
+    * group is O(|shortlist|²) float work bounded by construction (the
+    * shortlist size, never the corpus), and probes distribute freely.
+    * The first pick is always the relevance argmax (tie: id asc) —
+    * the theorem the x72 contract row pins. Similarities round to 6 dp
+    * so the greedy trajectory is stable across platforms.
+    *
+    * `shortlist` columns: probe_id, neighbor_id, sim (relevance), vec
+    * (the neighbor's embedding, Array[Float]). Output: one row per
+    * selection with its selection rank and marginal score. */
+  def mmrRerank(shortlist: DataFrame, lambda: Double, k: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val spark = shortlist.sparkSession
+    import spark.implicits._
+    def dot6(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    shortlist
+      .select(col("probe_id").cast("long"), col("neighbor_id").cast("long"),
+        col("sim").cast("double"), col("vec"))
+      .as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroups { (probe, it) =>
+        val cand = it.map(t => (t._2, t._3, t._4)).toArray
+          .sortBy(c => (-c._2, c._1))
+        val selected = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Double, Array[Float], Double)]
+        while (selected.length < math.min(k, cand.length)) {
+          val chosen = cand.iterator
+            .filter(c => !selected.exists(_._1 == c._1))
+            .map { c =>
+              val maxSim =
+                if (selected.isEmpty) 0.0
+                else selected.map(s => dot6(c._3, s._3)).max
+              (c, lambda * c._2 - (1 - lambda) * maxSim)
+            }
+            .reduceLeft { (a, b) =>
+              if (b._2 > a._2 ||
+                (b._2 == a._2 && b._1._1 < a._1._1)) b else a
+            }
+          selected += ((chosen._1._1, chosen._1._2, chosen._1._3,
+            chosen._2))
+        }
+        selected.zipWithIndex.map { case ((id, rel, _, score), i) =>
+          (probe, (i + 1).toLong, id, rel, score)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble))
+      .toDF("probe_id", "sel_rank", "neighbor_id", "rel", "mmr_score")
+  }
+
   /** Exact-duplicate classing: every vector mapped to its class
     * representative — the MINIMUM id among vectors with the identical
     * value ("first occurrence wins", x22's rule). One shuffle keyed by

@@ -1,0 +1,279 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** Round-7 third wave: the scalable global running total (w16), marketing
+  * attribution (x73), determinism-engineered OLS regression (a23), and
+  * corrupt-file-tolerant scans (s25).
+  *
+  * Reference note: /root/reference was empty at survey time (SURVEY §0);
+  * these extend §2.5/§2.8/§2.4/§2.1 from public Spark API surface only.
+  */
+object Extras10 {
+
+  /** The reusable core of w16 — a GLOBAL cumulative sum with NO
+    * single-partition window (the thing PlanLint exists to forbid):
+    * classic two-phase distributed prefix sum.
+    *
+    *  1. range-partition by the order key (each partition owns a
+    *     contiguous key range),
+    *  2. per-partition running sums via a window PARTITIONED BY the
+    *     physical partition id (bounded, parallel),
+    *  3. per-partition totals → exclusive prefix offsets (one row per
+    *     partition — bounded driver work) broadcast-joined back.
+    *
+    * The result is independent of where the sampled range boundaries
+    * fall, so it is deterministic even though repartitionByRange
+    * samples. Input must be one row per key (pre-aggregate first);
+    * value must be DecimalType so every sum is exact and
+    * order-independent. At 100 TB this replaces the
+    * everything-into-one-task global window with one range shuffle +
+    * a tiny offsets table. */
+  def distributedCumSum(df: DataFrame, key: Column, value: Column,
+      nParts: Int): DataFrame = {
+    val spark = df.sparkSession
+    // pin the partition assignment: the offsets pass and the final pass
+    // MUST see identical pids, and the range boundaries come from a
+    // sampling pass we don't want to run twice
+    val parts = df.select(key.as("k"), value.as("v"))
+      .repartitionByRange(nParts, col("k"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    // ONE row per physical partition — control-plane metadata bounded
+    // by cluster size (what RangePartitioner itself collects), never by
+    // data size; the exclusive prefix over ≤ nParts totals is O(nParts)
+    // driver arithmetic in exact BigDecimal
+    val totals = parts.groupBy(col("pid"))
+      .agg(sum(col("v")).as("ptotal"))
+      .collect()
+      .map(r => (r.getInt(0), BigDecimal(r.getDecimal(1))))
+      .sortBy(_._1)
+    var acc = BigDecimal(0)
+    val offsets = totals.map { case (pid, t) =>
+      val o = acc; acc += t; (pid, o)
+    }.toSeq
+    import spark.implicits._
+    val offDf = offsets.toDF("pid", "offset")
+    val w = Window.partitionBy(col("pid")).orderBy(col("k"))
+    parts.join(broadcast(offDf), "pid")
+      .withColumn("cum", col("offset") + sum(col("v")).over(w))
+      .select(col("k"), col("v"), col("cum"))
+  }
+
+  /** W16 — global running revenue by day over orders, through
+    * [[distributedCumSum]]: per-day DECIMAL totals (one grouped agg),
+    * then the two-phase distributed prefix sum. The offsets window runs
+    * over ONE ROW PER PARTITION (8 rows) — that bounded frame is the
+    * only global ordering anywhere in the plan. */
+  def w16DistributedCumSum(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(col("o_totalprice").cast(Det.Money)).as("rev"))
+    distributedCumSum(daily, col("day"), col("rev"), 8)
+      .select(col("k").as("day"), col("v").cast("double").as("revenue"),
+        col("cum").cast("double").as("cum_revenue"))
+      .orderBy(col("day"))
+  }
+
+  /** X73 — last-touch attribution (the marketing-analytics join every
+    * event warehouse runs): each purchase attributed to the SAME USER's
+    * most recent strictly-preceding click within a 7-day lookback.
+    * One window pass per user ((ts, event_id) total order) with an
+    * IGNORE-NULLS last_value over the UNBOUNDED..1 PRECEDING frame —
+    * no self-join, no per-purchase scan; the 100 TB shape is one
+    * shuffle keyed by user. w12 proved the IGNORE NULLS offset
+    * semantics engine-identical; the gap arithmetic is integer µs. */
+  def x73Attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.eventsUs(spark, sfDir)
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(w))
+      .withColumn("click_ts",
+        last(when(col("event_type") === "click", col("ts")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("click_id").isNotNull)
+      .withColumn("gap_us", col("ts") - col("click_ts"))
+      .filter(col("gap_us") <= 604800000000L)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("click_id"), col("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** A23 — per-segment OLS trend (slope/intercept of value over event
+    * day), determinism-engineered: every sufficient statistic is EXACT
+    * (day index is an INT; Σx/Σx² are integer sums; Σy/Σxy go through
+    * the DECIMAL policy, and decimal × int stays exact), and only the
+    * final closed-form arithmetic runs in IEEE doubles — spelled
+    * identically in both engines, so the slope matches bitwise where
+    * engine-native regr_slope (partial-aggregated doubles) cannot.
+    * One grouped aggregate, map-side partials intact — the 100 TB cost
+    * is a scan. */
+  def a23Regression(spark: SparkSession, sfDir: String): DataFrame = {
+    val stats = Tables.eventsUs(spark, sfDir)
+      .select(col("event_type"),
+        expr("CAST(ts div 86400000000 AS INT)").as("x"),
+        col("value").cast(Det.Money).as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("long")).as("sx"),
+        sum((col("x") * col("x")).cast("long")).as("sx2"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("y") * col("x")).cast("double").as("sxy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val slope = (nD * col("sxy") - sxD * col("sy")) /
+      (nD * col("sx2").cast("double") - sxD * sxD)
+    stats
+      .withColumn("slope", slope)
+      .withColumn("intercept",
+        (col("sy") - col("slope") * sxD) / nD)
+      .select(col("event_type"), col("n"), col("slope"), col("intercept"))
+      .orderBy(col("event_type"))
+  }
+
+  /** S25 — corrupt-file tolerance (s23's file-level sibling): a landing
+    * directory holding good parquet plus one truncated-garbage file.
+    * The default read fails loudly (asserted); with
+    * `ignoreCorruptFiles` the scan skips the bad FILE and returns every
+    * good row — the crawl-ingest posture where one bad upstream shard
+    * must not kill the nightly job. Claims are tied to the nation row
+    * count; the planted-garbage outcome is a staged constant. */
+  def s25CorruptFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val dir = Tables.scratchDir("s25_corrupt", sfDir)
+    Tables.nation(s, sfDir).select(col("n_nationkey"), col("n_name"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "zz_truncated.parquet"),
+      "PAR1thisisnotavalidparquetfooter".getBytes("UTF-8"))
+    val strictThrows =
+      try { s.read.parquet(dir).localCheckpoint(true).count(); false }
+      catch { case _: Throwable => true }
+    val n = s.read.option("ignoreCorruptFiles", "true").parquet(dir)
+      .localCheckpoint(true).count()
+    import s.implicits._
+    Seq((n, strictThrows)).toDF("n_good", "strict_throws")
+  }
+
+  /** X72 — MMR diversified re-rank
+    * ([[graft.api.VectorPipeline.mmrRerank]], λ=0.5, k=5 over the
+    * exact top-20 shortlist): the redundancy-penalized re-ranker a
+    * retrieval endpoint runs after ANN shortlisting. The greedy
+    * trajectory is not SQL-expressible, so the contract row emits the
+    * verifiable claims (x8's derived-claim pattern): every probe
+    * returns k results drawn FROM its shortlist, the first pick equals
+    * the relevance argmax (the MMR theorem), and the selected set's
+    * mean pairwise similarity does not exceed the plain top-5's
+    * (diversity really improved — measured, not assumed; the pairwise
+    * panels are bounded by probes × C(k,2), never corpus size). */
+  def x72MmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.api.VectorPipeline
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") < 10)
+    val short = VectorPipeline
+      .topKCosine(emb, probes, "vec_id", "embedding", 20)
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("vec")), "neighbor_id")
+      .localCheckpoint(true)
+    val mmr = VectorPipeline
+      .mmrRerank(short.select(col("probe_id"), col("neighbor_id"),
+        col("sim"), col("vec")), 0.5, 5)
+      .localCheckpoint(true)
+    def pairMeanSim(sel: DataFrame): DataFrame = {
+      val v = emb.select(col("vec_id"), col("embedding"))
+      val a = sel.join(v, sel("neighbor_id") === v("vec_id"))
+        .select(col("probe_id"), col("neighbor_id").as("ida"),
+          col("embedding").as("va"))
+      val b = sel.join(v, sel("neighbor_id") === v("vec_id"))
+        .select(col("probe_id").as("pb"), col("neighbor_id").as("idb"),
+          col("embedding").as("vb"))
+      a.join(b, col("probe_id") === col("pb") && col("ida") < col("idb"))
+        .agg(avg(SimSearch.dot6(col("va"), col("vb"))).as("mean_sim"))
+    }
+    val mmrMean = pairMeanSim(mmr.select(col("probe_id"), col("neighbor_id")))
+      .withColumnRenamed("mean_sim", "mmr_mean")
+    val topMean = pairMeanSim(short.filter(col("rank") <= 5)
+      .select(col("probe_id"), col("neighbor_id")))
+      .withColumnRenamed("mean_sim", "top_mean")
+    val top1 = mmr.filter(col("sel_rank") === 1)
+      .select(col("probe_id"), col("neighbor_id").as("mmr_top1"))
+      .join(short.filter(col("rank") === 1)
+        .select(col("probe_id"), col("neighbor_id").as("rel_top1")),
+        "probe_id")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("mmr_top1") === col("rel_top1"), 1L).otherwise(0L))
+          .as("n_top1_match"))
+    val escaped = mmr.join(short,
+      Seq("probe_id", "neighbor_id"), "left_anti")
+      .agg(count(lit(1)).as("n_escaped"))
+    top1.crossJoin(escaped).crossJoin(mmrMean).crossJoin(topMean)
+      .select(col("n_probes"), lit(5L).as("k"),
+        (col("n_top1_match") === col("n_probes")).as("top1_ok"),
+        (col("n_escaped") === 0L).as("subset_ok"),
+        (col("mmr_mean") <= col("top_mean")).as("diversity_ok"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x72_mmr_rerank" -> (x72MmrRerank _),
+    "w16_distributed_cumsum" -> (w16DistributedCumSum _),
+    "x73_attribution" -> (x73Attribution _),
+    "a23_regression" -> (a23Regression _),
+    "s25_corrupt_files" -> (s25CorruptFiles _))
+
+  val oracles: Map[String, String] = Map(
+    // derived-claim oracle (x8's pattern): the greedy MMR trajectory is
+    // not SQL-expressible; the claims are (see scaladoc)
+    "x72_mmr_rerank" ->
+      ("SELECT CAST(10 AS BIGINT) AS n_probes, CAST(5 AS BIGINT) AS k, " +
+       "TRUE AS top1_ok, TRUE AS subset_ok, TRUE AS diversity_ok"),
+    // DECIMAL window sum is exact, so the two-phase Spark plan and the
+    // oracle's single window agree bitwise after the final double cast
+    "w16_distributed_cumsum" ->
+      ("WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, " +
+       "SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev " +
+       "FROM orders GROUP BY 1) " +
+       "SELECT day, CAST(rev AS DOUBLE) AS revenue, " +
+       "CAST(SUM(rev) OVER (ORDER BY day) AS DOUBLE) AS cum_revenue " +
+       "FROM d ORDER BY day"),
+    "x73_attribution" ->
+      ("WITH ev AS (SELECT event_id, user_id, event_type, " +
+       "epoch_us(ts) AS t FROM events), " +
+       "att AS (SELECT event_id, user_id, event_type, t, " +
+       "last_value(CASE WHEN event_type = 'click' THEN event_id END " +
+       "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id, " +
+       "last_value(CASE WHEN event_type = 'click' THEN t END " +
+       "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts " +
+       "FROM ev) " +
+       "SELECT event_id AS purchase_id, user_id, click_id, " +
+       "t - click_ts AS gap_us FROM att " +
+       "WHERE event_type = 'purchase' AND click_id IS NOT NULL " +
+       "AND t - click_ts <= 604800000000 ORDER BY purchase_id"),
+    // exact sufficient statistics, closed form in IEEE doubles spelled
+    // identically — see scaladoc
+    "a23_regression" ->
+      ("WITH s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+       "SUM(CAST(x AS BIGINT)) AS sx, SUM(CAST(x * x AS BIGINT)) AS sx2, " +
+       "CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(y * x) AS DOUBLE) AS sxy " +
+       "FROM (SELECT event_type, " +
+       "CAST(epoch_us(ts) // 86400000000 AS INT) AS x, " +
+       "CAST(value AS DECIMAL(18,4)) AS y FROM events) e GROUP BY 1), " +
+       "r AS (SELECT event_type, n, " +
+       "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
+       "(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - " +
+       "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope, sy, sx " +
+       "FROM s) " +
+       "SELECT event_type, n, slope, " +
+       "(sy - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) " +
+       "AS intercept FROM r ORDER BY event_type"),
+    "s25_corrupt_files" ->
+      ("SELECT CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_good, " +
+       "TRUE AS strict_throws"))
+}

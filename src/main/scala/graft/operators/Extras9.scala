@@ -1,0 +1,395 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** Round-7 second wave: entity resolution (x64), interval analytics
+  * (x65), robust statistics (a21/a22), retrieval diversification (x67),
+  * corpus memorization audit (x66), market-basket co-occurrence (x71),
+  * and the SQL aggregate FILTER clause (sql35).
+  *
+  * Reference note: /root/reference was empty at survey time (SURVEY §0);
+  * these rows extend the §2.8 training-data-pipeline family and the
+  * §2.4/§2.11 agg/SQL surfaces from public literature (Bocek et al.
+  * 2007 FastSS for x64; Leys et al. 2013 for the MAD outlier rule;
+  * Carbonell/Goldstein 1998 MMR motivates x67's quota form).
+  */
+object Extras9 {
+
+  /** X64 — fuzzy entity-resolution join with GUARANTEED-RECALL blocking
+    * (FastSS deletion neighborhoods, Bocek et al. 2007): a "dirty" feed
+    * of customer names (every 10th name with one key-dependent digit
+    * deleted — the corruption is itself derived deterministically, so
+    * both engines stage identical inputs) matched back to the master
+    * list under edit distance ≤ 1.
+    *
+    * Candidate lemma: lev(a,b) ≤ 1 ⟹ U(a) ∩ U(b) ≠ ∅ where
+    * U(x) = {x} ∪ {x minus one char} — equality is trivial, a
+    * substitution meets at the both-sides deletion, and a deletion IS
+    * an element of the longer side's neighborhood. So the variant
+    * equi-join is a complete candidate generator (unlike first-token
+    * or soundex blocking, which silently lose recall), and the exact
+    * `levenshtein` verify restores precision. Cost: each side explodes
+    * to |s|+1 variant rows (19 here) — a bounded, shuffle-friendly
+    * blow-up an exhaustive O(n·m) cross join never is. The oracle IS
+    * the exhaustive cross join, so recall and precision are both
+    * hash-checked. */
+  /** The reusable core of x64: all (dirty, clean) pairs within edit
+    * distance 1, via the complete 1-deletion-neighborhood candidate
+    * generator + exact verify. Input frames carry (key, name) columns
+    * named per the arguments. */
+  def fuzzyJoinDist1(dirty: DataFrame, clean: DataFrame): DataFrame = {
+    def variants(df: DataFrame, nameCol: String): DataFrame =
+      df.withColumn("variant", explode(expr(
+        s"array_distinct(concat(array($nameCol), " +
+          s"transform(sequence(1, length($nameCol)), " +
+          s"i -> concat(substr($nameCol, 1, i - 1), substr($nameCol, i + 1)))))")))
+    variants(dirty, "dirty_name")
+      .join(variants(clean, "clean_name"), "variant")
+      .select(col("dirty_key"), col("clean_key"), col("dirty_name"),
+        col("clean_name"))
+      .distinct()
+      .filter(levenshtein(col("dirty_name"), col("clean_name")) <= 1)
+      .select(col("dirty_key"), col("clean_key"),
+        levenshtein(col("dirty_name"), col("clean_name")).as("lev"))
+  }
+
+  def x64FuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val cust = Tables.customer(s, sfDir)
+    val clean = cust.select(col("c_custkey").as("clean_key"),
+      col("c_name").as("clean_name"))
+    val dirty = cust.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").as("dirty_key"),
+        expr("concat(substr(c_name, 1, 9 + c_custkey % 9), " +
+          "substr(c_name, 11 + c_custkey % 9))").as("dirty_name"))
+    fuzzyJoinDist1(dirty, clean)
+      .orderBy(col("dirty_key"), col("clean_key"))
+  }
+
+  /** X65 — peak-concurrency interval sweep: per day, the maximum number
+    * of simultaneously-open event intervals (start = event ts, duration
+    * = a pure-integer function of event_id, end clipped to the day
+    * boundary so days are independent). The classic ±1 endpoint sweep:
+    * explode each interval to a (+1 at start, −1 at end) pair and take
+    * MAX of the running sum — capacity planning's core query.
+    *
+    * Scale shape: the window partitions BY DAY (thousands of
+    * independent partitions at 100 TB — never a global sort), and the
+    * default RANGE UNBOUNDED→CURRENT frame makes tie handling
+    * deterministic on both engines: peers (equal (t, delta)) all see
+    * the whole peer group's sum, and mixed-sign ties are separated by
+    * the delta sort key (ends before starts at the same instant —
+    * end-exclusive semantics). The peak is therefore
+    * permutation-invariant and engine-identical. */
+  def x65PeakConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    val iv = Tables.eventsUs(spark, sfDir)
+      .select(col("ts").as("t"),
+        ((col("event_id") % 3600 + 1) * 1000000L).as("dur"))
+      .withColumn("day", expr("t div 86400000000"))
+    val pts = iv.select(col("day"), col("t"), lit(1).as("delta"))
+      .unionAll(iv.select(col("day"),
+        least(col("t") + col("dur"),
+          (col("day") + 1) * 86400000000L).as("t"),
+        lit(-1).as("delta")))
+    val w = Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
+    pts.withColumn("run", sum(col("delta")).over(w))
+      .groupBy(col("day"))
+      .agg(sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_events"),
+        max(col("run")).as("peak"))
+      .orderBy(col("day"))
+  }
+
+  /** X66 — repeated-span audit (the memorization-risk report a
+    * training-data review reads): the 50 most-shared 8-gram spans
+    * across distinct documents, with document and occurrence counts.
+    * One vocabulary-keyed aggregate over the shingle stream (identical
+    * scale shape to x61's first-seen index — hot spans aggregate, never
+    * join-explode), then a distributed top-k (TakeOrderedAndProject)
+    * under the total order (n_docs desc, n_occur desc, ngram). */
+  def x66RepeatedSpans(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.ngrams(spark, sfDir, 8)
+      .groupBy(col("ngram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occur"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occur").desc, col("ngram"))
+      .limit(50)
+
+  /** X67 — diversified top-k retrieval (label-quota form of
+    * Carbonell/Goldstein's MMR): per probe, the top-5 cosine neighbors
+    * subject to AT MOST 2 RESULTS PER LABEL — the "don't return five
+    * copies of the same source" rule every retrieval endpoint applies.
+    * Two bounded row_number windows (per (probe,label), then per
+    * probe); Spark 4's WindowGroupLimit bounds both map-side. At scale
+    * the candidate set is an ANN shortlist (x8/x51/x52) — per-probe
+    * work stays O(shortlist); here candidates are exact brute force so
+    * the oracle recomputes every similarity. */
+  def x67DiversifiedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val cand = emb
+      .select(col("vec_id").as("neighbor_id"), col("label"), col("embedding"))
+      .join(broadcast(probes), col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"), col("label"),
+        SimSearch.dot6(col("pe"), col("embedding")).as("sim"))
+    val wl = Window.partitionBy(col("probe_id"), col("label"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val wp = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.withColumn("rnl", row_number().over(wl))
+      .filter(col("rnl") <= 2)
+      .withColumn("rank", row_number().over(wp).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        col("label"), col("sim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** X71 — market-basket co-occurrence (parts bought together): pairs
+    * of parts sharing ≥ 2 orders, top-100. The self-join is keyed on
+    * l_orderkey, so both sides shuffle on the SAME key (one exchange,
+    * reused) and per-order pair fan-out is bounded by basket size —
+    * with the hot-basket guard (orders with > 50 distinct parts are
+    * excluded BEFORE the self-join) a pathological mega-order cannot
+    * quadratically explode the pair stream. The guard is the graph
+    * form of x33/x41's hot-key cap; the oracle applies the identical
+    * cap so the contract is exact. */
+  /** The reusable core of x71 over any (basket, item) frame: pair
+    * co-occurrence counts with the hot-basket cap applied BEFORE the
+    * self-join (a basket with > `basketCap` distinct items contributes
+    * zero pairs instead of a quadratic blow-up). */
+  def coOccurrencePairs(bi: DataFrame, basketCap: Int,
+      minBaskets: Long): DataFrame = {
+    val li = bi.select(col("basket"), col("item")).distinct()
+    val ok = li.groupBy(col("basket"))
+      .agg(count(lit(1)).as("sz")).filter(col("sz") <= basketCap)
+      .select(col("basket"))
+    val l2 = li.join(ok, "basket")
+    l2.select(col("basket"), col("item").as("part_a"))
+      .join(l2.select(col("basket"), col("item").as("part_b")), "basket")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minBaskets)
+  }
+
+  def x71CoPurchase(spark: SparkSession, sfDir: String): DataFrame =
+    coOccurrencePairs(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+      basketCap = 50, minBaskets = 2L)
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(100)
+
+  /** A21 — deterministic MODE per group (most frequent o_orderpriority
+    * per market segment): counts → row_number under the total order
+    * (count desc, value asc) → rank 1, plus the tie count that makes
+    * the determinism policy visible as data (n_tied > 1 means the
+    * reported mode was a tie broken by value order — the thing
+    * engine-native `mode()` leaves unspecified). Two grouped
+    * aggregates + a per-segment window; fully distributed. */
+  def a21Mode(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+    counts
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("n").desc, col("o_orderpriority"))))
+      .withColumn("mx", max(col("n")).over(w))
+      .withColumn("n_tied",
+        sum(when(col("n") === col("mx"), 1L).otherwise(0L)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_mktsegment"), col("o_orderpriority").as("mode_priority"),
+        col("n").as("n_orders"), col("n_tied"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** A22 — robust outlier detection (median/MAD, Leys et al. 2013):
+    * per event type, values more than 3 scaled-MADs from the median
+    * (MAD × 1.4826 ≈ σ under normality — the estimator that, unlike
+    * mean/stddev z-scores, a few extreme points cannot drag). Exact
+    * interpolated medians at two levels (value, then |value − med|) —
+    * a17 proved Spark's `median` ≡ DuckDB's on doubles, and every
+    * derived quantity (abs deviation, 3·1.4826·mad threshold, strict
+    * compare) is the identical IEEE arithmetic on both engines. Cost:
+    * two sort-based exact-median aggregates over ~5 groups + one
+    * counting pass; the approximate path at 100 TB swaps in
+    * approx_percentile (a15) with the same plan shape. */
+  def a22MadOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.eventsUs(spark, sfDir)
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(median(col("value")).as("med"))
+    val dev = ev.join(med, "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(median(col("dev")).as("mad"), max(col("med")).as("med"))
+    dev.drop("med").join(mad, "event_type")
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"), col("med"), col("mad"),
+        col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  /** SQL35 — aggregate FILTER clause (SQL:2003 T612, supported by both
+    * engines since Spark 3.0 / DuckDB 0.x): per-aggregate predicates
+    * without CASE-WHEN contortions, ONE SHARED SQL TEXT executed
+    * verbatim by Spark and DuckDB. Catalyst compiles each FILTER into
+    * the aggregate's own conditional update — still one scan, one
+    * shuffle, map-side partials intact. */
+  val sql35Text: String =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+      |    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_rev,
+      |  CAST(MIN(l_shipdate) FILTER (WHERE l_quantity > 45) AS DATE)
+      |    AS first_heavy_ship
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  def sql35FilterClause(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(sql35Text)
+  }
+
+  /** S24 — file-provenance lineage at scan time: a multi-feed landing
+    * zone (three staged sub-directories, one per upstream feed) read in
+    * ONE scan with `recursiveFileLookup`, each row tagged with its
+    * source feed via `input_file_name()` — the audit column every
+    * ingest writes so a bad upstream batch can be traced and surgically
+    * re-dropped (x29/x30's CDC machinery consumes exactly this tag).
+    * The lineage is parsed from the path with one regexp; per-feed
+    * counts and key ranges then verify against the staging rule, which
+    * the oracle recomputes from the base table. input_file_name is
+    * per-row metadata from the scan — no join, no extra pass. */
+  def s24FileLineage(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val base = Tables.scratchDir("s24_lineage", sfDir)
+    (0 to 2).foreach { g =>
+      Tables.nation(s, sfDir)
+        .filter(pmod(col("n_nationkey"), lit(3)) === g)
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/feed_g$g")
+    }
+    s.read.option("recursiveFileLookup", "true").parquet(base)
+      .withColumn("feed",
+        regexp_extract(input_file_name(), "feed_g(\\d+)", 1).cast("int"))
+      .groupBy(col("feed"))
+      .agg(count(lit(1)).as("n"), min(col("n_nationkey")).as("min_key"),
+        max(col("n_nationkey")).as("max_key"))
+      .orderBy(col("feed"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s24_file_lineage" -> (s24FileLineage _),
+    "x64_fuzzy_join" -> (x64FuzzyJoin _),
+    "x65_peak_concurrency" -> (x65PeakConcurrency _),
+    "x66_repeated_spans" -> (x66RepeatedSpans _),
+    "x67_diversified_topk" -> (x67DiversifiedTopK _),
+    "x71_copurchase" -> (x71CoPurchase _),
+    "a21_mode" -> (a21Mode _),
+    "a22_mad_outliers" -> (a22MadOutliers _),
+    "sql35_filter_clause" -> (sql35FilterClause _))
+
+  val oracles: Map[String, String] = Map(
+    // the staging rule restated over base nation: feed g holds the
+    // n_nationkey % 3 = g rows
+    "s24_file_lineage" ->
+      ("SELECT CAST(n_nationkey % 3 AS INT) AS feed, " +
+       "CAST(COUNT(*) AS BIGINT) AS n, MIN(n_nationkey) AS min_key, " +
+       "MAX(n_nationkey) AS max_key FROM nation GROUP BY 1 ORDER BY feed"),
+    // the exhaustive recompute: every (dirty, clean) pair's true edit
+    // distance — recall of the deletion-neighborhood blocking AND
+    // precision of the verify are both hash-checked
+    "x64_fuzzy_join" ->
+      ("WITH dirty AS (SELECT c_custkey AS dirty_key, " +
+       "substr(c_name, 1, 9 + c_custkey % 9) || " +
+       "substr(c_name, 11 + c_custkey % 9) AS dirty_name " +
+       "FROM customer WHERE c_custkey % 10 = 0) " +
+       "SELECT d.dirty_key, c.c_custkey AS clean_key, " +
+       "CAST(levenshtein(d.dirty_name, c.c_name) AS INT) AS lev " +
+       "FROM dirty d CROSS JOIN customer c " +
+       "WHERE levenshtein(d.dirty_name, c.c_name) <= 1 " +
+       "ORDER BY dirty_key, clean_key"),
+    "x65_peak_concurrency" ->
+      ("WITH iv AS (SELECT epoch_us(ts) AS t, " +
+       "(event_id % 3600 + 1) * 1000000 AS dur, " +
+       "epoch_us(ts) // 86400000000 AS day FROM events), " +
+       "pts AS (SELECT day, t, 1 AS delta FROM iv " +
+       "UNION ALL SELECT day, least(t + dur, (day + 1) * 86400000000), " +
+       "-1 FROM iv), " +
+       "run AS (SELECT day, delta, " +
+       "SUM(delta) OVER (PARTITION BY day ORDER BY t, delta) AS run " +
+       "FROM pts) " +
+       "SELECT day, CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) " +
+       "AS BIGINT) AS n_events, CAST(MAX(run) AS BIGINT) AS peak " +
+       "FROM run GROUP BY day ORDER BY day"),
+    "x66_repeated_spans" ->
+      (s"SELECT ngram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_occur " +
+       s"FROM (${TextOps.ngramSql(8)}) t GROUP BY ngram " +
+       "HAVING COUNT(DISTINCT doc_id) >= 2 " +
+       "ORDER BY n_docs DESC, n_occur DESC, ngram LIMIT 50"),
+    "x67_diversified_topk" ->
+      ("WITH p AS (SELECT vec_id AS probe_id, embedding AS pe " +
+       "FROM embeddings WHERE vec_id < 10), " +
+       "dots AS (SELECT probe_id, e.vec_id AS neighbor_id, " +
+       "CAST(e.label AS INT) AS label, " +
+       "round(SUM(CAST(pe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 6) " +
+       "AS sim FROM p, embeddings e, range(1, 65) r(i) " +
+       "WHERE e.vec_id <> probe_id GROUP BY probe_id, e.vec_id, e.label), " +
+       "capped AS (SELECT *, row_number() OVER (PARTITION BY probe_id, label " +
+       "ORDER BY sim DESC, neighbor_id) AS rnl FROM dots), " +
+       "ranked AS (SELECT probe_id, neighbor_id, label, sim, " +
+       "CAST(row_number() OVER (PARTITION BY probe_id " +
+       "ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank " +
+       "FROM capped WHERE rnl <= 2) " +
+       "SELECT probe_id, rank, neighbor_id, label, sim FROM ranked " +
+       "WHERE rank <= 5 ORDER BY probe_id, rank"),
+    // identical hot-basket cap on both sides — the contract is exact
+    "x71_copurchase" ->
+      ("WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+       "ok AS (SELECT l_orderkey FROM li GROUP BY 1 HAVING COUNT(*) <= 50), " +
+       "l2 AS (SELECT li.* FROM li JOIN ok USING (l_orderkey)), " +
+       "p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_orders FROM l2 a JOIN l2 b " +
+       "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+       "GROUP BY 1, 2) " +
+       "SELECT part_a, part_b, n_orders FROM p WHERE n_orders >= 2 " +
+       "ORDER BY n_orders DESC, part_a, part_b LIMIT 100"),
+    "a21_mode" ->
+      ("WITH counts AS (SELECT c_mktsegment, o_orderpriority, " +
+       "CAST(COUNT(*) AS BIGINT) AS n FROM customer " +
+       "JOIN orders ON c_custkey = o_custkey GROUP BY 1, 2), " +
+       "mx AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment " +
+       "ORDER BY n DESC, o_orderpriority) AS rn, " +
+       "MAX(n) OVER (PARTITION BY c_mktsegment) AS mxn FROM counts), " +
+       "ranked AS (SELECT *, " +
+       "CAST(SUM(CASE WHEN n = mxn THEN 1 ELSE 0 END) " +
+       "OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n_tied FROM mx) " +
+       "SELECT c_mktsegment, o_orderpriority AS mode_priority, " +
+       "n AS n_orders, n_tied FROM ranked WHERE rn = 1 " +
+       "ORDER BY c_mktsegment"),
+    "a22_mad_outliers" ->
+      ("WITH ev AS (SELECT event_type, value FROM events), " +
+       "med AS (SELECT event_type, median(value) AS med FROM ev GROUP BY 1), " +
+       "dev AS (SELECT e.event_type, abs(e.value - m.med) AS dev, m.med " +
+       "FROM ev e JOIN med m USING (event_type)), " +
+       "mad AS (SELECT event_type, median(dev) AS mad, MAX(med) AS med " +
+       "FROM dev GROUP BY 1) " +
+       "SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n, m.med, m.mad, " +
+       "CAST(SUM(CASE WHEN d.dev > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END) " +
+       "AS BIGINT) AS n_outliers " +
+       "FROM dev d JOIN mad m ON d.event_type = m.event_type " +
+       "GROUP BY d.event_type, m.med, m.mad ORDER BY d.event_type"),
+    // the SAME text Spark executes (sql35Text), verbatim
+    "sql35_filter_clause" -> sql35Text.replace("\n", " "))
+}

@@ -1077,7 +1077,63 @@ object Streams {
       .toDF("n_rows", "sum_chars", "n_batches", "n_langs")
   }
 
+  /** ST21 — streaming UPSERT into a persisted serving table: the
+    * read-modify-write merge loop every serving layer without a
+    * MERGE-capable sink runs (st10's foreachBatch escape hatch composed
+    * with x15's latest-by-key semantics). Each micro-batch merges into
+    * the parquet serving table: union(existing, batch) → one row per
+    * user under the (ts, event_id) total order → atomic swap. The
+    * replay feeds the SAME event file twice (maxFilesPerTrigger=1 → two
+    * micro-batches), so the row also proves the upsert is IDEMPOTENT —
+    * a duplicated feed cannot corrupt the serving table, which is the
+    * property that makes at-least-once delivery safe. Final table ≡
+    * the batch latest-by-key, which the oracle recomputes.
+    *
+    * Scale shape: the per-batch rewrite is bounded by KEY CARDINALITY,
+    * never stream length; at 100 TB the same loop partitions the
+    * serving table (s14's dynamic overwrite) or targets a MERGE sink
+    * (x30's CDC apply) — the merge plan per batch is identical. */
+  def st21StreamUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val serveDir = Tables.scratchDir("st21_serve", sfDir)
+    val dataDir = s"$serveDir/data"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(serveDir), true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("last_ts_us").desc, col("last_event_id").desc)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val schema = Tables.events(s, sfDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage(spark, sfDir, 2))
+        .select(col("user_id"), expr("ts div 1000").as("last_ts_us"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val existing =
+            if (fs.exists(new org.apache.hadoop.fs.Path(dataDir)))
+              s.read.parquet(dataDir)
+            else batch.limit(0)
+          existing.unionByName(batch)
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+            .localCheckpoint(true) // materialize BEFORE overwriting source
+            .write.mode("overwrite").parquet(dataDir)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    Tables.tune(spark).read.parquet(dataDir).orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st21_stream_upsert" -> (st21StreamUpsert _),
     "st19_streaming_dedup" -> (st19StreamingDedup _),
     "st20_streaming_observe" -> (st20StreamingObserve _),
     "st11_dsv2_stream" -> (st11SeqStream _),
@@ -1101,6 +1157,16 @@ object Streams {
     "st18_update_mode" -> (st18UpdateMode _))
 
   val oracles: Map[String, String] = Map(
+    // the serving table after the replay ≡ batch latest-by-key (x15's
+    // window-top-1 spelling); the duplicated feed makes the same rows
+    // arrive twice, so equality here IS the idempotence proof
+    "st21_stream_upsert" ->
+      ("SELECT user_id, epoch_us(ts) AS last_ts_us, " +
+       "event_id AS last_event_id, event_type AS last_type, " +
+       "value AS last_value FROM " +
+       "(SELECT *, row_number() OVER (PARTITION BY user_id " +
+       "ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) s " +
+       "WHERE rn = 1 ORDER BY user_id"),
     // survivors recomputed exhaustively: probe docs (doc_id % 10 = 3)
     // with NO corpus near-dup above 0.5 shingle-Jaccard (x55's corpus
     // split and threshold)

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Extras10
+
+class Extras10Spec extends SparkSpec {
+
+  test("w16: two-phase cumsum equals the single-window recompute and " +
+      "spreads rows over multiple partitions") {
+    val got = Extras10.w16DistributedCumSum(spark, sf).collect()
+    val want = Tables.orders(spark, sf)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(col("o_totalprice").cast(Det.Money)).as("rev"))
+      .withColumn("cum", sum(col("rev")).over(Window.orderBy(col("day"))))
+      .select(col("day"), col("rev").cast("double"),
+        col("cum").cast("double"))
+      .orderBy(col("day")).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getDate(0) == w.getDate(0) && g.getDouble(1) == w.getDouble(1)
+        && g.getDouble(2) == w.getDouble(2), s"$g vs $w")
+    }
+    // the two-phase plan must not contain an empty-PARTITION-BY window
+    val findings = graft.plans.PlanLint.lint(
+      Extras10.w16DistributedCumSum(spark, sf))
+    assert(findings.isEmpty, findings.mkString("; "))
+  }
+
+  test("w16 core: offsets really partition the key space (more than " +
+      "one pid in use)") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i, BigDecimal(i)))
+      .toDF("k", "v")
+      .select(col("k"), col("v").cast(Det.Money).as("v"))
+    val out = Extras10.distributedCumSum(df, col("k"), col("v"), 8)
+      .orderBy(col("k")).collect()
+    assert(out.length == 1000)
+    var acc = BigDecimal(0)
+    out.zipWithIndex.foreach { case (r, i) =>
+      acc += BigDecimal(i + 1)
+      assert(BigDecimal(r.getDecimal(2)) == acc, s"row $i: $r")
+    }
+  }
+
+  test("x73: every attribution points at a real strictly-earlier click " +
+      "by the same user") {
+    val att = Extras10.x73Attribution(spark, sf).collect()
+    assert(att.nonEmpty)
+    val ev = Tables.eventsUs(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
+      .toMap
+    att.foreach { r =>
+      val (pid, user, cid, gap) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (cu, ct, cts) = ev(cid)
+      val (pu, pt, pts) = ev(pid)
+      assert(pt == "purchase" && ct == "click" && cu == user && pu == user)
+      assert(cts < pts && pts - cts == gap && gap <= 604800000000L)
+    }
+  }
+
+  test("a23: closed-form OLS agrees with an independent driver-side " +
+      "recompute to 1e-9 relative") {
+    val got = Extras10.a23Regression(spark, sf).collect()
+    assert(got.length == 5)
+    val rows = Tables.eventsUs(spark, sf)
+      .select(col("event_type"), expr("ts div 86400000000").as("x"),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1).toDouble, r.getDouble(2)))
+    got.foreach { g =>
+      val t = g.getString(0)
+      val pts = rows.filter(_._1 == t)
+      val n = pts.length.toDouble
+      val sx = pts.map(_._2).sum
+      val sy = pts.map(_._3).sum
+      val sxy = pts.map(p => p._2 * p._3).sum
+      val sx2 = pts.map(p => p._2 * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+      assert(math.abs(g.getDouble(2) - slope) <=
+        1e-9 * math.max(1.0, math.abs(slope)),
+        s"$t: ${g.getDouble(2)} vs $slope")
+    }
+  }
+
+  test("x72/mmr: the greedy selection matches an independent reference " +
+      "implementation on the real shortlists") {
+    import graft.api.VectorPipeline
+    val emb = Tables.embeddings(spark, sf)
+    val short = VectorPipeline
+      .topKCosine(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", 20)
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("vec")), "neighbor_id")
+      .select(col("probe_id"), col("neighbor_id"), col("sim"), col("vec"))
+    val got = VectorPipeline.mmrRerank(short, 0.5, 5).collect()
+      .groupBy(_.getLong(0))
+      .map { case (p, rs) =>
+        p -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toList
+      }
+    def dot6(a: Array[Float], b: Array[Float]): Double = {
+      val s = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byProbe = short.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getSeq[Float](3).toArray))
+      .groupBy(_._1)
+    val want = byProbe.map { case (p, cs) =>
+      var sel = List.empty[(Long, Array[Float])]
+      while (sel.length < 5) {
+        val best = cs.filter(c => !sel.exists(_._1 == c._2))
+          .map { c =>
+            val pen = if (sel.isEmpty) 0.0
+              else sel.map(s => dot6(c._4, s._2)).max
+            (c._2, c._4, 0.5 * c._3 - 0.5 * pen)
+          }
+          .minBy(t => (-t._3, t._1))
+        sel = sel :+ ((best._1, best._2))
+      }
+      p -> sel.map(_._1)
+    }
+    assert(got == want)
+  }
+
+  test("x72: claims row is all-true") {
+    val r = Extras10.x72MmrRerank(spark, sf).collect()(0)
+    assert(r.getLong(0) == 10L && r.getLong(1) == 5L)
+    assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4),
+      s"claims: $r")
+  }
+
+  test("s25: one corrupt file does not kill the tolerant scan") {
+    val r = Extras10.s25CorruptFiles(spark, sf).collect()(0)
+    assert(r.getLong(0) == Tables.nation(spark, sf).count())
+    assert(r.getBoolean(1))
+  }
+}

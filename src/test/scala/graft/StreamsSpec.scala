@@ -482,6 +482,25 @@ class StreamsSpec extends SparkSpec {
       s"foreachBatch replay duplicated rows: ${counts.values.toSet}")
   }
 
+  test("st21 upsert: serving table equals batch latest-by-key and the " +
+      "duplicated feed proves idempotence") {
+    val got = Streams.st21StreamUpsert(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("last_ts_us"), r.getAs[Long]("last_event_id"))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val want = Tables.eventsUs(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("ts"), r.getAs[Long]("event_id"))).toMap
+    assert(got == want)
+    // one serving row per user — the second (duplicate) batch upserted
+    // in place instead of appending
+    assert(got.size == want.size)
+  }
+
   test("st6 stateful: final state equals batch aggregate") {
     val st = Streams.st6Stateful(spark, sf).collect()
       .map(r => r.getAs[Long]("user_id") ->
