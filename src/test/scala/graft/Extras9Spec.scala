@@ -85,6 +85,17 @@ class Extras9Spec extends SparkSpec {
     assert(div == exact)
   }
 
+  test("x71: AQE reuses the self-join's distinct/guard exchanges — the " +
+      "expensive shuffles compute once for both sides") {
+    val df = Extras9.x71CoPurchase(spark, sf)
+    df.collect()
+    val reused = flattenPlan(df.queryExecution.executedPlan).collect {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }
+    assert(reused.nonEmpty,
+      "expected exchange reuse across the self-join's two sides")
+  }
+
   test("x71 core: a hot basket above the cap contributes zero pairs") {
     import spark.implicits._
     val hot = (1 to 60).map(i => ("big", s"item$i"))
