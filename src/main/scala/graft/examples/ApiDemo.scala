@@ -155,6 +155,52 @@ object ApiDemo {
         k = 3, shortlist = 10)
       .orderBy("probe_id", "rank").show(false)
 
+    // MMR diversified re-rank over a shortlist: vec 2 is near-identical
+    // to vec 1, so plain top-2 returns (1, 2) but MMR swaps in the
+    // orthogonal vec 3 at rank 2
+    println("MMR re-rank (lambda=0.5, k=2) vs plain top-2:")
+    val shortlist = VectorPipeline
+      .topKCosine(vecs, vecs.filter(col("vid") === 1), "vid", "vec", 3)
+      .join(vecs.select(col("vid").as("neighbor_id"), col("vec")),
+        "neighbor_id")
+      .select(col("probe_id"), col("neighbor_id"), col("sim"), col("vec"))
+    VectorPipeline.mmrRerank(shortlist, 0.5, 2)
+      .orderBy("probe_id", "sel_rank").show(false)
+
+    // fuzzy entity resolution on custom-named frames: guaranteed-recall
+    // deletion-neighborhood blocking + exact levenshtein verify
+    println("fuzzy ER join (edit distance <= 1):")
+    graft.operators.Extras9.fuzzyJoinDist1(
+        Seq((1L, "acme corp"), (2L, "globox inc")).toDF("dirty_key", "dirty_name"),
+        Seq((10L, "acme corp."), (20L, "globex inc"), (30L, "initech"))
+          .toDF("clean_key", "clean_name"))
+      .orderBy("dirty_key").show(false)
+
+    // co-occurrence pairs with the hot-basket guard
+    println("basket co-occurrence (cap excludes no basket here):")
+    graft.operators.Extras9.coOccurrencePairs(
+        Seq(("b1", "x"), ("b1", "y"), ("b2", "x"), ("b2", "y"), ("b2", "z"))
+          .toDF("basket", "item"), basketCap = 50, minBaskets = 2L)
+      .orderBy("part_a").show(false)
+
+    // distributed global cumulative sum (no single-partition window)
+    println("distributed cumulative sum over a custom frame:")
+    graft.operators.Extras10.distributedCumSum(
+        Seq((1, BigDecimal(10)), (2, BigDecimal(5)), (3, BigDecimal(7)))
+          .toDF("t", "amt")
+          .select(col("t"), col("amt").cast("decimal(18,4)").as("amt")),
+        col("t"), col("amt"), 2)
+      .orderBy("k").show(false)
+
+    // KMV sketches: distinct-set overlap from two bounded sketches
+    val skA = graft.operators.Extras10.kmvSketch(
+      (1 to 400).toDF("k"), col("k"), 64)
+    val skB = graft.operators.Extras10.kmvSketch(
+      (201 to 600).toDF("k"), col("k"), 64)
+    val (estU, estI) = graft.operators.Extras10.kmvEstimates(skA, skB, 64)
+    println(f"KMV overlap estimate: union ~ $estU%.0f (true 600), " +
+      f"intersection ~ $estI%.0f (true 200)")
+
     spark.stop()
   }
 }
