@@ -283,7 +283,55 @@ object Extras10 {
         .as("inter_est_ok"))
   }
 
+  /** X75 — dedup cluster-size histogram (the observability report a
+    * dedup run publishes next to its keep/drop decisions): near-dup
+    * clusters by size with cluster and document counts, singletons
+    * included as size-1 clusters. Cluster assignment reuses the
+    * memoized verified-pair connected components (l2/x12/x60's frame —
+    * zero extra pair work); the histogram is two grouped aggregates
+    * over doc-cardinality frames. The oracle recomputes clusters
+    * recursively from scratch (x60's CTE), so the histogram is exact,
+    * not a consistency check against our own CC. */
+  def x75ClusterHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val cc = graft.api.TextPipeline.connectedComponents(
+      Dedup.nearDupPairsFrame(spark, sfDir))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left_outer")
+      .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
+      .groupBy(col("rep")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("sz")).as("n_docs"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"), col("n_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
+  /** X77 — key-skew diagnosis (the report you read BEFORE reaching for
+    * x26's salting or AQE skew-join): per-key row counts summarized to
+    * one row — key cardinality, max/median counts, the max/median skew
+    * ratio, and the deterministic hottest key. The per-key count table
+    * is one grouped aggregate; the summary is one global aggregate over
+    * it (max_by for the hot key, exact median over key cardinality —
+    * bounded by distinct keys, not rows). At 100 TB this is the
+    * pre-flight a pipeline runs on its join keys to decide whether the
+    * plain shuffle join is safe. */
+  def x77SkewReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+    counts.agg(
+      count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_cnt"),
+      median(col("cnt")).as("median_cnt"),
+      max_by(col("l_suppkey"), struct(col("cnt"), col("l_suppkey") * -1))
+        .as("hottest_key"))
+      .select(col("n_keys"), col("max_cnt"), col("median_cnt"),
+        (col("max_cnt") / col("median_cnt")).as("skew_ratio"),
+        col("hottest_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x75_cluster_histogram" -> (x75ClusterHistogram _),
+    "x77_skew_report" -> (x77SkewReport _),
     "x74_kmv_overlap" -> (x74KmvOverlap _),
     "x72_mmr_rerank" -> (x72MmrRerank _),
     "w16_distributed_cumsum" -> (w16DistributedCumSum _),
@@ -292,6 +340,39 @@ object Extras10 {
     "s25_corrupt_files" -> (s25CorruptFiles _))
 
   val oracles: Map[String, String] = Map(
+    // clusters recomputed recursively from scratch (x60's oracle CTE),
+    // then the identical two-level histogram
+    "x75_cluster_histogram" ->
+      (s"WITH RECURSIVE s AS (SELECT DISTINCT doc_id, ngram FROM (${TextOps.ngramSql(3)}) t), " +
+       "n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id), " +
+       "i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter " +
+       "FROM s a JOIN s b ON a.ngram = b.ngram AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+       "pairs AS (SELECT doc_a, doc_b FROM i " +
+       "JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b " +
+       "WHERE inter / (na.n_sh + nb.n_sh - inter) > 0.6), " +
+       "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs " +
+       "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+       "reach AS (SELECT DISTINCT a AS src, a AS dst FROM edges " +
+       "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a), " +
+       "cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach " +
+       "GROUP BY src), " +
+       "sizes AS (SELECT COALESCE(cc.cluster_rep, d.doc_id) AS rep, " +
+       "CAST(COUNT(*) AS BIGINT) AS sz FROM documents d " +
+       "LEFT JOIN cc ON d.doc_id = cc.doc_id GROUP BY 1) " +
+       "SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters, " +
+       "CAST(COUNT(*) * sz AS BIGINT) AS n_docs FROM sizes " +
+       "GROUP BY sz ORDER BY cluster_size"),
+    // DuckDB arg_max has no composite tie-break, so the hottest key is
+    // a window top-1 with the same (cnt desc, key asc) order
+    "x77_skew_report" ->
+      ("WITH c AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt " +
+       "FROM lineitem GROUP BY 1), " +
+       "top AS (SELECT l_suppkey AS hottest_key FROM " +
+       "(SELECT l_suppkey, row_number() OVER (ORDER BY cnt DESC, l_suppkey) " +
+       "AS rn FROM c) t WHERE rn = 1) " +
+       "SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, MAX(cnt) AS max_cnt, " +
+       "median(cnt) AS median_cnt, MAX(cnt) / median(cnt) AS skew_ratio, " +
+       "(SELECT hottest_key FROM top) AS hottest_key FROM c"),
     // exact counts recomputed; the sketch-accuracy claims are bounds
     // (see scaladoc) stated as constants
     "x74_kmv_overlap" ->

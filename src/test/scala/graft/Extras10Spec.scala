@@ -151,6 +151,25 @@ class Extras10Spec extends SparkSpec {
     assert(r.getLong(2) <= math.min(r.getLong(0), r.getLong(1)))
   }
 
+  test("x75: histogram masses add back up to the corpus") {
+    val rows = Extras10.x75ClusterHistogram(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum == Tables.documents(spark, sf).count())
+    rows.foreach(r =>
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1)))
+    assert(rows.exists(_.getLong(0) > 1), "expected at least one real cluster")
+  }
+
+  test("x77: the reported hottest key really has the max count") {
+    val r = Extras10.x77SkewReport(spark, sf).collect()(0)
+    val counts = Tables.lineitem(spark, sf)
+      .groupBy(col("l_suppkey")).count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1))
+    val mx = counts.map(_._2).max
+    val hot = counts.filter(_._2 == mx).map(_._1).min
+    assert(r.getLong(1) == mx && r.getLong(4) == hot)
+    assert(r.getDouble(3) >= 1.0)
+  }
+
   test("s25: one corrupt file does not kill the tolerant scan") {
     val r = Extras10.s25CorruptFiles(spark, sf).collect()(0)
     assert(r.getLong(0) == Tables.nation(spark, sf).count())
