@@ -329,7 +329,63 @@ object Extras10 {
         col("hottest_key"))
   }
 
+  /** X78 — dataset-release diff (the audit table published alongside a
+    * corpus version bump): old vs new snapshot full-outer-joined on
+    * doc_id with md5-of-text comparison → per-status counts (added /
+    * removed / changed / unchanged). The "new" snapshot is a
+    * deterministic transform of the corpus (drop doc_id % 11 = 0,
+    * rewrite text for % 7 = 0, append shifted-id copies), so both
+    * engines stage identical inputs. ONE full outer join keyed by
+    * doc_id + md5 values (32 B) instead of text bodies — at 100 TB the
+    * compare ships fingerprints, never documents, and the join is the
+    * only shuffle. */
+  def x78SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val old = d.select(col("doc_id"), md5(col("text")).as("fp_old"))
+    val newer = d.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("fp_new"))
+      .unionByName(d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          md5(col("text")).as("fp_new")))
+    old.join(newer, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") === col("fp_new"), "unchanged")
+          .otherwise("changed"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("status"))
+  }
+
+  /** X81 — embedding quality gate (x53's discipline applied to the
+    * vector corpus): dimension check, NaN scan, and unit-norm tolerance
+    * as independent aggregate expressions in ONE scan. The norm is an
+    * ordered left-fold over the array (`aggregate` HOF) — both engines
+    * sum elements in array order, so the IEEE result is identical and
+    * the tolerance compare is exact. The gate a vector store runs
+    * before accepting a shard: wrong-dim / NaN / badly-scaled vectors
+    * counted, not crashed on. */
+  def x81VectorQualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+          .as("norm2"),
+        expr("exists(embedding, x -> isnan(x))").as("has_nan"),
+        size(col("embedding")).as("dim"))
+    e.agg(count(lit(1)).as("n_vecs"),
+      sum(when(col("dim") =!= 64, 1L).otherwise(0L)).as("n_wrong_dim"),
+      sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_with_nan"),
+      sum(when(abs(sqrt(col("norm2")) - 1.0) > 0.001, 1L).otherwise(0L))
+        .as("n_non_unit"),
+      min(col("norm2")).as("min_norm2"), max(col("norm2")).as("max_norm2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x78_snapshot_diff" -> (x78SnapshotDiff _),
+    "x81_vector_quality_gate" -> (x81VectorQualityGate _),
     "x75_cluster_histogram" -> (x75ClusterHistogram _),
     "x77_skew_report" -> (x77SkewReport _),
     "x74_kmv_overlap" -> (x74KmvOverlap _),
@@ -340,6 +396,39 @@ object Extras10 {
     "s25_corrupt_files" -> (s25CorruptFiles _))
 
   val oracles: Map[String, String] = Map(
+    // fingerprint-only compare restated over the same deterministic
+    // snapshot transform
+    "x78_snapshot_diff" ->
+      ("WITH old AS (SELECT doc_id, md5(text) AS fp_old FROM documents), " +
+       "newer AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 " +
+       "THEN text || ' v2' ELSE text END) AS fp_new " +
+       "FROM documents WHERE doc_id % 11 <> 0 " +
+       "UNION ALL SELECT doc_id + 1000000, md5(text) FROM documents " +
+       "WHERE doc_id % 13 = 0) " +
+       "SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (" +
+       "SELECT CASE WHEN fp_old IS NULL THEN 'added' " +
+       "WHEN fp_new IS NULL THEN 'removed' " +
+       "WHEN fp_old = fp_new THEN 'unchanged' ELSE 'changed' END AS status " +
+       "FROM old FULL OUTER JOIN newer USING (doc_id)) t " +
+       "GROUP BY status ORDER BY status"),
+    // the fold runs in array order on both engines (Spark aggregate HOF
+    // with 0.0 init vs DuckDB list_reduce seeded by the first element:
+    // 0.0 + x == x exactly), so norms are bitwise-identical
+    "x81_vector_quality_gate" ->
+      ("WITH e AS (SELECT vec_id, len(embedding) AS dim, " +
+       "list_reduce(list_transform(embedding, " +
+       "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
+       "(acc, x) -> acc + x) AS norm2, " +
+       "len(list_filter(embedding, x -> isnan(x))) > 0 AS has_nan " +
+       "FROM embeddings) " +
+       "SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs, " +
+       "CAST(SUM(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT) " +
+       "AS n_wrong_dim, " +
+       "CAST(SUM(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) " +
+       "AS n_with_nan, " +
+       "CAST(SUM(CASE WHEN abs(sqrt(norm2) - 1.0) > 0.001 THEN 1 ELSE 0 END) " +
+       "AS BIGINT) AS n_non_unit, " +
+       "MIN(norm2) AS min_norm2, MAX(norm2) AS max_norm2 FROM e"),
     // clusters recomputed recursively from scratch (x60's oracle CTE),
     // then the identical two-level histogram
     "x75_cluster_histogram" ->

