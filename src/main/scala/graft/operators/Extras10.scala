@@ -383,7 +383,36 @@ object Extras10 {
       min(col("norm2")).as("min_norm2"), max(col("norm2")).as("max_norm2"))
   }
 
+  /** SQL36 — keyset pagination (the scale-safe deep-pagination idiom):
+    * three successive 5-row pages over orders, each page resuming from
+    * the previous page's last key (`WHERE o_orderkey > (SELECT MAX ...
+    * prev page)`) instead of OFFSET. One shared SQL text for both
+    * engines. The 100 TB story is the whole point: o8's OFFSET form
+    * scans-and-discards every earlier row on every page (page N costs
+    * O(N·pagesize)), while the keyset predicate PUSHES TO THE SCAN
+    * (spec pins `PushedFilters: GreaterThan` on the resumed pages) and
+    * each page is a TakeOrderedAndProject over the surviving rows. */
+  val sql36Text: String =
+    """WITH page1 AS (SELECT o_orderkey, o_totalprice FROM orders
+      |    ORDER BY o_orderkey LIMIT 5),
+      |  page2 AS (SELECT o_orderkey, o_totalprice FROM orders
+      |    WHERE o_orderkey > (SELECT MAX(o_orderkey) FROM page1)
+      |    ORDER BY o_orderkey LIMIT 5),
+      |  page3 AS (SELECT o_orderkey, o_totalprice FROM orders
+      |    WHERE o_orderkey > (SELECT MAX(o_orderkey) FROM page2)
+      |    ORDER BY o_orderkey LIMIT 5)
+      |SELECT 1 AS page, o_orderkey, o_totalprice FROM page1
+      |UNION ALL SELECT 2, o_orderkey, o_totalprice FROM page2
+      |UNION ALL SELECT 3, o_orderkey, o_totalprice FROM page3
+      |ORDER BY page, o_orderkey""".stripMargin
+
+  def sql36KeysetPagination(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    spark.sql(sql36Text)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql36_keyset_pagination" -> (sql36KeysetPagination _),
     "x78_snapshot_diff" -> (x78SnapshotDiff _),
     "x81_vector_quality_gate" -> (x81VectorQualityGate _),
     "x75_cluster_histogram" -> (x75ClusterHistogram _),
@@ -396,6 +425,8 @@ object Extras10 {
     "s25_corrupt_files" -> (s25CorruptFiles _))
 
   val oracles: Map[String, String] = Map(
+    // the SAME text Spark executes (sql36Text), verbatim
+    "sql36_keyset_pagination" -> sql36Text.replace("\n", " "),
     // fingerprint-only compare restated over the same deterministic
     // snapshot transform
     "x78_snapshot_diff" ->

@@ -188,6 +188,22 @@ class Extras10Spec extends SparkSpec {
       && math.abs(clean.getDouble(5) - 1.0) < 0.01)
   }
 
+  test("sql36: the resumed pages' keyset predicates reach the parquet " +
+      "reader") {
+    val df = Extras10.sql36KeysetPagination(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 15)
+    assert(rows.map(_.getLong(1)).distinct.length == 15,
+      "pages must not overlap")
+    val pushed = flattenPlan(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.getOrElse("PushedFilters", "")
+            .contains("GreaterThan") => s
+    }
+    assert(pushed.size >= 2,
+      "pages 2 and 3 must push their keyset bound to the scan")
+  }
+
   test("s25: one corrupt file does not kill the tolerant scan") {
     val r = Extras10.s25CorruptFiles(spark, sf).collect()(0)
     assert(r.getLong(0) == Tables.nation(spark, sf).count())
