@@ -343,4 +343,59 @@ class PropertySpec extends SparkSpec {
       got == expect
     })
   }
+
+  test("fuzzy join candidates are COMPLETE: deletion-neighborhood " +
+      "blocking + verify equals the brute-force edit-distance join") {
+    import spark.implicits._
+    val strGen = org.scalacheck.Gen.listOfN(5,
+      org.scalacheck.Gen.oneOf("ab", "ba", "abc", "abcd", "aabb", "abab",
+        "xyz", "xy", "x", "abcde"))
+    check(Prop.forAll(strGen) { names =>
+      val dirty = names.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("dirty_key", "dirty_name")
+      val clean = names.reverse.zipWithIndex
+        .map { case (s, i) => ((i + 100).toLong, s + (if (i % 2 == 0) "" else "z")) }
+        .toDF("clean_key", "clean_name")
+      val got = graft.operators.Extras9.fuzzyJoinDist1(dirty, clean)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val want = (for {
+        (ds, di) <- names.zipWithIndex
+        (cs0, ci) <- names.reverse.zipWithIndex
+        cs = cs0 + (if (ci % 2 == 0) "" else "z")
+        if lev(ds, cs) <= 1
+      } yield (di.toLong, (ci + 100).toLong)).toSet
+      got == want
+    })
+  }
+
+  test("distributed cumsum equals the sequential prefix for any data " +
+      "and partition count") {
+    import spark.implicits._
+    val gen = org.scalacheck.Gen.zip(
+      org.scalacheck.Gen.listOfN(40,
+        org.scalacheck.Gen.chooseNum(-1000L, 1000L)),
+      org.scalacheck.Gen.chooseNum(1, 12))
+    check(Prop.forAll(gen) { case (vals, nParts) =>
+      val rows = vals.zipWithIndex.map { case (v, i) =>
+        (i.toLong, BigDecimal(v))
+      }
+      val df = rows.toDF("k", "v")
+        .select(col("k"), col("v").cast("decimal(18,4)").as("v"))
+      val got = graft.operators.Extras10
+        .distributedCumSum(df, col("k"), col("v"), nParts)
+        .orderBy(col("k")).collect()
+        .map(r => BigDecimal(r.getDecimal(2)))
+      val want = rows.map(_._2).scanLeft(BigDecimal(0))(_ + _).tail
+      got.length == want.length &&
+        got.zip(want).forall { case (g, w) => g == w }
+    })
+  }
 }
