@@ -411,7 +411,56 @@ object Extras10 {
     spark.sql(sql36Text)
   }
 
+  /** X85 — k-anonymity audit (the data-governance pre-flight before a
+    * dataset release): group the release by its quasi-identifier tuple
+    * (market segment × nation × account-balance band — the classic
+    * re-identification surface) and report how much of the corpus
+    * lives in groups smaller than k=5: those rows are re-identifiable
+    * and must be suppressed or generalized (Sweeney 2002). One grouped
+    * count + one summary aggregate over the group-cardinality frame —
+    * the audit costs a scan regardless of corpus size. */
+  def x85KAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    val groups = Tables.customer(spark, sfDir)
+      .join(Tables.nation(spark, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_mktsegment"), col("n_name"),
+        floor(col("c_acctbal") / 2000.0).as("bal_band"))
+      .groupBy(col("c_mktsegment"), col("n_name"), col("bal_band"))
+      .agg(count(lit(1)).as("sz"))
+    groups.agg(count(lit(1)).as("n_groups"),
+      sum(col("sz")).as("n_rows"),
+      sum(when(col("sz") < 5, 1L).otherwise(0L)).as("n_groups_below_k"),
+      sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("n_rows_at_risk"),
+      min(col("sz")).as("min_group"))
+  }
+
+  /** X87 — join-explosion pre-flight (x77's sibling for JOINS): the
+    * exact output cardinality |A ⋈ B| = Σ_k cntA(k)·cntB(k) computed
+    * from the two key-count tables — a key-cardinality-sized join
+    * instead of running the real join to find out it explodes. Reports
+    * the total, the common-key count, and the single worst key with
+    * its contribution (deterministic composite max_by). The pre-flight
+    * a pipeline runs before joining two fact tables at 100 TB: the
+    * count tables are grouped aggregates (map-side partials), their
+    * join is key-cardinality, and the verdict arrives before any
+    * fact-fact shuffle is paid. */
+  def x87JoinPreflight(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cnt_a"))
+    val b = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cnt_b"))
+    a.join(b, "k")
+      .select(col("k"), (col("cnt_a") * col("cnt_b")).as("contrib"))
+      .agg(count(lit(1)).as("n_common_keys"),
+        sum(col("contrib")).as("est_join_rows"),
+        max(col("contrib")).as("max_key_contrib"),
+        max_by(col("k"), struct(col("contrib"), col("k") * -1))
+          .as("worst_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x85_k_anonymity" -> (x85KAnonymity _),
+    "x87_join_preflight" -> (x87JoinPreflight _),
     "sql36_keyset_pagination" -> (sql36KeysetPagination _),
     "x78_snapshot_diff" -> (x78SnapshotDiff _),
     "x81_vector_quality_gate" -> (x81VectorQualityGate _),
@@ -425,6 +474,33 @@ object Extras10 {
     "s25_corrupt_files" -> (s25CorruptFiles _))
 
   val oracles: Map[String, String] = Map(
+    // identical quasi-identifier banding (floor of the same IEEE
+    // division) and the same k=5 threshold
+    "x85_k_anonymity" ->
+      ("WITH g AS (SELECT c_mktsegment, n_name, " +
+       "CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band, " +
+       "CAST(COUNT(*) AS BIGINT) AS sz FROM customer " +
+       "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2, 3) " +
+       "SELECT CAST(COUNT(*) AS BIGINT) AS n_groups, " +
+       "CAST(SUM(sz) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) " +
+       "AS n_groups_below_k, " +
+       "CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) " +
+       "AS n_rows_at_risk, MIN(sz) AS min_group FROM g"),
+    // DuckDB arg_max lacks composite tie-breaks: window top-1 again
+    "x87_join_preflight" ->
+      ("WITH a AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) " +
+       "AS cnt_a FROM lineitem GROUP BY 1), " +
+       "b AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt_b " +
+       "FROM orders GROUP BY 1), " +
+       "j AS (SELECT a.k, cnt_a * cnt_b AS contrib FROM a JOIN b USING (k)), " +
+       "top AS (SELECT k AS worst_key FROM (SELECT k, " +
+       "row_number() OVER (ORDER BY contrib DESC, k) AS rn FROM j) t " +
+       "WHERE rn = 1) " +
+       "SELECT CAST(COUNT(*) AS BIGINT) AS n_common_keys, " +
+       "CAST(SUM(contrib) AS BIGINT) AS est_join_rows, " +
+       "CAST(MAX(contrib) AS BIGINT) AS max_key_contrib, " +
+       "(SELECT worst_key FROM top) AS worst_key FROM j"),
     // the SAME text Spark executes (sql36Text), verbatim
     "sql36_keyset_pagination" -> sql36Text.replace("\n", " "),
     // fingerprint-only compare restated over the same deterministic

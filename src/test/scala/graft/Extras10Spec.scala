@@ -204,6 +204,23 @@ class Extras10Spec extends SparkSpec {
       "pages 2 and 3 must push their keyset bound to the scan")
   }
 
+  test("x85: risk masses are consistent and bounded by the corpus") {
+    val r = Extras10.x85KAnonymity(spark, sf).collect()(0)
+    val n = Tables.customer(spark, sf).count()
+    assert(r.getLong(1) == n)
+    assert(r.getLong(3) <= n && r.getLong(2) <= r.getLong(0))
+    assert(r.getLong(3) < 5L * r.getLong(2) + 1)
+  }
+
+  test("x87: the exact cardinality prediction matches the real join") {
+    val r = Extras10.x87JoinPreflight(spark, sf).collect()(0)
+    val real = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(r.getLong(1) == real,
+      s"predicted ${r.getLong(1)} vs actual $real")
+  }
+
   test("s25: one corrupt file does not kill the tolerant scan") {
     val r = Extras10.s25CorruptFiles(spark, sf).collect()(0)
     assert(r.getLong(0) == Tables.nation(spark, sf).count())
