@@ -458,7 +458,75 @@ object Extras10 {
           .as("worst_key"))
   }
 
+  /** X88 — exact mixture apportionment (largest-remainder / Hamilton
+    * method): turn per-source corpus shares into INTEGER sampling
+    * quotas that sum to exactly N=1000 — the step between x62's
+    * mixture report and an actual sampler, where proportional floats
+    * must become whole examples without drift. Base quota is integer
+    * floor(chars·N / total); the leftover goes to the largest
+    * remainders. The remainder rank is computed WITHOUT a global
+    * window (w2's distributed-rank trick: rank = count of strictly
+    * greater (remainder, source) pairs via a self-join aggregate), so
+    * the plan stays PlanLint-clean even with millions of sources.
+    * All-integer arithmetic — deterministic on both engines. */
+  def x88QuotaApportionment(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = lit(1000L)
+    val s = Tables.documents(spark, sfDir)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("chars"))
+    val t = s.agg(sum(col("chars")).as("total"))
+    val q = s.crossJoin(t)
+      .select(col("source"), col("chars"),
+        expr("chars * 1000 div total").as("base"),
+        ((col("chars") * n) % col("total")).as("rem"))
+    val leftover = q.agg((n - sum(col("base"))).as("leftover"))
+    val ranks = q.select(col("source").as("s2"), col("rem").as("r2"))
+    q.join(ranks,
+        col("r2") > col("rem") ||
+          (col("r2") === col("rem") && col("s2") < col("source")),
+        "left_outer")
+      .groupBy(col("source"), col("chars"), col("base"), col("rem"))
+      .agg(count(col("s2")).as("rank"))
+      .crossJoin(leftover)
+      .select(col("source"), col("chars"),
+        (col("base") + when(col("rank") < col("leftover"), 1L)
+          .otherwise(0L)).as("quota"))
+      .orderBy(col("source"))
+  }
+
+  /** X89 — temporal train/test split with an embargo gap (the
+    * time-series leakage control: a model trained through time T must
+    * not be evaluated on examples it could have "seen" through
+    * near-boundary correlation — the gap absorbs it): cut at 80% of
+    * the corpus time range (integer µs arithmetic), drop a 30-minute
+    * embargo zone, report per-split masses plus the PROVEN gap
+    * (min test ts − max train ts ≥ embargo, emitted as data). One
+    * scan + two bounded aggregates. */
+  def x89EmbargoSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.eventsUs(spark, sfDir)
+    val bounds = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .select(expr("lo + (hi - lo) * 8 div 10").as("cut"))
+    val embargo = 1800000000L
+    val tagged = ev.crossJoin(bounds)
+      .withColumn("split",
+        when(col("ts") < col("cut"), "train")
+          .when(col("ts") >= col("cut") + embargo, "test")
+          .otherwise("embargoed"))
+    val gap = tagged.agg(
+      (min(when(col("split") === "test", col("ts"))) -
+        max(when(col("split") === "train", col("ts"))))
+        .as("boundary_gap_us"))
+    tagged.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(gap)
+      .select(col("split"), col("n_events"), col("n_users"),
+        (col("boundary_gap_us") >= embargo).as("gap_ok"))
+      .orderBy(col("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x88_quota_apportionment" -> (x88QuotaApportionment _),
+    "x89_embargo_split" -> (x89EmbargoSplit _),
     "x85_k_anonymity" -> (x85KAnonymity _),
     "x87_join_preflight" -> (x87JoinPreflight _),
     "sql36_keyset_pagination" -> (sql36KeysetPagination _),
@@ -474,6 +542,34 @@ object Extras10 {
     "s25_corrupt_files" -> (s25CorruptFiles _))
 
   val oracles: Map[String, String] = Map(
+    // all-integer Hamilton apportionment; the oracle may use a window
+    // (DuckDB side is unconstrained), the Spark side may not
+    "x88_quota_apportionment" ->
+      ("WITH s AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars " +
+       "FROM documents GROUP BY 1), " +
+       "t AS (SELECT CAST(SUM(chars) AS BIGINT) AS total FROM s), " +
+       "q AS (SELECT source, chars, chars * 1000 // total AS base, " +
+       "(chars * 1000) % total AS rem FROM s CROSS JOIN t), " +
+       "l AS (SELECT 1000 - SUM(base) AS leftover FROM q), " +
+       "r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) - 1 " +
+       "AS rnk FROM q) " +
+       "SELECT source, chars, CAST(base + CASE WHEN rnk < leftover " +
+       "THEN 1 ELSE 0 END AS BIGINT) AS quota " +
+       "FROM r CROSS JOIN l ORDER BY source"),
+    "x89_embargo_split" ->
+      ("WITH b AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi " +
+       "FROM events), " +
+       "c AS (SELECT lo + (hi - lo) * 8 // 10 AS cut FROM b), " +
+       "tg AS (SELECT epoch_us(ts) AS t, user_id, " +
+       "CASE WHEN epoch_us(ts) < cut THEN 'train' " +
+       "WHEN epoch_us(ts) >= cut + 1800000000 THEN 'test' " +
+       "ELSE 'embargoed' END AS split FROM events CROSS JOIN c), " +
+       "g AS (SELECT MIN(CASE WHEN split = 'test' THEN t END) - " +
+       "MAX(CASE WHEN split = 'train' THEN t END) AS gap FROM tg) " +
+       "SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+       "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, " +
+       "gap >= 1800000000 AS gap_ok FROM tg CROSS JOIN g " +
+       "GROUP BY split, gap ORDER BY split"),
     // identical quasi-identifier banding (floor of the same IEEE
     // division) and the same k=5 threshold
     "x85_k_anonymity" ->

@@ -221,6 +221,27 @@ class Extras10Spec extends SparkSpec {
       s"predicted ${r.getLong(1)} vs actual $real")
   }
 
+  test("x88: quotas sum to exactly N with no window operator in the " +
+      "plan") {
+    val df = Extras10.x88QuotaApportionment(spark, sf)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(2)).sum == 1000L)
+    val windows = flattenPlan(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      "apportionment must use the distributed-rank self-join, not a window")
+  }
+
+  test("x89: splits partition the stream and the embargo gap is proven") {
+    val rows = Extras10.x89EmbargoSplit(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.eventsUs(spark, sf).count())
+    assert(rows.forall(_.getBoolean(3)), "gap_ok must hold by construction")
+    val m = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("train") > m("test"), s"80/20-ish cut expected: $m")
+  }
+
   test("s25: one corrupt file does not kill the tolerant scan") {
     val r = Extras10.s25CorruptFiles(spark, sf).collect()(0)
     assert(r.getLong(0) == Tables.nation(spark, sf).count())
