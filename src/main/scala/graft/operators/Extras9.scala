@@ -51,9 +51,13 @@ object Extras9 {
       .select(col("dirty_key"), col("clean_key"), col("dirty_name"),
         col("clean_name"))
       .distinct()
-      .filter(levenshtein(col("dirty_name"), col("clean_name")) <= 1)
-      .select(col("dirty_key"), col("clean_key"),
-        levenshtein(col("dirty_name"), col("clean_name")).as("lev"))
+      // threshold form: the DP abandons a row pair as soon as the
+      // distance provably exceeds 1 (returns -1), so verify cost per
+      // candidate is O(len) instead of O(len²)
+      .withColumn("lev",
+        levenshtein(col("dirty_name"), col("clean_name"), 1))
+      .filter(col("lev") >= 0)
+      .select(col("dirty_key"), col("clean_key"), col("lev"))
   }
 
   def x64FuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
