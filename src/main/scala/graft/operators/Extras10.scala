@@ -524,7 +524,52 @@ object Extras10 {
       .orderBy(col("split"))
   }
 
+  /** A24 — COUNT(DISTINCT) under ROLLUP: distinct aggregates combined
+    * with grouping sets force Catalyst's Expand-based planning (each
+    * row fans out once per grouping set AND once per distinct
+    * aggregate path) — a planning shape none of a3 (plain distinct) or
+    * a5 (rollup of sums) exercises. Distinct customer count plus
+    * decimal revenue per (year, priority) with both subtotal levels
+    * and the grand total; grouping() disambiguates real NULLs from
+    * subtotal rows. Shuffle volume stays groups × expand-factor, map
+    * partials intact. */
+  def a24RollupDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .rollup(col("o_year"), col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        Det.dsum(col("o_totalprice")).as("revenue"),
+        grouping(col("o_year")).cast("int").as("g_year"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"))
+      .orderBy(col("g_year"), col("g_prio"), col("o_year"),
+        col("o_orderpriority"))
+
+  /** X92 — retention cohort matrix (the product-analytics table every
+    * events warehouse serves): users cohorted by FIRST-EVENT WEEK, and
+    * for each (cohort week, week offset) the count of distinct users
+    * still active — the diagonal matrix a retention chart reads.
+    * Cohorts are one grouped min; the activity join is keyed by user
+    * (one shuffle); week arithmetic is integer µs division. At 100 TB
+    * the matrix is (weeks × offsets) rows — tiny — while every
+    * heavy frame is user- or event-cardinality with map-side
+    * partials. */
+  def x92RetentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.eventsUs(spark, sfDir)
+      .select(col("user_id"), expr("ts div 604800000000").as("week"))
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    ev.join(cohorts, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a24_rollup_distinct" -> (a24RollupDistinct _),
+    "x92_retention_cohorts" -> (x92RetentionCohorts _),
     "x88_quota_apportionment" -> (x88QuotaApportionment _),
     "x89_embargo_split" -> (x89EmbargoSplit _),
     "x85_k_anonymity" -> (x85KAnonymity _),
@@ -542,6 +587,24 @@ object Extras10 {
     "s25_corrupt_files" -> (s25CorruptFiles _))
 
   val oracles: Map[String, String] = Map(
+    "a24_rollup_distinct" ->
+      ("SELECT year(o_orderdate) AS o_year, o_orderpriority, " +
+       "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust, " +
+       Det.sql.dsum("o_totalprice") + " AS revenue, " +
+       "CAST(GROUPING(year(o_orderdate)) AS INT) AS g_year, " +
+       "CAST(GROUPING(o_orderpriority) AS INT) AS g_prio " +
+       "FROM orders GROUP BY ROLLUP(year(o_orderdate), o_orderpriority) " +
+       "ORDER BY g_year, g_prio, o_year, o_orderpriority"),
+    "x92_retention_cohorts" ->
+      ("WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week " +
+       "FROM events), " +
+       "c AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1), " +
+       "a AS (SELECT DISTINCT ev.user_id, c.cohort_week, " +
+       "ev.week - c.cohort_week AS week_offset " +
+       "FROM ev JOIN c ON ev.user_id = c.user_id) " +
+       "SELECT cohort_week, week_offset, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_active_users FROM a " +
+       "GROUP BY 1, 2 ORDER BY cohort_week, week_offset"),
     // all-integer Hamilton apportionment; the oracle may use a window
     // (DuckDB side is unconstrained), the Spark side may not
     "x88_quota_apportionment" ->

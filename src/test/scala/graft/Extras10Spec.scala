@@ -242,6 +242,32 @@ class Extras10Spec extends SparkSpec {
     assert(m("train") > m("test"), s"80/20-ish cut expected: $m")
   }
 
+  test("a24: distinct-under-rollup plans through Expand and the grand " +
+      "total matches the corpus") {
+    val df = Extras10.a24RollupDistinct(spark, sf)
+    val rows = df.collect()
+    val grand = rows.filter(r => r.getInt(4) == 1 && r.getInt(5) == 1)
+    assert(grand.length == 1)
+    assert(grand(0).getLong(2) ==
+      Tables.orders(spark, sf).select(col("o_custkey")).distinct().count())
+    val expands = flattenPlan(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }
+    assert(expands.nonEmpty, "distinct + rollup must plan through Expand")
+  }
+
+  test("x92: offset-0 masses are cohort sizes and retention never " +
+      "exceeds them") {
+    val rows = Extras10.x92RetentionCohorts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val week0 = rows.filter { case ((_, off), _) => off == 0L }
+    assert(week0.nonEmpty)
+    rows.foreach { case ((cw, _), n) =>
+      assert(n <= rows((cw, 0L)),
+        s"cohort $cw: retention $n exceeds cohort size ${rows((cw, 0L))}")
+    }
+  }
+
   test("s25: one corrupt file does not kill the tolerant scan") {
     val r = Extras10.s25CorruptFiles(spark, sf).collect()(0)
     assert(r.getLong(0) == Tables.nation(spark, sf).count())
