@@ -567,7 +567,56 @@ object Extras10 {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** X93 — leave-one-out target encoding (the categorical feature ML
+    * pipelines build without leaking the row's own label): for each
+    * order, the mean total price of its priority class EXCLUDING
+    * itself — (S_c − t_i)/(n_c − 1) from one grouped DECIMAL sum
+    * broadcast back. The exact class sums make the per-row arithmetic
+    * a pure function both engines spell identically; one grouped agg +
+    * one broadcast join, no self-join, no window. */
+  def x93TargetEncoding(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast(Det.Money).as("t"))
+    val cls = o.groupBy(col("o_orderpriority"))
+      .agg(sum(col("t")).as("s"), count(lit(1)).as("n"))
+    o.join(broadcast(cls), "o_orderpriority")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ((col("s") - col("t")).cast("double") / (col("n") - 1))
+          .as("loo_mean"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** X94 — standard-scaler feature materialization with EXACT moments:
+    * per event type, mean and variance from exact DECIMAL sufficient
+    * statistics (Σv and Σv² — v_dec·v_dec is exact decimal
+    * multiplication), variance assembled in IEEE doubles spelled
+    * identically both engines (stddev_samp's order-dependent double
+    * partials would hash-mismatch); then the per-row z-score
+    * (v − mean)/sqrt(var). One grouped agg + one broadcast join — the
+    * feature-scaling pass an ML pipeline runs before training, exact
+    * under any partitioning. */
+  def x94FeatureScaling(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.eventsUs(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("value").cast(Det.Money).as("v"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(sum(col("v")).cast("double").as("sv"),
+        sum(col("v") * col("v")).cast("double").as("svv"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"),
+        (col("sv") / col("n")).as("mean"),
+        ((col("svv") - col("sv") * col("sv") / col("n")) /
+          (col("n") - 1)).as("variance"))
+    ev.join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"),
+        ((col("value") - col("mean")) / sqrt(col("variance"))).as("z"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x93_target_encoding" -> (x93TargetEncoding _),
+    "x94_feature_scaling" -> (x94FeatureScaling _),
     "a24_rollup_distinct" -> (a24RollupDistinct _),
     "x92_retention_cohorts" -> (x92RetentionCohorts _),
     "x88_quota_apportionment" -> (x88QuotaApportionment _),
@@ -587,6 +636,30 @@ object Extras10 {
     "s25_corrupt_files" -> (s25CorruptFiles _))
 
   val oracles: Map[String, String] = Map(
+    // exact class sums; identical per-row arithmetic
+    "x93_target_encoding" ->
+      ("WITH o AS (SELECT o_orderkey, o_orderpriority, " +
+       "CAST(o_totalprice AS DECIMAL(18,4)) AS t FROM orders), " +
+       "cls AS (SELECT o_orderpriority, SUM(t) AS s, " +
+       "CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY 1) " +
+       "SELECT o.o_orderkey, o.o_orderpriority, " +
+       "CAST(s - t AS DOUBLE) / (n - 1) AS loo_mean " +
+       "FROM o JOIN cls ON o.o_orderpriority = cls.o_orderpriority " +
+       "ORDER BY o_orderkey"),
+    // exact decimal moments, variance assembled in identically-spelled
+    // IEEE arithmetic
+    "x94_feature_scaling" ->
+      ("WITH ev AS (SELECT event_id, event_type, value, " +
+       "CAST(value AS DECIMAL(18,4)) AS v FROM events), " +
+       "st AS (SELECT event_type, CAST(SUM(v) AS DOUBLE) AS sv, " +
+       "CAST(SUM(v * v) AS DOUBLE) AS svv, " +
+       "CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1), " +
+       "m AS (SELECT event_type, sv / n AS mean, " +
+       "(svv - sv * sv / n) / (n - 1) AS variance FROM st) " +
+       "SELECT ev.event_id, ev.event_type, " +
+       "(ev.value - m.mean) / sqrt(m.variance) AS z " +
+       "FROM ev JOIN m ON ev.event_type = m.event_type " +
+       "ORDER BY event_id"),
     "a24_rollup_distinct" ->
       ("SELECT year(o_orderdate) AS o_year, o_orderpriority, " +
        "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust, " +

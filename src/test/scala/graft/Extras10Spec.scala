@@ -268,6 +268,38 @@ class Extras10Spec extends SparkSpec {
     }
   }
 
+  test("x93: LOO encoding excludes the row itself (adding it back " +
+      "recovers the class mean)") {
+    val cls = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg((sum(col("o_totalprice").cast(Det.Money)).cast("double") /
+        count(lit(1))).as("cls_mean"),
+        count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val sample = Extras10.x93TargetEncoding(spark, sf).limit(50).collect()
+    val prices = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    sample.foreach { r =>
+      val (mean, n) = cls(r.getString(1))
+      val reconstructed =
+        (r.getDouble(2) * (n - 1) + prices(r.getLong(0))) / n
+      assert(math.abs(reconstructed - mean) < 1e-6, s"$r")
+    }
+  }
+
+  test("x94: z-scores have ~zero mean and ~unit variance per type") {
+    val z = Extras10.x94FeatureScaling(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(avg(col("z")).as("m"), stddev_samp(col("z")).as("s"))
+      .collect()
+    assert(z.length == 5)
+    z.foreach { r =>
+      assert(math.abs(r.getDouble(1)) < 1e-9, s"mean: $r")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9, s"sd: $r")
+    }
+  }
+
   test("s25: one corrupt file does not kill the tolerant scan") {
     val r = Extras10.s25CorruptFiles(spark, sf).collect()(0)
     assert(r.getLong(0) == Tables.nation(spark, sf).count())
