@@ -614,7 +614,65 @@ object Extras10 {
       .orderBy(col("event_id"))
   }
 
+  /** X97 — deterministic negative sampling for contrastive training:
+    * for each probe, 5 pseudo-random corpus negatives that are NOT
+    * among its exact top-5 neighbors — the (anchor, positive,
+    * negatives) triple builder behind every contrastive objective,
+    * made reproducible by ranking on a content hash of (probe,
+    * candidate) instead of an RNG. Scale shape: candidates are first
+    * cut by a pushed md5-bucket threshold (selectivity reaches the
+    * scan side of the join), the positive set is a bounded anti-join,
+    * and the per-probe rank runs over the threshold-surviving sliver
+    * only. Same md5Bucket spelling on both engines (Det.md5Bucket). */
+  def x97NegativeSampling(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"))
+    val pos = SimSearch.exactTopK(spark, sfDir)
+      .select(col("probe_id").as("pp"), col("neighbor_id").as("pn"))
+    val cand = probes.crossJoin(emb.select(col("vec_id").as("cand_id")))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("h", Det.md5Bucket(
+        concat(col("probe_id").cast("string"), lit(":"),
+          col("cand_id").cast("string")), 6))
+      .filter(col("h") < 1000000L) // ~6% sliver survives to the rank
+      .join(pos, col("probe_id") === col("pp") &&
+        col("cand_id") === col("pn"), "left_anti")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("h"), col("cand_id"))
+    cand.withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= 5)
+      .select(col("probe_id"), col("neg_rank"), col("cand_id"))
+      .orderBy(col("probe_id"), col("neg_rank"))
+  }
+
+  /** SQL37 — NOT IN vs NOT EXISTS under NULLs (three-valued logic's
+    * most-shipped production bug): the dim list contains NULL keys, so
+    * `NOT IN` is vacuously empty (x NOT IN (..., NULL) is never TRUE)
+    * while `NOT EXISTS` returns the real complement — both counts in
+    * one shared SQL text, so the contract row IS the semantics
+    * demonstration. Catalyst plans the NOT IN as a null-aware anti
+    * join (spec pins it); both forms stay join-shaped, no per-row
+    * subquery execution. */
+  val sql37Text: String =
+    """WITH dim AS (SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL
+      |    ELSE c_custkey END AS k FROM customer),
+      |  not_in AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+      |    WHERE o_custkey NOT IN (SELECT k FROM dim)),
+      |  not_exists AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders o
+      |    WHERE NOT EXISTS (SELECT 1 FROM dim WHERE dim.k = o.o_custkey))
+      |SELECT (SELECT n FROM not_in) AS n_not_in,
+      |  (SELECT n FROM not_exists) AS n_not_exists""".stripMargin
+
+  def sql37NullAwareAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    spark.sql(sql37Text)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql37_null_aware_anti" -> (sql37NullAwareAnti _),
+    "x97_negative_sampling" -> (x97NegativeSampling _),
     "x93_target_encoding" -> (x93TargetEncoding _),
     "x94_feature_scaling" -> (x94FeatureScaling _),
     "a24_rollup_distinct" -> (a24RollupDistinct _),
@@ -636,6 +694,34 @@ object Extras10 {
     "s25_corrupt_files" -> (s25CorruptFiles _))
 
   val oracles: Map[String, String] = Map(
+    // the SAME text Spark executes (sql37Text), verbatim
+    "sql37_null_aware_anti" -> sql37Text.replace("\n", " "),
+    // positives recomputed exactly (l3's spelling), candidates cut by
+    // the identical md5-bucket threshold, same (h, cand) rank order
+    "x97_negative_sampling" ->
+      ("WITH p AS (SELECT vec_id AS probe_id, embedding AS pe " +
+       "FROM embeddings WHERE vec_id < 10), " +
+       "dots AS (SELECT probe_id, e.vec_id AS neighbor_id, " +
+       "round(SUM(CAST(pe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 6) " +
+       "AS sim FROM p, embeddings e, range(1, 65) r(i) " +
+       "WHERE e.vec_id <> probe_id GROUP BY probe_id, e.vec_id), " +
+       "pos AS (SELECT probe_id, neighbor_id FROM " +
+       "(SELECT probe_id, neighbor_id, row_number() OVER " +
+       "(PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank " +
+       "FROM dots) t WHERE rank <= 5), " +
+       "cand AS (SELECT p.probe_id, e.vec_id AS cand_id, " +
+       Det.sql.md5Bucket(
+         "CAST(p.probe_id AS VARCHAR) || ':' || CAST(e.vec_id AS VARCHAR)",
+         6) + " AS h " +
+       "FROM p, embeddings e WHERE e.vec_id <> p.probe_id), " +
+       "flt AS (SELECT c.* FROM cand c WHERE h < 1000000 " +
+       "AND NOT EXISTS (SELECT 1 FROM pos " +
+       "WHERE pos.probe_id = c.probe_id AND pos.neighbor_id = c.cand_id)), " +
+       "r AS (SELECT probe_id, cand_id, CAST(row_number() OVER " +
+       "(PARTITION BY probe_id ORDER BY h, cand_id) AS BIGINT) AS neg_rank " +
+       "FROM flt) " +
+       "SELECT probe_id, neg_rank, cand_id FROM r WHERE neg_rank <= 5 " +
+       "ORDER BY probe_id, neg_rank"),
     // exact class sums; identical per-row arithmetic
     "x93_target_encoding" ->
       ("WITH o AS (SELECT o_orderkey, o_orderpriority, " +

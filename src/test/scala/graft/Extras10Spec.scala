@@ -300,6 +300,37 @@ class Extras10Spec extends SparkSpec {
     }
   }
 
+  test("x97: negatives avoid the exact top-5 positives and are " +
+      "replay-deterministic") {
+    val neg = Extras10.x97NegativeSampling(spark, sf).collect()
+    val byProbe = neg.groupBy(_.getLong(0))
+    assert(byProbe.size == 10 && byProbe.values.forall(_.length == 5))
+    val pos = graft.operators.SimSearch.exactTopK(spark, sf)
+      .select(col("probe_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    neg.foreach { r =>
+      assert(!pos.contains((r.getLong(0), r.getLong(2))),
+        s"negative collides with a positive: $r")
+    }
+    val again = Extras10.x97NegativeSampling(spark, sf).collect()
+    assert(neg.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("sql37: NOT IN with NULLs is vacuously empty, NOT EXISTS is " +
+      "not, and the plan is a null-aware anti join") {
+    val df = Extras10.sql37NullAwareAnti(spark, sf)
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 0L, "NOT IN over a NULL-bearing list must be empty")
+    assert(r.getLong(1) > 0L)
+    // the NOT IN plans as a null-aware anti join, and AQE then PROVES
+    // it empty at runtime (the broadcast build side contains a NULL),
+    // collapsing the whole subtree to EmptyRelation — pin that
+    val empties = flattenPlan(df.queryExecution.executedPlan)
+      .filter(_.nodeName == "EmptyRelation")
+    assert(empties.nonEmpty,
+      "AQE should collapse the NULL-bearing NOT IN join to EmptyRelation")
+  }
+
   test("s25: one corrupt file does not kill the tolerant scan") {
     val r = Extras10.s25CorruptFiles(spark, sf).collect()(0)
     assert(r.getLong(0) == Tables.nation(spark, sf).count())
