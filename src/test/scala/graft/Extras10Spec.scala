@@ -331,6 +331,17 @@ class Extras10Spec extends SparkSpec {
       "AQE should collapse the NULL-bearing NOT IN join to EmptyRelation")
   }
 
+  test("x99: the Welch readout is internally consistent") {
+    val r = Extras10.x99WelchTTest(spark, sf).collect()(0)
+    val (nT, nC) = (r.getLong(0), r.getLong(1))
+    assert(nT > 0 && nC > 0)
+    assert(math.abs(r.getDouble(4) -
+      r.getDouble(2) / r.getDouble(3)) < 1e-12) // t = diff / se
+    val df = r.getDouble(5)
+    assert(df >= math.min(nT, nC) - 1 && df <= nT + nC - 2,
+      s"Welch df $df outside its bracket")
+  }
+
   test("s25: one corrupt file does not kill the tolerant scan") {
     val r = Extras10.s25CorruptFiles(spark, sf).collect()(0)
     assert(r.getLong(0) == Tables.nation(spark, sf).count())
