@@ -710,7 +710,34 @@ object Extras10 {
             (col("n_c") - 1))).as("welch_df"))
   }
 
+  /** X103 — user-journey path mining: the 10 most common 3-step
+    * event-type sequences across all users (the "view → click →
+    * purchase" table a product team reads). Each user's timeline
+    * collapses to ONE ordered path string (array_sort over the unique
+    * (ts, event_id) key makes the order total and engine-identical),
+    * and the 3-step windows come from the SAME n-gram generator the
+    * text pipeline uses ([[graft.api.TextPipeline.ngramRows]] — the
+    * library composing over its own parts). One grouped collect per
+    * user (bounded by per-user activity), one vocabulary-keyed count,
+    * one distributed top-k. */
+  def x103EventPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val paths = Tables.eventsUs(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(ts, event_id, event_type)))," +
+          " x -> x.event_type)")).as("path"))
+    graft.api.TextPipeline.ngramRows(paths, "user_id", "path", 3)
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_occur"),
+        countDistinct(col("doc_id")).as("n_users"))
+      .orderBy(col("n_occur").desc, col("ngram"))
+      .limit(10)
+      .select(col("ngram").as("path3"), col("n_occur"), col("n_users"))
+      .orderBy(col("n_occur").desc, col("path3"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x103_event_paths" -> (x103EventPaths _),
     "x99_welch_ttest" -> (x99WelchTTest _),
     "sql37_null_aware_anti" -> (sql37NullAwareAnti _),
     "x97_negative_sampling" -> (x97NegativeSampling _),
@@ -735,6 +762,17 @@ object Extras10 {
     "s25_corrupt_files" -> (s25CorruptFiles _))
 
   val oracles: Map[String, String] = Map(
+    // path strings rebuilt under the same total (ts, event_id) order,
+    // 3-step windows from the shared n-gram spelling
+    "x103_event_paths" ->
+      (s"WITH paths AS (SELECT user_id AS doc_id, " +
+       "array_to_string(list_transform(list_sort(list(" +
+       "struct_pack(t := epoch_us(ts), e := event_id, y := event_type))), " +
+       "x -> x.y), ' ') AS text FROM events GROUP BY user_id) " +
+       s"SELECT ngram AS path3, CAST(COUNT(*) AS BIGINT) AS n_occur, " +
+       "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_users " +
+       s"FROM (${TextOps.ngramSqlOver("paths", 3)}) t GROUP BY ngram " +
+       "ORDER BY n_occur DESC, path3 LIMIT 10"),
     // exact decimal moments; closed forms in identically-associated
     // IEEE arithmetic (see x94)
     "x99_welch_ttest" ->

@@ -342,6 +342,20 @@ class Extras10Spec extends SparkSpec {
       s"Welch df $df outside its bracket")
   }
 
+  test("x103: path trigrams are made of real event types and counts " +
+      "are bounded by step counts") {
+    val rows = Extras10.x103EventPaths(spark, sf).collect()
+    assert(rows.length == 10)
+    val types = Set("click", "view", "purchase", "signup", "error")
+    rows.foreach { r =>
+      val steps = r.getString(0).split(" ")
+      assert(steps.length == 3 && steps.forall(types.contains), s"$r")
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    assert(rows.map(_.getLong(1)).toSeq ==
+      rows.map(_.getLong(1)).sortBy(-_).toSeq, "must be sorted by count")
+  }
+
   test("s25: one corrupt file does not kill the tolerant scan") {
     val r = Extras10.s25CorruptFiles(spark, sf).collect()(0)
     assert(r.getLong(0) == Tables.nation(spark, sf).count())
