@@ -736,7 +736,82 @@ object Extras10 {
       .orderBy(col("n_occur").desc, col("path3"))
   }
 
+  /** X105 — time-weighted average (TWAP — the billing/metrics mean
+    * that a plain average gets wrong when samples are irregular): per
+    * event type, Σ value·Δt / ΣΔt where Δt is the µs gap to the type's
+    * next event. Gaps come from `lead` (an OFFSET window function —
+    * per-key state is one row, the exempt class in PlanLint's
+    * low-cardinality rule); value·Δt is DECIMAL × BIGINT (exact), so
+    * only the final division is IEEE and the result is
+    * partition-independent. */
+  def x105Twap(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.eventsUs(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        col("value").cast(Det.Money).as("v"))
+      // whole-second weights: keeps the exact decimal Σ v·Δt under
+      // 2^53 ULPs, where the decimal→double conversion is EXACT on
+      // both engines (µs weights pushed the sum past 19 significant
+      // digits, where the two engines' conversion paths round a
+      // different last ulp — found by the oracle, not by review)
+      .withColumn("dur",
+        expr("(lead(ts, 1) OVER (PARTITION BY event_type " +
+          "ORDER BY ts, event_id) - ts) div 1000000"))
+      .filter(col("dur").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur")).as("span_s"),
+        (sum(col("v") * col("dur")).cast("double") /
+          sum(col("dur"))).as("twap"))
+      .orderBy(col("event_type"))
+  }
+
+  /** X107 — BM25 ranking (Robertson/Spärck Jones — the scorer behind
+    * every production full-text engine, saturating l5's raw TF-IDF):
+    * top-10 documents for a 3-term query under k1=1.2, b=0.75.
+    * Everything integer/exact until the closed form (tf, df, dl are
+    * counts; avgdl one IEEE division; ln at 6-dp rounding — x49's
+    * proven cross-engine policy). Scale shape: the posting list (term →
+    * doc tf) is ONE vocabulary-keyed aggregate filtered to the query
+    * terms BEFORE any join (three terms' postings, not the corpus);
+    * doc lengths join by doc; df and constants broadcast; top-k
+    * distributed. */
+  def x107Bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Seq("spark", "table", "query")
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "tok").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (lit(1.2) + 1.0)) /
+          (col("tf") + lit(1.2) *
+            (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
+    // the per-doc total adds AT MOST one contribution per query term in
+    // a FIXED term order — a bare SUM of doubles would be
+    // partial-aggregation-order-dependent and could flip the 6-dp
+    // rounding
+    def termSum(t: String) = coalesce(
+      sum(when(col("tok") === t, col("contrib"))), lit(0.0))
+    scored.groupBy(col("doc_id"))
+      .agg(round(termSum("spark") + termSum("table") + termSum("query"), 6)
+          .as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x105_twap" -> (x105Twap _),
+    "x107_bm25" -> (x107Bm25 _),
     "x103_event_paths" -> (x103EventPaths _),
     "x99_welch_ttest" -> (x99WelchTTest _),
     "sql37_null_aware_anti" -> (sql37NullAwareAnti _),
@@ -762,6 +837,40 @@ object Extras10 {
     "s25_corrupt_files" -> (s25CorruptFiles _))
 
   val oracles: Map[String, String] = Map(
+    // exact decimal x bigint weights; only the final division is IEEE
+    "x105_twap" ->
+      ("WITH ev AS (SELECT event_type, epoch_us(ts) AS t, event_id, " +
+       "CAST(value AS DECIMAL(18,4)) AS v FROM events), " +
+       "g AS (SELECT event_type, v, (lead(t) OVER (PARTITION BY event_type " +
+       "ORDER BY t, event_id) - t) // 1000000 AS dur FROM ev) " +
+       "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals, " +
+       "CAST(SUM(dur) AS BIGINT) AS span_s, " +
+       "CAST(SUM(v * dur) AS DOUBLE) / CAST(SUM(dur) AS BIGINT) AS twap " +
+       "FROM g WHERE dur IS NOT NULL GROUP BY event_type " +
+       "ORDER BY event_type"),
+    // integer tf/df/dl, one avgdl division, ln at 6-dp rounding (x49's
+    // proven policy), fixed-order term addition
+    "x107_bm25" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+       "FROM documents), " +
+       "dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks " +
+       "GROUP BY 1), " +
+       "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl), " +
+       "tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf " +
+       "FROM toks WHERE tok IN ('spark', 'table', 'query') GROUP BY 1, 2), " +
+       "df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf " +
+       "GROUP BY 1), " +
+       "sc AS (SELECT tf.doc_id, tf.tok, " +
+       "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) / " +
+       "(tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS contrib " +
+       "FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN st) " +
+       "SELECT doc_id, round(" +
+       "COALESCE(SUM(CASE WHEN tok = 'spark' THEN contrib END), 0.0) + " +
+       "COALESCE(SUM(CASE WHEN tok = 'table' THEN contrib END), 0.0) + " +
+       "COALESCE(SUM(CASE WHEN tok = 'query' THEN contrib END), 0.0), 6) " +
+       "AS bm25, CAST(COUNT(*) AS BIGINT) AS n_terms_hit " +
+       "FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10"),
     // path strings rebuilt under the same total (ts, event_id) order,
     // 3-step windows from the shared n-gram spelling
     "x103_event_paths" ->

@@ -356,6 +356,29 @@ class Extras10Spec extends SparkSpec {
       rows.map(_.getLong(1)).sortBy(-_).toSeq, "must be sorted by count")
   }
 
+  test("x105: the TWAP sits inside the per-type value range") {
+    val bounds = Tables.eventsUs(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    Extras10.x105Twap(spark, sf).collect().foreach { r =>
+      val (lo, hi) = bounds(r.getString(0))
+      val tw = r.getDouble(3)
+      assert(tw >= lo && tw <= hi, s"$r outside [$lo, $hi]")
+    }
+  }
+
+  test("x107: BM25 prefers docs that hit more query terms with " +
+      "higher saturated tf") {
+    val rows = Extras10.x107Bm25(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(r => r.getDouble(1) > 0 && r.getLong(2) >= 1
+      && r.getLong(2) <= 3))
+    // the top-ranked doc must hit at least as many terms as the last
+    assert(rows.head.getLong(2) >= rows.last.getLong(2))
+  }
+
   test("s25: one corrupt file does not kill the tolerant scan") {
     val r = Extras10.s25CorruptFiles(spark, sf).collect()(0)
     assert(r.getLong(0) == Tables.nation(spark, sf).count())
