@@ -809,7 +809,40 @@ object Extras10 {
       .limit(10)
   }
 
+  /** SQL38 — join-strategy hints (the planner-control surface an
+    * operator reaches for when statistics mislead): the SAME aggregate
+    * computed three times over customer ⋈ orders under BROADCAST,
+    * MERGE, and SHUFFLE_HASH hints, results proven identical by the
+    * shared oracle while the spec pins each hinted physical strategy
+    * (BroadcastHashJoin / SortMergeJoin / ShuffledHashJoin). Hints
+    * change the EXCHANGE STRUCTURE only — broadcast ships the dim,
+    * merge sorts both shuffled sides, shuffle-hash builds a map from
+    * the smaller shuffled side without sorting — which is exactly the
+    * lever to pull at 100 TB when AQE's estimate is wrong. */
+  val sql38Text: String =
+    """WITH b AS (SELECT /*+ BROADCAST(customer) */ c_mktsegment,
+      |    CAST(COUNT(*) AS BIGINT) AS n FROM orders
+      |    JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+      |  m AS (SELECT /*+ MERGE(customer) */ c_mktsegment,
+      |    CAST(COUNT(*) AS BIGINT) AS n FROM orders
+      |    JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+      |  sh AS (SELECT /*+ SHUFFLE_HASH(customer) */ c_mktsegment,
+      |    CAST(COUNT(*) AS BIGINT) AS n FROM orders
+      |    JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+      |SELECT b.c_mktsegment, b.n AS n_broadcast, m.n AS n_merge,
+      |  sh.n AS n_shuffle_hash
+      |FROM b JOIN m ON b.c_mktsegment = m.c_mktsegment
+      |  JOIN sh ON b.c_mktsegment = sh.c_mktsegment
+      |ORDER BY b.c_mktsegment""".stripMargin
+
+  def sql38JoinHints(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    spark.sql(sql38Text)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql38_join_hints" -> (sql38JoinHints _),
     "x105_twap" -> (x105Twap _),
     "x107_bm25" -> (x107Bm25 _),
     "x103_event_paths" -> (x103EventPaths _),
@@ -837,6 +870,9 @@ object Extras10 {
     "s25_corrupt_files" -> (s25CorruptFiles _))
 
   val oracles: Map[String, String] = Map(
+    // the SAME text verbatim — DuckDB reads the hint comments as plain
+    // block comments and computes the identical aggregates
+    "sql38_join_hints" -> sql38Text.replace("\n", " "),
     // exact decimal x bigint weights; only the final division is IEEE
     "x105_twap" ->
       ("WITH ev AS (SELECT event_type, epoch_us(ts) AS t, event_id, " +

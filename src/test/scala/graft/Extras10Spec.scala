@@ -379,6 +379,21 @@ class Extras10Spec extends SparkSpec {
     assert(rows.head.getLong(2) >= rows.last.getLong(2))
   }
 
+  test("sql38: each hint really selects its physical join strategy") {
+    val df = Extras10.sql38JoinHints(spark, sf)
+    df.collect()
+    val plan = flattenPlan(df.queryExecution.executedPlan)
+    assert(plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "BROADCAST hint must plan a BroadcastHashJoin")
+    assert(plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "MERGE hint must plan a SortMergeJoin")
+    assert(plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+      "SHUFFLE_HASH hint must plan a ShuffledHashJoin")
+  }
+
   test("s25: one corrupt file does not kill the tolerant scan") {
     val r = Extras10.s25CorruptFiles(spark, sf).collect()(0)
     assert(r.getLong(0) == Tables.nation(spark, sf).count())
