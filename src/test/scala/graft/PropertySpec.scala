@@ -398,4 +398,25 @@ class PropertySpec extends SparkSpec {
         got.zip(want).forall { case (g, w) => g == w }
     })
   }
+
+  test("co-occurrence pairs equal brute force under the basket cap") {
+    import spark.implicits._
+    val gen = org.scalacheck.Gen.listOfN(50, org.scalacheck.Gen.zip(
+      org.scalacheck.Gen.chooseNum(1, 8), org.scalacheck.Gen.chooseNum(1, 10)))
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.map { case (b, i) => (s"b$b", s"i$i") }
+        .toDF("basket", "item")
+      val got = graft.operators.Extras9
+        .coOccurrencePairs(df, basketCap = 4, minBaskets = 1L)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val items = rows.distinct.groupBy(_._1).view
+        .mapValues(_.map(t => s"i${t._2}").distinct.sorted).toMap
+        .filter(_._2.size <= 4)
+      val want = items.values.flatMap { is =>
+        for (a <- is; b <- is if a < b) yield (a, b)
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      got == want
+    })
+  }
 }
