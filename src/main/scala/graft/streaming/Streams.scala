@@ -1077,6 +1077,52 @@ object Streams {
       .toDF("n_rows", "sum_chars", "n_batches", "n_langs")
   }
 
+  /** ST22 — mid-stream dimension refresh: stream-static enrichment
+    * (st7) where the dimension CHANGES BETWEEN MICRO-BATCHES — the
+    * slowly-changing-enrichment reality a long-running ingest lives
+    * with. foreachBatch resolves the dim VERSION AT BATCH TIME (v1 for
+    * batch 0, v2 for batch 1 — in production, a re-read of the dim
+    * path), so rows are labeled with the mapping current when they
+    * arrived, not a frozen snapshot. The staged two-file replay makes
+    * batch membership a pure function of the data
+    * ((doc_id div 10) % 2 — stageProbeDocs' split), so the oracle
+    * recomputes exactly which rows saw which dim version. The payoff
+    * claim: the same lang maps to DIFFERENT labels across the two
+    * batches — frozen-snapshot enrichment could never produce that. */
+  def st22StreamDimRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val dir = stageProbeDocs(spark, sfDir)
+    val outDir = Tables.scratchDir("st22_out", sfDir)
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(outDir), true)
+    val schema = Tables.documents(s, sfDir).schema
+    import s.implicits._
+    def dim(version: Int): DataFrame =
+      Seq("en", "de", "fr", "es", "zh").map(l => (l, s"${l}_v$version"))
+        .toDF("lang", "label")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // production: re-read the dim path here; the replay pins the
+          // version to the batch id so the oracle can reproduce it
+          batch.select(col("doc_id"), col("lang"))
+            .join(broadcast(dim(if (batchId == 0L) 1 else 2)), "lang")
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    Tables.tune(spark).read.parquet(outDir)
+      .groupBy(col("lang"), col("label"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .orderBy(col("lang"), col("label"))
+  }
+
   /** ST21 — streaming UPSERT into a persisted serving table: the
     * read-modify-write merge loop every serving layer without a
     * MERGE-capable sink runs (st10's foreachBatch escape hatch composed
@@ -1133,6 +1179,7 @@ object Streams {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st22_stream_dim_refresh" -> (st22StreamDimRefresh _),
     "st21_stream_upsert" -> (st21StreamUpsert _),
     "st19_streaming_dedup" -> (st19StreamingDedup _),
     "st20_streaming_observe" -> (st20StreamingObserve _),
@@ -1157,6 +1204,14 @@ object Streams {
     "st18_update_mode" -> (st18UpdateMode _))
 
   val oracles: Map[String, String] = Map(
+    // batch membership is (doc_id div 10) % 2 (the staged split), so
+    // the oracle reproduces which rows saw which dim version
+    "st22_stream_dim_refresh" ->
+      ("SELECT lang, lang || '_v' || CAST(CASE WHEN (doc_id // 10) % 2 = 0 " +
+       "THEN 1 ELSE 2 END AS VARCHAR) AS label, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_doc " +
+       "FROM documents WHERE doc_id % 10 = 3 " +
+       "GROUP BY 1, 2 ORDER BY lang, label"),
     // the serving table after the replay ≡ batch latest-by-key (x15's
     // window-top-1 spelling); the duplicated feed makes the same rows
     // arrive twice, so equality here IS the idempotence proof

@@ -501,6 +501,21 @@ class StreamsSpec extends SparkSpec {
     assert(got.size == want.size)
   }
 
+  test("st22: both dim versions appear in the enriched output — the " +
+      "refresh really happened mid-stream") {
+    val rows = Streams.st22StreamDimRefresh(spark, sf).collect()
+    val versions = rows.map(_.getString(1).split("_v").last).toSet
+    assert(versions == Set("1", "2"),
+      s"expected labels from both dim versions, got $versions")
+    // a frozen snapshot would map each lang to ONE label; here every
+    // lang with docs in both batches carries two
+    val langsWithBoth = rows.groupBy(_.getString(0))
+      .count(_._2.length == 2)
+    assert(langsWithBoth > 0)
+    assert(rows.map(_.getLong(2)).sum ==
+      Tables.documents(spark, sf).filter(col("doc_id") % 10 === 3).count())
+  }
+
   test("st6 stateful: final state equals batch aggregate") {
     val st = Streams.st6Stateful(spark, sf).collect()
       .map(r => r.getAs[Long]("user_id") ->
