@@ -841,7 +841,32 @@ object Extras10 {
     spark.sql(sql38Text)
   }
 
+  /** X110 — conversion-latency distribution (the funnel-health readout
+    * next to x73's attribution): per event-day, how long attributed
+    * purchases took from their last click — count, exact interpolated
+    * median and p90 in integer µs (midpoint interpolation on values
+    * ≪ 2^53 is exact IEEE on both engines — a17's proven surface),
+    * plus the decimal-routed mean. One window pass (x73) + one grouped
+    * aggregate; day keying keeps the percentile sort-aggs on bounded
+    * per-day frames at any scale. */
+  def x110TimeToConvert(spark: SparkSession, sfDir: String): DataFrame =
+    x73Attribution(spark, sfDir)
+      .join(Tables.eventsUs(spark, sfDir)
+        .select(col("event_id").as("purchase_id"),
+          expr("ts div 86400000000").as("day")), "purchase_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_conversions"),
+        median(col("gap_us").cast("double")).as("median_gap_us"),
+        percentile(col("gap_us").cast("double"), lit(0.9)).as("p90_gap_us"),
+        // integer µs sum is EXACT in BIGINT; one int64→double
+        // conversion + one division are single IEEE ops on both
+        // engines (the DECIMAL route re-hits §7.3 #12 here)
+        (sum(col("gap_us")).cast("double") / count(lit(1)))
+          .as("mean_gap_us"))
+      .orderBy(col("day"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x110_time_to_convert" -> (x110TimeToConvert _),
     "sql38_join_hints" -> (sql38JoinHints _),
     "x105_twap" -> (x105Twap _),
     "x107_bm25" -> (x107Bm25 _),
@@ -870,6 +895,27 @@ object Extras10 {
     "s25_corrupt_files" -> (s25CorruptFiles _))
 
   val oracles: Map[String, String] = Map(
+    // x73's attribution restated, then a17's proven median/quantile
+    // surface per day
+    "x110_time_to_convert" ->
+      ("WITH ev AS (SELECT event_id, user_id, event_type, " +
+       "epoch_us(ts) AS t FROM events), " +
+       "att AS (SELECT event_id, user_id, event_type, t, " +
+       "last_value(CASE WHEN event_type = 'click' THEN event_id END " +
+       "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id, " +
+       "last_value(CASE WHEN event_type = 'click' THEN t END " +
+       "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts " +
+       "FROM ev), " +
+       "conv AS (SELECT t - click_ts AS gap_us, t // 86400000000 AS day " +
+       "FROM att WHERE event_type = 'purchase' AND click_id IS NOT NULL " +
+       "AND t - click_ts <= 604800000000) " +
+       "SELECT day, CAST(COUNT(*) AS BIGINT) AS n_conversions, " +
+       "median(CAST(gap_us AS DOUBLE)) AS median_gap_us, " +
+       "quantile_cont(CAST(gap_us AS DOUBLE), 0.9) AS p90_gap_us, " +
+       "CAST(CAST(SUM(gap_us) AS BIGINT) AS DOUBLE) / COUNT(*) " +
+       "AS mean_gap_us FROM conv GROUP BY day ORDER BY day"),
     // the SAME text verbatim — DuckDB reads the hint comments as plain
     // block comments and computes the identical aggregates
     "sql38_join_hints" -> sql38Text.replace("\n", " "),

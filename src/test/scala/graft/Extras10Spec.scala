@@ -394,6 +394,18 @@ class Extras10Spec extends SparkSpec {
       "SHUFFLE_HASH hint must plan a ShuffledHashJoin")
   }
 
+  test("x110: latency stats are ordered (median <= p90 <= max bound) " +
+      "and masses match the attribution table") {
+    val rows = Extras10.x110TimeToConvert(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3) + 1e-9, s"$r")
+      assert(r.getDouble(3) <= 604800000000.0)
+    }
+    assert(rows.map(_.getLong(1)).sum ==
+      Extras10.x73Attribution(spark, sf).count())
+  }
+
   test("s25: one corrupt file does not kill the tolerant scan") {
     val r = Extras10.s25CorruptFiles(spark, sf).collect()(0)
     assert(r.getLong(0) == Tables.nation(spark, sf).count())
