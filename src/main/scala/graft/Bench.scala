@@ -31,7 +31,16 @@ object Bench {
       q.awaitTermination()
       spark.catalog.dropTempView("graft_warmup")
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional profiling filter (unset in driver runs): comma-separated
+    // regexes over query names (Verify's lever, regex-widened), so a
+    // suspect can be re-timed in isolation or as a small matched subset
+    // without the 260-query ambient load.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim.r).toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(_.findFirstIn(n).isDefined))
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false

@@ -623,12 +623,27 @@ object TextPipeline {
     * emerge independently when both qualify.
     * Emits (doc_src, doc_sup, containment), exact doubles. */
   def containmentPairs(sh: DataFrame, threshold: Double,
-      hotTokenCap: Long = HotPrefixTokenCap): DataFrame = {
+      hotTokenCap: Long = HotPrefixTokenCap): DataFrame =
+    containmentPairsDetail(sh, threshold, hotTokenCap).pairs
+
+  /** [[containmentPairs]] plus its guard observability: `stopTokens` is
+    * the set of corpus tokens excluded from candidate generation by the
+    * hot-token cap (tok_df > cap). Unlike the Jaccard side, containment
+    * has NO symmetric size filter to fall back on, so a non-empty stop
+    * set here directly bounds recall — emitting it as contract data
+    * (the x56 pattern, VERDICT r7 #3) turns cap-induced recall loss
+    * into a visible count instead of a future oracle hash mismatch. */
+  final case class ContainmentJoin(pairs: DataFrame, stopTokens: DataFrame)
+
+  def containmentPairsDetail(sh: DataFrame, threshold: Double,
+      hotTokenCap: Long = HotPrefixTokenCap): ContainmentJoin = {
     require(threshold > 0 && threshold < 1, "threshold in (0, 1)")
     val c = sh.localCheckpoint(true)
     val sizes = c.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       .localCheckpoint(true)
     val tokDf = c.groupBy(col("ng_h")).agg(count(lit(1)).as("tok_df"))
+      .localCheckpoint(true)
+    val stopTokens = tokDf.filter(col("tok_df") > hotTokenCap)
     val tailTok = tokDf.filter(col("tok_df") <= hotTokenCap)
       .select(col("ng_h"))
     val srcPref = prefixesUnder(tokDf, threshold)(c, sizes)
@@ -646,7 +661,7 @@ object TextPipeline {
       .distinct()
     val sa = c.select(col("doc_id").as("dsrc"), col("ng_h"))
     val sb = c.select(col("doc_id").as("dsup"), col("ng_h").as("ng_h_b"))
-    cands.join(sa, col("doc_src") === col("dsrc"))
+    val pairs = cands.join(sa, col("doc_src") === col("dsrc"))
       .join(sb, col("doc_sup") === col("dsup") &&
         col("ng_h") === col("ng_h_b"))
       .groupBy(col("doc_src"), col("doc_sup"))
@@ -656,6 +671,7 @@ object TextPipeline {
       .withColumn("containment", col("inter") / col("ns"))
       .filter(col("containment") > threshold)
       .select(col("doc_src"), col("doc_sup"), col("containment"))
+    ContainmentJoin(pairs, stopTokens)
   }
 
   /** Corpus-LM quality score (the CCNet/KenLM signal, Wenzek et al.

@@ -122,7 +122,9 @@ object Extras10 {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast("long")).as("sx"),
-        sum((col("x") * col("x")).cast("long")).as("sx2"),
+        // square in LONG: INT x*x wraps silently past day-index 46340
+        // (~2096) where the oracle's BIGINT square would not (ADVICE r7)
+        sum(col("x").cast("long") * col("x").cast("long")).as("sx2"),
         sum(col("y")).cast("double").as("sy"),
         sum(col("y") * col("x")).cast("double").as("sxy"))
     val nD = col("n").cast("double")
@@ -193,8 +195,13 @@ object Extras10 {
       val b = sel.join(v, sel("neighbor_id") === v("vec_id"))
         .select(col("probe_id").as("pb"), col("neighbor_id").as("idb"),
           col("embedding").as("vb"))
+      // deterministic mean (ADVICE r7): the 6-dp sims sum EXACTLY in
+      // DECIMAL(18,6) regardless of partial-aggregation order, so the
+      // diversity_ok <= compare below can never flip across partitionings
+      // the way a bare avg() over IEEE doubles could
       a.join(b, col("probe_id") === col("pb") && col("ida") < col("idb"))
-        .agg(avg(SimSearch.dot6(col("va"), col("vb"))).as("mean_sim"))
+        .agg((sum(SimSearch.dot6(col("va"), col("vb")).cast(Det.Money6))
+          .cast("double") / count(lit(1))).as("mean_sim"))
     }
     val mmrMean = pairMeanSim(mmr.select(col("probe_id"), col("neighbor_id")))
       .withColumnRenamed("mean_sim", "mmr_mean")
@@ -346,8 +353,11 @@ object Extras10 {
       .select(col("doc_id"),
         md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
           .otherwise(col("text"))).as("fp_new"))
+      // appended ids are NEGATED (-id - 1): provably outside any natural
+      // id domain (doc_id >= 0), unlike a fixed +offset which collides
+      // once the corpus reaches the offset (ADVICE r7)
       .unionByName(d.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((-col("doc_id") - 1L).as("doc_id"),
           md5(col("text")).as("fp_new")))
     old.join(newer, Seq("doc_id"), "full_outer")
       .withColumn("status",
@@ -1119,7 +1129,7 @@ object Extras10 {
        "newer AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 " +
        "THEN text || ' v2' ELSE text END) AS fp_new " +
        "FROM documents WHERE doc_id % 11 <> 0 " +
-       "UNION ALL SELECT doc_id + 1000000, md5(text) FROM documents " +
+       "UNION ALL SELECT -doc_id - 1, md5(text) FROM documents " +
        "WHERE doc_id % 13 = 0) " +
        "SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (" +
        "SELECT CASE WHEN fp_old IS NULL THEN 'added' " +
@@ -1222,7 +1232,7 @@ object Extras10 {
     // identically — see scaladoc
     "a23_regression" ->
       ("WITH s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
-       "SUM(CAST(x AS BIGINT)) AS sx, SUM(CAST(x * x AS BIGINT)) AS sx2, " +
+       "SUM(CAST(x AS BIGINT)) AS sx, SUM(CAST(x AS BIGINT) * x) AS sx2, " +
        "CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(y * x) AS DOUBLE) AS sxy " +
        "FROM (SELECT event_type, " +
        "CAST(epoch_us(ts) // 86400000000 AS INT) AS x, " +

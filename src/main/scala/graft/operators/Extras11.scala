@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{Det, Tables}
+
+/** Round-8 wave: iterative graph analytics (PageRank, triangles) and
+  * retraction-based incremental view maintenance — the three operator
+  * families a production analytics stack still reaches for that the
+  * suite did not yet pin.
+  */
+object Extras11 {
+
+  /** The directed trade graph both graph rows share: one edge per
+    * DISTINCT (supplier, customer) shipping relationship (lineitem ⋈
+    * orders), materialized in BOTH directions so the graph is
+    * symmetric (every node has out-degree ≥ 1 — no dangling-mass
+    * correction needed). Node ids are namespaced strings ('s…'/'c…')
+    * so the two key domains can never collide. Memoized per (session,
+    * corpus): the edge list with degrees is the persisted adjacency a
+    * cluster job would build once. */
+  private def tradeEdges(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Memo(spark, s"x111edges:$sfDir") {
+      val sc = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey")).as("a"),
+          concat(lit("c"), col("o_custkey")).as("b"))
+        .distinct()
+      val edges = sc.unionByName(
+        sc.select(col("b").as("a"), col("a").as("b")))
+      val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      edges.join(deg, "a").localCheckpoint(true)   // (a, b, deg)
+    }
+
+  /** X111 — PageRank over the supplier↔customer trade graph (Brin/Page
+    * 1998; damping 0.85, 5 fixed iterations, non-normalized form with
+    * initial rank 1): the influence-centrality readout of a trade
+    * network. Each iteration is the standard distributed shape — one
+    * join of the rank vector to the out-edge list on the source key,
+    * one grouped sum on the destination key — so per-iteration cost is
+    * one shuffle keyed by node, and the rank vector (node-sized, tiny
+    * next to edges) is what moves.
+    *
+    * Determinism engineering (§7.4 applied to an ITERATIVE float
+    * algorithm): each contribution rank/deg is one IEEE division on
+    * identical doubles, rounded to 10 dp (the dot6 policy's rule:
+    * positive HALF_UP rounds identically in both engines), then summed
+    * EXACTLY in DECIMAL(28,15) — so the per-iteration aggregation is
+    * partial-order-independent and the 5-step trajectory is bitwise
+    * reproducible; the oracle unrolls the same five steps as CTEs.
+    * Output rounded to 6 dp with rank-then-node total order. */
+  def x111PageRank(spark: SparkSession, sfDir: String): DataFrame =
+    pageRank(tradeEdges(spark, sfDir), iters = 5)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("node")).limit(20)
+
+  /** The iteration core over a degree-annotated directed edge list
+    * (a, b, deg-of-a); see [[x111PageRank]] for the determinism
+    * policy. Exposed for spec-level hand-checks on planted graphs. */
+  def pageRank(edgesWithDeg: DataFrame, iters: Int): DataFrame = {
+    val ed = edgesWithDeg
+    var ranks = ed.select(col("a").as("node")).distinct()
+      .withColumn("rank", lit(1.0))
+    for (_ <- 1 to iters) {
+      ranks = ed.join(ranks, ed("a") === ranks("node"))
+        .select(col("b"), round(col("rank") / col("deg"), 10).as("c"))
+        .groupBy(col("b"))
+        .agg((lit(0.15) + lit(0.85) *
+          sum(col("c").cast(DecimalType(28, 15))).cast("double"))
+          .as("rank"))
+        .select(col("b").as("node"), col("rank"))
+    }
+    ranks
+  }
+
+  /** X112 — triangle census of the co-purchase part graph (parts
+    * appearing in the same order, x71's graph without the basket cap):
+    * total triangles, wedges (open 2-paths), and the global clustering
+    * coefficient 3·Δ/wedges — the connectivity summary that tells you
+    * whether co-purchase structure is cliquey (bundles) or hub-like
+    * (one staple in every basket).
+    *
+    * Scale shape: edges come from a SELF-JOIN KEYED BY ORDER (per-order
+    * fan-out is basket-size-bounded, never corpus-bounded); the
+    * triangle join enumerates id-ORIENTED 2-paths a<b<c and closes
+    * them against the oriented edge list, so each triangle is counted
+    * exactly once and the intermediate is Σ in(b)·out(b) — the id
+    * orientation's cut of the naive Σ deg² blow-up (at 100 TB the same
+    * join with DEGREE orientation is the standard O(m^1.5) bound; id
+    * order suffices at this corpus's uniform degrees). Wedges are pure
+    * integer arithmetic off the degree table — no second pass. */
+  def x112Triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    triangleCensus(e)
+  }
+
+  /** The census core over an id-oriented (a < b) undirected edge list;
+    * see [[x112Triangles]]. Exposed for spec-level hand-checks. */
+  def triangleCensus(e: DataFrame): DataFrame = {
+    val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val wedges = deg.agg(
+      sum((col("deg") * (col("deg") - 1) / 2).cast("long")).as("n_wedges"))
+    val tri = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(nEdges).crossJoin(wedges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("clustering_coef"))
+  }
+
+  /** X113 — retraction-based incremental view maintenance (the
+    * Flink/Materialize changelog algebra as a batch contract row, the
+    * CDC-driven sibling of x54's append-only upkeep): the (status ×
+    * month) revenue MV is maintained under a correction feed carrying
+    * UPDATES (order % 7 = 0, not deleted: price restated +100.00 —
+    * emitted as a -1 retraction of the old row plus a +1 insertion of
+    * the new) and DELETES (order % 11 = 0: -1 retraction only).
+    * Maintenance = one grouped aggregate over the signed delta rows
+    * (m and m·price sums), full-outer-merged into the base MV — the
+    * delta aggregate is delta-sized, the base is never rescanned, and
+    * groups whose count reaches zero are dropped (the part a naive
+    * "add the delta" implementation forgets). The oracle recomputes
+    * the MV from the corrected order set, so the retraction algebra is
+    * value-checked end to end. */
+  def x113MvRetraction(spark: SparkSession, sfDir: String): DataFrame =
+    maintainMv(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          date_trunc("month", col("o_orderdate")).as("month"),
+          col("o_totalprice").cast(Det.Money).as("price")))
+      .select(col("o_orderstatus"),
+        unix_timestamp(col("month")).as("month_start"),
+        col("n"), col("t").cast("double").as("total"))
+      .orderBy(col("o_orderstatus"), col("month_start"))
+
+  /** The maintenance core over an (o_orderkey, o_orderstatus, month,
+    * price DECIMAL) frame; returns the maintained (status, month, n, t)
+    * MV. Exposed for spec-level checks (group-drop on planted data). */
+  def maintainMv(o: DataFrame): DataFrame = {
+    val base = o.groupBy(col("o_orderstatus"), col("month"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("total"))
+    val touched = o.filter(col("o_orderkey") % 7 === 0 ||
+      col("o_orderkey") % 11 === 0)
+    // every touched order retracts its old row; non-deleted updates
+    // re-insert the restated row
+    val retract = touched.select(col("o_orderstatus"), col("month"),
+      lit(-1L).as("m"), col("price"))
+    val insert = touched.filter(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderstatus"), col("month"), lit(1L).as("m"),
+        (col("price") + lit(100.00).cast(Det.Money)).as("price"))
+    val delta = retract.unionByName(insert)
+      .groupBy(col("o_orderstatus"), col("month"))
+      .agg(sum(col("m")).as("dn"),
+        sum(col("m") * col("price")).as("dtotal"))
+    base.join(delta, Seq("o_orderstatus", "month"), "full_outer")
+      .select(col("o_orderstatus"), col("month"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("total"), lit(0).cast(Det.Money)) +
+          coalesce(col("dtotal"), lit(0).cast(Det.Money))).as("t"))
+      .filter(col("n") > 0)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x111_pagerank" -> (x111PageRank _),
+    "x112_triangles" -> (x112Triangles _),
+    "x113_mv_retraction" -> (x113MvRetraction _))
+
+  private val EdgeSql =
+    "SELECT DISTINCT 's' || l_suppkey AS a, 'c' || o_custkey AS b " +
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+  private def prStep(prev: String, next: String): String =
+    s"$next AS (SELECT b AS node, CAST(0.15 AS DOUBLE) + " +
+    "CAST(0.85 AS DOUBLE) * CAST(SUM(CAST(round(rank / deg, 10) " +
+    s"AS DECIMAL(28,15))) AS DOUBLE) AS rank FROM ed JOIN $prev " +
+    s"ON ed.a = $prev.node GROUP BY b)"
+
+  val oracles: Map[String, String] = Map(
+    // the same five iterations unrolled as CTEs, same rounding/decimal
+    // policy at every step
+    "x111_pagerank" ->
+      (s"WITH sc AS ($EdgeSql), " +
+       "e AS (SELECT a, b FROM sc UNION ALL SELECT b, a FROM sc), " +
+       "d AS (SELECT a, COUNT(*) AS deg FROM e GROUP BY a), " +
+       "ed AS (SELECT e.a, e.b, d.deg FROM e JOIN d USING (a)), " +
+       "r0 AS (SELECT a AS node, CAST(1.0 AS DOUBLE) AS rank FROM d), " +
+       prStep("r0", "r1") + ", " + prStep("r1", "r2") + ", " +
+       prStep("r2", "r3") + ", " + prStep("r3", "r4") + ", " +
+       prStep("r4", "r5") + " " +
+       "SELECT node, round(rank, 6) AS rank FROM r5 " +
+       "ORDER BY rank DESC, node LIMIT 20"),
+    // exhaustive oriented recompute: same edge set, same a<b<c closure
+    "x112_triangles" ->
+      ("WITH e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b " +
+       "FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey " +
+       "AND x.l_partkey < y.l_partkey), " +
+       "deg AS (SELECT n, COUNT(*) AS deg FROM " +
+       "(SELECT a AS n FROM e UNION ALL SELECT b FROM e) t GROUP BY n), " +
+       "agg AS (SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes, " +
+       "CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges, " +
+       "CAST((SELECT SUM(deg * (deg - 1) // 2) FROM deg) AS BIGINT) AS n_wedges, " +
+       "CAST((SELECT COUNT(*) FROM e e1 JOIN e e2 ON e1.b = e2.a " +
+       "JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b) AS BIGINT) AS n_triangles) " +
+       "SELECT n_nodes, n_edges, n_wedges, n_triangles, " +
+       "round(3.0 * n_triangles / n_wedges, 6) AS clustering_coef FROM agg"),
+    // the MV recomputed from the corrected order set — deletes out,
+    // updates restated
+    "x113_mv_retraction" ->
+      ("SELECT o_orderstatus, " +
+       "epoch_us(date_trunc('month', o_orderdate)) // 1000000 " +
+       "AS month_start, " +
+       "CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(SUM(CASE WHEN o_orderkey % 7 = 0 " +
+       "THEN CAST(o_totalprice AS DECIMAL(18,4)) + 100.00 " +
+       "ELSE CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS total " +
+       "FROM orders WHERE o_orderkey % 11 <> 0 " +
+       "GROUP BY 1, 2 ORDER BY o_orderstatus, month_start"))
+}

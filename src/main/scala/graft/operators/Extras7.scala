@@ -247,6 +247,21 @@ object Extras7 {
         (col("n_stop_tokens") === 0L).as("recall_exact"))
   }
 
+  /** X48B — guard-visibility row for the self-join Jaccard family
+    * (VERDICT r7 #3, the x56 pattern on [[x48JaccardJoin]]'s pipeline):
+    * the hot-prefix stop set that [[TextPipeline.prefixJaccardPairsDetail]]
+    * excludes from candidate generation, emitted as contract data. On
+    * the tested corpora it is EMPTY, so x48's exhaustive-recall oracle
+    * is in force; on a hotter corpus this row turns cap-induced recall
+    * loss into a visible count instead of a mystery hash mismatch. */
+  def x48bJaccardGuard(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = TextPipeline.prefixJaccardPairsDetail(
+      Dedup.shingleHashSet(spark, sfDir), 0.5)
+    d.stopTokens.agg(count(lit(1)).as("n_stop_tokens"))
+      .select(col("n_stop_tokens"),
+        (col("n_stop_tokens") === 0L).as("recall_exact"))
+  }
+
   /** F22 — observed metrics (`Dataset.observe` / CollectMetricsExec):
     * x53's quality counters collected as a SIDE EFFECT of a real pass —
     * the production gating shape: zero extra scans, the metrics ride
@@ -342,6 +357,7 @@ object Extras7 {
     "x54_incremental_agg" -> (x54IncrementalAgg _),
     "x55_jaccard_incremental" -> (x55JaccardIncremental _),
     "x56_jaccard_incr_guard" -> (x56JaccardIncrGuard _),
+    "x48b_jaccard_guard" -> (x48bJaccardGuard _),
     "f22_observe" -> (f22Observe _),
     "sql32_group_by_all" -> (sql32GroupByAll _),
     "sql33_pivot_clause" -> (sql33PivotClause _),
@@ -443,6 +459,9 @@ object Extras7 {
     // derived claim: the hot-prefix stop set is empty at the tested
     // corpora, so x55's exhaustive-recall contract is in force
     "x56_jaccard_incr_guard" ->
+      "SELECT CAST(0 AS BIGINT) AS n_stop_tokens, TRUE AS recall_exact",
+    // same derived claim for the self-join family's stop set
+    "x48b_jaccard_guard" ->
       "SELECT CAST(0 AS BIGINT) AS n_stop_tokens, TRUE AS recall_exact",
     "f22_observe" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +

@@ -311,8 +311,25 @@ object Extras8 {
         Dedup.shingleHashSet(spark, sfDir), 0.8)
       .orderBy(col("doc_src"), col("doc_sup"))
 
+  /** X63B — guard-visibility row for the containment family (VERDICT
+    * r7 #3, the x56 pattern on [[x63ContainmentJoin]]'s pipeline): the
+    * hot-token stop set that
+    * [[graft.api.TextPipeline.containmentPairsDetail]] excludes from
+    * candidate generation. Containment has NO symmetric size filter to
+    * fall back on, so a non-empty stop set here directly bounds recall
+    * — this row makes that bound a visible contract count. Empty at
+    * the tested corpora, so x63's exhaustive oracle is in force. */
+  def x63bContainmentGuard(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = graft.api.TextPipeline.containmentPairsDetail(
+      Dedup.shingleHashSet(spark, sfDir), 0.8)
+    d.stopTokens.agg(count(lit(1)).as("n_stop_tokens"))
+      .select(col("n_stop_tokens"),
+        (col("n_stop_tokens") === 0L).as("recall_exact"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x63_containment_join" -> (x63ContainmentJoin _),
+    "x63b_containment_guard" -> (x63bContainmentGuard _),
     "f23_arrow_batches" -> (f23ArrowBatches _),
     "s22_dpp" -> (s22DynamicPartitionPrune _),
     "x58_curation_funnel" -> (x58CurationFunnel _),
@@ -406,6 +423,10 @@ object Extras8 {
     "a20_count_min" ->
       ("SELECT o_orderpriority AS item, COUNT(*) AS est FROM orders " +
        "GROUP BY 1 ORDER BY item"),
+    // derived claim: the containment stop set is empty at the tested
+    // corpora, so the exhaustive-recall contract below is in force
+    "x63b_containment_guard" ->
+      "SELECT CAST(0 AS BIGINT) AS n_stop_tokens, TRUE AS recall_exact",
     // the exhaustive directed recompute — recall AND precision checked
     "x63_containment_join" ->
       (s"WITH s AS (SELECT DISTINCT doc_id, ngram FROM (${TextOps.ngramSql(3)}) t), " +

@@ -85,9 +85,30 @@ object SimSearch {
     val hit = perSession.get(sfDir)
     if (hit != null) hit
     else {
-      val built = VectorPipeline.pqTrain(
-        Tables.embeddings(spark, sfDir), "vec_id", "embedding",
-        numSub = 16, numCodes = 32, iters = 4)
+      // Persisted-model tier (VERDICT r7 #7): the trained model lives
+      // as parquet under the scratch root, fingerprinted by the source
+      // corpus (x54's size+mtime rule) — a LATER SESSION loads the
+      // codebooks+codes instead of re-running Lloyd iterations, making
+      // train-once/serve-many real across sessions, not just a
+      // per-session memo. Training writes THEN serves from the
+      // persisted copy, so the load path is exercised on every train.
+      import java.nio.file.{Files, Paths}
+      val dir = Tables.scratchDir("pq_model", sfDir)
+      val marker = Paths.get(dir, "_trained_from")
+      val src = Paths.get(s"$sfDir/embeddings.parquet")
+      val fp = s"${Files.size(src)}:" +
+        s"${Files.getLastModifiedTime(src).toMillis}:16:32:4"
+      val built =
+        if (Files.exists(marker) && Files.readString(marker) == fp)
+          VectorPipeline.loadPqModel(spark, dir)
+        else {
+          val trained = VectorPipeline.pqTrain(
+            Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+            numSub = 16, numCodes = 32, iters = 4)
+          VectorPipeline.savePqModel(trained, dir)
+          Files.writeString(marker, fp)
+          VectorPipeline.loadPqModel(spark, dir)
+        }
       val prev = perSession.putIfAbsent(sfDir, built)
       if (prev != null) prev else built
     }

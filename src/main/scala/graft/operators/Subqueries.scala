@@ -585,7 +585,31 @@ object Subqueries {
         |) u GROUP BY c ORDER BY c""".stripMargin)
   }
 
+  /** SQL39 — TPC-H Q6 ("forecasting revenue change"): the one-table
+    * filter-aggregate that closes the feasible TPC-H family at 21/22
+    * (Q2 needs partsupp, absent from this corpus — SURVEY §2.11). The
+    * whole query is a single scan: all three range predicates push to
+    * the parquet reader (shipdate year, discount band, quantity cap),
+    * the two-factor product runs through the DECIMAL(18,6) policy, and
+    * the plan is scan → partial agg → single-row final — no shuffle of
+    * data rows at any scale, the cheapest possible TPC-H shape. Year
+    * shifted to 1996 (this corpus ships 1995-01..2001-11). */
+  def sql39ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir)
+    spark.sql(
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM v_lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql39_forecast_revenue" -> (sql39ForecastRevenue _),
     "s10_range" -> (s10Range _),
     "sql34_set_ops" -> (sql34SetOps _),
     "sql10_window_clause" -> (sql10WindowClause _),
@@ -612,6 +636,15 @@ object Subqueries {
     "x11_gapfill" -> (x11GapFill _))
 
   val oracles: Map[String, String] = Map(
+    // same text over the raw table; both engines read the same parquet
+    // doubles, so the discount-band compare is bit-identical
+    "sql39_forecast_revenue" ->
+      ("SELECT CAST(SUM(CAST(l_extendedprice * l_discount " +
+       "AS DECIMAL(18,6))) AS DOUBLE) AS revenue, " +
+       "COUNT(*) AS n_items FROM lineitem " +
+       "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+       "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+       "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
     // identical text — ANSI set ops parse the same in DuckDB
     "sql34_set_ops" ->
       ("SELECT c, COUNT(*) AS n FROM ( " +

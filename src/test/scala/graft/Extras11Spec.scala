@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Extras11
+
+class Extras11Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("x111: PageRank on a planted path graph matches the hand-rolled " +
+      "trajectory, and the contract row is deterministic") {
+    // path a–b–c (symmetric): deg(a)=deg(c)=1, deg(b)=2
+    val sc = Seq(("a", "b"), ("b", "c")).toDF("x", "y")
+    val e = sc.select(col("x").as("a"), col("y").as("b"))
+      .unionByName(sc.select(col("y").as("a"), col("x").as("b")))
+    val deg = e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val got = Extras11.pageRank(e.join(deg, "a"), iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // hand-rolled same policy: round10 contributions, exact sum
+    def round10(x: Double) = BigDecimal(x)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var r = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)
+    val degM = Map("a" -> 1, "b" -> 2, "c" -> 1)
+    val in = Map("a" -> Seq("b"), "b" -> Seq("a", "c"), "c" -> Seq("b"))
+    for (_ <- 1 to 5)
+      r = in.map { case (v, srcs) =>
+        v -> (0.15 + 0.85 * srcs.map(u =>
+          BigDecimal(round10(r(u) / degM(u)))).sum.toDouble)
+      }
+    assert(got.keySet == r.keySet)
+    r.foreach { case (k, v) => assert(got(k) == v, s"node $k") }
+    // ends (symmetric) tie; middle node dominates
+    assert(got("a") == got("c") && got("b") > got("a"))
+    // contract row: deterministic across runs, suppliers outrank
+    // customers (supplier degree is ~15x customer degree)
+    val c1 = Extras11.x111PageRank(spark, sf).collect()
+    val c2 = Extras11.x111PageRank(spark, sf).collect()
+    assert(c1.toSeq == c2.toSeq && c1.length == 20)
+    // ranks are positive and emitted in (rank desc, node) total order
+    val ranks = c1.map(_.getDouble(1))
+    assert(ranks.forall(_ > 0) &&
+      ranks.sameElements(ranks.sorted(Ordering[Double].reverse)))
+    assert(c1.exists(_.getString(0).startsWith("s")),
+      "high-degree supplier nodes should reach the top-20")
+  }
+
+  test("x112: triangle census on K4 and on a triangle-free star") {
+    // K4: 4 nodes, 6 edges, 12 wedges, 4 triangles, coefficient 1.0
+    val k4 = (for {
+      i <- 0 until 4; j <- (i + 1) until 4
+    } yield (i.toLong, j.toLong)).toDF("a", "b")
+    val r = Extras11.triangleCensus(k4).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 6L, 12L, 4L)))
+    assert(r.getDouble(4) == 1.0)
+    // star K1,4: 10 wedges... deg(center)=4 -> 6 wedges, 0 triangles
+    val star = (1 to 4).map(i => (0L, i.toLong)).toDF("a", "b")
+    val s = Extras11.triangleCensus(star).collect()(0)
+    assert(s.getLong(3) == 0L && s.getLong(2) == 6L)
+    assert(s.getDouble(4) == 0.0)
+  }
+
+  test("x113: maintained MV equals recompute from the corrected set, " +
+      "and a fully-deleted group is dropped") {
+    // contract-scale equality against the direct recompute
+    val got = Extras11.x113MvRetraction(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val direct = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderstatus"),
+        date_trunc("month", col("o_orderdate")).as("month"),
+        when(col("o_orderkey") % 7 === 0,
+          col("o_totalprice").cast(Det.Money) + lit(100.00).cast(Det.Money))
+          .otherwise(col("o_totalprice").cast(Det.Money)).as("p"))
+      .groupBy(col("o_orderstatus"), col("month"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).cast("double").as("total"))
+      .select(col("o_orderstatus"), unix_timestamp(col("month")).as("ms"),
+        col("n"), col("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == direct && got.nonEmpty)
+    // planted group-drop: a (status, month) whose only orders are all
+    // % 11 = 0 must VANISH from the maintained view (the n -> 0 path)
+    val ts = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    val planted = Seq(
+      (11L, "Z", ts, BigDecimal(10)),
+      (22L, "Z", ts, BigDecimal(20)),
+      (7L, "A", ts, BigDecimal(30)),    // updated: +100
+      (3L, "A", ts, BigDecimal(40)))    // untouched
+      .toDF("o_orderkey", "o_orderstatus", "month", "price")
+      .withColumn("price", col("price").cast(Det.Money))
+    val m = Extras11.maintainMv(planted).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getAs[java.math.BigDecimal](3).doubleValue)).toMap
+    assert(!m.contains("Z"), "group with all rows retracted must drop")
+    assert(m("A") == ((2L, 170.0)))
+  }
+}

@@ -132,6 +132,33 @@ class Extras8Spec extends SparkSpec {
     assert(got == brute && got.nonEmpty)
   }
 
+  test("x63b: hot containment tokens are stop-listed, reported, and the " +
+      "cap bounds recall visibly") {
+    import graft.api.TextPipeline
+    import spark.implicits._
+    // 30 docs all sharing one hot token; each doc also carries a unique
+    // token. At t = 0.4 a 2-token src needs 1 shared token, so with the
+    // hot token live every directed pair qualifies at containment 0.5.
+    val sh = (0 until 30).flatMap(i =>
+      Seq((i.toLong, 999L), (i.toLong, 1000L + i))).toDF("doc_id", "ng_h")
+    val capped = TextPipeline.containmentPairsDetail(sh, 0.4,
+      hotTokenCap = 10L)
+    val stops = capped.stopTokens.collect()
+    assert(stops.length == 1 && stops(0).getLong(0) == 999L &&
+      stops(0).getLong(1) == 30L,
+      "the hot token must be reported with its document frequency")
+    assert(capped.pairs.count() == 0,
+      "capped: every candidate path runs through the stop-listed token")
+    val uncapped = TextPipeline.containmentPairsDetail(sh, 0.4,
+      hotTokenCap = 1000L)
+    assert(uncapped.pairs.count() == 30L * 29,
+      "uncapped: all directed pairs at containment 1/2 > 0.4")
+    // the contract corpus is below the cap: stop set empty, recall exact
+    val contract = TextPipeline.containmentPairsDetail(
+      Dedup.shingleHashSet(spark, sf), 0.8)
+    assert(contract.stopTokens.count() == 0)
+  }
+
   test("st20: observed metrics ride the replay with two data batches") {
     val r = graft.streaming.Streams.st20StreamingObserve(spark, sf)
       .collect()(0)

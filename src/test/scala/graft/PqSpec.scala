@@ -67,6 +67,42 @@ class PqSpec extends SparkSpec {
       "per-probe top-k must be the bounded-heap custom operator")
   }
 
+  test("pq model persists and reloads value-identical; a fresh session " +
+      "serves the same results from the reloaded model") {
+    val df = (0 until 50).map(i => (i.toLong, vec(7000 + i))).toDF("id", "v")
+    val trained = VectorPipeline.pqTrain(df, "id", "v",
+      numSub = 8, numCodes = 16, iters = 2)
+    val dir = Tables.scratchDir("pqspec_model", sf)
+    VectorPipeline.savePqModel(trained, dir)
+    // value-identical codebooks after the parquet round-trip (floats
+    // and ints are exact in parquet — any drift would shift serving)
+    def books(m: VectorPipeline.PqModel): Map[(Int, Int), Seq[Float]] =
+      m.codebooks.collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2)).toMap
+    val fresh = spark.newSession()
+    Tables.tune(fresh)
+    val loaded = VectorPipeline.loadPqModel(fresh, dir)
+    assert(loaded.numSub == 8 && loaded.numCodes == 16 && loaded.dims == 64)
+    assert(books(loaded) == books(trained))
+    assert(loaded.codes.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getInt(2))).toSet ==
+      trained.codes.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getInt(2))).toSet)
+    // the fresh session SERVES from the reloaded model: same top-k as
+    // the training session computes from the in-memory model
+    val probes = df.filter(col("id") < 3)
+    def serve(m: VectorPipeline.PqModel,
+        p: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      VectorPipeline.pqAdcTopK(m, p, "id", "v", k = 4)
+        .orderBy("probe_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val freshProbes = {
+      import fresh.implicits._
+      (0 until 3).map(i => (i.toLong, vec(7000 + i))).toDF("id", "v")
+    }
+    assert(serve(loaded, freshProbes) == serve(trained, probes))
+  }
+
   test("pq trains when numCodes exceeds the corpus (empty clusters keep seeds)") {
     val df = (0 until 5).map(i => (i.toLong, vec(7 + i))).toDF("id", "v")
     val m = VectorPipeline.pqTrain(df, "id", "v",

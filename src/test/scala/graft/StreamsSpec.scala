@@ -516,6 +516,22 @@ class StreamsSpec extends SparkSpec {
       Tables.documents(spark, sf).filter(col("doc_id") % 10 === 3).count())
   }
 
+  test("st23 checkpoint recovery: restarted query resumes exactly once " +
+      "and its state equals the uninterrupted batch aggregate") {
+    val got = Streams.st23CheckpointRecovery(spark, sf).collect()
+    // recovered_ok carries the resume shape: run 1 read exactly half A,
+    // run 2 read exactly half B (no re-read, no loss)
+    assert(got.forall(_.getAs[Boolean]("recovered_ok")))
+    val batch = Tables.events(spark, sf).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(Det.Money)).cast("double").as("sum_value"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val gotMap = got.map(r => r.getString(0) ->
+      (r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toMap
+    assert(gotMap == batch && gotMap.nonEmpty)
+  }
+
   test("st6 stateful: final state equals batch aggregate") {
     val st = Streams.st6Stateful(spark, sf).collect()
       .map(r => r.getAs[Long]("user_id") ->
