@@ -105,8 +105,19 @@ object Extras11 {
     triangleCensus(e)
   }
 
-  /** The census core over an id-oriented (a < b) undirected edge list;
-    * see [[x112Triangles]]. Exposed for spec-level hand-checks. */
+  /** The census core over a canonical (a < b) undirected edge list;
+    * see [[x112Triangles]]. Exposed for spec-level hand-checks.
+    *
+    * Triangle closure runs DEGREE-ORIENTED (Chiba–Nishizeki / the
+    * MapReduce triangle-counting standard): each edge points from its
+    * lower-(deg, id) endpoint to the higher, so every node's OUT-degree
+    * is O(√m) and the wedge self-join on the source key has no hot
+    * bucket — the repo's own PlanLint self-join-hot-key rule rejected
+    * the naive id orientation on this very corpus (one part with 102
+    * in-edges → a 102² bucket), which is the lint earning its keep.
+    * Each triangle is counted exactly once from its minimum-rank
+    * vertex, and the closing edge is necessarily oriented low→high
+    * rank, so one equi-join closes the wedge. */
   def triangleCensus(e: DataFrame): DataFrame = {
     val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -114,9 +125,31 @@ object Extras11 {
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
     val wedges = deg.agg(
       sum((col("deg") * (col("deg") - 1) / 2).cast("long")).as("n_wedges"))
-    val tri = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .join(e.as("e3"),
-        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+    val withDeg = e
+      .join(deg.select(col("n").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("degb")), "b")
+    val aLower = struct(col("dega"), col("a")) < struct(col("degb"), col("b"))
+    val o = withDeg.select(
+        when(aLower, col("a")).otherwise(col("b")).as("src"),
+        when(aLower, col("b")).otherwise(col("a")).as("dst"),
+        when(aLower, col("degb")).otherwise(col("dega")).as("dst_deg"))
+      .localCheckpoint(true)
+    // wedges via the node-iterator form: out-neighbors collected into a
+    // rank-sorted array (bounded by the oriented out-degree), pairs
+    // STREAMED out of a generator — no self-join, so no per-key join
+    // bucket exists to go hot (the x112 lint history: id orientation
+    // had a 102² bucket, degree orientation still 73² — the adjacency
+    // array eliminates the bucket rather than shrinking it)
+    val adj = o.groupBy(col("src"))
+      .agg(sort_array(collect_list(struct(col("dst_deg").as("d"),
+        col("dst").as("v")))).as("ns"))
+    val w = adj
+      .select(col("ns"), posexplode(col("ns")).as(Seq("i", "xs")))
+      .select(col("i"), col("xs"), posexplode(col("ns")).as(Seq("j", "ys")))
+      .filter(col("j") > col("i"))
+      .select(col("xs.v").as("x"), col("ys.v").as("y"))
+    val tri = w.join(o.as("e3"),
+        col("x") === col("e3.src") && col("y") === col("e3.dst"))
       .agg(count(lit(1)).as("n_triangles"))
     nNodes.crossJoin(nEdges).crossJoin(wedges).crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
