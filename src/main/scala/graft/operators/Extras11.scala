@@ -209,10 +209,85 @@ object Extras11 {
       .filter(col("n") > 0)
   }
 
+  /** X114 — weighted reservoir sampling (Efraimidis–Spirakis A-ES,
+    * IPL 2006): k documents drawn with probability proportional to
+    * length, in ONE distributed pass — the weighted-subsample primitive
+    * a mixture builder uses when x13's uniform hash sampling isn't
+    * enough. Per item: uniform u from the doc's md5 (deterministic,
+    * engine-shared via Det.md5Bucket), score = ln(u)/w (the log form of
+    * u^(1/w) — monotone-identical ranking, no pow underflow at large
+    * w), top-k by score. The top-k is a TakeOrderedAndProject — map-
+    * side partial heaps, only k rows per partition ship, the exact
+    * shape a 100 TB reservoir needs. Score rounded to 10 dp so the
+    * engines' last-ulp ln() differences cannot flip the boundary rank;
+    * doc_id tie-break totalizes the order. */
+  def x114WeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).cast("double").as("w"))
+      .filter(col("w") > 0)
+    // hash the STRING form: md5-of-utf8 is the engine-shared spelling
+    // (long→binary casts differ across engines)
+    val u = (Det.md5Bucket(col("doc_id").cast("string"), 13)
+      .cast("double") + lit(0.5)) / lit(math.pow(16.0, 13))
+    d.select(col("doc_id"), col("w"),
+        round(log(u) / col("w"), 10).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(50)
+  }
+
+  /** X115 — differentially-private count release (Dwork et al. 2006):
+    * per-event-type counts with SEEDED Laplace(1/ε) noise via inverse-
+    * CDF on a uniform derived from the group key's md5 — the noise is
+    * a pure function of the released key, so the release is
+    * reproducible (and oracle-checkable) while having exactly the
+    * Laplace distribution across keys a DP accountant assumes. ε = 1.
+    * The true count rides along as the audit column (this is the
+    * release-AUDIT row — a production release would drop it). One
+    * grouped count + scalar math: scan-bound at any scale. */
+  def x115DpCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = (Det.md5Bucket(col("event_type"), 13).cast("double") +
+      lit(0.5)) / lit(math.pow(16.0, 13))
+    val c = u - lit(0.5)
+    val noise = -signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
+    Tables.eventsUs(spark, sfDir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_true"))
+      .select(col("event_type"), col("n_true"),
+        round(col("n_true") + round(noise, 6), 6).as("n_released"))
+      .orderBy(col("event_type"))
+  }
+
+  /** X116 — LINEAR multi-touch attribution (x73's last-touch widened to
+    * the model marketing actually argues about): every click of the
+    * same user in the 7 days BEFORE a purchase shares the purchase
+    * value equally. One RANGE-frame window pass over the per-user
+    * event timeline — count of clicks in [t−7d, t) — no join, no
+    * explosion of (purchase × click) rows: the per-touch credit is
+    * value/n, emitted per purchase. The frame is keyed by user and
+    * bounded by the 7-day range, so window state is bounded at any
+    * scale. Exact µs arithmetic; credit division is one IEEE op on
+    * identical inputs, rounded to 6 dp. */
+  def x116MultiTouch(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(-604800000000L, -1L)
+    Tables.eventsUs(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+      .withColumn("n_touches",
+        count(when(col("event_type") === "click", 1)).over(w))
+      .filter(col("event_type") === "purchase" && col("n_touches") > 0)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("n_touches"),
+        round(col("value") / col("n_touches"), 6).as("credit_per_touch"))
+      .orderBy(col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x111_pagerank" -> (x111PageRank _),
     "x112_triangles" -> (x112Triangles _),
-    "x113_mv_retraction" -> (x113MvRetraction _))
+    "x113_mv_retraction" -> (x113MvRetraction _),
+    "x114_weighted_sample" -> (x114WeightedSample _),
+    "x115_dp_counts" -> (x115DpCounts _),
+    "x116_multitouch" -> (x116MultiTouch _))
 
   private val EdgeSql =
     "SELECT DISTINCT 's' || l_suppkey AS a, 'c' || o_custkey AS b " +
@@ -251,6 +326,34 @@ object Extras11 {
        "JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b) AS BIGINT) AS n_triangles) " +
        "SELECT n_nodes, n_edges, n_wedges, n_triangles, " +
        "round(3.0 * n_triangles / n_wedges, 6) AS clustering_coef FROM agg"),
+    // same A-ES score formula, same hash, same rounding
+    "x114_weighted_sample" ->
+      ("SELECT doc_id, CAST(length(text) AS DOUBLE) AS w, " +
+       "round(ln((" + Det.sql.md5Bucket("CAST(doc_id AS VARCHAR)", 13) +
+       " + 0.5) / POWER(16, 13)) / CAST(length(text) AS DOUBLE), 10) " +
+       "AS score FROM documents WHERE length(text) > 0 " +
+       "ORDER BY score DESC, doc_id LIMIT 50"),
+    // same seeded inverse-CDF Laplace draw per released key
+    "x115_dp_counts" ->
+      ("WITH g AS (SELECT event_type, COUNT(*) AS n_true, " +
+       "(" + Det.sql.md5Bucket("event_type", 13) +
+       " + 0.5) / POWER(16, 13) - 0.5 AS c FROM events GROUP BY 1) " +
+       "SELECT event_type, n_true, " +
+       "round(n_true + round(-sign(c) * ln(1.0 - 2.0 * abs(c)), 6), 6) " +
+       "AS n_released FROM g ORDER BY event_type"),
+    // same RANGE-frame click count per purchase
+    "x116_multitouch" ->
+      ("WITH ev AS (SELECT event_id, user_id, event_type, " +
+       "epoch_us(ts) AS t, value FROM events), " +
+       "a AS (SELECT event_id, user_id, event_type, value, " +
+       "COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER " +
+       "(PARTITION BY user_id ORDER BY t " +
+       "RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING) " +
+       "AS n_touches FROM ev) " +
+       "SELECT event_id AS purchase_id, user_id, n_touches, " +
+       "round(value / n_touches, 6) AS credit_per_touch FROM a " +
+       "WHERE event_type = 'purchase' AND n_touches > 0 " +
+       "ORDER BY purchase_id"),
     // the MV recomputed from the corrected order set — deletes out,
     // updates restated
     "x113_mv_retraction" ->

@@ -59,6 +59,77 @@ class Extras11Spec extends SparkSpec {
     assert(s.getDouble(4) == 0.0)
   }
 
+  test("x114: A-ES scores match a driver-side recompute and selection " +
+      "is weight-monotone at fixed hash") {
+    val got = Extras11.x114WeightedSample(spark, sf).collect()
+    assert(got.length == 50)
+    assert(got.map(_.getLong(0)).distinct.length == 50)
+    // scores are ln(u)/w with u in (0,1): strictly negative, descending
+    val scores = got.map(_.getDouble(2))
+    assert(scores.forall(_ < 0))
+    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
+    // driver-side formula recompute for the emitted rows
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("double").as("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(13)
+      (java.lang.Long.parseLong(hex, 16) + 0.5) / math.pow(16.0, 13)
+    }
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val exp = BigDecimal(math.log(u(id)) / texts(id))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) == exp, s"doc $id")
+    }
+    // monotone in w at fixed u: doubling the weight raises the score
+    assert(math.log(u(1L)) / 200.0 > math.log(u(1L)) / 100.0)
+  }
+
+  test("x115: seeded Laplace noise is reproducible and matches the " +
+      "inverse-CDF formula") {
+    val a = Extras11.x115DpCounts(spark, sf).collect()
+    val b = Extras11.x115DpCounts(spark, sf).collect()
+    assert(a.toSeq == b.toSeq && a.nonEmpty)
+    a.foreach { r =>
+      val key = r.getString(0)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / math.pow(16.0, 13)
+      val c = u - 0.5
+      val noise = BigDecimal(-math.signum(c) * math.log(1.0 - 2.0 * math.abs(c)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val exp = BigDecimal(r.getLong(1) + noise)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) == exp, s"key $key")
+    }
+  }
+
+  test("x116: window-based linear attribution equals a join-based " +
+      "recompute") {
+    val got = Extras11.x116MultiTouch(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val ev = Tables.eventsUs(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"),
+        col("ts").as("pt"), col("value").as("pv"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("ct"))
+    val joined = p.join(c, col("pu") === col("cu") &&
+        col("ct") >= col("pt") - 604800000000L && col("ct") < col("pt"))
+      .groupBy(col("pid"), col("pv"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("pid"), col("n"),
+        round(col("pv") / col("n"), 6).as("credit"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == joined && got.nonEmpty)
+  }
+
   test("x113: maintained MV equals recompute from the corrected set, " +
       "and a fully-deleted group is dropped") {
     // contract-scale equality against the direct recompute
