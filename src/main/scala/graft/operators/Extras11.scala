@@ -22,6 +22,7 @@ object Extras11 {
     * cluster job would build once. */
   private def tradeEdges(spark: SparkSession, sfDir: String): DataFrame =
     graft.Memo(spark, s"x111edges:$sfDir") {
+      val s = Tables.tune(spark)
       val sc = Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey"), col("l_suppkey"))
         .join(Tables.orders(spark, sfDir)
@@ -33,7 +34,19 @@ object Extras11 {
       val edges = sc.unionByName(
         sc.select(col("b").as("a"), col("a").as("b")))
       val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
-      edges.join(deg, "a").localCheckpoint(true)   // (a, b, deg)
+      // BUCKETED on the join key (x10's machinery): the edge table — the
+      // BIG side of every PageRank iteration — carries hash(a)
+      // partitioning in its layout, so each iteration's SMJ exchanges
+      // only the node-sized rank vector and the edges are never
+      // re-shuffled (the naive localCheckpoint form re-exchanged the
+      // edge scan five times). On a cluster this is the pre-partitioned
+      // adjacency every iterative graph job stages first.
+      val base = Tables.scratchDir("x111_tbl", sfDir)
+      ScaleOps.dropTableAt(s, "graft_trade_edges", s"$base/graft_trade_edges")
+      edges.join(deg, "a")
+        .write.mode("overwrite").option("path", s"$base/graft_trade_edges")
+        .bucketBy(16, "a").sortBy("a").saveAsTable("graft_trade_edges")
+      s.table("graft_trade_edges")   // (a, b, deg)
     }
 
   /** X111 — PageRank over the supplier↔customer trade graph (Brin/Page
