@@ -294,7 +294,83 @@ object Extras11 {
       .orderBy(col("purchase_id"))
   }
 
+  /** X117 — seasonal anomaly detection (the ops-dashboard staple):
+    * each (event_type, day)'s event count scored against its
+    * day-of-week baseline — z = (n − mean_dow) / stddev_dow — so a
+    * quiet Sunday isn't flagged for being quieter than Tuesdays.
+    * Determinism is a23's sufficient-statistics pattern: counts are
+    * integers, (n_days, Σx, Σx²) are exact BIGINT sums, and mean /
+    * sample-variance / z run closed-form in doubles spelled identically
+    * in both engines. Two grouped aggregates + one broadcast-sized
+    * join (the baseline table is 7 × event-types rows at ANY scale). */
+  def x117SeasonalAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.eventsUs(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("ts div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val base = daily.withColumn("dow", col("day") % 7)
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("nd"), sum(col("n")).as("sx"),
+        sum(col("n") * col("n")).as("sx2"))
+      .filter(col("nd") > 1)
+    val ndD = col("nd").cast("double")
+    val sxD = col("sx").cast("double")
+    val varS = (ndD * col("sx2").cast("double") - sxD * sxD) /
+      (ndD * (ndD - lit(1.0)))
+    val z = (col("n").cast("double") - sxD / ndD) / sqrt(col("var_s"))
+    daily.withColumn("dow", col("day") % 7)
+      .join(base.withColumn("var_s", varS)
+        .select(col("event_type"), col("dow"), col("var_s"),
+          col("nd"), col("sx")), Seq("event_type", "dow"))
+      .filter(col("var_s") > 0)
+      .select(col("event_type"), col("day"), col("n"),
+        round(z, 6).as("z"),
+        (abs(z) > 3.0).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** X118 — referential-integrity audit (the pre-flight a warehouse
+    * runs before trusting joins): every declared FK edge of the star
+    * schema checked in one pass each — child rows whose key has no
+    * parent, counted via LEFT ANTI joins (never materializing the
+    * orphans, only their count). Dimension parents broadcast; the one
+    * big-big edge (lineitem→orders) shuffles on its key once. The
+    * emitted zeros are the CONTRACT: a generator bug or a bad
+    * partial-load would flip a row, and the oracle recomputes each
+    * count with NOT EXISTS. */
+  def x118RiAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val su = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    def edge(name: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val nChild = child.count()
+      val orphans = child.select(col(fk))
+        .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+        .count()
+      val s = child.sparkSession
+      import s.implicits._
+      Seq((name, nChild, orphans, orphans == 0L))
+        .toDF("fk_edge", "n_child", "n_orphans", "ri_ok")
+    }
+    edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+      .unionByName(edge("lineitem->part", li, "l_partkey", p, "p_partkey"))
+      .unionByName(edge("lineitem->supplier", li, "l_suppkey", su, "s_suppkey"))
+      .unionByName(edge("orders->customer", o, "o_custkey", c, "c_custkey"))
+      .unionByName(edge("customer->nation", c, "c_nationkey", n, "n_nationkey"))
+      .unionByName(edge("supplier->nation", su, "s_nationkey", n, "n_nationkey"))
+      .unionByName(edge("nation->region", n, "n_regionkey", r, "r_regionkey"))
+      .orderBy(col("fk_edge"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x117_seasonal_anomaly" -> (x117SeasonalAnomaly _),
+    "x118_ri_audit" -> (x118RiAudit _),
     "x111_pagerank" -> (x111PageRank _),
     "x112_triangles" -> (x112Triangles _),
     "x113_mv_retraction" -> (x113MvRetraction _),
@@ -339,6 +415,48 @@ object Extras11 {
        "JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b) AS BIGINT) AS n_triangles) " +
        "SELECT n_nodes, n_edges, n_wedges, n_triangles, " +
        "round(3.0 * n_triangles / n_wedges, 6) AS clustering_coef FROM agg"),
+    // same sufficient statistics, same closed-form double arithmetic
+    "x117_seasonal_anomaly" ->
+      ("WITH daily AS (SELECT event_type, " +
+       "epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n " +
+       "FROM events GROUP BY 1, 2), " +
+       "b AS (SELECT event_type, day % 7 AS dow, " +
+       "CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(n) AS BIGINT) AS sx, " +
+       "CAST(SUM(n * n) AS BIGINT) AS sx2 FROM daily GROUP BY 1, 2 " +
+       "HAVING COUNT(*) > 1), " +
+       "j AS (SELECT d.event_type, d.day, d.n, " +
+       "(CAST(nd AS DOUBLE) * CAST(sx2 AS DOUBLE) - " +
+       "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / " +
+       "(CAST(nd AS DOUBLE) * (CAST(nd AS DOUBLE) - 1.0)) AS var_s, " +
+       "CAST(sx AS DOUBLE) AS sxd, CAST(nd AS DOUBLE) AS ndd " +
+       "FROM daily d JOIN b ON d.event_type = b.event_type " +
+       "AND d.day % 7 = b.dow) " +
+       "SELECT event_type, day, n, " +
+       "round((CAST(n AS DOUBLE) - sxd / ndd) / sqrt(var_s), 6) AS z, " +
+       "abs((CAST(n AS DOUBLE) - sxd / ndd) / sqrt(var_s)) > 3.0 " +
+       "AS is_anomaly FROM j WHERE var_s > 0 " +
+       "ORDER BY event_type, day"),
+    // each FK edge recomputed with NOT EXISTS
+    "x118_ri_audit" -> {
+      def e(name: String, child: String, fk: String, parent: String,
+          pk: String): String =
+        s"SELECT '$name' AS fk_edge, " +
+        s"CAST((SELECT COUNT(*) FROM $child) AS BIGINT) AS n_child, " +
+        s"CAST((SELECT COUNT(*) FROM $child ch WHERE NOT EXISTS " +
+        s"(SELECT 1 FROM $parent pa WHERE pa.$pk = ch.$fk)) AS BIGINT) " +
+        "AS n_orphans, " +
+        s"(SELECT COUNT(*) FROM $child ch WHERE NOT EXISTS " +
+        s"(SELECT 1 FROM $parent pa WHERE pa.$pk = ch.$fk)) = 0 AS ri_ok"
+      Seq(
+        e("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        e("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        e("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        e("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        e("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        e("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        e("nation->region", "nation", "n_regionkey", "region", "r_regionkey"))
+        .mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY fk_edge")
+    },
     // same A-ES score formula, same hash, same rounding
     "x114_weighted_sample" ->
       ("SELECT doc_id, CAST(length(text) AS DOUBLE) AS w, " +

@@ -130,6 +130,40 @@ class Extras11Spec extends SparkSpec {
     assert(got == joined && got.nonEmpty)
   }
 
+  test("x117: z-scores match a driver-side recompute of the dow baseline") {
+    val daily = Tables.eventsUs(spark, sf)
+      .groupBy(col("event_type"), expr("ts div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val byDow = daily.groupBy { case ((t, d), _) => (t, d % 7) }
+      .view.mapValues(_.values.map(_.toDouble).toSeq).toMap
+    val got = Extras11.x117SeasonalAnomaly(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (t, d, n) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val xs = byDow((t, d % 7))
+      val nd = xs.length.toDouble
+      val sx = xs.sum; val sx2 = xs.map(x => x * x).sum
+      val varS = (nd * sx2 - sx * sx) / (nd * (nd - 1.0))
+      val z = (n.toDouble - sx / nd) / math.sqrt(varS)
+      val exp = BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      assert(r.getDouble(3) == exp, s"($t, $d)")
+      assert(r.getBoolean(4) == (math.abs(z) > 3.0))
+    }
+  }
+
+  test("x118: every declared FK edge of this corpus is orphan-free and " +
+      "child counts match the tables") {
+    val got = Extras11.x118RiAudit(spark, sf).collect()
+    assert(got.length == 7)
+    assert(got.forall(_.getBoolean(3)), "all edges must be ri_ok")
+    assert(got.forall(_.getLong(2) == 0L))
+    val byName = got.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName("lineitem->orders") == Tables.lineitem(spark, sf).count())
+    assert(byName("nation->region") == 25L)
+  }
+
   test("x113: maintained MV equals recompute from the corrected set, " +
       "and a fully-deleted group is dropped") {
     // contract-scale equality against the direct recompute
