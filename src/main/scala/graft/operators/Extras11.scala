@@ -368,7 +368,72 @@ object Extras11 {
       .orderBy(col("fk_edge"))
   }
 
+  /** S26 — columnar cache (`Dataset.cache` → InMemoryRelation): a
+    * filtered projection cached once, TWO different aggregates served
+    * from the same in-memory columnar relation (the dashboard /
+    * repeated-subquery lever: one scan feeds N readers). The contract
+    * row is the second aggregate — value-identical to the uncached
+    * computation, which is precisely what the oracle checks — and the
+    * spec pins InMemoryTableScan in its plan plus the batch-columnar
+    * input. The cache is REFERENCE-COUNTED OUT before return: the
+    * result is localCheckpoint-materialized, then the base unpersisted,
+    * so a 280-query bench session doesn't accrete storage memory. */
+  def s26CachedTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        col("o_custkey"))
+      .cache()
+    try {
+      base.count(): Unit   // materialize the cache (reader #1)
+      cachedAgg(base).localCheckpoint(true)
+    } finally { base.unpersist(false): Unit }
+  }
+
+  /** Reader #2 over the cached base — split out so the spec can pin
+    * InMemoryTableScan on exactly the frame the contract row emits. */
+  def cachedAgg(base: DataFrame): DataFrame =
+    base.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        sum(col("o_totalprice").cast(Det.Money)).cast("double").as("total"))
+      .orderBy(col("o_orderpriority"))
+
+  /** S27 — nested-schema pruning: documents staged as a NESTED layout
+    * (meta struct wrapping the scalar attributes, the shape real
+    * document corpora ship in) and aggregated by ONE nested leaf —
+    * Catalyst prunes the read schema to `meta.lang` alone, so the text
+    * bodies (the bulk of every bytes-on-disk document table) are never
+    * decoded. The spec asserts the scan's ReadSchema contains the one
+    * leaf and NOT the text column; at 100 TB this pruning is the
+    * difference between a metadata query and a full-corpus read. */
+  def s27NestedPruning(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val dir = Tables.scratchDir("s27_nested", sfDir)
+    val marker = java.nio.file.Paths.get(dir, "_staged_rows")
+    val d = Tables.documents(spark, sfDir)
+    val n = d.count()
+    if (!java.nio.file.Files.exists(marker) ||
+        java.nio.file.Files.readString(marker) != n.toString) {
+      d.select(col("doc_id"),
+          struct(col("lang"), col("source"), col("n_chars")).as("meta"),
+          col("text"))
+        .write.mode("overwrite").parquet(s"$dir/data")
+      java.nio.file.Files.writeString(marker, n.toString): Unit
+    }
+    nestedLangCounts(s.read.parquet(s"$dir/data"))
+  }
+
+  /** The pruned aggregate over the staged nested frame — split out so
+    * the spec can assert its scan's ReadSchema. */
+  def nestedLangCounts(nested: DataFrame): DataFrame =
+    nested.groupBy(col("meta.lang").as("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s26_cached_table" -> (s26CachedTable _),
+    "s27_nested_pruning" -> (s27NestedPruning _),
     "x117_seasonal_anomaly" -> (x117SeasonalAnomaly _),
     "x118_ri_audit" -> (x118RiAudit _),
     "x111_pagerank" -> (x111PageRank _),
@@ -415,6 +480,19 @@ object Extras11 {
        "JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b) AS BIGINT) AS n_triangles) " +
        "SELECT n_nodes, n_edges, n_wedges, n_triangles, " +
        "round(3.0 * n_triangles / n_wedges, 6) AS clustering_coef FROM agg"),
+    // the cache must be value-transparent: same aggregate straight off
+    // the parquet table
+    "s26_cached_table" ->
+      ("SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
+       "FROM orders WHERE o_orderstatus = 'O' " +
+       "GROUP BY 1 ORDER BY o_orderpriority"),
+    // the nested staging is a pure re-shape: counts come straight off
+    // the base table
+    "s27_nested_pruning" ->
+      ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs " +
+       "FROM documents GROUP BY 1 ORDER BY lang"),
     // same sufficient statistics, same closed-form double arithmetic
     "x117_seasonal_anomaly" ->
       ("WITH daily AS (SELECT event_type, " +

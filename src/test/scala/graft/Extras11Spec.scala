@@ -130,6 +130,47 @@ class Extras11Spec extends SparkSpec {
     assert(got == joined && got.nonEmpty)
   }
 
+  test("s26: the second reader plans an InMemoryTableScan over the " +
+      "cached columnar relation and values match the uncached aggregate") {
+    val base = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_custkey"))
+      .cache()
+    try {
+      base.count()
+      val agg = Extras11.cachedAgg(base)
+      val scans = flattenPlan(agg.queryExecution.executedPlan).collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+      }
+      assert(scans.nonEmpty, "second reader must serve from the cache")
+      val uncached = Extras11.cachedAgg(Tables.orders(spark, sf)
+        .filter(col("o_orderstatus") === "O")
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_custkey")))
+      assert(agg.collect().toSeq == uncached.collect().toSeq)
+    } finally base.unpersist(true)
+  }
+
+  test("s27: the nested scan's ReadSchema is pruned to the one leaf — " +
+      "text bodies never decoded") {
+    // stage via the contract row once, then inspect the pruned plan
+    Extras11.s27NestedPruning(spark, sf).collect()
+    val dir = Tables.scratchDir("s27_nested", sf)
+    val agg = Extras11.nestedLangCounts(
+      Tables.tune(spark).read.parquet(s"$dir/data"))
+    val scans = flattenPlan(agg.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val read = scans.head.requiredSchema
+    assert(read.fieldNames.toSeq == Seq("meta"),
+      s"only meta should be read, got ${read.fieldNames.toSeq}")
+    val meta = read("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(meta.fieldNames.toSeq == Seq("lang"),
+      s"meta must prune to the lang leaf, got ${meta.fieldNames.toSeq}")
+    assert(!read.fieldNames.contains("text"))
+  }
+
   test("x117: z-scores match a driver-side recompute of the dow baseline") {
     val daily = Tables.eventsUs(spark, sf)
       .groupBy(col("event_type"), expr("ts div 86400000000").as("day"))
