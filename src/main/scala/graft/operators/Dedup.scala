@@ -108,6 +108,22 @@ object Dedup {
     "x12_dedup_clusters" -> (x12DedupClusters _),
     "x1_simhash" -> (x1SimHash _))
 
+  /** Shared recursive-CTE prefix (verified near-dup pairs → symmetric
+    * edges → transitive `reach`): x12 and x119 append different finals
+    * onto the same cluster derivation. */
+  private[operators] val ClusterCteSql: String =
+    s"WITH RECURSIVE s AS (SELECT DISTINCT doc_id, ngram FROM (${TextOps.ngramSql(3)}) t), " +
+    "n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id), " +
+    "i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter " +
+    "FROM s a JOIN s b ON a.ngram = b.ngram AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+    "pairs AS (SELECT doc_a, doc_b FROM i " +
+    "JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b " +
+    "WHERE inter / (na.n_sh + nb.n_sh - inter) > 0.6), " +
+    "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs " +
+    "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+    "reach AS (SELECT DISTINCT a AS src, a AS dst FROM edges " +
+    "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)"
+
   /** Oracle: exhaustive exact shingle-Jaccard (O(pairs-sharing-a-shingle),
     * fine at oracle scale; the Spark side must find the same pairs via LSH). */
   val oracles: Map[String, String] = Map(
@@ -133,17 +149,8 @@ object Dedup {
        "FROM i JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b " +
        "WHERE inter / (na.n_sh + nb.n_sh - inter) > 0.6 ORDER BY doc_a, doc_b"),
     "x12_dedup_clusters" ->
-      (s"WITH RECURSIVE s AS (SELECT DISTINCT doc_id, ngram FROM (${TextOps.ngramSql(3)}) t), " +
-       "n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id), " +
-       "i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter " +
-       "FROM s a JOIN s b ON a.ngram = b.ngram AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-       "pairs AS (SELECT doc_a, doc_b FROM i " +
-       "JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b " +
-       "WHERE inter / (na.n_sh + nb.n_sh - inter) > 0.6), " +
-       "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs " +
-       "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
-       "reach AS (SELECT DISTINCT a AS src, a AS dst FROM edges " +
-       "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a) " +
-       "SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach " +
+      (ClusterCteSql +
+       " SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach " +
        "GROUP BY src ORDER BY doc_id"))
+
 }

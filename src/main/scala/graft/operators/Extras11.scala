@@ -431,7 +431,79 @@ object Extras11 {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"))
 
+  /** SQL40 — parameterized SQL (Spark 4 named-parameter binding, the
+    * injection-safe E2 surface every SQL gateway should be using):
+    * `spark.sql(text, args)` with `:name` markers — the literals never
+    * enter the query text, the analyzer binds them as typed
+    * expressions, and the PLAN is identical to the inlined form
+    * (constant-folded, filter pushed). The oracle runs the inlined
+    * text, so binding-transparency is value-checked. */
+  def sql40ParamSql(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("v11_orders")
+    spark.sql(
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total
+        |FROM v11_orders
+        |WHERE o_totalprice > :minp AND o_orderstatus = :st
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      Map("minp" -> 150000.0, "st" -> "O"))
+  }
+
+  /** SQL41 — session variables + EXECUTE IMMEDIATE (Spark 4's scripting
+    * surface): DECLARE a typed variable, SET it from a QUERY (the
+    * data-driven-threshold idiom — here the mean order price), then run
+    * the consuming aggregate through EXECUTE IMMEDIATE so the dynamic-
+    * SQL path is exercised too. The oracle recomputes the threshold as
+    * a scalar subquery — variable indirection must be value-neutral.
+    * The threshold is decimal-exact (Det policy), so both engines cut
+    * at the identical boundary. */
+  def sql41SessionVars(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("v11_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_minp DOUBLE")
+    spark.sql(
+      """SET VAR graft_minp =
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |     / COUNT(*) FROM v11_orders)""".stripMargin)
+    spark.sql(
+      """EXECUTE IMMEDIATE
+        |'SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_above
+        | FROM v11_orders WHERE o_totalprice > graft_minp
+        | GROUP BY o_orderstatus ORDER BY o_orderstatus'""".stripMargin)
+  }
+
+  /** X119 — golden-record survivorship (the step AFTER entity
+    * resolution that actually ships: x12's near-dup clusters collapsed
+    * to one surviving record each by an explicit RULE — longest text
+    * wins, lowest id breaks ties — with the member count as audit).
+    * One window top-1 over cluster-partitioned members; clusters grow
+    * with the corpus (never a single partition), members per cluster
+    * are bounded by the dedup density. Single-member "clusters" are
+    * excluded: a golden-record table lists only real merges. The
+    * oracle re-derives clusters through the shared recursive CTE and
+    * applies the identical rule. */
+  def x119GoldenRecord(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_rep"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_rep"))
+    Dedup.x12DedupClusters(spark, sfDir)
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(wAll))
+      .filter(col("rn") === 1 && col("n_members") > 1)
+      .select(col("cluster_rep"), col("n_members"),
+        col("doc_id").as("survivor_id"),
+        col("n_chars").as("survivor_chars"))
+      .orderBy(col("cluster_rep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x119_golden_record" -> (x119GoldenRecord _),
+    "sql40_param_sql" -> (sql40ParamSql _),
+    "sql41_session_vars" -> (sql41SessionVars _),
     "s26_cached_table" -> (s26CachedTable _),
     "s27_nested_pruning" -> (s27NestedPruning _),
     "x117_seasonal_anomaly" -> (x117SeasonalAnomaly _),
@@ -480,6 +552,33 @@ object Extras11 {
        "JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b) AS BIGINT) AS n_triangles) " +
        "SELECT n_nodes, n_edges, n_wedges, n_triangles, " +
        "round(3.0 * n_triangles / n_wedges, 6) AS clustering_coef FROM agg"),
+    // clusters re-derived via the shared recursive CTE, then the same
+    // survivorship rule
+    "x119_golden_record" ->
+      (Dedup.ClusterCteSql +
+       ", cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_rep " +
+       "FROM reach GROUP BY src), " +
+       "m AS (SELECT cl.cluster_rep, cl.doc_id, d.n_chars " +
+       "FROM cl JOIN documents d USING (doc_id)), " +
+       "ranked AS (SELECT *, row_number() OVER (PARTITION BY cluster_rep " +
+       "ORDER BY n_chars DESC, doc_id) AS rn, " +
+       "COUNT(*) OVER (PARTITION BY cluster_rep) AS n_members FROM m) " +
+       "SELECT cluster_rep, CAST(n_members AS BIGINT) AS n_members, " +
+       "doc_id AS survivor_id, n_chars AS survivor_chars " +
+       "FROM ranked WHERE rn = 1 AND n_members > 1 ORDER BY cluster_rep"),
+    // binding transparency: the inlined literals
+    "sql40_param_sql" ->
+      ("SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
+       "FROM orders WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O' " +
+       "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    // the variable re-derived as a scalar subquery
+    "sql41_session_vars" ->
+      ("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_above " +
+       "FROM orders WHERE o_totalprice > " +
+       "(SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) " +
+       "/ COUNT(*) FROM orders) " +
+       "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     // the cache must be value-transparent: same aggregate straight off
     // the parquet table
     "s26_cached_table" ->

@@ -171,6 +171,26 @@ class Extras11Spec extends SparkSpec {
     assert(!read.fieldNames.contains("text"))
   }
 
+  test("x119: survivors obey the rule (longest text, lowest id) within " +
+      "each cluster and single-member clusters are excluded") {
+    val got = graft.operators.Extras11.x119GoldenRecord(spark, sf).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getLong(1) > 1), "only real merges listed")
+    val clusters = graft.operators.Dedup.x12DedupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val chars = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = clusters.groupBy(_._2).view
+      .mapValues(_.map(_._1).toSeq).toMap
+    got.foreach { r =>
+      val members = byCluster(r.getLong(0))
+      assert(members.length == r.getLong(1))
+      val survivor = members.minBy(id => (-chars(id), id))
+      assert(r.getLong(2) == survivor && r.getLong(3) == chars(survivor))
+    }
+  }
+
   test("x117: z-scores match a driver-side recompute of the dow baseline") {
     val daily = Tables.eventsUs(spark, sf)
       .groupBy(col("event_type"), expr("ts div 86400000000").as("day"))
