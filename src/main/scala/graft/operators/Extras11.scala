@@ -500,7 +500,98 @@ object Extras11 {
       .orderBy(col("cluster_rep"))
   }
 
+  /** X120 — change-point detection (CUSUM, Page 1954, the offline
+    * max-deviation form): per event type, the day where the cumulative
+    * deviation of daily value sums from the series mean peaks —
+    * |S_k| = |Σ_{i≤k} x_i − k·x̄| maximized over k. No recursion
+    * needed: S_k decomposes into (exact DECIMAL prefix sum) − k·mean,
+    * so one keyed window cumsum + one max-by gives the change point
+    * with every float op spelled identically cross-engine (prefix sums
+    * exact; k·mean and the subtraction are single IEEE ops). Window
+    * partitions by event type — keyed, never global. */
+  def x120Changepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.eventsUs(spark, sfDir)
+      .groupBy(col("event_type"), expr("ts div 86400000000").as("day"))
+      .agg(sum(col("value").cast(Det.Money)).as("v"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    val dev = abs(col("prefix").cast("double") -
+      col("k").cast("double") *
+        (col("total").cast("double") / col("n_days").cast("double")))
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("dev").desc, col("day"))
+    daily
+      .withColumn("prefix", sum(col("v")).over(wCum))
+      .withColumn("k", count(lit(1)).over(wCum))
+      .withColumn("total", sum(col("v")).over(wAll))
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .withColumn("dev", round(dev, 6))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        col("dev").as("max_dev"))
+      .orderBy(col("event_type"))
+  }
+
+  /** X121 — equi-width histogram (`width_bucket`, the warehouse
+    * distribution profile): order totals bucketed into 20 fixed-width
+    * bins over [0, 500k), count + decimal-routed bin revenue share.
+    * One grouped aggregate over a computed key — scan-bound; the bin
+    * function is the SQL-standard width_bucket both engines ship. */
+  def x121Histogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(width_bucket(col("o_totalprice"), lit(0.0), lit(500000.0),
+        lit(20)).as("bucket"), col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(Det.Money)).cast("double").as("total"))
+      .orderBy(col("bucket"))
+
+  /** X122 — exact Pearson correlation matrix over the lineitem measures
+    * (quantity × price × discount): engine-native `corr()` partial-
+    * aggregates IEEE doubles (order-dependent — §7.4's hazard), so
+    * each r is computed CLOSED-FORM from exact sufficient statistics
+    * instead: integer/decimal Σx, Σx², Σxy per pair, one identically-
+    * spelled double expression at the end (a23's pattern widened to
+    * the covariance matrix). One scan, one row out. */
+  def x122Correlation(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(
+      col("l_quantity").cast(Det.Money).as("q"),
+      col("l_extendedprice").cast(Det.Money).as("p"),
+      col("l_discount").cast(Det.Money6).as("d"))
+    val stats = li.agg(
+      count(lit(1)).as("n"),
+      sum(col("q")).as("sq"), sum(col("p")).as("sp"), sum(col("d")).as("sd"),
+      sum(col("q") * col("q")).as("sqq"),
+      sum(col("p") * col("p")).as("spp"),
+      sum(col("d") * col("d")).as("sdd"),
+      sum(col("q") * col("p")).as("sqp"),
+      sum(col("q") * col("d")).as("sqd"),
+      sum(col("p") * col("d")).as("spd"))
+    def r(sx: String, sy: String, sxx: String, syy: String,
+        sxy: String): org.apache.spark.sql.Column = {
+      val n = col("n").cast("double")
+      val cov = n * col(sxy).cast("double") -
+        col(sx).cast("double") * col(sy).cast("double")
+      val vx = n * col(sxx).cast("double") -
+        col(sx).cast("double") * col(sx).cast("double")
+      val vy = n * col(syy).cast("double") -
+        col(sy).cast("double") * col(sy).cast("double")
+      round(cov / sqrt(vx * vy), 6)
+    }
+    stats.select(col("n"),
+      r("sq", "sp", "sqq", "spp", "sqp").as("r_qty_price"),
+      r("sq", "sd", "sqq", "sdd", "sqd").as("r_qty_disc"),
+      r("sp", "sd", "spp", "sdd", "spd").as("r_price_disc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x120_changepoint" -> (x120Changepoint _),
+    "x121_histogram" -> (x121Histogram _),
+    "x122_correlation" -> (x122Correlation _),
     "x119_golden_record" -> (x119GoldenRecord _),
     "sql40_param_sql" -> (sql40ParamSql _),
     "sql41_session_vars" -> (sql41SessionVars _),
@@ -552,6 +643,67 @@ object Extras11 {
        "JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b) AS BIGINT) AS n_triangles) " +
        "SELECT n_nodes, n_edges, n_wedges, n_triangles, " +
        "round(3.0 * n_triangles / n_wedges, 6) AS clustering_coef FROM agg"),
+    // decimal prefix sums exact; k·mean and the subtraction identical
+    "x120_changepoint" ->
+      ("WITH daily AS (SELECT event_type, " +
+       "epoch_us(ts) // 86400000000 AS day, " +
+       "SUM(CAST(value AS DECIMAL(18,4))) AS v FROM events GROUP BY 1, 2), " +
+       "w AS (SELECT event_type, day, " +
+       "SUM(v) OVER (PARTITION BY event_type ORDER BY day) AS prefix, " +
+       "COUNT(*) OVER (PARTITION BY event_type ORDER BY day) AS k, " +
+       "SUM(v) OVER (PARTITION BY event_type) AS total, " +
+       "COUNT(*) OVER (PARTITION BY event_type) AS n_days FROM daily), " +
+       "d AS (SELECT event_type, day, " +
+       "round(abs(CAST(prefix AS DOUBLE) - CAST(k AS DOUBLE) * " +
+       "(CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE))), 6) AS dev " +
+       "FROM w), " +
+       "p AS (SELECT *, row_number() OVER (PARTITION BY event_type " +
+       "ORDER BY dev DESC, day) AS rn FROM d) " +
+       "SELECT event_type, day AS cp_day, dev AS max_dev FROM p " +
+       "WHERE rn = 1 ORDER BY event_type"),
+    // DuckDB has no width_bucket: the oracle spells Spark's exact
+    // bucket formula floor(n·(x−lo)/(hi−lo))+1 with the over/under
+    // clamps (2-dp prices can't sit close enough to a boundary for the
+    // one double division to diverge)
+    "x121_histogram" ->
+      ("SELECT (CASE WHEN o_totalprice < 0.0 THEN 0 " +
+       "WHEN o_totalprice >= 500000.0 THEN 21 " +
+       "ELSE CAST(FLOOR(20 * (o_totalprice - 0.0) / (500000.0 - 0.0)) " +
+       "AS BIGINT) + 1 END) AS bucket, CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
+       "FROM orders GROUP BY 1 ORDER BY bucket"),
+    // same exact sufficient statistics, same closed-form doubles
+    "x122_correlation" ->
+      // DECIMAL(28,_) containers: DuckDB backs (18,_) with INT64 and
+      // overflows on the square; the wider container changes storage,
+      // not values — arithmetic stays exact on both engines
+      ("WITH li AS (SELECT CAST(l_quantity AS DECIMAL(28,4)) AS q, " +
+       "CAST(l_extendedprice AS DECIMAL(28,4)) AS p, " +
+       "CAST(l_discount AS DECIMAL(28,6)) AS d FROM lineitem), " +
+       "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+       "SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd, " +
+       "SUM(q * q) AS sqq, SUM(p * p) AS spp, SUM(d * d) AS sdd, " +
+       "SUM(q * p) AS sqp, SUM(q * d) AS sqd, SUM(p * d) AS spd FROM li) " +
+       "SELECT n, " +
+       "round((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - " +
+       "CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) / " +
+       "sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - " +
+       "CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) * " +
+       "(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - " +
+       "CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6) AS r_qty_price, " +
+       "round((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE) - " +
+       "CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE)) / " +
+       "sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - " +
+       "CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) * " +
+       "(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - " +
+       "CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6) AS r_qty_disc, " +
+       "round((CAST(n AS DOUBLE) * CAST(spd AS DOUBLE) - " +
+       "CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE)) / " +
+       "sqrt((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - " +
+       "CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) * " +
+       "(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - " +
+       "CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6) AS r_price_disc " +
+       "FROM s"),
     // clusters re-derived via the shared recursive CTE, then the same
     // survivorship rule
     "x119_golden_record" ->

@@ -171,6 +171,46 @@ class Extras11Spec extends SparkSpec {
     assert(!read.fieldNames.contains("text"))
   }
 
+  test("x120/x121/x122: change point, histogram, and correlations agree " +
+      "with independent spellings") {
+    // x120: the change point maximizes |prefix - k*mean| over the
+    // driver-side series
+    val daily = Tables.eventsUs(spark, sf)
+      .groupBy(col("event_type"), expr("ts div 86400000000").as("day"))
+      .agg(sum(col("value").cast(Det.Money)).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2))).groupBy(_._1)
+    val cps = graft.operators.Extras11.x120Changepoint(spark, sf).collect()
+    cps.foreach { r =>
+      val series = daily(r.getString(0)).sortBy(_._2)
+      val total = series.map(x => BigDecimal(x._3)).sum
+      val n = series.length
+      var prefix = BigDecimal(0)
+      val devs = series.zipWithIndex.map { case ((_, day, v), i) =>
+        prefix += BigDecimal(v)
+        val dev = math.abs(prefix.toDouble - (i + 1).toDouble *
+          (total.toDouble / n.toDouble))
+        (day, BigDecimal(dev).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      }
+      val best = devs.minBy { case (day, dev) => (-dev, day) }
+      assert((r.getLong(1), r.getDouble(2)) == best, r.getString(0))
+    }
+    // x121: buckets partition the orders; widths respected at the edges
+    val h = graft.operators.Extras11.x121Histogram(spark, sf).collect()
+    assert(h.map(_.getLong(1)).sum == Tables.orders(spark, sf).count())
+    assert(h.forall(r => r.getLong(0) >= 1 && r.getLong(0) <= 21))
+    // x122: closed-form r agrees with engine-native corr to 1e-6
+    val native = Tables.lineitem(spark, sf)
+      .agg(corr(col("l_quantity"), col("l_extendedprice")),
+        corr(col("l_quantity"), col("l_discount")),
+        corr(col("l_extendedprice"), col("l_discount"))).collect()(0)
+    val ex = graft.operators.Extras11.x122Correlation(spark, sf).collect()(0)
+    assert(math.abs(ex.getDouble(1) - native.getDouble(0)) < 1e-6)
+    assert(math.abs(ex.getDouble(2) - native.getDouble(1)) < 1e-6)
+    assert(math.abs(ex.getDouble(3) - native.getDouble(2)) < 1e-6)
+  }
+
   test("x119: survivors obey the rule (longest text, lowest id) within " +
       "each cluster and single-member clusters are excluded") {
     val got = graft.operators.Extras11.x119GoldenRecord(spark, sf).collect()
