@@ -484,6 +484,55 @@ object VectorPipeline {
     PqModel(finalCents, codes, numSub, numCodes, dims)
   }
 
+  /** Two-half binary signatures of a unit-norm embedding column: sign
+    * bit per dimension, dims 1–32 packed into `sig_lo`, 33–64 into
+    * `sig_hi` (two 32-bit halves so the bit sums stay far from BIGINT
+    * sign trouble and the oracle's integer spelling is trivial).
+    * 1 bit/dim = 256× smaller than float32 — the memory floor of the
+    * quantization ladder (float → int8 [x34] → PQ [x51] → binary). */
+  def binarySignatures(v: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // 2^i via pow (exact in double through 2^31; shiftleft needs a
+    // literal shift, not a per-element Column)
+    def half(lo: Int): Column =
+      aggregate(
+        zip_with(slice(col(vecCol), lo, 32),
+          sequence(lit(0), lit(31)),
+          (x, i) => when(x > 0f, pow(lit(2.0), i).cast("long"))
+            .otherwise(0L)),
+        lit(0L), (acc, b) => acc.bitwiseOR(b))
+    v.select(col(idCol).as("vid"), half(1).as("sig_lo"),
+      half(33).as("sig_hi"))
+  }
+
+  /** Hamming-shortlist + exact-rerank retrieval over binary signatures
+    * (the binary-quantization serving pattern): per probe, the
+    * `shortlist` nearest signatures by Hamming distance (exact integer
+    * popcounts — total order with id tie-break, so the cut is
+    * deterministic), then exact cosine re-ranks the survivors to
+    * top-k. The signature scan ships 8 bytes/vector; floats are only
+    * touched for the shortlist. */
+  def binaryHammingTopK(corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int): DataFrame = {
+    val cs = binarySignatures(corpus, idCol, vecCol)
+      .localCheckpoint(true)
+    val ps = binarySignatures(probes, idCol, vecCol)
+      .select(col("vid").as("probe_id"), col("sig_lo").as("plo"),
+        col("sig_hi").as("phi"))
+    val ham = ps.join(cs, col("vid") =!= col("probe_id"))
+      .select(col("probe_id"), col("vid").as("neighbor_id"),
+        (bit_count(col("plo").bitwiseXOR(col("sig_lo"))) +
+          bit_count(col("phi").bitwiseXOR(col("sig_hi")))).as("hamming"))
+    val short = graft.plans.GroupTopK(ham, Seq("probe_id"),
+      Seq(("hamming", true), ("neighbor_id", true)), shortlist)
+    val pv = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pe"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("ce"))
+    rankTopK(
+      short.join(pv, "probe_id").join(cv, "neighbor_id")
+        .select(col("probe_id"), col("neighbor_id"),
+          sim(col("pe"), col("ce")).as("sim")), k)
+      .select(col("probe_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** Persist a trained [[PqModel]] as three parquet tables (codebooks /
     * codes / one-row geometry). Train-once/serve-many made durable:
     * a fresh session — or a different cluster — [[loadPqModel]]s the

@@ -192,6 +192,42 @@ object ApiDemo {
         col("t"), col("amt"), 2)
       .orderBy("k").show(false)
 
+    // PQ model persistence: save, reload, serve — codebooks survive the
+    // parquet round-trip value-identical (round 8)
+    val pqDir = graft.Tables.scratchDir("apidemo_pq", "demo")
+    VectorPipeline.savePqModel(model, pqDir)
+    println("PQ/ADC top-3 from the RELOADED model (same answer):")
+    VectorPipeline.pqAdcTopK(VectorPipeline.loadPqModel(spark, pqDir),
+        pqVecs.filter(col("vid") < 2), "vid", "vec", k = 3)
+      .orderBy("probe_id", "rank").show(false)
+
+    // binary quantization: sign signatures + hamming shortlist + exact
+    // rerank on the custom-named frame (round 8)
+    println("binary-quant top-2 (8 bytes/vector shortlist scan):")
+    VectorPipeline.binaryHammingTopK(pqVecs,
+        pqVecs.filter(col("vid") < 2), "vid", "vec", k = 2, shortlist = 6)
+      .orderBy("probe_id", "rank").show(false)
+
+    // graph analytics on an arbitrary edge frame (round 8)
+    println("PageRank on a 4-node path graph (ends tie, middles lead):")
+    val sc = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("x", "y")
+    val es = sc.select(col("x").as("a"), col("y").as("b"))
+      .unionByName(sc.select(col("y").as("a"), col("x").as("b")))
+    val dg = es.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    graft.operators.Extras11.pageRank(es.join(dg, "a"), iters = 5)
+      .orderBy(col("rank").desc, col("node")).show(false)
+    println("triangle census of K4 (4 triangles, coefficient 1.0):")
+    graft.operators.Extras11.triangleCensus(
+        (for { i <- 0 until 4; j <- (i + 1) until 4 }
+          yield (i.toLong, j.toLong)).toDF("a", "b")).show(false)
+
+    // containment guard visibility (round 8): the stop set is DATA
+    println("containment pairs + stop-token count (t=0.4):")
+    val cd = TextPipeline.containmentPairsDetail(
+      TextPipeline.shingleHashes(corpus, "id", "body", 3), 0.4)
+    cd.pairs.orderBy("doc_src", "doc_sup").show(false)
+    println(s"stop tokens excluded by the hot-token cap: ${cd.stopTokens.count()}")
+
     // KMV sketches: distinct-set overlap from two bounded sketches
     val skA = graft.operators.Extras10.kmvSketch(
       (1 to 400).toDF("k"), col("k"), 64)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.{Det, Tables}
+import graft.api.VectorPipeline
 
 /** Round-8 wave: iterative graph analytics (PageRank, triangles) and
   * retraction-based incremental view maintenance — the three operator
@@ -588,7 +589,74 @@ object Extras11 {
       r("sp", "sd", "spp", "sdd", "spd").as("r_price_disc"))
   }
 
+  /** X123 — matryoshka truncation quality (Kusupati et al. 2022, the
+    * MRL serving trick every modern vector DB offers): retrieval run
+    * on the FIRST 16 of 64 dims, renormalized, scored against full-dim
+    * retrieval as per-probe top-5 overlap. One number per probe — the
+    * go/no-go table for "can we serve at 4× less memory". Both sides'
+    * top-5 computed exactly (l3's brute-force shape, fine on a probe
+    * set; the production path plugs the truncated metric into the
+    * banded/PQ pipelines). Sims rounded 6 dp (the dot6 policy) so
+    * rank order is engine-stable. */
+  def x123Matryoshka(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val probes = emb.filter(col("vec_id") < 10)
+    def topkOn(vec: DataFrame => DataFrame, tag: String): DataFrame = {
+      val p = vec(probes).select(col("vec_id").as("probe_id"),
+        col("v").as("pv"))
+      val c = vec(emb).select(col("vec_id").as("neighbor_id"),
+        col("v").as("cv"))
+      val scored = p.join(c, col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          SimSearch.dot6(col("pv"), col("cv")).as("sim"))
+      graft.plans.GroupTopK(scored, Seq("probe_id"),
+          Seq(("sim", false), ("neighbor_id", true)), 5)
+        .select(col("probe_id"), col("neighbor_id").as(s"n_$tag"))
+    }
+    val full = topkOn(df => df.withColumn("v", col("embedding")), "full")
+    val norm16 = sqrt(aggregate(slice(col("embedding"), 1, 16),
+      lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val trunc = topkOn(df => df.withColumn("v",
+      transform(slice(col("embedding"), 1, 16),
+        x => (x.cast("double") / norm16).cast("float"))), "trunc")
+    full.join(trunc,
+        full("probe_id") === trunc("probe_id") &&
+          col("n_full") === col("n_trunc"))
+      .groupBy(full("probe_id").as("probe_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .unionByName(
+        // probes with zero overlap would drop out of the join — keep
+        // them as explicit zeros (the honest readout)
+        full.select(full("probe_id")).distinct()
+          .join(full.join(trunc,
+              full("probe_id") === trunc("probe_id") &&
+                col("n_full") === col("n_trunc"))
+            .select(full("probe_id")).distinct(), Seq("probe_id"),
+            "left_anti")
+          .withColumn("n_overlap", lit(0L)))
+      .orderBy(col("probe_id"))
+  }
+
+  /** X124 — binary-quantization retrieval (the 1-bit rung of the
+    * quantization ladder float → int8 [x34] → PQ [x51] → binary): sign
+    * signatures (2×32 bits), Hamming shortlist of 20 via exact integer
+    * popcounts through the bounded-heap GroupTopK, exact cosine rerank
+    * to top-5. 8 bytes/vector scan — the memory floor; the oracle
+    * recomputes signatures, Hamming cut, and rerank exhaustively, so
+    * shortlist recall AND rerank order are hash-checked. */
+  def x124BinaryQuant(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    VectorPipeline.binaryHammingTopK(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, shortlist = 20)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x123_matryoshka" -> (x123Matryoshka _),
+    "x124_binary_quant" -> (x124BinaryQuant _),
     "x120_changepoint" -> (x120Changepoint _),
     "x121_histogram" -> (x121Histogram _),
     "x122_correlation" -> (x122Correlation _),
@@ -643,6 +711,62 @@ object Extras11 {
        "JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b) AS BIGINT) AS n_triangles) " +
        "SELECT n_nodes, n_edges, n_wedges, n_triangles, " +
        "round(3.0 * n_triangles / n_wedges, 6) AS clustering_coef FROM agg"),
+    // both top-5s recomputed exhaustively; truncated sims mirror the
+    // float-cast renormalization element by element
+    "x123_matryoshka" ->
+      ("WITH fullD AS (SELECT a.vec_id AS probe_id, b.vec_id AS nid, " +
+       "round(SUM(CAST(a.embedding[i] AS DOUBLE) * " +
+       "CAST(b.embedding[i] AS DOUBLE)), 6) AS sim " +
+       "FROM embeddings a, embeddings b, range(1, 65) r(i) " +
+       "WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id GROUP BY 1, 2), " +
+       "fullTop AS (SELECT probe_id, nid FROM (SELECT probe_id, nid, " +
+       "row_number() OVER (PARTITION BY probe_id " +
+       "ORDER BY sim DESC, nid) AS rk FROM fullD) t WHERE rk <= 5), " +
+       "n16 AS (SELECT vec_id, sqrt(SUM(CAST(embedding[i] AS DOUBLE) * " +
+       "CAST(embedding[i] AS DOUBLE))) AS nrm " +
+       "FROM embeddings, range(1, 17) r(i) GROUP BY 1), " +
+       "truncD AS (SELECT a.vec_id AS probe_id, b.vec_id AS nid, " +
+       "round(SUM(CAST(CAST(CAST(a.embedding[i] AS DOUBLE) / na.nrm " +
+       "AS FLOAT) AS DOUBLE) * CAST(CAST(CAST(b.embedding[i] AS DOUBLE) " +
+       "/ nb.nrm AS FLOAT) AS DOUBLE)), 6) AS sim " +
+       "FROM embeddings a JOIN n16 na ON na.vec_id = a.vec_id, " +
+       "embeddings b JOIN n16 nb ON nb.vec_id = b.vec_id, " +
+       "range(1, 17) r(i) " +
+       "WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id GROUP BY 1, 2), " +
+       "truncTop AS (SELECT probe_id, nid FROM (SELECT probe_id, nid, " +
+       "row_number() OVER (PARTITION BY probe_id " +
+       "ORDER BY sim DESC, nid) AS rk FROM truncD) t WHERE rk <= 5), " +
+       "o AS (SELECT ft.probe_id, COUNT(*) AS c FROM fullTop ft " +
+       "JOIN truncTop tt ON tt.probe_id = ft.probe_id " +
+       "AND tt.nid = ft.nid GROUP BY 1) " +
+       "SELECT pr.probe_id, CAST(COALESCE(o.c, 0) AS BIGINT) AS n_overlap " +
+       "FROM (SELECT DISTINCT probe_id FROM fullTop) pr " +
+       "LEFT JOIN o USING (probe_id) ORDER BY probe_id"),
+    // signatures, Hamming cut, and rerank recomputed exhaustively
+    "x124_binary_quant" ->
+      ("WITH sig AS (SELECT vec_id, " +
+       "CAST(SUM(CASE WHEN embedding[i] > 0 THEN POWER(2, i - 1) " +
+       "ELSE 0 END) AS BIGINT) AS lo, " +
+       "CAST(SUM(CASE WHEN embedding[i + 32] > 0 THEN POWER(2, i - 1) " +
+       "ELSE 0 END) AS BIGINT) AS hi " +
+       "FROM embeddings, range(1, 33) r(i) GROUP BY 1), " +
+       "ham AS (SELECT p.vec_id AS probe_id, c.vec_id AS nid, " +
+       "bit_count(xor(p.lo, c.lo)) + bit_count(xor(p.hi, c.hi)) AS h " +
+       "FROM sig p JOIN sig c ON c.vec_id <> p.vec_id " +
+       "WHERE p.vec_id < 10), " +
+       "short AS (SELECT probe_id, nid FROM (SELECT probe_id, nid, " +
+       "row_number() OVER (PARTITION BY probe_id ORDER BY h, nid) AS rk " +
+       "FROM ham) t WHERE rk <= 20), " +
+       "rer AS (SELECT s.probe_id, s.nid AS neighbor_id, " +
+       "round(SUM(CAST(a.embedding[i] AS DOUBLE) * " +
+       "CAST(b.embedding[i] AS DOUBLE)), 6) AS sim " +
+       "FROM short s JOIN embeddings a ON a.vec_id = s.probe_id " +
+       "JOIN embeddings b ON b.vec_id = s.nid, range(1, 65) r(i) " +
+       "GROUP BY 1, 2) " +
+       "SELECT probe_id, neighbor_id, sim, rank FROM (SELECT *, " +
+       "CAST(row_number() OVER (PARTITION BY probe_id " +
+       "ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank FROM rer) t " +
+       "WHERE rank <= 5 ORDER BY probe_id, rank"),
     // decimal prefix sums exact; k·mean and the subtraction identical
     "x120_changepoint" ->
       ("WITH daily AS (SELECT event_type, " +

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.api.VectorPipeline
 import graft.operators.Extras11
 
 class Extras11Spec extends SparkSpec {
@@ -209,6 +210,44 @@ class Extras11Spec extends SparkSpec {
     assert(math.abs(ex.getDouble(1) - native.getDouble(0)) < 1e-6)
     assert(math.abs(ex.getDouble(2) - native.getDouble(1)) < 1e-6)
     assert(math.abs(ex.getDouble(3) - native.getDouble(2)) < 1e-6)
+  }
+
+  test("x123: matryoshka overlap counts bounded by k and a planted " +
+      "prefix-identical clone achieves full overlap") {
+    val got = graft.operators.Extras11.x123Matryoshka(spark, sf).collect()
+    assert(got.length == 10)
+    assert(got.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 5))
+    // truncation keeps SOME signal on unit-norm random vectors: the
+    // mean overlap must beat the random-chance expectation (~5*5/1999)
+    val mean = got.map(_.getLong(1)).sum.toDouble / got.length
+    assert(mean > 0.5, s"mean overlap $mean suspiciously low")
+  }
+
+  test("x124: binary signatures pack sign bits exactly and hamming " +
+      "rerank returns true top-k for a planted clone") {
+    import spark.implicits._
+    val vs = Seq(
+      (0L, Array.tabulate(64)(i => if (i % 3 == 0) 0.5f else -0.5f)),
+      (1L, Array.tabulate(64)(i => if (i % 3 == 0) 0.4f else -0.6f)),
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 0.5f else -0.5f)))
+      .toDF("vec_id", "embedding")
+    val sig = VectorPipeline.binarySignatures(vs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // driver-side bit pack
+    def pack(f: Int => Boolean, off: Int): Long =
+      (0 until 32).map(i => if (f(i + off)) 1L << i else 0L).reduce(_ | _)
+    assert(sig(0L) == ((pack(i => i % 3 == 0, 0), pack(i => i % 3 == 0, 32))))
+    assert(sig(0L) == sig(1L), "same signs -> same signature")
+    assert(sig(0L) != sig(2L))
+    // contract row: 5 ranked rows per probe, sims descending
+    val got = graft.operators.Extras11.x124BinaryQuant(spark, sf).collect()
+    assert(got.length == 50)
+    val byProbe = got.groupBy(_.getLong(0))
+    assert(byProbe.size == 10 && byProbe.values.forall(_.length == 5))
+    byProbe.values.foreach { rows =>
+      val sims = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
+    }
   }
 
   test("x119: survivors obey the rule (longest text, lowest id) within " +
