@@ -654,7 +654,109 @@ object Extras11 {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** X125 — token-level corpus drift (the data-drift report an ML-ops
+    * pipeline publishes on every corpus version bump): add-one-smoothed
+    * relative-frequency log-ratios per token between the current corpus
+    * and x78's release transform, top-20 by |shift|. Two token counts
+    * (one scan each), a vocabulary-sized full-outer merge, four scalar
+    * totals broadcast — nothing grows beyond the vocabulary. The whole
+    * score expression is one identically-spelled chain of IEEE ops on
+    * exact integers, rounded 6 dp. */
+  def x125TokenDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    def toks(df: DataFrame): DataFrame = df
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val oldT = toks(d).groupBy(col("tok")).agg(count(lit(1)).as("c_old"))
+    val newT = toks(d.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_new"))
+    val merged = oldT.join(newT, Seq("tok"), "full_outer")
+      .select(col("tok"), coalesce(col("c_old"), lit(0L)).as("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"))
+      .localCheckpoint(true)
+    val totals = merged.agg(sum(col("c_old")).as("t_old"),
+      sum(col("c_new")).as("t_new"), count(lit(1)).as("v"))
+    val score = log(
+      ((col("c_new") + 1).cast("double") / (col("t_new") + col("v")).cast("double")) /
+        ((col("c_old") + 1).cast("double") / (col("t_old") + col("v")).cast("double")))
+    merged.crossJoin(totals)
+      .select(col("tok"), col("c_old"), col("c_new"),
+        round(score, 6).as("log_ratio"))
+      .orderBy(abs(col("log_ratio")).desc, col("tok")).limit(20)
+  }
+
+  /** X126 — embedding centroid drift (x125's sibling in vector space):
+    * per label, the cosine between the centroids of the two corpus
+    * halves (vec_id parity — a deterministic stand-in for
+    * "yesterday's embeddings vs today's"). Centroids from exact
+    * DECIMAL per-dimension sums (order-independent) divided once;
+    * the 64-term cosine rounded 6 dp. A healthy re-embed shows ~1.0;
+    * an encoder regression shows up as a cosine dip per label — the
+    * one-table gate before swapping an embedding index. */
+  def x126EmbeddingDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val dims = Tables.embeddings(spark, sfDir)
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("half"), col("d"))
+      .agg((sum(col("x").cast("double").cast(DecimalType(28, 10)))
+        .cast("double") / count(lit(1))).as("m"),
+        count(lit(1)).as("n"))
+    val a = dims.filter(col("half") === 0)
+      .select(col("label"), col("d"), col("m").as("ma"), col("n").as("na"))
+    val b = dims.filter(col("half") === 1)
+      .select(col("label"), col("d"), col("m").as("mb"), col("n").as("nb"))
+    a.join(b, Seq("label", "d"))
+      .groupBy(col("label"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        round(sum(col("ma") * col("mb")) /
+          (sqrt(sum(col("ma") * col("ma"))) *
+            sqrt(sum(col("mb") * col("mb")))), 6).as("centroid_cos"))
+      .orderBy(col("label"))
+  }
+
+  /** X127 — exact two-sample Kolmogorov–Smirnov statistic (the
+    * distribution-level test beside x99's mean-level Welch t): click
+    * vs view value distributions, D = max |F̂_a − F̂_b| computed in
+    * EXACT INTEGER arithmetic — the max of |cumA·nB − cumB·nA| over
+    * the pooled support, divided once at the end — so the statistic
+    * is bitwise reproducible (no float CDF accumulation anywhere).
+    * The two cumulative counts run through [[Extras10.distributedCumSum]]
+    * (w16's machinery): value-keyed range partitions, NO global
+    * single-partition window in the plan. */
+  def x127KsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.eventsUs(spark, sfDir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("a_cnt"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+        .as("b_cnt"))
+      .localCheckpoint(true)
+    val ca = Extras10.distributedCumSum(g, col("value"),
+        col("a_cnt").cast(DecimalType(18, 0)), 8)
+      .select(col("k"), col("cum").cast("long").as("ca"))
+    val cb = Extras10.distributedCumSum(g, col("value"),
+        col("b_cnt").cast(DecimalType(18, 0)), 8)
+      .select(col("k").as("k2"), col("cum").cast("long").as("cb"))
+    val totals = g.agg(sum(col("a_cnt")).as("n_a"),
+      sum(col("b_cnt")).as("n_b"))
+    ca.join(cb, col("k") === col("k2")).crossJoin(totals)
+      .select((abs(col("ca") * col("n_b") - col("cb") * col("n_a")))
+        .as("dn"), col("n_a"), col("n_b"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("dn")).as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        round(col("d_num").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("d_stat"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x125_token_drift" -> (x125TokenDrift _),
+    "x126_embedding_drift" -> (x126EmbeddingDrift _),
+    "x127_ks_test" -> (x127KsTest _),
     "x123_matryoshka" -> (x123Matryoshka _),
     "x124_binary_quant" -> (x124BinaryQuant _),
     "x120_changepoint" -> (x120Changepoint _),
@@ -711,6 +813,58 @@ object Extras11 {
        "JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b) AS BIGINT) AS n_triangles) " +
        "SELECT n_nodes, n_edges, n_wedges, n_triangles, " +
        "round(3.0 * n_triangles / n_wedges, 6) AS clustering_coef FROM agg"),
+    // same token split, same smoothing chain, same rounding
+    "x125_token_drift" ->
+      ("WITH oldt AS (SELECT t.tok, COUNT(*) AS c_old FROM documents d, " +
+       "unnest(string_split(lower(d.text), ' ')) AS t(tok) " +
+       "WHERE length(t.tok) > 0 GROUP BY 1), " +
+       "newt AS (SELECT t.tok, COUNT(*) AS c_new FROM " +
+       "(SELECT CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END " +
+       "AS text FROM documents WHERE doc_id % 11 <> 0) d, " +
+       "unnest(string_split(lower(d.text), ' ')) AS t(tok) " +
+       "WHERE length(t.tok) > 0 GROUP BY 1), " +
+       "m AS (SELECT COALESCE(o.tok, n.tok) AS tok, " +
+       "COALESCE(c_old, 0) AS c_old, COALESCE(c_new, 0) AS c_new " +
+       "FROM oldt o FULL OUTER JOIN newt n ON o.tok = n.tok), " +
+       "tt AS (SELECT CAST(SUM(c_old) AS BIGINT) AS t_old, " +
+       "CAST(SUM(c_new) AS BIGINT) AS t_new, " +
+       "CAST(COUNT(*) AS BIGINT) AS v FROM m) " +
+       "SELECT tok, CAST(c_old AS BIGINT) AS c_old, " +
+       "CAST(c_new AS BIGINT) AS c_new, " +
+       "round(ln((CAST(c_new + 1 AS DOUBLE) / CAST(t_new + v AS DOUBLE)) / " +
+       "(CAST(c_old + 1 AS DOUBLE) / CAST(t_old + v AS DOUBLE))), 6) " +
+       "AS log_ratio FROM m CROSS JOIN tt " +
+       "ORDER BY abs(round(ln((CAST(c_new + 1 AS DOUBLE) / " +
+       "CAST(t_new + v AS DOUBLE)) / (CAST(c_old + 1 AS DOUBLE) / " +
+       "CAST(t_old + v AS DOUBLE))), 6)) DESC, tok LIMIT 20"),
+    // same decimal per-dimension means, same 64-term cosine
+    "x126_embedding_drift" ->
+      ("WITH dims AS (SELECT label, vec_id % 2 AS half, i AS d, " +
+       "CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,10))) " +
+       "AS DOUBLE) / COUNT(*) AS m, COUNT(*) AS n " +
+       "FROM embeddings, range(1, 65) r(i) GROUP BY 1, 2, 3) " +
+       "SELECT a.label, CAST(MAX(a.n) AS BIGINT) AS n_a, " +
+       "CAST(MAX(b.n) AS BIGINT) AS n_b, " +
+       "round(SUM(a.m * b.m) / (sqrt(SUM(a.m * a.m)) * " +
+       "sqrt(SUM(b.m * b.m))), 6) AS centroid_cos " +
+       "FROM dims a JOIN dims b ON a.label = b.label AND a.d = b.d " +
+       "AND a.half = 0 AND b.half = 1 " +
+       "GROUP BY a.label ORDER BY a.label"),
+    // exact integer D: max |cumA*nB - cumB*nA| over the pooled support
+    "x127_ks_test" ->
+      ("WITH g AS (SELECT value, " +
+       "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a_cnt, " +
+       "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b_cnt " +
+       "FROM events WHERE event_type IN ('click', 'view') GROUP BY 1), " +
+       "c AS (SELECT value, SUM(a_cnt) OVER (ORDER BY value) AS ca, " +
+       "SUM(b_cnt) OVER (ORDER BY value) AS cb FROM g), " +
+       "t AS (SELECT CAST(SUM(a_cnt) AS BIGINT) AS n_a, " +
+       "CAST(SUM(b_cnt) AS BIGINT) AS n_b FROM g) " +
+       "SELECT n_a, n_b, " +
+       "CAST(MAX(abs(ca * n_b - cb * n_a)) AS BIGINT) AS d_num, " +
+       "round(CAST(MAX(abs(ca * n_b - cb * n_a)) AS DOUBLE) / " +
+       "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d_stat " +
+       "FROM c CROSS JOIN t GROUP BY n_a, n_b"),
     // both top-5s recomputed exhaustively; truncated sims mirror the
     // float-cast renormalization element by element
     "x123_matryoshka" ->

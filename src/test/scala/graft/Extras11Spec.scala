@@ -250,6 +250,44 @@ class Extras11Spec extends SparkSpec {
     }
   }
 
+  test("x125/x126/x127: drift and KS readouts verified against " +
+      "independent recomputes") {
+    // x125: the planted ' v2' suffix introduces a token absent from the
+    // old snapshot -> maximal positive shift, first row
+    val drift = Extras11.x125TokenDrift(spark, sf).collect()
+    assert(drift.length <= 20 && drift.nonEmpty)
+    val v2 = drift.find(_.getString(0) == "v2")
+    assert(v2.isDefined && v2.get.getLong(1) == 0L && v2.get.getLong(2) > 0L)
+    val absScores = drift.map(r => math.abs(r.getDouble(3)))
+    assert(absScores.sameElements(absScores.sorted(Ordering[Double].reverse)))
+    // x126: cosines bounded; half counts partition each label
+    val ed = Extras11.x126EmbeddingDrift(spark, sf).collect()
+    assert(ed.nonEmpty)
+    assert(ed.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+    val labelTotals = Tables.embeddings(spark, sf)
+      .groupBy(col("label")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    ed.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == labelTotals(r.getInt(0)))
+    }
+    // x127: D matches a driver-side exact KS computation
+    val ks = Extras11.x127KsTest(spark, sf).collect()(0)
+    val vals = Tables.eventsUs(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val a = vals.filter(_._1 == "click").map(_._2).sorted
+    val b = vals.filter(_._1 == "view").map(_._2).sorted
+    val support = (a ++ b).distinct.sorted
+    val dNum = support.map { v =>
+      val ca = a.count(_ <= v).toLong
+      val cb = b.count(_ <= v).toLong
+      math.abs(ca * b.length.toLong - cb * a.length.toLong)
+    }.max
+    assert(ks.getLong(0) == a.length.toLong && ks.getLong(1) == b.length.toLong)
+    assert(ks.getLong(2) == dNum)
+  }
+
   test("x119: survivors obey the rule (longest text, lowest id) within " +
       "each cluster and single-member clusters are excluded") {
     val got = graft.operators.Extras11.x119GoldenRecord(spark, sf).collect()
