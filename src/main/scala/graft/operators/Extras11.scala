@@ -162,7 +162,11 @@ object Extras11 {
       .select(col("i"), col("xs"), posexplode(col("ns")).as(Seq("j", "ys")))
       .filter(col("j") > col("i"))
       .select(col("xs.v").as("x"), col("ys.v").as("y"))
-    val tri = w.join(o.as("e3"),
+    // SHUFFLE_HASH on the edge side (the sql38 lever): the wedge side
+    // is ~Σ outdeg² rows — sorting it for a merge join is the plan's
+    // real cost; hashing the (much smaller) edge side per partition
+    // streams the wedges through unsorted
+    val tri = w.join(o.as("e3").hint("shuffle_hash"),
         col("x") === col("e3.src") && col("y") === col("e3.dst"))
       .agg(count(lit(1)).as("n_triangles"))
     nNodes.crossJoin(nEdges).crossJoin(wedges).crossJoin(tri)
