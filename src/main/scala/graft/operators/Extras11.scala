@@ -789,7 +789,80 @@ object Extras11 {
     } finally { s.sql("DROP DATABASE IF EXISTS graft_db CASCADE"): Unit }
   }
 
+  /** J14 — AQE runtime skew-join remediation (the AUTOMATIC tier above
+    * x28's manual salting): a fact table with one planted hot customer
+    * (two thirds of all rows) merge-joined to customer under AQE with the
+    * skew thresholds sized to this corpus — the runtime splits the hot
+    * partition into multiple tasks (spec pins `isSkewJoin`) while the
+    * RESULT stays exactly the oracle's aggregate. The conf dance
+    * (thresholds + broadcast disabled to keep an SMJ) is saved and
+    * restored; on a real cluster the defaults (256 MB) do the same job
+    * without tuning. This is the lever that turns a 4-hour straggler
+    * stage into even tasks at 100 TB — exercised, not just cited. */
+  def j14AqeSkewJoin(spark: SparkSession, sfDir: String): DataFrame =
+    withSkewConfs(spark) { skewedFactAgg(spark, sfDir) }
+
+  private[graft] def withSkewConfs[T](spark: SparkSession)(f: => T): T = {
+    val keep = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      "spark.sql.files.maxPartitionBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1k")
+    // the planted 33% hot bucket is ~3x the median, not the default 5x
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2k")
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    // the 1 MB default FLOORS the split target — at corpus scale no
+    // sub-MB partition could ever be "skewed" (found via the rule's
+    // debug sizes: max 112 KB vs an actual target clamped to 1 MB)
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
+    // skew splits are MAPPER-granular (PartialReducerPartitionSpec
+    // ranges over map indexes): a single-split scan has one mapper and
+    // nothing to split, so force many map tasks at corpus scale
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "64k")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f
+    finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** The skewed join itself (split out so the spec can inspect its
+    * executed plan under [[withSkewConfs]]): the planted fact keys 30%
+    * of its rows to ONE customer. */
+  private[graft] def skewedFactAgg(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // plant the hot key: every o_orderkey % 3 != 0 order re-keyed to
+    // customer 1 — a deterministic 67% hot bucket (the repeated key
+    // compresses well in the shuffle stream, so a milder plant stays
+    // under the byte-based skew test — measured)
+    // many MAP tasks for the join shuffle: skew splits are mapper-
+    // granular, and this corpus's single-row-group parquet collapses
+    // the scan to one mapper (at 100 TB the scan has thousands); the
+    // round-robin repartition restores the condition the feature needs
+    val fact = o.repartition(16).withColumn("cust",
+      when(col("o_orderkey") % 3 =!= 0, lit(1L)).otherwise(col("o_custkey")))
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    fact.join(c.hint("merge"), col("cust") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(Det.Money)).cast("double").as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j14_aqe_skew_join" -> (j14AqeSkewJoin _),
     "sql42_catalog_ddl" -> (sql42CatalogDdl _),
     "x125_token_drift" -> (x125TokenDrift _),
     "x126_embedding_drift" -> (x126EmbeddingDrift _),
@@ -850,6 +923,13 @@ object Extras11 {
        "JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b) AS BIGINT) AS n_triangles) " +
        "SELECT n_nodes, n_edges, n_wedges, n_triangles, " +
        "round(3.0 * n_triangles / n_wedges, 6) AS clustering_coef FROM agg"),
+    // the re-keyed join recomputed; skew handling must be value-neutral
+    "j14_aqe_skew_join" ->
+      ("SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
+       "FROM orders o JOIN customer c ON c.c_custkey = " +
+       "(CASE WHEN o.o_orderkey % 3 <> 0 THEN 1 ELSE o.o_custkey END) " +
+       "GROUP BY 1 ORDER BY c_mktsegment"),
     // listing claims + the round-tripped count off the base table
     "sql42_catalog_ddl" ->
       ("SELECT TRUE AS db_listed, TRUE AS table_listed, " +

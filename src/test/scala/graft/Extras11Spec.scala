@@ -250,6 +250,31 @@ class Extras11Spec extends SparkSpec {
     }
   }
 
+  test("j14: AQE really splits the planted hot partition (isSkewJoin) " +
+      "and the result equals the plain-join recompute") {
+    // sf0.01: the planted partition must clear the byte threshold the
+    // contract row sets (sf0.001 shuffles are too small to be "skewed")
+    val sfSkew = "/root/testdata/sf0.01"
+    Extras11.withSkewConfs(spark) {
+      val agg = Extras11.skewedFactAgg(spark, sfSkew)
+      val rows = agg.collect()   // materialize so AQE finalizes the plan
+      val planStr = agg.queryExecution.executedPlan.toString
+      assert(planStr.contains("skew=true") || planStr.contains("isSkewJoin"),
+        s"expected a skew-handled SortMergeJoin in:\n${planStr.take(2000)}")
+      val direct = Tables.orders(spark, sfSkew)
+        .select(when(col("o_orderkey") % 3 =!= 0, lit(1L))
+          .otherwise(col("o_custkey")).as("cust"), col("o_totalprice"))
+        .join(Tables.customer(spark, sfSkew)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("cust") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(Det.Money)).cast("double").as("total"))
+        .orderBy(col("c_mktsegment")).collect()
+      assert(rows.toSeq == direct.toSeq)
+    }
+  }
+
   test("x125/x126/x127: drift and KS readouts verified against " +
       "independent recomputes") {
     // x125: the planted ' v2' suffix introduces a token absent from the
