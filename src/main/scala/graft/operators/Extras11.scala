@@ -861,7 +861,31 @@ object Extras11 {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** X128 — nDCG@5 of the binary-quant retrieval (Järvelin &
+    * Kekäläinen 2002, the ranking-quality metric every retrieval eval
+    * reports): graded relevance = exact cosine, DCG over x124's ranked
+    * list, ideal DCG from the exact top-5 (the memoized l3 frame), per
+    * probe. The eval rides entirely on already-built frames — the
+    * metric costs two 5-row-per-probe aggregates and a probe-sized
+    * join. nDCG < 1 exactly where the Hamming shortlist reordered or
+    * missed a true neighbor, so this row QUANTIFIES x124's quality
+    * instead of just bounding it. */
+  def x128Ndcg(spark: SparkSession, sfDir: String): DataFrame = {
+    val retr = x124BinaryQuant(spark, sfDir)
+    val ex = SimSearch.exactTopK(spark, sfDir)
+    val dcg = retr.groupBy(col("probe_id"))
+      .agg(round(sum(col("sim") / log2(col("rank") + 1)), 6).as("dcg"))
+    val idcg = ex.filter(col("rank") <= 5)
+      .groupBy(col("probe_id").as("p2"))
+      .agg(round(sum(col("sim") / log2(col("rank") + 1)), 6).as("idcg"))
+    dcg.join(idcg, col("probe_id") === col("p2"))
+      .select(col("probe_id"), col("dcg"), col("idcg"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+      .orderBy(col("probe_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x128_ndcg" -> (x128Ndcg _),
     "j14_aqe_skew_join" -> (j14AqeSkewJoin _),
     "sql42_catalog_ddl" -> (sql42CatalogDdl _),
     "x125_token_drift" -> (x125TokenDrift _),
@@ -894,6 +918,33 @@ object Extras11 {
     "CAST(0.85 AS DOUBLE) * CAST(SUM(CAST(round(rank / deg, 10) " +
     s"AS DECIMAL(28,15))) AS DOUBLE) AS rank FROM ed JOIN $prev " +
     s"ON ed.a = $prev.node GROUP BY b)"
+
+  /** The x124 oracle's shared CTE chain (signatures → hamming →
+    * shortlist → rerank → `retr`), reused verbatim by x128's nDCG. */
+  private val BinaryQuantCte: String =
+    "sig AS (SELECT vec_id, " +
+    "CAST(SUM(CASE WHEN embedding[i] > 0 THEN POWER(2, i - 1) " +
+    "ELSE 0 END) AS BIGINT) AS lo, " +
+    "CAST(SUM(CASE WHEN embedding[i + 32] > 0 THEN POWER(2, i - 1) " +
+    "ELSE 0 END) AS BIGINT) AS hi " +
+    "FROM embeddings, range(1, 33) r(i) GROUP BY 1), " +
+    "ham AS (SELECT p.vec_id AS probe_id, c.vec_id AS nid, " +
+    "bit_count(xor(p.lo, c.lo)) + bit_count(xor(p.hi, c.hi)) AS h " +
+    "FROM sig p JOIN sig c ON c.vec_id <> p.vec_id " +
+    "WHERE p.vec_id < 10), " +
+    "short AS (SELECT probe_id, nid FROM (SELECT probe_id, nid, " +
+    "row_number() OVER (PARTITION BY probe_id ORDER BY h, nid) AS rk " +
+    "FROM ham) t WHERE rk <= 20), " +
+    "rer AS (SELECT s.probe_id, s.nid AS neighbor_id, " +
+    "round(SUM(CAST(a.embedding[i] AS DOUBLE) * " +
+    "CAST(b.embedding[i] AS DOUBLE)), 6) AS sim " +
+    "FROM short s JOIN embeddings a ON a.vec_id = s.probe_id " +
+    "JOIN embeddings b ON b.vec_id = s.nid, range(1, 65) r(i) " +
+    "GROUP BY 1, 2), " +
+    "retr AS (SELECT probe_id, neighbor_id, sim, rank FROM (SELECT *, " +
+    "CAST(row_number() OVER (PARTITION BY probe_id " +
+    "ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank FROM rer) t " +
+    "WHERE rank <= 5)"
 
   val oracles: Map[String, String] = Map(
     // the same five iterations unrolled as CTEs, same rounding/decimal
@@ -1020,29 +1071,27 @@ object Extras11 {
        "LEFT JOIN o USING (probe_id) ORDER BY probe_id"),
     // signatures, Hamming cut, and rerank recomputed exhaustively
     "x124_binary_quant" ->
-      ("WITH sig AS (SELECT vec_id, " +
-       "CAST(SUM(CASE WHEN embedding[i] > 0 THEN POWER(2, i - 1) " +
-       "ELSE 0 END) AS BIGINT) AS lo, " +
-       "CAST(SUM(CASE WHEN embedding[i + 32] > 0 THEN POWER(2, i - 1) " +
-       "ELSE 0 END) AS BIGINT) AS hi " +
-       "FROM embeddings, range(1, 33) r(i) GROUP BY 1), " +
-       "ham AS (SELECT p.vec_id AS probe_id, c.vec_id AS nid, " +
-       "bit_count(xor(p.lo, c.lo)) + bit_count(xor(p.hi, c.hi)) AS h " +
-       "FROM sig p JOIN sig c ON c.vec_id <> p.vec_id " +
-       "WHERE p.vec_id < 10), " +
-       "short AS (SELECT probe_id, nid FROM (SELECT probe_id, nid, " +
-       "row_number() OVER (PARTITION BY probe_id ORDER BY h, nid) AS rk " +
-       "FROM ham) t WHERE rk <= 20), " +
-       "rer AS (SELECT s.probe_id, s.nid AS neighbor_id, " +
+      ("WITH " + BinaryQuantCte +
+       " SELECT probe_id, neighbor_id, sim, rank FROM retr " +
+       "ORDER BY probe_id, rank"),
+    // the retrieval chain + the exact chain + identically-spelled DCGs
+    "x128_ndcg" ->
+      ("WITH " + BinaryQuantCte + ", " +
+       "exd AS (SELECT a.vec_id AS probe_id, b.vec_id AS nid, " +
        "round(SUM(CAST(a.embedding[i] AS DOUBLE) * " +
        "CAST(b.embedding[i] AS DOUBLE)), 6) AS sim " +
-       "FROM short s JOIN embeddings a ON a.vec_id = s.probe_id " +
-       "JOIN embeddings b ON b.vec_id = s.nid, range(1, 65) r(i) " +
-       "GROUP BY 1, 2) " +
-       "SELECT probe_id, neighbor_id, sim, rank FROM (SELECT *, " +
-       "CAST(row_number() OVER (PARTITION BY probe_id " +
-       "ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank FROM rer) t " +
-       "WHERE rank <= 5 ORDER BY probe_id, rank"),
+       "FROM embeddings a, embeddings b, range(1, 65) r(i) " +
+       "WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id GROUP BY 1, 2), " +
+       "ex AS (SELECT probe_id, sim, rk FROM (SELECT probe_id, nid, sim, " +
+       "row_number() OVER (PARTITION BY probe_id " +
+       "ORDER BY sim DESC, nid) AS rk FROM exd) t WHERE rk <= 5), " +
+       "dcg AS (SELECT probe_id, round(SUM(sim / log2(rank + 1)), 6) " +
+       "AS dcg FROM retr GROUP BY 1), " +
+       "idcg AS (SELECT probe_id, round(SUM(sim / log2(rk + 1)), 6) " +
+       "AS idcg FROM ex GROUP BY 1) " +
+       "SELECT dcg.probe_id, dcg, idcg, round(dcg / idcg, 6) AS ndcg " +
+       "FROM dcg JOIN idcg ON idcg.probe_id = dcg.probe_id " +
+       "ORDER BY dcg.probe_id"),
     // decimal prefix sums exact; k·mean and the subtraction identical
     "x120_changepoint" ->
       ("WITH daily AS (SELECT event_type, " +

@@ -275,6 +275,35 @@ class Extras11Spec extends SparkSpec {
     }
   }
 
+  test("x128: nDCG bounded by 1, exactly 1 iff the retrieval equals the " +
+      "ideal ranking, and matches a driver-side recompute") {
+    val got = Extras11.x128Ndcg(spark, sf).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      assert(r.getDouble(3) <= 1.0 && r.getDouble(3) > 0.0)
+      assert(r.getDouble(1) <= r.getDouble(2) + 1e-9, "DCG <= IDCG")
+    }
+    // driver-side recompute from the two frames
+    def byProbe(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("rank"),
+        r.getAs[Double]("sim"))).groupBy(_._1)
+    val retr = byProbe(Extras11.x124BinaryQuant(spark, sf))
+    val ex = byProbe(graft.operators.SimSearch.exactTopK(spark, sf)
+      .filter(col("rank") <= 5))
+    def dcg6(rows: Array[(Long, Long, Double)]): Double =
+      BigDecimal(rows.map { case (_, rk, s) =>
+        s / (math.log(rk + 1.0) / math.log(2.0)) }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { r =>
+      val p = r.getLong(0)
+      val d = dcg6(retr(p)); val i = dcg6(ex(p))
+      assert(r.getDouble(1) == d && r.getDouble(2) == i, s"probe $p")
+      val nd = BigDecimal(d / i)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == nd)
+    }
+  }
+
   test("x125/x126/x127: drift and KS readouts verified against " +
       "independent recomputes") {
     // x125: the planted ' v2' suffix introduces a token absent from the
