@@ -1247,7 +1247,49 @@ object Streams {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** ST24 — stream-stream JOIN chained into a windowed AGGREGATE (the
+    * one stateful composition the suite lacked: st17 chains agg→agg;
+    * this chains join-state→agg-state): per-user click→purchase pairs
+    * within one hour (st8's join), rolled up to hourly pair counts and
+    * decimal revenue in APPEND mode. The watermark propagates THROUGH
+    * the join (the joined rows carry `p_ts`'s watermark), so window
+    * closure downstream is driven by the same two-sentinel ladder that
+    * flushes the join state ([[stageOuterSplit]]'s design: eviction in
+    * batch N uses batch N−1's watermark). Sentinel hours close past the
+    * real feed and are dropped batch-side post-sink (the st17 rule:
+    * never filter sentinels inside the streaming query). */
+  def st24JoinThenAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageOuterSplit(spark, sfDir)
+    val schema = Tables.events(spark, sfDir).schema
+    def src = Tables.tune(spark).readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_t").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_t").as("p_ts"),
+        col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val hourly = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(window(col("p_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("value").cast(graft.Det.Money)).as("rev"))
+    val maxUs = Tables.eventsUs(spark, sfDir)
+      .agg(max(col("ts"))).collect()(0).getLong(0)
+    val cutSec = (maxUs / 3600000000L) * 3600L
+    runToTable(spark, hourly, OutputMode.Append())
+      .select(unix_timestamp(col("window.start")).as("hour_start"),
+        col("n_pairs"), col("rev").cast("double").as("revenue"))
+      .filter(col("hour_start") <= cutSec)
+      .orderBy(col("hour_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st24_join_then_agg" -> (st24JoinThenAgg _),
     "st23_checkpoint_recovery" -> (st23CheckpointRecovery _),
     "st22_stream_dim_refresh" -> (st22StreamDimRefresh _),
     "st21_stream_upsert" -> (st21StreamUpsert _),
@@ -1274,6 +1316,20 @@ object Streams {
     "st18_update_mode" -> (st18UpdateMode _))
 
   val oracles: Map[String, String] = Map(
+    // the joined pairs and hourly rollup recomputed in batch; the
+    // streaming chain must equal it exactly
+    "st24_join_then_agg" ->
+      ("WITH c AS (SELECT user_id, epoch_us(ts) AS ct FROM events " +
+       "WHERE event_type = 'click'), " +
+       "p AS (SELECT user_id, epoch_us(ts) AS pt, value FROM events " +
+       "WHERE event_type = 'purchase'), " +
+       "j AS (SELECT p.pt, p.value FROM c JOIN p " +
+       "ON p.user_id = c.user_id AND p.pt >= c.ct " +
+       "AND p.pt <= c.ct + 3600000000) " +
+       "SELECT (pt // 3600000000) * 3600 AS hour_start, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+       "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+       "FROM j GROUP BY 1 ORDER BY hour_start"),
     // the uninterrupted batch aggregate over ALL events — equality
     // with the restarted query's state IS the recovery proof
     "st23_checkpoint_recovery" ->

@@ -532,6 +532,24 @@ class StreamsSpec extends SparkSpec {
     assert(gotMap == batch && gotMap.nonEmpty)
   }
 
+  test("st24 join→agg chain: streaming hourly rollup equals the batch " +
+      "join + aggregate") {
+    val got = Streams.st24JoinThenAgg(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ev = Tables.eventsUs(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("ct"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pt"), col("value"))
+    val batch = c.join(p, col("cu") === col("pu") &&
+        col("pt") >= col("ct") && col("pt") <= col("ct") + 3600000000L)
+      .groupBy((expr("pt div 3600000000") * 3600L).as("hour_start"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(Det.Money)).cast("double").as("rev"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == batch && got.nonEmpty)
+  }
+
   test("st6 stateful: final state equals batch aggregate") {
     val st = Streams.st6Stateful(spark, sf).collect()
       .map(r => r.getAs[Long]("user_id") ->
