@@ -800,7 +800,10 @@ object Extras11 {
     * without tuning. This is the lever that turns a 4-hour straggler
     * stage into even tasks at 100 TB — exercised, not just cited. */
   def j14AqeSkewJoin(spark: SparkSession, sfDir: String): DataFrame =
-    withSkewConfs(spark) { skewedFactAgg(spark, sfDir) }
+    // materialize INSIDE the conf window: confs are read at execution,
+    // not plan construction — returning the lazy frame would run the
+    // join after the finally-restore, silently skipping the skew path
+    withSkewConfs(spark) { skewedFactAgg(spark, sfDir).localCheckpoint(true) }
 
   private[graft] def withSkewConfs[T](spark: SparkSession)(f: => T): T = {
     val keep = Seq(
