@@ -887,7 +887,26 @@ object Extras11 {
       .orderBy(col("probe_id"))
   }
 
+  /** F24 — regex extraction family (the §2.7 surface f1/f15 didn't
+    * reach): `regexp_extract_all` (array result), match counting, and
+    * a bounded joined preview per document — the crawl-cleaning
+    * primitives (strip boilerplate tokens, count pattern hits) every
+    * text pipeline leans on. One projection pass over a bounded id
+    * window; both engines run the same RE2-class pattern. */
+  def f24RegexFamily(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-z]{5,}"), lit(0)))
+          .cast("long").as("n_long_words"),
+        regexp_extract(col("text"), "([a-z]{5,})", 1).as("first_long"),
+        concat_ws(",", slice(
+          regexp_extract_all(col("text"), lit("[a-z]{5,}"), lit(0)), 1, 3))
+          .as("first3"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f24_regex_family" -> (f24RegexFamily _),
     "x128_ndcg" -> (x128Ndcg _),
     "j14_aqe_skew_join" -> (j14AqeSkewJoin _),
     "sql42_catalog_ddl" -> (sql42CatalogDdl _),
@@ -977,6 +996,16 @@ object Extras11 {
        "JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b) AS BIGINT) AS n_triangles) " +
        "SELECT n_nodes, n_edges, n_wedges, n_triangles, " +
        "round(3.0 * n_triangles / n_wedges, 6) AS clustering_coef FROM agg"),
+    // same RE2-class pattern, same extraction semantics
+    "f24_regex_family" ->
+      ("SELECT doc_id, " +
+       "CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS BIGINT) " +
+       "AS n_long_words, " +
+       "COALESCE(regexp_extract(text, '([a-z]{5,})', 1), '') " +
+       "AS first_long, " +
+       "array_to_string(list_slice(" +
+       "regexp_extract_all(text, '[a-z]{5,}'), 1, 3), ',') AS first3 " +
+       "FROM documents WHERE doc_id < 50 ORDER BY doc_id"),
     // the re-keyed join recomputed; skew handling must be value-neutral
     "j14_aqe_skew_join" ->
       ("SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, " +
