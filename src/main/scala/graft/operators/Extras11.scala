@@ -905,7 +905,127 @@ object Extras11 {
           .as("first3"))
       .orderBy(col("doc_id"))
 
+  /** X129 — exact Mann–Whitney U (rank-sum; x127's KS sibling — the
+    * nonparametric location test): click vs view values with MIDRANKS
+    * kept in EXACT INTEGER arithmetic via doubled ranks (a tie group
+    * spanning (prev, prev+t] contributes 2·midrank = 2·prev + t + 1
+    * per member — never a .5), so U is bitwise-exact; the normal
+    * approximation z applies the standard tie correction Σ(t³−t) in
+    * one identically-spelled double expression. The pooled-value
+    * cumulative runs through [[Extras10.distributedCumSum]] — no
+    * global window. */
+  def x129MannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.eventsUs(spark, sfDir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("a_cnt"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+        .as("b_cnt"))
+      .withColumn("tot", col("a_cnt") + col("b_cnt"))
+      .localCheckpoint(true)
+    val cum = Extras10.distributedCumSum(g.select(col("value"), col("tot")),
+        col("value"), col("tot").cast(DecimalType(18, 0)), 8)
+      .select(col("k").as("value"), col("cum").cast("long").as("cum_tot"))
+    val terms = g.join(cum, "value")
+      .select(col("a_cnt"), col("tot"),
+        (col("a_cnt") *
+          (lit(2L) * (col("cum_tot") - col("tot")) + col("tot") + 1L))
+          .as("r2_term"),
+        (col("tot") * col("tot") * col("tot") - col("tot")).as("tie_term"))
+    val s = terms.agg(sum(col("r2_term")).as("r1_2"),
+      sum(col("tie_term")).as("ties"))
+    val totals = g.agg(sum(col("a_cnt")).as("n_a"),
+      sum(col("b_cnt")).as("n_b"))
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val n = nA + nB
+    val u2a = lit(2L) * col("n_a") * col("n_b") +
+      col("n_a") * (col("n_a") + 1L) - col("r1_2")
+    s.crossJoin(totals)
+      .withColumn("u2_a", u2a)
+      .select(col("n_a"), col("n_b"), col("u2_a"),
+        round((col("u2_a").cast("double") / 2.0 - nA * nB / 2.0) /
+          sqrt(nA * nB / 12.0 *
+            ((n + 1.0) - col("ties").cast("double") / (n * (n - 1.0)))),
+          6).as("z"))
+  }
+
+  /** X130 — Poisson-bootstrap confidence interval (Chamandy et al.,
+    * Google 2012 — THE distributed bootstrap: per-(row, replicate)
+    * Poisson(1) weights approximate multinomial resampling without any
+    * global coordination): B = 100 replicates of the mean event value,
+    * weights drawn DETERMINISTICALLY by inverse-CDF on the
+    * (event_id, replicate) md5 uniform, replicate means from exact
+    * decimal weighted sums, the 95% CI as exact interpolated
+    * percentiles over the 100 means (a17's proven quantile surface).
+    * One explode + one grouped aggregate: rows × 100 map-side, 100
+    * groups out — scan-bound at any scale, zero collect. */
+  def x130Bootstrap(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = (Det.md5Bucket(concat(col("event_id").cast("string"),
+      lit(":"), col("b").cast("string")), 13).cast("double") + lit(0.5)) /
+      lit(math.pow(16.0, 13))
+    // Poisson(1) inverse CDF, cumulative probabilities spelled as the
+    // same double literals in both engines
+    val w = when(u < 0.3678794411714423, 0L)
+      .when(u < 0.7357588823428846, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238462, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .when(u < 0.9994058151824183, 5L)
+      .when(u < 0.9999167588507119, 6L)
+      .otherwise(7L)
+    val means = Tables.eventsUs(spark, sfDir)
+      .select(col("event_id"), col("value"),
+        explode(sequence(lit(0), lit(99))).as("b"))
+      .withColumn("w", w)
+      .groupBy(col("b"))
+      .agg((sum(col("w") * col("value").cast(Det.Money)).cast("double") /
+        sum(col("w")).cast("double")).as("m"))
+      .select(col("b"), round(col("m"), 6).as("m"))
+    means.agg(count(lit(1)).as("n_replicates"),
+      round(percentile(col("m"), lit(0.025)), 6).as("lo95"),
+      round(percentile(col("m"), lit(0.975)), 6).as("hi95"),
+      round((sum(col("m").cast(Det.Money6)).cast("double") /
+        count(lit(1))), 6).as("mean_of_means"))
+  }
+
+  /** S28 — compression-codec matrix (the storage knob a 100 TB lake
+    * actually budgets with): the same projection written as parquet
+    * under snappy / zstd / gzip, each read back and aggregated — codec
+    * choice must be value-neutral (the oracle recomputes from the base
+    * table per codec), and the staged files must really carry the
+    * codec (extension check emitted as data, so a silently-ignored
+    * option would flip a claim, not pass). */
+  def s28CodecMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val base = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 40.0)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val root = Tables.scratchDir("s28_codec", sfDir)
+    val rows = Seq("snappy", "zstd", "gzip").map { codec =>
+      val dir = s"$root/$codec"
+      base.write.mode("overwrite").option("compression", codec)
+        .parquet(dir)
+      // parquet names gzip parts ".gz.parquet" (codec short name)
+      val ext = if (codec == "gzip") ".gz." else s".$codec."
+      val tagged = new java.io.File(dir).listFiles()
+        .exists(_.getName.contains(ext))
+      val agg = s.read.parquet(dir)
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(Det.Money)).cast("double")
+            .as("total")).collect()(0)
+      (codec, agg.getLong(0), agg.getDouble(1), tagged)
+    }
+    import s.implicits._
+    rows.toDF("codec", "n", "total", "codec_tagged")
+      .orderBy(col("codec"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x129_mannwhitney" -> (x129MannWhitney _),
+    "x130_bootstrap" -> (x130Bootstrap _),
+    "s28_codec_matrix" -> (s28CodecMatrix _),
     "f24_regex_family" -> (f24RegexFamily _),
     "x128_ndcg" -> (x128Ndcg _),
     "j14_aqe_skew_join" -> (j14AqeSkewJoin _),
@@ -996,6 +1116,61 @@ object Extras11 {
        "JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b) AS BIGINT) AS n_triangles) " +
        "SELECT n_nodes, n_edges, n_wedges, n_triangles, " +
        "round(3.0 * n_triangles / n_wedges, 6) AS clustering_coef FROM agg"),
+    // exact doubled-rank arithmetic, same tie-corrected z spelling
+    "x129_mannwhitney" ->
+      ("WITH g AS (SELECT value, " +
+       "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a_cnt, " +
+       "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b_cnt " +
+       "FROM events WHERE event_type IN ('click', 'view') GROUP BY 1), " +
+       "c AS (SELECT value, a_cnt, a_cnt + b_cnt AS tot, " +
+       "SUM(a_cnt + b_cnt) OVER (ORDER BY value) AS cum_tot FROM g), " +
+       "s AS (SELECT SUM(a_cnt * (2 * (cum_tot - tot) + tot + 1)) " +
+       "AS r1_2, SUM(tot * tot * tot - tot) AS ties FROM c), " +
+       "t AS (SELECT CAST(SUM(a_cnt) AS BIGINT) AS n_a, " +
+       "CAST(SUM(b_cnt) AS BIGINT) AS n_b FROM g) " +
+       "SELECT n_a, n_b, " +
+       "CAST(2 * n_a * n_b + n_a * (n_a + 1) - r1_2 AS BIGINT) AS u2_a, " +
+       "round((CAST(2 * n_a * n_b + n_a * (n_a + 1) - r1_2 AS DOUBLE) " +
+       "/ 2.0 - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) / " +
+       "sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * " +
+       "((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) - " +
+       "CAST(ties AS DOUBLE) / " +
+       "((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * " +
+       "(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))), 6) AS z " +
+       "FROM s CROSS JOIN t"),
+    // same seeded Poisson draws, same decimal means, a17's quantile
+    // surface for the CI
+    "x130_bootstrap" ->
+      ("WITH e AS (SELECT event_id, value, r.b FROM events, " +
+       "range(0, 100) r(b)), " +
+       "u AS (SELECT b, value, (" +
+       Det.sql.md5Bucket(
+         "CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)", 13) +
+       " + 0.5) / POWER(16, 13) AS u FROM e), " +
+       "w AS (SELECT b, value, CASE " +
+       "WHEN u < 0.3678794411714423 THEN 0 " +
+       "WHEN u < 0.7357588823428846 THEN 1 " +
+       "WHEN u < 0.9196986029286058 THEN 2 " +
+       "WHEN u < 0.9810118431238462 THEN 3 " +
+       "WHEN u < 0.9963401531726563 THEN 4 " +
+       "WHEN u < 0.9994058151824183 THEN 5 " +
+       "WHEN u < 0.9999167588507119 THEN 6 ELSE 7 END AS w FROM u), " +
+       "m AS (SELECT b, round(CAST(SUM(w * CAST(value AS DECIMAL(18,4))) " +
+       "AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6) AS m FROM w GROUP BY b) " +
+       "SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates, " +
+       "round(quantile_cont(m, 0.025), 6) AS lo95, " +
+       "round(quantile_cont(m, 0.975), 6) AS hi95, " +
+       "round(CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) " +
+       "AS mean_of_means FROM m"),
+    // codec choice must be value-neutral; the tag claim pins that the
+    // option was honored
+    "s28_codec_matrix" ->
+      (Seq("gzip", "snappy", "zstd").map { c =>
+        s"SELECT '$c' AS codec, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) " +
+        "AS total, TRUE AS codec_tagged " +
+        "FROM lineitem WHERE l_quantity > 40.0"
+      }.mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY codec")),
     // same RE2-class pattern, same extraction semantics
     "f24_regex_family" ->
       ("SELECT doc_id, " +

@@ -304,6 +304,40 @@ class Extras11Spec extends SparkSpec {
     }
   }
 
+  test("x129/x130: Mann-Whitney U matches a driver-side exact recompute; " +
+      "bootstrap CI brackets the true mean") {
+    val mw = Extras11.x129MannWhitney(spark, sf).collect()(0)
+    val vals = Tables.eventsUs(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val a = vals.filter(_._1 == "click").map(_._2)
+    val b = vals.filter(_._1 == "view").map(_._2)
+    // exact doubled midranks over the pooled sample
+    val pooled = (a.map((_, true)) ++ b.map((_, false))).sortBy(_._1)
+    var i = 0; var r1x2 = 0L
+    while (i < pooled.length) {
+      var j = i
+      while (j < pooled.length && pooled(j)._1 == pooled(i)._1) j += 1
+      val m2 = 2L * i + (j - i) + 1   // doubled midrank (1-based ranks)
+      r1x2 += m2 * pooled.slice(i, j).count(_._2)
+      i = j
+    }
+    val u2a = 2L * a.length * b.length + a.length.toLong * (a.length + 1) - r1x2
+    assert(mw.getLong(0) == a.length.toLong && mw.getLong(1) == b.length.toLong)
+    assert(mw.getLong(2) == u2a, s"u2_a ${mw.getLong(2)} vs $u2a")
+    // U symmetric under no location shift -> z should be modest
+    assert(math.abs(mw.getDouble(3)) < 10)
+    val bs = Extras11.x130Bootstrap(spark, sf).collect()(0)
+    assert(bs.getLong(0) == 100L)
+    val trueMean = Tables.eventsUs(spark, sf)
+      .agg(sum(col("value").cast(Det.Money)).cast("double") /
+        count(lit(1))).collect()(0).getDouble(0)
+    assert(bs.getDouble(1) < trueMean && trueMean < bs.getDouble(2),
+      s"CI [${bs.getDouble(1)}, ${bs.getDouble(2)}] must bracket $trueMean")
+    assert(bs.getDouble(1) < bs.getDouble(3) && bs.getDouble(3) < bs.getDouble(2))
+  }
+
   test("x125/x126/x127: drift and KS readouts verified against " +
       "independent recomputes") {
     // x125: the planted ' v2' suffix introduces a token absent from the
