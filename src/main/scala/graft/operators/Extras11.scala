@@ -1022,7 +1022,70 @@ object Extras11 {
       .orderBy(col("codec"))
   }
 
+  /** X131 — CUPED variance reduction (Deng et al., WSDM 2013 — the
+    * experimentation-platform staple): per-user PRE-period activity
+    * (before the data-derived midpoint, x54's deterministic-cut rule)
+    * as the covariate for the POST-period metric; θ = cov(x,y)/var(x)
+    * and the achieved variance reduction corr² computed CLOSED-FORM
+    * from exact DECIMAL sufficient statistics (the a23/x122 policy —
+    * engine-native covariance partial-aggregates doubles). The row
+    * reports exactly what an experimenter asks: how much variance does
+    * the covariate remove. One scan + one user-keyed aggregate. */
+  def x131Cuped(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.eventsUs(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("value").cast(Det.Money))
+    val mm = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+      .collect()(0)
+    val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < cut, col("value"))
+          .otherwise(lit(0).cast(Det.Money))).as("x"),
+        sum(when(col("ts") >= cut, col("value"))
+          .otherwise(lit(0).cast(Det.Money))).as("y"))
+    val s = perUser.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val covXy = n * d("sxy") - d("sx") * d("sy")
+    val varX = n * d("sxx") - d("sx") * d("sx")
+    val varY = n * d("syy") - d("sy") * d("sy")
+    s.select(col("n").as("n_users"),
+      round(covXy / varX, 6).as("theta"),
+      round(covXy / sqrt(varX * varY), 6).as("corr_xy"),
+      round(covXy * covXy / (varX * varY), 6).as("var_reduction"))
+  }
+
+  /** W17 — ratio_to_report window family (the BI share-of-total
+    * everywhere in dashboards): each order's revenue share within its
+    * priority group AND of the grand total, in one pass — the grouped
+    * share is a keyed window; the GRAND total deliberately comes from
+    * a one-row aggregate cross-joined in (broadcast), NOT an empty-
+    * PARTITION-BY window (PlanLint forbids the single-partition form
+    * at any scale). DECIMAL sums exact; the two divisions are single
+    * IEEE ops. Top-100 by share for a bounded contract row. */
+  def w17RatioToReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast(Det.Money).as("p"))
+    val wGrp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+    val grand = o.agg(sum(col("p")).as("g"))
+    o.withColumn("grp_total", sum(col("p")).over(wGrp))
+      .crossJoin(grand)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("p").cast("double") / col("grp_total").cast("double"), 9)
+          .as("share_of_priority"),
+        round(col("p").cast("double") / col("g").cast("double"), 9)
+          .as("share_of_total"))
+      .orderBy(col("share_of_total").desc, col("o_orderkey")).limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x131_cuped" -> (x131Cuped _),
+    "w17_ratio_to_report" -> (w17RatioToReport _),
     "x129_mannwhitney" -> (x129MannWhitney _),
     "x130_bootstrap" -> (x130Bootstrap _),
     "s28_codec_matrix" -> (s28CodecMatrix _),
@@ -1116,6 +1179,54 @@ object Extras11 {
        "JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b) AS BIGINT) AS n_triangles) " +
        "SELECT n_nodes, n_edges, n_wedges, n_triangles, " +
        "round(3.0 * n_triangles / n_wedges, 6) AS clustering_coef FROM agg"),
+    // same midpoint cut, same exact moments, same closed form
+    "x131_cuped" ->
+      ("WITH mm AS (SELECT (CAST(MIN(epoch_us(ts)) AS BIGINT) + " +
+       "CAST(MAX(epoch_us(ts)) AS BIGINT)) // 2 AS cut FROM events), " +
+       "pu AS (SELECT user_id, " +
+       "SUM(CASE WHEN epoch_us(ts) < cut " +
+       "THEN CAST(value AS DECIMAL(28,4)) " +
+       "ELSE CAST(0 AS DECIMAL(28,4)) END) AS x, " +
+       "SUM(CASE WHEN epoch_us(ts) >= cut " +
+       "THEN CAST(value AS DECIMAL(28,4)) " +
+       "ELSE CAST(0 AS DECIMAL(28,4)) END) AS y " +
+       "FROM events CROSS JOIN mm GROUP BY user_id), " +
+       "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, " +
+       "SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx, " +
+       "SUM(y * y) AS syy FROM pu) " +
+       "SELECT n AS n_users, " +
+       "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+       "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+       "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+       "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS theta, " +
+       "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+       "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+       "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+       "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+       "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+       "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_xy, " +
+       "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+       "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * " +
+       "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+       "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+       "((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+       "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+       "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+       "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) " +
+       "AS var_reduction FROM s"),
+    // keyed window share + broadcast grand total, same rounding
+    "w17_ratio_to_report" ->
+      ("WITH o AS (SELECT o_orderkey, o_orderpriority, " +
+       "CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders), " +
+       "g AS (SELECT SUM(p) AS g FROM o), " +
+       "w AS (SELECT o_orderkey, o_orderpriority, p, " +
+       "SUM(p) OVER (PARTITION BY o_orderpriority) AS grp_total FROM o) " +
+       "SELECT o_orderkey, o_orderpriority, " +
+       "round(CAST(p AS DOUBLE) / CAST(grp_total AS DOUBLE), 9) " +
+       "AS share_of_priority, " +
+       "round(CAST(p AS DOUBLE) / CAST(g.g AS DOUBLE), 9) " +
+       "AS share_of_total FROM w CROSS JOIN g " +
+       "ORDER BY share_of_total DESC, o_orderkey LIMIT 100"),
     // exact doubled-rank arithmetic, same tie-corrected z spelling
     "x129_mannwhitney" ->
       ("WITH g AS (SELECT value, " +

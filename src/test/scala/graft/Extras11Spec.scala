@@ -304,6 +304,40 @@ class Extras11Spec extends SparkSpec {
     }
   }
 
+  test("x131/w17: CUPED stats match engine-native corr; shares sum to 1 " +
+      "within each scope") {
+    val c = Extras11.x131Cuped(spark, sf).collect()(0)
+    assert(c.getDouble(3) >= 0 && c.getDouble(3) <= 1)
+    assert(math.abs(c.getDouble(3) -
+      c.getDouble(2) * c.getDouble(2)) < 2e-6,
+      "var_reduction == corr^2")
+    // sanity vs engine-native corr on the same per-user frame
+    val ev = Tables.eventsUs(spark, sf)
+      .select(col("user_id"), col("ts"), col("value").cast(Det.Money))
+    val mm = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
+    val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+    val native = ev.groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < cut, col("value"))
+          .otherwise(lit(0).cast(Det.Money))).cast("double").as("x"),
+        sum(when(col("ts") >= cut, col("value"))
+          .otherwise(lit(0).cast(Det.Money))).cast("double").as("y"))
+      .agg(corr(col("x"), col("y"))).collect()(0).getDouble(0)
+    assert(math.abs(c.getDouble(2) - native) < 1e-6)
+    // w17: the FULL share frame (pre-limit spelling) sums to 1 per scope
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_totalprice").cast(Det.Money).as("p"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderpriority"))
+    val shares = o.withColumn("gt", sum(col("p")).over(w))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("p").cast("double") / col("gt").cast("double")).as("s"))
+      .collect()
+    shares.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9))
+    val top = Extras11.w17RatioToReport(spark, sf).collect()
+    assert(top.length == 100)
+    val st = top.map(_.getDouble(3))
+    assert(st.sameElements(st.sorted(Ordering[Double].reverse)))
+  }
+
   test("x129/x130: Mann-Whitney U matches a driver-side exact recompute; " +
       "bootstrap CI brackets the true mean") {
     val mw = Extras11.x129MannWhitney(spark, sf).collect()(0)
