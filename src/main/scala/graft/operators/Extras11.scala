@@ -1070,10 +1070,15 @@ object Extras11 {
     val o = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderpriority"),
         col("o_totalprice").cast(Det.Money).as("p"))
-    val wGrp = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("o_orderpriority"))
+    // group totals as a 5-row GROUPED AGGREGATE broadcast back — not a
+    // window: PlanLint's low-cardinality-window-key rule (correctly)
+    // rejects a window partitioned by a 5-value domain, which funnels
+    // the whole stream through 5 tasks at scale; the aggregate keeps
+    // map-side partials and the join broadcasts
+    val grpTotals = o.groupBy(col("o_orderpriority"))
+      .agg(sum(col("p")).as("grp_total"))
     val grand = o.agg(sum(col("p")).as("g"))
-    o.withColumn("grp_total", sum(col("p")).over(wGrp))
+    o.join(grpTotals, "o_orderpriority")
       .crossJoin(grand)
       .select(col("o_orderkey"), col("o_orderpriority"),
         round(col("p").cast("double") / col("grp_total").cast("double"), 9)
