@@ -32,6 +32,10 @@ object Extras11 {
         .select(concat(lit("s"), col("l_suppkey")).as("a"),
           concat(lit("c"), col("o_custkey")).as("b"))
         .distinct()
+        // materialize ONCE: the union's two branches, the degree
+        // aggregate, and the final join would otherwise each re-run
+        // the fact join + distinct (4x the dominant cold cost)
+        .localCheckpoint(true)
       val edges = sc.unionByName(
         sc.select(col("b").as("a"), col("a").as("b")))
       val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
@@ -44,7 +48,10 @@ object Extras11 {
       // adjacency every iterative graph job stages first.
       val base = Tables.scratchDir("x111_tbl", sfDir)
       ScaleOps.dropTableAt(s, "graft_trade_edges", s"$base/graft_trade_edges")
-      edges.join(deg, "a")
+      // repartition to the bucket spec BEFORE the write: without it
+      // every task writes a file per bucket (tasks × 16 small files —
+      // measured ~10 s of the cold cost); aligned, it's 16 files
+      edges.join(deg, "a").repartition(16, col("a"))
         .write.mode("overwrite").option("path", s"$base/graft_trade_edges")
         .bucketBy(16, "a").sortBy("a").saveAsTable("graft_trade_edges")
       s.table("graft_trade_edges")   // (a, b, deg)
