@@ -1095,7 +1095,44 @@ object Extras11 {
       .orderBy(col("share_of_total").desc, col("o_orderkey")).limit(100)
   }
 
+  /** X132 — delta-method standard error for a RATIO metric (Deng et
+    * al., KDD 2018 — the correction every experimentation platform
+    * applies because revenue-per-event is a ratio of two user-level
+    * random sums, not a mean of i.i.d. rows): R = Σy/Σx over per-user
+    * (exposure x = events, outcome y = purchase revenue),
+    * Var̂(R) = (s_yy − 2R·s_xy + R²·s_xx) / (n·x̄²) — every sufficient
+    * statistic an exact DECIMAL/integer sum, the closed form one
+    * identically-spelled double chain (the x131/x122 policy). Naively
+    * treating the ratio as a row-mean understates the SE; this row IS
+    * the correct computation, stated as data. */
+  def x132RatioSe(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.eventsUs(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast(Det.Money))
+          .otherwise(lit(0).cast(Det.Money))).as("y"))
+    val s = perUser.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val xb = d("sx") / n
+    val r = d("sy") / d("sx")
+    // sample (co)variances from exact sums: s_ab = (n·Σab − Σa·Σb)/(n(n−1))
+    def sv(sab: String, sa: String, sb: String) =
+      (n * d(sab) - d(sa) * d(sb)) / (n * (n - 1.0))
+    val varR = (sv("syy", "sy", "sy") -
+      lit(2.0) * r * sv("sxy", "sx", "sy") +
+      r * r * sv("sxx", "sx", "sx")) / (n * xb * xb)
+    s.select(col("n").as("n_users"), round(r, 9).as("ratio"),
+      round(sqrt(varR), 9).as("se"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x132_ratio_se" -> (x132RatioSe _),
     "x131_cuped" -> (x131Cuped _),
     "w17_ratio_to_report" -> (w17RatioToReport _),
     "x129_mannwhitney" -> (x129MannWhitney _),
@@ -1191,6 +1228,34 @@ object Extras11 {
        "JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b) AS BIGINT) AS n_triangles) " +
        "SELECT n_nodes, n_edges, n_wedges, n_triangles, " +
        "round(3.0 * n_triangles / n_wedges, 6) AS clustering_coef FROM agg"),
+    // same exact moments, same delta-method chain
+    "x132_ratio_se" ->
+      ("WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x, " +
+       "SUM(CASE WHEN event_type = 'purchase' " +
+       "THEN CAST(value AS DECIMAL(28,4)) " +
+       "ELSE CAST(0 AS DECIMAL(28,4)) END) AS y " +
+       "FROM events GROUP BY user_id), " +
+       "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(SUM(x) AS BIGINT) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, " +
+       "CAST(SUM(x * x) AS BIGINT) AS sxx, SUM(y * y) AS syy FROM pu) " +
+       "SELECT n AS n_users, " +
+       "round(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE), 9) AS ratio, " +
+       "round(sqrt((" +
+       "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+       "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+       "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) - " +
+       "2.0 * (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) * " +
+       "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+       "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+       "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) + " +
+       "(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) * " +
+       "(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) * " +
+       "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+       "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / " +
+       "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))" +
+       ") / (CAST(n AS DOUBLE) * " +
+       "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+       "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))), 9) AS se FROM s"),
     // same midpoint cut, same exact moments, same closed form
     "x131_cuped" ->
       ("WITH mm AS (SELECT (CAST(MIN(epoch_us(ts)) AS BIGINT) + " +

@@ -304,6 +304,28 @@ class Extras11Spec extends SparkSpec {
     }
   }
 
+  test("x132: delta-method ratio and SE match a driver-side recompute") {
+    val r = Extras11.x132RatioSe(spark, sf).collect()(0)
+    val pu = Tables.eventsUs(spark, sf).groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("double").as("x"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast(Det.Money))
+          .otherwise(lit(0).cast(Det.Money))).cast("double").as("y"))
+      .collect().map(row => (row.getDouble(1), row.getDouble(2)))
+    val n = pu.length.toDouble
+    val (sx, sy) = (pu.map(_._1).sum, pu.map(_._2).sum)
+    val ratio = sy / sx
+    def cov(f: ((Double, Double)) => Double, g: ((Double, Double)) => Double) =
+      (n * pu.map(p => f(p) * g(p)).sum - pu.map(f).sum * pu.map(g).sum) /
+        (n * (n - 1.0))
+    val varR = (cov(_._2, _._2) - 2.0 * ratio * cov(_._1, _._2) +
+      ratio * ratio * cov(_._1, _._1)) / (n * (sx / n) * (sx / n))
+    assert(r.getLong(0) == pu.length.toLong)
+    assert(math.abs(r.getDouble(1) - ratio) < 1e-8)
+    assert(math.abs(r.getDouble(2) - math.sqrt(varR)) < 1e-7)
+    assert(r.getDouble(2) > 0)
+  }
+
   test("x131/w17: CUPED stats match engine-native corr; shares sum to 1 " +
       "within each scope") {
     val c = Extras11.x131Cuped(spark, sf).collect()(0)
