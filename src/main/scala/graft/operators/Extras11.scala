@@ -1131,7 +1131,46 @@ object Extras11 {
       round(sqrt(varR), 9).as("se"))
   }
 
+  /** X133 — session-depth distribution + bounce rate (the web-
+    * analytics summary w9's raw session table feeds): sessions
+    * rebuilt by the same 30-minute-gap rule, bucketed by event depth
+    * (1 / 2 / 3–5 / 6–10 / 11+), with each bucket's session share and
+    * the global bounce rate (depth-1 share) riding every row. Two
+    * keyed aggregates + one broadcast total — the sessionization
+    * window is user-keyed (w9's shape), never global. Shares are one
+    * division of exact counts, rounded 6. */
+  def x133SessionDepth(spark: SparkSession, sfDir: String): DataFrame = {
+    val gapUs = 1800000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val wRun = w.rowsBetween(Long.MinValue, 0)
+    val depth = Tables.eventsUs(spark, sfDir)
+      .withColumn("new_sess",
+        when(col("ts") - lag(col("ts"), 1).over(w) > gapUs ||
+          lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("depth"))
+    val bucket = when(col("depth") === 1, "1_bounce")
+      .when(col("depth") === 2, "2")
+      .when(col("depth") <= 5, "3-5")
+      .when(col("depth") <= 10, "6-10")
+      .otherwise("11+")
+    val byBucket = depth.select(bucket.as("depth_bucket"))
+      .groupBy(col("depth_bucket")).agg(count(lit(1)).as("n_sessions"))
+    val totals = depth.agg(count(lit(1)).as("total"),
+      sum(when(col("depth") === 1, 1L).otherwise(0L)).as("bounces"))
+    byBucket.crossJoin(totals)
+      .select(col("depth_bucket"), col("n_sessions"),
+        round(col("n_sessions").cast("double") /
+          col("total").cast("double"), 6).as("share"),
+        round(col("bounces").cast("double") /
+          col("total").cast("double"), 6).as("bounce_rate"))
+      .orderBy(col("depth_bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x133_session_depth" -> (x133SessionDepth _),
     "x132_ratio_se" -> (x132RatioSe _),
     "x131_cuped" -> (x131Cuped _),
     "w17_ratio_to_report" -> (w17RatioToReport _),
@@ -1228,6 +1267,32 @@ object Extras11 {
        "JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b) AS BIGINT) AS n_triangles) " +
        "SELECT n_nodes, n_edges, n_wedges, n_triangles, " +
        "round(3.0 * n_triangles / n_wedges, 6) AS clustering_coef FROM agg"),
+    // same gap rule, same buckets, same one-division shares
+    "x133_session_depth" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +
+       "s AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER " +
+       "(PARTITION BY user_id ORDER BY t) > 1800000000 " +
+       "OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL " +
+       "THEN 1 ELSE 0 END AS new_sess FROM e), " +
+       "sid AS (SELECT user_id, SUM(new_sess) OVER " +
+       "(PARTITION BY user_id ORDER BY t " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s), " +
+       "d AS (SELECT user_id, sid, COUNT(*) AS depth FROM sid " +
+       "GROUP BY 1, 2), " +
+       "b AS (SELECT CASE WHEN depth = 1 THEN '1_bounce' " +
+       "WHEN depth = 2 THEN '2' WHEN depth <= 5 THEN '3-5' " +
+       "WHEN depth <= 10 THEN '6-10' ELSE '11+' END AS depth_bucket " +
+       "FROM d), " +
+       "g AS (SELECT depth_bucket, CAST(COUNT(*) AS BIGINT) " +
+       "AS n_sessions FROM b GROUP BY 1), " +
+       "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total, " +
+       "CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+       "AS bounces FROM d) " +
+       "SELECT depth_bucket, n_sessions, " +
+       "round(CAST(n_sessions AS DOUBLE) / CAST(total AS DOUBLE), 6) " +
+       "AS share, " +
+       "round(CAST(bounces AS DOUBLE) / CAST(total AS DOUBLE), 6) " +
+       "AS bounce_rate FROM g CROSS JOIN t ORDER BY depth_bucket"),
     // same exact moments, same delta-method chain
     "x132_ratio_se" ->
       ("WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x, " +

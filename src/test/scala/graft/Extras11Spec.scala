@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.api.VectorPipeline
-import graft.operators.Extras11
+import graft.operators.{Extras11, Extras3}
 
 class Extras11Spec extends SparkSpec {
   import spark.implicits._
@@ -302,6 +302,20 @@ class Extras11Spec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(r.getDouble(3) == nd)
     }
+  }
+
+  test("x133: depth buckets partition the w9 session table and shares " +
+      "sum to 1") {
+    val got = Extras11.x133SessionDepth(spark, sf).collect()
+    val sessions = Extras3.w9BatchSessionize(spark, sf).count()
+    assert(got.map(_.getLong(1)).sum == sessions,
+      "buckets must partition the session set")
+    assert(math.abs(got.map(_.getDouble(2)).sum - 1.0) < 1e-5)
+    val bounceRates = got.map(_.getDouble(3)).distinct
+    assert(bounceRates.length == 1)
+    val bounce = got.find(_.getString(0) == "1_bounce").get
+    assert(bounce.getDouble(2) == bounce.getDouble(3),
+      "bounce bucket share IS the bounce rate")
   }
 
   test("x132: delta-method ratio and SE match a driver-side recompute") {
