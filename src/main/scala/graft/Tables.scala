@@ -76,6 +76,70 @@ object Tables {
       s"graft_${tag}_${(sfDir.hashCode & 0x7fffffff).toHexString}")
       .getAbsolutePath
 
+  /** Root of the CROSS-PROCESS shared artifact space (tmpdir/
+    * graft_shared) — build-once/serve-many artifacts (trained PQ models,
+    * staged graph adjacency) that a LATER SESSION reuses instead of
+    * rebuilding. Deliberately NOT removed at shutdown (unlike
+    * [[scratchRoot]]): persistence across processes is the point. On a
+    * cluster this is a warehouse path; locally it's tmp. */
+  private lazy val sharedRoot: java.io.File = {
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_shared")
+    root.mkdirs()
+    root
+  }
+
+  /** size:mtime staleness fingerprint of one corpus table (the x54
+    * rule): regenerated test data changes the fingerprint, so a shared
+    * artifact built from the old corpus can never serve the new one. */
+  def corpusFingerprint(sfDir: String, tableName: String): String = {
+    val p = java.nio.file.Paths.get(s"$sfDir/$tableName.parquet")
+    s"${java.nio.file.Files.size(p)}:" +
+      s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+  }
+
+  /** Final home of a shared artifact. The FINGERPRINT IS THE NAME: a
+    * directory exists at this path iff a complete build for exactly
+    * this (corpus, config) was atomically published ([[publishShared]])
+    * — existence is validity, so there is no marker file to race and a
+    * crashed build can never be half-visible (ADVICE r8 on the PQ
+    * model's marker-after-multi-write window). */
+  def sharedDir(tag: String, sfDir: String, fingerprint: String): java.io.File =
+    new java.io.File(sharedRoot,
+      s"graft_${tag}_${(sfDir.hashCode & 0x7fffffff).toHexString}_" +
+        s"${(fingerprint.hashCode & 0x7fffffff).toHexString}")
+
+  /** A process-unique sibling build directory for [[publishShared]]. */
+  def sharedBuildDir(target: java.io.File): java.io.File = {
+    val token = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getName.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(target.getParentFile,
+      s"${target.getName}.build_$token")
+  }
+
+  /** Publish a fully-built temp directory into its shared home with ONE
+    * atomic rename. Two processes building concurrently both succeed:
+    * the loser's rename fails on the existing target and its temp build
+    * is discarded — either way the target holds one process's COMPLETE
+    * build. Returns true if this process's build won. */
+  def publishShared(temp: java.io.File, target: java.io.File): Boolean = {
+    import java.nio.file.{Files, StandardCopyOption}
+    try {
+      Files.move(temp.toPath, target.toPath,
+        StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+          _: java.nio.file.FileSystemException if target.isDirectory =>
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(temp)
+        false
+    }
+  }
+
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

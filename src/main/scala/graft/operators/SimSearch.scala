@@ -36,10 +36,17 @@ object SimSearch {
   def l3TopKCosine(spark: SparkSession, sfDir: String): DataFrame =
     exactTopK(spark, sfDir).orderBy(col("probe_id"), col("rank"))
 
-  /** X2 — embedding-cosine near-duplicate pairs (sim ≥ 0.45; the corpus
-    * is near-orthogonal, max pairwise 0.51). */
+  /** X2 — exhaustive embedding-cosine pair audit (sim ≥ 0.45; the
+    * corpus is near-orthogonal, max ambient pairwise ~0.5, so these ARE
+    * ambient pairs — no pruning family can skip them, see
+    * [[graft.api.VectorPipeline.blockedCosinePairs]]). Runs the
+    * block-pair decomposition: same exhaustive result as the brute
+    * CartesianProduct (spec pins equality), laid out as B(B+1)/2 even
+    * equi-join tasks. The production near-dup TIER is x41's banded
+    * pipeline; x2 is the audit-time exhaustive baseline it's measured
+    * against. */
   def x2CosineNearDup(spark: SparkSession, sfDir: String): DataFrame =
-    VectorPipeline.cosinePairs(Tables.embeddings(spark, sfDir),
+    VectorPipeline.blockedCosinePairs(Tables.embeddings(spark, sfDir),
         "vec_id", "embedding", 0.45)
       .orderBy(col("id_a"), col("id_b"))
 
@@ -86,29 +93,30 @@ object SimSearch {
     if (hit != null) hit
     else {
       // Persisted-model tier (VERDICT r7 #7): the trained model lives
-      // as parquet under the scratch root, fingerprinted by the source
-      // corpus (x54's size+mtime rule) — a LATER SESSION loads the
-      // codebooks+codes instead of re-running Lloyd iterations, making
-      // train-once/serve-many real across sessions, not just a
-      // per-session memo. Training writes THEN serves from the
-      // persisted copy, so the load path is exercised on every train.
-      import java.nio.file.{Files, Paths}
-      val dir = Tables.scratchDir("pq_model", sfDir)
-      val marker = Paths.get(dir, "_trained_from")
-      val src = Paths.get(s"$sfDir/embeddings.parquet")
-      val fp = s"${Files.size(src)}:" +
-        s"${Files.getLastModifiedTime(src).toMillis}:16:32:4"
-      val built =
-        if (Files.exists(marker) && Files.readString(marker) == fp)
-          VectorPipeline.loadPqModel(spark, dir)
-        else {
+      // as parquet under the SHARED root (Tables.sharedDir — stable
+      // across processes, fingerprint-named by the source corpus +
+      // config) — a LATER SESSION loads the codebooks+codes instead of
+      // re-running Lloyd iterations, making train-once/serve-many real
+      // across sessions, not just a per-session memo. The build writes
+      // into a process-unique temp dir and publishes with ONE atomic
+      // rename (ADVICE r8: the old write-then-marker sequence left a
+      // window where two concurrent JVMs could interleave the three
+      // sub-writes under one validated marker); training then serves
+      // from the published copy, so the load path is exercised on
+      // every train.
+      val fp = Tables.corpusFingerprint(sfDir, "embeddings") + ":16:32:4"
+      val home = Tables.sharedDir("pq_model", sfDir, fp)
+      val built = {
+        if (!home.isDirectory) {
           val trained = VectorPipeline.pqTrain(
             Tables.embeddings(spark, sfDir), "vec_id", "embedding",
             numSub = 16, numCodes = 32, iters = 4)
-          VectorPipeline.savePqModel(trained, dir)
-          Files.writeString(marker, fp)
-          VectorPipeline.loadPqModel(spark, dir)
+          val tmp = Tables.sharedBuildDir(home)
+          VectorPipeline.savePqModel(trained, tmp.getAbsolutePath)
+          Tables.publishShared(tmp, home)
         }
+        VectorPipeline.loadPqModel(spark, home.getAbsolutePath)
+      }
       val prev = perSession.putIfAbsent(sfDir, built)
       if (prev != null) prev else built
     }

@@ -535,4 +535,57 @@ class Extras11Spec extends SparkSpec {
     assert(!m.contains("Z"), "group with all rows retracted must drop")
     assert(m("A") == ((2L, 170.0)))
   }
+
+  test("x111 adjacency: a fresh session re-serves the shared staged " +
+      "bucketed table — identical ranks, no rebuild, no edge re-shuffle") {
+    val first = Extras11.x111PageRank(spark, sf).collect()
+    // the shared home must now exist (fingerprint-named => current)
+    val fp = Tables.corpusFingerprint(sf, "lineitem") + "|" +
+      Tables.corpusFingerprint(sf, "orders") + "|b16"
+    val home = Tables.sharedDir("x111_edges", sf, fp)
+    assert(home.isDirectory, "staged adjacency must be published")
+    val stagedAt = home.lastModified()
+    // a NEW session has an empty memo -> takes the reuse path: DDL
+    // re-registration over the existing files, no bucketed re-write
+    val s2 = spark.newSession()
+    val second = Extras11.x111PageRank(s2, sf).collect()
+    assert(first.toSeq == second.toSeq,
+      "reloaded adjacency must serve identical ranks")
+    assert(home.lastModified() == stagedAt,
+      "reuse path must not rewrite the staged files")
+    // the DDL-registered table still carries the bucket spec: a
+    // groupBy on the bucket key runs with ZERO shuffle exchanges
+    val tbl = s"graft_trade_edges_${(sf.hashCode & 0x7fffffff).toHexString}"
+    val agg = s2.table(tbl).groupBy(col("a")).agg(count(lit(1)).as("n"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed scan must satisfy the aggregate's distribution:\n$plan")
+  }
+
+  test("x2 blocked all-pairs: equals the brute CartesianProduct result " +
+      "and plans with no cartesian/broadcast-nested-loop operator") {
+    val emb = Tables.embeddings(spark, sf)
+    // equality at multiple thresholds incl. below-ambient (nonempty)
+    for (t <- Seq(0.3, 0.45)) {
+      val brute = VectorPipeline
+        .cosinePairs(emb, "vec_id", "embedding", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val blocked = VectorPipeline
+        .blockedCosinePairs(emb, "vec_id", "embedding", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(blocked == brute && brute.nonEmpty,
+        s"blocked != brute at threshold $t")
+    }
+    // the contract row's executed plan: equi-join only
+    val df = graft.operators.SimSearch.x2CosineNearDup(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"x2 must not plan a cartesian:\n$plan")
+    assert(graft.plans.PlanLint.lint(df).isEmpty)
+  }
 }
