@@ -23,7 +23,7 @@ object SparkEntry {
       ScaleOps.queries ++ Extras2.queries ++ Extras3.queries ++
       Extras4.queries ++ Extras5.queries ++ Extras6.queries ++
       Extras7.queries ++ Extras8.queries ++ Extras9.queries ++
-      Extras10.queries ++ Extras11.queries ++
+      Extras10.queries ++ Extras11.queries ++ Extras12.queries ++
       PipelineOps.queries ++
       Subqueries.queries ++ graft.streaming.Streams.queries
 
@@ -36,7 +36,7 @@ object SparkEntry {
       ScaleOps.oracles ++ Extras2.oracles ++ Extras3.oracles ++
       Extras4.oracles ++ Extras5.oracles ++ Extras6.oracles ++
       Extras7.oracles ++ Extras8.oracles ++ Extras9.oracles ++
-      Extras10.oracles ++ Extras11.oracles ++
+      Extras10.oracles ++ Extras11.oracles ++ Extras12.oracles ++
       PipelineOps.oracles ++
       Subqueries.oracles ++ graft.streaming.Streams.oracles
 }

@@ -720,8 +720,9 @@ object TextPipeline {
     * converges to one star per component in O(log n) rounds even on a
     * path/giant-component worst case — where plain min-label
     * propagation needs O(diameter) rounds. Lineage is truncated per
-    * round (localCheckpoint here; reliable checkpoint / a persisted
-    * intermediate table on a cluster).
+    * round through [[graft.Checkpoints]] — ONE config switch selects
+    * localCheckpoint (local / static clusters), reliable checkpoint,
+    * or a persisted intermediate table for production hardening.
     *
     * - large-star: every node attaches its strictly-larger neighbors to
     *   the minimum of its neighborhood (incl. itself) — halves the
@@ -783,7 +784,7 @@ object TextPipeline {
         .filter(col("n2") =!= col("m"))
         .select(col("n2").as("u"), col("m").as("v"))
         .distinct()
-        .localCheckpoint(true)
+        .transform(graft.Checkpoints.cut)
       val fpNew = fingerprint(small)
       converged = fpNew == fp
       fp = fpNew

@@ -442,8 +442,9 @@ object VectorPipeline {
     val width = dims / numSub
     val spark = corpus.sparkSession
     val v = corpus.select(col(idCol).as("vid"), col(vecCol).as("ve"))
-    // reused iters+1 times — cut the lineage once
-    val sr = pqSubRows(v, numSub, width).localCheckpoint(true)
+    // reused iters+1 times — cut the lineage once (Checkpoints seam:
+    // local blocks by default, reliable/table by config in production)
+    val sr = graft.Checkpoints.cut(pqSubRows(v, numSub, width))
     val wInit = Window.partitionBy(col("sub")).orderBy(col("vid"))
     val centSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("sub",

@@ -50,8 +50,9 @@ object Extras11 {
           .distinct()
           // materialize ONCE: the union's two branches, the degree
           // aggregate, and the final join would otherwise each re-run
-          // the fact join + distinct (4x the dominant cold cost)
-          .localCheckpoint(true)
+          // the fact join + distinct (4x the dominant cold cost).
+          // Checkpoints seam: reliable/table modes by config
+          .transform(graft.Checkpoints.cut)
         val edges = sc.unionByName(
           sc.select(col("b").as("a"), col("a").as("b")))
         val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
@@ -87,6 +88,10 @@ object Extras11 {
         s"LOCATION '${home.getAbsolutePath}'")
       s.table(tbl)   // (a, b, deg)
     }
+
+  /** The staged adjacency, shared with x135's SSSP (Extras12). */
+  private[operators] def tradeEdgesShared(spark: SparkSession,
+      sfDir: String): DataFrame = tradeEdges(spark, sfDir)
 
   /** X111 — PageRank over the supplier↔customer trade graph (Brin/Page
     * 1998; damping 0.85, 5 fixed iterations, non-normalized form with

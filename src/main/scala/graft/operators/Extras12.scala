@@ -1,0 +1,398 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Round-9 wave: the SQL-text DML surface (INSERT INTO VALUES / INSERT
+  * INTO SELECT / INSERT OVERWRITE, CREATE TABLE AS SELECT) — the
+  * reference's insert-oriented core capability (SURVEY §1.1 [PK-high])
+  * exercised through actual SQL statements against catalog parquet
+  * tables, not only through `createDataFrame` (S6) — plus the round-9
+  * analytics additions.
+  */
+object Extras12 {
+
+  /** SQL43 — the INSERT statement family on a catalog parquet table:
+    * seed via `INSERT INTO ... SELECT`, append literals via `INSERT
+    * INTO ... VALUES`, bulk-append a transformed SELECT, then restate
+    * the table with `INSERT OVERWRITE`. Claims collected eagerly after
+    * each statement (sql42's pattern) so the returned frame survives
+    * the cleanup drop: row count after every statement plus a
+    * key-sum after the appends (which pins the VALUES/SELECT row
+    * CONTENTS, not just their count) and after the overwrite.
+    *
+    * Scale note: each INSERT is one distributed write job appending
+    * files to the table location — no read-modify-write of existing
+    * data; INSERT OVERWRITE replaces the table's file set atomically at
+    * commit, which at warehouse scale is the s14 dynamic-overwrite
+    * story with statement-level scope. */
+  def sql43InsertDml(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val t = "graft_nation_dml"
+    val loc = s"${Tables.scratchDir("sql43_tbl", sfDir)}/$t"
+    ScaleOps.dropTableAt(s, t, loc)
+    // pre-create the location: CREATE TABLE at a missing dir logs a
+    // noisy (benign) FileNotFound WARN from the sink-metadata probe
+    new java.io.File(loc).mkdirs()
+    Tables.nation(s, sfDir).createOrReplaceTempView("nation_src43")
+    s.sql(s"CREATE TABLE $t (n_nationkey INT, n_name STRING, " +
+      s"n_regionkey INT) USING parquet LOCATION '$loc'")
+    try {
+      def snap(): (Long, Long) = {
+        val r = s.table(t).agg(count(lit(1)).as("n"),
+          coalesce(sum(col("n_nationkey").cast("long")), lit(0L)).as("ks"))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+      s.sql(s"INSERT INTO $t SELECT n_nationkey, n_name, n_regionkey " +
+        "FROM nation_src43")
+      val (nSeed, _) = snap()
+      s.sql(s"INSERT INTO $t VALUES (900, 'ATLANTIS', 0), " +
+        "(901, 'LEMURIA', 1)")
+      val (nValues, _) = snap()
+      s.sql(s"INSERT INTO $t SELECT n_nationkey + 1000, " +
+        "concat(n_name, '_COPY'), n_regionkey FROM nation_src43 " +
+        "WHERE n_regionkey < 2")
+      val (nInsSel, sumInsSel) = snap()
+      s.sql(s"INSERT OVERWRITE $t SELECT n_nationkey, n_name, " +
+        "n_regionkey FROM nation_src43 WHERE n_regionkey IN (0, 1)")
+      val (nOver, sumOver) = snap()
+      import s.implicits._
+      Seq((nSeed, nValues, nInsSel, sumInsSel, nOver, sumOver))
+        .toDF("after_seed", "after_values", "after_insert_select",
+          "keysum_after_appends", "after_overwrite", "keysum_after_overwrite")
+    } finally ScaleOps.dropTableAt(s, t, loc)
+  }
+
+  /** SQL44 — `CREATE TABLE ... AS SELECT` (CTAS): a revenue-by-segment
+    * aggregate materialized as a catalog parquet table in ONE statement,
+    * then read back BY CATALOG NAME — the one-shot
+    * produce-and-register step every warehouse pipeline leans on
+    * (sql42 covers DDL+copy; this is DDL+transform). The read-back
+    * frame is materialized eagerly so it survives the cleanup drop.
+    * Money aggregates run through the Det decimal policy inside the
+    * SQL text, so the persisted doubles hash-match the oracle. */
+  def sql44Ctas(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val t = "graft_ctas_seg"
+    val loc = s"${Tables.scratchDir("sql44_tbl", sfDir)}/$t"
+    ScaleOps.dropTableAt(s, t, loc)
+    new java.io.File(loc).mkdirs()
+    Tables.customer(s, sfDir).createOrReplaceTempView("customer_src44")
+    Tables.orders(s, sfDir).createOrReplaceTempView("orders_src44")
+    s.sql(s"CREATE TABLE $t USING parquet LOCATION '$loc' AS " +
+      "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+      "FROM orders_src44 JOIN customer_src44 ON o_custkey = c_custkey " +
+      "GROUP BY c_mktsegment")
+    try
+      s.table(t).orderBy(col("c_mktsegment")).localCheckpoint(true)
+    finally ScaleOps.dropTableAt(s, t, loc)
+  }
+
+  /** SQL45 — row-level SQL through the graft DSv2 catalog
+    * ([[graft.sources.GraftCatalog]], VERDICT r8 #8): `CREATE TABLE AS
+    * SELECT` INTO the catalog, two `DELETE FROM ... WHERE` statements
+    * (equality + compound predicate), `TRUNCATE TABLE` — statements
+    * stock parquet tables reject outright. Deletes run copy-on-write
+    * (retained rows rewrite, then swap — what a group-based format's
+    * ReplaceData does at table grain); claims collected after every
+    * statement, key-sum pinning which rows survived. UPDATE/MERGE SQL
+    * remain the documented boundary (SURVEY §2.10): they need
+    * SupportsRowLevelOperations + format metadata; the capability is
+    * covered by x30/x113/st21/s14. */
+  def sql45RowLevelSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.base",
+      Tables.scratchDir("sql45_cat", sfDir))
+    s.sql("DROP TABLE IF EXISTS graft.nation_rl")
+    Tables.nation(s, sfDir).createOrReplaceTempView("nation_src45")
+    s.sql("CREATE TABLE graft.nation_rl AS SELECT * FROM nation_src45")
+    try {
+      def cnt(): Long = s.table("graft.nation_rl").count()
+      val n0 = cnt()
+      s.sql("DELETE FROM graft.nation_rl WHERE n_regionkey = 0")
+      val n1 = cnt()
+      s.sql("DELETE FROM graft.nation_rl " +
+        "WHERE n_nationkey > 15 AND n_regionkey <> 3")
+      val n2 = cnt()
+      val ks = s.table("graft.nation_rl")
+        .agg(coalesce(sum(col("n_nationkey").cast("long")), lit(0L)))
+        .head().getLong(0)
+      s.sql("TRUNCATE TABLE graft.nation_rl")
+      val n3 = cnt()
+      import s.implicits._
+      Seq((n0, n1, n2, ks, n3))
+        .toDF("n_created", "after_delete_eq", "after_delete_compound",
+          "keysum_surviving", "after_truncate")
+    } finally s.sql("DROP TABLE IF EXISTS graft.nation_rl"): Unit
+  }
+
+  // ---------------------------------------------------------------- x134
+
+  /** Per-(point, centroid) exact decimal dot products under the x111
+    * determinism policy: each double product rounded to 12 dp (HALF_UP
+    * spells identically in both engines), summed EXACTLY in
+    * DECIMAL(28,15) — so every iteration's geometry is bitwise
+    * reproducible and partial-aggregation-order-free. `cdf` is the tiny
+    * (code, d, c) centroid-dimension table, always broadcast. */
+  private def kmDots(v: DataFrame, cdf: DataFrame): DataFrame =
+    v.join(broadcast(cdf), "d")
+      .select(col("vid"), col("code"),
+        round(col("x") * col("c"), 12).as("p"))
+      .groupBy(col("vid"), col("code"))
+      .agg(sum(col("p").cast(DecimalType(28, 15))).as("dvc"))
+
+  private def kmSelfDots(cdf: DataFrame): DataFrame =
+    cdf.select(col("code"), round(col("c") * col("c"), 12).as("p"))
+      .groupBy(col("code"))
+      .agg(sum(col("p").cast(DecimalType(28, 15))).as("dcc"))
+
+  /** Nearest-centroid assignment: argmin ‖v−c‖² ≡ argmax 2·v·c − c·c
+    * (the −‖v‖² term is constant per point; doubling keeps the score in
+    * EXACT decimal — no division ever happens). Ties break on the lower
+    * centroid code, so assignment is total-order deterministic. */
+  private def kmAssign(v: DataFrame, cdf: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("score2").desc, col("code").asc)
+    kmDots(v, cdf).join(broadcast(kmSelfDots(cdf)), "code")
+      .withColumn("score2", lit(2) * col("dvc") - col("dcc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("code"))
+  }
+
+  /** X134 — general k-means over the full 64-dim embeddings (VERDICT r8
+    * #3: pqTrain's deterministic Lloyd core promoted to a public
+    * clustering contract row). k deterministic seeds (the k lowest-id
+    * vectors), `iters` Lloyd rounds, then a final assignment against
+    * the final centroids; output is the per-cluster readout (members +
+    * exact-decimal inertia). Fully distributed per step: the corpus
+    * never moves, only the (k × dims) centroid table reaches the
+    * driver each round (the standard k-means shape — identical to a
+    * 1000-executor run, where this collect is the same bounded
+    * all-reduce). Means go sum-exact-DECIMAL → one IEEE division →
+    * round 7 dp → FLOAT, so the whole trajectory is bitwise
+    * reproducible and the oracle can unroll the iterations as CTEs
+    * (the x111 pattern); empty clusters keep their previous centroid
+    * (pqTrain's rule). */
+  def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    // (vid, d, x): one row per dimension, x the exact double value of
+    // the float coordinate; reused iters+2 times — cut the lineage once
+    val v = graft.Checkpoints.cut(
+      corpus.select(col(idCol).as("vid"),
+          posexplode(col(vecCol)).as(Seq("d", "x")))
+        .select(col("vid"), col("d"), col("x").cast("double").as("x")))
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.DoubleType)))
+    def centDf(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), centSchema)
+    // seeds: the k lowest-id vectors in id order (code = rank − 1).
+    // The global row_number runs over the LIMIT-bounded k-row frame
+    // (TakeOrderedAndProject under it), never the corpus — PlanLint's
+    // single-partition-window rule passes by shape
+    val seedIds = v.select(col("vid")).distinct()
+      .orderBy(col("vid")).limit(k)
+      .withColumn("rk", row_number().over(Window.orderBy(col("vid"))))
+    var cents: Seq[org.apache.spark.sql.Row] = v
+      .join(broadcast(seedIds), "vid")
+      .select((col("rk") - 1).cast("int").as("code"),
+        col("d").cast("int").as("d"), col("x").as("c"))
+      .collect().toSeq
+    for (_ <- 1 to iters) {
+      val upd = kmAssign(v, centDf(cents)).join(v, "vid")
+        .groupBy(col("code"), col("d"))
+        // mean policy: exact DECIMAL(28,10) sum → double → one IEEE
+        // division by the member count → round 7 dp → FLOAT (then
+        // widened back: every centroid coordinate is exactly a float)
+        .agg(round(sum(col("x").cast(DecimalType(28, 10))).cast("double") /
+            count(lit(1)), 7)
+          .cast("float").cast("double").as("c"))
+        .select(col("code").cast("int"), col("d").cast("int"), col("c"))
+        .collect().toSeq
+      val have = upd.map(r => (r.getInt(0), r.getInt(1))).toSet
+      cents = upd ++
+        cents.filterNot(r => have((r.getInt(0), r.getInt(1))))
+    }
+    val cdf = centDf(cents)
+    val dvv = v.select(col("vid"), round(col("x") * col("x"), 12).as("p"))
+      .groupBy(col("vid"))
+      .agg(sum(col("p").cast(DecimalType(28, 15))).as("dvv"))
+    kmAssign(v, cdf)
+      .join(kmDots(v, cdf), Seq("vid", "code"))
+      .join(broadcast(kmSelfDots(cdf)), "code")
+      .join(dvv, "vid")
+      .withColumn("dist2", col("dvv") - lit(2) * col("dvc") + col("dcc"))
+      .groupBy(col("code"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("dist2")).cast("double"), 6).as("inertia"))
+      .select(col("code").cast("long").as("cluster"),
+        col("n_members"), col("inertia"))
+      .orderBy(col("cluster"))
+  }
+
+  /** X134 contract binding: k=8, 3 Lloyd rounds on the embeddings. */
+  def x134Kmeans(spark: SparkSession, sfDir: String): DataFrame =
+    kmeans(Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+      k = 8, iters = 3)
+
+  // ---------------------------------------------------------------- x135
+
+  /** X135 — single-source shortest paths (hop distance) over the SAME
+    * persisted bucketed trade adjacency x111 serves from (VERDICT r8
+    * #7): `rounds` Bellman–Ford relaxations from supplier node 's1',
+    * each round one join of the frontier-bearing distance vector to the
+    * out-edge list on the bucketed key plus a min-merge — so, exactly
+    * like PageRank, per-round cost is one shuffle of the NODE-sized
+    * distance vector and the edges never move. Output is the distance
+    * histogram (≤ rounds+1 rows): the reachability readout of the trade
+    * network from its busiest supplier. Integer hop arithmetic — no
+    * float policy needed; the oracle runs the textbook bounded
+    * recursive CTE and min-aggregates walks to shortest paths. */
+  def x135Sssp(spark: SparkSession, sfDir: String): DataFrame =
+    sssp(tradeAdjacency(spark, sfDir), "s1", SsspRounds)
+      .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("dist"))
+
+  /** The relaxation core over a directed (a, b) edge list: (node, dist)
+    * for every node within `rounds` hops of `source`. Exposed for
+    * spec-level hand-checks on planted graphs. */
+  def sssp(edges: DataFrame, source: String, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = Seq((source, 0L)).toDF("node", "dist")
+    for (_ <- 1 to rounds) {
+      val relaxed = edges.join(dist, edges("a") === dist("node"))
+        .select(col("b").as("node"), (col("dist") + 1).as("dist"))
+      dist = graft.Checkpoints.cut(
+        dist.unionByName(relaxed)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist")))
+    }
+    dist
+  }
+
+  private val SsspRounds = 6
+
+  /** The x111/x135 shared adjacency, through Extras11's staged table. */
+  private def tradeAdjacency(spark: SparkSession, sfDir: String): DataFrame =
+    Extras11.tradeEdgesShared(spark, sfDir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql43_insert_dml" -> (sql43InsertDml _),
+    "sql44_ctas" -> (sql44Ctas _),
+    "sql45_row_level_sql" -> (sql45RowLevelSql _),
+    "x134_kmeans" -> (x134Kmeans _),
+    "x135_sssp" -> (x135Sssp _))
+
+  /** One unrolled Lloyd round of the x134 oracle: assignment CTEs from
+    * centroid table `prevC`, then the updated centroid table `c$n` —
+    * the identical decimal/rounding policy as [[kmDots]]/[[kmeans]],
+    * spelled in DuckDB. */
+  private def kmIterSql(prevC: String, n: Int): String =
+    s"dvc$n AS (SELECT v.vid, c.code, SUM(CAST(round(v.x * c.c, 12) " +
+    s"AS DECIMAL(28,15))) AS dvc FROM v JOIN $prevC c ON v.d = c.d " +
+    "GROUP BY v.vid, c.code), " +
+    s"dcc$n AS (SELECT code, SUM(CAST(round(c * c, 12) " +
+    s"AS DECIMAL(28,15))) AS dcc FROM $prevC GROUP BY code), " +
+    s"asg$n AS (SELECT vid, code FROM (SELECT d.vid, d.code, " +
+    "row_number() OVER (PARTITION BY d.vid " +
+    "ORDER BY (2 * d.dvc - s.dcc) DESC, d.code) AS rn " +
+    s"FROM dvc$n d JOIN dcc$n s USING (code)) t WHERE rn = 1), " +
+    s"upd$n AS (SELECT a.code, v.d, CAST(CAST(round(" +
+    "CAST(SUM(CAST(v.x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 7) " +
+    s"AS FLOAT) AS DOUBLE) AS c FROM asg$n a JOIN v USING (vid) " +
+    "GROUP BY a.code, v.d), " +
+    s"c$n AS (SELECT p.code, p.d, CAST(COALESCE(u.c, p.c) AS DOUBLE) " +
+    s"AS c FROM $prevC p LEFT JOIN upd$n u " +
+    "ON u.code = p.code AND u.d = p.d)"
+
+  private val KmeansSql: String =
+    "WITH v AS (SELECT vec_id AS vid, i - 1 AS d, " +
+    "CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, range(1, 65) r(i)), " +
+    "seeds AS (SELECT vec_id AS svid, CAST(row_number() OVER " +
+    "(ORDER BY vec_id) - 1 AS INT) AS code FROM embeddings " +
+    "ORDER BY vec_id LIMIT 8), " +
+    "c0 AS (SELECT s.code, v.d, v.x AS c FROM seeds s " +
+    "JOIN v ON v.vid = s.svid), " +
+    kmIterSql("c0", 1) + ", " + kmIterSql("c1", 2) + ", " +
+    kmIterSql("c2", 3) + ", " +
+    // final assignment + inertia against c3
+    "dvc4 AS (SELECT v.vid, c.code, SUM(CAST(round(v.x * c.c, 12) " +
+    "AS DECIMAL(28,15))) AS dvc FROM v JOIN c3 c ON v.d = c.d " +
+    "GROUP BY v.vid, c.code), " +
+    "dcc4 AS (SELECT code, SUM(CAST(round(c * c, 12) " +
+    "AS DECIMAL(28,15))) AS dcc FROM c3 GROUP BY code), " +
+    "asg4 AS (SELECT vid, code FROM (SELECT d.vid, d.code, " +
+    "row_number() OVER (PARTITION BY d.vid " +
+    "ORDER BY (2 * d.dvc - s.dcc) DESC, d.code) AS rn " +
+    "FROM dvc4 d JOIN dcc4 s USING (code)) t WHERE rn = 1), " +
+    "dvv AS (SELECT vid, SUM(CAST(round(x * x, 12) " +
+    "AS DECIMAL(28,15))) AS dvv FROM v GROUP BY vid) " +
+    "SELECT CAST(a.code AS BIGINT) AS cluster, " +
+    "CAST(COUNT(*) AS BIGINT) AS n_members, " +
+    "round(CAST(SUM(w.dvv - 2 * d.dvc + s.dcc) AS DOUBLE), 6) AS inertia " +
+    "FROM asg4 a JOIN dvc4 d ON a.vid = d.vid AND a.code = d.code " +
+    "JOIN dcc4 s ON s.code = a.code JOIN dvv w ON w.vid = a.vid " +
+    "GROUP BY a.code ORDER BY cluster"
+
+  private val SsspSql: String =
+    "WITH RECURSIVE sc AS (SELECT DISTINCT 's' || l_suppkey AS a, " +
+    "'c' || o_custkey AS b FROM lineitem JOIN orders " +
+    "ON l_orderkey = o_orderkey), " +
+    "e AS (SELECT a, b FROM sc UNION ALL SELECT b, a FROM sc), " +
+    "walk(node, dist) AS (SELECT 's1', 0 UNION " +
+    "SELECT e.b, walk.dist + 1 FROM walk JOIN e ON e.a = walk.node " +
+    s"WHERE walk.dist < $SsspRounds), " +
+    "sp AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node) " +
+    "SELECT CAST(dist AS BIGINT) AS dist, " +
+    "CAST(COUNT(*) AS BIGINT) AS n_nodes FROM sp " +
+    "GROUP BY dist ORDER BY dist"
+
+  val oracles: Map[String, String] = Map(
+    "sql45_row_level_sql" ->
+      ("SELECT CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_created, " +
+       "CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey <> 0) " +
+       "AS BIGINT) AS after_delete_eq, " +
+       "CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey <> 0 " +
+       "AND NOT (n_nationkey > 15 AND n_regionkey <> 3)) AS BIGINT) " +
+       "AS after_delete_compound, " +
+       "CAST((SELECT COALESCE(SUM(n_nationkey), 0) FROM nation " +
+       "WHERE n_regionkey <> 0 " +
+       "AND NOT (n_nationkey > 15 AND n_regionkey <> 3)) AS BIGINT) " +
+       "AS keysum_surviving, " +
+       "CAST(0 AS BIGINT) AS after_truncate"),
+    "x134_kmeans" -> KmeansSql,
+    "x135_sssp" -> SsspSql,
+    // recompute every post-statement claim from the base table
+    "sql43_insert_dml" ->
+      ("SELECT CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS after_seed, " +
+       "CAST((SELECT COUNT(*) FROM nation) + 2 AS BIGINT) AS after_values, " +
+       "CAST((SELECT COUNT(*) FROM nation) + 2 + " +
+       "(SELECT COUNT(*) FROM nation WHERE n_regionkey < 2) AS BIGINT) " +
+       "AS after_insert_select, " +
+       "CAST((SELECT SUM(n_nationkey) FROM nation) + 900 + 901 + " +
+       "(SELECT SUM(n_nationkey + 1000) FROM nation WHERE n_regionkey < 2) " +
+       "AS BIGINT) AS keysum_after_appends, " +
+       "CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey IN (0, 1)) " +
+       "AS BIGINT) AS after_overwrite, " +
+       "CAST((SELECT SUM(n_nationkey) FROM nation WHERE n_regionkey IN (0, 1)) " +
+       "AS BIGINT) AS keysum_after_overwrite"),
+    "sql44_ctas" ->
+      ("SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+       "FROM orders JOIN customer ON o_custkey = c_custkey " +
+       "GROUP BY c_mktsegment ORDER BY c_mktsegment"))
+}

@@ -1,0 +1,245 @@
+package graft.sources
+
+import java.io.File
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDeleteV2, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Literal => VLiteral, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.{And => VAnd, Not => VNot, Or => VOr, Predicate}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A minimal DataSource-V2 TableCatalog over parquet directories that
+  * adds the ROW-LEVEL SQL surface stock parquet tables reject:
+  * `DELETE FROM` and `TRUNCATE TABLE` run as real SQL statements
+  * against graft-managed tables (VERDICT r8 #8 — the SeqSource
+  * precedent taken to the catalog plane).
+  *
+  * Register per session:
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *     classOf[graft.sources.GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft.base", "/warehouse/dir")
+  * }}}
+  * Then `CREATE TABLE graft.t AS SELECT ...`, `INSERT INTO graft.t`,
+  * `SELECT ... FROM graft.t`, `DELETE FROM graft.t WHERE ...`,
+  * `TRUNCATE TABLE graft.t` all work. Reads/writes are Spark's own
+  * DSv2 parquet path ([[ParquetTable]] — full pushdown/vectorization
+  * for free); only the catalog and the delete surface are graft code.
+  *
+  * DELETE semantics: copy-on-write at TABLE grain — the retained rows
+  * rewrite into a sibling directory which then atomically swaps in
+  * (exactly what a group-based format's ReplaceData does, with the
+  * group = the whole table). Correct at any predicate; at 100 TB the
+  * missing piece is GROUP granularity (rewrite only affected files),
+  * which is a table-format concern (Iceberg/Delta) — the documented
+  * boundary in SURVEY §2.10: UPDATE/MERGE SQL need
+  * SupportsRowLevelOperations + format metadata, and the capability is
+  * covered by x30 (MERGE as a DataFrame plan), x113 (retraction IVM),
+  * st21 (streaming upsert), s14 (partition-grain restatement).
+  *
+  * Catalog metadata is THE FILESYSTEM (a directory per table, schema
+  * pinned in `_graft_schema.json` at create time): no metastore
+  * process, visible to any session pointing at the same base — the
+  * lake-native catalog shape.
+  */
+class GraftCatalog extends TableCatalog with SupportsDeleteV2Helpers {
+  private var catName: String = _
+  private var base: File = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    base = new File(Option(options.get("base")).getOrElse(
+      s"${sys.props("java.io.tmpdir")}/graft_catalog"))
+    base.mkdirs(): Unit
+  }
+
+  override def name(): String = catName
+
+  private def tableDir(ident: Identifier): File =
+    (ident.namespace() :+ ident.name())
+      .foldLeft(base)((f, p) => new File(f, p))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = namespace.foldLeft(base)((f, p) => new File(f, p))
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .map(f => Identifier.of(namespace, f.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val d = tableDir(ident)
+    if (!d.isDirectory)
+      throw new NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    val pinned = new File(d, SchemaFile)
+    val declared =
+      if (pinned.isFile)
+        Some(DataType.fromJson(
+          new String(java.nio.file.Files.readAllBytes(pinned.toPath),
+            java.nio.charset.StandardCharsets.UTF_8))
+          .asInstanceOf[StructType])
+      else None
+    new GraftParquetTable(ident.toString, SparkSession.active,
+      d.getAbsolutePath, declared)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "GraftCatalog tables are unpartitioned (s14/x26 cover layout)")
+    val d = tableDir(ident)
+    require(!d.isDirectory, s"table $ident already exists")
+    d.mkdirs()
+    java.nio.file.Files.write(new File(d, SchemaFile).toPath,
+      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "GraftCatalog does not support ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val d = tableDir(ident)
+    if (!d.isDirectory) false
+    else { rmTree(d); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "GraftCatalog does not support RENAME")
+}
+
+private[sources] object GraftCatalog {
+  val SchemaFile = "_graft_schema.json"
+}
+
+private[sources] trait SupportsDeleteV2Helpers {
+  val SchemaFile: String = GraftCatalog.SchemaFile
+  def rmTree(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(): Unit
+  }
+}
+
+/** Spark's own DSv2 parquet table plus the delete surface. The data
+  * files and the pinned-schema marker share the directory; data files
+  * are whatever `part-*.parquet` the writes produced. */
+private[sources] class GraftParquetTable(tableName: String,
+    spark: SparkSession, dir: String, declared: Option[StructType])
+  extends ParquetTable(tableName, spark,
+    GraftParquetTable.readOptions(dir), Seq(dir), declared,
+    classOf[ParquetFileFormat]) with SupportsDeleteV2 {
+
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    predicates.forall(p => GraftParquetTable.toColumn(p).isDefined)
+
+  /** Copy-on-write rewrite: retained rows land in a sibling build dir,
+    * which swaps in wholesale; the pinned schema marker survives so an
+    * emptied table keeps its schema. */
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    val cond = predicates.flatMap(GraftParquetTable.toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val reader = spark.read
+    val df = declared.fold(reader)(s => reader.schema(s))
+      .parquet(dir).filter(!cond)
+    val tmp = new File(s"$dir.rewrite_${System.nanoTime()}")
+    df.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val d = new File(dir)
+    val schemaJson = new File(d, GraftCatalog.SchemaFile)
+    val pinned =
+      if (schemaJson.isFile)
+        Some(java.nio.file.Files.readAllBytes(schemaJson.toPath))
+      else None
+    Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+      def rm(x: File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete(): Unit
+      }
+      rm(f)
+    }
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        new File(d, f.getName).toPath): Unit
+    }
+    tmp.delete()
+    pinned.foreach(b =>
+      java.nio.file.Files.write(schemaJson.toPath, b): Unit)
+  }
+
+  override def truncateTable(): Boolean = {
+    deleteWhere(Array.empty)
+    true
+  }
+}
+
+private[sources] object GraftParquetTable {
+  def readOptions(dir: String): CaseInsensitiveStringMap =
+    new CaseInsensitiveStringMap(Map("path" -> dir).asJava)
+
+  /** V2 Predicate → Catalyst Column for the shapes DELETE statements
+    * use: comparisons, IN, IS [NOT] NULL, AND/OR/NOT, ALWAYS_TRUE/
+    * FALSE — each leaf an attribute-vs-literal. Unsupported shapes
+    * return None and fail `canDeleteWhere` (a clean analyzer error,
+    * never a wrong delete). */
+  def toColumn(p: Predicate): Option[Column] = {
+    def ref(e: VExpression): Option[Column] = e match {
+      case n: NamedReference => Some(col(n.fieldNames().mkString(".")))
+      case _ => None
+    }
+    def value(e: VExpression): Option[Any] = e match {
+      // the concrete LiteralValue is private[sql]; its public Literal
+      // interface carries value()/dataType()
+      case l: VLiteral[_] =>
+        Some(CatalystTypeConverters.convertToScala(l.value, l.dataType))
+      case _ => None
+    }
+    def operand(e: VExpression): Option[Column] =
+      ref(e).orElse(value(e).map(lit))
+    def bin(f: (Column, Column) => Column): Option[Column] = {
+      val c = p.children()
+      if (c.length != 2) None
+      else for { l <- operand(c(0)); r <- operand(c(1)) } yield f(l, r)
+    }
+    p match {
+      case a: VAnd =>
+        for { l <- toColumn(a.left()); r <- toColumn(a.right()) } yield l && r
+      case o: VOr =>
+        for { l <- toColumn(o.left()); r <- toColumn(o.right()) } yield l || r
+      case n: VNot => toColumn(n.child()).map(not)
+      case _ => p.name() match {
+        case "=" => bin(_ === _)
+        case "<=>" => bin(_ <=> _)
+        case "<>" => bin(_ =!= _)
+        case "<" => bin(_ < _)
+        case "<=" => bin(_ <= _)
+        case ">" => bin(_ > _)
+        case ">=" => bin(_ >= _)
+        case "IS_NULL" =>
+          p.children().headOption.flatMap(ref).map(_.isNull)
+        case "IS_NOT_NULL" =>
+          p.children().headOption.flatMap(ref).map(_.isNotNull)
+        case "IN" =>
+          val c = p.children()
+          for {
+            attr <- c.headOption.flatMap(ref)
+            vals <- c.tail.foldLeft(Option(Seq.empty[Any]))((acc, e) =>
+              for { s <- acc; v <- value(e) } yield s :+ v)
+          } yield attr.isin(vals: _*)
+        case "ALWAYS_TRUE" => Some(lit(true))
+        case "ALWAYS_FALSE" => Some(lit(false))
+        case _ => None
+      }
+    }
+  }
+}

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Extras12
+
+class Extras12Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("sql43: every INSERT statement's claim is internally consistent " +
+      "with the base table") {
+    val r = Extras12.sql43InsertDml(spark, sf).head()
+    val n = Tables.nation(spark, sf).count()
+    val nLow = Tables.nation(spark, sf)
+      .filter(col("n_regionkey") < 2).count()
+    val nIn = Tables.nation(spark, sf)
+      .filter(col("n_regionkey").isin(0, 1)).count()
+    assert(r.getAs[Long]("after_seed") == n)
+    assert(r.getAs[Long]("after_values") == n + 2)
+    assert(r.getAs[Long]("after_insert_select") == n + 2 + nLow)
+    assert(r.getAs[Long]("after_overwrite") == nIn,
+      "INSERT OVERWRITE must replace, not append")
+    // the key-sum pins VALUES row contents (900 + 901) and the +1000
+    // shift of the INSERT..SELECT rows
+    val baseSum = Tables.nation(spark, sf)
+      .agg(sum(col("n_nationkey").cast("long"))).head().getLong(0)
+    val lowSum = Tables.nation(spark, sf)
+      .filter(col("n_regionkey") < 2)
+      .agg(sum((col("n_nationkey") + 1000).cast("long"))).head().getLong(0)
+    assert(r.getAs[Long]("keysum_after_appends") ==
+      baseSum + 900 + 901 + lowSum)
+  }
+
+  test("sql44: the CTAS table read back by catalog name equals the " +
+      "direct aggregate, and survives the cleanup drop") {
+    val got = Extras12.sql44Ctas(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val direct = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("rev"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got == direct && got.nonEmpty)
+    // the catalog is clean afterwards (finally-drop ran)
+    assert(!spark.catalog.tableExists("graft_ctas_seg"))
+  }
+
+  test("x134: k-means recovers planted clusters exactly (k=2 on two " +
+      "tight blobs), is deterministic, and the contract row lints clean") {
+    // two planted blobs in 64-dim: members of blob g are unit vectors
+    // concentrated on dimension g with a tiny per-member perturbation
+    // on a far dimension — unambiguous geometry, exercises >1 round
+    val vecs = (0 until 20).map { i =>
+      val g = i % 2
+      val arr = Array.fill(64)(0.0f)
+      arr(g) = 1.0f
+      arr(10 + g * 2 + (i % 3)) = 0.01f * (1 + i % 3)
+      (i.toLong, arr.toSeq)
+    }.toDF("vec_id", "embedding")
+    val out = Extras12.kmeans(vecs, "vec_id", "embedding",
+      k = 2, iters = 3).collect()
+    assert(out.map(_.getLong(1)).sum == 20, "every vector assigned once")
+    assert(out.length == 2 && out.map(_.getLong(1)).toSet == Set(10L),
+      "both planted blobs recovered at 10 members each")
+    // inertia is the tiny perturbation energy only — far below the
+    // between-blob distance (2.0 per misassigned member)
+    assert(out.map(_.getDouble(2)).forall(in => in >= 0 && in < 0.1),
+      s"inertia must reflect tight clusters: ${out.mkString(",")}")
+    // deterministic across runs
+    val again = Extras12.kmeans(vecs, "vec_id", "embedding",
+      k = 2, iters = 3).collect()
+    assert(out.toSeq == again.toSeq)
+    // contract row: plan-lint clean (no global window over the corpus)
+    val df = Extras12.x134Kmeans(spark, sf)
+    assert(graft.plans.PlanLint.lint(df).isEmpty)
+  }
+
+  test("x135: SSSP on a planted path graph walks the hop distances and " +
+      "leaves unreachable nodes out") {
+    // directed path u -> v -> w plus an isolated island x -> y
+    val edges = Seq(("u", "v"), ("v", "w"), ("x", "y"))
+      .toDF("a", "b")
+    val got = Extras12.sssp(edges, "u", 6).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("u" -> 0L, "v" -> 1L, "w" -> 2L),
+      s"island must stay unreached: $got")
+    // rounds bound respected: with rounds=1 node w is not yet reached
+    val oneRound = Extras12.sssp(edges, "u", 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(oneRound == Map("u" -> 0L, "v" -> 1L))
+  }
+
+  test("sql45 / GraftCatalog: DELETE + TRUNCATE SQL run against a " +
+      "graft-managed DSv2 table and claims match direct recomputes") {
+    val r = Extras12.sql45RowLevelSql(spark, sf).head()
+    val nation = Tables.nation(spark, sf)
+    val n = nation.count()
+    val survivors = nation.filter(col("n_regionkey") =!= 0)
+      .filter(!(col("n_nationkey") > 15 && col("n_regionkey") =!= 3))
+    assert(r.getAs[Long]("n_created") == n)
+    assert(r.getAs[Long]("after_delete_eq") ==
+      nation.filter(col("n_regionkey") =!= 0).count())
+    assert(r.getAs[Long]("after_delete_compound") == survivors.count())
+    assert(r.getAs[Long]("keysum_surviving") ==
+      survivors.agg(sum(col("n_nationkey").cast("long")))
+        .head().getLong(0))
+    assert(r.getAs[Long]("after_truncate") == 0L)
+  }
+
+  test("GraftCatalog: an emptied table keeps its pinned schema, an " +
+      "untranslatable DELETE predicate fails cleanly (never deletes " +
+      "wrong rows), and catalog metadata is filesystem-visible") {
+    // own catalog NAME: catalog instances cache per session at first
+    // use, so a second catalog under the same name would keep the
+    // first base dir — a behavior worth pinning here
+    spark.conf.set("spark.sql.catalog.gspec",
+      classOf[graft.sources.GraftCatalog].getName)
+    val base = Tables.scratchDir("gcat_spec", sf)
+    spark.conf.set("spark.sql.catalog.gspec.base", base)
+    spark.sql("DROP TABLE IF EXISTS gspec.t_spec")
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "tag")
+      .createOrReplaceTempView("gcat_src")
+    spark.sql("CREATE TABLE gspec.t_spec AS SELECT * FROM gcat_src")
+    // DELETE with a computed-expression predicate cannot translate to
+    // a v2 filter -> analyzer refuses; the table is untouched
+    intercept[Exception] {
+      spark.sql("DELETE FROM gspec.t_spec WHERE id % 2 = 0")
+    }
+    assert(spark.table("gspec.t_spec").count() == 3,
+      "failed delete must not remove rows")
+    // supported predicates delete exactly the matching rows
+    spark.sql("DELETE FROM gspec.t_spec WHERE tag = 'a'")
+    assert(spark.table("gspec.t_spec").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // empty the table: schema survives via the pinned marker
+    spark.sql("DELETE FROM gspec.t_spec WHERE id >= 0")
+    assert(spark.table("gspec.t_spec").schema.fieldNames.toSeq ==
+      Seq("id", "tag"))
+    assert(spark.table("gspec.t_spec").count() == 0)
+    // catalog metadata is the filesystem: the table dir + marker exist
+    val d = new java.io.File(base, "t_spec")
+    assert(d.isDirectory &&
+      new java.io.File(d, "_graft_schema.json").isFile)
+    spark.sql("DROP TABLE gspec.t_spec")
+    assert(!d.exists(), "DROP TABLE must remove the directory")
+  }
+
+  test("checkpoints seam: the three modes cut lineage to a scan and " +
+      "serve identical results") {
+    val base = Tables.nation(spark, sf)
+      .groupBy(col("n_regionkey")).agg(count(lit(1)).as("n"))
+    val expect = base.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    for (mode <- Seq("local", "reliable", "table")) {
+      spark.conf.set("spark.graft.checkpoint.mode", mode)
+      try {
+        val cut = Checkpoints.cut(base)
+        val got = cut.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        assert(got == expect, s"mode $mode must not change results")
+        // the cut frame's plan is a materialized scan, not live lineage
+        val plan = cut.queryExecution.optimizedPlan.toString
+        assert(!plan.contains("Aggregate"),
+          s"mode $mode must cut lineage:\n$plan")
+      } finally spark.conf.unset("spark.graft.checkpoint.mode")
+    }
+  }
+}
