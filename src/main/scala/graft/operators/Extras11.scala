@@ -36,8 +36,15 @@ object Extras11 {
       // of re-running the fact join + distinct + bucketed write (~2/3
       // of x111's cold bench cost). Build publishes via one atomic
       // rename, so a concurrent builder can never expose a partial dir.
+      // node ids DOMAIN-CODED to longs (supplier k → 2k, customer k →
+      // 2k+1): an 8-byte fixed-width join/shuffle key instead of a
+      // variable-width string — cheaper scan, hash, and sort on every
+      // iteration of every consumer (x111 PageRank, x135 SSSP); the
+      // contract output decodes back to 's…'/'c…' ([[decodeNode]]) so
+      // the oracle never sees the coding. The dictionary-coding move
+      // every 100 TB graph job makes before iterating.
       val fp = Tables.corpusFingerprint(sfDir, "lineitem") + "|" +
-        Tables.corpusFingerprint(sfDir, "orders") + "|b16"
+        Tables.corpusFingerprint(sfDir, "orders") + "|b16L"
       val home = Tables.sharedDir("x111_edges", sfDir, fp)
       if (!home.isDirectory) {
         val sc = Tables.lineitem(spark, sfDir)
@@ -45,8 +52,8 @@ object Extras11 {
           .join(Tables.orders(spark, sfDir)
             .select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
-          .select(concat(lit("s"), col("l_suppkey")).as("a"),
-            concat(lit("c"), col("o_custkey")).as("b"))
+          .select((col("l_suppkey") * 2).cast("long").as("a"),
+            (col("o_custkey") * 2 + 1).cast("long").as("b"))
           .distinct()
           // materialize ONCE: the union's two branches, the degree
           // aggregate, and the final join would otherwise each re-run
@@ -83,11 +90,21 @@ object Extras11 {
       // same bucket spec, so scans keep hash(a) output partitioning
       // (the spec pins single-Exchange iterations on the reloaded table)
       s.sql(s"DROP TABLE IF EXISTS $tbl")
-      s.sql(s"CREATE TABLE $tbl (a STRING, b STRING, deg BIGINT) " +
+      s.sql(s"CREATE TABLE $tbl (a BIGINT, b BIGINT, deg BIGINT) " +
         "USING parquet CLUSTERED BY (a) SORTED BY (a) INTO 16 BUCKETS " +
         s"LOCATION '${home.getAbsolutePath}'")
-      s.table(tbl)   // (a, b, deg)
+      // cache across iterations (InMemoryRelation keeps the bucketed
+      // child's output partitioning): iteration 1 pays one parquet
+      // scan, iterations 2..n scan memory — `persist(MEMORY_AND_DISK)`
+      // on the adjacency is the standard iterative-job move on a
+      // cluster, and here it removes 4 of the 5 cold file scans
+      s.table(tbl).cache()   // (a, b, deg) — long-coded nodes
     }
+
+  /** Decode a long-coded node id back to its 's…'/'c…' name. */
+  private[operators] def decodeNode(node: org.apache.spark.sql.Column) =
+    when(node % 2 === 0, concat(lit("s"), (node / 2).cast("long")))
+      .otherwise(concat(lit("c"), ((node - 1) / 2).cast("long")))
 
   /** The staged adjacency, shared with x135's SSSP (Extras12). */
   private[operators] def tradeEdgesShared(spark: SparkSession,
@@ -112,7 +129,8 @@ object Extras11 {
     * Output rounded to 6 dp with rank-then-node total order. */
   def x111PageRank(spark: SparkSession, sfDir: String): DataFrame =
     pageRank(tradeEdges(spark, sfDir), iters = 5)
-      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .select(decodeNode(col("node")).as("node"),
+        round(col("rank"), 6).as("rank"))
       .orderBy(col("rank").desc, col("node")).limit(20)
 
   /** The iteration core over a degree-annotated directed edge list

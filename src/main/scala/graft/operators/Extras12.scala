@@ -156,7 +156,9 @@ object Extras12 {
   /** Nearest-centroid assignment: argmin ‖v−c‖² ≡ argmax 2·v·c − c·c
     * (the −‖v‖² term is constant per point; doubling keeps the score in
     * EXACT decimal — no division ever happens). Ties break on the lower
-    * centroid code, so assignment is total-order deterministic. */
+    * centroid code, so assignment is total-order deterministic. The
+    * winning row KEEPS its (dvc, dcc) so the inertia readout never
+    * recomputes the dots pass. */
   private def kmAssign(v: DataFrame, cdf: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vid"))
       .orderBy(col("score2").desc, col("code").asc)
@@ -164,7 +166,7 @@ object Extras12 {
       .withColumn("score2", lit(2) * col("dvc") - col("dcc"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("vid"), col("code"))
+      .select(col("vid"), col("code"), col("dvc"), col("dcc"))
   }
 
   /** X134 — general k-means over the full 64-dim embeddings (VERDICT r8
@@ -213,7 +215,8 @@ object Extras12 {
         col("d").cast("int").as("d"), col("x").as("c"))
       .collect().toSeq
     for (_ <- 1 to iters) {
-      val upd = kmAssign(v, centDf(cents)).join(v, "vid")
+      val upd = kmAssign(v, centDf(cents))
+        .select(col("vid"), col("code")).join(v, "vid")
         .groupBy(col("code"), col("d"))
         // mean policy: exact DECIMAL(28,10) sum → double → one IEEE
         // division by the member count → round 7 dp → FLOAT (then
@@ -232,8 +235,6 @@ object Extras12 {
       .groupBy(col("vid"))
       .agg(sum(col("p").cast(DecimalType(28, 15))).as("dvv"))
     kmAssign(v, cdf)
-      .join(kmDots(v, cdf), Seq("vid", "code"))
-      .join(broadcast(kmSelfDots(cdf)), "code")
       .join(dvv, "vid")
       .withColumn("dist2", col("dvv") - lit(2) * col("dvc") + col("dcc"))
       .groupBy(col("code"))
@@ -262,18 +263,28 @@ object Extras12 {
     * network from its busiest supplier. Integer hop arithmetic — no
     * float policy needed; the oracle runs the textbook bounded
     * recursive CTE and min-aggregates walks to shortest paths. */
-  def x135Sssp(spark: SparkSession, sfDir: String): DataFrame =
-    sssp(tradeAdjacency(spark, sfDir), "s1", SsspRounds)
+  def x135Sssp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // source = supplier 1, long-coded 2·1 = 2 (the adjacency's coding)
+    ssspFrom(tradeAdjacency(spark, sfDir),
+        Seq((2L, 0L)).toDF("node", "dist"), SsspRounds)
       .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("dist"))
+  }
 
   /** The relaxation core over a directed (a, b) edge list: (node, dist)
     * for every node within `rounds` hops of `source`. Exposed for
-    * spec-level hand-checks on planted graphs. */
+    * spec-level hand-checks on planted string graphs. */
   def sssp(edges: DataFrame, source: String, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    var dist = Seq((source, 0L)).toDF("node", "dist")
+    ssspFrom(edges, Seq((source, 0L)).toDF("node", "dist"), rounds)
+  }
+
+  /** Key-type-generic relaxation loop from an initial (node, dist)
+    * frontier frame. */
+  def ssspFrom(edges: DataFrame, init: DataFrame, rounds: Int): DataFrame = {
+    var dist = init
     for (_ <- 1 to rounds) {
       val relaxed = edges.join(dist, edges("a") === dist("node"))
         .select(col("b").as("node"), (col("dist") + 1).as("dist"))
