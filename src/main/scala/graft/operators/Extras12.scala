@@ -96,14 +96,16 @@ object Extras12 {
   /** SQL45 — row-level SQL through the graft DSv2 catalog
     * ([[graft.sources.GraftCatalog]], VERDICT r8 #8): `CREATE TABLE AS
     * SELECT` INTO the catalog, two `DELETE FROM ... WHERE` statements
-    * (equality + compound predicate), `TRUNCATE TABLE` — statements
-    * stock parquet tables reject outright. Deletes run copy-on-write
-    * (retained rows rewrite, then swap — what a group-based format's
-    * ReplaceData does at table grain); claims collected after every
-    * statement, key-sum pinning which rows survived. UPDATE/MERGE SQL
-    * remain the documented boundary (SURVEY §2.10): they need
-    * SupportsRowLevelOperations + format metadata; the capability is
-    * covered by x30/x113/st21/s14. */
+    * (equality + compound predicate), `INSERT OVERWRITE` (the DSv2
+    * truncate-write path — free from FileWriteBuilder), `TRUNCATE
+    * TABLE` — statements stock parquet tables reject outright. Deletes
+    * run copy-on-write (retained rows rewrite, then swap — what a
+    * group-based format's ReplaceData does at table grain); claims
+    * collected after every statement, key-sums pinning which rows
+    * survived. UPDATE/MERGE SQL remain the documented boundary
+    * (SURVEY §2.10; the spec pins the clean TABLE_OPERATION error):
+    * they need SupportsRowLevelOperations + format metadata; the
+    * capability is covered by x30/x113/st21/s14. */
   def sql45RowLevelSql(spark: SparkSession, sfDir: String): DataFrame = {
     val s = Tables.tune(spark)
     s.conf.set("spark.sql.catalog.graft",
@@ -124,12 +126,20 @@ object Extras12 {
       val ks = s.table("graft.nation_rl")
         .agg(coalesce(sum(col("n_nationkey").cast("long")), lit(0L)))
         .head().getLong(0)
+      s.sql("INSERT OVERWRITE graft.nation_rl " +
+        "SELECT n_nationkey + 100, n_name, n_regionkey " +
+        "FROM nation_src45 WHERE n_regionkey = 2")
+      val nOver = cnt()
+      val ksOver = s.table("graft.nation_rl")
+        .agg(coalesce(sum(col("n_nationkey").cast("long")), lit(0L)))
+        .head().getLong(0)
       s.sql("TRUNCATE TABLE graft.nation_rl")
       val n3 = cnt()
       import s.implicits._
-      Seq((n0, n1, n2, ks, n3))
+      Seq((n0, n1, n2, ks, nOver, ksOver, n3))
         .toDF("n_created", "after_delete_eq", "after_delete_compound",
-          "keysum_surviving", "after_truncate")
+          "keysum_surviving", "after_overwrite", "keysum_after_overwrite",
+          "after_truncate")
     } finally s.sql("DROP TABLE IF EXISTS graft.nation_rl"): Unit
   }
 
@@ -384,6 +394,10 @@ object Extras12 {
        "WHERE n_regionkey <> 0 " +
        "AND NOT (n_nationkey > 15 AND n_regionkey <> 3)) AS BIGINT) " +
        "AS keysum_surviving, " +
+       "CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey = 2) " +
+       "AS BIGINT) AS after_overwrite, " +
+       "CAST((SELECT SUM(n_nationkey + 100) FROM nation " +
+       "WHERE n_regionkey = 2) AS BIGINT) AS keysum_after_overwrite, " +
        "CAST(0 AS BIGINT) AS after_truncate"),
     "x134_kmeans" -> KmeansSql,
     "x135_sssp" -> SsspSql,

@@ -106,6 +106,24 @@ class Extras12Spec extends SparkSpec {
       survivors.agg(sum(col("n_nationkey").cast("long")))
         .head().getLong(0))
     assert(r.getAs[Long]("after_truncate") == 0L)
+    // INSERT OVERWRITE restated the table to exactly the region-2 slice
+    val r2 = nation.filter(col("n_regionkey") === 2)
+    assert(r.getAs[Long]("after_overwrite") == r2.count())
+    assert(r.getAs[Long]("keysum_after_overwrite") ==
+      r2.agg(sum((col("n_nationkey") + 100).cast("long")))
+        .head().getLong(0))
+    // the documented boundary: UPDATE fails with the CLEAN v2 error
+    // (unsupported table operation), never a partial write
+    spark.sql("DROP TABLE IF EXISTS graft.upd_probe")
+    Seq((1L, "a")).toDF("id", "tag")
+      .createOrReplaceTempView("upd_src")
+    spark.sql("CREATE TABLE graft.upd_probe AS SELECT * FROM upd_src")
+    val e = intercept[Exception] {
+      spark.sql("UPDATE graft.upd_probe SET tag = 'z' WHERE id = 1")
+    }
+    assert(e.getMessage.contains("does not support UPDATE"))
+    assert(spark.table("graft.upd_probe").head().getString(1) == "a")
+    spark.sql("DROP TABLE graft.upd_probe")
   }
 
   test("GraftCatalog: an emptied table keeps its pinned schema, an " +
