@@ -307,6 +307,63 @@ object Extras12 {
 
   private val SsspRounds = 6
 
+  // ---------------------------------------------------------------- x136
+
+  /** X136 — k-core decomposition (k=3, the graph-ML feature-prep
+    * standard: the maximal subgraph where every node keeps ≥ k
+    * neighbors — Seidman 1983) of the co-purchase part graph (x112's
+    * edge set). Simultaneous peel rounds: drop all nodes of degree < k
+    * at once, recompute, repeat — DETERMINISTIC regardless of
+    * execution order (unlike sequential peeling), so both engines walk
+    * the identical trajectory; convergence is emitted AS DATA
+    * (min-degree ≥ k or empty core) rather than assumed, so an
+    * unconverged bound at some corpus shows up as `converged = false`
+    * on both sides, never as a silent mismatch. Per round: one
+    * endpoint-union degree aggregate + two semi joins — all keyed by
+    * node, edges shrink monotonically; lineage cut per round through
+    * the Checkpoints seam. Oracle unrolls the same rounds as CTEs. */
+  def x136KCore(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+      .transform(graft.Checkpoints.cut)
+    kCore(e, KCoreK, KCoreRounds)
+  }
+
+  private val KCoreK = 3
+  private val KCoreRounds = 8
+
+  /** The peel loop over a canonical (a < b) edge list; exposed for
+    * spec-level hand-checks on planted graphs. Output is the one-row
+    * core summary: surviving nodes/edges, the final min degree, and
+    * the convergence verdict. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("n"))
+        .unionByName(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    var e = edges
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("deg") >= k).select(col("n"))
+      e = graft.Checkpoints.cut(
+        e.join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b")))
+    }
+    val degF = degrees(e)
+    val nodeStats = degF.agg(
+      count(lit(1)).as("n_nodes"),
+      coalesce(min(col("deg")), lit(0L)).as("min_deg"))
+    val edgeStats = e.agg(count(lit(1)).as("n_edges"))
+    nodeStats.crossJoin(edgeStats)
+      .select(col("n_nodes"), col("n_edges"), col("min_deg"),
+        (col("n_edges") === 0 || col("min_deg") >= k).as("converged"))
+  }
+
   /** The x111/x135 shared adjacency, through Extras11's staged table. */
   private def tradeAdjacency(spark: SparkSession, sfDir: String): DataFrame =
     Extras11.tradeEdgesShared(spark, sfDir)
@@ -316,7 +373,8 @@ object Extras12 {
     "sql44_ctas" -> (sql44Ctas _),
     "sql45_row_level_sql" -> (sql45RowLevelSql _),
     "x134_kmeans" -> (x134Kmeans _),
-    "x135_sssp" -> (x135Sssp _))
+    "x135_sssp" -> (x135Sssp _),
+    "x136_kcore" -> (x136KCore _))
 
   /** One unrolled Lloyd round of the x134 oracle: assignment CTEs from
     * centroid table `prevC`, then the updated centroid table `c$n` —
@@ -369,6 +427,36 @@ object Extras12 {
     "JOIN dcc4 s ON s.code = a.code JOIN dvv w ON w.vid = a.vid " +
     "GROUP BY a.code ORDER BY cluster"
 
+  /** One unrolled peel round of the x136 oracle. Every stage is
+    * MATERIALIZED: each round references its predecessor three times,
+    * and DuckDB's default CTE inlining would otherwise expand the
+    * chain exponentially (observed: "too many open files" from 2^8
+    * copies of the base scan). */
+  private def kcIterSql(prev: String, n: Int): String =
+    s"d$n AS MATERIALIZED (SELECT n, COUNT(*) AS deg FROM " +
+    s"(SELECT a AS n FROM $prev " +
+    s"UNION ALL SELECT b FROM $prev) t GROUP BY n), " +
+    s"k$n AS MATERIALIZED (SELECT n FROM d$n WHERE deg >= $KCoreK), " +
+    s"e$n AS MATERIALIZED (SELECT a, b FROM $prev " +
+    s"WHERE a IN (SELECT n FROM k$n) " +
+    s"AND b IN (SELECT n FROM k$n))"
+
+  private val KCoreSql: String = {
+    val rounds = (1 to KCoreRounds)
+      .map(i => kcIterSql(s"e${i - 1}", i)).mkString(", ")
+    "WITH e0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b " +
+    "FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey " +
+    "AND x.l_partkey < y.l_partkey), " + rounds + ", " +
+    s"df AS (SELECT n, COUNT(*) AS deg FROM (SELECT a AS n " +
+    s"FROM e$KCoreRounds UNION ALL SELECT b FROM e$KCoreRounds) t " +
+    "GROUP BY n) " +
+    "SELECT CAST((SELECT COUNT(*) FROM df) AS BIGINT) AS n_nodes, " +
+    s"CAST((SELECT COUNT(*) FROM e$KCoreRounds) AS BIGINT) AS n_edges, " +
+    "CAST((SELECT COALESCE(MIN(deg), 0) FROM df) AS BIGINT) AS min_deg, " +
+    s"((SELECT COUNT(*) FROM e$KCoreRounds) = 0 OR " +
+    s"(SELECT COALESCE(MIN(deg), 0) FROM df) >= $KCoreK) AS converged"
+  }
+
   private val SsspSql: String =
     "WITH RECURSIVE sc AS (SELECT DISTINCT 's' || l_suppkey AS a, " +
     "'c' || o_custkey AS b FROM lineitem JOIN orders " +
@@ -401,6 +489,7 @@ object Extras12 {
        "CAST(0 AS BIGINT) AS after_truncate"),
     "x134_kmeans" -> KmeansSql,
     "x135_sssp" -> SsspSql,
+    "x136_kcore" -> KCoreSql,
     // recompute every post-statement claim from the base table
     "sql43_insert_dml" ->
       ("SELECT CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS after_seed, " +

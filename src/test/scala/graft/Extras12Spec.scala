@@ -164,6 +164,27 @@ class Extras12Spec extends SparkSpec {
     assert(!d.exists(), "DROP TABLE must remove the directory")
   }
 
+  test("x136: k-core peel on a planted graph keeps exactly the dense " +
+      "kernel and reports convergence honestly") {
+    // triangle {1,2,3} + a chain 3-4-5 hanging off it: the 2-core is
+    // the triangle (chain peels in two rounds), the 3-core is empty
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val two = Extras12.kCore(edges, k = 2, rounds = 4).head()
+    assert(two.getAs[Long]("n_nodes") == 3 &&
+      two.getAs[Long]("n_edges") == 3 &&
+      two.getAs[Long]("min_deg") == 2 &&
+      two.getAs[Boolean]("converged"))
+    val three = Extras12.kCore(edges, k = 3, rounds = 4).head()
+    assert(three.getAs[Long]("n_nodes") == 0 &&
+      three.getAs[Long]("n_edges") == 0 &&
+      three.getAs[Boolean]("converged"))
+    // too few rounds: the verdict says so instead of lying
+    // (chain needs 2 peel rounds; 1 round leaves node 4 at degree 1)
+    val short = Extras12.kCore(edges, k = 2, rounds = 1).head()
+    assert(!short.getAs[Boolean]("converged"))
+  }
+
   test("checkpoints seam: the three modes cut lineage to a scan and " +
       "serve identical results") {
     val base = Tables.nation(spark, sf)
