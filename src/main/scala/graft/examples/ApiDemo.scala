@@ -237,6 +237,41 @@ object ApiDemo {
     println(f"KMV overlap estimate: union ~ $estU%.0f (true 600), " +
       f"intersection ~ $estI%.0f (true 200)")
 
+    // round-9 additions ------------------------------------------------
+
+    println("k-means (k=2) on two planted blobs — custom column names:")
+    val blobs = (0 until 12).map { i =>
+      val a = Array.fill(64)(0.0f); a(i % 2) = 1.0f
+      a(20 + i % 3) = 0.02f * (i % 3)
+      (i.toLong, a.toSeq)
+    }.toDF("row_id", "features")
+    graft.operators.Extras12.kmeans(blobs, "row_id", "features",
+      k = 2, iters = 2).show(false)
+
+    println("SSSP (4 rounds) from node 'a' on a path graph:")
+    graft.operators.Extras12.sssp(
+        Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("a", "b"),
+        "a", 4)
+      .orderBy("dist").show(false)
+
+    println("2-core of a triangle with a pendant chain:")
+    graft.operators.Extras12.kCore(
+        Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b"),
+        k = 2, rounds = 3).show(false)
+
+    println("row-level SQL through the graft DSv2 catalog:")
+    spark.conf.set("spark.sql.catalog.demo",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.demo.base",
+      s"${sys.props("java.io.tmpdir")}/graft_apidemo_cat")
+    spark.sql("DROP TABLE IF EXISTS demo.events")
+    corpus.select(col("id"), length(col("body")).as("n_chars"))
+      .createOrReplaceTempView("demo_src")
+    spark.sql("CREATE TABLE demo.events AS SELECT * FROM demo_src")
+    spark.sql("DELETE FROM demo.events WHERE n_chars < 63")
+    spark.sql("SELECT * FROM demo.events ORDER BY id").show(false)
+    spark.sql("DROP TABLE demo.events")
+
     spark.stop()
   }
 }
