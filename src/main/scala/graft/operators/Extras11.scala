@@ -170,17 +170,24 @@ object Extras11 {
     * self-join-hot-key rule rejected the naive id orientation on this
     * very corpus). Wedges are pure integer arithmetic off the degree
     * table — no second pass. */
-  def x112Triangles(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey"))
-    val e = li.as("x").join(li.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-      .distinct()
-      .localCheckpoint(true)
-    triangleCensus(e)
-  }
+  def x112Triangles(spark: SparkSession, sfDir: String): DataFrame =
+    triangleCensus(coPurchaseEdges(spark, sfDir))
+
+  /** The canonical (a < b) co-purchase part edge set, memoized per
+    * (session, corpus) — x112's census and x136's k-core peel share
+    * one build (the l2/x12 sharing pattern). */
+  private[operators] def coPurchaseEdges(spark: SparkSession,
+      sfDir: String): DataFrame =
+    graft.Memo(spark, s"copurchase:$sfDir") {
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+        .transform(graft.Checkpoints.cut)
+    }
 
   /** The census core over a canonical (a < b) undirected edge list;
     * see [[x112Triangles]]. Exposed for spec-level hand-checks.

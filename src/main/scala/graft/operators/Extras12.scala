@@ -322,17 +322,8 @@ object Extras12 {
     * endpoint-union degree aggregate + two semi joins — all keyed by
     * node, edges shrink monotonically; lineage cut per round through
     * the Checkpoints seam. Oracle unrolls the same rounds as CTEs. */
-  def x136KCore(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey"))
-    val e = li.as("x").join(li.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-      .distinct()
-      .transform(graft.Checkpoints.cut)
-    kCore(e, KCoreK, KCoreRounds)
-  }
+  def x136KCore(spark: SparkSession, sfDir: String): DataFrame =
+    kCore(Extras11.coPurchaseEdges(spark, sfDir), KCoreK, KCoreRounds)
 
   private val KCoreK = 3
   private val KCoreRounds = 8
