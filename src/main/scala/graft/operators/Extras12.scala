@@ -145,38 +145,41 @@ object Extras12 {
 
   // ---------------------------------------------------------------- x134
 
-  /** Per-(point, centroid) exact decimal dot products under the x111
-    * determinism policy: each double product rounded to 12 dp (HALF_UP
-    * spells identically in both engines), summed EXACTLY in
-    * DECIMAL(28,15) — so every iteration's geometry is bitwise
-    * reproducible and partial-aggregation-order-free. `cdf` is the tiny
-    * (code, d, c) centroid-dimension table, always broadcast. */
-  private def kmDots(v: DataFrame, cdf: DataFrame): DataFrame =
-    v.join(broadcast(cdf), "d")
-      .select(col("vid"), col("code"),
-        round(col("x") * col("c"), 12).as("p"))
-      .groupBy(col("vid"), col("code"))
-      .agg(sum(col("p").cast(DecimalType(28, 15))).as("dvc"))
-
-  private def kmSelfDots(cdf: DataFrame): DataFrame =
-    cdf.select(col("code"), round(col("c") * col("c"), 12).as("p"))
-      .groupBy(col("code"))
-      .agg(sum(col("p").cast(DecimalType(28, 15))).as("dcc"))
+  /** The lattice policy (shared by [[graft.functions.LatticeDot]], the
+    * driver mirror below, and the oracle SQL): y = x·c·1e12 in plain
+    * left-associated IEEE doubles, then HALF-AWAY-FROM-ZERO to the
+    * nearest integer — `round(v.x * c.c * 1e12, 0)` in DuckDB, the
+    * sign-split floor/ceil formula in JVM code (identical for every
+    * double with |y| < 2^52, including exact halves). Because both
+    * engines run the SAME IEEE ops on the SAME doubles, the lattice
+    * integer is bit-identical by construction — no shortest-repr
+    * subtleties — and the 64-term integer sums are exact and
+    * order-free (|dot| ≤ 6.4e13 ≪ 2^63). */
+  private def latticeHalfUp(y: Double): Long =
+    (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)).toLong
 
   /** Nearest-centroid assignment: argmin ‖v−c‖² ≡ argmax 2·v·c − c·c
-    * (the −‖v‖² term is constant per point; doubling keeps the score in
-    * EXACT decimal — no division ever happens). Ties break on the lower
-    * centroid code, so assignment is total-order deterministic. The
-    * winning row KEEPS its (dvc, dcc) so the inertia readout never
-    * recomputes the dots pass. */
-  private def kmAssign(v: DataFrame, cdf: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vid"))
-      .orderBy(col("score2").desc, col("code").asc)
-    kmDots(v, cdf).join(broadcast(kmSelfDots(cdf)), "code")
-      .withColumn("score2", lit(2) * col("dvc") - col("dcc"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vid"), col("code"), col("dvc"), col("dcc"))
+    * (the −‖v‖² term is constant per point; doubling keeps the score on
+    * the exact integer lattice — no division ever happens). All k
+    * scores compute in ONE projection per row (k struct entries,
+    * `array_max` picks the total-order winner: highest score, then
+    * LOWEST code via the negated-code field) — no join, no window, no
+    * shuffle. The winning struct carries its (dvc, dcc) so the inertia
+    * readout is free. */
+  private def kmAssignArr(vec: DataFrame,
+      cents: Seq[(Int, Array[Double])]): DataFrame = {
+    val entries = cents.sortBy(_._1).map { case (code, cent) =>
+      val dcc = cent.map(c => latticeHalfUp(c * c * 1e12)).sum
+      val dvc = graft.functions.LatticeDot.dot(col("ve"), cent, 1e12)
+      struct(
+        (lit(2L) * dvc - lit(dcc)).as("s"),
+        lit(-code).as("negcode"), lit(code).as("code"),
+        dvc.as("dvc"), lit(dcc).as("dcc"))
+    }
+    vec.select(col("vid"), col("ve"),
+        array_max(array(entries: _*)).as("w"))
+      .select(col("vid"), col("ve"), col("w.code").as("code"),
+        col("w.dvc").as("dvc"), col("w.dcc").as("dcc"))
   }
 
   /** X134 — general k-means over the full 64-dim embeddings (VERDICT r8
@@ -188,68 +191,79 @@ object Extras12 {
     * never moves, only the (k × dims) centroid table reaches the
     * driver each round (the standard k-means shape — identical to a
     * 1000-executor run, where this collect is the same bounded
-    * all-reduce). Means go sum-exact-DECIMAL → one IEEE division →
-    * round 7 dp → FLOAT, so the whole trajectory is bitwise
-    * reproducible and the oracle can unroll the iterations as CTEs
-    * (the x111 pattern); empty clusters keep their previous centroid
-    * (pqTrain's rule). */
+    * all-reduce). All heavy arithmetic runs EXACT FIXED-POINT on a
+    * LONG lattice (products at 1e12, mean coordinates at 1e10 —
+    * [[kmDotLit]]) with the identical spelling on the oracle side, so
+    * the whole trajectory is bitwise reproducible, order-free, and
+    * pure codegen; means descale through one IEEE division chain →
+    * round 7 dp → FLOAT; empty clusters keep their previous centroid
+    * (pqTrain's rule). Oracle unrolls the iterations as CTEs (the
+    * x111 pattern). */
   def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    // (vid, d, x): one row per dimension, x the exact double value of
-    // the float coordinate; reused iters+2 times — cut the lineage once
-    val v = graft.Checkpoints.cut(
-      corpus.select(col(idCol).as("vid"),
-          posexplode(col(vecCol)).as(Seq("d", "x")))
-        .select(col("vid"), col("d"), col("x").cast("double").as("x")))
-    val centSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("code",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("d",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("c",
-        org.apache.spark.sql.types.DoubleType)))
-    def centDf(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), centSchema)
-    // seeds: the k lowest-id vectors in id order (code = rank − 1).
-    // The global row_number runs over the LIMIT-bounded k-row frame
-    // (TakeOrderedAndProject under it), never the corpus — PlanLint's
-    // single-partition-window rule passes by shape
-    val seedIds = v.select(col("vid")).distinct()
-      .orderBy(col("vid")).limit(k)
-      .withColumn("rk", row_number().over(Window.orderBy(col("vid"))))
-    var cents: Seq[org.apache.spark.sql.Row] = v
-      .join(broadcast(seedIds), "vid")
-      .select((col("rk") - 1).cast("int").as("code"),
-        col("d").cast("int").as("d"), col("x").as("c"))
-      .collect().toSeq
+    // (vid, ve): the corpus stays ARRAYS end to end; reused iters+1
+    // times — cut the lineage once
+    val vec = graft.Checkpoints.cut(
+      corpus.select(col(idCol).as("vid"), col(vecCol).as("ve")))
+    // seeds: the k lowest-id vectors in id order (code = rank − 1) —
+    // a k-row bounded collect, like every centroid pull below
+    // collect() of an orderBy().limit() preserves the sort order
+    var cents: Seq[(Int, Array[Double])] = vec
+      .orderBy(col("vid")).limit(k).collect().toSeq
+      .zipWithIndex
+      .map { case (r, i) =>
+        i -> r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray
+      }
     for (_ <- 1 to iters) {
-      val upd = kmAssign(v, centDf(cents))
-        .select(col("vid"), col("code")).join(v, "vid")
+      val upd = kmAssignArr(vec, cents)
+        .select(col("code"), posexplode(col("ve")).as(Seq("d", "x")))
+        // mean policy, fixed-point like the dots: coordinates rounded
+        // onto the 1e10 LONG lattice (identical double spelling in the
+        // oracle), exact integer sum, then the IEEE divisions → round
+        // 7 dp → FLOAT (then widened back: every centroid coordinate
+        // is exactly a float)
         .groupBy(col("code"), col("d"))
-        // mean policy: exact DECIMAL(28,10) sum → double → one IEEE
-        // division by the member count → round 7 dp → FLOAT (then
-        // widened back: every centroid coordinate is exactly a float)
-        .agg(round(sum(col("x").cast(DecimalType(28, 10))).cast("double") /
-            count(lit(1)), 7)
+        .agg(round(sum(round(col("x").cast("double") * lit(1e10), 0)
+                .cast("long")).cast("double") /
+              count(lit(1)) / lit(1e10), 7)
           .cast("float").cast("double").as("c"))
-        .select(col("code").cast("int"), col("d").cast("int"), col("c"))
-        .collect().toSeq
-      val have = upd.map(r => (r.getInt(0), r.getInt(1))).toSet
-      cents = upd ++
-        cents.filterNot(r => have((r.getInt(0), r.getInt(1))))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (code, rows) =>
+          val arr = cents.find(_._1 == code).get._2.clone()
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          code -> arr
+        }
+      // empty clusters keep their previous centroid (pqTrain's rule)
+      cents = cents.map { case (code, old) =>
+        code -> upd.getOrElse(code, old)
+      }
     }
-    val cdf = centDf(cents)
-    val dvv = v.select(col("vid"), round(col("x") * col("x"), 12).as("p"))
-      .groupBy(col("vid"))
-      .agg(sum(col("p").cast(DecimalType(28, 15))).as("dvv"))
-    kmAssign(v, cdf)
-      .join(dvv, "vid")
-      .withColumn("dist2", col("dvv") - lit(2) * col("dvc") + col("dcc"))
+    // final assignment + inertia in ONE narrow pass: dist² = v·v −
+    // 2·v·c + c·c with every dot an exact lattice long; v·v is a
+    // per-row self-dot, no separate aggregate or join. The lattice sum
+    // over members stays within 2^63 (dist² ≤ 4 ⇒ ≤ 4e12 scaled per
+    // row); the single long→double conversion before the 1e12
+    // descale is the identical spelling on the oracle side.
+    // self-dot on the same lattice: y = x·x·1e12, sign-split half-away
+    // (floor/ceil — the exact spelling of the oracle's round(y, 0));
+    // runs once in the final pass, so the HOF cost is immaterial
+    val dvv = aggregate(
+      transform(col("ve"), x => {
+        val y = x.cast("double") * x.cast("double") * lit(1e12)
+        when(y >= 0, floor(y + lit(0.5)))
+          .otherwise(ceil(y - lit(0.5))).cast("long")
+      }),
+      lit(0L), (acc, p) => acc + p)
+    kmAssignArr(vec, cents)
+      .withColumn("dist2", dvv - lit(2L) * col("dvc") + col("dcc"))
       .groupBy(col("code"))
       .agg(count(lit(1)).as("n_members"),
-        round(sum(col("dist2")).cast("double"), 6).as("inertia"))
+        round(sum(col("dist2")).cast("double") / lit(1e12), 6)
+          .as("inertia"))
       .select(col("code").cast("long").as("cluster"),
         col("n_members"), col("inertia"))
       .orderBy(col("cluster"))
@@ -369,20 +383,25 @@ object Extras12 {
 
   /** One unrolled Lloyd round of the x134 oracle: assignment CTEs from
     * centroid table `prevC`, then the updated centroid table `c$n` —
-    * the identical decimal/rounding policy as [[kmDots]]/[[kmeans]],
-    * spelled in DuckDB. */
+    * the identical fixed-point policy as [[kmDotLit]]/[[kmeans]],
+    * spelled in DuckDB: products rounded 12 dp then scaled onto the
+    * 1e12 BIGINT lattice (coordinates onto the 1e10 lattice for the
+    * means), exact integer sums, the same IEEE division chain. */
   private def kmIterSql(prevC: String, n: Int): String =
-    s"dvc$n AS (SELECT v.vid, c.code, SUM(CAST(round(v.x * c.c, 12) " +
-    s"AS DECIMAL(28,15))) AS dvc FROM v JOIN $prevC c ON v.d = c.d " +
+    s"dvc$n AS (SELECT v.vid, c.code, " +
+    "SUM(CAST(round(v.x * c.c * 1e12, 0) AS BIGINT)) " +
+    s"AS dvc FROM v JOIN $prevC c ON v.d = c.d " +
     "GROUP BY v.vid, c.code), " +
-    s"dcc$n AS (SELECT code, SUM(CAST(round(c * c, 12) " +
-    s"AS DECIMAL(28,15))) AS dcc FROM $prevC GROUP BY code), " +
+    s"dcc$n AS (SELECT code, " +
+    "SUM(CAST(round(c * c * 1e12, 0) AS BIGINT)) " +
+    s"AS dcc FROM $prevC GROUP BY code), " +
     s"asg$n AS (SELECT vid, code FROM (SELECT d.vid, d.code, " +
     "row_number() OVER (PARTITION BY d.vid " +
     "ORDER BY (2 * d.dvc - s.dcc) DESC, d.code) AS rn " +
     s"FROM dvc$n d JOIN dcc$n s USING (code)) t WHERE rn = 1), " +
     s"upd$n AS (SELECT a.code, v.d, CAST(CAST(round(" +
-    "CAST(SUM(CAST(v.x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 7) " +
+    "CAST(SUM(CAST(round(v.x * 1e10, 0) AS BIGINT)) AS DOUBLE) " +
+    "/ COUNT(*) / 1e10, 7) " +
     s"AS FLOAT) AS DOUBLE) AS c FROM asg$n a JOIN v USING (vid) " +
     "GROUP BY a.code, v.d), " +
     s"c$n AS (SELECT p.code, p.d, CAST(COALESCE(u.c, p.c) AS DOUBLE) " +
@@ -399,21 +418,25 @@ object Extras12 {
     "JOIN v ON v.vid = s.svid), " +
     kmIterSql("c0", 1) + ", " + kmIterSql("c1", 2) + ", " +
     kmIterSql("c2", 3) + ", " +
-    // final assignment + inertia against c3
-    "dvc4 AS (SELECT v.vid, c.code, SUM(CAST(round(v.x * c.c, 12) " +
-    "AS DECIMAL(28,15))) AS dvc FROM v JOIN c3 c ON v.d = c.d " +
+    // final assignment + inertia against c3, same lattice spelling
+    "dvc4 AS (SELECT v.vid, c.code, " +
+    "SUM(CAST(round(v.x * c.c * 1e12, 0) AS BIGINT)) " +
+    "AS dvc FROM v JOIN c3 c ON v.d = c.d " +
     "GROUP BY v.vid, c.code), " +
-    "dcc4 AS (SELECT code, SUM(CAST(round(c * c, 12) " +
-    "AS DECIMAL(28,15))) AS dcc FROM c3 GROUP BY code), " +
+    "dcc4 AS (SELECT code, " +
+    "SUM(CAST(round(c * c * 1e12, 0) AS BIGINT)) " +
+    "AS dcc FROM c3 GROUP BY code), " +
     "asg4 AS (SELECT vid, code FROM (SELECT d.vid, d.code, " +
     "row_number() OVER (PARTITION BY d.vid " +
     "ORDER BY (2 * d.dvc - s.dcc) DESC, d.code) AS rn " +
     "FROM dvc4 d JOIN dcc4 s USING (code)) t WHERE rn = 1), " +
-    "dvv AS (SELECT vid, SUM(CAST(round(x * x, 12) " +
-    "AS DECIMAL(28,15))) AS dvv FROM v GROUP BY vid) " +
+    "dvv AS (SELECT vid, " +
+    "SUM(CAST(round(x * x * 1e12, 0) AS BIGINT)) " +
+    "AS dvv FROM v GROUP BY vid) " +
     "SELECT CAST(a.code AS BIGINT) AS cluster, " +
     "CAST(COUNT(*) AS BIGINT) AS n_members, " +
-    "round(CAST(SUM(w.dvv - 2 * d.dvc + s.dcc) AS DOUBLE), 6) AS inertia " +
+    "round(CAST(SUM(w.dvv - 2 * d.dvc + s.dcc) AS DOUBLE) / 1e12, 6) " +
+    "AS inertia " +
     "FROM asg4 a JOIN dvc4 d ON a.vid = d.vid AND a.code = d.code " +
     "JOIN dcc4 s ON s.code = a.code JOIN dvv w ON w.vid = a.vid " +
     "GROUP BY a.code ORDER BY cluster"

@@ -164,6 +164,34 @@ class Extras12Spec extends SparkSpec {
     assert(!d.exists(), "DROP TABLE must remove the directory")
   }
 
+  test("LatticeDot: codegen equals the driver-side lattice fold on real " +
+      "vectors, half-away rounding pinned on planted halves and negatives") {
+    def halfUp(y: Double): Long =
+      (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)).toLong
+    val vecs = Tables.embeddings(spark, sf).limit(20).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](1).toArray))
+    val cent = vecs(3)._2.map(_.toDouble)
+    val got = vecs.toSeq.map { case (id, v) => (id, v) }
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        graft.functions.LatticeDot.dot(col("embedding"), cent, 1e12)
+          .as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.foreach { case (id, v) =>
+      val ref = v.indices.map(i =>
+        halfUp(v(i).toDouble * cent(i) * 1e12)).sum
+      assert(got(id) == ref, s"vec $id")
+    }
+    // exact dyadic half: x*c*scale = 2.5 and -2.5 must round AWAY from
+    // zero (the BigDecimal HALF_UP agreement the policy doc claims)
+    val tiny = Seq((1L, Array(2.5f)), (2L, Array(-2.5f)))
+      .toDF("id", "v")
+      .select(col("id"),
+        graft.functions.LatticeDot.dot(col("v"), Array(1.0), 1.0).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tiny == Map(1L -> 3L, 2L -> (-3L)))
+  }
+
   test("x136: k-core peel on a planted graph keeps exactly the dense " +
       "kernel and reports convergence honestly") {
     // triangle {1,2,3} + a chain 3-4-5 hanging off it: the 2-core is
