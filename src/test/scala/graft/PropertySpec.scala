@@ -419,4 +419,61 @@ class PropertySpec extends SparkSpec {
       got == want
     })
   }
+
+  test("blocked all-pairs equals brute cosine pairs for every block count") {
+    import spark.implicits._
+    // small random float vectors (dim 4), ids dense; every unordered
+    // pair above threshold must appear EXACTLY once whatever B is —
+    // the x2 coverage argument, property-checked
+    val vecGen = Gen.listOfN(14, Gen.listOfN(4,
+      Gen.chooseNum(-1.0, 1.0).map(_.toFloat)))
+    check(Prop.forAll(vecGen, Gen.oneOf(1, 2, 3, 5, 16)) { (vs, b) =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "vec")
+      def canon(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val brute = canon(graft.api.VectorPipeline
+        .cosinePairs(df, "id", "vec", -10.0).collect())
+      val blocked = canon(graft.api.VectorPipeline
+        .blockedCosinePairs(df, "id", "vec", -10.0, numBlocks = b)
+        .collect())
+      blocked == brute && brute.size == 14 * 13 / 2
+    })
+  }
+
+  test("k-core peel equals the sequential reference on random graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(25, Gen.zip(
+      Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L)))
+    check(Prop.forAll(edgeGen, Gen.oneOf(2, 3)) { (raw, k) =>
+      val es = raw.collect {
+        case (a, b) if a != b => (math.min(a, b), math.max(a, b))
+      }.distinct
+      if (es.isEmpty) Prop.passed
+      else {
+        val got = graft.operators.Extras12
+          .kCore(es.toDF("a", "b"), k, rounds = 12).head()
+        // reference: iterate set-peel to fixpoint in plain Scala
+        var edges = es.toSet
+        var stable = false
+        while (!stable) {
+          val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+            .groupBy(identity).view.mapValues(_.size).toMap
+          val keep = deg.filter(_._2 >= k).keySet
+          val next = edges.filter(e => keep(e._1) && keep(e._2))
+          stable = next == edges
+          edges = next
+        }
+        val nodes = edges.toSeq.flatMap(e => Seq(e._1, e._2)).distinct
+        val minDeg =
+          if (edges.isEmpty) 0L
+          else edges.toSeq.flatMap(e => Seq(e._1, e._2))
+            .groupBy(identity).values.map(_.size.toLong).min
+        Prop.?=(
+          (got.getAs[Long]("n_nodes"), got.getAs[Long]("n_edges"),
+            got.getAs[Long]("min_deg"), got.getAs[Boolean]("converged")),
+          (nodes.size.toLong, edges.size.toLong, minDeg, true))
+      }
+    })
+  }
 }
