@@ -144,37 +144,36 @@ private[sources] class GraftParquetTable(tableName: String,
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
     predicates.forall(p => GraftParquetTable.toColumn(p).isDefined)
 
-  /** Copy-on-write rewrite: retained rows land in a sibling build dir,
-    * which swaps in wholesale; the pinned schema marker survives so an
-    * emptied table keeps its schema. */
+  /** Copy-on-write rewrite: retained rows land in a sibling build dir
+    * (with the pinned schema marker copied in, so an emptied table
+    * keeps its schema), then the swap is TWO directory-level atomic
+    * renames — old out to trash, build in. A concurrent reader sees
+    * the old file set, a clean table-miss in the instant between the
+    * renames, or the new file set; never a partially-deleted mix of
+    * rows (the hazard of clearing files in place). */
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
     val cond = predicates.flatMap(GraftParquetTable.toColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
     val reader = spark.read
     val df = declared.fold(reader)(s => reader.schema(s))
       .parquet(dir).filter(!cond)
+    val d = new File(dir)
     val tmp = new File(s"$dir.rewrite_${System.nanoTime()}")
     df.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-    val d = new File(dir)
     val schemaJson = new File(d, GraftCatalog.SchemaFile)
-    val pinned =
-      if (schemaJson.isFile)
-        Some(java.nio.file.Files.readAllBytes(schemaJson.toPath))
-      else None
-    Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
-      def rm(x: File): Unit = {
-        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-        x.delete(): Unit
-      }
-      rm(f)
+    if (schemaJson.isFile)
+      Files.copy(schemaJson.toPath,
+        new File(tmp, GraftCatalog.SchemaFile).toPath,
+        StandardCopyOption.REPLACE_EXISTING): Unit
+    val trash = new File(s"$dir.trash_${System.nanoTime()}")
+    Files.move(d.toPath, trash.toPath, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp.toPath, d.toPath, StandardCopyOption.ATOMIC_MOVE)
+    def rm(x: File): Unit = {
+      Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+      x.delete(): Unit
     }
-    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
-      java.nio.file.Files.move(f.toPath,
-        new File(d, f.getName).toPath): Unit
-    }
-    tmp.delete()
-    pinned.foreach(b =>
-      java.nio.file.Files.write(schemaJson.toPath, b): Unit)
+    rm(trash)
   }
 
   override def truncateTable(): Boolean = {
