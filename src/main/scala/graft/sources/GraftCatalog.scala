@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Li
 import org.apache.spark.sql.connector.expressions.filter.{And => VAnd, Not => VNot, Or => VOr, Predicate}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.functions.{col, input_file_name, lit, max, not, when}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -144,23 +144,51 @@ private[sources] class GraftParquetTable(tableName: String,
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
     predicates.forall(p => GraftParquetTable.toColumn(p).isDefined)
 
-  /** Copy-on-write rewrite: retained rows land in a sibling build dir
-    * (with the pinned schema marker copied in, so an emptied table
-    * keeps its schema), then the swap is TWO directory-level atomic
-    * renames — old out to trash, build in. A concurrent reader sees
-    * the old file set, a clean table-miss in the instant between the
-    * renames, or the new file set; never a partially-deleted mix of
-    * rows (the hazard of clearing files in place). */
+  /** GROUP-GRAIN copy-on-write delete (the ReplaceData shape at FILE
+    * granularity — what Iceberg/Delta's row-level machinery buys,
+    * here from one `input_file_name` aggregate):
+    *  1. one scan finds which files contain matching rows (the
+    *     predicate evaluation a delete pays anyway);
+    *  2. ONLY those files' survivors rewrite into a sibling build dir
+    *     — write amplification ∝ affected files, never table size;
+    *  3. untouched files HARD-LINK into the build dir (same-fs links;
+    *     copy fallback) — zero data movement;
+    *  4. the pinned schema marker rides along, then the swap is TWO
+    *     directory-level atomic renames (old → trash, build → live).
+    * A concurrent reader sees the old file set, a clean table-miss in
+    * the instant between the renames, or the complete new file set —
+    * never a partial mix. A predicate matching nothing leaves the
+    * table untouched (no swap at all). */
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
     val cond = predicates.flatMap(GraftParquetTable.toColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
     val reader = spark.read
-    val df = declared.fold(reader)(s => reader.schema(s))
-      .parquet(dir).filter(!cond)
+    val base = declared.fold(reader)(s => reader.schema(s)).parquet(dir)
+    val perFile = base
+      .groupBy(input_file_name().as("f"))
+      .agg(max(when(cond, 1L).otherwise(0L)).as("hit"))
+      .collect()
+    val touched = perFile.filter(_.getLong(1) > 0L)
+      .map(r => new File(new java.net.URI(r.getString(0))))
+    if (touched.isEmpty) return // nothing matches: leave files alone
+    val clean = perFile.filter(_.getLong(1) == 0L)
+      .map(r => new File(new java.net.URI(r.getString(0))))
     val d = new File(dir)
     val tmp = new File(s"$dir.rewrite_${System.nanoTime()}")
-    df.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val touchedReader = declared.fold(spark.read)(s => spark.read.schema(s))
+    touchedReader.parquet(touched.map(_.getAbsolutePath).toIndexedSeq: _*)
+      .filter(!cond)
+      .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    clean.foreach { f =>
+      val target = new File(tmp, f.getName).toPath
+      try Files.createLink(target, f.toPath)
+      catch { case _: UnsupportedOperationException |
+          _: java.nio.file.FileSystemException =>
+        Files.copy(f.toPath, target,
+          StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+    }
     val schemaJson = new File(d, GraftCatalog.SchemaFile)
     if (schemaJson.isFile)
       Files.copy(schemaJson.toPath,

@@ -213,6 +213,45 @@ class Extras12Spec extends SparkSpec {
     assert(!short.getAs[Boolean]("converged"))
   }
 
+  test("GraftCatalog delete is GROUP-GRAIN: files without matching " +
+      "rows survive the rewrite untouched (same name, size, inode data)") {
+    spark.conf.set("spark.sql.catalog.ggrain",
+      classOf[graft.sources.GraftCatalog].getName)
+    val base = Tables.scratchDir("gcat_grain", sf)
+    spark.conf.set("spark.sql.catalog.ggrain.base", base)
+    spark.sql("DROP TABLE IF EXISTS ggrain.t")
+    // range-partitioned input -> multiple part files with disjoint id
+    // ranges, so a low-id delete can only touch the low file(s)
+    (1L to 10L).toDF("id")
+      .repartitionByRange(2, col("id"))
+      .createOrReplaceTempView("grain_src")
+    spark.sql("CREATE TABLE ggrain.t AS SELECT * FROM grain_src")
+    def files(): Map[String, Long] =
+      Option(new java.io.File(base, "t").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-"))
+        .map(f => f.getName -> f.length()).toMap
+    val before = files()
+    assert(before.size >= 2, s"need >= 2 part files, got $before")
+    // which file holds id = 10? that one must survive the delete as-is
+    val highFile = spark.table("ggrain.t")
+      .filter(col("id") === 10L)
+      .select(input_file_name()).head().getString(0)
+    spark.sql("DELETE FROM ggrain.t WHERE id <= 3")
+    val after = files()
+    val highName = new java.io.File(new java.net.URI(highFile)).getName
+    assert(after.contains(highName) &&
+      after(highName) == before(highName),
+      s"untouched file must survive byte-identical: $before -> $after")
+    assert(spark.table("ggrain.t").collect().map(_.getLong(0)).sorted
+      .sameElements(4L to 10L))
+    // no-match delete: the WHOLE file set survives (no swap at all)
+    val preNoop = files()
+    spark.sql("DELETE FROM ggrain.t WHERE id > 999")
+    assert(files() == preNoop, "no-match delete must not rewrite")
+    spark.sql("DROP TABLE ggrain.t")
+  }
+
   test("checkpoints seam: the three modes cut lineage to a scan and " +
       "serve identical results") {
     val base = Tables.nation(spark, sf)
