@@ -35,16 +35,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * DSv2 parquet path ([[ParquetTable]] — full pushdown/vectorization
   * for free); only the catalog and the delete surface are graft code.
   *
-  * DELETE semantics: copy-on-write at TABLE grain — the retained rows
-  * rewrite into a sibling directory which then atomically swaps in
-  * (exactly what a group-based format's ReplaceData does, with the
-  * group = the whole table). Correct at any predicate; at 100 TB the
-  * missing piece is GROUP granularity (rewrite only affected files),
-  * which is a table-format concern (Iceberg/Delta) — the documented
-  * boundary in SURVEY §2.10: UPDATE/MERGE SQL need
-  * SupportsRowLevelOperations + format metadata, and the capability is
-  * covered by x30 (MERGE as a DataFrame plan), x113 (retraction IVM),
-  * st21 (streaming upsert), s14 (partition-grain restatement).
+  * DELETE semantics: copy-on-write at FILE (group) grain — one scan
+  * finds the files containing matching rows, ONLY their survivors
+  * rewrite, untouched files hard-link into the build dir, and two
+  * directory-level atomic renames publish (exactly the group-based
+  * ReplaceData shape, group = file). Correct at any translatable
+  * predicate; write amplification ∝ affected files. What remains a
+  * table-format concern (the SURVEY §2.10 boundary): UPDATE/MERGE SQL
+  * need SupportsRowLevelOperations + per-file format metadata and
+  * conflict detection; the capability is covered by x30 (MERGE as a
+  * DataFrame plan), x113 (retraction IVM), st21 (streaming upsert),
+  * s14 (partition-grain restatement).
   *
   * Catalog metadata is THE FILESYSTEM (a directory per table, schema
   * pinned in `_graft_schema.json` at create time): no metastore
