@@ -143,6 +143,66 @@ object Extras12 {
     } finally s.sql("DROP TABLE IF EXISTS graft.nation_rl"): Unit
   }
 
+  /** SQL46 — UPDATE and MERGE INTO as real SQL statements through the
+    * graft DSv2 catalog's row-level operation support
+    * ([[graft.sources.GraftParquetTable.newRowLevelOperationBuilder]]):
+    * Spark's group-based RewriteUpdateTable / RewriteMergeIntoTable
+    * plans compute the post-statement row set against the table's own
+    * pushdown scan and the replace-data write swaps the file set at
+    * commit. Exercised end to end: an UPDATE with arithmetic SET, a
+    * MERGE with both MATCHED-UPDATE and NOT-MATCHED-INSERT branches,
+    * and a computed-predicate DELETE (the rewrite path translatable
+    * deletes skip). Claims after every statement (counts + decimal
+    * price sums + key sums) recomputed from the base table by the
+    * oracle; money arithmetic is the same IEEE multiply on both sides
+    * then decimal-cast, so sums are order-free exact. */
+  def sql46UpdateMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.base",
+      Tables.scratchDir("sql46_cat", sfDir))
+    s.sql("DROP TABLE IF EXISTS graft.orders_rl")
+    Tables.orders(s, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .createOrReplaceTempView("orders_src46")
+    s.sql("CREATE TABLE graft.orders_rl AS " +
+      "SELECT * FROM orders_src46 WHERE o_orderkey <= 2000")
+    try {
+      def snap(): (Long, java.math.BigDecimal, Long) = {
+        val r = s.table("graft.orders_rl").agg(count(lit(1)),
+          coalesce(sum(col("o_totalprice").cast(graft.Det.Money)),
+            lit(java.math.BigDecimal.ZERO).cast(graft.Det.Money)),
+          coalesce(sum(col("o_custkey")), lit(0L))).head()
+        (r.getLong(0), r.getDecimal(1), r.getLong(2))
+      }
+      s.sql("UPDATE graft.orders_rl " +
+        "SET o_totalprice = o_totalprice * 1.1 WHERE o_custkey % 10 = 0")
+      val (nUpd, sumUpd, _) = snap()
+      s.sql("MERGE INTO graft.orders_rl t USING (" +
+        "SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice " +
+        "FROM orders_src46 " +
+        "WHERE o_orderkey > 1000 AND o_orderkey <= 3000) m " +
+        "ON t.o_orderkey = m.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET t.o_totalprice = m.o_totalprice " +
+        "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, " +
+        "o_totalprice) VALUES (m.o_orderkey, m.o_custkey, m.o_totalprice)")
+      val (nMerge, sumMerge, keysum) = snap()
+      s.sql("DELETE FROM graft.orders_rl WHERE o_orderkey % 7 = 3")
+      val (nDel, sumDel, _) = snap()
+      import s.implicits._
+      Seq((nUpd, nMerge, nDel))
+        .toDF("n_after_update", "n_after_merge", "n_after_delete")
+        .withColumn("price_after_update",
+          lit(sumUpd).cast(graft.Det.Money).cast("double"))
+        .withColumn("price_after_merge",
+          lit(sumMerge).cast(graft.Det.Money).cast("double"))
+        .withColumn("price_after_delete",
+          lit(sumDel).cast(graft.Det.Money).cast("double"))
+        .withColumn("custkeysum_after_merge", lit(keysum))
+    } finally s.sql("DROP TABLE IF EXISTS graft.orders_rl"): Unit
+  }
+
   // ---------------------------------------------------------------- x134
 
   /** The lattice policy (shared by [[graft.functions.LatticeDot]], the
@@ -377,6 +437,7 @@ object Extras12 {
     "sql43_insert_dml" -> (sql43InsertDml _),
     "sql44_ctas" -> (sql44Ctas _),
     "sql45_row_level_sql" -> (sql45RowLevelSql _),
+    "sql46_update_merge" -> (sql46UpdateMerge _),
     "x134_kmeans" -> (x134Kmeans _),
     "x135_sssp" -> (x135Sssp _),
     "x136_kcore" -> (x136KCore _))
@@ -501,6 +562,32 @@ object Extras12 {
        "CAST((SELECT SUM(n_nationkey + 100) FROM nation " +
        "WHERE n_regionkey = 2) AS BIGINT) AS keysum_after_overwrite, " +
        "CAST(0 AS BIGINT) AS after_truncate"),
+    // the post-statement state algebra restated over the base table:
+    // t1 = after UPDATE, t2 = after MERGE (matched rows take the 2x
+    // source price - every (1000,2000] key matches itself - plus the
+    // inserted (2000,3000] slice), t3 = after the computed-predicate
+    // DELETE; money sums go through the Det decimal cast of the SAME
+    // IEEE products both engines compute
+    "sql46_update_merge" ->
+      ("WITH t1 AS (SELECT o_orderkey AS k, o_custkey AS c, " +
+       "CASE WHEN o_custkey % 10 = 0 THEN o_totalprice * 1.1 " +
+       "ELSE o_totalprice END AS p FROM orders WHERE o_orderkey <= 2000), " +
+       "t2 AS (SELECT t1.k, t1.c, CASE WHEN t1.k > 1000 " +
+       "THEN o2.o_totalprice * 2 ELSE t1.p END AS p FROM t1 " +
+       "LEFT JOIN orders o2 ON o2.o_orderkey = t1.k AND t1.k > 1000 " +
+       "UNION ALL SELECT o_orderkey, o_custkey, o_totalprice * 2 " +
+       "FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 3000), " +
+       "t3 AS (SELECT * FROM t2 WHERE k % 7 <> 3) " +
+       "SELECT CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n_after_update, " +
+       "CAST((SELECT COUNT(*) FROM t2) AS BIGINT) AS n_after_merge, " +
+       "CAST((SELECT COUNT(*) FROM t3) AS BIGINT) AS n_after_delete, " +
+       "CAST(CAST((SELECT SUM(CAST(p AS DECIMAL(18,4))) FROM t1) " +
+       "AS DECIMAL(18,4)) AS DOUBLE) AS price_after_update, " +
+       "CAST(CAST((SELECT SUM(CAST(p AS DECIMAL(18,4))) FROM t2) " +
+       "AS DECIMAL(18,4)) AS DOUBLE) AS price_after_merge, " +
+       "CAST(CAST((SELECT SUM(CAST(p AS DECIMAL(18,4))) FROM t3) " +
+       "AS DECIMAL(18,4)) AS DOUBLE) AS price_after_delete, " +
+       "CAST((SELECT SUM(c) FROM t2) AS BIGINT) AS custkeysum_after_merge"),
     "x134_kmeans" -> KmeansSql,
     "x135_sssp" -> SsspSql,
     "x136_kcore" -> KCoreSql,

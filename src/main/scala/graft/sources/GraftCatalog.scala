@@ -6,9 +6,11 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow, ProjectingInternalRow}
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDeleteV2, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDeleteV2, SupportsRowLevelOperations, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Literal => VLiteral, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.{And => VAnd, Not => VNot, Or => VOr, Predicate}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -140,7 +142,68 @@ private[sources] class GraftParquetTable(tableName: String,
     spark: SparkSession, dir: String, declared: Option[StructType])
   extends ParquetTable(tableName, spark,
     GraftParquetTable.readOptions(dir), Seq(dir), declared,
-    classOf[ParquetFileFormat]) with SupportsDeleteV2 {
+    classOf[ParquetFileFormat])
+  with SupportsDeleteV2 with SupportsRowLevelOperations {
+
+  /** UPDATE / MERGE INTO (and untranslatable DELETEs) through Spark's
+    * group-based row-level rewrite framework, with GROUP = WHOLE TABLE:
+    * the operation's scan is the table's own DSv2 parquet scan (full
+    * pushdown), Spark's RewriteUpdateTable / RewriteMergeIntoTable /
+    * RewriteDeleteFromTable plans compute the complete post-statement
+    * row set, and the operation's write wraps the table's own v2
+    * parquet write with a commit that REPLACES the pre-existing data
+    * files — new files land first, the old snapshot is removed at
+    * commit, so a failed job leaves the old contents intact (commit
+    * never ran) and a successful one leaves exactly the rewritten
+    * table. Translatable DELETEs still take the cheaper group-grain
+    * [[deleteWhere]] path (Spark's OptimizeMetadataOnlyDeleteFromTable
+    * prefers it); everything else lands here. The step a table format
+    * adds beyond this is SUB-table group granularity + conflict
+    * detection for these commands — sql45's documented boundary,
+    * now narrowed to exactly that. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new RowLevelOperation {
+        override def command(): RowLevelOperation.Command = info.command()
+        // the scan must NOT accept filter pushdown: with whole-table
+        // groups the rewrite query has to read EVERY row (matched rows
+        // transform, unmatched rows pass through) and the write
+        // replaces the whole table — a pushed condition would filter
+        // unmatched rows out of the scan and the replace would DROP
+        // them (caught by the spec's equality-predicate UPDATE: Spark
+        // pushed `id = 1` into the parquet scan and row 2 vanished).
+        // Exposing only build() keeps the inner ParquetScan's
+        // vectorized read but hides its SupportsPushDown* mixins.
+        override def newScanBuilder(
+            options: CaseInsensitiveStringMap): ScanBuilder =
+          new ScanBuilder {
+            override def build(): org.apache.spark.sql.connector.read.Scan =
+              GraftParquetTable.this.newScanBuilder(options).build()
+          }
+        override def newWriteBuilder(
+            writeInfo: LogicalWriteInfo): WriteBuilder =
+          new WriteBuilder {
+            override def build(): Write = {
+              if (GraftDebug.enabled)
+                println("WRITEINFO schema=" + writeInfo.schema().catalogString +
+                  " rowid=" + writeInfo.rowIdSchema() +
+                  " meta=" + writeInfo.metadataSchema())
+              val inner =
+                GraftParquetTable.this.newWriteBuilder(writeInfo).build()
+              new Write {
+                override def toBatch: BatchWrite =
+                  new GraftReplaceDataWrite(inner.toBatch, dir,
+                    GraftParquetTable.this.schema)
+                override def description(): String =
+                  s"graft-replace-data($dir)"
+              }
+            }
+          }
+        override def description(): String =
+          s"graft-row-level-${info.command()}"
+      }
+    }
 
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
     predicates.forall(p => GraftParquetTable.toColumn(p).isDefined)
@@ -209,6 +272,66 @@ private[sources] class GraftParquetTable(tableName: String,
     deleteWhere(Array.empty)
     true
   }
+}
+
+/** The ReplaceData batch write: snapshots the data files present when
+  * the job is planned, delegates the actual writing to the table's own
+  * v2 parquet write (new part files land beside the old), and on
+  * commit removes the snapshot — old contents survive any failure
+  * before commit; after commit exactly the rewritten rows remain. The
+  * schema marker and other `_`-prefixed files are never touched.
+  *
+  * Row shape: the group-based rewrite plans prepend bookkeeping
+  * columns (`__row_operation`) to the data columns, and Spark's plain
+  * DataWritingSparkTask hands them through un-projected (the
+  * projecting task only engages when METADATA columns are requested),
+  * so each writer trims the incoming row to the trailing table
+  * columns through a reused [[ProjectingInternalRow]] — the same
+  * mutable-holder trick Spark's own metadata-writing task uses. */
+private[sources] class GraftReplaceDataWrite(inner: BatchWrite,
+    dir: String, tableSchema: StructType) extends BatchWrite {
+  private val preexisting: Array[File] =
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val innerFactory = inner.createBatchWriterFactory(info)
+    val schema = tableSchema
+    new DataWriterFactory {
+      override def createWriter(partitionId: Int,
+          taskId: Long): org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
+        val w = innerFactory.createWriter(partitionId, taskId)
+        new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+          private var proj: ProjectingInternalRow = _
+          override def write(row: InternalRow): Unit =
+            if (row.numFields == schema.length) w.write(row)
+            else {
+              if (proj == null)
+                proj = ProjectingInternalRow(schema,
+                  (row.numFields - schema.length) until row.numFields)
+              proj.project(row)
+              w.write(proj)
+            }
+          override def commit(): WriterCommitMessage = w.commit()
+          override def abort(): Unit = w.abort()
+          override def close(): Unit = w.close()
+        }
+      }
+    }
+  }
+
+  override def useCommitCoordinator(): Boolean =
+    inner.useCommitCoordinator()
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    inner.commit(messages)
+    preexisting.foreach(_.delete())
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    inner.abort(messages)
 }
 
 private[sources] object GraftParquetTable {

@@ -112,23 +112,22 @@ class Extras12Spec extends SparkSpec {
     assert(r.getAs[Long]("keysum_after_overwrite") ==
       r2.agg(sum((col("n_nationkey") + 100).cast("long")))
         .head().getLong(0))
-    // the documented boundary: UPDATE fails with the CLEAN v2 error
-    // (unsupported table operation), never a partial write
+    // UPDATE runs through the row-level operation support (round-9
+    // second wave — the boundary narrowed to sub-table groups +
+    // conflict detection)
     spark.sql("DROP TABLE IF EXISTS graft.upd_probe")
-    Seq((1L, "a")).toDF("id", "tag")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
       .createOrReplaceTempView("upd_src")
     spark.sql("CREATE TABLE graft.upd_probe AS SELECT * FROM upd_src")
-    val e = intercept[Exception] {
-      spark.sql("UPDATE graft.upd_probe SET tag = 'z' WHERE id = 1")
-    }
-    assert(e.getMessage.contains("does not support UPDATE"))
-    assert(spark.table("graft.upd_probe").head().getString(1) == "a")
+    spark.sql("UPDATE graft.upd_probe SET tag = 'z' WHERE id = 1")
+    assert(spark.table("graft.upd_probe").orderBy("id").collect()
+      .map(_.getString(1)).toSeq == Seq("z", "b"))
     spark.sql("DROP TABLE graft.upd_probe")
   }
 
-  test("GraftCatalog: an emptied table keeps its pinned schema, an " +
-      "untranslatable DELETE predicate fails cleanly (never deletes " +
-      "wrong rows), and catalog metadata is filesystem-visible") {
+  test("GraftCatalog: an emptied table keeps its pinned schema, a " +
+      "computed-predicate DELETE takes the rewrite path correctly, " +
+      "and catalog metadata is filesystem-visible") {
     // own catalog NAME: catalog instances cache per session at first
     // use, so a second catalog under the same name would keep the
     // first base dir — a behavior worth pinning here
@@ -140,17 +139,19 @@ class Extras12Spec extends SparkSpec {
     Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "tag")
       .createOrReplaceTempView("gcat_src")
     spark.sql("CREATE TABLE gspec.t_spec AS SELECT * FROM gcat_src")
-    // DELETE with a computed-expression predicate cannot translate to
-    // a v2 filter -> analyzer refuses; the table is untouched
-    intercept[Exception] {
-      spark.sql("DELETE FROM gspec.t_spec WHERE id % 2 = 0")
-    }
-    assert(spark.table("gspec.t_spec").count() == 3,
-      "failed delete must not remove rows")
-    // supported predicates delete exactly the matching rows
-    spark.sql("DELETE FROM gspec.t_spec WHERE tag = 'a'")
+    // a computed-expression predicate cannot push as a v2 filter, so
+    // it takes the ROW-LEVEL REWRITE path (ReplaceData) — and deletes
+    // exactly the matching rows (id 2 here)
+    spark.sql("DELETE FROM gspec.t_spec WHERE id % 2 = 0")
     assert(spark.table("gspec.t_spec").collect()
-      .map(_.getLong(0)).toSeq == Seq(2L))
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L),
+      "rewrite-path delete must remove exactly the matching rows")
+    // translatable predicates use the group-grain metadata-delete path
+    spark.sql("DELETE FROM gspec.t_spec WHERE tag = 'a'")
+    assert(spark.table("gspec.t_spec").count() == 0)
+    spark.sql("DROP TABLE gspec.t_spec")
+    // rebuild for the schema-survival checks below
+    spark.sql("CREATE TABLE gspec.t_spec AS SELECT * FROM gcat_src")
     // empty the table: schema survives via the pinned marker
     spark.sql("DELETE FROM gspec.t_spec WHERE id >= 0")
     assert(spark.table("gspec.t_spec").schema.fieldNames.toSeq ==
