@@ -174,19 +174,30 @@ object Extras11 {
     triangleCensus(coPurchaseEdges(spark, sfDir))
 
   /** The canonical (a < b) co-purchase part edge set, memoized per
-    * (session, corpus) — x112's census and x136's k-core peel share
-    * one build (the l2/x12 sharing pattern). */
+    * (session, corpus) AND staged cross-session under the shared root
+    * (the x111-adjacency pattern): x112's census and x136's k-core
+    * peel share one build, and a LATER PROCESS reloads the staged
+    * parquet instead of re-running the order-keyed self-join +
+    * distinct (~2/3 of either consumer's cold line). */
   private[operators] def coPurchaseEdges(spark: SparkSession,
       sfDir: String): DataFrame =
     graft.Memo(spark, s"copurchase:$sfDir") {
-      val li = Tables.lineitem(spark, sfDir)
-        .select(col("l_orderkey"), col("l_partkey"))
-      li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .distinct()
-        .transform(graft.Checkpoints.cut)
+      val s = Tables.tune(spark)
+      val fp = Tables.corpusFingerprint(sfDir, "lineitem") + "|copurch"
+      val home = Tables.sharedDir("copurchase", sfDir, fp)
+      if (!home.isDirectory) {
+        val li = Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_partkey"))
+        val edges = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+          .distinct()
+        val tmp = Tables.sharedBuildDir(home)
+        edges.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        Tables.publishShared(tmp, home)
+      }
+      s.read.parquet(home.getAbsolutePath)
     }
 
   /** The census core over a canonical (a < b) undirected edge list;
