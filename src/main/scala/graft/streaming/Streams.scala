@@ -168,41 +168,36 @@ object Streams {
 
   /** Stage the events file into a directory `copies` times (the file
     * streaming source reads directories; >1 copy simulates a duplicated
-    * feed for the dedup operator). The directory is fixed per
-    * (sfDir, copies) and files are copied with REPLACE_EXISTING, so
-    * repeated replays reuse it instead of leaking one staged copy of
-    * events.parquet per streaming query per run. */
+    * feed for the dedup operator). Staged files carry the NORMALIZED
+    * events schema (ts as epoch-ns BIGINT — Tables.events), so
+    * readStream.schema(Tables.events(..).schema) always matches the
+    * bytes on disk regardless of which physical ts spelling the driver
+    * corpus ships. Lives under the CROSS-PROCESS shared root
+    * (fingerprint-named dir, atomic-rename publish — the round-9
+    * shared-artifact tier): one Spark write per (corpus, copies) EVER,
+    * not per process; every later Verify/Bench process replays from
+    * the already-staged feed. The staged dir is read-only input to
+    * every consumer, so sharing is race-free by the
+    * existence-is-validity rule. */
   private def stage(spark: SparkSession, sfDir: String, copies: Int): String = {
-    val dir = Paths.get(Tables.scratchDir(s"stream$copies", sfDir))
-    // staged files must carry the NORMALIZED events schema (ts as
-    // epoch-ns BIGINT — Tables.events), not the raw driver file's, so
-    // readStream.schema(Tables.events(..).schema) always matches the
-    // bytes on disk regardless of which physical ts spelling the driver
-    // corpus ships. One Spark write per (sfDir, copies), reused across
-    // runs via the size marker.
-    val marker = dir.resolve("_staged_from_size")
-    val srcSize = Files.size(Paths.get(s"$sfDir/events.parquet"))
-    if (Files.exists(marker) &&
-        Files.readString(marker) == srcSize.toString &&
-        (0 until copies).forall(i =>
-          Files.exists(dir.resolve(s"events_$i.parquet")))) {
-      return dir.toString
+    val fp = Tables.corpusFingerprint(sfDir, "events") + s"|c$copies"
+    val home = Tables.sharedDir(s"stream$copies", sfDir, fp)
+    if (!home.isDirectory) {
+      val build = Tables.sharedBuildDir(home)
+      val tmp = build.toPath.resolve("_tmp_stage")
+      Tables.events(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = singlePart(tmp)
+      (0 until copies).foreach { i =>
+        Files.copy(part, build.toPath.resolve(s"events_$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
+      Tables.publishShared(build, home)
     }
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dir.toString), true)
-    Files.createDirectories(dir)
-    val tmp = dir.resolve("_tmp_stage")
-    Tables.events(spark, sfDir).coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val part = singlePart(tmp)
-    (0 until copies).foreach { i =>
-      Files.copy(part, dir.resolve(s"events_$i.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
-    Files.writeString(marker, srcSize.toString)
-    dir.toString
+    home.getAbsolutePath
   }
 
   /** File-source event stream with `ts_us` (BIGINT µs) and `ts_t`
