@@ -39,11 +39,43 @@ object Dedup {
 
   /** Memoized verified near-dup pairs — L2 emits them, X1 joins
     * signatures onto them, X12 clusters them; one LSH+verify run per
-    * (session, corpus) instead of three. */
+    * (session, corpus), and the pairs are STAGED CROSS-SESSION under
+    * the shared root (the round-9 shared-artifact tier): a later
+    * process reloads the verified pairs instead of re-running
+    * shingling + MinHash + banding + exact verification — the
+    * persisted dedup-index table a production pipeline serves from. */
   def nearDupPairsFrame(spark: SparkSession, sfDir: String): DataFrame =
     graft.Memo(spark, s"neardup:$sfDir") {
-      graft.api.TextPipeline.nearDupPairsHashed(shingleHashSet(spark, sfDir))
-        .localCheckpoint(true)
+      val s = Tables.tune(spark)
+      val fp = Tables.corpusFingerprint(sfDir, "documents") + "|lsh3g06"
+      val home = Tables.sharedDir("neardup_pairs", sfDir, fp)
+      if (!home.isDirectory) {
+        val pairs = graft.api.TextPipeline
+          .nearDupPairsHashed(shingleHashSet(spark, sfDir))
+        val tmp = Tables.sharedBuildDir(home)
+        pairs.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        Tables.publishShared(tmp, home)
+      }
+      s.read.parquet(home.getAbsolutePath)
+    }
+
+  /** Memoized + cross-session-staged connected-component labels over
+    * the verified pairs — ONE alternating-star CC run serves x12, x60,
+    * x75, and x119 (each previously re-ran the loop), and a later
+    * process reloads the label table outright. */
+  def ccLabelsFrame(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Memo(spark, s"cclabels:$sfDir") {
+      val s = Tables.tune(spark)
+      val fp = Tables.corpusFingerprint(sfDir, "documents") + "|cc3g06"
+      val home = Tables.sharedDir("cclabels", sfDir, fp)
+      if (!home.isDirectory) {
+        val cc = graft.api.TextPipeline
+          .connectedComponents(nearDupPairsFrame(spark, sfDir))
+        val tmp = Tables.sharedBuildDir(home)
+        cc.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        Tables.publishShared(tmp, home)
+      }
+      s.read.parquet(home.getAbsolutePath)
     }
 
   /** L2 — MinHash-LSH near-dedup (delegates to the reusable
@@ -100,8 +132,7 @@ object Dedup {
     * verified near-dup pair labeled with its cluster representative
     * (minimum doc_id reachable) — "keep one doc per cluster". */
   def x12DedupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    graft.api.TextPipeline.connectedComponents(nearDupPairsFrame(spark, sfDir))
-      .orderBy(col("doc_id"))
+    ccLabelsFrame(spark, sfDir).orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l2_minhash_dedup" -> (l2MinHashDedup _),

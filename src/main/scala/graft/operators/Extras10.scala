@@ -300,8 +300,7 @@ object Extras10 {
     * recursively from scratch (x60's CTE), so the histogram is exact,
     * not a consistency check against our own CC. */
   def x75ClusterHistogram(spark: SparkSession, sfDir: String): DataFrame = {
-    val cc = graft.api.TextPipeline.connectedComponents(
-      Dedup.nearDupPairsFrame(spark, sfDir))
+    val cc = Dedup.ccLabelsFrame(spark, sfDir)
     Tables.documents(spark, sfDir).select(col("doc_id"))
       .join(cc, Seq("doc_id"), "left_outer")
       .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))

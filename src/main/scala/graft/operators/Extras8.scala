@@ -148,8 +148,7 @@ object Extras8 {
     * hash; the CONTRACT is cluster-atomicity, which the oracle
     * re-verifies by recomputing clusters recursively from scratch). */
   def x60LeakageSplit(spark: SparkSession, sfDir: String): DataFrame = {
-    val cc = graft.api.TextPipeline.connectedComponents(
-      Dedup.nearDupPairsFrame(spark, sfDir))
+    val cc = Dedup.ccLabelsFrame(spark, sfDir)
     Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
       .join(cc, Seq("doc_id"), "left_outer")
       .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
