@@ -433,6 +433,56 @@ object Extras12 {
   private def tradeAdjacency(spark: SparkSession, sfDir: String): DataFrame =
     Extras11.tradeEdgesShared(spark, sfDir)
 
+  // ---------------------------------------------------------------- x137
+
+  /** X137 — label-propagation communities (Raghavan 2007, the
+    * synchronous variant) of the co-purchase part graph (x112/x136's
+    * staged edge set): every node starts labeled with its own id; each
+    * round every node adopts the most frequent label among its
+    * NEIGHBORS, ties broken toward the smallest label — a fully
+    * deterministic update rule (classic async LPA is visit-order
+    * dependent; the synchronous min-tie rule walks one trajectory on
+    * any cluster layout, so both engines land on identical labels).
+    * Output is the community-size histogram (top 20 by size): the
+    * "what sells together" clustering a merchandiser reads.
+    *
+    * Scale shape, per round: one edge-keyed join shipping (node,
+    * neighbor-label) pairs — LPA's inherent edge-sized shuffle — then
+    * two node-keyed grouped aggregates; the argmax label is a
+    * min-of-struct aggregate, NOT a window, so there is no
+    * single-partition sort anywhere. Lineage cut per round through the
+    * Checkpoints seam (local stand-in; reliable checkpoint on a
+    * cluster). */
+  def x137LabelProp(spark: SparkSession, sfDir: String): DataFrame =
+    labelPropagation(Extras11.coPurchaseEdges(spark, sfDir), LpaRounds)
+      .groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+      .select(col("lbl").cast("long").as("community"), col("n_members"))
+      .orderBy(col("n_members").desc, col("community")).limit(20)
+
+  private val LpaRounds = 4
+
+  /** The synchronous propagation loop over a canonical (a < b) edge
+    * list; returns (node, lbl) after `rounds`. Exposed for spec-level
+    * hand-checks on planted graphs. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val cnt = sym.join(labels, sym("dst") === labels("node"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+      // argmax-by-count, tie -> min label, as ONE grouped min over the
+      // (-count, label) struct: deterministic and window-free
+      labels = graft.Checkpoints.cut(
+        cnt.groupBy(col("src"))
+          .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l")))
+            .as("top"))
+          .select(col("src").as("node"), col("top.l").as("lbl")))
+    }
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql43_insert_dml" -> (sql43InsertDml _),
     "sql44_ctas" -> (sql44Ctas _),
@@ -440,7 +490,8 @@ object Extras12 {
     "sql46_update_merge" -> (sql46UpdateMerge _),
     "x134_kmeans" -> (x134Kmeans _),
     "x135_sssp" -> (x135Sssp _),
-    "x136_kcore" -> (x136KCore _))
+    "x136_kcore" -> (x136KCore _),
+    "x137_label_prop" -> (x137LabelProp _))
 
   /** One unrolled Lloyd round of the x134 oracle: assignment CTEs from
     * centroid table `prevC`, then the updated centroid table `c$n` —
@@ -532,6 +583,35 @@ object Extras12 {
     s"(SELECT COALESCE(MIN(deg), 0) FROM df) >= $KCoreK) AS converged"
   }
 
+  /** One unrolled propagation round of the x137 oracle: neighbor-label
+    * counts, then argmax-by-count (tie -> min label) as a row_number
+    * window — a deliberately different spelling of the same
+    * deterministic rule the Spark side computes as a min-of-struct
+    * aggregate. MATERIALIZED for the same CTE-inlining reason as the
+    * k-core rounds. */
+  private def lpaIterSql(prev: String, n: Int): String =
+    s"l$n AS MATERIALIZED (SELECT node, lbl FROM (" +
+    "SELECT node, lbl, row_number() OVER (PARTITION BY node " +
+    "ORDER BY c DESC, lbl) AS rn FROM (" +
+    "SELECT s.src AS node, p.lbl AS lbl, COUNT(*) AS c " +
+    s"FROM sym s JOIN $prev p ON p.node = s.dst " +
+    "GROUP BY s.src, p.lbl) g) t WHERE rn = 1)"
+
+  private val LpaSql: String = {
+    val rounds = (1 to LpaRounds)
+      .map(i => lpaIterSql(s"l${i - 1}", i)).mkString(", ")
+    "WITH e0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, " +
+    "y.l_partkey AS b FROM lineitem x JOIN lineitem y " +
+    "ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey), " +
+    "sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0 " +
+    "UNION ALL SELECT b, a FROM e0), " +
+    "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl " +
+    "FROM sym), " + rounds + " " +
+    s"SELECT CAST(lbl AS BIGINT) AS community, " +
+    s"CAST(COUNT(*) AS BIGINT) AS n_members FROM l$LpaRounds " +
+    "GROUP BY lbl ORDER BY n_members DESC, community LIMIT 20"
+  }
+
   private val SsspSql: String =
     "WITH RECURSIVE sc AS (SELECT DISTINCT 's' || l_suppkey AS a, " +
     "'c' || o_custkey AS b FROM lineitem JOIN orders " +
@@ -591,6 +671,7 @@ object Extras12 {
     "x134_kmeans" -> KmeansSql,
     "x135_sssp" -> SsspSql,
     "x136_kcore" -> KCoreSql,
+    "x137_label_prop" -> LpaSql,
     // recompute every post-statement claim from the base table
     "sql43_insert_dml" ->
       ("SELECT CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS after_seed, " +

@@ -271,4 +271,27 @@ class Extras12Spec extends SparkSpec {
       } finally spark.conf.unset("spark.graft.checkpoint.mode")
     }
   }
+
+  test("x137: synchronous LPA on two bridged cliques converges to one " +
+      "min-id community per clique, deterministically") {
+    // two 4-cliques {1..4} and {5..8} joined by the bridge 4-5; the
+    // hand-traced synchronous min-tie trajectory stabilizes by round 3
+    def clique(ns: Seq[Long]) =
+      for (i <- ns; j <- ns if i < j) yield (i, j)
+    val edges = (clique(1L to 4L) ++ clique(5L to 8L) :+ (4L, 5L))
+      .toDF("a", "b")
+    val labels = Extras12.labelPropagation(edges, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(labels(_) == 1L) &&
+      (5L to 8L).forall(labels(_) == 5L), s"got $labels")
+    // determinism: a second run walks the identical trajectory
+    val again = Extras12.labelPropagation(edges, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == labels)
+    // the tie rule is MIN label: a single triangle all-ties down to 1
+    val tri = Extras12.labelPropagation(
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b"), rounds = 3)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(tri == Set(1L))
+  }
 }
