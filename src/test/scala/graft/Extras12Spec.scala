@@ -294,4 +294,28 @@ class Extras12Spec extends SparkSpec {
       .collect().map(r => r.getLong(1)).toSet
     assert(tri == Set(1L))
   }
+
+  test("x138: the prefix-max skyline equals the brute NOT-dominated set " +
+      "on planted and random points, keeping all equal-point ties") {
+    // planted: id2 dominated same-x, id4 dominated cross-x, ids 3 and 6
+    // share a non-dominated point (both must ship)
+    val planted = Seq((1L, 3L, 10L), (2L, 3L, 9L), (3L, 5L, 7L),
+      (4L, 4L, 7L), (5L, 2L, 12L), (6L, 5L, 7L)).toDF("id", "x", "y")
+    val got = Extras12.paretoFrontier(planted, "x", "y")
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L, 5L, 6L), s"got $got")
+    // random: seeded points vs the quadratic definition, in-memory
+    val rnd = new scala.util.Random(42)
+    val pts = (1L to 120L).map(i =>
+      (i, rnd.nextInt(12).toLong, rnd.nextInt(40).toLong))
+    val brute = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, qx, qy) =>
+        qx >= x && qy >= y && (qx > x || qy > y)
+      }
+    }.map(_._1).toSet
+    val fast = Extras12.paretoFrontier(
+        pts.toDF("id", "x", "y"), "x", "y")
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(fast == brute, s"fast $fast vs brute $brute")
+  }
 }
