@@ -318,4 +318,22 @@ class Extras12Spec extends SparkSpec {
       .select(col("id")).collect().map(_.getLong(0)).toSet
     assert(fast == brute, s"fast $fast vs brute $brute")
   }
+
+  test("x139: delta-join IVM drops zero-retracted groups, restates " +
+      "updated prices, and lets delete win on update+delete overlap") {
+    // nation 1: its only order is key 11 (deleted)   -> group drops
+    // nation 2: key 7 (updated +50) + key 3 (silent) -> n=2, t=260
+    // nation 3: its only order is key 77 (update AND delete) -> drops
+    val facts = Seq((11L, 10L, "100.0000"), (7L, 20L, "200.0000"),
+      (3L, 21L, "10.0000"), (77L, 22L, "50.0000"))
+      .toDF("o_orderkey", "o_custkey", "p")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("p").cast(Det.Money).as("price"))
+    val dim = Seq((10L, 1), (20L, 2), (21L, 2), (22L, 3))
+      .toDF("c_custkey", "c_nationkey")
+    val mv = Extras12.maintainJoinAggMv(facts, dim).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1),
+        r.getDecimal(2).doubleValue)).toMap
+    assert(mv == Map(2 -> (2L, 260.0)), s"got $mv")
+  }
 }
