@@ -459,7 +459,7 @@ object Extras12 {
       .select(col("lbl").cast("long").as("community"), col("n_members"))
       .orderBy(col("n_members").desc, col("community")).limit(20)
 
-  private val LpaRounds = 4
+  private[operators] val LpaRounds = 4
 
   /** The synchronous propagation loop over a canonical (a < b) edge
     * list; returns (node, lbl) after `rounds`. Exposed for spec-level
@@ -713,20 +713,26 @@ object Extras12 {
     s"FROM sym s JOIN $prev p ON p.node = s.dst " +
     "GROUP BY s.src, p.lbl) g) t WHERE rn = 1)"
 
-  private val LpaSql: String = {
+  /** The shared LPA oracle chain (e0 + sym + l0..l`LpaRounds` CTE
+    * bodies, no WITH keyword, no final SELECT) — reused by the x141
+    * modularity oracle, which scores exactly these labels. */
+  private[operators] val LpaChainSql: String = {
     val rounds = (1 to LpaRounds)
       .map(i => lpaIterSql(s"l${i - 1}", i)).mkString(", ")
-    "WITH e0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, " +
+    "e0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, " +
     "y.l_partkey AS b FROM lineitem x JOIN lineitem y " +
     "ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey), " +
     "sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0 " +
     "UNION ALL SELECT b, a FROM e0), " +
     "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl " +
-    "FROM sym), " + rounds + " " +
+    "FROM sym), " + rounds
+  }
+
+  private val LpaSql: String =
+    "WITH " + LpaChainSql + " " +
     s"SELECT CAST(lbl AS BIGINT) AS community, " +
     s"CAST(COUNT(*) AS BIGINT) AS n_members FROM l$LpaRounds " +
     "GROUP BY lbl ORDER BY n_members DESC, community LIMIT 20"
-  }
 
   private val SsspSql: String =
     "WITH RECURSIVE sc AS (SELECT DISTINCT 's' || l_suppkey AS a, " +
