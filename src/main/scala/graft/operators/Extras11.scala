@@ -1294,7 +1294,7 @@ object Extras11 {
 
   /** The x124 oracle's shared CTE chain (signatures → hamming →
     * shortlist → rerank → `retr`), reused verbatim by x128's nDCG. */
-  private val BinaryQuantCte: String =
+  private[operators] val BinaryQuantCte: String =
     "sig AS (SELECT vec_id, " +
     "CAST(SUM(CASE WHEN embedding[i] > 0 THEN POWER(2, i - 1) " +
     "ELSE 0 END) AS BIGINT) AS lo, " +
