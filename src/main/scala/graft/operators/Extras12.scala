@@ -454,12 +454,24 @@ object Extras12 {
     * Checkpoints seam (local stand-in; reliable checkpoint on a
     * cluster). */
   def x137LabelProp(spark: SparkSession, sfDir: String): DataFrame =
-    labelPropagation(Extras11.coPurchaseEdges(spark, sfDir), LpaRounds)
+    lpaLabelsShared(spark, sfDir)
       .groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
       .select(col("lbl").cast("long").as("community"), col("n_members"))
       .orderBy(col("n_members").desc, col("community")).limit(20)
 
   private[operators] val LpaRounds = 4
+
+  /** The 4-round LPA labels over the staged co-purchase graph, built
+    * once per (session, corpus) — x137 reads the size histogram and
+    * x141 scores modularity off the SAME assignment, so the 4
+    * edge-shuffle rounds run once per pass, not per consumer. The loop
+    * already ends in a Checkpoints.cut, so the memoized frame is a
+    * materialized scan (on a cluster: the labels land in a persisted
+    * table keyed by the corpus fingerprint, same as the CC labels). */
+  def lpaLabelsShared(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Memo(spark, s"lpa_labels:$sfDir") {
+      labelPropagation(Extras11.coPurchaseEdges(spark, sfDir), LpaRounds)
+    }
 
   /** The synchronous propagation loop over a canonical (a < b) edge
     * list; returns (node, lbl) after `rounds`. Exposed for spec-level

@@ -107,8 +107,7 @@ object Extras13 {
     * node-keyed), two grouped aggregates — no window, no all-pairs. */
   def x141Modularity(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = Extras11.coPurchaseEdges(spark, sfDir)
-    val labels = Extras12.labelPropagation(edges, Extras12.LpaRounds)
-    modularity(edges, labels)
+    modularity(edges, Extras12.lpaLabelsShared(spark, sfDir))
   }
 
   /** The modularity scorer over a canonical (a < b) edge list and a
