@@ -1,0 +1,427 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** Round-9 fifth wave — the model-eval / search / survival / BI-drilldown
+  * additions: probability calibration (Brier + reliability bins),
+  * positional phrase search (the inverted-index primitive under every
+  * keyword retrieval stack), Kaplan–Meier survival (time-to-churn with
+  * censoring — the canonical retention curve), period-over-period delta
+  * decomposition (the "why did revenue move" drilldown), l-diversity
+  * (the sensitive-attribute complement of x85's k-anonymity), and
+  * bigram OOV rate (vocabulary-coverage audit for a trained tokenizer).
+  *
+  * Float policy (the repo standard): integers and DECIMAL sums
+  * everywhere until a single closing IEEE op rounded to a fixed scale;
+  * the one iterative float (the KM survival product) folds
+  * per-step-rounded multiplies over an aggregate-bounded array, so both
+  * engines walk the identical 10-dp trajectory.
+  */
+object Extras15 {
+
+  // ---------------------------------------------------------------- x152
+
+  /** X152 — probability-calibration report: Brier score + 10-bin
+    * reliability table for a deterministic synthetic scorer (the
+    * Knuth-hash prediction p = (doc_id·2654435761 mod 1000)/1000
+    * against the "long document" outcome n_chars ≥ 300). The
+    * calibration read every model-quality dashboard opens with: per
+    * probability bin, predicted mean vs observed positive rate; row
+    * bin=-1 is the corpus total whose `brier` IS the Brier score.
+    *
+    * All arithmetic is INTEGER milli-units until the three closing
+    * divisions (one IEEE op each, rounded 8 dp): p lives as pm ∈
+    * [0,1000), the squared error as (pm−1000y)² ≤ 10⁶ per row — exact
+    * longs, so the grouped aggregate is map-side-combinable and the
+    * whole plan is one scan + one 11-group aggregate at any corpus
+    * size. */
+  def x152Calibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir).select(
+      ((col("doc_id") * lit(2654435761L)) % 1000).as("pm"),
+      when(col("n_chars") >= 300, 1L).otherwise(0L).as("y"))
+    val bins = base
+      .groupBy(floor(col("pm") / 100).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pm")).as("sp"),
+        sum(col("y")).as("sy"),
+        sum((col("pm") - lit(1000L) * col("y")) *
+          (col("pm") - lit(1000L) * col("y"))).as("sq"))
+    val total = bins.agg(sum(col("n")).as("n"), sum(col("sp")).as("sp"),
+      sum(col("sy")).as("sy"), sum(col("sq")).as("sq"))
+      .select(lit(-1L).as("bin"), col("n"), col("sp"), col("sy"), col("sq"))
+    bins.unionByName(total)
+      .select(col("bin"), col("n"),
+        round(col("sp").cast("double") / (col("n") * lit(1000.0)), 8)
+          .as("mean_p"),
+        round(col("sy").cast("double") / col("n"), 8).as("frac_pos"),
+        round(col("sq").cast("double") / (col("n") * lit(1000000.0)), 8)
+          .as("brier"))
+      .orderBy(col("bin"))
+  }
+
+  // ---------------------------------------------------------------- x153
+
+  private val PhraseW1 = "hash"
+  private val PhraseW2 = "join"
+
+  /** X153 — positional phrase search: the docs matching the exact
+    * 2-token phrase "hash join", with per-doc match counts and the
+    * first hit position — the positional-inverted-index primitive
+    * (token, doc, pos) under every keyword search engine, spelled as a
+    * Spark plan instead of a side index.
+    *
+    * Scale shape: the corpus is pre-filtered by BOTH `contains`
+    * predicates — pushable string filters that reach the parquet scan,
+    * so tokenization pays only for candidate docs (for a 100 TB corpus
+    * with a real index, this stage IS the postings fetch). Candidates
+    * posexplode to (doc, pos, tok) rows kept ONLY for the two query
+    * tokens — the generator output is filtered before anything
+    * shuffles — and adjacency is one equi-join on (doc, pos+1), never
+    * a window. Top-20 by match count with id tie-break. */
+  def x153PhraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val pre = Tables.documents(spark, sfDir)
+      .filter(col("text").contains(PhraseW1) &&
+        col("text").contains(PhraseW2))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") === PhraseW1 || col("tok") === PhraseW2)
+    val a = pre.filter(col("tok") === PhraseW1)
+      .select(col("doc_id"), col("pos"))
+    val b = pre.filter(col("tok") === PhraseW2)
+      .select(col("doc_id").as("d2"), col("pos").as("p2"))
+    a.join(b, a("doc_id") === b("d2") && b("p2") === a("pos") + 1)
+      .groupBy(a("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("pos")).cast("long").as("first_pos"))
+      .orderBy(col("n_matches").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------- x154
+
+  /** X154 — Kaplan–Meier survival curve (Kaplan & Meier JASA'58) of
+    * customer engagement lifetime: duration = weeks between a
+    * customer's first and last order, with customers still ordering in
+    * the final 90 days treated as CENSORED (their lifetime is only
+    * known to exceed the observed span) — the estimator every
+    * retention/churn analysis is built on, and the reason naive "avg
+    * lifetime" reads low. Output: one row per event week (d>0) with
+    * the risk set n, events d, censored c, the per-step factor
+    * (n−d)/n, and the running survival estimate.
+    *
+    * Scale + determinism: the per-customer reduce is one grouped
+    * aggregate; everything after lives on the week-domain frame
+    * (≤ ~350 rows). The risk set n_t = Σ_{s≥t}(d_s+c_s) is a
+    * broadcast theta-join over that aggregate — no window, no global
+    * sort. The survival product is the one iterative float: factors
+    * are single IEEE divisions rounded 8 dp, collected into ONE sorted
+    * array, and each prefix is folded with per-step
+    * round(acc·f, 10) — multiplication is IEEE-exact-rounded in both
+    * engines, so the whole trajectory is bitwise reproducible (the
+    * oracle folds the identical lambda via list_reduce). */
+  def x154SurvivalKm(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val mx = o.agg(max(col("o_orderdate")).as("mx"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("f"), max(col("o_orderdate")).as("l"))
+      .crossJoin(broadcast(mx))
+      .select(
+        floor(datediff(col("l").cast("date"), col("f").cast("date")) / 7)
+          .cast("long").as("wk"),
+        when(col("l") <= col("mx") - expr("INTERVAL 90 DAYS"), 1L)
+          .otherwise(0L).as("ev"))
+    val wka = cust.groupBy(col("wk"))
+      .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+    val r = wka.select(col("wk").as("rwk"),
+      (col("d") + col("c")).as("dc"))
+    val ev = wka.join(broadcast(r), col("rwk") >= col("wk"))
+      .groupBy(col("wk"), col("d"), col("c"))
+      .agg(sum(col("dc")).as("n"))
+      .filter(col("d") > 0)
+      .withColumn("factor",
+        round((col("n") - col("d")).cast("double") /
+          col("n").cast("double"), 8))
+    val steps = ev.agg(sort_array(collect_list(struct(
+      col("wk").as("wk"), col("n").as("n"), col("d").as("d"),
+      col("c").as("c"), col("factor").as("factor")))).as("steps"))
+    steps.select(posexplode(col("steps")).as(Seq("i", "s")),
+        col("steps"))
+      .select(col("s.wk").as("week"), col("s.n").as("n_risk"),
+        col("s.d").as("d"), col("s.c").as("c"),
+        col("s.factor").as("factor"),
+        expr("round(aggregate(slice(transform(steps, x -> x.factor)," +
+          " 1, i + 1), CAST(1.0 AS DOUBLE)," +
+          " (acc, f) -> round(acc * f, 10)), 10)").as("survival"))
+      .orderBy(col("week"))
+  }
+
+  // ---------------------------------------------------------------- x155
+
+  /** X155 — period-over-period delta decomposition: June→July 2001
+    * revenue change broken down by customer nation, with each nation's
+    * share of the total delta and the volume-vs-rate split
+    * (volume = order-count change at the old average order value;
+    * rate = the remainder — the two-factor bridge every "why did the
+    * metric move" review draws). Row nation='TOTAL' is the corpus
+    * bridge; per-nation volume+rate sum to that nation's delta by
+    * construction.
+    *
+    * Exactness: revenues are DECIMAL(18,4) sums; delta is decimal
+    * subtraction; the only floats are aov (one division, 4 dp), the
+    * volume product (one multiply, 4 dp), the rate remainder (one
+    * subtract, 4 dp) and the share (one division, 6 dp) — each a
+    * single IEEE op on identical inputs. Plan: one filtered scan
+    * (month predicate pushes to the reader), a broadcast dim join,
+    * one nation-sized conditional aggregate. */
+  def x155DeltaDecomp(spark: SparkSession, sfDir: String): DataFrame = {
+    val ym = (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+    val base = Tables.orders(spark, sfDir)
+      .filter(ym === 200106 || ym === 200107)
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), ym.as("ym"),
+        col("o_totalprice").cast(Det.Money).as("price"))
+    def side(m: Int, c: Column) = sum(when(col("ym") === m, c))
+    val zeroMoney = lit(0).cast(Det.Money)
+    val per = base.groupBy(col("nation"))
+      .agg(coalesce(side(200106, lit(1L)), lit(0L)).as("n_m1"),
+        coalesce(side(200107, lit(1L)), lit(0L)).as("n_m2"),
+        coalesce(side(200106, col("price")), zeroMoney).as("r1"),
+        coalesce(side(200107, col("price")), zeroMoney).as("r2"))
+    val tot = per.agg(sum(col("n_m1")).as("n_m1"), sum(col("n_m2")).as("n_m2"),
+      sum(col("r1")).as("r1"), sum(col("r2")).as("r2"))
+      .select(lit("TOTAL").as("nation"), col("n_m1"), col("n_m2"),
+        col("r1"), col("r2"))
+    val td = tot.select((col("r2") - col("r1")).cast("double").as("tdelta"))
+    per.unionByName(tot).crossJoin(broadcast(td))
+      .select(col("nation"), col("n_m1"), col("n_m2"),
+        col("r1").cast("double").as("rev_m1"),
+        col("r2").cast("double").as("rev_m2"),
+        (col("r2") - col("r1")).cast("double").as("delta"),
+        when(col("tdelta") =!= 0.0,
+          round((col("r2") - col("r1")).cast("double") / col("tdelta"), 6))
+          .as("share"),
+        when(col("n_m1") > 0,
+          round((col("n_m2") - col("n_m1")) *
+            round(col("r1").cast("double") / col("n_m1"), 4), 4))
+          .as("volume_effect"))
+      .withColumn("rate_effect",
+        when(col("volume_effect").isNotNull,
+          round(col("delta") - col("volume_effect"), 4)))
+      .orderBy((col("nation") === "TOTAL").cast("int"), col("nation"))
+  }
+
+  // ---------------------------------------------------------------- x156
+
+  /** X156 — l-diversity audit (Machanavajjhala TKDD'07): x85's
+    * k-anonymity says every quasi-identifier group is big enough;
+    * l-diversity asks whether the SENSITIVE attribute inside each
+    * group is varied enough (a group of 50 rows all sharing one nation
+    * re-identifies the nation despite k=50). Quasi-identifiers here:
+    * (market segment, account-balance band); sensitive: nation.
+    * Output: the histogram of distinct-sensitive counts l across
+    * groups (how many groups have l=1, l=2, …) plus the corpus total
+    * row l_distinct=-1 — groups at l=1 are the disclosure risk.
+    *
+    * Plan: one grouped distinct-aggregate on the QI key, then a
+    * histogram over the group-domain frame — two shuffles total,
+    * all-integer output. */
+  def x156LDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val groups = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000.0).as("bal_band"), col("n_name"))
+      .groupBy(col("c_mktsegment"), col("bal_band"))
+      .agg(countDistinct(col("n_name")).as("l"), count(lit(1)).as("sz"))
+    val hist = groups.groupBy(col("l").as("l_distinct"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("sz")).as("n_rows"))
+    val total = hist.agg(sum(col("n_groups")).as("n_groups"),
+      sum(col("n_rows")).as("n_rows"))
+      .select(lit(-1L).as("l_distinct"), col("n_groups"), col("n_rows"))
+    hist.unionByName(total).orderBy(col("l_distinct"))
+  }
+
+  // ---------------------------------------------------------------- x157
+
+  private val OovMinFreq = 3L
+
+  /** X157 — vocabulary-coverage / OOV-rate audit: train a bigram
+    * vocabulary on the even-doc_id half of the corpus (kept when train
+    * frequency ≥ 3 — a threshold, NOT a top-k, so there is no
+    * tie-break to disagree on), then measure the out-of-vocabulary
+    * bigram rate of the odd-doc_id half PER LANGUAGE — the coverage
+    * check run before shipping a tokenizer, where an undertrained
+    * vocab shows up as a high OOV rate on exactly the languages the
+    * train split under-represents.
+    *
+    * Scale shape: both halves tokenize with the native codegen n-gram
+    * generator; test counts aggregate to the (lang, ngram) domain
+    * BEFORE touching the vocab, and the vocab (ngram-domain sized,
+    * threshold-pruned) joins broadcast — the corpus-sized frames never
+    * shuffle against each other. Integer counts; one closing division
+    * rounded 6 dp. */
+  def x157OovRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    def grams(parity: Int) = graft.api.TextPipeline.ngramRows(
+      docs.filter(col("doc_id") % 2 === parity), "doc_id", "text", 2)
+    val vocab = grams(0).groupBy(col("ngram"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= OovMinFreq)
+      .select(col("ngram"))
+    val test = grams(1)
+      .join(docs.select(col("doc_id").as("td"), col("lang")),
+        col("doc_id") === col("td"))
+      .groupBy(col("lang"), col("ngram")).agg(count(lit(1)).as("cnt"))
+    val flagged = test.join(broadcast(vocab), Seq("ngram"), "left_anti")
+      .groupBy(col("lang")).agg(sum(col("cnt")).as("n_oov"))
+    test.groupBy(col("lang")).agg(sum(col("cnt")).as("n_bigrams"))
+      .join(flagged, Seq("lang"), "left").na.fill(0L, Seq("n_oov"))
+      .select(col("lang"), col("n_bigrams"), col("n_oov"),
+        round(col("n_oov").cast("double") /
+          col("n_bigrams").cast("double"), 6).as("oov_rate"))
+      .orderBy(col("lang"))
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x152_calibration" -> (x152Calibration _),
+    "x153_phrase_search" -> (x153PhraseSearch _),
+    "x154_survival_km" -> (x154SurvivalKm _),
+    "x155_delta_decomp" -> (x155DeltaDecomp _),
+    "x156_ldiversity" -> (x156LDiversity _),
+    "x157_oov_rate" -> (x157OovRate _))
+
+  private val CalibrationSql: String =
+    "WITH base AS MATERIALIZED (SELECT " +
+    "(doc_id * 2654435761) % 1000 AS pm, " +
+    "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y FROM documents), " +
+    "b AS MATERIALIZED (SELECT pm // 100 AS bin, COUNT(*) AS n, " +
+    "SUM(pm) AS sp, SUM(y) AS sy, " +
+    "SUM((pm - 1000 * y) * (pm - 1000 * y)) AS sq FROM base GROUP BY 1), " +
+    "t AS (SELECT -1 AS bin, SUM(n) AS n, SUM(sp) AS sp, SUM(sy) AS sy, " +
+    "SUM(sq) AS sq FROM b) " +
+    "SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n, " +
+    "round(CAST(sp AS DOUBLE) / (CAST(n AS BIGINT) * 1000.0), 8) AS mean_p, " +
+    "round(CAST(sy AS DOUBLE) / CAST(n AS BIGINT), 8) AS frac_pos, " +
+    "round(CAST(sq AS DOUBLE) / (CAST(n AS BIGINT) * 1000000.0), 8) AS brier " +
+    "FROM (SELECT * FROM b UNION ALL SELECT * FROM t) u ORDER BY bin"
+
+  private val PhraseSql: String =
+    "WITH pre AS MATERIALIZED (SELECT doc_id, " +
+    "string_split(text, ' ') AS words FROM documents " +
+    s"WHERE text LIKE '%$PhraseW1%' AND text LIKE '%$PhraseW2%'), " +
+    "tok AS MATERIALIZED (SELECT doc_id, g AS pos, words[g + 1] AS tok " +
+    "FROM (SELECT doc_id, words, unnest(range(len(words))) AS g " +
+    "FROM pre) z " +
+    s"WHERE words[g + 1] IN ('$PhraseW1', '$PhraseW2')), " +
+    "m AS (SELECT a.doc_id, a.pos FROM tok a JOIN tok b " +
+    "ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 " +
+    s"WHERE a.tok = '$PhraseW1' AND b.tok = '$PhraseW2') " +
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches, " +
+    "CAST(MIN(pos) AS BIGINT) AS first_pos FROM m GROUP BY 1 " +
+    "ORDER BY n_matches DESC, doc_id LIMIT 20"
+
+  private val SurvivalSql: String =
+    "WITH pc AS MATERIALIZED (SELECT o_custkey, " +
+    "min(o_orderdate) AS f, max(o_orderdate) AS l FROM orders GROUP BY 1), " +
+    "mx AS (SELECT max(o_orderdate) AS mx FROM orders), " +
+    "cust AS (SELECT datediff('day', CAST(f AS DATE), CAST(l AS DATE)) // 7 " +
+    "AS wk, CASE WHEN l <= mx - INTERVAL 90 DAY THEN 1 ELSE 0 END AS ev " +
+    "FROM pc CROSS JOIN mx), " +
+    "wka AS MATERIALIZED (SELECT wk, SUM(ev) AS d, SUM(1 - ev) AS c " +
+    "FROM cust GROUP BY 1), " +
+    "ev AS MATERIALIZED (SELECT a.wk, " +
+    "CAST(a.d AS BIGINT) AS d, CAST(a.c AS BIGINT) AS c, " +
+    "CAST(SUM(b.d + b.c) AS BIGINT) AS n FROM wka a JOIN wka b " +
+    "ON b.wk >= a.wk GROUP BY 1, 2, 3), " +
+    "st AS MATERIALIZED (SELECT wk, n, d, c, " +
+    "round(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE), 8) AS factor " +
+    "FROM ev WHERE d > 0), " +
+    "fl AS (SELECT list(wk ORDER BY wk) AS ws, list(n ORDER BY wk) AS ns, " +
+    "list(d ORDER BY wk) AS ds, list(c ORDER BY wk) AS cs, " +
+    "list(factor ORDER BY wk) AS fs FROM st), " +
+    "ex AS (SELECT ws, ns, ds, cs, fs, " +
+    "unnest(range(len(fs))) AS g FROM fl) " +
+    "SELECT CAST(ws[g + 1] AS BIGINT) AS week, ns[g + 1] AS n_risk, " +
+    "ds[g + 1] AS d, cs[g + 1] AS c, fs[g + 1] AS factor, " +
+    "round(list_reduce(list_prepend(1.0, fs[1:g + 1]), " +
+    "(acc, f) -> round(acc * f, 10)), 10) AS survival " +
+    "FROM ex ORDER BY week"
+
+  private val DeltaSql: String =
+    "WITH base AS MATERIALIZED (SELECT n.n_name AS nation, " +
+    "year(o.o_orderdate) * 100 + month(o.o_orderdate) AS ym, " +
+    "CAST(o.o_totalprice AS DECIMAL(18,4)) AS price FROM orders o " +
+    "JOIN customer c ON o.o_custkey = c.c_custkey " +
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+    "WHERE year(o.o_orderdate) * 100 + month(o.o_orderdate) " +
+    "IN (200106, 200107)), " +
+    "per AS MATERIALIZED (SELECT nation, " +
+    "COALESCE(SUM(CASE WHEN ym = 200106 THEN 1 END), 0) AS n_m1, " +
+    "COALESCE(SUM(CASE WHEN ym = 200107 THEN 1 END), 0) AS n_m2, " +
+    "COALESCE(SUM(CASE WHEN ym = 200106 THEN price END), 0) AS r1, " +
+    "COALESCE(SUM(CASE WHEN ym = 200107 THEN price END), 0) AS r2 " +
+    "FROM base GROUP BY 1), " +
+    "u AS (SELECT nation, CAST(n_m1 AS BIGINT) AS n_m1, " +
+    "CAST(n_m2 AS BIGINT) AS n_m2, r1, r2 FROM per " +
+    "UNION ALL SELECT 'TOTAL', CAST(SUM(n_m1) AS BIGINT), " +
+    "CAST(SUM(n_m2) AS BIGINT), SUM(r1), SUM(r2) FROM per), " +
+    "td AS (SELECT CAST(SUM(r2) - SUM(r1) AS DOUBLE) AS tdelta FROM per) " +
+    "SELECT nation, n_m1, n_m2, CAST(r1 AS DOUBLE) AS rev_m1, " +
+    "CAST(r2 AS DOUBLE) AS rev_m2, CAST(r2 - r1 AS DOUBLE) AS delta, " +
+    "CASE WHEN td.tdelta <> 0.0 THEN " +
+    "round(CAST(r2 - r1 AS DOUBLE) / td.tdelta, 6) END AS share, " +
+    "CASE WHEN n_m1 > 0 THEN round((n_m2 - n_m1) * " +
+    "round(CAST(r1 AS DOUBLE) / n_m1, 4), 4) END AS volume_effect, " +
+    "CASE WHEN n_m1 > 0 THEN round(CAST(r2 - r1 AS DOUBLE) - " +
+    "round((n_m2 - n_m1) * round(CAST(r1 AS DOUBLE) / n_m1, 4), 4), 4) " +
+    "END AS rate_effect " +
+    "FROM u CROSS JOIN td ORDER BY (nation = 'TOTAL'), nation"
+
+  private val LDiversitySql: String =
+    "WITH groups AS MATERIALIZED (SELECT c_mktsegment, " +
+    "floor(c_acctbal / 2000.0) AS bal_band, " +
+    "COUNT(DISTINCT n_name) AS l, COUNT(*) AS sz FROM customer " +
+    "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2), " +
+    "hist AS MATERIALIZED (SELECT l AS l_distinct, COUNT(*) AS n_groups, " +
+    "SUM(sz) AS n_rows FROM groups GROUP BY 1) " +
+    "SELECT CAST(l_distinct AS BIGINT) AS l_distinct, " +
+    "CAST(n_groups AS BIGINT) AS n_groups, CAST(n_rows AS BIGINT) AS n_rows " +
+    "FROM (SELECT * FROM hist UNION ALL SELECT -1, SUM(n_groups), " +
+    "SUM(n_rows) FROM hist) u ORDER BY l_distinct"
+
+  private val OovSql: String = {
+    val train = TextOps.ngramSqlOver(
+      "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)", 2)
+    val test = TextOps.ngramSqlOver(
+      "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)", 2)
+    s"WITH vocab AS MATERIALIZED (SELECT ngram FROM ($train) tr " +
+    s"GROUP BY 1 HAVING COUNT(*) >= $OovMinFreq), " +
+    s"test AS MATERIALIZED (SELECT d.lang, te.ngram, COUNT(*) AS cnt " +
+    s"FROM ($test) te JOIN documents d ON te.doc_id = d.doc_id " +
+    "GROUP BY 1, 2), " +
+    "fl AS (SELECT t.lang, SUM(t.cnt) AS n_oov FROM test t " +
+    "LEFT JOIN vocab v ON t.ngram = v.ngram WHERE v.ngram IS NULL " +
+    "GROUP BY 1) " +
+    "SELECT t.lang, CAST(SUM(t.cnt) AS BIGINT) AS n_bigrams, " +
+    "CAST(COALESCE(ANY_VALUE(fl.n_oov), 0) AS BIGINT) AS n_oov, " +
+    "round(CAST(COALESCE(ANY_VALUE(fl.n_oov), 0) AS BIGINT) / " +
+    "CAST(SUM(t.cnt) AS BIGINT), 6) AS oov_rate " +
+    "FROM test t LEFT JOIN fl ON t.lang = fl.lang GROUP BY 1 " +
+    "ORDER BY t.lang"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "x152_calibration" -> CalibrationSql,
+    "x153_phrase_search" -> PhraseSql,
+    "x154_survival_km" -> SurvivalSql,
+    "x155_delta_decomp" -> DeltaSql,
+    "x156_ldiversity" -> LDiversitySql,
+    "x157_oov_rate" -> OovSql)
+}
