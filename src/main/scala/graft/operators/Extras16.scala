@@ -1,0 +1,310 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-9 sixth wave — game-theoretic attribution, engagement
+  * stickiness, frequent itemsets beyond pairs, and ranking-quality
+  * ground truth: exact Shapley channel credit (the principled answer
+  * to x73/x116's heuristic attribution), DAU/WAU/MAU stickiness (the
+  * engagement ratio every growth team tracks), Apriori 3-itemsets
+  * (candidate-pruned, the scale-safe step past x142's pairs), and
+  * exact ROC-AUC/Gini via score-domain rank counts (the threshold-free
+  * complement of x152's calibration).
+  *
+  * Exactness: x158/x160 are all-integer end to end (Shapley weights
+  * enter as the factorial integers of the 4!-scaled form); x159/x161
+  * close with single IEEE divisions on exact integer counts.
+  */
+object Extras16 {
+
+  // ---------------------------------------------------------------- x158
+
+  /** X158 — EXACT Shapley-value channel attribution (Shapley 1953;
+    * the marketing form in Dalessandro KDD'12): each touch channel's
+    * credit for conversions is its average marginal contribution over
+    * all 4! orderings of the channel set — the only attribution rule
+    * that is efficient, symmetric, and dummy-free, where x73/x116's
+    * first/last/linear-touch are ad-hoc splits. Coalition value
+    * v(S) = converted users whose pre-purchase touch set ⊆ S.
+    * Output: per channel the 24-scaled INTEGER Shapley value (exact)
+    * and its 6-dp display form, plus the TOTAL row — which equals
+    * v(full) − v(∅) by the efficiency axiom, so the books visibly
+    * balance in the contract data itself.
+    *
+    * Scale shape: the corpus-sized work is ONE pass — per-user first
+    * purchase + distinct prior channels reduce to a 16-row mask
+    * histogram (channels are a domain, 2^4 masks), and the whole
+    * combinatorial layer (16 subsets × 16 masks × 4 channels) runs on
+    * broadcast frames measured in BYTES. This is how exact Shapley
+    * stays feasible at 100 TB: the exponential object lives on the
+    * CHANNEL domain, never the user domain. */
+  def x158Shapley(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.eventsUs(spark, sfDir)
+    val chanBit = when(col("event_type") === "click", 1L)
+      .when(col("event_type") === "error", 2L)
+      .when(col("event_type") === "signup", 4L)
+      .when(col("event_type") === "view", 8L)
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("pts"))
+    val touched = ev.join(fp.select(col("user_id").as("fu"), col("pts")),
+        col("user_id") === col("fu"))
+      .filter(col("ts") < col("pts") && col("event_type") =!= "purchase")
+      .select(col("user_id"), chanBit.as("pw")).distinct()
+      .groupBy(col("user_id")).agg(sum(col("pw")).as("m"))
+    val masks = fp.join(touched, Seq("user_id"), "left")
+      .select(coalesce(col("m"), lit(0L)).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("cnt"))
+    val ss = spark.range(16).select(col("id").as("s"))
+    val v = ss.crossJoin(broadcast(masks))
+      .groupBy(col("s"))
+      .agg(coalesce(sum(when(col("m").bitwiseAND(col("s")) === col("m"),
+        col("cnt"))), lit(0L)).as("v"))
+    import spark.implicits._
+    val ch = Seq(("click", 1L), ("error", 2L), ("signup", 4L),
+      ("view", 8L)).toDF("channel", "bit")
+    // w(|S|) = |S|!·(3−|S|)! — the 4!-scaled ordering weights
+    val w = when(bit_count(col("s")).isin(0, 3), 6L).otherwise(2L)
+    val v2 = v.select(col("s").as("s2"), col("v").as("vb"))
+    val phi = ch.join(broadcast(v), col("s").bitwiseAND(col("bit")) === 0)
+      .join(broadcast(v2), col("s2") === col("s").bitwiseOR(col("bit")))
+      .groupBy(col("channel"))
+      .agg(sum(w * (col("vb") - col("v"))).as("phi_x24"))
+    val total = phi.agg(sum(col("phi_x24")).as("phi_x24"))
+      .select(lit("TOTAL").as("channel"), col("phi_x24"))
+    phi.unionByName(total)
+      .select(col("channel"), col("phi_x24"),
+        round(col("phi_x24").cast("double") / 24.0, 6).as("phi"))
+      .orderBy((col("channel") === "TOTAL").cast("int"), col("channel"))
+  }
+
+  // ---------------------------------------------------------------- x159
+
+  private val UsPerDay = 86400000000L
+
+  /** X159 — engagement stickiness: per day, the distinct active users
+    * (DAU), the trailing-7-day actives (WAU), the calendar-month
+    * actives (MAU), and the DAU/WAU + DAU/MAU ratios — the growth
+    * metric that distinguishes "many users" from "users who return".
+    *
+    * Scale shape: the corpus reduces to the distinct (day, user)
+    * frame in one pass; the trailing-7-day distinct is a range join of
+    * the DAY SPINE against that frame (7× day-user rows, never
+    * events×events), and month actives are one more grouped distinct.
+    * All counts exact; the two ratios are single IEEE divisions. */
+  def x159Stickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val du = Tables.eventsUs(spark, sfDir)
+      .select(expr(s"ts div $UsPerDay").as("day"),
+        col("user_id")).distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val spine = dau.select(col("day").as("d"))
+    val wau = spine.join(du,
+        col("day") >= col("d") - 6 && col("day") <= col("d"))
+      .groupBy(col("d")).agg(countDistinct(col("user_id")).as("wau"))
+    val mu = du.select(
+      (year(timestamp_micros(col("day") * UsPerDay)) * 100 +
+        month(timestamp_micros(col("day") * UsPerDay))).as("ym"),
+      col("day"), col("user_id"))
+    val mau = mu.groupBy(col("ym"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(wau, col("day") === col("d")).drop("d")
+      .join(mu.select(col("ym"), col("day")).distinct(), "day")
+      .join(broadcast(mau), "ym")
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6)
+          .as("dau_wau"),
+        round(col("dau").cast("double") / col("mau").cast("double"), 6)
+          .as("dau_mau"))
+      .orderBy(col("day"))
+  }
+
+  // ---------------------------------------------------------------- x160
+
+  /** X160 — frequent 3-itemsets via the Apriori candidate step
+    * (Agrawal VLDB'94): triples of parts co-bought by ≥ 2 capped
+    * CUSTOMER baskets (x144's basket grain — order-grain triples thin
+    * out as the part keyspace grows with SF), top-20 by support. The
+    * step past x142's pairs, and the one where naive enumeration dies
+    * at scale: C(64,3) ≈ 42k triples per worst-case basket vs 2k
+    * pairs.
+    *
+    * Scale shape — Apriori pruning PLUS the x33 hot-key split, because
+    * candidate generation ((a,b)⋈(a,c)) is a pairwise self-join on the
+    * pair table's first element and a hyper-popular item makes that
+    * one key quadratic. Items are split by pair-degree: COLD items
+    * (deg ≤ 64 — the overwhelming majority; 29 of 19k items are hot
+    * at sf0.1) take the candidate path — degree-bounded self-join,
+    * closure check against all frequent pairs, then three
+    * semi-join-shaped verification probes. HOT items skip candidates
+    * entirely: their triples are support-counted basket-locally, where
+    * the 64-item basket cap bounds every join key regardless of item
+    * popularity. Both branches are exact; the union is the full
+    * answer — nothing is dropped, the split only changes WHICH bounded
+    * plan counts each triple. The basket table is never globally
+    * triple-self-joined (the oracle does exactly that: same answer,
+    * cubic-vs-pruned different plan). */
+  def x160Apriori3(spark: SparkSession, sfDir: String): DataFrame = {
+    val capped = Extras13.custBasketsShared(spark, sfDir)
+    val freq = capped.groupBy(col("item")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("item"))
+    val fi = capped.join(freq, "item")
+      .select(col("basket"), col("item"))
+    val pairs = Extras13.custPairs2Shared(spark, sfDir)
+      .select(col("part_a"), col("part_b"))
+    val hot = pairs.groupBy(col("part_a")).agg(count(lit(1)).as("d"))
+      .filter(col("d") > 64).select(col("part_a").as("hi"))
+    val cold = pairs.join(broadcast(hot), col("part_a") === col("hi"),
+      "left_anti")
+    val cand = cold.select(col("part_a").as("i1"), col("part_b").as("i2"))
+      .join(cold.select(col("part_a").as("i1"), col("part_b").as("i3")),
+        "i1")
+      .filter(col("i2") < col("i3"))
+      .join(pairs.select(col("part_a").as("i2"), col("part_b").as("i3")),
+        Seq("i2", "i3"), "left_semi")
+    val coldTri = cand
+      .join(fi.select(col("basket"), col("item").as("i1")), "i1")
+      .join(fi.select(col("basket"), col("item").as("i2")),
+        Seq("basket", "i2"))
+      .join(fi.select(col("basket"), col("item").as("i3")),
+        Seq("basket", "i3"))
+      .groupBy(col("i1"), col("i2"), col("i3"))
+      .agg(count(lit(1)).as("support"))
+    val hotTri = fi.join(broadcast(hot), col("item") === col("hi"))
+      .select(col("basket"), col("item").as("i1"))
+      .join(fi.select(col("basket"), col("item").as("i2")), "basket")
+      .filter(col("i2") > col("i1"))
+      .join(fi.select(col("basket"), col("item").as("i3")), "basket")
+      .filter(col("i3") > col("i2"))
+      .groupBy(col("i1"), col("i2"), col("i3"))
+      .agg(count(lit(1)).as("support"))
+    coldTri.unionByName(hotTri)
+      .filter(col("support") >= 2)
+      .orderBy(col("support").desc, col("i1"), col("i2"), col("i3"))
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------- x161
+
+  /** X161 — exact ROC-AUC + Gini for x152's deterministic scorer, via
+    * the rank identity AUC = P(score⁺ > score⁻) + ½P(=) — computed
+    * entirely on the SCORE DOMAIN: the corpus reduces to per-score
+    * (n_pos, n_neg) counts (≤1000 rows), the below-rank prefix is a
+    * theta join over that aggregate (no global window — the w2/w16
+    * discipline), and the 2-scaled numerator
+    * Σ_s n_pos(s)·(2·negBelow(s) + n_neg(s)) is an exact BIGINT that
+    * ships in the output. AUC and Gini are the only floats: one
+    * division and one affine map, each rounded 8 dp. The
+    * threshold-free ranking-quality twin of x152's calibration (a
+    * model can be perfectly calibrated and rank terribly, and vice
+    * versa — you need both numbers). */
+  def x161AucGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val byScore = Tables.documents(spark, sfDir)
+      .select(((col("doc_id") * lit(2654435761L)) % 1000).as("pm"),
+        when(col("n_chars") >= 300, 1L).otherwise(0L).as("y"))
+      .groupBy(col("pm"))
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+    val below = byScore.select(col("pm").as("bpm"), col("nn").as("bnn"))
+    val pref = byScore.join(broadcast(below), col("bpm") < col("pm"), "left")
+      .groupBy(col("pm"), col("np"), col("nn"))
+      .agg(coalesce(sum(col("bnn")), lit(0L)).as("negBelow"))
+    pref.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("negBelow") + col("nn"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        round(col("u2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 8).as("auc"))
+      .withColumn("gini", round(lit(2.0) * col("auc") - 1.0, 8))
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x158_shapley" -> (x158Shapley _),
+    "x159_stickiness" -> (x159Stickiness _),
+    "x160_apriori3" -> (x160Apriori3 _),
+    "x161_auc_gini" -> (x161AucGini _))
+
+  private val ShapleySql: String =
+    "WITH fp AS MATERIALIZED (SELECT user_id, min(epoch_us(ts)) AS pts " +
+    "FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+    "tch AS (SELECT DISTINCT e.user_id, CASE e.event_type " +
+    "WHEN 'click' THEN 1 WHEN 'error' THEN 2 WHEN 'signup' THEN 4 " +
+    "WHEN 'view' THEN 8 END AS pw FROM events e " +
+    "JOIN fp ON e.user_id = fp.user_id " +
+    "WHERE epoch_us(e.ts) < fp.pts AND e.event_type <> 'purchase'), " +
+    "mk AS (SELECT fp.user_id, COALESCE(SUM(t.pw), 0) AS m FROM fp " +
+    "LEFT JOIN tch t ON fp.user_id = t.user_id GROUP BY 1), " +
+    "mc AS MATERIALIZED (SELECT m, COUNT(*) AS cnt FROM mk GROUP BY 1), " +
+    "ss AS (SELECT unnest(range(16)) AS s), " +
+    "v AS MATERIALIZED (SELECT s, COALESCE(SUM(CASE WHEN (m & s) = m " +
+    "THEN cnt END), 0) AS v FROM ss CROSS JOIN mc GROUP BY s), " +
+    "ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2), " +
+    "('signup', 4), ('view', 8)) c(channel, bit)), " +
+    "phi AS (SELECT ch.channel, CAST(SUM((CASE WHEN bit_count(v1.s) " +
+    "IN (0, 3) THEN 6 ELSE 2 END) * (v2.v - v1.v)) AS BIGINT) " +
+    "AS phi_x24 FROM ch JOIN v v1 ON (v1.s & ch.bit) = 0 " +
+    "JOIN v v2 ON v2.s = (v1.s | ch.bit) GROUP BY 1), " +
+    "u AS (SELECT * FROM phi UNION ALL SELECT 'TOTAL', " +
+    "CAST(SUM(phi_x24) AS BIGINT) FROM phi) " +
+    "SELECT channel, phi_x24, round(CAST(phi_x24 AS DOUBLE) / 24.0, 6) " +
+    "AS phi FROM u ORDER BY (channel = 'TOTAL'), channel"
+
+  private val StickinessSql: String =
+    "WITH du AS MATERIALIZED (SELECT DISTINCT " +
+    "epoch_us(ts) // 86400000000 AS day, user_id FROM events), " +
+    "dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1), " +
+    "wau AS (SELECT d.day, COUNT(DISTINCT du.user_id) AS wau " +
+    "FROM (SELECT DISTINCT day FROM du) d JOIN du " +
+    "ON du.day BETWEEN d.day - 6 AND d.day GROUP BY 1), " +
+    "mu AS (SELECT year(make_timestamp(day * 86400000000)) * 100 + " +
+    "month(make_timestamp(day * 86400000000)) AS ym, day, user_id " +
+    "FROM du), " +
+    "mau AS (SELECT ym, COUNT(DISTINCT user_id) AS mau FROM mu " +
+    "GROUP BY 1) " +
+    "SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau, " +
+    "CAST(wau.wau AS BIGINT) AS wau, CAST(mau.mau AS BIGINT) AS mau, " +
+    "round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6) " +
+    "AS dau_wau, " +
+    "round(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE), 6) " +
+    "AS dau_mau FROM dau JOIN wau ON wau.day = dau.day " +
+    "JOIN (SELECT DISTINCT ym, day FROM mu) md ON md.day = dau.day " +
+    "JOIN mau ON mau.ym = md.ym ORDER BY dau.day"
+
+  private val Apriori3Sql: String =
+    "WITH li AS MATERIALIZED (SELECT DISTINCT o_custkey AS basket, " +
+    "l_partkey AS item FROM lineitem " +
+    "JOIN orders ON l_orderkey = o_orderkey), " +
+    "ok AS (SELECT basket FROM li GROUP BY basket " +
+    "HAVING COUNT(*) <= 64), " +
+    "c AS MATERIALIZED (SELECT li.basket, li.item FROM li " +
+    "JOIN ok USING (basket)) " +
+    "SELECT a.item AS i1, b.item AS i2, c2.item AS i3, " +
+    "CAST(COUNT(*) AS BIGINT) AS support " +
+    "FROM c a JOIN c b ON b.basket = a.basket AND b.item > a.item " +
+    "JOIN c c2 ON c2.basket = a.basket AND c2.item > b.item " +
+    "GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2 " +
+    "ORDER BY support DESC, i1, i2, i3 LIMIT 20"
+
+  private val AucSql: String =
+    "WITH base AS MATERIALIZED (SELECT " +
+    "(doc_id * 2654435761) % 1000 AS pm, " +
+    "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y FROM documents), " +
+    "bs AS MATERIALIZED (SELECT pm, SUM(y) AS np, SUM(1 - y) AS nn " +
+    "FROM base GROUP BY 1), " +
+    "pref AS (SELECT a.pm, ANY_VALUE(a.np) AS np, ANY_VALUE(a.nn) AS nn, " +
+    "COALESCE(SUM(b.nn), 0) AS negBelow FROM bs a " +
+    "LEFT JOIN bs b ON b.pm < a.pm GROUP BY a.pm), " +
+    "agg AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos, " +
+    "CAST(SUM(nn) AS BIGINT) AS n_neg, " +
+    "CAST(SUM(np * (2 * negBelow + nn)) AS BIGINT) AS u2 FROM pref) " +
+    "SELECT n_pos, n_neg, u2, round(CAST(u2 AS DOUBLE) / " +
+    "(2.0 * n_pos * n_neg), 8) AS auc, " +
+    "round(2.0 * round(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 8) " +
+    "- 1.0, 8) AS gini FROM agg"
+
+  val oracles: Map[String, String] = Map(
+    "x158_shapley" -> ShapleySql,
+    "x159_stickiness" -> StickinessSql,
+    "x160_apriori3" -> Apriori3Sql,
+    "x161_auc_gini" -> AucSql)
+}
