@@ -272,6 +272,36 @@ object ApiDemo {
     spark.sql("SELECT * FROM demo.events ORDER BY id").show(false)
     spark.sql("DROP TABLE demo.events")
 
+    // --- Analytics kernels on caller-shaped frames -------------------
+    import graft.api.Analytics
+
+    println("Kaplan-Meier survival (subscription days, churn flag):")
+    Analytics.kmSurvival(
+      Seq((5L, 1), (5L, 1), (5L, 0), (9L, 1), (12L, 0))
+        .toDF("dur", "churned"), "dur", "churned").show(false)
+
+    println("Holt forecast over a short trending series:")
+    Analytics.holtForecast(
+      (1 to 12).map(i => (i.toLong, 100.0 * i + 40))
+        .toDF("t", "metric"), "t", "metric",
+      alpha = 0.3, beta = 0.1, horizon = 3).show(false)
+
+    println("Shapley credit for two channels (ads=1, email=2):")
+    Analytics.shapleyFromMasks(
+      Seq((0L, 2L), (1L, 5L), (2L, 3L), (3L, 6L)).toDF("m", "cnt"),
+      Seq(("ads", 1L), ("email", 2L))).show(false)
+
+    println("exact AUC/Gini for a bucketed score vs a binary label:")
+    Analytics.aucGini(
+      Seq((900L, 1), (700L, 1), (600L, 0), (300L, 0), (100L, 0))
+        .toDF("score", "label"), "score", "label").show(false)
+
+    println("streaks (user activity days):")
+    Analytics.streaks(
+      Seq((7L, 10L), (7L, 11L), (7L, 12L), (7L, 20L), (8L, 10L))
+        .toDF("uid", "d"), "uid", "d")
+      .orderBy(col("k"), col("start_day")).show(false)
+
     spark.stop()
   }
 }

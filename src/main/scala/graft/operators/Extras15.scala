@@ -37,28 +37,12 @@ object Extras15 {
     * longs, so the grouped aggregate is map-side-combinable and the
     * whole plan is one scan + one 11-group aggregate at any corpus
     * size. */
-  def x152Calibration(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.documents(spark, sfDir).select(
-      ((col("doc_id") * lit(2654435761L)) % 1000).as("pm"),
-      when(col("n_chars") >= 300, 1L).otherwise(0L).as("y"))
-    val bins = base
-      .groupBy(floor(col("pm") / 100).cast("long").as("bin"))
-      .agg(count(lit(1)).as("n"), sum(col("pm")).as("sp"),
-        sum(col("y")).as("sy"),
-        sum((col("pm") - lit(1000L) * col("y")) *
-          (col("pm") - lit(1000L) * col("y"))).as("sq"))
-    val total = bins.agg(sum(col("n")).as("n"), sum(col("sp")).as("sp"),
-      sum(col("sy")).as("sy"), sum(col("sq")).as("sq"))
-      .select(lit(-1L).as("bin"), col("n"), col("sp"), col("sy"), col("sq"))
-    bins.unionByName(total)
-      .select(col("bin"), col("n"),
-        round(col("sp").cast("double") / (col("n") * lit(1000.0)), 8)
-          .as("mean_p"),
-        round(col("sy").cast("double") / col("n"), 8).as("frac_pos"),
-        round(col("sq").cast("double") / (col("n") * lit(1000000.0)), 8)
-          .as("brier"))
-      .orderBy(col("bin"))
-  }
+  def x152Calibration(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.Analytics.calibration(
+      Tables.documents(spark, sfDir).select(
+        ((col("doc_id") * lit(2654435761L)) % 1000).as("pm"),
+        when(col("n_chars") >= 300, 1L).otherwise(0L).as("y")),
+      "pm", "y")
 
   // ---------------------------------------------------------------- x153
 
@@ -131,29 +115,8 @@ object Extras15 {
           .cast("long").as("wk"),
         when(col("l") <= col("mx") - expr("INTERVAL 90 DAYS"), 1L)
           .otherwise(0L).as("ev"))
-    val wka = cust.groupBy(col("wk"))
-      .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
-    val r = wka.select(col("wk").as("rwk"),
-      (col("d") + col("c")).as("dc"))
-    val ev = wka.join(broadcast(r), col("rwk") >= col("wk"))
-      .groupBy(col("wk"), col("d"), col("c"))
-      .agg(sum(col("dc")).as("n"))
-      .filter(col("d") > 0)
-      .withColumn("factor",
-        round((col("n") - col("d")).cast("double") /
-          col("n").cast("double"), 8))
-    val steps = ev.agg(sort_array(collect_list(struct(
-      col("wk").as("wk"), col("n").as("n"), col("d").as("d"),
-      col("c").as("c"), col("factor").as("factor")))).as("steps"))
-    steps.select(posexplode(col("steps")).as(Seq("i", "s")),
-        col("steps"))
-      .select(col("s.wk").as("week"), col("s.n").as("n_risk"),
-        col("s.d").as("d"), col("s.c").as("c"),
-        col("s.factor").as("factor"),
-        expr("round(aggregate(slice(transform(steps, x -> x.factor)," +
-          " 1, i + 1), CAST(1.0 AS DOUBLE)," +
-          " (acc, f) -> round(acc * f, 10)), 10)").as("survival"))
-      .orderBy(col("week"))
+    graft.api.Analytics.kmSurvival(cust, "wk", "ev")
+      .withColumnRenamed("t", "week")
   }
 
   // ---------------------------------------------------------------- x155

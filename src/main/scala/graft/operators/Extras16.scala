@@ -56,27 +56,8 @@ object Extras16 {
     val masks = fp.join(touched, Seq("user_id"), "left")
       .select(coalesce(col("m"), lit(0L)).as("m"))
       .groupBy(col("m")).agg(count(lit(1)).as("cnt"))
-    val ss = spark.range(16).select(col("id").as("s"))
-    val v = ss.crossJoin(broadcast(masks))
-      .groupBy(col("s"))
-      .agg(coalesce(sum(when(col("m").bitwiseAND(col("s")) === col("m"),
-        col("cnt"))), lit(0L)).as("v"))
-    import spark.implicits._
-    val ch = Seq(("click", 1L), ("error", 2L), ("signup", 4L),
-      ("view", 8L)).toDF("channel", "bit")
-    // w(|S|) = |S|!·(3−|S|)! — the 4!-scaled ordering weights
-    val w = when(bit_count(col("s")).isin(0, 3), 6L).otherwise(2L)
-    val v2 = v.select(col("s").as("s2"), col("v").as("vb"))
-    val phi = ch.join(broadcast(v), col("s").bitwiseAND(col("bit")) === 0)
-      .join(broadcast(v2), col("s2") === col("s").bitwiseOR(col("bit")))
-      .groupBy(col("channel"))
-      .agg(sum(w * (col("vb") - col("v"))).as("phi_x24"))
-    val total = phi.agg(sum(col("phi_x24")).as("phi_x24"))
-      .select(lit("TOTAL").as("channel"), col("phi_x24"))
-    phi.unionByName(total)
-      .select(col("channel"), col("phi_x24"),
-        round(col("phi_x24").cast("double") / 24.0, 6).as("phi"))
-      .orderBy((col("channel") === "TOTAL").cast("int"), col("channel"))
+    graft.api.Analytics.shapleyFromMasks(masks,
+      Seq(("click", 1L), ("error", 2L), ("signup", 4L), ("view", 8L)))
   }
 
   // ---------------------------------------------------------------- x159
@@ -93,31 +74,13 @@ object Extras16 {
     * the DAY SPINE against that frame (7× day-user rows, never
     * events×events), and month actives are one more grouped distinct.
     * All counts exact; the two ratios are single IEEE divisions. */
-  def x159Stickiness(spark: SparkSession, sfDir: String): DataFrame = {
-    val du = Tables.eventsUs(spark, sfDir)
-      .select(expr(s"ts div $UsPerDay").as("day"),
-        col("user_id")).distinct()
-    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
-    val spine = dau.select(col("day").as("d"))
-    val wau = spine.join(du,
-        col("day") >= col("d") - 6 && col("day") <= col("d"))
-      .groupBy(col("d")).agg(countDistinct(col("user_id")).as("wau"))
-    val mu = du.select(
-      (year(timestamp_micros(col("day") * UsPerDay)) * 100 +
-        month(timestamp_micros(col("day") * UsPerDay))).as("ym"),
-      col("day"), col("user_id"))
-    val mau = mu.groupBy(col("ym"))
-      .agg(countDistinct(col("user_id")).as("mau"))
-    dau.join(wau, col("day") === col("d")).drop("d")
-      .join(mu.select(col("ym"), col("day")).distinct(), "day")
-      .join(broadcast(mau), "ym")
-      .select(col("day"), col("dau"), col("wau"), col("mau"),
-        round(col("dau").cast("double") / col("wau").cast("double"), 6)
-          .as("dau_wau"),
-        round(col("dau").cast("double") / col("mau").cast("double"), 6)
-          .as("dau_mau"))
-      .orderBy(col("day"))
-  }
+  def x159Stickiness(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.Analytics.stickiness(
+      Tables.eventsUs(spark, sfDir)
+        .select(expr(s"ts div $UsPerDay").as("day"), col("user_id")),
+      "day", "user_id",
+      d => year(timestamp_micros(d * UsPerDay)) * 100 +
+        month(timestamp_micros(d * UsPerDay)))
 
   // ---------------------------------------------------------------- x160
 
@@ -198,23 +161,12 @@ object Extras16 {
     * threshold-free ranking-quality twin of x152's calibration (a
     * model can be perfectly calibrated and rank terribly, and vice
     * versa — you need both numbers). */
-  def x161AucGini(spark: SparkSession, sfDir: String): DataFrame = {
-    val byScore = Tables.documents(spark, sfDir)
-      .select(((col("doc_id") * lit(2654435761L)) % 1000).as("pm"),
-        when(col("n_chars") >= 300, 1L).otherwise(0L).as("y"))
-      .groupBy(col("pm"))
-      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
-    val below = byScore.select(col("pm").as("bpm"), col("nn").as("bnn"))
-    val pref = byScore.join(broadcast(below), col("bpm") < col("pm"), "left")
-      .groupBy(col("pm"), col("np"), col("nn"))
-      .agg(coalesce(sum(col("bnn")), lit(0L)).as("negBelow"))
-    pref.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
-        sum(col("np") * (lit(2L) * col("negBelow") + col("nn"))).as("u2"))
-      .select(col("n_pos"), col("n_neg"), col("u2"),
-        round(col("u2").cast("double") /
-          (lit(2.0) * col("n_pos") * col("n_neg")), 8).as("auc"))
-      .withColumn("gini", round(lit(2.0) * col("auc") - 1.0, 8))
-  }
+  def x161AucGini(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.Analytics.aucGini(
+      Tables.documents(spark, sfDir)
+        .select(((col("doc_id") * lit(2654435761L)) % 1000).as("pm"),
+          when(col("n_chars") >= 300, 1L).otherwise(0L).as("y")),
+      "pm", "y")
 
   // ------------------------------------------------------------ registry
 

@@ -53,29 +53,8 @@ object Extras17 {
         .as("day"))
       .agg(sum(col("o_totalprice").cast(Det.Money)).as("v"))
       .select(col("day"), col("v").cast("double").as("y"))
-    val arr = daily.agg(sort_array(collect_list(struct(
-      col("day").as("day"), col("y").as("y")))).as("s"))
-      .select(expr("transform(s, e -> e.y)").as("ys"))
-    val fitted = arr.select(expr(
-      s"""aggregate(
-         |  slice(ys, 2, size(ys) - 1),
-         |  struct(round(CAST(element_at(ys, 1) AS DOUBLE), 0) AS l,
-         |         round(CAST(element_at(ys, 2) - element_at(ys, 1)
-         |           AS DOUBLE), 0) AS b),
-         |  (acc, y) -> struct(
-         |    round($HoltAlpha * y + ${1 - HoltAlpha} * (acc.l + acc.b), 0)
-         |      AS l,
-         |    round($HoltBeta *
-         |      (round($HoltAlpha * y + ${1 - HoltAlpha} * (acc.l + acc.b),
-         |         0) - acc.l) + ${1 - HoltBeta} * acc.b, 0) AS b))
-         |""".stripMargin.replaceAll("\n", " ")).as("fit"))
-    fitted.select(explode(sequence(lit(0), lit(HoltHorizon))).as("h"),
-        col("fit"))
-      .select(col("h").cast("long").as("h"),
-        round(col("fit.l") + col("h").cast("double") * col("fit.b"), 6)
-          .as("forecast"),
-        col("fit.b").as("trend"))
-      .orderBy(col("h"))
+    graft.api.Analytics.holtForecast(daily, "day", "y",
+      HoltAlpha, HoltBeta, HoltHorizon)
   }
 
   // ---------------------------------------------------------------- x163
@@ -92,18 +71,9 @@ object Extras17 {
     * keys the shuffle, so it's the same map-side-combinable pattern at
     * any volume. Zero arithmetic on the picked values. */
   def x163Ohlc(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.eventsUs(spark, sfDir)
-      .groupBy(expr("ts div 86400000000").as("day"))
-      .agg(
-        min_by(col("value"), struct(col("ts"), col("event_id")))
-          .as("open"),
-        max(col("value")).as("high"),
-        min(col("value")).as("low"),
-        max_by(col("value"), struct(col("ts"), col("event_id")))
-          .as("close"),
-        count(lit(1)).as("n_ticks"),
-        sum(col("value").cast(Det.Money)).cast("double").as("vsum"))
-      .orderBy(col("day"))
+    graft.api.Analytics.ohlc(Tables.eventsUs(spark, sfDir),
+        expr("ts div 86400000000"), "ts", "event_id", "value")
+      .withColumnRenamed("bucket", "day")
 
   // --------------------------------------------------------------- sql47
 

@@ -27,25 +27,12 @@ object Extras18 {
     * the NEXT observed day — spelled as a min-over-theta-join on the
     * day-domain frame (the x138 prefix discipline; no global window) —
     * and keeping pairs more than one day apart. All-integer output. */
-  def x164GapAudit(spark: SparkSession, sfDir: String): DataFrame = {
-    val days = Tables.orders(spark, sfDir)
-      .groupBy(expr("cast(cast(o_orderdate as timestamp) as long) div 86400")
-        .as("day")).agg(count(lit(1)).as("n"))
-      .select(col("day"))
-    val nxt = days.select(col("day").as("d2"))
-    val gaps = days.join(broadcast(nxt), col("d2") > col("day"), "left")
-      .groupBy(col("day")).agg(min(col("d2")).as("next_day"))
-      .filter(col("next_day") > col("day") + 1)
-      .select((col("day") + 1).as("gap_start"),
-        (col("next_day") - 1).as("gap_end"),
-        (col("next_day") - col("day") - 1).as("gap_len"))
-    val stats = days.agg(count(lit(1)).as("n_observed"),
-      (max(col("day")) - min(col("day")) + 1).as("span_days"))
-      .select(lit(-1L).as("gap_start"), lit(-1L).as("gap_end"),
-        (col("span_days") - col("n_observed")).as("gap_len"))
-    gaps.unionByName(stats)
-      .orderBy(col("gap_start"))
-  }
+  def x164GapAudit(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.Analytics.gapAudit(
+      Tables.orders(spark, sfDir).select(
+        expr("cast(cast(o_orderdate as timestamp) as long) div 86400")
+          .as("day")),
+      "day")
 
   // ---------------------------------------------------------------- x165
 
@@ -59,18 +46,14 @@ object Extras18 {
     * user-partitioned window (keyed on user_id — data-parallel across
     * users, never a global sort), one grouped count over islands.
     * All-integer output. */
-  def x165Streaks(spark: SparkSession, sfDir: String): DataFrame = {
-    val du = Tables.eventsUs(spark, sfDir)
-      .select(expr("ts div 86400000000").as("day"), col("user_id"))
-      .distinct()
-    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
-    du.withColumn("isl", col("day") - row_number().over(w))
-      .groupBy(col("user_id"), col("isl"))
-      .agg(min(col("day")).as("start_day"), count(lit(1)).as("streak"))
-      .select(col("user_id"), col("start_day"), col("streak"))
+  def x165Streaks(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.Analytics.streaks(
+      Tables.eventsUs(spark, sfDir)
+        .select(expr("ts div 86400000000").as("day"), col("user_id")),
+      "user_id", "day")
+      .withColumnRenamed("k", "user_id")
       .orderBy(col("streak").desc, col("user_id"), col("start_day"))
       .limit(20)
-  }
 
   // --------------------------------------------------------------- sql49
 
