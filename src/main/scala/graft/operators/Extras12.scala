@@ -462,15 +462,26 @@ object Extras12 {
   private[operators] val LpaRounds = 4
 
   /** The 4-round LPA labels over the staged co-purchase graph, built
-    * once per (session, corpus) — x137 reads the size histogram and
-    * x141 scores modularity off the SAME assignment, so the 4
-    * edge-shuffle rounds run once per pass, not per consumer. The loop
-    * already ends in a Checkpoints.cut, so the memoized frame is a
-    * materialized scan (on a cluster: the labels land in a persisted
-    * table keyed by the corpus fingerprint, same as the CC labels). */
+    * once per (session, corpus) AND staged cross-process (the cclabels
+    * pattern: fingerprint-named dir, one atomic publish) — x137 reads
+    * the size histogram and x141 scores modularity off the SAME
+    * assignment, and a later process reloads the label table outright
+    * instead of re-running the 4 edge-shuffle rounds. On a cluster
+    * this is the persisted `communities` table the serving jobs scan. */
   def lpaLabelsShared(spark: SparkSession, sfDir: String): DataFrame =
     graft.Memo(spark, s"lpa_labels:$sfDir") {
-      labelPropagation(Extras11.coPurchaseEdges(spark, sfDir), LpaRounds)
+      val s = Tables.tune(spark)
+      val fp = Tables.corpusFingerprint(sfDir, "lineitem") + "|" +
+        Tables.corpusFingerprint(sfDir, "orders") + s"|lpa$LpaRounds"
+      val home = Tables.sharedDir("lpalabels", sfDir, fp)
+      if (!home.isDirectory) {
+        val labels = labelPropagation(
+          Extras11.coPurchaseEdges(spark, sfDir), LpaRounds)
+        val tmp = Tables.sharedBuildDir(home)
+        labels.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        Tables.publishShared(tmp, home)
+      }
+      s.read.parquet(home.getAbsolutePath)
     }
 
   /** The synchronous propagation loop over a canonical (a < b) edge
