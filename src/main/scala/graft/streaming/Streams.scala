@@ -271,6 +271,32 @@ object Streams {
   }
 
   /** ST1 — tumbling 10-minute window: count + sum(value) per event type. */
+  /** ST25 — streaming daily OHLC candles (x163's batch shape as a
+    * live materialization): per day-window, open/close via
+    * composite-key min_by/max_by on (ts, event_id) — deterministic
+    * under timestamp ties — plus high/low/ticks/DECIMAL volume, in
+    * Complete mode. The candle table every market-data feed serves
+    * hot; min_by/max_by are partial-merge aggregates, so the streaming
+    * state per window is one value pair, not the tick history. */
+  def st25StreamOhlc(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventStream(spark, sfDir)
+      .groupBy(window(col("ts_t"), "1 day"))
+      .agg(
+        min_by(col("value"), struct(col("ts_us"), col("event_id")))
+          .as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts_us"), col("event_id")))
+          .as("close"),
+        count(lit(1)).as("n_ticks"),
+        sum(col("value").cast(Det.Money)).cast("double").as("vsum"))
+    runToTable(spark, agg, OutputMode.Complete())
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_ticks"), col("vsum"))
+      .orderBy(col("win_start"))
+  }
+
   def st1Tumbling(spark: SparkSession, sfDir: String): DataFrame = {
     val agg = eventStream(spark, sfDir)
       .withWatermark("ts_t", "15 minutes")
@@ -1301,6 +1327,7 @@ object Streams {
     "st9_file_sink" -> (st9FileSink _),
     "st10_foreach_batch" -> (st10ForeachBatch _),
     "st1_tumbling" -> (st1Tumbling _),
+    "st25_stream_ohlc" -> (st25StreamOhlc _),
     "st2_sliding" -> (st2Sliding _),
     "st3_session" -> (st3Session _),
     "st4_late_drop" -> (st4LateDrop _),
@@ -1403,6 +1430,22 @@ object Streams {
        "COUNT(*) AS n, " +
        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
        "FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"),
+    "st25_stream_ohlc" ->
+      ("WITH e AS MATERIALIZED (SELECT epoch_us(ts) // 86400000000 AS day, " +
+       "epoch_us(ts) AS tus, event_id, value FROM events), " +
+       "o AS (SELECT day, value AS open FROM e QUALIFY " +
+       "row_number() OVER (PARTITION BY day ORDER BY tus, event_id) = 1), " +
+       "c AS (SELECT day, value AS close FROM e QUALIFY " +
+       "row_number() OVER (PARTITION BY day ORDER BY tus DESC, " +
+       "event_id DESC) = 1), " +
+       "a AS (SELECT day, MAX(value) AS high, MIN(value) AS low, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_ticks, " +
+       "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS vsum " +
+       "FROM e GROUP BY 1) " +
+       "SELECT CAST(a.day * 86400 AS BIGINT) AS win_start, o.open, " +
+       "a.high, a.low, c.close, a.n_ticks, a.vsum " +
+       "FROM a JOIN o ON o.day = a.day JOIN c ON c.day = a.day " +
+       "ORDER BY win_start"),
     "st2_sliding" ->
       // every event belongs to the two 5-min-aligned 10-min windows
       // covering it: start = floor(t/300)*300 and that minus 300
