@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** Round-9 ninth wave — revenue-analytics and event-compression rows:
+  * cohort LTV curves (the cumulative-revenue-by-signup-cohort view
+  * every subscription/commerce business steers by — x92's retention
+  * matrix with money on it) and consecutive-run collapse (the
+  * sensor/clickstream compression that drops repeated readings while
+  * keeping every transition — x143's Markov matrix implicitly assumes
+  * it).
+  */
+object Extras19 {
+
+  private val LtvMaxAge = 11
+
+  // ---------------------------------------------------------------- x166
+
+  /** X166 — cohort LTV curves: customers cohorted by first-order
+    * month, revenue accumulated by cohort age (months since first
+    * order, 0..11), cumulative LTV per customer = running revenue /
+    * cohort size — the "how much is a January customer worth by month
+    * 6" table.
+    *
+    * Scale shape: two grouped passes (per-customer first month, then
+    * (cohort, age) revenue) reduce the corpus to the bounded
+    * cohort×age domain; the running cumulative is a theta-join over
+    * THAT aggregate (the x138/w16 no-global-window discipline).
+    * Revenue is DECIMAL-exact; the LTV division is spelled as INTEGER
+    * half-up division in ten-thousandths — a 4-dp decimal divided by a
+    * small integer lands EXACTLY on the 4-dp half grid, where
+    * round-after-float-division forks cross-engine (observed:
+    * 532872.90875 → .9087 vs .9088), so no float division happens
+    * before the grid; the closing /10000.0 is one exact-input IEEE
+    * op. */
+  def x166LtvCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val mcol = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), mcol.as("m"),
+        col("o_totalprice").cast(Det.Money).as("price"))
+    val first = o.groupBy(col("o_custkey")).agg(min(col("m")).as("m0"))
+    val size = first.groupBy(col("m0")).agg(count(lit(1)).as("n_customers"))
+    val ra = o.join(first, "o_custkey")
+      .select(col("m0"), (col("m") - col("m0")).as("age"), col("price"))
+      .filter(col("age") <= LtvMaxAge)
+      .groupBy(col("m0"), col("age"))
+      .agg(sum(col("price")).as("rev"))
+    val r2 = ra.select(col("m0").as("c2"), col("age").as("a2"),
+      col("rev").as("rev2"))
+    ra.join(broadcast(r2), col("c2") === col("m0") && col("a2") <= col("age"))
+      .groupBy(col("m0"), col("age"), col("rev"))
+      .agg(sum(col("rev2")).as("cum_rev"))
+      .join(broadcast(size), "m0")
+      .withColumn("s4", (col("cum_rev") * 10000).cast("long"))
+      .select(col("m0").cast("long").as("cohort_m"),
+        col("age").cast("long").as("age"), col("n_customers"),
+        col("rev").cast("double").as("rev"),
+        (expr("(2 * s4 + n_customers) div (2 * n_customers)")
+          .cast("double") / 10000.0).as("cum_ltv"))
+      .orderBy(col("cohort_m"), col("age"))
+  }
+
+  // ---------------------------------------------------------------- x167
+
+  /** X167 — consecutive-run collapse: per user (ordered by ts with
+    * event_id tie-break), keep an event only when its type DIFFERS
+    * from the user's previous event — repeated readings compress to
+    * their first occurrence while every transition survives. Output:
+    * per event type, total vs kept vs dropped — the compression audit
+    * a clickstream/sensor ingest reports.
+    *
+    * Scale shape: one USER-partitioned lag window (data-parallel
+    * across users) + one type-domain aggregate. All-integer. */
+  def x167CollapseRuns(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.eventsUs(spark, sfDir)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .withColumn("kept",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"),
+        (count(lit(1)) - sum(col("kept"))).as("n_dropped"))
+      .orderBy(col("event_type"))
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x166_ltv_cohorts" -> (x166LtvCohorts _),
+    "x167_collapse_runs" -> (x167CollapseRuns _))
+
+  private val LtvSql: String =
+    "WITH o AS MATERIALIZED (SELECT o_custkey, " +
+    "year(o_orderdate) * 12 + month(o_orderdate) AS m, " +
+    "CAST(o_totalprice AS DECIMAL(18,4)) AS price FROM orders), " +
+    "f AS MATERIALIZED (SELECT o_custkey, MIN(m) AS m0 FROM o " +
+    "GROUP BY 1), " +
+    "sz AS (SELECT m0, COUNT(*) AS n_customers FROM f GROUP BY 1), " +
+    "ra AS MATERIALIZED (SELECT f.m0, o.m - f.m0 AS age, " +
+    "SUM(o.price) AS rev FROM o JOIN f ON o.o_custkey = f.o_custkey " +
+    s"WHERE o.m - f.m0 <= $LtvMaxAge GROUP BY 1, 2), " +
+    "cum AS (SELECT a.m0, a.age, ANY_VALUE(a.rev) AS rev, " +
+    "SUM(b.rev) AS cum_rev FROM ra a JOIN ra b " +
+    "ON b.m0 = a.m0 AND b.age <= a.age GROUP BY a.m0, a.age) " +
+    "SELECT CAST(cum.m0 AS BIGINT) AS cohort_m, " +
+    "CAST(cum.age AS BIGINT) AS age, " +
+    "CAST(sz.n_customers AS BIGINT) AS n_customers, " +
+    "CAST(cum.rev AS DOUBLE) AS rev, " +
+    "CAST((2 * CAST(cum.cum_rev * 10000 AS BIGINT) + sz.n_customers) // " +
+    "(2 * sz.n_customers) AS DOUBLE) / 10000.0 AS cum_ltv " +
+    "FROM cum JOIN sz ON sz.m0 = cum.m0 ORDER BY cohort_m, age"
+
+  private val CollapseSql: String =
+    "WITH e AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS tus, " +
+    "event_id, event_type FROM events), " +
+    "k AS (SELECT event_type, CASE WHEN prev IS NULL OR " +
+    "prev <> event_type THEN 1 ELSE 0 END AS kept FROM (" +
+    "SELECT event_type, lag(event_type) OVER (PARTITION BY user_id " +
+    "ORDER BY tus, event_id) AS prev FROM e) t) " +
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_total, " +
+    "CAST(SUM(kept) AS BIGINT) AS n_kept, " +
+    "CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped " +
+    "FROM k GROUP BY 1 ORDER BY event_type"
+
+  val oracles: Map[String, String] = Map(
+    "x166_ltv_cohorts" -> LtvSql,
+    "x167_collapse_runs" -> CollapseSql)
+}

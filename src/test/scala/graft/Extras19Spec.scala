@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Extras19
+
+class Extras19Spec extends SparkSpec {
+
+  private def r(x: Double, n: Int): Double =
+    BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("x166 ltv cohorts match a scalar recompute and cum_ltv is " +
+      "nondecreasing within each cohort") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .as("m"),
+        col("o_totalprice")).collect()
+      .map(row => (row.getLong(0), row.getAs[Number](1).longValue,
+        BigDecimal(row.getDouble(2)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP)))
+    val first = orders.groupBy(_._1).map { case (c, xs) =>
+      (c, xs.map(_._2).min)
+    }
+    val size = first.groupBy(_._2).map { case (m0, xs) =>
+      (m0, xs.size.toLong)
+    }
+    val rev = orders.groupBy { o =>
+      (first(o._1), o._2 - first(o._1))
+    }.collect { case ((m0, age), xs) if age <= 11 =>
+      ((m0, age), xs.map(_._3).sum)
+    }
+    val expect = rev.toSeq.map { case ((m0, age), rv) =>
+      val cum = rev.collect {
+        case ((c, a), v) if c == m0 && a <= age => v
+      }.sum
+      // exact integer half-up division in ten-thousandths (the
+      // operator's grid-safe spelling)
+      val s4 = (cum * 10000).toLongExact
+      val n = size(m0)
+      (m0, age, n, rv.toDouble,
+        ((2 * s4 + n) / (2 * n)).toDouble / 10000.0)
+    }.sortBy(x => (x._1, x._2))
+    val got = Extras19.x166LtvCohorts(spark, sf).collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getLong(2),
+        row.getDouble(3), row.getDouble(4)))
+    assert(got.toSeq == expect)
+    got.groupBy(_._1).values.foreach { rows =>
+      rows.sortBy(_._2).map(_._5).foldLeft(0.0) { (prev, v) =>
+        assert(v >= prev - 1e-9); v
+      }
+    }
+  }
+
+  test("x167 collapse runs match a scalar per-user scan and totals " +
+      "reconcile") {
+    val ev = Tables.eventsUs(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")).collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getLong(2),
+        row.getString(3)))
+    val expect = ev.groupBy(_._1).values.flatMap { xs =>
+      val sorted = xs.sortBy(e => (e._2, e._3))
+      sorted.zip(None +: sorted.map(e => Some(e._4)).dropRight(1))
+        .map { case (e, prev) => (e._4, !prev.contains(e._4)) }
+    }.toSeq.groupBy(_._1).map { case (t, xs) =>
+      (t, xs.size.toLong, xs.count(_._2).toLong,
+        (xs.size - xs.count(_._2)).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = Extras19.x167CollapseRuns(spark, sf).collect()
+      .map(row => (row.getString(0), row.getLong(1), row.getLong(2),
+        row.getLong(3)))
+    assert(got.toSeq == expect)
+    assert(got.map(_._2).sum == ev.length.toLong)
+  }
+}
