@@ -161,7 +161,17 @@ object Extras15 {
       .select(lit("TOTAL").as("nation"), col("n_m1"), col("n_m2"),
         col("r1"), col("r2"))
     val td = tot.select((col("r2") - col("r1")).cast("double").as("tdelta"))
+    // aov / volume / rate in INTEGER ten-thousandths (the x166
+    // grid-fork lesson): r1 is a 4-dp decimal over a small integer
+    // count, which lands exactly on the 4-dp rounding grid where
+    // round-after-float-division forks cross-engine; half-up integer
+    // division never does, and the closing /10000.0 is exact-input
     per.unionByName(tot).crossJoin(broadcast(td))
+      .withColumn("r1s", (col("r1") * 10000).cast("long"))
+      .withColumn("a4",
+        expr("CASE WHEN n_m1 > 0 THEN " +
+          "(2 * r1s + n_m1) div (2 * n_m1) END"))
+      .withColumn("v4", (col("n_m2") - col("n_m1")) * col("a4"))
       .select(col("nation"), col("n_m1"), col("n_m2"),
         col("r1").cast("double").as("rev_m1"),
         col("r2").cast("double").as("rev_m2"),
@@ -170,12 +180,10 @@ object Extras15 {
           round((col("r2") - col("r1")).cast("double") / col("tdelta"), 6))
           .as("share"),
         when(col("n_m1") > 0,
-          round((col("n_m2") - col("n_m1")) *
-            round(col("r1").cast("double") / col("n_m1"), 4), 4))
-          .as("volume_effect"))
-      .withColumn("rate_effect",
-        when(col("volume_effect").isNotNull,
-          round(col("delta") - col("volume_effect"), 4)))
+          col("v4").cast("double") / 10000.0).as("volume_effect"),
+        when(col("n_m1") > 0,
+          (((col("r2") - col("r1")) * 10000).cast("long") - col("v4"))
+            .cast("double") / 10000.0).as("rate_effect"))
       .orderBy((col("nation") === "TOTAL").cast("int"), col("nation"))
   }
 
@@ -335,17 +343,21 @@ object Extras15 {
     "CAST(n_m2 AS BIGINT) AS n_m2, r1, r2 FROM per " +
     "UNION ALL SELECT 'TOTAL', CAST(SUM(n_m1) AS BIGINT), " +
     "CAST(SUM(n_m2) AS BIGINT), SUM(r1), SUM(r2) FROM per), " +
-    "td AS (SELECT CAST(SUM(r2) - SUM(r1) AS DOUBLE) AS tdelta FROM per) " +
+    "td AS (SELECT CAST(SUM(r2) - SUM(r1) AS DOUBLE) AS tdelta FROM per), " +
+    "v AS (SELECT u.*, td.tdelta, " +
+    "CASE WHEN n_m1 > 0 THEN " +
+    "(2 * CAST(r1 * 10000 AS BIGINT) + n_m1) // (2 * n_m1) END AS a4 " +
+    "FROM u CROSS JOIN td) " +
     "SELECT nation, n_m1, n_m2, CAST(r1 AS DOUBLE) AS rev_m1, " +
     "CAST(r2 AS DOUBLE) AS rev_m2, CAST(r2 - r1 AS DOUBLE) AS delta, " +
-    "CASE WHEN td.tdelta <> 0.0 THEN " +
-    "round(CAST(r2 - r1 AS DOUBLE) / td.tdelta, 6) END AS share, " +
-    "CASE WHEN n_m1 > 0 THEN round((n_m2 - n_m1) * " +
-    "round(CAST(r1 AS DOUBLE) / n_m1, 4), 4) END AS volume_effect, " +
-    "CASE WHEN n_m1 > 0 THEN round(CAST(r2 - r1 AS DOUBLE) - " +
-    "round((n_m2 - n_m1) * round(CAST(r1 AS DOUBLE) / n_m1, 4), 4), 4) " +
-    "END AS rate_effect " +
-    "FROM u CROSS JOIN td ORDER BY (nation = 'TOTAL'), nation"
+    "CASE WHEN tdelta <> 0.0 THEN " +
+    "round(CAST(r2 - r1 AS DOUBLE) / tdelta, 6) END AS share, " +
+    "CASE WHEN n_m1 > 0 THEN " +
+    "CAST((n_m2 - n_m1) * a4 AS DOUBLE) / 10000.0 END AS volume_effect, " +
+    "CASE WHEN n_m1 > 0 THEN " +
+    "CAST(CAST((r2 - r1) * 10000 AS BIGINT) - (n_m2 - n_m1) * a4 " +
+    "AS DOUBLE) / 10000.0 END AS rate_effect " +
+    "FROM v ORDER BY (nation = 'TOTAL'), nation"
 
   private val LDiversitySql: String =
     "WITH groups AS MATERIALIZED (SELECT c_mktsegment, " +
