@@ -264,12 +264,26 @@ object Extras13 {
 
   /** Co-occurrence pair supports at the SHARED lower bound (≥2) over
     * the shared customer baskets — the expensive basket self-join,
-    * materialized once; x144 filters it to its ≥3 operating point and
-    * x160 generates triple candidates from it directly. */
+    * materialized once per session AND staged cross-process (the
+    * lpalabels pattern): x144 filters it to its ≥3 operating point,
+    * x160 generates triple candidates from it directly, and a later
+    * process reloads the pair table outright. On a cluster this is
+    * the persisted `item_pair_supports` staging table. */
   def custPairs2Shared(spark: SparkSession, sfDir: String): DataFrame =
     graft.Memo(spark, s"cust_pairs2:$sfDir") {
-      graft.Checkpoints.cut(Extras9.coOccurrencePairs(
-        custBasketsShared(spark, sfDir), basketCap = 64, minBaskets = 2L))
+      val s = Tables.tune(spark)
+      val fp = Tables.corpusFingerprint(sfDir, "lineitem") + "|" +
+        Tables.corpusFingerprint(sfDir, "orders") + "|custpairs2"
+      val home = Tables.sharedDir("custpairs2", sfDir, fp)
+      if (!home.isDirectory) {
+        val pairs = Extras9.coOccurrencePairs(
+          custBasketsShared(spark, sfDir), basketCap = 64,
+          minBaskets = 2L)
+        val tmp = Tables.sharedBuildDir(home)
+        pairs.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        Tables.publishShared(tmp, home)
+      }
+      s.read.parquet(home.getAbsolutePath)
     }
 
   def x144ItemCf(spark: SparkSession, sfDir: String): DataFrame = {
