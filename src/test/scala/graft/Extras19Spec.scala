@@ -72,4 +72,43 @@ class Extras19Spec extends SparkSpec {
     assert(got.toSeq == expect)
     assert(got.map(_._2).sum == ev.length.toLong)
   }
+
+  test("x168 confusion matrix matches a scalar recompute") {
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => ((r.getLong(0) * 2654435761L) % 1000 >= 500,
+        r.getLong(1) >= 300))
+    val tp = rows.count(x => x._1 && x._2).toLong
+    val fp = rows.count(x => x._1 && !x._2).toLong
+    val fn = rows.count(x => !x._1 && x._2).toLong
+    val tn = rows.count(x => !x._1 && !x._2).toLong
+    val got = graft.operators.Extras19.x168Confusion(spark, sf)
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) == ((tp, fp, fn, tn)))
+    assert(got.getDouble(4) ==
+      r((tp + tn).toDouble / (tp + fp + fn + tn), 8))
+    assert(got.getDouble(7) ==
+      r(2.0 * tp / (2 * tp + fp + fn), 8))
+  }
+
+  test("x169 kappa matches the closed form and is below accuracy on a " +
+      "skewed label") {
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (if ((r.getLong(0) * 2654435761L) % 1000 >= 500) 1L
+        else 0L, if (r.getLong(1) >= 300) 1L else 0L))
+    val n = rows.length.toLong
+    val agree = rows.count(x => x._1 == x._2).toLong
+    val a1 = rows.map(_._1).sum
+    val b1 = rows.map(_._2).sum
+    val chance = a1 * b1 + (n - a1) * (n - b1)
+    val kappa = r((n * agree - chance).toDouble / (n * n - chance), 8)
+    val got = graft.operators.Extras19.x169CohensKappa(spark, sf)
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) == ((n, agree, a1, b1)))
+    assert(got.getDouble(4) == kappa)
+    assert(kappa <= agree.toDouble / n + 1e-12)
+  }
 }
