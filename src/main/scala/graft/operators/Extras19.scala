@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Det, Tables}
@@ -151,13 +151,69 @@ object Extras19 {
             .cast("double"), 8).as("kappa"))
   }
 
+  // ---------------------------------------------------------------- x170
+
+  /** X170 — RFM segmentation: per customer Recency (days since last
+    * order), Frequency (order count), Monetary (DECIMAL spend),
+    * quintile-scored against exact interpolated 20/40/60/80th
+    * percentiles (the a17-proven percentile↔quantile_cont pair),
+    * recency inverted (recent = 5); customers grouped into the
+    * (r,f,m) score cells with the classic named segments — the
+    * marketing segmentation every CRM ships.
+    *
+    * Scale shape: one grouped pass to the customer frame; the 12
+    * cutoffs come from one aggregate and ride a broadcast crossJoin;
+    * assignment is pure comparisons (ties at a cutoff go to the lower
+    * bucket in BOTH engines since the cut values are identical);
+    * output is the ≤125-cell score domain. */
+  def x170Rfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val mx = o.agg(max(col("o_orderdate").cast("date")).as("mxd"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast("date")).as("last_d"),
+        count(lit(1)).as("f"),
+        sum(col("o_totalprice").cast(Det.Money)).as("msum"))
+      .crossJoin(broadcast(mx))
+      .select(datediff(col("mxd"), col("last_d")).cast("long").as("r"),
+        col("f"), col("msum").cast("double").as("m"))
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    val cutCols =
+      qs.zipWithIndex.map { case (q, i) =>
+        percentile(col("r").cast("double"), lit(q)).as(s"rc$i") } ++
+      qs.zipWithIndex.map { case (q, i) =>
+        percentile(col("f").cast("double"), lit(q)).as(s"fc$i") } ++
+      qs.zipWithIndex.map { case (q, i) =>
+        percentile(col("m"), lit(q)).as(s"mc$i") }
+    val cuts = cust.agg(cutCols.head, cutCols.tail: _*)
+    def bucket(v: Column, pre: String) =
+      (0 until 4).map(i => when(v > col(s"$pre$i"), 1L).otherwise(0L))
+        .reduce(_ + _) + 1L
+    val scored = cust.crossJoin(broadcast(cuts))
+      .select((lit(6L) - bucket(col("r").cast("double"), "rc")).as("r_s"),
+        bucket(col("f").cast("double"), "fc").as("f_s"),
+        bucket(col("m"), "mc").as("m_s"), col("m"))
+    scored
+      .withColumn("segment",
+        when(col("r_s") >= 4 && col("f_s") >= 4 && col("m_s") >= 4,
+          "champions")
+          .when(col("r_s") >= 4 && col("f_s") <= 2, "new")
+          .when(col("r_s") <= 2 && col("f_s") >= 3, "at_risk")
+          .when(col("r_s") <= 1 && col("f_s") <= 2, "lost")
+          .otherwise("other"))
+      .groupBy(col("r_s"), col("f_s"), col("m_s"), col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        Det.dsum(col("m")).as("monetary"))
+      .orderBy(col("r_s"), col("f_s"), col("m_s"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x166_ltv_cohorts" -> (x166LtvCohorts _),
     "x167_collapse_runs" -> (x167CollapseRuns _),
     "x168_confusion" -> (x168Confusion _),
-    "x169_cohens_kappa" -> (x169CohensKappa _))
+    "x169_cohens_kappa" -> (x169CohensKappa _),
+    "x170_rfm" -> (x170Rfm _))
 
   private val LtvSql: String =
     "WITH o AS MATERIALIZED (SELECT o_custkey, " +
@@ -227,9 +283,44 @@ object Extras19 {
     "CAST(n * n - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE), 8) " +
     "AS kappa FROM m"
 
+  private val RfmSql: String = {
+    val cutsSel = Seq("r", "f", "m").flatMap { p =>
+      Seq(0.2, 0.4, 0.6, 0.8).zipWithIndex.map { case (q, i) =>
+        val e = if (p == "m") "m" else s"CAST($p AS DOUBLE)"
+        s"quantile_cont($e, $q) AS ${p}c$i"
+      }
+    }.mkString(", ")
+    def bucket(e: String, pre: String) =
+      (0 until 4).map(i => s"(CASE WHEN $e > ${pre}$i THEN 1 ELSE 0 END)")
+        .mkString(" + ") + " + 1"
+    "WITH mx AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS mxd " +
+    "FROM orders), " +
+    "cust AS MATERIALIZED (SELECT " +
+    "datediff('day', CAST(MAX(o.o_orderdate) AS DATE), mx.mxd) AS r, " +
+    "COUNT(*) AS f, " +
+    "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS m " +
+    "FROM orders o CROSS JOIN mx GROUP BY o.o_custkey, mx.mxd), " +
+    s"cuts AS (SELECT $cutsSel FROM cust), " +
+    "scored AS MATERIALIZED (SELECT " +
+    s"CAST(6 - (${bucket("CAST(r AS DOUBLE)", "rc")}) AS BIGINT) AS r_s, " +
+    s"CAST(${bucket("CAST(f AS DOUBLE)", "fc")} AS BIGINT) AS f_s, " +
+    s"CAST(${bucket("m", "mc")} AS BIGINT) AS m_s, m " +
+    "FROM cust CROSS JOIN cuts) " +
+    "SELECT r_s, f_s, m_s, " +
+    "CASE WHEN r_s >= 4 AND f_s >= 4 AND m_s >= 4 THEN 'champions' " +
+    "WHEN r_s >= 4 AND f_s <= 2 THEN 'new' " +
+    "WHEN r_s <= 2 AND f_s >= 3 THEN 'at_risk' " +
+    "WHEN r_s <= 1 AND f_s <= 2 THEN 'lost' " +
+    "ELSE 'other' END AS segment, " +
+    "CAST(COUNT(*) AS BIGINT) AS n_customers, " +
+    "CAST(SUM(CAST(m AS DECIMAL(18,4))) AS DOUBLE) AS monetary " +
+    "FROM scored GROUP BY 1, 2, 3, 4 ORDER BY r_s, f_s, m_s"
+  }
+
   val oracles: Map[String, String] = Map(
     "x166_ltv_cohorts" -> LtvSql,
     "x167_collapse_runs" -> CollapseSql,
     "x168_confusion" -> ConfusionSql,
-    "x169_cohens_kappa" -> KappaSql)
+    "x169_cohens_kappa" -> KappaSql,
+    "x170_rfm" -> RfmSql)
 }

@@ -111,4 +111,42 @@ class Extras19Spec extends SparkSpec {
     assert(got.getDouble(4) == kappa)
     assert(kappa <= agree.toDouble / n + 1e-12)
   }
+
+  test("x170 rfm matches a scalar recompute with quantile_cont " +
+      "interpolation and counts reconcile") {
+    val o = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderdate").cast("date")
+        .cast("string"), col("o_totalprice")).collect()
+      .map(row => (row.getLong(0),
+        java.time.LocalDate.parse(row.getString(1)),
+        BigDecimal(row.getDouble(2)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP)))
+    val mxd = o.map(_._2).max
+    val cust = o.groupBy(_._1).values.map { xs =>
+      (java.time.temporal.ChronoUnit.DAYS.between(
+        xs.map(_._2).max, mxd).toDouble,
+        xs.length.toDouble, xs.map(_._3).sum.toDouble)
+    }.toSeq
+    def qcont(vs: Seq[Double], q: Double): Double = {
+      val s = vs.sorted
+      val pos = q * (s.length - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      s(lo) + (pos - lo) * (s(hi) - s(lo))
+    }
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    def bucket(v: Double, cuts: Seq[Double]) =
+      cuts.count(v > _).toLong + 1L
+    val rc = qs.map(qcont(cust.map(_._1), _))
+    val fc = qs.map(qcont(cust.map(_._2), _))
+    val mc = qs.map(qcont(cust.map(_._3), _))
+    val expectCells = cust.groupBy { c =>
+      (6L - bucket(c._1, rc), bucket(c._2, fc), bucket(c._3, mc))
+    }.map { case (k, xs) => (k, xs.size.toLong) }
+    val got = graft.operators.Extras19.x170Rfm(spark, sf).collect()
+      .map(row => ((row.getLong(0), row.getLong(1), row.getLong(2)),
+        row.getLong(4)))
+    assert(got.toMap == expectCells)
+    assert(got.map(_._2).sum == cust.length.toLong)
+  }
 }
