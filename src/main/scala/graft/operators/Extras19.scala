@@ -206,6 +206,27 @@ object Extras19 {
       .orderBy(col("r_s"), col("f_s"), col("m_s"))
   }
 
+  // ---------------------------------------------------------------- x171
+
+  /** X171 — Matthews correlation coefficient over x168's confusion
+    * cells: MCC = (tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)(tn+fn)),
+    * the single number that stays honest under class imbalance where
+    * accuracy and F1 both flatter. Exact integer cells; the four
+    * marginal factors are cast to DOUBLE BEFORE multiplying (their
+    * product overflows BIGINT on large corpora) with an identical
+    * left-associated spelling in both engines, √ is correctly rounded
+    * per IEEE 754, one closing division rounded 8 dp. */
+  def x171Mcc(spark: SparkSession, sfDir: String): DataFrame =
+    x168Confusion(spark, sfDir)
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round(
+          (col("tp").cast("double") * col("tn").cast("double") -
+            col("fp").cast("double") * col("fn").cast("double")) /
+            sqrt((col("tp") + col("fp")).cast("double") *
+              (col("tp") + col("fn")).cast("double") *
+              (col("tn") + col("fp")).cast("double") *
+              (col("tn") + col("fn")).cast("double")), 8).as("mcc"))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -213,7 +234,8 @@ object Extras19 {
     "x167_collapse_runs" -> (x167CollapseRuns _),
     "x168_confusion" -> (x168Confusion _),
     "x169_cohens_kappa" -> (x169CohensKappa _),
-    "x170_rfm" -> (x170Rfm _))
+    "x170_rfm" -> (x170Rfm _),
+    "x171_mcc" -> (x171Mcc _))
 
   private val LtvSql: String =
     "WITH o AS MATERIALIZED (SELECT o_custkey, " +
@@ -317,10 +339,21 @@ object Extras19 {
     "FROM scored GROUP BY 1, 2, 3, 4 ORDER BY r_s, f_s, m_s"
   }
 
+  private val MccSql: String =
+    s"WITH conf AS MATERIALIZED (SELECT tp, fp, fn, tn FROM " +
+    s"($ConfusionSql) c) " +
+    "SELECT tp, fp, fn, tn, " +
+    "round((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE) - " +
+    "CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE)) / " +
+    "sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE) * " +
+    "CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 8) AS mcc " +
+    "FROM conf"
+
   val oracles: Map[String, String] = Map(
     "x166_ltv_cohorts" -> LtvSql,
     "x167_collapse_runs" -> CollapseSql,
     "x168_confusion" -> ConfusionSql,
     "x169_cohens_kappa" -> KappaSql,
-    "x170_rfm" -> RfmSql)
+    "x170_rfm" -> RfmSql,
+    "x171_mcc" -> MccSql)
 }
