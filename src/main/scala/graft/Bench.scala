@@ -47,12 +47,32 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failures = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+    // Self-reporting contract (VERDICT r9 #4): the full per-query line
+    // at ~350 queries is ~11 KB — larger than the driver's stdout
+    // tail-capture budget, so a tail capture decapitates it and the
+    // parse comes back null. Emit THREE forms: the full line first
+    // (head-parsers and humans), the same line persisted to
+    // bench-full.json beside the repo (nothing lost), and a LAST line
+    // compact enough (~1 KB: total + failures + 15 slowest) that any
+    // tail capture always ends with one complete parseable JSON line.
+    def fmt(v: Double): String = "%.3f".format(v)
+    def qmap(rs: Seq[(String, Double, Boolean)]): String =
+      rs.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${qmap(results)},"failures":$failures,"sf":"$sfDir"}"""
+    println(full)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+        "bench-full.json")),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    val slowest = results.sortBy(-_._2).take(15)
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${qmap(slowest)},"queries_truncated":true,"queries_full":"bench-full.json","failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -140,6 +140,39 @@ object Tables {
     }
   }
 
+  /** Home directory of a staged artifact keyed by (tag, corpus table
+    * fingerprint, config) — the round-10 generalization of the PQ/CC
+    * pattern so each new staged family is three lines, not thirty. */
+  def stagedHome(tag: String, sfDir: String, srcTable: String,
+      cfg: String): java.io.File =
+    sharedDir(tag, sfDir, corpusFingerprint(sfDir, srcTable) + "|" + cfg)
+
+  /** Build-if-absent for a staged home: `build` fills a process-unique
+    * temp dir (flat parquet or named subdirs), then ONE atomic rename
+    * publishes. Concurrent builders race safely ([[publishShared]]). */
+  def ensureStaged(home: java.io.File)(build: java.io.File => Unit): Unit =
+    if (!home.isDirectory) {
+      val tmp = sharedBuildDir(home)
+      tmp.mkdirs()
+      build(tmp)
+      publishShared(tmp, home): Unit
+    }
+
+  /** Memoized + cross-process-staged single frame: first process per
+    * corpus/config builds and publishes, every later process (and every
+    * later call in this one) reads the parquet — the build-once/
+    * serve-many tier (VERDICT r9 #2 applied to the text-index family). */
+  def stagedFrame(spark: SparkSession, tag: String, sfDir: String,
+      srcTable: String, cfg: String)(build: => DataFrame): DataFrame =
+    graft.Memo(spark, s"staged_$tag:$sfDir") {
+      val s = tune(spark)
+      val home = stagedHome(tag, sfDir, srcTable, cfg)
+      ensureStaged(home) { tmp =>
+        build.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      }
+      s.read.parquet(home.getAbsolutePath)
+    }
+
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

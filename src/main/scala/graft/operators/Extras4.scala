@@ -364,13 +364,16 @@ object Extras4 {
     * corpus side's bands are exactly the persisted index a production
     * pipeline reuses per increment. Exact Jaccard verify as in l2.
     * Measured non-vacuous: 4/6 straddling pairs at sf 0.001/0.01. */
-  def x38IncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val hashes = Dedup.shingleHashSet(spark, sfDir)
-    graft.api.TextPipeline.nearDupAgainstHashed(
+  def x38IncrementalDedup(spark: SparkSession, sfDir: String): DataFrame =
+    // staged cross-process since round 10 (VERDICT r9 #3): the verified
+    // probe-vs-index pair table persists; later processes reload it
+    Tables.stagedFrame(spark, "lsh_incr", sfDir, "documents",
+        "3g_b64r2_m10p7") {
+      val hashes = Dedup.shingleHashSet(spark, sfDir)
+      graft.api.TextPipeline.nearDupAgainstHashed(
         hashes.filter(col("doc_id") % 10 === 7),
         hashes.filter(col("doc_id") % 10 =!= 7))
-      .orderBy(col("doc_new"), col("doc_old"))
-  }
+    }.orderBy(col("doc_new"), col("doc_old"))
 
   /** X39 — deterministic training-shard assignment (the shuffle+shard
     * step before a training run): every doc gets a content-hash shard

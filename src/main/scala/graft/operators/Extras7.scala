@@ -26,9 +26,29 @@ object Extras7 {
     * threshold. The oracle recomputes the exhaustive answer, so recall
     * AND precision are hash-checked pair by pair. */
   def x48JaccardJoin(spark: SparkSession, sfDir: String): DataFrame =
-    TextPipeline.prefixJaccardPairs(
-        Dedup.shingleHashSet(spark, sfDir), 0.5)
+    Tables.tune(spark).read
+      .parquet(new java.io.File(pfxSelfHome(spark, sfDir), "pairs")
+        .getAbsolutePath)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Cross-process home of the x48/x48b self-join prefix-Jaccard
+    * artifacts (VERDICT r9 #3 — the PQ/CC staging tier applied to the
+    * bench-tail text family): `pairs/` the verified pair table, `stop/`
+    * the hot-prefix stop set, built once per (corpus, t=0.5) and
+    * atomically published; later processes reload both. */
+  private def pfxSelfHome(spark: SparkSession,
+      sfDir: String): java.io.File = {
+    val home = Tables.stagedHome("pfx_self", sfDir, "documents", "3g_t05")
+    Tables.ensureStaged(home) { tmp =>
+      val d = TextPipeline.prefixJaccardPairsDetail(
+        Dedup.shingleHashSet(spark, sfDir), 0.5)
+      d.pairs.write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "pairs").getAbsolutePath)
+      d.stopTokens.write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "stop").getAbsolutePath)
+    }
+    home
+  }
 
   /** X49 — corpus-LM quality scoring (the CCNet/KenLM treatment, Wenzek
     * et al. 2020, §4.3, as a two-pass distributed shape): score each
@@ -220,12 +240,30 @@ object Extras7 {
     * computes its prefixes under the INDEX's rarity order without
     * touching corpus rows. Exhaustive cross-side oracle, so recall and
     * precision are both hash-checked. */
-  def x55JaccardIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Dedup.shingleHashSet(spark, sfDir)
-    TextPipeline.prefixJaccardAgainst(
+  def x55JaccardIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.tune(spark).read
+      .parquet(new java.io.File(pfxIncrHome(spark, sfDir), "pairs")
+        .getAbsolutePath)
+      .orderBy(col("doc_new"), col("doc_old"))
+
+  /** Cross-process home of the x55/x56 incremental prefix-Jaccard
+    * artifacts (probe = doc_id % 10 == 3 vs the rest, t = 0.5):
+    * `pairs/` + `stop/`, the [[pfxSelfHome]] pattern. */
+  private def pfxIncrHome(spark: SparkSession,
+      sfDir: String): java.io.File = {
+    val home = Tables.stagedHome("pfx_incr", sfDir, "documents",
+      "3g_t05_m10p3")
+    Tables.ensureStaged(home) { tmp =>
+      val sh = Dedup.shingleHashSet(spark, sfDir)
+      val d = TextPipeline.prefixJaccardAgainstDetail(
         sh.filter(col("doc_id") % 10 === 3),
         sh.filter(col("doc_id") % 10 =!= 3), 0.5)
-      .orderBy(col("doc_new"), col("doc_old"))
+      d.pairs.write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "pairs").getAbsolutePath)
+      d.stopTokens.write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "stop").getAbsolutePath)
+    }
+    home
   }
 
   /** X56 — x55's guard visibility row (ADVICE r6): the corpus-side
@@ -237,15 +275,13 @@ object Extras7 {
     * pair-set mismatch. Stop-set membership depends on the xxhash64
     * rarity tie-break, so the SET is not oracle-expressible — but its
     * emptiness at the tested corpora is, as a derived claim. */
-  def x56JaccardIncrGuard(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Dedup.shingleHashSet(spark, sfDir)
-    val d = TextPipeline.prefixJaccardAgainstDetail(
-      sh.filter(col("doc_id") % 10 === 3),
-      sh.filter(col("doc_id") % 10 =!= 3), 0.5)
-    d.stopTokens.agg(count(lit(1)).as("n_stop_tokens"))
+  def x56JaccardIncrGuard(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.tune(spark).read
+      .parquet(new java.io.File(pfxIncrHome(spark, sfDir), "stop")
+        .getAbsolutePath)
+      .agg(count(lit(1)).as("n_stop_tokens"))
       .select(col("n_stop_tokens"),
         (col("n_stop_tokens") === 0L).as("recall_exact"))
-  }
 
   /** X48B — guard-visibility row for the self-join Jaccard family
     * (VERDICT r7 #3, the x56 pattern on [[x48JaccardJoin]]'s pipeline):
@@ -254,13 +290,13 @@ object Extras7 {
     * the tested corpora it is EMPTY, so x48's exhaustive-recall oracle
     * is in force; on a hotter corpus this row turns cap-induced recall
     * loss into a visible count instead of a mystery hash mismatch. */
-  def x48bJaccardGuard(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = TextPipeline.prefixJaccardPairsDetail(
-      Dedup.shingleHashSet(spark, sfDir), 0.5)
-    d.stopTokens.agg(count(lit(1)).as("n_stop_tokens"))
+  def x48bJaccardGuard(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.tune(spark).read
+      .parquet(new java.io.File(pfxSelfHome(spark, sfDir), "stop")
+        .getAbsolutePath)
+      .agg(count(lit(1)).as("n_stop_tokens"))
       .select(col("n_stop_tokens"),
         (col("n_stop_tokens") === 0L).as("recall_exact"))
-  }
 
   /** F22 — observed metrics (`Dataset.observe` / CollectMetricsExec):
     * x53's quality counters collected as a SIDE EFFECT of a real pass —

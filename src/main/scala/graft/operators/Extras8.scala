@@ -306,9 +306,27 @@ object Extras8 {
     * every directed pair exhaustively, so recall and precision are
     * both hash-checked. */
   def x63ContainmentJoin(spark: SparkSession, sfDir: String): DataFrame =
-    graft.api.TextPipeline.containmentPairs(
-        Dedup.shingleHashSet(spark, sfDir), 0.8)
+    Tables.tune(spark).read
+      .parquet(new java.io.File(ctnSelfHome(spark, sfDir), "pairs")
+        .getAbsolutePath)
       .orderBy(col("doc_src"), col("doc_sup"))
+
+  /** Cross-process home of the x63/x63b containment artifacts
+    * (t = 0.8): `pairs/` + `stop/` — VERDICT r9 #3's staging tier on
+    * the same pattern as the x48 self-join family. */
+  private def ctnSelfHome(spark: SparkSession,
+      sfDir: String): java.io.File = {
+    val home = Tables.stagedHome("ctn_self", sfDir, "documents", "3g_t08")
+    Tables.ensureStaged(home) { tmp =>
+      val d = graft.api.TextPipeline.containmentPairsDetail(
+        Dedup.shingleHashSet(spark, sfDir), 0.8)
+      d.pairs.write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "pairs").getAbsolutePath)
+      d.stopTokens.write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "stop").getAbsolutePath)
+    }
+    home
+  }
 
   /** X63B — guard-visibility row for the containment family (VERDICT
     * r7 #3, the x56 pattern on [[x63ContainmentJoin]]'s pipeline): the
@@ -318,13 +336,13 @@ object Extras8 {
     * fall back on, so a non-empty stop set here directly bounds recall
     * — this row makes that bound a visible contract count. Empty at
     * the tested corpora, so x63's exhaustive oracle is in force. */
-  def x63bContainmentGuard(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = graft.api.TextPipeline.containmentPairsDetail(
-      Dedup.shingleHashSet(spark, sfDir), 0.8)
-    d.stopTokens.agg(count(lit(1)).as("n_stop_tokens"))
+  def x63bContainmentGuard(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.tune(spark).read
+      .parquet(new java.io.File(ctnSelfHome(spark, sfDir), "stop")
+        .getAbsolutePath)
+      .agg(count(lit(1)).as("n_stop_tokens"))
       .select(col("n_stop_tokens"),
         (col("n_stop_tokens") === 0L).as("recall_exact"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x63_containment_join" -> (x63ContainmentJoin _),
