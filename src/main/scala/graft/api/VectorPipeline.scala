@@ -301,24 +301,32 @@ object VectorPipeline {
           col("x.vid") < col("y.vid"))
       .select(col("x.vid").as("ra"), col("y.vid").as("rb"))
       .distinct()
+    BandedDedup(verifyExpand(cands, reps, classes, threshold), stopBands,
+      classes.select(col("vid"), col("rep")))
+  }
+
+  /** Shared verify-and-expand tail of the banded family: exact-cosine
+    * verification of candidate representative pairs (`cands`: ra < rb),
+    * then expansion of the verified rep pairs through the exact-dup
+    * membership table — cross-class pairs inherit the rep pair's sim
+    * (identical vectors ⇒ identical cosine), intra-class pairs carry
+    * the class vector's self-similarity. Classes partition the id
+    * space, so each unordered result pair is produced exactly once;
+    * least/greatest restores id_a < id_b because members of distinct
+    * classes interleave arbitrarily. Only multi-member classes enter
+    * the member self-join, so singleton corpora skip it whole. */
+  private def verifyExpand(cands: DataFrame, reps: DataFrame,
+      classes: DataFrame, threshold: Double): DataFrame = {
     val ea = reps.select(col("vid").as("ra"), col("ve").as("ea"))
     val eb = reps.select(col("vid").as("rb"), col("ve").as("eb"))
     val repPairs = cands.join(ea, "ra").join(eb, "rb")
       .select(col("ra"), col("rb"), sim(col("ea"), col("eb")).as("sim"))
       .filter(col("sim") >= threshold)
-    // expansion: verified representative pairs → all member pairs.
-    // Classes partition the id space, so each unordered result pair is
-    // produced exactly once (cross-class via repPairs, intra-class via
-    // the membership self-join below); least/greatest restores id_a <
-    // id_b because members of distinct classes interleave arbitrarily.
     val mA = classes.select(col("rep").as("ra"), col("vid").as("ma"))
     val mB = classes.select(col("rep").as("rb"), col("vid").as("mb"))
     val cross = repPairs.join(mA, "ra").join(mB, "rb")
       .select(least(col("ma"), col("mb")).as("id_a"),
         greatest(col("ma"), col("mb")).as("id_b"), col("sim"))
-    // intra-class pairs: sim is the class vector's self-similarity,
-    // computed once per multi-member class; only multi-member classes
-    // enter the member self-join, so singleton corpora skip it whole.
     val multi = classes.groupBy(col("rep")).agg(count(lit(1)).as("m"))
       .filter(col("m") > 1).select(col("rep"))
     val members = classes.select(col("rep"), col("vid"))
@@ -332,9 +340,67 @@ object VectorPipeline {
       .join(selfSim, "rep")
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
-    BandedDedup(cross.unionByName(intra), stopBands,
+    cross.unionByName(intra)
+  }
+
+  /** GROUP-BOUNDED banded near-dup pairs — the pair stage of SemDeDup
+    * (Abbas et al. 2023, arXiv:2303.09540): candidates must share a
+    * group (cluster) AND a band bucket, so pair work is bounded by the
+    * per-group band-bucket products — the property that makes semantic
+    * dedup tractable at corpus scale (a 100 TB embedding table is
+    * first partitioned by k-means cluster, then each cluster dedups
+    * independently; cross-group near-dups are OUT OF SCOPE by
+    * contract, reported nowhere — the documented SemDeDup trade).
+    * Exact-dup classes never straddle groups as long as the group is a
+    * deterministic function of the vector (identical vectors ⇒
+    * identical assignment), which a k-means assignment is; the classes
+    * stage therefore stays group-blind and the group joins ride the
+    * representatives. Stop-band reporting is per (group, band): a
+    * bucket hot inside one cluster never suppresses another cluster's
+    * candidates. */
+  def groupedCosinePairsDetail(vectors: DataFrame, idCol: String,
+      vecCol: String, groupCol: String, threshold: Double,
+      numBands: Int = 8, dims: Int = 64,
+      hotBandThreshold: Long = HotBandThreshold): BandedDedup = {
+    require(dims % numBands == 0, "dims must split evenly into bands")
+    val width = dims / numBands
+    val sel = vectors.select(col(idCol).as("vid"), col(vecCol).as("ve"),
+      col(groupCol).as("grp"))
+    val classes = sel
+      .withColumn("rep", min(col("vid")).over(Window.partitionBy(col("ve"))))
+      .localCheckpoint(true)
+    val reps = classes.filter(col("vid") === col("rep"))
+      .select(col("vid"), col("ve"), col("grp"))
+    val bands = reps.select(col("vid"), col("grp"), posexplode(array(
+        (0 until numBands).map(b =>
+          xxhash64(lit(b), slice(col("ve"), b * width + 1, width))): _*))
+      .as(Seq("band_idx", "band_hash")))
+      .localCheckpoint(true)
+    val freq = bands.groupBy(col("grp"), col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("n_reps"))
+    val stopBands = freq.filter(col("n_reps") > hotBandThreshold)
+    val tail = bands.join(
+      freq.filter(col("n_reps") <= hotBandThreshold)
+        .select(col("grp"), col("band_idx"), col("band_hash")),
+      Seq("grp", "band_idx", "band_hash"))
+    val cands = tail.as("x").join(tail.as("y"),
+        col("x.grp") === col("y.grp") &&
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("ra"), col("y.vid").as("rb"))
+      .distinct()
+    BandedDedup(verifyExpand(cands, reps, classes, threshold), stopBands,
       classes.select(col("vid"), col("rep")))
   }
+
+  /** Pairs-only face of [[groupedCosinePairsDetail]]. */
+  def groupedCosinePairs(vectors: DataFrame, idCol: String,
+      vecCol: String, groupCol: String, threshold: Double,
+      numBands: Int = 8, dims: Int = 64,
+      hotBandThreshold: Long = HotBandThreshold): DataFrame =
+    groupedCosinePairsDetail(vectors, idCol, vecCol, groupCol, threshold,
+      numBands, dims, hotBandThreshold).pairs
 
   /** Pairs-only face of [[bandedCosinePairsDetail]]. */
   def bandedCosinePairs(vectors: DataFrame, idCol: String, vecCol: String,

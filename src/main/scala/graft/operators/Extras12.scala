@@ -265,9 +265,42 @@ object Extras12 {
     // times — cut the lineage once
     val vec = graft.Checkpoints.cut(
       corpus.select(col(idCol).as("vid"), col(vecCol).as("ve")))
-    // seeds: the k lowest-id vectors in id order (code = rank − 1) —
-    // a k-row bounded collect, like every centroid pull below
-    // collect() of an orderBy().limit() preserves the sort order
+    val cents = kmTrain(vec, k, iters)
+    // final assignment + inertia in ONE narrow pass: dist² = v·v −
+    // 2·v·c + c·c with every dot an exact lattice long; v·v is a
+    // per-row self-dot, no separate aggregate or join. The lattice sum
+    // over members stays within 2^63 (dist² ≤ 4 ⇒ ≤ 4e12 scaled per
+    // row); the single long→double conversion before the 1e12
+    // descale is the identical spelling on the oracle side.
+    // self-dot on the same lattice: y = x·x·1e12, sign-split half-away
+    // (floor/ceil — the exact spelling of the oracle's round(y, 0));
+    // runs once in the final pass, so the HOF cost is immaterial
+    val dvv = aggregate(
+      transform(col("ve"), x => {
+        val y = x.cast("double") * x.cast("double") * lit(1e12)
+        when(y >= 0, floor(y + lit(0.5)))
+          .otherwise(ceil(y - lit(0.5))).cast("long")
+      }),
+      lit(0L), (acc, p) => acc + p)
+    kmAssignArr(vec, cents)
+      .withColumn("dist2", dvv - lit(2L) * col("dvc") + col("dcc"))
+      .groupBy(col("code"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("dist2")).cast("double") / lit(1e12), 6)
+          .as("inertia"))
+      .select(col("code").cast("long").as("cluster"),
+        col("n_members"), col("inertia"))
+      .orderBy(col("cluster"))
+  }
+
+  /** The deterministic Lloyd trainer extracted from [[kmeans]] (round
+    * 10, so [[kmeansAssignments]] shares the identical trajectory):
+    * seeds = the k lowest-id vectors in id order (code = rank − 1, a
+    * k-row bounded collect, like every centroid pull below — collect()
+    * of an orderBy().limit() preserves the sort order), then `iters`
+    * rounds of lattice assignment + fixed-point mean. */
+  private def kmTrain(vec: DataFrame, k: Int,
+      iters: Int): Seq[(Int, Array[Double])] = {
     var cents: Seq[(Int, Array[Double])] = vec
       .orderBy(col("vid")).limit(k).collect().toSeq
       .zipWithIndex
@@ -302,37 +335,67 @@ object Extras12 {
         code -> upd.getOrElse(code, old)
       }
     }
-    // final assignment + inertia in ONE narrow pass: dist² = v·v −
-    // 2·v·c + c·c with every dot an exact lattice long; v·v is a
-    // per-row self-dot, no separate aggregate or join. The lattice sum
-    // over members stays within 2^63 (dist² ≤ 4 ⇒ ≤ 4e12 scaled per
-    // row); the single long→double conversion before the 1e12
-    // descale is the identical spelling on the oracle side.
-    // self-dot on the same lattice: y = x·x·1e12, sign-split half-away
-    // (floor/ceil — the exact spelling of the oracle's round(y, 0));
-    // runs once in the final pass, so the HOF cost is immaterial
-    val dvv = aggregate(
-      transform(col("ve"), x => {
-        val y = x.cast("double") * x.cast("double") * lit(1e12)
-        when(y >= 0, floor(y + lit(0.5)))
-          .otherwise(ceil(y - lit(0.5))).cast("long")
-      }),
-      lit(0L), (acc, p) => acc + p)
+    cents
+  }
+
+  /** Per-vector cluster labels under the SAME deterministic trajectory
+    * as [[kmeans]] (same seeds, same lattice arithmetic): (vid,
+    * cluster) for every input vector — the assignment face x172's
+    * SemDeDup composition consumes. */
+  def kmeansAssignments(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val vec = graft.Checkpoints.cut(
+      corpus.select(col(idCol).as("vid"), col(vecCol).as("ve")))
+    val cents = kmTrain(vec, k, iters)
     kmAssignArr(vec, cents)
-      .withColumn("dist2", dvv - lit(2L) * col("dvc") + col("dcc"))
-      .groupBy(col("code"))
-      .agg(count(lit(1)).as("n_members"),
-        round(sum(col("dist2")).cast("double") / lit(1e12), 6)
-          .as("inertia"))
-      .select(col("code").cast("long").as("cluster"),
-        col("n_members"), col("inertia"))
-      .orderBy(col("cluster"))
+      .select(col("vid"), col("code").cast("long").as("cluster"))
   }
 
   /** X134 contract binding: k=8, 3 Lloyd rounds on the embeddings. */
   def x134Kmeans(spark: SparkSession, sfDir: String): DataFrame =
     kmeans(Tables.embeddings(spark, sfDir), "vec_id", "embedding",
       k = 8, iters = 3)
+
+  // ---------------------------------------------------------------- x172
+
+  /** X172 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    * deduplication as the paper's composition — k-means partitions the
+    * embedding corpus ([[kmeansAssignments]], the x134 deterministic
+    * trainer at k=8/3 rounds), near-duplicate pairs are then found
+    * ONLY within clusters
+    * ([[graft.api.VectorPipeline.groupedCosinePairs]]), and a vector
+    * drops iff it has a same-cluster near-dup with a smaller id
+    * (first-occurrence-wins, the x42 rule). Runs on the x41/x42 clone
+    * corpus (planted cos ≈ 0.94 clones) so the row is non-vacuous on
+    * this near-orthogonal test corpus.
+    *
+    * This is the missing rung between x41 (corpus-wide banded dedup)
+    * and a 100 TB semantic dedup: pair work is bounded per cluster —
+    * each cluster dedups independently, so a 1000-executor run
+    * processes clusters in parallel and no pair candidate ever
+    * crosses a cluster boundary — at the documented cost that
+    * CROSS-CLUSTER near-dups are out of scope (the paper's trade;
+    * the spec plants a straddling pair and pins the exclusion).
+    * Output is staged cross-process like the rest of the artifact
+    * tier. Oracle: the x134 Lloyd CTE chain over the clone corpus +
+    * an exhaustive within-cluster pair recompute. */
+  def x172SemDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.stagedFrame(spark, "semdedup", sfDir, "embeddings",
+        "k8i3_t08") {
+      val corpus = graft.Checkpoints.cut(
+        Extras5.cloneCorpus(spark, sfDir))
+      val asg = kmeansAssignments(corpus, "vec_id", "embedding", 8, 3)
+      val withC = corpus.join(
+        asg.withColumnRenamed("vid", "vec_id"), "vec_id")
+      val pairs = graft.api.VectorPipeline.groupedCosinePairs(
+        withC, "vec_id", "embedding", "cluster", 0.8)
+      val dropped = pairs.select(col("id_b").as("vec_id")).distinct()
+        .withColumn("hit", lit(1))
+      withC.select(col("vec_id"), col("cluster"))
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          col("hit").isNull.as("kept"))
+    }.orderBy(col("vec_id"))
 
   // ---------------------------------------------------------------- x135
 
@@ -630,7 +693,8 @@ object Extras12 {
     "x136_kcore" -> (x136KCore _),
     "x137_label_prop" -> (x137LabelProp _),
     "x138_pareto" -> (x138Pareto _),
-    "x139_join_ivm" -> (x139JoinIvm _))
+    "x139_join_ivm" -> (x139JoinIvm _),
+    "x172_semdedup" -> (x172SemDedup _))
 
   /** One unrolled Lloyd round of the x134 oracle: assignment CTEs from
     * centroid table `prevC`, then the updated centroid table `c$n` —
@@ -691,6 +755,48 @@ object Extras12 {
     "FROM asg4 a JOIN dvc4 d ON a.vid = d.vid AND a.code = d.code " +
     "JOIN dcc4 s ON s.code = a.code JOIN dvv w ON w.vid = a.vid " +
     "GROUP BY a.code ORDER BY cluster"
+
+  /** The x172 oracle: the [[KmeansSql]] Lloyd chain re-rooted on the
+    * x41 clone corpus (v applies the sign-flip term per dimension),
+    * then an EXHAUSTIVE within-cluster pair recompute at the x41
+    * rounding spelling and the first-wins keep rule. Heavy CTEs are
+    * MATERIALIZED (the k-core inlining lesson): v and the chain feed
+    * many references, and `pr` must not re-expand the whole Lloyd
+    * chain per side. */
+  private val SemDedupSql: String = {
+    val tA = Extras5.cloneDotTerm("a")
+    val tB = Extras5.cloneDotTerm("b")
+    "WITH base AS MATERIALIZED (" + Extras5.CloneBaseSql + "), " +
+    "v AS MATERIALIZED (SELECT b0.vec_id AS vid, i - 1 AS d, " +
+    Extras5.cloneDotTerm("b0") + " AS x FROM base b0, range(1, 65) r(i)), " +
+    "seeds AS (SELECT vec_id AS svid, CAST(row_number() OVER " +
+    "(ORDER BY vec_id) - 1 AS INT) AS code FROM base " +
+    "ORDER BY vec_id LIMIT 8), " +
+    "c0 AS (SELECT s.code, v.d, v.x AS c FROM seeds s " +
+    "JOIN v ON v.vid = s.svid), " +
+    kmIterSql("c0", 1) + ", " + kmIterSql("c1", 2) + ", " +
+    kmIterSql("c2", 3) + ", " +
+    "dvc4 AS (SELECT v.vid, c.code, " +
+    "SUM(CAST(round(v.x * c.c * 1e12, 0) AS BIGINT)) " +
+    "AS dvc FROM v JOIN c3 c ON v.d = c.d GROUP BY v.vid, c.code), " +
+    "dcc4 AS (SELECT code, SUM(CAST(round(c * c * 1e12, 0) AS BIGINT)) " +
+    "AS dcc FROM c3 GROUP BY code), " +
+    "asg4 AS MATERIALIZED (SELECT vid, code FROM (SELECT d.vid, d.code, " +
+    "row_number() OVER (PARTITION BY d.vid " +
+    "ORDER BY (2 * d.dvc - s.dcc) DESC, d.code) AS rn " +
+    "FROM dvc4 d JOIN dcc4 s USING (code)) t WHERE rn = 1), " +
+    "bc AS MATERIALIZED (SELECT b0.vec_id, b0.embedding, b0.aug, g.code " +
+    "FROM base b0 JOIN asg4 g ON g.vid = b0.vec_id), " +
+    "pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
+    "FROM bc a, bc b, range(1, 65) r(i) " +
+    "WHERE a.code = b.code AND a.vec_id < b.vec_id " +
+    "GROUP BY a.vec_id, b.vec_id " +
+    s"HAVING round(SUM($tA * $tB), 6) >= 0.8), " +
+    "drp AS (SELECT DISTINCT id_b FROM pr) " +
+    "SELECT g.vid AS vec_id, CAST(g.code AS BIGINT) AS cluster, " +
+    "(d.id_b IS NULL) AS kept " +
+    "FROM asg4 g LEFT JOIN drp d ON d.id_b = g.vid ORDER BY vec_id"
+  }
 
   /** One unrolled peel round of the x136 oracle. Every stage is
     * MATERIALIZED: each round references its predecessor three times,
@@ -814,6 +920,7 @@ object Extras12 {
        "AS DECIMAL(18,4)) AS DOUBLE) AS price_after_delete, " +
        "CAST((SELECT SUM(c) FROM t2) AS BIGINT) AS custkeysum_after_merge"),
     "x134_kmeans" -> KmeansSql,
+    "x172_semdedup" -> SemDedupSql,
     "x135_sssp" -> SsspSql,
     "x136_kcore" -> KCoreSql,
     "x137_label_prop" -> LpaSql,

@@ -391,4 +391,57 @@ class Extras12Spec extends SparkSpec {
         r.getDecimal(2).doubleValue)).toMap
     assert(mv == Map(2 -> (2L, 260.0)), s"got $mv")
   }
+
+  test("x172: SemDeDup equals the brute cluster-then-pair recompute, " +
+      "and a planted cross-cluster near-dup is excluded BY SCOPE " +
+      "(grouped machinery) while the ungrouped machinery finds it") {
+    // --- scope boundary on a hand-built frame: near-identical vectors
+    // straddling groups are not a pair for the grouped machinery
+    val v = Array.tabulate(4)(i => 0.5f)
+    val vTweak = Array(0.5f, 0.5f, 0.5f, 0.49f) // cosine ~ 0.99995
+    val far = Array(0.9f, -0.3f, 0.1f, -0.2f)
+    def frame(gA: Long, gB: Long) =
+      Seq((1L, v.toSeq, gA), (2L, vTweak.toSeq, gB),
+        (3L, far.toSeq, gA)).toDF("id", "vec", "g")
+    val straddle = graft.api.VectorPipeline.groupedCosinePairs(
+      frame(0L, 1L), "id", "vec", "g", 0.8, numBands = 2, dims = 4)
+    assert(straddle.count() == 0L,
+      "cross-group near-dups are out of scope by contract")
+    val together = graft.api.VectorPipeline.groupedCosinePairs(
+      frame(0L, 0L), "id", "vec", "g", 0.8, numBands = 2, dims = 4)
+    assert(together.collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    val ungrouped = graft.api.VectorPipeline.bandedCosinePairs(
+      frame(0L, 1L).select(col("id"), col("vec")), "id", "vec", 0.8,
+      numBands = 2, dims = 4)
+    assert(ungrouped.count() == 1L,
+      "the same straddling pair IS found without the cluster bound")
+
+    // --- corpus binding: the staged x172 output equals an independent
+    // driver-side recompute (assignments from the shared trainer,
+    // exhaustive within-cluster cosine)
+    val out = Extras12.x172SemDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val corpus = graft.operators.Extras5.cloneCorpus(spark, sf)
+    val vecs = corpus.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val asg = Extras12.kmeansAssignments(
+        corpus, "vec_id", "embedding", 8, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == vecs.keySet)
+    out.foreach { case (id, (cl, _)) =>
+      assert(cl == asg(id), s"cluster mismatch for $id")
+    }
+    val ids = vecs.keySet.toSeq.sorted
+    val droppedBrute = (for {
+      b <- ids; a <- ids if a < b && asg(a) == asg(b)
+      dot = vecs(a).zip(vecs(b)).map { case (x, y) => x * y }.sum
+      if BigDecimal(dot).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble >= 0.8
+    } yield b).toSet
+    out.foreach { case (id, (_, kept)) =>
+      assert(kept == !droppedBrute(id), s"keep verdict mismatch for $id")
+    }
+    assert(droppedBrute.nonEmpty, "row must be non-vacuous at this sf")
+  }
 }
