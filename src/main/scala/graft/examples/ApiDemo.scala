@@ -208,18 +208,31 @@ object ApiDemo {
         pqVecs.filter(col("vid") < 2), "vid", "vec", k = 2, shortlist = 6)
       .orderBy("probe_id", "rank").show(false)
 
-    // graph analytics on an arbitrary edge frame (round 8)
+    // graph analytics on an arbitrary edge frame, through the public
+    // column-name-parameterized graft.api.Graph kernels (round 10)
+    import graft.api.Graph
     println("PageRank on a 4-node path graph (ends tie, middles lead):")
-    val sc = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("x", "y")
-    val es = sc.select(col("x").as("a"), col("y").as("b"))
-      .unionByName(sc.select(col("y").as("a"), col("x").as("b")))
-    val dg = es.groupBy(col("a")).agg(count(lit(1)).as("deg"))
-    graft.operators.Extras11.pageRank(es.join(dg, "a"), iters = 5)
+    val sc = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("from", "to")
+    val es = sc.unionByName(
+      sc.select(col("to").as("from"), col("from").as("to")))
+    Graph.pageRank(es, "from", "to", iters = 5)
       .orderBy(col("rank").desc, col("node")).show(false)
     println("triangle census of K4 (4 triangles, coefficient 1.0):")
-    graft.operators.Extras11.triangleCensus(
-        (for { i <- 0 until 4; j <- (i + 1) until 4 }
-          yield (i.toLong, j.toLong)).toDF("a", "b")).show(false)
+    Graph.triangleCensus(
+      (for { i <- 0 until 4; j <- (i + 1) until 4 }
+        yield (i.toLong, j.toLong)).toDF("lo", "hi"), "lo", "hi")
+      .show(false)
+    println("HITS hubs/authorities on a 2-hub bipartite graph:")
+    Graph.hits(Seq(("h1", "p1"), ("h1", "p2"), ("h2", "p2"))
+      .toDF("linker", "page"), "linker", "page", rounds = 3)
+      .orderBy(col("kind"), col("score").desc, col("node")).show(false)
+    println("label-propagation communities on two bridged triangles:")
+    val bridged = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("u", "v")
+    val comm = Graph.labelPropagation(bridged, "u", "v", rounds = 3)
+    comm.orderBy(col("node")).show(false)
+    println("modularity of those communities (global row first):")
+    Graph.modularity(bridged, "u", "v", comm, "node", "lbl").show(false)
 
     // containment guard visibility (round 8): the stop set is DATA
     println("containment pairs + stop-token count (t=0.4):")
@@ -249,15 +262,15 @@ object ApiDemo {
       k = 2, iters = 2).show(false)
 
     println("SSSP (4 rounds) from node 'a' on a path graph:")
-    graft.operators.Extras12.sssp(
-        Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("a", "b"),
-        "a", 4)
+    Graph.sssp(
+        Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("step_from", "step_to"),
+        "step_from", "step_to", "a", 4)
       .orderBy("dist").show(false)
 
     println("2-core of a triangle with a pendant chain:")
-    graft.operators.Extras12.kCore(
-        Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b"),
-        k = 2, rounds = 3).show(false)
+    Graph.kCore(
+        Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v"),
+        "u", "v", k = 2, rounds = 3).show(false)
 
     println("row-level SQL through the graft DSv2 catalog:")
     spark.conf.set("spark.sql.catalog.demo",

@@ -135,22 +135,10 @@ object Extras11 {
 
   /** The iteration core over a degree-annotated directed edge list
     * (a, b, deg-of-a); see [[x111PageRank]] for the determinism
-    * policy. Exposed for spec-level hand-checks on planted graphs. */
-  def pageRank(edgesWithDeg: DataFrame, iters: Int): DataFrame = {
-    val ed = edgesWithDeg
-    var ranks = ed.select(col("a").as("node")).distinct()
-      .withColumn("rank", lit(1.0))
-    for (_ <- 1 to iters) {
-      ranks = ed.join(ranks, ed("a") === ranks("node"))
-        .select(col("b"), round(col("rank") / col("deg"), 10).as("c"))
-        .groupBy(col("b"))
-        .agg((lit(0.15) + lit(0.85) *
-          sum(col("c").cast(DecimalType(28, 15))).cast("double"))
-          .as("rank"))
-        .select(col("b").as("node"), col("rank"))
-    }
-    ranks
-  }
+    * policy. Since round 10 a delegate to the public column-name-
+    * parameterized [[graft.api.Graph.pageRankWithDeg]]. */
+  def pageRank(edgesWithDeg: DataFrame, iters: Int): DataFrame =
+    graft.api.Graph.pageRankWithDeg(edgesWithDeg, "a", "b", "deg", iters)
 
   /** X112 — triangle census of the co-purchase part graph (parts
     * appearing in the same order, x71's graph without the basket cap):
@@ -213,49 +201,8 @@ object Extras11 {
     * Each triangle is counted exactly once from its minimum-rank
     * vertex, and the closing edge is necessarily oriented low→high
     * rank, so one equi-join closes the wedge. */
-  def triangleCensus(e: DataFrame): DataFrame = {
-    val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
-    val nEdges = e.agg(count(lit(1)).as("n_edges"))
-    val wedges = deg.agg(
-      sum((col("deg") * (col("deg") - 1) / 2).cast("long")).as("n_wedges"))
-    val withDeg = e
-      .join(deg.select(col("n").as("a"), col("deg").as("dega")), "a")
-      .join(deg.select(col("n").as("b"), col("deg").as("degb")), "b")
-    val aLower = struct(col("dega"), col("a")) < struct(col("degb"), col("b"))
-    val o = withDeg.select(
-        when(aLower, col("a")).otherwise(col("b")).as("src"),
-        when(aLower, col("b")).otherwise(col("a")).as("dst"),
-        when(aLower, col("degb")).otherwise(col("dega")).as("dst_deg"))
-      .localCheckpoint(true)
-    // wedges via the node-iterator form: out-neighbors collected into a
-    // rank-sorted array (bounded by the oriented out-degree), pairs
-    // STREAMED out of a generator — no self-join, so no per-key join
-    // bucket exists to go hot (the x112 lint history: id orientation
-    // had a 102² bucket, degree orientation still 73² — the adjacency
-    // array eliminates the bucket rather than shrinking it)
-    val adj = o.groupBy(col("src"))
-      .agg(sort_array(collect_list(struct(col("dst_deg").as("d"),
-        col("dst").as("v")))).as("ns"))
-    val w = adj
-      .select(col("ns"), posexplode(col("ns")).as(Seq("i", "xs")))
-      .select(col("i"), col("xs"), posexplode(col("ns")).as(Seq("j", "ys")))
-      .filter(col("j") > col("i"))
-      .select(col("xs.v").as("x"), col("ys.v").as("y"))
-    // SHUFFLE_HASH on the edge side (the sql38 lever): the wedge side
-    // is ~Σ outdeg² rows — sorting it for a merge join is the plan's
-    // real cost; hashing the (much smaller) edge side per partition
-    // streams the wedges through unsorted
-    val tri = w.join(o.as("e3").hint("shuffle_hash"),
-        col("x") === col("e3.src") && col("y") === col("e3.dst"))
-      .agg(count(lit(1)).as("n_triangles"))
-    nNodes.crossJoin(nEdges).crossJoin(wedges).crossJoin(tri)
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-        col("n_triangles"),
-        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
-          .as("clustering_coef"))
-  }
+  def triangleCensus(e: DataFrame): DataFrame =
+    graft.api.Graph.triangleCensus(e, "a", "b")
 
   /** X113 — retraction-based incremental view maintenance (the
     * Flink/Materialize changelog algebra as a batch contract row, the

@@ -422,25 +422,13 @@ object Extras12 {
   /** The relaxation core over a directed (a, b) edge list: (node, dist)
     * for every node within `rounds` hops of `source`. Exposed for
     * spec-level hand-checks on planted string graphs. */
-  def sssp(edges: DataFrame, source: String, rounds: Int): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    ssspFrom(edges, Seq((source, 0L)).toDF("node", "dist"), rounds)
-  }
+  def sssp(edges: DataFrame, source: String, rounds: Int): DataFrame =
+    graft.api.Graph.sssp(edges, "a", "b", source, rounds)
 
   /** Key-type-generic relaxation loop from an initial (node, dist)
-    * frontier frame. */
-  def ssspFrom(edges: DataFrame, init: DataFrame, rounds: Int): DataFrame = {
-    var dist = init
-    for (_ <- 1 to rounds) {
-      val relaxed = edges.join(dist, edges("a") === dist("node"))
-        .select(col("b").as("node"), (col("dist") + 1).as("dist"))
-      dist = graft.Checkpoints.cut(
-        dist.unionByName(relaxed)
-          .groupBy(col("node")).agg(min(col("dist")).as("dist")))
-    }
-    dist
-  }
+    * frontier frame — a delegate to [[graft.api.Graph.ssspFrom]]. */
+  def ssspFrom(edges: DataFrame, init: DataFrame, rounds: Int): DataFrame =
+    graft.api.Graph.ssspFrom(edges, "a", "b", init, rounds)
 
   private val SsspRounds = 6
 
@@ -469,28 +457,8 @@ object Extras12 {
     * spec-level hand-checks on planted graphs. Output is the one-row
     * core summary: surviving nodes/edges, the final min degree, and
     * the convergence verdict. */
-  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    def degrees(e: DataFrame): DataFrame =
-      e.select(col("a").as("n"))
-        .unionByName(e.select(col("b").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    var e = edges
-    for (_ <- 1 to rounds) {
-      val keep = degrees(e).filter(col("deg") >= k).select(col("n"))
-      e = graft.Checkpoints.cut(
-        e.join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
-          .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
-          .select(col("a"), col("b")))
-    }
-    val degF = degrees(e)
-    val nodeStats = degF.agg(
-      count(lit(1)).as("n_nodes"),
-      coalesce(min(col("deg")), lit(0L)).as("min_deg"))
-    val edgeStats = e.agg(count(lit(1)).as("n_edges"))
-    nodeStats.crossJoin(edgeStats)
-      .select(col("n_nodes"), col("n_edges"), col("min_deg"),
-        (col("n_edges") === 0 || col("min_deg") >= k).as("converged"))
-  }
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    graft.api.Graph.kCore(edges, "a", "b", k, rounds)
 
   /** The x111/x135 shared adjacency, through Extras11's staged table. */
   private def tradeAdjacency(spark: SparkSession, sfDir: String): DataFrame =
@@ -550,24 +518,8 @@ object Extras12 {
   /** The synchronous propagation loop over a canonical (a < b) edge
     * list; returns (node, lbl) after `rounds`. Exposed for spec-level
     * hand-checks on planted graphs. */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
-    var labels = sym.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-    for (_ <- 1 to rounds) {
-      val cnt = sym.join(labels, sym("dst") === labels("node"))
-        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
-      // argmax-by-count, tie -> min label, as ONE grouped min over the
-      // (-count, label) struct: deterministic and window-free
-      labels = graft.Checkpoints.cut(
-        cnt.groupBy(col("src"))
-          .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l")))
-            .as("top"))
-          .select(col("src").as("node"), col("top.l").as("lbl")))
-    }
-    labels
-  }
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame =
+    graft.api.Graph.labelPropagation(edges, "a", "b", rounds)
 
   // ---------------------------------------------------------------- x138
 

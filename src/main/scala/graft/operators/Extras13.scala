@@ -59,35 +59,8 @@ object Extras13 {
   /** The HITS iteration core over a directed (s, c) edge list; returns
     * the union of hub and authority scores as (kind, node, score).
     * Exposed for spec-level hand-checks on planted graphs. */
-  def hits(edges: DataFrame, rounds: Int): DataFrame = {
-    def l1normalize(df: DataFrame): DataFrame = {
-      // cut lineage per half-round (Checkpoints seam): the raw frame
-      // feeds both the norm scalar and the scores, and the next round
-      // references the result twice — uncut, the plan doubles per round
-      val raw = graft.Checkpoints.cut(df)
-      val s = raw.agg(dec(round(col("raw"), 10)).as("l1"))
-      raw.crossJoin(broadcast(s))
-        .select(col("node"), round(col("raw") / col("l1"), 10).as("score"))
-    }
-    var hub = edges.select(col("s").as("node")).distinct()
-      .withColumn("score", lit(1.0))
-    var auth: DataFrame = null
-    for (_ <- 1 to rounds) {
-      auth = l1normalize(
-        edges.join(hub, edges("s") === hub("node"))
-          .select(edges("c"), round(col("score"), 10).as("contrib"))
-          .groupBy(col("c")).agg(dec(col("contrib")).as("raw"))
-          .select(col("c").as("node"), col("raw")))
-      hub = l1normalize(
-        edges.join(auth, edges("c") === auth("node"))
-          .select(edges("s"), round(col("score"), 10).as("contrib"))
-          .groupBy(col("s")).agg(dec(col("contrib")).as("raw"))
-          .select(col("s").as("node"), col("raw")))
-    }
-    hub.select(lit("hub").as("kind"), col("node"), col("score"))
-      .unionByName(auth.select(lit("auth").as("kind"), col("node"),
-        col("score")))
-  }
+  def hits(edges: DataFrame, rounds: Int): DataFrame =
+    graft.api.Graph.hits(edges, "s", "c", rounds)
 
   // ---------------------------------------------------------------- x141
 
@@ -112,44 +85,8 @@ object Extras13 {
 
   /** The modularity scorer over a canonical (a < b) edge list and a
     * (node, lbl) community assignment; exposed for spec hand-checks. */
-  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val la = labels.select(col("node").as("a"), col("lbl").as("la"))
-    val lb = labels.select(col("node").as("b"), col("lbl").as("lb"))
-    val tagged = edges.join(la, "a").join(lb, "b")
-    val intra = tagged.filter(col("la") === col("lb"))
-      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("intra_edges"))
-    val deg = edges.select(col("a").as("node"))
-      .unionByName(edges.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val mass = labels.join(deg, "node").groupBy(col("lbl"))
-      .agg(count(lit(1)).as("n_members"), sum(col("deg")).as("degree_sum"))
-    val m = edges.agg(count(lit(1)).as("m"))
-    val perC = mass.join(intra, Seq("lbl"), "left")
-      .na.fill(0L, Seq("intra_edges"))
-      .crossJoin(broadcast(m))
-      .withColumn("numer",
-        lit(4L) * col("m") * col("intra_edges") -
-          col("degree_sum") * col("degree_sum"))
-    val top = perC
-      .withColumn("contribution", round(
-        col("numer").cast("double") / (lit(4L) * col("m") * col("m"))
-          .cast("double"), 8))
-      .select(col("lbl").cast("long").as("community"), col("n_members"),
-        col("intra_edges"), col("degree_sum"), col("contribution"))
-      .orderBy(col("n_members").desc, col("community")).limit(10)
-    val global = perC.groupBy(col("m"))
-      .agg(sum(col("n_members")).as("n_members"),
-        sum(col("intra_edges")).as("intra_edges"),
-        sum(col("degree_sum")).as("degree_sum"),
-        sum(col("numer")).as("numer"))
-      .select(lit(-1L).as("community"), col("n_members"),
-        col("intra_edges"), col("degree_sum"),
-        round(col("numer").cast("double") /
-          (lit(4L) * col("m") * col("m")).cast("double"), 8)
-          .as("contribution"))
-    global.unionByName(top)
-      .orderBy(col("n_members").desc, col("community"))
-  }
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame =
+    graft.api.Graph.modularity(edges, "a", "b", labels, "node", "lbl")
 
   // ---------------------------------------------------------------- x142
 
