@@ -402,6 +402,53 @@ object VectorPipeline {
     groupedCosinePairsDetail(vectors, idCol, vecCol, groupCol, threshold,
       numBands, dims, hotBandThreshold).pairs
 
+  /** INCREMENTAL face of the SemDeDup pair stage: an incoming probe
+    * shard (pre-assigned to the index's clusters) probes the clustered
+    * corpus — candidates must share the CLUSTER and a band bucket, so
+    * per-increment work is bounded by the probe's per-(cluster, band)
+    * bucket products, never probe × corpus. The corpus side's
+    * (cluster, band) index materializes once (localCheckpoint here;
+    * the persisted semantic-dedup index a production ingest loop
+    * serves from) and is never self-joined; hot corpus (cluster, band)
+    * buckets stop-list exactly as in the self-join form. Emits
+    * (id_new, id_old, sim), exact-cosine-verified. */
+  def groupedCosinePairsAgainst(probe: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, groupCol: String, threshold: Double,
+      numBands: Int = 8, dims: Int = 64,
+      hotBandThreshold: Long = HotBandThreshold): DataFrame = {
+    require(dims % numBands == 0, "dims must split evenly into bands")
+    val width = dims / numBands
+    def gBandRows(v: DataFrame): DataFrame =
+      v.select(col("vid"), col("grp"), posexplode(array(
+          (0 until numBands).map(b =>
+            xxhash64(lit(b), slice(col("ve"), b * width + 1, width))): _*))
+        .as(Seq("band_idx", "band_hash")))
+    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("ve"),
+      col(groupCol).as("grp")).localCheckpoint(true)
+    val cBands = gBandRows(c).localCheckpoint(true)
+    val freq = cBands.groupBy(col("grp"), col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val cTail = cBands.join(
+      freq.filter(col("n_vecs") <= hotBandThreshold)
+        .select(col("grp"), col("band_idx"), col("band_hash")),
+      Seq("grp", "band_idx", "band_hash"))
+    val p = probe.select(col(idCol).as("vid"), col(vecCol).as("ve"),
+      col(groupCol).as("grp"))
+    val pBands = gBandRows(p)
+    val cands = pBands.as("x").join(cTail.as("y"),
+        col("x.grp") === col("y.grp") &&
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.vid").as("id_new"), col("y.vid").as("id_old"))
+      .distinct()
+    val en = p.select(col("vid").as("id_new"), col("ve").as("en"))
+    val eo = c.select(col("vid").as("id_old"), col("ve").as("eo"))
+    cands.join(en, "id_new").join(eo, "id_old")
+      .select(col("id_new"), col("id_old"),
+        sim(col("en"), col("eo")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Pairs-only face of [[bandedCosinePairsDetail]]. */
   def bandedCosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numBands: Int = 8, dims: Int = 64,

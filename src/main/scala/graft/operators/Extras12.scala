@@ -351,10 +351,129 @@ object Extras12 {
       .select(col("vid"), col("code").cast("long").as("cluster"))
   }
 
+  /** Train on one frame, assign another — the incremental face (x173):
+    * a production index's centroids predate the incoming shard, so the
+    * shard assigns against the TRAINED centroids without retraining.
+    * Same deterministic trajectory as [[kmeans]] for the train side;
+    * the assign side pays one lattice argmax pass. */
+  def kmeansAssignTrained(train: DataFrame, assign: DataFrame,
+      idCol: String, vecCol: String, k: Int, iters: Int): DataFrame = {
+    val trainVec = graft.Checkpoints.cut(
+      train.select(col(idCol).as("vid"), col(vecCol).as("ve")))
+    val cents = kmTrain(trainVec, k, iters)
+    kmAssignArr(assign.select(col(idCol).as("vid"), col(vecCol).as("ve")),
+        cents)
+      .select(col("vid"), col("code").cast("long").as("cluster"))
+  }
+
   /** X134 contract binding: k=8, 3 Lloyd rounds on the embeddings. */
   def x134Kmeans(spark: SparkSession, sfDir: String): DataFrame =
     kmeans(Tables.embeddings(spark, sfDir), "vec_id", "embedding",
       k = 8, iters = 3)
+
+  // ---------------------------------------------------------------- x174
+
+  /** X174 — simplified silhouette (the centroid form of Rousseeuw
+    * 1987, the standard large-scale spelling — sklearn's
+    * "simplified silhouette"): per vector, a = distance to its own
+    * centroid, b = distance to the nearest OTHER centroid,
+    * s = (b − a) / max(a, b); reported as the per-cluster mean — the
+    * cluster-quality readout every k-means run is judged by (s → 1
+    * tight and separated, s → 0 boundary-riding, s < 0 misassigned).
+    * The O(n²) full silhouette is inadmissible at corpus scale; the
+    * centroid form is one narrow pass over the corpus against the
+    * k-row centroid table — no pair work at all.
+    *
+    * Determinism: every distance² is the exact lattice long
+    * dvv − 2·dvc + dcc (the x134 policy); winner/runner-up selection
+    * orders by (d², code) — identical to the assignment's argmax tie
+    * rule; then sqrt(d²/1e12), the ratio, and the 6-dp round are the
+    * IDENTICAL IEEE spelling in both engines, and the per-cluster mean
+    * sums the rounded values EXACTLY in DECIMAL(28,15) before one
+    * closing division. Oracle: the x134 Lloyd chain + the same
+    * winner/runner window + the same arithmetic. */
+  def x174Silhouette(spark: SparkSession, sfDir: String): DataFrame =
+    silhouette(Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+      k = 8, iters = 3)
+
+  /** The public kernel behind [[x174Silhouette]] (the [[kmeans]]
+    * pattern: caller frame, caller column names, any k/iters). */
+  def silhouette(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val vec = graft.Checkpoints.cut(
+      corpus.select(col(idCol).as("vid"), col(vecCol).as("ve")))
+    val cents = kmTrain(vec, k, iters)
+    val dvv = aggregate(
+      transform(col("ve"), x => {
+        val y = x.cast("double") * x.cast("double") * lit(1e12)
+        when(y >= 0, floor(y + lit(0.5)))
+          .otherwise(ceil(y - lit(0.5))).cast("long")
+      }),
+      lit(0L), (acc, p) => acc + p)
+    val entries = cents.sortBy(_._1).map { case (code, cent) =>
+      val dcc = cent.map(c => latticeHalfUp(c * c * 1e12)).sum
+      val dvc = graft.functions.LatticeDot.dot(col("ve"), cent, 1e12)
+      struct((col("dvv") - lit(2L) * dvc + lit(dcc)).as("d2"),
+        lit(code).as("code"))
+    }
+    val sorted = array_sort(array(entries: _*))
+    val a = sqrt(col("w.d2").cast("double") / lit(1e12))
+    val b = sqrt(col("r.d2").cast("double") / lit(1e12))
+    vec.select(col("vid"), col("ve"))
+      .withColumn("dvv", dvv)
+      .select(col("vid"), sorted.as("sorted"))
+      .select(col("vid"), element_at(col("sorted"), 1).as("w"),
+        element_at(col("sorted"), 2).as("r"))
+      .select(col("vid"), col("w.code").as("cluster"),
+        when(greatest(a, b) === 0.0, lit(0.0))
+          .otherwise(round((b - a) / greatest(a, b), 6)).as("s"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("s").cast(DecimalType(28, 15))).cast("double") /
+          count(lit(1)), 6).as("mean_silhouette"))
+      .select(col("cluster").cast("long").as("cluster"),
+        col("n_members"), col("mean_silhouette"))
+      .orderBy(col("cluster"))
+  }
+
+  /** The x174 oracle: [[KmeansSql]]'s Lloyd chain + dvv + the
+    * winner/runner-up window over exact lattice d² + the identical
+    * sqrt/ratio/round spelling. */
+  private val SilhouetteSql: String =
+    "WITH v AS MATERIALIZED (SELECT vec_id AS vid, i - 1 AS d, " +
+    "CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, " +
+    "range(1, 65) r(i)), " +
+    "seeds AS (SELECT vec_id AS svid, CAST(row_number() OVER " +
+    "(ORDER BY vec_id) - 1 AS INT) AS code FROM embeddings " +
+    "ORDER BY vec_id LIMIT 8), " +
+    "c0 AS (SELECT s.code, v.d, v.x AS c FROM seeds s " +
+    "JOIN v ON v.vid = s.svid), " +
+    kmIterSql("c0", 1) + ", " + kmIterSql("c1", 2) + ", " +
+    kmIterSql("c2", 3) + ", " +
+    "dvc4 AS (SELECT v.vid, c.code, " +
+    "SUM(CAST(round(v.x * c.c * 1e12, 0) AS BIGINT)) AS dvc " +
+    "FROM v JOIN c3 c ON v.d = c.d GROUP BY v.vid, c.code), " +
+    "dcc4 AS (SELECT code, SUM(CAST(round(c * c * 1e12, 0) AS BIGINT)) " +
+    "AS dcc FROM c3 GROUP BY code), " +
+    "dvv AS (SELECT vid, SUM(CAST(round(x * x * 1e12, 0) AS BIGINT)) " +
+    "AS dvv FROM v GROUP BY vid), " +
+    "d2 AS (SELECT d.vid, d.code, w.dvv - 2 * d.dvc + s.dcc AS d2 " +
+    "FROM dvc4 d JOIN dcc4 s USING (code) JOIN dvv w ON w.vid = d.vid), " +
+    "ranked AS MATERIALIZED (SELECT vid, code, d2, row_number() OVER " +
+    "(PARTITION BY vid ORDER BY d2, code) AS rn FROM d2), " +
+    "sil AS (SELECT w.vid, w.code AS cluster, " +
+    "CASE WHEN greatest(sqrt(CAST(w.d2 AS DOUBLE) / 1e12), " +
+    "sqrt(CAST(r.d2 AS DOUBLE) / 1e12)) = 0 THEN 0.0 ELSE " +
+    "round((sqrt(CAST(r.d2 AS DOUBLE) / 1e12) - " +
+    "sqrt(CAST(w.d2 AS DOUBLE) / 1e12)) / " +
+    "greatest(sqrt(CAST(w.d2 AS DOUBLE) / 1e12), " +
+    "sqrt(CAST(r.d2 AS DOUBLE) / 1e12)), 6) END AS s " +
+    "FROM (SELECT * FROM ranked WHERE rn = 1) w " +
+    "JOIN (SELECT * FROM ranked WHERE rn = 2) r ON r.vid = w.vid) " +
+    "SELECT CAST(cluster AS BIGINT) AS cluster, " +
+    "CAST(COUNT(*) AS BIGINT) AS n_members, " +
+    "round(CAST(SUM(CAST(s AS DECIMAL(28,15))) AS DOUBLE) / COUNT(*), 6) " +
+    "AS mean_silhouette FROM sil GROUP BY cluster ORDER BY cluster"
 
   // ---------------------------------------------------------------- x172
 
@@ -646,7 +765,8 @@ object Extras12 {
     "x137_label_prop" -> (x137LabelProp _),
     "x138_pareto" -> (x138Pareto _),
     "x139_join_ivm" -> (x139JoinIvm _),
-    "x172_semdedup" -> (x172SemDedup _))
+    "x172_semdedup" -> (x172SemDedup _),
+    "x174_silhouette" -> (x174Silhouette _))
 
   /** One unrolled Lloyd round of the x134 oracle: assignment CTEs from
     * centroid table `prevC`, then the updated centroid table `c$n` —
@@ -654,7 +774,7 @@ object Extras12 {
     * spelled in DuckDB: products rounded 12 dp then scaled onto the
     * 1e12 BIGINT lattice (coordinates onto the 1e10 lattice for the
     * means), exact integer sums, the same IEEE division chain. */
-  private def kmIterSql(prevC: String, n: Int): String =
+  private[operators] def kmIterSql(prevC: String, n: Int): String =
     s"dvc$n AS (SELECT v.vid, c.code, " +
     "SUM(CAST(round(v.x * c.c * 1e12, 0) AS BIGINT)) " +
     s"AS dvc FROM v JOIN $prevC c ON v.d = c.d " +
@@ -873,6 +993,7 @@ object Extras12 {
        "CAST((SELECT SUM(c) FROM t2) AS BIGINT) AS custkeysum_after_merge"),
     "x134_kmeans" -> KmeansSql,
     "x172_semdedup" -> SemDedupSql,
+    "x174_silhouette" -> SilhouetteSql,
     "x135_sssp" -> SsspSql,
     "x136_kcore" -> KCoreSql,
     "x137_label_prop" -> LpaSql,

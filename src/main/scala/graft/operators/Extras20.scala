@@ -66,8 +66,87 @@ object Extras20 {
         "repeatable_stable", "subset_ok")
   }
 
+  /** X173 — INCREMENTAL SemDeDup (x172's production ingest face,
+    * completing the incremental-dedup family: x38 = LSH text, x55 =
+    * exact text, x46 = embedding, x173 = semantic): the clone shard
+    * (the x41 re-encoded vectors) arrives against a semantic index
+    * trained on the ORIGINAL corpus — k-means centroids predate the
+    * shard ([[Extras12.kmeansAssignTrained]]), each probe assigns to
+    * its nearest trained centroid in one lattice-argmax pass (no
+    * retraining), and banded candidates form ONLY within the probe's
+    * assigned cluster against that cluster's corpus index
+    * ([[graft.api.VectorPipeline.groupedCosinePairsAgainst]]). Per
+    * increment the work is probe-sized, the corpus index is reloaded
+    * state, and no candidate crosses a cluster boundary — cross-
+    * cluster matches stay out of scope exactly as in x172 (a probe
+    * whose nearest centroid differs from its original's cluster is
+    * missed, reported nowhere — the paper's trade, spec-pinned).
+    * Oracle: the x134 Lloyd chain (trained on embeddings only) + a
+    * probe-assignment CTE + exhaustive same-cluster probe × corpus
+    * pair recompute. */
+  def x173SemDedupIncr(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.stagedFrame(spark, "semdedup_incr", sfDir, "embeddings",
+        "k8i3_t08_aug") {
+      val all = graft.Checkpoints.cut(
+        Extras5.cloneCorpus(spark, sfDir))
+      val emb = all.filter(col("vec_id") < Extras5.CloneOffset)
+      val asg = Extras12.kmeansAssignTrained(emb, all,
+        "vec_id", "embedding", 8, 3)
+      val withC = all.join(
+        asg.withColumnRenamed("vid", "vec_id"), "vec_id")
+      graft.api.VectorPipeline.groupedCosinePairsAgainst(
+        withC.filter(col("vec_id") >= Extras5.CloneOffset),
+        withC.filter(col("vec_id") < Extras5.CloneOffset),
+        "vec_id", "embedding", "cluster", 0.8)
+    }.orderBy(col("id_new"), col("id_old"))
+
+  /** The x173 oracle: train chain over embeddings only (the literal
+    * [[Extras12.kmIterSql]] rounds — the CTE named `v` is the TRAIN
+    * side), assignment of the full clone corpus (va) against the
+    * final centroids, then the exhaustive same-cluster probe × corpus
+    * pair recompute at the x41 rounding spelling. */
+  private val SemDedupIncrSql: String = {
+    val tP = Extras5.cloneDotTerm("p")
+    val tC = Extras5.cloneDotTerm("c")
+    "WITH base AS MATERIALIZED (" + Extras5.CloneBaseSql + "), " +
+    "v AS MATERIALIZED (SELECT vec_id AS vid, i - 1 AS d, " +
+    "CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, " +
+    "range(1, 65) r(i)), " +
+    "va AS MATERIALIZED (SELECT b0.vec_id AS vid, i - 1 AS d, " +
+    Extras5.cloneDotTerm("b0") + " AS x FROM base b0, range(1, 65) r(i)), " +
+    "seeds AS (SELECT vec_id AS svid, CAST(row_number() OVER " +
+    "(ORDER BY vec_id) - 1 AS INT) AS code FROM embeddings " +
+    "ORDER BY vec_id LIMIT 8), " +
+    "c0 AS (SELECT s.code, v.d, v.x AS c FROM seeds s " +
+    "JOIN v ON v.vid = s.svid), " +
+    Extras12.kmIterSql("c0", 1) + ", " + Extras12.kmIterSql("c1", 2) +
+    ", " + Extras12.kmIterSql("c2", 3) + ", " +
+    "dvc4 AS (SELECT v.vid, c.code, " +
+    "SUM(CAST(round(v.x * c.c * 1e12, 0) AS BIGINT)) AS dvc " +
+    "FROM va v JOIN c3 c ON v.d = c.d GROUP BY v.vid, c.code), " +
+    "dcc4 AS (SELECT code, SUM(CAST(round(c * c * 1e12, 0) AS BIGINT)) " +
+    "AS dcc FROM c3 GROUP BY code), " +
+    "asg4 AS MATERIALIZED (SELECT vid, code FROM (SELECT d.vid, d.code, " +
+    "row_number() OVER (PARTITION BY d.vid " +
+    "ORDER BY (2 * d.dvc - s.dcc) DESC, d.code) AS rn " +
+    "FROM dvc4 d JOIN dcc4 s USING (code)) t WHERE rn = 1), " +
+    "bp AS MATERIALIZED (SELECT b0.vec_id, b0.embedding, b0.aug, g.code " +
+    "FROM base b0 JOIN asg4 g ON g.vid = b0.vec_id " +
+    "WHERE b0.vec_id >= 1000000), " +
+    "bcorp AS MATERIALIZED (SELECT b0.vec_id, b0.embedding, b0.aug, " +
+    "g.code FROM base b0 JOIN asg4 g ON g.vid = b0.vec_id " +
+    "WHERE b0.vec_id < 1000000) " +
+    "SELECT p.vec_id AS id_new, c.vec_id AS id_old, " +
+    s"round(SUM($tP * $tC), 6) AS sim " +
+    "FROM bp p, bcorp c, range(1, 65) r(i) WHERE p.code = c.code " +
+    "GROUP BY p.vec_id, c.vec_id " +
+    s"HAVING round(SUM($tP * $tC), 6) >= 0.8 " +
+    "ORDER BY id_new, id_old"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sql50_tablesample" -> (sql50Tablesample _))
+    "sql50_tablesample" -> (sql50Tablesample _),
+    "x173_semdedup_incr" -> (x173SemDedupIncr _))
 
   val oracles: Map[String, String] = Map(
     // the claims are engine-independent by construction; the oracle
@@ -75,5 +154,6 @@ object Extras20 {
     "sql50_tablesample" ->
       ("SELECT CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) " +
        "AS base_n, TRUE AS rows_exact, TRUE AS pct_in_bounds, " +
-       "TRUE AS repeatable_stable, TRUE AS subset_ok"))
+       "TRUE AS repeatable_stable, TRUE AS subset_ok"),
+    "x173_semdedup_incr" -> SemDedupIncrSql)
 }

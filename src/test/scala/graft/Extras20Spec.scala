@@ -27,4 +27,73 @@ class Extras20Spec extends SparkSpec {
       s"TABLESAMPLE (${baseN + 1000} ROWS)").count()
     assert(tiny == baseN, "ROWS grain must cap at the table size")
   }
+
+  test("x173: incremental SemDeDup equals the brute trained-assign + " +
+      "same-cluster probe-vs-corpus recompute; probes never pair with " +
+      "probes, the corpus is never self-paired") {
+    import graft.operators.{Extras5, Extras12}
+    val out = Extras20.x173SemDedupIncr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // shape contract: every pair is (probe, corpus-original)
+    out.foreach { case (nw, old) =>
+      assert(nw >= Extras5.CloneOffset && old < Extras5.CloneOffset)
+    }
+    // brute: centroids trained on originals, all vectors assigned,
+    // exhaustive probe x corpus pairs within equal clusters
+    val all = Extras5.cloneCorpus(spark, sf)
+    val vecs = all.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val emb = all.filter(col("vec_id") < Extras5.CloneOffset)
+    val asg = Extras12.kmeansAssignTrained(emb, all,
+        "vec_id", "embedding", 8, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probes = vecs.keySet.filter(_ >= Extras5.CloneOffset)
+    val corpus = vecs.keySet.filter(_ < Extras5.CloneOffset)
+    val brute = (for {
+      p <- probes; c <- corpus if asg(p) == asg(c)
+      dot = vecs(p).zip(vecs(c)).map { case (x, y) => x * y }.sum
+      if BigDecimal(dot).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble >= 0.8
+    } yield (p, c)).toSet
+    assert(out == brute, s"got ${out.size} pairs, brute ${brute.size}")
+    assert(brute.nonEmpty, "row must be non-vacuous at this sf")
+  }
+
+  test("x174 silhouette kernel: tight planted blobs score near 1, a " +
+      "boundary-riding point drags its cluster mean down, output is " +
+      "deterministic") {
+    import spark.implicits._
+    // two tight blobs on orthogonal axes, INTERLEAVED by id parity so
+    // the two lowest-id seeds land in different blobs (the x134 spec
+    // construction), + later one midway point: blob means near 1, the
+    // straddler drags its cluster down
+    def v(axis: Int, eps: Float): Seq[Float] = {
+      val a = Array.fill(64)(0.0f); a(axis) = 1.0f; a(40) = eps; a.toSeq
+    }
+    val blobs = (0 until 10).map(i =>
+        (i.toLong, v(i % 2, 0.01f * (i / 2))))
+      .toDF("row_id", "emb")
+    val s1 = graft.operators.Extras12
+      .silhouette(blobs, "row_id", "emb", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(s1.size == 2 && s1.values.forall(_._1 == 5L))
+    assert(s1.values.forall(_._2 > 0.9), s"blob silhouettes: $s1")
+    val mid = Array.fill(64)(0.0f); mid(0) = 0.7f; mid(1) = 0.7f
+    val withMid = blobs.unionByName(
+      Seq((99L, mid.toSeq)).toDF("row_id", "emb"))
+    val s2 = graft.operators.Extras12
+      .silhouette(withMid, "row_id", "emb", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    val (withStraddler, clean) =
+      (s2.values.map(_._2).min, s2.values.map(_._2).max)
+    assert(withStraddler < 0.9 && clean > 0.9,
+      s"straddler must drag one cluster's mean: $s2")
+    // determinism on the corpus binding
+    val a = graft.operators.Extras12.x174Silhouette(spark, sf).collect()
+    val b = graft.operators.Extras12.x174Silhouette(spark, sf).collect()
+    assert(a.sameElements(b))
+    assert(a.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+  }
 }
