@@ -351,6 +351,28 @@ object Extras12 {
       .select(col("vid"), col("code").cast("long").as("cluster"))
   }
 
+  /** (vid, cluster, d2) — per-vector assigned cluster plus the EXACT
+    * lattice distance² to its centroid (long, scaled 1e12), same
+    * trajectory as [[kmeans]]: the prototypicality signal x175's D4
+    * pruning ranks on. */
+  private[operators] def kmeansDistances(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int): DataFrame = {
+    val vec = graft.Checkpoints.cut(
+      corpus.select(col(idCol).as("vid"), col(vecCol).as("ve")))
+    val cents = kmTrain(vec, k, iters)
+    val dvv = aggregate(
+      transform(col("ve"), x => {
+        val y = x.cast("double") * x.cast("double") * lit(1e12)
+        when(y >= 0, floor(y + lit(0.5)))
+          .otherwise(ceil(y - lit(0.5))).cast("long")
+      }),
+      lit(0L), (acc, p) => acc + p)
+    kmAssignArr(vec, cents)
+      .withColumn("d2", dvv - lit(2L) * col("dvc") + col("dcc"))
+      .select(col("vid"), col("code").cast("long").as("cluster"),
+        col("d2"))
+  }
+
   /** Train on one frame, assign another — the incremental face (x173):
     * a production index's centroids predate the incoming shard, so the
     * shard assigns against the TRAINED centroids without retraining.
@@ -835,10 +857,10 @@ object Extras12 {
     * MATERIALIZED (the k-core inlining lesson): v and the chain feed
     * many references, and `pr` must not re-expand the whole Lloyd
     * chain per side. */
-  private val SemDedupSql: String = {
+  private[operators] val SemDedupChainSql: String = {
     val tA = Extras5.cloneDotTerm("a")
     val tB = Extras5.cloneDotTerm("b")
-    "WITH base AS MATERIALIZED (" + Extras5.CloneBaseSql + "), " +
+    "base AS MATERIALIZED (" + Extras5.CloneBaseSql + "), " +
     "v AS MATERIALIZED (SELECT b0.vec_id AS vid, i - 1 AS d, " +
     Extras5.cloneDotTerm("b0") + " AS x FROM base b0, range(1, 65) r(i)), " +
     "seeds AS (SELECT vec_id AS svid, CAST(row_number() OVER " +
@@ -864,11 +886,14 @@ object Extras12 {
     "WHERE a.code = b.code AND a.vec_id < b.vec_id " +
     "GROUP BY a.vec_id, b.vec_id " +
     s"HAVING round(SUM($tA * $tB), 6) >= 0.8), " +
-    "drp AS (SELECT DISTINCT id_b FROM pr) " +
+    "drp AS (SELECT DISTINCT id_b FROM pr)"
+  }
+
+  private val SemDedupSql: String =
+    "WITH " + SemDedupChainSql + " " +
     "SELECT g.vid AS vec_id, CAST(g.code AS BIGINT) AS cluster, " +
     "(d.id_b IS NULL) AS kept " +
     "FROM asg4 g LEFT JOIN drp d ON d.id_b = g.vid ORDER BY vec_id"
-  }
 
   /** One unrolled peel round of the x136 oracle. Every stage is
     * MATERIALIZED: each round references its predecessor three times,

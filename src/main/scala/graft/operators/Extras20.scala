@@ -144,9 +144,80 @@ object Extras20 {
     "ORDER BY id_new, id_old"
   }
 
+  /** X175 — D4 data pruning (Tirumala et al. 2023, arXiv:2308.12284):
+    * the third rung of the semantic-curation ladder — SemDeDup (x172)
+    * removes near-duplicates, then SSL-PROTOTYPE pruning removes the
+    * most prototypical survivors (closest to their cluster centroid —
+    * the redundant "center mass" that adds least diversity), keeping
+    * the diverse tail as training data. Drop fraction 20% per cluster.
+    *
+    * Scale design: NO per-cluster window over the corpus (a cluster is
+    * n/k rows — a funnel at 100 TB). The global prototype rank is
+    * DECOMPOSED exactly as x43's quantiles: per-(cluster, d²) counts
+    * (one scalable shuffle), a cumulative window over that
+    * AGGREGATE-BOUNDED distinct-distance frame, and a tie window only
+    * within equal-(cluster, d²) groups (duplicate-distance
+    * multiplicity — bounded); rank = c_lt + tie, identical to
+    * row_number over (d², vid). Distances are the exact lattice longs
+    * from the SAME trained model as x172 (one [[Extras12.kmeansDistances]]
+    * pass), so the whole verdict is bitwise deterministic; the
+    * keep/drop boundary is floor(0.2·n) with the identical IEEE
+    * spelling both engines. Oracle: the factored x172 chain + the
+    * same rank arithmetic as a plain window. */
+  def x175D4Prune(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.stagedFrame(spark, "d4_prune", sfDir, "embeddings",
+        "k8i3_t08_p20") {
+      val all = graft.Checkpoints.cut(Extras5.cloneCorpus(spark, sfDir))
+      val sem = Extras12.x172SemDedup(spark, sfDir)
+      val d2 = Extras12.kmeansDistances(all, "vec_id", "embedding", 8, 3)
+        .withColumnRenamed("vid", "vec_id")
+      val kd = graft.Checkpoints.cut(
+        d2.join(sem.filter(col("kept")).select(col("vec_id")), "vec_id"))
+      val perD2 = kd.groupBy(col("cluster"), col("d2"))
+        .agg(count(lit(1)).as("n_at"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster")).orderBy(col("d2"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val cum = perD2
+        .withColumn("c_le", sum(col("n_at")).over(wCum))
+        .select(col("cluster"), col("d2"),
+          (col("c_le") - col("n_at")).as("c_lt"))
+      val wTie = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"), col("d2")).orderBy(col("vec_id"))
+      val nc = kd.groupBy(col("cluster"))
+        .agg(floor(lit(0.2) * count(lit(1))).cast("long").as("dropn"))
+      kd.join(cum, Seq("cluster", "d2"))
+        .withColumn("tie", row_number().over(wTie).cast("long"))
+        .withColumn("proto_rank", col("c_lt") + col("tie"))
+        .join(broadcast(nc), "cluster")
+        .select(col("vec_id"), col("cluster"), col("proto_rank"),
+          (col("proto_rank") > col("dropn")).as("kept_final"))
+    }.orderBy(col("vec_id"))
+
+  private val D4PruneSql: String =
+    "WITH " + Extras12.SemDedupChainSql + ", " +
+    "kept AS (SELECT g.vid, g.code FROM asg4 g LEFT JOIN drp d " +
+    "ON d.id_b = g.vid WHERE d.id_b IS NULL), " +
+    "dvv AS (SELECT vid, SUM(CAST(round(x * x * 1e12, 0) AS BIGINT)) " +
+    "AS dvv FROM v GROUP BY vid), " +
+    "kd AS MATERIALIZED (SELECT k.vid, k.code, " +
+    "w.dvv - 2 * d.dvc + s.dcc AS d2 FROM kept k " +
+    "JOIN dvc4 d ON d.vid = k.vid AND d.code = k.code " +
+    "JOIN dcc4 s ON s.code = k.code JOIN dvv w ON w.vid = k.vid), " +
+    "nc AS (SELECT code, CAST(FLOOR(0.2 * COUNT(*)) AS BIGINT) " +
+    "AS dropn FROM kd GROUP BY code), " +
+    "rk AS (SELECT vid, code, row_number() OVER " +
+    "(PARTITION BY code ORDER BY d2, vid) AS r FROM kd) " +
+    "SELECT r.vid AS vec_id, CAST(r.code AS BIGINT) AS cluster, " +
+    "CAST(r.r AS BIGINT) AS proto_rank, (r.r > n.dropn) AS kept_final " +
+    "FROM rk r JOIN nc n USING (code) ORDER BY vec_id"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql50_tablesample" -> (sql50Tablesample _),
-    "x173_semdedup_incr" -> (x173SemDedupIncr _))
+    "x173_semdedup_incr" -> (x173SemDedupIncr _),
+    "x175_d4_prune" -> (x175D4Prune _))
 
   val oracles: Map[String, String] = Map(
     // the claims are engine-independent by construction; the oracle
@@ -155,5 +226,6 @@ object Extras20 {
       ("SELECT CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) " +
        "AS base_n, TRUE AS rows_exact, TRUE AS pct_in_bounds, " +
        "TRUE AS repeatable_stable, TRUE AS subset_ok"),
-    "x173_semdedup_incr" -> SemDedupIncrSql)
+    "x173_semdedup_incr" -> SemDedupIncrSql,
+    "x175_d4_prune" -> D4PruneSql)
 }

@@ -96,4 +96,36 @@ class Extras20Spec extends SparkSpec {
     assert(a.sameElements(b))
     assert(a.forall(r => math.abs(r.getDouble(2)) <= 1.0))
   }
+
+  test("x175: D4 pruning operates exactly on x172's kept set, ranks " +
+      "are a per-cluster permutation, and the pruned rows are exactly " +
+      "ranks 1..floor(0.2n)") {
+    import graft.operators.Extras12
+    val sem = Extras12.x172SemDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val keptIds = sem.collect { case (id, (_, true)) => id }.toSet
+    val out = Extras20.x175D4Prune(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(out.map(_._1).toSet == keptIds,
+      "D4 must rank exactly the SemDeDup survivors")
+    out.foreach { case (id, cl, _, _) =>
+      assert(cl == sem(id)._1, s"cluster mismatch for $id")
+    }
+    out.groupBy(_._2).foreach { case (cl, rows) =>
+      val n = rows.length
+      val dropn = math.floor(0.2 * n).toLong
+      val ranks = rows.map(_._3).sorted
+      assert(ranks.sameElements(1L to n),
+        s"ranks must be a permutation in cluster $cl")
+      val pruned = rows.filter(!_._4).map(_._3).toSet
+      assert(pruned == (1L to dropn).toSet,
+        s"cluster $cl must prune exactly ranks 1..$dropn, got $pruned")
+    }
+    // determinism (staged artifact reload included)
+    val again = Extras20.x175D4Prune(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(out.sameElements(again))
+  }
 }
