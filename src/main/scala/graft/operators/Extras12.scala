@@ -373,6 +373,23 @@ object Extras12 {
         col("d2"))
   }
 
+  /** Trained-centroid pull + assignment faces for streaming consumers
+    * (st26): the centroids train ONCE at stream start, each
+    * micro-batch then assigns against the fixed table — the k×dims
+    * driver-side model a 1000-executor streaming job broadcasts. */
+  private[graft] def kmeansCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int): Seq[(Int, Array[Double])] = {
+    val vec = graft.Checkpoints.cut(
+      corpus.select(col(idCol).as("vid"), col(vecCol).as("ve")))
+    kmTrain(vec, k, iters)
+  }
+
+  private[graft] def assignToCentroids(df: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[(Int, Array[Double])]): DataFrame =
+    kmAssignArr(df.select(col(idCol).as("vid"), col(vecCol).as("ve")),
+        cents)
+      .select(col("vid"), col("code").cast("long").as("cluster"))
+
   /** Train on one frame, assign another — the incremental face (x173):
     * a production index's centroids predate the incoming shard, so the
     * shard assigns against the TRAINED centroids without retraining.

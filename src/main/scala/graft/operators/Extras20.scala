@@ -105,10 +105,8 @@ object Extras20 {
     * side), assignment of the full clone corpus (va) against the
     * final centroids, then the exhaustive same-cluster probe × corpus
     * pair recompute at the x41 rounding spelling. */
-  private val SemDedupIncrSql: String = {
-    val tP = Extras5.cloneDotTerm("p")
-    val tC = Extras5.cloneDotTerm("c")
-    "WITH base AS MATERIALIZED (" + Extras5.CloneBaseSql + "), " +
+  private[graft] val SemDedupIncrChainSql: String =
+    "base AS MATERIALIZED (" + Extras5.CloneBaseSql + "), " +
     "v AS MATERIALIZED (SELECT vec_id AS vid, i - 1 AS d, " +
     "CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, " +
     "range(1, 65) r(i)), " +
@@ -135,7 +133,28 @@ object Extras20 {
     "WHERE b0.vec_id >= 1000000), " +
     "bcorp AS MATERIALIZED (SELECT b0.vec_id, b0.embedding, b0.aug, " +
     "g.code FROM base b0 JOIN asg4 g ON g.vid = b0.vec_id " +
-    "WHERE b0.vec_id < 1000000) " +
+    "WHERE b0.vec_id < 1000000)"
+
+  /** The st26 oracle (assembled here because the clone-corpus SQL
+    * terms are operators-private): survivors of the streaming
+    * semantic probe loop == the x173 complement — probes with no
+    * same-cluster corpus pair at t = 0.8, NOT EXISTS form. */
+  private[graft] val StreamSemDedupSql: String = {
+    val tP = Extras5.cloneDotTerm("p")
+    val tC = Extras5.cloneDotTerm("c")
+    "WITH " + SemDedupIncrChainSql + ", " +
+    "m AS (SELECT p.vec_id AS id_new FROM bp p, bcorp c, " +
+    "range(1, 65) r(i) WHERE p.code = c.code " +
+    "GROUP BY p.vec_id, c.vec_id " +
+    s"HAVING round(SUM($tP * $tC), 6) >= 0.8) " +
+    "SELECT b.vec_id FROM bp b WHERE b.vec_id NOT IN " +
+    "(SELECT id_new FROM m) ORDER BY vec_id"
+  }
+
+  private val SemDedupIncrSql: String = {
+    val tP = Extras5.cloneDotTerm("p")
+    val tC = Extras5.cloneDotTerm("c")
+    "WITH " + SemDedupIncrChainSql + " " +
     "SELECT p.vec_id AS id_new, c.vec_id AS id_old, " +
     s"round(SUM($tP * $tC), 6) AS sim " +
     "FROM bp p, bcorp c, range(1, 65) r(i) WHERE p.code = c.code " +

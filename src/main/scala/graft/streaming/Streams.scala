@@ -1023,6 +1023,103 @@ object Streams {
     dir.toString
   }
 
+  /** Stage the x173 clone shard (the re-encoded probe vectors) as two
+    * deterministic parquet files for micro-batch replay — the vector
+    * analog of [[stageProbeDocs]], reused per (process, sfDir) via a
+    * content-fingerprint marker. */
+  private def stageProbeVecs(spark: SparkSession, sfDir: String): String = {
+    val s = Tables.tune(spark)
+    val dir = Paths.get(Tables.scratchDir("stream_vecs", sfDir))
+    val src = Paths.get(s"$sfDir/embeddings.parquet")
+    val marker = dir.resolve("_staged_from_src")
+    val fp = s"${Files.size(src)}:" +
+      s"${Files.getLastModifiedTime(src).toMillis}"
+    if (!(Files.exists(marker) && Files.readString(marker) == fp &&
+        (0 to 1).forall(i => Files.exists(dir.resolve(s"vecs_$i.parquet"))))) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir.toString), true)
+      Files.createDirectories(dir)
+      val probe = graft.operators.Extras5.cloneCorpus(s, sfDir)
+        .filter(col("vec_id") >= graft.operators.Extras5.CloneOffset)
+      (0 to 1).foreach { i =>
+        val tmp = dir.resolve(s"_tmp_vecs_$i")
+        probe.filter(expr("(vec_id div 10) % 2") === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = singlePart(tmp)
+        val dst = dir.resolve(s"vecs_$i.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 60000L + i * 1000L))
+      }
+      Files.writeString(marker, fp)
+    }
+    dir.toString
+  }
+
+  /** ST26 — STREAMING SemDeDup (x173's streaming face, closing the
+    * semantic-curation ladder's stream rung; st19 is the text analog):
+    * the semantic index — k-means centroids trained on the original
+    * corpus ([[graft.operators.Extras12.kmeansCentroids]], the k×dims
+    * driver-side model a streaming job broadcasts) plus the clustered
+    * corpus — is built ONCE at stream start; the clone shard replays
+    * as two AvailableNow micro-batches (maxFilesPerTrigger=1), and
+    * foreachBatch assigns each batch to the FIXED centroids (one
+    * lattice-argmax pass, no retraining) then probes only its assigned
+    * clusters' band index
+    * ([[graft.api.VectorPipeline.groupedCosinePairsAgainst]]),
+    * appending the survivors — probe vectors with no same-cluster
+    * corpus near-dup at t = 0.8. Because every probe is judged against
+    * the fixed index alone, the union of per-batch survivors equals
+    * the one-shot x173 complement exactly (spec-pinned). At 100 TB
+    * this is the embedding-ingest nightly: model + index persisted,
+    * each arriving shard filtered in stream time, corpus never
+    * self-joined. */
+  def st26StreamSemDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Extras12
+    val s = Tables.tune(spark)
+    val emb = graft.Checkpoints.cut(
+      Tables.embeddings(s, sfDir)
+        .select(col("vec_id"), col("embedding")))
+    val cents = Extras12.kmeansCentroids(emb, "vec_id", "embedding", 8, 3)
+    val corpusC = emb.join(
+        Extras12.assignToCentroids(emb, "vec_id", "embedding", cents)
+          .withColumnRenamed("vid", "vec_id"), "vec_id")
+      .localCheckpoint(true)
+    val dir = stageProbeVecs(spark, sfDir)
+    val outDir = Tables.scratchDir("st26_out", sfDir)
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(outDir), true)
+    val schema = Tables.embeddings(s, sfDir)
+      .select(col("vec_id"), col("embedding")).schema
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val batchC = batch.join(
+            Extras12.assignToCentroids(batch, "vec_id", "embedding", cents)
+              .withColumnRenamed("vid", "vec_id"), "vec_id")
+          val matched = graft.api.VectorPipeline.groupedCosinePairsAgainst(
+              batchC, corpusC, "vec_id", "embedding", "cluster", 0.8)
+            .select(col("id_new")).distinct()
+          batch.select(col("vec_id"))
+            .join(matched, col("vec_id") === col("id_new"), "left_anti")
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    Tables.tune(spark).read.parquet(outDir)
+      .select(col("vec_id")).orderBy(col("vec_id"))
+  }
+
   def st19StreamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.api.TextPipeline
     val s = Tables.tune(spark)
@@ -1315,6 +1412,7 @@ object Streams {
     "st22_stream_dim_refresh" -> (st22StreamDimRefresh _),
     "st21_stream_upsert" -> (st21StreamUpsert _),
     "st19_streaming_dedup" -> (st19StreamingDedup _),
+    "st26_stream_semdedup" -> (st26StreamSemDedup _),
     "st20_streaming_observe" -> (st20StreamingObserve _),
     "st11_dsv2_stream" -> (st11SeqStream _),
     "st8_stream_stream" -> (st8StreamStreamJoin _),
@@ -1380,6 +1478,10 @@ object Streams {
     // survivors recomputed exhaustively: probe docs (doc_id % 10 = 3)
     // with NO corpus near-dup above 0.5 shingle-Jaccard (x55's corpus
     // split and threshold)
+    // survivors of the streaming semantic probe loop == the x173
+    // complement: probes with no same-cluster corpus pair at t=0.8
+    // (the factored x173 chain, NOT EXISTS form)
+    "st26_stream_semdedup" -> graft.operators.Extras20.StreamSemDedupSql,
     "st19_streaming_dedup" ->
       (s"WITH s AS (SELECT DISTINCT doc_id, ngram FROM (${graft.operators.TextOps.ngramSql(3)}) t), " +
        "n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id), " +

@@ -128,4 +128,27 @@ class Extras20Spec extends SparkSpec {
         r.getBoolean(3)))
     assert(out.sameElements(again))
   }
+
+  test("st26: streaming semantic dedup equals the batch x173 " +
+      "complement exactly, and the replay really ran multiple " +
+      "micro-batches") {
+    import graft.operators.Extras5
+    val kept = graft.streaming.Streams.st26StreamSemDedup(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val matched = Extras20.x173SemDedupIncr(spark, sf)
+      .select(col("id_new")).collect().map(_.getLong(0)).toSet
+    val probes = Extras5.cloneCorpus(spark, sf)
+      .filter(col("vec_id") >= Extras5.CloneOffset)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == probes -- matched,
+      s"stream survivors (${kept.size}) must equal probes " +
+        s"(${probes.size}) minus batch-matched (${matched.size})")
+    assert(matched.nonEmpty && kept.nonEmpty,
+      "both sides must be non-vacuous at this sf")
+    // the replay genuinely split into file-batches
+    val perBatch = spark.read
+      .parquet(Tables.scratchDir("st26_out", sf))
+      .select(col("batch_id")).distinct().count()
+    assert(perBatch >= 2, s"expected >= 2 micro-batches, got $perBatch")
+  }
 }
