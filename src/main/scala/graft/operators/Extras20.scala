@@ -233,10 +233,44 @@ object Extras20 {
     "CAST(r.r AS BIGINT) AS proto_rank, (r.r > n.dropn) AS kept_final " +
     "FROM rk r JOIN nc n USING (code) ORDER BY vec_id"
 
+  /** X176 — SOFT dedup (He et al. 2024, arXiv:2407.06654; the
+    * DataComp-LM-era alternative to hard removal): instead of dropping
+    * near-duplicates, DOWN-WEIGHT them — every document gets sampling
+    * weight 1/|its near-dup cluster|, so a 5-way re-post contributes
+    * one document's worth of gradient mass in expectation while hard
+    * dedup's arbitrary keep-one choice (and its recall cliff) goes
+    * away. Clusters are the staged x12 connected components over the
+    * verified LSH pair graph (one cross-process CC run already serves
+    * x12/x60/x75/x119 — this row rides the same artifact); docs
+    * outside the pair graph are singletons at weight 1.
+    *
+    * Scale shape: one k-row-ish size aggregate over the label table +
+    * one left join of the corpus to (label ⋈ size) — no new pair
+    * work, no window; the weight column is what a training-data
+    * sampler consumes directly (x35's temperature mix applies on top
+    * for language balancing). Weight = round(1/size, 6) with the
+    * identical IEEE spelling both engines. */
+  def x176SoftDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = Dedup.ccLabelsFrame(spark, sfDir)
+    val sizes = labels.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("sz"))
+    val weighted = labels.join(sizes, "cluster_rep")
+      .select(col("doc_id"), col("sz"))
+    Tables.documents(Tables.tune(spark), sfDir)
+      .select(col("doc_id"))
+      .join(weighted, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("sz"), lit(1L)).as("cluster_size"),
+        round(lit(1.0) / coalesce(col("sz"), lit(1L)).cast("double"), 6)
+          .as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql50_tablesample" -> (sql50Tablesample _),
     "x173_semdedup_incr" -> (x173SemDedupIncr _),
-    "x175_d4_prune" -> (x175D4Prune _))
+    "x175_d4_prune" -> (x175D4Prune _),
+    "x176_soft_dedup" -> (x176SoftDedup _))
 
   val oracles: Map[String, String] = Map(
     // the claims are engine-independent by construction; the oracle
@@ -246,5 +280,18 @@ object Extras20 {
        "AS base_n, TRUE AS rows_exact, TRUE AS pct_in_bounds, " +
        "TRUE AS repeatable_stable, TRUE AS subset_ok"),
     "x173_semdedup_incr" -> SemDedupIncrSql,
-    "x175_d4_prune" -> D4PruneSql)
+    "x175_d4_prune" -> D4PruneSql,
+    // the x12 recursive-CC chain + size aggregate + the same
+    // 1/size spelling; singletons (docs outside the pair graph) at 1
+    "x176_soft_dedup" ->
+      (Dedup.ClusterCteSql +
+       ", lab AS (SELECT src AS doc_id, MIN(dst) AS rep FROM reach " +
+       "GROUP BY src), " +
+       "sz AS (SELECT rep, COUNT(*) AS s FROM lab GROUP BY rep) " +
+       "SELECT d.doc_id, CAST(COALESCE(sz.s, 1) AS BIGINT) " +
+       "AS cluster_size, " +
+       "round(CAST(1.0 AS DOUBLE) / CAST(COALESCE(sz.s, 1) AS DOUBLE), 6) " +
+       "AS weight FROM documents d " +
+       "LEFT JOIN lab ON lab.doc_id = d.doc_id " +
+       "LEFT JOIN sz ON sz.rep = lab.rep ORDER BY d.doc_id"))
 }

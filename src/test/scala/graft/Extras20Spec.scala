@@ -151,4 +151,27 @@ class Extras20Spec extends SparkSpec {
       .select(col("batch_id")).distinct().count()
     assert(perBatch >= 2, s"expected >= 2 micro-batches, got $perBatch")
   }
+
+  test("x176: soft-dedup weights are 1/cluster-size over the x12 " +
+      "components, singletons weigh 1, and each cluster's mass sums " +
+      "to ~1") {
+    val out = Extras20.x176SoftDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.size == Tables.documents(spark, sf).count())
+    val labels = graft.operators.Dedup.ccLabelsFrame(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = labels.groupBy(_._2).map { case (rep, m) => rep -> m.size }
+    out.foreach { case (id, (sz, w)) =>
+      val expectSz = labels.get(id).map(sizes(_)).getOrElse(1)
+      assert(sz == expectSz, s"cluster size mismatch for $id")
+      assert(math.abs(w - BigDecimal(1.0 / expectSz)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    assert(labels.nonEmpty, "must be non-vacuous: clusters exist")
+    // per-cluster sampling mass ~ 1 (rounding loss < 1e-5 per member)
+    labels.groupBy(_._2).foreach { case (_, members) =>
+      val mass = members.keys.toSeq.map(out(_)._2).sum
+      assert(math.abs(mass - 1.0) < 1e-4 * members.size)
+    }
+  }
 }
