@@ -261,6 +261,19 @@ object ApiDemo {
     graft.operators.Extras12.kmeans(blobs, "row_id", "features",
       k = 2, iters = 2).show(false)
 
+    // round-10: the semantic-curation ladder on caller-shaped frames
+    println("simplified silhouette of those blobs (both clusters ~1):")
+    graft.operators.Extras12.silhouette(blobs, "row_id", "features",
+      k = 2, iters = 2).show(false)
+    println("SemDeDup pair stage: near-dups pair ONLY within a cluster:")
+    val clustered = blobs.join(
+      graft.operators.Extras12.kmeansAssignments(blobs, "row_id",
+        "features", k = 2, iters = 2)
+        .withColumnRenamed("vid", "row_id"), "row_id")
+    VectorPipeline.groupedCosinePairs(clustered, "row_id", "features",
+        "cluster", 0.95)
+      .orderBy("id_a", "id_b").show(5, truncate = false)
+
     println("SSSP (4 rounds) from node 'a' on a path graph:")
     Graph.sssp(
         Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("step_from", "step_to"),
