@@ -266,8 +266,63 @@ object Extras20 {
       .orderBy(col("doc_id"))
   }
 
+  /** X177 — DSIR importance weights (Xie et al. 2023,
+    * arXiv:2302.03169 "Data Selection for Language Models via
+    * Importance Resampling"): score every document by how much more
+    * likely its hashed-bigram bag is under the TARGET domain's n-gram
+    * model than under the raw corpus model — log w(d) = Σ_occurrences
+    * [ln p_tgt(b) − ln p_raw(b)] over the doc's bigram buckets — the
+    * standard pretraining-data selection signal (sample ∝ exp of
+    * this). Target slice = the doc_id % 97 = 0 eval-domain sample
+    * (x17's convention); features = word bigrams hashed onto 4096
+    * md5 buckets (the paper's hashed n-gram features, our one shared
+    * [[graft.Det.md5Bucket]] spelling); add-one smoothing over the
+    * bucket vocabulary exactly as x49's corpus LM.
+    *
+    * Scale shape: the MODELS are two 4096-row bucket tables (one
+    * grouped count each — vocabulary-sized, never corpus-sized) that
+    * broadcast; the corpus pays one bigram explode + one grouped
+    * per-doc sum. Determinism: each bucket's log-ratio is IEEE ops on
+    * exact counts rounded to 10 dp, per-doc sums run EXACTLY in
+    * DECIMAL(28,15) over the rounded terms, final round 6 dp — the
+    * x111 policy on the x49 precedent (ln agrees across engines on
+    * these magnitudes). */
+  def x177DsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val docs = Tables.documents(s, sfDir)
+    val grams = graft.api.TextPipeline
+      .ngramRows(docs, "doc_id", "text", 2)
+      .select(col("doc_id"), graft.Det.md5Bucket(col("ngram"), 3).as("b"))
+      .localCheckpoint(true)
+    val raw = grams.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = grams.filter(col("doc_id") % 97 === 0)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val totals = raw.agg(sum(col("cr")).as("tr"))
+      .crossJoin(tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("tt")))
+    val model = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"), round(
+        log((col("ct") + 1).cast("double") /
+          (col("tt") + 4096L).cast("double")) -
+        log((col("cr") + 1).cast("double") /
+          (col("tr") + 4096L).cast("double")), 10).as("term"))
+    val perDoc = grams.join(broadcast(model), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("term")
+            .cast(org.apache.spark.sql.types.DecimalType(28, 15)))
+          .cast("double"), 6).as("log_weight"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("log_weight"), lit(0.0)).as("log_weight"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql50_tablesample" -> (sql50Tablesample _),
+    "x177_dsir_weights" -> (x177DsirWeights _),
     "x173_semdedup_incr" -> (x173SemDedupIncr _),
     "x175_d4_prune" -> (x175D4Prune _),
     "x176_soft_dedup" -> (x176SoftDedup _))
@@ -279,6 +334,30 @@ object Extras20 {
       ("SELECT CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) " +
        "AS base_n, TRUE AS rows_exact, TRUE AS pct_in_bounds, " +
        "TRUE AS repeatable_stable, TRUE AS subset_ok"),
+    // hashed-bigram models as CTEs at the identical md5-bucket +
+    // add-one + ln + 10-dp-term + DECIMAL-sum + 6-dp spelling
+    "x177_dsir_weights" ->
+      (s"WITH g AS (SELECT doc_id, ${graft.Det.sql.md5Bucket("ngram", 3)} " +
+       s"AS b FROM (${TextOps.ngramSql(2)}) t), " +
+       "raw AS (SELECT b, COUNT(*) AS cr FROM g GROUP BY b), " +
+       "tgt AS (SELECT b, COUNT(*) AS ct FROM g WHERE doc_id % 97 = 0 " +
+       "GROUP BY b), " +
+       "tot AS (SELECT (SELECT COUNT(*) FROM g) AS tr, " +
+       "(SELECT COUNT(*) FROM g WHERE doc_id % 97 = 0) AS tt), " +
+       "model AS (SELECT r.b, round(" +
+       "ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) / " +
+       "CAST(tot.tt + 4096 AS DOUBLE)) - " +
+       "ln(CAST(r.cr + 1 AS DOUBLE) / CAST(tot.tr + 4096 AS DOUBLE)), " +
+       "10) AS term FROM raw r LEFT JOIN tgt t ON t.b = r.b " +
+       "CROSS JOIN tot), " +
+       "pd AS (SELECT g.doc_id, COUNT(*) AS n_bigrams, " +
+       "round(CAST(SUM(CAST(term AS DECIMAL(28,15))) AS DOUBLE), 6) " +
+       "AS log_weight FROM g JOIN model m ON m.b = g.b " +
+       "GROUP BY g.doc_id) " +
+       "SELECT d.doc_id, CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) " +
+       "AS n_bigrams, COALESCE(pd.log_weight, 0.0) AS log_weight " +
+       "FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id " +
+       "ORDER BY d.doc_id"),
     "x173_semdedup_incr" -> SemDedupIncrSql,
     "x175_d4_prune" -> D4PruneSql,
     // the x12 recursive-CC chain + size aggregate + the same

@@ -174,4 +174,29 @@ class Extras20Spec extends SparkSpec {
       assert(math.abs(mass - 1.0) < 1e-4 * members.size)
     }
   }
+
+  test("x177: DSIR weights favor the target slice on average, bigram " +
+      "accounting is exact, and the scoring is deterministic") {
+    val out = Extras20.x177DsirWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == Tables.documents(spark, sf).count())
+    // exact bigram accounting: sum over docs == total occurrences
+    val totalBigrams = graft.api.TextPipeline
+      .ngramRows(Tables.documents(spark, sf), "doc_id", "text", 2)
+      .count()
+    assert(out.map(_._2).sum == totalBigrams)
+    // the signal points the right way: target-slice docs average a
+    // HIGHER importance weight than the rest (they define the target
+    // model; per-bigram normalization keeps lengths comparable)
+    val (tgt, rest) = out.filter(_._2 > 0).partition(_._1 % 97 == 0)
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    def meanPerBigram(xs: Array[(Long, Long, Double)]): Double =
+      xs.map(x => x._3 / x._2).sum / xs.length
+    assert(meanPerBigram(tgt) > meanPerBigram(rest),
+      s"target mean ${meanPerBigram(tgt)} must exceed " +
+        s"rest mean ${meanPerBigram(rest)}")
+    val again = Extras20.x177DsirWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.sameElements(again))
+  }
 }
