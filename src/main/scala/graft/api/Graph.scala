@@ -167,6 +167,16 @@ object Graph {
         (col("n_edges") === 0 || col("min_deg") >= k).as("converged"))
   }
 
+  /** Connected components over an undirected edge frame — the
+    * alternating large-star/small-star loop behind the dedup-cluster
+    * family ([[TextPipeline.connectedComponentsWithRounds]]), surfaced
+    * on the Graph face so a caller with a generic edge list need not
+    * reach for the text-pipeline namespace. Returns (doc_id,
+    * cluster_rep) with rep = the component's minimum node id. */
+  def connectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIter: Int = 25): DataFrame =
+    TextPipeline.connectedComponents(edges, srcCol, dstCol, maxIter)
+
   /** Synchronous label propagation (Raghavan 2007) over an undirected
     * edge frame (symmetrized internally): argmax-by-neighbor-count
     * with the MIN-label tie rule, as one grouped min over a

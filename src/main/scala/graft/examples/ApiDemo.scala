@@ -233,6 +233,13 @@ object ApiDemo {
     comm.orderBy(col("node")).show(false)
     println("modularity of those communities (global row first):")
     Graph.modularity(bridged, "u", "v", comm, "node", "lbl").show(false)
+    println("connected components of the bridged triangles (one " +
+      "component) vs with the bridge removed (two):")
+    Graph.connectedComponents(bridged, "u", "v")
+      .orderBy(col("doc_id")).show(false)
+    Graph.connectedComponents(
+        bridged.filter(!(col("u") === 3L && col("v") === 4L)), "u", "v")
+      .orderBy(col("doc_id")).show(false)
 
     // containment guard visibility (round 8): the stop set is DATA
     println("containment pairs + stop-token count (t=0.4):")
