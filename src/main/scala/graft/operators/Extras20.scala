@@ -320,9 +320,59 @@ object Extras20 {
       .orderBy(col("doc_id"))
   }
 
+  /** X178 — CCNet perplexity buckets (Wenzek et al. 2020, LREC —
+    * §4.4's head/middle/tail split, the curation tiering CommonCrawl
+    * pipelines run before mixing): per language, documents are split
+    * into terciles of their corpus-LM score (x49's mean bigram
+    * log-probability — HIGHER lp ⇔ lower perplexity ⇔ `head`), so a
+    * mixing policy can sample head-heavy without a hard quality
+    * cutoff. Boundaries at per-language ranks floor(n/3) and
+    * floor(2n/3), rank over (lp, doc_id).
+    *
+    * Scale shape: the score pass is x49's (two vocabulary-keyed model
+    * aggregates + one per-doc mean); the tercile rank is the x43/x175
+    * DECOMPOSITION — per-(lang, lp) counts, a cumulative window over
+    * that aggregate-bounded distinct-score frame, a tie window only
+    * within equal-(lang, lp) groups — no per-language corpus window
+    * funnel. Oracle: the x49 chain + a plain rank window + the same
+    * boundary arithmetic. */
+  def x178CcnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val docs = Tables.documents(s, sfDir)
+    val scored = graft.Checkpoints.cut(
+      graft.api.TextPipeline.lmScore(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("lp")))
+    val perLp = scored.groupBy(col("lang"), col("lp"))
+      .agg(count(lit(1)).as("n_at"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("lp"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val cum = perLp.withColumn("c_le", sum(col("n_at")).over(wCum))
+      .select(col("lang"), col("lp"), (col("c_le") - col("n_at")).as("c_lt"))
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("lp")).orderBy(col("doc_id"))
+    val nl = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .select(col("lang"),
+        floor(col("n") / lit(3.0)).cast("long").as("t1"),
+        floor(lit(2.0) * col("n") / lit(3.0)).cast("long").as("t2"))
+    scored.join(cum, Seq("lang", "lp"))
+      .withColumn("tie", row_number().over(wTie).cast("long"))
+      .withColumn("lp_rank", col("c_lt") + col("tie"))
+      .join(broadcast(nl), "lang")
+      .select(col("doc_id"), col("lang"), col("lp"), col("lp_rank"),
+        when(col("lp_rank") > col("t2"), lit("head"))
+          .when(col("lp_rank") > col("t1"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql50_tablesample" -> (sql50Tablesample _),
     "x177_dsir_weights" -> (x177DsirWeights _),
+    "x178_ccnet_buckets" -> (x178CcnetBuckets _),
     "x173_semdedup_incr" -> (x173SemDedupIncr _),
     "x175_d4_prune" -> (x175D4Prune _),
     "x176_soft_dedup" -> (x176SoftDedup _))
@@ -358,6 +408,31 @@ object Extras20 {
        "AS n_bigrams, COALESCE(pd.log_weight, 0.0) AS log_weight " +
        "FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id " +
        "ORDER BY d.doc_id"),
+    // the x49 scoring chain + a rank window + identical floor(n/3)
+    // boundary arithmetic
+    "x178_ccnet_buckets" ->
+      (s"WITH bg AS (SELECT doc_id, ngram FROM (${TextOps.ngramSql(2)}) t), " +
+       s"uni AS (SELECT ngram AS w FROM (${TextOps.ngramSql(1)}) t), " +
+       "c2 AS (SELECT ngram, COUNT(*) AS c2 FROM bg GROUP BY 1), " +
+       "c1 AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY 1), " +
+       "v AS (SELECT COUNT(DISTINCT w) AS v FROM uni), " +
+       "sc AS (SELECT b.doc_id, " +
+       "round(AVG(ln((c2.c2 + 1.0) / (c1.c1 + v.v))), 6) AS lp " +
+       "FROM bg b JOIN c2 ON b.ngram = c2.ngram " +
+       "JOIN c1 ON split_part(b.ngram, ' ', 1) = c1.w " +
+       "CROSS JOIN v GROUP BY b.doc_id), " +
+       "sl AS (SELECT sc.doc_id, d.lang, sc.lp FROM sc " +
+       "JOIN documents d ON d.doc_id = sc.doc_id), " +
+       "rk AS (SELECT doc_id, lang, lp, CAST(row_number() OVER " +
+       "(PARTITION BY lang ORDER BY lp, doc_id) AS BIGINT) AS r " +
+       "FROM sl), " +
+       "nl AS (SELECT lang, CAST(FLOOR(COUNT(*) / 3.0) AS BIGINT) " +
+       "AS t1, CAST(FLOOR(2.0 * COUNT(*) / 3.0) AS BIGINT) AS t2 " +
+       "FROM sl GROUP BY lang) " +
+       "SELECT r.doc_id, r.lang, r.lp, r.r AS lp_rank, " +
+       "CASE WHEN r.r > n.t2 THEN 'head' WHEN r.r > n.t1 " +
+       "THEN 'middle' ELSE 'tail' END AS bucket " +
+       "FROM rk r JOIN nl n USING (lang) ORDER BY r.doc_id"),
     "x173_semdedup_incr" -> SemDedupIncrSql,
     "x175_d4_prune" -> D4PruneSql,
     // the x12 recursive-CC chain + size aggregate + the same

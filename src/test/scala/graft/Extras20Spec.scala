@@ -199,4 +199,31 @@ class Extras20Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.sameElements(again))
   }
+
+  test("x178: CCNet buckets are per-language terciles — exact sizes, " +
+      "rank a permutation, and head genuinely outscores tail") {
+    val out = Extras20.x178CcnetBuckets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getString(4)))
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val n = rows.length
+      val (t1, t2) = (n / 3, 2 * n / 3)
+      assert(rows.map(_._4).sorted.sameElements(1L to n),
+        s"rank must be a permutation for $lang")
+      val sizes = rows.groupBy(_._5).view.mapValues(_.size).toMap
+      assert(sizes.getOrElse("tail", 0) == t1 &&
+        sizes.getOrElse("middle", 0) == t2 - t1 &&
+        sizes.getOrElse("head", 0) == n - t2,
+        s"$lang tercile sizes off: $sizes (n=$n)")
+      // rank follows lp: min head lp >= max tail lp
+      if (sizes.getOrElse("head", 0) > 0 && sizes.getOrElse("tail", 0) > 0) {
+        val headMin = rows.filter(_._5 == "head").map(_._3).min
+        val tailMax = rows.filter(_._5 == "tail").map(_._3).max
+        assert(headMin >= tailMax, s"$lang: head min $headMin < " +
+          s"tail max $tailMax")
+      }
+    }
+    assert(out.map(_._5).distinct.sorted.sameElements(
+      Array("head", "middle", "tail")), "all three buckets populated")
+  }
 }
