@@ -158,6 +158,68 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("grouped banded pairs == ungrouped pairs restricted to equal " +
+      "groups, for any seeded corpus under a vector-derived grouping") {
+    import spark.implicits._
+    // the x172 ladder's correctness core: adding the group to the band
+    // key must change NOTHING except dropping cross-group pairs. Group
+    // = hash(vector) % 3 — a function of the vector, as the contract
+    // requires (k-means assignments are; arbitrary labels are not,
+    // since exact-dup classes must never straddle groups).
+    val prop = Prop.forAll(Gen.chooseNum(1L, 1000L)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val base = (1L to 24L).map { i =>
+        (i, Array.fill(8)((rnd.nextInt(5) - 2).toFloat * 0.5f).toSeq)
+      }
+      // plant near-dups: clones of every 4th vector with one tweak
+      val planted = base ++ base.filter(_._1 % 4 == 0).map { case (i, v) =>
+        (i + 100L, v.updated(0, v.head + 0.01f))
+      }
+      val df = planted.toDF("id", "vec")
+        .withColumn("g", abs(xxhash64(col("vec"))) % 3)
+        .localCheckpoint(true)
+      val grouped = graft.api.VectorPipeline.groupedCosinePairs(
+          df, "id", "vec", "g", 0.5, numBands = 4, dims = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2))).toSet
+      val groups = planted.map { case (i, _) => i }.toSet
+      val gOf = df.select(col("id"), col("g")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val restricted = graft.api.VectorPipeline.bandedCosinePairs(
+          df.select(col("id"), col("vec")), "id", "vec", 0.5,
+          numBands = 4, dims = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2)))
+        .filter { case (a, b, _) => gOf(a) == gOf(b) }.toSet
+      require(groups.nonEmpty)
+      grouped == restricted
+    }
+    check(prop)
+    // the incremental face obeys the same law against a probe split
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 20L).map(i =>
+      (i, Array.fill(8)((rnd.nextInt(5) - 2).toFloat * 0.5f).toSeq))
+    val probe = corpus.filter(_._1 % 3 == 0).map { case (i, v) =>
+      (i + 100L, v.updated(1, v(1) + 0.01f))
+    }
+    import spark.implicits._
+    def g(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("g", abs(xxhash64(col("vec"))) % 2)
+    val pc = g(probe.toDF("id", "vec"))
+    val cc = g(corpus.toDF("id", "vec"))
+    val groupedA = graft.api.VectorPipeline.groupedCosinePairsAgainst(
+        pc, cc, "id", "vec", "g", 0.5, numBands = 4, dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gAll = (pc.collect() ++ cc.collect())
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val plainA = graft.api.VectorPipeline.bandedCosinePairsAgainst(
+        probe.toDF("id", "vec"), corpus.toDF("id", "vec"),
+        "id", "vec", 0.5, numBands = 4, dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (p, c) => gAll(p) == gAll(c) }.toSet
+    assert(groupedA == plainA, s"against-form: $groupedA vs $plainA")
+  }
+
   test("int8 quantization bounds hold for any vector") {
     import spark.implicits._
     // degenerate constant vectors (hi == lo) included: the operator
