@@ -47,15 +47,20 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    // Self-reporting contract (VERDICT r9 #4): the full per-query line
-    // at ~350 queries is ~11 KB — larger than the driver's stdout
-    // tail-capture budget, so a tail capture decapitates it and the
-    // parse comes back null. Emit THREE forms: the full line first
-    // (head-parsers and humans), the same line persisted to
-    // bench-full.json beside the repo (nothing lost), and a LAST line
-    // compact enough (~1 KB: total + failures + 15 slowest) that any
-    // tail capture always ends with one complete parseable JSON line.
-    def fmt(v: Double): String = "%.3f".format(v)
+    // Self-reporting contract (VERDICT r10 #3): the full per-query line
+    // at ~360 queries is ~11 KB — larger than the driver's stdout
+    // capture budget in either direction, so whichever end the capture
+    // anchors on, an 11 KB line can be decapitated (r10's capture cut
+    // it mid-map and parsed null). Emit the COMPACT line (total +
+    // failures + 15 slowest, ~1 KB) both FIRST and LAST on stdout so a
+    // head-anchored or tail-anchored capture each sees one complete
+    // parseable JSON line, with the full map persisted to
+    // bench-full.json (nothing lost) and printed once in the middle
+    // for humans scrolling the log.
+    // Locale.ROOT: a comma-decimal default locale would make every
+    // number here invalid JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qmap(rs: Seq[(String, Double, Boolean)]): String =
       rs.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -64,15 +69,17 @@ object Bench {
     val total = results.map(_._2).sum
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${qmap(results)},"failures":$failures,"sf":"$sfDir"}"""
+    val slowest = results.sortBy(-_._2).take(15)
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${qmap(slowest)},"queries_truncated":true,"queries_full":"bench-full.json","failures":$failures,"sf":"$sfDir"}"""
+    println(compact)
     println(full)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
         "bench-full.json")),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
-    val slowest = results.sortBy(-_._2).take(15)
-    println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${qmap(slowest)},"queries_truncated":true,"queries_full":"bench-full.json","failures":$failures,"sf":"$sfDir"}""")
+    println(compact)
     spark.stop()
   }
 }

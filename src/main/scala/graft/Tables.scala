@@ -103,10 +103,12 @@ object Tables {
     * — existence is validity, so there is no marker file to race and a
     * crashed build can never be half-visible (ADVICE r8 on the PQ
     * model's marker-after-multi-write window). */
-  def sharedDir(tag: String, sfDir: String, fingerprint: String): java.io.File =
+  def sharedDir(tag: String, sfDir: String, fingerprint: String): java.io.File = {
+    val keyed = StagedVersion + "|" + fingerprint
     new java.io.File(sharedRoot,
       s"graft_${tag}_${(sfDir.hashCode & 0x7fffffff).toHexString}_" +
-        s"${(fingerprint.hashCode & 0x7fffffff).toHexString}")
+        s"${(keyed.hashCode & 0x7fffffff).toHexString}")
+  }
 
   /** A process-unique sibling build directory for [[publishShared]]. */
   def sharedBuildDir(target: java.io.File): java.io.File = {
@@ -140,21 +142,43 @@ object Tables {
     }
   }
 
-  /** Home directory of a staged artifact keyed by (tag, corpus table
-    * fingerprint, config) — the round-10 generalization of the PQ/CC
-    * pattern so each new staged family is three lines, not thirty. */
+  /** Code-version token folded into every staged-artifact fingerprint
+    * (ADVICE r10): cross-process artifacts outlive the JVM, so a
+    * builder-code change WITHOUT a key change would serve stale
+    * artifacts to every later session. Bump this once per round (or
+    * whenever any staged builder's output changes) — the worst case is
+    * one rebuild of every staged family, which is exactly the
+    * first-run cost. */
+  val StagedVersion = "r11"
+
+  /** Home directory of a staged artifact keyed by (tag, code version —
+    * via [[sharedDir]], corpus table fingerprint, config) — the
+    * round-10 generalization of the PQ/CC pattern so each new staged
+    * family is three lines, not thirty. */
   def stagedHome(tag: String, sfDir: String, srcTable: String,
       cfg: String): java.io.File =
     sharedDir(tag, sfDir, corpusFingerprint(sfDir, srcTable) + "|" + cfg)
 
   /** Build-if-absent for a staged home: `build` fills a process-unique
     * temp dir (flat parquet or named subdirs), then ONE atomic rename
-    * publishes. Concurrent builders race safely ([[publishShared]]). */
+    * publishes. Concurrent builders race safely ([[publishShared]]); a
+    * FAILED build deletes its temp dir before rethrowing so tmp never
+    * accumulates half-built orphans (ADVICE r10). */
   def ensureStaged(home: java.io.File)(build: java.io.File => Unit): Unit =
     if (!home.isDirectory) {
       val tmp = sharedBuildDir(home)
       tmp.mkdirs()
-      build(tmp)
+      try build(tmp)
+      catch {
+        case e: Throwable =>
+          def rm(f: java.io.File): Unit = {
+            val kids = f.listFiles()
+            if (kids != null) kids.foreach(rm)
+            f.delete(): Unit
+          }
+          rm(tmp)
+          throw e
+      }
       publishShared(tmp, home): Unit
     }
 

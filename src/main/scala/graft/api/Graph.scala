@@ -208,6 +208,7 @@ object Graph {
     * uncut, the plan doubles per round). */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
+    require(rounds >= 1, s"hits() needs at least one round, got $rounds")
     val e = edges.select(col(srcCol).as("s"), col(dstCol).as("c"))
     def l1normalize(df: DataFrame): DataFrame = {
       val raw = graft.Checkpoints.cut(df)

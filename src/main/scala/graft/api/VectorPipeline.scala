@@ -241,9 +241,14 @@ object VectorPipeline {
     * pairs, the reported stop-band set (band buckets whose representative
     * count exceeded the cap — excluded from the pair join, exactly like
     * x33's stop fingerprints), and the exact-duplicate membership table
-    * (vid → rep). */
+    * (vid → rep). For the GROUPED face, `groupViolations` carries the
+    * contract guard: exact-dup classes whose members straddle more than
+    * one group ((rep, n_grps) rows — empty whenever groupCol is a pure
+    * function of the vector, the documented precondition; non-empty
+    * means expanded intra-class pairs silently inherited the rep's
+    * group and the caller's groupCol broke the contract). */
   final case class BandedDedup(pairs: DataFrame, stopBands: DataFrame,
-      classes: DataFrame)
+      classes: DataFrame, groupViolations: Option[DataFrame] = None)
 
   /** Banded near-duplicate pairs in embedding space — the l2 shape in
     * vector space: candidates come ONLY from equal (band_idx, band_hash)
@@ -390,8 +395,16 @@ object VectorPipeline {
           col("x.vid") < col("y.vid"))
       .select(col("x.vid").as("ra"), col("y.vid").as("rb"))
       .distinct()
+    // Contract guard (lazy — pay only if the caller reads it): the
+    // classes stage is group-blind, so a groupCol that is NOT a pure
+    // function of the vector lets one exact-dup class straddle groups
+    // and the expanded pairs silently inherit the rep's group. Surface
+    // that as data instead of scaladoc: classes mapping to >1 group.
+    val grpViolations = classes.groupBy(col("rep"))
+      .agg(countDistinct(col("grp")).as("n_grps"))
+      .filter(col("n_grps") > 1)
     BandedDedup(verifyExpand(cands, reps, classes, threshold), stopBands,
-      classes.select(col("vid"), col("rep")))
+      classes.select(col("vid"), col("rep")), Some(grpViolations))
   }
 
   /** Pairs-only face of [[groupedCosinePairsDetail]]. */

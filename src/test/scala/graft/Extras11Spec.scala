@@ -541,7 +541,11 @@ class Extras11Spec extends SparkSpec {
     val first = Extras11.x111PageRank(spark, sf).collect()
     // the shared home must now exist (fingerprint-named => current)
     val fp = Tables.corpusFingerprint(sf, "lineitem") + "|" +
-      Tables.corpusFingerprint(sf, "orders") + "|b16"
+      // must match the operator's cfg exactly ("b16L", the long-coded
+      // adjacency) — round 11's version-salted sharedDir exposed that
+      // this spec's stale "b16" spelling only passed against a
+      // leftover pre-long-coding artifact in tmp
+      Tables.corpusFingerprint(sf, "orders") + "|b16L"
     val home = Tables.sharedDir("x111_edges", sf, fp)
     assert(home.isDirectory, "staged adjacency must be published")
     val stagedAt = home.lastModified()
