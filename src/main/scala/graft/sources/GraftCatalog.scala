@@ -8,15 +8,15 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow, ProjectingInternalRow}
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDeleteV2, SupportsRowLevelOperations, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, SupportsDeleteV2, SupportsMetadataColumns, SupportsRowLevelOperations, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownV2Filters}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Literal => VLiteral, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, Expression => VExpression, Literal => VLiteral, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.{And => VAnd, Not => VNot, Or => VOr, Predicate}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder, ParquetTable}
 import org.apache.spark.sql.functions.{col, input_file_name, lit, max, not, when}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A minimal DataSource-V2 TableCatalog over parquet directories that
@@ -145,7 +145,22 @@ private[sources] class GraftParquetTable(tableName: String,
   extends ParquetTable(tableName, spark,
     GraftParquetTable.readOptions(dir), Seq(dir), declared,
     classOf[ParquetFileFormat])
-  with SupportsDeleteV2 with SupportsRowLevelOperations {
+  with SupportsDeleteV2 with SupportsRowLevelOperations
+  with SupportsMetadataColumns {
+
+  /** `_file` provenance (the Iceberg convention): resolvable in any
+    * read of a graft table, produced by [[GraftFileScanBuilder]] only
+    * when actually referenced — the key the runtime MERGE group
+    * filter prunes on. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(GraftParquetTable.FileColumn)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ParquetScanBuilder = {
+    val b = super.newScanBuilder(options)
+    new GraftFileScanBuilder(b.sparkSession, b.fileIndex, b.schema,
+      b.dataSchema, b.options)
+  }
 
   /** UPDATE / MERGE INTO (and untranslatable DELETEs) through Spark's
     * group-based row-level rewrite framework, with GROUP = AFFECTED
@@ -262,6 +277,18 @@ private[sources] class GraftRowLevelOperation(table: GraftParquetTable,
 
   override def command(): RowLevelOperation.Command = info.command()
 
+  /** MERGE requests per-row `_file` provenance so Spark's
+    * RowLevelOperationRuntimeGroupFiltering can plan its dynamic
+    * group-filter subquery (the target⋈source matching-file set) —
+    * the runtime complement to the static pushdown pruning below.
+    * DELETE/UPDATE conditions are target-only, so their static
+    * pruning already resolves the exact group; they keep the plain
+    * vectorized scan. */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    if (info.command() == RowLevelOperation.Command.MERGE)
+      Array(Expressions.column(GraftFileScan.FileColumnName))
+    else Array.empty
+
   /** Group-pruning scan: accepts predicate pushdown, but pushed
     * predicates select FILES, never rows — every predicate is
     * returned as remaining, and the built scan reads all rows of the
@@ -297,6 +324,7 @@ private[sources] class GraftRowLevelOperation(table: GraftParquetTable,
       override def pushedPredicates(): Array[Predicate] = pushed
 
       override def build(): Scan = {
+        val merge = info.command() == RowLevelOperation.Command.MERGE
         val src = groupFiles match {
           case Some(files) =>
             // scan EXACTLY the affected files (possibly none); the
@@ -305,9 +333,32 @@ private[sources] class GraftRowLevelOperation(table: GraftParquetTable,
               GraftParquetTable.emptyOptions,
               files.map(_.getAbsolutePath).toIndexedSeq, declared,
               classOf[ParquetFileFormat])
+          case None if merge =>
+            // a PLAIN parquet table over the directory (not `table`):
+            // the tagged wrapper below adds _file itself, so the
+            // inner scan must stay stock
+            new ParquetTable(s"${table.name}.group", spark,
+              GraftParquetTable.readOptions(dir), Seq(dir), declared,
+              classOf[ParquetFileFormat])
           case None => table
         }
-        src.newScanBuilder(GraftParquetTable.readOptions(dir)).build()
+        val inner =
+          src.newScanBuilder(GraftParquetTable.readOptions(dir)).build()
+        if (merge)
+          // MERGE: rows carry _file, and the scan accepts the runtime
+          // group filter — when it fires, the commit group TIGHTENS to
+          // the intersection (runtime ⊆ static is expected, but
+          // intersecting keeps the commit sound even if not)
+          new GraftTaggedParquetScan(inner.asInstanceOf[ParquetScan],
+            runtimeFiles => {
+              val paths = runtimeFiles.map(_.getAbsolutePath)
+              groupFiles = Some(groupFiles match {
+                case Some(static) =>
+                  static.filter(f => paths.contains(f.getAbsolutePath))
+                case None => runtimeFiles.toArray
+              })
+            })
+        else inner
       }
     }
 
@@ -393,13 +444,18 @@ private[sources] class GraftReplaceDataWrite(inner: BatchWrite,
     inner.commit(messages)
     groupFiles() match {
       case Some(affected) if affected.isEmpty =>
-        // nothing matched: the statement is a no-op — drop the
-        // schema-only part files the empty rewrite emitted so the
-        // table's file set is bit-identical to before
+        // no file matched: drop the EMPTY part files the rewrite
+        // emitted (schema-only artifacts) so a no-match statement
+        // leaves the file set bit-identical — but KEEP any new file
+        // that carries rows: a MERGE whose group pruned to zero files
+        // still legitimately appends its WHEN NOT MATCHED inserts
+        // (round-11; the r10 spelling deleted every new file and
+        // would have dropped such inserts)
         val pre = preexisting.map(_.getName).toSet
         Option(new File(dir).listFiles()).getOrElse(Array.empty)
           .filter(f => f.isFile && !f.getName.startsWith("_") &&
             !f.getName.startsWith(".") && !pre(f.getName))
+          .filter(f => GraftReplaceDataWrite.parquetRowCount(f) == 0L)
           .foreach(_.delete())
       case Some(affected) => affected.foreach(_.delete())
       case None => preexisting.foreach(_.delete())
@@ -410,7 +466,29 @@ private[sources] class GraftReplaceDataWrite(inner: BatchWrite,
     inner.abort(messages)
 }
 
+private[sources] object GraftReplaceDataWrite {
+  /** Footer-metadata row count of one local parquet file — no data
+    * pages read; used only on the (few) files a no-match rewrite just
+    * wrote. */
+  def parquetRowCount(f: File): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+}
+
 private[sources] object GraftParquetTable {
+  /** The `_file` metadata column every graft table exposes. */
+  val FileColumn: MetadataColumn = new MetadataColumn {
+    override def name(): String = GraftFileScan.FileColumnName
+    override def dataType(): DataType = StringType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "url-encoded path of the file the row came from"
+  }
+
   def readOptions(dir: String): CaseInsensitiveStringMap =
     new CaseInsensitiveStringMap(Map("path" -> dir).asJava)
 

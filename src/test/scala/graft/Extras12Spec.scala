@@ -308,6 +308,74 @@ class Extras12Spec extends SparkSpec {
     spark.sql("DROP TABLE ugrain.t")
   }
 
+  test("GraftCatalog MERGE runtime group filter: a MERGE whose ON " +
+      "clause carries ONLY source keys prunes its group at runtime " +
+      "(SupportsRuntimeV2Filtering over _file) — the untouched file " +
+      "survives byte-identical, and a no-match MERGE keeps its " +
+      "NOT MATCHED inserts (round-11, VERDICT r10 #2)") {
+    spark.conf.set("spark.sql.catalog.rtgrain",
+      classOf[graft.sources.GraftCatalog].getName)
+    val base = Tables.scratchDir("gcat_rtgrain", sf)
+    spark.conf.set("spark.sql.catalog.rtgrain.base", base)
+    spark.sql("DROP TABLE IF EXISTS rtgrain.t")
+    (1L to 10L).map(i => (i, "keep")).toDF("id", "tag")
+      .repartitionByRange(2, col("id"))
+      .createOrReplaceTempView("rtgrain_src")
+    spark.sql("CREATE TABLE rtgrain.t AS SELECT * FROM rtgrain_src")
+    def files(): Map[String, (Long, Long)] =
+      Option(new java.io.File(base, "t").listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith("part-"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    val before = files()
+    assert(before.size >= 2, s"need >= 2 part files, got $before")
+    val highFile = new java.io.File(new java.net.URI(
+      spark.table("rtgrain.t").filter(col("id") === 10L)
+        .select(input_file_name()).head().getString(0))).getName
+    // ON t.id = s.id has NO target-only conjunct: static pushdown has
+    // nothing to prune on, so ONLY the runtime (join-driven) group
+    // filter can keep the high file out of the rewrite group — if it
+    // does not fire, the whole-table fallback rewrites both files and
+    // the identity assert below fails
+    Seq((1L, "merged"), (2L, "merged")).toDF("id", "newtag")
+      .createOrReplaceTempView("rtgrain_updates")
+    spark.sql("""MERGE INTO rtgrain.t t USING rtgrain_updates s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.tag = s.newtag
+      WHEN NOT MATCHED THEN INSERT (id, tag) VALUES (s.id, s.newtag)""")
+    val afterMerge = files()
+    assert(afterMerge.contains(highFile) &&
+      afterMerge(highFile) == before(highFile),
+      "a source-keyed MERGE must runtime-prune to the matching file: " +
+        s"$before -> $afterMerge")
+    assert(spark.table("rtgrain.t").filter(col("tag") === "merged")
+      .collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)))
+    assert(spark.table("rtgrain.t").count() == 10L,
+      "unmatched rows of the affected file must pass through")
+    // no key matches any target row: the group prunes to ZERO files,
+    // old files all survive byte-identical, and the NOT MATCHED
+    // inserts still land (the r10 no-op cleanup deleted every new
+    // file and would have dropped them)
+    val preInsert = files()
+    Seq((97L, "ins"), (98L, "ins")).toDF("id", "newtag")
+      .createOrReplaceTempView("rtgrain_inserts")
+    spark.sql("""MERGE INTO rtgrain.t t USING rtgrain_inserts s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.tag = s.newtag
+      WHEN NOT MATCHED THEN INSERT (id, tag) VALUES (s.id, s.newtag)""")
+    val afterInsert = files()
+    preInsert.foreach { case (name, sig) =>
+      assert(afterInsert.get(name).contains(sig),
+        s"insert-only MERGE must leave $name untouched: " +
+          s"$preInsert -> $afterInsert")
+    }
+    assert(spark.table("rtgrain.t").count() == 12L,
+      "NOT MATCHED inserts of a zero-group MERGE must survive commit")
+    assert(spark.table("rtgrain.t").filter(col("tag") === "ins")
+      .collect().map(_.getLong(0)).sorted.sameElements(Array(97L, 98L)))
+    spark.sql("DROP TABLE rtgrain.t")
+  }
+
   test("checkpoints seam: the three modes cut lineage to a scan and " +
       "serve identical results") {
     val base = Tables.nation(spark, sf)
