@@ -335,6 +335,51 @@ object ApiDemo {
         .toDF("uid", "d"), "uid", "d")
       .orderBy(col("k"), col("start_day")).show(false)
 
+    // --- Curation kernels (round 11): the semantic-curation ladder on
+    // caller-shaped frames -------------------------------------------
+    import graft.api.Curation
+
+    // two blobs + one exact-duplicate pair inside the first blob
+    val curVecs = ((0 until 10).map { i =>
+      val a = Array.fill(64)(0.0f); a(i % 2) = 1.0f
+      a(30 + i % 5) = 0.03f * (i % 5)
+      (i.toLong, a.toSeq)
+    } :+ (10L, {
+      val a = Array.fill(64)(0.0f); a(0) = 1.0f; a(30) = 0.0f
+      a.toSeq // exact duplicate of row 0
+    })).toDF("sample_id", "emb")
+    println("SemDeDup verdicts (same-blob vectors are mutual near-dups " +
+      "at t=0.95 -> only each blob's first id survives):")
+    Curation.semDedup(curVecs, "sample_id", "emb",
+        k = 2, iters = 2, threshold = 0.95)
+      .orderBy(col("id")).show(false)
+    println("incremental SemDeDup: a new shard probes the trained index:")
+    Curation.semDedupIncremental(
+        curVecs.filter(col("sample_id") < 10),
+        curVecs.filter(col("sample_id") >= 10)
+          .select((col("sample_id") + 100).as("sample_id"), col("emb")),
+        "sample_id", "emb", k = 2, iters = 2, threshold = 0.95)
+      .show(false)
+    println("D4 pruning (drop the 40% most prototypical per cluster):")
+    Curation.d4Prune(curVecs, "sample_id", "emb",
+        k = 2, iters = 2, threshold = 0.95, dropFrac = 0.4)
+      .orderBy(col("id")).show(false)
+    println("cross-cluster recall guard (straddlers counted as data):")
+    Curation.straddleGuard(curVecs, "sample_id", "emb",
+      k = 2, iters = 2, threshold = 0.95).show(false)
+    println("soft dedup weights from a near-dup label table:")
+    Curation.softDedup(curVecs, "sample_id",
+      Seq((0L, 0L), (10L, 0L)).toDF("member", "rep"),
+      "member", "rep").orderBy(col("id")).show(false)
+    println("DSIR importance weights (docs 100/300 are the target):")
+    Curation.dsirWeights(corpus, "id", "body",
+      corpus.filter(col("id") isin (100L, 300L)).select(col("id")),
+      "id").orderBy(col("id")).show(false)
+    println("CCNet perplexity tiers per language:")
+    Curation.perplexityTiers(
+        corpus.withColumn("tongue", lit("en")), "id", "body", "tongue")
+      .orderBy(col("id")).show(false)
+
     spark.stop()
   }
 }

@@ -355,7 +355,7 @@ object Extras12 {
     * lattice distance² to its centroid (long, scaled 1e12), same
     * trajectory as [[kmeans]]: the prototypicality signal x175's D4
     * pruning ranks on. */
-  private[operators] def kmeansDistances(corpus: DataFrame, idCol: String,
+  private[graft] def kmeansDistances(corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, iters: Int): DataFrame = {
     val vec = graft.Checkpoints.cut(
       corpus.select(col(idCol).as("vid"), col(vecCol).as("ve")))
@@ -404,6 +404,71 @@ object Extras12 {
         cents)
       .select(col("vid"), col("code").cast("long").as("cluster"))
   }
+
+  /** Top-2 nearest-centroid assignment against freshly trained
+    * centroids: (vid, c1, c2) — winner and runner-up under the exact
+    * x134 lattice order (ascending (−score, code) ≡ kmAssignArr's
+    * argmax and silhouette's (d², code): identical winners, identical
+    * tie rule). The runner-up is the standard IVF multi-probe axis —
+    * [[semDedupStraddleGuard]] counts how many straddling near-dup
+    * pairs a top-2 probe would recover. */
+  def kmeansAssignTop2(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val vec = graft.Checkpoints.cut(
+      corpus.select(col(idCol).as("vid"), col(vecCol).as("ve")))
+    val cents = kmTrain(vec, k, iters)
+    val entries = cents.sortBy(_._1).map { case (code, cent) =>
+      val dcc = cent.map(c => latticeHalfUp(c * c * 1e12)).sum
+      val dvc = graft.functions.LatticeDot.dot(col("ve"), cent, 1e12)
+      struct((lit(dcc) - lit(2L) * dvc).as("negs"), lit(code).as("code"))
+    }
+    val sorted = array_sort(array(entries: _*))
+    vec.select(col("vid"), sorted.as("sorted"))
+      .select(col("vid"),
+        element_at(col("sorted"), 1).getField("code").cast("long").as("c1"),
+        element_at(col("sorted"), 2).getField("code").cast("long").as("c2"))
+  }
+
+  /** X172b core: classify verified near-dup pairs against a top-2
+    * cluster assignment — the recall guard of the SemDeDup family
+    * (VERDICT r10 #1, the x48b/x63b pattern at the semantic tier).
+    * `n_straddling` is the loss x172/x173/st26 documentedly accept
+    * (pairs whose endpoints land in different clusters never become
+    * candidates), now emitted AS DATA instead of scaladoc;
+    * `n_recovered_top2` is how many of those a top-2 multi-probe
+    * assignment (the standard IVF trick) would bring back in scope.
+    * One pair-sized frame joined twice to the corpus-sized assignment
+    * — no pair work beyond what x41 already verified. */
+  private[operators] def straddleGuardFromPairs(pairs: DataFrame,
+      top2: DataFrame): DataFrame = {
+    val a = top2.select(col("vid").as("id_a"), col("c1").as("a1"),
+      col("c2").as("a2"))
+    val b = top2.select(col("vid").as("id_b"), col("c1").as("b1"),
+      col("c2").as("b2"))
+    val straddle = col("a1") =!= col("b1")
+    val recovered = straddle && (col("a1") === col("b2") ||
+      col("a2") === col("b1") || col("a2") === col("b2"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(!straddle, 1L).otherwise(0L)), lit(0L))
+          .as("n_within"),
+        coalesce(sum(when(straddle, 1L).otherwise(0L)), lit(0L))
+          .as("n_straddling"),
+        coalesce(sum(when(recovered, 1L).otherwise(0L)), lit(0L))
+          .as("n_recovered_top2"))
+  }
+
+  /** Public column-parameterized face of the x172b guard: band the
+    * corpus (the x41 machinery), train the same k-means x172 trains,
+    * and report total / within-cluster / straddling / top-2-recovered
+    * pair counts. */
+  def semDedupStraddleGuard(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int, threshold: Double,
+      numBands: Int = 8, dims: Int = 64): DataFrame =
+    straddleGuardFromPairs(
+      graft.api.VectorPipeline.bandedCosinePairs(corpus, idCol, vecCol,
+        threshold, numBands, dims),
+      kmeansAssignTop2(corpus, idCol, vecCol, k, iters))
 
   /** X134 contract binding: k=8, 3 Lloyd rounds on the embeddings. */
   def x134Kmeans(spark: SparkSession, sfDir: String): DataFrame =
@@ -540,19 +605,10 @@ object Extras12 {
   def x172SemDedup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.stagedFrame(spark, "semdedup", sfDir, "embeddings",
         "k8i3_t08") {
-      val corpus = graft.Checkpoints.cut(
-        Extras5.cloneCorpus(spark, sfDir))
-      val asg = kmeansAssignments(corpus, "vec_id", "embedding", 8, 3)
-      val withC = corpus.join(
-        asg.withColumnRenamed("vid", "vec_id"), "vec_id")
-      val pairs = graft.api.VectorPipeline.groupedCosinePairs(
-        withC, "vec_id", "embedding", "cluster", 0.8)
-      val dropped = pairs.select(col("id_b").as("vec_id")).distinct()
-        .withColumn("hit", lit(1))
-      withC.select(col("vec_id"), col("cluster"))
-        .join(dropped, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cluster"),
-          col("hit").isNull.as("kept"))
+      // delegates to the public column-parameterized kernel (round 11)
+      graft.api.Curation.semDedup(Extras5.cloneCorpus(spark, sfDir),
+          "vec_id", "embedding", k = 8, iters = 3, threshold = 0.8)
+        .withColumnRenamed("id", "vec_id")
     }.orderBy(col("vec_id"))
 
   // ---------------------------------------------------------------- x135

@@ -87,17 +87,13 @@ object Extras20 {
   def x173SemDedupIncr(spark: SparkSession, sfDir: String): DataFrame =
     Tables.stagedFrame(spark, "semdedup_incr", sfDir, "embeddings",
         "k8i3_t08_aug") {
-      val all = graft.Checkpoints.cut(
-        Extras5.cloneCorpus(spark, sfDir))
-      val emb = all.filter(col("vec_id") < Extras5.CloneOffset)
-      val asg = Extras12.kmeansAssignTrained(emb, all,
-        "vec_id", "embedding", 8, 3)
-      val withC = all.join(
-        asg.withColumnRenamed("vid", "vec_id"), "vec_id")
-      graft.api.VectorPipeline.groupedCosinePairsAgainst(
-        withC.filter(col("vec_id") >= Extras5.CloneOffset),
-        withC.filter(col("vec_id") < Extras5.CloneOffset),
-        "vec_id", "embedding", "cluster", 0.8)
+      // delegates to the public column-parameterized kernel (round 11):
+      // corpus = the original embeddings, probe = the clone shard
+      val all = graft.Checkpoints.cut(Extras5.cloneCorpus(spark, sfDir))
+      graft.api.Curation.semDedupIncremental(
+        all.filter(col("vec_id") < Extras5.CloneOffset),
+        all.filter(col("vec_id") >= Extras5.CloneOffset),
+        "vec_id", "embedding", k = 8, iters = 3, threshold = 0.8)
     }.orderBy(col("id_new"), col("id_old"))
 
   /** The x173 oracle: train chain over embeddings only (the literal
@@ -186,33 +182,20 @@ object Extras20 {
   def x175D4Prune(spark: SparkSession, sfDir: String): DataFrame =
     Tables.stagedFrame(spark, "d4_prune", sfDir, "embeddings",
         "k8i3_t08_p20") {
+      // the rank core is the shared public kernel's
+      // ([[graft.api.Curation.d4Rank]], round 11); this binding keeps
+      // its cheaper input composition — the STAGED x172 survivors
+      // plus one kmeansDistances pass — where the generic
+      // [[graft.api.Curation.d4Prune]] recomputes semDedup from the
+      // raw frame
       val all = graft.Checkpoints.cut(Extras5.cloneCorpus(spark, sfDir))
       val sem = Extras12.x172SemDedup(spark, sfDir)
       val d2 = Extras12.kmeansDistances(all, "vec_id", "embedding", 8, 3)
-        .withColumnRenamed("vid", "vec_id")
-      val kd = graft.Checkpoints.cut(
-        d2.join(sem.filter(col("kept")).select(col("vec_id")), "vec_id"))
-      val perD2 = kd.groupBy(col("cluster"), col("d2"))
-        .agg(count(lit(1)).as("n_at"))
-      val wCum = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("cluster")).orderBy(col("d2"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, org.apache.spark.sql.expressions.Window
-          .currentRow)
-      val cum = perD2
-        .withColumn("c_le", sum(col("n_at")).over(wCum))
-        .select(col("cluster"), col("d2"),
-          (col("c_le") - col("n_at")).as("c_lt"))
-      val wTie = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("cluster"), col("d2")).orderBy(col("vec_id"))
-      val nc = kd.groupBy(col("cluster"))
-        .agg(floor(lit(0.2) * count(lit(1))).cast("long").as("dropn"))
-      kd.join(cum, Seq("cluster", "d2"))
-        .withColumn("tie", row_number().over(wTie).cast("long"))
-        .withColumn("proto_rank", col("c_lt") + col("tie"))
-        .join(broadcast(nc), "cluster")
-        .select(col("vec_id"), col("cluster"), col("proto_rank"),
-          (col("proto_rank") > col("dropn")).as("kept_final"))
+        .withColumnRenamed("vid", "id")
+      graft.api.Curation.d4Rank(
+          d2.join(sem.filter(col("kept"))
+            .select(col("vec_id").as("id")), "id"), 0.2)
+        .withColumnRenamed("id", "vec_id")
     }.orderBy(col("vec_id"))
 
   private val D4PruneSql: String =
@@ -250,21 +233,14 @@ object Extras20 {
     * sampler consumes directly (x35's temperature mix applies on top
     * for language balancing). Weight = round(1/size, 6) with the
     * identical IEEE spelling both engines. */
-  def x176SoftDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val labels = Dedup.ccLabelsFrame(spark, sfDir)
-    val sizes = labels.groupBy(col("cluster_rep"))
-      .agg(count(lit(1)).as("sz"))
-    val weighted = labels.join(sizes, "cluster_rep")
-      .select(col("doc_id"), col("sz"))
-    Tables.documents(Tables.tune(spark), sfDir)
-      .select(col("doc_id"))
-      .join(weighted, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("sz"), lit(1L)).as("cluster_size"),
-        round(lit(1.0) / coalesce(col("sz"), lit(1L)).cast("double"), 6)
-          .as("weight"))
+  def x176SoftDedup(spark: SparkSession, sfDir: String): DataFrame =
+    // delegates to the public column-parameterized kernel (round 11);
+    // labels = the one staged cross-process CC run
+    graft.api.Curation.softDedup(
+        Tables.documents(Tables.tune(spark), sfDir), "doc_id",
+        Dedup.ccLabelsFrame(spark, sfDir), "doc_id", "cluster_rep")
+      .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
-  }
 
   /** X177 — DSIR importance weights (Xie et al. 2023,
     * arXiv:2302.03169 "Data Selection for Language Models via
@@ -288,35 +264,15 @@ object Extras20 {
     * x111 policy on the x49 precedent (ln agrees across engines on
     * these magnitudes). */
   def x177DsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    // delegates to the public column-parameterized kernel (round 11);
+    // target slice = the doc_id % 97 = 0 eval-domain sample (x17's
+    // convention), passed as an id frame
     val s = Tables.tune(spark)
     val docs = Tables.documents(s, sfDir)
-    val grams = graft.api.TextPipeline
-      .ngramRows(docs, "doc_id", "text", 2)
-      .select(col("doc_id"), graft.Det.md5Bucket(col("ngram"), 3).as("b"))
-      .localCheckpoint(true)
-    val raw = grams.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tgt = grams.filter(col("doc_id") % 97 === 0)
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val totals = raw.agg(sum(col("cr")).as("tr"))
-      .crossJoin(tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("tt")))
-    val model = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("ct"))
-      .crossJoin(broadcast(totals))
-      .select(col("b"), round(
-        log((col("ct") + 1).cast("double") /
-          (col("tt") + 4096L).cast("double")) -
-        log((col("cr") + 1).cast("double") /
-          (col("tr") + 4096L).cast("double")), 10).as("term"))
-    val perDoc = grams.join(broadcast(model), "b")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("term")
-            .cast(org.apache.spark.sql.types.DecimalType(28, 15)))
-          .cast("double"), 6).as("log_weight"))
-    docs.select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("log_weight"), lit(0.0)).as("log_weight"))
+    graft.api.Curation.dsirWeights(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0).select(col("doc_id")),
+        "doc_id", buckets = 4096)
+      .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
   }
 
@@ -336,37 +292,37 @@ object Extras20 {
     * within equal-(lang, lp) groups — no per-language corpus window
     * funnel. Oracle: the x49 chain + a plain rank window + the same
     * boundary arithmetic. */
-  def x178CcnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = Tables.tune(spark)
-    val docs = Tables.documents(s, sfDir)
-    val scored = graft.Checkpoints.cut(
-      graft.api.TextPipeline.lmScore(docs, "doc_id", "text")
-        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-        .select(col("doc_id"), col("lang"), col("lp")))
-    val perLp = scored.groupBy(col("lang"), col("lp"))
-      .agg(count(lit(1)).as("n_at"))
-    val wCum = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("lp"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, org.apache.spark.sql.expressions.Window
-        .currentRow)
-    val cum = perLp.withColumn("c_le", sum(col("n_at")).over(wCum))
-      .select(col("lang"), col("lp"), (col("c_le") - col("n_at")).as("c_lt"))
-    val wTie = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"), col("lp")).orderBy(col("doc_id"))
-    val nl = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-      .select(col("lang"),
-        floor(col("n") / lit(3.0)).cast("long").as("t1"),
-        floor(lit(2.0) * col("n") / lit(3.0)).cast("long").as("t2"))
-    scored.join(cum, Seq("lang", "lp"))
-      .withColumn("tie", row_number().over(wTie).cast("long"))
-      .withColumn("lp_rank", col("c_lt") + col("tie"))
-      .join(broadcast(nl), "lang")
-      .select(col("doc_id"), col("lang"), col("lp"), col("lp_rank"),
-        when(col("lp_rank") > col("t2"), lit("head"))
-          .when(col("lp_rank") > col("t1"), lit("middle"))
-          .otherwise(lit("tail")).as("bucket"))
+  def x178CcnetBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    // delegates to the public column-parameterized kernel (round 11)
+    graft.api.Curation.perplexityTiers(
+        Tables.documents(Tables.tune(spark), sfDir),
+        "doc_id", "text", "lang")
+      .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
+
+  /** X172b — CROSS-CLUSTER RECALL GUARD for the SemDeDup family
+    * (VERDICT r10 #1: the x48b/x63b guard-row pattern at the semantic
+    * tier). x172/x173/st26 accept the paper's trade — near-dup pairs
+    * whose endpoints land in different k-means clusters never become
+    * candidates — but until this row the loss was scaladoc, invisible
+    * at a different k or corpus. The guard classifies x41's VERIFIED
+    * ungrouped banded pairs (the staged clone-pair table — zero new
+    * pair work) against the SAME k=8/3-round training x172 runs:
+    * `n_within` is x172's in-scope pair set, `n_straddling` the
+    * documented loss AS DATA, and `n_recovered_top2` how many
+    * straddlers a top-2 multi-probe assignment
+    * ([[Extras12.kmeansAssignTop2]], the standard IVF trick) would
+    * bring back in scope. At 100 TB this is two broadcast-sized joins
+    * of the pair table to the assignment — the guard costs nothing
+    * beyond the artifacts the ladder already builds. Oracle: the x172
+    * Lloyd chain + a rank-2 assignment window + the x41 exhaustive
+    * pair recompute. */
+  def x172bStraddleGuard(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val corpus = graft.Checkpoints.cut(Extras5.cloneCorpus(s, sfDir))
+    Extras12.straddleGuardFromPairs(
+      Extras5.clonePairs(s, sfDir),
+      Extras12.kmeansAssignTop2(corpus, "vec_id", "embedding", 8, 3))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -375,7 +331,40 @@ object Extras20 {
     "x178_ccnet_buckets" -> (x178CcnetBuckets _),
     "x173_semdedup_incr" -> (x173SemDedupIncr _),
     "x175_d4_prune" -> (x175D4Prune _),
+    "x172b_semdedup_guard" -> (x172bStraddleGuard _),
     "x176_soft_dedup" -> (x176SoftDedup _))
+
+  /** The x172b oracle: the x172 Lloyd chain (reused verbatim), a
+    * rank-≤2 window for the top-2 assignment at the identical
+    * (2·dvc − dcc) DESC, code order, and the x41 exhaustive verified
+    * pair recompute — then the same three classifications. */
+  private val SemGuardSql: String = {
+    val tA = Extras5.cloneDotTerm("a")
+    val tB = Extras5.cloneDotTerm("b")
+    "WITH " + Extras12.SemDedupChainSql + ", " +
+    "a2 AS MATERIALIZED (SELECT vid, " +
+    "MAX(CASE WHEN rn = 1 THEN code END) AS c1, " +
+    "MAX(CASE WHEN rn = 2 THEN code END) AS c2 FROM " +
+    "(SELECT d.vid, d.code, row_number() OVER (PARTITION BY d.vid " +
+    "ORDER BY (2 * d.dvc - s.dcc) DESC, d.code) AS rn " +
+    "FROM dvc4 d JOIN dcc4 s USING (code)) t WHERE rn <= 2 " +
+    "GROUP BY vid), " +
+    "pall AS MATERIALIZED (SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
+    "FROM base a, base b, range(1, 65) r(i) " +
+    "WHERE a.vec_id < b.vec_id GROUP BY a.vec_id, b.vec_id " +
+    s"HAVING round(SUM($tA * $tB), 6) >= 0.8), " +
+    "j AS (SELECT xa.c1 AS a1, xa.c2 AS a2c, xb.c1 AS b1, xb.c2 AS b2 " +
+    "FROM pall p JOIN a2 xa ON xa.vid = p.id_a " +
+    "JOIN a2 xb ON xb.vid = p.id_b) " +
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+    "CAST(COALESCE(SUM(CASE WHEN a1 = b1 THEN 1 ELSE 0 END), 0) " +
+    "AS BIGINT) AS n_within, " +
+    "CAST(COALESCE(SUM(CASE WHEN a1 <> b1 THEN 1 ELSE 0 END), 0) " +
+    "AS BIGINT) AS n_straddling, " +
+    "CAST(COALESCE(SUM(CASE WHEN a1 <> b1 AND (a1 = b2 OR a2c = b1 " +
+    "OR a2c = b2) THEN 1 ELSE 0 END), 0) AS BIGINT) " +
+    "AS n_recovered_top2 FROM j"
+  }
 
   val oracles: Map[String, String] = Map(
     // the claims are engine-independent by construction; the oracle
@@ -435,6 +424,7 @@ object Extras20 {
        "FROM rk r JOIN nl n USING (lang) ORDER BY r.doc_id"),
     "x173_semdedup_incr" -> SemDedupIncrSql,
     "x175_d4_prune" -> D4PruneSql,
+    "x172b_semdedup_guard" -> SemGuardSql,
     // the x12 recursive-CC chain + size aggregate + the same
     // 1/size spelling; singletons (docs outside the pair graph) at 1
     "x176_soft_dedup" ->

@@ -81,7 +81,8 @@ object Extras5 {
     * x42 consumes them. Staged cross-process since round 10 (VERDICT
     * r9 #3): the banded build runs once per corpus; later processes
     * reload the verified pair table (the x51 PQ-model pattern). */
-  private def clonePairs(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def clonePairs(spark: SparkSession,
+      sfDir: String): DataFrame =
     Tables.stagedFrame(spark, "clone_pairs", sfDir, "embeddings",
         "b8_t08") {
       graft.api.VectorPipeline.bandedCosinePairs(

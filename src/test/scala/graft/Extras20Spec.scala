@@ -226,4 +226,65 @@ class Extras20Spec extends SparkSpec {
     assert(out.map(_._5).distinct.sorted.sameElements(
       Array("head", "middle", "tail")), "all three buckets populated")
   }
+
+  test("x172b guard: a planted straddling near-dup pair is COUNTED " +
+      "as data (and recovered by the top-2 multi-probe), and the " +
+      "corpus guard row equals an independent pair classification") {
+    import spark.implicits._
+    import graft.operators.{Extras5, Extras12}
+    // two blobs; seeds (the 2 lowest ids) land one per blob; ids 5/6
+    // are a near-dup pair (dot 0.9936) riding the blob boundary so
+    // k-means splits them — the pair the grouped machinery documentedly
+    // drops. Band layout (2 bands over 4 dims): each planted pair
+    // shares its trailing band, nothing else collides.
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.05f, 0.01f, 0.01f)),
+      (2L, Seq(0.05f, 1.0f, 0.02f, 0.02f)),
+      (3L, Seq(0.9f, 0.1f, 0.01f, 0.01f)),
+      (4L, Seq(0.1f, 0.9f, 0.02f, 0.02f)),
+      (5L, Seq(0.72f, 0.69f, 0.0f, 0.0f)),
+      (6L, Seq(0.69f, 0.72f, 0.0f, 0.0f))).toDF("id", "vec")
+    val g = Extras12.semDedupStraddleGuard(rows, "id", "vec",
+      k = 2, iters = 1, threshold = 0.8, numBands = 2, dims = 4).head()
+    assert(g.getAs[Long]("n_pairs") == 3L)
+    assert(g.getAs[Long]("n_within") == 2L, "the two in-blob pairs")
+    assert(g.getAs[Long]("n_straddling") == 1L,
+      "the planted straddling pair must be COUNTED, not just documented")
+    assert(g.getAs[Long]("n_recovered_top2") == 1L,
+      "at k=2 the top-2 probe always recovers a straddler")
+    // the same straddling pair is invisible to the grouped (x172)
+    // machinery — the loss the guard row quantifies
+    val asg = Extras12.kmeansAssignTop2(rows, "id", "vec", 2, 1)
+      .select(col("vid"), col("c1").as("cluster"))
+    val grouped = graft.api.VectorPipeline.groupedCosinePairs(
+      rows.join(asg, rows("id") === asg("vid")), "id", "vec", "cluster",
+      0.8, numBands = 2, dims = 4)
+    assert(grouped.count() == 2L,
+      "grouped machinery sees only the within-cluster pairs")
+
+    // corpus binding: the contract row equals a driver-side
+    // classification of the staged x41 pairs under a recomputed
+    // top-2 assignment
+    val row = Extras20.x172bStraddleGuard(spark, sf).head()
+    val top2 = Extras12.kmeansAssignTop2(
+        Extras5.cloneCorpus(spark, sf), "vec_id", "embedding", 8, 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val pairs = Extras5.clonePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nWithin = pairs.count { case (a, b) => top2(a)._1 == top2(b)._1 }
+    val straddlers = pairs.filter { case (a, b) =>
+      top2(a)._1 != top2(b)._1 }
+    val nRec = straddlers.count { case (a, b) =>
+      val (a1, a2) = top2(a)
+      val (b1, b2) = top2(b)
+      a1 == b2 || a2 == b1 || a2 == b2
+    }
+    assert(row.getAs[Long]("n_pairs") == pairs.length.toLong)
+    assert(row.getAs[Long]("n_within") == nWithin.toLong)
+    assert(row.getAs[Long]("n_straddling") == straddlers.length.toLong)
+    assert(row.getAs[Long]("n_recovered_top2") == nRec.toLong)
+    assert(row.getAs[Long]("n_within") +
+      row.getAs[Long]("n_straddling") == row.getAs[Long]("n_pairs"))
+  }
 }
