@@ -13,196 +13,6 @@ import graft.api.VectorPipeline
   */
 object Extras11 {
 
-  /** The directed trade graph both graph rows share: one edge per
-    * DISTINCT (supplier, customer) shipping relationship (lineitem ⋈
-    * orders), materialized in BOTH directions so the graph is
-    * symmetric (every node has out-degree ≥ 1 — no dangling-mass
-    * correction needed). Node ids are namespaced strings ('s…'/'c…')
-    * so the two key domains can never collide. Memoized per (session,
-    * corpus): the edge list with degrees is the persisted adjacency a
-    * cluster job would build once. */
-  private def tradeEdges(spark: SparkSession, sfDir: String): DataFrame =
-    graft.Memo(spark, s"x111edges:$sfDir") {
-      val s = Tables.tune(spark)
-      // catalog name keyed by corpus like the data path (ADVICE r8): a
-      // second corpus in the same session must get its OWN table, not
-      // swap graft_trade_edges under the first corpus's memoized frame
-      val key = (sfDir.hashCode & 0x7fffffff).toHexString
-      val tbl = s"graft_trade_edges_$key"
-      // CROSS-SESSION staging (VERDICT r8 #4 — the savePqModel
-      // pattern): the bucketed adjacency files live under the shared
-      // root, fingerprint-named by the two source tables; a later
-      // process re-REGISTERS the table over the existing files instead
-      // of re-running the fact join + distinct + bucketed write (~2/3
-      // of x111's cold bench cost). Build publishes via one atomic
-      // rename, so a concurrent builder can never expose a partial dir.
-      // node ids DOMAIN-CODED to longs (supplier k → 2k, customer k →
-      // 2k+1): an 8-byte fixed-width join/shuffle key instead of a
-      // variable-width string — cheaper scan, hash, and sort on every
-      // iteration of every consumer (x111 PageRank, x135 SSSP); the
-      // contract output decodes back to 's…'/'c…' ([[decodeNode]]) so
-      // the oracle never sees the coding. The dictionary-coding move
-      // every 100 TB graph job makes before iterating.
-      val fp = Tables.corpusFingerprint(sfDir, "lineitem") + "|" +
-        Tables.corpusFingerprint(sfDir, "orders") + "|b16L"
-      val home = Tables.sharedDir("x111_edges", sfDir, fp)
-      if (!home.isDirectory) {
-        val sc = Tables.lineitem(spark, sfDir)
-          .select(col("l_orderkey"), col("l_suppkey"))
-          .join(Tables.orders(spark, sfDir)
-            .select(col("o_orderkey"), col("o_custkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select((col("l_suppkey") * 2).cast("long").as("a"),
-            (col("o_custkey") * 2 + 1).cast("long").as("b"))
-          .distinct()
-          // materialize ONCE: the union's two branches, the degree
-          // aggregate, and the final join would otherwise each re-run
-          // the fact join + distinct (4x the dominant cold cost).
-          // Checkpoints seam: reliable/table modes by config
-          .transform(graft.Checkpoints.cut)
-        val edges = sc.unionByName(
-          sc.select(col("b").as("a"), col("a").as("b")))
-        val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
-        // BUCKETED on the join key (x10's machinery): the edge table —
-        // the BIG side of every PageRank iteration — carries hash(a)
-        // partitioning in its layout, so each iteration's SMJ exchanges
-        // only the node-sized rank vector and the edges are never
-        // re-shuffled (the naive localCheckpoint form re-exchanged the
-        // edge scan five times). On a cluster this is the
-        // pre-partitioned adjacency every iterative graph job stages
-        // first. Write lands in a temp dir THROUGH a temp catalog
-        // entry (bucket layout comes from saveAsTable), then the
-        // entry drops (external table — files stay) and the dir
-        // publishes atomically.
-        val tmp = Tables.sharedBuildDir(home)
-        val buildTbl = s"${tbl}_build"
-        s.sql(s"DROP TABLE IF EXISTS $buildTbl")
-        // repartition to the bucket spec BEFORE the write: without it
-        // every task writes a file per bucket (tasks × 16 small files —
-        // measured ~10 s of the cold cost); aligned, it's 16 files
-        edges.join(deg, "a").repartition(16, col("a"))
-          .write.mode("overwrite").option("path", tmp.getAbsolutePath)
-          .bucketBy(16, "a").sortBy("a").saveAsTable(buildTbl)
-        s.sql(s"DROP TABLE IF EXISTS $buildTbl")
-        Tables.publishShared(tmp, home)
-      }
-      // per-session registration over the staged files: DDL carries the
-      // same bucket spec, so scans keep hash(a) output partitioning
-      // (the spec pins single-Exchange iterations on the reloaded table)
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      s.sql(s"CREATE TABLE $tbl (a BIGINT, b BIGINT, deg BIGINT) " +
-        "USING parquet CLUSTERED BY (a) SORTED BY (a) INTO 16 BUCKETS " +
-        s"LOCATION '${home.getAbsolutePath}'")
-      // cache across iterations (InMemoryRelation keeps the bucketed
-      // child's output partitioning): iteration 1 pays one parquet
-      // scan, iterations 2..n scan memory — `persist(MEMORY_AND_DISK)`
-      // on the adjacency is the standard iterative-job move on a
-      // cluster, and here it removes 4 of the 5 cold file scans
-      s.table(tbl).cache()   // (a, b, deg) — long-coded nodes
-    }
-
-  /** Decode a long-coded node id back to its 's…'/'c…' name. */
-  private[operators] def decodeNode(node: org.apache.spark.sql.Column) =
-    when(node % 2 === 0, concat(lit("s"), (node / 2).cast("long")))
-      .otherwise(concat(lit("c"), ((node - 1) / 2).cast("long")))
-
-  /** The staged adjacency, shared with x135's SSSP (Extras12). */
-  private[operators] def tradeEdgesShared(spark: SparkSession,
-      sfDir: String): DataFrame = tradeEdges(spark, sfDir)
-
-  /** X111 — PageRank over the supplier↔customer trade graph (Brin/Page
-    * 1998; damping 0.85, 5 fixed iterations, non-normalized form with
-    * initial rank 1): the influence-centrality readout of a trade
-    * network. Each iteration is the standard distributed shape — one
-    * join of the rank vector to the out-edge list on the source key,
-    * one grouped sum on the destination key — so per-iteration cost is
-    * one shuffle keyed by node, and the rank vector (node-sized, tiny
-    * next to edges) is what moves.
-    *
-    * Determinism engineering (§7.4 applied to an ITERATIVE float
-    * algorithm): each contribution rank/deg is one IEEE division on
-    * identical doubles, rounded to 10 dp (the dot6 policy's rule:
-    * positive HALF_UP rounds identically in both engines), then summed
-    * EXACTLY in DECIMAL(28,15) — so the per-iteration aggregation is
-    * partial-order-independent and the 5-step trajectory is bitwise
-    * reproducible; the oracle unrolls the same five steps as CTEs.
-    * Output rounded to 6 dp with rank-then-node total order. */
-  def x111PageRank(spark: SparkSession, sfDir: String): DataFrame =
-    pageRank(tradeEdges(spark, sfDir), iters = 5)
-      .select(decodeNode(col("node")).as("node"),
-        round(col("rank"), 6).as("rank"))
-      .orderBy(col("rank").desc, col("node")).limit(20)
-
-  /** The iteration core over a degree-annotated directed edge list
-    * (a, b, deg-of-a); see [[x111PageRank]] for the determinism
-    * policy. Since round 10 a delegate to the public column-name-
-    * parameterized [[graft.api.Graph.pageRankWithDeg]]. */
-  def pageRank(edgesWithDeg: DataFrame, iters: Int): DataFrame =
-    graft.api.Graph.pageRankWithDeg(edgesWithDeg, "a", "b", "deg", iters)
-
-  /** X112 — triangle census of the co-purchase part graph (parts
-    * appearing in the same order, x71's graph without the basket cap):
-    * total triangles, wedges (open 2-paths), and the global clustering
-    * coefficient 3·Δ/wedges — the connectivity summary that tells you
-    * whether co-purchase structure is cliquey (bundles) or hub-like
-    * (one staple in every basket).
-    *
-    * Scale shape: edges come from a SELF-JOIN KEYED BY ORDER (per-order
-    * fan-out is basket-size-bounded, never corpus-bounded); the
-    * triangle closure runs DEGREE-ORIENTED (Chiba–Nishizeki — see
-    * [[triangleCensus]]): each edge points from its lower-(deg, id)
-    * endpoint to the higher, out-neighborhoods are O(√m)-bounded
-    * adjacency arrays, and wedge pairs stream out of a generator into
-    * one equi-join against the oriented edge list — each triangle
-    * counted exactly once from its minimum-rank vertex (PlanLint's
-    * self-join-hot-key rule rejected the naive id orientation on this
-    * very corpus). Wedges are pure integer arithmetic off the degree
-    * table — no second pass. */
-  def x112Triangles(spark: SparkSession, sfDir: String): DataFrame =
-    triangleCensus(coPurchaseEdges(spark, sfDir))
-
-  /** The canonical (a < b) co-purchase part edge set, memoized per
-    * (session, corpus) AND staged cross-session under the shared root
-    * (the x111-adjacency pattern): x112's census and x136's k-core
-    * peel share one build, and a LATER PROCESS reloads the staged
-    * parquet instead of re-running the order-keyed self-join +
-    * distinct (~2/3 of either consumer's cold line). */
-  private[operators] def coPurchaseEdges(spark: SparkSession,
-      sfDir: String): DataFrame =
-    graft.Memo(spark, s"copurchase:$sfDir") {
-      val s = Tables.tune(spark)
-      val fp = Tables.corpusFingerprint(sfDir, "lineitem") + "|copurch"
-      val home = Tables.sharedDir("copurchase", sfDir, fp)
-      if (!home.isDirectory) {
-        val li = Tables.lineitem(spark, sfDir)
-          .select(col("l_orderkey"), col("l_partkey"))
-        val edges = li.as("x").join(li.as("y"),
-            col("x.l_orderkey") === col("y.l_orderkey") &&
-              col("x.l_partkey") < col("y.l_partkey"))
-          .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-          .distinct()
-        val tmp = Tables.sharedBuildDir(home)
-        edges.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        Tables.publishShared(tmp, home)
-      }
-      s.read.parquet(home.getAbsolutePath)
-    }
-
-  /** The census core over a canonical (a < b) undirected edge list;
-    * see [[x112Triangles]]. Exposed for spec-level hand-checks.
-    *
-    * Triangle closure runs DEGREE-ORIENTED (Chiba–Nishizeki / the
-    * MapReduce triangle-counting standard): each edge points from its
-    * lower-(deg, id) endpoint to the higher, so every node's OUT-degree
-    * is O(√m) and the wedge self-join on the source key has no hot
-    * bucket — the repo's own PlanLint self-join-hot-key rule rejected
-    * the naive id orientation on this very corpus (one part with 102
-    * in-edges → a 102² bucket), which is the lint earning its keep.
-    * Each triangle is counted exactly once from its minimum-rank
-    * vertex, and the closing edge is necessarily oriented low→high
-    * rank, so one equi-join closes the wedge. */
-  def triangleCensus(e: DataFrame): DataFrame =
-    graft.api.Graph.triangleCensus(e, "a", "b")
 
   /** X113 — retraction-based incremental view maintenance (the
     * Flink/Materialize changelog algebra as a batch contract row, the
@@ -1223,21 +1033,11 @@ object Extras11 {
     "s27_nested_pruning" -> (s27NestedPruning _),
     "x117_seasonal_anomaly" -> (x117SeasonalAnomaly _),
     "x118_ri_audit" -> (x118RiAudit _),
-    "x111_pagerank" -> (x111PageRank _),
-    "x112_triangles" -> (x112Triangles _),
     "x113_mv_retraction" -> (x113MvRetraction _),
     "x114_weighted_sample" -> (x114WeightedSample _),
     "x115_dp_counts" -> (x115DpCounts _),
     "x116_multitouch" -> (x116MultiTouch _))
 
-  private val EdgeSql =
-    "SELECT DISTINCT 's' || l_suppkey AS a, 'c' || o_custkey AS b " +
-    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
-  private def prStep(prev: String, next: String): String =
-    s"$next AS (SELECT b AS node, CAST(0.15 AS DOUBLE) + " +
-    "CAST(0.85 AS DOUBLE) * CAST(SUM(CAST(round(rank / deg, 10) " +
-    s"AS DECIMAL(28,15))) AS DOUBLE) AS rank FROM ed JOIN $prev " +
-    s"ON ed.a = $prev.node GROUP BY b)"
 
   /** The x124 oracle's shared CTE chain (signatures → hamming →
     * shortlist → rerank → `retr`), reused verbatim by x128's nDCG. */
@@ -1267,33 +1067,6 @@ object Extras11 {
     "WHERE rank <= 5)"
 
   val oracles: Map[String, String] = Map(
-    // the same five iterations unrolled as CTEs, same rounding/decimal
-    // policy at every step
-    "x111_pagerank" ->
-      (s"WITH sc AS ($EdgeSql), " +
-       "e AS (SELECT a, b FROM sc UNION ALL SELECT b, a FROM sc), " +
-       "d AS (SELECT a, COUNT(*) AS deg FROM e GROUP BY a), " +
-       "ed AS (SELECT e.a, e.b, d.deg FROM e JOIN d USING (a)), " +
-       "r0 AS (SELECT a AS node, CAST(1.0 AS DOUBLE) AS rank FROM d), " +
-       prStep("r0", "r1") + ", " + prStep("r1", "r2") + ", " +
-       prStep("r2", "r3") + ", " + prStep("r3", "r4") + ", " +
-       prStep("r4", "r5") + " " +
-       "SELECT node, round(rank, 6) AS rank FROM r5 " +
-       "ORDER BY rank DESC, node LIMIT 20"),
-    // exhaustive oriented recompute: same edge set, same a<b<c closure
-    "x112_triangles" ->
-      ("WITH e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b " +
-       "FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey " +
-       "AND x.l_partkey < y.l_partkey), " +
-       "deg AS (SELECT n, COUNT(*) AS deg FROM " +
-       "(SELECT a AS n FROM e UNION ALL SELECT b FROM e) t GROUP BY n), " +
-       "agg AS (SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes, " +
-       "CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges, " +
-       "CAST((SELECT SUM(deg * (deg - 1) // 2) FROM deg) AS BIGINT) AS n_wedges, " +
-       "CAST((SELECT COUNT(*) FROM e e1 JOIN e e2 ON e1.b = e2.a " +
-       "JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b) AS BIGINT) AS n_triangles) " +
-       "SELECT n_nodes, n_edges, n_wedges, n_triangles, " +
-       "round(3.0 * n_triangles / n_wedges, 6) AS clustering_coef FROM agg"),
     // same gap rule, same buckets, same one-division shares
     "x133_session_depth" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +

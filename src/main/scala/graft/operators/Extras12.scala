@@ -611,129 +611,6 @@ object Extras12 {
         .withColumnRenamed("id", "vec_id")
     }.orderBy(col("vec_id"))
 
-  // ---------------------------------------------------------------- x135
-
-  /** X135 — single-source shortest paths (hop distance) over the SAME
-    * persisted bucketed trade adjacency x111 serves from (VERDICT r8
-    * #7): `rounds` Bellman–Ford relaxations from supplier node 's1',
-    * each round one join of the frontier-bearing distance vector to the
-    * out-edge list on the bucketed key plus a min-merge — so, exactly
-    * like PageRank, per-round cost is one shuffle of the NODE-sized
-    * distance vector and the edges never move. Output is the distance
-    * histogram (≤ rounds+1 rows): the reachability readout of the trade
-    * network from its busiest supplier. Integer hop arithmetic — no
-    * float policy needed; the oracle runs the textbook bounded
-    * recursive CTE and min-aggregates walks to shortest paths. */
-  def x135Sssp(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    // source = supplier 1, long-coded 2·1 = 2 (the adjacency's coding)
-    ssspFrom(tradeAdjacency(spark, sfDir),
-        Seq((2L, 0L)).toDF("node", "dist"), SsspRounds)
-      .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
-      .orderBy(col("dist"))
-  }
-
-  /** The relaxation core over a directed (a, b) edge list: (node, dist)
-    * for every node within `rounds` hops of `source`. Exposed for
-    * spec-level hand-checks on planted string graphs. */
-  def sssp(edges: DataFrame, source: String, rounds: Int): DataFrame =
-    graft.api.Graph.sssp(edges, "a", "b", source, rounds)
-
-  /** Key-type-generic relaxation loop from an initial (node, dist)
-    * frontier frame — a delegate to [[graft.api.Graph.ssspFrom]]. */
-  def ssspFrom(edges: DataFrame, init: DataFrame, rounds: Int): DataFrame =
-    graft.api.Graph.ssspFrom(edges, "a", "b", init, rounds)
-
-  private val SsspRounds = 6
-
-  // ---------------------------------------------------------------- x136
-
-  /** X136 — k-core decomposition (k=3, the graph-ML feature-prep
-    * standard: the maximal subgraph where every node keeps ≥ k
-    * neighbors — Seidman 1983) of the co-purchase part graph (x112's
-    * edge set). Simultaneous peel rounds: drop all nodes of degree < k
-    * at once, recompute, repeat — DETERMINISTIC regardless of
-    * execution order (unlike sequential peeling), so both engines walk
-    * the identical trajectory; convergence is emitted AS DATA
-    * (min-degree ≥ k or empty core) rather than assumed, so an
-    * unconverged bound at some corpus shows up as `converged = false`
-    * on both sides, never as a silent mismatch. Per round: one
-    * endpoint-union degree aggregate + two semi joins — all keyed by
-    * node, edges shrink monotonically; lineage cut per round through
-    * the Checkpoints seam. Oracle unrolls the same rounds as CTEs. */
-  def x136KCore(spark: SparkSession, sfDir: String): DataFrame =
-    kCore(Extras11.coPurchaseEdges(spark, sfDir), KCoreK, KCoreRounds)
-
-  private val KCoreK = 3
-  private val KCoreRounds = 8
-
-  /** The peel loop over a canonical (a < b) edge list; exposed for
-    * spec-level hand-checks on planted graphs. Output is the one-row
-    * core summary: surviving nodes/edges, the final min degree, and
-    * the convergence verdict. */
-  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame =
-    graft.api.Graph.kCore(edges, "a", "b", k, rounds)
-
-  /** The x111/x135 shared adjacency, through Extras11's staged table. */
-  private def tradeAdjacency(spark: SparkSession, sfDir: String): DataFrame =
-    Extras11.tradeEdgesShared(spark, sfDir)
-
-  // ---------------------------------------------------------------- x137
-
-  /** X137 — label-propagation communities (Raghavan 2007, the
-    * synchronous variant) of the co-purchase part graph (x112/x136's
-    * staged edge set): every node starts labeled with its own id; each
-    * round every node adopts the most frequent label among its
-    * NEIGHBORS, ties broken toward the smallest label — a fully
-    * deterministic update rule (classic async LPA is visit-order
-    * dependent; the synchronous min-tie rule walks one trajectory on
-    * any cluster layout, so both engines land on identical labels).
-    * Output is the community-size histogram (top 20 by size): the
-    * "what sells together" clustering a merchandiser reads.
-    *
-    * Scale shape, per round: one edge-keyed join shipping (node,
-    * neighbor-label) pairs — LPA's inherent edge-sized shuffle — then
-    * two node-keyed grouped aggregates; the argmax label is a
-    * min-of-struct aggregate, NOT a window, so there is no
-    * single-partition sort anywhere. Lineage cut per round through the
-    * Checkpoints seam (local stand-in; reliable checkpoint on a
-    * cluster). */
-  def x137LabelProp(spark: SparkSession, sfDir: String): DataFrame =
-    lpaLabelsShared(spark, sfDir)
-      .groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
-      .select(col("lbl").cast("long").as("community"), col("n_members"))
-      .orderBy(col("n_members").desc, col("community")).limit(20)
-
-  private[operators] val LpaRounds = 4
-
-  /** The 4-round LPA labels over the staged co-purchase graph, built
-    * once per (session, corpus) AND staged cross-process (the cclabels
-    * pattern: fingerprint-named dir, one atomic publish) — x137 reads
-    * the size histogram and x141 scores modularity off the SAME
-    * assignment, and a later process reloads the label table outright
-    * instead of re-running the 4 edge-shuffle rounds. On a cluster
-    * this is the persisted `communities` table the serving jobs scan. */
-  def lpaLabelsShared(spark: SparkSession, sfDir: String): DataFrame =
-    graft.Memo(spark, s"lpa_labels:$sfDir") {
-      val s = Tables.tune(spark)
-      val fp = Tables.corpusFingerprint(sfDir, "lineitem") + "|" +
-        Tables.corpusFingerprint(sfDir, "orders") + s"|lpa$LpaRounds"
-      val home = Tables.sharedDir("lpalabels", sfDir, fp)
-      if (!home.isDirectory) {
-        val labels = labelPropagation(
-          Extras11.coPurchaseEdges(spark, sfDir), LpaRounds)
-        val tmp = Tables.sharedBuildDir(home)
-        labels.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        Tables.publishShared(tmp, home)
-      }
-      s.read.parquet(home.getAbsolutePath)
-    }
-
-  /** The synchronous propagation loop over a canonical (a < b) edge
-    * list; returns (node, lbl) after `rounds`. Exposed for spec-level
-    * hand-checks on planted graphs. */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame =
-    graft.api.Graph.labelPropagation(edges, "a", "b", rounds)
 
   // ---------------------------------------------------------------- x138
 
@@ -855,9 +732,6 @@ object Extras12 {
     "sql45_row_level_sql" -> (sql45RowLevelSql _),
     "sql46_update_merge" -> (sql46UpdateMerge _),
     "x134_kmeans" -> (x134Kmeans _),
-    "x135_sssp" -> (x135Sssp _),
-    "x136_kcore" -> (x136KCore _),
-    "x137_label_prop" -> (x137LabelProp _),
     "x138_pareto" -> (x138Pareto _),
     "x139_join_ivm" -> (x139JoinIvm _),
     "x172_semdedup" -> (x172SemDedup _),
@@ -968,83 +842,6 @@ object Extras12 {
     "(d.id_b IS NULL) AS kept " +
     "FROM asg4 g LEFT JOIN drp d ON d.id_b = g.vid ORDER BY vec_id"
 
-  /** One unrolled peel round of the x136 oracle. Every stage is
-    * MATERIALIZED: each round references its predecessor three times,
-    * and DuckDB's default CTE inlining would otherwise expand the
-    * chain exponentially (observed: "too many open files" from 2^8
-    * copies of the base scan). */
-  private def kcIterSql(prev: String, n: Int): String =
-    s"d$n AS MATERIALIZED (SELECT n, COUNT(*) AS deg FROM " +
-    s"(SELECT a AS n FROM $prev " +
-    s"UNION ALL SELECT b FROM $prev) t GROUP BY n), " +
-    s"k$n AS MATERIALIZED (SELECT n FROM d$n WHERE deg >= $KCoreK), " +
-    s"e$n AS MATERIALIZED (SELECT a, b FROM $prev " +
-    s"WHERE a IN (SELECT n FROM k$n) " +
-    s"AND b IN (SELECT n FROM k$n))"
-
-  private val KCoreSql: String = {
-    val rounds = (1 to KCoreRounds)
-      .map(i => kcIterSql(s"e${i - 1}", i)).mkString(", ")
-    "WITH e0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b " +
-    "FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey " +
-    "AND x.l_partkey < y.l_partkey), " + rounds + ", " +
-    s"df AS (SELECT n, COUNT(*) AS deg FROM (SELECT a AS n " +
-    s"FROM e$KCoreRounds UNION ALL SELECT b FROM e$KCoreRounds) t " +
-    "GROUP BY n) " +
-    "SELECT CAST((SELECT COUNT(*) FROM df) AS BIGINT) AS n_nodes, " +
-    s"CAST((SELECT COUNT(*) FROM e$KCoreRounds) AS BIGINT) AS n_edges, " +
-    "CAST((SELECT COALESCE(MIN(deg), 0) FROM df) AS BIGINT) AS min_deg, " +
-    s"((SELECT COUNT(*) FROM e$KCoreRounds) = 0 OR " +
-    s"(SELECT COALESCE(MIN(deg), 0) FROM df) >= $KCoreK) AS converged"
-  }
-
-  /** One unrolled propagation round of the x137 oracle: neighbor-label
-    * counts, then argmax-by-count (tie -> min label) as a row_number
-    * window — a deliberately different spelling of the same
-    * deterministic rule the Spark side computes as a min-of-struct
-    * aggregate. MATERIALIZED for the same CTE-inlining reason as the
-    * k-core rounds. */
-  private def lpaIterSql(prev: String, n: Int): String =
-    s"l$n AS MATERIALIZED (SELECT node, lbl FROM (" +
-    "SELECT node, lbl, row_number() OVER (PARTITION BY node " +
-    "ORDER BY c DESC, lbl) AS rn FROM (" +
-    "SELECT s.src AS node, p.lbl AS lbl, COUNT(*) AS c " +
-    s"FROM sym s JOIN $prev p ON p.node = s.dst " +
-    "GROUP BY s.src, p.lbl) g) t WHERE rn = 1)"
-
-  /** The shared LPA oracle chain (e0 + sym + l0..l`LpaRounds` CTE
-    * bodies, no WITH keyword, no final SELECT) — reused by the x141
-    * modularity oracle, which scores exactly these labels. */
-  private[operators] val LpaChainSql: String = {
-    val rounds = (1 to LpaRounds)
-      .map(i => lpaIterSql(s"l${i - 1}", i)).mkString(", ")
-    "e0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, " +
-    "y.l_partkey AS b FROM lineitem x JOIN lineitem y " +
-    "ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey), " +
-    "sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0 " +
-    "UNION ALL SELECT b, a FROM e0), " +
-    "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl " +
-    "FROM sym), " + rounds
-  }
-
-  private val LpaSql: String =
-    "WITH " + LpaChainSql + " " +
-    s"SELECT CAST(lbl AS BIGINT) AS community, " +
-    s"CAST(COUNT(*) AS BIGINT) AS n_members FROM l$LpaRounds " +
-    "GROUP BY lbl ORDER BY n_members DESC, community LIMIT 20"
-
-  private val SsspSql: String =
-    "WITH RECURSIVE sc AS (SELECT DISTINCT 's' || l_suppkey AS a, " +
-    "'c' || o_custkey AS b FROM lineitem JOIN orders " +
-    "ON l_orderkey = o_orderkey), " +
-    "e AS (SELECT a, b FROM sc UNION ALL SELECT b, a FROM sc), " +
-    "walk(node, dist) AS (SELECT 's1', 0 UNION " +
-    "SELECT e.b, walk.dist + 1 FROM walk JOIN e ON e.a = walk.node " +
-    s"WHERE walk.dist < $SsspRounds), " +
-    "sp AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node) " +
-    "SELECT CAST(dist AS BIGINT) AS dist, " +
-    "CAST(COUNT(*) AS BIGINT) AS n_nodes FROM sp " +
-    "GROUP BY dist ORDER BY dist"
 
   val oracles: Map[String, String] = Map(
     "sql45_row_level_sql" ->
@@ -1092,9 +889,6 @@ object Extras12 {
     "x134_kmeans" -> KmeansSql,
     "x172_semdedup" -> SemDedupSql,
     "x174_silhouette" -> SilhouetteSql,
-    "x135_sssp" -> SsspSql,
-    "x136_kcore" -> KCoreSql,
-    "x137_label_prop" -> LpaSql,
     // the corrected order set restated from scratch — the IVM algebra
     // (retraction, delta-join enrichment, group drop) is value-checked
     "x139_join_ivm" ->

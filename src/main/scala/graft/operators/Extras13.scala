@@ -16,77 +16,6 @@ import graft.Tables
   */
 object Extras13 {
 
-  // ---------------------------------------------------------------- x140
-
-  private val HitsRounds = 3
-
-  /** X140 — HITS hubs & authorities (Kleinberg JACM'99) over the
-    * DIRECTED supplier→customer trade graph: suppliers are hubs
-    * (they ship broadly), customers are authorities (they are shipped
-    * to by good hubs). 3 rounds of the standard mutual-reinforcement
-    * update with L1 normalization; top-10 of each side.
-    *
-    * The directed edge set is the even-`a` half of x111's STAGED
-    * bucketed adjacency (supplier ids are domain-coded to even longs,
-    * so orientation recovery is a codegen'd filter, not a rebuild) —
-    * a second link-analysis readout served from the same build-once
-    * artifact, which is exactly how a cluster amortizes graph prep.
-    *
-    * Determinism (the x111 iterative-float policy): every contribution
-    * is rounded to 10 dp then summed EXACTLY in DECIMAL(28,15); the L1
-    * norm is the same decimal sum of the 10 dp-rounded raw scores; the
-    * normalizing division is one IEEE op on identical doubles, rounded
-    * back to 10 dp — so the 3-round trajectory is bitwise reproducible
-    * and the oracle unrolls the identical CTEs. The norm scalar rides
-    * a broadcast 1-row crossJoin, never a driver collect. */
-  def x140Hits(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Extras11.tradeEdgesShared(spark, sfDir)
-      .filter(col("a") % 2 === 0)        // supplier→customer orientation
-      .select(col("a").as("s"), col("b").as("c"))
-    val scored = hits(e, HitsRounds)
-    scored
-      .select(col("kind"), Extras11.decodeNode(col("node")).as("node"),
-        round(col("score"), 6).as("score"))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("kind"))
-        .orderBy(col("score").desc, col("node"))))
-      .filter(col("rn") <= 10).drop("rn")
-      .orderBy(col("kind"), col("score").desc, col("node"))
-  }
-
-  private def dec(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(28, 15))).cast("double")
-
-  /** The HITS iteration core over a directed (s, c) edge list; returns
-    * the union of hub and authority scores as (kind, node, score).
-    * Exposed for spec-level hand-checks on planted graphs. */
-  def hits(edges: DataFrame, rounds: Int): DataFrame =
-    graft.api.Graph.hits(edges, "s", "c", rounds)
-
-  // ---------------------------------------------------------------- x141
-
-  /** X141 — modularity (Newman 2006) of the x137 label-propagation
-    * communities on the co-purchase part graph: the number every
-    * community detection run is judged by (Q ≈ 0 — no structure;
-    * Q ≳ 0.3 — real communities). Output: the global row (community
-    * -1: all nodes, all edges, total degree, Q) plus the top-10
-    * communities by size with their intra-edge count, degree mass,
-    * and modularity contribution.
-    *
-    * Exactness: Q = Σ_c (e_c/m − (D_c/2m)²) is computed as the EXACT
-    * integer numerator Σ_c (4·m·e_c − D_c²) over 4·m² — every term is
-    * BIGINT arithmetic on counts, and the single closing division is
-    * one IEEE op rounded to 8 dp, so no float accumulates across
-    * groups. Plan: labels join twice against the edge list (both
-    * node-keyed), two grouped aggregates — no window, no all-pairs. */
-  def x141Modularity(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = Extras11.coPurchaseEdges(spark, sfDir)
-    modularity(edges, Extras12.lpaLabelsShared(spark, sfDir))
-  }
-
-  /** The modularity scorer over a canonical (a < b) edge list and a
-    * (node, lbl) community assignment; exposed for spec hand-checks. */
-  def modularity(edges: DataFrame, labels: DataFrame): DataFrame =
-    graft.api.Graph.modularity(edges, "a", "b", labels, "node", "lbl")
 
   // ---------------------------------------------------------------- x142
 
@@ -299,82 +228,11 @@ object Extras13 {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x140_hits" -> (x140Hits _),
-    "x141_modularity" -> (x141Modularity _),
     "x142_assoc_rules" -> (x142AssocRules _),
     "x143_markov" -> (x143Markov _),
     "x144_item_cf" -> (x144ItemCf _),
     "x145_profile_drift" -> (x145ProfileDrift _))
 
-  /** One unrolled HITS round: auth raw sums + L1 norm + normalized
-    * scores, then the hub mirror — the identical decimal/round-10
-    * spelling as [[hits]]. MATERIALIZED: each CTE is referenced twice
-    * (score + norm) and DuckDB default-inlines chains. */
-  private def hitsIterSql(prevH: String, n: Int): String =
-    s"ar$n AS MATERIALIZED (SELECT e.c AS node, " +
-    s"CAST(SUM(CAST(round(h.score, 10) AS DECIMAL(28,15))) AS DOUBLE) " +
-    s"AS raw FROM e JOIN $prevH h ON h.node = e.s GROUP BY e.c), " +
-    s"a$n AS MATERIALIZED (SELECT node, round(raw / (SELECT " +
-    s"CAST(SUM(CAST(round(raw, 10) AS DECIMAL(28,15))) AS DOUBLE) " +
-    s"FROM ar$n), 10) AS score FROM ar$n), " +
-    s"hr$n AS MATERIALIZED (SELECT e.s AS node, " +
-    s"CAST(SUM(CAST(round(a.score, 10) AS DECIMAL(28,15))) AS DOUBLE) " +
-    s"AS raw FROM e JOIN a$n a ON a.node = e.c GROUP BY e.s), " +
-    s"h$n AS MATERIALIZED (SELECT node, round(raw / (SELECT " +
-    s"CAST(SUM(CAST(round(raw, 10) AS DECIMAL(28,15))) AS DOUBLE) " +
-    s"FROM hr$n), 10) AS score FROM hr$n)"
-
-  private val HitsSql: String = {
-    val rounds = (1 to HitsRounds)
-      .map(i => hitsIterSql(s"h${i - 1}", i)).mkString(", ")
-    "WITH e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, " +
-    "o_custkey AS c FROM lineitem JOIN orders " +
-    "ON l_orderkey = o_orderkey), " +
-    "h0 AS MATERIALIZED (SELECT DISTINCT s AS node, 1.0 AS score " +
-    "FROM e), " + rounds + ", " +
-    s"scored AS (SELECT 'hub' AS kind, 's' || node AS node, " +
-    s"round(score, 6) AS score FROM h$HitsRounds " +
-    s"UNION ALL SELECT 'auth', 'c' || node, round(score, 6) " +
-    s"FROM a$HitsRounds) " +
-    "SELECT kind, node, score FROM (SELECT kind, node, score, " +
-    "row_number() OVER (PARTITION BY kind " +
-    "ORDER BY score DESC, node) AS rn FROM scored) t WHERE rn <= 10 " +
-    "ORDER BY kind, score DESC, node"
-  }
-
-  private val ModularitySql: String =
-    "WITH " + Extras12.LpaChainSql + ", " +
-    s"lab AS MATERIALIZED (SELECT node, lbl FROM l${Extras12.LpaRounds}), " +
-    "m AS (SELECT COUNT(*) AS m FROM e0), " +
-    "intra AS MATERIALIZED (SELECT la.lbl AS lbl, COUNT(*) AS intra_edges " +
-    "FROM e0 JOIN lab la ON la.node = e0.a " +
-    "JOIN lab lb ON lb.node = e0.b WHERE la.lbl = lb.lbl GROUP BY la.lbl), " +
-    "deg AS MATERIALIZED (SELECT n AS node, COUNT(*) AS deg FROM " +
-    "(SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) t GROUP BY n), " +
-    "mass AS MATERIALIZED (SELECT l.lbl, COUNT(*) AS n_members, " +
-    "SUM(d.deg) AS degree_sum FROM lab l JOIN deg d ON d.node = l.node " +
-    "GROUP BY l.lbl), " +
-    "perc AS MATERIALIZED (SELECT mass.lbl, mass.n_members, " +
-    "COALESCE(i.intra_edges, 0) AS intra_edges, mass.degree_sum, " +
-    "4 * m.m * COALESCE(i.intra_edges, 0) " +
-    "- mass.degree_sum * mass.degree_sum AS numer, m.m AS m " +
-    "FROM mass LEFT JOIN intra i ON i.lbl = mass.lbl CROSS JOIN m), " +
-    "gtot AS (SELECT CAST(-1 AS BIGINT) AS community, " +
-    "CAST(SUM(n_members) AS BIGINT) AS n_members, " +
-    "CAST(SUM(intra_edges) AS BIGINT) AS intra_edges, " +
-    "CAST(SUM(degree_sum) AS BIGINT) AS degree_sum, " +
-    "round(CAST(SUM(numer) AS DOUBLE) / " +
-    "CAST(4 * ANY_VALUE(m) * ANY_VALUE(m) AS DOUBLE), 8) AS contribution " +
-    "FROM perc), " +
-    "top AS (SELECT CAST(lbl AS BIGINT) AS community, " +
-    "CAST(n_members AS BIGINT) AS n_members, " +
-    "CAST(intra_edges AS BIGINT) AS intra_edges, " +
-    "CAST(degree_sum AS BIGINT) AS degree_sum, " +
-    "round(CAST(numer AS DOUBLE) / CAST(4 * m * m AS DOUBLE), 8) " +
-    "AS contribution FROM perc " +
-    "ORDER BY n_members DESC, community LIMIT 10) " +
-    "SELECT * FROM (SELECT * FROM gtot UNION ALL SELECT * FROM top) u " +
-    "ORDER BY n_members DESC, community"
 
   private val AssocSql: String =
     "WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS basket, " +
@@ -479,8 +337,6 @@ object Extras13 {
     "FROM prof ORDER BY metric"
 
   val oracles: Map[String, String] = Map(
-    "x140_hits" -> HitsSql,
-    "x141_modularity" -> ModularitySql,
     "x142_assoc_rules" -> AssocSql,
     "x143_markov" -> MarkovSql,
     "x144_item_cf" -> ItemCfSql,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.api.VectorPipeline
-import graft.operators.{Extras11, Extras3}
+import graft.operators.{Extras11, Extras3, GraphOps}
 
 class Extras11Spec extends SparkSpec {
   import spark.implicits._
@@ -14,7 +14,7 @@ class Extras11Spec extends SparkSpec {
     val e = sc.select(col("x").as("a"), col("y").as("b"))
       .unionByName(sc.select(col("y").as("a"), col("x").as("b")))
     val deg = e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
-    val got = Extras11.pageRank(e.join(deg, "a"), iters = 5)
+    val got = GraphOps.pageRank(e.join(deg, "a"), iters = 5)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     // hand-rolled same policy: round10 contributions, exact sum
     def round10(x: Double) = BigDecimal(x)
@@ -33,8 +33,8 @@ class Extras11Spec extends SparkSpec {
     assert(got("a") == got("c") && got("b") > got("a"))
     // contract row: deterministic across runs, suppliers outrank
     // customers (supplier degree is ~15x customer degree)
-    val c1 = Extras11.x111PageRank(spark, sf).collect()
-    val c2 = Extras11.x111PageRank(spark, sf).collect()
+    val c1 = GraphOps.x111PageRank(spark, sf).collect()
+    val c2 = GraphOps.x111PageRank(spark, sf).collect()
     assert(c1.toSeq == c2.toSeq && c1.length == 20)
     // ranks are positive and emitted in (rank desc, node) total order
     val ranks = c1.map(_.getDouble(1))
@@ -49,13 +49,13 @@ class Extras11Spec extends SparkSpec {
     val k4 = (for {
       i <- 0 until 4; j <- (i + 1) until 4
     } yield (i.toLong, j.toLong)).toDF("a", "b")
-    val r = Extras11.triangleCensus(k4).collect()(0)
+    val r = GraphOps.triangleCensus(k4).collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
       ((4L, 6L, 12L, 4L)))
     assert(r.getDouble(4) == 1.0)
     // star K1,4: 10 wedges... deg(center)=4 -> 6 wedges, 0 triangles
     val star = (1 to 4).map(i => (0L, i.toLong)).toDF("a", "b")
-    val s = Extras11.triangleCensus(star).collect()(0)
+    val s = GraphOps.triangleCensus(star).collect()(0)
     assert(s.getLong(3) == 0L && s.getLong(2) == 6L)
     assert(s.getDouble(4) == 0.0)
   }
@@ -538,7 +538,7 @@ class Extras11Spec extends SparkSpec {
 
   test("x111 adjacency: a fresh session re-serves the shared staged " +
       "bucketed table — identical ranks, no rebuild, no edge re-shuffle") {
-    val first = Extras11.x111PageRank(spark, sf).collect()
+    val first = GraphOps.x111PageRank(spark, sf).collect()
     // the shared home must now exist (fingerprint-named => current)
     val fp = Tables.corpusFingerprint(sf, "lineitem") + "|" +
       // must match the operator's cfg exactly ("b16L", the long-coded
@@ -552,7 +552,7 @@ class Extras11Spec extends SparkSpec {
     // a NEW session has an empty memo -> takes the reuse path: DDL
     // re-registration over the existing files, no bucketed re-write
     val s2 = spark.newSession()
-    val second = Extras11.x111PageRank(s2, sf).collect()
+    val second = GraphOps.x111PageRank(s2, sf).collect()
     assert(first.toSeq == second.toSeq,
       "reloaded adjacency must serve identical ranks")
     assert(home.lastModified() == stagedAt,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Extras12
+import graft.operators.{Extras12, GraphOps}
 
 class Extras12Spec extends SparkSpec {
   import spark.implicits._
@@ -81,12 +81,12 @@ class Extras12Spec extends SparkSpec {
     // directed path u -> v -> w plus an isolated island x -> y
     val edges = Seq(("u", "v"), ("v", "w"), ("x", "y"))
       .toDF("a", "b")
-    val got = Extras12.sssp(edges, "u", 6).collect()
+    val got = GraphOps.sssp(edges, "u", 6).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("u" -> 0L, "v" -> 1L, "w" -> 2L),
       s"island must stay unreached: $got")
     // rounds bound respected: with rounds=1 node w is not yet reached
-    val oneRound = Extras12.sssp(edges, "u", 1).collect()
+    val oneRound = GraphOps.sssp(edges, "u", 1).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(oneRound == Map("u" -> 0L, "v" -> 1L))
   }
@@ -199,18 +199,18 @@ class Extras12Spec extends SparkSpec {
     // the triangle (chain peels in two rounds), the 3-core is empty
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
       .toDF("a", "b")
-    val two = Extras12.kCore(edges, k = 2, rounds = 4).head()
+    val two = GraphOps.kCore(edges, k = 2, rounds = 4).head()
     assert(two.getAs[Long]("n_nodes") == 3 &&
       two.getAs[Long]("n_edges") == 3 &&
       two.getAs[Long]("min_deg") == 2 &&
       two.getAs[Boolean]("converged"))
-    val three = Extras12.kCore(edges, k = 3, rounds = 4).head()
+    val three = GraphOps.kCore(edges, k = 3, rounds = 4).head()
     assert(three.getAs[Long]("n_nodes") == 0 &&
       three.getAs[Long]("n_edges") == 0 &&
       three.getAs[Boolean]("converged"))
     // too few rounds: the verdict says so instead of lying
     // (chain needs 2 peel rounds; 1 round leaves node 4 at degree 1)
-    val short = Extras12.kCore(edges, k = 2, rounds = 1).head()
+    val short = GraphOps.kCore(edges, k = 2, rounds = 1).head()
     assert(!short.getAs[Boolean]("converged"))
   }
 
@@ -403,16 +403,16 @@ class Extras12Spec extends SparkSpec {
       for (i <- ns; j <- ns if i < j) yield (i, j)
     val edges = (clique(1L to 4L) ++ clique(5L to 8L) :+ (4L, 5L))
       .toDF("a", "b")
-    val labels = Extras12.labelPropagation(edges, rounds = 4)
+    val labels = GraphOps.labelPropagation(edges, rounds = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 4L).forall(labels(_) == 1L) &&
       (5L to 8L).forall(labels(_) == 5L), s"got $labels")
     // determinism: a second run walks the identical trajectory
-    val again = Extras12.labelPropagation(edges, rounds = 4)
+    val again = GraphOps.labelPropagation(edges, rounds = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == labels)
     // the tie rule is MIN label: a single triangle all-ties down to 1
-    val tri = Extras12.labelPropagation(
+    val tri = GraphOps.labelPropagation(
       Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b"), rounds = 3)
       .collect().map(r => r.getLong(1)).toSet
     assert(tri == Set(1L))

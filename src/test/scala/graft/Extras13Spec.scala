@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Extras13
+import graft.operators.{Extras13, GraphOps}
 
 class Extras13Spec extends SparkSpec {
   import spark.implicits._
@@ -15,7 +15,7 @@ class Extras13Spec extends SparkSpec {
     // s1 links both customers, s2 only c101 — s1 must out-hub s2 and
     // c101 must out-auth c102
     val e = Seq((1L, 101L), (1L, 102L), (2L, 101L)).toDF("s", "c")
-    val got = Extras13.hits(e, 3).collect()
+    val got = GraphOps.hits(e, 3).collect()
       .map(row => (row.getString(0), row.getLong(1)) -> row.getDouble(2))
       .toMap
     // reference: exact BigDecimal sums of 10dp-rounded contributions
@@ -48,7 +48,7 @@ class Extras13Spec extends SparkSpec {
       (5L, 6L)).toDF("a", "b")
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
       (6L, 4L)).toDF("node", "lbl")
-    val rows = Extras13.modularity(edges, labels).collect()
+    val rows = GraphOps.modularity(edges, labels).collect()
     val global = rows.find(_.getLong(0) == -1L).get
     assert(global.getLong(1) == 6L)       // nodes
     assert(global.getLong(2) == 6L)       // intra edges (all)
@@ -69,7 +69,7 @@ class Extras13Spec extends SparkSpec {
     val merged = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
       (6L, 1L)).toDF("node", "lbl")
     def q(l: org.apache.spark.sql.DataFrame) =
-      Extras13.modularity(edges, l).filter(col("community") === -1L)
+      GraphOps.modularity(edges, l).filter(col("community") === -1L)
         .head().getDouble(4)
     assert(q(clean) > q(merged),
       "one giant community must score below the 2-community partition")

@@ -515,7 +515,7 @@ class PropertySpec extends SparkSpec {
       }.distinct
       if (es.isEmpty) Prop.passed
       else {
-        val got = graft.operators.Extras12
+        val got = graft.operators.GraphOps
           .kCore(es.toDF("a", "b"), k, rounds = 12).head()
         // reference: iterate set-peel to fixpoint in plain Scala
         var edges = es.toSet
