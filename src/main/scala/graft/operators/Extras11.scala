@@ -601,35 +601,6 @@ object Extras11 {
           .as("d_stat"))
   }
 
-  /** SQL42 — catalog DDL (the capability analog of the reference's
-    * CREATE/DROP DATABASE + CREATE TABLE surface, §2.10): a namespace
-    * created at an explicit scratch location, a table persisted into
-    * it, both visible through `spark.catalog` listings, the data read
-    * back through the catalog name — then DROP DATABASE CASCADE leaves
-    * the session catalog clean (claims collected eagerly first, so the
-    * returned frame survives the drop). What the reference does with
-    * its own page files, this does with a warehouse path + parquet —
-    * same user capability, lake-native storage. */
-  def sql42CatalogDdl(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = Tables.tune(spark)
-    val loc = Tables.scratchDir("sql42_db", sfDir)
-    s.sql("DROP DATABASE IF EXISTS graft_db CASCADE")
-    ScaleOps.dropTableAt(s, "graft_db.nation_copy", s"$loc/nation_copy")
-    s.sql(s"CREATE DATABASE graft_db LOCATION '$loc'")
-    try {
-      Tables.nation(s, sfDir).write.mode("overwrite")
-        .saveAsTable("graft_db.nation_copy")
-      val dbListed = s.catalog.listDatabases().collect()
-        .exists(_.name == "graft_db")
-      val tListed = s.catalog.listTables("graft_db").collect()
-        .exists(_.name == "nation_copy")
-      val n = s.table("graft_db.nation_copy").count()
-      val nDirect = Tables.nation(s, sfDir).count()
-      import s.implicits._
-      Seq((dbListed, tListed, n, n == nDirect))
-        .toDF("db_listed", "table_listed", "n_rows", "roundtrip_ok")
-    } finally { s.sql("DROP DATABASE IF EXISTS graft_db CASCADE"): Unit }
-  }
 
   /** J14 — AQE runtime skew-join remediation (the AUTOMATIC tier above
     * x28's manual salting): a fact table with one planted hot customer
@@ -1017,7 +988,6 @@ object Extras11 {
     "f24_regex_family" -> (f24RegexFamily _),
     "x128_ndcg" -> (x128Ndcg _),
     "j14_aqe_skew_join" -> (j14AqeSkewJoin _),
-    "sql42_catalog_ddl" -> (sql42CatalogDdl _),
     "x125_token_drift" -> (x125TokenDrift _),
     "x126_embedding_drift" -> (x126EmbeddingDrift _),
     "x127_ks_test" -> (x127KsTest _),
@@ -1241,11 +1211,6 @@ object Extras11 {
        "FROM orders o JOIN customer c ON c.c_custkey = " +
        "(CASE WHEN o.o_orderkey % 3 <> 0 THEN 1 ELSE o.o_custkey END) " +
        "GROUP BY 1 ORDER BY c_mktsegment"),
-    // listing claims + the round-tripped count off the base table
-    "sql42_catalog_ddl" ->
-      ("SELECT TRUE AS db_listed, TRUE AS table_listed, " +
-       "CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_rows, " +
-       "TRUE AS roundtrip_ok"),
     // same token split, same smoothing chain, same rounding
     "x125_token_drift" ->
       ("WITH oldt AS (SELECT t.tok, COUNT(*) AS c_old FROM documents d, " +

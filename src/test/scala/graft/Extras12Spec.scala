@@ -1,14 +1,14 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Extras12, GraphOps}
+import graft.operators.{Dml, Extras12, GraphOps}
 
 class Extras12Spec extends SparkSpec {
   import spark.implicits._
 
   test("sql43: every INSERT statement's claim is internally consistent " +
       "with the base table") {
-    val r = Extras12.sql43InsertDml(spark, sf).head()
+    val r = Dml.sql43InsertDml(spark, sf).head()
     val n = Tables.nation(spark, sf).count()
     val nLow = Tables.nation(spark, sf)
       .filter(col("n_regionkey") < 2).count()
@@ -32,7 +32,7 @@ class Extras12Spec extends SparkSpec {
 
   test("sql44: the CTAS table read back by catalog name equals the " +
       "direct aggregate, and survives the cleanup drop") {
-    val got = Extras12.sql44Ctas(spark, sf).collect()
+    val got = Dml.sql44Ctas(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val direct = Tables.orders(spark, sf)
       .join(Tables.customer(spark, sf),
@@ -93,7 +93,7 @@ class Extras12Spec extends SparkSpec {
 
   test("sql45 / GraftCatalog: DELETE + TRUNCATE SQL run against a " +
       "graft-managed DSv2 table and claims match direct recomputes") {
-    val r = Extras12.sql45RowLevelSql(spark, sf).head()
+    val r = Dml.sql45RowLevelSql(spark, sf).head()
     val nation = Tables.nation(spark, sf)
     val n = nation.count()
     val survivors = nation.filter(col("n_regionkey") =!= 0)
