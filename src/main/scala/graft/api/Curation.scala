@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.Extras12
+import graft.operators.{Clustering, CurationOps}
 
 /** Column-parameterized public kernels for the SEMANTIC-CURATION
   * LADDER (VERDICT r10 #5 — the [[Analytics]]/[[Graph]] treatment for
@@ -45,7 +45,7 @@ object Curation {
       dims: Int = 64): DataFrame = {
     val c = graft.Checkpoints.cut(
       corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
-    val asg = Extras12.kmeansAssignments(c, "id", "vec", k, iters)
+    val asg = Clustering.kmeansAssignments(c, "id", "vec", k, iters)
     val withC = c.join(asg.withColumnRenamed("vid", "id"), "id")
     val pairs = VectorPipeline.groupedCosinePairs(withC, "id", "vec",
       "cluster", threshold, numBands, dims)
@@ -70,7 +70,7 @@ object Curation {
     val p = probe.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("is_probe", lit(true))
     val all = graft.Checkpoints.cut(c.unionByName(p))
-    val asg = Extras12.kmeansAssignTrained(
+    val asg = Clustering.kmeansAssignTrained(
       all.filter(!col("is_probe")), all, "id", "vec", k, iters)
     val withC = all.join(asg.withColumnRenamed("vid", "id"), "id")
     VectorPipeline.groupedCosinePairsAgainst(
@@ -89,7 +89,7 @@ object Curation {
       corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
     val sem = semDedup(c, "id", "vec", k, iters, threshold, numBands,
       dims)
-    val d2 = Extras12.kmeansDistances(c, "id", "vec", k, iters)
+    val d2 = Clustering.kmeansDistances(c, "id", "vec", k, iters)
       .withColumnRenamed("vid", "id")
     d4Rank(d2.join(sem.filter(col("kept")).select(col("id")), "id"),
       dropFrac)
@@ -224,10 +224,10 @@ object Curation {
     * pairs against the same k-means — total / within-cluster /
     * straddling (the SemDeDup trade, AS DATA) / top-2-multi-probe
     * recovered counts. Delegates to
-    * [[graft.operators.Extras12.semDedupStraddleGuard]]. */
+    * [[graft.operators.CurationOps.semDedupStraddleGuard]]. */
   def straddleGuard(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, threshold: Double, numBands: Int = 8,
       dims: Int = 64): DataFrame =
-    Extras12.semDedupStraddleGuard(corpus, idCol, vecCol, k, iters,
+    CurationOps.semDedupStraddleGuard(corpus, idCol, vecCol, k, iters,
       threshold, numBands, dims)
 }

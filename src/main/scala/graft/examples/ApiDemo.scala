@@ -265,16 +265,16 @@ object ApiDemo {
       a(20 + i % 3) = 0.02f * (i % 3)
       (i.toLong, a.toSeq)
     }.toDF("row_id", "features")
-    graft.operators.Extras12.kmeans(blobs, "row_id", "features",
+    graft.operators.Clustering.kmeans(blobs, "row_id", "features",
       k = 2, iters = 2).show(false)
 
     // round-10: the semantic-curation ladder on caller-shaped frames
     println("simplified silhouette of those blobs (both clusters ~1):")
-    graft.operators.Extras12.silhouette(blobs, "row_id", "features",
+    graft.operators.Clustering.silhouette(blobs, "row_id", "features",
       k = 2, iters = 2).show(false)
     println("SemDeDup pair stage: near-dups pair ONLY within a cluster:")
     val clustered = blobs.join(
-      graft.operators.Extras12.kmeansAssignments(blobs, "row_id",
+      graft.operators.Clustering.kmeansAssignments(blobs, "row_id",
         "features", k = 2, iters = 2)
         .withColumnRenamed("vid", "row_id"), "row_id")
     VectorPipeline.groupedCosinePairs(clustered, "row_id", "features",

@@ -1062,7 +1062,7 @@ object Streams {
   /** ST26 — STREAMING SemDeDup (x173's streaming face, closing the
     * semantic-curation ladder's stream rung; st19 is the text analog):
     * the semantic index — k-means centroids trained on the original
-    * corpus ([[graft.operators.Extras12.kmeansCentroids]], the k×dims
+    * corpus ([[graft.operators.Clustering.kmeansCentroids]], the k×dims
     * driver-side model a streaming job broadcasts) plus the clustered
     * corpus — is built ONCE at stream start; the clone shard replays
     * as two AvailableNow micro-batches (maxFilesPerTrigger=1), and
@@ -1078,14 +1078,14 @@ object Streams {
     * each arriving shard filtered in stream time, corpus never
     * self-joined. */
   def st26StreamSemDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.operators.Extras12
+    import graft.operators.Clustering
     val s = Tables.tune(spark)
     val emb = graft.Checkpoints.cut(
       Tables.embeddings(s, sfDir)
         .select(col("vec_id"), col("embedding")))
-    val cents = Extras12.kmeansCentroids(emb, "vec_id", "embedding", 8, 3)
+    val cents = Clustering.kmeansCentroids(emb, "vec_id", "embedding", 8, 3)
     val corpusC = emb.join(
-        Extras12.assignToCentroids(emb, "vec_id", "embedding", cents)
+        Clustering.assignToCentroids(emb, "vec_id", "embedding", cents)
           .withColumnRenamed("vid", "vec_id"), "vec_id")
       .localCheckpoint(true)
     val dir = stageProbeVecs(spark, sfDir)
@@ -1102,7 +1102,7 @@ object Streams {
         .writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val batchC = batch.join(
-            Extras12.assignToCentroids(batch, "vec_id", "embedding", cents)
+            Clustering.assignToCentroids(batch, "vec_id", "embedding", cents)
               .withColumnRenamed("vid", "vec_id"), "vec_id")
           val matched = graft.api.VectorPipeline.groupedCosinePairsAgainst(
               batchC, corpusC, "vec_id", "embedding", "cluster", 0.8)
@@ -1481,7 +1481,7 @@ object Streams {
     // survivors of the streaming semantic probe loop == the x173
     // complement: probes with no same-cluster corpus pair at t=0.8
     // (the factored x173 chain, NOT EXISTS form)
-    "st26_stream_semdedup" -> graft.operators.Extras20.StreamSemDedupSql,
+    "st26_stream_semdedup" -> graft.operators.CurationOps.StreamSemDedupSql,
     "st19_streaming_dedup" ->
       (s"WITH s AS (SELECT DISTINCT doc_id, ngram FROM (${graft.operators.TextOps.ngramSql(3)}) t), " +
        "n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id), " +

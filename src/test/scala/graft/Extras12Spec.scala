@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dml, Extras12, GraphOps}
+import graft.operators.{Clustering, CurationOps, Dml, Extras12, GraphOps}
 
 class Extras12Spec extends SparkSpec {
   import spark.implicits._
@@ -58,7 +58,7 @@ class Extras12Spec extends SparkSpec {
       arr(10 + g * 2 + (i % 3)) = 0.01f * (1 + i % 3)
       (i.toLong, arr.toSeq)
     }.toDF("vec_id", "embedding")
-    val out = Extras12.kmeans(vecs, "vec_id", "embedding",
+    val out = Clustering.kmeans(vecs, "vec_id", "embedding",
       k = 2, iters = 3).collect()
     assert(out.map(_.getLong(1)).sum == 20, "every vector assigned once")
     assert(out.length == 2 && out.map(_.getLong(1)).toSet == Set(10L),
@@ -68,11 +68,11 @@ class Extras12Spec extends SparkSpec {
     assert(out.map(_.getDouble(2)).forall(in => in >= 0 && in < 0.1),
       s"inertia must reflect tight clusters: ${out.mkString(",")}")
     // deterministic across runs
-    val again = Extras12.kmeans(vecs, "vec_id", "embedding",
+    val again = Clustering.kmeans(vecs, "vec_id", "embedding",
       k = 2, iters = 3).collect()
     assert(out.toSeq == again.toSeq)
     // contract row: plan-lint clean (no global window over the corpus)
-    val df = Extras12.x134Kmeans(spark, sf)
+    val df = Clustering.x134Kmeans(spark, sf)
     assert(graft.plans.PlanLint.lint(df).isEmpty)
   }
 
@@ -488,12 +488,12 @@ class Extras12Spec extends SparkSpec {
     // --- corpus binding: the staged x172 output equals an independent
     // driver-side recompute (assignments from the shared trainer,
     // exhaustive within-cluster cosine)
-    val out = Extras12.x172SemDedup(spark, sf).collect()
+    val out = CurationOps.x172SemDedup(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     val corpus = graft.operators.Extras5.cloneCorpus(spark, sf)
     val vecs = corpus.collect().map(r =>
       r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
-    val asg = Extras12.kmeansAssignments(
+    val asg = Clustering.kmeansAssignments(
         corpus, "vec_id", "embedding", 8, 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.keySet == vecs.keySet)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Extras20
+import graft.operators.{Clustering, CurationOps, Extras20}
 
 class Extras20Spec extends SparkSpec {
 
@@ -32,7 +32,7 @@ class Extras20Spec extends SparkSpec {
       "same-cluster probe-vs-corpus recompute; probes never pair with " +
       "probes, the corpus is never self-paired") {
     import graft.operators.{Extras5, Extras12}
-    val out = Extras20.x173SemDedupIncr(spark, sf).collect()
+    val out = CurationOps.x173SemDedupIncr(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // shape contract: every pair is (probe, corpus-original)
     out.foreach { case (nw, old) =>
@@ -44,7 +44,7 @@ class Extras20Spec extends SparkSpec {
     val vecs = all.collect().map(r =>
       r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
     val emb = all.filter(col("vec_id") < Extras5.CloneOffset)
-    val asg = Extras12.kmeansAssignTrained(emb, all,
+    val asg = Clustering.kmeansAssignTrained(emb, all,
         "vec_id", "embedding", 8, 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val probes = vecs.keySet.filter(_ >= Extras5.CloneOffset)
@@ -73,7 +73,7 @@ class Extras20Spec extends SparkSpec {
     val blobs = (0 until 10).map(i =>
         (i.toLong, v(i % 2, 0.01f * (i / 2))))
       .toDF("row_id", "emb")
-    val s1 = graft.operators.Extras12
+    val s1 = graft.operators.Clustering
       .silhouette(blobs, "row_id", "emb", k = 2, iters = 2)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getDouble(2))).toMap
@@ -82,7 +82,7 @@ class Extras20Spec extends SparkSpec {
     val mid = Array.fill(64)(0.0f); mid(0) = 0.7f; mid(1) = 0.7f
     val withMid = blobs.unionByName(
       Seq((99L, mid.toSeq)).toDF("row_id", "emb"))
-    val s2 = graft.operators.Extras12
+    val s2 = graft.operators.Clustering
       .silhouette(withMid, "row_id", "emb", k = 2, iters = 2)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getDouble(2))).toMap
@@ -91,8 +91,8 @@ class Extras20Spec extends SparkSpec {
     assert(withStraddler < 0.9 && clean > 0.9,
       s"straddler must drag one cluster's mean: $s2")
     // determinism on the corpus binding
-    val a = graft.operators.Extras12.x174Silhouette(spark, sf).collect()
-    val b = graft.operators.Extras12.x174Silhouette(spark, sf).collect()
+    val a = graft.operators.Clustering.x174Silhouette(spark, sf).collect()
+    val b = graft.operators.Clustering.x174Silhouette(spark, sf).collect()
     assert(a.sameElements(b))
     assert(a.forall(r => math.abs(r.getDouble(2)) <= 1.0))
   }
@@ -101,10 +101,10 @@ class Extras20Spec extends SparkSpec {
       "are a per-cluster permutation, and the pruned rows are exactly " +
       "ranks 1..floor(0.2n)") {
     import graft.operators.Extras12
-    val sem = Extras12.x172SemDedup(spark, sf).collect()
+    val sem = CurationOps.x172SemDedup(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     val keptIds = sem.collect { case (id, (_, true)) => id }.toSet
-    val out = Extras20.x175D4Prune(spark, sf).collect()
+    val out = CurationOps.x175D4Prune(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getBoolean(3)))
     assert(out.map(_._1).toSet == keptIds,
@@ -123,7 +123,7 @@ class Extras20Spec extends SparkSpec {
         s"cluster $cl must prune exactly ranks 1..$dropn, got $pruned")
     }
     // determinism (staged artifact reload included)
-    val again = Extras20.x175D4Prune(spark, sf).collect()
+    val again = CurationOps.x175D4Prune(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getBoolean(3)))
     assert(out.sameElements(again))
@@ -135,7 +135,7 @@ class Extras20Spec extends SparkSpec {
     import graft.operators.Extras5
     val kept = graft.streaming.Streams.st26StreamSemDedup(spark, sf)
       .collect().map(_.getLong(0)).toSet
-    val matched = Extras20.x173SemDedupIncr(spark, sf)
+    val matched = CurationOps.x173SemDedupIncr(spark, sf)
       .select(col("id_new")).collect().map(_.getLong(0)).toSet
     val probes = Extras5.cloneCorpus(spark, sf)
       .filter(col("vec_id") >= Extras5.CloneOffset)
@@ -155,7 +155,7 @@ class Extras20Spec extends SparkSpec {
   test("x176: soft-dedup weights are 1/cluster-size over the x12 " +
       "components, singletons weigh 1, and each cluster's mass sums " +
       "to ~1") {
-    val out = Extras20.x176SoftDedup(spark, sf).collect()
+    val out = CurationOps.x176SoftDedup(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(out.size == Tables.documents(spark, sf).count())
     val labels = graft.operators.Dedup.ccLabelsFrame(spark, sf)
@@ -177,7 +177,7 @@ class Extras20Spec extends SparkSpec {
 
   test("x177: DSIR weights favor the target slice on average, bigram " +
       "accounting is exact, and the scoring is deterministic") {
-    val out = Extras20.x177DsirWeights(spark, sf).collect()
+    val out = CurationOps.x177DsirWeights(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.length == Tables.documents(spark, sf).count())
     // exact bigram accounting: sum over docs == total occurrences
@@ -195,14 +195,14 @@ class Extras20Spec extends SparkSpec {
     assert(meanPerBigram(tgt) > meanPerBigram(rest),
       s"target mean ${meanPerBigram(tgt)} must exceed " +
         s"rest mean ${meanPerBigram(rest)}")
-    val again = Extras20.x177DsirWeights(spark, sf).collect()
+    val again = CurationOps.x177DsirWeights(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.sameElements(again))
   }
 
   test("x178: CCNet buckets are per-language terciles — exact sizes, " +
       "rank a permutation, and head genuinely outscores tail") {
-    val out = Extras20.x178CcnetBuckets(spark, sf).collect()
+    val out = CurationOps.x178CcnetBuckets(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
         r.getLong(3), r.getString(4)))
     out.groupBy(_._2).foreach { case (lang, rows) =>
@@ -244,7 +244,7 @@ class Extras20Spec extends SparkSpec {
       (4L, Seq(0.1f, 0.9f, 0.02f, 0.02f)),
       (5L, Seq(0.72f, 0.69f, 0.0f, 0.0f)),
       (6L, Seq(0.69f, 0.72f, 0.0f, 0.0f))).toDF("id", "vec")
-    val g = Extras12.semDedupStraddleGuard(rows, "id", "vec",
+    val g = CurationOps.semDedupStraddleGuard(rows, "id", "vec",
       k = 2, iters = 1, threshold = 0.8, numBands = 2, dims = 4).head()
     assert(g.getAs[Long]("n_pairs") == 3L)
     assert(g.getAs[Long]("n_within") == 2L, "the two in-blob pairs")
@@ -254,7 +254,7 @@ class Extras20Spec extends SparkSpec {
       "at k=2 the top-2 probe always recovers a straddler")
     // the same straddling pair is invisible to the grouped (x172)
     // machinery — the loss the guard row quantifies
-    val asg = Extras12.kmeansAssignTop2(rows, "id", "vec", 2, 1)
+    val asg = Clustering.kmeansAssignTop2(rows, "id", "vec", 2, 1)
       .select(col("vid"), col("c1").as("cluster"))
     val grouped = graft.api.VectorPipeline.groupedCosinePairs(
       rows.join(asg, rows("id") === asg("vid")), "id", "vec", "cluster",
@@ -265,8 +265,8 @@ class Extras20Spec extends SparkSpec {
     // corpus binding: the contract row equals a driver-side
     // classification of the staged x41 pairs under a recomputed
     // top-2 assignment
-    val row = Extras20.x172bStraddleGuard(spark, sf).head()
-    val top2 = Extras12.kmeansAssignTop2(
+    val row = CurationOps.x172bStraddleGuard(spark, sf).head()
+    val top2 = Clustering.kmeansAssignTop2(
         Extras5.cloneCorpus(spark, sf), "vec_id", "embedding", 8, 3)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
       .toMap

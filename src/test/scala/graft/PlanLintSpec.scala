@@ -160,4 +160,23 @@ class PlanLintSpec extends SparkSpec {
       }
     assert(offenders.isEmpty, s"\nscale lint failures:\n${offenders.mkString("\n")}")
   }
+
+  test("oracle SQL sanity: every contract query resolves, no oracle " +
+      "text is null or carries a Scala-null concat (the Scala object " +
+      "forward-val-initialization hazard the round-11 module split hit)") {
+    // a forward reference between vals in one object initializes to
+    // null and string-concats as the literal "null" — every real
+    // oracle spells NULL uppercase, so lowercase "null" is the bug
+    val bareNull = "(?<![A-Za-z_])null(?![A-Za-z_])".r
+    SparkEntry.oracleSql.foreach { case (key, sql) =>
+      assert(sql != null, s"$key oracle is null")
+      assert(bareNull.findFirstIn(sql).isEmpty,
+        s"$key oracle carries a bare lowercase 'null' (forward-val " +
+          s"concat?): ${sql.take(120)}")
+    }
+    // every oracle key has a query; queries without oracle are the
+    // documented rows-only set
+    val orphan = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphan.isEmpty, s"oracles without queries: $orphan")
+  }
 }
