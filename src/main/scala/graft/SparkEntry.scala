@@ -26,7 +26,7 @@ object SparkEntry {
       Extras10.queries ++ Extras11.queries ++ Extras12.queries ++
       Extras13.queries ++ Extras14.queries ++ Extras15.queries ++ Extras16.queries ++ Extras17.queries ++ Extras18.queries ++ Extras19.queries ++ Extras20.queries ++
       GraphOps.queries ++ Dml.queries ++ Clustering.queries ++
-      CurationOps.queries ++ PipelineOps.queries ++
+      CurationOps.queries ++ StatsOps.queries ++ PipelineOps.queries ++
       Subqueries.queries ++ graft.streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,6 +41,6 @@ object SparkEntry {
       Extras10.oracles ++ Extras11.oracles ++ Extras12.oracles ++
       Extras13.oracles ++ Extras14.oracles ++ Extras15.oracles ++ Extras16.oracles ++ Extras17.oracles ++ Extras18.oracles ++ Extras19.oracles ++ Extras20.oracles ++
       GraphOps.oracles ++ Dml.oracles ++ Clustering.oracles ++
-      CurationOps.oracles ++ PipelineOps.oracles ++
+      CurationOps.oracles ++ StatsOps.oracles ++ PipelineOps.oracles ++
       Subqueries.oracles ++ graft.streaming.Streams.oracles
 }

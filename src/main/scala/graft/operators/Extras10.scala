@@ -679,46 +679,6 @@ object Extras10 {
     spark.sql(sql37Text)
   }
 
-  /** X99 — two-sample experiment readout (Welch's t): treatment =
-    * purchase events, control = view events; mean difference, Welch
-    * standard error, t statistic, and the Welch–Satterthwaite degrees
-    * of freedom — the A/B-test table an experimentation platform
-    * serves. Every moment comes from x94's exact-DECIMAL sufficient
-    * statistics, and the closed forms run in identically-spelled IEEE
-    * doubles, so the whole readout is bitwise-deterministic under any
-    * partitioning — one grouped aggregate over the events scan. */
-  def x99WelchTTest(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.eventsUs(spark, sfDir)
-      .filter(col("event_type").isin("purchase", "view"))
-      .select(col("event_type"), col("value"),
-        col("value").cast(Det.Money).as("v"))
-    val m = ev.groupBy(col("event_type"))
-      .agg(sum(col("v")).cast("double").as("sv"),
-        sum(col("v") * col("v")).cast("double").as("svv"),
-        count(lit(1)).as("n"))
-      .select(col("event_type"), (col("sv") / col("n")).as("mean"),
-        ((col("svv") - col("sv") * col("sv") / col("n")) /
-          (col("n") - 1)).as("variance"), col("n"))
-    val t = m.filter(col("event_type") === "purchase")
-      .select(col("mean").as("mean_t"), col("variance").as("var_t"),
-        col("n").as("n_t"))
-    val c = m.filter(col("event_type") === "view")
-      .select(col("mean").as("mean_c"), col("variance").as("var_c"),
-        col("n").as("n_c"))
-    t.crossJoin(c)
-      .withColumn("se2",
-        col("var_t") / col("n_t") + col("var_c") / col("n_c"))
-      .select(col("n_t"), col("n_c"),
-        (col("mean_t") - col("mean_c")).as("mean_diff"),
-        sqrt(col("se2")).as("se"),
-        ((col("mean_t") - col("mean_c")) / sqrt(col("se2"))).as("t_stat"),
-        (col("se2") * col("se2") /
-          (col("var_t") / col("n_t") * (col("var_t") / col("n_t")) /
-            (col("n_t") - 1) +
-           col("var_c") / col("n_c") * (col("var_c") / col("n_c")) /
-            (col("n_c") - 1))).as("welch_df"))
-  }
-
   /** X103 — user-journey path mining: the 10 most common 3-step
     * event-type sequences across all users (the "view → click →
     * purchase" table a product team reads). Each user's timeline
@@ -880,7 +840,6 @@ object Extras10 {
     "x105_twap" -> (x105Twap _),
     "x107_bm25" -> (x107Bm25 _),
     "x103_event_paths" -> (x103EventPaths _),
-    "x99_welch_ttest" -> (x99WelchTTest _),
     "sql37_null_aware_anti" -> (sql37NullAwareAnti _),
     "x97_negative_sampling" -> (x97NegativeSampling _),
     "x93_target_encoding" -> (x93TargetEncoding _),
@@ -973,27 +932,6 @@ object Extras10 {
        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_users " +
        s"FROM (${TextOps.ngramSqlOver("paths", 3)}) t GROUP BY ngram " +
        "ORDER BY n_occur DESC, path3 LIMIT 10"),
-    // exact decimal moments; closed forms in identically-associated
-    // IEEE arithmetic (see x94)
-    "x99_welch_ttest" ->
-      ("WITH ev AS (SELECT event_type, value, " +
-       "CAST(value AS DECIMAL(18,4)) AS v FROM events " +
-       "WHERE event_type IN ('purchase', 'view')), " +
-       "m AS (SELECT event_type, CAST(SUM(v) AS DOUBLE) AS sv, " +
-       "CAST(SUM(v * v) AS DOUBLE) AS svv, CAST(COUNT(*) AS BIGINT) AS n " +
-       "FROM ev GROUP BY 1), " +
-       "mm AS (SELECT event_type, sv / n AS mean, " +
-       "(svv - sv * sv / n) / (n - 1) AS variance, n FROM m), " +
-       "t AS (SELECT mean AS mean_t, variance AS var_t, n AS n_t FROM mm " +
-       "WHERE event_type = 'purchase'), " +
-       "c AS (SELECT mean AS mean_c, variance AS var_c, n AS n_c FROM mm " +
-       "WHERE event_type = 'view'), " +
-       "j AS (SELECT *, var_t / n_t + var_c / n_c AS se2 " +
-       "FROM t CROSS JOIN c) " +
-       "SELECT n_t, n_c, mean_t - mean_c AS mean_diff, sqrt(se2) AS se, " +
-       "(mean_t - mean_c) / sqrt(se2) AS t_stat, " +
-       "se2 * se2 / (var_t / n_t * (var_t / n_t) / (n_t - 1) + " +
-       "var_c / n_c * (var_c / n_c) / (n_c - 1)) AS welch_df FROM j"),
     // the SAME text Spark executes (sql37Text), verbatim
     "sql37_null_aware_anti" -> sql37Text.replace("\n", " "),
     // positives recomputed exactly (l3's spelling), candidates cut by

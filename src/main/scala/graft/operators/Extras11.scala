@@ -381,58 +381,6 @@ object Extras11 {
       .orderBy(col("event_type"))
   }
 
-  /** X121 — equi-width histogram (`width_bucket`, the warehouse
-    * distribution profile): order totals bucketed into 20 fixed-width
-    * bins over [0, 500k), count + decimal-routed bin revenue share.
-    * One grouped aggregate over a computed key — scan-bound; the bin
-    * function is the SQL-standard width_bucket both engines ship. */
-  def x121Histogram(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.orders(spark, sfDir)
-      .select(width_bucket(col("o_totalprice"), lit(0.0), lit(500000.0),
-        lit(20)).as("bucket"), col("o_totalprice"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast(Det.Money)).cast("double").as("total"))
-      .orderBy(col("bucket"))
-
-  /** X122 — exact Pearson correlation matrix over the lineitem measures
-    * (quantity × price × discount): engine-native `corr()` partial-
-    * aggregates IEEE doubles (order-dependent — §7.4's hazard), so
-    * each r is computed CLOSED-FORM from exact sufficient statistics
-    * instead: integer/decimal Σx, Σx², Σxy per pair, one identically-
-    * spelled double expression at the end (a23's pattern widened to
-    * the covariance matrix). One scan, one row out. */
-  def x122Correlation(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir).select(
-      col("l_quantity").cast(Det.Money).as("q"),
-      col("l_extendedprice").cast(Det.Money).as("p"),
-      col("l_discount").cast(Det.Money6).as("d"))
-    val stats = li.agg(
-      count(lit(1)).as("n"),
-      sum(col("q")).as("sq"), sum(col("p")).as("sp"), sum(col("d")).as("sd"),
-      sum(col("q") * col("q")).as("sqq"),
-      sum(col("p") * col("p")).as("spp"),
-      sum(col("d") * col("d")).as("sdd"),
-      sum(col("q") * col("p")).as("sqp"),
-      sum(col("q") * col("d")).as("sqd"),
-      sum(col("p") * col("d")).as("spd"))
-    def r(sx: String, sy: String, sxx: String, syy: String,
-        sxy: String): org.apache.spark.sql.Column = {
-      val n = col("n").cast("double")
-      val cov = n * col(sxy).cast("double") -
-        col(sx).cast("double") * col(sy).cast("double")
-      val vx = n * col(sxx).cast("double") -
-        col(sx).cast("double") * col(sx).cast("double")
-      val vy = n * col(syy).cast("double") -
-        col(sy).cast("double") * col(sy).cast("double")
-      round(cov / sqrt(vx * vy), 6)
-    }
-    stats.select(col("n"),
-      r("sq", "sp", "sqq", "spp", "sqp").as("r_qty_price"),
-      r("sq", "sd", "sqq", "sdd", "sqd").as("r_qty_disc"),
-      r("sp", "sd", "spp", "sdd", "spd").as("r_price_disc"))
-  }
-
   /** X123 — matryoshka truncation quality (Kusupati et al. 2022, the
     * MRL serving trick every modern vector DB offers): retrieval run
     * on the FIRST 16 of 64 dims, renormalized, scored against full-dim
@@ -564,44 +512,6 @@ object Extras11 {
       .orderBy(col("label"))
   }
 
-  /** X127 — exact two-sample Kolmogorov–Smirnov statistic (the
-    * distribution-level test beside x99's mean-level Welch t): click
-    * vs view value distributions, D = max |F̂_a − F̂_b| computed in
-    * EXACT INTEGER arithmetic — the max of |cumA·nB − cumB·nA| over
-    * the pooled support, divided once at the end — so the statistic
-    * is bitwise reproducible (no float CDF accumulation anywhere).
-    * The two cumulative counts run through [[Extras10.distributedCumSum]]
-    * (w16's machinery): value-keyed range partitions, NO global
-    * single-partition window in the plan. */
-  def x127KsTest(spark: SparkSession, sfDir: String): DataFrame = {
-    val g = Tables.eventsUs(spark, sfDir)
-      .filter(col("event_type").isin("click", "view"))
-      .groupBy(col("value"))
-      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
-        .as("a_cnt"),
-        sum(when(col("event_type") === "view", 1L).otherwise(0L))
-        .as("b_cnt"))
-      .localCheckpoint(true)
-    val ca = Extras10.distributedCumSum(g, col("value"),
-        col("a_cnt").cast(DecimalType(18, 0)), 8)
-      .select(col("k"), col("cum").cast("long").as("ca"))
-    val cb = Extras10.distributedCumSum(g, col("value"),
-        col("b_cnt").cast(DecimalType(18, 0)), 8)
-      .select(col("k").as("k2"), col("cum").cast("long").as("cb"))
-    val totals = g.agg(sum(col("a_cnt")).as("n_a"),
-      sum(col("b_cnt")).as("n_b"))
-    ca.join(cb, col("k") === col("k2")).crossJoin(totals)
-      .select((abs(col("ca") * col("n_b") - col("cb") * col("n_a")))
-        .as("dn"), col("n_a"), col("n_b"))
-      .groupBy(col("n_a"), col("n_b"))
-      .agg(max(col("dn")).as("d_num"))
-      .select(col("n_a"), col("n_b"), col("d_num"),
-        round(col("d_num").cast("double") /
-          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
-          .as("d_stat"))
-  }
-
-
   /** J14 — AQE runtime skew-join remediation (the AUTOMATIC tier above
     * x28's manual salting): a fact table with one planted hot customer
     * (two thirds of all rows) merge-joined to customer under AQE with the
@@ -720,91 +630,6 @@ object Extras11 {
           .as("first3"))
       .orderBy(col("doc_id"))
 
-  /** X129 — exact Mann–Whitney U (rank-sum; x127's KS sibling — the
-    * nonparametric location test): click vs view values with MIDRANKS
-    * kept in EXACT INTEGER arithmetic via doubled ranks (a tie group
-    * spanning (prev, prev+t] contributes 2·midrank = 2·prev + t + 1
-    * per member — never a .5), so U is bitwise-exact; the normal
-    * approximation z applies the standard tie correction Σ(t³−t) in
-    * one identically-spelled double expression. The pooled-value
-    * cumulative runs through [[Extras10.distributedCumSum]] — no
-    * global window. */
-  def x129MannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
-    val g = Tables.eventsUs(spark, sfDir)
-      .filter(col("event_type").isin("click", "view"))
-      .groupBy(col("value"))
-      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
-        .as("a_cnt"),
-        sum(when(col("event_type") === "view", 1L).otherwise(0L))
-        .as("b_cnt"))
-      .withColumn("tot", col("a_cnt") + col("b_cnt"))
-      .localCheckpoint(true)
-    val cum = Extras10.distributedCumSum(g.select(col("value"), col("tot")),
-        col("value"), col("tot").cast(DecimalType(18, 0)), 8)
-      .select(col("k").as("value"), col("cum").cast("long").as("cum_tot"))
-    val terms = g.join(cum, "value")
-      .select(col("a_cnt"), col("tot"),
-        (col("a_cnt") *
-          (lit(2L) * (col("cum_tot") - col("tot")) + col("tot") + 1L))
-          .as("r2_term"),
-        (col("tot") * col("tot") * col("tot") - col("tot")).as("tie_term"))
-    val s = terms.agg(sum(col("r2_term")).as("r1_2"),
-      sum(col("tie_term")).as("ties"))
-    val totals = g.agg(sum(col("a_cnt")).as("n_a"),
-      sum(col("b_cnt")).as("n_b"))
-    val nA = col("n_a").cast("double")
-    val nB = col("n_b").cast("double")
-    val n = nA + nB
-    val u2a = lit(2L) * col("n_a") * col("n_b") +
-      col("n_a") * (col("n_a") + 1L) - col("r1_2")
-    s.crossJoin(totals)
-      .withColumn("u2_a", u2a)
-      .select(col("n_a"), col("n_b"), col("u2_a"),
-        round((col("u2_a").cast("double") / 2.0 - nA * nB / 2.0) /
-          sqrt(nA * nB / 12.0 *
-            ((n + 1.0) - col("ties").cast("double") / (n * (n - 1.0)))),
-          6).as("z"))
-  }
-
-  /** X130 — Poisson-bootstrap confidence interval (Chamandy et al.,
-    * Google 2012 — THE distributed bootstrap: per-(row, replicate)
-    * Poisson(1) weights approximate multinomial resampling without any
-    * global coordination): B = 100 replicates of the mean event value,
-    * weights drawn DETERMINISTICALLY by inverse-CDF on the
-    * (event_id, replicate) md5 uniform, replicate means from exact
-    * decimal weighted sums, the 95% CI as exact interpolated
-    * percentiles over the 100 means (a17's proven quantile surface).
-    * One explode + one grouped aggregate: rows × 100 map-side, 100
-    * groups out — scan-bound at any scale, zero collect. */
-  def x130Bootstrap(spark: SparkSession, sfDir: String): DataFrame = {
-    val u = (Det.md5Bucket(concat(col("event_id").cast("string"),
-      lit(":"), col("b").cast("string")), 13).cast("double") + lit(0.5)) /
-      lit(math.pow(16.0, 13))
-    // Poisson(1) inverse CDF, cumulative probabilities spelled as the
-    // same double literals in both engines
-    val w = when(u < 0.3678794411714423, 0L)
-      .when(u < 0.7357588823428846, 1L)
-      .when(u < 0.9196986029286058, 2L)
-      .when(u < 0.9810118431238462, 3L)
-      .when(u < 0.9963401531726563, 4L)
-      .when(u < 0.9994058151824183, 5L)
-      .when(u < 0.9999167588507119, 6L)
-      .otherwise(7L)
-    val means = Tables.eventsUs(spark, sfDir)
-      .select(col("event_id"), col("value"),
-        explode(sequence(lit(0), lit(99))).as("b"))
-      .withColumn("w", w)
-      .groupBy(col("b"))
-      .agg((sum(col("w") * col("value").cast(Det.Money)).cast("double") /
-        sum(col("w")).cast("double")).as("m"))
-      .select(col("b"), round(col("m"), 6).as("m"))
-    means.agg(count(lit(1)).as("n_replicates"),
-      round(percentile(col("m"), lit(0.025)), 6).as("lo95"),
-      round(percentile(col("m"), lit(0.975)), 6).as("hi95"),
-      round((sum(col("m").cast(Det.Money6)).cast("double") /
-        count(lit(1))), 6).as("mean_of_means"))
-  }
-
   /** S28 — compression-codec matrix (the storage knob a 100 TB lake
     * actually budgets with): the same projection written as parquet
     * under snappy / zstd / gzip, each read back and aggregated — codec
@@ -837,42 +662,6 @@ object Extras11 {
       .orderBy(col("codec"))
   }
 
-  /** X131 — CUPED variance reduction (Deng et al., WSDM 2013 — the
-    * experimentation-platform staple): per-user PRE-period activity
-    * (before the data-derived midpoint, x54's deterministic-cut rule)
-    * as the covariate for the POST-period metric; θ = cov(x,y)/var(x)
-    * and the achieved variance reduction corr² computed CLOSED-FORM
-    * from exact DECIMAL sufficient statistics (the a23/x122 policy —
-    * engine-native covariance partial-aggregates doubles). The row
-    * reports exactly what an experimenter asks: how much variance does
-    * the covariate remove. One scan + one user-keyed aggregate. */
-  def x131Cuped(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.eventsUs(spark, sfDir)
-      .select(col("user_id"), col("ts"), col("value").cast(Det.Money))
-    val mm = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
-      .collect()(0)
-    val cut = (mm.getLong(0) + mm.getLong(1)) / 2
-    val perUser = ev.groupBy(col("user_id"))
-      .agg(sum(when(col("ts") < cut, col("value"))
-          .otherwise(lit(0).cast(Det.Money))).as("x"),
-        sum(when(col("ts") >= cut, col("value"))
-          .otherwise(lit(0).cast(Det.Money))).as("y"))
-    val s = perUser.agg(count(lit(1)).as("n"),
-      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("y")).as("sxy"),
-      sum(col("x") * col("x")).as("sxx"),
-      sum(col("y") * col("y")).as("syy"))
-    val n = col("n").cast("double")
-    def d(c: String) = col(c).cast("double")
-    val covXy = n * d("sxy") - d("sx") * d("sy")
-    val varX = n * d("sxx") - d("sx") * d("sx")
-    val varY = n * d("syy") - d("sy") * d("sy")
-    s.select(col("n").as("n_users"),
-      round(covXy / varX, 6).as("theta"),
-      round(covXy / sqrt(varX * varY), 6).as("corr_xy"),
-      round(covXy * covXy / (varX * varY), 6).as("var_reduction"))
-  }
-
   /** W17 — ratio_to_report window family (the BI share-of-total
     * everywhere in dashboards): each order's revenue share within its
     * priority group AND of the grand total, in one pass — the grouped
@@ -901,42 +690,6 @@ object Extras11 {
         round(col("p").cast("double") / col("g").cast("double"), 9)
           .as("share_of_total"))
       .orderBy(col("share_of_total").desc, col("o_orderkey")).limit(100)
-  }
-
-  /** X132 — delta-method standard error for a RATIO metric (Deng et
-    * al., KDD 2018 — the correction every experimentation platform
-    * applies because revenue-per-event is a ratio of two user-level
-    * random sums, not a mean of i.i.d. rows): R = Σy/Σx over per-user
-    * (exposure x = events, outcome y = purchase revenue),
-    * Var̂(R) = (s_yy − 2R·s_xy + R²·s_xx) / (n·x̄²) — every sufficient
-    * statistic an exact DECIMAL/integer sum, the closed form one
-    * identically-spelled double chain (the x131/x122 policy). Naively
-    * treating the ratio as a row-mean understates the SE; this row IS
-    * the correct computation, stated as data. */
-  def x132RatioSe(spark: SparkSession, sfDir: String): DataFrame = {
-    val perUser = Tables.eventsUs(spark, sfDir)
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("x"),
-        sum(when(col("event_type") === "purchase",
-          col("value").cast(Det.Money))
-          .otherwise(lit(0).cast(Det.Money))).as("y"))
-    val s = perUser.agg(count(lit(1)).as("n"),
-      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("y")).as("sxy"),
-      sum(col("x") * col("x")).as("sxx"),
-      sum(col("y") * col("y")).as("syy"))
-    val n = col("n").cast("double")
-    def d(c: String) = col(c).cast("double")
-    val xb = d("sx") / n
-    val r = d("sy") / d("sx")
-    // sample (co)variances from exact sums: s_ab = (n·Σab − Σa·Σb)/(n(n−1))
-    def sv(sab: String, sa: String, sb: String) =
-      (n * d(sab) - d(sa) * d(sb)) / (n * (n - 1.0))
-    val varR = (sv("syy", "sy", "sy") -
-      lit(2.0) * r * sv("sxy", "sx", "sy") +
-      r * r * sv("sxx", "sx", "sx")) / (n * xb * xb)
-    s.select(col("n").as("n_users"), round(r, 9).as("ratio"),
-      round(sqrt(varR), 9).as("se"))
   }
 
   /** X133 — session-depth distribution + bounce rate (the web-
@@ -979,23 +732,16 @@ object Extras11 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x133_session_depth" -> (x133SessionDepth _),
-    "x132_ratio_se" -> (x132RatioSe _),
-    "x131_cuped" -> (x131Cuped _),
     "w17_ratio_to_report" -> (w17RatioToReport _),
-    "x129_mannwhitney" -> (x129MannWhitney _),
-    "x130_bootstrap" -> (x130Bootstrap _),
     "s28_codec_matrix" -> (s28CodecMatrix _),
     "f24_regex_family" -> (f24RegexFamily _),
     "x128_ndcg" -> (x128Ndcg _),
     "j14_aqe_skew_join" -> (j14AqeSkewJoin _),
     "x125_token_drift" -> (x125TokenDrift _),
     "x126_embedding_drift" -> (x126EmbeddingDrift _),
-    "x127_ks_test" -> (x127KsTest _),
     "x123_matryoshka" -> (x123Matryoshka _),
     "x124_binary_quant" -> (x124BinaryQuant _),
     "x120_changepoint" -> (x120Changepoint _),
-    "x121_histogram" -> (x121Histogram _),
-    "x122_correlation" -> (x122Correlation _),
     "x119_golden_record" -> (x119GoldenRecord _),
     "sql40_param_sql" -> (sql40ParamSql _),
     "sql41_session_vars" -> (sql41SessionVars _),
@@ -1063,69 +809,6 @@ object Extras11 {
        "AS share, " +
        "round(CAST(bounces AS DOUBLE) / CAST(total AS DOUBLE), 6) " +
        "AS bounce_rate FROM g CROSS JOIN t ORDER BY depth_bucket"),
-    // same exact moments, same delta-method chain
-    "x132_ratio_se" ->
-      ("WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x, " +
-       "SUM(CASE WHEN event_type = 'purchase' " +
-       "THEN CAST(value AS DECIMAL(28,4)) " +
-       "ELSE CAST(0 AS DECIMAL(28,4)) END) AS y " +
-       "FROM events GROUP BY user_id), " +
-       "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
-       "CAST(SUM(x) AS BIGINT) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, " +
-       "CAST(SUM(x * x) AS BIGINT) AS sxx, SUM(y * y) AS syy FROM pu) " +
-       "SELECT n AS n_users, " +
-       "round(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE), 9) AS ratio, " +
-       "round(sqrt((" +
-       "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
-       "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
-       "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) - " +
-       "2.0 * (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) * " +
-       "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
-       "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
-       "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) + " +
-       "(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) * " +
-       "(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) * " +
-       "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
-       "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / " +
-       "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))" +
-       ") / (CAST(n AS DOUBLE) * " +
-       "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * " +
-       "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))), 9) AS se FROM s"),
-    // same midpoint cut, same exact moments, same closed form
-    "x131_cuped" ->
-      ("WITH mm AS (SELECT (CAST(MIN(epoch_us(ts)) AS BIGINT) + " +
-       "CAST(MAX(epoch_us(ts)) AS BIGINT)) // 2 AS cut FROM events), " +
-       "pu AS (SELECT user_id, " +
-       "SUM(CASE WHEN epoch_us(ts) < cut " +
-       "THEN CAST(value AS DECIMAL(28,4)) " +
-       "ELSE CAST(0 AS DECIMAL(28,4)) END) AS x, " +
-       "SUM(CASE WHEN epoch_us(ts) >= cut " +
-       "THEN CAST(value AS DECIMAL(28,4)) " +
-       "ELSE CAST(0 AS DECIMAL(28,4)) END) AS y " +
-       "FROM events CROSS JOIN mm GROUP BY user_id), " +
-       "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, " +
-       "SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx, " +
-       "SUM(y * y) AS syy FROM pu) " +
-       "SELECT n AS n_users, " +
-       "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
-       "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
-       "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
-       "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS theta, " +
-       "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
-       "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
-       "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
-       "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
-       "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
-       "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_xy, " +
-       "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
-       "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * " +
-       "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
-       "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
-       "((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
-       "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
-       "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
-       "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) " +
-       "AS var_reduction FROM s"),
     // keyed window share + broadcast grand total, same rounding
     "w17_ratio_to_report" ->
       ("WITH o AS (SELECT o_orderkey, o_orderpriority, " +
@@ -1139,52 +822,6 @@ object Extras11 {
        "round(CAST(p AS DOUBLE) / CAST(g.g AS DOUBLE), 9) " +
        "AS share_of_total FROM w CROSS JOIN g " +
        "ORDER BY share_of_total DESC, o_orderkey LIMIT 100"),
-    // exact doubled-rank arithmetic, same tie-corrected z spelling
-    "x129_mannwhitney" ->
-      ("WITH g AS (SELECT value, " +
-       "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a_cnt, " +
-       "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b_cnt " +
-       "FROM events WHERE event_type IN ('click', 'view') GROUP BY 1), " +
-       "c AS (SELECT value, a_cnt, a_cnt + b_cnt AS tot, " +
-       "SUM(a_cnt + b_cnt) OVER (ORDER BY value) AS cum_tot FROM g), " +
-       "s AS (SELECT SUM(a_cnt * (2 * (cum_tot - tot) + tot + 1)) " +
-       "AS r1_2, SUM(tot * tot * tot - tot) AS ties FROM c), " +
-       "t AS (SELECT CAST(SUM(a_cnt) AS BIGINT) AS n_a, " +
-       "CAST(SUM(b_cnt) AS BIGINT) AS n_b FROM g) " +
-       "SELECT n_a, n_b, " +
-       "CAST(2 * n_a * n_b + n_a * (n_a + 1) - r1_2 AS BIGINT) AS u2_a, " +
-       "round((CAST(2 * n_a * n_b + n_a * (n_a + 1) - r1_2 AS DOUBLE) " +
-       "/ 2.0 - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) / " +
-       "sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * " +
-       "((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) - " +
-       "CAST(ties AS DOUBLE) / " +
-       "((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * " +
-       "(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))), 6) AS z " +
-       "FROM s CROSS JOIN t"),
-    // same seeded Poisson draws, same decimal means, a17's quantile
-    // surface for the CI
-    "x130_bootstrap" ->
-      ("WITH e AS (SELECT event_id, value, r.b FROM events, " +
-       "range(0, 100) r(b)), " +
-       "u AS (SELECT b, value, (" +
-       Det.sql.md5Bucket(
-         "CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)", 13) +
-       " + 0.5) / POWER(16, 13) AS u FROM e), " +
-       "w AS (SELECT b, value, CASE " +
-       "WHEN u < 0.3678794411714423 THEN 0 " +
-       "WHEN u < 0.7357588823428846 THEN 1 " +
-       "WHEN u < 0.9196986029286058 THEN 2 " +
-       "WHEN u < 0.9810118431238462 THEN 3 " +
-       "WHEN u < 0.9963401531726563 THEN 4 " +
-       "WHEN u < 0.9994058151824183 THEN 5 " +
-       "WHEN u < 0.9999167588507119 THEN 6 ELSE 7 END AS w FROM u), " +
-       "m AS (SELECT b, round(CAST(SUM(w * CAST(value AS DECIMAL(18,4))) " +
-       "AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6) AS m FROM w GROUP BY b) " +
-       "SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates, " +
-       "round(quantile_cont(m, 0.025), 6) AS lo95, " +
-       "round(quantile_cont(m, 0.975), 6) AS hi95, " +
-       "round(CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) " +
-       "AS mean_of_means FROM m"),
     // codec choice must be value-neutral; the tag claim pins that the
     // option was honored
     "s28_codec_matrix" ->
@@ -1248,21 +885,6 @@ object Extras11 {
        "FROM dims a JOIN dims b ON a.label = b.label AND a.d = b.d " +
        "AND a.half = 0 AND b.half = 1 " +
        "GROUP BY a.label ORDER BY a.label"),
-    // exact integer D: max |cumA*nB - cumB*nA| over the pooled support
-    "x127_ks_test" ->
-      ("WITH g AS (SELECT value, " +
-       "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a_cnt, " +
-       "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b_cnt " +
-       "FROM events WHERE event_type IN ('click', 'view') GROUP BY 1), " +
-       "c AS (SELECT value, SUM(a_cnt) OVER (ORDER BY value) AS ca, " +
-       "SUM(b_cnt) OVER (ORDER BY value) AS cb FROM g), " +
-       "t AS (SELECT CAST(SUM(a_cnt) AS BIGINT) AS n_a, " +
-       "CAST(SUM(b_cnt) AS BIGINT) AS n_b FROM g) " +
-       "SELECT n_a, n_b, " +
-       "CAST(MAX(abs(ca * n_b - cb * n_a)) AS BIGINT) AS d_num, " +
-       "round(CAST(MAX(abs(ca * n_b - cb * n_a)) AS DOUBLE) / " +
-       "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d_stat " +
-       "FROM c CROSS JOIN t GROUP BY n_a, n_b"),
     // both top-5s recomputed exhaustively; truncated sims mirror the
     // float-cast renormalization element by element
     "x123_matryoshka" ->
@@ -1335,49 +957,6 @@ object Extras11 {
        "ORDER BY dev DESC, day) AS rn FROM d) " +
        "SELECT event_type, day AS cp_day, dev AS max_dev FROM p " +
        "WHERE rn = 1 ORDER BY event_type"),
-    // DuckDB has no width_bucket: the oracle spells Spark's exact
-    // bucket formula floor(n·(x−lo)/(hi−lo))+1 with the over/under
-    // clamps (2-dp prices can't sit close enough to a boundary for the
-    // one double division to diverge)
-    "x121_histogram" ->
-      ("SELECT (CASE WHEN o_totalprice < 0.0 THEN 0 " +
-       "WHEN o_totalprice >= 500000.0 THEN 21 " +
-       "ELSE CAST(FLOOR(20 * (o_totalprice - 0.0) / (500000.0 - 0.0)) " +
-       "AS BIGINT) + 1 END) AS bucket, CAST(COUNT(*) AS BIGINT) AS n, " +
-       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
-       "FROM orders GROUP BY 1 ORDER BY bucket"),
-    // same exact sufficient statistics, same closed-form doubles
-    "x122_correlation" ->
-      // DECIMAL(28,_) containers: DuckDB backs (18,_) with INT64 and
-      // overflows on the square; the wider container changes storage,
-      // not values — arithmetic stays exact on both engines
-      ("WITH li AS (SELECT CAST(l_quantity AS DECIMAL(28,4)) AS q, " +
-       "CAST(l_extendedprice AS DECIMAL(28,4)) AS p, " +
-       "CAST(l_discount AS DECIMAL(28,6)) AS d FROM lineitem), " +
-       "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
-       "SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd, " +
-       "SUM(q * q) AS sqq, SUM(p * p) AS spp, SUM(d * d) AS sdd, " +
-       "SUM(q * p) AS sqp, SUM(q * d) AS sqd, SUM(p * d) AS spd FROM li) " +
-       "SELECT n, " +
-       "round((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - " +
-       "CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) / " +
-       "sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - " +
-       "CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) * " +
-       "(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - " +
-       "CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6) AS r_qty_price, " +
-       "round((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE) - " +
-       "CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE)) / " +
-       "sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - " +
-       "CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) * " +
-       "(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - " +
-       "CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6) AS r_qty_disc, " +
-       "round((CAST(n AS DOUBLE) * CAST(spd AS DOUBLE) - " +
-       "CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE)) / " +
-       "sqrt((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - " +
-       "CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) * " +
-       "(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - " +
-       "CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6) AS r_price_disc " +
-       "FROM s"),
     // clusters re-derived via the shared recursive CTE, then the same
     // survivorship rule
     "x119_golden_record" ->

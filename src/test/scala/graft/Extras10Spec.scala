@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.Extras10
+import graft.operators.{Extras10, StatsOps}
 
 class Extras10Spec extends SparkSpec {
 
@@ -332,7 +332,7 @@ class Extras10Spec extends SparkSpec {
   }
 
   test("x99: the Welch readout is internally consistent") {
-    val r = Extras10.x99WelchTTest(spark, sf).collect()(0)
+    val r = StatsOps.x99WelchTTest(spark, sf).collect()(0)
     val (nT, nC) = (r.getLong(0), r.getLong(1))
     assert(nT > 0 && nC > 0)
     assert(math.abs(r.getDouble(4) -

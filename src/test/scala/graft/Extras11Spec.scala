@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.api.VectorPipeline
-import graft.operators.{Extras11, Extras3, GraphOps}
+import graft.operators.{Extras11, Extras3, GraphOps, StatsOps}
 
 class Extras11Spec extends SparkSpec {
   import spark.implicits._
@@ -198,7 +198,7 @@ class Extras11Spec extends SparkSpec {
       assert((r.getLong(1), r.getDouble(2)) == best, r.getString(0))
     }
     // x121: buckets partition the orders; widths respected at the edges
-    val h = graft.operators.Extras11.x121Histogram(spark, sf).collect()
+    val h = graft.operators.StatsOps.x121Histogram(spark, sf).collect()
     assert(h.map(_.getLong(1)).sum == Tables.orders(spark, sf).count())
     assert(h.forall(r => r.getLong(0) >= 1 && r.getLong(0) <= 21))
     // x122: closed-form r agrees with engine-native corr to 1e-6
@@ -206,7 +206,7 @@ class Extras11Spec extends SparkSpec {
       .agg(corr(col("l_quantity"), col("l_extendedprice")),
         corr(col("l_quantity"), col("l_discount")),
         corr(col("l_extendedprice"), col("l_discount"))).collect()(0)
-    val ex = graft.operators.Extras11.x122Correlation(spark, sf).collect()(0)
+    val ex = graft.operators.StatsOps.x122Correlation(spark, sf).collect()(0)
     assert(math.abs(ex.getDouble(1) - native.getDouble(0)) < 1e-6)
     assert(math.abs(ex.getDouble(2) - native.getDouble(1)) < 1e-6)
     assert(math.abs(ex.getDouble(3) - native.getDouble(2)) < 1e-6)
@@ -319,7 +319,7 @@ class Extras11Spec extends SparkSpec {
   }
 
   test("x132: delta-method ratio and SE match a driver-side recompute") {
-    val r = Extras11.x132RatioSe(spark, sf).collect()(0)
+    val r = StatsOps.x132RatioSe(spark, sf).collect()(0)
     val pu = Tables.eventsUs(spark, sf).groupBy(col("user_id"))
       .agg(count(lit(1)).cast("double").as("x"),
         sum(when(col("event_type") === "purchase",
@@ -342,7 +342,7 @@ class Extras11Spec extends SparkSpec {
 
   test("x131/w17: CUPED stats match engine-native corr; shares sum to 1 " +
       "within each scope") {
-    val c = Extras11.x131Cuped(spark, sf).collect()(0)
+    val c = StatsOps.x131Cuped(spark, sf).collect()(0)
     assert(c.getDouble(3) >= 0 && c.getDouble(3) <= 1)
     assert(math.abs(c.getDouble(3) -
       c.getDouble(2) * c.getDouble(2)) < 2e-6,
@@ -376,7 +376,7 @@ class Extras11Spec extends SparkSpec {
 
   test("x129/x130: Mann-Whitney U matches a driver-side exact recompute; " +
       "bootstrap CI brackets the true mean") {
-    val mw = Extras11.x129MannWhitney(spark, sf).collect()(0)
+    val mw = StatsOps.x129MannWhitney(spark, sf).collect()(0)
     val vals = Tables.eventsUs(spark, sf)
       .filter(col("event_type").isin("click", "view"))
       .select(col("event_type"), col("value")).collect()
@@ -398,7 +398,7 @@ class Extras11Spec extends SparkSpec {
     assert(mw.getLong(2) == u2a, s"u2_a ${mw.getLong(2)} vs $u2a")
     // U symmetric under no location shift -> z should be modest
     assert(math.abs(mw.getDouble(3)) < 10)
-    val bs = Extras11.x130Bootstrap(spark, sf).collect()(0)
+    val bs = StatsOps.x130Bootstrap(spark, sf).collect()(0)
     assert(bs.getLong(0) == 100L)
     val trueMean = Tables.eventsUs(spark, sf)
       .agg(sum(col("value").cast(Det.Money)).cast("double") /
@@ -429,7 +429,7 @@ class Extras11Spec extends SparkSpec {
       assert(r.getLong(1) + r.getLong(2) == labelTotals(r.getInt(0)))
     }
     // x127: D matches a driver-side exact KS computation
-    val ks = Extras11.x127KsTest(spark, sf).collect()(0)
+    val ks = StatsOps.x127KsTest(spark, sf).collect()(0)
     val vals = Tables.eventsUs(spark, sf)
       .filter(col("event_type").isin("click", "view"))
       .select(col("event_type"), col("value")).collect()

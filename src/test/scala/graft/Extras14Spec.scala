@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Extras11, Extras14, SimSearch}
+import graft.operators.{Extras11, Extras14, SimSearch, StatsOps}
 
 class Extras14Spec extends SparkSpec {
   import spark.implicits._
@@ -11,7 +11,7 @@ class Extras14Spec extends SparkSpec {
 
   test("x146 acf: lag-0 self-check via denominator, pair counts shrink " +
       "by one per missing day-offset, |acf| bounded by 1 + rounding slack") {
-    val rows = Extras14.x146Acf(spark, sf).collect()
+    val rows = StatsOps.x146Acf(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq == (1L to 7L))
     // a lag-k pair needs both endpoints observed: count is bounded by
     // the day count minus k on a contiguous series (gaps only shrink it)
@@ -26,7 +26,7 @@ class Extras14Spec extends SparkSpec {
 
   test("x147 chi2: expected margins reproduce observed totals and the " +
       "statistic is the sum of the per-cell terms") {
-    val rows = Extras14.x147Chi2(spark, sf).collect()
+    val rows = StatsOps.x147Chi2(spark, sf).collect()
     val (total, cells) = rows.partition(_.getString(0) == "TOTAL")
     assert(total.length == 1 && cells.nonEmpty)
     val t = total.head
@@ -45,7 +45,7 @@ class Extras14Spec extends SparkSpec {
 
   test("x148 benford: shares sum to 1, expectation sums to 1, deviation " +
       "recomputes per digit") {
-    val rows = Extras14.x148Benford(spark, sf).collect()
+    val rows = StatsOps.x148Benford(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq.forall(d => d >= 1 && d <= 9))
     assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4)
     val benfordSum = (1 to 9).map(d => math.log10(1.0 + 1.0 / d)).sum
@@ -82,7 +82,7 @@ class Extras14Spec extends SparkSpec {
     assert(byS("UNI")._1 == 2.0)
     assert(byS("ONE")._1 == -0.0 || byS("ONE")._1 == 0.0)
     // and the real corpus run emits one row per segment with sane bounds
-    val rows = Extras14.x149Entropy(spark, sf).collect()
+    val rows = StatsOps.x149Entropy(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { row =>
       val k = row.getLong(2).toDouble
