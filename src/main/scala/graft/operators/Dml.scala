@@ -233,14 +233,81 @@ object Dml {
     } finally s.sql("DROP TABLE IF EXISTS graft.orders_rl"): Unit
   }
 
+  /** SQL51 — MERGE with `WHEN NOT MATCHED BY SOURCE` arms (round 11;
+    * the third MERGE clause family, completing sql46): target rows
+    * with NO source match take their own action — the
+    * "synchronize the table to the feed" statement (conditional
+    * BY-SOURCE DELETE here, the retention sweep every
+    * mirror-a-changefeed pipeline runs). Contract pins the statement
+    * end to end through the graft catalog's row-level machinery AND
+    * the shape's scale boundary: a BY SOURCE arm makes EVERY target
+    * row a potential participant, so the rewrite group is soundly the
+    * whole table — the runtime (join-driven) group filter MUST NOT
+    * fire (Spark only plans its group-filter subquery for shapes
+    * where pruning is sound; the spec pins that rows outside the
+    * source-matched files still take the BY SOURCE action). Claims:
+    * count + Det-decimal price sum + keysum after the statement,
+    * restated by the oracle as plain state algebra over the base
+    * table. */
+  def sql51MergeBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.base",
+      Tables.scratchDir("sql51_cat", sfDir))
+    s.sql("DROP TABLE IF EXISTS graft.orders_bs")
+    Tables.orders(s, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .createOrReplaceTempView("orders_src51")
+    s.sql("CREATE TABLE graft.orders_bs AS " +
+      "SELECT * FROM orders_src51 WHERE o_orderkey <= 2000")
+    try {
+      s.sql("MERGE INTO graft.orders_bs t USING (" +
+        "SELECT o_orderkey, o_totalprice FROM orders_src51 " +
+        "WHERE o_orderkey <= 1000) m " +
+        "ON t.o_orderkey = m.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET t.o_totalprice = " +
+        "m.o_totalprice * 1.5 " +
+        "WHEN NOT MATCHED BY SOURCE AND t.o_custkey % 2 = 0 " +
+        "THEN DELETE")
+      val r = s.table("graft.orders_bs").agg(count(lit(1)),
+        coalesce(sum(col("o_totalprice").cast(graft.Det.Money)),
+          lit(java.math.BigDecimal.ZERO).cast(graft.Det.Money)),
+        coalesce(sum(col("o_custkey")), lit(0L))).head()
+      import s.implicits._
+      Seq((r.getLong(0), r.getLong(2)))
+        .toDF("n_after_merge", "custkeysum_after_merge")
+        .withColumn("price_after_merge",
+          lit(r.getDecimal(1)).cast(graft.Det.Money).cast("double"))
+        .select(col("n_after_merge"), col("price_after_merge"),
+          col("custkeysum_after_merge"))
+    } finally s.sql("DROP TABLE IF EXISTS graft.orders_bs"): Unit
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql42_catalog_ddl" -> (sql42CatalogDdl _),
     "sql43_insert_dml" -> (sql43InsertDml _),
     "sql44_ctas" -> (sql44Ctas _),
     "sql45_row_level_sql" -> (sql45RowLevelSql _),
-    "sql46_update_merge" -> (sql46UpdateMerge _))
+    "sql46_update_merge" -> (sql46UpdateMerge _),
+    "sql51_merge_by_source" -> (sql51MergeBySource _))
 
   val oracles: Map[String, String] = Map(
+    // post-statement state algebra over the base table: matched keys
+    // (<= 1000) take 1.5x price, unmatched-by-source even-custkey rows
+    // delete, unmatched odd-custkey rows pass through untouched
+    "sql51_merge_by_source" ->
+      ("WITH t1 AS (SELECT o_orderkey AS k, o_custkey AS c, " +
+       "CASE WHEN o_orderkey <= 1000 THEN o_totalprice * 1.5 " +
+       "ELSE o_totalprice END AS p FROM orders " +
+       "WHERE o_orderkey <= 2000 " +
+       "AND NOT (o_orderkey > 1000 AND o_custkey % 2 = 0)) " +
+       "SELECT CAST((SELECT COUNT(*) FROM t1) AS BIGINT) " +
+       "AS n_after_merge, " +
+       "CAST(CAST((SELECT SUM(CAST(p AS DECIMAL(18,4))) FROM t1) " +
+       "AS DECIMAL(18,4)) AS DOUBLE) AS price_after_merge, " +
+       "CAST((SELECT SUM(c) FROM t1) AS BIGINT) " +
+       "AS custkeysum_after_merge"),
     // listing claims + the round-tripped count off the base table
     "sql42_catalog_ddl" ->
       ("SELECT TRUE AS db_listed, TRUE AS table_listed, " +

@@ -376,6 +376,43 @@ class Extras12Spec extends SparkSpec {
     spark.sql("DROP TABLE rtgrain.t")
   }
 
+  test("GraftCatalog MERGE with WHEN NOT MATCHED BY SOURCE stays " +
+      "WHOLE-TABLE sound: rows outside the source-matched files still " +
+      "take the BY SOURCE action (the runtime group filter must not " +
+      "fire for this shape)") {
+    spark.conf.set("spark.sql.catalog.nmbs",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.nmbs.base",
+      Tables.scratchDir("gcat_nmbs", sf))
+    spark.sql("DROP TABLE IF EXISTS nmbs.t")
+    (1L to 10L).map(i => (i, "keep")).toDF("id", "tag")
+      .repartitionByRange(2, col("id"))
+      .createOrReplaceTempView("nmbs_src")
+    spark.sql("CREATE TABLE nmbs.t AS SELECT * FROM nmbs_src")
+    Seq((1L, "m")).toDF("id", "newtag")
+      .createOrReplaceTempView("nmbs_upd")
+    // rows 2-10 are NOT MATCHED BY SOURCE and must ALL flip to
+    // 'stale' — including every row of the file the source keys never
+    // touch. A runtime group filter wrongly pruning to the id=1 file
+    // would leave the high file's rows at 'keep' (data loss); Spark
+    // only plans the group-filter subquery for shapes where pruning
+    // is sound, and this pins that boundary against regressions.
+    spark.sql("""MERGE INTO nmbs.t t USING nmbs_upd s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.tag = s.newtag
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.tag = 'stale'""")
+    val out = spark.table("nmbs.t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "m", s"matched row must update: $out")
+    (2L to 10L).foreach(i =>
+      assert(out(i) == "stale", s"row $i must take the BY SOURCE arm"))
+    // and the BY SOURCE delete arm: everything unmatched vanishes
+    spark.sql("""MERGE INTO nmbs.t t USING nmbs_upd s ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(spark.table("nmbs.t").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L), "BY SOURCE DELETE must remove every unmatched row")
+    spark.sql("DROP TABLE nmbs.t")
+  }
+
   test("checkpoints seam: the three modes cut lineage to a scan and " +
       "serve identical results") {
     val base = Tables.nation(spark, sf)
