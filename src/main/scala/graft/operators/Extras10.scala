@@ -576,85 +576,6 @@ object Extras10 {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
-  /** X93 — leave-one-out target encoding (the categorical feature ML
-    * pipelines build without leaking the row's own label): for each
-    * order, the mean total price of its priority class EXCLUDING
-    * itself — (S_c − t_i)/(n_c − 1) from one grouped DECIMAL sum
-    * broadcast back. The exact class sums make the per-row arithmetic
-    * a pure function both engines spell identically; one grouped agg +
-    * one broadcast join, no self-join, no window. */
-  def x93TargetEncoding(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_orderpriority"),
-        col("o_totalprice").cast(Det.Money).as("t"))
-    val cls = o.groupBy(col("o_orderpriority"))
-      .agg(sum(col("t")).as("s"), count(lit(1)).as("n"))
-    o.join(broadcast(cls), "o_orderpriority")
-      .select(col("o_orderkey"), col("o_orderpriority"),
-        ((col("s") - col("t")).cast("double") / (col("n") - 1))
-          .as("loo_mean"))
-      .orderBy(col("o_orderkey"))
-  }
-
-  /** X94 — standard-scaler feature materialization with EXACT moments:
-    * per event type, mean and variance from exact DECIMAL sufficient
-    * statistics (Σv and Σv² — v_dec·v_dec is exact decimal
-    * multiplication), variance assembled in IEEE doubles spelled
-    * identically both engines (stddev_samp's order-dependent double
-    * partials would hash-mismatch); then the per-row z-score
-    * (v − mean)/sqrt(var). One grouped agg + one broadcast join — the
-    * feature-scaling pass an ML pipeline runs before training, exact
-    * under any partitioning. */
-  def x94FeatureScaling(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.eventsUs(spark, sfDir)
-      .select(col("event_id"), col("event_type"), col("value"),
-        col("value").cast(Det.Money).as("v"))
-    val stats = ev.groupBy(col("event_type"))
-      .agg(sum(col("v")).cast("double").as("sv"),
-        sum(col("v") * col("v")).cast("double").as("svv"),
-        count(lit(1)).as("n"))
-      .select(col("event_type"),
-        (col("sv") / col("n")).as("mean"),
-        ((col("svv") - col("sv") * col("sv") / col("n")) /
-          (col("n") - 1)).as("variance"))
-    ev.join(broadcast(stats), "event_type")
-      .select(col("event_id"), col("event_type"),
-        ((col("value") - col("mean")) / sqrt(col("variance"))).as("z"))
-      .orderBy(col("event_id"))
-  }
-
-  /** X97 — deterministic negative sampling for contrastive training:
-    * for each probe, 5 pseudo-random corpus negatives that are NOT
-    * among its exact top-5 neighbors — the (anchor, positive,
-    * negatives) triple builder behind every contrastive objective,
-    * made reproducible by ranking on a content hash of (probe,
-    * candidate) instead of an RNG. Scale shape: candidates are first
-    * cut by a pushed md5-bucket threshold (selectivity reaches the
-    * scan side of the join), the positive set is a bounded anti-join,
-    * and the per-probe rank runs over the threshold-surviving sliver
-    * only. Same md5Bucket spelling on both engines (Det.md5Bucket). */
-  def x97NegativeSampling(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-    val probes = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"))
-    val pos = SimSearch.exactTopK(spark, sfDir)
-      .select(col("probe_id").as("pp"), col("neighbor_id").as("pn"))
-    val cand = probes.crossJoin(emb.select(col("vec_id").as("cand_id")))
-      .filter(col("cand_id") =!= col("probe_id"))
-      .withColumn("h", Det.md5Bucket(
-        concat(col("probe_id").cast("string"), lit(":"),
-          col("cand_id").cast("string")), 6))
-      .filter(col("h") < 1000000L) // ~6% sliver survives to the rank
-      .join(pos, col("probe_id") === col("pp") &&
-        col("cand_id") === col("pn"), "left_anti")
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("h"), col("cand_id"))
-    cand.withColumn("neg_rank", row_number().over(w).cast("long"))
-      .filter(col("neg_rank") <= 5)
-      .select(col("probe_id"), col("neg_rank"), col("cand_id"))
-      .orderBy(col("probe_id"), col("neg_rank"))
-  }
-
   /** SQL37 — NOT IN vs NOT EXISTS under NULLs (three-valued logic's
     * most-shipped production bug): the dim list contains NULL keys, so
     * `NOT IN` is vacuously empty (x NOT IN (..., NULL) is never TRUE)
@@ -841,9 +762,6 @@ object Extras10 {
     "x107_bm25" -> (x107Bm25 _),
     "x103_event_paths" -> (x103EventPaths _),
     "sql37_null_aware_anti" -> (sql37NullAwareAnti _),
-    "x97_negative_sampling" -> (x97NegativeSampling _),
-    "x93_target_encoding" -> (x93TargetEncoding _),
-    "x94_feature_scaling" -> (x94FeatureScaling _),
     "a24_rollup_distinct" -> (a24RollupDistinct _),
     "x92_retention_cohorts" -> (x92RetentionCohorts _),
     "x88_quota_apportionment" -> (x88QuotaApportionment _),
@@ -934,56 +852,6 @@ object Extras10 {
        "ORDER BY n_occur DESC, path3 LIMIT 10"),
     // the SAME text Spark executes (sql37Text), verbatim
     "sql37_null_aware_anti" -> sql37Text.replace("\n", " "),
-    // positives recomputed exactly (l3's spelling), candidates cut by
-    // the identical md5-bucket threshold, same (h, cand) rank order
-    "x97_negative_sampling" ->
-      ("WITH p AS (SELECT vec_id AS probe_id, embedding AS pe " +
-       "FROM embeddings WHERE vec_id < 10), " +
-       "dots AS (SELECT probe_id, e.vec_id AS neighbor_id, " +
-       "round(SUM(CAST(pe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 6) " +
-       "AS sim FROM p, embeddings e, range(1, 65) r(i) " +
-       "WHERE e.vec_id <> probe_id GROUP BY probe_id, e.vec_id), " +
-       "pos AS (SELECT probe_id, neighbor_id FROM " +
-       "(SELECT probe_id, neighbor_id, row_number() OVER " +
-       "(PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank " +
-       "FROM dots) t WHERE rank <= 5), " +
-       "cand AS (SELECT p.probe_id, e.vec_id AS cand_id, " +
-       Det.sql.md5Bucket(
-         "CAST(p.probe_id AS VARCHAR) || ':' || CAST(e.vec_id AS VARCHAR)",
-         6) + " AS h " +
-       "FROM p, embeddings e WHERE e.vec_id <> p.probe_id), " +
-       "flt AS (SELECT c.* FROM cand c WHERE h < 1000000 " +
-       "AND NOT EXISTS (SELECT 1 FROM pos " +
-       "WHERE pos.probe_id = c.probe_id AND pos.neighbor_id = c.cand_id)), " +
-       "r AS (SELECT probe_id, cand_id, CAST(row_number() OVER " +
-       "(PARTITION BY probe_id ORDER BY h, cand_id) AS BIGINT) AS neg_rank " +
-       "FROM flt) " +
-       "SELECT probe_id, neg_rank, cand_id FROM r WHERE neg_rank <= 5 " +
-       "ORDER BY probe_id, neg_rank"),
-    // exact class sums; identical per-row arithmetic
-    "x93_target_encoding" ->
-      ("WITH o AS (SELECT o_orderkey, o_orderpriority, " +
-       "CAST(o_totalprice AS DECIMAL(18,4)) AS t FROM orders), " +
-       "cls AS (SELECT o_orderpriority, SUM(t) AS s, " +
-       "CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY 1) " +
-       "SELECT o.o_orderkey, o.o_orderpriority, " +
-       "CAST(s - t AS DOUBLE) / (n - 1) AS loo_mean " +
-       "FROM o JOIN cls ON o.o_orderpriority = cls.o_orderpriority " +
-       "ORDER BY o_orderkey"),
-    // exact decimal moments, variance assembled in identically-spelled
-    // IEEE arithmetic
-    "x94_feature_scaling" ->
-      ("WITH ev AS (SELECT event_id, event_type, value, " +
-       "CAST(value AS DECIMAL(18,4)) AS v FROM events), " +
-       "st AS (SELECT event_type, CAST(SUM(v) AS DOUBLE) AS sv, " +
-       "CAST(SUM(v * v) AS DOUBLE) AS svv, " +
-       "CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1), " +
-       "m AS (SELECT event_type, sv / n AS mean, " +
-       "(svv - sv * sv / n) / (n - 1) AS variance FROM st) " +
-       "SELECT ev.event_id, ev.event_type, " +
-       "(ev.value - m.mean) / sqrt(m.variance) AS z " +
-       "FROM ev JOIN m ON ev.event_type = m.event_type " +
-       "ORDER BY event_id"),
     "a24_rollup_distinct" ->
       ("SELECT year(o_orderdate) AS o_year, o_orderpriority, " +
        "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust, " +

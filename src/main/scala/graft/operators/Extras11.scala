@@ -587,31 +587,6 @@ object Extras11 {
       .orderBy(col("c_mktsegment"))
   }
 
-  /** X128 — nDCG@5 of the binary-quant retrieval (Järvelin &
-    * Kekäläinen 2002, the ranking-quality metric every retrieval eval
-    * reports): graded relevance = exact cosine, DCG over x124's ranked
-    * list, ideal DCG from the exact top-5 (the memoized l3 frame), per
-    * probe. The eval rides on MEMOIZED frames (x124's retrieval and
-    * l3's exact top-k are both per-(session, corpus) memos, built once
-    * however many consumers ask) — the metric itself costs two
-    * 5-row-per-probe aggregates and a probe-sized join. nDCG < 1
-    * exactly where the Hamming shortlist reordered or
-    * missed a true neighbor, so this row QUANTIFIES x124's quality
-    * instead of just bounding it. */
-  def x128Ndcg(spark: SparkSession, sfDir: String): DataFrame = {
-    val retr = x124BinaryQuant(spark, sfDir)
-    val ex = SimSearch.exactTopK(spark, sfDir)
-    val dcg = retr.groupBy(col("probe_id"))
-      .agg(round(sum(col("sim") / log2(col("rank") + 1)), 6).as("dcg"))
-    val idcg = ex.filter(col("rank") <= 5)
-      .groupBy(col("probe_id").as("p2"))
-      .agg(round(sum(col("sim") / log2(col("rank") + 1)), 6).as("idcg"))
-    dcg.join(idcg, col("probe_id") === col("p2"))
-      .select(col("probe_id"), col("dcg"), col("idcg"),
-        round(col("dcg") / col("idcg"), 6).as("ndcg"))
-      .orderBy(col("probe_id"))
-  }
-
   /** F24 — regex extraction family (the §2.7 surface f1/f15 didn't
     * reach): `regexp_extract_all` (array result), match counting, and
     * a bounded joined preview per document — the crawl-cleaning
@@ -735,7 +710,6 @@ object Extras11 {
     "w17_ratio_to_report" -> (w17RatioToReport _),
     "s28_codec_matrix" -> (s28CodecMatrix _),
     "f24_regex_family" -> (f24RegexFamily _),
-    "x128_ndcg" -> (x128Ndcg _),
     "j14_aqe_skew_join" -> (j14AqeSkewJoin _),
     "x125_token_drift" -> (x125TokenDrift _),
     "x126_embedding_drift" -> (x126EmbeddingDrift _),
@@ -921,24 +895,6 @@ object Extras11 {
       ("WITH " + BinaryQuantCte +
        " SELECT probe_id, neighbor_id, sim, rank FROM retr " +
        "ORDER BY probe_id, rank"),
-    // the retrieval chain + the exact chain + identically-spelled DCGs
-    "x128_ndcg" ->
-      ("WITH " + BinaryQuantCte + ", " +
-       "exd AS (SELECT a.vec_id AS probe_id, b.vec_id AS nid, " +
-       "round(SUM(CAST(a.embedding[i] AS DOUBLE) * " +
-       "CAST(b.embedding[i] AS DOUBLE)), 6) AS sim " +
-       "FROM embeddings a, embeddings b, range(1, 65) r(i) " +
-       "WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id GROUP BY 1, 2), " +
-       "ex AS (SELECT probe_id, sim, rk FROM (SELECT probe_id, nid, sim, " +
-       "row_number() OVER (PARTITION BY probe_id " +
-       "ORDER BY sim DESC, nid) AS rk FROM exd) t WHERE rk <= 5), " +
-       "dcg AS (SELECT probe_id, round(SUM(sim / log2(rank + 1)), 6) " +
-       "AS dcg FROM retr GROUP BY 1), " +
-       "idcg AS (SELECT probe_id, round(SUM(sim / log2(rk + 1)), 6) " +
-       "AS idcg FROM ex GROUP BY 1) " +
-       "SELECT dcg.probe_id, dcg, idcg, round(dcg / idcg, 6) AS ndcg " +
-       "FROM dcg JOIN idcg ON idcg.probe_id = dcg.probe_id " +
-       "ORDER BY dcg.probe_id"),
     // decimal prefix sums exact; k·mean and the subtraction identical
     "x120_changepoint" ->
       ("WITH daily AS (SELECT event_type, " +

@@ -21,29 +21,6 @@ import graft.{Det, Tables}
   */
 object Extras15 {
 
-  // ---------------------------------------------------------------- x152
-
-  /** X152 — probability-calibration report: Brier score + 10-bin
-    * reliability table for a deterministic synthetic scorer (the
-    * Knuth-hash prediction p = (doc_id·2654435761 mod 1000)/1000
-    * against the "long document" outcome n_chars ≥ 300). The
-    * calibration read every model-quality dashboard opens with: per
-    * probability bin, predicted mean vs observed positive rate; row
-    * bin=-1 is the corpus total whose `brier` IS the Brier score.
-    *
-    * All arithmetic is INTEGER milli-units until the three closing
-    * divisions (one IEEE op each, rounded 8 dp): p lives as pm ∈
-    * [0,1000), the squared error as (pm−1000y)² ≤ 10⁶ per row — exact
-    * longs, so the grouped aggregate is map-side-combinable and the
-    * whole plan is one scan + one 11-group aggregate at any corpus
-    * size. */
-  def x152Calibration(spark: SparkSession, sfDir: String): DataFrame =
-    graft.api.Analytics.calibration(
-      Tables.documents(spark, sfDir).select(
-        ((col("doc_id") * lit(2654435761L)) % 1000).as("pm"),
-        when(col("n_chars") >= 300, 1L).otherwise(0L).as("y")),
-      "pm", "y")
-
   // ---------------------------------------------------------------- x153
 
   private val PhraseW1 = "hash"
@@ -261,27 +238,11 @@ object Extras15 {
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x152_calibration" -> (x152Calibration _),
     "x153_phrase_search" -> (x153PhraseSearch _),
     "x154_survival_km" -> (x154SurvivalKm _),
     "x155_delta_decomp" -> (x155DeltaDecomp _),
     "x156_ldiversity" -> (x156LDiversity _),
     "x157_oov_rate" -> (x157OovRate _))
-
-  private val CalibrationSql: String =
-    "WITH base AS MATERIALIZED (SELECT " +
-    "(doc_id * 2654435761) % 1000 AS pm, " +
-    "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y FROM documents), " +
-    "b AS MATERIALIZED (SELECT pm // 100 AS bin, COUNT(*) AS n, " +
-    "SUM(pm) AS sp, SUM(y) AS sy, " +
-    "SUM((pm - 1000 * y) * (pm - 1000 * y)) AS sq FROM base GROUP BY 1), " +
-    "t AS (SELECT -1 AS bin, SUM(n) AS n, SUM(sp) AS sp, SUM(sy) AS sy, " +
-    "SUM(sq) AS sq FROM b) " +
-    "SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n, " +
-    "round(CAST(sp AS DOUBLE) / (CAST(n AS BIGINT) * 1000.0), 8) AS mean_p, " +
-    "round(CAST(sy AS DOUBLE) / CAST(n AS BIGINT), 8) AS frac_pos, " +
-    "round(CAST(sq AS DOUBLE) / (CAST(n AS BIGINT) * 1000000.0), 8) AS brier " +
-    "FROM (SELECT * FROM b UNION ALL SELECT * FROM t) u ORDER BY bin"
 
   private val PhraseSql: String =
     "WITH pre AS MATERIALIZED (SELECT doc_id, " +
@@ -393,7 +354,6 @@ object Extras15 {
   }
 
   val oracles: Map[String, String] = Map(
-    "x152_calibration" -> CalibrationSql,
     "x153_phrase_search" -> PhraseSql,
     "x154_survival_km" -> SurvivalSql,
     "x155_delta_decomp" -> DeltaSql,

@@ -19,47 +19,6 @@ import graft.Tables
   */
 object Extras16 {
 
-  // ---------------------------------------------------------------- x158
-
-  /** X158 — EXACT Shapley-value channel attribution (Shapley 1953;
-    * the marketing form in Dalessandro KDD'12): each touch channel's
-    * credit for conversions is its average marginal contribution over
-    * all 4! orderings of the channel set — the only attribution rule
-    * that is efficient, symmetric, and dummy-free, where x73/x116's
-    * first/last/linear-touch are ad-hoc splits. Coalition value
-    * v(S) = converted users whose pre-purchase touch set ⊆ S.
-    * Output: per channel the 24-scaled INTEGER Shapley value (exact)
-    * and its 6-dp display form, plus the TOTAL row — which equals
-    * v(full) − v(∅) by the efficiency axiom, so the books visibly
-    * balance in the contract data itself.
-    *
-    * Scale shape: the corpus-sized work is ONE pass — per-user first
-    * purchase + distinct prior channels reduce to a 16-row mask
-    * histogram (channels are a domain, 2^4 masks), and the whole
-    * combinatorial layer (16 subsets × 16 masks × 4 channels) runs on
-    * broadcast frames measured in BYTES. This is how exact Shapley
-    * stays feasible at 100 TB: the exponential object lives on the
-    * CHANNEL domain, never the user domain. */
-  def x158Shapley(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.eventsUs(spark, sfDir)
-    val chanBit = when(col("event_type") === "click", 1L)
-      .when(col("event_type") === "error", 2L)
-      .when(col("event_type") === "signup", 4L)
-      .when(col("event_type") === "view", 8L)
-    val fp = ev.filter(col("event_type") === "purchase")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("pts"))
-    val touched = ev.join(fp.select(col("user_id").as("fu"), col("pts")),
-        col("user_id") === col("fu"))
-      .filter(col("ts") < col("pts") && col("event_type") =!= "purchase")
-      .select(col("user_id"), chanBit.as("pw")).distinct()
-      .groupBy(col("user_id")).agg(sum(col("pw")).as("m"))
-    val masks = fp.join(touched, Seq("user_id"), "left")
-      .select(coalesce(col("m"), lit(0L)).as("m"))
-      .groupBy(col("m")).agg(count(lit(1)).as("cnt"))
-    graft.api.Analytics.shapleyFromMasks(masks,
-      Seq(("click", 1L), ("error", 2L), ("signup", 4L), ("view", 8L)))
-  }
-
   // ---------------------------------------------------------------- x159
 
   private val UsPerDay = 86400000000L
@@ -147,59 +106,11 @@ object Extras16 {
       .limit(20)
   }
 
-  // ---------------------------------------------------------------- x161
-
-  /** X161 — exact ROC-AUC + Gini for x152's deterministic scorer, via
-    * the rank identity AUC = P(score⁺ > score⁻) + ½P(=) — computed
-    * entirely on the SCORE DOMAIN: the corpus reduces to per-score
-    * (n_pos, n_neg) counts (≤1000 rows), the below-rank prefix is a
-    * theta join over that aggregate (no global window — the w2/w16
-    * discipline), and the 2-scaled numerator
-    * Σ_s n_pos(s)·(2·negBelow(s) + n_neg(s)) is an exact BIGINT that
-    * ships in the output. AUC and Gini are the only floats: one
-    * division and one affine map, each rounded 8 dp. The
-    * threshold-free ranking-quality twin of x152's calibration (a
-    * model can be perfectly calibrated and rank terribly, and vice
-    * versa — you need both numbers). */
-  def x161AucGini(spark: SparkSession, sfDir: String): DataFrame =
-    graft.api.Analytics.aucGini(
-      Tables.documents(spark, sfDir)
-        .select(((col("doc_id") * lit(2654435761L)) % 1000).as("pm"),
-          when(col("n_chars") >= 300, 1L).otherwise(0L).as("y")),
-      "pm", "y")
-
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x158_shapley" -> (x158Shapley _),
     "x159_stickiness" -> (x159Stickiness _),
-    "x160_apriori3" -> (x160Apriori3 _),
-    "x161_auc_gini" -> (x161AucGini _))
-
-  private val ShapleySql: String =
-    "WITH fp AS MATERIALIZED (SELECT user_id, min(epoch_us(ts)) AS pts " +
-    "FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
-    "tch AS (SELECT DISTINCT e.user_id, CASE e.event_type " +
-    "WHEN 'click' THEN 1 WHEN 'error' THEN 2 WHEN 'signup' THEN 4 " +
-    "WHEN 'view' THEN 8 END AS pw FROM events e " +
-    "JOIN fp ON e.user_id = fp.user_id " +
-    "WHERE epoch_us(e.ts) < fp.pts AND e.event_type <> 'purchase'), " +
-    "mk AS (SELECT fp.user_id, COALESCE(SUM(t.pw), 0) AS m FROM fp " +
-    "LEFT JOIN tch t ON fp.user_id = t.user_id GROUP BY 1), " +
-    "mc AS MATERIALIZED (SELECT m, COUNT(*) AS cnt FROM mk GROUP BY 1), " +
-    "ss AS (SELECT unnest(range(16)) AS s), " +
-    "v AS MATERIALIZED (SELECT s, COALESCE(SUM(CASE WHEN (m & s) = m " +
-    "THEN cnt END), 0) AS v FROM ss CROSS JOIN mc GROUP BY s), " +
-    "ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2), " +
-    "('signup', 4), ('view', 8)) c(channel, bit)), " +
-    "phi AS (SELECT ch.channel, CAST(SUM((CASE WHEN bit_count(v1.s) " +
-    "IN (0, 3) THEN 6 ELSE 2 END) * (v2.v - v1.v)) AS BIGINT) " +
-    "AS phi_x24 FROM ch JOIN v v1 ON (v1.s & ch.bit) = 0 " +
-    "JOIN v v2 ON v2.s = (v1.s | ch.bit) GROUP BY 1), " +
-    "u AS (SELECT * FROM phi UNION ALL SELECT 'TOTAL', " +
-    "CAST(SUM(phi_x24) AS BIGINT) FROM phi) " +
-    "SELECT channel, phi_x24, round(CAST(phi_x24 AS DOUBLE) / 24.0, 6) " +
-    "AS phi FROM u ORDER BY (channel = 'TOTAL'), channel"
+    "x160_apriori3" -> (x160Apriori3 _))
 
   private val StickinessSql: String =
     "WITH du AS MATERIALIZED (SELECT DISTINCT " +
@@ -237,26 +148,7 @@ object Extras16 {
     "GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2 " +
     "ORDER BY support DESC, i1, i2, i3 LIMIT 20"
 
-  private val AucSql: String =
-    "WITH base AS MATERIALIZED (SELECT " +
-    "(doc_id * 2654435761) % 1000 AS pm, " +
-    "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y FROM documents), " +
-    "bs AS MATERIALIZED (SELECT pm, SUM(y) AS np, SUM(1 - y) AS nn " +
-    "FROM base GROUP BY 1), " +
-    "pref AS (SELECT a.pm, ANY_VALUE(a.np) AS np, ANY_VALUE(a.nn) AS nn, " +
-    "COALESCE(SUM(b.nn), 0) AS negBelow FROM bs a " +
-    "LEFT JOIN bs b ON b.pm < a.pm GROUP BY a.pm), " +
-    "agg AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos, " +
-    "CAST(SUM(nn) AS BIGINT) AS n_neg, " +
-    "CAST(SUM(np * (2 * negBelow + nn)) AS BIGINT) AS u2 FROM pref) " +
-    "SELECT n_pos, n_neg, u2, round(CAST(u2 AS DOUBLE) / " +
-    "(2.0 * n_pos * n_neg), 8) AS auc, " +
-    "round(2.0 * round(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 8) " +
-    "- 1.0, 8) AS gini FROM agg"
-
   val oracles: Map[String, String] = Map(
-    "x158_shapley" -> ShapleySql,
     "x159_stickiness" -> StickinessSql,
-    "x160_apriori3" -> Apriori3Sql,
-    "x161_auc_gini" -> AucSql)
+    "x160_apriori3" -> Apriori3Sql)
 }

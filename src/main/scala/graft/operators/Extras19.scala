@@ -88,69 +88,6 @@ object Extras19 {
       .orderBy(col("event_type"))
   }
 
-  // ---------------------------------------------------------------- x168
-
-  /** X168 — confusion matrix + precision/recall/F1/accuracy for x152's
-    * deterministic scorer thresholded at 0.5 against the long-doc
-    * outcome: the four cells as exact BIGINTs plus the derived rates —
-    * completing the eval family (x152 calibration, x161 ranking, this
-    * row thresholded classification). One scan, one 4-group aggregate;
-    * the rates are single IEEE divisions on exact counts rounded 8 dp
-    * (F1 spelled as the single rational 2tp/(2tp+fp+fn) — one
-    * division, not a quotient of quotients). */
-  def x168Confusion(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = Tables.documents(spark, sfDir)
-      .select(
-        (((col("doc_id") * lit(2654435761L)) % 1000) >= 500).cast("int")
-          .as("pred"),
-        when(col("n_chars") >= 300, 1).otherwise(0).as("truth"))
-      .groupBy(col("pred"), col("truth")).agg(count(lit(1)).as("n"))
-    def cell(p: Int, t: Int) = coalesce(sum(
-      when(col("pred") === p && col("truth") === t, col("n"))), lit(0L))
-    cells.agg(cell(1, 1).as("tp"), cell(1, 0).as("fp"),
-        cell(0, 1).as("fn"), cell(0, 0).as("tn"))
-      .select(col("tp"), col("fp"), col("fn"), col("tn"),
-        round((col("tp") + col("tn")).cast("double") /
-          (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"),
-          8).as("accuracy"),
-        round(col("tp").cast("double") /
-          (col("tp") + col("fp")).cast("double"), 8).as("precision"),
-        round(col("tp").cast("double") /
-          (col("tp") + col("fn")).cast("double"), 8).as("recall"),
-        round((lit(2L) * col("tp")).cast("double") /
-          (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"), 8)
-          .as("f1"))
-  }
-
-  // ---------------------------------------------------------------- x169
-
-  /** X169 — Cohen's kappa: chance-corrected agreement between the
-    * hash scorer's 0.5-threshold verdict and the length outcome,
-    * κ = (pₒ−pₑ)/(1−pₑ) — the metric that exposes "95% accuracy" on a
-    * 95%-skewed label as zero skill. Exact integer marginals; spelled
-    * as ONE division of exact integers: κ = (n·agree − Σ marginal
-    * products) / (n² − Σ marginal products), rounded 8 dp. */
-  def x169CohensKappa(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.documents(spark, sfDir)
-      .select(
-        (((col("doc_id") * lit(2654435761L)) % 1000) >= 500).cast("long")
-          .as("a"),
-        when(col("n_chars") >= 300, 1L).otherwise(0L).as("b"))
-    base.agg(count(lit(1)).as("n"),
-        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"),
-        sum(col("a")).as("a1"), sum(col("b")).as("b1"))
-      .select(col("n"), col("agree"), col("a1"), col("b1"),
-        round(
-          (col("n") * col("agree") -
-            (col("a1") * col("b1") +
-              (col("n") - col("a1")) * (col("n") - col("b1"))))
-            .cast("double") /
-          (col("n") * col("n") -
-            (col("a1") * col("b1") +
-              (col("n") - col("a1")) * (col("n") - col("b1"))))
-            .cast("double"), 8).as("kappa"))
-  }
-
   // ---------------------------------------------------------------- x170
 
   /** X170 — RFM segmentation: per customer Recency (days since last
@@ -206,36 +143,12 @@ object Extras19 {
       .orderBy(col("r_s"), col("f_s"), col("m_s"))
   }
 
-  // ---------------------------------------------------------------- x171
-
-  /** X171 — Matthews correlation coefficient over x168's confusion
-    * cells: MCC = (tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)(tn+fn)),
-    * the single number that stays honest under class imbalance where
-    * accuracy and F1 both flatter. Exact integer cells; the four
-    * marginal factors are cast to DOUBLE BEFORE multiplying (their
-    * product overflows BIGINT on large corpora) with an identical
-    * left-associated spelling in both engines, √ is correctly rounded
-    * per IEEE 754, one closing division rounded 8 dp. */
-  def x171Mcc(spark: SparkSession, sfDir: String): DataFrame =
-    x168Confusion(spark, sfDir)
-      .select(col("tp"), col("fp"), col("fn"), col("tn"),
-        round(
-          (col("tp").cast("double") * col("tn").cast("double") -
-            col("fp").cast("double") * col("fn").cast("double")) /
-            sqrt((col("tp") + col("fp")).cast("double") *
-              (col("tp") + col("fn")).cast("double") *
-              (col("tn") + col("fp")).cast("double") *
-              (col("tn") + col("fn")).cast("double")), 8).as("mcc"))
-
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x166_ltv_cohorts" -> (x166LtvCohorts _),
     "x167_collapse_runs" -> (x167CollapseRuns _),
-    "x168_confusion" -> (x168Confusion _),
-    "x169_cohens_kappa" -> (x169CohensKappa _),
-    "x170_rfm" -> (x170Rfm _),
-    "x171_mcc" -> (x171Mcc _))
+    "x170_rfm" -> (x170Rfm _))
 
   private val LtvSql: String =
     "WITH o AS MATERIALIZED (SELECT o_custkey, " +
@@ -269,41 +182,6 @@ object Extras19 {
     "CAST(SUM(kept) AS BIGINT) AS n_kept, " +
     "CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped " +
     "FROM k GROUP BY 1 ORDER BY event_type"
-
-  private val ConfusionSql: String =
-    "WITH base AS MATERIALIZED (SELECT " +
-    "CASE WHEN (doc_id * 2654435761) % 1000 >= 500 THEN 1 ELSE 0 END " +
-    "AS pred, CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS truth " +
-    "FROM documents), " +
-    "m AS (SELECT " +
-    "CAST(COALESCE(SUM(CASE WHEN pred = 1 AND truth = 1 THEN 1 END), 0) " +
-    "AS BIGINT) AS tp, " +
-    "CAST(COALESCE(SUM(CASE WHEN pred = 1 AND truth = 0 THEN 1 END), 0) " +
-    "AS BIGINT) AS fp, " +
-    "CAST(COALESCE(SUM(CASE WHEN pred = 0 AND truth = 1 THEN 1 END), 0) " +
-    "AS BIGINT) AS fn, " +
-    "CAST(COALESCE(SUM(CASE WHEN pred = 0 AND truth = 0 THEN 1 END), 0) " +
-    "AS BIGINT) AS tn FROM base) " +
-    "SELECT tp, fp, fn, tn, " +
-    "round(CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE), " +
-    "8) AS accuracy, " +
-    "round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 8) AS precision, " +
-    "round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 8) AS recall, " +
-    "round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 8) " +
-    "AS f1 FROM m"
-
-  private val KappaSql: String =
-    "WITH base AS MATERIALIZED (SELECT " +
-    "CASE WHEN (doc_id * 2654435761) % 1000 >= 500 THEN 1 ELSE 0 END " +
-    "AS a, CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS b " +
-    "FROM documents), " +
-    "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
-    "CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree, " +
-    "CAST(SUM(a) AS BIGINT) AS a1, CAST(SUM(b) AS BIGINT) AS b1 FROM base) " +
-    "SELECT n, agree, a1, b1, " +
-    "round(CAST(n * agree - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE) / " +
-    "CAST(n * n - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE), 8) " +
-    "AS kappa FROM m"
 
   private val RfmSql: String = {
     val cutsSel = Seq("r", "f", "m").flatMap { p =>
@@ -339,21 +217,8 @@ object Extras19 {
     "FROM scored GROUP BY 1, 2, 3, 4 ORDER BY r_s, f_s, m_s"
   }
 
-  private val MccSql: String =
-    s"WITH conf AS MATERIALIZED (SELECT tp, fp, fn, tn FROM " +
-    s"($ConfusionSql) c) " +
-    "SELECT tp, fp, fn, tn, " +
-    "round((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE) - " +
-    "CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE)) / " +
-    "sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE) * " +
-    "CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 8) AS mcc " +
-    "FROM conf"
-
   val oracles: Map[String, String] = Map(
     "x166_ltv_cohorts" -> LtvSql,
     "x167_collapse_runs" -> CollapseSql,
-    "x168_confusion" -> ConfusionSql,
-    "x169_cohens_kappa" -> KappaSql,
-    "x170_rfm" -> RfmSql,
-    "x171_mcc" -> MccSql)
+    "x170_rfm" -> RfmSql)
 }

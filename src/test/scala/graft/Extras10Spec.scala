@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Extras10, StatsOps}
+import graft.operators.{EvalOps, Extras10, StatsOps}
 
 class Extras10Spec extends SparkSpec {
 
@@ -276,7 +276,7 @@ class Extras10Spec extends SparkSpec {
         count(lit(1))).as("cls_mean"),
         count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
-    val sample = Extras10.x93TargetEncoding(spark, sf).limit(50).collect()
+    val sample = EvalOps.x93TargetEncoding(spark, sf).limit(50).collect()
     val prices = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_totalprice")).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -289,7 +289,7 @@ class Extras10Spec extends SparkSpec {
   }
 
   test("x94: z-scores have ~zero mean and ~unit variance per type") {
-    val z = Extras10.x94FeatureScaling(spark, sf)
+    val z = EvalOps.x94FeatureScaling(spark, sf)
       .groupBy(col("event_type"))
       .agg(avg(col("z")).as("m"), stddev_samp(col("z")).as("s"))
       .collect()
@@ -302,7 +302,7 @@ class Extras10Spec extends SparkSpec {
 
   test("x97: negatives avoid the exact top-5 positives and are " +
       "replay-deterministic") {
-    val neg = Extras10.x97NegativeSampling(spark, sf).collect()
+    val neg = EvalOps.x97NegativeSampling(spark, sf).collect()
     val byProbe = neg.groupBy(_.getLong(0))
     assert(byProbe.size == 10 && byProbe.values.forall(_.length == 5))
     val pos = graft.operators.SimSearch.exactTopK(spark, sf)
@@ -312,7 +312,7 @@ class Extras10Spec extends SparkSpec {
       assert(!pos.contains((r.getLong(0), r.getLong(2))),
         s"negative collides with a positive: $r")
     }
-    val again = Extras10.x97NegativeSampling(spark, sf).collect()
+    val again = EvalOps.x97NegativeSampling(spark, sf).collect()
     assert(neg.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 

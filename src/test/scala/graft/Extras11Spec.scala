@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.api.VectorPipeline
-import graft.operators.{Extras11, Extras3, GraphOps, StatsOps}
+import graft.operators.{EvalOps, Extras11, Extras3, GraphOps, StatsOps}
 
 class Extras11Spec extends SparkSpec {
   import spark.implicits._
@@ -277,7 +277,7 @@ class Extras11Spec extends SparkSpec {
 
   test("x128: nDCG bounded by 1, exactly 1 iff the retrieval equals the " +
       "ideal ranking, and matches a driver-side recompute") {
-    val got = Extras11.x128Ndcg(spark, sf).collect()
+    val got = EvalOps.x128Ndcg(spark, sf).collect()
     assert(got.length == 10)
     got.foreach { r =>
       assert(r.getDouble(3) <= 1.0 && r.getDouble(3) > 0.0)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Extras11, Extras14, SimSearch, StatsOps}
+import graft.operators.{EvalOps, Extras11, SimSearch, StatsOps}
 
 class Extras14Spec extends SparkSpec {
   import spark.implicits._
@@ -94,7 +94,7 @@ class Extras14Spec extends SparkSpec {
 
   test("x150 retrieval eval: per-probe rows recompute from the two " +
       "source frames and the macro row averages them") {
-    val rows = Extras14.x150RetrievalEval(spark, sf).collect()
+    val rows = EvalOps.x150RetrievalEval(spark, sf).collect()
     val (mac, per) = rows.partition(_.getLong(0) == -1L)
     assert(mac.length == 1 && per.length == 10)
     val ex = SimSearch.exactTopK(spark, sf)
@@ -120,7 +120,7 @@ class Extras14Spec extends SparkSpec {
   test("x151 rrf: a doubly-listed neighbor always outranks any " +
       "singly-listed one at equal-or-worse source ranks; scores " +
       "recompute from 1/(60+rank)") {
-    val rows = Extras14.x151Rrf(spark, sf).collect()
+    val rows = EvalOps.x151Rrf(spark, sf).collect()
     assert(rows.nonEmpty)
     val byProbe = rows.groupBy(_.getLong(0))
     byProbe.foreach { case (_, rs) =>

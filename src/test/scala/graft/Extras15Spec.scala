@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Extras15
+import graft.operators.{EvalOps, Extras15}
 
 class Extras15Spec extends SparkSpec {
 
@@ -10,7 +10,7 @@ class Extras15Spec extends SparkSpec {
 
   test("x152 calibration: totals reconcile, bin means live in their bin, " +
       "total brier is the count-weighted mean of bin briers") {
-    val rows = Extras15.x152Calibration(spark, sf).collect()
+    val rows = EvalOps.x152Calibration(spark, sf).collect()
     val (tot, bins) = rows.partition(_.getLong(0) == -1L)
     assert(tot.length == 1 && bins.nonEmpty)
     val nDocs = Tables.documents(spark, sf).count()

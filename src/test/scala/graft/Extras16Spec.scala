@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Extras16
+import graft.operators.{EvalOps, Extras16}
 
 class Extras16Spec extends SparkSpec {
 
@@ -33,7 +33,7 @@ class Extras16Spec extends SparkSpec {
         s = s2
       }
     }
-    val got = Extras16.x158Shapley(spark, sf).collect()
+    val got = EvalOps.x158Shapley(spark, sf).collect()
       .map(row => (row.getString(0), (row.getLong(1), row.getDouble(2))))
       .toMap
     chans.foreach { c =>
@@ -108,7 +108,7 @@ class Extras16Spec extends SparkSpec {
         if (p > n) u2 += 2 else if (p == n) u2 += 1
       }
     }
-    val row = Extras16.x161AucGini(spark, sf).collect().head
+    val row = EvalOps.x161AucGini(spark, sf).collect().head
     assert(row.getLong(0) == pos.length.toLong)
     assert(row.getLong(1) == neg.length.toLong)
     assert(row.getLong(2) == u2)

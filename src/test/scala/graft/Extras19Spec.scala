@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Extras19
+import graft.operators.{EvalOps, Extras19}
 
 class Extras19Spec extends SparkSpec {
 
@@ -82,7 +82,7 @@ class Extras19Spec extends SparkSpec {
     val fp = rows.count(x => x._1 && !x._2).toLong
     val fn = rows.count(x => !x._1 && x._2).toLong
     val tn = rows.count(x => !x._1 && !x._2).toLong
-    val got = graft.operators.Extras19.x168Confusion(spark, sf)
+    val got = graft.operators.EvalOps.x168Confusion(spark, sf)
       .collect().head
     assert((got.getLong(0), got.getLong(1), got.getLong(2),
       got.getLong(3)) == ((tp, fp, fn, tn)))
@@ -104,7 +104,7 @@ class Extras19Spec extends SparkSpec {
     val b1 = rows.map(_._2).sum
     val chance = a1 * b1 + (n - a1) * (n - b1)
     val kappa = r((n * agree - chance).toDouble / (n * n - chance), 8)
-    val got = graft.operators.Extras19.x169CohensKappa(spark, sf)
+    val got = graft.operators.EvalOps.x169CohensKappa(spark, sf)
       .collect().head
     assert((got.getLong(0), got.getLong(1), got.getLong(2),
       got.getLong(3)) == ((n, agree, a1, b1)))
