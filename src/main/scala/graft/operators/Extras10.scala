@@ -78,33 +78,6 @@ object Extras10 {
       .orderBy(col("day"))
   }
 
-  /** X73 — last-touch attribution (the marketing-analytics join every
-    * event warehouse runs): each purchase attributed to the SAME USER's
-    * most recent strictly-preceding click within a 7-day lookback.
-    * One window pass per user ((ts, event_id) total order) with an
-    * IGNORE-NULLS last_value over the UNBOUNDED..1 PRECEDING frame —
-    * no self-join, no per-purchase scan; the 100 TB shape is one
-    * shuffle keyed by user. w12 proved the IGNORE NULLS offset
-    * semantics engine-identical; the gap arithmetic is integer µs. */
-  def x73Attribution(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.eventsUs(spark, sfDir)
-      .withColumn("click_id",
-        last(when(col("event_type") === "click", col("event_id")),
-          ignoreNulls = true).over(w))
-      .withColumn("click_ts",
-        last(when(col("event_type") === "click", col("ts")),
-          ignoreNulls = true).over(w))
-      .filter(col("event_type") === "purchase" && col("click_id").isNotNull)
-      .withColumn("gap_us", col("ts") - col("click_ts"))
-      .filter(col("gap_us") <= 604800000000L)
-      .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("click_id"), col("gap_us"))
-      .orderBy(col("purchase_id"))
-  }
-
   /** A23 — per-segment OLS trend (slope/intercept of value over event
     * day), determinism-engineered: every sufficient statistic is EXACT
     * (day index is an INT; Σx/Σx² are integer sums; Σy/Σxy go through
@@ -553,29 +526,6 @@ object Extras10 {
       .orderBy(col("g_year"), col("g_prio"), col("o_year"),
         col("o_orderpriority"))
 
-  /** X92 — retention cohort matrix (the product-analytics table every
-    * events warehouse serves): users cohorted by FIRST-EVENT WEEK, and
-    * for each (cohort week, week offset) the count of distinct users
-    * still active — the diagonal matrix a retention chart reads.
-    * Cohorts are one grouped min; the activity join is keyed by user
-    * (one shuffle); week arithmetic is integer µs division. At 100 TB
-    * the matrix is (weeks × offsets) rows — tiny — while every
-    * heavy frame is user- or event-cardinality with map-side
-    * partials. */
-  def x92RetentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.eventsUs(spark, sfDir)
-      .select(col("user_id"), expr("ts div 604800000000").as("week"))
-    val cohorts = ev.groupBy(col("user_id"))
-      .agg(min(col("week")).as("cohort_week"))
-    ev.join(cohorts, "user_id")
-      .select(col("user_id"), col("cohort_week"),
-        (col("week") - col("cohort_week")).as("week_offset"))
-      .distinct()
-      .groupBy(col("cohort_week"), col("week_offset"))
-      .agg(count(lit(1)).as("n_active_users"))
-      .orderBy(col("cohort_week"), col("week_offset"))
-  }
-
   /** SQL37 — NOT IN vs NOT EXISTS under NULLs (three-valued logic's
     * most-shipped production bug): the dim list contains NULL keys, so
     * `NOT IN` is vacuously empty (x NOT IN (..., NULL) is never TRUE)
@@ -598,63 +548,6 @@ object Extras10 {
     Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
     Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
     spark.sql(sql37Text)
-  }
-
-  /** X103 — user-journey path mining: the 10 most common 3-step
-    * event-type sequences across all users (the "view → click →
-    * purchase" table a product team reads). Each user's timeline
-    * collapses to ONE ordered path string (array_sort over the unique
-    * (ts, event_id) key makes the order total and engine-identical),
-    * and the 3-step windows come from the SAME n-gram generator the
-    * text pipeline uses ([[graft.api.TextPipeline.ngramRows]] — the
-    * library composing over its own parts). One grouped collect per
-    * user (bounded by per-user activity), one vocabulary-keyed count,
-    * one distributed top-k. */
-  def x103EventPaths(spark: SparkSession, sfDir: String): DataFrame = {
-    val paths = Tables.eventsUs(spark, sfDir)
-      .groupBy(col("user_id"))
-      .agg(concat_ws(" ", expr(
-        "transform(array_sort(collect_list(struct(ts, event_id, event_type)))," +
-          " x -> x.event_type)")).as("path"))
-    graft.api.TextPipeline.ngramRows(paths, "user_id", "path", 3)
-      .groupBy(col("ngram"))
-      .agg(count(lit(1)).as("n_occur"),
-        countDistinct(col("doc_id")).as("n_users"))
-      .orderBy(col("n_occur").desc, col("ngram"))
-      .limit(10)
-      .select(col("ngram").as("path3"), col("n_occur"), col("n_users"))
-      .orderBy(col("n_occur").desc, col("path3"))
-  }
-
-  /** X105 — time-weighted average (TWAP — the billing/metrics mean
-    * that a plain average gets wrong when samples are irregular): per
-    * event type, Σ value·Δt / ΣΔt where Δt is the µs gap to the type's
-    * next event. Gaps come from `lead` (an OFFSET window function —
-    * per-key state is one row, the exempt class in PlanLint's
-    * low-cardinality rule); value·Δt is DECIMAL × BIGINT (exact), so
-    * only the final division is IEEE and the result is
-    * partition-independent. */
-  def x105Twap(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts"), col("event_id"))
-    Tables.eventsUs(spark, sfDir)
-      .select(col("event_type"), col("ts"), col("event_id"),
-        col("value").cast(Det.Money).as("v"))
-      // whole-second weights: keeps the exact decimal Σ v·Δt under
-      // 2^53 ULPs, where the decimal→double conversion is EXACT on
-      // both engines (µs weights pushed the sum past 19 significant
-      // digits, where the two engines' conversion paths round a
-      // different last ulp — found by the oracle, not by review)
-      .withColumn("dur",
-        expr("(lead(ts, 1) OVER (PARTITION BY event_type " +
-          "ORDER BY ts, event_id) - ts) div 1000000"))
-      .filter(col("dur").isNotNull)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_intervals"),
-        sum(col("dur")).as("span_s"),
-        (sum(col("v") * col("dur")).cast("double") /
-          sum(col("dur"))).as("twap"))
-      .orderBy(col("event_type"))
   }
 
   /** X107 — BM25 ranking (Robertson/Spärck Jones — the scorer behind
@@ -731,39 +624,11 @@ object Extras10 {
     spark.sql(sql38Text)
   }
 
-  /** X110 — conversion-latency distribution (the funnel-health readout
-    * next to x73's attribution): per event-day, how long attributed
-    * purchases took from their last click — count, exact interpolated
-    * median and p90 in integer µs (midpoint interpolation on values
-    * ≪ 2^53 is exact IEEE on both engines — a17's proven surface),
-    * plus the decimal-routed mean. One window pass (x73) + one grouped
-    * aggregate; day keying keeps the percentile sort-aggs on bounded
-    * per-day frames at any scale. */
-  def x110TimeToConvert(spark: SparkSession, sfDir: String): DataFrame =
-    x73Attribution(spark, sfDir)
-      .join(Tables.eventsUs(spark, sfDir)
-        .select(col("event_id").as("purchase_id"),
-          expr("ts div 86400000000").as("day")), "purchase_id")
-      .groupBy(col("day"))
-      .agg(count(lit(1)).as("n_conversions"),
-        median(col("gap_us").cast("double")).as("median_gap_us"),
-        percentile(col("gap_us").cast("double"), lit(0.9)).as("p90_gap_us"),
-        // integer µs sum is EXACT in BIGINT; one int64→double
-        // conversion + one division are single IEEE ops on both
-        // engines (the DECIMAL route re-hits §7.3 #12 here)
-        (sum(col("gap_us")).cast("double") / count(lit(1)))
-          .as("mean_gap_us"))
-      .orderBy(col("day"))
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x110_time_to_convert" -> (x110TimeToConvert _),
     "sql38_join_hints" -> (sql38JoinHints _),
-    "x105_twap" -> (x105Twap _),
     "x107_bm25" -> (x107Bm25 _),
-    "x103_event_paths" -> (x103EventPaths _),
     "sql37_null_aware_anti" -> (sql37NullAwareAnti _),
     "a24_rollup_distinct" -> (a24RollupDistinct _),
-    "x92_retention_cohorts" -> (x92RetentionCohorts _),
     "x88_quota_apportionment" -> (x88QuotaApportionment _),
     "x89_embargo_split" -> (x89EmbargoSplit _),
     "x85_k_anonymity" -> (x85KAnonymity _),
@@ -776,46 +641,13 @@ object Extras10 {
     "x74_kmv_overlap" -> (x74KmvOverlap _),
     "x72_mmr_rerank" -> (x72MmrRerank _),
     "w16_distributed_cumsum" -> (w16DistributedCumSum _),
-    "x73_attribution" -> (x73Attribution _),
     "a23_regression" -> (a23Regression _),
     "s25_corrupt_files" -> (s25CorruptFiles _))
 
   val oracles: Map[String, String] = Map(
-    // x73's attribution restated, then a17's proven median/quantile
-    // surface per day
-    "x110_time_to_convert" ->
-      ("WITH ev AS (SELECT event_id, user_id, event_type, " +
-       "epoch_us(ts) AS t FROM events), " +
-       "att AS (SELECT event_id, user_id, event_type, t, " +
-       "last_value(CASE WHEN event_type = 'click' THEN event_id END " +
-       "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, event_id " +
-       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id, " +
-       "last_value(CASE WHEN event_type = 'click' THEN t END " +
-       "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, event_id " +
-       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts " +
-       "FROM ev), " +
-       "conv AS (SELECT t - click_ts AS gap_us, t // 86400000000 AS day " +
-       "FROM att WHERE event_type = 'purchase' AND click_id IS NOT NULL " +
-       "AND t - click_ts <= 604800000000) " +
-       "SELECT day, CAST(COUNT(*) AS BIGINT) AS n_conversions, " +
-       "median(CAST(gap_us AS DOUBLE)) AS median_gap_us, " +
-       "quantile_cont(CAST(gap_us AS DOUBLE), 0.9) AS p90_gap_us, " +
-       "CAST(CAST(SUM(gap_us) AS BIGINT) AS DOUBLE) / COUNT(*) " +
-       "AS mean_gap_us FROM conv GROUP BY day ORDER BY day"),
     // the SAME text verbatim — DuckDB reads the hint comments as plain
     // block comments and computes the identical aggregates
     "sql38_join_hints" -> sql38Text.replace("\n", " "),
-    // exact decimal x bigint weights; only the final division is IEEE
-    "x105_twap" ->
-      ("WITH ev AS (SELECT event_type, epoch_us(ts) AS t, event_id, " +
-       "CAST(value AS DECIMAL(18,4)) AS v FROM events), " +
-       "g AS (SELECT event_type, v, (lead(t) OVER (PARTITION BY event_type " +
-       "ORDER BY t, event_id) - t) // 1000000 AS dur FROM ev) " +
-       "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals, " +
-       "CAST(SUM(dur) AS BIGINT) AS span_s, " +
-       "CAST(SUM(v * dur) AS DOUBLE) / CAST(SUM(dur) AS BIGINT) AS twap " +
-       "FROM g WHERE dur IS NOT NULL GROUP BY event_type " +
-       "ORDER BY event_type"),
     // integer tf/df/dl, one avgdl division, ln at 6-dp rounding (x49's
     // proven policy), fixed-order term addition
     "x107_bm25" ->
@@ -839,17 +671,6 @@ object Extras10 {
        "COALESCE(SUM(CASE WHEN tok = 'query' THEN contrib END), 0.0), 6) " +
        "AS bm25, CAST(COUNT(*) AS BIGINT) AS n_terms_hit " +
        "FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10"),
-    // path strings rebuilt under the same total (ts, event_id) order,
-    // 3-step windows from the shared n-gram spelling
-    "x103_event_paths" ->
-      (s"WITH paths AS (SELECT user_id AS doc_id, " +
-       "array_to_string(list_transform(list_sort(list(" +
-       "struct_pack(t := epoch_us(ts), e := event_id, y := event_type))), " +
-       "x -> x.y), ' ') AS text FROM events GROUP BY user_id) " +
-       s"SELECT ngram AS path3, CAST(COUNT(*) AS BIGINT) AS n_occur, " +
-       "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_users " +
-       s"FROM (${TextOps.ngramSqlOver("paths", 3)}) t GROUP BY ngram " +
-       "ORDER BY n_occur DESC, path3 LIMIT 10"),
     // the SAME text Spark executes (sql37Text), verbatim
     "sql37_null_aware_anti" -> sql37Text.replace("\n", " "),
     "a24_rollup_distinct" ->
@@ -860,16 +681,6 @@ object Extras10 {
        "CAST(GROUPING(o_orderpriority) AS INT) AS g_prio " +
        "FROM orders GROUP BY ROLLUP(year(o_orderdate), o_orderpriority) " +
        "ORDER BY g_year, g_prio, o_year, o_orderpriority"),
-    "x92_retention_cohorts" ->
-      ("WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week " +
-       "FROM events), " +
-       "c AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1), " +
-       "a AS (SELECT DISTINCT ev.user_id, c.cohort_week, " +
-       "ev.week - c.cohort_week AS week_offset " +
-       "FROM ev JOIN c ON ev.user_id = c.user_id) " +
-       "SELECT cohort_week, week_offset, " +
-       "CAST(COUNT(*) AS BIGINT) AS n_active_users FROM a " +
-       "GROUP BY 1, 2 ORDER BY cohort_week, week_offset"),
     // all-integer Hamilton apportionment; the oracle may use a window
     // (DuckDB side is unconstrained), the Spark side may not
     "x88_quota_apportionment" ->
@@ -1018,21 +829,6 @@ object Extras10 {
        "SELECT day, CAST(rev AS DOUBLE) AS revenue, " +
        "CAST(SUM(rev) OVER (ORDER BY day) AS DOUBLE) AS cum_revenue " +
        "FROM d ORDER BY day"),
-    "x73_attribution" ->
-      ("WITH ev AS (SELECT event_id, user_id, event_type, " +
-       "epoch_us(ts) AS t FROM events), " +
-       "att AS (SELECT event_id, user_id, event_type, t, " +
-       "last_value(CASE WHEN event_type = 'click' THEN event_id END " +
-       "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, event_id " +
-       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id, " +
-       "last_value(CASE WHEN event_type = 'click' THEN t END " +
-       "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, event_id " +
-       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts " +
-       "FROM ev) " +
-       "SELECT event_id AS purchase_id, user_id, click_id, " +
-       "t - click_ts AS gap_us FROM att " +
-       "WHERE event_type = 'purchase' AND click_id IS NOT NULL " +
-       "AND t - click_ts <= 604800000000 ORDER BY purchase_id"),
     // exact sufficient statistics, closed form in IEEE doubles spelled
     // identically — see scaladoc
     "a23_regression" ->

@@ -111,68 +111,6 @@ object Extras11 {
       .orderBy(col("event_type"))
   }
 
-  /** X116 — LINEAR multi-touch attribution (x73's last-touch widened to
-    * the model marketing actually argues about): every click of the
-    * same user in the 7 days BEFORE a purchase shares the purchase
-    * value equally. One RANGE-frame window pass over the per-user
-    * event timeline — count of clicks in [t−7d, t) — no join, no
-    * explosion of (purchase × click) rows: the per-touch credit is
-    * value/n, emitted per purchase. The frame is keyed by user and
-    * bounded by the 7-day range, so window state is bounded at any
-    * scale. Exact µs arithmetic; credit division is one IEEE op on
-    * identical inputs, rounded to 6 dp. */
-  def x116MultiTouch(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"))
-      .rangeBetween(-604800000000L, -1L)
-    Tables.eventsUs(spark, sfDir)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("ts"), col("value"))
-      .withColumn("n_touches",
-        count(when(col("event_type") === "click", 1)).over(w))
-      .filter(col("event_type") === "purchase" && col("n_touches") > 0)
-      .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("n_touches"),
-        round(col("value") / col("n_touches"), 6).as("credit_per_touch"))
-      .orderBy(col("purchase_id"))
-  }
-
-  /** X117 — seasonal anomaly detection (the ops-dashboard staple):
-    * each (event_type, day)'s event count scored against its
-    * day-of-week baseline — z = (n − mean_dow) / stddev_dow — so a
-    * quiet Sunday isn't flagged for being quieter than Tuesdays.
-    * Determinism is a23's sufficient-statistics pattern: counts are
-    * integers, (n_days, Σx, Σx²) are exact BIGINT sums, and mean /
-    * sample-variance / z run closed-form in doubles spelled identically
-    * in both engines. Two grouped aggregates + one broadcast-sized
-    * join (the baseline table is 7 × event-types rows at ANY scale). */
-  def x117SeasonalAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
-    val daily = Tables.eventsUs(spark, sfDir)
-      .groupBy(col("event_type"),
-        expr("ts div 86400000000").as("day"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
-    val base = daily.withColumn("dow", col("day") % 7)
-      .groupBy(col("event_type"), col("dow"))
-      .agg(count(lit(1)).as("nd"), sum(col("n")).as("sx"),
-        sum(col("n") * col("n")).as("sx2"))
-      .filter(col("nd") > 1)
-    val ndD = col("nd").cast("double")
-    val sxD = col("sx").cast("double")
-    val varS = (ndD * col("sx2").cast("double") - sxD * sxD) /
-      (ndD * (ndD - lit(1.0)))
-    val z = (col("n").cast("double") - sxD / ndD) / sqrt(col("var_s"))
-    daily.withColumn("dow", col("day") % 7)
-      .join(base.withColumn("var_s", varS)
-        .select(col("event_type"), col("dow"), col("var_s"),
-          col("nd"), col("sx")), Seq("event_type", "dow"))
-      .filter(col("var_s") > 0)
-      .select(col("event_type"), col("day"), col("n"),
-        round(z, 6).as("z"),
-        (abs(z) > 3.0).as("is_anomaly"))
-      .orderBy(col("event_type"), col("day"))
-  }
-
   /** X118 — referential-integrity audit (the pre-flight a warehouse
     * runs before trusting joins): every declared FK edge of the star
     * schema checked in one pass each — child rows whose key has no
@@ -343,42 +281,6 @@ object Extras11 {
         col("doc_id").as("survivor_id"),
         col("n_chars").as("survivor_chars"))
       .orderBy(col("cluster_rep"))
-  }
-
-  /** X120 — change-point detection (CUSUM, Page 1954, the offline
-    * max-deviation form): per event type, the day where the cumulative
-    * deviation of daily value sums from the series mean peaks —
-    * |S_k| = |Σ_{i≤k} x_i − k·x̄| maximized over k. No recursion
-    * needed: S_k decomposes into (exact DECIMAL prefix sum) − k·mean,
-    * so one keyed window cumsum + one max-by gives the change point
-    * with every float op spelled identically cross-engine (prefix sums
-    * exact; k·mean and the subtraction are single IEEE ops). Window
-    * partitions by event type — keyed, never global. */
-  def x120Changepoint(spark: SparkSession, sfDir: String): DataFrame = {
-    val daily = Tables.eventsUs(spark, sfDir)
-      .groupBy(col("event_type"), expr("ts div 86400000000").as("day"))
-      .agg(sum(col("value").cast(Det.Money)).as("v"))
-    val wCum = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type")).orderBy(col("day"))
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type"))
-    val dev = abs(col("prefix").cast("double") -
-      col("k").cast("double") *
-        (col("total").cast("double") / col("n_days").cast("double")))
-    val wPick = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type"))
-      .orderBy(col("dev").desc, col("day"))
-    daily
-      .withColumn("prefix", sum(col("v")).over(wCum))
-      .withColumn("k", count(lit(1)).over(wCum))
-      .withColumn("total", sum(col("v")).over(wAll))
-      .withColumn("n_days", count(lit(1)).over(wAll))
-      .withColumn("dev", round(dev, 6))
-      .withColumn("rn", row_number().over(wPick))
-      .filter(col("rn") === 1)
-      .select(col("event_type"), col("day").as("cp_day"),
-        col("dev").as("max_dev"))
-      .orderBy(col("event_type"))
   }
 
   /** X123 — matryoshka truncation quality (Kusupati et al. 2022, the
@@ -667,46 +569,7 @@ object Extras11 {
       .orderBy(col("share_of_total").desc, col("o_orderkey")).limit(100)
   }
 
-  /** X133 — session-depth distribution + bounce rate (the web-
-    * analytics summary w9's raw session table feeds): sessions
-    * rebuilt by the same 30-minute-gap rule, bucketed by event depth
-    * (1 / 2 / 3–5 / 6–10 / 11+), with each bucket's session share and
-    * the global bounce rate (depth-1 share) riding every row. Two
-    * keyed aggregates + one broadcast total — the sessionization
-    * window is user-keyed (w9's shape), never global. Shares are one
-    * division of exact counts, rounded 6. */
-  def x133SessionDepth(spark: SparkSession, sfDir: String): DataFrame = {
-    val gapUs = 1800000000L
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"))
-    val wRun = w.rowsBetween(Long.MinValue, 0)
-    val depth = Tables.eventsUs(spark, sfDir)
-      .withColumn("new_sess",
-        when(col("ts") - lag(col("ts"), 1).over(w) > gapUs ||
-          lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L))
-      .withColumn("sid", sum(col("new_sess")).over(wRun))
-      .groupBy(col("user_id"), col("sid"))
-      .agg(count(lit(1)).as("depth"))
-    val bucket = when(col("depth") === 1, "1_bounce")
-      .when(col("depth") === 2, "2")
-      .when(col("depth") <= 5, "3-5")
-      .when(col("depth") <= 10, "6-10")
-      .otherwise("11+")
-    val byBucket = depth.select(bucket.as("depth_bucket"))
-      .groupBy(col("depth_bucket")).agg(count(lit(1)).as("n_sessions"))
-    val totals = depth.agg(count(lit(1)).as("total"),
-      sum(when(col("depth") === 1, 1L).otherwise(0L)).as("bounces"))
-    byBucket.crossJoin(totals)
-      .select(col("depth_bucket"), col("n_sessions"),
-        round(col("n_sessions").cast("double") /
-          col("total").cast("double"), 6).as("share"),
-        round(col("bounces").cast("double") /
-          col("total").cast("double"), 6).as("bounce_rate"))
-      .orderBy(col("depth_bucket"))
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x133_session_depth" -> (x133SessionDepth _),
     "w17_ratio_to_report" -> (w17RatioToReport _),
     "s28_codec_matrix" -> (s28CodecMatrix _),
     "f24_regex_family" -> (f24RegexFamily _),
@@ -715,19 +578,15 @@ object Extras11 {
     "x126_embedding_drift" -> (x126EmbeddingDrift _),
     "x123_matryoshka" -> (x123Matryoshka _),
     "x124_binary_quant" -> (x124BinaryQuant _),
-    "x120_changepoint" -> (x120Changepoint _),
     "x119_golden_record" -> (x119GoldenRecord _),
     "sql40_param_sql" -> (sql40ParamSql _),
     "sql41_session_vars" -> (sql41SessionVars _),
     "s26_cached_table" -> (s26CachedTable _),
     "s27_nested_pruning" -> (s27NestedPruning _),
-    "x117_seasonal_anomaly" -> (x117SeasonalAnomaly _),
     "x118_ri_audit" -> (x118RiAudit _),
     "x113_mv_retraction" -> (x113MvRetraction _),
     "x114_weighted_sample" -> (x114WeightedSample _),
-    "x115_dp_counts" -> (x115DpCounts _),
-    "x116_multitouch" -> (x116MultiTouch _))
-
+    "x115_dp_counts" -> (x115DpCounts _))
 
   /** The x124 oracle's shared CTE chain (signatures → hamming →
     * shortlist → rerank → `retr`), reused verbatim by x128's nDCG. */
@@ -757,32 +616,6 @@ object Extras11 {
     "WHERE rank <= 5)"
 
   val oracles: Map[String, String] = Map(
-    // same gap rule, same buckets, same one-division shares
-    "x133_session_depth" ->
-      ("WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +
-       "s AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER " +
-       "(PARTITION BY user_id ORDER BY t) > 1800000000 " +
-       "OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL " +
-       "THEN 1 ELSE 0 END AS new_sess FROM e), " +
-       "sid AS (SELECT user_id, SUM(new_sess) OVER " +
-       "(PARTITION BY user_id ORDER BY t " +
-       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s), " +
-       "d AS (SELECT user_id, sid, COUNT(*) AS depth FROM sid " +
-       "GROUP BY 1, 2), " +
-       "b AS (SELECT CASE WHEN depth = 1 THEN '1_bounce' " +
-       "WHEN depth = 2 THEN '2' WHEN depth <= 5 THEN '3-5' " +
-       "WHEN depth <= 10 THEN '6-10' ELSE '11+' END AS depth_bucket " +
-       "FROM d), " +
-       "g AS (SELECT depth_bucket, CAST(COUNT(*) AS BIGINT) " +
-       "AS n_sessions FROM b GROUP BY 1), " +
-       "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total, " +
-       "CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT) " +
-       "AS bounces FROM d) " +
-       "SELECT depth_bucket, n_sessions, " +
-       "round(CAST(n_sessions AS DOUBLE) / CAST(total AS DOUBLE), 6) " +
-       "AS share, " +
-       "round(CAST(bounces AS DOUBLE) / CAST(total AS DOUBLE), 6) " +
-       "AS bounce_rate FROM g CROSS JOIN t ORDER BY depth_bucket"),
     // keyed window share + broadcast grand total, same rounding
     "w17_ratio_to_report" ->
       ("WITH o AS (SELECT o_orderkey, o_orderpriority, " +
@@ -895,24 +728,6 @@ object Extras11 {
       ("WITH " + BinaryQuantCte +
        " SELECT probe_id, neighbor_id, sim, rank FROM retr " +
        "ORDER BY probe_id, rank"),
-    // decimal prefix sums exact; k·mean and the subtraction identical
-    "x120_changepoint" ->
-      ("WITH daily AS (SELECT event_type, " +
-       "epoch_us(ts) // 86400000000 AS day, " +
-       "SUM(CAST(value AS DECIMAL(18,4))) AS v FROM events GROUP BY 1, 2), " +
-       "w AS (SELECT event_type, day, " +
-       "SUM(v) OVER (PARTITION BY event_type ORDER BY day) AS prefix, " +
-       "COUNT(*) OVER (PARTITION BY event_type ORDER BY day) AS k, " +
-       "SUM(v) OVER (PARTITION BY event_type) AS total, " +
-       "COUNT(*) OVER (PARTITION BY event_type) AS n_days FROM daily), " +
-       "d AS (SELECT event_type, day, " +
-       "round(abs(CAST(prefix AS DOUBLE) - CAST(k AS DOUBLE) * " +
-       "(CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE))), 6) AS dev " +
-       "FROM w), " +
-       "p AS (SELECT *, row_number() OVER (PARTITION BY event_type " +
-       "ORDER BY dev DESC, day) AS rn FROM d) " +
-       "SELECT event_type, day AS cp_day, dev AS max_dev FROM p " +
-       "WHERE rn = 1 ORDER BY event_type"),
     // clusters re-derived via the shared recursive CTE, then the same
     // survivorship rule
     "x119_golden_record" ->
@@ -953,27 +768,6 @@ object Extras11 {
     "s27_nested_pruning" ->
       ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs " +
        "FROM documents GROUP BY 1 ORDER BY lang"),
-    // same sufficient statistics, same closed-form double arithmetic
-    "x117_seasonal_anomaly" ->
-      ("WITH daily AS (SELECT event_type, " +
-       "epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n " +
-       "FROM events GROUP BY 1, 2), " +
-       "b AS (SELECT event_type, day % 7 AS dow, " +
-       "CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(n) AS BIGINT) AS sx, " +
-       "CAST(SUM(n * n) AS BIGINT) AS sx2 FROM daily GROUP BY 1, 2 " +
-       "HAVING COUNT(*) > 1), " +
-       "j AS (SELECT d.event_type, d.day, d.n, " +
-       "(CAST(nd AS DOUBLE) * CAST(sx2 AS DOUBLE) - " +
-       "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / " +
-       "(CAST(nd AS DOUBLE) * (CAST(nd AS DOUBLE) - 1.0)) AS var_s, " +
-       "CAST(sx AS DOUBLE) AS sxd, CAST(nd AS DOUBLE) AS ndd " +
-       "FROM daily d JOIN b ON d.event_type = b.event_type " +
-       "AND d.day % 7 = b.dow) " +
-       "SELECT event_type, day, n, " +
-       "round((CAST(n AS DOUBLE) - sxd / ndd) / sqrt(var_s), 6) AS z, " +
-       "abs((CAST(n AS DOUBLE) - sxd / ndd) / sqrt(var_s)) > 3.0 " +
-       "AS is_anomaly FROM j WHERE var_s > 0 " +
-       "ORDER BY event_type, day"),
     // each FK edge recomputed with NOT EXISTS
     "x118_ri_audit" -> {
       def e(name: String, child: String, fk: String, parent: String,
@@ -1010,19 +804,6 @@ object Extras11 {
        "SELECT event_type, n_true, " +
        "round(n_true + round(-sign(c) * ln(1.0 - 2.0 * abs(c)), 6), 6) " +
        "AS n_released FROM g ORDER BY event_type"),
-    // same RANGE-frame click count per purchase
-    "x116_multitouch" ->
-      ("WITH ev AS (SELECT event_id, user_id, event_type, " +
-       "epoch_us(ts) AS t, value FROM events), " +
-       "a AS (SELECT event_id, user_id, event_type, value, " +
-       "COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER " +
-       "(PARTITION BY user_id ORDER BY t " +
-       "RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING) " +
-       "AS n_touches FROM ev) " +
-       "SELECT event_id AS purchase_id, user_id, n_touches, " +
-       "round(value / n_touches, 6) AS credit_per_touch FROM a " +
-       "WHERE event_type = 'purchase' AND n_touches > 0 " +
-       "ORDER BY purchase_id"),
     // the MV recomputed from the corrected order set — deletes out,
     // updates restated
     "x113_mv_retraction" ->

@@ -19,28 +19,6 @@ import graft.Tables
   */
 object Extras16 {
 
-  // ---------------------------------------------------------------- x159
-
-  private val UsPerDay = 86400000000L
-
-  /** X159 — engagement stickiness: per day, the distinct active users
-    * (DAU), the trailing-7-day actives (WAU), the calendar-month
-    * actives (MAU), and the DAU/WAU + DAU/MAU ratios — the growth
-    * metric that distinguishes "many users" from "users who return".
-    *
-    * Scale shape: the corpus reduces to the distinct (day, user)
-    * frame in one pass; the trailing-7-day distinct is a range join of
-    * the DAY SPINE against that frame (7× day-user rows, never
-    * events×events), and month actives are one more grouped distinct.
-    * All counts exact; the two ratios are single IEEE divisions. */
-  def x159Stickiness(spark: SparkSession, sfDir: String): DataFrame =
-    graft.api.Analytics.stickiness(
-      Tables.eventsUs(spark, sfDir)
-        .select(expr(s"ts div $UsPerDay").as("day"), col("user_id")),
-      "day", "user_id",
-      d => year(timestamp_micros(d * UsPerDay)) * 100 +
-        month(timestamp_micros(d * UsPerDay)))
-
   // ---------------------------------------------------------------- x160
 
   /** X160 — frequent 3-itemsets via the Apriori candidate step
@@ -109,29 +87,7 @@ object Extras16 {
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x159_stickiness" -> (x159Stickiness _),
     "x160_apriori3" -> (x160Apriori3 _))
-
-  private val StickinessSql: String =
-    "WITH du AS MATERIALIZED (SELECT DISTINCT " +
-    "epoch_us(ts) // 86400000000 AS day, user_id FROM events), " +
-    "dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1), " +
-    "wau AS (SELECT d.day, COUNT(DISTINCT du.user_id) AS wau " +
-    "FROM (SELECT DISTINCT day FROM du) d JOIN du " +
-    "ON du.day BETWEEN d.day - 6 AND d.day GROUP BY 1), " +
-    "mu AS (SELECT year(make_timestamp(day * 86400000000)) * 100 + " +
-    "month(make_timestamp(day * 86400000000)) AS ym, day, user_id " +
-    "FROM du), " +
-    "mau AS (SELECT ym, COUNT(DISTINCT user_id) AS mau FROM mu " +
-    "GROUP BY 1) " +
-    "SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau, " +
-    "CAST(wau.wau AS BIGINT) AS wau, CAST(mau.mau AS BIGINT) AS mau, " +
-    "round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6) " +
-    "AS dau_wau, " +
-    "round(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE), 6) " +
-    "AS dau_mau FROM dau JOIN wau ON wau.day = dau.day " +
-    "JOIN (SELECT DISTINCT ym, day FROM mu) md ON md.day = dau.day " +
-    "JOIN mau ON mau.ym = md.ym ORDER BY dau.day"
 
   private val Apriori3Sql: String =
     "WITH li AS MATERIALIZED (SELECT DISTINCT o_custkey AS basket, " +
@@ -149,6 +105,5 @@ object Extras16 {
     "ORDER BY support DESC, i1, i2, i3 LIMIT 20"
 
   val oracles: Map[String, String] = Map(
-    "x159_stickiness" -> StickinessSql,
     "x160_apriori3" -> Apriori3Sql)
 }

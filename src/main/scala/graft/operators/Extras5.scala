@@ -225,42 +225,6 @@ object Extras5 {
         lit(merges.distinct.length == merges.length).as("merges_distinct"))
   }
 
-  /** X45 — ordered funnel analysis (view → click → purchase): per user,
-    * the earliest view, the earliest click AT OR AFTER that view, and
-    * the earliest purchase at or after that click — the product-
-    * analytics staple where ORDER matters (a purchase before the first
-    * view does not convert the funnel).
-    *
-    * Scale shape: three window expressions over ONE user_id
-    * partitioning — the key grows with the data (never a funnel) and
-    * Spark plans all three Window operators over a single exchange
-    * (later windows reuse the child's hash partitioning). No self-joins:
-    * the stage-N timestamp is a conditional min over the same partition
-    * referencing the stage-N−1 column. The oracle computes the same
-    * stages with grouped aggregates + joins — different plan, identical
-    * values. */
-  def x45Funnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-    Tables.eventsUs(spark, sfDir)
-      .select(col("user_id"), col("ts"), col("event_type"))
-      .withColumn("t_view",
-        min(when(col("event_type") === "view", col("ts"))).over(w))
-      .withColumn("t_click",
-        min(when(col("event_type") === "click" && col("ts") >= col("t_view"),
-          col("ts"))).over(w))
-      .withColumn("t_purchase",
-        min(when(col("event_type") === "purchase" &&
-          col("ts") >= col("t_click"), col("ts"))).over(w))
-      .select(col("user_id"), col("t_view"), col("t_click"),
-        col("t_purchase"))
-      .distinct()
-      .withColumn("stage",
-        (when(col("t_view").isNotNull, 1).otherwise(0) +
-          when(col("t_click").isNotNull, 1).otherwise(0) +
-          when(col("t_purchase").isNotNull, 1).otherwise(0)).cast("int"))
-      .orderBy(col("user_id"))
-  }
-
   /** S21 — snapshot-versioned table layout with time travel (the
     * poor-man's Delta/Iceberg: immutable version directories +
     * partition-discovered version column, the convention a lake uses
@@ -340,7 +304,6 @@ object Extras5 {
     "x42_embed_dedup_keep" -> (x42EmbedDedupKeep _),
     "x43_winsorize" -> (x43Winsorize _),
     "x44_bpe_train" -> (x44BpeTrain _),
-    "x45_funnel" -> (x45Funnel _),
     "s21_snapshot_versions" -> (s21SnapshotVersions _))
 
   /** Shared oracle text for the x41/x42 corpus: the UNION base and the
@@ -459,26 +422,6 @@ object Extras5 {
        "CAST(SUM(length(replace(text, ' ', ''))) AS BIGINT) " +
        "AS n_start_tokens, TRUE AS compressed, TRUE AS merges_distinct " +
        "FROM documents"),
-    // same stage values via grouped aggregates + joins (a different but
-    // value-identical plan: conditional-min windows vs per-stage aggs)
-    "x45_funnel" ->
-      ("WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type " +
-       "FROM events), " +
-       "s1 AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' " +
-       "THEN ts_us END) AS t_view FROM e GROUP BY user_id), " +
-       "s2 AS (SELECT e.user_id, MIN(ts_us) AS t_click FROM e " +
-       "JOIN s1 USING (user_id) WHERE event_type = 'click' " +
-       "AND ts_us >= t_view GROUP BY e.user_id), " +
-       "s3 AS (SELECT e.user_id, MIN(ts_us) AS t_purchase FROM e " +
-       "JOIN s2 USING (user_id) WHERE event_type = 'purchase' " +
-       "AND ts_us >= t_click GROUP BY e.user_id) " +
-       "SELECT s1.user_id, t_view, t_click, t_purchase, " +
-       "CAST((CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) + " +
-       "(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) + " +
-       "(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS INT) " +
-       "AS stage " +
-       "FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id) " +
-       "ORDER BY user_id"),
     // both snapshots recomputed from source: v1 = raw, v2 = the CDC rule
     "s21_snapshot_versions" ->
       ("SELECT CAST(1 AS INT) AS v, COUNT(*) AS n, " +

@@ -73,39 +73,6 @@ object Extras9 {
       .orderBy(col("dirty_key"), col("clean_key"))
   }
 
-  /** X65 — peak-concurrency interval sweep: per day, the maximum number
-    * of simultaneously-open event intervals (start = event ts, duration
-    * = a pure-integer function of event_id, end clipped to the day
-    * boundary so days are independent). The classic ±1 endpoint sweep:
-    * explode each interval to a (+1 at start, −1 at end) pair and take
-    * MAX of the running sum — capacity planning's core query.
-    *
-    * Scale shape: the window partitions BY DAY (thousands of
-    * independent partitions at 100 TB — never a global sort), and the
-    * default RANGE UNBOUNDED→CURRENT frame makes tie handling
-    * deterministic on both engines: peers (equal (t, delta)) all see
-    * the whole peer group's sum, and mixed-sign ties are separated by
-    * the delta sort key (ends before starts at the same instant —
-    * end-exclusive semantics). The peak is therefore
-    * permutation-invariant and engine-identical. */
-  def x65PeakConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
-    val iv = Tables.eventsUs(spark, sfDir)
-      .select(col("ts").as("t"),
-        ((col("event_id") % 3600 + 1) * 1000000L).as("dur"))
-      .withColumn("day", expr("t div 86400000000"))
-    val pts = iv.select(col("day"), col("t"), lit(1).as("delta"))
-      .unionAll(iv.select(col("day"),
-        least(col("t") + col("dur"),
-          (col("day") + 1) * 86400000000L).as("t"),
-        lit(-1).as("delta")))
-    val w = Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
-    pts.withColumn("run", sum(col("delta")).over(w))
-      .groupBy(col("day"))
-      .agg(sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_events"),
-        max(col("run")).as("peak"))
-      .orderBy(col("day"))
-  }
-
   /** X66 — repeated-span audit (the memorization-risk report a
     * training-data review reads): the 50 most-shared 8-gram spans
     * across distinct documents, with document and occurrence counts.
@@ -295,7 +262,6 @@ object Extras9 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s24_file_lineage" -> (s24FileLineage _),
     "x64_fuzzy_join" -> (x64FuzzyJoin _),
-    "x65_peak_concurrency" -> (x65PeakConcurrency _),
     "x66_repeated_spans" -> (x66RepeatedSpans _),
     "x67_diversified_topk" -> (x67DiversifiedTopK _),
     "x71_copurchase" -> (x71CoPurchase _),
@@ -323,19 +289,6 @@ object Extras9 {
        "FROM dirty d CROSS JOIN customer c " +
        "WHERE levenshtein(d.dirty_name, c.c_name) <= 1 " +
        "ORDER BY dirty_key, clean_key"),
-    "x65_peak_concurrency" ->
-      ("WITH iv AS (SELECT epoch_us(ts) AS t, " +
-       "(event_id % 3600 + 1) * 1000000 AS dur, " +
-       "epoch_us(ts) // 86400000000 AS day FROM events), " +
-       "pts AS (SELECT day, t, 1 AS delta FROM iv " +
-       "UNION ALL SELECT day, least(t + dur, (day + 1) * 86400000000), " +
-       "-1 FROM iv), " +
-       "run AS (SELECT day, delta, " +
-       "SUM(delta) OVER (PARTITION BY day ORDER BY t, delta) AS run " +
-       "FROM pts) " +
-       "SELECT day, CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) " +
-       "AS BIGINT) AS n_events, CAST(MAX(run) AS BIGINT) AS peak " +
-       "FROM run GROUP BY day ORDER BY day"),
     "x66_repeated_spans" ->
       (s"SELECT ngram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
        "CAST(COUNT(*) AS BIGINT) AS n_occur " +

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{EvalOps, Extras10, StatsOps}
+import graft.operators.{EvalOps, EventOps, Extras10, StatsOps}
 
 class Extras10Spec extends SparkSpec {
 
@@ -45,7 +45,7 @@ class Extras10Spec extends SparkSpec {
 
   test("x73: every attribution points at a real strictly-earlier click " +
       "by the same user") {
-    val att = Extras10.x73Attribution(spark, sf).collect()
+    val att = EventOps.x73Attribution(spark, sf).collect()
     assert(att.nonEmpty)
     val ev = Tables.eventsUs(spark, sf)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
@@ -258,7 +258,7 @@ class Extras10Spec extends SparkSpec {
 
   test("x92: offset-0 masses are cohort sizes and retention never " +
       "exceeds them") {
-    val rows = Extras10.x92RetentionCohorts(spark, sf).collect()
+    val rows = EventOps.x92RetentionCohorts(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val week0 = rows.filter { case ((_, off), _) => off == 0L }
     assert(week0.nonEmpty)
@@ -344,7 +344,7 @@ class Extras10Spec extends SparkSpec {
 
   test("x103: path trigrams are made of real event types and counts " +
       "are bounded by step counts") {
-    val rows = Extras10.x103EventPaths(spark, sf).collect()
+    val rows = EventOps.x103EventPaths(spark, sf).collect()
     assert(rows.length == 10)
     val types = Set("click", "view", "purchase", "signup", "error")
     rows.foreach { r =>
@@ -362,7 +362,7 @@ class Extras10Spec extends SparkSpec {
       .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
       .collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    Extras10.x105Twap(spark, sf).collect().foreach { r =>
+    EventOps.x105Twap(spark, sf).collect().foreach { r =>
       val (lo, hi) = bounds(r.getString(0))
       val tw = r.getDouble(3)
       assert(tw >= lo && tw <= hi, s"$r outside [$lo, $hi]")
@@ -396,14 +396,14 @@ class Extras10Spec extends SparkSpec {
 
   test("x110: latency stats are ordered (median <= p90 <= max bound) " +
       "and masses match the attribution table") {
-    val rows = Extras10.x110TimeToConvert(spark, sf).collect()
+    val rows = EventOps.x110TimeToConvert(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getDouble(2) <= r.getDouble(3) + 1e-9, s"$r")
       assert(r.getDouble(3) <= 604800000000.0)
     }
     assert(rows.map(_.getLong(1)).sum ==
-      Extras10.x73Attribution(spark, sf).count())
+      EventOps.x73Attribution(spark, sf).count())
   }
 
   test("s25: one corrupt file does not kill the tolerant scan") {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.api.VectorPipeline
-import graft.operators.{EvalOps, Extras11, Extras3, GraphOps, StatsOps}
+import graft.operators.{EvalOps, EventOps, Extras11, Extras3, GraphOps, StatsOps}
 
 class Extras11Spec extends SparkSpec {
   import spark.implicits._
@@ -111,7 +111,7 @@ class Extras11Spec extends SparkSpec {
 
   test("x116: window-based linear attribution equals a join-based " +
       "recompute") {
-    val got = Extras11.x116MultiTouch(spark, sf).collect()
+    val got = EventOps.x116MultiTouch(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
     val ev = Tables.eventsUs(spark, sf)
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -181,7 +181,7 @@ class Extras11Spec extends SparkSpec {
       .agg(sum(col("value").cast(Det.Money)).as("v"))
       .collect().map(r => (r.getString(0), r.getLong(1),
         r.getDecimal(2))).groupBy(_._1)
-    val cps = graft.operators.Extras11.x120Changepoint(spark, sf).collect()
+    val cps = graft.operators.EventOps.x120Changepoint(spark, sf).collect()
     cps.foreach { r =>
       val series = daily(r.getString(0)).sortBy(_._2)
       val total = series.map(x => BigDecimal(x._3)).sum
@@ -306,7 +306,7 @@ class Extras11Spec extends SparkSpec {
 
   test("x133: depth buckets partition the w9 session table and shares " +
       "sum to 1") {
-    val got = Extras11.x133SessionDepth(spark, sf).collect()
+    val got = EventOps.x133SessionDepth(spark, sf).collect()
     val sessions = Extras3.w9BatchSessionize(spark, sf).count()
     assert(got.map(_.getLong(1)).sum == sessions,
       "buckets must partition the session set")
@@ -473,7 +473,7 @@ class Extras11Spec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     val byDow = daily.groupBy { case ((t, d), _) => (t, d % 7) }
       .view.mapValues(_.values.map(_.toDouble).toSeq).toMap
-    val got = Extras11.x117SeasonalAnomaly(spark, sf).collect()
+    val got = EventOps.x117SeasonalAnomaly(spark, sf).collect()
     assert(got.nonEmpty)
     got.foreach { r =>
       val (t, d, n) = (r.getString(0), r.getLong(1), r.getLong(2))

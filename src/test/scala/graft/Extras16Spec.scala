@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{EvalOps, Extras16}
+import graft.operators.{EvalOps, EventOps, Extras16}
 
 class Extras16Spec extends SparkSpec {
 
@@ -58,7 +58,7 @@ class Extras16Spec extends SparkSpec {
         .map(_._2).distinct.length.toLong
       (d, dau, wau, mau, r(dau.toDouble / wau, 6), r(dau.toDouble / mau, 6))
     }
-    val got = Extras16.x159Stickiness(spark, sf).collect()
+    val got = EventOps.x159Stickiness(spark, sf).collect()
       .map(row => (row.getLong(0), row.getLong(1), row.getLong(2),
         row.getLong(3), row.getDouble(4), row.getDouble(5)))
     assert(got.toSeq == expect.toSeq)

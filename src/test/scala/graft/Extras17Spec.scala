@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Extras17
+import graft.operators.{EventOps, Extras17}
 
 class Extras17Spec extends SparkSpec {
 
@@ -22,7 +22,7 @@ class Extras17Spec extends SparkSpec {
       b = r(0.1 * (l2 - l) + 0.9 * b, 0)
       l = l2
     }
-    val got = Extras17.x162HoltForecast(spark, sf).collect()
+    val got = EventOps.x162HoltForecast(spark, sf).collect()
       .map(row => (row.getLong(0), row.getDouble(1), row.getDouble(2)))
     assert(got.length == 15)
     got.foreach { case (h, f, tr) =>
@@ -44,7 +44,7 @@ class Extras17Spec extends SparkSpec {
         (day, sorted.head._3, xs.map(_._3).max, xs.map(_._3).min,
           sorted.last._3, xs.length.toLong, vsum)
       }
-    val got = Extras17.x163Ohlc(spark, sf).collect()
+    val got = EventOps.x163Ohlc(spark, sf).collect()
       .map(row => (row.getLong(0), row.getDouble(1), row.getDouble(2),
         row.getDouble(3), row.getDouble(4), row.getLong(5),
         row.getDouble(6)))

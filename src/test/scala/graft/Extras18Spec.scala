@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Extras18
+import graft.operators.{EventOps, Extras18}
 
 class Extras18Spec extends SparkSpec {
 
@@ -13,7 +13,7 @@ class Extras18Spec extends SparkSpec {
     val expect = days.zip(days.tail).collect {
       case (a, b) if b > a + 1 => (a + 1, b - 1, b - a - 1)
     }
-    val rows = Extras18.x164GapAudit(spark, sf).collect()
+    val rows = EventOps.x164GapAudit(spark, sf).collect()
       .map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
     val (tot, gaps) = rows.partition(_._1 == -1L)
     assert(gaps.toSeq == expect.toSeq)
@@ -37,7 +37,7 @@ class Extras18Spec extends SparkSpec {
       }
       runs.map(r => (u, r.last, r.length.toLong))
     }.sortBy { case (u, s, len) => (-len, u, s) }.take(20)
-    val got = Extras18.x165Streaks(spark, sf).collect()
+    val got = EventOps.x165Streaks(spark, sf).collect()
       .map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
     assert(got.toSeq == expect)
   }

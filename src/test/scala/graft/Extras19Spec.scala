@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{EvalOps, Extras19}
+import graft.operators.{EvalOps, EventOps}
 
 class Extras19Spec extends SparkSpec {
 
@@ -40,7 +40,7 @@ class Extras19Spec extends SparkSpec {
       (m0, age, n, rv.toDouble,
         ((2 * s4 + n) / (2 * n)).toDouble / 10000.0)
     }.sortBy(x => (x._1, x._2))
-    val got = Extras19.x166LtvCohorts(spark, sf).collect()
+    val got = EventOps.x166LtvCohorts(spark, sf).collect()
       .map(row => (row.getLong(0), row.getLong(1), row.getLong(2),
         row.getDouble(3), row.getDouble(4)))
     assert(got.toSeq == expect)
@@ -66,7 +66,7 @@ class Extras19Spec extends SparkSpec {
       (t, xs.size.toLong, xs.count(_._2).toLong,
         (xs.size - xs.count(_._2)).toLong)
     }.toSeq.sortBy(_._1)
-    val got = Extras19.x167CollapseRuns(spark, sf).collect()
+    val got = EventOps.x167CollapseRuns(spark, sf).collect()
       .map(row => (row.getString(0), row.getLong(1), row.getLong(2),
         row.getLong(3)))
     assert(got.toSeq == expect)
@@ -143,7 +143,7 @@ class Extras19Spec extends SparkSpec {
     val expectCells = cust.groupBy { c =>
       (6L - bucket(c._1, rc), bucket(c._2, fc), bucket(c._3, mc))
     }.map { case (k, xs) => (k, xs.size.toLong) }
-    val got = graft.operators.Extras19.x170Rfm(spark, sf).collect()
+    val got = graft.operators.EventOps.x170Rfm(spark, sf).collect()
       .map(row => ((row.getLong(0), row.getLong(1), row.getLong(2)),
         row.getLong(4)))
     assert(got.toMap == expectCells)

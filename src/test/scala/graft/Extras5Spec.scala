@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.api.{TextPipeline, VocabTokenizer, WhitespaceTokenizer}
-import graft.operators.Extras5
+import graft.operators.{EventOps, Extras5}
 
 class Extras5Spec extends SparkSpec {
   import spark.implicits._
@@ -169,7 +169,7 @@ class Extras5Spec extends SparkSpec {
   }
 
   test("x45 funnel: stage timestamps are ordered and match a driver-side recompute") {
-    val rows = Extras5.x45Funnel(spark, sf).collect()
+    val rows = EventOps.x45Funnel(spark, sf).collect()
     // order within the funnel whenever a stage is reached
     rows.foreach { r =>
       val (v, c, p) = (Option(r.get(1)).map(_.asInstanceOf[Long]),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.joins.CartesianProductExec
 import org.apache.spark.sql.functions._
-import graft.operators.Extras9
+import graft.operators.{EventOps, Extras9}
 
 class Extras9Spec extends SparkSpec {
 
@@ -39,7 +39,7 @@ class Extras9Spec extends SparkSpec {
 
   test("x65: per-day peaks are positive, bounded by the day's events, " +
       "and days cover the corpus span") {
-    val rows = Extras9.x65PeakConcurrency(spark, sf).collect()
+    val rows = EventOps.x65PeakConcurrency(spark, sf).collect()
     assert(rows.length >= 28, s"expected ~30 days, got ${rows.length}")
     rows.foreach { r =>
       val (n, peak) = (r.getLong(1), r.getLong(2))
