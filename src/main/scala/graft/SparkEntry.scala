@@ -24,7 +24,7 @@ object SparkEntry {
       Extras4.queries ++ Extras5.queries ++ Extras6.queries ++
       Extras7.queries ++ Extras8.queries ++ Extras9.queries ++
       Extras10.queries ++ Extras11.queries ++ Extras12.queries ++
-      Extras13.queries ++ Extras15.queries ++ Extras16.queries ++ Extras17.queries ++ Extras18.queries ++ Extras20.queries ++
+      Extras13.queries ++ Extras15.queries ++ Extras16.queries ++ SqlSurface.queries ++
       GraphOps.queries ++ Dml.queries ++ Clustering.queries ++
       CurationOps.queries ++ StatsOps.queries ++ EvalOps.queries ++ EventOps.queries ++ PipelineOps.queries ++
       Subqueries.queries ++ graft.streaming.Streams.queries
@@ -39,7 +39,7 @@ object SparkEntry {
       Extras4.oracles ++ Extras5.oracles ++ Extras6.oracles ++
       Extras7.oracles ++ Extras8.oracles ++ Extras9.oracles ++
       Extras10.oracles ++ Extras11.oracles ++ Extras12.oracles ++
-      Extras13.oracles ++ Extras15.oracles ++ Extras16.oracles ++ Extras17.oracles ++ Extras18.oracles ++ Extras20.oracles ++
+      Extras13.oracles ++ Extras15.oracles ++ Extras16.oracles ++ SqlSurface.oracles ++
       GraphOps.oracles ++ Dml.oracles ++ Clustering.oracles ++
       CurationOps.oracles ++ StatsOps.oracles ++ EvalOps.oracles ++ EventOps.oracles ++ PipelineOps.oracles ++
       Subqueries.oracles ++ graft.streaming.Streams.oracles

@@ -51,7 +51,7 @@ object Analytics {
 
   /** Holt's linear-trend smoothing over an ordered series, with an
     * h-step forecast fan (row h=0 = final level). The recursion rounds
-    * at WHOLE units — see Extras17.x162's scaladoc for why fractional
+    * at WHOLE units — see EventOps.x162's scaladoc for why fractional
     * scales fork cross-engine. Series values should be doubles exactly
     * derived from DECIMAL sums. */
   def holtForecast(series: DataFrame, timeCol: String, valueCol: String,

@@ -78,40 +78,6 @@ object Extras10 {
       .orderBy(col("day"))
   }
 
-  /** A23 — per-segment OLS trend (slope/intercept of value over event
-    * day), determinism-engineered: every sufficient statistic is EXACT
-    * (day index is an INT; Σx/Σx² are integer sums; Σy/Σxy go through
-    * the DECIMAL policy, and decimal × int stays exact), and only the
-    * final closed-form arithmetic runs in IEEE doubles — spelled
-    * identically in both engines, so the slope matches bitwise where
-    * engine-native regr_slope (partial-aggregated doubles) cannot.
-    * One grouped aggregate, map-side partials intact — the 100 TB cost
-    * is a scan. */
-  def a23Regression(spark: SparkSession, sfDir: String): DataFrame = {
-    val stats = Tables.eventsUs(spark, sfDir)
-      .select(col("event_type"),
-        expr("CAST(ts div 86400000000 AS INT)").as("x"),
-        col("value").cast(Det.Money).as("y"))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("x").cast("long")).as("sx"),
-        // square in LONG: INT x*x wraps silently past day-index 46340
-        // (~2096) where the oracle's BIGINT square would not (ADVICE r7)
-        sum(col("x").cast("long") * col("x").cast("long")).as("sx2"),
-        sum(col("y")).cast("double").as("sy"),
-        sum(col("y") * col("x")).cast("double").as("sxy"))
-    val nD = col("n").cast("double")
-    val sxD = col("sx").cast("double")
-    val slope = (nD * col("sxy") - sxD * col("sy")) /
-      (nD * col("sx2").cast("double") - sxD * sxD)
-    stats
-      .withColumn("slope", slope)
-      .withColumn("intercept",
-        (col("sy") - col("slope") * sxD) / nD)
-      .select(col("event_type"), col("n"), col("slope"), col("intercept"))
-      .orderBy(col("event_type"))
-  }
-
   /** S25 — corrupt-file tolerance (s23's file-level sibling): a landing
     * directory holding good parquet plus one truncated-garbage file.
     * The default read fails loudly (asserted); with
@@ -365,34 +331,6 @@ object Extras10 {
       min(col("norm2")).as("min_norm2"), max(col("norm2")).as("max_norm2"))
   }
 
-  /** SQL36 — keyset pagination (the scale-safe deep-pagination idiom):
-    * three successive 5-row pages over orders, each page resuming from
-    * the previous page's last key (`WHERE o_orderkey > (SELECT MAX ...
-    * prev page)`) instead of OFFSET. One shared SQL text for both
-    * engines. The 100 TB story is the whole point: o8's OFFSET form
-    * scans-and-discards every earlier row on every page (page N costs
-    * O(N·pagesize)), while the keyset predicate PUSHES TO THE SCAN
-    * (spec pins `PushedFilters: GreaterThan` on the resumed pages) and
-    * each page is a TakeOrderedAndProject over the surviving rows. */
-  val sql36Text: String =
-    """WITH page1 AS (SELECT o_orderkey, o_totalprice FROM orders
-      |    ORDER BY o_orderkey LIMIT 5),
-      |  page2 AS (SELECT o_orderkey, o_totalprice FROM orders
-      |    WHERE o_orderkey > (SELECT MAX(o_orderkey) FROM page1)
-      |    ORDER BY o_orderkey LIMIT 5),
-      |  page3 AS (SELECT o_orderkey, o_totalprice FROM orders
-      |    WHERE o_orderkey > (SELECT MAX(o_orderkey) FROM page2)
-      |    ORDER BY o_orderkey LIMIT 5)
-      |SELECT 1 AS page, o_orderkey, o_totalprice FROM page1
-      |UNION ALL SELECT 2, o_orderkey, o_totalprice FROM page2
-      |UNION ALL SELECT 3, o_orderkey, o_totalprice FROM page3
-      |ORDER BY page, o_orderkey""".stripMargin
-
-  def sql36KeysetPagination(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
-    spark.sql(sql36Text)
-  }
-
   /** X85 — k-anonymity audit (the data-governance pre-flight before a
     * dataset release): group the release by its quasi-identifier tuple
     * (market segment × nation × account-balance band — the classic
@@ -506,50 +444,6 @@ object Extras10 {
       .orderBy(col("split"))
   }
 
-  /** A24 — COUNT(DISTINCT) under ROLLUP: distinct aggregates combined
-    * with grouping sets force Catalyst's Expand-based planning (each
-    * row fans out once per grouping set AND once per distinct
-    * aggregate path) — a planning shape none of a3 (plain distinct) or
-    * a5 (rollup of sums) exercises. Distinct customer count plus
-    * decimal revenue per (year, priority) with both subtotal levels
-    * and the grand total; grouping() disambiguates real NULLs from
-    * subtotal rows. Shuffle volume stays groups × expand-factor, map
-    * partials intact. */
-  def a24RollupDistinct(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.orders(spark, sfDir)
-      .withColumn("o_year", year(col("o_orderdate")))
-      .rollup(col("o_year"), col("o_orderpriority"))
-      .agg(countDistinct(col("o_custkey")).as("n_cust"),
-        Det.dsum(col("o_totalprice")).as("revenue"),
-        grouping(col("o_year")).cast("int").as("g_year"),
-        grouping(col("o_orderpriority")).cast("int").as("g_prio"))
-      .orderBy(col("g_year"), col("g_prio"), col("o_year"),
-        col("o_orderpriority"))
-
-  /** SQL37 — NOT IN vs NOT EXISTS under NULLs (three-valued logic's
-    * most-shipped production bug): the dim list contains NULL keys, so
-    * `NOT IN` is vacuously empty (x NOT IN (..., NULL) is never TRUE)
-    * while `NOT EXISTS` returns the real complement — both counts in
-    * one shared SQL text, so the contract row IS the semantics
-    * demonstration. Catalyst plans the NOT IN as a null-aware anti
-    * join (spec pins it); both forms stay join-shaped, no per-row
-    * subquery execution. */
-  val sql37Text: String =
-    """WITH dim AS (SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL
-      |    ELSE c_custkey END AS k FROM customer),
-      |  not_in AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
-      |    WHERE o_custkey NOT IN (SELECT k FROM dim)),
-      |  not_exists AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders o
-      |    WHERE NOT EXISTS (SELECT 1 FROM dim WHERE dim.k = o.o_custkey))
-      |SELECT (SELECT n FROM not_in) AS n_not_in,
-      |  (SELECT n FROM not_exists) AS n_not_exists""".stripMargin
-
-  def sql37NullAwareAnti(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
-    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
-    spark.sql(sql37Text)
-  }
-
   /** X107 — BM25 ranking (Robertson/Spärck Jones — the scorer behind
     * every production full-text engine, saturating l5's raw TF-IDF):
     * top-10 documents for a 3-term query under k1=1.2, b=0.75.
@@ -592,48 +486,12 @@ object Extras10 {
       .limit(10)
   }
 
-  /** SQL38 — join-strategy hints (the planner-control surface an
-    * operator reaches for when statistics mislead): the SAME aggregate
-    * computed three times over customer ⋈ orders under BROADCAST,
-    * MERGE, and SHUFFLE_HASH hints, results proven identical by the
-    * shared oracle while the spec pins each hinted physical strategy
-    * (BroadcastHashJoin / SortMergeJoin / ShuffledHashJoin). Hints
-    * change the EXCHANGE STRUCTURE only — broadcast ships the dim,
-    * merge sorts both shuffled sides, shuffle-hash builds a map from
-    * the smaller shuffled side without sorting — which is exactly the
-    * lever to pull at 100 TB when AQE's estimate is wrong. */
-  val sql38Text: String =
-    """WITH b AS (SELECT /*+ BROADCAST(customer) */ c_mktsegment,
-      |    CAST(COUNT(*) AS BIGINT) AS n FROM orders
-      |    JOIN customer ON o_custkey = c_custkey GROUP BY 1),
-      |  m AS (SELECT /*+ MERGE(customer) */ c_mktsegment,
-      |    CAST(COUNT(*) AS BIGINT) AS n FROM orders
-      |    JOIN customer ON o_custkey = c_custkey GROUP BY 1),
-      |  sh AS (SELECT /*+ SHUFFLE_HASH(customer) */ c_mktsegment,
-      |    CAST(COUNT(*) AS BIGINT) AS n FROM orders
-      |    JOIN customer ON o_custkey = c_custkey GROUP BY 1)
-      |SELECT b.c_mktsegment, b.n AS n_broadcast, m.n AS n_merge,
-      |  sh.n AS n_shuffle_hash
-      |FROM b JOIN m ON b.c_mktsegment = m.c_mktsegment
-      |  JOIN sh ON b.c_mktsegment = sh.c_mktsegment
-      |ORDER BY b.c_mktsegment""".stripMargin
-
-  def sql38JoinHints(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
-    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
-    spark.sql(sql38Text)
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sql38_join_hints" -> (sql38JoinHints _),
     "x107_bm25" -> (x107Bm25 _),
-    "sql37_null_aware_anti" -> (sql37NullAwareAnti _),
-    "a24_rollup_distinct" -> (a24RollupDistinct _),
     "x88_quota_apportionment" -> (x88QuotaApportionment _),
     "x89_embargo_split" -> (x89EmbargoSplit _),
     "x85_k_anonymity" -> (x85KAnonymity _),
     "x87_join_preflight" -> (x87JoinPreflight _),
-    "sql36_keyset_pagination" -> (sql36KeysetPagination _),
     "x78_snapshot_diff" -> (x78SnapshotDiff _),
     "x81_vector_quality_gate" -> (x81VectorQualityGate _),
     "x75_cluster_histogram" -> (x75ClusterHistogram _),
@@ -641,13 +499,9 @@ object Extras10 {
     "x74_kmv_overlap" -> (x74KmvOverlap _),
     "x72_mmr_rerank" -> (x72MmrRerank _),
     "w16_distributed_cumsum" -> (w16DistributedCumSum _),
-    "a23_regression" -> (a23Regression _),
     "s25_corrupt_files" -> (s25CorruptFiles _))
 
   val oracles: Map[String, String] = Map(
-    // the SAME text verbatim — DuckDB reads the hint comments as plain
-    // block comments and computes the identical aggregates
-    "sql38_join_hints" -> sql38Text.replace("\n", " "),
     // integer tf/df/dl, one avgdl division, ln at 6-dp rounding (x49's
     // proven policy), fixed-order term addition
     "x107_bm25" ->
@@ -671,16 +525,6 @@ object Extras10 {
        "COALESCE(SUM(CASE WHEN tok = 'query' THEN contrib END), 0.0), 6) " +
        "AS bm25, CAST(COUNT(*) AS BIGINT) AS n_terms_hit " +
        "FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10"),
-    // the SAME text Spark executes (sql37Text), verbatim
-    "sql37_null_aware_anti" -> sql37Text.replace("\n", " "),
-    "a24_rollup_distinct" ->
-      ("SELECT year(o_orderdate) AS o_year, o_orderpriority, " +
-       "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust, " +
-       Det.sql.dsum("o_totalprice") + " AS revenue, " +
-       "CAST(GROUPING(year(o_orderdate)) AS INT) AS g_year, " +
-       "CAST(GROUPING(o_orderpriority) AS INT) AS g_prio " +
-       "FROM orders GROUP BY ROLLUP(year(o_orderdate), o_orderpriority) " +
-       "ORDER BY g_year, g_prio, o_year, o_orderpriority"),
     // all-integer Hamilton apportionment; the oracle may use a window
     // (DuckDB side is unconstrained), the Spark side may not
     "x88_quota_apportionment" ->
@@ -736,8 +580,6 @@ object Extras10 {
        "CAST(SUM(contrib) AS BIGINT) AS est_join_rows, " +
        "CAST(MAX(contrib) AS BIGINT) AS max_key_contrib, " +
        "(SELECT worst_key FROM top) AS worst_key FROM j"),
-    // the SAME text Spark executes (sql36Text), verbatim
-    "sql36_keyset_pagination" -> sql36Text.replace("\n", " "),
     // fingerprint-only compare restated over the same deterministic
     // snapshot transform
     "x78_snapshot_diff" ->
@@ -829,23 +671,6 @@ object Extras10 {
        "SELECT day, CAST(rev AS DOUBLE) AS revenue, " +
        "CAST(SUM(rev) OVER (ORDER BY day) AS DOUBLE) AS cum_revenue " +
        "FROM d ORDER BY day"),
-    // exact sufficient statistics, closed form in IEEE doubles spelled
-    // identically — see scaladoc
-    "a23_regression" ->
-      ("WITH s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
-       "SUM(CAST(x AS BIGINT)) AS sx, SUM(CAST(x AS BIGINT) * x) AS sx2, " +
-       "CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(y * x) AS DOUBLE) AS sxy " +
-       "FROM (SELECT event_type, " +
-       "CAST(epoch_us(ts) // 86400000000 AS INT) AS x, " +
-       "CAST(value AS DECIMAL(18,4)) AS y FROM events) e GROUP BY 1), " +
-       "r AS (SELECT event_type, n, " +
-       "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
-       "(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - " +
-       "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope, sy, sx " +
-       "FROM s) " +
-       "SELECT event_type, n, slope, " +
-       "(sy - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) " +
-       "AS intercept FROM r ORDER BY event_type"),
     "s25_corrupt_files" ->
       ("SELECT CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_good, " +
        "TRUE AS strict_throws"))

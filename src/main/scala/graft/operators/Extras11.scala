@@ -214,47 +214,6 @@ object Extras11 {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"))
 
-  /** SQL40 — parameterized SQL (Spark 4 named-parameter binding, the
-    * injection-safe E2 surface every SQL gateway should be using):
-    * `spark.sql(text, args)` with `:name` markers — the literals never
-    * enter the query text, the analyzer binds them as typed
-    * expressions, and the PLAN is identical to the inlined form
-    * (constant-folded, filter pushed). The oracle runs the inlined
-    * text, so binding-transparency is value-checked. */
-  def sql40ParamSql(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.orders(spark, sfDir).createOrReplaceTempView("v11_orders")
-    spark.sql(
-      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-        |    AS total
-        |FROM v11_orders
-        |WHERE o_totalprice > :minp AND o_orderstatus = :st
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-      Map("minp" -> 150000.0, "st" -> "O"))
-  }
-
-  /** SQL41 — session variables + EXECUTE IMMEDIATE (Spark 4's scripting
-    * surface): DECLARE a typed variable, SET it from a QUERY (the
-    * data-driven-threshold idiom — here the mean order price), then run
-    * the consuming aggregate through EXECUTE IMMEDIATE so the dynamic-
-    * SQL path is exercised too. The oracle recomputes the threshold as
-    * a scalar subquery — variable indirection must be value-neutral.
-    * The threshold is decimal-exact (Det policy), so both engines cut
-    * at the identical boundary. */
-  def sql41SessionVars(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.orders(spark, sfDir).createOrReplaceTempView("v11_orders")
-    spark.sql("DECLARE OR REPLACE VARIABLE graft_minp DOUBLE")
-    spark.sql(
-      """SET VAR graft_minp =
-        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-        |     / COUNT(*) FROM v11_orders)""".stripMargin)
-    spark.sql(
-      """EXECUTE IMMEDIATE
-        |'SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_above
-        | FROM v11_orders WHERE o_totalprice > graft_minp
-        | GROUP BY o_orderstatus ORDER BY o_orderstatus'""".stripMargin)
-  }
-
   /** X119 — golden-record survivorship (the step AFTER entity
     * resolution that actually ships: x12's near-dup clusters collapsed
     * to one surviving record each by an explicit RULE — longest text
@@ -579,8 +538,6 @@ object Extras11 {
     "x123_matryoshka" -> (x123Matryoshka _),
     "x124_binary_quant" -> (x124BinaryQuant _),
     "x119_golden_record" -> (x119GoldenRecord _),
-    "sql40_param_sql" -> (sql40ParamSql _),
-    "sql41_session_vars" -> (sql41SessionVars _),
     "s26_cached_table" -> (s26CachedTable _),
     "s27_nested_pruning" -> (s27NestedPruning _),
     "x118_ri_audit" -> (x118RiAudit _),
@@ -742,19 +699,6 @@ object Extras11 {
        "SELECT cluster_rep, CAST(n_members AS BIGINT) AS n_members, " +
        "doc_id AS survivor_id, n_chars AS survivor_chars " +
        "FROM ranked WHERE rn = 1 AND n_members > 1 ORDER BY cluster_rep"),
-    // binding transparency: the inlined literals
-    "sql40_param_sql" ->
-      ("SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, " +
-       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
-       "FROM orders WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O' " +
-       "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
-    // the variable re-derived as a scalar subquery
-    "sql41_session_vars" ->
-      ("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_above " +
-       "FROM orders WHERE o_totalprice > " +
-       "(SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) " +
-       "/ COUNT(*) FROM orders) " +
-       "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     // the cache must be value-transparent: same aggregate straight off
     // the parquet table
     "s26_cached_table" ->

@@ -18,26 +18,6 @@ object Extras2 {
         sha2(col("p_name").cast("binary"), 256).as("name_sha256"))
       .orderBy(col("p_partkey"))
 
-  /** A9 — order statistics + second moments per group: exact interpolated
-    * percentiles; corr/stddev are single-pass co-moments rounded past
-    * libm noise. The percentiles are rounded to 4 dp: the engines'
-    * interpolation FORMULAS differ (Spark a+(b−a)·q vs DuckDB
-    * (1−q)a+qb — a last-ulp divergence observed at sf0.001), but the
-    * true values sit on an exact 1e-3 grid (q ∈ {.5,.9} × 2-dp prices),
-    * so a 4-dp round absorbs the ulp and can never flip a boundary. */
-  def a9Stats(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-    val o = Tables.orders(spark, sfDir)
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(percentile(col("o_totalprice"), lit(0.5)), 4).as("median_total"),
-        round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90_total"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
-        round(stddev_samp(col("l_extendedprice")), 4).as("price_stddev"))
-      .orderBy(col("l_returnflag"))
-  }
-
   /** S8 — partitioned sink + partition pruning: orders written
     * year-partitioned, read back with a year predicate; the reread scan
     * lists only the matching partition directories (asserted in
@@ -130,7 +110,6 @@ object Extras2 {
     "x13_hash_sample" -> (x13HashSample _),
     "f2b_date_arith" -> (f2bDateArith _),
     "f9_hash" -> (f9Hash _),
-    "a9_stats" -> (a9Stats _),
     "s8_partition_prune" -> (s8PartitionPrune _),
     "s14_dynamic_overwrite" -> (s14DynamicOverwrite _),
     "sql3_vector_norm" -> (sql3VectorNorm _))
@@ -149,14 +128,6 @@ object Extras2 {
     "f9_hash" ->
       ("SELECT p_partkey, md5(p_name) AS name_md5, sha256(p_name) AS name_sha256 " +
        "FROM part ORDER BY p_partkey"),
-    "a9_stats" ->
-      ("SELECT l_returnflag, " +
-       "round(quantile_cont(o_totalprice, 0.5), 4) AS median_total, " +
-       "round(quantile_cont(o_totalprice, 0.9), 4) AS p90_total, " +
-       "round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr, " +
-       "round(stddev_samp(l_extendedprice), 4) AS price_stddev " +
-       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
-       "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "s8_partition_prune" ->
       ("SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS BIGINT) AS o_year " +
        "FROM orders WHERE year(o_orderdate) = 1997 ORDER BY o_orderkey"),

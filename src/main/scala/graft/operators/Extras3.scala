@@ -15,45 +15,6 @@ import graft.{Det, Tables}
   */
 object Extras3 {
 
-  /** A11 — string aggregation (listagg/string_agg): supplier names per
-    * nation, sorted inside the group so the concatenation is
-    * order-independent (collect order is nondeterministic — SURVEY
-    * §7.3#6). */
-  def a11StringAgg(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.supplier(spark, sfDir)
-      .groupBy(col("s_nationkey"))
-      .agg(array_join(sort_array(collect_list(col("s_name"))), "|").as("names"),
-        count(lit(1)).as("n_suppliers"),
-        Det.dsum(col("s_acctbal")).as("sum_bal"))
-      .orderBy(col("s_nationkey"))
-
-  /** A12 — unpivot (wide→long): part metrics melted to (metric, val)
-    * rows via the native Dataset.unpivot (MELT) operator. */
-  def a12Unpivot(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.part(spark, sfDir)
-      .select(col("p_partkey"),
-        col("p_size").cast("double").as("size"),
-        col("p_retailprice").as("retail"))
-      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retail")),
-        "metric", "val")
-      .orderBy(col("p_partkey"), col("metric"))
-
-  /** A5c — explicit GROUPING SETS (beyond rollup/cube): revenue by
-    * (year), by (status), and the grand total — three sets that neither
-    * ROLLUP nor CUBE expresses alone. SQL surface: the DataFrame API has
-    * no grouping-sets builder. */
-  def a5cGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders_gs")
-    spark.sql(
-      "SELECT COALESCE(CAST(y AS BIGINT), -1) AS year_c, " +
-      "COALESCE(o_orderstatus, 'ALL') AS status_c, COUNT(*) AS n_orders, " +
-      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
-      "FROM (SELECT year(o_orderdate) AS y, o_orderstatus, o_totalprice " +
-      "FROM graft_orders_gs) " +
-      "GROUP BY GROUPING SETS ((y), (o_orderstatus), ()) " +
-      "ORDER BY year_c, status_c")
-  }
-
   /** W8 — distribution window functions: percent_rank, cume_dist, and
     * nth_value over customers ranked by balance within market segment.
     * The ORDER BY carries a unique tie-break so rank positions (and the
@@ -157,31 +118,6 @@ object Extras3 {
       .select(col("user_id"), col("version"), col("event_type"),
         col("valid_from"), col("valid_to"), col("n_events"))
       .orderBy(col("user_id"), col("version"))
-  }
-
-  /** A16 — rolling 7-day distinct users (trailing WAU per day), in the
-    * shape that scales: COUNT(DISTINCT) OVER a RANGE window re-scans
-    * every window, so instead each distinct (user, day) pair CONTRIBUTES
-    * to the 7 window-days it covers — dedup pairs, explode the 7-day
-    * contribution interval, dedup (user, window-day), count per day.
-    * Three bounded shuffles (distinct-pairs, distinct-contributions,
-    * final count), each keyed wider than raw events, none carrying
-    * duplicate users — at 100 TB the state is active-pairs-sized, never
-    * a per-window re-scan. Window-days past the data's end are clipped
-    * by a broadcast 1-row max join. */
-  def a16RollingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = Tables.eventsUs(spark, sfDir)
-      .select(col("user_id"), expr("ts div 86400000000").as("day"))
-      .distinct()
-    val contrib = pairs
-      .select(col("user_id"),
-        explode(sequence(col("day"), col("day") + 6)).as("wday"))
-      .distinct()
-    val maxDay = pairs.agg(max(col("day")).as("maxd"))
-    contrib.join(broadcast(maxDay), col("wday") <= col("maxd"))
-      .groupBy(col("wday"))
-      .agg(count(lit(1)).as("n_active_users"))
-      .orderBy(col("wday"))
   }
 
   /** F18 — error-safe `try_*` function family (ANSI-mode's graceful
@@ -368,31 +304,6 @@ object Extras3 {
       .orderBy(col("c_custkey"))
   }
 
-  /** A15 raw — approximate percentile next to the exact one (the spec
-    * bounds the error on this form). */
-  def a15ApproxPercentileRaw(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-          .as("p50_approx"),
-        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
-        count(lit(1)).as("n"))
-      .orderBy(col("l_returnflag"))
-
-  /** A15 contract — derived-claim form: DuckDB's sketch is a different
-    * algorithm, so the compared columns are the exact median (which
-    * DuckDB reproduces with quantile_cont) and the claim that the
-    * approximation lands within 0.1% of it (measured ≤ 0.08% across
-    * SFs; accuracy=10000 bounds the rank error at n/10000). */
-  def a15ApproxPercentile(spark: SparkSession, sfDir: String): DataFrame =
-    a15ApproxPercentileRaw(spark, sfDir)
-      .select(col("l_returnflag"), round(col("p50_exact"), 6).as("p50_exact"),
-        col("n"),
-        (abs(col("p50_approx") - col("p50_exact")) / col("p50_exact") <= 0.001)
-          .as("within_bound"))
-      .orderBy(col("l_returnflag"))
-
   /** J12 — optimizer-banded range join: clicks × errors within the
     * following minute, written as the NAIVE pure range join (no equi
     * key). Without [[graft.plans.BandedRangeJoinRule]] Catalyst can only
@@ -429,20 +340,6 @@ object Extras3 {
         col("p_type").endsWith("STEEL").as("ends_steel"),
         translate(col("p_brand"), "#123456789", "N---------").as("brand_shape"))
       .orderBy(col("p_partkey"))
-
-  /** A14 — boolean/conditional aggregates: count_if, bool_and, bool_or,
-    * plus FILTER-style conditional sums, per order status. */
-  def a14BoolAggs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.orders(spark, sfDir)
-      .groupBy(col("o_orderstatus"))
-      .agg(
-        count_if(col("o_totalprice") > 200000.0).as("n_big"),
-        bool_and(col("o_totalprice") > 0.0).as("all_positive"),
-        bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
-        Det.dsum(when(col("o_orderpriority") === "1-URGENT",
-          col("o_totalprice")).otherwise(0.0)).as("urgent_revenue"),
-        count(lit(1)).as("n"))
-      .orderBy(col("o_orderstatus"))
 
   /** F10 — bitwise function family over supplier keys. */
   def f10Bitwise(spark: SparkSession, sfDir: String): DataFrame =
@@ -534,22 +431,16 @@ object Extras3 {
     "f15_string2" -> (f15String2 _),
     "f13_json_roundtrip" -> (f13JsonRoundtrip _),
     "f14_null_funcs" -> (f14NullFuncs _),
-    "a15_approx_percentile" -> (a15ApproxPercentile _),
     "s9_sorted_write" -> (s9SortedWrite _),
     "f11_map_funcs" -> (f11MapFuncs _),
     "f12_array_funcs" -> (f12ArrayFuncs _),
     "s7b_catalog_table" -> (s7bCatalogTable _),
-    "a14_bool_aggs" -> (a14BoolAggs _),
     "f10_bitwise" -> (f10Bitwise _),
     "o8_offset" -> (o8Offset _),
-    "a11_string_agg" -> (a11StringAgg _),
-    "a12_unpivot" -> (a12Unpivot _),
-    "a5c_grouping_sets" -> (a5cGroupingSets _),
     "w8_distribution" -> (w8Distribution _),
     "l8_centroids" -> (l8Centroids _),
     "x15_latest_by_key" -> (x15LatestByKey _),
     "x25_scd2" -> (x25Scd2 _),
-    "a16_rolling_distinct" -> (a16RollingDistinct _),
     "f18_try_funcs" -> (f18TryFuncs _),
     "x30_apply_cdc" -> (x30ApplyCdc _),
     "f19_collation_ci" -> (f19CollationCi _),
@@ -557,13 +448,6 @@ object Extras3 {
 
   import Det.{sql => d}
   val oracles: Map[String, String] = Map(
-    // derived-claim oracles (sketch family): compared columns are the
-    // exact values DuckDB can reproduce plus spec-bound booleans the
-    // Spark side computes against its own exact baseline
-    "a15_approx_percentile" ->
-      ("SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 6) " +
-       "AS p50_exact, COUNT(*) AS n, TRUE AS within_bound " +
-       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "x14_lsh_ann" ->
       ("SELECT CAST(10 AS BIGINT) AS n_probes, CAST(5 AS BIGINT) AS k, " +
        "TRUE AS simratio_ok"),
@@ -644,15 +528,6 @@ object Extras3 {
       (s"SELECT l_returnflag, COUNT(*) AS n, ${d.dsum("l_quantity")} AS sum_qty " +
        "FROM lineitem WHERE l_quantity > 49.0 " +
        "GROUP BY l_returnflag ORDER BY l_returnflag"),
-    "a14_bool_aggs" ->
-      ("SELECT o_orderstatus, " +
-       "CAST(count_if(o_totalprice > 200000.0) AS BIGINT) AS n_big, " +
-       "bool_and(o_totalprice > 0.0) AS all_positive, " +
-       "bool_or(o_orderpriority = '1-URGENT') AS any_urgent, " +
-       "CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT' " +
-       "THEN o_totalprice ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) " +
-       "AS urgent_revenue, COUNT(*) AS n " +
-       "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "f10_bitwise" ->
       ("SELECT s_suppkey, s_suppkey & 255 AS low8, " +
        "s_suppkey | 4096 AS with_flag, xor(s_suppkey, 90) AS xored, " +
@@ -662,25 +537,6 @@ object Extras3 {
     "o8_offset" ->
       ("SELECT c_custkey, c_name, c_acctbal FROM customer " +
        "ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 50 OFFSET 100"),
-    "a11_string_agg" ->
-      ("SELECT s_nationkey, string_agg(s_name, '|' ORDER BY s_name) AS names, " +
-       "COUNT(*) AS n_suppliers, " +
-       "CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal " +
-       "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"),
-    "a12_unpivot" ->
-      ("SELECT p_partkey, metric, val FROM (" +
-       "SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part " +
-       "UNION ALL " +
-       "SELECT p_partkey, 'retail' AS metric, p_retailprice AS val FROM part) t " +
-       "ORDER BY p_partkey, metric"),
-    "a5c_grouping_sets" ->
-      ("SELECT COALESCE(CAST(y AS BIGINT), -1) AS year_c, " +
-       "COALESCE(o_orderstatus, 'ALL') AS status_c, COUNT(*) AS n_orders, " +
-       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
-       "FROM (SELECT year(o_orderdate) AS y, o_orderstatus, o_totalprice " +
-       "FROM orders) t " +
-       "GROUP BY GROUPING SETS ((y), (o_orderstatus), ()) " +
-       "ORDER BY year_c, status_c"),
     "w8_distribution" ->
       ("SELECT c_custkey, c_mktsegment, c_acctbal, " +
        "round(percent_rank() OVER w, 6) AS pr, " +
@@ -736,13 +592,6 @@ object Extras3 {
        "FROM (SELECT lower(s_name) AS m, s_acctbal FROM supplier " +
        "UNION ALL SELECT upper(s_name), s_acctbal FROM supplier) t " +
        "GROUP BY lower(m) ORDER BY name_ci"),
-    "a16_rolling_distinct" ->
-      ("WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day " +
-       "FROM events), " +
-       "c AS (SELECT DISTINCT user_id, day + g AS wday FROM d, range(0, 7) r(g)), " +
-       "m AS (SELECT MAX(day) AS maxd FROM d) " +
-       "SELECT wday, COUNT(*) AS n_active_users FROM c, m WHERE wday <= maxd " +
-       "GROUP BY wday ORDER BY wday"),
     "x25_scd2" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id, event_type " +
        "FROM events), " +

@@ -527,26 +527,10 @@ object Extras4 {
       .orderBy(col("user_id"), col("event_id"))
   }
 
-  /** A17 — exact interpolated percentiles (median / quartile): Spark's
-    * `median`/`percentile` vs DuckDB's `median`/`quantile_cont`, both
-    * over DOUBLE (DuckDB interpolates DECIMAL inputs in the decimal's
-    * scale — 1.7 instead of 1.75 — so the cast is load-bearing).
-    * l_quantity is integer-valued, so the half/quarter interpolations
-    * are exact in IEEE double on both engines. */
-  def a17Median(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"),
-        median(col("l_quantity")).as("med_qty"),
-        percentile(col("l_quantity"), lit(0.25)).as("p25_qty"),
-        percentile(col("l_quantity"), lit(0.75)).as("p75_qty"))
-      .orderBy(col("l_returnflag"))
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j13_nullsafe_join" -> (j13NullSafeJoin _),
     "o9_union_missing" -> (o9UnionMissingCols _),
     "w12_ignore_nulls" -> (w12IgnoreNulls _),
-    "a17_median" -> (a17Median _),
     "s16_xml" -> (s16Xml _),
     "s17_avro" -> (s17Avro _),
     "s18_compaction" -> (s18Compaction _),
@@ -592,14 +576,6 @@ object Extras4 {
        "lag(v IGNORE NULLS) OVER (PARTITION BY user_id " +
        "ORDER BY ts_us, event_id) AS prev_reading " +
        "FROM e ORDER BY user_id, event_id"),
-    // the DOUBLE casts are load-bearing: DuckDB interpolates DECIMAL
-    // inputs in the decimal's scale (1.7, not 1.75)
-    "a17_median" ->
-      ("SELECT l_returnflag, COUNT(*) AS n, " +
-       "median(CAST(l_quantity AS DOUBLE)) AS med_qty, " +
-       "quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS p25_qty, " +
-       "quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS p75_qty " +
-       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     // XML round-trip must equal the aggregate straight off parquet
     "s16_xml" ->
       ("SELECT s_nationkey, COUNT(*) AS n, " +

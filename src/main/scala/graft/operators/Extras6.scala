@@ -66,108 +66,9 @@ object Extras6 {
         dupClassCorpus(spark, sfDir), "vec_id", "embedding", 0.8)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** The sql16 join, one spelling for operator and spec: orders ⋈ the
-    * customers of ONE nation, aggregated per market segment. The
-    * interesting part is the PLANNING surface it exercises (below), not
-    * the shape. */
-  private[graft] val CboJoinSql =
-    "SELECT c.c_mktsegment AS c_mktsegment, COUNT(*) AS n_orders, " +
-    "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) " +
-    "AS sum_price " +
-    "FROM graft_cbo_orders o JOIN graft_cbo_customer c " +
-    "ON o.o_custkey = c.c_custkey " +
-    "WHERE c.c_nationkey = 1 " +
-    "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"
-
-  /** Registers the sql16 catalog tables once per (session, sfDir) and
-    * ANALYZEs them: table + ALL COLUMNS statistics land in the catalog
-    * (rowCount, sizeInBytes, per-column ndv/min/max/avgLen) — the
-    * surface every prior row left unexercised because parquet reads
-    * carry only file-size estimates. */
-  private[operators] def cboSetup(spark: SparkSession, sfDir: String): Unit = {
-    val s = Tables.tune(spark)
-    graft.Memo(spark, s"cbo_setup:$sfDir") {
-      val dir = Tables.scratchDir("cbo_tables", sfDir)
-      s.sql("DROP TABLE IF EXISTS graft_cbo_customer")
-      s.sql("DROP TABLE IF EXISTS graft_cbo_orders")
-      Tables.customer(s, sfDir).write.mode("overwrite")
-        .option("path", s"$dir/customer").saveAsTable("graft_cbo_customer")
-      Tables.orders(s, sfDir).write.mode("overwrite")
-        .option("path", s"$dir/orders").saveAsTable("graft_cbo_orders")
-      s.sql("ANALYZE TABLE graft_cbo_customer COMPUTE STATISTICS FOR ALL COLUMNS")
-      s.sql("ANALYZE TABLE graft_cbo_orders COMPUTE STATISTICS FOR ALL COLUMNS")
-      s.range(1).toDF("ok").localCheckpoint(true)
-    }
-    ()
-  }
-
-  /** SQL16 — cost-based-optimizer statistics exercised as a contract
-    * row: the query runs against ANALYZEd catalog tables, so join
-    * planning is informed by catalog statistics instead of raw file
-    * sizes. With CBO enabled and AQE off, the c_nationkey filter's
-    * selectivity is estimated from column stats (ndv), shrinking the
-    * dimension's size estimate below the broadcast threshold — a
-    * stats-informed broadcast that the file-size estimate alone would
-    * refuse; the spec layer pins exactly that plan difference at a
-    * threshold between the two estimates. At 100 TB this is the
-    * difference between a catalog-planned broadcast and a shuffle of
-    * the fact table when AQE's runtime stats are not yet available
-    * (first stage, no reusable exchange). Values are plan-independent;
-    * the oracle recomputes from the source parquet. */
-  def sql16CboStats(spark: SparkSession, sfDir: String): DataFrame = {
-    cboSetup(spark, sfDir)
-    Tables.tune(spark).sql(CboJoinSql)
-  }
-
-  /** A18 — MERGEABLE-sketch rollup (Datasketches HLL via Spark 4's
-    * `hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`): the
-    * customer table is hash-split into 8 pseudo-shards, ONE partial
-    * sketch is built per (segment, shard), and the global per-segment
-    * distinct estimate comes from MERGING the partials — the 100 TB
-    * rollup pattern where a daily job persists one sketch row per
-    * partition and arbitrary later rollups union sketches instead of
-    * re-scanning raw data (register-wise max, associative, one row per
-    * partition flowing into the merge instead of the raw keys).
-    *
-    * Derived-claim row (sketch bytes aren't portably SQL-comparable;
-    * the estimator switches between exact-sparse, HIP and composite
-    * forms, so cross-path EQUALITY is not guaranteed by the algorithm):
-    * per segment, the oracle-checkable claims are the exact distinct
-    * count plus three bounds — merged estimate within 3% of exact,
-    * direct single-pass estimate within 3% of exact, and the two paths
-    * within 2% of each other. At the test SFs the per-shard
-    * cardinalities sit in the sketch's exact-sparse range, so the
-    * bounds hold with wide margin; at crawl scale they are the
-    * published HLL error envelope (lgK=12 → ~1.6% RSE). */
-  def a18HllMerge(spark: SparkSession, sfDir: String): DataFrame = {
-    val c = Tables.customer(spark, sfDir)
-      .select(col("c_mktsegment"), col("c_custkey"))
-    val partials = c
-      .withColumn("shard", pmod(hash(col("c_custkey")), lit(8)))
-      .groupBy(col("c_mktsegment"), col("shard"))
-      .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
-    val merged = partials.groupBy(col("c_mktsegment"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
-    val direct = c.groupBy(col("c_mktsegment"))
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("c_custkey")))
-          .as("est_direct"),
-        countDistinct(col("c_custkey")).as("n_exact"))
-    merged.join(direct, "c_mktsegment")
-      .select(col("c_mktsegment"), col("n_exact"),
-        (abs(col("est_merged") - col("n_exact")) / col("n_exact") <= 0.03)
-          .as("merged_ok"),
-        (abs(col("est_direct") - col("n_exact")) / col("n_exact") <= 0.03)
-          .as("direct_ok"),
-        (abs(col("est_merged") - col("est_direct")) / col("n_exact") <= 0.02)
-          .as("paths_agree"))
-      .orderBy(col("c_mktsegment"))
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x46_embed_incremental" -> (x46EmbedIncremental _),
-    "x47_embed_dup_class" -> (x47DupClassPairs _),
-    "a18_hll_merge" -> (a18HllMerge _),
-    "sql16_cbo_stats" -> (sql16CboStats _))
+    "x47_embed_dup_class" -> (x47DupClassPairs _))
 
   private val DupBaseSql =
     "SELECT vec_id, embedding FROM embeddings " +
@@ -178,12 +79,6 @@ object Extras6 {
     "CAST(b.embedding[i] AS DOUBLE)), 6)"
 
   val oracles: Map[String, String] = Map(
-    // exact distinct counts; the sketch-path claims are stated as the
-    // constants they must evaluate to (derived-claim form, like x8/x14)
-    "a18_hll_merge" ->
-      ("SELECT c_mktsegment, COUNT(DISTINCT c_custkey) AS n_exact, " +
-       "TRUE AS merged_ok, TRUE AS direct_ok, TRUE AS paths_agree " +
-       "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     // exhaustive CROSS-side pairs over the shared clone corpus: every
     // (original, clone) pair at or above the bar, nothing else — the
     // incremental probe must find exactly these
@@ -208,13 +103,5 @@ object Extras6 {
        "WHERE a.vec_id < b.vec_id " +
        "GROUP BY a.vec_id, b.vec_id " +
        s"HAVING $DupSimSql >= 0.8 " +
-       "ORDER BY id_a, id_b"),
-    // the same join/aggregate straight off the source tables — the
-    // catalog-table indirection must not change a value
-    "sql16_cbo_stats" ->
-      ("SELECT c.c_mktsegment AS c_mktsegment, COUNT(*) AS n_orders, " +
-       s"${graft.Det.sql.dsum("o.o_totalprice")} AS sum_price " +
-       "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
-       "WHERE c.c_nationkey = 1 " +
-       "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"))
+       "ORDER BY id_a, id_b"))
 }

@@ -75,66 +75,6 @@ object Extras7 {
     TextPipeline.lmScore(Tables.documents(spark, sfDir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
-  /** SQL30 — SQL-defined scalar UDFs (Spark 4 `CREATE FUNCTION ...
-    * RETURN <expr>`): the discounted-price and charge formulas declared
-    * ONCE as catalog functions and reused by name. Unlike a JVM UDF
-    * (f8's opaque-function tier), a SQL UDF is INLINED by the analyzer —
-    * the plan contains only the underlying arithmetic expression, so it
-    * stays inside whole-stage codegen, pushes/prunes like any
-    * expression, and costs nothing at 100 TB. The spec pins the
-    * inlining (no ScalaUDF node in the optimized plan); the oracle runs
-    * the expanded expression directly. */
-  def sql30SqlUdf(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.lineitem(spark, sfDir).createOrReplaceTempView("v_lineitem")
-    spark.sql(
-      """CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
-        |RETURNS DOUBLE RETURN p * (1 - d)""".stripMargin)
-    spark.sql(
-      """CREATE OR REPLACE TEMPORARY FUNCTION charge(
-        |  p DOUBLE, d DOUBLE, t DOUBLE)
-        |RETURNS DOUBLE RETURN disc_price(p, d) * (1 + t)""".stripMargin)
-    spark.sql(
-      """SELECT l_returnflag,
-        |  CAST(SUM(CAST(disc_price(l_extendedprice, l_discount)
-        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
-        |  CAST(SUM(CAST(charge(l_extendedprice, l_discount, l_tax)
-        |    AS DECIMAL(18,6))) AS DOUBLE) AS total_charge,
-        |  COUNT(*) AS n_items
-        |FROM v_lineitem
-        |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin)
-  }
-
-  /** SQL31 — SQL-defined TABLE function (Spark 4 `CREATE FUNCTION ...
-    * RETURNS TABLE ... RETURN SELECT`), invoked LATERALLY with a
-    * correlated argument: "the well-funded suppliers of nation X" as a
-    * named, reusable catalog object rather than an inline subquery; the
-    * outer query counts and maxes them per nation. The analyzer inlines
-    * the body and decorrelates the lateral into a plain join + filter —
-    * the abstraction costs nothing at scale.
-    *
-    * DISCOVERED LIMIT-HOISTING HAZARD (locked out of the contract): in
-    * Spark 4.1 an ORDER BY ... LIMIT k INSIDE a correlated SQL table
-    * function is applied to the base table BEFORE the correlated filter
-    * (3 global rows instead of 3 per key), silently wrong vs the
-    * hand-written LATERAL (sql7), which plans per-key correctly. So the
-    * body stays filter-only; per-key top-k belongs to sql7/w6/w10. */
-  def sql31SqlTableFn(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.supplier(spark, sfDir).createOrReplaceTempView("v_supplier")
-    Tables.nation(spark, sfDir).createOrReplaceTempView("v_nation")
-    spark.sql(
-      """CREATE OR REPLACE TEMPORARY FUNCTION nation_rich_suppliers(nk INT)
-        |RETURNS TABLE(s_suppkey BIGINT, s_acctbal DOUBLE)
-        |RETURN SELECT s_suppkey, s_acctbal FROM v_supplier
-        |  WHERE s_nationkey = nk AND s_acctbal > 1000.0""".stripMargin)
-    spark.sql(
-      """SELECT n_nationkey, COUNT(*) AS n_rich,
-        |  MAX(t.s_acctbal) AS top_bal
-        |FROM v_nation n, LATERAL nation_rich_suppliers(n.n_nationkey) t
-        |GROUP BY n_nationkey
-        |ORDER BY n_nationkey""".stripMargin)
-  }
-
   /** X53 — data-quality gate (the Deequ/expectations pattern): constraint
     * checks and column profiles computed as ONE aggregate pass over the
     * fact table — every metric is an independent aggregate expression in
@@ -330,74 +270,15 @@ object Extras7 {
       .toDF("n_rows", "n_discounted", "revenue_m", "n_groups")
   }
 
-  /** SQL32 — GROUP BY ALL / ORDER BY ALL (Spark 4): the analyzer infers
-    * the grouping set from the non-aggregate select items and the total
-    * output order — the modern analytics shorthand (DuckDB-originated,
-    * now cross-engine), so the oracle runs the IDENTICAL text. Plans
-    * exactly as the explicit form: one partial+final hash aggregate. */
-  def sql32GroupByAll(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.orders(spark, sfDir).createOrReplaceTempView("v_orders")
-    spark.sql(
-      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-        |    AS total
-        |FROM v_orders
-        |GROUP BY ALL
-        |ORDER BY ALL""".stripMargin)
-  }
-
-  /** SQL33 — the SQL PIVOT and UNPIVOT clauses (parser surfaces distinct
-    * from a10/a12's DataFrame `pivot`/`unpivot`), composed as a
-    * round-trip: order counts pivoted into one column per status, then
-    * unpivoted straight back to long form. UNPIVOT drops the NULL cells
-    * a missing (priority, status) combination produces, so the
-    * round-trip output is exactly the grouped counts the oracle
-    * recomputes — both clauses must be right for the hash to match. */
-  def sql33PivotClause(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.orders(spark, sfDir).createOrReplaceTempView("v_orders")
-    spark.sql(
-      """SELECT o_orderpriority, metric, v FROM (
-        |  SELECT * FROM (
-        |    SELECT o_orderpriority, o_orderstatus FROM v_orders)
-        |  PIVOT (COUNT(*) FOR o_orderstatus
-        |         IN ('O' AS st_o, 'F' AS st_f, 'P' AS st_p))
-        |) UNPIVOT (v FOR metric IN (st_o, st_f, st_p))
-        |ORDER BY o_orderpriority, metric""".stripMargin)
-  }
-
-  /** A19 — approx_top_k (Spark 4's frequent-items sketch, the built-in
-    * sibling of x27's hand-rolled Misra-Gries): top-3 order priorities
-    * by count. With 5 distinct values under the default 10k tracked
-    * items the sketch is EXACT, so the derived claim is full value
-    * equality against the exact counts. TIE-PROOF form (ADVICE r6): the
-    * sketch is asked for k=5 — ALL distinct values, so its unspecified
-    * pick among boundary-tied items can never drop a value — and the
-    * deterministic (est DESC, item) LIMIT 3 is applied HERE, matching
-    * the oracle's order exactly even when counts tie at the top-3
-    * boundary at some SF. */
-  def a19ApproxTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.orders(spark, sfDir).createOrReplaceTempView("v_orders")
-    spark.sql(
-      """SELECT kv.item AS item, CAST(kv.count AS BIGINT) AS est
-        |FROM (SELECT explode(approx_top_k(o_orderpriority, 5)) AS kv
-        |      FROM v_orders)
-        |ORDER BY est DESC, item LIMIT 3""".stripMargin)
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x48_jaccard_join" -> (x48JaccardJoin _),
     "x49_lm_score" -> (x49LmScore _),
-    "sql30_sql_udf" -> (sql30SqlUdf _),
-    "sql31_sql_table_fn" -> (sql31SqlTableFn _),
     "x53_data_quality" -> (x53DataQuality _),
     "x54_incremental_agg" -> (x54IncrementalAgg _),
     "x55_jaccard_incremental" -> (x55JaccardIncremental _),
     "x56_jaccard_incr_guard" -> (x56JaccardIncrGuard _),
     "x48b_jaccard_guard" -> (x48bJaccardGuard _),
-    "f22_observe" -> (f22Observe _),
-    "sql32_group_by_all" -> (sql32GroupByAll _),
-    "sql33_pivot_clause" -> (sql33PivotClause _),
-    "a19_approx_topk" -> (a19ApproxTopK _))
+    "f22_observe" -> (f22Observe _))
 
   val oracles: Map[String, String] = Map(
     // the exhaustive exact answer — same frame the l2 oracle builds, at
@@ -422,23 +303,6 @@ object Extras7 {
        "FROM bg b JOIN c2 ON b.ngram = c2.ngram " +
        "JOIN c1 ON split_part(b.ngram, ' ', 1) = c1.w " +
        "CROSS JOIN v GROUP BY b.doc_id ORDER BY doc_id"),
-    // the UDF bodies expanded by hand — what Spark's analyzer inlines
-    "sql30_sql_udf" ->
-      ("SELECT l_returnflag, " +
-       "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) " +
-       "AS DECIMAL(18,6))) AS DOUBLE) AS revenue, " +
-       "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) " +
-       "AS DECIMAL(18,6))) AS DOUBLE) AS total_charge, " +
-       "COUNT(*) AS n_items " +
-       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
-    // the function body expanded into the lateral — what the analyzer
-    // inlines
-    "sql31_sql_table_fn" ->
-      ("SELECT n.n_nationkey, COUNT(*) AS n_rich, " +
-       "MAX(t.s_acctbal) AS top_bal FROM nation n " +
-       "JOIN LATERAL (SELECT s_suppkey, s_acctbal FROM supplier s " +
-       "WHERE s.s_nationkey = n.n_nationkey AND s_acctbal > 1000.0) t " +
-       "ON true GROUP BY n.n_nationkey ORDER BY n_nationkey"),
     "x53_data_quality" ->
       ("WITH one AS (SELECT " +
        "CAST(COUNT(*) AS DOUBLE) AS n_rows, " +
@@ -506,20 +370,5 @@ object Extras7 {
        "round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) " +
        "/ 1e6, 6) AS revenue_m, " +
        "CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_groups " +
-       "FROM lineitem"),
-    // identical text — GROUP BY ALL is DuckDB-native syntax
-    "sql32_group_by_all" ->
-      ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, " +
-       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
-       "FROM orders GROUP BY ALL ORDER BY ALL"),
-    "sql33_pivot_clause" ->
-      ("SELECT o_orderpriority, 'st_' || lower(o_orderstatus) AS metric, " +
-       "COUNT(*) AS v FROM orders " +
-       "WHERE o_orderstatus IN ('O', 'F', 'P') " +
-       "GROUP BY 1, 2 ORDER BY o_orderpriority, metric"),
-    // exact because 5 distinct values fit far inside the sketch's
-    // tracked-item budget; ties broken by item for both engines
-    "a19_approx_topk" ->
-      ("SELECT o_orderpriority AS item, COUNT(*) AS est FROM orders " +
-       "GROUP BY 1 ORDER BY est DESC, item LIMIT 3"))
+       "FROM lineitem"))
 }

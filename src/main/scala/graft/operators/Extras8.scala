@@ -217,28 +217,6 @@ object Extras8 {
       .orderBy(col("chars").desc, col("source"))
   }
 
-  /** A20 — Count-Min sketch frequency estimation (Cormode/Muthukrishnan
-    * 2005; Spark's public `DataFrameStatFunctions.countMinSketch`), the
-    * point-query sibling of a18's HLL and a19's top-k sketch: one pass
-    * builds the sketch, per-item counts are answered from the sketch
-    * alone. With eps 1e-4 (≈ 20k-column rows) and 5 distinct keys the
-    * fixed-seed sketch is collision-free, so the contract claim is full
-    * EQUALITY with the exact counts the oracle recomputes; at crawl
-    * scale the published ≤ εN overestimate bound takes over. Only the
-    * sketch (bounded: depth × width counters) and the 5-value domain
-    * ever reach the driver. */
-  def a20CountMin(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir)
-    val sketch = o.stat.countMinSketch(col("o_orderpriority"),
-      eps = 0.0001, confidence = 0.99, seed = 42)
-    val items = o.select(col("o_orderpriority")).distinct()
-      .collect().map(_.getString(0)).sorted
-    import spark.implicits._
-    items.map(i => (i, sketch.estimateCount(i)))
-      .toSeq.toDF("item", "est")
-      .orderBy(col("item"))
-  }
-
   /** S23 — malformed-record handling on the CSV source (the crawl-feed
     * robustness surface): a staged CSV directory of well-formed nation
     * rows PLUS two planted malformed lines read under all three parser
@@ -353,7 +331,6 @@ object Extras8 {
     "x60_leakage_split" -> (x60LeakageSplit _),
     "x61_ngram_novelty" -> (x61NgramNovelty _),
     "x62_mixture_report" -> (x62MixtureReport _),
-    "a20_count_min" -> (a20CountMin _),
     "s23_csv_malformed" -> (s23CsvMalformed _))
 
   val oracles: Map[String, String] = Map(
@@ -434,12 +411,6 @@ object Extras8 {
        "CAST(CAST(SUM(chars) OVER (ORDER BY chars DESC, source) AS BIGINT) " +
        "AS DOUBLE) / total AS cum_share " +
        "FROM top CROSS JOIN t ORDER BY chars DESC, source"),
-    // collision-free at this domain size under the fixed seed, so the
-    // sketch answers ARE the exact counts (see scaladoc for the bound
-    // that takes over at scale)
-    "a20_count_min" ->
-      ("SELECT o_orderpriority AS item, COUNT(*) AS est FROM orders " +
-       "GROUP BY 1 ORDER BY item"),
     // derived claim: the containment stop set is empty at the tested
     // corpora, so the exhaustive-recall contract below is in force
     "x63b_containment_guard" ->

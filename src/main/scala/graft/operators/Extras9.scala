@@ -156,82 +156,6 @@ object Extras9 {
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(100)
 
-  /** A21 — deterministic MODE per group (most frequent o_orderpriority
-    * per market segment): counts → row_number under the total order
-    * (count desc, value asc) → rank 1, plus the tie count that makes
-    * the determinism policy visible as data (n_tied > 1 means the
-    * reported mode was a tie broken by value order — the thing
-    * engine-native `mode()` leaves unspecified). Two grouped
-    * aggregates + a per-segment window; fully distributed. */
-  def a21Mode(spark: SparkSession, sfDir: String): DataFrame = {
-    val counts = Tables.customer(spark, sfDir)
-      .join(Tables.orders(spark, sfDir),
-        col("c_custkey") === col("o_custkey"))
-      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("c_mktsegment"))
-    counts
-      .withColumn("rn", row_number().over(
-        w.orderBy(col("n").desc, col("o_orderpriority"))))
-      .withColumn("mx", max(col("n")).over(w))
-      .withColumn("n_tied",
-        sum(when(col("n") === col("mx"), 1L).otherwise(0L)).over(w))
-      .filter(col("rn") === 1)
-      .select(col("c_mktsegment"), col("o_orderpriority").as("mode_priority"),
-        col("n").as("n_orders"), col("n_tied"))
-      .orderBy(col("c_mktsegment"))
-  }
-
-  /** A22 — robust outlier detection (median/MAD, Leys et al. 2013):
-    * per event type, values more than 3 scaled-MADs from the median
-    * (MAD × 1.4826 ≈ σ under normality — the estimator that, unlike
-    * mean/stddev z-scores, a few extreme points cannot drag). Exact
-    * interpolated medians at two levels (value, then |value − med|) —
-    * a17 proved Spark's `median` ≡ DuckDB's on doubles, and every
-    * derived quantity (abs deviation, 3·1.4826·mad threshold, strict
-    * compare) is the identical IEEE arithmetic on both engines. Cost:
-    * two sort-based exact-median aggregates over ~5 groups + one
-    * counting pass; the approximate path at 100 TB swaps in
-    * approx_percentile (a15) with the same plan shape. */
-  def a22MadOutliers(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.eventsUs(spark, sfDir)
-      .select(col("event_type"), col("value"))
-    val med = ev.groupBy(col("event_type"))
-      .agg(median(col("value")).as("med"))
-    val dev = ev.join(med, "event_type")
-      .withColumn("dev", abs(col("value") - col("med")))
-    val mad = dev.groupBy(col("event_type"))
-      .agg(median(col("dev")).as("mad"), max(col("med")).as("med"))
-    dev.drop("med").join(mad, "event_type")
-      .groupBy(col("event_type"), col("med"), col("mad"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("dev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
-          .otherwise(0L)).as("n_outliers"))
-      .select(col("event_type"), col("n"), col("med"), col("mad"),
-        col("n_outliers"))
-      .orderBy(col("event_type"))
-  }
-
-  /** SQL35 — aggregate FILTER clause (SQL:2003 T612, supported by both
-    * engines since Spark 3.0 / DuckDB 0.x): per-aggregate predicates
-    * without CASE-WHEN contortions, ONE SHARED SQL TEXT executed
-    * verbatim by Spark and DuckDB. Catalyst compiles each FILTER into
-    * the aggregate's own conditional update — still one scan, one
-    * shuffle, map-side partials intact. */
-  val sql35Text: String =
-    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-      |  CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
-      |    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_rev,
-      |  CAST(MIN(l_shipdate) FILTER (WHERE l_quantity > 45) AS DATE)
-      |    AS first_heavy_ship
-      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
-
-  def sql35FilterClause(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
-    spark.sql(sql35Text)
-  }
-
   /** S24 — file-provenance lineage at scan time: a multi-feed landing
     * zone (three staged sub-directories, one per upstream feed) read in
     * ONE scan with `recursiveFileLookup`, each row tagged with its
@@ -264,10 +188,7 @@ object Extras9 {
     "x64_fuzzy_join" -> (x64FuzzyJoin _),
     "x66_repeated_spans" -> (x66RepeatedSpans _),
     "x67_diversified_topk" -> (x67DiversifiedTopK _),
-    "x71_copurchase" -> (x71CoPurchase _),
-    "a21_mode" -> (a21Mode _),
-    "a22_mad_outliers" -> (a22MadOutliers _),
-    "sql35_filter_clause" -> (sql35FilterClause _))
+    "x71_copurchase" -> (x71CoPurchase _))
 
   val oracles: Map[String, String] = Map(
     // the staging rule restated over base nation: feed g holds the
@@ -321,32 +242,5 @@ object Extras9 {
        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
        "GROUP BY 1, 2) " +
        "SELECT part_a, part_b, n_orders FROM p WHERE n_orders >= 2 " +
-       "ORDER BY n_orders DESC, part_a, part_b LIMIT 100"),
-    "a21_mode" ->
-      ("WITH counts AS (SELECT c_mktsegment, o_orderpriority, " +
-       "CAST(COUNT(*) AS BIGINT) AS n FROM customer " +
-       "JOIN orders ON c_custkey = o_custkey GROUP BY 1, 2), " +
-       "mx AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment " +
-       "ORDER BY n DESC, o_orderpriority) AS rn, " +
-       "MAX(n) OVER (PARTITION BY c_mktsegment) AS mxn FROM counts), " +
-       "ranked AS (SELECT *, " +
-       "CAST(SUM(CASE WHEN n = mxn THEN 1 ELSE 0 END) " +
-       "OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n_tied FROM mx) " +
-       "SELECT c_mktsegment, o_orderpriority AS mode_priority, " +
-       "n AS n_orders, n_tied FROM ranked WHERE rn = 1 " +
-       "ORDER BY c_mktsegment"),
-    "a22_mad_outliers" ->
-      ("WITH ev AS (SELECT event_type, value FROM events), " +
-       "med AS (SELECT event_type, median(value) AS med FROM ev GROUP BY 1), " +
-       "dev AS (SELECT e.event_type, abs(e.value - m.med) AS dev, m.med " +
-       "FROM ev e JOIN med m USING (event_type)), " +
-       "mad AS (SELECT event_type, median(dev) AS mad, MAX(med) AS med " +
-       "FROM dev GROUP BY 1) " +
-       "SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n, m.med, m.mad, " +
-       "CAST(SUM(CASE WHEN d.dev > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END) " +
-       "AS BIGINT) AS n_outliers " +
-       "FROM dev d JOIN mad m ON d.event_type = m.event_type " +
-       "GROUP BY d.event_type, m.med, m.mad ORDER BY d.event_type"),
-    // the SAME text Spark executes (sql35Text), verbatim
-    "sql35_filter_clause" -> sql35Text.replace("\n", " "))
+       "ORDER BY n_orders DESC, part_a, part_b LIMIT 100"))
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{EvalOps, EventOps, Extras10, StatsOps}
+import graft.operators.{EvalOps, EventOps, Extras10, SqlSurface, StatsOps}
 
 class Extras10Spec extends SparkSpec {
 
@@ -64,7 +64,7 @@ class Extras10Spec extends SparkSpec {
 
   test("a23: closed-form OLS agrees with an independent driver-side " +
       "recompute to 1e-9 relative") {
-    val got = Extras10.a23Regression(spark, sf).collect()
+    val got = graft.operators.Aggs.a23Regression(spark, sf).collect()
     assert(got.length == 5)
     val rows = Tables.eventsUs(spark, sf)
       .select(col("event_type"), expr("ts div 86400000000").as("x"),
@@ -190,7 +190,7 @@ class Extras10Spec extends SparkSpec {
 
   test("sql36: the resumed pages' keyset predicates reach the parquet " +
       "reader") {
-    val df = Extras10.sql36KeysetPagination(spark, sf)
+    val df = SqlSurface.sql36KeysetPagination(spark, sf)
     val rows = df.collect()
     assert(rows.length == 15)
     assert(rows.map(_.getLong(1)).distinct.length == 15,
@@ -244,7 +244,7 @@ class Extras10Spec extends SparkSpec {
 
   test("a24: distinct-under-rollup plans through Expand and the grand " +
       "total matches the corpus") {
-    val df = Extras10.a24RollupDistinct(spark, sf)
+    val df = graft.operators.Aggs.a24RollupDistinct(spark, sf)
     val rows = df.collect()
     val grand = rows.filter(r => r.getInt(4) == 1 && r.getInt(5) == 1)
     assert(grand.length == 1)
@@ -318,7 +318,7 @@ class Extras10Spec extends SparkSpec {
 
   test("sql37: NOT IN with NULLs is vacuously empty, NOT EXISTS is " +
       "not, and the plan is a null-aware anti join") {
-    val df = Extras10.sql37NullAwareAnti(spark, sf)
+    val df = SqlSurface.sql37NullAwareAnti(spark, sf)
     val r = df.collect()(0)
     assert(r.getLong(0) == 0L, "NOT IN over a NULL-bearing list must be empty")
     assert(r.getLong(1) > 0L)
@@ -380,7 +380,7 @@ class Extras10Spec extends SparkSpec {
   }
 
   test("sql38: each hint really selects its physical join strategy") {
-    val df = Extras10.sql38JoinHints(spark, sf)
+    val df = SqlSurface.sql38JoinHints(spark, sf)
     df.collect()
     val plan = flattenPlan(df.queryExecution.executedPlan)
     assert(plan.exists(

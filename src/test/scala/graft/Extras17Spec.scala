@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{EventOps, Extras17}
+import graft.operators.{EventOps, SqlSurface}
 
 class Extras17Spec extends SparkSpec {
 
@@ -52,7 +52,7 @@ class Extras17Spec extends SparkSpec {
   }
 
   test("sql47 unpivot clause reconciles against the wide aggregate") {
-    val rows = Extras17.sql47UnpivotClause(spark, sf).collect()
+    val rows = SqlSurface.sql47UnpivotClause(spark, sf).collect()
     val nPri = Tables.orders(spark, sf)
       .select(col("o_orderpriority")).distinct().count()
     assert(rows.length == 3 * nPri)
@@ -69,7 +69,7 @@ class Extras17Spec extends SparkSpec {
 
   test("sql48 inline values covers every region and reconciles customer " +
       "counts") {
-    val rows = Extras17.sql48InlineValues(spark, sf).collect()
+    val rows = SqlSurface.sql48InlineValues(spark, sf).collect()
     assert(rows.map(_.getString(0)).sorted.toSeq ==
       Seq("amer", "apac", "emea"))
     assert(rows.map(_.getLong(1)).sum ==

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{EventOps, Extras18}
+import graft.operators.{EventOps, SqlSurface}
 
 class Extras18Spec extends SparkSpec {
 
@@ -43,7 +43,7 @@ class Extras18Spec extends SparkSpec {
   }
 
   test("sql49 distribute/sort by is value-neutral vs the plain aggregate") {
-    val got = Extras18.sql49DistributeSort(spark, sf).collect()
+    val got = SqlSurface.sql49DistributeSort(spark, sf).collect()
       .map(row => (row.getAs[Number](0).longValue, row.getLong(1),
         row.getDouble(2)))
     val plain = Tables.customer(spark, sf)

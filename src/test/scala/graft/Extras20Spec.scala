@@ -1,13 +1,13 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Clustering, CurationOps, Extras20}
+import graft.operators.{Clustering, CurationOps, SqlSurface}
 
 class Extras20Spec extends SparkSpec {
 
   test("sql50: TABLESAMPLE claims all hold, and the PERCENT grain " +
       "genuinely samples (neither empty nor the whole table)") {
-    val r = Extras20.sql50Tablesample(spark, sf).head()
+    val r = SqlSurface.sql50Tablesample(spark, sf).head()
     val baseN = Tables.lineitem(spark, sf).count()
     assert(r.getAs[Long]("base_n") == baseN)
     assert(r.getAs[Boolean]("rows_exact"))

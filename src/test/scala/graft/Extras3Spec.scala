@@ -35,7 +35,7 @@ class Extras3Spec extends SparkSpec {
   }
 
   test("a11 string_agg: names sorted within group, counts reconcile") {
-    val rows = Extras3.a11StringAgg(spark, sf).collect()
+    val rows = graft.operators.Aggs.a11StringAgg(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_suppliers")).sum
     assert(total == Tables.supplier(spark, sf).count())
     rows.foreach { r =>
@@ -46,7 +46,7 @@ class Extras3Spec extends SparkSpec {
   }
 
   test("a12 unpivot: long form has 2 rows per part, metrics complete") {
-    val df = Extras3.a12Unpivot(spark, sf)
+    val df = graft.operators.Aggs.a12Unpivot(spark, sf)
     val nParts = Tables.part(spark, sf).count()
     assert(df.count() == 2 * nParts)
     assert(df.select("metric").distinct().collect().map(_.getString(0)).sorted
@@ -114,7 +114,7 @@ class Extras3Spec extends SparkSpec {
   }
 
   test("a15 approx percentile within 1% of exact") {
-    Extras3.a15ApproxPercentileRaw(spark, sf).collect().foreach { r =>
+    graft.operators.Aggs.a15ApproxPercentileRaw(spark, sf).collect().foreach { r =>
       val ap = r.getAs[Double]("p50_approx")
       val ex = r.getAs[Double]("p50_exact")
       assert(math.abs(ap - ex) / ex < 0.01, s"approx $ap vs exact $ex")
@@ -137,7 +137,7 @@ class Extras3Spec extends SparkSpec {
   }
 
   test("a16 rolling distinct equals brute-force per-day window count") {
-    val got = Extras3.a16RollingDistinct(spark, sf).collect()
+    val got = graft.operators.Aggs.a16RollingDistinct(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val pairs = Tables.eventsUs(spark, sf)
       .select(col("user_id"), expr("ts div 86400000000").as("day"))

@@ -326,7 +326,7 @@ class Extras4Spec extends SparkSpec {
   }
 
   test("a17 median/percentiles equal a sorted-array recompute") {
-    val rows = Extras4.a17Median(spark, sf).collect()
+    val rows = graft.operators.Aggs.a17Median(spark, sf).collect()
     val byFlag = Tables.lineitem(spark, sf)
       .select(col("l_returnflag"), col("l_quantity")).collect()
       .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted)

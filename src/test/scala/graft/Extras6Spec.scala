@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.api.VectorPipeline
-import graft.operators.{Extras5, Extras6}
+import graft.operators.{Extras5, Extras6, SqlSurface}
 
 class Extras6Spec extends SparkSpec {
   import spark.implicits._
@@ -196,7 +196,7 @@ class Extras6Spec extends SparkSpec {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
     import graft.operators.Extras6
     // setup + values (values are plan-independent; oracle covers them)
-    val df = Extras6.sql16CboStats(spark, sf)
+    val df = SqlSurface.sql16CboStats(spark, sf)
     assert(df.collect().nonEmpty)
     // pin a broadcast threshold BETWEEN the two size estimates of the
     // SAME filtered+pruned dimension: the catalog/CBO estimate (rowCount
@@ -229,7 +229,7 @@ class Extras6Spec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
         ((estStats + estFile) / 2).toString)
       val statsPlan = flattenPlan(
-        spark.sql(Extras6.CboJoinSql).queryExecution.executedPlan)
+        spark.sql(SqlSurface.CboJoinSql).queryExecution.executedPlan)
       assert(statsPlan.exists(_.isInstanceOf[BroadcastHashJoinExec]),
         "stats-informed plan did not broadcast the filtered dimension")
       // control: the IDENTICAL data read straight from parquet (no
@@ -275,7 +275,7 @@ class Extras6Spec extends SparkSpec {
     assert(partials.count() <= nSeg * 8)
     assert(partials.schema("sk").dataType ==
       org.apache.spark.sql.types.BinaryType)
-    val out = graft.operators.Extras6.a18HllMerge(spark, sf).collect()
+    val out = graft.operators.Aggs.a18HllMerge(spark, sf).collect()
     assert(out.length == nSeg)
     out.foreach { r =>
       assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4),

@@ -151,7 +151,7 @@ class Extras7Spec extends SparkSpec {
   }
 
   test("sql30: SQL UDFs are inlined — no UDF node survives into the plans") {
-    val df = graft.operators.Extras7.sql30SqlUdf(spark, sf)
+    val df = graft.operators.SqlSurface.sql30SqlUdf(spark, sf)
     // the analyzer expands disc_price/charge to their defining
     // expressions; an opaque function node in either plan would mean the
     // hot path fell out of codegen
@@ -173,7 +173,7 @@ class Extras7Spec extends SparkSpec {
   }
 
   test("sql31: correlated SQL table function equals the hand-written lateral") {
-    val viaTf = graft.operators.Extras7.sql31SqlTableFn(spark, sf)
+    val viaTf = graft.operators.SqlSurface.sql31SqlTableFn(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
     val direct = Tables.supplier(spark, sf)
       .filter(col("s_acctbal") > 1000.0)

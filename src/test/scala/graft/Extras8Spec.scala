@@ -96,7 +96,7 @@ class Extras8Spec extends SparkSpec {
   }
 
   test("a20: count-min estimates equal exact counts at this domain size") {
-    val est = Extras8.a20CountMin(spark, sf).collect()
+    val est = graft.operators.Aggs.a20CountMin(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Tables.orders(spark, sf).groupBy(col("o_orderpriority"))
       .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.joins.CartesianProductExec
 import org.apache.spark.sql.functions._
-import graft.operators.{EventOps, Extras9}
+import graft.operators.{EventOps, Extras9, SqlSurface}
 
 class Extras9Spec extends SparkSpec {
 
@@ -122,13 +122,13 @@ class Extras9Spec extends SparkSpec {
 
   test("a21: the mode really is the max count and n_tied counts its " +
       "peers") {
-    val rows = Extras9.a21Mode(spark, sf).collect()
+    val rows = graft.operators.Aggs.a21Mode(spark, sf).collect()
     assert(rows.length == 5) // five market segments
     rows.foreach(r => assert(r.getLong(2) > 0 && r.getLong(3) >= 1))
   }
 
   test("a22: outliers are a strict minority and MAD <= max deviation") {
-    val rows = Extras9.a22MadOutliers(spark, sf).collect()
+    val rows = graft.operators.Aggs.a22MadOutliers(spark, sf).collect()
     assert(rows.length == 5) // five event types
     rows.foreach { r =>
       val (n, out) = (r.getLong(1), r.getLong(4))
@@ -139,7 +139,7 @@ class Extras9Spec extends SparkSpec {
 
   test("sql35: FILTER-clause aggregates match the CASE WHEN spelling " +
       "in one scan") {
-    val df = Extras9.sql35FilterClause(spark, sf)
+    val df = SqlSurface.sql35FilterClause(spark, sf)
     val got = df.collect()
     val want = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))

@@ -79,7 +79,7 @@ object ProbeBounds {
       println(s"[probe] sf=$sf a4 maxRelErr=${relErr.max}")
 
       // a15 approx percentile relative error
-      val a15 = operators.Extras3.a15ApproxPercentileRaw(spark, dir)
+      val a15 = graft.operators.Aggs.a15ApproxPercentileRaw(spark, dir)
         .select(col("p50_approx"), col("p50_exact")).collect()
       val pErr = a15.map(r => math.abs(r.getDouble(0) - r.getDouble(1)) / r.getDouble(1))
       println(s"[probe] sf=$sf a15 maxRelErr=${pErr.max}")
