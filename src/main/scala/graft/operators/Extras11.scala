@@ -448,24 +448,6 @@ object Extras11 {
       .orderBy(col("c_mktsegment"))
   }
 
-  /** F24 — regex extraction family (the §2.7 surface f1/f15 didn't
-    * reach): `regexp_extract_all` (array result), match counting, and
-    * a bounded joined preview per document — the crawl-cleaning
-    * primitives (strip boilerplate tokens, count pattern hits) every
-    * text pipeline leans on. One projection pass over a bounded id
-    * window; both engines run the same RE2-class pattern. */
-  def f24RegexFamily(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .filter(col("doc_id") < 50)
-      .select(col("doc_id"),
-        size(regexp_extract_all(col("text"), lit("[a-z]{5,}"), lit(0)))
-          .cast("long").as("n_long_words"),
-        regexp_extract(col("text"), "([a-z]{5,})", 1).as("first_long"),
-        concat_ws(",", slice(
-          regexp_extract_all(col("text"), lit("[a-z]{5,}"), lit(0)), 1, 3))
-          .as("first3"))
-      .orderBy(col("doc_id"))
-
   /** S28 — compression-codec matrix (the storage knob a 100 TB lake
     * actually budgets with): the same projection written as parquet
     * under snappy / zstd / gzip, each read back and aggregated — codec
@@ -531,7 +513,6 @@ object Extras11 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w17_ratio_to_report" -> (w17RatioToReport _),
     "s28_codec_matrix" -> (s28CodecMatrix _),
-    "f24_regex_family" -> (f24RegexFamily _),
     "j14_aqe_skew_join" -> (j14AqeSkewJoin _),
     "x125_token_drift" -> (x125TokenDrift _),
     "x126_embedding_drift" -> (x126EmbeddingDrift _),
@@ -595,16 +576,6 @@ object Extras11 {
         "AS total, TRUE AS codec_tagged " +
         "FROM lineitem WHERE l_quantity > 40.0"
       }.mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY codec")),
-    // same RE2-class pattern, same extraction semantics
-    "f24_regex_family" ->
-      ("SELECT doc_id, " +
-       "CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS BIGINT) " +
-       "AS n_long_words, " +
-       "COALESCE(regexp_extract(text, '([a-z]{5,})', 1), '') " +
-       "AS first_long, " +
-       "array_to_string(list_slice(" +
-       "regexp_extract_all(text, '[a-z]{5,}'), 1, 3), ',') AS first3 " +
-       "FROM documents WHERE doc_id < 50 ORDER BY doc_id"),
     // the re-keyed join recomputed; skew handling must be value-neutral
     "j14_aqe_skew_join" ->
       ("SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, " +

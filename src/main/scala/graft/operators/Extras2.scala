@@ -9,15 +9,6 @@ import graft.{Det, Tables}
   */
 object Extras2 {
 
-  /** F9 — cryptographic/content hashes (content-addressing and sharding
-    * primitives for a data pipeline): md5 + sha256, portable hex. */
-  def f9Hash(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.part(spark, sfDir)
-      .select(col("p_partkey"),
-        md5(col("p_name").cast("binary")).as("name_md5"),
-        sha2(col("p_name").cast("binary"), 256).as("name_sha256"))
-      .orderBy(col("p_partkey"))
-
   /** S8 — partitioned sink + partition pruning: orders written
     * year-partitioned, read back with a year predicate; the reread scan
     * lists only the matching partition directories (asserted in
@@ -94,22 +85,8 @@ object Extras2 {
         substring(md5(col("text").cast("binary")), 1, 2).as("bucket"))
       .orderBy(col("doc_id"))
 
-  /** F2b — date/interval arithmetic: day/month/year offsets with
-    * end-of-month clamping (both engines clamp Jan 31 + 1 month). */
-  def f2bDateArith(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"),
-        date_add(col("o_orderdate").cast("date"), 30).cast("string").as("plus_30d"),
-        add_months(col("o_orderdate").cast("date"), 2).cast("string").as("plus_2m"),
-        add_months(col("o_orderdate").cast("date"), -12).cast("string").as("minus_1y"),
-        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
-          .cast("long").as("days_to_2002"))
-      .orderBy(col("o_orderkey"))
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x13_hash_sample" -> (x13HashSample _),
-    "f2b_date_arith" -> (f2bDateArith _),
-    "f9_hash" -> (f9Hash _),
     "s8_partition_prune" -> (s8PartitionPrune _),
     "s14_dynamic_overwrite" -> (s14DynamicOverwrite _),
     "sql3_vector_norm" -> (sql3VectorNorm _))
@@ -118,16 +95,6 @@ object Extras2 {
     "x13_hash_sample" ->
       ("SELECT doc_id, lang, substr(md5(text), 1, 2) AS bucket FROM documents " +
        "WHERE substr(md5(text), 1, 2) <= '19' ORDER BY doc_id"),
-    "f2b_date_arith" ->
-      ("SELECT o_orderkey, " +
-       "strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d, " +
-       "strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus_2m, " +
-       "strftime(CAST(o_orderdate AS DATE) - INTERVAL 12 MONTH, '%Y-%m-%d') AS minus_1y, " +
-       "date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002 " +
-       "FROM orders ORDER BY o_orderkey"),
-    "f9_hash" ->
-      ("SELECT p_partkey, md5(p_name) AS name_md5, sha256(p_name) AS name_sha256 " +
-       "FROM part ORDER BY p_partkey"),
     "s8_partition_prune" ->
       ("SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS BIGINT) AS o_year " +
        "FROM orders WHERE year(o_orderdate) = 1997 ORDER BY o_orderkey"),

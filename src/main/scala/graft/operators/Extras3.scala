@@ -120,46 +120,6 @@ object Extras3 {
       .orderBy(col("user_id"), col("version"))
   }
 
-  /** F18 — error-safe `try_*` function family (ANSI-mode's graceful
-    * side): try_cast on malformed numerics, try_divide by a cycling
-    * zero, try_element_at past the array end — every failure becomes
-    * NULL instead of a task abort, which is what a 100 TB batch job
-    * needs from dirty data. The oracle reproduces each NULL rule
-    * portably (TRY_CAST / CASE-guarded divide / DuckDB's NULL-on-OOB
-    * list index). */
-  def f18TryFuncs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.part(spark, sfDir)
-      .select(col("p_partkey"),
-        when(col("p_partkey") % 3 === 0, lit("12.5"))
-          .when(col("p_partkey") % 3 === 1, lit("oops"))
-          .otherwise(lit("")).as("s"))
-      .select(col("p_partkey"),
-        expr("try_cast(s AS DOUBLE)").as("casted"),
-        expr(s"try_divide(CAST(p_partkey AS DOUBLE), " +
-          "CAST(p_partkey % 4 AS DOUBLE))").as("divided"),
-        expr("try_element_at(split(s, '\\\\.'), 2)").as("frac_part"))
-      .orderBy(col("p_partkey"))
-
-  /** F19 — Spark 4 collation-aware grouping: the supplier table is
-    * doubled with a lower-cased and an UPPER-cased copy of every name,
-    * then grouped under UNICODE_CI — the case variants MUST merge
-    * (every group carries n = 2), where a case-sensitive grouping would
-    * leave 2× the groups, so the collation semantics are load-bearing,
-    * not decorative. Output keys are lower-cased for portability; the
-    * oracle reproduces the equivalence classes with lower() grouping
-    * (identical to UNICODE_CI on this ASCII domain). */
-  def f19CollationCi(spark: SparkSession, sfDir: String): DataFrame = {
-    val lo = Tables.supplier(spark, sfDir)
-      .select(lower(col("s_name")).as("name_mixed"), col("s_acctbal"))
-    val hi = Tables.supplier(spark, sfDir)
-      .select(upper(col("s_name")).as("name_mixed"), col("s_acctbal"))
-    lo.unionByName(hi)
-      .groupBy(collate(col("name_mixed"), "UNICODE_CI").as("k"))
-      .agg(count(lit(1)).as("n"), Det.dsum(col("s_acctbal")).as("bal"))
-      .select(lower(col("k")).as("name_ci"), col("n"), col("bal"))
-      .orderBy(col("name_ci"))
-  }
-
   /** X30 — CDC MERGE-apply (the MERGE INTO semantics, composed from
     * relational primitives because plain parquet has no row-level ops):
     * a deterministic change feed (deletes for key%10=0, +100 balance
@@ -262,48 +222,6 @@ object Extras3 {
       .orderBy(col("ship_month"))
   }
 
-  /** F13 — JSON construction round-trip: struct → to_json → from_json →
-    * field access. Each output is a scalar the oracle derives from the
-    * source columns, so cross-engine JSON text formatting never appears
-    * in the compared result. */
-  def f13JsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("sk",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("bal",
-        org.apache.spark.sql.types.DoubleType)))
-    Tables.supplier(spark, sfDir)
-      .withColumn("j", to_json(struct(col("s_suppkey").as("sk"),
-        col("s_acctbal").as("bal"))))
-      .withColumn("back", from_json(col("j"), schema))
-      .select(col("s_suppkey"),
-        col("back.sk").as("sk_back"),
-        col("back.bal").as("bal_back"),
-        get_json_object(col("j"), "$.sk").cast("long").as("sk_path"))
-      .orderBy(col("s_suppkey"))
-  }
-
-  /** F14 — null-handling family: nullif, nvl/nvl2, coalesce chain, and
-    * null-safe equality (<=>), exercised through an outer join that
-    * actually synthesizes nulls. */
-  def f14NullFuncs(spark: SparkSession, sfDir: String): DataFrame = {
-    val cust = Tables.customer(spark, sfDir)
-      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
-    val bigOrders = Tables.orders(spark, sfDir)
-      .filter(col("o_totalprice") > 500000.0)
-      .groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("n_big"))
-    cust.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_outer")
-      .select(col("c_custkey"),
-        coalesce(col("n_big"), lit(0L)).as("n_big_c"),
-        nvl2(col("n_big"), lit("whale"), lit("regular")).as("tier"),
-        nullif(col("c_nationkey"), lit(0)).as("nation_nz"),
-        (col("n_big") <=> lit(null)).as("no_big"),
-        nanvl(col("c_acctbal") / when(col("c_acctbal") =!= 0.0,
-          col("c_acctbal")).otherwise(lit(0.0)), lit(-1.0)).as("unit_or_flag"))
-      .orderBy(col("c_custkey"))
-  }
-
   /** J12 — optimizer-banded range join: clicks × errors within the
     * following minute, written as the NAIVE pure range join (no equi
     * key). Without [[graft.plans.BandedRangeJoinRule]] Catalyst can only
@@ -326,33 +244,6 @@ object Extras3 {
       .orderBy(col("id_a"))
   }
 
-  /** F15 — string family #2: reverse / repeat / split_part / right /
-    * starts_with / ends_with / translate (initcap omitted — no DuckDB
-    * counterpart to oracle against). */
-  def f15String2(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.part(spark, sfDir)
-      .select(col("p_partkey"),
-        reverse(col("p_name")).as("rev_name"),
-        expr("repeat(p_brand, 2)").as("brand_x2"),
-        expr("split_part(p_type, ' ', 1)").as("type_head"),
-        expr("right(p_name, 4)").as("name_tail4"),
-        col("p_name").startsWith("a").as("starts_a"),
-        col("p_type").endsWith("STEEL").as("ends_steel"),
-        translate(col("p_brand"), "#123456789", "N---------").as("brand_shape"))
-      .orderBy(col("p_partkey"))
-
-  /** F10 — bitwise function family over supplier keys. */
-  def f10Bitwise(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.supplier(spark, sfDir)
-      .select(col("s_suppkey"),
-        (col("s_suppkey").bitwiseAND(lit(255L))).as("low8"),
-        (col("s_suppkey").bitwiseOR(lit(4096L))).as("with_flag"),
-        (col("s_suppkey").bitwiseXOR(lit(0x5aL))).as("xored"),
-        shiftleft(col("s_suppkey"), 3).as("shl3"),
-        shiftright(col("s_suppkey"), 2).as("shr2"),
-        bit_count(col("s_suppkey")).cast("long").as("popcount"))
-      .orderBy(col("s_suppkey"))
-
   /** O8 — pagination: total order + LIMIT/OFFSET via the native
     * Dataset.offset operator (rows 101–150 of customers by balance). */
   def o8Offset(spark: SparkSession, sfDir: String): DataFrame =
@@ -361,47 +252,6 @@ object Extras3 {
       .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
       .offset(100)
       .limit(50)
-
-  /** F11 — map function family: construct, merge, transform, and read
-    * map columns; every output is a scalar the oracle derives directly
-    * from `k` (map semantics checked, dialect-portable compare). */
-  def f11MapFuncs(spark: SparkSession, sfDir: String): DataFrame = {
-    val parsed = Tables.eventsUs(spark, sfDir)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-    parsed
-      .withColumn("m", map_concat(
-        map(lit("k"), col("k")),
-        map(lit("k2"), col("k") * 2)))
-      .withColumn("m3", transform_values(col("m"), (_, v) => v * 3))
-      .withColumn("mf", map_filter(col("m"), (key, _) => key === "k2"))
-      .select(col("event_id"),
-        size(col("m")).cast("long").as("n_keys"),
-        element_at(col("m"), "k").as("k_val"),
-        element_at(col("m"), "k2").as("k2_val"),
-        array_join(sort_array(map_keys(col("m"))), ",").as("keys_str"),
-        aggregate(map_values(col("m")), lit(0L), (acc, v) => acc + v)
-          .as("vals_sum"),
-        element_at(col("m3"), "k2").as("k2_tripled"),
-        size(col("mf")).cast("long").as("n_filtered"))
-      .orderBy(col("event_id"))
-  }
-
-  /** F12 — array function family over document word lists. */
-  def f12ArrayFuncs(spark: SparkSession, sfDir: String): DataFrame = {
-    val words = split(col("text"), " ")
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        size(words).cast("long").as("n_words"),
-        size(array_distinct(words)).cast("long").as("n_distinct"),
-        array_contains(words, "data").as("has_data"),
-        array_position(words, "data").as("pos_data"),
-        array_join(slice(sort_array(words), 1, 3), " ").as("sorted_first3"),
-        size(flatten(array(words, words))).cast("long").as("n_doubled"),
-        element_at(array_repeat(col("lang"), 3), 2).as("lang_mid"),
-        size(array_remove(words, element_at(words, 1))).cast("long")
-          .as("n_wo_first"))
-      .orderBy(col("doc_id"))
-  }
 
   /** S7b — catalog-managed table: filtered lineitem saved via
     * saveAsTable into the session catalog (spark-warehouse parquet),
@@ -428,22 +278,14 @@ object Extras3 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j12_range_join_auto" -> (j12RangeJoinAuto _),
     "w9_batch_sessionize" -> (w9BatchSessionize _),
-    "f15_string2" -> (f15String2 _),
-    "f13_json_roundtrip" -> (f13JsonRoundtrip _),
-    "f14_null_funcs" -> (f14NullFuncs _),
     "s9_sorted_write" -> (s9SortedWrite _),
-    "f11_map_funcs" -> (f11MapFuncs _),
-    "f12_array_funcs" -> (f12ArrayFuncs _),
     "s7b_catalog_table" -> (s7bCatalogTable _),
-    "f10_bitwise" -> (f10Bitwise _),
     "o8_offset" -> (o8Offset _),
     "w8_distribution" -> (w8Distribution _),
     "l8_centroids" -> (l8Centroids _),
     "x15_latest_by_key" -> (x15LatestByKey _),
     "x25_scd2" -> (x25Scd2 _),
-    "f18_try_funcs" -> (f18TryFuncs _),
     "x30_apply_cdc" -> (x30ApplyCdc _),
-    "f19_collation_ci" -> (f19CollationCi _),
     "x14_lsh_ann" -> (x14LshAnn _))
 
   import Det.{sql => d}
@@ -451,15 +293,6 @@ object Extras3 {
     "x14_lsh_ann" ->
       ("SELECT CAST(10 AS BIGINT) AS n_probes, CAST(5 AS BIGINT) AS k, " +
        "TRUE AS simratio_ok"),
-    "f15_string2" ->
-      ("SELECT p_partkey, reverse(p_name) AS rev_name, " +
-       "repeat(p_brand, 2) AS brand_x2, " +
-       "split_part(p_type, ' ', 1) AS type_head, " +
-       "right(p_name, 4) AS name_tail4, " +
-       "starts_with(p_name, 'a') AS starts_a, " +
-       "ends_with(p_type, 'STEEL') AS ends_steel, " +
-       "translate(p_brand, '#123456789', 'N---------') AS brand_shape " +
-       "FROM part ORDER BY p_partkey"),
     // same SQL as the streaming session-window oracle (ST3): batch and
     // stream must agree on the session decomposition
     "w9_batch_sessionize" ->
@@ -482,22 +315,6 @@ object Extras3 {
        "WHERE event_type = 'error') b " +
        "ON tb >= ta AND tb <= ta + 60000000 " +
        "GROUP BY id_a ORDER BY id_a"),
-    // to_json doubles use shortest round-trip representation, so the
-    // parsed-back values equal the source columns exactly
-    "f13_json_roundtrip" ->
-      ("SELECT s_suppkey, s_suppkey AS sk_back, s_acctbal AS bal_back, " +
-       "s_suppkey AS sk_path FROM supplier ORDER BY s_suppkey"),
-    "f14_null_funcs" ->
-      ("SELECT c_custkey, COALESCE(n_big, 0) AS n_big_c, " +
-       "CASE WHEN n_big IS NOT NULL THEN 'whale' ELSE 'regular' END AS tier, " +
-       "NULLIF(c_nationkey, 0) AS nation_nz, " +
-       "n_big IS NULL AS no_big, " +
-       "CAST(CASE WHEN c_acctbal = 0.0 THEN -1.0 ELSE 1.0 END AS DOUBLE) " +
-       "AS unit_or_flag " +
-       "FROM customer LEFT JOIN " +
-       "(SELECT o_custkey, COUNT(*) AS n_big FROM orders " +
-       "WHERE o_totalprice > 500000.0 GROUP BY o_custkey) b " +
-       "ON c_custkey = o_custkey ORDER BY c_custkey"),
     "s9_sorted_write" ->
       ("SELECT strftime(CAST(date_trunc('month', l_shipdate) AS DATE), " +
        "'%Y-%m-%d') AS ship_month, COUNT(*) AS n, " +
@@ -505,35 +322,10 @@ object Extras3 {
        "WHERE l_shipdate >= TIMESTAMP '1997-06-01' " +
        "AND l_shipdate < TIMESTAMP '1997-09-01' " +
        "GROUP BY 1 ORDER BY ship_month"),
-    // every f11 output is a direct function of k, so the oracle computes
-    // them without needing DuckDB's (different) map dialect
-    "f11_map_funcs" ->
-      ("SELECT event_id, CAST(2 AS BIGINT) AS n_keys, k AS k_val, " +
-       "k * 2 AS k2_val, 'k,k2' AS keys_str, k * 3 AS vals_sum, " +
-       "k * 6 AS k2_tripled, CAST(1 AS BIGINT) AS n_filtered FROM " +
-       "(SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
-       "FROM events) t ORDER BY event_id"),
-    "f12_array_funcs" ->
-      ("SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, " +
-       "CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct, " +
-       "list_contains(w, 'data') AS has_data, " +
-       "CAST(COALESCE(list_position(w, 'data'), 0) AS BIGINT) AS pos_data, " +
-       "array_to_string(list_slice(list_sort(w), 1, 3), ' ') AS sorted_first3, " +
-       "CAST(len(w) * 2 AS BIGINT) AS n_doubled, " +
-       "lang AS lang_mid, " +
-       "CAST(len(list_filter(w, x -> x <> w[1])) AS BIGINT) AS n_wo_first " +
-       "FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents) t " +
-       "ORDER BY doc_id"),
     "s7b_catalog_table" ->
       (s"SELECT l_returnflag, COUNT(*) AS n, ${d.dsum("l_quantity")} AS sum_qty " +
        "FROM lineitem WHERE l_quantity > 49.0 " +
        "GROUP BY l_returnflag ORDER BY l_returnflag"),
-    "f10_bitwise" ->
-      ("SELECT s_suppkey, s_suppkey & 255 AS low8, " +
-       "s_suppkey | 4096 AS with_flag, xor(s_suppkey, 90) AS xored, " +
-       "s_suppkey << 3 AS shl3, s_suppkey >> 2 AS shr2, " +
-       "CAST(bit_count(s_suppkey) AS BIGINT) AS popcount " +
-       "FROM supplier ORDER BY s_suppkey"),
     "o8_offset" ->
       ("SELECT c_custkey, c_name, c_acctbal FROM customer " +
        "ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 50 OFFSET 100"),
@@ -578,20 +370,6 @@ object Extras3 {
        "COALESCE(op, 'K') AS applied " +
        "FROM snap FULL OUTER JOIN chg ON key = ckey " +
        "WHERE COALESCE(op, '') <> 'D' ORDER BY key"),
-    "f18_try_funcs" ->
-      ("WITH t AS (SELECT p_partkey, CASE WHEN p_partkey % 3 = 0 THEN '12.5' " +
-       "WHEN p_partkey % 3 = 1 THEN 'oops' ELSE '' END AS s FROM part) " +
-       "SELECT p_partkey, TRY_CAST(s AS DOUBLE) AS casted, " +
-       "CASE WHEN p_partkey % 4 = 0 THEN NULL " +
-       "ELSE CAST(p_partkey AS DOUBLE) / CAST(p_partkey % 4 AS DOUBLE) END " +
-       "AS divided, " +
-       "string_split(s, '.')[2] AS frac_part " +
-       "FROM t ORDER BY p_partkey"),
-    "f19_collation_ci" ->
-      (s"SELECT lower(m) AS name_ci, COUNT(*) AS n, ${d.dsum("s_acctbal")} AS bal " +
-       "FROM (SELECT lower(s_name) AS m, s_acctbal FROM supplier " +
-       "UNION ALL SELECT upper(s_name), s_acctbal FROM supplier) t " +
-       "GROUP BY lower(m) ORDER BY name_ci"),
     "x25_scd2" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id, event_type " +
        "FROM events), " +

@@ -274,31 +274,8 @@ object Extras5 {
         col("n_events"))
       .orderBy(col("user_id"), col("sess_start_us"))
 
-  /** F20 — the higher-order FOLD family (aggregate / exists / forall /
-    * zip_with / filter-with-index) over per-row generated sequences:
-    * the lambda-calculus corner of the array function surface f4/f12
-    * leave uncovered. All codegen'd column work, zero shuffles. The
-    * oracle recomputes every fold in closed form (Gauss sums, parity
-    * counts) — an INDEPENDENT derivation, not the same lambda re-run. */
-  def f20HofFold(spark: SparkSession, sfDir: String): DataFrame = {
-    val arr = sequence(lit(1L), col("c_custkey") % 8 + 2)
-    Tables.customer(spark, sfDir)
-      .select(col("c_custkey"), arr.as("arr"))
-      .select(col("c_custkey"),
-        size(col("arr")).cast("long").as("n"),
-        aggregate(col("arr"), lit(0L), (acc, x) => acc + x).as("fold_sum"),
-        exists(col("arr"), x => x * x > 50L).as("has_big_sq"),
-        forall(col("arr"), x => x % 3 =!= 0L).as("none_div3"),
-        aggregate(zip_with(col("arr"), col("arr"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).as("dot_self"),
-        size(filter(col("arr"), (_, i) => i % 2 === 0)).cast("long")
-          .as("n_even_idx"))
-      .orderBy(col("c_custkey"))
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w14_session_window" -> (w14SessionWindow _),
-    "f20_hof_fold" -> (f20HofFold _),
     "x40_bpe_tokens" -> (x40BpeTokens _),
     "x41_embed_neardup" -> (x41EmbedNearDup _),
     "x42_embed_dedup_keep" -> (x42EmbedDedupKeep _),
@@ -340,17 +317,6 @@ object Extras5 {
        "SELECT user_id, MIN(t) AS sess_start_us, " +
        "MAX(t) + 1800000000 AS sess_end_us, COUNT(*) AS n_events " +
        "FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start_us"),
-    // closed-form recomputation: Gauss sum, square-sum, parity — an
-    // independent derivation of every fold
-    "f20_hof_fold" ->
-      ("SELECT c_custkey, n, " +
-       "n * (n + 1) // 2 AS fold_sum, " +
-       "n >= 8 AS has_big_sq, " +          // 8^2=64 > 50, 7^2=49 is not
-       "n < 3 AS none_div3, " +            // 3 | x first appears at x=3
-       "n * (n + 1) * (2 * n + 1) // 6 AS dot_self, " +
-       "(n + 1) // 2 AS n_even_idx " +
-       "FROM (SELECT c_custkey, c_custkey % 8 + 2 AS n FROM customer) t " +
-       "ORDER BY c_custkey"),
     // the pinned vocab is recomputed as data (same deterministic
     // tie-break); SUM over ints is HUGEINT in DuckDB — CAST (x21 lesson)
     "x40_bpe_tokens" ->

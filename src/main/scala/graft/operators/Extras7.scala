@@ -238,38 +238,6 @@ object Extras7 {
       .select(col("n_stop_tokens"),
         (col("n_stop_tokens") === 0L).as("recall_exact"))
 
-  /** F22 — observed metrics (`Dataset.observe` / CollectMetricsExec):
-    * x53's quality counters collected as a SIDE EFFECT of a real pass —
-    * the production gating shape: zero extra scans, the metrics ride
-    * the query that was running anyway. The consuming action here is a
-    * grouped aggregate over the same frame; the observed values arrive
-    * on the driver through the Observation handle after that one
-    * action, and the contract row emits them as a single-row frame the
-    * oracle recomputes directly. The spec additionally pins
-    * CollectMetrics in the plan and equality with the direct
-    * aggregates. */
-  def f22Observe(spark: SparkSession, sfDir: String): DataFrame = {
-    val obs = new org.apache.spark.sql.Observation(
-      s"graft_gate_${System.nanoTime()}")
-    val li = Tables.lineitem(spark, sfDir).observe(obs,
-      count(lit(1)).as("n_rows"),
-      sum(when(col("l_discount") > 0.05, 1L).otherwise(0L))
-        .as("n_discounted"),
-      round(sum(col("l_extendedprice").cast(Det.Money)).cast("double")
-        / 1e6, 6).as("revenue_m"))
-    // the real consumer: one grouped aggregate drives the whole pass
-    val consumer = li.groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"))
-    val nGroups = consumer.count()
-    val m = obs.get
-    import spark.implicits._
-    Seq((m("n_rows").asInstanceOf[Long],
-        m("n_discounted").asInstanceOf[Long],
-        m("revenue_m").asInstanceOf[Double],
-        nGroups))
-      .toDF("n_rows", "n_discounted", "revenue_m", "n_groups")
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x48_jaccard_join" -> (x48JaccardJoin _),
     "x49_lm_score" -> (x49LmScore _),
@@ -277,8 +245,7 @@ object Extras7 {
     "x54_incremental_agg" -> (x54IncrementalAgg _),
     "x55_jaccard_incremental" -> (x55JaccardIncremental _),
     "x56_jaccard_incr_guard" -> (x56JaccardIncrGuard _),
-    "x48b_jaccard_guard" -> (x48bJaccardGuard _),
-    "f22_observe" -> (f22Observe _))
+    "x48b_jaccard_guard" -> (x48bJaccardGuard _))
 
   val oracles: Map[String, String] = Map(
     // the exhaustive exact answer — same frame the l2 oracle builds, at
@@ -362,13 +329,5 @@ object Extras7 {
       "SELECT CAST(0 AS BIGINT) AS n_stop_tokens, TRUE AS recall_exact",
     // same derived claim for the self-join family's stop set
     "x48b_jaccard_guard" ->
-      "SELECT CAST(0 AS BIGINT) AS n_stop_tokens, TRUE AS recall_exact",
-    "f22_observe" ->
-      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
-       "CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) " +
-       "AS n_discounted, " +
-       "round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) " +
-       "/ 1e6, 6) AS revenue_m, " +
-       "CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_groups " +
-       "FROM lineitem"))
+      "SELECT CAST(0 AS BIGINT) AS n_stop_tokens, TRUE AS recall_exact")
 }

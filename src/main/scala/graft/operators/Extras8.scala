@@ -12,54 +12,6 @@ import graft.{Det, Tables}
   */
 object Extras8 {
 
-  /** F23 — the Arrow-vectorized batch seam
-    * ([[org.apache.spark.sql.GraftArrow.mapInArrowBatches]]): document
-    * scoring run as a columnar BATCH KERNEL over Arrow-encoded
-    * partitions — the exact data shape Spark ships to pandas/Arrow UDF
-    * workers, demonstrated in-JVM because the pandas tier is a
-    * PySpark-client feature with no Scala registration API (boundary
-    * documented in SURVEY §2.10). The kernel computes a whitespace
-    * token count (one pass over the UTF-8 bytes — 0x20 never occurs in
-    * a multi-byte sequence, so the byte loop equals the oracle's
-    * character replace) and a capped tokens/50 score in pure IEEE
-    * arithmetic, so DuckDB recomputes every value exactly. Batch size
-    * 128 forces multiple batches per partition at every SF — the
-    * batching path is genuinely exercised, not a single-batch
-    * degenerate. */
-  def f23ArrowBatches(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-    val out = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("n_ws_tokens", LongType),
-      StructField("score", DoubleType)))
-    GraftArrow.mapInArrowBatches(docs, out, batchSize = 128) { (in, o) =>
-      val ids = in.getVector("doc_id").asInstanceOf[BigIntVector]
-      val txt = in.getVector("text").asInstanceOf[VarCharVector]
-      val oid = o.getVector("doc_id").asInstanceOf[BigIntVector]
-      val otk = o.getVector("n_ws_tokens").asInstanceOf[BigIntVector]
-      val osc = o.getVector("score").asInstanceOf[Float8Vector]
-      val n = in.getRowCount
-      var i = 0
-      while (i < n) {
-        val bytes =
-          if (txt.isNull(i)) Array.emptyByteArray else txt.get(i)
-        var spaces = 0
-        var j = 0
-        while (j < bytes.length) {
-          if (bytes(j) == 0x20) spaces += 1
-          j += 1
-        }
-        val toks = spaces + 1L
-        oid.setSafe(i, ids.get(i))
-        otk.setSafe(i, toks)
-        osc.setSafe(i, math.min(1.0, toks / 50.0))
-        i += 1
-      }
-      n
-    }.orderBy(col("doc_id"))
-  }
-
   /** S22 — DYNAMIC partition pruning (the runtime form of s8's static
     * pruning): orders staged year-partitioned, joined to a tiny
     * era-dimension whose FILTER IS ON A NON-PARTITION ATTRIBUTE — the
@@ -325,7 +277,6 @@ object Extras8 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x63_containment_join" -> (x63ContainmentJoin _),
     "x63b_containment_guard" -> (x63bContainmentGuard _),
-    "f23_arrow_batches" -> (f23ArrowBatches _),
     "s22_dpp" -> (s22DynamicPartitionPrune _),
     "x58_curation_funnel" -> (x58CurationFunnel _),
     "x60_leakage_split" -> (x60LeakageSplit _),
@@ -334,15 +285,6 @@ object Extras8 {
     "s23_csv_malformed" -> (s23CsvMalformed _))
 
   val oracles: Map[String, String] = Map(
-    // the kernel's arithmetic restated over characters: one 0x20 byte
-    // per ' ' char in UTF-8, and min(1.0, n/50.0) is exact IEEE
-    "f23_arrow_batches" ->
-      ("SELECT doc_id, " +
-       "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) " +
-       "AS n_ws_tokens, " +
-       "least(1.0, (length(text) - length(replace(text, ' ', '')) + 1) " +
-       "/ 50.0) AS score " +
-       "FROM documents ORDER BY doc_id"),
     // dim semantics inlined: era 'early' = years 1995..1997
     "s22_dpp" ->
       ("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +

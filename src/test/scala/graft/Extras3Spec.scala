@@ -156,7 +156,7 @@ class Extras3Spec extends SparkSpec {
   }
 
   test("f18 try functions: every failure mode becomes NULL, successes exact") {
-    val rows = Extras3.f18TryFuncs(spark, sf).collect()
+    val rows = graft.operators.Scalars.f18TryFuncs(spark, sf).collect()
     rows.foreach { r =>
       val k = r.getLong(0)
       val casted = Option(r.get(1)).map(_.asInstanceOf[Double])
@@ -170,7 +170,7 @@ class Extras3Spec extends SparkSpec {
   }
 
   test("f19 collation grouping: UNICODE_CI really merges the case variants") {
-    val rows = Extras3.f19CollationCi(spark, sf).collect()
+    val rows = graft.operators.Scalars.f19CollationCi(spark, sf).collect()
     assert(rows.length == Tables.supplier(spark, sf).count())
     rows.foreach { r =>
       assert(r.getAs[Long]("n") == 2L,

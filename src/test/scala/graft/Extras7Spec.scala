@@ -197,7 +197,7 @@ class Extras7Spec extends SparkSpec {
     val direct = Tables.lineitem(spark, sf).count()
     assert(obs.get("n_rows").asInstanceOf[Long] == direct)
     // and the contract row's single-row frame carries the same values
-    val row = graft.operators.Extras7.f22Observe(spark, sf).head
+    val row = graft.operators.Scalars.f22Observe(spark, sf).head
     assert(row.getAs[Long]("n_rows") == direct)
     assert(row.getAs[Long]("n_groups") == 3L)
   }

@@ -8,7 +8,7 @@ class Extras8Spec extends SparkSpec {
 
   test("f23: Arrow batch seam matches a plain-DataFrame recompute " +
       "and really runs multiple batches") {
-    val got = Extras8.f23ArrowBatches(spark, sf).collect()
+    val got = graft.operators.Scalars.f23ArrowBatches(spark, sf).collect()
     val want = Tables.documents(spark, sf)
       .select(col("doc_id"),
         (length(col("text")) - length(regexp_replace(col("text"), " ", ""))
@@ -27,7 +27,7 @@ class Extras8Spec extends SparkSpec {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val out = org.apache.spark.sql.GraftArrow.mapInArrowBatches(
-      empty, Extras8.f23ArrowBatches(spark, sf).schema, 16)((_, _) => 0)
+      empty, graft.operators.Scalars.f23ArrowBatches(spark, sf).schema, 16)((_, _) => 0)
     assert(out.count() == 0)
   }
 
