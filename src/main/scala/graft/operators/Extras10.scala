@@ -78,30 +78,6 @@ object Extras10 {
       .orderBy(col("day"))
   }
 
-  /** S25 — corrupt-file tolerance (s23's file-level sibling): a landing
-    * directory holding good parquet plus one truncated-garbage file.
-    * The default read fails loudly (asserted); with
-    * `ignoreCorruptFiles` the scan skips the bad FILE and returns every
-    * good row — the crawl-ingest posture where one bad upstream shard
-    * must not kill the nightly job. Claims are tied to the nation row
-    * count; the planted-garbage outcome is a staged constant. */
-  def s25CorruptFiles(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = Tables.tune(spark)
-    val dir = Tables.scratchDir("s25_corrupt", sfDir)
-    Tables.nation(s, sfDir).select(col("n_nationkey"), col("n_name"))
-      .coalesce(1).write.mode("overwrite").parquet(dir)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "zz_truncated.parquet"),
-      "PAR1thisisnotavalidparquetfooter".getBytes("UTF-8"))
-    val strictThrows =
-      try { s.read.parquet(dir).localCheckpoint(true).count(); false }
-      catch { case _: Throwable => true }
-    val n = s.read.option("ignoreCorruptFiles", "true").parquet(dir)
-      .localCheckpoint(true).count()
-    import s.implicits._
-    Seq((n, strictThrows)).toDF("n_good", "strict_throws")
-  }
-
   /** X72 — MMR diversified re-rank
     * ([[graft.api.VectorPipeline.mmrRerank]], λ=0.5, k=5 over the
     * exact top-20 shortlist): the redundancy-penalized re-ranker a
@@ -498,8 +474,7 @@ object Extras10 {
     "x77_skew_report" -> (x77SkewReport _),
     "x74_kmv_overlap" -> (x74KmvOverlap _),
     "x72_mmr_rerank" -> (x72MmrRerank _),
-    "w16_distributed_cumsum" -> (w16DistributedCumSum _),
-    "s25_corrupt_files" -> (s25CorruptFiles _))
+    "w16_distributed_cumsum" -> (w16DistributedCumSum _))
 
   val oracles: Map[String, String] = Map(
     // integer tf/df/dl, one avgdl division, ln at 6-dp rounding (x49's
@@ -670,8 +645,5 @@ object Extras10 {
        "FROM orders GROUP BY 1) " +
        "SELECT day, CAST(rev AS DOUBLE) AS revenue, " +
        "CAST(SUM(rev) OVER (ORDER BY day) AS DOUBLE) AS cum_revenue " +
-       "FROM d ORDER BY day"),
-    "s25_corrupt_files" ->
-      ("SELECT CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_good, " +
-       "TRUE AS strict_throws"))
+       "FROM d ORDER BY day"))
 }

@@ -151,69 +151,6 @@ object Extras11 {
       .orderBy(col("fk_edge"))
   }
 
-  /** S26 — columnar cache (`Dataset.cache` → InMemoryRelation): a
-    * filtered projection cached once, TWO different aggregates served
-    * from the same in-memory columnar relation (the dashboard /
-    * repeated-subquery lever: one scan feeds N readers). The contract
-    * row is the second aggregate — value-identical to the uncached
-    * computation, which is precisely what the oracle checks — and the
-    * spec pins InMemoryTableScan in its plan plus the batch-columnar
-    * input. The cache is REFERENCE-COUNTED OUT before return: the
-    * result is localCheckpoint-materialized, then the base unpersisted,
-    * so a 280-query bench session doesn't accrete storage memory. */
-  def s26CachedTable(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.orders(spark, sfDir)
-      .filter(col("o_orderstatus") === "O")
-      .select(col("o_orderpriority"), col("o_totalprice"),
-        col("o_custkey"))
-      .cache()
-    try {
-      base.count(): Unit   // materialize the cache (reader #1)
-      cachedAgg(base).localCheckpoint(true)
-    } finally { base.unpersist(false): Unit }
-  }
-
-  /** Reader #2 over the cached base — split out so the spec can pin
-    * InMemoryTableScan on exactly the frame the contract row emits. */
-  def cachedAgg(base: DataFrame): DataFrame =
-    base.groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"),
-        countDistinct(col("o_custkey")).as("n_cust"),
-        sum(col("o_totalprice").cast(Det.Money)).cast("double").as("total"))
-      .orderBy(col("o_orderpriority"))
-
-  /** S27 — nested-schema pruning: documents staged as a NESTED layout
-    * (meta struct wrapping the scalar attributes, the shape real
-    * document corpora ship in) and aggregated by ONE nested leaf —
-    * Catalyst prunes the read schema to `meta.lang` alone, so the text
-    * bodies (the bulk of every bytes-on-disk document table) are never
-    * decoded. The spec asserts the scan's ReadSchema contains the one
-    * leaf and NOT the text column; at 100 TB this pruning is the
-    * difference between a metadata query and a full-corpus read. */
-  def s27NestedPruning(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = Tables.tune(spark)
-    val dir = Tables.scratchDir("s27_nested", sfDir)
-    val marker = java.nio.file.Paths.get(dir, "_staged_rows")
-    val d = Tables.documents(spark, sfDir)
-    val n = d.count()
-    if (!java.nio.file.Files.exists(marker) ||
-        java.nio.file.Files.readString(marker) != n.toString) {
-      d.select(col("doc_id"),
-          struct(col("lang"), col("source"), col("n_chars")).as("meta"),
-          col("text"))
-        .write.mode("overwrite").parquet(s"$dir/data")
-      java.nio.file.Files.writeString(marker, n.toString): Unit
-    }
-    nestedLangCounts(s.read.parquet(s"$dir/data"))
-  }
-
-  /** The pruned aggregate over the staged nested frame — split out so
-    * the spec can assert its scan's ReadSchema. */
-  def nestedLangCounts(nested: DataFrame): DataFrame =
-    nested.groupBy(col("meta.lang").as("lang"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("lang"))
-
   /** X119 — golden-record survivorship (the step AFTER entity
     * resolution that actually ships: x12's near-dup clusters collapsed
     * to one surviving record each by an explicit RULE — longest text
@@ -448,38 +385,6 @@ object Extras11 {
       .orderBy(col("c_mktsegment"))
   }
 
-  /** S28 — compression-codec matrix (the storage knob a 100 TB lake
-    * actually budgets with): the same projection written as parquet
-    * under snappy / zstd / gzip, each read back and aggregated — codec
-    * choice must be value-neutral (the oracle recomputes from the base
-    * table per codec), and the staged files must really carry the
-    * codec (extension check emitted as data, so a silently-ignored
-    * option would flip a claim, not pass). */
-  def s28CodecMatrix(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = Tables.tune(spark)
-    val base = Tables.lineitem(spark, sfDir)
-      .filter(col("l_quantity") > 40.0)
-      .select(col("l_orderkey"), col("l_extendedprice"))
-    val root = Tables.scratchDir("s28_codec", sfDir)
-    val rows = Seq("snappy", "zstd", "gzip").map { codec =>
-      val dir = s"$root/$codec"
-      base.write.mode("overwrite").option("compression", codec)
-        .parquet(dir)
-      // parquet names gzip parts ".gz.parquet" (codec short name)
-      val ext = if (codec == "gzip") ".gz." else s".$codec."
-      val tagged = new java.io.File(dir).listFiles()
-        .exists(_.getName.contains(ext))
-      val agg = s.read.parquet(dir)
-        .agg(count(lit(1)).as("n"),
-          sum(col("l_extendedprice").cast(Det.Money)).cast("double")
-            .as("total")).collect()(0)
-      (codec, agg.getLong(0), agg.getDouble(1), tagged)
-    }
-    import s.implicits._
-    rows.toDF("codec", "n", "total", "codec_tagged")
-      .orderBy(col("codec"))
-  }
-
   /** W17 — ratio_to_report window family (the BI share-of-total
     * everywhere in dashboards): each order's revenue share within its
     * priority group AND of the grand total, in one pass — the grouped
@@ -512,15 +417,12 @@ object Extras11 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w17_ratio_to_report" -> (w17RatioToReport _),
-    "s28_codec_matrix" -> (s28CodecMatrix _),
     "j14_aqe_skew_join" -> (j14AqeSkewJoin _),
     "x125_token_drift" -> (x125TokenDrift _),
     "x126_embedding_drift" -> (x126EmbeddingDrift _),
     "x123_matryoshka" -> (x123Matryoshka _),
     "x124_binary_quant" -> (x124BinaryQuant _),
     "x119_golden_record" -> (x119GoldenRecord _),
-    "s26_cached_table" -> (s26CachedTable _),
-    "s27_nested_pruning" -> (s27NestedPruning _),
     "x118_ri_audit" -> (x118RiAudit _),
     "x113_mv_retraction" -> (x113MvRetraction _),
     "x114_weighted_sample" -> (x114WeightedSample _),
@@ -567,15 +469,6 @@ object Extras11 {
        "round(CAST(p AS DOUBLE) / CAST(g.g AS DOUBLE), 9) " +
        "AS share_of_total FROM w CROSS JOIN g " +
        "ORDER BY share_of_total DESC, o_orderkey LIMIT 100"),
-    // codec choice must be value-neutral; the tag claim pins that the
-    // option was honored
-    "s28_codec_matrix" ->
-      (Seq("gzip", "snappy", "zstd").map { c =>
-        s"SELECT '$c' AS codec, CAST(COUNT(*) AS BIGINT) AS n, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) " +
-        "AS total, TRUE AS codec_tagged " +
-        "FROM lineitem WHERE l_quantity > 40.0"
-      }.mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY codec")),
     // the re-keyed join recomputed; skew handling must be value-neutral
     "j14_aqe_skew_join" ->
       ("SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, " +
@@ -670,19 +563,6 @@ object Extras11 {
        "SELECT cluster_rep, CAST(n_members AS BIGINT) AS n_members, " +
        "doc_id AS survivor_id, n_chars AS survivor_chars " +
        "FROM ranked WHERE rn = 1 AND n_members > 1 ORDER BY cluster_rep"),
-    // the cache must be value-transparent: same aggregate straight off
-    // the parquet table
-    "s26_cached_table" ->
-      ("SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, " +
-       "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust, " +
-       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
-       "FROM orders WHERE o_orderstatus = 'O' " +
-       "GROUP BY 1 ORDER BY o_orderpriority"),
-    // the nested staging is a pure re-shape: counts come straight off
-    // the base table
-    "s27_nested_pruning" ->
-      ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs " +
-       "FROM documents GROUP BY 1 ORDER BY lang"),
     // each FK edge recomputed with NOT EXISTS
     "x118_ri_audit" -> {
       def e(name: String, child: String, fk: String, parent: String,

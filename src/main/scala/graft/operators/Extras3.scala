@@ -198,30 +198,6 @@ object Extras3 {
       SimSearch.l3TopKCosine(spark, sfDir), x14LshAnnRaw(spark, sfDir),
       k = 5, recallBound = None, simRatioBound = 0.5)
 
-  /** S9 — sorted layout write + stats-pruned read: lineitem
-    * range-partitioned and sorted by ship date, written as parquet, read
-    * back with a date filter. Because each file/row-group covers a
-    * narrow l_shipdate range, the parquet min/max stats let the scan
-    * skip almost everything outside the predicate — this layout step is
-    * what makes selective scans cheap on a 100 TB table. */
-  def s9SortedWrite(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = Tables.scratchDir("s9", sfDir)
-    Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
-        col("l_quantity"), col("l_extendedprice"))
-      .repartitionByRange(8, col("l_shipdate"))
-      .sortWithinPartitions(col("l_shipdate"))
-      .write.mode("overwrite").parquet(dir)
-    Tables.tune(spark).read.parquet(dir)
-      .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1997-09-01").cast("timestamp"))
-      .groupBy(date_trunc("month", col("l_shipdate")).cast("date").cast("string")
-        .as("ship_month"))
-      .agg(count(lit(1)).as("n"),
-        Det.dsum(col("l_extendedprice")).as("revenue"))
-      .orderBy(col("ship_month"))
-  }
-
   /** J12 — optimizer-banded range join: clicks × errors within the
     * following minute, written as the NAIVE pure range join (no equi
     * key). Without [[graft.plans.BandedRangeJoinRule]] Catalyst can only
@@ -253,33 +229,9 @@ object Extras3 {
       .offset(100)
       .limit(50)
 
-  /** S7b — catalog-managed table: filtered lineitem saved via
-    * saveAsTable into the session catalog (spark-warehouse parquet),
-    * read back through the catalog, and aggregated. Covers the
-    * CREATE TABLE AS / catalog-read path next to the path-based S-family. */
-  def s7bCatalogTable(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = "graft_cat_lineitem"
-    // explicit per-process data location (Tables.scratchDir): the shared
-    // session warehouse dir would let two concurrent Verify processes
-    // race each other's table files — VERDICT r6 #2
-    val loc = s"${Tables.scratchDir("s7b_tbl", sfDir)}/$t"
-    ScaleOps.dropTableAt(spark, t, loc)
-    Tables.lineitem(spark, sfDir)
-      .filter(col("l_quantity") > 49.0)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        col("l_returnflag"))
-      .write.mode("overwrite").option("path", loc).saveAsTable(t)
-    spark.table(t)
-      .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"))
-      .orderBy(col("l_returnflag"))
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j12_range_join_auto" -> (j12RangeJoinAuto _),
     "w9_batch_sessionize" -> (w9BatchSessionize _),
-    "s9_sorted_write" -> (s9SortedWrite _),
-    "s7b_catalog_table" -> (s7bCatalogTable _),
     "o8_offset" -> (o8Offset _),
     "w8_distribution" -> (w8Distribution _),
     "l8_centroids" -> (l8Centroids _),
@@ -315,17 +267,6 @@ object Extras3 {
        "WHERE event_type = 'error') b " +
        "ON tb >= ta AND tb <= ta + 60000000 " +
        "GROUP BY id_a ORDER BY id_a"),
-    "s9_sorted_write" ->
-      ("SELECT strftime(CAST(date_trunc('month', l_shipdate) AS DATE), " +
-       "'%Y-%m-%d') AS ship_month, COUNT(*) AS n, " +
-       s"${d.dsum("l_extendedprice")} AS revenue FROM lineitem " +
-       "WHERE l_shipdate >= TIMESTAMP '1997-06-01' " +
-       "AND l_shipdate < TIMESTAMP '1997-09-01' " +
-       "GROUP BY 1 ORDER BY ship_month"),
-    "s7b_catalog_table" ->
-      (s"SELECT l_returnflag, COUNT(*) AS n, ${d.dsum("l_quantity")} AS sum_qty " +
-       "FROM lineitem WHERE l_quantity > 49.0 " +
-       "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "o8_offset" ->
       ("SELECT c_custkey, c_name, c_acctbal FROM customer " +
        "ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 50 OFFSET 100"),

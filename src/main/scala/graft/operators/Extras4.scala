@@ -14,28 +14,6 @@ import graft.{Det, Tables}
   */
 object Extras4 {
 
-  /** S16 — XML source/sink round-trip (Spark 4 ships the former
-    * spark-xml as a built-in format): the supplier table written as XML
-    * rows, read back with the source schema pinned (XML carries no
-    * types), aggregated; the oracle computes the same aggregate straight
-    * from parquet, so any loss or mangling in the XML round-trip breaks
-    * the hash. Doubles survive exactly for the same reason as CSV/JSON
-    * (s5c): shortest-round-trip decimal text. */
-  def s16Xml(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = Tables.scratchDir("s16_xml", sfDir)
-    val src = Tables.supplier(spark, sfDir)
-      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
-        col("s_acctbal"))
-    src.write.mode("overwrite").format("xml")
-      .option("rootTag", "suppliers").option("rowTag", "supplier").save(dir)
-    Tables.tune(spark).read.format("xml").option("rowTag", "supplier")
-      .schema(src.schema).load(dir)
-      .groupBy(col("s_nationkey"))
-      .agg(count(lit(1)).as("n"), Det.dsum(col("s_acctbal")).as("sum_bal"),
-        countDistinct(col("s_name")).as("n_names"))
-      .orderBy(col("s_nationkey"))
-  }
-
   /** X31 — per-language adaptive quality threshold (the "drop the worst
     * quartile of every language" curation step): score = mean word span
     * (chars per word), rank within language, drop the bottom 25% by
@@ -253,63 +231,6 @@ object Extras4 {
       .orderBy(col("vec_id"))
   }
 
-  /** S17 — Avro source/sink round-trip (spark-avro ships in the Spark 4
-    * distribution): same contract shape as S16 — lineitem slice written
-    * as Avro, read back, aggregated, oracle computed straight from
-    * parquet so any round-trip loss breaks the hash. Avro is the
-    * row-oriented interchange format of a streaming/CDC pipeline (Kafka
-    * payloads), the complement of the columnar parquet/ORC pair. */
-  def s17Avro(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = Tables.scratchDir("s17_avro", sfDir)
-    Tables.lineitem(spark, sfDir)
-      .filter(col("l_quantity") > 45.0)
-      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
-        col("l_extendedprice"))
-      // fully-qualified provider: the Avro classes ship inside
-      // spark-sql_2.13 in this distribution but are NOT service-registered
-      // (Spark treats avro as an external module), so the "avro" short
-      // name does not resolve
-      .write.mode("overwrite")
-      .format("org.apache.spark.sql.avro.AvroFileFormat").save(dir)
-    Tables.tune(spark).read
-      .format("org.apache.spark.sql.avro.AvroFileFormat").load(dir)
-      .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"),
-        Det.dsum(col("l_extendedprice")).as("sum_price"),
-        countDistinct(col("l_orderkey")).as("n_orders"))
-      .orderBy(col("l_returnflag"))
-  }
-
-  /** S19 — NESTED parquet round-trip (struct + array + map columns):
-    * a nested shape is built from orders, written to parquet (real
-    * nested encoders — definition/repetition levels, not flat columns),
-    * read back, and FLATTENED to scalars for the compare; the oracle
-    * recomputes the same scalars straight from the flat table, so any
-    * loss or reordering inside the nested codec breaks the hash. The
-    * output stays scalar because raw struct/array columns don't survive
-    * the driver's hash compare (SURVEY §1.3). */
-  def s19NestedRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = Tables.scratchDir("s19_nested", sfDir)
-    Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"),
-        struct(col("o_orderstatus").as("status"),
-          col("o_totalprice").as("price")).as("meta"),
-        array(col("o_totalprice"), col("o_totalprice") * 2,
-          col("o_totalprice") * 3).as("tiers"),
-        map(lit("pri"), col("o_orderpriority"), lit("day"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd")).as("tags"))
-      .write.mode("overwrite").parquet(dir)
-    Tables.tune(spark).read.parquet(dir)
-      .select(col("o_orderkey"),
-        col("meta.status").as("status"),
-        col("meta.price").as("price"),
-        element_at(col("tiers"), 2).as("tier2"),
-        size(col("tiers")).as("n_tiers"),
-        element_at(col("tags"), "pri").as("pri"),
-        element_at(col("tags"), "day").as("day"))
-      .orderBy(col("o_orderkey"))
-  }
-
   /** X35 — temperature-based domain mixing (the pretraining mix
     * primitive: flatten the language distribution with α = 0.5, as
     * multilingual LLM recipes do): each language's sampling rate is
@@ -421,53 +342,6 @@ object Extras4 {
       .orderBy(col("doc_id"))
   }
 
-  /** S18 — small-files compaction (the #1 operational chore of a
-    * streaming-fed lake: micro-batches leave thousands of KB-files that
-    * crush scan planning): a 64-file fragmented layout is bin-packed to
-    * a MEASURED target file size — output file count = ceil(measured
-    * input bytes / `spark.graft.compact.targetFileBytes`), not a
-    * hardcoded constant. The claim columns prove rows and values survive
-    * exactly, the file count really dropped, and the output is
-    * right-sized: the written file count is within one bin of the ideal
-    * count for the bytes actually written (re-measured after the write,
-    * because compaction itself collapses per-file overhead) and the mean
-    * output file stays under 2x the target. File listings are
-    * driver-side metadata bounded by file count (the s15 class). At
-    * 100 TB the same op runs per-partition with the same arithmetic —
-    * the repartition is the only shuffle and its width IS the layout. */
-  def s18Compaction(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = Tables.tune(spark)
-    val base = Tables.scratchDir("s18_compact", sfDir)
-    val src = Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_totalprice"))
-    src.repartition(64).write.mode("overwrite").parquet(s"$base/frag")
-    def dataFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .listStatus(p).toSeq
-        .filter(_.getPath.getName.endsWith(".parquet"))
-    }
-    val fragFiles = dataFiles(s"$base/frag")
-    val targetBytes =
-      s.conf.get("spark.graft.compact.targetFileBytes", "262144").toLong
-    def bins(bytes: Long): Long =
-      math.max(1L, (bytes + targetBytes - 1) / targetBytes)
-    val nOut = bins(fragFiles.map(_.getLen).sum).toInt
-    s.read.parquet(s"$base/frag").repartition(nOut)
-      .write.mode("overwrite").parquet(s"$base/compact")
-    val outFiles = dataFiles(s"$base/compact")
-    val outBytes = outFiles.map(_.getLen).sum
-    val sizeOk =
-      math.abs(outFiles.length - bins(outBytes)) <= 1 &&
-        outBytes.toDouble / outFiles.length <= 2.0 * targetBytes
-    val compact = s.read.parquet(s"$base/compact")
-    compact.agg(count(lit(1)).as("n_rows"),
-        Det.dsum(col("o_totalprice")).as("revenue"),
-        countDistinct(col("o_orderkey")).as("n_keys"))
-      .withColumn("compacted", lit(fragFiles.length > outFiles.length))
-      .withColumn("size_ok", lit(sizeOk))
-  }
-
   /** J13 — NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM): rows
     * whose join key is NULL match a NULL dim key instead of being
     * dropped — the "unattributed bucket" pattern of a dimension join
@@ -531,10 +405,6 @@ object Extras4 {
     "j13_nullsafe_join" -> (j13NullSafeJoin _),
     "o9_union_missing" -> (o9UnionMissingCols _),
     "w12_ignore_nulls" -> (w12IgnoreNulls _),
-    "s16_xml" -> (s16Xml _),
-    "s17_avro" -> (s17Avro _),
-    "s18_compaction" -> (s18Compaction _),
-    "s19_nested_roundtrip" -> (s19NestedRoundtrip _),
     "x38_incremental_dedup" -> (x38IncrementalDedup _),
     "x39_train_shards" -> (x39TrainShards _),
     "x31_quality_quantile" -> (x31QualityQuantile _),
@@ -576,12 +446,6 @@ object Extras4 {
        "lag(v IGNORE NULLS) OVER (PARTITION BY user_id " +
        "ORDER BY ts_us, event_id) AS prev_reading " +
        "FROM e ORDER BY user_id, event_id"),
-    // XML round-trip must equal the aggregate straight off parquet
-    "s16_xml" ->
-      ("SELECT s_nationkey, COUNT(*) AS n, " +
-       s"${d.dsum("s_acctbal")} AS sum_bal, " +
-       "COUNT(DISTINCT s_name) AS n_names " +
-       "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"),
     // exhaustive exact cross-side Jaccard — the Spark side must find the
     // same straddling pairs via the banded probe (l2's oracle shape)
     "x38_incremental_dedup" ->
@@ -601,27 +465,6 @@ object Extras4 {
        "SELECT doc_id, shard, " +
        "CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) " +
        "AS BIGINT) AS pos FROM h ORDER BY doc_id"),
-    // compacted/size_ok are claims the Spark side measures from the real
-    // file listings (count dropped; output within one bin of ideal for
-    // the bytes written and mean file <= 2x target); the oracle states
-    // them as constants and recomputes the data columns from source
-    "s18_compaction" ->
-      ("SELECT COUNT(*) AS n_rows, " +
-       s"${d.dsum("o_totalprice")} AS revenue, " +
-       "COUNT(DISTINCT o_orderkey) AS n_keys, " +
-       "TRUE AS compacted, TRUE AS size_ok FROM orders"),
-    "s19_nested_roundtrip" ->
-      ("SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price, " +
-       "o_totalprice * 2 AS tier2, CAST(3 AS INT) AS n_tiers, " +
-       "o_orderpriority AS pri, strftime(o_orderdate, '%Y-%m-%d') AS day " +
-       "FROM orders ORDER BY o_orderkey"),
-    "s17_avro" ->
-      ("SELECT l_returnflag, COUNT(*) AS n, " +
-       s"${d.dsum("l_quantity")} AS sum_qty, " +
-       s"${d.dsum("l_extendedprice")} AS sum_price, " +
-       "COUNT(DISTINCT l_orderkey) AS n_orders " +
-       "FROM lineitem WHERE l_quantity > 45.0 " +
-       "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "x31_quality_quantile" ->
       ("WITH s AS (SELECT doc_id, lang, " +
        "round(length(text) / len(string_split(text, ' ')), 6) AS score " +

@@ -225,38 +225,6 @@ object Extras5 {
         lit(merges.distinct.length == merges.length).as("merges_distinct"))
   }
 
-  /** S21 — snapshot-versioned table layout with time travel (the
-    * poor-man's Delta/Iceberg: immutable version directories +
-    * partition-discovered version column, the convention a lake uses
-    * when no table format is available): version 1 is the raw snapshot;
-    * version 2 is a CDC restatement computed BY READING THE v1 FILES
-    * (deletes `% 10 = 0`, +100.00 upserts on `% 10 = 1`) and written to
-    * its own directory — v1 is never touched. Reading the root
-    * partition-discovers `v` and both snapshots aggregate side by side,
-    * which is exactly a time-travel query; the oracle recomputes both
-    * versions from the source table, so any mutation of v1 during the
-    * v2 write (or loss in the v2 derivation) breaks the hash. */
-  def s21SnapshotVersions(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = Tables.tune(spark)
-    val base = Tables.scratchDir("s21_snap", sfDir)
-    Tables.customer(spark, sfDir)
-      .select(col("c_custkey"), col("c_acctbal"))
-      .write.mode("overwrite").parquet(s"$base/v=1")
-    // the restatement reads the COMMITTED v1 files, not the source
-    s.read.parquet(s"$base/v=1")
-      .filter(col("c_custkey") % 10 =!= 0)
-      .select(col("c_custkey"),
-        when(col("c_custkey") % 10 === 1, col("c_acctbal") + 100.0)
-          .otherwise(col("c_acctbal")).as("c_acctbal"))
-      .write.mode("overwrite").parquet(s"$base/v=2")
-    s.read.option("basePath", base).parquet(s"$base/v=1", s"$base/v=2")
-      .groupBy(col("v").cast("int").as("v"))
-      .agg(count(lit(1)).as("n"),
-        countDistinct(col("c_custkey")).as("n_keys"),
-        Det.dsum(col("c_acctbal")).as("sum_bal"))
-      .orderBy(col("v"))
-  }
-
   /** W14 — native batch `session_window` (the built-in Spark 4 session
     * assignment in BATCH mode): 30-minute-gap sessions per user straight
     * from the grouping function, proving batch, the w9 lag+cumsum
@@ -280,8 +248,7 @@ object Extras5 {
     "x41_embed_neardup" -> (x41EmbedNearDup _),
     "x42_embed_dedup_keep" -> (x42EmbedDedupKeep _),
     "x43_winsorize" -> (x43Winsorize _),
-    "x44_bpe_train" -> (x44BpeTrain _),
-    "s21_snapshot_versions" -> (s21SnapshotVersions _))
+    "x44_bpe_train" -> (x44BpeTrain _))
 
   /** Shared oracle text for the x41/x42 corpus: the UNION base and the
     * exhaustive verified-pairs query (sign-flips applied inside the
@@ -387,16 +354,5 @@ object Extras5 {
       ("SELECT CAST(16 AS BIGINT) AS n_merges, " +
        "CAST(SUM(length(replace(text, ' ', ''))) AS BIGINT) " +
        "AS n_start_tokens, TRUE AS compressed, TRUE AS merges_distinct " +
-       "FROM documents"),
-    // both snapshots recomputed from source: v1 = raw, v2 = the CDC rule
-    "s21_snapshot_versions" ->
-      ("SELECT CAST(1 AS INT) AS v, COUNT(*) AS n, " +
-       "COUNT(DISTINCT c_custkey) AS n_keys, " +
-       s"${graft.Det.sql.dsum("c_acctbal")} AS sum_bal FROM customer " +
-       "UNION ALL " +
-       "SELECT CAST(2 AS INT), COUNT(*), COUNT(DISTINCT c_custkey), " +
-       s"${graft.Det.sql.dsum(
-         "CASE WHEN c_custkey % 10 = 1 THEN c_acctbal + 100.0 " +
-         "ELSE c_acctbal END")} FROM customer WHERE c_custkey % 10 <> 0 " +
-       "ORDER BY v"))
+       "FROM documents"))
 }

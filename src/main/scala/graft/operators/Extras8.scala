@@ -12,41 +12,6 @@ import graft.{Det, Tables}
   */
 object Extras8 {
 
-  /** S22 — DYNAMIC partition pruning (the runtime form of s8's static
-    * pruning): orders staged year-partitioned, joined to a tiny
-    * era-dimension whose FILTER IS ON A NON-PARTITION ATTRIBUTE — the
-    * set of fact partitions to read is unknowable at plan time and is
-    * derived at runtime from the dim's broadcast (Catalyst's
-    * PartitionPruning inserts a `dynamicpruning` subquery reusing the
-    * join's broadcast; Extras8Spec pins it in the plan along with the
-    * partition count actually read). At 100 TB this is the mainstream
-    * star-join saver: a date-dim filter prunes a date-partitioned fact
-    * to the qualifying partitions without scanning the rest. Values
-    * are plan-independent; the oracle recomputes from base orders with
-    * the dim semantics inlined. */
-  def s22DynamicPartitionPrune(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = Tables.tune(spark)
-    val base = Tables.scratchDir("s22_dpp", sfDir)
-    val factDir = s"$base/fact"
-    val dimDir = s"$base/dim"
-    Tables.orders(s, sfDir)
-      .withColumn("o_year", year(col("o_orderdate")))
-      .write.mode("overwrite").partitionBy("o_year").parquet(factDir)
-    import s.implicits._
-    // the corpus spans 1995..2001 (TESTDATA); 'early' = first 3 years
-    (1995 to 2001).map(y => (y, if (y <= 1997) "early" else "late"))
-      .toDF("o_year", "era")
-      .write.mode("overwrite").parquet(dimDir)
-    val fact = s.read.parquet(factDir)
-    val dim = s.read.parquet(dimDir).filter(col("era") === "early")
-    fact.join(dim, "o_year")
-      .groupBy(col("o_year"))
-      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("revenue"))
-      .select(col("o_year").cast("long").as("o_year"), col("n"),
-        col("revenue"))
-      .orderBy(col("o_year"))
-  }
-
   /** X58 — composed curation funnel (the end-to-end shape a crawl
     * pipeline runs nightly, with per-stage observability): language
     * gate → length gate → exact dedup, emitted as one funnel table
@@ -169,61 +134,6 @@ object Extras8 {
       .orderBy(col("chars").desc, col("source"))
   }
 
-  /** S23 — malformed-record handling on the CSV source (the crawl-feed
-    * robustness surface): a staged CSV directory of well-formed nation
-    * rows PLUS two planted malformed lines read under all three parser
-    * modes — DROPMALFORMED keeps exactly the good rows, PERMISSIVE
-    * keeps every line and quarantines the bad ones in
-    * `_corrupt_record` (the count is data, not a log line), FAILFAST
-    * refuses the file (asserted as a caught analysis/runtime error).
-    * Claims are tied to the nation row count so the oracle recomputes
-    * them; the planted-bad count is a staged constant. */
-  def s23CsvMalformed(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = Tables.tune(spark)
-    val dir = Tables.scratchDir("s23_csv", sfDir)
-    Tables.nation(s, sfDir)
-      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
-      .coalesce(1).write.mode("overwrite").csv(dir)
-    // both planted lines are TYPE-malformed (unparseable INT key):
-    // the CSV reader tolerates missing/extra trailing tokens, so token
-    // count alone is not a malformed record — a wrong-typed field is
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, "zz_bad.csv"),
-      "notanint,BADLAND,alsobad\nx1,BADTWO,9\n")
-    // TWO parse-avoidance fast paths must be defeated for malformed
-    // detection to mean anything: `count()` on a CSV read parses no
-    // fields at all (it counts raw lines — even a type-garbage row
-    // "counts"), and column pruning parses only the fields a query
-    // references (a bad INT field is invisible to a name-only
-    // projection, and Catalyst re-prunes aggregates no matter what the
-    // reader conf says). localCheckpoint materializes the FULL row set
-    // before any counting, so every record is completely parsed under
-    // its mode — exactly what an ingest reading all columns does.
-    val schema = "n_nationkey INT, n_name STRING, n_regionkey INT, " +
-      "_corrupt_record STRING"
-    val perm = s.read.schema(schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .csv(dir).localCheckpoint(true)
-    val permAgg = perm.agg(count(col("n_name")).as("n"),
-      count(col("_corrupt_record")).as("c")).collect()(0)
-    val (nPermissive, nCorrupt) = (permAgg.getLong(0), permAgg.getLong(1))
-    val nDrop = s.read
-      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
-      .option("mode", "DROPMALFORMED").csv(dir)
-      .localCheckpoint(true).count()
-    val failfastThrows =
-      try {
-        s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
-          .option("mode", "FAILFAST").csv(dir).localCheckpoint(true)
-        false
-      } catch { case _: Throwable => true }
-    import s.implicits._
-    Seq((nPermissive, nDrop, nCorrupt, failfastThrows))
-      .toDF("n_permissive", "n_dropmalformed", "n_corrupt",
-        "failfast_throws")
-  }
-
   /** X63 — exact containment join
     * ([[graft.api.TextPipeline.containmentPairs]], t = 0.8): directed
     * near-superset pairs — the quote/decontamination detector that
@@ -277,21 +187,12 @@ object Extras8 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x63_containment_join" -> (x63ContainmentJoin _),
     "x63b_containment_guard" -> (x63bContainmentGuard _),
-    "s22_dpp" -> (s22DynamicPartitionPrune _),
     "x58_curation_funnel" -> (x58CurationFunnel _),
     "x60_leakage_split" -> (x60LeakageSplit _),
     "x61_ngram_novelty" -> (x61NgramNovelty _),
-    "x62_mixture_report" -> (x62MixtureReport _),
-    "s23_csv_malformed" -> (s23CsvMalformed _))
+    "x62_mixture_report" -> (x62MixtureReport _))
 
   val oracles: Map[String, String] = Map(
-    // dim semantics inlined: era 'early' = years 1995..1997
-    "s22_dpp" ->
-      ("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
-       "COUNT(*) AS n, " +
-       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
-       "FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 1997 " +
-       "GROUP BY 1 ORDER BY o_year"),
     "x58_curation_funnel" ->
       ("WITH base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0, " +
        "CAST(SUM(n_chars) AS BIGINT) AS c0, " +
@@ -366,11 +267,5 @@ object Extras8 {
        "AND a.doc_id <> b.doc_id GROUP BY 1, 2) " +
        "SELECT doc_src, doc_sup, inter / ns.n_sh AS containment " +
        "FROM i JOIN n ns ON ns.doc_id = doc_src " +
-       "WHERE inter / ns.n_sh > 0.8 ORDER BY doc_src, doc_sup"),
-    // n_permissive = nation rows + 2 planted lines; dropmalformed keeps
-    // exactly the good rows; both bad lines land in _corrupt_record
-    "s23_csv_malformed" ->
-      ("SELECT (SELECT COUNT(*) FROM nation) + 2 AS n_permissive, " +
-       "(SELECT COUNT(*) FROM nation) AS n_dropmalformed, " +
-       "CAST(2 AS BIGINT) AS n_corrupt, TRUE AS failfast_throws"))
+       "WHERE inter / ns.n_sh > 0.8 ORDER BY doc_src, doc_sup"))
 }

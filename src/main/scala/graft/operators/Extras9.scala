@@ -156,47 +156,13 @@ object Extras9 {
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(100)
 
-  /** S24 — file-provenance lineage at scan time: a multi-feed landing
-    * zone (three staged sub-directories, one per upstream feed) read in
-    * ONE scan with `recursiveFileLookup`, each row tagged with its
-    * source feed via `input_file_name()` — the audit column every
-    * ingest writes so a bad upstream batch can be traced and surgically
-    * re-dropped (x29/x30's CDC machinery consumes exactly this tag).
-    * The lineage is parsed from the path with one regexp; per-feed
-    * counts and key ranges then verify against the staging rule, which
-    * the oracle recomputes from the base table. input_file_name is
-    * per-row metadata from the scan — no join, no extra pass. */
-  def s24FileLineage(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = Tables.tune(spark)
-    val base = Tables.scratchDir("s24_lineage", sfDir)
-    (0 to 2).foreach { g =>
-      Tables.nation(s, sfDir)
-        .filter(pmod(col("n_nationkey"), lit(3)) === g)
-        .coalesce(1).write.mode("overwrite").parquet(s"$base/feed_g$g")
-    }
-    s.read.option("recursiveFileLookup", "true").parquet(base)
-      .withColumn("feed",
-        regexp_extract(input_file_name(), "feed_g(\\d+)", 1).cast("int"))
-      .groupBy(col("feed"))
-      .agg(count(lit(1)).as("n"), min(col("n_nationkey")).as("min_key"),
-        max(col("n_nationkey")).as("max_key"))
-      .orderBy(col("feed"))
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s24_file_lineage" -> (s24FileLineage _),
     "x64_fuzzy_join" -> (x64FuzzyJoin _),
     "x66_repeated_spans" -> (x66RepeatedSpans _),
     "x67_diversified_topk" -> (x67DiversifiedTopK _),
     "x71_copurchase" -> (x71CoPurchase _))
 
   val oracles: Map[String, String] = Map(
-    // the staging rule restated over base nation: feed g holds the
-    // n_nationkey % 3 = g rows
-    "s24_file_lineage" ->
-      ("SELECT CAST(n_nationkey % 3 AS INT) AS feed, " +
-       "CAST(COUNT(*) AS BIGINT) AS n, MIN(n_nationkey) AS min_key, " +
-       "MAX(n_nationkey) AS max_key FROM nation GROUP BY 1 ORDER BY feed"),
     // the exhaustive recompute: every (dirty, clean) pair's true edit
     // distance — recall of the deletion-neighborhood blocking AND
     // precision of the verify are both hash-checked

@@ -407,7 +407,7 @@ class Extras10Spec extends SparkSpec {
   }
 
   test("s25: one corrupt file does not kill the tolerant scan") {
-    val r = Extras10.s25CorruptFiles(spark, sf).collect()(0)
+    val r = graft.operators.StorageOps.s25CorruptFiles(spark, sf).collect()(0)
     assert(r.getLong(0) == Tables.nation(spark, sf).count())
     assert(r.getBoolean(1))
   }

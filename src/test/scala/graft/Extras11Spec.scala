@@ -139,12 +139,12 @@ class Extras11Spec extends SparkSpec {
       .cache()
     try {
       base.count()
-      val agg = Extras11.cachedAgg(base)
+      val agg = graft.operators.StorageOps.cachedAgg(base)
       val scans = flattenPlan(agg.queryExecution.executedPlan).collect {
         case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
       }
       assert(scans.nonEmpty, "second reader must serve from the cache")
-      val uncached = Extras11.cachedAgg(Tables.orders(spark, sf)
+      val uncached = graft.operators.StorageOps.cachedAgg(Tables.orders(spark, sf)
         .filter(col("o_orderstatus") === "O")
         .select(col("o_orderpriority"), col("o_totalprice"), col("o_custkey")))
       assert(agg.collect().toSeq == uncached.collect().toSeq)
@@ -154,9 +154,9 @@ class Extras11Spec extends SparkSpec {
   test("s27: the nested scan's ReadSchema is pruned to the one leaf — " +
       "text bodies never decoded") {
     // stage via the contract row once, then inspect the pruned plan
-    Extras11.s27NestedPruning(spark, sf).collect()
+    graft.operators.StorageOps.s27NestedPruning(spark, sf).collect()
     val dir = Tables.scratchDir("s27_nested", sf)
-    val agg = Extras11.nestedLangCounts(
+    val agg = graft.operators.StorageOps.nestedLangCounts(
       Tables.tune(spark).read.parquet(s"$dir/data"))
     val scans = flattenPlan(agg.queryExecution.executedPlan).collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s

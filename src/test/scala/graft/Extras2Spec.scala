@@ -4,7 +4,7 @@ import graft.operators.Extras2
 
 class Extras2Spec extends SparkSpec {
   test("s8: year predicate prunes partitions at the file-listing level") {
-    val df = Extras2.s8PartitionPrune(spark, sf)
+    val df = graft.operators.StorageOps.s8PartitionPrune(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(o_year"),
       s"expected partition filters in scan:\n$plan")
@@ -13,7 +13,7 @@ class Extras2Spec extends SparkSpec {
 
   test("s14 dynamic overwrite: target partition restated, others byte-identical") {
     import org.apache.spark.sql.functions._
-    val res = graft.operators.Extras2.s14DynamicOverwrite(spark, sf).collect()
+    val res = graft.operators.StorageOps.s14DynamicOverwrite(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val want = Tables.orders(spark, sf)
       .groupBy(col("o_orderpriority"))
@@ -24,7 +24,7 @@ class Extras2Spec extends SparkSpec {
     assert(res == want)
     assert(res.size == 5, "all five priority partitions must survive")
     // idempotent: a second run re-states the same partition identically
-    val again = graft.operators.Extras2.s14DynamicOverwrite(spark, sf).collect()
+    val again = graft.operators.StorageOps.s14DynamicOverwrite(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(again == res)
   }

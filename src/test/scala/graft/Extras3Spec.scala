@@ -77,7 +77,7 @@ class Extras3Spec extends SparkSpec {
   }
 
   test("s9 sorted write: date predicate is pushed to the parquet scan") {
-    val df = Extras3.s9SortedWrite(spark, sf)
+    val df = graft.operators.StorageOps.s9SortedWrite(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") &&
       plan.contains("GreaterThanOrEqual(l_shipdate") ,

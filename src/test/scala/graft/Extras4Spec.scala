@@ -7,7 +7,7 @@ class Extras4Spec extends SparkSpec {
   import spark.implicits._
 
   test("s16 xml round-trip equals the parquet-direct aggregate") {
-    val viaXml = Extras4.s16Xml(spark, sf).collect()
+    val viaXml = graft.operators.StorageOps.s16Xml(spark, sf).collect()
     val direct = Tables.supplier(spark, sf)
       .groupBy(col("s_nationkey"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("s_acctbal")).as("sum_bal"),
@@ -17,7 +17,7 @@ class Extras4Spec extends SparkSpec {
   }
 
   test("s17 avro round-trip equals the parquet-direct aggregate") {
-    val viaAvro = Extras4.s17Avro(spark, sf).collect()
+    val viaAvro = graft.operators.StorageOps.s17Avro(spark, sf).collect()
     val direct = Tables.lineitem(spark, sf)
       .filter(col("l_quantity") > 45.0)
       .groupBy(col("l_returnflag"))
@@ -29,7 +29,7 @@ class Extras4Spec extends SparkSpec {
   }
 
   test("s19 nested round-trip: struct/array/map fields survive parquet exactly") {
-    val got = Extras4.s19NestedRoundtrip(spark, sf).collect()
+    val got = graft.operators.StorageOps.s19NestedRoundtrip(spark, sf).collect()
     val want = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         col("o_orderpriority"),
@@ -261,7 +261,7 @@ class Extras4Spec extends SparkSpec {
   }
 
   test("s18 compaction: rows and values survive, file count drops, output right-sized") {
-    val r = Extras4.s18Compaction(spark, sf).collect().head
+    val r = graft.operators.StorageOps.s18Compaction(spark, sf).collect().head
     val want = Tables.orders(spark, sf)
       .agg(count(lit(1)), Det.dsum(col("o_totalprice")),
         countDistinct(col("o_orderkey"))).collect().head
@@ -275,7 +275,7 @@ class Extras4Spec extends SparkSpec {
     // the bin arithmetic adapts instead of a hardcoded file count
     val sess = spark.newSession()
     sess.conf.set("spark.graft.compact.targetFileBytes", "131072")
-    val r2 = Extras4.s18Compaction(sess, sf).collect().head
+    val r2 = graft.operators.StorageOps.s18Compaction(sess, sf).collect().head
     assert(r2.getAs[Boolean]("size_ok"))
   }
 

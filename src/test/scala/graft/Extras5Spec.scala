@@ -213,7 +213,7 @@ class Extras5Spec extends SparkSpec {
   }
 
   test("s21 time travel: v1 is bit-identical to the source after the v2 write") {
-    Extras5.s21SnapshotVersions(spark, sf).collect() // runs both writes
+    graft.operators.StorageOps.s21SnapshotVersions(spark, sf).collect() // runs both writes
     val base = Tables.scratchDir("s21_snap", sf)
     val v1 = spark.read.parquet(s"$base/v=1").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap

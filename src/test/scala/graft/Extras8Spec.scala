@@ -33,7 +33,7 @@ class Extras8Spec extends SparkSpec {
 
   test("s22: the fact scan is pruned by a dynamicpruning subquery " +
       "and reads only the qualifying partitions") {
-    val df = Extras8.s22DynamicPartitionPrune(spark, sf)
+    val df = graft.operators.StorageOps.s22DynamicPartitionPrune(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan
     assert(plan.toString.contains("dynamicpruning"),
@@ -104,7 +104,7 @@ class Extras8Spec extends SparkSpec {
   }
 
   test("s23: parser modes agree on the planted-bad staging") {
-    val r = Extras8.s23CsvMalformed(spark, sf).collect()(0)
+    val r = graft.operators.StorageOps.s23CsvMalformed(spark, sf).collect()(0)
     val nNation = Tables.nation(spark, sf).count()
     assert(r.getLong(0) == nNation + 2)   // permissive keeps all lines
     assert(r.getLong(1) == nNation)       // dropmalformed keeps good only

@@ -109,7 +109,7 @@ class Extras9Spec extends SparkSpec {
   }
 
   test("s24: lineage tags partition the landing zone in one scan") {
-    val df = Extras9.s24FileLineage(spark, sf)
+    val df = graft.operators.StorageOps.s24FileLineage(spark, sf)
     val rows = df.collect()
     assert(rows.map(_.getInt(0)).toSet == Set(0, 1, 2))
     assert(rows.map(_.getLong(1)).sum ==
