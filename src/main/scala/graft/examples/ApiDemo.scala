@@ -185,7 +185,7 @@ object ApiDemo {
 
     // distributed global cumulative sum (no single-partition window)
     println("distributed cumulative sum over a custom frame:")
-    graft.operators.Extras10.distributedCumSum(
+    graft.operators.Windows.distributedCumSum(
         Seq((1, BigDecimal(10)), (2, BigDecimal(5)), (3, BigDecimal(7)))
           .toDF("t", "amt")
           .select(col("t"), col("amt").cast("decimal(18,4)").as("amt")),

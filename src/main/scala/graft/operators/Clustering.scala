@@ -358,9 +358,25 @@ object Clustering {
     "AS mean_silhouette FROM sil GROUP BY cluster ORDER BY cluster"
 
 
+  /** L8 — per-label embedding centroids: elementwise mean over the
+    * vector column via posexplode + grouped agg (shuffle volume =
+    * labels × dims, not rows × dims — map-side combine does the heavy
+    * lifting; the natural first step of k-means / IVF training). */
+  def l8Centroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(col("v").cast("double").cast(DecimalType(18, 8))).cast("double")
+          / count(lit(1))).as("mean_v"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        col("mean_v"), col("n_vecs"))
+      .orderBy(col("label"), col("dim"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x134_kmeans" -> (x134Kmeans _),
-    "x174_silhouette" -> (x174Silhouette _))
+    "x174_silhouette" -> (x174Silhouette _),
+    "l8_centroids" -> (l8Centroids _))
 
   /** One unrolled Lloyd round of the x134 oracle: assignment CTEs from
     * centroid table `prevC`, then the updated centroid table `c$n` —
@@ -425,5 +441,12 @@ object Clustering {
 
   val oracles: Map[String, String] = Map(
     "x134_kmeans" -> KmeansSql,
-    "x174_silhouette" -> SilhouetteSql)
+    "x174_silhouette" -> SilhouetteSql,
+    "l8_centroids" ->
+      ("SELECT label, d AS dim, " +
+       "CAST(SUM(CAST(CAST(embedding[d+1] AS DOUBLE) AS DECIMAL(18,8))) AS DOUBLE)" +
+       "/COUNT(*) AS mean_v, COUNT(*) AS n_vecs " +
+       "FROM embeddings CROSS JOIN " +
+       "(SELECT CAST(range AS BIGINT) AS d FROM range(0, 64)) r " +
+       "GROUP BY label, d ORDER BY label, dim"))
 }

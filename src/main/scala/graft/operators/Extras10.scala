@@ -14,70 +14,6 @@ import graft.{Det, Tables}
   */
 object Extras10 {
 
-  /** The reusable core of w16 — a GLOBAL cumulative sum with NO
-    * single-partition window (the thing PlanLint exists to forbid):
-    * classic two-phase distributed prefix sum.
-    *
-    *  1. range-partition by the order key (each partition owns a
-    *     contiguous key range),
-    *  2. per-partition running sums via a window PARTITIONED BY the
-    *     physical partition id (bounded, parallel),
-    *  3. per-partition totals → exclusive prefix offsets (one row per
-    *     partition — bounded driver work) broadcast-joined back.
-    *
-    * The result is independent of where the sampled range boundaries
-    * fall, so it is deterministic even though repartitionByRange
-    * samples. Input must be one row per key (pre-aggregate first);
-    * value must be DecimalType so every sum is exact and
-    * order-independent. At 100 TB this replaces the
-    * everything-into-one-task global window with one range shuffle +
-    * a tiny offsets table. */
-  def distributedCumSum(df: DataFrame, key: Column, value: Column,
-      nParts: Int): DataFrame = {
-    val spark = df.sparkSession
-    // pin the partition assignment: the offsets pass and the final pass
-    // MUST see identical pids, and the range boundaries come from a
-    // sampling pass we don't want to run twice
-    val parts = df.select(key.as("k"), value.as("v"))
-      .repartitionByRange(nParts, col("k"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true)
-    // ONE row per physical partition — control-plane metadata bounded
-    // by cluster size (what RangePartitioner itself collects), never by
-    // data size; the exclusive prefix over ≤ nParts totals is O(nParts)
-    // driver arithmetic in exact BigDecimal
-    val totals = parts.groupBy(col("pid"))
-      .agg(sum(col("v")).as("ptotal"))
-      .collect()
-      .map(r => (r.getInt(0), BigDecimal(r.getDecimal(1))))
-      .sortBy(_._1)
-    var acc = BigDecimal(0)
-    val offsets = totals.map { case (pid, t) =>
-      val o = acc; acc += t; (pid, o)
-    }.toSeq
-    import spark.implicits._
-    val offDf = offsets.toDF("pid", "offset")
-    val w = Window.partitionBy(col("pid")).orderBy(col("k"))
-    parts.join(broadcast(offDf), "pid")
-      .withColumn("cum", col("offset") + sum(col("v")).over(w))
-      .select(col("k"), col("v"), col("cum"))
-  }
-
-  /** W16 — global running revenue by day over orders, through
-    * [[distributedCumSum]]: per-day DECIMAL totals (one grouped agg),
-    * then the two-phase distributed prefix sum. The offsets window runs
-    * over ONE ROW PER PARTITION (8 rows) — that bounded frame is the
-    * only global ordering anywhere in the plan. */
-  def w16DistributedCumSum(spark: SparkSession, sfDir: String): DataFrame = {
-    val daily = Tables.orders(spark, sfDir)
-      .groupBy(col("o_orderdate").cast("date").as("day"))
-      .agg(sum(col("o_totalprice").cast(Det.Money)).as("rev"))
-    distributedCumSum(daily, col("day"), col("rev"), 8)
-      .select(col("k").as("day"), col("v").cast("double").as("revenue"),
-        col("cum").cast("double").as("cum_revenue"))
-      .orderBy(col("day"))
-  }
-
   /** X72 — MMR diversified re-rank
     * ([[graft.api.VectorPipeline.mmrRerank]], λ=0.5, k=5 over the
     * exact top-20 shortlist): the redundancy-penalized re-ranker a
@@ -473,8 +409,7 @@ object Extras10 {
     "x75_cluster_histogram" -> (x75ClusterHistogram _),
     "x77_skew_report" -> (x77SkewReport _),
     "x74_kmv_overlap" -> (x74KmvOverlap _),
-    "x72_mmr_rerank" -> (x72MmrRerank _),
-    "w16_distributed_cumsum" -> (w16DistributedCumSum _))
+    "x72_mmr_rerank" -> (x72MmrRerank _))
 
   val oracles: Map[String, String] = Map(
     // integer tf/df/dl, one avgdl division, ln at 6-dp rounding (x49's
@@ -636,14 +571,5 @@ object Extras10 {
     // not SQL-expressible; the claims are (see scaladoc)
     "x72_mmr_rerank" ->
       ("SELECT CAST(10 AS BIGINT) AS n_probes, CAST(5 AS BIGINT) AS k, " +
-       "TRUE AS top1_ok, TRUE AS subset_ok, TRUE AS diversity_ok"),
-    // DECIMAL window sum is exact, so the two-phase Spark plan and the
-    // oracle's single window agree bitwise after the final double cast
-    "w16_distributed_cumsum" ->
-      ("WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, " +
-       "SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev " +
-       "FROM orders GROUP BY 1) " +
-       "SELECT day, CAST(rev AS DOUBLE) AS revenue, " +
-       "CAST(SUM(rev) OVER (ORDER BY day) AS DOUBLE) AS cum_revenue " +
-       "FROM d ORDER BY day"))
+       "TRUE AS top1_ok, TRUE AS subset_ok, TRUE AS diversity_ok"))
 }

@@ -310,114 +310,7 @@ object Extras11 {
       .orderBy(col("label"))
   }
 
-  /** J14 — AQE runtime skew-join remediation (the AUTOMATIC tier above
-    * x28's manual salting): a fact table with one planted hot customer
-    * (two thirds of all rows) merge-joined to customer under AQE with the
-    * skew thresholds sized to this corpus — the runtime splits the hot
-    * partition into multiple tasks (spec pins `isSkewJoin`) while the
-    * RESULT stays exactly the oracle's aggregate. The conf dance
-    * (thresholds + broadcast disabled to keep an SMJ) is saved and
-    * restored; on a real cluster the defaults (256 MB) do the same job
-    * without tuning. This is the lever that turns a 4-hour straggler
-    * stage into even tasks at 100 TB — exercised, not just cited. */
-  def j14AqeSkewJoin(spark: SparkSession, sfDir: String): DataFrame =
-    // materialize INSIDE the conf window: confs are read at execution,
-    // not plan construction — returning the lazy frame would run the
-    // join after the finally-restore, silently skipping the skew path
-    withSkewConfs(spark) { skewedFactAgg(spark, sfDir).localCheckpoint(true) }
-
-  private[graft] def withSkewConfs[T](spark: SparkSession)(f: => T): T = {
-    val keep = Seq(
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      "spark.sql.adaptive.forceOptimizeSkewedJoin",
-      "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-      "spark.sql.files.maxPartitionBytes",
-      "spark.sql.autoBroadcastJoinThreshold")
-      .map(k => k -> spark.conf.getOption(k))
-    spark.conf.set(
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1k")
-    // the planted 33% hot bucket is ~3x the median, not the default 5x
-    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2k")
-    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
-    // the 1 MB default FLOORS the split target — at corpus scale no
-    // sub-MB partition could ever be "skewed" (found via the rule's
-    // debug sizes: max 112 KB vs an actual target clamped to 1 MB)
-    spark.conf.set(
-      "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
-    // skew splits are MAPPER-granular (PartialReducerPartitionSpec
-    // ranges over map indexes): a single-split scan has one mapper and
-    // nothing to split, so force many map tasks at corpus scale
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "64k")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try f
-    finally keep.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
-  /** The skewed join itself (split out so the spec can inspect its
-    * executed plan under [[withSkewConfs]]): the planted fact keys ~67%
-    * of its rows (every o_orderkey % 3 != 0) to ONE customer. */
-  private[graft] def skewedFactAgg(spark: SparkSession,
-      sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-    // plant the hot key: every o_orderkey % 3 != 0 order re-keyed to
-    // customer 1 — a deterministic 67% hot bucket (the repeated key
-    // compresses well in the shuffle stream, so a milder plant stays
-    // under the byte-based skew test — measured)
-    // many MAP tasks for the join shuffle: skew splits are mapper-
-    // granular, and this corpus's single-row-group parquet collapses
-    // the scan to one mapper (at 100 TB the scan has thousands); the
-    // round-robin repartition restores the condition the feature needs
-    val fact = o.repartition(16).withColumn("cust",
-      when(col("o_orderkey") % 3 =!= 0, lit(1L)).otherwise(col("o_custkey")))
-    val c = Tables.customer(spark, sfDir)
-      .select(col("c_custkey"), col("c_mktsegment"))
-    fact.join(c.hint("merge"), col("cust") === col("c_custkey"))
-      .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast(Det.Money)).cast("double").as("total"))
-      .orderBy(col("c_mktsegment"))
-  }
-
-  /** W17 — ratio_to_report window family (the BI share-of-total
-    * everywhere in dashboards): each order's revenue share within its
-    * priority group AND of the grand total, in one pass — the grouped
-    * share is a keyed window; the GRAND total deliberately comes from
-    * a one-row aggregate cross-joined in (broadcast), NOT an empty-
-    * PARTITION-BY window (PlanLint forbids the single-partition form
-    * at any scale). DECIMAL sums exact; the two divisions are single
-    * IEEE ops. Top-100 by share for a bounded contract row. */
-  def w17RatioToReport(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_orderpriority"),
-        col("o_totalprice").cast(Det.Money).as("p"))
-    // group totals as a 5-row GROUPED AGGREGATE broadcast back — not a
-    // window: PlanLint's low-cardinality-window-key rule (correctly)
-    // rejects a window partitioned by a 5-value domain, which funnels
-    // the whole stream through 5 tasks at scale; the aggregate keeps
-    // map-side partials and the join broadcasts
-    val grpTotals = o.groupBy(col("o_orderpriority"))
-      .agg(sum(col("p")).as("grp_total"))
-    val grand = o.agg(sum(col("p")).as("g"))
-    o.join(grpTotals, "o_orderpriority")
-      .crossJoin(grand)
-      .select(col("o_orderkey"), col("o_orderpriority"),
-        round(col("p").cast("double") / col("grp_total").cast("double"), 9)
-          .as("share_of_priority"),
-        round(col("p").cast("double") / col("g").cast("double"), 9)
-          .as("share_of_total"))
-      .orderBy(col("share_of_total").desc, col("o_orderkey")).limit(100)
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "w17_ratio_to_report" -> (w17RatioToReport _),
-    "j14_aqe_skew_join" -> (j14AqeSkewJoin _),
     "x125_token_drift" -> (x125TokenDrift _),
     "x126_embedding_drift" -> (x126EmbeddingDrift _),
     "x123_matryoshka" -> (x123Matryoshka _),
@@ -456,26 +349,6 @@ object Extras11 {
     "WHERE rank <= 5)"
 
   val oracles: Map[String, String] = Map(
-    // keyed window share + broadcast grand total, same rounding
-    "w17_ratio_to_report" ->
-      ("WITH o AS (SELECT o_orderkey, o_orderpriority, " +
-       "CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders), " +
-       "g AS (SELECT SUM(p) AS g FROM o), " +
-       "w AS (SELECT o_orderkey, o_orderpriority, p, " +
-       "SUM(p) OVER (PARTITION BY o_orderpriority) AS grp_total FROM o) " +
-       "SELECT o_orderkey, o_orderpriority, " +
-       "round(CAST(p AS DOUBLE) / CAST(grp_total AS DOUBLE), 9) " +
-       "AS share_of_priority, " +
-       "round(CAST(p AS DOUBLE) / CAST(g.g AS DOUBLE), 9) " +
-       "AS share_of_total FROM w CROSS JOIN g " +
-       "ORDER BY share_of_total DESC, o_orderkey LIMIT 100"),
-    // the re-keyed join recomputed; skew handling must be value-neutral
-    "j14_aqe_skew_join" ->
-      ("SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, " +
-       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
-       "FROM orders o JOIN customer c ON c.c_custkey = " +
-       "(CASE WHEN o.o_orderkey % 3 <> 0 THEN 1 ELSE o.o_custkey END) " +
-       "GROUP BY 1 ORDER BY c_mktsegment"),
     // same token split, same smoothing chain, same rounding
     "x125_token_drift" ->
       ("WITH oldt AS (SELECT t.tok, COUNT(*) AS c_old FROM documents d, " +

@@ -9,17 +9,6 @@ import graft.{Det, Tables}
   */
 object Extras2 {
 
-  /** SQL3 — the custom codegen expression registered into the session
-    * FunctionRegistry and called from a SQL string: vector self-dot
-    * (≈1.0 for the unit-normalized corpus). */
-  def sql3VectorNorm(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    Tables.embeddings(spark, sfDir).createOrReplaceTempView("v_embeddings")
-    spark.sql(
-      """SELECT vec_id, round(graft_dot(embedding, embedding), 6) AS norm2
-        |FROM v_embeddings ORDER BY vec_id""".stripMargin)
-  }
-
   /** X13 — deterministic content-hash sampling: keep documents whose
     * md5(text) prefix falls under a threshold (~10%). Unlike RNG-based
     * df.sample, the sample is reproducible across engines, runs, and
@@ -33,15 +22,10 @@ object Extras2 {
       .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x13_hash_sample" -> (x13HashSample _),
-    "sql3_vector_norm" -> (sql3VectorNorm _))
+    "x13_hash_sample" -> (x13HashSample _))
 
   val oracles: Map[String, String] = Map(
     "x13_hash_sample" ->
       ("SELECT doc_id, lang, substr(md5(text), 1, 2) AS bucket FROM documents " +
-       "WHERE substr(md5(text), 1, 2) <= '19' ORDER BY doc_id"),
-    "sql3_vector_norm" ->
-      ("SELECT vec_id, round(SUM(CAST(embedding[i] AS DOUBLE) * " +
-       "CAST(embedding[i] AS DOUBLE)), 6) AS norm2 " +
-       "FROM embeddings, range(1, 65) r(i) GROUP BY vec_id ORDER BY vec_id"))
+       "WHERE substr(md5(text), 1, 2) <= '19' ORDER BY doc_id"))
 }

@@ -15,69 +15,6 @@ import graft.{Det, Tables}
   */
 object Extras3 {
 
-  /** W8 — distribution window functions: percent_rank, cume_dist, and
-    * nth_value over customers ranked by balance within market segment.
-    * The ORDER BY carries a unique tie-break so rank positions (and the
-    * rank-derived doubles) are identical across engines.
-    *
-    * Computed via the x31/x39 rank DECOMPOSITION, not a window over the
-    * 5-value segment key (which would funnel the table through 5 tasks
-    * at scale): the unique ordering makes rank = row position, so
-    * pr = (rank−1)/(n−1), cd = rank/n, and nth_value(2) is simply the
-    * rank-2 row per segment broadcast back. rank itself = (#rows with
-    * larger balance) + (tie position by custkey), from a fine-grained
-    * (segment, balance) tie window plus cumulative counts over the
-    * aggregate-bounded distinct-balance frame. The oracle stays DuckDB's
-    * NATIVE percent_rank/cume_dist/nth_value — proving the decomposition
-    * reproduces standard window semantics exactly. */
-  def w8Distribution(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.customer(spark, sfDir)
-      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
-        col("c_acctbal"))
-      .localCheckpoint(true)
-    val perBal = base.groupBy(col("c_mktsegment"), col("c_acctbal"))
-      .agg(count(lit(1)).as("n_at"))
-    val wCum = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("c_acctbal").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = perBal.withColumn("c_le", sum(col("n_at")).over(wCum))
-      .select(col("c_mktsegment"), col("c_acctbal"),
-        (col("c_le") - col("n_at")).as("c_lt"))
-    val totals = perBal.groupBy(col("c_mktsegment"))
-      .agg(sum(col("n_at")).as("n_seg"))
-    val wTie = Window.partitionBy(col("c_mktsegment"), col("c_acctbal"))
-      .orderBy(col("c_custkey"))
-    val ranked = base
-      .withColumn("tie", row_number().over(wTie).cast("long"))
-      .join(cum, Seq("c_mktsegment", "c_acctbal"))
-      .withColumn("rnk", col("c_lt") + col("tie"))
-      .join(broadcast(totals), "c_mktsegment")
-    val runnerUp = ranked.filter(col("rnk") === 2)
-      .select(col("c_mktsegment"), col("c_name").as("runner_up"))
-    ranked.join(broadcast(runnerUp), Seq("c_mktsegment"), "left")
-      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-        round(when(col("n_seg") === 1, lit(0.0))
-          .otherwise((col("rnk") - 1) / (col("n_seg") - 1)), 6).as("pr"),
-        round(col("rnk") / col("n_seg"), 6).as("cd"),
-        col("runner_up"))
-      .orderBy(col("c_mktsegment"), col("c_custkey"))
-  }
-
-  /** L8 — per-label embedding centroids: elementwise mean over the
-    * vector column via posexplode + grouped agg (shuffle volume =
-    * labels × dims, not rows × dims — map-side combine does the heavy
-    * lifting; the natural first step of k-means / IVF training). */
-  def l8Centroids(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy(col("label"), col("dim"))
-      .agg((sum(col("v").cast("double").cast(DecimalType(18, 8))).cast("double")
-          / count(lit(1))).as("mean_v"),
-        count(lit(1)).as("n_vecs"))
-      .select(col("label"), col("dim").cast("long").as("dim"),
-        col("mean_v"), col("n_vecs"))
-      .orderBy(col("label"), col("dim"))
-
   /** X15 — latest-record-per-key compaction (CDC/snapshot dedup): each
     * user's most recent event via max_by over a composite (ts, event_id)
     * order — one grouped agg, no window sort of the full table. */
@@ -152,141 +89,13 @@ object Extras3 {
       .orderBy(col("key"))
   }
 
-  /** W9 — batch sessionization: the lag + running-sum session-id
-    * assignment (gap > 30 min starts a new session), the batch twin of
-    * the streaming session_window (ST3) — one shuffle on user_id, two
-    * window passes, then a grouped agg. Output matches ST3's exactly
-    * (session end = last event + gap). */
-  def w9BatchSessionize(spark: SparkSession, sfDir: String): DataFrame = {
-    val gapUs = 1800000000L
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.eventsUs(spark, sfDir)
-      .withColumn("new_sess",
-        when(col("ts") - lag(col("ts"), 1).over(w) > gapUs ||
-          lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L))
-      .withColumn("sid", sum(col("new_sess")).over(wRun))
-      .groupBy(col("user_id"), col("sid"))
-      .agg(min(col("ts")).as("sess_start_us"),
-        (max(col("ts")) + gapUs).as("sess_end_us"),
-        count(lit(1)).as("n_events"))
-      .select(col("user_id"), col("sess_start_us"), col("sess_end_us"),
-        col("n_events"))
-      .orderBy(col("user_id"), col("sess_start_us"))
-  }
-
-  /** X14 raw — hyperplane-LSH ANN neighbor lists (approximate by
-    * design): see [[graft.api.VectorPipeline.hyperplaneLshTopK]].
-    * Multi-probe over 1-bit-flip buckets; exact rerank within
-    * candidates. */
-  def x14LshAnnRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-    graft.api.VectorPipeline.hyperplaneLshTopK(
-        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
-      .orderBy(col("probe_id"), col("rank"))
-  }
-
-  /** X14 contract — derived-claim form (see
-    * [[graft.api.VectorPipeline.annClaim]]): on this near-orthogonal
-    * corpus the exact top-5 are statistically indistinguishable from
-    * ranks 6..50, so set-recall is noise (measured 0.08–0.12) — the
-    * meaningful, scale-stable claim is the mean-sim ratio of the
-    * returned 5 vs the exact 5, bounded at 0.5 (measured 0.58–0.74
-    * across SFs). No recall claim is stated. */
-  def x14LshAnn(spark: SparkSession, sfDir: String): DataFrame =
-    graft.api.VectorPipeline.annClaim(
-      SimSearch.l3TopKCosine(spark, sfDir), x14LshAnnRaw(spark, sfDir),
-      k = 5, recallBound = None, simRatioBound = 0.5)
-
-  /** J12 — optimizer-banded range join: clicks × errors within the
-    * following minute, written as the NAIVE pure range join (no equi
-    * key). Without [[graft.plans.BandedRangeJoinRule]] Catalyst can only
-    * nested-loop this; with the rule installed the optimizer rewrites it
-    * to a banded equi-join (checked by Extras3Spec). Same declarative
-    * query, cluster-viable plan. */
-  def j12RangeJoinAuto(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.plans.GraftExtensions.install(spark)
-    val ev = Tables.eventsUs(spark, sfDir)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("id_a"), col("ts").as("ts_a"))
-    val errors = ev.filter(col("event_type") === "error")
-      .select(col("event_id").as("id_b"), col("ts").as("ts_b"))
-    clicks.join(errors,
-        col("ts_b") >= col("ts_a") &&
-        col("ts_b") <= col("ts_a") + lit(60000000L), "inner")
-      .groupBy(col("id_a"))
-      .agg(count(lit(1)).as("n_errors"),
-        min(col("ts_b") - col("ts_a")).as("min_gap_us"))
-      .orderBy(col("id_a"))
-  }
-
-  /** O8 — pagination: total order + LIMIT/OFFSET via the native
-    * Dataset.offset operator (rows 101–150 of customers by balance). */
-  def o8Offset(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.customer(spark, sfDir)
-      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-      .offset(100)
-      .limit(50)
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "j12_range_join_auto" -> (j12RangeJoinAuto _),
-    "w9_batch_sessionize" -> (w9BatchSessionize _),
-    "o8_offset" -> (o8Offset _),
-    "w8_distribution" -> (w8Distribution _),
-    "l8_centroids" -> (l8Centroids _),
     "x15_latest_by_key" -> (x15LatestByKey _),
     "x25_scd2" -> (x25Scd2 _),
-    "x30_apply_cdc" -> (x30ApplyCdc _),
-    "x14_lsh_ann" -> (x14LshAnn _))
+    "x30_apply_cdc" -> (x30ApplyCdc _))
 
   import Det.{sql => d}
   val oracles: Map[String, String] = Map(
-    "x14_lsh_ann" ->
-      ("SELECT CAST(10 AS BIGINT) AS n_probes, CAST(5 AS BIGINT) AS k, " +
-       "TRUE AS simratio_ok"),
-    // same SQL as the streaming session-window oracle (ST3): batch and
-    // stream must agree on the session decomposition
-    "w9_batch_sessionize" ->
-      ("WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +
-       "flagged AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER " +
-       "(PARTITION BY user_id ORDER BY t) > 1800000000 " +
-       "OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL " +
-       "THEN 1 ELSE 0 END AS new_sess FROM e), " +
-       "sess AS (SELECT user_id, t, SUM(new_sess) OVER " +
-       "(PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING " +
-       "AND CURRENT ROW) AS sid FROM flagged) " +
-       "SELECT user_id, MIN(t) AS sess_start_us, " +
-       "MAX(t) + 1800000000 AS sess_end_us, COUNT(*) AS n_events " +
-       "FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start_us"),
-    "j12_range_join_auto" ->
-      ("SELECT id_a, COUNT(*) AS n_errors, MIN(tb - ta) AS min_gap_us FROM " +
-       "(SELECT event_id AS id_a, epoch_us(ts) AS ta FROM events " +
-       "WHERE event_type = 'click') a JOIN " +
-       "(SELECT event_id AS id_b, epoch_us(ts) AS tb FROM events " +
-       "WHERE event_type = 'error') b " +
-       "ON tb >= ta AND tb <= ta + 60000000 " +
-       "GROUP BY id_a ORDER BY id_a"),
-    "o8_offset" ->
-      ("SELECT c_custkey, c_name, c_acctbal FROM customer " +
-       "ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 50 OFFSET 100"),
-    "w8_distribution" ->
-      ("SELECT c_custkey, c_mktsegment, c_acctbal, " +
-       "round(percent_rank() OVER w, 6) AS pr, " +
-       "round(cume_dist() OVER w, 6) AS cd, " +
-       "nth_value(c_name, 2) OVER (PARTITION BY c_mktsegment " +
-       "ORDER BY c_acctbal DESC, c_custkey ASC " +
-       "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS runner_up " +
-       "FROM customer " +
-       "WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) " +
-       "ORDER BY c_mktsegment, c_custkey"),
-    "l8_centroids" ->
-      ("SELECT label, d AS dim, " +
-       "CAST(SUM(CAST(CAST(embedding[d+1] AS DOUBLE) AS DECIMAL(18,8))) AS DOUBLE)" +
-       "/COUNT(*) AS mean_v, COUNT(*) AS n_vecs " +
-       "FROM embeddings CROSS JOIN " +
-       "(SELECT CAST(range AS BIGINT) AS d FROM range(0, 64)) r " +
-       "GROUP BY label, d ORDER BY label, dim"),
     // DuckDB 1.0's arg_max has no composite-key overload, so the oracle
     // re-expresses max_by as a window top-1 with the same tie-break
     "x15_latest_by_key" ->

@@ -342,69 +342,7 @@ object Extras4 {
       .orderBy(col("doc_id"))
   }
 
-  /** J13 — NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM): rows
-    * whose join key is NULL match a NULL dim key instead of being
-    * dropped — the "unattributed bucket" pattern of a dimension join
-    * over dirty keys. A regular equi-join would silently lose the
-    * `% 7 = 0` slice; here they land on the `<none>` label. The dim is
-    * derived, tiny, and broadcast (EqualNullSafe still hashes —
-    * Spark coalesces the key — so this stays a broadcast hash join). */
-  def j13NullSafeJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val withNulls = Tables.customer(spark, sfDir)
-      .select(col("c_custkey"),
-        when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
-          .otherwise(col("c_mktsegment")).as("seg"))
-    val dim = withNulls.select(col("seg")).distinct()
-      .select(col("seg").as("dim_seg"),
-        coalesce(col("dim_seg"), lit("<none>")).as("label"))
-    withNulls.join(broadcast(dim), col("seg") <=> col("dim_seg"))
-      .groupBy(col("label"))
-      .agg(count(lit(1)).as("n"), countDistinct(col("c_custkey")).as("n_cust"))
-      .orderBy(col("label"))
-  }
-
-  /** O9 — unionByName with missing columns: the schema-drift append
-    * (generation 2 added a column, generation 1 lacks it) — missing
-    * columns null-fill per side, matched BY NAME not position. The
-    * per-side null accounting proves which side filled what. */
-  def o9UnionMissingCols(spark: SparkSession, sfDir: String): DataFrame = {
-    val gen1 = Tables.supplier(spark, sfDir)
-      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
-    val gen2 = Tables.supplier(spark, sfDir)
-      .select(col("s_suppkey"), col("s_nationkey"))
-    gen1.unionByName(gen2, allowMissingColumns = true)
-      .groupBy((col("s_suppkey") % 10).as("bucket"))
-      .agg(count(lit(1)).as("n"),
-        count(col("s_acctbal")).as("n_with_bal"),
-        count(col("s_nationkey")).as("n_with_nation"),
-        Det.dsum(col("s_acctbal")).as("sum_bal"))
-      .orderBy(col("bucket"))
-  }
-
-  /** W12 — IGNORE NULLS window offsets: last-observation-carried-forward
-    * (the sensor/tick gap-fill idiom) plus the previous non-null reading
-    * — `last(col, ignoreNulls)` and `lag IGNORE NULLS` over a per-user
-    * event-time order. Nulls are planted deterministically (`event_id %
-    * 5 = 0`) so every partition mixes present and missing readings. */
-  def w12IgnoreNulls(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.eventsUs(spark, sfDir)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        when(col("event_id") % 5 === 0, lit(null).cast("double"))
-          .otherwise(col("value")).as("v"))
-      .select(col("user_id"), col("event_id"), col("v"),
-        last(col("v"), ignoreNulls = true).over(wRun).as("locf"),
-        expr("lag(v) IGNORE NULLS OVER (PARTITION BY user_id " +
-          "ORDER BY ts, event_id)").as("prev_reading"))
-      .orderBy(col("user_id"), col("event_id"))
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "j13_nullsafe_join" -> (j13NullSafeJoin _),
-    "o9_union_missing" -> (o9UnionMissingCols _),
-    "w12_ignore_nulls" -> (w12IgnoreNulls _),
     "x38_incremental_dedup" -> (x38IncrementalDedup _),
     "x39_train_shards" -> (x39TrainShards _),
     "x31_quality_quantile" -> (x31QualityQuantile _),
@@ -416,36 +354,6 @@ object Extras4 {
 
   import Det.{sql => d}
   val oracles: Map[String, String] = Map(
-    "j13_nullsafe_join" ->
-      ("WITH a AS (SELECT c_custkey, " +
-       "CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg " +
-       "FROM customer), " +
-       "dim AS (SELECT seg AS dim_seg, COALESCE(seg, '<none>') AS label " +
-       "FROM (SELECT DISTINCT seg FROM a) t) " +
-       "SELECT label, COUNT(*) AS n, COUNT(DISTINCT c_custkey) AS n_cust " +
-       "FROM a JOIN dim ON a.seg IS NOT DISTINCT FROM dim.dim_seg " +
-       "GROUP BY label ORDER BY label"),
-    "o9_union_missing" ->
-      ("WITH u AS (SELECT s_suppkey, s_acctbal, NULL AS s_nationkey " +
-       "FROM supplier " +
-       "UNION ALL SELECT s_suppkey, NULL AS s_acctbal, s_nationkey " +
-       "FROM supplier) " +
-       "SELECT s_suppkey % 10 AS bucket, COUNT(*) AS n, " +
-       "COUNT(s_acctbal) AS n_with_bal, " +
-       "COUNT(s_nationkey) AS n_with_nation, " +
-       s"${d.dsum("s_acctbal")} AS sum_bal " +
-       "FROM u GROUP BY 1 ORDER BY bucket"),
-    "w12_ignore_nulls" ->
-      ("WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, " +
-       "CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v " +
-       "FROM events) " +
-       "SELECT user_id, event_id, v, " +
-       "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id " +
-       "ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING " +
-       "AND CURRENT ROW) AS locf, " +
-       "lag(v IGNORE NULLS) OVER (PARTITION BY user_id " +
-       "ORDER BY ts_us, event_id) AS prev_reading " +
-       "FROM e ORDER BY user_id, event_id"),
     // exhaustive exact cross-side Jaccard — the Spark side must find the
     // same straddling pairs via the banded probe (l2's oracle shape)
     "x38_incremental_dedup" ->

@@ -225,25 +225,7 @@ object Extras5 {
         lit(merges.distinct.length == merges.length).as("merges_distinct"))
   }
 
-  /** W14 — native batch `session_window` (the built-in Spark 4 session
-    * assignment in BATCH mode): 30-minute-gap sessions per user straight
-    * from the grouping function, proving batch, the w9 lag+cumsum
-    * decomposition, and the st3/st13 streaming forms all agree on the
-    * same session decomposition (all four share one oracle SQL). The
-    * group key (user, session) grows with the data — no funnel. */
-  def w14SessionWindow(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.eventsUs(spark, sfDir)
-      .select(col("user_id"), timestamp_micros(col("ts")).as("ts_t"))
-      .groupBy(col("user_id"), session_window(col("ts_t"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"),
-        unix_micros(col("session_window.start")).as("sess_start_us"),
-        unix_micros(col("session_window.end")).as("sess_end_us"),
-        col("n_events"))
-      .orderBy(col("user_id"), col("sess_start_us"))
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "w14_session_window" -> (w14SessionWindow _),
     "x40_bpe_tokens" -> (x40BpeTokens _),
     "x41_embed_neardup" -> (x41EmbedNearDup _),
     "x42_embed_dedup_keep" -> (x42EmbedDedupKeep _),
@@ -270,20 +252,6 @@ object Extras5 {
     ">= 0.8"
 
   val oracles: Map[String, String] = Map(
-    // same SQL as the streaming session-window oracle (ST3/w9): batch
-    // session_window, the lag+cumsum form, and the stream must agree
-    "w14_session_window" ->
-      ("WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +
-       "flagged AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER " +
-       "(PARTITION BY user_id ORDER BY t) > 1800000000 " +
-       "OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL " +
-       "THEN 1 ELSE 0 END AS new_sess FROM e), " +
-       "sess AS (SELECT user_id, t, SUM(new_sess) OVER " +
-       "(PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING " +
-       "AND CURRENT ROW) AS sid FROM flagged) " +
-       "SELECT user_id, MIN(t) AS sess_start_us, " +
-       "MAX(t) + 1800000000 AS sess_end_us, COUNT(*) AS n_events " +
-       "FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start_us"),
     // the pinned vocab is recomputed as data (same deterministic
     // tie-break); SUM over ints is HUGEINT in DuckDB — CAST (x21 lesson)
     "x40_bpe_tokens" ->

@@ -173,6 +173,122 @@ object Joins {
       .orderBy(col("r_name"), col("o_year"))
   }
 
+  /** J12 — optimizer-banded range join: clicks × errors within the
+    * following minute, written as the NAIVE pure range join (no equi
+    * key). Without [[graft.plans.BandedRangeJoinRule]] Catalyst can only
+    * nested-loop this; with the rule installed the optimizer rewrites it
+    * to a banded equi-join (checked by Extras3Spec). Same declarative
+    * query, cluster-viable plan. */
+  def j12RangeJoinAuto(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(spark)
+    val ev = Tables.eventsUs(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("id_a"), col("ts").as("ts_a"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("id_b"), col("ts").as("ts_b"))
+    clicks.join(errors,
+        col("ts_b") >= col("ts_a") &&
+        col("ts_b") <= col("ts_a") + lit(60000000L), "inner")
+      .groupBy(col("id_a"))
+      .agg(count(lit(1)).as("n_errors"),
+        min(col("ts_b") - col("ts_a")).as("min_gap_us"))
+      .orderBy(col("id_a"))
+  }
+  /** J13 — NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM): rows
+    * whose join key is NULL match a NULL dim key instead of being
+    * dropped — the "unattributed bucket" pattern of a dimension join
+    * over dirty keys. A regular equi-join would silently lose the
+    * `% 7 = 0` slice; here they land on the `<none>` label. The dim is
+    * derived, tiny, and broadcast (EqualNullSafe still hashes —
+    * Spark coalesces the key — so this stays a broadcast hash join). */
+  def j13NullSafeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val withNulls = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("seg"))
+    val dim = withNulls.select(col("seg")).distinct()
+      .select(col("seg").as("dim_seg"),
+        coalesce(col("dim_seg"), lit("<none>")).as("label"))
+    withNulls.join(broadcast(dim), col("seg") <=> col("dim_seg"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("c_custkey")).as("n_cust"))
+      .orderBy(col("label"))
+  }
+  /** J14 — AQE runtime skew-join remediation (the AUTOMATIC tier above
+    * x28's manual salting): a fact table with one planted hot customer
+    * (two thirds of all rows) merge-joined to customer under AQE with the
+    * skew thresholds sized to this corpus — the runtime splits the hot
+    * partition into multiple tasks (spec pins `isSkewJoin`) while the
+    * RESULT stays exactly the oracle's aggregate. The conf dance
+    * (thresholds + broadcast disabled to keep an SMJ) is saved and
+    * restored; on a real cluster the defaults (256 MB) do the same job
+    * without tuning. This is the lever that turns a 4-hour straggler
+    * stage into even tasks at 100 TB — exercised, not just cited. */
+  def j14AqeSkewJoin(spark: SparkSession, sfDir: String): DataFrame =
+    // materialize INSIDE the conf window: confs are read at execution,
+    // not plan construction — returning the lazy frame would run the
+    // join after the finally-restore, silently skipping the skew path
+    withSkewConfs(spark) { skewedFactAgg(spark, sfDir).localCheckpoint(true) }
+
+  private[graft] def withSkewConfs[T](spark: SparkSession)(f: => T): T = {
+    val keep = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      "spark.sql.files.maxPartitionBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1k")
+    // the planted 33% hot bucket is ~3x the median, not the default 5x
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2k")
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    // the 1 MB default FLOORS the split target — at corpus scale no
+    // sub-MB partition could ever be "skewed" (found via the rule's
+    // debug sizes: max 112 KB vs an actual target clamped to 1 MB)
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
+    // skew splits are MAPPER-granular (PartialReducerPartitionSpec
+    // ranges over map indexes): a single-split scan has one mapper and
+    // nothing to split, so force many map tasks at corpus scale
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "64k")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f
+    finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** The skewed join itself (split out so the spec can inspect its
+    * executed plan under [[withSkewConfs]]): the planted fact keys ~67%
+    * of its rows (every o_orderkey % 3 != 0) to ONE customer. */
+  private[graft] def skewedFactAgg(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // plant the hot key: every o_orderkey % 3 != 0 order re-keyed to
+    // customer 1 — a deterministic 67% hot bucket (the repeated key
+    // compresses well in the shuffle stream, so a milder plant stays
+    // under the byte-based skew test — measured)
+    // many MAP tasks for the join shuffle: skew splits are mapper-
+    // granular, and this corpus's single-row-group parquet collapses
+    // the scan to one mapper (at 100 TB the scan has thousands); the
+    // round-robin repartition restores the condition the feature needs
+    val fact = o.repartition(16).withColumn("cust",
+      when(col("o_orderkey") % 3 =!= 0, lit(1L)).otherwise(col("o_custkey")))
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    fact.join(c.hint("merge"), col("cust") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(Det.Money)).cast("double").as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_broadcast" -> (j1Broadcast _),
     "j2_shuffle_join" -> (j2ShuffleJoin _),
@@ -184,7 +300,10 @@ object Joins {
     "j8_theta" -> (j8Theta _),
     "j9_asof" -> (j9AsOf _),
     "j10_interval" -> (j10Interval _),
-    "j11_star" -> (j11Star _))
+    "j11_star" -> (j11Star _),
+    "j12_range_join_auto" -> (j12RangeJoinAuto _),
+    "j13_nullsafe_join" -> (j13NullSafeJoin _),
+    "j14_aqe_skew_join" -> (j14AqeSkewJoin _))
 
   import Det.{sql => d}
   val oracles: Map[String, String] = Map(
@@ -244,5 +363,29 @@ object Joins {
        "JOIN customer ON o_custkey = c_custkey " +
        "JOIN nation ON c_nationkey = n_nationkey " +
        "JOIN region ON n_regionkey = r_regionkey " +
-       "GROUP BY r_name, o_year ORDER BY r_name, o_year"))
+       "GROUP BY r_name, o_year ORDER BY r_name, o_year"),
+    "j12_range_join_auto" ->
+      ("SELECT id_a, COUNT(*) AS n_errors, MIN(tb - ta) AS min_gap_us FROM " +
+       "(SELECT event_id AS id_a, epoch_us(ts) AS ta FROM events " +
+       "WHERE event_type = 'click') a JOIN " +
+       "(SELECT event_id AS id_b, epoch_us(ts) AS tb FROM events " +
+       "WHERE event_type = 'error') b " +
+       "ON tb >= ta AND tb <= ta + 60000000 " +
+       "GROUP BY id_a ORDER BY id_a"),
+    "j13_nullsafe_join" ->
+      ("WITH a AS (SELECT c_custkey, " +
+       "CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg " +
+       "FROM customer), " +
+       "dim AS (SELECT seg AS dim_seg, COALESCE(seg, '<none>') AS label " +
+       "FROM (SELECT DISTINCT seg FROM a) t) " +
+       "SELECT label, COUNT(*) AS n, COUNT(DISTINCT c_custkey) AS n_cust " +
+       "FROM a JOIN dim ON a.seg IS NOT DISTINCT FROM dim.dim_seg " +
+       "GROUP BY label ORDER BY label"),
+    // the re-keyed join recomputed; skew handling must be value-neutral
+    "j14_aqe_skew_join" ->
+      ("SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
+       "FROM orders o JOIN customer c ON c.c_custkey = " +
+       "(CASE WHEN o.o_orderkey % 3 <> 0 THEN 1 ELSE o.o_custkey END) " +
+       "GROUP BY 1 ORDER BY c_mktsegment"))
 }

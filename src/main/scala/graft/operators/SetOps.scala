@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Det, Tables}
 
 /** Set operations — SURVEY §2.6 (O3–O7). Bag vs set semantics follow
   * ANSI: UNION ALL concatenates partitions (no shuffle), the distinct
@@ -10,6 +10,8 @@ import graft.Tables
   * multiplicities via Spark's native intersectAll/exceptAll.
   */
 object SetOps {
+
+  import Det.{sql => d}
 
   private def urgentKeys(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
@@ -58,12 +60,40 @@ object SetOps {
       .select(col("l_orderkey"))
       .orderBy(col("l_orderkey"))
 
+  /** O8 — pagination: total order + LIMIT/OFFSET via the native
+    * Dataset.offset operator (rows 101–150 of customers by balance). */
+  def o8Offset(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      .offset(100)
+      .limit(50)
+  /** O9 — unionByName with missing columns: the schema-drift append
+    * (generation 2 added a column, generation 1 lacks it) — missing
+    * columns null-fill per side, matched BY NAME not position. The
+    * per-side null accounting proves which side filled what. */
+  def o9UnionMissingCols(spark: SparkSession, sfDir: String): DataFrame = {
+    val gen1 = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+    val gen2 = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    gen1.unionByName(gen2, allowMissingColumns = true)
+      .groupBy((col("s_suppkey") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        count(col("s_acctbal")).as("n_with_bal"),
+        count(col("s_nationkey")).as("n_with_nation"),
+        Det.dsum(col("s_acctbal")).as("sum_bal"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o3_union_all" -> (o3UnionAll _),
     "o4_union_distinct" -> (o4UnionDistinct _),
     "o5_intersect_all" -> (o5IntersectAll _),
     "o6_except_all" -> (o6ExceptAll _),
-    "o7_distinct" -> (o7Distinct _))
+    "o7_distinct" -> (o7Distinct _),
+    "o8_offset" -> (o8Offset _),
+    "o9_union_missing" -> (o9UnionMissingCols _))
 
   val oracles: Map[String, String] = Map(
     "o3_union_all" ->
@@ -85,5 +115,18 @@ object SetOps {
        "EXCEPT ALL SELECT l_partkey FROM lineitem WHERE l_discount > 0.05) t " +
        "ORDER BY l_partkey"),
     "o7_distinct" ->
-      "SELECT DISTINCT l_orderkey FROM lineitem ORDER BY l_orderkey")
+      "SELECT DISTINCT l_orderkey FROM lineitem ORDER BY l_orderkey",
+    "o8_offset" ->
+      ("SELECT c_custkey, c_name, c_acctbal FROM customer " +
+       "ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 50 OFFSET 100"),
+    "o9_union_missing" ->
+      ("WITH u AS (SELECT s_suppkey, s_acctbal, NULL AS s_nationkey " +
+       "FROM supplier " +
+       "UNION ALL SELECT s_suppkey, NULL AS s_acctbal, s_nationkey " +
+       "FROM supplier) " +
+       "SELECT s_suppkey % 10 AS bucket, COUNT(*) AS n, " +
+       "COUNT(s_acctbal) AS n_with_bal, " +
+       "COUNT(s_nationkey) AS n_with_nation, " +
+       s"${d.dsum("s_acctbal")} AS sum_bal " +
+       "FROM u GROUP BY 1 ORDER BY bucket"))
 }

@@ -168,12 +168,36 @@ object SimSearch {
       x52PqRerankRaw(spark, sfDir), k = 5,
       recallBound = Some(0.5), simRatioBound = 0.9)
 
+  /** X14 raw — hyperplane-LSH ANN neighbor lists (approximate by
+    * design): see [[graft.api.VectorPipeline.hyperplaneLshTopK]].
+    * Multi-probe over 1-bit-flip buckets; exact rerank within
+    * candidates. */
+  def x14LshAnnRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    graft.api.VectorPipeline.hyperplaneLshTopK(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** X14 contract — derived-claim form (see
+    * [[graft.api.VectorPipeline.annClaim]]): on this near-orthogonal
+    * corpus the exact top-5 are statistically indistinguishable from
+    * ranks 6..50, so set-recall is noise (measured 0.08–0.12) — the
+    * meaningful, scale-stable claim is the mean-sim ratio of the
+    * returned 5 vs the exact 5, bounded at 0.5 (measured 0.58–0.74
+    * across SFs). No recall claim is stated. */
+  def x14LshAnn(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.VectorPipeline.annClaim(
+      SimSearch.l3TopKCosine(spark, sfDir), x14LshAnnRaw(spark, sfDir),
+      k = 5, recallBound = None, simRatioBound = 0.5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l3_topk_cosine" -> (l3TopKCosine _),
     "x2_cosine_neardup" -> (x2CosineNearDup _),
     "x8_ivf_ann" -> (x8IvfAnn _),
     "x51_pq_ann" -> (x51PqAnn _),
-    "x52_pq_rerank" -> (x52PqRerank _))
+    "x52_pq_rerank" -> (x52PqRerank _),
+    "x14_lsh_ann" -> (x14LshAnn _))
 
   val oracles: Map[String, String] = Map(
     "l3_topk_cosine" ->
@@ -204,5 +228,8 @@ object SimSearch {
        "TRUE AS simratio_ok, TRUE AS recall_ok"),
     "x52_pq_rerank" ->
       ("SELECT CAST(10 AS BIGINT) AS n_probes, CAST(5 AS BIGINT) AS k, " +
-       "TRUE AS simratio_ok, TRUE AS recall_ok"))
+       "TRUE AS simratio_ok, TRUE AS recall_ok"),
+    "x14_lsh_ann" ->
+      ("SELECT CAST(10 AS BIGINT) AS n_probes, CAST(5 AS BIGINT) AS k, " +
+       "TRUE AS simratio_ok"))
 }

@@ -464,6 +464,17 @@ object SqlSurface {
 
   // ------------------------------------------------------------ registry
 
+  /** SQL3 — the custom codegen expression registered into the session
+    * FunctionRegistry and called from a SQL string: vector self-dot
+    * (≈1.0 for the unit-normalized corpus). */
+  def sql3VectorNorm(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("v_embeddings")
+    spark.sql(
+      """SELECT vec_id, round(graft_dot(embedding, embedding), 6) AS norm2
+        |FROM v_embeddings ORDER BY vec_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql16_cbo_stats" -> (sql16CboStats _),
     "sql30_sql_udf" -> (sql30SqlUdf _),
@@ -479,7 +490,8 @@ object SqlSurface {
     "sql47_unpivot_clause" -> (sql47UnpivotClause _),
     "sql48_inline_values" -> (sql48InlineValues _),
     "sql49_distribute_sort" -> (sql49DistributeSort _),
-    "sql50_tablesample" -> (sql50Tablesample _))
+    "sql50_tablesample" -> (sql50Tablesample _),
+    "sql3_vector_norm" -> (sql3VectorNorm _))
 
   val oracles: Map[String, String] = Map(
     // the same join/aggregate straight off the source tables — the
@@ -499,7 +511,7 @@ object SqlSurface {
        "AS DECIMAL(18,6))) AS DOUBLE) AS total_charge, " +
        "COUNT(*) AS n_items " +
        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
-// the function body expanded into the lateral — what the analyzer
+    // the function body expanded into the lateral — what the analyzer
     // inlines
     "sql31_sql_table_fn" ->
       ("SELECT n.n_nationkey, COUNT(*) AS n_rich, " +
@@ -507,12 +519,12 @@ object SqlSurface {
        "JOIN LATERAL (SELECT s_suppkey, s_acctbal FROM supplier s " +
        "WHERE s.s_nationkey = n.n_nationkey AND s_acctbal > 1000.0) t " +
        "ON true GROUP BY n.n_nationkey ORDER BY n_nationkey"),
-// identical text — GROUP BY ALL is DuckDB-native syntax
+    // identical text — GROUP BY ALL is DuckDB-native syntax
     "sql32_group_by_all" ->
       ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, " +
        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
        "FROM orders GROUP BY ALL ORDER BY ALL"),
-"sql33_pivot_clause" ->
+    "sql33_pivot_clause" ->
       ("SELECT o_orderpriority, 'st_' || lower(o_orderstatus) AS metric, " +
        "COUNT(*) AS v FROM orders " +
        "WHERE o_orderstatus IN ('O', 'F', 'P') " +
@@ -522,9 +534,9 @@ object SqlSurface {
     // the SAME text verbatim — DuckDB reads the hint comments as plain
     // block comments and computes the identical aggregates
     "sql38_join_hints" -> sql38Text.replace("\n", " "),
-// the SAME text Spark executes (sql37Text), verbatim
+    // the SAME text Spark executes (sql37Text), verbatim
     "sql37_null_aware_anti" -> sql37Text.replace("\n", " "),
-// the SAME text Spark executes (sql36Text), verbatim
+    // the SAME text Spark executes (sql36Text), verbatim
     "sql36_keyset_pagination" -> sql36Text.replace("\n", " "),
     // binding transparency: the inlined literals
     "sql40_param_sql" ->
@@ -532,7 +544,7 @@ object SqlSurface {
        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
        "FROM orders WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O' " +
        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
-// the variable re-derived as a scalar subquery
+    // the variable re-derived as a scalar subquery
     "sql41_session_vars" ->
       ("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_above " +
        "FROM orders WHERE o_totalprice > " +
@@ -540,12 +552,16 @@ object SqlSurface {
        "/ COUNT(*) FROM orders) " +
        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "sql47_unpivot_clause" -> UnpivotSql,
-"sql48_inline_values" -> InlineValuesSql,
+    "sql48_inline_values" -> InlineValuesSql,
     "sql49_distribute_sort" -> DistributeSortSql,
     // the claims are engine-independent by construction; the oracle
     // recomputes the one deterministic scalar and asserts the rest
     "sql50_tablesample" ->
       ("SELECT CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) " +
        "AS base_n, TRUE AS rows_exact, TRUE AS pct_in_bounds, " +
-       "TRUE AS repeatable_stable, TRUE AS subset_ok"))
+       "TRUE AS repeatable_stable, TRUE AS subset_ok"),
+    "sql3_vector_norm" ->
+      ("SELECT vec_id, round(SUM(CAST(embedding[i] AS DOUBLE) * " +
+       "CAST(embedding[i] AS DOUBLE)), 6) AS norm2 " +
+       "FROM embeddings, range(1, 65) r(i) GROUP BY vec_id ORDER BY vec_id"))
 }

@@ -119,7 +119,7 @@ object StatsOps {
     * EXACT INTEGER arithmetic — the max of |cumA·nB − cumB·nA| over
     * the pooled support, divided once at the end — so the statistic
     * is bitwise reproducible (no float CDF accumulation anywhere).
-    * The two cumulative counts run through [[Extras10.distributedCumSum]]
+    * The two cumulative counts run through [[graft.operators.Windows.distributedCumSum]]
     * (w16's machinery): value-keyed range partitions, NO global
     * single-partition window in the plan. */
   def x127KsTest(spark: SparkSession, sfDir: String): DataFrame = {
@@ -131,10 +131,10 @@ object StatsOps {
         sum(when(col("event_type") === "view", 1L).otherwise(0L))
         .as("b_cnt"))
       .localCheckpoint(true)
-    val ca = Extras10.distributedCumSum(g, col("value"),
+    val ca = graft.operators.Windows.distributedCumSum(g, col("value"),
         col("a_cnt").cast(DecimalType(18, 0)), 8)
       .select(col("k"), col("cum").cast("long").as("ca"))
-    val cb = Extras10.distributedCumSum(g, col("value"),
+    val cb = graft.operators.Windows.distributedCumSum(g, col("value"),
         col("b_cnt").cast(DecimalType(18, 0)), 8)
       .select(col("k").as("k2"), col("cum").cast("long").as("cb"))
     val totals = g.agg(sum(col("a_cnt")).as("n_a"),
@@ -158,7 +158,7 @@ object StatsOps {
     * per member — never a .5), so U is bitwise-exact; the normal
     * approximation z applies the standard tie correction Σ(t³−t) in
     * one identically-spelled double expression. The pooled-value
-    * cumulative runs through [[Extras10.distributedCumSum]] — no
+    * cumulative runs through [[graft.operators.Windows.distributedCumSum]] — no
     * global window. */
   def x129MannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
     val g = Tables.eventsUs(spark, sfDir)
@@ -170,7 +170,7 @@ object StatsOps {
         .as("b_cnt"))
       .withColumn("tot", col("a_cnt") + col("b_cnt"))
       .localCheckpoint(true)
-    val cum = Extras10.distributedCumSum(g.select(col("value"), col("tot")),
+    val cum = graft.operators.Windows.distributedCumSum(g.select(col("value"), col("tot")),
         col("value"), col("tot").cast(DecimalType(18, 0)), 8)
       .select(col("k").as("value"), col("cum").cast("long").as("cum_tot"))
     val terms = g.join(cum, "value")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Det, Tables}
@@ -198,6 +198,204 @@ object Windows {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** W8 — distribution window functions: percent_rank, cume_dist, and
+    * nth_value over customers ranked by balance within market segment.
+    * The ORDER BY carries a unique tie-break so rank positions (and the
+    * rank-derived doubles) are identical across engines.
+    *
+    * Computed via the x31/x39 rank DECOMPOSITION, not a window over the
+    * 5-value segment key (which would funnel the table through 5 tasks
+    * at scale): the unique ordering makes rank = row position, so
+    * pr = (rank−1)/(n−1), cd = rank/n, and nth_value(2) is simply the
+    * rank-2 row per segment broadcast back. rank itself = (#rows with
+    * larger balance) + (tie position by custkey), from a fine-grained
+    * (segment, balance) tie window plus cumulative counts over the
+    * aggregate-bounded distinct-balance frame. The oracle stays DuckDB's
+    * NATIVE percent_rank/cume_dist/nth_value — proving the decomposition
+    * reproduces standard window semantics exactly. */
+  def w8Distribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal"))
+      .localCheckpoint(true)
+    val perBal = base.groupBy(col("c_mktsegment"), col("c_acctbal"))
+      .agg(count(lit(1)).as("n_at"))
+    val wCum = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perBal.withColumn("c_le", sum(col("n_at")).over(wCum))
+      .select(col("c_mktsegment"), col("c_acctbal"),
+        (col("c_le") - col("n_at")).as("c_lt"))
+    val totals = perBal.groupBy(col("c_mktsegment"))
+      .agg(sum(col("n_at")).as("n_seg"))
+    val wTie = Window.partitionBy(col("c_mktsegment"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+    val ranked = base
+      .withColumn("tie", row_number().over(wTie).cast("long"))
+      .join(cum, Seq("c_mktsegment", "c_acctbal"))
+      .withColumn("rnk", col("c_lt") + col("tie"))
+      .join(broadcast(totals), "c_mktsegment")
+    val runnerUp = ranked.filter(col("rnk") === 2)
+      .select(col("c_mktsegment"), col("c_name").as("runner_up"))
+    ranked.join(broadcast(runnerUp), Seq("c_mktsegment"), "left")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        round(when(col("n_seg") === 1, lit(0.0))
+          .otherwise((col("rnk") - 1) / (col("n_seg") - 1)), 6).as("pr"),
+        round(col("rnk") / col("n_seg"), 6).as("cd"),
+        col("runner_up"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  /** W9 — batch sessionization: the lag + running-sum session-id
+    * assignment (gap > 30 min starts a new session), the batch twin of
+    * the streaming session_window (ST3) — one shuffle on user_id, two
+    * window passes, then a grouped agg. Output matches ST3's exactly
+    * (session end = last event + gap). */
+  def w9BatchSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val gapUs = 1800000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.eventsUs(spark, sfDir)
+      .withColumn("new_sess",
+        when(col("ts") - lag(col("ts"), 1).over(w) > gapUs ||
+          lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("sess_start_us"),
+        (max(col("ts")) + gapUs).as("sess_end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sess_start_us"), col("sess_end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("sess_start_us"))
+  }
+  /** W12 — IGNORE NULLS window offsets: last-observation-carried-forward
+    * (the sensor/tick gap-fill idiom) plus the previous non-null reading
+    * — `last(col, ignoreNulls)` and `lag IGNORE NULLS` over a per-user
+    * event-time order. Nulls are planted deterministically (`event_id %
+    * 5 = 0`) so every partition mixes present and missing readings. */
+  def w12IgnoreNulls(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.eventsUs(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_id") % 5 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("v"))
+      .select(col("user_id"), col("event_id"), col("v"),
+        last(col("v"), ignoreNulls = true).over(wRun).as("locf"),
+        expr("lag(v) IGNORE NULLS OVER (PARTITION BY user_id " +
+          "ORDER BY ts, event_id)").as("prev_reading"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+  /** W14 — native batch `session_window` (the built-in Spark 4 session
+    * assignment in BATCH mode): 30-minute-gap sessions per user straight
+    * from the grouping function, proving batch, the w9 lag+cumsum
+    * decomposition, and the st3/st13 streaming forms all agree on the
+    * same session decomposition (all four share one oracle SQL). The
+    * group key (user, session) grows with the data — no funnel. */
+  def w14SessionWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.eventsUs(spark, sfDir)
+      .select(col("user_id"), timestamp_micros(col("ts")).as("ts_t"))
+      .groupBy(col("user_id"), session_window(col("ts_t"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start_us"),
+        unix_micros(col("session_window.end")).as("sess_end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("sess_start_us"))
+  /** The reusable core of w16 — a GLOBAL cumulative sum with NO
+    * single-partition window (the thing PlanLint exists to forbid):
+    * classic two-phase distributed prefix sum.
+    *
+    *  1. range-partition by the order key (each partition owns a
+    *     contiguous key range),
+    *  2. per-partition running sums via a window PARTITIONED BY the
+    *     physical partition id (bounded, parallel),
+    *  3. per-partition totals → exclusive prefix offsets (one row per
+    *     partition — bounded driver work) broadcast-joined back.
+    *
+    * The result is independent of where the sampled range boundaries
+    * fall, so it is deterministic even though repartitionByRange
+    * samples. Input must be one row per key (pre-aggregate first);
+    * value must be DecimalType so every sum is exact and
+    * order-independent. At 100 TB this replaces the
+    * everything-into-one-task global window with one range shuffle +
+    * a tiny offsets table. */
+  def distributedCumSum(df: DataFrame, key: Column, value: Column,
+      nParts: Int): DataFrame = {
+    val spark = df.sparkSession
+    // pin the partition assignment: the offsets pass and the final pass
+    // MUST see identical pids, and the range boundaries come from a
+    // sampling pass we don't want to run twice
+    val parts = df.select(key.as("k"), value.as("v"))
+      .repartitionByRange(nParts, col("k"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    // ONE row per physical partition — control-plane metadata bounded
+    // by cluster size (what RangePartitioner itself collects), never by
+    // data size; the exclusive prefix over ≤ nParts totals is O(nParts)
+    // driver arithmetic in exact BigDecimal
+    val totals = parts.groupBy(col("pid"))
+      .agg(sum(col("v")).as("ptotal"))
+      .collect()
+      .map(r => (r.getInt(0), BigDecimal(r.getDecimal(1))))
+      .sortBy(_._1)
+    var acc = BigDecimal(0)
+    val offsets = totals.map { case (pid, t) =>
+      val o = acc; acc += t; (pid, o)
+    }.toSeq
+    import spark.implicits._
+    val offDf = offsets.toDF("pid", "offset")
+    val w = Window.partitionBy(col("pid")).orderBy(col("k"))
+    parts.join(broadcast(offDf), "pid")
+      .withColumn("cum", col("offset") + sum(col("v")).over(w))
+      .select(col("k"), col("v"), col("cum"))
+  }
+
+  /** W16 — global running revenue by day over orders, through
+    * [[distributedCumSum]]: per-day DECIMAL totals (one grouped agg),
+    * then the two-phase distributed prefix sum. The offsets window runs
+    * over ONE ROW PER PARTITION (8 rows) — that bounded frame is the
+    * only global ordering anywhere in the plan. */
+  def w16DistributedCumSum(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(col("o_totalprice").cast(Det.Money)).as("rev"))
+    distributedCumSum(daily, col("day"), col("rev"), 8)
+      .select(col("k").as("day"), col("v").cast("double").as("revenue"),
+        col("cum").cast("double").as("cum_revenue"))
+      .orderBy(col("day"))
+  }
+  /** W17 — ratio_to_report window family (the BI share-of-total
+    * everywhere in dashboards): each order's revenue share within its
+    * priority group AND of the grand total, in one pass — the grouped
+    * share is a keyed window; the GRAND total deliberately comes from
+    * a one-row aggregate cross-joined in (broadcast), NOT an empty-
+    * PARTITION-BY window (PlanLint forbids the single-partition form
+    * at any scale). DECIMAL sums exact; the two divisions are single
+    * IEEE ops. Top-100 by share for a bounded contract row. */
+  def w17RatioToReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast(Det.Money).as("p"))
+    // group totals as a 5-row GROUPED AGGREGATE broadcast back — not a
+    // window: PlanLint's low-cardinality-window-key rule (correctly)
+    // rejects a window partitioned by a 5-value domain, which funnels
+    // the whole stream through 5 tasks at scale; the aggregate keeps
+    // map-side partials and the join broadcasts
+    val grpTotals = o.groupBy(col("o_orderpriority"))
+      .agg(sum(col("p")).as("grp_total"))
+    val grand = o.agg(sum(col("p")).as("g"))
+    o.join(grpTotals, "o_orderpriority")
+      .crossJoin(grand)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("p").cast("double") / col("grp_total").cast("double"), 9)
+          .as("share_of_priority"),
+        round(col("p").cast("double") / col("g").cast("double"), 9)
+          .as("share_of_total"))
+      .orderBy(col("share_of_total").desc, col("o_orderkey")).limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w11_ewma" -> (w11Ewma _),
     "w1_ranks" -> (w1Ranks _),
@@ -208,7 +406,13 @@ object Windows {
     "w6_topk_per_group" -> (w6TopKPerGroup _),
     "w7_first_last" -> (w7FirstLast _),
     "w10_topk_exec" -> (w10TopKExec _),
-    "w13_auto_topk" -> (w13AutoTopK _))
+    "w13_auto_topk" -> (w13AutoTopK _),
+    "w9_batch_sessionize" -> (w9BatchSessionize _),
+    "w8_distribution" -> (w8Distribution _),
+    "w12_ignore_nulls" -> (w12IgnoreNulls _),
+    "w14_session_window" -> (w14SessionWindow _),
+    "w16_distributed_cumsum" -> (w16DistributedCumSum _),
+    "w17_ratio_to_report" -> (w17RatioToReport _))
 
   val oracles: Map[String, String] = Map(
     "w11_ewma" -> {
@@ -279,5 +483,76 @@ object Windows {
        "row_number() OVER (PARTITION BY o_custkey " +
        "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
        "FROM orders) t WHERE rn <= 3 " +
-       "ORDER BY o_custkey, o_totalprice DESC, o_orderkey"))
+       "ORDER BY o_custkey, o_totalprice DESC, o_orderkey"),
+    // same SQL as the streaming session-window oracle (ST3): batch and
+    // stream must agree on the session decomposition
+    "w9_batch_sessionize" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +
+       "flagged AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER " +
+       "(PARTITION BY user_id ORDER BY t) > 1800000000 " +
+       "OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL " +
+       "THEN 1 ELSE 0 END AS new_sess FROM e), " +
+       "sess AS (SELECT user_id, t, SUM(new_sess) OVER " +
+       "(PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING " +
+       "AND CURRENT ROW) AS sid FROM flagged) " +
+       "SELECT user_id, MIN(t) AS sess_start_us, " +
+       "MAX(t) + 1800000000 AS sess_end_us, COUNT(*) AS n_events " +
+       "FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start_us"),
+"w8_distribution" ->
+      ("SELECT c_custkey, c_mktsegment, c_acctbal, " +
+       "round(percent_rank() OVER w, 6) AS pr, " +
+       "round(cume_dist() OVER w, 6) AS cd, " +
+       "nth_value(c_name, 2) OVER (PARTITION BY c_mktsegment " +
+       "ORDER BY c_acctbal DESC, c_custkey ASC " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS runner_up " +
+       "FROM customer " +
+       "WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) " +
+       "ORDER BY c_mktsegment, c_custkey"),
+    "w12_ignore_nulls" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, " +
+       "CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v " +
+       "FROM events) " +
+       "SELECT user_id, event_id, v, " +
+       "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id " +
+       "ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING " +
+       "AND CURRENT ROW) AS locf, " +
+       "lag(v IGNORE NULLS) OVER (PARTITION BY user_id " +
+       "ORDER BY ts_us, event_id) AS prev_reading " +
+       "FROM e ORDER BY user_id, event_id"),
+    // same SQL as the streaming session-window oracle (ST3/w9): batch
+    // session_window, the lag+cumsum form, and the stream must agree
+    "w14_session_window" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +
+       "flagged AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER " +
+       "(PARTITION BY user_id ORDER BY t) > 1800000000 " +
+       "OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL " +
+       "THEN 1 ELSE 0 END AS new_sess FROM e), " +
+       "sess AS (SELECT user_id, t, SUM(new_sess) OVER " +
+       "(PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING " +
+       "AND CURRENT ROW) AS sid FROM flagged) " +
+       "SELECT user_id, MIN(t) AS sess_start_us, " +
+       "MAX(t) + 1800000000 AS sess_end_us, COUNT(*) AS n_events " +
+       "FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start_us"),
+    // DECIMAL window sum is exact, so the two-phase Spark plan and the
+    // oracle's single window agree bitwise after the final double cast
+    "w16_distributed_cumsum" ->
+      ("WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, " +
+       "SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev " +
+       "FROM orders GROUP BY 1) " +
+       "SELECT day, CAST(rev AS DOUBLE) AS revenue, " +
+       "CAST(SUM(rev) OVER (ORDER BY day) AS DOUBLE) AS cum_revenue " +
+       "FROM d ORDER BY day"),
+    // keyed window share + broadcast grand total, same rounding
+    "w17_ratio_to_report" ->
+      ("WITH o AS (SELECT o_orderkey, o_orderpriority, " +
+       "CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders), " +
+       "g AS (SELECT SUM(p) AS g FROM o), " +
+       "w AS (SELECT o_orderkey, o_orderpriority, p, " +
+       "SUM(p) OVER (PARTITION BY o_orderpriority) AS grp_total FROM o) " +
+       "SELECT o_orderkey, o_orderpriority, " +
+       "round(CAST(p AS DOUBLE) / CAST(grp_total AS DOUBLE), 9) " +
+       "AS share_of_priority, " +
+       "round(CAST(p AS DOUBLE) / CAST(g.g AS DOUBLE), 9) " +
+       "AS share_of_total FROM w CROSS JOIN g " +
+       "ORDER BY share_of_total DESC, o_orderkey LIMIT 100"))
 }

@@ -8,7 +8,7 @@ class Extras10Spec extends SparkSpec {
 
   test("w16: two-phase cumsum equals the single-window recompute and " +
       "spreads rows over multiple partitions") {
-    val got = Extras10.w16DistributedCumSum(spark, sf).collect()
+    val got = graft.operators.Windows.w16DistributedCumSum(spark, sf).collect()
     val want = Tables.orders(spark, sf)
       .groupBy(col("o_orderdate").cast("date").as("day"))
       .agg(sum(col("o_totalprice").cast(Det.Money)).as("rev"))
@@ -23,7 +23,7 @@ class Extras10Spec extends SparkSpec {
     }
     // the two-phase plan must not contain an empty-PARTITION-BY window
     val findings = graft.plans.PlanLint.lint(
-      Extras10.w16DistributedCumSum(spark, sf))
+      graft.operators.Windows.w16DistributedCumSum(spark, sf))
     assert(findings.isEmpty, findings.mkString("; "))
   }
 
@@ -33,7 +33,7 @@ class Extras10Spec extends SparkSpec {
     val df = (1 to 1000).map(i => (i, BigDecimal(i)))
       .toDF("k", "v")
       .select(col("k"), col("v").cast(Det.Money).as("v"))
-    val out = Extras10.distributedCumSum(df, col("k"), col("v"), 8)
+    val out = graft.operators.Windows.distributedCumSum(df, col("k"), col("v"), 8)
       .orderBy(col("k")).collect()
     assert(out.length == 1000)
     var acc = BigDecimal(0)

@@ -255,8 +255,8 @@ class Extras11Spec extends SparkSpec {
     // sf0.01: the planted partition must clear the byte threshold the
     // contract row sets (sf0.001 shuffles are too small to be "skewed")
     val sfSkew = "/root/testdata/sf0.01"
-    Extras11.withSkewConfs(spark) {
-      val agg = Extras11.skewedFactAgg(spark, sfSkew)
+    graft.operators.Joins.withSkewConfs(spark) {
+      val agg = graft.operators.Joins.skewedFactAgg(spark, sfSkew)
       val rows = agg.collect()   // materialize so AQE finalizes the plan
       val planStr = agg.queryExecution.executedPlan.toString
       assert(planStr.contains("skew=true") || planStr.contains("isSkewJoin"),
@@ -307,7 +307,7 @@ class Extras11Spec extends SparkSpec {
   test("x133: depth buckets partition the w9 session table and shares " +
       "sum to 1") {
     val got = EventOps.x133SessionDepth(spark, sf).collect()
-    val sessions = Extras3.w9BatchSessionize(spark, sf).count()
+    val sessions = graft.operators.Windows.w9BatchSessionize(spark, sf).count()
     assert(got.map(_.getLong(1)).sum == sessions,
       "buckets must partition the session set")
     assert(math.abs(got.map(_.getDouble(2)).sum - 1.0) < 1e-5)
@@ -368,7 +368,7 @@ class Extras11Spec extends SparkSpec {
       .agg(sum(col("p").cast("double") / col("gt").cast("double")).as("s"))
       .collect()
     shares.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9))
-    val top = Extras11.w17RatioToReport(spark, sf).collect()
+    val top = graft.operators.Windows.w17RatioToReport(spark, sf).collect()
     assert(top.length == 100)
     val st = top.map(_.getDouble(3))
     assert(st.sameElements(st.sorted(Ordering[Double].reverse)))

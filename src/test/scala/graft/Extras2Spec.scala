@@ -30,7 +30,7 @@ class Extras2Spec extends SparkSpec {
   }
 
   test("sql3: registered graft_dot returns ~1.0 norms for unit vectors") {
-    val norms = Extras2.sql3VectorNorm(spark, sf).collect()
+    val norms = graft.operators.SqlSurface.sql3VectorNorm(spark, sf).collect()
       .map(_.getAs[Double]("norm2"))
     assert(norms.length == 500)
     norms.foreach(n => assert(math.abs(n - 1.0) < 1e-4, s"norm $n"))

@@ -6,7 +6,7 @@ import graft.operators.{Extras3, SimSearch}
 class Extras3Spec extends SparkSpec {
 
   test("x14 hyperplane LSH: candidates are bucket-disciplined and ranked correctly") {
-    val res = Extras3.x14LshAnnRaw(spark, sf).collect()
+    val res = graft.operators.SimSearch.x14LshAnnRaw(spark, sf).collect()
     // per probe: ranks are 1..n ascending with sims non-increasing,
     // self excluded
     res.groupBy(_.getAs[Long]("probe_id")).foreach { case (pid, rows) =>
@@ -29,8 +29,8 @@ class Extras3Spec extends SparkSpec {
   }
 
   test("x14 hyperplane LSH: deterministic across runs") {
-    val a = Extras3.x14LshAnnRaw(spark, sf).collect().map(_.toString).toSeq
-    val b = Extras3.x14LshAnnRaw(spark, sf).collect().map(_.toString).toSeq
+    val a = graft.operators.SimSearch.x14LshAnnRaw(spark, sf).collect().map(_.toString).toSeq
+    val b = graft.operators.SimSearch.x14LshAnnRaw(spark, sf).collect().map(_.toString).toSeq
     assert(a == b)
   }
 
@@ -54,7 +54,7 @@ class Extras3Spec extends SparkSpec {
   }
 
   test("l8 centroids: 64 dims per label, means bounded by dim range") {
-    val rows = Extras3.l8Centroids(spark, sf).collect()
+    val rows = graft.operators.Clustering.l8Centroids(spark, sf).collect()
     val byLabel = rows.groupBy(_.getAs[Int]("label"))
     byLabel.foreach { case (_, rs) =>
       assert(rs.map(_.getAs[Long]("dim")).sorted.toSeq == (0L to 63L).toSeq)
@@ -87,7 +87,7 @@ class Extras3Spec extends SparkSpec {
   }
 
   test("j12: BandedRangeJoinRule replaces the nested-loop join with a banded equi-join") {
-    val df = Extras3.j12RangeJoinAuto(spark, sf)
+    val df = graft.operators.Joins.j12RangeJoinAuto(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),

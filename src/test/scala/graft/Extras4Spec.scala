@@ -280,7 +280,7 @@ class Extras4Spec extends SparkSpec {
   }
 
   test("j13 null-safe join: null keys land on the <none> label instead of dropping") {
-    val rows = Extras4.j13NullSafeJoin(spark, sf).collect()
+    val rows = graft.operators.Joins.j13NullSafeJoin(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val total = Tables.customer(spark, sf).count()
     // nothing dropped: labels partition ALL customers
@@ -293,7 +293,7 @@ class Extras4Spec extends SparkSpec {
   }
 
   test("o9 union by name: missing columns null-fill per side") {
-    val rows = Extras4.o9UnionMissingCols(spark, sf).collect()
+    val rows = graft.operators.SetOps.o9UnionMissingCols(spark, sf).collect()
     val n = Tables.supplier(spark, sf).count()
     assert(rows.map(_.getAs[Long]("n")).sum == 2 * n)
     // each side filled exactly its own missing column
@@ -302,7 +302,7 @@ class Extras4Spec extends SparkSpec {
   }
 
   test("w12 ignore-nulls offsets: locf carries the last non-null reading forward") {
-    val rows = Extras4.w12IgnoreNulls(spark, sf).collect()
+    val rows = graft.operators.Windows.w12IgnoreNulls(spark, sf).collect()
     // re-derive the window's (ts, event_id) order — the output sort is
     // by event_id, which need not follow event time
     val tsOf = Tables.eventsUs(spark, sf).select("event_id", "ts").collect()

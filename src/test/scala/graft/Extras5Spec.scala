@@ -201,10 +201,10 @@ class Extras5Spec extends SparkSpec {
   }
 
   test("w14 native session_window equals the w9 lag+cumsum decomposition row for row") {
-    val native = Extras5.w14SessionWindow(spark, sf).collect()
+    val native = graft.operators.Windows.w14SessionWindow(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
-    val decomposed = graft.operators.Extras3.w9BatchSessionize(spark, sf)
+    val decomposed = graft.operators.Windows.w9BatchSessionize(spark, sf)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet

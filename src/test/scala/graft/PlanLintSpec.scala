@@ -107,7 +107,7 @@ class PlanLintSpec extends SparkSpec {
     // w8's percent_rank/cume_dist/nth_value are now DECOMPOSED (tie
     // window + cumulative counts + broadcast totals): clean by plan
     // shape, not by exemption
-    val ranks = graft.operators.Extras3.w8Distribution(spark, sf)
+    val ranks = graft.operators.Windows.w8Distribution(spark, sf)
     assert(PlanLint.lowCardWindowKeys(ranks, minKeys = 8).isEmpty)
     // an aggregate window over a bounded key IS fine below an aggregate
     // that bounds the input (group cardinality caps the partition size)

@@ -453,7 +453,7 @@ class PropertySpec extends SparkSpec {
       }
       val df = rows.toDF("k", "v")
         .select(col("k"), col("v").cast("decimal(18,4)").as("v"))
-      val got = graft.operators.Extras10
+      val got = graft.operators.Windows
         .distributedCumSum(df, col("k"), col("v"), nParts)
         .orderBy(col("k")).collect()
         .map(r => BigDecimal(r.getDecimal(2)))
