@@ -148,7 +148,7 @@ object VectorPipeline {
   }
 
   /** Per-(band_idx, band_hash) representative cap for the banded
-    * near-dup family — [[graft.operators.Extras4.WinnowHotFpThreshold]]'s
+    * near-dup family — [[graft.operators.TextIndexOps.WinnowHotFpThreshold]]'s
     * design in vector space. A band bucket with more than this many
     * DISTINCT vectors is boilerplate-grade (a shared zero block, a
     * padding region, a degenerate encoder output): it is split off as a

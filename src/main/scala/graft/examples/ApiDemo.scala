@@ -170,7 +170,7 @@ object ApiDemo {
     // fuzzy entity resolution on custom-named frames: guaranteed-recall
     // deletion-neighborhood blocking + exact levenshtein verify
     println("fuzzy ER join (edit distance <= 1):")
-    graft.operators.Extras9.fuzzyJoinDist1(
+    graft.operators.TextIndexOps.fuzzyJoinDist1(
         Seq((1L, "acme corp"), (2L, "globox inc")).toDF("dirty_key", "dirty_name"),
         Seq((10L, "acme corp."), (20L, "globex inc"), (30L, "initech"))
           .toDF("clean_key", "clean_name"))

@@ -356,50 +356,7 @@ object Extras10 {
       .orderBy(col("split"))
   }
 
-  /** X107 — BM25 ranking (Robertson/Spärck Jones — the scorer behind
-    * every production full-text engine, saturating l5's raw TF-IDF):
-    * top-10 documents for a 3-term query under k1=1.2, b=0.75.
-    * Everything integer/exact until the closed form (tf, df, dl are
-    * counts; avgdl one IEEE division; ln at 6-dp rounding — x49's
-    * proven cross-engine policy). Scale shape: the posting list (term →
-    * doc tf) is ONE vocabulary-keyed aggregate filtered to the query
-    * terms BEFORE any join (three terms' postings, not the corpus);
-    * doc lengths join by doc; df and constants broadcast; top-k
-    * distributed. */
-  def x107Bm25(spark: SparkSession, sfDir: String): DataFrame = {
-    val terms = Seq("spark", "table", "query")
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = toks.filter(col("tok").isin(terms: _*))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df), "tok").join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
-      .withColumn("contrib",
-        col("idf") * (col("tf") * (lit(1.2) + 1.0)) /
-          (col("tf") + lit(1.2) *
-            (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
-    // the per-doc total adds AT MOST one contribution per query term in
-    // a FIXED term order — a bare SUM of doubles would be
-    // partial-aggregation-order-dependent and could flip the 6-dp
-    // rounding
-    def termSum(t: String) = coalesce(
-      sum(when(col("tok") === t, col("contrib"))), lit(0.0))
-    scored.groupBy(col("doc_id"))
-      .agg(round(termSum("spark") + termSum("table") + termSum("query"), 6)
-          .as("bm25"),
-        count(lit(1)).as("n_terms_hit"))
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(10)
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x107_bm25" -> (x107Bm25 _),
     "x88_quota_apportionment" -> (x88QuotaApportionment _),
     "x89_embargo_split" -> (x89EmbargoSplit _),
     "x85_k_anonymity" -> (x85KAnonymity _),
@@ -412,29 +369,6 @@ object Extras10 {
     "x72_mmr_rerank" -> (x72MmrRerank _))
 
   val oracles: Map[String, String] = Map(
-    // integer tf/df/dl, one avgdl division, ln at 6-dp rounding (x49's
-    // proven policy), fixed-order term addition
-    "x107_bm25" ->
-      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
-       "FROM documents), " +
-       "dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks " +
-       "GROUP BY 1), " +
-       "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, " +
-       "CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl), " +
-       "tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf " +
-       "FROM toks WHERE tok IN ('spark', 'table', 'query') GROUP BY 1, 2), " +
-       "df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf " +
-       "GROUP BY 1), " +
-       "sc AS (SELECT tf.doc_id, tf.tok, " +
-       "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) / " +
-       "(tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS contrib " +
-       "FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN st) " +
-       "SELECT doc_id, round(" +
-       "COALESCE(SUM(CASE WHEN tok = 'spark' THEN contrib END), 0.0) + " +
-       "COALESCE(SUM(CASE WHEN tok = 'table' THEN contrib END), 0.0) + " +
-       "COALESCE(SUM(CASE WHEN tok = 'query' THEN contrib END), 0.0), 6) " +
-       "AS bm25, CAST(COUNT(*) AS BIGINT) AS n_terms_hit " +
-       "FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10"),
     // all-integer Hamilton apportionment; the oracle may use a window
     // (DuckDB side is unconstrained), the Spark side may not
     "x88_quota_apportionment" ->

@@ -21,44 +21,6 @@ import graft.{Det, Tables}
   */
 object Extras15 {
 
-  // ---------------------------------------------------------------- x153
-
-  private val PhraseW1 = "hash"
-  private val PhraseW2 = "join"
-
-  /** X153 — positional phrase search: the docs matching the exact
-    * 2-token phrase "hash join", with per-doc match counts and the
-    * first hit position — the positional-inverted-index primitive
-    * (token, doc, pos) under every keyword search engine, spelled as a
-    * Spark plan instead of a side index.
-    *
-    * Scale shape: the corpus is pre-filtered by BOTH `contains`
-    * predicates — pushable string filters that reach the parquet scan,
-    * so tokenization pays only for candidate docs (for a 100 TB corpus
-    * with a real index, this stage IS the postings fetch). Candidates
-    * posexplode to (doc, pos, tok) rows kept ONLY for the two query
-    * tokens — the generator output is filtered before anything
-    * shuffles — and adjacency is one equi-join on (doc, pos+1), never
-    * a window. Top-20 by match count with id tie-break. */
-  def x153PhraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
-    val pre = Tables.documents(spark, sfDir)
-      .filter(col("text").contains(PhraseW1) &&
-        col("text").contains(PhraseW2))
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .filter(col("tok") === PhraseW1 || col("tok") === PhraseW2)
-    val a = pre.filter(col("tok") === PhraseW1)
-      .select(col("doc_id"), col("pos"))
-    val b = pre.filter(col("tok") === PhraseW2)
-      .select(col("doc_id").as("d2"), col("pos").as("p2"))
-    a.join(b, a("doc_id") === b("d2") && b("p2") === a("pos") + 1)
-      .groupBy(a("doc_id"))
-      .agg(count(lit(1)).as("n_matches"),
-        min(col("pos")).cast("long").as("first_pos"))
-      .orderBy(col("n_matches").desc, col("doc_id"))
-      .limit(20)
-  }
-
   // ---------------------------------------------------------------- x154
 
   /** X154 — Kaplan–Meier survival curve (Kaplan & Meier JASA'58) of
@@ -195,69 +157,12 @@ object Extras15 {
     hist.unionByName(total).orderBy(col("l_distinct"))
   }
 
-  // ---------------------------------------------------------------- x157
-
-  private val OovMinFreq = 3L
-
-  /** X157 — vocabulary-coverage / OOV-rate audit: train a bigram
-    * vocabulary on the even-doc_id half of the corpus (kept when train
-    * frequency ≥ 3 — a threshold, NOT a top-k, so there is no
-    * tie-break to disagree on), then measure the out-of-vocabulary
-    * bigram rate of the odd-doc_id half PER LANGUAGE — the coverage
-    * check run before shipping a tokenizer, where an undertrained
-    * vocab shows up as a high OOV rate on exactly the languages the
-    * train split under-represents.
-    *
-    * Scale shape: both halves tokenize with the native codegen n-gram
-    * generator; test counts aggregate to the (lang, ngram) domain
-    * BEFORE touching the vocab, and the vocab (ngram-domain sized,
-    * threshold-pruned) joins broadcast — the corpus-sized frames never
-    * shuffle against each other. Integer counts; one closing division
-    * rounded 6 dp. */
-  def x157OovRate(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    def grams(parity: Int) = graft.api.TextPipeline.ngramRows(
-      docs.filter(col("doc_id") % 2 === parity), "doc_id", "text", 2)
-    val vocab = grams(0).groupBy(col("ngram"))
-      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= OovMinFreq)
-      .select(col("ngram"))
-    val test = grams(1)
-      .join(docs.select(col("doc_id").as("td"), col("lang")),
-        col("doc_id") === col("td"))
-      .groupBy(col("lang"), col("ngram")).agg(count(lit(1)).as("cnt"))
-    val flagged = test.join(broadcast(vocab), Seq("ngram"), "left_anti")
-      .groupBy(col("lang")).agg(sum(col("cnt")).as("n_oov"))
-    test.groupBy(col("lang")).agg(sum(col("cnt")).as("n_bigrams"))
-      .join(flagged, Seq("lang"), "left").na.fill(0L, Seq("n_oov"))
-      .select(col("lang"), col("n_bigrams"), col("n_oov"),
-        round(col("n_oov").cast("double") /
-          col("n_bigrams").cast("double"), 6).as("oov_rate"))
-      .orderBy(col("lang"))
-  }
-
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x153_phrase_search" -> (x153PhraseSearch _),
     "x154_survival_km" -> (x154SurvivalKm _),
     "x155_delta_decomp" -> (x155DeltaDecomp _),
-    "x156_ldiversity" -> (x156LDiversity _),
-    "x157_oov_rate" -> (x157OovRate _))
-
-  private val PhraseSql: String =
-    "WITH pre AS MATERIALIZED (SELECT doc_id, " +
-    "string_split(text, ' ') AS words FROM documents " +
-    s"WHERE text LIKE '%$PhraseW1%' AND text LIKE '%$PhraseW2%'), " +
-    "tok AS MATERIALIZED (SELECT doc_id, g AS pos, words[g + 1] AS tok " +
-    "FROM (SELECT doc_id, words, unnest(range(len(words))) AS g " +
-    "FROM pre) z " +
-    s"WHERE words[g + 1] IN ('$PhraseW1', '$PhraseW2')), " +
-    "m AS (SELECT a.doc_id, a.pos FROM tok a JOIN tok b " +
-    "ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 " +
-    s"WHERE a.tok = '$PhraseW1' AND b.tok = '$PhraseW2') " +
-    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches, " +
-    "CAST(MIN(pos) AS BIGINT) AS first_pos FROM m GROUP BY 1 " +
-    "ORDER BY n_matches DESC, doc_id LIMIT 20"
+    "x156_ldiversity" -> (x156LDiversity _))
 
   private val SurvivalSql: String =
     "WITH pc AS MATERIALIZED (SELECT o_custkey, " +
@@ -332,31 +237,8 @@ object Extras15 {
     "FROM (SELECT * FROM hist UNION ALL SELECT -1, SUM(n_groups), " +
     "SUM(n_rows) FROM hist) u ORDER BY l_distinct"
 
-  private val OovSql: String = {
-    val train = TextOps.ngramSqlOver(
-      "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)", 2)
-    val test = TextOps.ngramSqlOver(
-      "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)", 2)
-    s"WITH vocab AS MATERIALIZED (SELECT ngram FROM ($train) tr " +
-    s"GROUP BY 1 HAVING COUNT(*) >= $OovMinFreq), " +
-    s"test AS MATERIALIZED (SELECT d.lang, te.ngram, COUNT(*) AS cnt " +
-    s"FROM ($test) te JOIN documents d ON te.doc_id = d.doc_id " +
-    "GROUP BY 1, 2), " +
-    "fl AS (SELECT t.lang, SUM(t.cnt) AS n_oov FROM test t " +
-    "LEFT JOIN vocab v ON t.ngram = v.ngram WHERE v.ngram IS NULL " +
-    "GROUP BY 1) " +
-    "SELECT t.lang, CAST(SUM(t.cnt) AS BIGINT) AS n_bigrams, " +
-    "CAST(COALESCE(ANY_VALUE(fl.n_oov), 0) AS BIGINT) AS n_oov, " +
-    "round(CAST(COALESCE(ANY_VALUE(fl.n_oov), 0) AS BIGINT) / " +
-    "CAST(SUM(t.cnt) AS BIGINT), 6) AS oov_rate " +
-    "FROM test t LEFT JOIN fl ON t.lang = fl.lang GROUP BY 1 " +
-    "ORDER BY t.lang"
-  }
-
   val oracles: Map[String, String] = Map(
-    "x153_phrase_search" -> PhraseSql,
     "x154_survival_km" -> SurvivalSql,
     "x155_delta_decomp" -> DeltaSql,
-    "x156_ldiversity" -> LDiversitySql,
-    "x157_oov_rate" -> OovSql)
+    "x156_ldiversity" -> LDiversitySql)
 }

@@ -116,83 +116,6 @@ object Extras4 {
       .orderBy(col("doc_id"))
   }
 
-  /** X33 — winnowing substring fingerprints (Schleimer et al. 2003, the
-    * MOSS algorithm; the substring-level complement of x22's fixed
-    * segments and l2's whole-document MinHash): hash every 8-word
-    * shingle, slide a 4-shingle window, keep each window's minimum hash.
-    * Winnowing guarantees any shared run of ≥ 11 words (8 + 4 − 1)
-    * produces at least one IDENTICAL selected fingerprint in both
-    * documents, so substring plagiarism/quotation is detectable from the
-    * tiny fingerprint set instead of the full text. Emits per document
-    * its selected-fingerprint count and how many OTHER documents share
-    * at least one fingerprint.
-    *
-    * Scale shape: the shingle scan is the codegen'd WordNGrams
-    * generator (zero shuffle); the winnow window partitions by doc_id
-    * (key cardinality = corpus size — grows with data, never a funnel);
-    * the share-count is ONE shuffle keyed by 32-byte fingerprint. The
-    * pairwise partner join is HOT-FINGERPRINT GUARDED (the standard
-    * winnowing-index treatment, MOSS at scale): per-fp document
-    * frequency is computed first, fingerprints shared by more than
-    * [[WinnowHotFpThreshold]] documents (boilerplate — headers,
-    * licenses, templates) are split off as a reported stop-fingerprint
-    * set (each doc's `n_stop_fps`), and only the long tail pair-joins —
-    * so the join volume per fingerprint is capped at threshold² instead
-    * of quadratic in the hottest bucket. The fp is the md5 STRING so
-    * min() agrees lexicographically across engines. */
-  val WinnowHotFpThreshold = 64L
-
-  /** Selected winnowing fingerprints (doc_id, fp) for a document frame —
-    * 8-word shingles, 4-shingle windows, per-doc distinct. */
-  def winnowFps(docs: DataFrame): DataFrame = {
-    val grams = graft.api.TextPipeline
-      .ngramRows(docs, "doc_id", "text", 8)
-      .select(col("doc_id"), col("pos"), md5(col("ngram")).as("h"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(-3, 0)
-    grams.withColumn("fp", min(col("h")).over(w))
-      .filter(col("pos") >= 3) // first complete 4-shingle window
-      .select(col("doc_id"), col("fp")).distinct()
-  }
-
-  /** [[x33Winnow]] over a caller-supplied document frame with an
-    * explicit hot-fingerprint threshold (the spec layer plants a
-    * boilerplate run across hundreds of docs and asserts the pair-join
-    * input stays capped). */
-  def x33WinnowOver(docs: DataFrame, hotThreshold: Long): DataFrame = {
-    // the fingerprint set feeds four branches (doc frequency, the
-    // tagged split, per-doc counts); recomputing the codegen'd
-    // generator+window per branch is cheaper at bench scale than an
-    // eager materialization (measured: localCheckpoint here costs ~0.7 s
-    // at sf0.1 vs ~0.1 s of recompute). At cluster scale the fingerprint
-    // set is the PERSISTED winnowing index a deployment reuses anyway.
-    val fps = winnowFps(docs)
-    val dfp = fps.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
-    val tagged = fps.join(dfp, "fp")
-    val tail = tagged.filter(col("n_docs") <= hotThreshold)
-      .select(col("doc_id"), col("fp"))
-    val stop = tagged.filter(col("n_docs") > hotThreshold)
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_stop_fps"))
-    val partners = tail.as("a")
-      .join(tail.as("b"), col("a.fp") === col("b.fp") &&
-        col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_id"))
-      .agg(countDistinct(col("b.doc_id")).as("n_partners"))
-    val counts = fps.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_fps"))
-    docs.select(col("doc_id"))
-      .join(counts, Seq("doc_id"), "left")
-      .join(partners, Seq("doc_id"), "left")
-      .join(stop, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("n_fps"), lit(0L)).as("n_fps"),
-        coalesce(col("n_partners"), lit(0L)).as("n_partners"),
-        coalesce(col("n_stop_fps"), lit(0L)).as("n_stop_fps"))
-      .orderBy(col("doc_id"))
-  }
-
-  def x33Winnow(spark: SparkSession, sfDir: String): DataFrame =
-    x33WinnowOver(Tables.documents(spark, sfDir), WinnowHotFpThreshold)
-
   /** X34 — int8 scalar quantization of the embedding column (the vector
     * compression step before shipping an ANN corpus: 4× smaller than
     * float32): per-vector min/max from the array (array_min/array_max —
@@ -347,7 +270,6 @@ object Extras4 {
     "x39_train_shards" -> (x39TrainShards _),
     "x31_quality_quantile" -> (x31QualityQuantile _),
     "x32_decontaminate13" -> (x32Decontaminate13 _),
-    "x33_winnow" -> (x33Winnow _),
     "x34_quantize" -> (x34Quantize _),
     "x35_temperature_mix" -> (x35TemperatureMix _),
     "x37_curate_topk" -> (x37CurateTopK _))
@@ -404,28 +326,6 @@ object Extras4 {
        "FROM staged d LEFT JOIN nh ON d.doc_id = nh.doc_id " +
        "LEFT JOIN rh ON d.doc_id = rh.doc_id " +
        "WHERE d.doc_id % 3 <> 0 ORDER BY d.doc_id"),
-    "x33_winnow" ->
-      ("WITH g AS (SELECT doc_id, pos, md5(ngram) AS h FROM (" +
-       TextOps.ngramSql(8) + ") t), " +
-       "wmin AS (SELECT doc_id, pos, MIN(h) OVER (PARTITION BY doc_id " +
-       "ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp FROM g), " +
-       "fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE pos >= 3), " +
-       "dfp AS (SELECT fp, COUNT(*) AS n_docs FROM fps GROUP BY fp), " +
-       s"tl AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfp USING (fp) " +
-       s"WHERE n_docs <= $WinnowHotFpThreshold), " +
-       s"st AS (SELECT f.doc_id, COUNT(*) AS n_stop_fps FROM fps f " +
-       s"JOIN dfp USING (fp) WHERE n_docs > $WinnowHotFpThreshold " +
-       "GROUP BY f.doc_id), " +
-       "cnt AS (SELECT doc_id, COUNT(*) AS n_fps FROM fps GROUP BY doc_id), " +
-       "pt AS (SELECT a.doc_id, COUNT(DISTINCT b.doc_id) AS n_partners " +
-       "FROM tl a JOIN tl b ON a.fp = b.fp AND a.doc_id <> b.doc_id " +
-       "GROUP BY a.doc_id) " +
-       "SELECT d.doc_id, COALESCE(cnt.n_fps, 0) AS n_fps, " +
-       "COALESCE(pt.n_partners, 0) AS n_partners, " +
-       "COALESCE(st.n_stop_fps, 0) AS n_stop_fps " +
-       "FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id " +
-       "LEFT JOIN pt ON d.doc_id = pt.doc_id " +
-       "LEFT JOIN st ON d.doc_id = st.doc_id ORDER BY d.doc_id"),
     "x35_temperature_mix" ->
       ("WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang), " +
        "m AS (SELECT MIN(n_lang) AS mn FROM c), " +

@@ -16,37 +16,6 @@ import graft.api.{TextPipeline, VocabTokenizer}
   */
 object Extras5 {
 
-  /** X40 — BPE-token accounting through the [[graft.api.Tokenizer]]
-    * seam: per-document token counts and packed-window counts in TOKEN
-    * space, not word space (the "x21's tokens silently mean words" gap).
-    * The tokenizer is a [[VocabTokenizer]] over a PINNED deterministic
-    * vocabulary — the corpus' top-64 words by (frequency desc, word asc)
-    * — so a vocab word is one token and any other word falls back to its
-    * ≤4-char pieces. Because the vocab is data, DuckDB reproduces the
-    * exact counts: 1 per vocab word + ceil(len/4) per non-vocab word.
-    *
-    * Scale shape: the vocab build is one grouped agg + global top-k
-    * (TakeOrdered, k rows of driver metadata — in production a persisted
-    * artifact); tokenization is the per-partition iterator seam (vocab
-    * set dereferenced once per task), zero shuffles; the counts are
-    * per-row array math. SF-invariant end to end. */
-  def x40BpeTokens(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val vocab = TextPipeline.topVocab(docs, "text", 64)
-    val tok = new VocabTokenizer(
-      spark.sparkContext.broadcast(vocab.toSet))
-    TextPipeline.tokenize(
-        docs.select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_words"),
-          col("text")),
-        "text", tok)
-      .select(col("doc_id"), col("n_words"),
-        size(col("tokens")).cast("long").as("n_tokens"))
-      .withColumn("n_chunks",
-        ceil(col("n_tokens") / 512.0).cast("long"))
-      .orderBy(col("doc_id"))
-  }
-
   /** The x41/x42 corpus: originals plus the planted clone shard. The
     * test corpus is near-orthogonal (max ambient pair 0.51, see x2), so
     * near-dups are PLANTED the x20/x32 way: every 5th vector re-appears
@@ -176,61 +145,10 @@ object Extras5 {
       .orderBy(col("doc_id"))
   }
 
-  /** X44 — BPE TRAINING as a contract row (derived-claim form, the
-    * x8/x27 pattern — the learned merge sequence itself is not portably
-    * SQL-expressible): [[graft.api.TextPipeline.trainBpe]] learns 16
-    * merges over the corpus (one distributed pair-count per merge,
-    * bounded by vocabulary not corpus size), the learned
-    * [[graft.api.BpeTokenizer]] re-encodes the corpus, and the row
-    * emits the exact pre-training token count (= non-space chars, which
-    * DuckDB recomputes exactly) plus the verifiable claims: 16 distinct
-    * merges learned, and the encoding genuinely compressed the corpus.
-    * The full merge-sequence exactness is covered by the spec layer
-    * against an independent reference implementation. */
-  /** The learned 16-merge table, staged cross-process (round 10): the
-    * trainer's distributed word-frequency pass and 16-round merge loop
-    * run once per corpus; later processes reload the (rank, lhs, rhs)
-    * parquet — exactly the persisted-model artifact a production
-    * tokenizer trainer ships. */
-  private def bpeMerges16(spark: SparkSession,
-      sfDir: String): Seq[(String, String)] = {
-    val home = Tables.stagedHome("bpe_merges", sfDir, "documents", "m16")
-    Tables.ensureStaged(home) { tmp =>
-      import spark.implicits._
-      TextPipeline.trainBpe(Tables.documents(spark, sfDir), "text", 16)
-        .zipWithIndex
-        .map { case ((l, r), i) => (i.toLong, l, r) }
-        .toDF("rank", "lhs", "rhs").coalesce(1)
-        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-    }
-    Tables.tune(spark).read.parquet(home.getAbsolutePath)
-      .orderBy(col("rank")).collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
-  }
-
-  def x44BpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val merges = bpeMerges16(spark, sfDir)
-    val tok = new graft.api.BpeTokenizer(
-      spark.sparkContext.broadcast(merges))
-    val after = TextPipeline
-      .tokenize(docs.select(col("doc_id"), col("text")), "text", tok)
-      .agg(sum(size(col("tokens"))).cast("long").as("n_after"))
-    docs.agg(sum(length(regexp_replace(col("text"), " ", "")))
-        .cast("long").as("n_start_tokens"))
-      .crossJoin(after)
-      .select(lit(merges.length.toLong).as("n_merges"),
-        col("n_start_tokens"),
-        (col("n_after") < col("n_start_tokens")).as("compressed"),
-        lit(merges.distinct.length == merges.length).as("merges_distinct"))
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x40_bpe_tokens" -> (x40BpeTokens _),
     "x41_embed_neardup" -> (x41EmbedNearDup _),
     "x42_embed_dedup_keep" -> (x42EmbedDedupKeep _),
-    "x43_winsorize" -> (x43Winsorize _),
-    "x44_bpe_train" -> (x44BpeTrain _))
+    "x43_winsorize" -> (x43Winsorize _))
 
   /** Shared oracle text for the x41/x42 corpus: the UNION base and the
     * exhaustive verified-pairs query (sign-flips applied inside the
@@ -252,20 +170,6 @@ object Extras5 {
     ">= 0.8"
 
   val oracles: Map[String, String] = Map(
-    // the pinned vocab is recomputed as data (same deterministic
-    // tie-break); SUM over ints is HUGEINT in DuckDB — CAST (x21 lesson)
-    "x40_bpe_tokens" ->
-      ("WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word " +
-       "FROM documents), " +
-       "v AS (SELECT word FROM w GROUP BY word " +
-       "ORDER BY COUNT(*) DESC, word ASC LIMIT 64), " +
-       "t AS (SELECT doc_id, COUNT(*) AS n_words, " +
-       "CAST(SUM(CASE WHEN word IN (SELECT word FROM v) THEN 1 " +
-       "ELSE CAST(CEIL(length(word) / 4.0) AS BIGINT) END) AS BIGINT) " +
-       "AS n_tokens FROM w GROUP BY doc_id) " +
-       "SELECT doc_id, n_words, n_tokens, " +
-       "CAST(CEIL(n_tokens / 512.0) AS BIGINT) AS n_chunks " +
-       "FROM t ORDER BY doc_id"),
     // EXHAUSTIVE exact pairs over the same constructed corpus (the x2
     // shape with the planted sign-flips applied inside the dot): the
     // banded Spark side must find exactly these — recall is the claim
@@ -315,12 +219,5 @@ object Extras5 {
        "SELECT doc_id, s.lang, score, lo, hi, " +
        "LEAST(GREATEST(score, lo), hi) AS clipped, " +
        "(score < lo OR score > hi) AS was_clipped " +
-       "FROM s JOIN b ON s.lang = b.lang ORDER BY doc_id"),
-    // derived-claim oracle: the exact char-token start count straight
-    // from the corpus, the training outcomes as spec-bound booleans
-    "x44_bpe_train" ->
-      ("SELECT CAST(16 AS BIGINT) AS n_merges, " +
-       "CAST(SUM(length(replace(text, ' ', ''))) AS BIGINT) " +
-       "AS n_start_tokens, TRUE AS compressed, TRUE AS merges_distinct " +
-       "FROM documents"))
+       "FROM s JOIN b ON s.lang = b.lang ORDER BY doc_id"))
 }

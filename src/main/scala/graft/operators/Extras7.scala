@@ -12,69 +12,6 @@ import graft.api.TextPipeline
   */
 object Extras7 {
 
-  /** X48 — exact all-pairs Jaccard join via prefix filtering
-    * ([[TextPipeline.prefixJaccardPairsDetail]]; Chaudhuri et al.
-    * ICDE'06 / PPJoin): every document pair with 3-gram-shingle Jaccard
-    * strictly above 0.5, found WITHOUT signatures — candidates come only
-    * from collisions inside rare-first prefixes, with exact-duplicate
-    * sets classed to one representative and hot prefix tokens
-    * stop-listed (x41/x47's guard design in token space). Run at t=0.5,
-    * BELOW the l2 LSH pipeline's 0.6 operating point, because this is
-    * where the exact algorithm earns its keep: b=64/r=2 band recall at
-    * J=0.5 is 1-(1-0.25)^64 ≈ 1-1e-8 per pair but degrades fast below
-    * it, while the prefix filter's pruning bound is algebraic at every
-    * threshold. The oracle recomputes the exhaustive answer, so recall
-    * AND precision are hash-checked pair by pair. */
-  def x48JaccardJoin(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.tune(spark).read
-      .parquet(new java.io.File(pfxSelfHome(spark, sfDir), "pairs")
-        .getAbsolutePath)
-      .orderBy(col("doc_a"), col("doc_b"))
-
-  /** Cross-process home of the x48/x48b self-join prefix-Jaccard
-    * artifacts (VERDICT r9 #3 — the PQ/CC staging tier applied to the
-    * bench-tail text family): `pairs/` the verified pair table, `stop/`
-    * the hot-prefix stop set, built once per (corpus, t=0.5) and
-    * atomically published; later processes reload both. */
-  private def pfxSelfHome(spark: SparkSession,
-      sfDir: String): java.io.File = {
-    val home = Tables.stagedHome("pfx_self", sfDir, "documents", "3g_t05")
-    Tables.ensureStaged(home) { tmp =>
-      val d = TextPipeline.prefixJaccardPairsDetail(
-        Dedup.shingleHashSet(spark, sfDir), 0.5)
-      d.pairs.write.mode("overwrite")
-        .parquet(new java.io.File(tmp, "pairs").getAbsolutePath)
-      d.stopTokens.write.mode("overwrite")
-        .parquet(new java.io.File(tmp, "stop").getAbsolutePath)
-    }
-    home
-  }
-
-  /** X49 — corpus-LM quality scoring (the CCNet/KenLM treatment, Wenzek
-    * et al. 2020, §4.3, as a two-pass distributed shape): score each
-    * document by the mean add-one-smoothed bigram log-probability of its
-    * own text under the LANGUAGE MODEL INDUCED BY THE CORPUS ITSELF —
-    * ln((c(w1,w2) + 1) / (c(w1) + V)) averaged over the document's
-    * bigram occurrences. Repetitive/boilerplate documents score HIGH
-    * (their bigrams dominate the corpus counts), incoherent ones score
-    * LOW — the standard perplexity-proxy signal used to rank crawl text
-    * for training-data selection.
-    *
-    * Scale shape: pass 1 builds the model — two grouped counts (bigram,
-    * unigram contexts) plus one scalar V, each one shuffle over
-    * vocabulary-sized frames; pass 2 joins the document's bigram rows to
-    * the model on the bigram/context keys (vocabulary tables, NOT the
-    * corpus — skew-safe because counts are pre-aggregated) and runs one
-    * per-doc average. Nothing is ever collected; the model tables are
-    * the only reused state and would persist as index tables on a
-    * cluster. Determinism: the per-bigram term is pure IEEE arithmetic
-    * on exact counts, identical in both engines; the per-doc mean is
-    * rounded to 6 dp (sub-1e-13 summation-order noise, same policy as
-    * the cosine family). */
-  def x49LmScore(spark: SparkSession, sfDir: String): DataFrame =
-    TextPipeline.lmScore(Tables.documents(spark, sfDir), "doc_id", "text")
-      .orderBy(col("doc_id"))
-
   /** X53 — data-quality gate (the Deequ/expectations pattern): constraint
     * checks and column profiles computed as ONE aggregate pass over the
     * fact table — every metric is an independent aggregate expression in
@@ -172,104 +109,11 @@ object Extras7 {
       .orderBy(col("o_orderstatus"), col("month_start"))
   }
 
-  /** X55 — incremental EXACT Jaccard dedup: the incoming shard
-    * (doc_id % 10 = 3) probed against the rest of the corpus through
-    * [[TextPipeline.prefixJaccardAgainst]] — completing the incremental
-    * family (x38 = LSH text, x46 = embeddings, x55 = exact text). The
-    * corpus prefix index is built once and never self-joined; the probe
-    * computes its prefixes under the INDEX's rarity order without
-    * touching corpus rows. Exhaustive cross-side oracle, so recall and
-    * precision are both hash-checked. */
-  def x55JaccardIncremental(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.tune(spark).read
-      .parquet(new java.io.File(pfxIncrHome(spark, sfDir), "pairs")
-        .getAbsolutePath)
-      .orderBy(col("doc_new"), col("doc_old"))
-
-  /** Cross-process home of the x55/x56 incremental prefix-Jaccard
-    * artifacts (probe = doc_id % 10 == 3 vs the rest, t = 0.5):
-    * `pairs/` + `stop/`, the [[pfxSelfHome]] pattern. */
-  private def pfxIncrHome(spark: SparkSession,
-      sfDir: String): java.io.File = {
-    val home = Tables.stagedHome("pfx_incr", sfDir, "documents",
-      "3g_t05_m10p3")
-    Tables.ensureStaged(home) { tmp =>
-      val sh = Dedup.shingleHashSet(spark, sfDir)
-      val d = TextPipeline.prefixJaccardAgainstDetail(
-        sh.filter(col("doc_id") % 10 === 3),
-        sh.filter(col("doc_id") % 10 =!= 3), 0.5)
-      d.pairs.write.mode("overwrite")
-        .parquet(new java.io.File(tmp, "pairs").getAbsolutePath)
-      d.stopTokens.write.mode("overwrite")
-        .parquet(new java.io.File(tmp, "stop").getAbsolutePath)
-    }
-    home
-  }
-
-  /** X56 — x55's guard visibility row (ADVICE r6): the corpus-side
-    * stop-token set the hot-prefix cap excluded from x55's candidate
-    * generation, emitted as data. x55's "recall AND precision both
-    * hash-checked" exactness claim holds exactly while this set is
-    * EMPTY; on a hotter corpus this row fails FIRST with the count that
-    * explains x55's recall loss, instead of x55 failing as a mystery
-    * pair-set mismatch. Stop-set membership depends on the xxhash64
-    * rarity tie-break, so the SET is not oracle-expressible — but its
-    * emptiness at the tested corpora is, as a derived claim. */
-  def x56JaccardIncrGuard(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.tune(spark).read
-      .parquet(new java.io.File(pfxIncrHome(spark, sfDir), "stop")
-        .getAbsolutePath)
-      .agg(count(lit(1)).as("n_stop_tokens"))
-      .select(col("n_stop_tokens"),
-        (col("n_stop_tokens") === 0L).as("recall_exact"))
-
-  /** X48B — guard-visibility row for the self-join Jaccard family
-    * (VERDICT r7 #3, the x56 pattern on [[x48JaccardJoin]]'s pipeline):
-    * the hot-prefix stop set that [[TextPipeline.prefixJaccardPairsDetail]]
-    * excludes from candidate generation, emitted as contract data. On
-    * the tested corpora it is EMPTY, so x48's exhaustive-recall oracle
-    * is in force; on a hotter corpus this row turns cap-induced recall
-    * loss into a visible count instead of a mystery hash mismatch. */
-  def x48bJaccardGuard(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.tune(spark).read
-      .parquet(new java.io.File(pfxSelfHome(spark, sfDir), "stop")
-        .getAbsolutePath)
-      .agg(count(lit(1)).as("n_stop_tokens"))
-      .select(col("n_stop_tokens"),
-        (col("n_stop_tokens") === 0L).as("recall_exact"))
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x48_jaccard_join" -> (x48JaccardJoin _),
-    "x49_lm_score" -> (x49LmScore _),
     "x53_data_quality" -> (x53DataQuality _),
-    "x54_incremental_agg" -> (x54IncrementalAgg _),
-    "x55_jaccard_incremental" -> (x55JaccardIncremental _),
-    "x56_jaccard_incr_guard" -> (x56JaccardIncrGuard _),
-    "x48b_jaccard_guard" -> (x48bJaccardGuard _))
+    "x54_incremental_agg" -> (x54IncrementalAgg _))
 
   val oracles: Map[String, String] = Map(
-    // the exhaustive exact answer — same frame the l2 oracle builds, at
-    // the lower threshold the exact algorithm supports
-    "x48_jaccard_join" ->
-      (s"WITH s AS (SELECT DISTINCT doc_id, ngram FROM (${TextOps.ngramSql(3)}) t), " +
-       "n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id), " +
-       "i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter " +
-       "FROM s a JOIN s b ON a.ngram = b.ngram AND a.doc_id < b.doc_id " +
-       "GROUP BY 1, 2) " +
-       "SELECT doc_a, doc_b, inter / (na.n_sh + nb.n_sh - inter) AS jaccard " +
-       "FROM i JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b " +
-       "WHERE inter / (na.n_sh + nb.n_sh - inter) > 0.5 ORDER BY doc_a, doc_b"),
-    "x49_lm_score" ->
-      (s"WITH bg AS (SELECT doc_id, ngram FROM (${TextOps.ngramSql(2)}) t), " +
-       s"uni AS (SELECT ngram AS w FROM (${TextOps.ngramSql(1)}) t), " +
-       "c2 AS (SELECT ngram, COUNT(*) AS c2 FROM bg GROUP BY 1), " +
-       "c1 AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY 1), " +
-       "v AS (SELECT COUNT(DISTINCT w) AS v FROM uni) " +
-       "SELECT b.doc_id, COUNT(*) AS n_bigrams, " +
-       "round(AVG(ln((c2.c2 + 1.0) / (c1.c1 + v.v))), 6) AS lp " +
-       "FROM bg b JOIN c2 ON b.ngram = c2.ngram " +
-       "JOIN c1 ON split_part(b.ngram, ' ', 1) = c1.w " +
-       "CROSS JOIN v GROUP BY b.doc_id ORDER BY doc_id"),
     "x53_data_quality" ->
       ("WITH one AS (SELECT " +
        "CAST(COUNT(*) AS DOUBLE) AS n_rows, " +
@@ -309,25 +153,5 @@ object Extras7 {
        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total, " +
        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) " +
        "/ COUNT(*), 6) AS avg_price " +
-       "FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, month_start"),
-    // exhaustive cross-side recompute — recall AND precision checked
-    "x55_jaccard_incremental" ->
-      (s"WITH s AS (SELECT DISTINCT doc_id, ngram FROM (${TextOps.ngramSql(3)}) t), " +
-       "n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id), " +
-       "i AS (SELECT p.doc_id AS doc_new, c.doc_id AS doc_old, " +
-       "COUNT(*) AS inter FROM s p JOIN s c ON p.ngram = c.ngram " +
-       "AND p.doc_id % 10 = 3 AND c.doc_id % 10 <> 3 GROUP BY 1, 2) " +
-       "SELECT doc_new, doc_old, " +
-       "inter / (nn.n_sh + no.n_sh - inter) AS jaccard " +
-       "FROM i JOIN n nn ON nn.doc_id = doc_new " +
-       "JOIN n no ON no.doc_id = doc_old " +
-       "WHERE inter / (nn.n_sh + no.n_sh - inter) > 0.5 " +
-       "ORDER BY doc_new, doc_old"),
-    // derived claim: the hot-prefix stop set is empty at the tested
-    // corpora, so x55's exhaustive-recall contract is in force
-    "x56_jaccard_incr_guard" ->
-      "SELECT CAST(0 AS BIGINT) AS n_stop_tokens, TRUE AS recall_exact",
-    // same derived claim for the self-join family's stop set
-    "x48b_jaccard_guard" ->
-      "SELECT CAST(0 AS BIGINT) AS n_stop_tokens, TRUE AS recall_exact")
+       "FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, month_start"))
 }

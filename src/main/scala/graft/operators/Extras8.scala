@@ -77,34 +77,6 @@ object Extras8 {
       .orderBy(col("doc_id"))
   }
 
-  /** X61 — n-gram novelty scoring (the contribution signal data
-    * selection ranks by: how much of a document is NOT already in the
-    * corpus before it): per doc, the fraction of its distinct 3-gram
-    * shingles whose FIRST occurrence (minimum doc_id) is this doc.
-    * Boilerplate re-posts score ~0, fresh text ~1 — the streaming-order
-    * analog dedups an ingest feed by information gain.
-    *
-    * Scale shape: first-seen is ONE vocabulary-sized aggregate
-    * (min doc_id per shingle — the same index table x55 keeps), the
-    * join back is token-keyed against that pre-aggregated single row
-    * per token (hot shingles cannot blow up the join), and the per-doc
-    * roll-up is one grouped agg. The novelty ratio is a single IEEE
-    * division on exact counts — identical in both engines, no rounding
-    * policy needed. */
-  def x61NgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Dedup.shingleHashSet(spark, sfDir)
-    val firstSeen = sh.groupBy(col("ng_h"))
-      .agg(min(col("doc_id")).as("first_doc"))
-    sh.join(firstSeen, "ng_h")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_sh"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
-      .select(col("doc_id"), col("n_sh"), col("n_novel"),
-        (col("n_novel").cast("double") / col("n_sh")).as("novelty"))
-      .orderBy(col("doc_id"))
-  }
-
   /** X62 — training-mixture report: the TOP-20 sources' corpus shares
     * with cumulative coverage in size order — the table a data-mixing
     * run reads before choosing sampling temperatures (x35 consumes
@@ -134,62 +106,9 @@ object Extras8 {
       .orderBy(col("chars").desc, col("source"))
   }
 
-  /** X63 — exact containment join
-    * ([[graft.api.TextPipeline.containmentPairs]], t = 0.8): directed
-    * near-superset pairs — the quote/decontamination detector that
-    * Jaccard misses (a benchmark doc pasted into a big page has low
-    * Jaccard but containment ≈ 1). Candidates come only from
-    * rare-first prefix collisions of the CONTAINED side with the
-    * hot-token stop cap (the only admissible guards — containment
-    * ignores the container's size, so there is no symmetric length
-    * filter); exact intersection counts verify. The oracle recomputes
-    * every directed pair exhaustively, so recall and precision are
-    * both hash-checked. */
-  def x63ContainmentJoin(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.tune(spark).read
-      .parquet(new java.io.File(ctnSelfHome(spark, sfDir), "pairs")
-        .getAbsolutePath)
-      .orderBy(col("doc_src"), col("doc_sup"))
-
-  /** Cross-process home of the x63/x63b containment artifacts
-    * (t = 0.8): `pairs/` + `stop/` — VERDICT r9 #3's staging tier on
-    * the same pattern as the x48 self-join family. */
-  private def ctnSelfHome(spark: SparkSession,
-      sfDir: String): java.io.File = {
-    val home = Tables.stagedHome("ctn_self", sfDir, "documents", "3g_t08")
-    Tables.ensureStaged(home) { tmp =>
-      val d = graft.api.TextPipeline.containmentPairsDetail(
-        Dedup.shingleHashSet(spark, sfDir), 0.8)
-      d.pairs.write.mode("overwrite")
-        .parquet(new java.io.File(tmp, "pairs").getAbsolutePath)
-      d.stopTokens.write.mode("overwrite")
-        .parquet(new java.io.File(tmp, "stop").getAbsolutePath)
-    }
-    home
-  }
-
-  /** X63B — guard-visibility row for the containment family (VERDICT
-    * r7 #3, the x56 pattern on [[x63ContainmentJoin]]'s pipeline): the
-    * hot-token stop set that
-    * [[graft.api.TextPipeline.containmentPairsDetail]] excludes from
-    * candidate generation. Containment has NO symmetric size filter to
-    * fall back on, so a non-empty stop set here directly bounds recall
-    * — this row makes that bound a visible contract count. Empty at
-    * the tested corpora, so x63's exhaustive oracle is in force. */
-  def x63bContainmentGuard(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.tune(spark).read
-      .parquet(new java.io.File(ctnSelfHome(spark, sfDir), "stop")
-        .getAbsolutePath)
-      .agg(count(lit(1)).as("n_stop_tokens"))
-      .select(col("n_stop_tokens"),
-        (col("n_stop_tokens") === 0L).as("recall_exact"))
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x63_containment_join" -> (x63ContainmentJoin _),
-    "x63b_containment_guard" -> (x63bContainmentGuard _),
     "x58_curation_funnel" -> (x58CurationFunnel _),
     "x60_leakage_split" -> (x60LeakageSplit _),
-    "x61_ngram_novelty" -> (x61NgramNovelty _),
     "x62_mixture_report" -> (x62MixtureReport _))
 
   val oracles: Map[String, String] = Map(
@@ -234,16 +153,6 @@ object Extras8 {
        "ELSE 'test' END AS split " +
        "FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id " +
        "ORDER BY d.doc_id"),
-    "x61_ngram_novelty" ->
-      (s"WITH s AS (SELECT DISTINCT doc_id, ngram FROM (${TextOps.ngramSql(3)}) t), " +
-       "f AS (SELECT ngram, MIN(doc_id) AS first_doc FROM s GROUP BY 1), " +
-       "agg AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh, " +
-       "CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) " +
-       "AS BIGINT) AS n_novel " +
-       "FROM s JOIN f ON s.ngram = f.ngram GROUP BY s.doc_id) " +
-       "SELECT doc_id, n_sh, n_novel, " +
-       "CAST(n_novel AS DOUBLE) / n_sh AS novelty " +
-       "FROM agg ORDER BY doc_id"),
     "x62_mixture_report" ->
       ("WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
        "CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents GROUP BY 1), " +
@@ -253,19 +162,5 @@ object Extras8 {
        "CAST(chars AS DOUBLE) / total AS share, " +
        "CAST(CAST(SUM(chars) OVER (ORDER BY chars DESC, source) AS BIGINT) " +
        "AS DOUBLE) / total AS cum_share " +
-       "FROM top CROSS JOIN t ORDER BY chars DESC, source"),
-    // derived claim: the containment stop set is empty at the tested
-    // corpora, so the exhaustive-recall contract below is in force
-    "x63b_containment_guard" ->
-      "SELECT CAST(0 AS BIGINT) AS n_stop_tokens, TRUE AS recall_exact",
-    // the exhaustive directed recompute — recall AND precision checked
-    "x63_containment_join" ->
-      (s"WITH s AS (SELECT DISTINCT doc_id, ngram FROM (${TextOps.ngramSql(3)}) t), " +
-       "n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id), " +
-       "i AS (SELECT a.doc_id AS doc_src, b.doc_id AS doc_sup, " +
-       "COUNT(*) AS inter FROM s a JOIN s b ON a.ngram = b.ngram " +
-       "AND a.doc_id <> b.doc_id GROUP BY 1, 2) " +
-       "SELECT doc_src, doc_sup, inter / ns.n_sh AS containment " +
-       "FROM i JOIN n ns ON ns.doc_id = doc_src " +
-       "WHERE inter / ns.n_sh > 0.8 ORDER BY doc_src, doc_sup"))
+       "FROM top CROSS JOIN t ORDER BY chars DESC, source"))
 }

@@ -18,77 +18,6 @@ import graft.{Det, Tables}
   */
 object Extras9 {
 
-  /** X64 — fuzzy entity-resolution join with GUARANTEED-RECALL blocking
-    * (FastSS deletion neighborhoods, Bocek et al. 2007): a "dirty" feed
-    * of customer names (every 10th name with one key-dependent digit
-    * deleted — the corruption is itself derived deterministically, so
-    * both engines stage identical inputs) matched back to the master
-    * list under edit distance ≤ 1.
-    *
-    * Candidate lemma: lev(a,b) ≤ 1 ⟹ U(a) ∩ U(b) ≠ ∅ where
-    * U(x) = {x} ∪ {x minus one char} — equality is trivial, a
-    * substitution meets at the both-sides deletion, and a deletion IS
-    * an element of the longer side's neighborhood. So the variant
-    * equi-join is a complete candidate generator (unlike first-token
-    * or soundex blocking, which silently lose recall), and the exact
-    * `levenshtein` verify restores precision. Cost: each side explodes
-    * to |s|+1 variant rows (19 here) — a bounded, shuffle-friendly
-    * blow-up an exhaustive O(n·m) cross join never is. The oracle IS
-    * the exhaustive cross join, so recall and precision are both
-    * hash-checked. */
-  /** The reusable core of x64: all (dirty, clean) pairs within edit
-    * distance 1, via the complete 1-deletion-neighborhood candidate
-    * generator + exact verify. Input frames carry (key, name) columns
-    * named per the arguments. */
-  def fuzzyJoinDist1(dirty: DataFrame, clean: DataFrame): DataFrame = {
-    def variants(df: DataFrame, nameCol: String): DataFrame =
-      df.withColumn("variant", explode(expr(
-        s"array_distinct(concat(array($nameCol), " +
-          s"transform(sequence(1, length($nameCol)), " +
-          s"i -> concat(substr($nameCol, 1, i - 1), substr($nameCol, i + 1)))))")))
-    variants(dirty, "dirty_name")
-      .join(variants(clean, "clean_name"), "variant")
-      .select(col("dirty_key"), col("clean_key"), col("dirty_name"),
-        col("clean_name"))
-      .distinct()
-      // threshold form: the DP abandons a row pair as soon as the
-      // distance provably exceeds 1 (returns -1), so verify cost per
-      // candidate is O(len) instead of O(len²)
-      .withColumn("lev",
-        levenshtein(col("dirty_name"), col("clean_name"), 1))
-      .filter(col("lev") >= 0)
-      .select(col("dirty_key"), col("clean_key"), col("lev"))
-  }
-
-  def x64FuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = Tables.tune(spark)
-    val cust = Tables.customer(s, sfDir)
-    val clean = cust.select(col("c_custkey").as("clean_key"),
-      col("c_name").as("clean_name"))
-    val dirty = cust.filter(col("c_custkey") % 10 === 0)
-      .select(col("c_custkey").as("dirty_key"),
-        expr("concat(substr(c_name, 1, 9 + c_custkey % 9), " +
-          "substr(c_name, 11 + c_custkey % 9))").as("dirty_name"))
-    fuzzyJoinDist1(dirty, clean)
-      .orderBy(col("dirty_key"), col("clean_key"))
-  }
-
-  /** X66 — repeated-span audit (the memorization-risk report a
-    * training-data review reads): the 50 most-shared 8-gram spans
-    * across distinct documents, with document and occurrence counts.
-    * One vocabulary-keyed aggregate over the shingle stream (identical
-    * scale shape to x61's first-seen index — hot spans aggregate, never
-    * join-explode), then a distributed top-k (TakeOrderedAndProject)
-    * under the total order (n_docs desc, n_occur desc, ngram). */
-  def x66RepeatedSpans(spark: SparkSession, sfDir: String): DataFrame =
-    TextOps.ngrams(spark, sfDir, 8)
-      .groupBy(col("ngram"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occur"))
-      .filter(col("n_docs") >= 2)
-      .orderBy(col("n_docs").desc, col("n_occur").desc, col("ngram"))
-      .limit(50)
-
   /** X67 — diversified top-k retrieval (label-quota form of
     * Carbonell/Goldstein's MMR): per probe, the top-5 cosine neighbors
     * subject to AT MOST 2 RESULTS PER LABEL — the "don't return five
@@ -157,31 +86,10 @@ object Extras9 {
       .limit(100)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x64_fuzzy_join" -> (x64FuzzyJoin _),
-    "x66_repeated_spans" -> (x66RepeatedSpans _),
     "x67_diversified_topk" -> (x67DiversifiedTopK _),
     "x71_copurchase" -> (x71CoPurchase _))
 
   val oracles: Map[String, String] = Map(
-    // the exhaustive recompute: every (dirty, clean) pair's true edit
-    // distance — recall of the deletion-neighborhood blocking AND
-    // precision of the verify are both hash-checked
-    "x64_fuzzy_join" ->
-      ("WITH dirty AS (SELECT c_custkey AS dirty_key, " +
-       "substr(c_name, 1, 9 + c_custkey % 9) || " +
-       "substr(c_name, 11 + c_custkey % 9) AS dirty_name " +
-       "FROM customer WHERE c_custkey % 10 = 0) " +
-       "SELECT d.dirty_key, c.c_custkey AS clean_key, " +
-       "CAST(levenshtein(d.dirty_name, c.c_name) AS INT) AS lev " +
-       "FROM dirty d CROSS JOIN customer c " +
-       "WHERE levenshtein(d.dirty_name, c.c_name) <= 1 " +
-       "ORDER BY dirty_key, clean_key"),
-    "x66_repeated_spans" ->
-      (s"SELECT ngram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
-       "CAST(COUNT(*) AS BIGINT) AS n_occur " +
-       s"FROM (${TextOps.ngramSql(8)}) t GROUP BY ngram " +
-       "HAVING COUNT(DISTINCT doc_id) >= 2 " +
-       "ORDER BY n_docs DESC, n_occur DESC, ngram LIMIT 50"),
     "x67_diversified_topk" ->
       ("WITH p AS (SELECT vec_id AS probe_id, embedding AS pe " +
        "FROM embeddings WHERE vec_id < 10), " +

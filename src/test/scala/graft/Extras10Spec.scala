@@ -371,7 +371,7 @@ class Extras10Spec extends SparkSpec {
 
   test("x107: BM25 prefers docs that hit more query terms with " +
       "higher saturated tf") {
-    val rows = Extras10.x107Bm25(spark, sf).collect()
+    val rows = graft.operators.TextIndexOps.x107Bm25(spark, sf).collect()
     assert(rows.length == 10)
     assert(rows.forall(r => r.getDouble(1) > 0 && r.getLong(2) >= 1
       && r.getLong(2) <= 3))

@@ -40,7 +40,7 @@ class Extras15Spec extends SparkSpec {
       .filter(_._2 > 0)
       .sortBy { case (id, n, _) => (-n, id) }
       .take(20)
-    val got = Extras15.x153PhraseSearch(spark, sf).collect()
+    val got = graft.operators.TextIndexOps.x153PhraseSearch(spark, sf).collect()
       .map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
     assert(got.toSeq == brute.toSeq)
   }
@@ -132,7 +132,7 @@ class Extras15Spec extends SparkSpec {
         val oov = xs.count(x => !vocab.contains(x._2)).toLong
         (lang, xs.length.toLong, oov, r(oov.toDouble / xs.length, 6))
       }.toSeq.sortBy(_._1)
-    val got = Extras15.x157OovRate(spark, sf).collect()
+    val got = graft.operators.TextIndexOps.x157OovRate(spark, sf).collect()
       .map(row => (row.getString(0), row.getLong(1), row.getLong(2),
         row.getDouble(3)))
     assert(got.toSeq == expect)

@@ -111,7 +111,7 @@ class Extras4Spec extends SparkSpec {
     ).toDF("doc_id", "text")
     val dir = Tables.scratchDir("x33fix", sf)
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val m = Extras4.x33Winnow(spark, dir).collect()
+    val m = graft.operators.TextIndexOps.x33Winnow(spark, dir).collect()
       .map(r => r.getLong(0) ->
         (r.getAs[Long]("n_fps"), r.getAs[Long]("n_partners"))).toMap
     assert(m(1L)._2 == 1L, s"doc 1 found no partner: $m")
@@ -119,7 +119,7 @@ class Extras4Spec extends SparkSpec {
     assert(m(3L) == ((0L, 0L)), "10-word doc must have no complete window")
     // corpus level: every doc >= 11 words has fingerprints; partner
     // relation is symmetric
-    val corpus = Extras4.x33Winnow(spark, sf).collect()
+    val corpus = graft.operators.TextIndexOps.x33Winnow(spark, sf).collect()
     val nWords = Tables.documents(spark, sf)
       .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -145,7 +145,7 @@ class Extras4Spec extends SparkSpec {
       .toDF("doc_id", "text")
     val T = 8L
     // the planted boilerplate fingerprint is HOT: all 150 docs share it
-    val fps = Extras4.winnowFps(df).localCheckpoint(true)
+    val fps = graft.operators.TextIndexOps.winnowFps(df).localCheckpoint(true)
     val dfp = fps.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
     assert(dfp.agg(max(col("n_docs"))).head.getLong(0) >= 150L)
     // the guarded pair-join input (the tail) is capped at the threshold:
@@ -154,7 +154,7 @@ class Extras4Spec extends SparkSpec {
       .groupBy(col("fp")).count()
       .agg(max(col("count"))).head.getLong(0)
     assert(tailMax <= T, s"tail has a bucket of $tailMax rows (> $T)")
-    val m = Extras4.x33WinnowOver(df, T).collect()
+    val m = graft.operators.TextIndexOps.x33WinnowOver(df, T).collect()
       .map(r => r.getLong(0) ->
         (r.getAs[Long]("n_partners"), r.getAs[Long]("n_stop_fps"))).toMap
     // every boilerplate doc reports its stopped fingerprint(s)...
@@ -165,7 +165,7 @@ class Extras4Spec extends SparkSpec {
     // counterfactual: unguarded (threshold above corpus size), the hot
     // bucket explodes into 150x149 pair rows — every boilerplate doc
     // sees all the others
-    val unguarded = Extras4.x33WinnowOver(df, 1000000L).collect()
+    val unguarded = graft.operators.TextIndexOps.x33WinnowOver(df, 1000000L).collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("n_partners")).toMap
     (0 until 150).foreach(i => assert(unguarded(100L + i) >= 149L))
   }

@@ -78,7 +78,7 @@ class Extras5Spec extends SparkSpec {
   }
 
   test("x40: token counts are exact per the vocab rule; n_tokens >= n_words") {
-    val rows = Extras5.x40BpeTokens(spark, sf).collect()
+    val rows = graft.operators.TextIndexOps.x40BpeTokens(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
     // recompute a sample of docs driver-side against the same pinned vocab
     val vocab = TextPipeline
@@ -238,7 +238,7 @@ class Extras5Spec extends SparkSpec {
       .x21PackSequences(spark, sf, vocab)
       .select(col("doc_id"), col("n_tokens")).collect()
       .map(r => r.getLong(0) -> r.getAs[Int]("n_tokens").toLong).toMap
-    val x40 = Extras5.x40BpeTokens(spark, sf).collect()
+    val x40 = graft.operators.TextIndexOps.x40BpeTokens(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("n_tokens")).toMap
     assert(packed == x40)
     // x23 in token space: chunk token totals equal the token count

@@ -76,7 +76,7 @@ class Extras8Spec extends SparkSpec {
   }
 
   test("x61: novelty is 1.0 for the first doc and in [0,1] everywhere") {
-    val rows = Extras8.x61NgramNovelty(spark, sf).collect()
+    val rows = graft.operators.TextIndexOps.x61NgramNovelty(spark, sf).collect()
     assert(rows.head.getLong(0) == rows.map(_.getLong(0)).min)
     assert(rows.head.getDouble(3) == 1.0,
       "the earliest doc's shingles are all first-seen by definition")
@@ -115,7 +115,7 @@ class Extras8Spec extends SparkSpec {
   test("x63: containment pairs equal the brute-force directed recompute") {
     import graft.api.TextPipeline
     val sh = Dedup.shingleHashSet(spark, sf)
-    val got = Extras8.x63ContainmentJoin(spark, sf).collect()
+    val got = graft.operators.TextIndexOps.x63ContainmentJoin(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val brute = sh.select(col("doc_id").as("doc_src"), col("ng_h"))

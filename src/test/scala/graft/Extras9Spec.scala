@@ -8,7 +8,7 @@ class Extras9Spec extends SparkSpec {
 
   test("x64: every planted corruption is recovered (blocking recall) " +
       "and the plan has no cartesian product") {
-    val df = Extras9.x64FuzzyJoin(spark, sf)
+    val df = graft.operators.TextIndexOps.x64FuzzyJoin(spark, sf)
     val rows = df.collect()
     val dirtyKeys = Tables.customer(spark, sf)
       .filter(col("c_custkey") % 10 === 0)
@@ -32,7 +32,7 @@ class Extras9Spec extends SparkSpec {
     val dirty = Seq((1L, "abXd")).toDF("dirty_key", "dirty_name")
     val clean = Seq((10L, "abcd"), (11L, "zzzz"))
       .toDF("clean_key", "clean_name")
-    val got = Extras9.fuzzyJoinDist1(dirty, clean).collect()
+    val got = graft.operators.TextIndexOps.fuzzyJoinDist1(dirty, clean).collect()
     assert(got.length == 1 && got(0).getLong(1) == 10L
       && got(0).getInt(2) == 1)
   }
@@ -48,7 +48,7 @@ class Extras9Spec extends SparkSpec {
   }
 
   test("x66: every reported span really appears in >= 2 documents") {
-    val rows = Extras9.x66RepeatedSpans(spark, sf).collect()
+    val rows = graft.operators.TextIndexOps.x66RepeatedSpans(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 50)
     assert(rows.forall(_.getLong(1) >= 2))
     // spot-verify the top span's doc count against a direct recompute

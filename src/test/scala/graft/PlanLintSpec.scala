@@ -127,14 +127,14 @@ class PlanLintSpec extends SparkSpec {
     val docs = (0 until 100).map(i =>
         (i.toLong, s"u${i}a u${i}b u${i}c $boiler u${i}d u${i}e"))
       .toSeq.toDF("doc_id", "text")
-    val fps = graft.operators.Extras4.winnowFps(docs)
+    val fps = graft.operators.TextIndexOps.winnowFps(docs)
     val unguarded = fps.as("a").join(fps.as("b"),
       col("a.fp") === col("b.fp") && col("a.doc_id") =!= col("b.doc_id"))
     assert(PlanLint.selfJoinHotKeys(unguarded, maxGroup = 64)
       .exists(_.rule == "self-join-hot-key"))
     // the guarded x33 passes BY CONSTRUCTION: the tail filter caps every
     // fingerprint bucket at the threshold before the join
-    val guarded = graft.operators.Extras4.x33WinnowOver(docs, 8L)
+    val guarded = graft.operators.TextIndexOps.x33WinnowOver(docs, 8L)
     assert(PlanLint.selfJoinHotKeys(guarded, maxGroup = 8).isEmpty)
     // the rule is threshold-relative: the same join under a bound the
     // hottest bucket fits (100 <= 128) stays quiet — legitimate

@@ -420,7 +420,7 @@ class PropertySpec extends SparkSpec {
       val clean = names.reverse.zipWithIndex
         .map { case (s, i) => ((i + 100).toLong, s + (if (i % 2 == 0) "" else "z")) }
         .toDF("clean_key", "clean_name")
-      val got = graft.operators.Extras9.fuzzyJoinDist1(dirty, clean)
+      val got = graft.operators.TextIndexOps.fuzzyJoinDist1(dirty, clean)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       def lev(a: String, b: String): Int = {
         val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
