@@ -86,7 +86,7 @@ object CurationOps {
     Tables.stagedFrame(spark, "semdedup", sfDir, "embeddings",
         "k8i3_t08") {
       // delegates to the public column-parameterized kernel (round 11)
-      graft.api.Curation.semDedup(Extras5.cloneCorpus(spark, sfDir),
+      graft.api.Curation.semDedup(graft.operators.EmbedOps.cloneCorpus(spark, sfDir),
           "vec_id", "embedding", k = 8, iters = 3, threshold = 0.8)
         .withColumnRenamed("id", "vec_id")
     }.orderBy(col("vec_id"))
@@ -99,11 +99,11 @@ object CurationOps {
     * many references, and `pr` must not re-expand the whole Lloyd
     * chain per side. */
   private[operators] val SemDedupChainSql: String = {
-    val tA = Extras5.cloneDotTerm("a")
-    val tB = Extras5.cloneDotTerm("b")
-    "base AS MATERIALIZED (" + Extras5.CloneBaseSql + "), " +
+    val tA = graft.operators.EmbedOps.cloneDotTerm("a")
+    val tB = graft.operators.EmbedOps.cloneDotTerm("b")
+    "base AS MATERIALIZED (" + graft.operators.EmbedOps.CloneBaseSql + "), " +
     "v AS MATERIALIZED (SELECT b0.vec_id AS vid, i - 1 AS d, " +
-    Extras5.cloneDotTerm("b0") + " AS x FROM base b0, range(1, 65) r(i)), " +
+    graft.operators.EmbedOps.cloneDotTerm("b0") + " AS x FROM base b0, range(1, 65) r(i)), " +
     "seeds AS (SELECT vec_id AS svid, CAST(row_number() OVER " +
     "(ORDER BY vec_id) - 1 AS INT) AS code FROM base " +
     "ORDER BY vec_id LIMIT 8), " +
@@ -160,10 +160,10 @@ object CurationOps {
         "k8i3_t08_aug") {
       // delegates to the public column-parameterized kernel (round 11):
       // corpus = the original embeddings, probe = the clone shard
-      val all = graft.Checkpoints.cut(Extras5.cloneCorpus(spark, sfDir))
+      val all = graft.Checkpoints.cut(graft.operators.EmbedOps.cloneCorpus(spark, sfDir))
       graft.api.Curation.semDedupIncremental(
-        all.filter(col("vec_id") < Extras5.CloneOffset),
-        all.filter(col("vec_id") >= Extras5.CloneOffset),
+        all.filter(col("vec_id") < graft.operators.EmbedOps.CloneOffset),
+        all.filter(col("vec_id") >= graft.operators.EmbedOps.CloneOffset),
         "vec_id", "embedding", k = 8, iters = 3, threshold = 0.8)
     }.orderBy(col("id_new"), col("id_old"))
 
@@ -173,12 +173,12 @@ object CurationOps {
     * final centroids, then the exhaustive same-cluster probe × corpus
     * pair recompute at the x41 rounding spelling. */
   private[graft] val SemDedupIncrChainSql: String =
-    "base AS MATERIALIZED (" + Extras5.CloneBaseSql + "), " +
+    "base AS MATERIALIZED (" + graft.operators.EmbedOps.CloneBaseSql + "), " +
     "v AS MATERIALIZED (SELECT vec_id AS vid, i - 1 AS d, " +
     "CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, " +
     "range(1, 65) r(i)), " +
     "va AS MATERIALIZED (SELECT b0.vec_id AS vid, i - 1 AS d, " +
-    Extras5.cloneDotTerm("b0") + " AS x FROM base b0, range(1, 65) r(i)), " +
+    graft.operators.EmbedOps.cloneDotTerm("b0") + " AS x FROM base b0, range(1, 65) r(i)), " +
     "seeds AS (SELECT vec_id AS svid, CAST(row_number() OVER " +
     "(ORDER BY vec_id) - 1 AS INT) AS code FROM embeddings " +
     "ORDER BY vec_id LIMIT 8), " +
@@ -207,8 +207,8 @@ object CurationOps {
     * semantic probe loop == the x173 complement — probes with no
     * same-cluster corpus pair at t = 0.8, NOT EXISTS form. */
   private[graft] val StreamSemDedupSql: String = {
-    val tP = Extras5.cloneDotTerm("p")
-    val tC = Extras5.cloneDotTerm("c")
+    val tP = graft.operators.EmbedOps.cloneDotTerm("p")
+    val tC = graft.operators.EmbedOps.cloneDotTerm("c")
     "WITH " + SemDedupIncrChainSql + ", " +
     "m AS (SELECT p.vec_id AS id_new FROM bp p, bcorp c, " +
     "range(1, 65) r(i) WHERE p.code = c.code " +
@@ -219,8 +219,8 @@ object CurationOps {
   }
 
   private val SemDedupIncrSql: String = {
-    val tP = Extras5.cloneDotTerm("p")
-    val tC = Extras5.cloneDotTerm("c")
+    val tP = graft.operators.EmbedOps.cloneDotTerm("p")
+    val tC = graft.operators.EmbedOps.cloneDotTerm("c")
     "WITH " + SemDedupIncrChainSql + " " +
     "SELECT p.vec_id AS id_new, c.vec_id AS id_old, " +
     s"round(SUM($tP * $tC), 6) AS sim " +
@@ -259,7 +259,7 @@ object CurationOps {
       // plus one kmeansDistances pass — where the generic
       // [[graft.api.Curation.d4Prune]] recomputes semDedup from the
       // raw frame
-      val all = graft.Checkpoints.cut(Extras5.cloneCorpus(spark, sfDir))
+      val all = graft.Checkpoints.cut(graft.operators.EmbedOps.cloneCorpus(spark, sfDir))
       val sem = x172SemDedup(spark, sfDir)
       val d2 = Clustering.kmeansDistances(all, "vec_id", "embedding", 8, 3)
         .withColumnRenamed("vid", "id")
@@ -390,9 +390,9 @@ object CurationOps {
     * pair recompute. */
   def x172bStraddleGuard(spark: SparkSession, sfDir: String): DataFrame = {
     val s = Tables.tune(spark)
-    val corpus = graft.Checkpoints.cut(Extras5.cloneCorpus(s, sfDir))
+    val corpus = graft.Checkpoints.cut(graft.operators.EmbedOps.cloneCorpus(s, sfDir))
     straddleGuardFromPairs(
-      Extras5.clonePairs(s, sfDir),
+      graft.operators.EmbedOps.clonePairs(s, sfDir),
       Clustering.kmeansAssignTop2(corpus, "vec_id", "embedding", 8, 3))
   }
 
@@ -412,8 +412,8 @@ object CurationOps {
     * (2·dvc − dcc) DESC, code order, and the x41 exhaustive verified
     * pair recompute — then the same three classifications. */
   private val SemGuardSql: String = {
-    val tA = Extras5.cloneDotTerm("a")
-    val tB = Extras5.cloneDotTerm("b")
+    val tA = graft.operators.EmbedOps.cloneDotTerm("a")
+    val tB = graft.operators.EmbedOps.cloneDotTerm("b")
     "WITH " + SemDedupChainSql + ", " +
     "a2 AS MATERIALIZED (SELECT vid, " +
     "MAX(CASE WHEN rn = 1 THEN code END) AS c1, " +

@@ -113,7 +113,7 @@ object EvalOps {
     * missed a true neighbor, so this row QUANTIFIES x124's quality
     * instead of just bounding it. */
   def x128Ndcg(spark: SparkSession, sfDir: String): DataFrame = {
-    val retr = Extras11.x124BinaryQuant(spark, sfDir)
+    val retr = graft.operators.EmbedOps.x124BinaryQuant(spark, sfDir)
     val ex = SimSearch.exactTopK(spark, sfDir)
     val dcg = retr.groupBy(col("probe_id"))
       .agg(round(sum(col("sim") / log2(col("rank") + 1)), 6).as("dcg"))
@@ -141,7 +141,7 @@ object EvalOps {
   def x150RetrievalEval(spark: SparkSession, sfDir: String): DataFrame = {
     val ex = SimSearch.exactTopK(spark, sfDir)
       .select(col("probe_id"), col("neighbor_id"))
-    val retr = Extras11.x124BinaryQuant(spark, sfDir)
+    val retr = graft.operators.EmbedOps.x124BinaryQuant(spark, sfDir)
       .select(col("probe_id"), col("neighbor_id"), col("rank"))
     val per = retr.join(ex, Seq("probe_id", "neighbor_id"))
       .groupBy(col("probe_id"))
@@ -185,7 +185,7 @@ object EvalOps {
     * DECIMAL-summed across lists (≤2 terms), rounded 8 dp; the fused
     * rank orders by (rrf desc, neighbor) — engine-stable. */
   def x151Rrf(spark: SparkSession, sfDir: String): DataFrame = {
-    val bq = Extras11.x124BinaryQuant(spark, sfDir)
+    val bq = graft.operators.EmbedOps.x124BinaryQuant(spark, sfDir)
       .select(col("probe_id"), col("neighbor_id"), col("rank"))
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
@@ -226,7 +226,7 @@ object EvalOps {
     "ORDER BY sim DESC, nid) AS rk FROM exd) t WHERE rk <= 5)"
 
   private val RetrievalEvalSql: String =
-    "WITH " + Extras11.BinaryQuantCte + ", " + ExactTopCte + ", " +
+    "WITH " + graft.operators.EmbedOps.BinaryQuantCte + ", " + ExactTopCte + ", " +
     "hit AS (SELECT r.probe_id, COUNT(*) AS n_hit, " +
     "MIN(r.rank) AS first_rank FROM retr r " +
     "JOIN ex ON ex.probe_id = r.probe_id AND ex.nid = r.neighbor_id " +
@@ -267,7 +267,7 @@ object EvalOps {
     "ORDER BY sim DESC, nid) AS rk FROM truncD) t WHERE rk <= 5)"
 
   private val RrfSql: String =
-    "WITH " + Extras11.BinaryQuantCte + ", " + TruncTopCte + ", " +
+    "WITH " + graft.operators.EmbedOps.BinaryQuantCte + ", " + TruncTopCte + ", " +
     "un AS (SELECT probe_id, neighbor_id, rank FROM retr " +
     "UNION ALL SELECT probe_id, nid, rk FROM tr), " +
     s"sc AS (SELECT probe_id, neighbor_id, " +
@@ -620,7 +620,7 @@ object EvalOps {
        "ORDER BY probe_id, neg_rank"),
     // the retrieval chain + the exact chain + identically-spelled DCGs
     "x128_ndcg" ->
-      ("WITH " + Extras11.BinaryQuantCte + ", " +
+      ("WITH " + graft.operators.EmbedOps.BinaryQuantCte + ", " +
        "exd AS (SELECT a.vec_id AS probe_id, b.vec_id AS nid, " +
        "round(SUM(CAST(a.embedding[i] AS DOUBLE) * " +
        "CAST(b.embedding[i] AS DOUBLE)), 6) AS sim " +

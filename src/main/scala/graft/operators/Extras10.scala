@@ -219,30 +219,6 @@ object Extras10 {
       .orderBy(col("status"))
   }
 
-  /** X81 — embedding quality gate (x53's discipline applied to the
-    * vector corpus): dimension check, NaN scan, and unit-norm tolerance
-    * as independent aggregate expressions in ONE scan. The norm is an
-    * ordered left-fold over the array (`aggregate` HOF) — both engines
-    * sum elements in array order, so the IEEE result is identical and
-    * the tolerance compare is exact. The gate a vector store runs
-    * before accepting a shard: wrong-dim / NaN / badly-scaled vectors
-    * counted, not crashed on. */
-  def x81VectorQualityGate(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"),
-        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
-          "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
-          .as("norm2"),
-        expr("exists(embedding, x -> isnan(x))").as("has_nan"),
-        size(col("embedding")).as("dim"))
-    e.agg(count(lit(1)).as("n_vecs"),
-      sum(when(col("dim") =!= 64, 1L).otherwise(0L)).as("n_wrong_dim"),
-      sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_with_nan"),
-      sum(when(abs(sqrt(col("norm2")) - 1.0) > 0.001, 1L).otherwise(0L))
-        .as("n_non_unit"),
-      min(col("norm2")).as("min_norm2"), max(col("norm2")).as("max_norm2"))
-  }
-
   /** X85 — k-anonymity audit (the data-governance pre-flight before a
     * dataset release): group the release by its quasi-identifier tuple
     * (market segment × nation × account-balance band — the classic
@@ -362,7 +338,6 @@ object Extras10 {
     "x85_k_anonymity" -> (x85KAnonymity _),
     "x87_join_preflight" -> (x87JoinPreflight _),
     "x78_snapshot_diff" -> (x78SnapshotDiff _),
-    "x81_vector_quality_gate" -> (x81VectorQualityGate _),
     "x75_cluster_histogram" -> (x75ClusterHistogram _),
     "x77_skew_report" -> (x77SkewReport _),
     "x74_kmv_overlap" -> (x74KmvOverlap _),
@@ -439,24 +414,6 @@ object Extras10 {
        "WHEN fp_old = fp_new THEN 'unchanged' ELSE 'changed' END AS status " +
        "FROM old FULL OUTER JOIN newer USING (doc_id)) t " +
        "GROUP BY status ORDER BY status"),
-    // the fold runs in array order on both engines (Spark aggregate HOF
-    // with 0.0 init vs DuckDB list_reduce seeded by the first element:
-    // 0.0 + x == x exactly), so norms are bitwise-identical
-    "x81_vector_quality_gate" ->
-      ("WITH e AS (SELECT vec_id, len(embedding) AS dim, " +
-       "list_reduce(list_transform(embedding, " +
-       "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
-       "(acc, x) -> acc + x) AS norm2, " +
-       "len(list_filter(embedding, x -> isnan(x))) > 0 AS has_nan " +
-       "FROM embeddings) " +
-       "SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs, " +
-       "CAST(SUM(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT) " +
-       "AS n_wrong_dim, " +
-       "CAST(SUM(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) " +
-       "AS n_with_nan, " +
-       "CAST(SUM(CASE WHEN abs(sqrt(norm2) - 1.0) > 0.001 THEN 1 ELSE 0 END) " +
-       "AS BIGINT) AS n_non_unit, " +
-       "MIN(norm2) AS min_norm2, MAX(norm2) AS max_norm2 FROM e"),
     // clusters recomputed recursively from scratch (x60's oracle CTE),
     // then the identical two-level histogram
     "x75_cluster_histogram" ->

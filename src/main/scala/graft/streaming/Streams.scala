@@ -1040,8 +1040,8 @@ object Streams {
         spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(dir.toString), true)
       Files.createDirectories(dir)
-      val probe = graft.operators.Extras5.cloneCorpus(s, sfDir)
-        .filter(col("vec_id") >= graft.operators.Extras5.CloneOffset)
+      val probe = graft.operators.EmbedOps.cloneCorpus(s, sfDir)
+        .filter(col("vec_id") >= graft.operators.EmbedOps.CloneOffset)
       (0 to 1).foreach { i =>
         val tmp = dir.resolve(s"_tmp_vecs_$i")
         probe.filter(expr("(vec_id div 10) % 2") === i)

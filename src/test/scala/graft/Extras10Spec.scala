@@ -181,7 +181,7 @@ class Extras10Spec extends SparkSpec {
 
   test("x81: the gate passes the healthy corpus and catches a planted " +
       "bad vector") {
-    val clean = Extras10.x81VectorQualityGate(spark, sf).collect()(0)
+    val clean = graft.operators.EmbedOps.x81VectorQualityGate(spark, sf).collect()(0)
     assert(clean.getLong(1) == 0 && clean.getLong(2) == 0
       && clean.getLong(3) == 0)
     assert(math.abs(clean.getDouble(4) - 1.0) < 0.01

@@ -214,7 +214,7 @@ class Extras11Spec extends SparkSpec {
 
   test("x123: matryoshka overlap counts bounded by k and a planted " +
       "prefix-identical clone achieves full overlap") {
-    val got = graft.operators.Extras11.x123Matryoshka(spark, sf).collect()
+    val got = graft.operators.EmbedOps.x123Matryoshka(spark, sf).collect()
     assert(got.length == 10)
     assert(got.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 5))
     // truncation keeps SOME signal on unit-norm random vectors: the
@@ -240,7 +240,7 @@ class Extras11Spec extends SparkSpec {
     assert(sig(0L) == sig(1L), "same signs -> same signature")
     assert(sig(0L) != sig(2L))
     // contract row: 5 ranked rows per probe, sims descending
-    val got = graft.operators.Extras11.x124BinaryQuant(spark, sf).collect()
+    val got = graft.operators.EmbedOps.x124BinaryQuant(spark, sf).collect()
     assert(got.length == 50)
     val byProbe = got.groupBy(_.getLong(0))
     assert(byProbe.size == 10 && byProbe.values.forall(_.length == 5))
@@ -287,7 +287,7 @@ class Extras11Spec extends SparkSpec {
     def byProbe(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("rank"),
         r.getAs[Double]("sim"))).groupBy(_._1)
-    val retr = byProbe(Extras11.x124BinaryQuant(spark, sf))
+    val retr = byProbe(graft.operators.EmbedOps.x124BinaryQuant(spark, sf))
     val ex = byProbe(graft.operators.SimSearch.exactTopK(spark, sf)
       .filter(col("rank") <= 5))
     def dcg6(rows: Array[(Long, Long, Double)]): Double =
@@ -412,14 +412,14 @@ class Extras11Spec extends SparkSpec {
       "independent recomputes") {
     // x125: the planted ' v2' suffix introduces a token absent from the
     // old snapshot -> maximal positive shift, first row
-    val drift = Extras11.x125TokenDrift(spark, sf).collect()
+    val drift = graft.operators.EmbedOps.x125TokenDrift(spark, sf).collect()
     assert(drift.length <= 20 && drift.nonEmpty)
     val v2 = drift.find(_.getString(0) == "v2")
     assert(v2.isDefined && v2.get.getLong(1) == 0L && v2.get.getLong(2) > 0L)
     val absScores = drift.map(r => math.abs(r.getDouble(3)))
     assert(absScores.sameElements(absScores.sorted(Ordering[Double].reverse)))
     // x126: cosines bounded; half counts partition each label
-    val ed = Extras11.x126EmbeddingDrift(spark, sf).collect()
+    val ed = graft.operators.EmbedOps.x126EmbeddingDrift(spark, sf).collect()
     assert(ed.nonEmpty)
     assert(ed.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
     val labelTotals = Tables.embeddings(spark, sf)

@@ -527,7 +527,7 @@ class Extras12Spec extends SparkSpec {
     // exhaustive within-cluster cosine)
     val out = CurationOps.x172SemDedup(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
-    val corpus = graft.operators.Extras5.cloneCorpus(spark, sf)
+    val corpus = graft.operators.EmbedOps.cloneCorpus(spark, sf)
     val vecs = corpus.collect().map(r =>
       r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
     val asg = Clustering.kmeansAssignments(

@@ -100,7 +100,7 @@ class Extras14Spec extends SparkSpec {
     val ex = SimSearch.exactTopK(spark, sf)
       .select("probe_id", "neighbor_id").collect()
       .map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
-    val retr = Extras11.x124BinaryQuant(spark, sf)
+    val retr = graft.operators.EmbedOps.x124BinaryQuant(spark, sf)
       .select("probe_id", "neighbor_id", "rank").collect()
     per.foreach { row =>
       val p = row.getLong(0)

@@ -36,19 +36,19 @@ class Extras20Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // shape contract: every pair is (probe, corpus-original)
     out.foreach { case (nw, old) =>
-      assert(nw >= Extras5.CloneOffset && old < Extras5.CloneOffset)
+      assert(nw >= graft.operators.EmbedOps.CloneOffset && old < graft.operators.EmbedOps.CloneOffset)
     }
     // brute: centroids trained on originals, all vectors assigned,
     // exhaustive probe x corpus pairs within equal clusters
-    val all = Extras5.cloneCorpus(spark, sf)
+    val all = graft.operators.EmbedOps.cloneCorpus(spark, sf)
     val vecs = all.collect().map(r =>
       r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
-    val emb = all.filter(col("vec_id") < Extras5.CloneOffset)
+    val emb = all.filter(col("vec_id") < graft.operators.EmbedOps.CloneOffset)
     val asg = Clustering.kmeansAssignTrained(emb, all,
         "vec_id", "embedding", 8, 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val probes = vecs.keySet.filter(_ >= Extras5.CloneOffset)
-    val corpus = vecs.keySet.filter(_ < Extras5.CloneOffset)
+    val probes = vecs.keySet.filter(_ >= graft.operators.EmbedOps.CloneOffset)
+    val corpus = vecs.keySet.filter(_ < graft.operators.EmbedOps.CloneOffset)
     val brute = (for {
       p <- probes; c <- corpus if asg(p) == asg(c)
       dot = vecs(p).zip(vecs(c)).map { case (x, y) => x * y }.sum
@@ -137,8 +137,8 @@ class Extras20Spec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     val matched = CurationOps.x173SemDedupIncr(spark, sf)
       .select(col("id_new")).collect().map(_.getLong(0)).toSet
-    val probes = Extras5.cloneCorpus(spark, sf)
-      .filter(col("vec_id") >= Extras5.CloneOffset)
+    val probes = graft.operators.EmbedOps.cloneCorpus(spark, sf)
+      .filter(col("vec_id") >= graft.operators.EmbedOps.CloneOffset)
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(kept == probes -- matched,
       s"stream survivors (${kept.size}) must equal probes " +
@@ -267,10 +267,10 @@ class Extras20Spec extends SparkSpec {
     // top-2 assignment
     val row = CurationOps.x172bStraddleGuard(spark, sf).head()
     val top2 = Clustering.kmeansAssignTop2(
-        Extras5.cloneCorpus(spark, sf), "vec_id", "embedding", 8, 3)
+        graft.operators.EmbedOps.cloneCorpus(spark, sf), "vec_id", "embedding", 8, 3)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
-    val pairs = Extras5.clonePairs(spark, sf).collect()
+    val pairs = graft.operators.EmbedOps.clonePairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val nWithin = pairs.count { case (a, b) => top2(a)._1 == top2(b)._1 }
     val straddlers = pairs.filter { case (a, b) =>

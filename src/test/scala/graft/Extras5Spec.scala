@@ -100,7 +100,7 @@ class Extras5Spec extends SparkSpec {
 
   test("x41: banded near-dedup equals exhaustive brute force, never a cross join") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
-    val df = Extras5.x41EmbedNearDup(spark, sf)
+    val df = graft.operators.EmbedOps.x41EmbedNearDup(spark, sf)
     val got = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got.nonEmpty, "no planted clone pair found")
@@ -129,9 +129,9 @@ class Extras5Spec extends SparkSpec {
   }
 
   test("x42: dropped set is exactly the pairs' larger side; originals all kept") {
-    val verdicts = Extras5.x42EmbedDedupKeep(spark, sf).collect()
+    val verdicts = graft.operators.EmbedOps.x42EmbedDedupKeep(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
-    val pairDropped = Extras5.x41EmbedNearDup(spark, sf).collect()
+    val pairDropped = graft.operators.EmbedOps.x41EmbedNearDup(spark, sf).collect()
       .map(_.getLong(1)).toSet
     assert(verdicts.filterNot(_._2).keySet == pairDropped)
     assert(pairDropped.nonEmpty)

@@ -88,11 +88,11 @@ class Extras6Spec extends SparkSpec {
   }
 
   test("x47: contract pairs equal brute force; dup class collapses before the band join") {
-    val df = Extras6.x47DupClassPairs(spark, sf)
+    val df = graft.operators.EmbedOps.x47DupClassPairs(spark, sf)
     val got = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val brute = VectorPipeline.cosinePairs(
-        Extras6.dupClassCorpus(spark, sf), "vec_id", "embedding", 0.8)
+        graft.operators.EmbedOps.dupClassCorpus(spark, sf), "vec_id", "embedding", 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == brute)
     // the planted class: vec 0 + 50 copies -> 51*50/2 intra pairs, all
@@ -104,15 +104,15 @@ class Extras6Spec extends SparkSpec {
 
   test("x46: incremental probe equals exhaustive cross-side pairs; corpus never self-pairs") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
-    val df = Extras6.x46EmbedIncremental(spark, sf)
+    val df = graft.operators.EmbedOps.x46EmbedIncremental(spark, sf)
     val got = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got.nonEmpty, "no straddling clone pair found")
     // exhaustive cross-side brute force over the same corpus
-    val corpus = Extras5.cloneCorpus(spark, sf)
-    val probe = corpus.filter(col("vec_id") >= Extras5.CloneOffset)
+    val corpus = graft.operators.EmbedOps.cloneCorpus(spark, sf)
+    val probe = corpus.filter(col("vec_id") >= graft.operators.EmbedOps.CloneOffset)
       .select(col("vec_id").as("id_new"), col("embedding").as("en"))
-    val old = corpus.filter(col("vec_id") < Extras5.CloneOffset)
+    val old = corpus.filter(col("vec_id") < graft.operators.EmbedOps.CloneOffset)
       .select(col("vec_id").as("id_old"), col("embedding").as("eo"))
     val brute = probe.crossJoin(old)
       .select(col("id_new"), col("id_old"),
@@ -121,7 +121,7 @@ class Extras6Spec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == brute)
     // every hit is a (clone, its original) pair
-    assert(got.forall { case (n, o, _) => n == o + Extras5.CloneOffset })
+    assert(got.forall { case (n, o, _) => n == o + graft.operators.EmbedOps.CloneOffset })
     // plan shape: band-keyed probe join only — no cartesian, no
     // broadcast nested loop
     val plan = flattenPlan(df.queryExecution.executedPlan)
@@ -252,12 +252,12 @@ class Extras6Spec extends SparkSpec {
     // a corpus whose max id reaches the clone offset must be refused,
     // not silently corrupted (ADVICE r5)
     val dir = Tables.scratchDir("x46guard", sf)
-    Seq((Extras5.CloneOffset, vec(1)), (1L, vec(2)))
+    Seq((graft.operators.EmbedOps.CloneOffset, vec(1)), (1L, vec(2)))
       .toDF("vec_id", "embedding")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     // the other tables are irrelevant: cloneCorpus reads embeddings only
     val e = intercept[IllegalArgumentException] {
-      Extras5.cloneCorpus(spark, dir)
+      graft.operators.EmbedOps.cloneCorpus(spark, dir)
     }
     assert(e.getMessage.contains("collide"))
   }
