@@ -20,8 +20,8 @@ object SparkEntry {
     Core.queries ++ Aggs.queries ++ Joins.queries ++ SetOps.queries ++
       Windows.queries ++ Scalars.queries ++ TextOps.queries ++
       Dedup.queries ++ SimSearch.queries ++ Multimodal.queries ++
-      ScaleOps.queries ++ Extras2.queries ++ Extras3.queries ++
-      Extras4.queries ++ Extras5.queries ++ Extras6.queries ++
+      ScaleOps.queries ++ Extras3.queries ++
+      Extras4.queries ++ Extras5.queries ++
       Extras7.queries ++ Extras8.queries ++ Extras9.queries ++
       Extras10.queries ++ Extras11.queries ++ Extras12.queries ++
       Extras13.queries ++ Extras15.queries ++ Extras16.queries ++ SqlSurface.queries ++
@@ -35,8 +35,8 @@ object SparkEntry {
     Core.oracles ++ Aggs.oracles ++ Joins.oracles ++ SetOps.oracles ++
       Windows.oracles ++ Scalars.oracles ++ TextOps.oracles ++
       Dedup.oracles ++ SimSearch.oracles ++ Multimodal.oracles ++
-      ScaleOps.oracles ++ Extras2.oracles ++ Extras3.oracles ++
-      Extras4.oracles ++ Extras5.oracles ++ Extras6.oracles ++
+      ScaleOps.oracles ++ Extras3.oracles ++
+      Extras4.oracles ++ Extras5.oracles ++
       Extras7.oracles ++ Extras8.oracles ++ Extras9.oracles ++
       Extras10.oracles ++ Extras11.oracles ++ Extras12.oracles ++
       Extras13.oracles ++ Extras15.oracles ++ Extras16.oracles ++ SqlSurface.oracles ++

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Det, Tables}
 
 /** SEMANTIC-CURATION theme module (round 11 — the ExtrasN naming-debt
   * retirement, VERDICT r10 #7): the SemDeDup ladder's corpus bindings
@@ -17,6 +18,8 @@ import graft.Tables
   * weights, x178 CCNet perplexity tiers.
   */
 object CurationOps {
+
+  import Det.{sql => d}
 
   /** X172b core: classify verified near-dup pairs against a top-2
     * cluster assignment — the recall guard of the SemDeDup family
@@ -397,6 +400,415 @@ object CurationOps {
   }
 
 
+  /** X13 — deterministic content-hash sampling: keep documents whose
+    * md5(text) prefix falls under a threshold (~10%). Unlike RNG-based
+    * df.sample, the sample is reproducible across engines, runs, and
+    * repartitionings — the only sane way to carve a stable dev slice out
+    * of a 100 TB corpus — and portable enough to oracle. */
+  def x13HashSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(graft.api.TextPipeline.hashSamplePredicate(col("text"), 26))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("text").cast("binary")), 1, 2).as("bucket"))
+      .orderBy(col("doc_id"))
+  /** X31 — per-language adaptive quality threshold (the "drop the worst
+    * quartile of every language" curation step): score = mean word span
+    * (chars per word), rank within language, drop the bottom 25% by
+    * integer-exact arithmetic (kept ⇔ rank × 4 > n_lang — no float
+    * quantile to diverge between engines).
+    *
+    * Scale shape — the EXACT rank without a per-language corpus sort
+    * (a naive `row_number over (partition by lang)` would funnel 100 TB
+    * through 5 window tasks, the x21 seam): decompose
+    *
+    *   rank(doc) = (#docs in lang with smaller score)
+    *             + (position of doc among its EXACT score ties, by doc_id)
+    *
+    * The first term comes from (lang, score) group counts (one scalable
+    * shuffle) cumulated per language over the DISTINCT-SCORE frame — a
+    * window, but over an aggregate-bounded input (thousands of distinct
+    * scores, not the corpus; PlanLint's low-cardinality rule explicitly
+    * exempts bounded children). The second is a window partitioned by
+    * (lang, score) — fine-grained keys that scale with the data. Both
+    * join back by (lang, score); per-language totals broadcast. */
+  def x31QualityQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    // one corpus scan feeds three plan branches (per-score counts, the
+    // tie window, and via perScore the language totals) — materialize it
+    // once, the TextPipeline.nearDupPairsHashed pattern
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        round(length(col("text")) / size(split(col("text"), " ")), 6)
+          .as("score"))
+      .localCheckpoint(true)
+    // cumulative count of strictly-smaller scores, per language, over
+    // the aggregate-bounded distinct-score frame
+    val perScore = scored.groupBy(col("lang"), col("score"))
+      .agg(count(lit(1)).as("n_at"))
+    // language totals from the bounded aggregate, not a corpus re-scan
+    val counts = perScore.groupBy(col("lang"))
+      .agg(sum(col("n_at")).as("n_lang"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumBelow = perScore
+      .withColumn("c_le", sum(col("n_at")).over(wCum))
+      .select(col("lang"), col("score"),
+        (col("c_le") - col("n_at")).as("c_lt"))
+    // position among exact-score ties: high-cardinality (lang, score) key
+    val wTie = Window.partitionBy(col("lang"), col("score"))
+      .orderBy(col("doc_id"))
+    scored.withColumn("tie_pos", row_number().over(wTie).cast("long"))
+      .join(cumBelow, Seq("lang", "score"))
+      .withColumn("rnk", col("c_lt") + col("tie_pos"))
+      .join(broadcast(counts), "lang")
+      .filter(col("rnk") * 4 > col("n_lang"))
+      .select(col("doc_id"), col("lang"), col("score"), col("rnk"),
+        col("n_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X32 — benchmark decontamination at the industry-standard 13-gram
+    * granularity, with text normalization as a LOAD-BEARING step: the
+    * "benchmark suite" is the doc_id % 3 = 0 slice with its text
+    * UPPER-cased (planted, like x20's PII — eval suites really do differ
+    * in casing/formatting from crawled text), so raw-text grams match
+    * nothing (n_shared_raw = 0, the planted counterfactual stated as
+    * data) while lower()-normalized grams recover the true overlaps
+    * (measured: 11/9/108 contaminated docs at sf 0.001/0.01/0.1).
+    * Contrast with x17: 3-grams over this corpus flag broad phrase reuse;
+    * 13-grams isolate genuine near-copies.
+    *
+    * Same scale shape as x17: the eval-gram set is benchmark-sized and
+    * PINNED broadcast; the corpus side never shuffles. ONE shingle pass
+    * per side emits both the raw gram and its lower()-normalized twin
+    * (lowercasing never touches the space delimiter, so lower(gram of
+    * raw text) == gram of lower(text)) — the raw/norm split is a
+    * kind-tagged explode, not a second scan, and one broadcast join +
+    * one aggregate serve both counters. */
+  def x32Decontaminate13(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, upper(col("text")))
+          .otherwise(col("text")).as("text"))
+    def both(df: DataFrame) =
+      graft.api.TextPipeline
+        .ngramRows(df, "doc_id", "text", 13, distinct = true)
+        .select(col("doc_id"), explode(map(
+          lit("raw"), col("ngram"), lit("norm"), lower(col("ngram"))))
+          .as(Seq("kind", "ngram")))
+    val evalGrams = both(staged.filter(col("doc_id") % 3 === 0))
+      .select(col("kind"), col("ngram")).distinct()
+    val hits = both(staged.filter(col("doc_id") % 3 =!= 0))
+      .join(broadcast(evalGrams), Seq("kind", "ngram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(when(col("kind") === "norm", col("ngram")))
+          .as("n_shared_norm"),
+        countDistinct(when(col("kind") === "raw", col("ngram")))
+          .as("n_shared_raw"))
+    staged.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_norm"), lit(0L)).as("n_shared_norm"),
+        coalesce(col("n_shared_raw"), lit(0L)).as("n_shared_raw"))
+      .withColumn("contaminated", col("n_shared_norm") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** X34 — int8 scalar quantization of the embedding column (the vector
+    * compression step before shipping an ANN corpus: 4× smaller than
+    * float32): per-vector min/max from the array (array_min/array_max —
+    * no explode, no join), per-dimension q = ⌊(v − lo)·255/(hi − lo)⌋
+    * clamped to 255, and the dequantization-error guarantee asserted as
+    * data — every |v − v̂| ≤ step where v̂ recenters the cell midpoint.
+    * floor() instead of round(): Spark rounds HALF_UP, DuckDB half away
+    * from zero — floor over identical IEEE doubles is bit-stable across
+    * engines.
+    *
+    * Scale shape: pure per-row array math after a single scan — zero
+    * shuffles before the final per-vector aggregate, SF-invariant. */
+  def x34Quantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        array_min(col("embedding")).cast("double").as("lo"),
+        array_max(col("embedding")).cast("double").as("hi"),
+        posexplode(col("embedding")).as(Seq("dim", "vf")))
+      .select(col("vec_id"), col("lo"), col("hi"),
+        col("vf").cast("double").as("v"))
+    val step = (col("hi") - col("lo")) / 255.0
+    // degenerate constant vector (hi == lo): (v-lo)*255/(hi-lo) is
+    // 0.0/0.0 = NaN — every dimension quantizes to cell 0 by definition
+    // (and v̂ = lo + 0.5·0 = v, so the error bound holds with step 0)
+    val q = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(floor((col("v") - col("lo")) * 255.0
+        / (col("hi") - col("lo"))), lit(255.0)).cast("long"))
+    val vhat = col("lo") + (col("q") + lit(0.5)) * step
+    base.withColumn("q", q)
+      .withColumn("err_ok", abs(col("v") - vhat) <= step)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"),
+        min(col("q")).as("q_lo"), max(col("q")).as("q_hi"),
+        round(sum(col("q")) / count(lit(1)), 6).as("mean_q"),
+        min(col("err_ok").cast("int")).cast("boolean").as("err_ok"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** X35 — temperature-based domain mixing (the pretraining mix
+    * primitive: flatten the language distribution with α = 0.5, as
+    * multilingual LLM recipes do): each language's sampling rate is
+    * √(min_n / n_lang) — the smallest language keeps everything, the
+    * dominant one is down-sampled toward parity — and membership is the
+    * deterministic md5-bucket test (16-bit bucket < ⌊rate·65536⌋), so
+    * the mix is reproducible across engines, runs, and repartitionings,
+    * and every kept row carries its inverse-propensity weight.
+    *
+    * Scale shape: per-language counts are a grouped agg (5 rows)
+    * broadcast back; the keep test is a pushable per-row hash — zero
+    * corpus shuffles, same as x13/x19. sqrt and floor are correctly
+    * rounded IEEE ops, so the thresholds are bit-identical in DuckDB. */
+  def x35TemperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val minN = counts.agg(min(col("n_lang")).as("mn"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .withColumn("thresh",
+        floor(sqrt(col("mn") / col("n_lang")) * 65536.0).cast("long"))
+    docs.select(col("doc_id"), col("lang"),
+        Det.md5Bucket(col("text"), 4).as("bucket"))
+      .join(broadcast(rates), "lang")
+      .filter(col("bucket") < col("thresh"))
+      .select(col("doc_id"), col("lang"), col("n_lang"), col("bucket"),
+        col("thresh"), round(lit(65536.0) / col("thresh"), 6).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X37 — per-language top-k curation THROUGH the custom GroupTopK
+    * physical operator ([[graft.plans.GroupTopK]]): keep each language's
+    * 16 highest-scoring documents (mean word span, doc_id tie-break).
+    * The pipeline face of w10's operator: map-side bounded heaps prune
+    * to ≤ groups×k rows before the one shuffle, so "best k per domain"
+    * never sorts the corpus — the shape a 100 TB curation pass needs.
+    * The oracle reproduces it with a rank window. */
+  def x37CurateTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        round(length(col("text")) / size(split(col("text"), " ")), 6)
+          .as("score"))
+    graft.plans.GroupTopK(scored, Seq("lang"),
+        Seq(("score", false), ("doc_id", true)), 16)
+      .orderBy(col("doc_id"))
+  }
+
+  /** X38 — INCREMENTAL near-dedup (the production shape l2 is the batch
+    * form of): the `doc_id % 10 = 7` slice plays the incoming shard, the
+    * rest the existing corpus; the shard's LSH bands probe the corpus'
+    * bands ([[graft.api.TextPipeline.nearDupAgainstHashed]]) — candidate
+    * volume is bounded by band collisions, NEVER probe×corpus, and the
+    * corpus side's bands are exactly the persisted index a production
+    * pipeline reuses per increment. Exact Jaccard verify as in l2.
+    * Measured non-vacuous: 4/6 straddling pairs at sf 0.001/0.01. */
+  def x38IncrementalDedup(spark: SparkSession, sfDir: String): DataFrame =
+    // staged cross-process since round 10 (VERDICT r9 #3): the verified
+    // probe-vs-index pair table persists; later processes reload it
+    Tables.stagedFrame(spark, "lsh_incr", sfDir, "documents",
+        "3g_b64r2_m10p7") {
+      val hashes = Dedup.shingleHashSet(spark, sfDir)
+      graft.api.TextPipeline.nearDupAgainstHashed(
+        hashes.filter(col("doc_id") % 10 === 7),
+        hashes.filter(col("doc_id") % 10 =!= 7))
+    }.orderBy(col("doc_new"), col("doc_old"))
+
+  /** X39 — deterministic training-shard assignment (the shuffle+shard
+    * step before a training run): every doc gets a content-hash shard
+    * (md5 nibble % 8) and a position within its shard ordered by the
+    * full md5 — a reproducible global shuffle decorrelated from doc_id,
+    * identical across engines, runs, and repartitionings, so a training
+    * job can be resumed or re-sharded bit-identically.
+    *
+    * Scale shape: shard count is a CONFIG sized to the output layout
+    * (like x21's nibble — widen for more parallelism), and the
+    * within-shard position is computed WITHOUT ranking each whole shard
+    * in one window task (8 shards would be 8 funnels at 100 TB — the
+    * x21 seam). Because the order key is the md5 hex itself, a hash
+    * PREFIX bucket preserves the order: pos = (#docs in earlier buckets
+    * of the shard) + (position within the bucket). The bucket window
+    * partitions by (shard, 4-hex-char prefix) — ~65k fine-grained keys
+    * that grow with a wider prefix — and the cumulative-before term is a
+    * window over the aggregate-bounded distinct-bucket frame. */
+  def x39TrainShards(spark: SparkSession, sfDir: String): DataFrame = {
+    val nShards = 8
+    // the hashed projection feeds the bucket counts AND the tie window —
+    // materialize once so documents is scanned (and md5'd) a single time
+    val withHash = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h"),
+        (Det.md5Bucket(col("text"), 1) % nShards).cast("int").as("shard"))
+      .withColumn("bucket", substring(col("h"), 1, 4))
+      .localCheckpoint(true)
+    val perBucket = withHash.groupBy(col("shard"), col("bucket"))
+      .agg(count(lit(1)).as("n_at"))
+    val wCum = Window.partitionBy(col("shard")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumBefore = perBucket
+      .withColumn("c_le", sum(col("n_at")).over(wCum))
+      .select(col("shard"), col("bucket"),
+        (col("c_le") - col("n_at")).as("c_before"))
+    // bucket is a PREFIX of the order key h, so (bucket, then h within
+    // bucket) is exactly the per-shard md5 order
+    val wTie = Window.partitionBy(col("shard"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    withHash.withColumn("tie", row_number().over(wTie).cast("long"))
+      .join(cumBefore, Seq("shard", "bucket"))
+      .select(col("doc_id"), col("shard"),
+        (col("c_before") + col("tie")).as("pos"))
+      .orderBy(col("doc_id"))
+  }
+  /** X58 — composed curation funnel (the end-to-end shape a crawl
+    * pipeline runs nightly, with per-stage observability): language
+    * gate → length gate → exact dedup, emitted as one funnel table
+    * (stage, n_docs, n_chars_total). Stage counts 0–2 are INDEPENDENT
+    * conditional aggregates in a single scan (x53's
+    * adding-checks-never-adds-scans discipline); only the dedup stage
+    * adds a grouped pass, keyed by the text itself (exact equality —
+    * x22's min-id keep rule on whole documents). Nothing is
+    * re-scanned per stage, so the funnel costs one scan + one
+    * vocabulary-sized shuffle at any corpus size. */
+  def x58CurationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val langOk = col("lang") === "en"
+    val lenOk = langOk && col("n_chars").between(120, 350)
+    val stages = d.agg(
+      count(lit(1)).as("n0"),
+      sum(col("n_chars")).as("c0"),
+      sum(when(langOk, 1L).otherwise(0L)).as("n1"),
+      sum(when(langOk, col("n_chars")).otherwise(0L)).as("c1"),
+      sum(when(lenOk, 1L).otherwise(0L)).as("n2"),
+      sum(when(lenOk, col("n_chars")).otherwise(0L)).as("c2"))
+    val kept = d.filter(lenOk)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        min(col("n_chars")).as("nc"))
+      .agg(count(lit(1)).as("n3"), sum(col("nc")).as("c3"))
+    stages.crossJoin(kept)
+      .select(explode(array(
+        struct(lit("0_raw").as("stage"), col("n0").as("n_docs"),
+          col("c0").as("n_chars_total")),
+        struct(lit("1_lang").as("stage"), col("n1").as("n_docs"),
+          col("c1").as("n_chars_total")),
+        struct(lit("2_length").as("stage"), col("n2").as("n_docs"),
+          col("c2").as("n_chars_total")),
+        struct(lit("3_dedup").as("stage"), col("n3").as("n_docs"),
+          col("c3").as("n_chars_total")))).as("kv"))
+      .select(col("kv.stage").as("stage"), col("kv.n_docs").as("n_docs"),
+        col("kv.n_chars_total").as("n_chars_total"))
+      .orderBy(col("stage"))
+  }
+
+  /** X60 — leakage-safe train/val/test split: assignment is by
+    * NEAR-DUP CLUSTER, not by document, so two near-duplicate
+    * documents can never land in different splits (the
+    * train-contaminates-eval failure mode of naive row-hash splits).
+    * Clusters come from the memoized verified near-dup pairs
+    * (l2/x12's large-star/small-star CC); singleton documents are
+    * their own cluster. The split function is rep % 10 (8/1/1) — a
+    * pure function of the cluster representative, deterministic and
+    * engine-portable (a production deployment substitutes a salted
+    * hash; the CONTRACT is cluster-atomicity, which the oracle
+    * re-verifies by recomputing clusters recursively from scratch). */
+  def x60LeakageSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val cc = Dedup.ccLabelsFrame(spark, sfDir)
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+      .join(cc, Seq("doc_id"), "left_outer")
+      .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
+      .withColumn("split",
+        when(pmod(col("rep"), lit(10L)) < 8, "train")
+          .when(pmod(col("rep"), lit(10L)) === 8, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("rep"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X62 — training-mixture report: the TOP-20 sources' corpus shares
+    * with cumulative coverage in size order — the table a data-mixing
+    * run reads before choosing sampling temperatures (x35 consumes
+    * exactly these proportions). Scale shape: one grouped aggregate
+    * (per-source totals), a distributed top-k
+    * (TakeOrderedAndProject — never a global sort), and THEN the
+    * global cumulative window, which by construction sees only the k
+    * retained rows (PlanLint's single-partition-window rule exempts
+    * limit-bounded windows for exactly this shape). Shares stay
+    * fractions of the FULL corpus total, so truncation is visible as
+    * cum_share < 1 rather than silently renormalized — at web scale
+    * with millions of domains the tail's share is the honest
+    * remainder. */
+  def x62MixtureReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    val total = s.agg(sum(col("chars")).as("total"))
+    val top = s.orderBy(col("chars").desc, col("source")).limit(20)
+    val w = Window.orderBy(col("chars").desc, col("source"))
+    top.crossJoin(total)
+      .select(col("source"), col("n_docs"), col("chars"),
+        (col("chars").cast("double") / col("total")).as("share"),
+        (sum(col("chars")).over(w).cast("double") / col("total"))
+          .as("cum_share"))
+      .orderBy(col("chars").desc, col("source"))
+  }
+  /** X89 — temporal train/test split with an embargo gap (the
+    * time-series leakage control: a model trained through time T must
+    * not be evaluated on examples it could have "seen" through
+    * near-boundary correlation — the gap absorbs it): cut at 80% of
+    * the corpus time range (integer µs arithmetic), drop a 30-minute
+    * embargo zone, report per-split masses plus the PROVEN gap
+    * (min test ts − max train ts ≥ embargo, emitted as data). One
+    * scan + two bounded aggregates. */
+  def x89EmbargoSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.eventsUs(spark, sfDir)
+    val bounds = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .select(expr("lo + (hi - lo) * 8 div 10").as("cut"))
+    val embargo = 1800000000L
+    val tagged = ev.crossJoin(bounds)
+      .withColumn("split",
+        when(col("ts") < col("cut"), "train")
+          .when(col("ts") >= col("cut") + embargo, "test")
+          .otherwise("embargoed"))
+    val gap = tagged.agg(
+      (min(when(col("split") === "test", col("ts"))) -
+        max(when(col("split") === "train", col("ts"))))
+        .as("boundary_gap_us"))
+    tagged.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(gap)
+      .select(col("split"), col("n_events"), col("n_users"),
+        (col("boundary_gap_us") >= embargo).as("gap_ok"))
+      .orderBy(col("split"))
+  }
+  /** X114 — weighted reservoir sampling (Efraimidis–Spirakis A-ES,
+    * IPL 2006): k documents drawn with probability proportional to
+    * length, in ONE distributed pass — the weighted-subsample primitive
+    * a mixture builder uses when x13's uniform hash sampling isn't
+    * enough. Per item: uniform u from the doc's md5 (deterministic,
+    * engine-shared via Det.md5Bucket), score = ln(u)/w (the log form of
+    * u^(1/w) — monotone-identical ranking, no pow underflow at large
+    * w), top-k by score. The top-k is a TakeOrderedAndProject — map-
+    * side partial heaps, only k rows per partition ship, the exact
+    * shape a 100 TB reservoir needs. Score rounded to 10 dp so the
+    * engines' last-ulp ln() differences cannot flip the boundary rank;
+    * doc_id tie-break totalizes the order. */
+  def x114WeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).cast("double").as("w"))
+      .filter(col("w") > 0)
+    // hash the STRING form: md5-of-utf8 is the engine-shared spelling
+    // (long→binary casts differ across engines)
+    val u = (Det.md5Bucket(col("doc_id").cast("string"), 13)
+      .cast("double") + lit(0.5)) / lit(math.pow(16.0, 13))
+    d.select(col("doc_id"), col("w"),
+        round(log(u) / col("w"), 10).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x172_semdedup" -> (x172SemDedup _),
     "x173_semdedup_incr" -> (x173SemDedupIncr _),
@@ -404,7 +816,20 @@ object CurationOps {
     "x176_soft_dedup" -> (x176SoftDedup _),
     "x177_dsir_weights" -> (x177DsirWeights _),
     "x178_ccnet_buckets" -> (x178CcnetBuckets _),
-    "x172b_semdedup_guard" -> (x172bStraddleGuard _))
+    "x172b_semdedup_guard" -> (x172bStraddleGuard _),
+    "x13_hash_sample" -> (x13HashSample _),
+    "x38_incremental_dedup" -> (x38IncrementalDedup _),
+    "x39_train_shards" -> (x39TrainShards _),
+    "x31_quality_quantile" -> (x31QualityQuantile _),
+    "x32_decontaminate13" -> (x32Decontaminate13 _),
+    "x34_quantize" -> (x34Quantize _),
+    "x35_temperature_mix" -> (x35TemperatureMix _),
+    "x37_curate_topk" -> (x37CurateTopK _),
+    "x58_curation_funnel" -> (x58CurationFunnel _),
+    "x60_leakage_split" -> (x60LeakageSplit _),
+    "x62_mixture_report" -> (x62MixtureReport _),
+    "x89_embargo_split" -> (x89EmbargoSplit _),
+    "x114_weighted_sample" -> (x114WeightedSample _))
 
 
   /** The x172b oracle: the x172 Lloyd chain (reused verbatim), a
@@ -506,5 +931,165 @@ object CurationOps {
        "CASE WHEN r.r > n.t2 THEN 'head' WHEN r.r > n.t1 " +
        "THEN 'middle' ELSE 'tail' END AS bucket " +
        "FROM rk r JOIN nl n USING (lang) ORDER BY r.doc_id"),
-    "x172b_semdedup_guard" -> SemGuardSql)
+    "x172b_semdedup_guard" -> SemGuardSql,
+    "x13_hash_sample" ->
+      ("SELECT doc_id, lang, substr(md5(text), 1, 2) AS bucket FROM documents " +
+       "WHERE substr(md5(text), 1, 2) <= '19' ORDER BY doc_id"),
+    // exhaustive exact cross-side Jaccard — the Spark side must find the
+    // same straddling pairs via the banded probe (l2's oracle shape)
+    "x38_incremental_dedup" ->
+      (s"WITH s AS (SELECT DISTINCT doc_id, ngram FROM (${TextOps.ngramSql(3)}) t), " +
+       "n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id), " +
+       "i AS (SELECT a.doc_id AS doc_new, b.doc_id AS doc_old, COUNT(*) AS inter " +
+       "FROM s a JOIN s b ON a.ngram = b.ngram " +
+       "AND a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7 GROUP BY 1, 2) " +
+       "SELECT doc_new, doc_old, " +
+       "inter / (na.n_sh + nb.n_sh - inter) AS jaccard " +
+       "FROM i JOIN n na ON na.doc_id = doc_new JOIN n nb ON nb.doc_id = doc_old " +
+       "WHERE inter / (na.n_sh + nb.n_sh - inter) > 0.6 " +
+       "ORDER BY doc_new, doc_old"),
+"x39_train_shards" ->
+      ("WITH h AS (SELECT doc_id, md5(text) AS h, " +
+       s"CAST(${d.md5Bucket("text", 1)} % 8 AS INT) AS shard FROM documents) " +
+       "SELECT doc_id, shard, " +
+       "CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) " +
+       "AS BIGINT) AS pos FROM h ORDER BY doc_id"),
+"x31_quality_quantile" ->
+      ("WITH s AS (SELECT doc_id, lang, " +
+       "round(length(text) / len(string_split(text, ' ')), 6) AS score " +
+       "FROM documents), " +
+       "r AS (SELECT doc_id, lang, score, " +
+       "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score ASC, doc_id ASC) " +
+       "AS BIGINT) AS rnk, " +
+       "CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang FROM s) " +
+       "SELECT doc_id, lang, score, rnk, n_lang FROM r " +
+       "WHERE rnk * 4 > n_lang ORDER BY doc_id"),
+"x32_decontaminate13" ->
+      ("WITH staged AS (SELECT doc_id, " +
+       "CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END AS text " +
+       "FROM documents), " +
+       "gn AS (SELECT DISTINCT doc_id, ngram FROM (" +
+       TextOps.ngramSqlOver(
+         "(SELECT doc_id, lower(text) AS text FROM staged)", 13) + ") t), " +
+       "gr AS (SELECT DISTINCT doc_id, ngram FROM (" +
+       TextOps.ngramSqlOver("staged", 13) + ") t), " +
+       "nh AS (SELECT c.doc_id, COUNT(DISTINCT c.ngram) AS n_shared_norm " +
+       "FROM gn c WHERE c.doc_id % 3 <> 0 AND c.ngram IN " +
+       "(SELECT ngram FROM gn WHERE doc_id % 3 = 0) GROUP BY c.doc_id), " +
+       "rh AS (SELECT c.doc_id, COUNT(DISTINCT c.ngram) AS n_shared_raw " +
+       "FROM gr c WHERE c.doc_id % 3 <> 0 AND c.ngram IN " +
+       "(SELECT ngram FROM gr WHERE doc_id % 3 = 0) GROUP BY c.doc_id) " +
+       "SELECT d.doc_id, COALESCE(nh.n_shared_norm, 0) AS n_shared_norm, " +
+       "COALESCE(rh.n_shared_raw, 0) AS n_shared_raw, " +
+       "COALESCE(nh.n_shared_norm, 0) > 0 AS contaminated " +
+       "FROM staged d LEFT JOIN nh ON d.doc_id = nh.doc_id " +
+       "LEFT JOIN rh ON d.doc_id = rh.doc_id " +
+       "WHERE d.doc_id % 3 <> 0 ORDER BY d.doc_id"),
+"x35_temperature_mix" ->
+      ("WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang), " +
+       "m AS (SELECT MIN(n_lang) AS mn FROM c), " +
+       "r AS (SELECT lang, n_lang, " +
+       "CAST(FLOOR(SQRT(CAST(mn AS DOUBLE) / CAST(n_lang AS DOUBLE)) * 65536.0) " +
+       "AS BIGINT) AS thresh FROM c, m), " +
+       "b AS (SELECT doc_id, lang, " +
+       s"${d.md5Bucket("text", 4)} AS bucket FROM documents) " +
+       "SELECT doc_id, b.lang, n_lang, bucket, thresh, " +
+       "round(65536.0 / thresh, 6) AS weight " +
+       "FROM b JOIN r ON b.lang = r.lang WHERE bucket < thresh " +
+       "ORDER BY doc_id"),
+"x37_curate_topk" ->
+      ("SELECT doc_id, lang, score FROM " +
+       "(SELECT doc_id, lang, " +
+       "round(length(text) / len(string_split(text, ' ')), 6) AS score, " +
+       "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY " +
+       "round(length(text) / len(string_split(text, ' ')), 6) DESC, doc_id ASC) " +
+       "AS rn FROM documents) t WHERE rn <= 16 ORDER BY doc_id"),
+"x34_quantize" ->
+      ("WITH e AS (SELECT vec_id, " +
+       "CAST(list_min(embedding) AS DOUBLE) AS lo, " +
+       "CAST(list_max(embedding) AS DOUBLE) AS hi, embedding FROM embeddings), " +
+       "x AS (SELECT vec_id, lo, hi, CAST(unnest(embedding) AS DOUBLE) AS v " +
+       "FROM e), " +
+       "q AS (SELECT vec_id, lo, hi, v, " +
+       "CASE WHEN hi = lo THEN 0 ELSE " +
+       "CAST(LEAST(FLOOR((v - lo) * 255.0 / (hi - lo)), 255.0) AS BIGINT) " +
+       "END AS qq FROM x) " +
+       // CAST the SUM: DuckDB SUM(BIGINT) is HUGEINT (the x21 lesson)
+       "SELECT vec_id, COUNT(*) AS n_dims, MIN(qq) AS q_lo, MAX(qq) AS q_hi, " +
+       "round(CAST(SUM(qq) AS BIGINT) / COUNT(*), 6) AS mean_q, " +
+       "CAST(MIN(CAST(abs(v - (lo + (qq + 0.5) * (hi - lo) / 255.0)) " +
+       "<= (hi - lo) / 255.0 AS INT)) AS BOOLEAN) AS err_ok " +
+       "FROM q GROUP BY vec_id ORDER BY vec_id"),
+    "x58_curation_funnel" ->
+      ("WITH base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0, " +
+       "CAST(SUM(n_chars) AS BIGINT) AS c0, " +
+       "CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+       "CAST(SUM(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS BIGINT) AS c1, " +
+       "CAST(SUM(CASE WHEN lang = 'en' AND n_chars BETWEEN 120 AND 350 " +
+       "THEN 1 ELSE 0 END) AS BIGINT) AS n2, " +
+       "CAST(SUM(CASE WHEN lang = 'en' AND n_chars BETWEEN 120 AND 350 " +
+       "THEN n_chars ELSE 0 END) AS BIGINT) AS c2 FROM documents), " +
+       "ded AS (SELECT CAST(COUNT(*) AS BIGINT) AS n3, " +
+       "CAST(SUM(nc) AS BIGINT) AS c3 FROM (" +
+       "SELECT text, MIN(doc_id) AS keep_id, MIN(n_chars) AS nc " +
+       "FROM documents WHERE lang = 'en' AND n_chars BETWEEN 120 AND 350 " +
+       "GROUP BY text) t) " +
+       "SELECT stage, n_docs, n_chars_total FROM (" +
+       "SELECT '0_raw' AS stage, n0 AS n_docs, c0 AS n_chars_total FROM base " +
+       "UNION ALL SELECT '1_lang', n1, c1 FROM base " +
+       "UNION ALL SELECT '2_length', n2, c2 FROM base " +
+       "UNION ALL SELECT '3_dedup', n3, c3 FROM ded) u ORDER BY stage"),
+// clusters recomputed recursively from scratch (x12's oracle),
+    // widened to every document; split restated from rep % 10
+    "x60_leakage_split" ->
+      (s"WITH RECURSIVE s AS (SELECT DISTINCT doc_id, ngram FROM (${TextOps.ngramSql(3)}) t), " +
+       "n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id), " +
+       "i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter " +
+       "FROM s a JOIN s b ON a.ngram = b.ngram AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+       "pairs AS (SELECT doc_a, doc_b FROM i " +
+       "JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b " +
+       "WHERE inter / (na.n_sh + nb.n_sh - inter) > 0.6), " +
+       "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs " +
+       "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+       "reach AS (SELECT DISTINCT a AS src, a AS dst FROM edges " +
+       "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a), " +
+       "cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach " +
+       "GROUP BY src) " +
+       "SELECT d.doc_id, COALESCE(cc.cluster_rep, d.doc_id) AS rep, " +
+       "CASE WHEN COALESCE(cc.cluster_rep, d.doc_id) % 10 < 8 THEN 'train' " +
+       "WHEN COALESCE(cc.cluster_rep, d.doc_id) % 10 = 8 THEN 'val' " +
+       "ELSE 'test' END AS split " +
+       "FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id " +
+       "ORDER BY d.doc_id"),
+"x62_mixture_report" ->
+      ("WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents GROUP BY 1), " +
+       "t AS (SELECT CAST(SUM(chars) AS BIGINT) AS total FROM s), " +
+       "top AS (SELECT * FROM s ORDER BY chars DESC, source LIMIT 20) " +
+       "SELECT source, n_docs, chars, " +
+       "CAST(chars AS DOUBLE) / total AS share, " +
+       "CAST(CAST(SUM(chars) OVER (ORDER BY chars DESC, source) AS BIGINT) " +
+       "AS DOUBLE) / total AS cum_share " +
+       "FROM top CROSS JOIN t ORDER BY chars DESC, source"),
+    "x89_embargo_split" ->
+      ("WITH b AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi " +
+       "FROM events), " +
+       "c AS (SELECT lo + (hi - lo) * 8 // 10 AS cut FROM b), " +
+       "tg AS (SELECT epoch_us(ts) AS t, user_id, " +
+       "CASE WHEN epoch_us(ts) < cut THEN 'train' " +
+       "WHEN epoch_us(ts) >= cut + 1800000000 THEN 'test' " +
+       "ELSE 'embargoed' END AS split FROM events CROSS JOIN c), " +
+       "g AS (SELECT MIN(CASE WHEN split = 'test' THEN t END) - " +
+       "MAX(CASE WHEN split = 'train' THEN t END) AS gap FROM tg) " +
+       "SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+       "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, " +
+       "gap >= 1800000000 AS gap_ok FROM tg CROSS JOIN g " +
+       "GROUP BY split, gap ORDER BY split"),
+    // same A-ES score formula, same hash, same rounding
+    "x114_weighted_sample" ->
+      ("SELECT doc_id, CAST(length(text) AS DOUBLE) AS w, " +
+       "round(ln((" + Det.sql.md5Bucket("CAST(doc_id AS VARCHAR)", 13) +
+       " + 0.5) / POWER(16, 13)) / CAST(length(text) AS DOUBLE), 10) " +
+       "AS score FROM documents WHERE length(text) > 0 " +
+       "ORDER BY score DESC, doc_id LIMIT 50"))
 }

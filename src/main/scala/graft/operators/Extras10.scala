@@ -301,40 +301,8 @@ object Extras10 {
       .orderBy(col("source"))
   }
 
-  /** X89 — temporal train/test split with an embargo gap (the
-    * time-series leakage control: a model trained through time T must
-    * not be evaluated on examples it could have "seen" through
-    * near-boundary correlation — the gap absorbs it): cut at 80% of
-    * the corpus time range (integer µs arithmetic), drop a 30-minute
-    * embargo zone, report per-split masses plus the PROVEN gap
-    * (min test ts − max train ts ≥ embargo, emitted as data). One
-    * scan + two bounded aggregates. */
-  def x89EmbargoSplit(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.eventsUs(spark, sfDir)
-    val bounds = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
-      .select(expr("lo + (hi - lo) * 8 div 10").as("cut"))
-    val embargo = 1800000000L
-    val tagged = ev.crossJoin(bounds)
-      .withColumn("split",
-        when(col("ts") < col("cut"), "train")
-          .when(col("ts") >= col("cut") + embargo, "test")
-          .otherwise("embargoed"))
-    val gap = tagged.agg(
-      (min(when(col("split") === "test", col("ts"))) -
-        max(when(col("split") === "train", col("ts"))))
-        .as("boundary_gap_us"))
-    tagged.groupBy(col("split"))
-      .agg(count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("n_users"))
-      .crossJoin(gap)
-      .select(col("split"), col("n_events"), col("n_users"),
-        (col("boundary_gap_us") >= embargo).as("gap_ok"))
-      .orderBy(col("split"))
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x88_quota_apportionment" -> (x88QuotaApportionment _),
-    "x89_embargo_split" -> (x89EmbargoSplit _),
     "x85_k_anonymity" -> (x85KAnonymity _),
     "x87_join_preflight" -> (x87JoinPreflight _),
     "x78_snapshot_diff" -> (x78SnapshotDiff _),
@@ -358,20 +326,6 @@ object Extras10 {
        "SELECT source, chars, CAST(base + CASE WHEN rnk < leftover " +
        "THEN 1 ELSE 0 END AS BIGINT) AS quota " +
        "FROM r CROSS JOIN l ORDER BY source"),
-    "x89_embargo_split" ->
-      ("WITH b AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi " +
-       "FROM events), " +
-       "c AS (SELECT lo + (hi - lo) * 8 // 10 AS cut FROM b), " +
-       "tg AS (SELECT epoch_us(ts) AS t, user_id, " +
-       "CASE WHEN epoch_us(ts) < cut THEN 'train' " +
-       "WHEN epoch_us(ts) >= cut + 1800000000 THEN 'test' " +
-       "ELSE 'embargoed' END AS split FROM events CROSS JOIN c), " +
-       "g AS (SELECT MIN(CASE WHEN split = 'test' THEN t END) - " +
-       "MAX(CASE WHEN split = 'train' THEN t END) AS gap FROM tg) " +
-       "SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events, " +
-       "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, " +
-       "gap >= 1800000000 AS gap_ok FROM tg CROSS JOIN g " +
-       "GROUP BY split, gap ORDER BY split"),
     // identical quasi-identifier banding (floor of the same IEEE
     // division) and the same k=5 threshold
     "x85_k_anonymity" ->

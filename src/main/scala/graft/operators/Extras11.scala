@@ -65,31 +65,6 @@ object Extras11 {
       .filter(col("n") > 0)
   }
 
-  /** X114 — weighted reservoir sampling (Efraimidis–Spirakis A-ES,
-    * IPL 2006): k documents drawn with probability proportional to
-    * length, in ONE distributed pass — the weighted-subsample primitive
-    * a mixture builder uses when x13's uniform hash sampling isn't
-    * enough. Per item: uniform u from the doc's md5 (deterministic,
-    * engine-shared via Det.md5Bucket), score = ln(u)/w (the log form of
-    * u^(1/w) — monotone-identical ranking, no pow underflow at large
-    * w), top-k by score. The top-k is a TakeOrderedAndProject — map-
-    * side partial heaps, only k rows per partition ship, the exact
-    * shape a 100 TB reservoir needs. Score rounded to 10 dp so the
-    * engines' last-ulp ln() differences cannot flip the boundary rank;
-    * doc_id tie-break totalizes the order. */
-  def x114WeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), length(col("text")).cast("double").as("w"))
-      .filter(col("w") > 0)
-    // hash the STRING form: md5-of-utf8 is the engine-shared spelling
-    // (long→binary casts differ across engines)
-    val u = (Det.md5Bucket(col("doc_id").cast("string"), 13)
-      .cast("double") + lit(0.5)) / lit(math.pow(16.0, 13))
-    d.select(col("doc_id"), col("w"),
-        round(log(u) / col("w"), 10).as("score"))
-      .orderBy(col("score").desc, col("doc_id")).limit(50)
-  }
-
   /** X115 — differentially-private count release (Dwork et al. 2006):
     * per-event-type counts with SEEDED Laplace(1/ε) noise via inverse-
     * CDF on a uniform derived from the group key's md5 — the noise is
@@ -183,7 +158,6 @@ object Extras11 {
     "x119_golden_record" -> (x119GoldenRecord _),
     "x118_ri_audit" -> (x118RiAudit _),
     "x113_mv_retraction" -> (x113MvRetraction _),
-    "x114_weighted_sample" -> (x114WeightedSample _),
     "x115_dp_counts" -> (x115DpCounts _))
 
   val oracles: Map[String, String] = Map(
@@ -222,13 +196,6 @@ object Extras11 {
         e("nation->region", "nation", "n_regionkey", "region", "r_regionkey"))
         .mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY fk_edge")
     },
-    // same A-ES score formula, same hash, same rounding
-    "x114_weighted_sample" ->
-      ("SELECT doc_id, CAST(length(text) AS DOUBLE) AS w, " +
-       "round(ln((" + Det.sql.md5Bucket("CAST(doc_id AS VARCHAR)", 13) +
-       " + 0.5) / POWER(16, 13)) / CAST(length(text) AS DOUBLE), 10) " +
-       "AS score FROM documents WHERE length(text) > 0 " +
-       "ORDER BY score DESC, doc_id LIMIT 50"),
     // same seeded inverse-CDF Laplace draw per released key
     "x115_dp_counts" ->
       ("WITH g AS (SELECT event_type, COUNT(*) AS n_true, " +

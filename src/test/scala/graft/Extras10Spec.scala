@@ -234,7 +234,7 @@ class Extras10Spec extends SparkSpec {
   }
 
   test("x89: splits partition the stream and the embargo gap is proven") {
-    val rows = Extras10.x89EmbargoSplit(spark, sf).collect()
+    val rows = graft.operators.CurationOps.x89EmbargoSplit(spark, sf).collect()
     assert(rows.map(_.getLong(1)).sum ==
       Tables.eventsUs(spark, sf).count())
     assert(rows.forall(_.getBoolean(3)), "gap_ok must hold by construction")

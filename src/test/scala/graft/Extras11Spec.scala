@@ -62,7 +62,7 @@ class Extras11Spec extends SparkSpec {
 
   test("x114: A-ES scores match a driver-side recompute and selection " +
       "is weight-monotone at fixed hash") {
-    val got = Extras11.x114WeightedSample(spark, sf).collect()
+    val got = graft.operators.CurationOps.x114WeightedSample(spark, sf).collect()
     assert(got.length == 50)
     assert(got.map(_.getLong(0)).distinct.length == 50)
     // scores are ln(u)/w with u in (0,1): strictly negative, descending

@@ -1,6 +1,5 @@
 package graft
 
-import graft.operators.Extras2
 
 class Extras2Spec extends SparkSpec {
   test("s8: year predicate prunes partitions at the file-listing level") {

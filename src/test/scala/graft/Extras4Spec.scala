@@ -54,7 +54,7 @@ class Extras4Spec extends SparkSpec {
   }
 
   test("x31 quality quantile: keeps exactly the top 3/4 per language, by score") {
-    val kept = Extras4.x31QualityQuantile(spark, sf).collect()
+    val kept = graft.operators.CurationOps.x31QualityQuantile(spark, sf).collect()
     val all = Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"),
         round(length(col("text")) / size(split(col("text"), " ")), 6)
@@ -75,7 +75,7 @@ class Extras4Spec extends SparkSpec {
   }
 
   test("x32 decontamination: normalization is load-bearing and hits are real") {
-    val rows = Extras4.x32Decontaminate13(spark, sf).collect()
+    val rows = graft.operators.CurationOps.x32Decontaminate13(spark, sf).collect()
     // planted counterfactual: raw (unnormalized) grams never match the
     // UPPER-cased eval slice
     assert(rows.forall(_.getAs[Long]("n_shared_raw") == 0L))
@@ -171,7 +171,7 @@ class Extras4Spec extends SparkSpec {
   }
 
   test("x35 temperature mix: flattens the language distribution, reproducible, weighted") {
-    val kept = Extras4.x35TemperatureMix(spark, sf).collect()
+    val kept = graft.operators.CurationOps.x35TemperatureMix(spark, sf).collect()
     assert(kept.nonEmpty)
     val total = Tables.documents(spark, sf).groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -194,12 +194,12 @@ class Extras4Spec extends SparkSpec {
     assert(maxRate < minRate,
       s"dominant $maxLang rate $maxRate not below smallest $minLang rate $minRate")
     // deterministic: identical rows on a re-run
-    val again = Extras4.x35TemperatureMix(spark, sf).collect()
+    val again = graft.operators.CurationOps.x35TemperatureMix(spark, sf).collect()
     assert(kept.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
   test("x37 curation top-k runs through GroupTopKExec and equals the rank window") {
-    val frame = Extras4.x37CurateTopK(spark, sf)
+    val frame = graft.operators.CurationOps.x37CurateTopK(spark, sf)
     val got = frame.collect()
     // plans through the custom physical operator (partial + final pair)
     val execs = flattenPlan(frame.queryExecution.executedPlan)
@@ -222,7 +222,7 @@ class Extras4Spec extends SparkSpec {
   }
 
   test("x38 incremental dedup equals exhaustive cross-side jaccard, and l2 is unchanged") {
-    val got = Extras4.x38IncrementalDedup(spark, sf).collect()
+    val got = graft.operators.CurationOps.x38IncrementalDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     // exhaustive reference: every straddling pair from the FULL pair set
     val all = graft.operators.Dedup.l2MinHashDedup(spark, sf).collect()
@@ -239,7 +239,7 @@ class Extras4Spec extends SparkSpec {
   }
 
   test("x39 shard assignment: deterministic, balanced-ish, positions contiguous") {
-    val rows = Extras4.x39TrainShards(spark, sf).collect()
+    val rows = graft.operators.CurationOps.x39TrainShards(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
     // positions within each shard are exactly 1..n_shard
     rows.groupBy(_.getAs[Int]("shard")).foreach { case (s, docs) =>
@@ -256,7 +256,7 @@ class Extras4Spec extends SparkSpec {
       assert(r.getAs[Int]("shard") == (((h(0) >> 4) & 0xf) % 8))
     }
     // reproducible across runs
-    val again = Extras4.x39TrainShards(spark, sf).collect()
+    val again = graft.operators.CurationOps.x39TrainShards(spark, sf).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
@@ -402,7 +402,7 @@ class Extras4Spec extends SparkSpec {
   }
 
   test("x34 quantization: int8 range, error bound, exact recompute on one vector") {
-    val rows = Extras4.x34Quantize(spark, sf).collect()
+    val rows = graft.operators.CurationOps.x34Quantize(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getAs[Long]("q_lo") >= 0L && r.getAs[Long]("q_hi") <= 255L)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.api.VectorPipeline
-import graft.operators.{Extras5, Extras6, SqlSurface}
+import graft.operators.{Extras5, SqlSurface}
 
 class Extras6Spec extends SparkSpec {
   import spark.implicits._
@@ -194,7 +194,6 @@ class Extras6Spec extends SparkSpec {
 
   test("sql16: catalog stats inform the broadcast decision with AQE off") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
-    import graft.operators.Extras6
     // setup + values (values are plan-independent; oracle covers them)
     val df = SqlSurface.sql16CboStats(spark, sf)
     assert(df.collect().nonEmpty)

@@ -51,7 +51,7 @@ class Extras8Spec extends SparkSpec {
 
   test("x58: funnel stages are monotonically non-increasing and stage 0 " +
       "matches the corpus") {
-    val rows = Extras8.x58CurationFunnel(spark, sf).collect()
+    val rows = graft.operators.CurationOps.x58CurationFunnel(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows("0_raw") == Tables.documents(spark, sf).count())
     assert(rows("0_raw") >= rows("1_lang"))
@@ -61,7 +61,7 @@ class Extras8Spec extends SparkSpec {
   }
 
   test("x60: near-dup pairs never straddle splits (cluster atomicity)") {
-    val split = Extras8.x60LeakageSplit(spark, sf)
+    val split = graft.operators.CurationOps.x60LeakageSplit(spark, sf)
       .select(col("doc_id"), col("split"))
     val pairs = Dedup.nearDupPairsFrame(spark, sf)
     val straddle = pairs
@@ -86,7 +86,7 @@ class Extras8Spec extends SparkSpec {
   }
 
   test("x62: shares sum to 1 and cumulative share ends at 1") {
-    val rows = Extras8.x62MixtureReport(spark, sf).collect()
+    val rows = graft.operators.CurationOps.x62MixtureReport(spark, sf).collect()
     val shareSum = rows.map(_.getDouble(3)).sum
     assert(math.abs(shareSum - 1.0) < 1e-9, s"share sum $shareSum")
     assert(math.abs(rows.last.getDouble(4) - 1.0) < 1e-9)

@@ -96,7 +96,7 @@ class PlanLintSpec extends SparkSpec {
       .exists(_.rule == "low-cardinality-window-key"))
     // the decomposed x39 is clean even at the production threshold
     assert(PlanLint.lowCardWindowKeys(
-      graft.operators.Extras4.x39TrainShards(spark, sf), minKeys = 32).isEmpty)
+      graft.operators.CurationOps.x39TrainShards(spark, sf), minKeys = 32).isEmpty)
     // the whole rank family is fixable by the same identity: a bare
     // rank() over the bounded language key must fire too
     val oldRank = Tables.documents(spark, sf)

@@ -235,7 +235,7 @@ class PropertySpec extends SparkSpec {
         .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
       val dir = Tables.scratchDir("x34prop", sf)
       df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-      val rows = graft.operators.Extras4.x34Quantize(spark, dir).collect()
+      val rows = graft.operators.CurationOps.x34Quantize(spark, dir).collect()
       rows.forall { r =>
         r.getAs[Boolean]("err_ok") &&
           r.getAs[Long]("q_lo") == 0L && r.getAs[Long]("q_hi") <= 255L
