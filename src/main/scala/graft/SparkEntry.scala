@@ -26,7 +26,7 @@ object SparkEntry {
       Extras10.queries ++ Extras11.queries ++ Extras12.queries ++
       Extras13.queries ++ Extras15.queries ++ Extras16.queries ++ SqlSurface.queries ++
       GraphOps.queries ++ Dml.queries ++ Clustering.queries ++
-      CurationOps.queries ++ StorageOps.queries ++ StatsOps.queries ++ EvalOps.queries ++ EventOps.queries ++ TextIndexOps.queries ++ EmbedOps.queries ++ PipelineOps.queries ++
+      AuditOps.queries ++ CurationOps.queries ++ StorageOps.queries ++ StatsOps.queries ++ EvalOps.queries ++ EventOps.queries ++ TextIndexOps.queries ++ EmbedOps.queries ++ PipelineOps.queries ++
       Subqueries.queries ++ graft.streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,6 +41,6 @@ object SparkEntry {
       Extras10.oracles ++ Extras11.oracles ++ Extras12.oracles ++
       Extras13.oracles ++ Extras15.oracles ++ Extras16.oracles ++ SqlSurface.oracles ++
       GraphOps.oracles ++ Dml.oracles ++ Clustering.oracles ++
-      CurationOps.oracles ++ StorageOps.oracles ++ StatsOps.oracles ++ EvalOps.oracles ++ EventOps.oracles ++ TextIndexOps.oracles ++ EmbedOps.oracles ++ PipelineOps.oracles ++
+      AuditOps.oracles ++ CurationOps.oracles ++ StorageOps.oracles ++ StatsOps.oracles ++ EvalOps.oracles ++ EventOps.oracles ++ TextIndexOps.oracles ++ EmbedOps.oracles ++ PipelineOps.oracles ++
       Subqueries.oracles ++ graft.streaming.Streams.oracles
 }

@@ -249,11 +249,11 @@ object ApiDemo {
     println(s"stop tokens excluded by the hot-token cap: ${cd.stopTokens.count()}")
 
     // KMV sketches: distinct-set overlap from two bounded sketches
-    val skA = graft.operators.Extras10.kmvSketch(
+    val skA = graft.operators.AuditOps.kmvSketch(
       (1 to 400).toDF("k"), col("k"), 64)
-    val skB = graft.operators.Extras10.kmvSketch(
+    val skB = graft.operators.AuditOps.kmvSketch(
       (201 to 600).toDF("k"), col("k"), 64)
-    val (estU, estI) = graft.operators.Extras10.kmvEstimates(skA, skB, 64)
+    val (estU, estI) = graft.operators.AuditOps.kmvEstimates(skA, skB, 64)
     println(f"KMV overlap estimate: union ~ $estU%.0f (true 600), " +
       f"intersection ~ $estI%.0f (true 200)")
 

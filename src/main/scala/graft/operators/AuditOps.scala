@@ -1,0 +1,691 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{Det, Tables}
+
+/** WAREHOUSE-AUDIT / DATA-QUALITY-REPORT theme module (round 11 — the
+  * ExtrasN naming-debt retirement, VERDICT r10 #7): the rows a data
+  * platform runs ABOUT its tables rather than on them — quality
+  * scorecards, distribution/skew reports, referential-integrity and
+  * snapshot audits, sketch-based overlap estimates, allocation and
+  * shortlist reports — moved verbatim from Extras7/10/11/12/13/15.
+  * Every report is one or two grouped aggregates over the fact table
+  * (domain-bounded outputs); sketches (KMV) ride exact md5 order
+  * statistics so both engines see identical estimates.
+  *
+  * Rows: x53 data-quality scorecard, x74 KMV overlap, x77 skew report,
+  * x78 snapshot diff, x87 join preflight, x88 quota apportionment,
+  * x118 RI audit, x138 Pareto frontier, x145 column-profile drift,
+  * x155 delta decomposition.
+  */
+object AuditOps {
+
+  import Det.{sql => d}
+
+  /** X53 — data-quality gate (the Deequ/expectations pattern): constraint
+    * checks and column profiles computed as ONE aggregate pass over the
+    * fact table — every metric is an independent aggregate expression in
+    * the same `agg(...)`, so adding checks never adds scans — plus one
+    * LEFT ANTI join for the referential check (key columns only, the
+    * single unavoidable second touch). Emitted long-format
+    * (check, value) so downstream alerting diffs runs trivially.
+    * Constraint rows prove zero violations (the oracle recomputes each,
+    * so a planted violation WOULD surface); profile rows carry the
+    * non-vacuous corpus fingerprint. */
+  def x53DataQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val onePass = li.agg(
+      count(lit(1)).cast("double").as("n_rows"),
+      (count(lit(1)) -
+        countDistinct(col("l_orderkey"), col("l_linenumber")))
+        .cast("double").as("pk_dup"),
+      sum(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1L)
+        .otherwise(0L)).cast("double").as("discount_range_viol"),
+      sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+        .otherwise(0L)).cast("double").as("returnflag_domain_viol"),
+      sum(when(col("l_quantity").isNull, 1L).otherwise(0L))
+        .cast("double").as("quantity_nulls"),
+      countDistinct(col("l_partkey")).cast("double").as("partkey_distinct"),
+      min(col("l_quantity")).cast("double").as("quantity_min"),
+      max(col("l_quantity")).cast("double").as("quantity_max"),
+      round(sum(col("l_discount").cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 6).as("discount_mean"))
+    val orphans = li.select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).cast("double").as("fk_orphans"))
+    val report = onePass.crossJoin(orphans)
+    val checks = Seq("n_rows", "pk_dup", "discount_range_viol",
+      "returnflag_domain_viol", "quantity_nulls", "partkey_distinct",
+      "quantity_min", "quantity_max", "discount_mean", "fk_orphans")
+    report.select(explode(array(checks.map(c =>
+        struct(lit(c).as("chk"), col(c).as("value"))): _*)).as("kv"))
+      .select(col("kv.chk").as("chk"), col("kv.value").as("value"))
+      .orderBy(col("chk"))
+  }
+
+  /** KMV (k-minimum-values) distinct sketch of a key column (Beyer et
+    * al., SIGMOD 2007): the k smallest DISTINCT xxhash64 values. The
+    * k-smallest pass is a TakeOrderedAndProject — map-side partial
+    * top-k, so each partition ships at most k hashes; only the sketch
+    * (bounded: k longs) reaches the driver. A sketch shorter than k
+    * holds the whole hashed set and is exact. */
+  def kmvSketch(df: DataFrame, keyCol: Column, k: Int): Array[Long] =
+    df.select(keyCol.as("key")).distinct()
+      .select(expr("xxhash64(key) & 9223372036854775807").as("h"))
+      .distinct()
+      .orderBy(col("h")).limit(k).collect().map(_.getLong(0))
+
+  /** KMV estimators: (union estimate, intersection estimate) for two
+    * sketches of size cap k. Union from the combined k smallest
+    * ((k−1)/u_k with u_k the kth normalized minimum); intersection via
+    * the match fraction ρ within the combined sketch (Beyer et al.'s
+    * set-operation rule). Short sketches (< k values) are exact. */
+  def kmvEstimates(a: Array[Long], b: Array[Long], k: Int): (Double, Double) = {
+    val Max = 9223372036854775807.0
+    val union = (a ++ b).distinct.sorted
+    if (union.length < k) {
+      val inter = a.toSet.intersect(b.toSet).size.toDouble
+      (union.length.toDouble, inter)
+    } else {
+      val comb = union.take(k)
+      val uk = comb.last.toDouble / Max
+      val estU = (k - 1).toDouble / uk
+      val as = a.toSet; val bs = b.toSet
+      val rho = comb.count(h => as.contains(h) && bs.contains(h)).toDouble / k
+      (estU, rho * estU)
+    }
+  }
+
+  /** X74 — sketch-based set overlap (the remaining member of the
+    * sketch family: a4/a18 HLL count-distinct, a20 Count-Min point
+    * frequency, a19 top-k — this is the SET-OPERATION sketch): how many
+    * parts shipped in BOTH January and February, estimated from two
+    * 256-value KMV sketches instead of a distinct-join. At 100 TB the
+    * sketches are the only cross-set traffic — two k-long arrays
+    * instead of re-shuffling either key set, and they merge
+    * associatively across shards/days like a18's HLL partials. The
+    * greedy claims: union and intersection estimates within 20% of the
+    * exact values (k=256 → ~6.3% standard error; measured 1–8% across
+    * SFs), which the oracle states over its own exact recompute. */
+  def x74KmvOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), month(col("l_shipdate")).as("m"))
+    def monthParts(m: Int) = li.filter(col("m") === m).select(col("l_partkey"))
+    val jan = monthParts(1); val feb = monthParts(2)
+    val skA = kmvSketch(jan, col("l_partkey"), 256)
+    val skB = kmvSketch(feb, col("l_partkey"), 256)
+    val (estU, estI) = kmvEstimates(skA, skB, 256)
+    val exact = jan.distinct().agg(count(lit(1)).as("n_jan"))
+      .crossJoin(feb.distinct().agg(count(lit(1)).as("n_feb")))
+      .crossJoin(jan.distinct().join(feb.distinct(), "l_partkey")
+        .agg(count(lit(1)).as("n_both")))
+    exact.select(col("n_jan"), col("n_feb"), col("n_both"),
+      (abs(lit(estU) - (col("n_jan") + col("n_feb") - col("n_both")))
+        <= lit(0.2) * (col("n_jan") + col("n_feb") - col("n_both")))
+        .as("union_est_ok"),
+      (abs(lit(estI) - col("n_both")) <= lit(0.2) * col("n_both"))
+        .as("inter_est_ok"))
+  }
+
+  /** X77 — key-skew diagnosis (the report you read BEFORE reaching for
+    * x26's salting or AQE skew-join): per-key row counts summarized to
+    * one row — key cardinality, max/median counts, the max/median skew
+    * ratio, and the deterministic hottest key. The per-key count table
+    * is one grouped aggregate; the summary is one global aggregate over
+    * it (max_by for the hot key, exact median over key cardinality —
+    * bounded by distinct keys, not rows). At 100 TB this is the
+    * pre-flight a pipeline runs on its join keys to decide whether the
+    * plain shuffle join is safe. */
+  def x77SkewReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+    counts.agg(
+      count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_cnt"),
+      median(col("cnt")).as("median_cnt"),
+      max_by(col("l_suppkey"), struct(col("cnt"), col("l_suppkey") * -1))
+        .as("hottest_key"))
+      .select(col("n_keys"), col("max_cnt"), col("median_cnt"),
+        (col("max_cnt") / col("median_cnt")).as("skew_ratio"),
+        col("hottest_key"))
+  }
+
+  /** X78 — dataset-release diff (the audit table published alongside a
+    * corpus version bump): old vs new snapshot full-outer-joined on
+    * doc_id with md5-of-text comparison → per-status counts (added /
+    * removed / changed / unchanged). The "new" snapshot is a
+    * deterministic transform of the corpus (drop doc_id % 11 = 0,
+    * rewrite text for % 7 = 0, append shifted-id copies), so both
+    * engines stage identical inputs. ONE full outer join keyed by
+    * doc_id + md5 values (32 B) instead of text bodies — at 100 TB the
+    * compare ships fingerprints, never documents, and the join is the
+    * only shuffle. */
+  def x78SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val old = d.select(col("doc_id"), md5(col("text")).as("fp_old"))
+    val newer = d.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("fp_new"))
+      // appended ids are NEGATED (-id - 1): provably outside any natural
+      // id domain (doc_id >= 0), unlike a fixed +offset which collides
+      // once the corpus reaches the offset (ADVICE r7)
+      .unionByName(d.filter(col("doc_id") % 13 === 0)
+        .select((-col("doc_id") - 1L).as("doc_id"),
+          md5(col("text")).as("fp_new")))
+    old.join(newer, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") === col("fp_new"), "unchanged")
+          .otherwise("changed"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("status"))
+  }
+
+  /** X87 — join-explosion pre-flight (x77's sibling for JOINS): the
+    * exact output cardinality |A ⋈ B| = Σ_k cntA(k)·cntB(k) computed
+    * from the two key-count tables — a key-cardinality-sized join
+    * instead of running the real join to find out it explodes. Reports
+    * the total, the common-key count, and the single worst key with
+    * its contribution (deterministic composite max_by). The pre-flight
+    * a pipeline runs before joining two fact tables at 100 TB: the
+    * count tables are grouped aggregates (map-side partials), their
+    * join is key-cardinality, and the verdict arrives before any
+    * fact-fact shuffle is paid. */
+  def x87JoinPreflight(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cnt_a"))
+    val b = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cnt_b"))
+    a.join(b, "k")
+      .select(col("k"), (col("cnt_a") * col("cnt_b")).as("contrib"))
+      .agg(count(lit(1)).as("n_common_keys"),
+        sum(col("contrib")).as("est_join_rows"),
+        max(col("contrib")).as("max_key_contrib"),
+        max_by(col("k"), struct(col("contrib"), col("k") * -1))
+          .as("worst_key"))
+  }
+
+  /** X88 — exact mixture apportionment (largest-remainder / Hamilton
+    * method): turn per-source corpus shares into INTEGER sampling
+    * quotas that sum to exactly N=1000 — the step between x62's
+    * mixture report and an actual sampler, where proportional floats
+    * must become whole examples without drift. Base quota is integer
+    * floor(chars·N / total); the leftover goes to the largest
+    * remainders. The remainder rank is computed WITHOUT a global
+    * window (w2's distributed-rank trick: rank = count of strictly
+    * greater (remainder, source) pairs via a self-join aggregate), so
+    * the plan stays PlanLint-clean even with millions of sources.
+    * All-integer arithmetic — deterministic on both engines. */
+  def x88QuotaApportionment(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = lit(1000L)
+    val s = Tables.documents(spark, sfDir)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("chars"))
+    val t = s.agg(sum(col("chars")).as("total"))
+    val q = s.crossJoin(t)
+      .select(col("source"), col("chars"),
+        expr("chars * 1000 div total").as("base"),
+        ((col("chars") * n) % col("total")).as("rem"))
+    val leftover = q.agg((n - sum(col("base"))).as("leftover"))
+    val ranks = q.select(col("source").as("s2"), col("rem").as("r2"))
+    q.join(ranks,
+        col("r2") > col("rem") ||
+          (col("r2") === col("rem") && col("s2") < col("source")),
+        "left_outer")
+      .groupBy(col("source"), col("chars"), col("base"), col("rem"))
+      .agg(count(col("s2")).as("rank"))
+      .crossJoin(leftover)
+      .select(col("source"), col("chars"),
+        (col("base") + when(col("rank") < col("leftover"), 1L)
+          .otherwise(0L)).as("quota"))
+      .orderBy(col("source"))
+  }
+
+  /** X118 — referential-integrity audit (the pre-flight a warehouse
+    * runs before trusting joins): every declared FK edge of the star
+    * schema checked in one pass each — child rows whose key has no
+    * parent, counted via LEFT ANTI joins (never materializing the
+    * orphans, only their count). Dimension parents broadcast; the one
+    * big-big edge (lineitem→orders) shuffles on its key once. The
+    * emitted zeros are the CONTRACT: a generator bug or a bad
+    * partial-load would flip a row, and the oracle recomputes each
+    * count with NOT EXISTS. */
+  def x118RiAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val su = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    // fully LAZY per-edge frames unioned into ONE action: the seven
+    // audits run as parallel stages of a single job instead of 14
+    // sequential driver-side counts (measured 7.7s -> the union form
+    // lets the scheduler overlap the scans)
+    def edge(name: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.select(col(fk).as("k"))
+        .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      child.agg(count(lit(1)).as("n_child")).crossJoin(orphans)
+        .select(lit(name).as("fk_edge"), col("n_child"),
+          col("n_orphans"), (col("n_orphans") === 0L).as("ri_ok"))
+    }
+    edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+      .unionByName(edge("lineitem->part", li, "l_partkey", p, "p_partkey"))
+      .unionByName(edge("lineitem->supplier", li, "l_suppkey", su, "s_suppkey"))
+      .unionByName(edge("orders->customer", o, "o_custkey", c, "c_custkey"))
+      .unionByName(edge("customer->nation", c, "c_nationkey", n, "n_nationkey"))
+      .unionByName(edge("supplier->nation", su, "s_nationkey", n, "n_nationkey"))
+      .unionByName(edge("nation->region", n, "n_regionkey", r, "r_regionkey"))
+      .orderBy(col("fk_edge"))
+  }
+
+  // ---------------------------------------------------------------- x138
+
+  /** X138 — pareto frontier (skyline; Börzsönyi ICDE'01): the customers
+    * no other customer dominates on (order count, total spend) — the
+    * "best tradeoff" shortlist every multi-objective report wants
+    * (catalog picks by price-vs-rating, model picks by cost-vs-quality).
+    * Dominance: q beats p when q is ≥ on both axes and > on at least
+    * one; equal points are mutually non-dominating, so every customer
+    * on a non-dominated point ships.
+    *
+    * Scale shape: the corpus is NEVER pairwise-compared. Skyline
+    * membership for 2-D reduces to per-x structure — a point survives
+    * iff its y is its x-group's max AND strictly exceeds every
+    * higher-x group's max — so the plan is one grouped aggregate to the
+    * distinct-x table (bounded by the x domain, order counts here),
+    * a prefix-max over THAT aggregate (spelled as a bounded theta
+    * join, not a single-partition window), and one equi-join back.
+    * The full-table NOT-EXISTS O(n²) form survives only as the oracle.
+    * Both axes are exact (an integer count and a raw stored MAX — were
+    * an axis a float SUM, "equal on one axis" would be summation-order
+    * dependent; use a DECIMAL total instead). For an unbounded x
+    * domain, equi-width bucket x first and refine inside the boundary
+    * bucket — same plan, one more level. */
+  def x138Pareto(spark: SparkSession, sfDir: String): DataFrame = {
+    // axes chosen for a REAL tradeoff: order count vs the customer's
+    // single largest order (count-vs-spend degenerates — the most
+    // frequent customer nearly always also has the top total, and the
+    // frontier collapses to one row at every SF). best_order is a raw
+    // MAX of stored values — no arithmetic, so dominance ties compare
+    // exactly in both engines with no decimal policy needed.
+    val pts = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        max(col("o_totalprice")).as("best_order"))
+    paretoFrontier(pts, "n_orders", "best_order")
+      .select(col("o_custkey").cast("long").as("o_custkey"),
+        col("n_orders"), col("best_order"))
+      .orderBy(col("n_orders").desc, col("o_custkey"))
+  }
+
+  /** The 2-D maximize-both skyline core; exposed for the spec's brute
+    * cross-check. Keeps every input column of the surviving rows. */
+  def paretoFrontier(pts: DataFrame, x: String, y: String): DataFrame = {
+    val best = pts.groupBy(col(x)).agg(max(col(y)).as("__besty"))
+    val hi = best.select(col(x).as("__qx"), col("__besty").as("__qy"))
+    // prefix-max over the distinct-x aggregate: for each x, the best y
+    // among STRICTLY larger x (null when none) — a theta join of two
+    // aggregate-bounded frames, broadcastable by construction
+    val runmax = best.join(hi, col("__qx") > col(x), "left")
+      .groupBy(col(x), col("__besty"))
+      .agg(max(col("__qy")).as("__runmax"))
+    pts.join(runmax, Seq(x))
+      .filter(col(y) === col("__besty") &&
+        (col("__runmax").isNull || col(y) > col("__runmax")))
+      .drop("__besty", "__runmax")
+  }
+
+  // ---------------------------------------------------------------- x145
+
+  private val DriftSplit = "1998-07-01"
+
+  /** X145 — column-profile drift between two eras of a table (orders
+    * before/after the corpus midpoint): row count, decimal-exact mean
+    * price, distinct priorities and customers, and the 'F'-status
+    * share, each with its relative drift — the schema-level data
+    * quality monitor (x125/x126 cover token and embedding drift; this
+    * is the profile grain a warehouse checks FIRST on a bad load).
+    *
+    * Plan: ONE scan, conditional aggregation into the two eras (no
+    * join, no second pass), then a domain-bounded unpivot to the
+    * (metric, early, late, rel_drift) long form. Means divide decimal
+    * sums by exact counts; drift is |late−early|/early, each a single
+    * rounded IEEE op. */
+  def x145ProfileDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .withColumn("early", col("o_orderdate") < lit(DriftSplit).cast("timestamp"))
+    def cnt(e: Boolean) = sum(when(col("early") === e, 1L).otherwise(0L))
+    def dsum(e: Boolean) = sum(when(col("early") === e,
+      col("o_totalprice").cast(DecimalType(18, 4))))
+    // conditional COUNT DISTINCT (null-skipping) — Catalyst plans the
+    // multi-distinct via Expand, the distributed form; never collect_set
+    def dcnt(e: Boolean, c: String) = countDistinct(
+      when(col("early") === e, col(c)))
+    def fcnt(e: Boolean) = sum(when(col("early") === e &&
+      col("o_orderstatus") === "F", 1L).otherwise(0L))
+    val agg = o.agg(
+      cnt(true).as("n_e"), cnt(false).as("n_l"),
+      dsum(true).as("p_e"), dsum(false).as("p_l"),
+      dcnt(true, "o_orderpriority").as("dp_e"),
+      dcnt(false, "o_orderpriority").as("dp_l"),
+      dcnt(true, "o_custkey").as("dc_e"), dcnt(false, "o_custkey").as("dc_l"),
+      fcnt(true).as("f_e"), fcnt(false).as("f_l"))
+    val prof = agg.select(
+      col("n_e").cast("double").as("rows_e"),
+      col("n_l").cast("double").as("rows_l"),
+      round(col("p_e").cast("double") / col("n_e"), 6).as("avg_e"),
+      round(col("p_l").cast("double") / col("n_l"), 6).as("avg_l"),
+      col("dp_e").cast("double").as("pri_e"),
+      col("dp_l").cast("double").as("pri_l"),
+      col("dc_e").cast("double").as("cust_e"),
+      col("dc_l").cast("double").as("cust_l"),
+      round(col("f_e").cast("double") / col("n_e"), 6).as("fsh_e"),
+      round(col("f_l").cast("double") / col("n_l"), 6).as("fsh_l"))
+    prof.selectExpr(
+      """stack(5,
+        'avg_totalprice', avg_e, avg_l,
+        'n_distinct_cust', cust_e, cust_l,
+        'n_distinct_priority', pri_e, pri_l,
+        'n_rows', rows_e, rows_l,
+        'share_status_F', fsh_e, fsh_l) AS (metric, early, late)""")
+      .withColumn("rel_drift",
+        round(abs(col("late") - col("early")) / col("early"), 6))
+      .orderBy(col("metric"))
+  }
+
+  private val DriftSql: String =
+    "WITH agg AS MATERIALIZED (SELECT " +
+    s"SUM(CASE WHEN o_orderdate < TIMESTAMP '$DriftSplit' THEN 1 ELSE 0 END) AS n_e, " +
+    s"SUM(CASE WHEN o_orderdate >= TIMESTAMP '$DriftSplit' THEN 1 ELSE 0 END) AS n_l, " +
+    s"SUM(CASE WHEN o_orderdate < TIMESTAMP '$DriftSplit' " +
+    "THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS p_e, " +
+    s"SUM(CASE WHEN o_orderdate >= TIMESTAMP '$DriftSplit' " +
+    "THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS p_l, " +
+    s"COUNT(DISTINCT CASE WHEN o_orderdate < TIMESTAMP '$DriftSplit' " +
+    "THEN o_orderpriority END) AS dp_e, " +
+    s"COUNT(DISTINCT CASE WHEN o_orderdate >= TIMESTAMP '$DriftSplit' " +
+    "THEN o_orderpriority END) AS dp_l, " +
+    s"COUNT(DISTINCT CASE WHEN o_orderdate < TIMESTAMP '$DriftSplit' " +
+    "THEN o_custkey END) AS dc_e, " +
+    s"COUNT(DISTINCT CASE WHEN o_orderdate >= TIMESTAMP '$DriftSplit' " +
+    "THEN o_custkey END) AS dc_l, " +
+    s"SUM(CASE WHEN o_orderdate < TIMESTAMP '$DriftSplit' " +
+    "AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_e, " +
+    s"SUM(CASE WHEN o_orderdate >= TIMESTAMP '$DriftSplit' " +
+    "AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_l " +
+    "FROM orders), " +
+    "prof AS (" +
+    "SELECT 'avg_totalprice' AS metric, " +
+    "round(CAST(p_e AS DOUBLE) / n_e, 6) AS early, " +
+    "round(CAST(p_l AS DOUBLE) / n_l, 6) AS late FROM agg " +
+    "UNION ALL SELECT 'n_distinct_cust', CAST(dc_e AS DOUBLE), " +
+    "CAST(dc_l AS DOUBLE) FROM agg " +
+    "UNION ALL SELECT 'n_distinct_priority', CAST(dp_e AS DOUBLE), " +
+    "CAST(dp_l AS DOUBLE) FROM agg " +
+    "UNION ALL SELECT 'n_rows', CAST(n_e AS DOUBLE), " +
+    "CAST(n_l AS DOUBLE) FROM agg " +
+    "UNION ALL SELECT 'share_status_F', " +
+    "round(CAST(f_e AS DOUBLE) / n_e, 6), " +
+    "round(CAST(f_l AS DOUBLE) / n_l, 6) FROM agg) " +
+    "SELECT metric, early, late, " +
+    "round(abs(late - early) / early, 6) AS rel_drift " +
+    "FROM prof ORDER BY metric"
+
+  // ---------------------------------------------------------------- x155
+
+  /** X155 — period-over-period delta decomposition: June→July 2001
+    * revenue change broken down by customer nation, with each nation's
+    * share of the total delta and the volume-vs-rate split
+    * (volume = order-count change at the old average order value;
+    * rate = the remainder — the two-factor bridge every "why did the
+    * metric move" review draws). Row nation='TOTAL' is the corpus
+    * bridge; per-nation volume+rate sum to that nation's delta by
+    * construction.
+    *
+    * Exactness: revenues are DECIMAL(18,4) sums; delta is decimal
+    * subtraction; the only floats are aov (one division, 4 dp), the
+    * volume product (one multiply, 4 dp), the rate remainder (one
+    * subtract, 4 dp) and the share (one division, 6 dp) — each a
+    * single IEEE op on identical inputs. Plan: one filtered scan
+    * (month predicate pushes to the reader), a broadcast dim join,
+    * one nation-sized conditional aggregate. */
+  def x155DeltaDecomp(spark: SparkSession, sfDir: String): DataFrame = {
+    val ym = (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+    val base = Tables.orders(spark, sfDir)
+      .filter(ym === 200106 || ym === 200107)
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), ym.as("ym"),
+        col("o_totalprice").cast(Det.Money).as("price"))
+    def side(m: Int, c: Column) = sum(when(col("ym") === m, c))
+    val zeroMoney = lit(0).cast(Det.Money)
+    val per = base.groupBy(col("nation"))
+      .agg(coalesce(side(200106, lit(1L)), lit(0L)).as("n_m1"),
+        coalesce(side(200107, lit(1L)), lit(0L)).as("n_m2"),
+        coalesce(side(200106, col("price")), zeroMoney).as("r1"),
+        coalesce(side(200107, col("price")), zeroMoney).as("r2"))
+    val tot = per.agg(sum(col("n_m1")).as("n_m1"), sum(col("n_m2")).as("n_m2"),
+      sum(col("r1")).as("r1"), sum(col("r2")).as("r2"))
+      .select(lit("TOTAL").as("nation"), col("n_m1"), col("n_m2"),
+        col("r1"), col("r2"))
+    val td = tot.select((col("r2") - col("r1")).cast("double").as("tdelta"))
+    // aov / volume / rate in INTEGER ten-thousandths (the x166
+    // grid-fork lesson): r1 is a 4-dp decimal over a small integer
+    // count, which lands exactly on the 4-dp rounding grid where
+    // round-after-float-division forks cross-engine; half-up integer
+    // division never does, and the closing /10000.0 is exact-input
+    per.unionByName(tot).crossJoin(broadcast(td))
+      .withColumn("r1s", (col("r1") * 10000).cast("long"))
+      .withColumn("a4",
+        expr("CASE WHEN n_m1 > 0 THEN " +
+          "(2 * r1s + n_m1) div (2 * n_m1) END"))
+      .withColumn("v4", (col("n_m2") - col("n_m1")) * col("a4"))
+      .select(col("nation"), col("n_m1"), col("n_m2"),
+        col("r1").cast("double").as("rev_m1"),
+        col("r2").cast("double").as("rev_m2"),
+        (col("r2") - col("r1")).cast("double").as("delta"),
+        when(col("tdelta") =!= 0.0,
+          round((col("r2") - col("r1")).cast("double") / col("tdelta"), 6))
+          .as("share"),
+        when(col("n_m1") > 0,
+          col("v4").cast("double") / 10000.0).as("volume_effect"),
+        when(col("n_m1") > 0,
+          (((col("r2") - col("r1")) * 10000).cast("long") - col("v4"))
+            .cast("double") / 10000.0).as("rate_effect"))
+      .orderBy((col("nation") === "TOTAL").cast("int"), col("nation"))
+  }
+
+  private val DeltaSql: String =
+    "WITH base AS MATERIALIZED (SELECT n.n_name AS nation, " +
+    "year(o.o_orderdate) * 100 + month(o.o_orderdate) AS ym, " +
+    "CAST(o.o_totalprice AS DECIMAL(18,4)) AS price FROM orders o " +
+    "JOIN customer c ON o.o_custkey = c.c_custkey " +
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+    "WHERE year(o.o_orderdate) * 100 + month(o.o_orderdate) " +
+    "IN (200106, 200107)), " +
+    "per AS MATERIALIZED (SELECT nation, " +
+    "COALESCE(SUM(CASE WHEN ym = 200106 THEN 1 END), 0) AS n_m1, " +
+    "COALESCE(SUM(CASE WHEN ym = 200107 THEN 1 END), 0) AS n_m2, " +
+    "COALESCE(SUM(CASE WHEN ym = 200106 THEN price END), 0) AS r1, " +
+    "COALESCE(SUM(CASE WHEN ym = 200107 THEN price END), 0) AS r2 " +
+    "FROM base GROUP BY 1), " +
+    "u AS (SELECT nation, CAST(n_m1 AS BIGINT) AS n_m1, " +
+    "CAST(n_m2 AS BIGINT) AS n_m2, r1, r2 FROM per " +
+    "UNION ALL SELECT 'TOTAL', CAST(SUM(n_m1) AS BIGINT), " +
+    "CAST(SUM(n_m2) AS BIGINT), SUM(r1), SUM(r2) FROM per), " +
+    "td AS (SELECT CAST(SUM(r2) - SUM(r1) AS DOUBLE) AS tdelta FROM per), " +
+    "v AS (SELECT u.*, td.tdelta, " +
+    "CASE WHEN n_m1 > 0 THEN " +
+    "(2 * CAST(r1 * 10000 AS BIGINT) + n_m1) // (2 * n_m1) END AS a4 " +
+    "FROM u CROSS JOIN td) " +
+    "SELECT nation, n_m1, n_m2, CAST(r1 AS DOUBLE) AS rev_m1, " +
+    "CAST(r2 AS DOUBLE) AS rev_m2, CAST(r2 - r1 AS DOUBLE) AS delta, " +
+    "CASE WHEN tdelta <> 0.0 THEN " +
+    "round(CAST(r2 - r1 AS DOUBLE) / tdelta, 6) END AS share, " +
+    "CASE WHEN n_m1 > 0 THEN " +
+    "CAST((n_m2 - n_m1) * a4 AS DOUBLE) / 10000.0 END AS volume_effect, " +
+    "CASE WHEN n_m1 > 0 THEN " +
+    "CAST(CAST((r2 - r1) * 10000 AS BIGINT) - (n_m2 - n_m1) * a4 " +
+    "AS DOUBLE) / 10000.0 END AS rate_effect " +
+    "FROM v ORDER BY (nation = 'TOTAL'), nation"
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x53_data_quality" -> (x53DataQuality _),
+    "x88_quota_apportionment" -> (x88QuotaApportionment _),
+    "x87_join_preflight" -> (x87JoinPreflight _),
+    "x78_snapshot_diff" -> (x78SnapshotDiff _),
+    "x77_skew_report" -> (x77SkewReport _),
+    "x74_kmv_overlap" -> (x74KmvOverlap _),
+    "x118_ri_audit" -> (x118RiAudit _),
+    "x138_pareto" -> (x138Pareto _),
+    "x145_profile_drift" -> (x145ProfileDrift _),
+    "x155_delta_decomp" -> (x155DeltaDecomp _))
+
+  val oracles: Map[String, String] = Map(
+    "x53_data_quality" ->
+      ("WITH one AS (SELECT " +
+       "CAST(COUNT(*) AS DOUBLE) AS n_rows, " +
+       "CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) " +
+       "AS DOUBLE) AS pk_dup, " +
+       "CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 1.0 " +
+       "THEN 1 ELSE 0 END) AS DOUBLE) AS discount_range_viol, " +
+       "CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') " +
+       "THEN 1 ELSE 0 END) AS DOUBLE) AS returnflag_domain_viol, " +
+       "CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) " +
+       "AS DOUBLE) AS quantity_nulls, " +
+       "CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS partkey_distinct, " +
+       "CAST(MIN(l_quantity) AS DOUBLE) AS quantity_min, " +
+       "CAST(MAX(l_quantity) AS DOUBLE) AS quantity_max, " +
+       "round(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) " +
+       "/ COUNT(*), 6) AS discount_mean FROM lineitem), " +
+       "orph AS (SELECT CAST(COUNT(*) AS DOUBLE) AS fk_orphans " +
+       "FROM lineitem WHERE l_orderkey NOT IN " +
+       "(SELECT o_orderkey FROM orders)) " +
+       "SELECT chk, value FROM (" +
+       "SELECT 'n_rows' AS chk, n_rows AS value FROM one UNION ALL " +
+       "SELECT 'pk_dup', pk_dup FROM one UNION ALL " +
+       "SELECT 'discount_range_viol', discount_range_viol FROM one UNION ALL " +
+       "SELECT 'returnflag_domain_viol', returnflag_domain_viol FROM one UNION ALL " +
+       "SELECT 'quantity_nulls', quantity_nulls FROM one UNION ALL " +
+       "SELECT 'partkey_distinct', partkey_distinct FROM one UNION ALL " +
+       "SELECT 'quantity_min', quantity_min FROM one UNION ALL " +
+       "SELECT 'quantity_max', quantity_max FROM one UNION ALL " +
+       "SELECT 'discount_mean', discount_mean FROM one UNION ALL " +
+       "SELECT 'fk_orphans', fk_orphans FROM orph) t ORDER BY chk"),
+    // all-integer Hamilton apportionment; the oracle may use a window
+    // (DuckDB side is unconstrained), the Spark side may not
+    "x88_quota_apportionment" ->
+      ("WITH s AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars " +
+       "FROM documents GROUP BY 1), " +
+       "t AS (SELECT CAST(SUM(chars) AS BIGINT) AS total FROM s), " +
+       "q AS (SELECT source, chars, chars * 1000 // total AS base, " +
+       "(chars * 1000) % total AS rem FROM s CROSS JOIN t), " +
+       "l AS (SELECT 1000 - SUM(base) AS leftover FROM q), " +
+       "r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) - 1 " +
+       "AS rnk FROM q) " +
+       "SELECT source, chars, CAST(base + CASE WHEN rnk < leftover " +
+       "THEN 1 ELSE 0 END AS BIGINT) AS quota " +
+       "FROM r CROSS JOIN l ORDER BY source"),
+// DuckDB arg_max lacks composite tie-breaks: window top-1 again
+    "x87_join_preflight" ->
+      ("WITH a AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) " +
+       "AS cnt_a FROM lineitem GROUP BY 1), " +
+       "b AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt_b " +
+       "FROM orders GROUP BY 1), " +
+       "j AS (SELECT a.k, cnt_a * cnt_b AS contrib FROM a JOIN b USING (k)), " +
+       "top AS (SELECT k AS worst_key FROM (SELECT k, " +
+       "row_number() OVER (ORDER BY contrib DESC, k) AS rn FROM j) t " +
+       "WHERE rn = 1) " +
+       "SELECT CAST(COUNT(*) AS BIGINT) AS n_common_keys, " +
+       "CAST(SUM(contrib) AS BIGINT) AS est_join_rows, " +
+       "CAST(MAX(contrib) AS BIGINT) AS max_key_contrib, " +
+       "(SELECT worst_key FROM top) AS worst_key FROM j"),
+// fingerprint-only compare restated over the same deterministic
+    // snapshot transform
+    "x78_snapshot_diff" ->
+      ("WITH old AS (SELECT doc_id, md5(text) AS fp_old FROM documents), " +
+       "newer AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 " +
+       "THEN text || ' v2' ELSE text END) AS fp_new " +
+       "FROM documents WHERE doc_id % 11 <> 0 " +
+       "UNION ALL SELECT -doc_id - 1, md5(text) FROM documents " +
+       "WHERE doc_id % 13 = 0) " +
+       "SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (" +
+       "SELECT CASE WHEN fp_old IS NULL THEN 'added' " +
+       "WHEN fp_new IS NULL THEN 'removed' " +
+       "WHEN fp_old = fp_new THEN 'unchanged' ELSE 'changed' END AS status " +
+       "FROM old FULL OUTER JOIN newer USING (doc_id)) t " +
+       "GROUP BY status ORDER BY status"),
+// DuckDB arg_max has no composite tie-break, so the hottest key is
+    // a window top-1 with the same (cnt desc, key asc) order
+    "x77_skew_report" ->
+      ("WITH c AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt " +
+       "FROM lineitem GROUP BY 1), " +
+       "top AS (SELECT l_suppkey AS hottest_key FROM " +
+       "(SELECT l_suppkey, row_number() OVER (ORDER BY cnt DESC, l_suppkey) " +
+       "AS rn FROM c) t WHERE rn = 1) " +
+       "SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, MAX(cnt) AS max_cnt, " +
+       "median(cnt) AS median_cnt, MAX(cnt) / median(cnt) AS skew_ratio, " +
+       "(SELECT hottest_key FROM top) AS hottest_key FROM c"),
+// exact counts recomputed; the sketch-accuracy claims are bounds
+    // (see scaladoc) stated as constants
+    "x74_kmv_overlap" ->
+      ("WITH j AS (SELECT DISTINCT l_partkey FROM lineitem " +
+       "WHERE month(l_shipdate) = 1), " +
+       "f AS (SELECT DISTINCT l_partkey FROM lineitem " +
+       "WHERE month(l_shipdate) = 2) " +
+       "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM j) AS n_jan, " +
+       "(SELECT CAST(COUNT(*) AS BIGINT) FROM f) AS n_feb, " +
+       "(SELECT CAST(COUNT(*) AS BIGINT) FROM j JOIN f USING (l_partkey)) " +
+       "AS n_both, TRUE AS union_est_ok, TRUE AS inter_est_ok"),
+    // each FK edge recomputed with NOT EXISTS
+    "x118_ri_audit" -> {
+      def e(name: String, child: String, fk: String, parent: String,
+          pk: String): String =
+        s"SELECT '$name' AS fk_edge, " +
+        s"CAST((SELECT COUNT(*) FROM $child) AS BIGINT) AS n_child, " +
+        s"CAST((SELECT COUNT(*) FROM $child ch WHERE NOT EXISTS " +
+        s"(SELECT 1 FROM $parent pa WHERE pa.$pk = ch.$fk)) AS BIGINT) " +
+        "AS n_orphans, " +
+        s"(SELECT COUNT(*) FROM $child ch WHERE NOT EXISTS " +
+        s"(SELECT 1 FROM $parent pa WHERE pa.$pk = ch.$fk)) = 0 AS ri_ok"
+      Seq(
+        e("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        e("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        e("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        e("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        e("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        e("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        e("nation->region", "nation", "n_regionkey", "region", "r_regionkey"))
+        .mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY fk_edge")
+    },
+    // deliberately the textbook O(n²) NOT-EXISTS dominance predicate —
+    // a formulation with nothing in common with the prefix-max plan
+    "x138_pareto" ->
+      ("WITH p AS MATERIALIZED (SELECT o_custkey, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+       "CAST(MAX(o_totalprice) AS DOUBLE) AS best_order " +
+       "FROM orders GROUP BY o_custkey) " +
+       "SELECT CAST(o_custkey AS BIGINT) AS o_custkey, n_orders, " +
+       "best_order FROM p " +
+       "WHERE NOT EXISTS (SELECT 1 FROM p q " +
+       "WHERE q.n_orders >= p.n_orders AND q.best_order >= p.best_order " +
+       "AND (q.n_orders > p.n_orders OR q.best_order > p.best_order)) " +
+       "ORDER BY n_orders DESC, o_custkey"),
+    "x145_profile_drift" -> DriftSql,
+    "x155_delta_decomp" -> DeltaSql)
+}

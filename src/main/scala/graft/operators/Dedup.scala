@@ -137,10 +137,33 @@ object Dedup {
   def x12DedupClusters(spark: SparkSession, sfDir: String): DataFrame =
     ccLabelsFrame(spark, sfDir).orderBy(col("doc_id"))
 
+  /** X75 — dedup cluster-size histogram (the observability report a
+    * dedup run publishes next to its keep/drop decisions): near-dup
+    * clusters by size with cluster and document counts, singletons
+    * included as size-1 clusters. Cluster assignment reuses the
+    * memoized verified-pair connected components (l2/x12/x60's frame —
+    * zero extra pair work); the histogram is two grouped aggregates
+    * over doc-cardinality frames. The oracle recomputes clusters
+    * recursively from scratch (x60's CTE), so the histogram is exact,
+    * not a consistency check against our own CC. */
+  def x75ClusterHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val cc = Dedup.ccLabelsFrame(spark, sfDir)
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left_outer")
+      .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
+      .groupBy(col("rep")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("sz")).as("n_docs"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"), col("n_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l2_minhash_dedup" -> (l2MinHashDedup _),
     "x12_dedup_clusters" -> (x12DedupClusters _),
-    "x1_simhash" -> (x1SimHash _))
+    "x1_simhash" -> (x1SimHash _),
+    "x75_cluster_histogram" -> (x75ClusterHistogram _))
 
   /** Shared recursive-CTE prefix (verified near-dup pairs → symmetric
     * edges → transitive `reach`): x12 and x119 append different finals
@@ -185,6 +208,28 @@ object Dedup {
     "x12_dedup_clusters" ->
       (ClusterCteSql +
        " SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach " +
-       "GROUP BY src ORDER BY doc_id"))
+       "GROUP BY src ORDER BY doc_id"),
+    // clusters recomputed recursively from scratch (x60's oracle CTE),
+    // then the identical two-level histogram
+    "x75_cluster_histogram" ->
+      (s"WITH RECURSIVE s AS (SELECT DISTINCT doc_id, ngram FROM (${TextOps.ngramSql(3)}) t), " +
+       "n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id), " +
+       "i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter " +
+       "FROM s a JOIN s b ON a.ngram = b.ngram AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+       "pairs AS (SELECT doc_a, doc_b FROM i " +
+       "JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b " +
+       "WHERE inter / (na.n_sh + nb.n_sh - inter) > 0.6), " +
+       "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs " +
+       "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+       "reach AS (SELECT DISTINCT a AS src, a AS dst FROM edges " +
+       "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a), " +
+       "cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach " +
+       "GROUP BY src), " +
+       "sizes AS (SELECT COALESCE(cc.cluster_rep, d.doc_id) AS rep, " +
+       "CAST(COUNT(*) AS BIGINT) AS sz FROM documents d " +
+       "LEFT JOIN cc ON d.doc_id = cc.doc_id GROUP BY 1) " +
+       "SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters, " +
+       "CAST(COUNT(*) * sz AS BIGINT) AS n_docs FROM sizes " +
+       "GROUP BY sz ORDER BY cluster_size"))
 
 }

@@ -77,148 +77,6 @@ object Extras10 {
         (col("mmr_mean") <= col("top_mean")).as("diversity_ok"))
   }
 
-  /** KMV (k-minimum-values) distinct sketch of a key column (Beyer et
-    * al., SIGMOD 2007): the k smallest DISTINCT xxhash64 values. The
-    * k-smallest pass is a TakeOrderedAndProject — map-side partial
-    * top-k, so each partition ships at most k hashes; only the sketch
-    * (bounded: k longs) reaches the driver. A sketch shorter than k
-    * holds the whole hashed set and is exact. */
-  def kmvSketch(df: DataFrame, keyCol: Column, k: Int): Array[Long] =
-    df.select(keyCol.as("key")).distinct()
-      .select(expr("xxhash64(key) & 9223372036854775807").as("h"))
-      .distinct()
-      .orderBy(col("h")).limit(k).collect().map(_.getLong(0))
-
-  /** KMV estimators: (union estimate, intersection estimate) for two
-    * sketches of size cap k. Union from the combined k smallest
-    * ((k−1)/u_k with u_k the kth normalized minimum); intersection via
-    * the match fraction ρ within the combined sketch (Beyer et al.'s
-    * set-operation rule). Short sketches (< k values) are exact. */
-  def kmvEstimates(a: Array[Long], b: Array[Long], k: Int): (Double, Double) = {
-    val Max = 9223372036854775807.0
-    val union = (a ++ b).distinct.sorted
-    if (union.length < k) {
-      val inter = a.toSet.intersect(b.toSet).size.toDouble
-      (union.length.toDouble, inter)
-    } else {
-      val comb = union.take(k)
-      val uk = comb.last.toDouble / Max
-      val estU = (k - 1).toDouble / uk
-      val as = a.toSet; val bs = b.toSet
-      val rho = comb.count(h => as.contains(h) && bs.contains(h)).toDouble / k
-      (estU, rho * estU)
-    }
-  }
-
-  /** X74 — sketch-based set overlap (the remaining member of the
-    * sketch family: a4/a18 HLL count-distinct, a20 Count-Min point
-    * frequency, a19 top-k — this is the SET-OPERATION sketch): how many
-    * parts shipped in BOTH January and February, estimated from two
-    * 256-value KMV sketches instead of a distinct-join. At 100 TB the
-    * sketches are the only cross-set traffic — two k-long arrays
-    * instead of re-shuffling either key set, and they merge
-    * associatively across shards/days like a18's HLL partials. The
-    * greedy claims: union and intersection estimates within 20% of the
-    * exact values (k=256 → ~6.3% standard error; measured 1–8% across
-    * SFs), which the oracle states over its own exact recompute. */
-  def x74KmvOverlap(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-      .select(col("l_partkey"), month(col("l_shipdate")).as("m"))
-    def monthParts(m: Int) = li.filter(col("m") === m).select(col("l_partkey"))
-    val jan = monthParts(1); val feb = monthParts(2)
-    val skA = kmvSketch(jan, col("l_partkey"), 256)
-    val skB = kmvSketch(feb, col("l_partkey"), 256)
-    val (estU, estI) = kmvEstimates(skA, skB, 256)
-    val exact = jan.distinct().agg(count(lit(1)).as("n_jan"))
-      .crossJoin(feb.distinct().agg(count(lit(1)).as("n_feb")))
-      .crossJoin(jan.distinct().join(feb.distinct(), "l_partkey")
-        .agg(count(lit(1)).as("n_both")))
-    exact.select(col("n_jan"), col("n_feb"), col("n_both"),
-      (abs(lit(estU) - (col("n_jan") + col("n_feb") - col("n_both")))
-        <= lit(0.2) * (col("n_jan") + col("n_feb") - col("n_both")))
-        .as("union_est_ok"),
-      (abs(lit(estI) - col("n_both")) <= lit(0.2) * col("n_both"))
-        .as("inter_est_ok"))
-  }
-
-  /** X75 — dedup cluster-size histogram (the observability report a
-    * dedup run publishes next to its keep/drop decisions): near-dup
-    * clusters by size with cluster and document counts, singletons
-    * included as size-1 clusters. Cluster assignment reuses the
-    * memoized verified-pair connected components (l2/x12/x60's frame —
-    * zero extra pair work); the histogram is two grouped aggregates
-    * over doc-cardinality frames. The oracle recomputes clusters
-    * recursively from scratch (x60's CTE), so the histogram is exact,
-    * not a consistency check against our own CC. */
-  def x75ClusterHistogram(spark: SparkSession, sfDir: String): DataFrame = {
-    val cc = Dedup.ccLabelsFrame(spark, sfDir)
-    Tables.documents(spark, sfDir).select(col("doc_id"))
-      .join(cc, Seq("doc_id"), "left_outer")
-      .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
-      .groupBy(col("rep")).agg(count(lit(1)).as("sz"))
-      .groupBy(col("sz"))
-      .agg(count(lit(1)).as("n_clusters"),
-        (count(lit(1)) * col("sz")).as("n_docs"))
-      .select(col("sz").as("cluster_size"), col("n_clusters"), col("n_docs"))
-      .orderBy(col("cluster_size"))
-  }
-
-  /** X77 — key-skew diagnosis (the report you read BEFORE reaching for
-    * x26's salting or AQE skew-join): per-key row counts summarized to
-    * one row — key cardinality, max/median counts, the max/median skew
-    * ratio, and the deterministic hottest key. The per-key count table
-    * is one grouped aggregate; the summary is one global aggregate over
-    * it (max_by for the hot key, exact median over key cardinality —
-    * bounded by distinct keys, not rows). At 100 TB this is the
-    * pre-flight a pipeline runs on its join keys to decide whether the
-    * plain shuffle join is safe. */
-  def x77SkewReport(spark: SparkSession, sfDir: String): DataFrame = {
-    val counts = Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
-    counts.agg(
-      count(lit(1)).as("n_keys"),
-      max(col("cnt")).as("max_cnt"),
-      median(col("cnt")).as("median_cnt"),
-      max_by(col("l_suppkey"), struct(col("cnt"), col("l_suppkey") * -1))
-        .as("hottest_key"))
-      .select(col("n_keys"), col("max_cnt"), col("median_cnt"),
-        (col("max_cnt") / col("median_cnt")).as("skew_ratio"),
-        col("hottest_key"))
-  }
-
-  /** X78 — dataset-release diff (the audit table published alongside a
-    * corpus version bump): old vs new snapshot full-outer-joined on
-    * doc_id with md5-of-text comparison → per-status counts (added /
-    * removed / changed / unchanged). The "new" snapshot is a
-    * deterministic transform of the corpus (drop doc_id % 11 = 0,
-    * rewrite text for % 7 = 0, append shifted-id copies), so both
-    * engines stage identical inputs. ONE full outer join keyed by
-    * doc_id + md5 values (32 B) instead of text bodies — at 100 TB the
-    * compare ships fingerprints, never documents, and the join is the
-    * only shuffle. */
-  def x78SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
-    val old = d.select(col("doc_id"), md5(col("text")).as("fp_old"))
-    val newer = d.filter(col("doc_id") % 11 =!= 0)
-      .select(col("doc_id"),
-        md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
-          .otherwise(col("text"))).as("fp_new"))
-      // appended ids are NEGATED (-id - 1): provably outside any natural
-      // id domain (doc_id >= 0), unlike a fixed +offset which collides
-      // once the corpus reaches the offset (ADVICE r7)
-      .unionByName(d.filter(col("doc_id") % 13 === 0)
-        .select((-col("doc_id") - 1L).as("doc_id"),
-          md5(col("text")).as("fp_new")))
-    old.join(newer, Seq("doc_id"), "full_outer")
-      .withColumn("status",
-        when(col("fp_old").isNull, "added")
-          .when(col("fp_new").isNull, "removed")
-          .when(col("fp_old") === col("fp_new"), "unchanged")
-          .otherwise("changed"))
-      .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("status"))
-  }
-
   /** X85 — k-anonymity audit (the data-governance pre-flight before a
     * dataset release): group the release by its quasi-identifier tuple
     * (market segment × nation × account-balance band — the classic
@@ -242,90 +100,11 @@ object Extras10 {
       min(col("sz")).as("min_group"))
   }
 
-  /** X87 — join-explosion pre-flight (x77's sibling for JOINS): the
-    * exact output cardinality |A ⋈ B| = Σ_k cntA(k)·cntB(k) computed
-    * from the two key-count tables — a key-cardinality-sized join
-    * instead of running the real join to find out it explodes. Reports
-    * the total, the common-key count, and the single worst key with
-    * its contribution (deterministic composite max_by). The pre-flight
-    * a pipeline runs before joining two fact tables at 100 TB: the
-    * count tables are grouped aggregates (map-side partials), their
-    * join is key-cardinality, and the verdict arrives before any
-    * fact-fact shuffle is paid. */
-  def x87JoinPreflight(spark: SparkSession, sfDir: String): DataFrame = {
-    val a = Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cnt_a"))
-    val b = Tables.orders(spark, sfDir)
-      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cnt_b"))
-    a.join(b, "k")
-      .select(col("k"), (col("cnt_a") * col("cnt_b")).as("contrib"))
-      .agg(count(lit(1)).as("n_common_keys"),
-        sum(col("contrib")).as("est_join_rows"),
-        max(col("contrib")).as("max_key_contrib"),
-        max_by(col("k"), struct(col("contrib"), col("k") * -1))
-          .as("worst_key"))
-  }
-
-  /** X88 — exact mixture apportionment (largest-remainder / Hamilton
-    * method): turn per-source corpus shares into INTEGER sampling
-    * quotas that sum to exactly N=1000 — the step between x62's
-    * mixture report and an actual sampler, where proportional floats
-    * must become whole examples without drift. Base quota is integer
-    * floor(chars·N / total); the leftover goes to the largest
-    * remainders. The remainder rank is computed WITHOUT a global
-    * window (w2's distributed-rank trick: rank = count of strictly
-    * greater (remainder, source) pairs via a self-join aggregate), so
-    * the plan stays PlanLint-clean even with millions of sources.
-    * All-integer arithmetic — deterministic on both engines. */
-  def x88QuotaApportionment(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = lit(1000L)
-    val s = Tables.documents(spark, sfDir)
-      .groupBy(col("source")).agg(sum(col("n_chars")).as("chars"))
-    val t = s.agg(sum(col("chars")).as("total"))
-    val q = s.crossJoin(t)
-      .select(col("source"), col("chars"),
-        expr("chars * 1000 div total").as("base"),
-        ((col("chars") * n) % col("total")).as("rem"))
-    val leftover = q.agg((n - sum(col("base"))).as("leftover"))
-    val ranks = q.select(col("source").as("s2"), col("rem").as("r2"))
-    q.join(ranks,
-        col("r2") > col("rem") ||
-          (col("r2") === col("rem") && col("s2") < col("source")),
-        "left_outer")
-      .groupBy(col("source"), col("chars"), col("base"), col("rem"))
-      .agg(count(col("s2")).as("rank"))
-      .crossJoin(leftover)
-      .select(col("source"), col("chars"),
-        (col("base") + when(col("rank") < col("leftover"), 1L)
-          .otherwise(0L)).as("quota"))
-      .orderBy(col("source"))
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x88_quota_apportionment" -> (x88QuotaApportionment _),
     "x85_k_anonymity" -> (x85KAnonymity _),
-    "x87_join_preflight" -> (x87JoinPreflight _),
-    "x78_snapshot_diff" -> (x78SnapshotDiff _),
-    "x75_cluster_histogram" -> (x75ClusterHistogram _),
-    "x77_skew_report" -> (x77SkewReport _),
-    "x74_kmv_overlap" -> (x74KmvOverlap _),
     "x72_mmr_rerank" -> (x72MmrRerank _))
 
   val oracles: Map[String, String] = Map(
-    // all-integer Hamilton apportionment; the oracle may use a window
-    // (DuckDB side is unconstrained), the Spark side may not
-    "x88_quota_apportionment" ->
-      ("WITH s AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars " +
-       "FROM documents GROUP BY 1), " +
-       "t AS (SELECT CAST(SUM(chars) AS BIGINT) AS total FROM s), " +
-       "q AS (SELECT source, chars, chars * 1000 // total AS base, " +
-       "(chars * 1000) % total AS rem FROM s CROSS JOIN t), " +
-       "l AS (SELECT 1000 - SUM(base) AS leftover FROM q), " +
-       "r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) - 1 " +
-       "AS rnk FROM q) " +
-       "SELECT source, chars, CAST(base + CASE WHEN rnk < leftover " +
-       "THEN 1 ELSE 0 END AS BIGINT) AS quota " +
-       "FROM r CROSS JOIN l ORDER BY source"),
     // identical quasi-identifier banding (floor of the same IEEE
     // division) and the same k=5 threshold
     "x85_k_anonymity" ->
@@ -339,79 +118,6 @@ object Extras10 {
        "AS n_groups_below_k, " +
        "CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) " +
        "AS n_rows_at_risk, MIN(sz) AS min_group FROM g"),
-    // DuckDB arg_max lacks composite tie-breaks: window top-1 again
-    "x87_join_preflight" ->
-      ("WITH a AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) " +
-       "AS cnt_a FROM lineitem GROUP BY 1), " +
-       "b AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt_b " +
-       "FROM orders GROUP BY 1), " +
-       "j AS (SELECT a.k, cnt_a * cnt_b AS contrib FROM a JOIN b USING (k)), " +
-       "top AS (SELECT k AS worst_key FROM (SELECT k, " +
-       "row_number() OVER (ORDER BY contrib DESC, k) AS rn FROM j) t " +
-       "WHERE rn = 1) " +
-       "SELECT CAST(COUNT(*) AS BIGINT) AS n_common_keys, " +
-       "CAST(SUM(contrib) AS BIGINT) AS est_join_rows, " +
-       "CAST(MAX(contrib) AS BIGINT) AS max_key_contrib, " +
-       "(SELECT worst_key FROM top) AS worst_key FROM j"),
-    // fingerprint-only compare restated over the same deterministic
-    // snapshot transform
-    "x78_snapshot_diff" ->
-      ("WITH old AS (SELECT doc_id, md5(text) AS fp_old FROM documents), " +
-       "newer AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 " +
-       "THEN text || ' v2' ELSE text END) AS fp_new " +
-       "FROM documents WHERE doc_id % 11 <> 0 " +
-       "UNION ALL SELECT -doc_id - 1, md5(text) FROM documents " +
-       "WHERE doc_id % 13 = 0) " +
-       "SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (" +
-       "SELECT CASE WHEN fp_old IS NULL THEN 'added' " +
-       "WHEN fp_new IS NULL THEN 'removed' " +
-       "WHEN fp_old = fp_new THEN 'unchanged' ELSE 'changed' END AS status " +
-       "FROM old FULL OUTER JOIN newer USING (doc_id)) t " +
-       "GROUP BY status ORDER BY status"),
-    // clusters recomputed recursively from scratch (x60's oracle CTE),
-    // then the identical two-level histogram
-    "x75_cluster_histogram" ->
-      (s"WITH RECURSIVE s AS (SELECT DISTINCT doc_id, ngram FROM (${TextOps.ngramSql(3)}) t), " +
-       "n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id), " +
-       "i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter " +
-       "FROM s a JOIN s b ON a.ngram = b.ngram AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-       "pairs AS (SELECT doc_a, doc_b FROM i " +
-       "JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b " +
-       "WHERE inter / (na.n_sh + nb.n_sh - inter) > 0.6), " +
-       "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs " +
-       "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
-       "reach AS (SELECT DISTINCT a AS src, a AS dst FROM edges " +
-       "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a), " +
-       "cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach " +
-       "GROUP BY src), " +
-       "sizes AS (SELECT COALESCE(cc.cluster_rep, d.doc_id) AS rep, " +
-       "CAST(COUNT(*) AS BIGINT) AS sz FROM documents d " +
-       "LEFT JOIN cc ON d.doc_id = cc.doc_id GROUP BY 1) " +
-       "SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters, " +
-       "CAST(COUNT(*) * sz AS BIGINT) AS n_docs FROM sizes " +
-       "GROUP BY sz ORDER BY cluster_size"),
-    // DuckDB arg_max has no composite tie-break, so the hottest key is
-    // a window top-1 with the same (cnt desc, key asc) order
-    "x77_skew_report" ->
-      ("WITH c AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt " +
-       "FROM lineitem GROUP BY 1), " +
-       "top AS (SELECT l_suppkey AS hottest_key FROM " +
-       "(SELECT l_suppkey, row_number() OVER (ORDER BY cnt DESC, l_suppkey) " +
-       "AS rn FROM c) t WHERE rn = 1) " +
-       "SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, MAX(cnt) AS max_cnt, " +
-       "median(cnt) AS median_cnt, MAX(cnt) / median(cnt) AS skew_ratio, " +
-       "(SELECT hottest_key FROM top) AS hottest_key FROM c"),
-    // exact counts recomputed; the sketch-accuracy claims are bounds
-    // (see scaladoc) stated as constants
-    "x74_kmv_overlap" ->
-      ("WITH j AS (SELECT DISTINCT l_partkey FROM lineitem " +
-       "WHERE month(l_shipdate) = 1), " +
-       "f AS (SELECT DISTINCT l_partkey FROM lineitem " +
-       "WHERE month(l_shipdate) = 2) " +
-       "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM j) AS n_jan, " +
-       "(SELECT CAST(COUNT(*) AS BIGINT) FROM f) AS n_feb, " +
-       "(SELECT CAST(COUNT(*) AS BIGINT) FROM j JOIN f USING (l_partkey)) " +
-       "AS n_both, TRUE AS union_est_ok, TRUE AS inter_est_ok"),
     // derived-claim oracle (x8's pattern): the greedy MMR trajectory is
     // not SQL-expressible; the claims are (see scaladoc)
     "x72_mmr_rerank" ->

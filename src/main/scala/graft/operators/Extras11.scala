@@ -86,46 +86,6 @@ object Extras11 {
       .orderBy(col("event_type"))
   }
 
-  /** X118 — referential-integrity audit (the pre-flight a warehouse
-    * runs before trusting joins): every declared FK edge of the star
-    * schema checked in one pass each — child rows whose key has no
-    * parent, counted via LEFT ANTI joins (never materializing the
-    * orphans, only their count). Dimension parents broadcast; the one
-    * big-big edge (lineitem→orders) shuffles on its key once. The
-    * emitted zeros are the CONTRACT: a generator bug or a bad
-    * partial-load would flip a row, and the oracle recomputes each
-    * count with NOT EXISTS. */
-  def x118RiAudit(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-    val o = Tables.orders(spark, sfDir)
-    val c = Tables.customer(spark, sfDir)
-    val su = Tables.supplier(spark, sfDir)
-    val n = Tables.nation(spark, sfDir)
-    val r = Tables.region(spark, sfDir)
-    val p = Tables.part(spark, sfDir)
-    // fully LAZY per-edge frames unioned into ONE action: the seven
-    // audits run as parallel stages of a single job instead of 14
-    // sequential driver-side counts (measured 7.7s -> the union form
-    // lets the scheduler overlap the scans)
-    def edge(name: String, child: DataFrame, fk: String,
-        parent: DataFrame, pk: String): DataFrame = {
-      val orphans = child.select(col(fk).as("k"))
-        .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-      child.agg(count(lit(1)).as("n_child")).crossJoin(orphans)
-        .select(lit(name).as("fk_edge"), col("n_child"),
-          col("n_orphans"), (col("n_orphans") === 0L).as("ri_ok"))
-    }
-    edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
-      .unionByName(edge("lineitem->part", li, "l_partkey", p, "p_partkey"))
-      .unionByName(edge("lineitem->supplier", li, "l_suppkey", su, "s_suppkey"))
-      .unionByName(edge("orders->customer", o, "o_custkey", c, "c_custkey"))
-      .unionByName(edge("customer->nation", c, "c_nationkey", n, "n_nationkey"))
-      .unionByName(edge("supplier->nation", su, "s_nationkey", n, "n_nationkey"))
-      .unionByName(edge("nation->region", n, "n_regionkey", r, "r_regionkey"))
-      .orderBy(col("fk_edge"))
-  }
-
   /** X119 — golden-record survivorship (the step AFTER entity
     * resolution that actually ships: x12's near-dup clusters collapsed
     * to one surviving record each by an explicit RULE — longest text
@@ -156,7 +116,6 @@ object Extras11 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x119_golden_record" -> (x119GoldenRecord _),
-    "x118_ri_audit" -> (x118RiAudit _),
     "x113_mv_retraction" -> (x113MvRetraction _),
     "x115_dp_counts" -> (x115DpCounts _))
 
@@ -175,27 +134,6 @@ object Extras11 {
        "SELECT cluster_rep, CAST(n_members AS BIGINT) AS n_members, " +
        "doc_id AS survivor_id, n_chars AS survivor_chars " +
        "FROM ranked WHERE rn = 1 AND n_members > 1 ORDER BY cluster_rep"),
-    // each FK edge recomputed with NOT EXISTS
-    "x118_ri_audit" -> {
-      def e(name: String, child: String, fk: String, parent: String,
-          pk: String): String =
-        s"SELECT '$name' AS fk_edge, " +
-        s"CAST((SELECT COUNT(*) FROM $child) AS BIGINT) AS n_child, " +
-        s"CAST((SELECT COUNT(*) FROM $child ch WHERE NOT EXISTS " +
-        s"(SELECT 1 FROM $parent pa WHERE pa.$pk = ch.$fk)) AS BIGINT) " +
-        "AS n_orphans, " +
-        s"(SELECT COUNT(*) FROM $child ch WHERE NOT EXISTS " +
-        s"(SELECT 1 FROM $parent pa WHERE pa.$pk = ch.$fk)) = 0 AS ri_ok"
-      Seq(
-        e("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
-        e("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
-        e("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
-        e("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
-        e("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
-        e("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
-        e("nation->region", "nation", "n_regionkey", "region", "r_regionkey"))
-        .mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY fk_edge")
-    },
     // same seeded inverse-CDF Laplace draw per released key
     "x115_dp_counts" ->
       ("WITH g AS (SELECT event_type, COUNT(*) AS n_true, " +

@@ -20,63 +20,6 @@ object Extras12 {
 
 
 
-  // ---------------------------------------------------------------- x138
-
-  /** X138 — pareto frontier (skyline; Börzsönyi ICDE'01): the customers
-    * no other customer dominates on (order count, total spend) — the
-    * "best tradeoff" shortlist every multi-objective report wants
-    * (catalog picks by price-vs-rating, model picks by cost-vs-quality).
-    * Dominance: q beats p when q is ≥ on both axes and > on at least
-    * one; equal points are mutually non-dominating, so every customer
-    * on a non-dominated point ships.
-    *
-    * Scale shape: the corpus is NEVER pairwise-compared. Skyline
-    * membership for 2-D reduces to per-x structure — a point survives
-    * iff its y is its x-group's max AND strictly exceeds every
-    * higher-x group's max — so the plan is one grouped aggregate to the
-    * distinct-x table (bounded by the x domain, order counts here),
-    * a prefix-max over THAT aggregate (spelled as a bounded theta
-    * join, not a single-partition window), and one equi-join back.
-    * The full-table NOT-EXISTS O(n²) form survives only as the oracle.
-    * Both axes are exact (an integer count and a raw stored MAX — were
-    * an axis a float SUM, "equal on one axis" would be summation-order
-    * dependent; use a DECIMAL total instead). For an unbounded x
-    * domain, equi-width bucket x first and refine inside the boundary
-    * bucket — same plan, one more level. */
-  def x138Pareto(spark: SparkSession, sfDir: String): DataFrame = {
-    // axes chosen for a REAL tradeoff: order count vs the customer's
-    // single largest order (count-vs-spend degenerates — the most
-    // frequent customer nearly always also has the top total, and the
-    // frontier collapses to one row at every SF). best_order is a raw
-    // MAX of stored values — no arithmetic, so dominance ties compare
-    // exactly in both engines with no decimal policy needed.
-    val pts = Tables.orders(spark, sfDir)
-      .groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("n_orders"),
-        max(col("o_totalprice")).as("best_order"))
-    paretoFrontier(pts, "n_orders", "best_order")
-      .select(col("o_custkey").cast("long").as("o_custkey"),
-        col("n_orders"), col("best_order"))
-      .orderBy(col("n_orders").desc, col("o_custkey"))
-  }
-
-  /** The 2-D maximize-both skyline core; exposed for the spec's brute
-    * cross-check. Keeps every input column of the surviving rows. */
-  def paretoFrontier(pts: DataFrame, x: String, y: String): DataFrame = {
-    val best = pts.groupBy(col(x)).agg(max(col(y)).as("__besty"))
-    val hi = best.select(col(x).as("__qx"), col("__besty").as("__qy"))
-    // prefix-max over the distinct-x aggregate: for each x, the best y
-    // among STRICTLY larger x (null when none) — a theta join of two
-    // aggregate-bounded frames, broadcastable by construction
-    val runmax = best.join(hi, col("__qx") > col(x), "left")
-      .groupBy(col(x), col("__besty"))
-      .agg(max(col("__qy")).as("__runmax"))
-    pts.join(runmax, Seq(x))
-      .filter(col(y) === col("__besty") &&
-        (col("__runmax").isNull || col(y) > col("__runmax")))
-      .drop("__besty", "__runmax")
-  }
-
   // ---------------------------------------------------------------- x139
 
   /** X139 — incremental maintenance of a JOIN-aggregate view under a
@@ -135,7 +78,6 @@ object Extras12 {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x138_pareto" -> (x138Pareto _),
     "x139_join_ivm" -> (x139JoinIvm _))
 
   val oracles: Map[String, String] = Map(
@@ -151,18 +93,5 @@ object Extras12 {
        "CAST(COUNT(*) AS BIGINT) AS n, " +
        "CAST(SUM(price) AS DOUBLE) AS total " +
        "FROM corrected JOIN customer ON o_custkey = c_custkey " +
-       "GROUP BY c_nationkey ORDER BY c_nationkey"),
-    // deliberately the textbook O(n²) NOT-EXISTS dominance predicate —
-    // a formulation with nothing in common with the prefix-max plan
-    "x138_pareto" ->
-      ("WITH p AS MATERIALIZED (SELECT o_custkey, " +
-       "CAST(COUNT(*) AS BIGINT) AS n_orders, " +
-       "CAST(MAX(o_totalprice) AS DOUBLE) AS best_order " +
-       "FROM orders GROUP BY o_custkey) " +
-       "SELECT CAST(o_custkey AS BIGINT) AS o_custkey, n_orders, " +
-       "best_order FROM p " +
-       "WHERE NOT EXISTS (SELECT 1 FROM p q " +
-       "WHERE q.n_orders >= p.n_orders AND q.best_order >= p.best_order " +
-       "AND (q.n_orders > p.n_orders OR q.best_order > p.best_order)) " +
-       "ORDER BY n_orders DESC, o_custkey"))
+       "GROUP BY c_nationkey ORDER BY c_nationkey"))
 }

@@ -169,69 +169,10 @@ object Extras13 {
       .limit(20)
   }
 
-  // ---------------------------------------------------------------- x145
-
-  private val DriftSplit = "1998-07-01"
-
-  /** X145 — column-profile drift between two eras of a table (orders
-    * before/after the corpus midpoint): row count, decimal-exact mean
-    * price, distinct priorities and customers, and the 'F'-status
-    * share, each with its relative drift — the schema-level data
-    * quality monitor (x125/x126 cover token and embedding drift; this
-    * is the profile grain a warehouse checks FIRST on a bad load).
-    *
-    * Plan: ONE scan, conditional aggregation into the two eras (no
-    * join, no second pass), then a domain-bounded unpivot to the
-    * (metric, early, late, rel_drift) long form. Means divide decimal
-    * sums by exact counts; drift is |late−early|/early, each a single
-    * rounded IEEE op. */
-  def x145ProfileDrift(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir)
-      .withColumn("early", col("o_orderdate") < lit(DriftSplit).cast("timestamp"))
-    def cnt(e: Boolean) = sum(when(col("early") === e, 1L).otherwise(0L))
-    def dsum(e: Boolean) = sum(when(col("early") === e,
-      col("o_totalprice").cast(DecimalType(18, 4))))
-    // conditional COUNT DISTINCT (null-skipping) — Catalyst plans the
-    // multi-distinct via Expand, the distributed form; never collect_set
-    def dcnt(e: Boolean, c: String) = countDistinct(
-      when(col("early") === e, col(c)))
-    def fcnt(e: Boolean) = sum(when(col("early") === e &&
-      col("o_orderstatus") === "F", 1L).otherwise(0L))
-    val agg = o.agg(
-      cnt(true).as("n_e"), cnt(false).as("n_l"),
-      dsum(true).as("p_e"), dsum(false).as("p_l"),
-      dcnt(true, "o_orderpriority").as("dp_e"),
-      dcnt(false, "o_orderpriority").as("dp_l"),
-      dcnt(true, "o_custkey").as("dc_e"), dcnt(false, "o_custkey").as("dc_l"),
-      fcnt(true).as("f_e"), fcnt(false).as("f_l"))
-    val prof = agg.select(
-      col("n_e").cast("double").as("rows_e"),
-      col("n_l").cast("double").as("rows_l"),
-      round(col("p_e").cast("double") / col("n_e"), 6).as("avg_e"),
-      round(col("p_l").cast("double") / col("n_l"), 6).as("avg_l"),
-      col("dp_e").cast("double").as("pri_e"),
-      col("dp_l").cast("double").as("pri_l"),
-      col("dc_e").cast("double").as("cust_e"),
-      col("dc_l").cast("double").as("cust_l"),
-      round(col("f_e").cast("double") / col("n_e"), 6).as("fsh_e"),
-      round(col("f_l").cast("double") / col("n_l"), 6).as("fsh_l"))
-    prof.selectExpr(
-      """stack(5,
-        'avg_totalprice', avg_e, avg_l,
-        'n_distinct_cust', cust_e, cust_l,
-        'n_distinct_priority', pri_e, pri_l,
-        'n_rows', rows_e, rows_l,
-        'share_status_F', fsh_e, fsh_l) AS (metric, early, late)""")
-      .withColumn("rel_drift",
-        round(abs(col("late") - col("early")) / col("early"), 6))
-      .orderBy(col("metric"))
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x142_assoc_rules" -> (x142AssocRules _),
     "x143_markov" -> (x143Markov _),
-    "x144_item_cf" -> (x144ItemCf _),
-    "x145_profile_drift" -> (x145ProfileDrift _))
+    "x144_item_cf" -> (x144ItemCf _))
 
 
   private val AssocSql: String =
@@ -298,47 +239,8 @@ object Extras13 {
     "JOIN itemn nbi ON nbi.item = p.part_b " +
     "ORDER BY sim DESC, part_a, part_b LIMIT 20"
 
-  private val DriftSql: String =
-    "WITH agg AS MATERIALIZED (SELECT " +
-    s"SUM(CASE WHEN o_orderdate < TIMESTAMP '$DriftSplit' THEN 1 ELSE 0 END) AS n_e, " +
-    s"SUM(CASE WHEN o_orderdate >= TIMESTAMP '$DriftSplit' THEN 1 ELSE 0 END) AS n_l, " +
-    s"SUM(CASE WHEN o_orderdate < TIMESTAMP '$DriftSplit' " +
-    "THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS p_e, " +
-    s"SUM(CASE WHEN o_orderdate >= TIMESTAMP '$DriftSplit' " +
-    "THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS p_l, " +
-    s"COUNT(DISTINCT CASE WHEN o_orderdate < TIMESTAMP '$DriftSplit' " +
-    "THEN o_orderpriority END) AS dp_e, " +
-    s"COUNT(DISTINCT CASE WHEN o_orderdate >= TIMESTAMP '$DriftSplit' " +
-    "THEN o_orderpriority END) AS dp_l, " +
-    s"COUNT(DISTINCT CASE WHEN o_orderdate < TIMESTAMP '$DriftSplit' " +
-    "THEN o_custkey END) AS dc_e, " +
-    s"COUNT(DISTINCT CASE WHEN o_orderdate >= TIMESTAMP '$DriftSplit' " +
-    "THEN o_custkey END) AS dc_l, " +
-    s"SUM(CASE WHEN o_orderdate < TIMESTAMP '$DriftSplit' " +
-    "AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_e, " +
-    s"SUM(CASE WHEN o_orderdate >= TIMESTAMP '$DriftSplit' " +
-    "AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_l " +
-    "FROM orders), " +
-    "prof AS (" +
-    "SELECT 'avg_totalprice' AS metric, " +
-    "round(CAST(p_e AS DOUBLE) / n_e, 6) AS early, " +
-    "round(CAST(p_l AS DOUBLE) / n_l, 6) AS late FROM agg " +
-    "UNION ALL SELECT 'n_distinct_cust', CAST(dc_e AS DOUBLE), " +
-    "CAST(dc_l AS DOUBLE) FROM agg " +
-    "UNION ALL SELECT 'n_distinct_priority', CAST(dp_e AS DOUBLE), " +
-    "CAST(dp_l AS DOUBLE) FROM agg " +
-    "UNION ALL SELECT 'n_rows', CAST(n_e AS DOUBLE), " +
-    "CAST(n_l AS DOUBLE) FROM agg " +
-    "UNION ALL SELECT 'share_status_F', " +
-    "round(CAST(f_e AS DOUBLE) / n_e, 6), " +
-    "round(CAST(f_l AS DOUBLE) / n_l, 6) FROM agg) " +
-    "SELECT metric, early, late, " +
-    "round(abs(late - early) / early, 6) AS rel_drift " +
-    "FROM prof ORDER BY metric"
-
   val oracles: Map[String, String] = Map(
     "x142_assoc_rules" -> AssocSql,
     "x143_markov" -> MarkovSql,
-    "x144_item_cf" -> ItemCfSql,
-    "x145_profile_drift" -> DriftSql)
+    "x144_item_cf" -> ItemCfSql)
 }

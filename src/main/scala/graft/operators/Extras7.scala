@@ -12,49 +12,6 @@ import graft.api.TextPipeline
   */
 object Extras7 {
 
-  /** X53 — data-quality gate (the Deequ/expectations pattern): constraint
-    * checks and column profiles computed as ONE aggregate pass over the
-    * fact table — every metric is an independent aggregate expression in
-    * the same `agg(...)`, so adding checks never adds scans — plus one
-    * LEFT ANTI join for the referential check (key columns only, the
-    * single unavoidable second touch). Emitted long-format
-    * (check, value) so downstream alerting diffs runs trivially.
-    * Constraint rows prove zero violations (the oracle recomputes each,
-    * so a planted violation WOULD surface); profile rows carry the
-    * non-vacuous corpus fingerprint. */
-  def x53DataQuality(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-    val o = Tables.orders(spark, sfDir)
-    val onePass = li.agg(
-      count(lit(1)).cast("double").as("n_rows"),
-      (count(lit(1)) -
-        countDistinct(col("l_orderkey"), col("l_linenumber")))
-        .cast("double").as("pk_dup"),
-      sum(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1L)
-        .otherwise(0L)).cast("double").as("discount_range_viol"),
-      sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
-        .otherwise(0L)).cast("double").as("returnflag_domain_viol"),
-      sum(when(col("l_quantity").isNull, 1L).otherwise(0L))
-        .cast("double").as("quantity_nulls"),
-      countDistinct(col("l_partkey")).cast("double").as("partkey_distinct"),
-      min(col("l_quantity")).cast("double").as("quantity_min"),
-      max(col("l_quantity")).cast("double").as("quantity_max"),
-      round(sum(col("l_discount").cast("decimal(18,6)")).cast("double")
-        / count(lit(1)), 6).as("discount_mean"))
-    val orphans = li.select(col("l_orderkey"))
-      .join(o.select(col("o_orderkey")),
-        col("l_orderkey") === col("o_orderkey"), "left_anti")
-      .agg(count(lit(1)).cast("double").as("fk_orphans"))
-    val report = onePass.crossJoin(orphans)
-    val checks = Seq("n_rows", "pk_dup", "discount_range_viol",
-      "returnflag_domain_viol", "quantity_nulls", "partkey_distinct",
-      "quantity_min", "quantity_max", "discount_mean", "fk_orphans")
-    report.select(explode(array(checks.map(c =>
-        struct(lit(c).as("chk"), col(c).as("value"))): _*)).as("kv"))
-      .select(col("kv.chk").as("chk"), col("kv.value").as("value"))
-      .orderBy(col("chk"))
-  }
-
   /** X54 — incremental aggregate maintenance (materialized-view upkeep,
     * the batch analog of a18's no-rescan rollup): per-(status, month)
     * order metrics maintained as a PERSISTED aggregate table plus a
@@ -110,40 +67,9 @@ object Extras7 {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x53_data_quality" -> (x53DataQuality _),
     "x54_incremental_agg" -> (x54IncrementalAgg _))
 
   val oracles: Map[String, String] = Map(
-    "x53_data_quality" ->
-      ("WITH one AS (SELECT " +
-       "CAST(COUNT(*) AS DOUBLE) AS n_rows, " +
-       "CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) " +
-       "AS DOUBLE) AS pk_dup, " +
-       "CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 1.0 " +
-       "THEN 1 ELSE 0 END) AS DOUBLE) AS discount_range_viol, " +
-       "CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') " +
-       "THEN 1 ELSE 0 END) AS DOUBLE) AS returnflag_domain_viol, " +
-       "CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) " +
-       "AS DOUBLE) AS quantity_nulls, " +
-       "CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS partkey_distinct, " +
-       "CAST(MIN(l_quantity) AS DOUBLE) AS quantity_min, " +
-       "CAST(MAX(l_quantity) AS DOUBLE) AS quantity_max, " +
-       "round(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) " +
-       "/ COUNT(*), 6) AS discount_mean FROM lineitem), " +
-       "orph AS (SELECT CAST(COUNT(*) AS DOUBLE) AS fk_orphans " +
-       "FROM lineitem WHERE l_orderkey NOT IN " +
-       "(SELECT o_orderkey FROM orders)) " +
-       "SELECT chk, value FROM (" +
-       "SELECT 'n_rows' AS chk, n_rows AS value FROM one UNION ALL " +
-       "SELECT 'pk_dup', pk_dup FROM one UNION ALL " +
-       "SELECT 'discount_range_viol', discount_range_viol FROM one UNION ALL " +
-       "SELECT 'returnflag_domain_viol', returnflag_domain_viol FROM one UNION ALL " +
-       "SELECT 'quantity_nulls', quantity_nulls FROM one UNION ALL " +
-       "SELECT 'partkey_distinct', partkey_distinct FROM one UNION ALL " +
-       "SELECT 'quantity_min', quantity_min FROM one UNION ALL " +
-       "SELECT 'quantity_max', quantity_max FROM one UNION ALL " +
-       "SELECT 'discount_mean', discount_mean FROM one UNION ALL " +
-       "SELECT 'fk_orphans', fk_orphans FROM orph) t ORDER BY chk"),
     // full recompute from scratch — the hash compare IS the
     // merged-equals-recomputed proof for the incremental path
     "x54_incremental_agg" ->

@@ -558,6 +558,125 @@ object StatsOps {
     "FROM g JOIN tot t ON t.segment = g.segment " +
     "GROUP BY g.segment ORDER BY g.segment"
 
+  // ---------------------------------------------------------------- x154
+
+  /** X154 — Kaplan–Meier survival curve (Kaplan & Meier JASA'58) of
+    * customer engagement lifetime: duration = weeks between a
+    * customer's first and last order, with customers still ordering in
+    * the final 90 days treated as CENSORED (their lifetime is only
+    * known to exceed the observed span) — the estimator every
+    * retention/churn analysis is built on, and the reason naive "avg
+    * lifetime" reads low. Output: one row per event week (d>0) with
+    * the risk set n, events d, censored c, the per-step factor
+    * (n−d)/n, and the running survival estimate.
+    *
+    * Scale + determinism: the per-customer reduce is one grouped
+    * aggregate; everything after lives on the week-domain frame
+    * (≤ ~350 rows). The risk set n_t = Σ_{s≥t}(d_s+c_s) is a
+    * broadcast theta-join over that aggregate — no window, no global
+    * sort. The survival product is the one iterative float: factors
+    * are single IEEE divisions rounded 8 dp, collected into ONE sorted
+    * array, and each prefix is folded with per-step
+    * round(acc·f, 10) — multiplication is IEEE-exact-rounded in both
+    * engines, so the whole trajectory is bitwise reproducible (the
+    * oracle folds the identical lambda via list_reduce). */
+  def x154SurvivalKm(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val mx = o.agg(max(col("o_orderdate")).as("mx"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("f"), max(col("o_orderdate")).as("l"))
+      .crossJoin(broadcast(mx))
+      .select(
+        floor(datediff(col("l").cast("date"), col("f").cast("date")) / 7)
+          .cast("long").as("wk"),
+        when(col("l") <= col("mx") - expr("INTERVAL 90 DAYS"), 1L)
+          .otherwise(0L).as("ev"))
+    graft.api.Analytics.kmSurvival(cust, "wk", "ev")
+      .withColumnRenamed("t", "week")
+  }
+
+  private val SurvivalSql: String =
+    "WITH pc AS MATERIALIZED (SELECT o_custkey, " +
+    "min(o_orderdate) AS f, max(o_orderdate) AS l FROM orders GROUP BY 1), " +
+    "mx AS (SELECT max(o_orderdate) AS mx FROM orders), " +
+    "cust AS (SELECT datediff('day', CAST(f AS DATE), CAST(l AS DATE)) // 7 " +
+    "AS wk, CASE WHEN l <= mx - INTERVAL 90 DAY THEN 1 ELSE 0 END AS ev " +
+    "FROM pc CROSS JOIN mx), " +
+    "wka AS MATERIALIZED (SELECT wk, SUM(ev) AS d, SUM(1 - ev) AS c " +
+    "FROM cust GROUP BY 1), " +
+    "ev AS MATERIALIZED (SELECT a.wk, " +
+    "CAST(a.d AS BIGINT) AS d, CAST(a.c AS BIGINT) AS c, " +
+    "CAST(SUM(b.d + b.c) AS BIGINT) AS n FROM wka a JOIN wka b " +
+    "ON b.wk >= a.wk GROUP BY 1, 2, 3), " +
+    "st AS MATERIALIZED (SELECT wk, n, d, c, " +
+    "round(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE), 8) AS factor " +
+    "FROM ev WHERE d > 0), " +
+    "fl AS (SELECT list(wk ORDER BY wk) AS ws, list(n ORDER BY wk) AS ns, " +
+    "list(d ORDER BY wk) AS ds, list(c ORDER BY wk) AS cs, " +
+    "list(factor ORDER BY wk) AS fs FROM st), " +
+    "ex AS (SELECT ws, ns, ds, cs, fs, " +
+    "unnest(range(len(fs))) AS g FROM fl) " +
+    "SELECT CAST(ws[g + 1] AS BIGINT) AS week, ns[g + 1] AS n_risk, " +
+    "ds[g + 1] AS d, cs[g + 1] AS c, fs[g + 1] AS factor, " +
+    "round(list_reduce(list_prepend(1.0, fs[1:g + 1]), " +
+    "(acc, f) -> round(acc * f, 10)), 10) AS survival " +
+    "FROM ex ORDER BY week"
+  /** X43 — per-language p05/p95 WINSORIZATION of the quality score (the
+    * outlier-clipping step before mixing/weighting a training corpus),
+    * with the exact interpolated quantiles computed by DECOMPOSITION
+    * instead of a per-group value buffer: Spark's exact `percentile`
+    * (a17/a9) holds every group's value multiset in its aggregation
+    * buffer — fine for bounded groups, a reducer-memory funnel when one
+    * language is 100 TB. Here the quantile comes from (lang, score)
+    * group counts (one scalable shuffle), a cumulative window over the
+    * aggregate-bounded distinct-score frame (the x31 machinery), and a
+    * rank→value inverse lookup: value at 0-based rank r is the score
+    * with c_lt ≤ r < c_le; p-quantile interpolates ranks k=⌊p(n−1)⌋ and
+    * k+1 with weight g = p(n−1)−k.
+    *
+    * Cross-engine exactness BY IDENTICAL ARITHMETIC: the oracle runs
+    * the SAME decomposition and the SAME (1−g)·lower + g·upper formula,
+    * so both engines execute identical IEEE ops on identical doubles —
+    * no dependence on percentile-implementation ulp (the a9 hazard);
+    * round(…, 4) is belt and braces. Bounds (5 rows) broadcast back;
+    * the clip itself is per-row math. */
+  def x43Winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        round(length(col("text")) / size(split(col("text"), " ")), 6)
+          .as("score"))
+    val perScore = scored.groupBy(col("lang"), col("score"))
+      .agg(count(lit(1)).as("n_at"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perScore.withColumn("c_le", sum(col("n_at")).over(wCum))
+      .withColumn("c_lt", col("c_le") - col("n_at"))
+    val totals = perScore.groupBy(col("lang")).agg(sum(col("n_at")).as("n"))
+    def quantile(p: Double, name: String): DataFrame = {
+      val idx = totals.select(col("lang"),
+          (lit(p) * (col("n") - 1).cast("double")).as("i"))
+        .select(col("lang"), floor(col("i")).cast("long").as("k"),
+          (col("i") - floor(col("i"))).as("g"))
+      val lower = cum.join(idx, "lang")
+        .filter(col("c_lt") <= col("k") && col("c_le") > col("k"))
+        .select(col("lang"), col("g"), col("score").as("lo_v"))
+      val upper = cum.join(idx, "lang")
+        .filter(col("c_lt") <= col("k") + 1 && col("c_le") > col("k") + 1)
+        .select(col("lang").as("lang2"), col("score").as("hi_v"))
+      // rank k+1 may not exist (single-value group, p=1): upper = lower
+      lower.join(upper, col("lang") === col("lang2"), "left")
+        .select(col("lang"), round((lit(1.0) - col("g")) * col("lo_v")
+          + col("g") * coalesce(col("hi_v"), col("lo_v")), 4).as(name))
+    }
+    val bounds = quantile(0.05, "lo").join(quantile(0.95, "hi"), "lang")
+    scored.join(broadcast(bounds), "lang")
+      .select(col("doc_id"), col("lang"), col("score"), col("lo"), col("hi"),
+        least(greatest(col("score"), col("lo")), col("hi")).as("clipped"),
+        (col("score") < col("lo") || col("score") > col("hi"))
+          .as("was_clipped"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x99_welch_ttest" -> (x99WelchTTest _),
     "x121_histogram" -> (x121Histogram _),
@@ -570,7 +689,9 @@ object StatsOps {
     "x146_acf" -> (x146Acf _),
     "x147_chi2" -> (x147Chi2 _),
     "x148_benford" -> (x148Benford _),
-    "x149_entropy" -> (x149Entropy _))
+    "x149_entropy" -> (x149Entropy _),
+    "x154_survival_km" -> (x154SurvivalKm _),
+    "x43_winsorize" -> (x43Winsorize _))
 
   val oracles: Map[String, String] = Map(
     // exact decimal moments; closed forms in identically-associated
@@ -764,5 +885,45 @@ object StatsOps {
     "x146_acf" -> AcfSql,
     "x147_chi2" -> Chi2Sql,
     "x148_benford" -> BenfordSql,
-    "x149_entropy" -> EntropySql)
+    "x149_entropy" -> EntropySql,
+    "x154_survival_km" -> SurvivalSql,
+    // the SAME decomposed-quantile arithmetic as the Spark side — both
+    // engines run identical IEEE ops ((1-g)*lo + g*hi over the same
+    // doubles), so no percentile-implementation ulp is in play.
+    // CASTs: DuckDB 0.05 is DECIMAL, windowed SUM is HUGEINT.
+    "x43_winsorize" ->
+      ("WITH s AS (SELECT doc_id, lang, " +
+       "round(length(text) / len(string_split(text, ' ')), 6) AS score " +
+       "FROM documents), " +
+       "ps AS (SELECT lang, score, COUNT(*) AS n_at FROM s GROUP BY lang, score), " +
+       "cc AS (SELECT lang, score, " +
+       "CAST(SUM(n_at) OVER (PARTITION BY lang ORDER BY score " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c_le, " +
+       "CAST(SUM(n_at) OVER (PARTITION BY lang ORDER BY score " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_at AS BIGINT) " +
+       "AS c_lt FROM ps), " +
+       "t AS (SELECT lang, CAST(SUM(n_at) AS BIGINT) AS n FROM ps GROUP BY lang), " +
+       "k05 AS (SELECT lang, CAST(FLOOR(i) AS BIGINT) AS k, i - FLOOR(i) AS g " +
+       "FROM (SELECT lang, CAST(0.05 AS DOUBLE) * CAST(n - 1 AS DOUBLE) AS i " +
+       "FROM t) z), " +
+       "lo05 AS (SELECT cc.lang, g, score AS lo_v FROM cc JOIN k05 USING (lang) " +
+       "WHERE c_lt <= k AND c_le > k), " +
+       "hi05 AS (SELECT cc.lang AS lang2, score AS hi_v FROM cc " +
+       "JOIN k05 USING (lang) WHERE c_lt <= k + 1 AND c_le > k + 1), " +
+       "q05 AS (SELECT lang, round((1 - g) * lo_v + g * COALESCE(hi_v, lo_v), 4) " +
+       "AS lo FROM lo05 LEFT JOIN hi05 ON lang = lang2), " +
+       "k95 AS (SELECT lang, CAST(FLOOR(i) AS BIGINT) AS k, i - FLOOR(i) AS g " +
+       "FROM (SELECT lang, CAST(0.95 AS DOUBLE) * CAST(n - 1 AS DOUBLE) AS i " +
+       "FROM t) z), " +
+       "lo95 AS (SELECT cc.lang, g, score AS lo_v FROM cc JOIN k95 USING (lang) " +
+       "WHERE c_lt <= k AND c_le > k), " +
+       "hi95 AS (SELECT cc.lang AS lang2, score AS hi_v FROM cc " +
+       "JOIN k95 USING (lang) WHERE c_lt <= k + 1 AND c_le > k + 1), " +
+       "q95 AS (SELECT lang, round((1 - g) * lo_v + g * COALESCE(hi_v, lo_v), 4) " +
+       "AS hi FROM lo95 LEFT JOIN hi95 ON lang = lang2), " +
+       "b AS (SELECT q05.lang, lo, hi FROM q05 JOIN q95 USING (lang)) " +
+       "SELECT doc_id, s.lang, score, lo, hi, " +
+       "LEAST(GREATEST(score, lo), hi) AS clipped, " +
+       "(score < lo OR score > hi) AS was_clipped " +
+       "FROM s JOIN b ON s.lang = b.lang ORDER BY doc_id"))
 }

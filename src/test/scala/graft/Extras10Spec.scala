@@ -135,24 +135,24 @@ class Extras10Spec extends SparkSpec {
   test("kmv: short sketches are exact; estimators are sane on a known " +
       "overlap") {
     import spark.implicits._
-    val a = Extras10.kmvSketch(
+    val a = graft.operators.AuditOps.kmvSketch(
       (1 to 50).toDF("k"), col("k"), 256)
-    val b = Extras10.kmvSketch(
+    val b = graft.operators.AuditOps.kmvSketch(
       (26 to 75).toDF("k"), col("k"), 256)
     assert(a.length == 50 && b.length == 50)
-    val (estU, estI) = Extras10.kmvEstimates(a, b, 256)
+    val (estU, estI) = graft.operators.AuditOps.kmvEstimates(a, b, 256)
     assert(estU == 75.0 && estI == 25.0) // short-sketch path is exact
   }
 
   test("x74: claims hold and the exact counts match a distinct-join " +
       "recompute") {
-    val r = Extras10.x74KmvOverlap(spark, sf).collect()(0)
+    val r = graft.operators.AuditOps.x74KmvOverlap(spark, sf).collect()(0)
     assert(r.getBoolean(3) && r.getBoolean(4))
     assert(r.getLong(2) <= math.min(r.getLong(0), r.getLong(1)))
   }
 
   test("x75: histogram masses add back up to the corpus") {
-    val rows = Extras10.x75ClusterHistogram(spark, sf).collect()
+    val rows = graft.operators.Dedup.x75ClusterHistogram(spark, sf).collect()
     assert(rows.map(_.getLong(2)).sum == Tables.documents(spark, sf).count())
     rows.foreach(r =>
       assert(r.getLong(2) == r.getLong(0) * r.getLong(1)))
@@ -160,7 +160,7 @@ class Extras10Spec extends SparkSpec {
   }
 
   test("x77: the reported hottest key really has the max count") {
-    val r = Extras10.x77SkewReport(spark, sf).collect()(0)
+    val r = graft.operators.AuditOps.x77SkewReport(spark, sf).collect()(0)
     val counts = Tables.lineitem(spark, sf)
       .groupBy(col("l_suppkey")).count().collect()
       .map(x => x.getLong(0) -> x.getLong(1))
@@ -171,7 +171,7 @@ class Extras10Spec extends SparkSpec {
   }
 
   test("x78: diff statuses partition both snapshots") {
-    val m = Extras10.x78SnapshotDiff(spark, sf).collect()
+    val m = graft.operators.AuditOps.x78SnapshotDiff(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val n = Tables.documents(spark, sf).count()
     // removed + changed + unchanged = old docs; added = appended copies
@@ -213,7 +213,7 @@ class Extras10Spec extends SparkSpec {
   }
 
   test("x87: the exact cardinality prediction matches the real join") {
-    val r = Extras10.x87JoinPreflight(spark, sf).collect()(0)
+    val r = graft.operators.AuditOps.x87JoinPreflight(spark, sf).collect()(0)
     val real = Tables.lineitem(spark, sf)
       .join(Tables.orders(spark, sf),
         col("l_orderkey") === col("o_orderkey")).count()
@@ -223,7 +223,7 @@ class Extras10Spec extends SparkSpec {
 
   test("x88: quotas sum to exactly N with no window operator in the " +
       "plan") {
-    val df = Extras10.x88QuotaApportionment(spark, sf)
+    val df = graft.operators.AuditOps.x88QuotaApportionment(spark, sf)
     val rows = df.collect()
     assert(rows.map(_.getLong(2)).sum == 1000L)
     val windows = flattenPlan(df.queryExecution.executedPlan).collect {

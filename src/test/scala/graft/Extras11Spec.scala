@@ -491,7 +491,7 @@ class Extras11Spec extends SparkSpec {
 
   test("x118: every declared FK edge of this corpus is orphan-free and " +
       "child counts match the tables") {
-    val got = Extras11.x118RiAudit(spark, sf).collect()
+    val got = graft.operators.AuditOps.x118RiAudit(spark, sf).collect()
     assert(got.length == 7)
     assert(got.forall(_.getBoolean(3)), "all edges must be ri_ok")
     assert(got.forall(_.getLong(2) == 0L))

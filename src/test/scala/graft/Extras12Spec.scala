@@ -461,7 +461,7 @@ class Extras12Spec extends SparkSpec {
     // share a non-dominated point (both must ship)
     val planted = Seq((1L, 3L, 10L), (2L, 3L, 9L), (3L, 5L, 7L),
       (4L, 4L, 7L), (5L, 2L, 12L), (6L, 5L, 7L)).toDF("id", "x", "y")
-    val got = Extras12.paretoFrontier(planted, "x", "y")
+    val got = graft.operators.AuditOps.paretoFrontier(planted, "x", "y")
       .select(col("id")).collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 3L, 5L, 6L), s"got $got")
     // random: seeded points vs the quadratic definition, in-memory
@@ -473,7 +473,7 @@ class Extras12Spec extends SparkSpec {
         qx >= x && qy >= y && (qx > x || qy > y)
       }
     }.map(_._1).toSet
-    val fast = Extras12.paretoFrontier(
+    val fast = graft.operators.AuditOps.paretoFrontier(
         pts.toDF("id", "x", "y"), "x", "y")
       .select(col("id")).collect().map(_.getLong(0)).toSet
     assert(fast == brute, s"fast $fast vs brute $brute")

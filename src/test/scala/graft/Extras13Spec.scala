@@ -119,7 +119,7 @@ class Extras13Spec extends SparkSpec {
 
   test("x145 profile drift: the n_rows metric row splits the table " +
       "exactly and rel_drift recomputes from its own columns") {
-    val rows = Extras13.x145ProfileDrift(spark, sf).collect()
+    val rows = graft.operators.AuditOps.x145ProfileDrift(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq ==
       Seq("avg_totalprice", "n_distinct_cust", "n_distinct_priority",
         "n_rows", "share_status_F"))

@@ -72,7 +72,7 @@ class Extras15Spec extends SparkSpec {
         Some((wk, n, d, c, f, surv))
       } else None
     }
-    val got = Extras15.x154SurvivalKm(spark, sf).collect()
+    val got = graft.operators.StatsOps.x154SurvivalKm(spark, sf).collect()
       .map(row => (row.getLong(0), row.getLong(1), row.getLong(2),
         row.getLong(3), row.getDouble(4), row.getDouble(5)))
     assert(got.toSeq == expect)
@@ -84,7 +84,7 @@ class Extras15Spec extends SparkSpec {
 
   test("x155 delta decomposition: volume+rate bridge per nation, TOTAL " +
       "row reconciles, shares sum to 1") {
-    val rows = Extras15.x155DeltaDecomp(spark, sf).collect()
+    val rows = graft.operators.AuditOps.x155DeltaDecomp(spark, sf).collect()
     val (tot, per) = rows.partition(_.getString(0) == "TOTAL")
     assert(tot.length == 1 && per.nonEmpty)
     val t = tot.head

@@ -141,7 +141,7 @@ class Extras5Spec extends SparkSpec {
   }
 
   test("x43: decomposed quantiles equal Spark's exact percentile; clip is consistent") {
-    val rows = Extras5.x43Winsorize(spark, sf).collect()
+    val rows = graft.operators.StatsOps.x43Winsorize(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
     // the decomposition must reproduce the buffered exact percentile
     // (the a17 baseline) bit-for-bit after the shared 4-dp round

@@ -283,7 +283,7 @@ class PropertySpec extends SparkSpec {
         }
         .toDF("doc_id", "lang", "text")
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      val out = graft.operators.Extras5.x43Winsorize(spark, dir).collect()
+      val out = graft.operators.StatsOps.x43Winsorize(spark, dir).collect()
       // driver-side reference: same (1-g)*lo + g*hi over the sorted
       // list, with Spark's HALF_UP rounding
       val scores = rows.zipWithIndex.map { case ((lang, len), _) =>
