@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.api.VectorPipeline
-import graft.operators.{EvalOps, EventOps, Extras11, Extras3, GraphOps, StatsOps}
+import graft.operators.{EvalOps, EventOps, Extras11, GraphOps, StatsOps}
 
 class Extras11Spec extends SparkSpec {
   import spark.implicits._
@@ -448,7 +448,7 @@ class Extras11Spec extends SparkSpec {
 
   test("x119: survivors obey the rule (longest text, lowest id) within " +
       "each cluster and single-member clusters are excluded") {
-    val got = graft.operators.Extras11.x119GoldenRecord(spark, sf).collect()
+    val got = graft.operators.WarehouseOps.x119GoldenRecord(spark, sf).collect()
     assert(got.nonEmpty)
     assert(got.forall(_.getLong(1) > 1), "only real merges listed")
     val clusters = graft.operators.Dedup.x12DedupClusters(spark, sf)
@@ -503,7 +503,7 @@ class Extras11Spec extends SparkSpec {
   test("x113: maintained MV equals recompute from the corrected set, " +
       "and a fully-deleted group is dropped") {
     // contract-scale equality against the direct recompute
-    val got = Extras11.x113MvRetraction(spark, sf).collect()
+    val got = graft.operators.WarehouseOps.x113MvRetraction(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
         (r.getLong(2), r.getDouble(3))).toMap
     val direct = Tables.orders(spark, sf)
@@ -530,7 +530,7 @@ class Extras11Spec extends SparkSpec {
       (3L, "A", ts, BigDecimal(40)))    // untouched
       .toDF("o_orderkey", "o_orderstatus", "month", "price")
       .withColumn("price", col("price").cast(Det.Money))
-    val m = Extras11.maintainMv(planted).collect()
+    val m = graft.operators.WarehouseOps.maintainMv(planted).collect()
       .map(r => r.getString(0) -> (r.getLong(2), r.getAs[java.math.BigDecimal](3).doubleValue)).toMap
     assert(!m.contains("Z"), "group with all rows retracted must drop")
     assert(m("A") == ((2L, 170.0)))

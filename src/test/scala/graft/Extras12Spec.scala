@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Clustering, CurationOps, Dml, Extras12, GraphOps}
+import graft.operators.{Clustering, CurationOps, Dml, GraphOps}
 
 class Extras12Spec extends SparkSpec {
   import spark.implicits._
@@ -491,7 +491,7 @@ class Extras12Spec extends SparkSpec {
         col("p").cast(Det.Money).as("price"))
     val dim = Seq((10L, 1), (20L, 2), (21L, 2), (22L, 3))
       .toDF("c_custkey", "c_nationkey")
-    val mv = Extras12.maintainJoinAggMv(facts, dim).collect()
+    val mv = graft.operators.WarehouseOps.maintainJoinAggMv(facts, dim).collect()
       .map(r => r.getInt(0) -> (r.getLong(1),
         r.getDecimal(2).doubleValue)).toMap
     assert(mv == Map(2 -> (2L, 260.0)), s"got $mv")

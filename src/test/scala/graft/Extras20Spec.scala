@@ -31,7 +31,7 @@ class Extras20Spec extends SparkSpec {
   test("x173: incremental SemDeDup equals the brute trained-assign + " +
       "same-cluster probe-vs-corpus recompute; probes never pair with " +
       "probes, the corpus is never self-paired") {
-    import graft.operators.{Extras5, Extras12}
+    import graft.operators.Extras5
     val out = CurationOps.x173SemDedupIncr(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // shape contract: every pair is (probe, corpus-original)
@@ -100,7 +100,7 @@ class Extras20Spec extends SparkSpec {
   test("x175: D4 pruning operates exactly on x172's kept set, ranks " +
       "are a per-cluster permutation, and the pruned rows are exactly " +
       "ranks 1..floor(0.2n)") {
-    import graft.operators.Extras12
+
     val sem = CurationOps.x172SemDedup(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     val keptIds = sem.collect { case (id, (_, true)) => id }.toSet
@@ -231,7 +231,7 @@ class Extras20Spec extends SparkSpec {
       "as data (and recovered by the top-2 multi-probe), and the " +
       "corpus guard row equals an independent pair classification") {
     import spark.implicits._
-    import graft.operators.{Extras5, Extras12}
+    import graft.operators.Extras5
     // two blobs; seeds (the 2 lowest ids) land one per blob; ids 5/6
     // are a near-dup pair (dot 0.9936) riding the blob boundary so
     // k-means splits them — the pair the grouped machinery documentedly

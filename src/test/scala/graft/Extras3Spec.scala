@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Extras3, SimSearch}
+import graft.operators.SimSearch
 
 class Extras3Spec extends SparkSpec {
 
@@ -123,7 +123,7 @@ class Extras3Spec extends SparkSpec {
 
   test("x15 latest-by-key equals window-based last record") {
     import org.apache.spark.sql.expressions.Window
-    val viaAgg = Extras3.x15LatestByKey(spark, sf)
+    val viaAgg = graft.operators.WarehouseOps.x15LatestByKey(spark, sf)
       .select("user_id", "last_type", "last_value")
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
@@ -189,7 +189,7 @@ class Extras3Spec extends SparkSpec {
     val snap = Tables.customer(spark, sf)
       .select(col("c_custkey"), col("c_acctbal")).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val rows = Extras3.x30ApplyCdc(spark, sf).collect()
+    val rows = graft.operators.WarehouseOps.x30ApplyCdc(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
     snap.foreach { case (k, bal) =>
       k % 10 match {
@@ -208,7 +208,7 @@ class Extras3Spec extends SparkSpec {
   }
 
   test("x25 scd2: ranges tile each user's timeline and runs reconstruct the stream") {
-    val ranges = Extras3.x25Scd2(spark, sf).collect()
+    val ranges = graft.operators.WarehouseOps.x25Scd2(spark, sf).collect()
     val events = Tables.eventsUs(spark, sf)
       .select("user_id", "ts", "event_id", "event_type").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
