@@ -21,12 +21,9 @@ object SparkEntry {
       Windows.queries ++ Scalars.queries ++ TextOps.queries ++
       Dedup.queries ++ SimSearch.queries ++ Multimodal.queries ++
       ScaleOps.queries ++
-      Extras4.queries ++ Extras5.queries ++
-      Extras8.queries ++ Extras9.queries ++
-      Extras10.queries ++ Extras11.queries ++
-      Extras13.queries ++ Extras15.queries ++ Extras16.queries ++ SqlSurface.queries ++
+      SqlSurface.queries ++
       GraphOps.queries ++ Dml.queries ++ Clustering.queries ++
-      AuditOps.queries ++ WarehouseOps.queries ++ CurationOps.queries ++ StorageOps.queries ++ StatsOps.queries ++ EvalOps.queries ++ EventOps.queries ++ TextIndexOps.queries ++ EmbedOps.queries ++ PipelineOps.queries ++
+      AuditOps.queries ++ BasketOps.queries ++ WarehouseOps.queries ++ CurationOps.queries ++ StorageOps.queries ++ StatsOps.queries ++ EvalOps.queries ++ EventOps.queries ++ TextIndexOps.queries ++ EmbedOps.queries ++ PipelineOps.queries ++ PrivacyOps.queries ++
       Subqueries.queries ++ graft.streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,11 +33,8 @@ object SparkEntry {
       Windows.oracles ++ Scalars.oracles ++ TextOps.oracles ++
       Dedup.oracles ++ SimSearch.oracles ++ Multimodal.oracles ++
       ScaleOps.oracles ++
-      Extras4.oracles ++ Extras5.oracles ++
-      Extras8.oracles ++ Extras9.oracles ++
-      Extras10.oracles ++ Extras11.oracles ++
-      Extras13.oracles ++ Extras15.oracles ++ Extras16.oracles ++ SqlSurface.oracles ++
+      SqlSurface.oracles ++
       GraphOps.oracles ++ Dml.oracles ++ Clustering.oracles ++
-      AuditOps.oracles ++ WarehouseOps.oracles ++ CurationOps.oracles ++ StorageOps.oracles ++ StatsOps.oracles ++ EvalOps.oracles ++ EventOps.oracles ++ TextIndexOps.oracles ++ EmbedOps.oracles ++ PipelineOps.oracles ++
+      AuditOps.oracles ++ BasketOps.oracles ++ WarehouseOps.oracles ++ CurationOps.oracles ++ StorageOps.oracles ++ StatsOps.oracles ++ EvalOps.oracles ++ EventOps.oracles ++ TextIndexOps.oracles ++ EmbedOps.oracles ++ PipelineOps.oracles ++ PrivacyOps.oracles ++
       Subqueries.oracles ++ graft.streaming.Streams.oracles
 }

@@ -178,7 +178,7 @@ object ApiDemo {
 
     // co-occurrence pairs with the hot-basket guard
     println("basket co-occurrence (cap excludes no basket here):")
-    graft.operators.Extras9.coOccurrencePairs(
+    graft.operators.BasketOps.coOccurrencePairs(
         Seq(("b1", "x"), ("b1", "y"), ("b2", "x"), ("b2", "y"), ("b2", "z"))
           .toDF("basket", "item"), basketCap = 50, minBaskets = 2L)
       .orderBy("part_a").show(false)

@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import graft.{Det, Tables}
 import graft.api.VectorPipeline
 
 /** Similarity search over the embeddings table — SURVEY §2.8 L3 plus the
@@ -191,13 +192,108 @@ object SimSearch {
       SimSearch.l3TopKCosine(spark, sfDir), x14LshAnnRaw(spark, sfDir),
       k = 5, recallBound = None, simRatioBound = 0.5)
 
+  /** X67 — diversified top-k retrieval (label-quota form of
+    * Carbonell/Goldstein's MMR): per probe, the top-5 cosine neighbors
+    * subject to AT MOST 2 RESULTS PER LABEL — the "don't return five
+    * copies of the same source" rule every retrieval endpoint applies.
+    * Two bounded row_number windows (per (probe,label), then per
+    * probe); Spark 4's WindowGroupLimit bounds both map-side. At scale
+    * the candidate set is an ANN shortlist (x8/x51/x52) — per-probe
+    * work stays O(shortlist); here candidates are exact brute force so
+    * the oracle recomputes every similarity. */
+  def x67DiversifiedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val cand = emb
+      .select(col("vec_id").as("neighbor_id"), col("label"), col("embedding"))
+      .join(broadcast(probes), col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"), col("label"),
+        SimSearch.dot6(col("pe"), col("embedding")).as("sim"))
+    val wl = Window.partitionBy(col("probe_id"), col("label"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val wp = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.withColumn("rnl", row_number().over(wl))
+      .filter(col("rnl") <= 2)
+      .withColumn("rank", row_number().over(wp).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        col("label"), col("sim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+  /** X72 — MMR diversified re-rank
+    * ([[graft.api.VectorPipeline.mmrRerank]], λ=0.5, k=5 over the
+    * exact top-20 shortlist): the redundancy-penalized re-ranker a
+    * retrieval endpoint runs after ANN shortlisting. The greedy
+    * trajectory is not SQL-expressible, so the contract row emits the
+    * verifiable claims (x8's derived-claim pattern): every probe
+    * returns k results drawn FROM its shortlist, the first pick equals
+    * the relevance argmax (the MMR theorem), and the selected set's
+    * mean pairwise similarity does not exceed the plain top-5's
+    * (diversity really improved — measured, not assumed; the pairwise
+    * panels are bounded by probes × C(k,2), never corpus size). */
+  def x72MmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.api.VectorPipeline
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") < 10)
+    val short = VectorPipeline
+      .topKCosine(emb, probes, "vec_id", "embedding", 20)
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("vec")), "neighbor_id")
+      .localCheckpoint(true)
+    val mmr = VectorPipeline
+      .mmrRerank(short.select(col("probe_id"), col("neighbor_id"),
+        col("sim"), col("vec")), 0.5, 5)
+      .localCheckpoint(true)
+    def pairMeanSim(sel: DataFrame): DataFrame = {
+      val v = emb.select(col("vec_id"), col("embedding"))
+      val a = sel.join(v, sel("neighbor_id") === v("vec_id"))
+        .select(col("probe_id"), col("neighbor_id").as("ida"),
+          col("embedding").as("va"))
+      val b = sel.join(v, sel("neighbor_id") === v("vec_id"))
+        .select(col("probe_id").as("pb"), col("neighbor_id").as("idb"),
+          col("embedding").as("vb"))
+      // deterministic mean (ADVICE r7): the 6-dp sims sum EXACTLY in
+      // DECIMAL(18,6) regardless of partial-aggregation order, so the
+      // diversity_ok <= compare below can never flip across partitionings
+      // the way a bare avg() over IEEE doubles could
+      a.join(b, col("probe_id") === col("pb") && col("ida") < col("idb"))
+        .agg((sum(SimSearch.dot6(col("va"), col("vb")).cast(Det.Money6))
+          .cast("double") / count(lit(1))).as("mean_sim"))
+    }
+    val mmrMean = pairMeanSim(mmr.select(col("probe_id"), col("neighbor_id")))
+      .withColumnRenamed("mean_sim", "mmr_mean")
+    val topMean = pairMeanSim(short.filter(col("rank") <= 5)
+      .select(col("probe_id"), col("neighbor_id")))
+      .withColumnRenamed("mean_sim", "top_mean")
+    val top1 = mmr.filter(col("sel_rank") === 1)
+      .select(col("probe_id"), col("neighbor_id").as("mmr_top1"))
+      .join(short.filter(col("rank") === 1)
+        .select(col("probe_id"), col("neighbor_id").as("rel_top1")),
+        "probe_id")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("mmr_top1") === col("rel_top1"), 1L).otherwise(0L))
+          .as("n_top1_match"))
+    val escaped = mmr.join(short,
+      Seq("probe_id", "neighbor_id"), "left_anti")
+      .agg(count(lit(1)).as("n_escaped"))
+    top1.crossJoin(escaped).crossJoin(mmrMean).crossJoin(topMean)
+      .select(col("n_probes"), lit(5L).as("k"),
+        (col("n_top1_match") === col("n_probes")).as("top1_ok"),
+        (col("n_escaped") === 0L).as("subset_ok"),
+        (col("mmr_mean") <= col("top_mean")).as("diversity_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l3_topk_cosine" -> (l3TopKCosine _),
     "x2_cosine_neardup" -> (x2CosineNearDup _),
     "x8_ivf_ann" -> (x8IvfAnn _),
     "x51_pq_ann" -> (x51PqAnn _),
     "x52_pq_rerank" -> (x52PqRerank _),
-    "x14_lsh_ann" -> (x14LshAnn _))
+    "x14_lsh_ann" -> (x14LshAnn _),
+    "x67_diversified_topk" -> (x67DiversifiedTopK _),
+    "x72_mmr_rerank" -> (x72MmrRerank _))
 
   val oracles: Map[String, String] = Map(
     "l3_topk_cosine" ->
@@ -231,5 +327,26 @@ object SimSearch {
        "TRUE AS simratio_ok, TRUE AS recall_ok"),
     "x14_lsh_ann" ->
       ("SELECT CAST(10 AS BIGINT) AS n_probes, CAST(5 AS BIGINT) AS k, " +
-       "TRUE AS simratio_ok"))
+       "TRUE AS simratio_ok"),
+    "x67_diversified_topk" ->
+      ("WITH p AS (SELECT vec_id AS probe_id, embedding AS pe " +
+       "FROM embeddings WHERE vec_id < 10), " +
+       "dots AS (SELECT probe_id, e.vec_id AS neighbor_id, " +
+       "CAST(e.label AS INT) AS label, " +
+       "round(SUM(CAST(pe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 6) " +
+       "AS sim FROM p, embeddings e, range(1, 65) r(i) " +
+       "WHERE e.vec_id <> probe_id GROUP BY probe_id, e.vec_id, e.label), " +
+       "capped AS (SELECT *, row_number() OVER (PARTITION BY probe_id, label " +
+       "ORDER BY sim DESC, neighbor_id) AS rnl FROM dots), " +
+       "ranked AS (SELECT probe_id, neighbor_id, label, sim, " +
+       "CAST(row_number() OVER (PARTITION BY probe_id " +
+       "ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank " +
+       "FROM capped WHERE rnl <= 2) " +
+       "SELECT probe_id, rank, neighbor_id, label, sim FROM ranked " +
+       "WHERE rank <= 5 ORDER BY probe_id, rank"),
+    // derived-claim oracle (x8's pattern): the greedy MMR trajectory is
+    // not SQL-expressible; the claims are (see scaladoc)
+    "x72_mmr_rerank" ->
+      ("SELECT CAST(10 AS BIGINT) AS n_probes, CAST(5 AS BIGINT) AS k, " +
+       "TRUE AS top1_ok, TRUE AS subset_ok, TRUE AS diversity_ok"))
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{EvalOps, EventOps, Extras10, SqlSurface, StatsOps}
+import graft.operators.{EvalOps, EventOps, SqlSurface, StatsOps}
 
 class Extras10Spec extends SparkSpec {
 
@@ -126,7 +126,7 @@ class Extras10Spec extends SparkSpec {
   }
 
   test("x72: claims row is all-true") {
-    val r = Extras10.x72MmrRerank(spark, sf).collect()(0)
+    val r = graft.operators.SimSearch.x72MmrRerank(spark, sf).collect()(0)
     assert(r.getLong(0) == 10L && r.getLong(1) == 5L)
     assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4),
       s"claims: $r")
@@ -205,7 +205,7 @@ class Extras10Spec extends SparkSpec {
   }
 
   test("x85: risk masses are consistent and bounded by the corpus") {
-    val r = Extras10.x85KAnonymity(spark, sf).collect()(0)
+    val r = graft.operators.PrivacyOps.x85KAnonymity(spark, sf).collect()(0)
     val n = Tables.customer(spark, sf).count()
     assert(r.getLong(1) == n)
     assert(r.getLong(3) <= n && r.getLong(2) <= r.getLong(0))

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.api.VectorPipeline
-import graft.operators.{EvalOps, EventOps, Extras11, GraphOps, StatsOps}
+import graft.operators.{EvalOps, EventOps, GraphOps, StatsOps}
 
 class Extras11Spec extends SparkSpec {
   import spark.implicits._
@@ -91,8 +91,8 @@ class Extras11Spec extends SparkSpec {
 
   test("x115: seeded Laplace noise is reproducible and matches the " +
       "inverse-CDF formula") {
-    val a = Extras11.x115DpCounts(spark, sf).collect()
-    val b = Extras11.x115DpCounts(spark, sf).collect()
+    val a = graft.operators.PrivacyOps.x115DpCounts(spark, sf).collect()
+    val b = graft.operators.PrivacyOps.x115DpCounts(spark, sf).collect()
     assert(a.toSeq == b.toSeq && a.nonEmpty)
     a.foreach { r =>
       val key = r.getString(0)

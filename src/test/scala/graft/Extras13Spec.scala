@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Extras13, GraphOps}
+import graft.operators.GraphOps
 
 class Extras13Spec extends SparkSpec {
   import spark.implicits._
@@ -77,7 +77,7 @@ class Extras13Spec extends SparkSpec {
 
   test("x142 assoc rules: every emitted ratio recomputes from its own " +
       "count columns, both rule directions appear, ordering is by lift") {
-    val rows = Extras13.x142AssocRules(spark, sf).collect()
+    val rows = graft.operators.BasketOps.x142AssocRules(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { row =>
       val (nb, na, nc) = (row.getLong(2), row.getLong(3), row.getLong(4))
@@ -90,7 +90,7 @@ class Extras13Spec extends SparkSpec {
 
   test("x143 markov: probabilities are exact row shares and each " +
       "from-state's transitions sum to its outgoing total") {
-    val rows = Extras13.x143Markov(spark, sf).collect()
+    val rows = graft.operators.BasketOps.x143Markov(spark, sf).collect()
     val byFrom = rows.groupBy(_.getString(0))
     byFrom.foreach { case (_, rs) =>
       val total = rs.map(_.getLong(2)).sum
@@ -105,7 +105,7 @@ class Extras13Spec extends SparkSpec {
 
   test("x144 item-cf: sim recomputes as n_both / sqrt(n_a*n_b), pairs " +
       "are canonical, ordering is by sim") {
-    val rows = Extras13.x144ItemCf(spark, sf).collect()
+    val rows = graft.operators.BasketOps.x144ItemCf(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { row =>
       assert(row.getLong(0) < row.getLong(1))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{EvalOps, Extras11, SimSearch, StatsOps}
+import graft.operators.{EvalOps, SimSearch, StatsOps}
 
 class Extras14Spec extends SparkSpec {
   import spark.implicits._

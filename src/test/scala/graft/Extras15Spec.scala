@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{EvalOps, Extras15}
+import graft.operators.EvalOps
 
 class Extras15Spec extends SparkSpec {
 
@@ -105,7 +105,7 @@ class Extras15Spec extends SparkSpec {
 
   test("x156 l-diversity: totals reconcile to the customer table and " +
       "every group sees at least one nation") {
-    val rows = Extras15.x156LDiversity(spark, sf).collect()
+    val rows = graft.operators.PrivacyOps.x156LDiversity(spark, sf).collect()
     val (tot, hist) = rows.partition(_.getLong(0) == -1L)
     assert(tot.length == 1 && hist.nonEmpty)
     assert(hist.forall(_.getLong(0) >= 1))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{EvalOps, EventOps, Extras16}
+import graft.operators.{EvalOps, EventOps}
 
 class Extras16Spec extends SparkSpec {
 
@@ -88,7 +88,7 @@ class Extras16Spec extends SparkSpec {
     val expect = counts.toSeq.filter(_._2 >= 2)
       .sortBy { case ((a, b, c), s) => (-s, a, b, c) }.take(20)
       .map { case ((a, b, c), s) => (a, b, c, s) }
-    val got = Extras16.x160Apriori3(spark, sf).collect()
+    val got = graft.operators.BasketOps.x160Apriori3(spark, sf).collect()
       .map(row => (row.getLong(0), row.getLong(1), row.getLong(2),
         row.getLong(3)))
     assert(got.toSeq == expect)

@@ -31,7 +31,7 @@ class Extras20Spec extends SparkSpec {
   test("x173: incremental SemDeDup equals the brute trained-assign + " +
       "same-cluster probe-vs-corpus recompute; probes never pair with " +
       "probes, the corpus is never self-paired") {
-    import graft.operators.Extras5
+
     val out = CurationOps.x173SemDedupIncr(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // shape contract: every pair is (probe, corpus-original)
@@ -132,7 +132,7 @@ class Extras20Spec extends SparkSpec {
   test("st26: streaming semantic dedup equals the batch x173 " +
       "complement exactly, and the replay really ran multiple " +
       "micro-batches") {
-    import graft.operators.Extras5
+
     val kept = graft.streaming.Streams.st26StreamSemDedup(spark, sf)
       .collect().map(_.getLong(0)).toSet
     val matched = CurationOps.x173SemDedupIncr(spark, sf)
@@ -231,7 +231,7 @@ class Extras20Spec extends SparkSpec {
       "as data (and recovered by the top-2 multi-probe), and the " +
       "corpus guard row equals an independent pair classification") {
     import spark.implicits._
-    import graft.operators.Extras5
+
     // two blobs; seeds (the 2 lowest ids) land one per blob; ids 5/6
     // are a near-dup pair (dot 0.9936) riding the blob boundary so
     // k-means splits them — the pair the grouped machinery documentedly

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Extras4
+
 
 class Extras4Spec extends SparkSpec {
   import spark.implicits._

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.api.{TextPipeline, VocabTokenizer, WhitespaceTokenizer}
-import graft.operators.{EventOps, Extras5}
+import graft.operators.EventOps
 
 class Extras5Spec extends SparkSpec {
   import spark.implicits._

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.api.VectorPipeline
-import graft.operators.{Extras5, SqlSurface}
+import graft.operators.SqlSurface
 
 class Extras6Spec extends SparkSpec {
   import spark.implicits._

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Extras8}
+import graft.operators.Dedup
 
 class Extras8Spec extends SparkSpec {
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.joins.CartesianProductExec
 import org.apache.spark.sql.functions._
-import graft.operators.{EventOps, Extras9, SqlSurface}
+import graft.operators.{EventOps, SqlSurface}
 
 class Extras9Spec extends SparkSpec {
 
@@ -61,7 +61,7 @@ class Extras9Spec extends SparkSpec {
 
   test("x67: label quota holds — no probe returns more than 2 results " +
       "of one label, and each probe returns exactly 5") {
-    val rows = Extras9.x67DiversifiedTopK(spark, sf).collect()
+    val rows = graft.operators.SimSearch.x67DiversifiedTopK(spark, sf).collect()
     val byProbe = rows.groupBy(_.getLong(0))
     assert(byProbe.size == 10)
     byProbe.foreach { case (p, rs) =>
@@ -74,7 +74,7 @@ class Extras9Spec extends SparkSpec {
 
   test("x67: diversification only ever swaps lower-ranked results — " +
       "the top result per probe equals the undiversified top-1") {
-    val div = Extras9.x67DiversifiedTopK(spark, sf)
+    val div = graft.operators.SimSearch.x67DiversifiedTopK(spark, sf)
       .filter(col("rank") === 1)
       .select(col("probe_id"), col("neighbor_id")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -87,7 +87,7 @@ class Extras9Spec extends SparkSpec {
 
   test("x71: AQE reuses the self-join's distinct/guard exchanges — the " +
       "expensive shuffles compute once for both sides") {
-    val df = Extras9.x71CoPurchase(spark, sf)
+    val df = graft.operators.BasketOps.x71CoPurchase(spark, sf)
     df.collect()
     val reused = flattenPlan(df.queryExecution.executedPlan).collect {
       case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
@@ -100,7 +100,7 @@ class Extras9Spec extends SparkSpec {
     import spark.implicits._
     val hot = (1 to 60).map(i => ("big", s"item$i"))
     val small = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
-    val out = Extras9.coOccurrencePairs(
+    val out = graft.operators.BasketOps.coOccurrencePairs(
       (hot ++ small).toDF("basket", "item"), basketCap = 50,
       minBaskets = 1L).collect()
     assert(out.length == 1, s"only the small baskets' (x,y) pair: $out")

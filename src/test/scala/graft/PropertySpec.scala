@@ -470,7 +470,7 @@ class PropertySpec extends SparkSpec {
     check(Prop.forAll(gen) { rows =>
       val df = rows.map { case (b, i) => (s"b$b", s"i$i") }
         .toDF("basket", "item")
-      val got = graft.operators.Extras9
+      val got = graft.operators.BasketOps
         .coOccurrencePairs(df, basketCap = 4, minBaskets = 1L)
         .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
         .toMap
