@@ -179,4 +179,58 @@ class PlanLintSpec extends SparkSpec {
     val orphan = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphan.isEmpty, s"oracles without queries: $orphan")
   }
+
+  test("module registries are pairwise key-disjoint — a duplicate key " +
+      "across theme modules would silently shadow an operator in the " +
+      "Map ++ concatenation") {
+    import graft.operators._
+    val modules: Seq[(String, Map[String, _], Map[String, String])] = Seq(
+      ("Core", Core.queries, Core.oracles),
+      ("Aggs", Aggs.queries, Aggs.oracles),
+      ("Joins", Joins.queries, Joins.oracles),
+      ("SetOps", SetOps.queries, SetOps.oracles),
+      ("Windows", Windows.queries, Windows.oracles),
+      ("Scalars", Scalars.queries, Scalars.oracles),
+      ("TextOps", TextOps.queries, TextOps.oracles),
+      ("Dedup", Dedup.queries, Dedup.oracles),
+      ("SimSearch", SimSearch.queries, SimSearch.oracles),
+      ("Multimodal", Multimodal.queries, Multimodal.oracles),
+      ("ScaleOps", ScaleOps.queries, ScaleOps.oracles),
+      ("SqlSurface", SqlSurface.queries, SqlSurface.oracles),
+      ("GraphOps", GraphOps.queries, GraphOps.oracles),
+      ("Dml", Dml.queries, Dml.oracles),
+      ("Clustering", Clustering.queries, Clustering.oracles),
+      ("AuditOps", AuditOps.queries, AuditOps.oracles),
+      ("BasketOps", BasketOps.queries, BasketOps.oracles),
+      ("WarehouseOps", WarehouseOps.queries, WarehouseOps.oracles),
+      ("CurationOps", CurationOps.queries, CurationOps.oracles),
+      ("StorageOps", StorageOps.queries, StorageOps.oracles),
+      ("StatsOps", StatsOps.queries, StatsOps.oracles),
+      ("EvalOps", EvalOps.queries, EvalOps.oracles),
+      ("EventOps", EventOps.queries, EventOps.oracles),
+      ("TextIndexOps", TextIndexOps.queries, TextIndexOps.oracles),
+      ("EmbedOps", EmbedOps.queries, EmbedOps.oracles),
+      ("PipelineOps", PipelineOps.queries, PipelineOps.oracles),
+      ("PrivacyOps", PrivacyOps.queries, PrivacyOps.oracles),
+      ("Subqueries", Subqueries.queries, Subqueries.oracles),
+      ("Streams", graft.streaming.Streams.queries,
+        graft.streaming.Streams.oracles))
+    def checkDisjoint(kind: String, maps: Seq[(String, Set[String])]): Unit = {
+      val owners = scala.collection.mutable.Map.empty[String, String]
+      maps.foreach { case (mod, keys) =>
+        keys.foreach { k =>
+          owners.get(k).foreach { prev =>
+            fail(s"$kind key '$k' declared by both $prev and $mod") }
+          owners(k) = mod
+        }
+      }
+    }
+    checkDisjoint("queries", modules.map { case (m, q, _) => (m, q.keySet) })
+    checkDisjoint("oracles", modules.map { case (m, _, o) => (m, o.keySet) })
+    // and the concatenation in SparkEntry loses nothing
+    val declared = modules.map(_._2.size).sum
+    assert(SparkEntry.queries.size == declared,
+      s"SparkEntry.queries has ${SparkEntry.queries.size} keys but the " +
+        s"modules declare $declared — a module is missing from the ++ chain")
+  }
 }
