@@ -246,4 +246,47 @@ object Analytics {
         count(lit(1)).as("n_ticks"),
         sum(col(valueCol).cast(graft.Det.Money)).cast("double").as("vsum"))
       .orderBy(col("bucket"))
+
+  /** Key-skew report over any frame: key cardinality, max and median
+    * per-key count, their ratio, and the hottest key — the one-line
+    * answer to "will this key explode my shuffle?" before a groupBy or
+    * join is paid at scale. Two grouped aggregates (map-side partials);
+    * the hottest key resolves deterministically under count ties to
+    * the SMALLEST key (min_by over (−cnt, key) — works for any
+    * orderable key type, not just numerics). The x77 contract row
+    * delegates here. */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.agg(
+      count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_cnt"),
+      median(col("cnt")).as("median_cnt"),
+      min_by(col("k"), struct((-col("cnt")).as("nc"), col("k")))
+        .as("hottest_key"))
+      .select(col("n_keys"), col("max_cnt"), col("median_cnt"),
+        (col("max_cnt") / col("median_cnt")).as("skew_ratio"),
+        col("hottest_key"))
+  }
+
+  /** Join-explosion pre-flight: the EXACT output cardinality
+    * |A ⋈ B| = Σ_k cntA(k)·cntB(k) computed from the two key-count
+    * tables — a key-cardinality-sized join instead of running the real
+    * join to find out it explodes. Reports the common-key count, the
+    * exact row estimate, and the single worst key (deterministic
+    * smallest-key tie-break, any orderable key type). The count tables
+    * are grouped aggregates, so the verdict arrives before any
+    * fact-fact shuffle is paid. The x87 contract row delegates here. */
+  def joinPreflight(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val a = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("cnt_a"))
+    val b = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("cnt_b"))
+    a.join(b, "k")
+      .select(col("k"), (col("cnt_a") * col("cnt_b")).as("contrib"))
+      .agg(count(lit(1)).as("n_common_keys"),
+        sum(col("contrib")).as("est_join_rows"),
+        max(col("contrib")).as("max_key_contrib"),
+        min_by(col("k"), struct((-col("contrib")).as("nc"), col("k")))
+          .as("worst_key"))
+  }
 }

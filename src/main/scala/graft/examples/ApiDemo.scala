@@ -335,6 +335,17 @@ object ApiDemo {
         .toDF("uid", "d"), "uid", "d")
       .orderBy(col("k"), col("start_day")).show(false)
 
+    println("key-skew report on a string-keyed clickstream:")
+    Analytics.skewReport(
+      Seq("home", "home", "home", "cart", "pay", "pay")
+        .toDF("page"), "page").show(false)
+
+    println("join-explosion preflight (sessions x clicks on visitor):")
+    Analytics.joinPreflight(
+      Seq(("v1", 1), ("v1", 2), ("v2", 3)).toDF("visitor", "s"), "visitor",
+      Seq(("v1", 10), ("v1", 11), ("v1", 12), ("v3", 13))
+        .toDF("visitor", "c"), "visitor").show(false)
+
     // --- Curation kernels (round 11): the semantic-curation ladder on
     // caller-shaped frames -------------------------------------------
     import graft.api.Curation

@@ -141,19 +141,9 @@ object AuditOps {
     * bounded by distinct keys, not rows). At 100 TB this is the
     * pre-flight a pipeline runs on its join keys to decide whether the
     * plain shuffle join is safe. */
-  def x77SkewReport(spark: SparkSession, sfDir: String): DataFrame = {
-    val counts = Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
-    counts.agg(
-      count(lit(1)).as("n_keys"),
-      max(col("cnt")).as("max_cnt"),
-      median(col("cnt")).as("median_cnt"),
-      max_by(col("l_suppkey"), struct(col("cnt"), col("l_suppkey") * -1))
-        .as("hottest_key"))
-      .select(col("n_keys"), col("max_cnt"), col("median_cnt"),
-        (col("max_cnt") / col("median_cnt")).as("skew_ratio"),
-        col("hottest_key"))
-  }
+  def x77SkewReport(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.Analytics.skewReport(
+      Tables.lineitem(spark, sfDir), "l_suppkey")
 
   /** X78 — dataset-release diff (the audit table published alongside a
     * corpus version bump): old vs new snapshot full-outer-joined on
@@ -198,19 +188,10 @@ object AuditOps {
     * count tables are grouped aggregates (map-side partials), their
     * join is key-cardinality, and the verdict arrives before any
     * fact-fact shuffle is paid. */
-  def x87JoinPreflight(spark: SparkSession, sfDir: String): DataFrame = {
-    val a = Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cnt_a"))
-    val b = Tables.orders(spark, sfDir)
-      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cnt_b"))
-    a.join(b, "k")
-      .select(col("k"), (col("cnt_a") * col("cnt_b")).as("contrib"))
-      .agg(count(lit(1)).as("n_common_keys"),
-        sum(col("contrib")).as("est_join_rows"),
-        max(col("contrib")).as("max_key_contrib"),
-        max_by(col("k"), struct(col("contrib"), col("k") * -1))
-          .as("worst_key"))
-  }
+  def x87JoinPreflight(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.Analytics.joinPreflight(
+      Tables.lineitem(spark, sfDir), "l_orderkey",
+      Tables.orders(spark, sfDir), "o_orderkey")
 
   /** X88 — exact mixture apportionment (largest-remainder / Hamilton
     * method): turn per-source corpus shares into INTEGER sampling
