@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps Bench's stdout for a bare JSON line; sbt's default
+// LoggedOutput wraps every forked-process line in "[info] ", which is
+// what kept BENCH_r{9,10,11}.json at "parsed": null even after the
+// compact line landed. StdoutOutput pipes the forked JVM's stdout
+// through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -70,16 +70,22 @@ object Bench {
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${qmap(results)},"failures":$failures,"sf":"$sfDir"}"""
     val slowest = results.sortBy(-_._2).take(15)
-    val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${qmap(slowest)},"queries_truncated":true,"queries_full":"bench-full.json","failures":$failures,"sf":"$sfDir"}"""
-    println(compact)
+    // "position" distinguishes the two compact copies so a consumer
+    // that sums or counts every JSON line on stdout can dedupe them
+    // (ADVICE r11: without it, line-summing parsers double-count).
+    def compact(position: String) =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"position":"$position","queries":${qmap(slowest)},"queries_truncated":true,"queries_full":"bench-full.json","failures":$failures,"sf":"$sfDir"}"""
+    println(compact("head"))
     println(full)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
         "bench-full.json")),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
-    println(compact)
+    println(compact("tail"))
+    // Belt-and-braces vs log-wrapper regressions: the tail copy also
+    // goes to stderr, which sbt leaves unprefixed under most strategies.
+    System.err.println(compact("tail"))
     spark.stop()
   }
 }

@@ -110,12 +110,17 @@ object Tables {
         s"${(keyed.hashCode & 0x7fffffff).toHexString}")
   }
 
-  /** A process-unique sibling build directory for [[publishShared]]. */
+  /** A CALL-unique sibling build directory for [[publishShared]]:
+    * process token (two JVMs never collide) + thread + nanos (two
+    * builders inside one process never share a temp either —
+    * round-12 hardening; the per-session Memo usually dedupes
+    * in-process builds, but the temp dir must not rely on it). */
   def sharedBuildDir(target: java.io.File): java.io.File = {
     val token = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getName.replaceAll("[^A-Za-z0-9]", "_")
     new java.io.File(target.getParentFile,
-      s"${target.getName}.build_$token")
+      s"${target.getName}.build_${token}_" +
+        s"${Thread.currentThread().getId}_${System.nanoTime()}")
   }
 
   /** Publish a fully-built temp directory into its shared home with ONE
@@ -142,14 +147,53 @@ object Tables {
     }
   }
 
+  /** Emergency manual salt for [[StagedVersion]] — bump only if a
+    * staged artifact must be invalidated without any builder-class
+    * change (e.g. an external format assumption changed). */
+  private val StagedSalt = "s1"
+
+  /** Modules whose code builds staged artifacts. [[StagedVersion]] is
+    * derived from THEIR CLASSFILE BYTES, so any builder change
+    * re-keys every artifact automatically — the hand-maintained
+    * round constant this replaces was one forgotten bump away from
+    * silently serving stale cross-process artifacts (ADVICE r11; the
+    * x111 stale-tmp incident was exactly this class).
+    * StagedVersionSpec asserts the list covers every source file that
+    * calls the staging API. */
+  private[graft] val StagedBuilderClasses: Seq[String] = Seq(
+    "graft.Tables",
+    "graft.operators.BasketOps",
+    "graft.operators.CurationOps",
+    "graft.operators.Dedup",
+    "graft.operators.EmbedOps",
+    "graft.operators.GraphOps",
+    "graft.operators.SimSearch",
+    "graft.operators.StorageOps",
+    "graft.operators.TextIndexOps",
+    "graft.streaming.Streams")
+
   /** Code-version token folded into every staged-artifact fingerprint
-    * (ADVICE r10): cross-process artifacts outlive the JVM, so a
-    * builder-code change WITHOUT a key change would serve stale
-    * artifacts to every later session. Bump this once per round (or
-    * whenever any staged builder's output changes) — the worst case is
-    * one rebuild of every staged family, which is exactly the
-    * first-run cost. */
-  val StagedVersion = "r11"
+    * (ADVICE r10/r11): cross-process artifacts outlive the JVM, so
+    * builder-code changes must re-key them. Content-derived — an MD5
+    * over the builder modules' classfiles (object + companion class;
+    * lambdas compile into the enclosing object's file, so builder
+    * closures are covered). Over-invalidation (an unrelated edit in a
+    * builder module) costs one rebuild — the safe direction. */
+  lazy val StagedVersion: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(StagedSalt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    StagedBuilderClasses.sorted.foreach { c =>
+      Seq("", "$").foreach { suffix =>
+        val res = "/" + c.replace('.', '/') + suffix + ".class"
+        val in = getClass.getResourceAsStream(res)
+        if (in != null) {
+          try md.update(in.readAllBytes()) finally in.close()
+        }
+      }
+    }
+    java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(md.digest()).take(12)
+  }
 
   /** Home directory of a staged artifact keyed by (tag, code version —
     * via [[sharedDir]], corpus table fingerprint, config) — the

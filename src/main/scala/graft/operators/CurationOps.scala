@@ -400,6 +400,197 @@ object CurationOps {
   }
 
 
+  /** X179 — the COMPOSED curation ladder (VERDICT r11 #5: the x58
+    * funnel pattern at the semantic tier): one end-to-end pipeline row
+    * chaining every rung the family implements — SemDeDup (x172) →
+    * D4 prototype pruning (x175) → soft-dedup weights (x176's CC
+    * down-weighting) → DSIR target-domain selection (x177) → CCNet
+    * perplexity tier (x178) — emitting per-stage observability
+    * (n_rows + effective sampling mass) as one funnel table, the
+    * artifact a training-data owner reads before launching a mix.
+    *
+    * Stages: 0 clone corpus; 1 SemDeDup survivors; 2 D4 survivors;
+    * 3 survivors that are real documents (planted clone vectors have
+    * no doc row — dropped here by construction); 4 the same docs
+    * under soft-dedup mass (Σ 1/|near-dup cluster|); 5 the DSIR
+    * selection (log importance weight > 0 — more target-like than
+    * raw); 6 the CCNet head tier of that selection.
+    *
+    * Scale shape: stages 0–2 are counts over the STAGED x172/x175
+    * artifacts (no recompute); stages 3–6 are ONE doc-keyed join of
+    * the survivor ids to the x176/x177/x178 kernels plus conditional
+    * aggregates in a single pass (x53's
+    * adding-checks-never-adds-scans discipline). Masses sum in
+    * DECIMAL(18,6) over the per-doc 6-dp weights — bitwise
+    * deterministic across engines. Oracle: the x172/x175/x176/x177/
+    * x178 oracle chains composed as CTEs (tier CTEs renamed to avoid
+    * collisions), same funnel arithmetic. */
+  def x179CurationLadder(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val s = Tables.tune(spark)
+    val docs = Tables.documents(s, sfDir)
+    val sem = x172SemDedup(s, sfDir)
+    val d4 = x175D4Prune(s, sfDir)
+    val e01 = sem.agg(count(lit(1)).as("n0"),
+      coalesce(sum(when(col("kept"), 1L).otherwise(0L)), lit(0L)).as("n1"))
+    val e2 = d4.agg(coalesce(sum(when(col("kept_final"), 1L)
+      .otherwise(0L)), lit(0L)).as("n2"))
+    val surv = d4.filter(col("kept_final"))
+      .select(col("vec_id").as("doc_id"))
+    val soft = graft.api.Curation.softDedup(docs, "doc_id",
+        Dedup.ccLabelsFrame(s, sfDir), "doc_id", "cluster_rep")
+      .select(col("id").as("doc_id"), col("weight"))
+    val dsir = graft.api.Curation.dsirWeights(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0).select(col("doc_id")),
+        "doc_id", buckets = 4096)
+      .select(col("id").as("doc_id"), col("log_weight"))
+    val tiers = graft.api.Curation.perplexityTiers(docs, "doc_id",
+        "text", "lang")
+      .select(col("id").as("doc_id"), col("bucket"))
+    val j = docs.select(col("doc_id"))
+      .join(surv, "doc_id")
+      .join(soft, "doc_id")
+      .join(dsir, "doc_id")
+      .join(tiers, Seq("doc_id"), "left")
+    val dec = col("weight").cast(DecimalType(18, 6))
+    val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(28, 6))
+    val sel = col("log_weight") > 0
+    val head = sel && (col("bucket") === "head")
+    val e36 = j.agg(
+      count(lit(1)).as("n3"),
+      coalesce(sum(dec), zero).cast("double").as("m4"),
+      coalesce(sum(when(sel, 1L).otherwise(0L)), lit(0L)).as("n5"),
+      coalesce(sum(when(sel, dec)), zero).cast("double").as("m5"),
+      coalesce(sum(when(head, 1L).otherwise(0L)), lit(0L)).as("n6"),
+      coalesce(sum(when(head, dec)), zero).cast("double").as("m6"))
+    e01.crossJoin(e2).crossJoin(e36)
+      .select(explode(array(
+        struct(lit("0_corpus").as("stage"), col("n0").as("n_rows"),
+          col("n0").cast("double").as("eff_mass")),
+        struct(lit("1_semdedup").as("stage"), col("n1").as("n_rows"),
+          col("n1").cast("double").as("eff_mass")),
+        struct(lit("2_d4").as("stage"), col("n2").as("n_rows"),
+          col("n2").cast("double").as("eff_mass")),
+        struct(lit("3_docs").as("stage"), col("n3").as("n_rows"),
+          col("n3").cast("double").as("eff_mass")),
+        struct(lit("4_soft").as("stage"), col("n3").as("n_rows"),
+          col("m4").as("eff_mass")),
+        struct(lit("5_dsir").as("stage"), col("n5").as("n_rows"),
+          col("m5").as("eff_mass")),
+        struct(lit("6_head").as("stage"), col("n6").as("n_rows"),
+          col("m6").as("eff_mass")))).as("kv"))
+      .select(col("kv.stage").as("stage"), col("kv.n_rows").as("n_rows"),
+        col("kv.eff_mass").as("eff_mass"))
+      .orderBy(col("stage"))
+  }
+
+  /** The x179 oracle: [[Dedup.ClusterCteSql]] (the recursive CC — the
+    * soft-dedup labels) + the x172 chain + the x175 rank tail + the
+    * x177 DSIR chain + the x178 tier chain (CTEs renamed tb2/tu1/tv/
+    * trk/tnl — the shared `v`/`c1`/`c2`/`rk` names collide with the
+    * k-means chain), then the identical funnel arithmetic. */
+  private val CurationLadderSql: String = {
+    val dsirChain =
+      s"g AS (SELECT doc_id, ${graft.Det.sql.md5Bucket("ngram", 3)} " +
+      s"AS b FROM (${TextOps.ngramSql(2)}) t), " +
+      "raw AS (SELECT b, COUNT(*) AS cr FROM g GROUP BY b), " +
+      "tgt AS (SELECT b, COUNT(*) AS ct FROM g WHERE doc_id % 97 = 0 " +
+      "GROUP BY b), " +
+      "tot AS (SELECT (SELECT COUNT(*) FROM g) AS tr, " +
+      "(SELECT COUNT(*) FROM g WHERE doc_id % 97 = 0) AS tt), " +
+      "model AS (SELECT r.b, round(" +
+      "ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) / " +
+      "CAST(tot.tt + 4096 AS DOUBLE)) - " +
+      "ln(CAST(r.cr + 1 AS DOUBLE) / CAST(tot.tr + 4096 AS DOUBLE)), " +
+      "10) AS term FROM raw r LEFT JOIN tgt t ON t.b = r.b " +
+      "CROSS JOIN tot), " +
+      "pd AS (SELECT g.doc_id, " +
+      "round(CAST(SUM(CAST(term AS DECIMAL(28,15))) AS DOUBLE), 6) " +
+      "AS log_weight FROM g JOIN model m ON m.b = g.b GROUP BY g.doc_id)"
+    val tierChain =
+      s"bg AS (SELECT doc_id, ngram FROM (${TextOps.ngramSql(2)}) t), " +
+      s"uni AS (SELECT ngram AS w FROM (${TextOps.ngramSql(1)}) t), " +
+      "tb2 AS (SELECT ngram, COUNT(*) AS c2n FROM bg GROUP BY 1), " +
+      "tu1 AS (SELECT w, COUNT(*) AS c1n FROM uni GROUP BY 1), " +
+      "tv AS (SELECT COUNT(DISTINCT w) AS vv FROM uni), " +
+      "sc AS (SELECT b.doc_id, " +
+      "round(AVG(ln((tb2.c2n + 1.0) / (tu1.c1n + tv.vv))), 6) AS lp " +
+      "FROM bg b JOIN tb2 ON b.ngram = tb2.ngram " +
+      "JOIN tu1 ON split_part(b.ngram, ' ', 1) = tu1.w " +
+      "CROSS JOIN tv GROUP BY b.doc_id), " +
+      "sl AS (SELECT sc.doc_id, d.lang, sc.lp FROM sc " +
+      "JOIN documents d ON d.doc_id = sc.doc_id), " +
+      "trk AS (SELECT doc_id, lang, lp, CAST(row_number() OVER " +
+      "(PARTITION BY lang ORDER BY lp, doc_id) AS BIGINT) AS r " +
+      "FROM sl), " +
+      "tnl AS (SELECT lang, CAST(FLOOR(COUNT(*) / 3.0) AS BIGINT) " +
+      "AS t1, CAST(FLOOR(2.0 * COUNT(*) / 3.0) AS BIGINT) AS t2 " +
+      "FROM sl GROUP BY lang), " +
+      "tierb AS (SELECT r.doc_id, CASE WHEN r.r > nx.t2 THEN 'head' " +
+      "WHEN r.r > nx.t1 THEN 'middle' ELSE 'tail' END AS bucket " +
+      "FROM trk r JOIN tnl nx USING (lang))"
+    Dedup.ClusterCteSql + ", " +
+    SemDedupChainSql + ", " +
+    "kept AS (SELECT g2.vid, g2.code FROM asg4 g2 LEFT JOIN drp dd " +
+    "ON dd.id_b = g2.vid WHERE dd.id_b IS NULL), " +
+    "dvv AS (SELECT vid, SUM(CAST(round(x * x * 1e12, 0) AS BIGINT)) " +
+    "AS dvv FROM v GROUP BY vid), " +
+    "kd AS MATERIALIZED (SELECT k.vid, k.code, " +
+    "w.dvv - 2 * d.dvc + s2.dcc AS d2 FROM kept k " +
+    "JOIN dvc4 d ON d.vid = k.vid AND d.code = k.code " +
+    "JOIN dcc4 s2 ON s2.code = k.code JOIN dvv w ON w.vid = k.vid), " +
+    "ncx AS (SELECT code, CAST(FLOOR(0.2 * COUNT(*)) AS BIGINT) " +
+    "AS dropn FROM kd GROUP BY code), " +
+    "rkx AS (SELECT vid, code, row_number() OVER " +
+    "(PARTITION BY code ORDER BY d2, vid) AS r FROM kd), " +
+    "d4 AS (SELECT r.vid, (r.r > nn.dropn) AS kf FROM rkx r " +
+    "JOIN ncx nn USING (code)), " +
+    "lab AS (SELECT src AS doc_id, MIN(dst) AS rep FROM reach " +
+    "GROUP BY src), " +
+    "sz AS (SELECT rep, COUNT(*) AS s2 FROM lab GROUP BY rep), " +
+    "sft AS (SELECT d.doc_id, " +
+    "round(CAST(1.0 AS DOUBLE) / CAST(COALESCE(sz.s2, 1) AS DOUBLE), 6) " +
+    "AS weight FROM documents d " +
+    "LEFT JOIN lab ON lab.doc_id = d.doc_id " +
+    "LEFT JOIN sz ON sz.rep = lab.rep), " +
+    dsirChain + ", " +
+    "dsr AS (SELECT d.doc_id, COALESCE(pd.log_weight, 0.0) " +
+    "AS log_weight FROM documents d " +
+    "LEFT JOIN pd ON pd.doc_id = d.doc_id), " +
+    tierChain + ", " +
+    "surv AS (SELECT d.doc_id FROM documents d " +
+    "JOIN d4 ON d4.vid = d.doc_id AND d4.kf), " +
+    "jj AS (SELECT s0.doc_id, sft.weight, dsr.log_weight, tierb.bucket " +
+    "FROM surv s0 JOIN sft ON sft.doc_id = s0.doc_id " +
+    "JOIN dsr ON dsr.doc_id = s0.doc_id " +
+    "LEFT JOIN tierb ON tierb.doc_id = s0.doc_id), " +
+    "e0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM asg4), " +
+    "e1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM kept), " +
+    "e2 AS (SELECT CAST(COALESCE(SUM(CASE WHEN kf THEN 1 ELSE 0 END), " +
+    "0) AS BIGINT) AS n2 FROM d4), " +
+    "e3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n3, " +
+    "CAST(COALESCE(SUM(CAST(weight AS DECIMAL(18,6))), 0) AS DOUBLE) " +
+    "AS m4, " +
+    "CAST(COALESCE(SUM(CASE WHEN log_weight > 0 THEN 1 ELSE 0 END), 0) " +
+    "AS BIGINT) AS n5, " +
+    "CAST(COALESCE(SUM(CASE WHEN log_weight > 0 " +
+    "THEN CAST(weight AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS m5, " +
+    "CAST(COALESCE(SUM(CASE WHEN log_weight > 0 AND bucket = 'head' " +
+    "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n6, " +
+    "CAST(COALESCE(SUM(CASE WHEN log_weight > 0 AND bucket = 'head' " +
+    "THEN CAST(weight AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS m6 " +
+    "FROM jj) " +
+    "SELECT stage, n_rows, eff_mass FROM (" +
+    "SELECT '0_corpus' AS stage, n0 AS n_rows, " +
+    "CAST(n0 AS DOUBLE) AS eff_mass FROM e0 " +
+    "UNION ALL SELECT '1_semdedup', n1, CAST(n1 AS DOUBLE) FROM e1 " +
+    "UNION ALL SELECT '2_d4', n2, CAST(n2 AS DOUBLE) FROM e2 " +
+    "UNION ALL SELECT '3_docs', n3, CAST(n3 AS DOUBLE) FROM e3 " +
+    "UNION ALL SELECT '4_soft', n3, m4 FROM e3 " +
+    "UNION ALL SELECT '5_dsir', n5, m5 FROM e3 " +
+    "UNION ALL SELECT '6_head', n6, m6 FROM e3) u ORDER BY stage"
+  }
+
   /** X13 — deterministic content-hash sampling: keep documents whose
     * md5(text) prefix falls under a threshold (~10%). Unlike RNG-based
     * df.sample, the sample is reproducible across engines, runs, and
@@ -811,6 +1002,7 @@ object CurationOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x172_semdedup" -> (x172SemDedup _),
+    "x179_curation_ladder" -> (x179CurationLadder _),
     "x173_semdedup_incr" -> (x173SemDedupIncr _),
     "x175_d4_prune" -> (x175D4Prune _),
     "x176_soft_dedup" -> (x176SoftDedup _),
@@ -867,6 +1059,7 @@ object CurationOps {
 
   val oracles: Map[String, String] = Map(
     "x172_semdedup" -> SemDedupSql,
+    "x179_curation_ladder" -> CurationLadderSql,
     "x173_semdedup_incr" -> SemDedupIncrSql,
     "x175_d4_prune" -> D4PruneSql,
     // the x12 recursive-CC chain + size aggregate + the same

@@ -47,9 +47,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * never move. Write amplification ∝ affected files for every
   * statement whose target-side condition has a translatable conjunct;
   * whole-table otherwise (the sound fallback — e.g. a MERGE whose ON
-  * clause only relates target to source). What remains a table-format
-  * concern (the SURVEY §2.10 boundary): runtime join-driven group
-  * filtering for MERGE and multi-writer conflict detection.
+  * clause only relates target to source). Runtime join-driven group
+  * filtering for MERGE landed in round 11 (the `_file` metadata
+  * column + SupportsRuntimeV2Filtering); MULTI-WRITER CONFLICT
+  * DETECTION landed in round 12 ([[GraftTxn]] — per-table commit
+  * lock, read-snapshot validation, version markers, statement-grain
+  * retry). The remaining table-format boundary: time travel over
+  * retained snapshots and append staging outside the table dir.
   *
   * Catalog metadata is THE FILESYSTEM (a directory per table, schema
   * pinned in `_graft_schema.json` at create time): no metastore
@@ -162,6 +166,29 @@ private[sources] class GraftParquetTable(tableName: String,
       b.dataSchema, b.options)
   }
 
+  /** V2 appends (CTAS, DataFrame-API writes) participate in the
+    * optimistic-concurrency protocol (round-12; [[GraftTxn]]): the
+    * write stages in its own hidden side-directory, and the job
+    * commit promotes the files + bumps the version marker under the
+    * table's commit lock. Appends themselves never conflict — they
+    * invalidate nobody's reads. (SQL INSERT INTO/OVERWRITE are
+    * rewritten by Spark's FallBackFileSourceV2 to the V1 path and
+    * never reach this builder — the [[GraftTxn]] known boundary.) */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = {
+        val stage = GraftTxn.newStageDir(new File(dir), "append")
+        val w = GraftParquetTable.stagedWrite(spark, tableName, stage,
+          info)
+        new Write {
+          override def toBatch: BatchWrite =
+            new GraftAppendWrite(w.toBatch, dir, stage)
+          override def description(): String =
+            s"graft-append($dir via ${stage.getName})"
+        }
+      }
+    }
+
   /** UPDATE / MERGE INTO (and untranslatable DELETEs) through Spark's
     * group-based row-level rewrite framework, with GROUP = AFFECTED
     * FILES (round-10 — VERDICT r9 #1, the former whole-table `weak`):
@@ -181,9 +208,10 @@ private[sources] class GraftParquetTable(tableName: String,
     * whole-table group. New files land first, the affected snapshot
     * is removed at commit — a failed job leaves the old contents
     * intact. Translatable DELETEs still take the cheaper
-    * metadata-only [[deleteWhere]] path. What remains a table-format
-    * concern (§2.10): runtime (join-driven) group filtering for
-    * MERGE and multi-writer conflict detection. */
+    * metadata-only [[deleteWhere]] path. Commits validate against the
+    * statement's read snapshot under the table's commit lock
+    * ([[GraftTxn]], round 12) — concurrent writers conflict instead of
+    * silently interleaving. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
@@ -209,11 +237,28 @@ private[sources] class GraftParquetTable(tableName: String,
     * A concurrent reader sees the old file set, a clean table-miss in
     * the instant between the renames, or the complete new file set —
     * never a partial mix. A predicate matching nothing leaves the
-    * table untouched (no swap at all). */
+    * table untouched (no swap at all).
+    *
+    * Concurrency (round-12, [[GraftTxn]]): the scan + survivor rewrite
+    * run OUTSIDE the commit lock (the heavy work); the clean-file
+    * links, validation and swap run UNDER it. Validation is
+    * set-equality — the live data-file set must still be exactly the
+    * set this statement scanned, because the swap replaces the WHOLE
+    * directory: any concurrent commit (even a pure append) would be
+    * silently erased by the swap, so any change is a conflict and the
+    * loser aborts with its rewrite dir removed and the table
+    * untouched. */
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
     val cond = predicates.flatMap(GraftParquetTable.toColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
+    val d = new File(dir)
+    // the LISTED snapshot, not the produced-rows set: a zero-row part
+    // file (e.g. an empty partition of a V1 insert) is on disk but
+    // never surfaces in the input_file_name aggregate, and validating
+    // against the aggregate would read it as a phantom concurrent
+    // commit (false conflict, caught by the first spec run)
+    val listedAtScan = GraftTxn.dataFiles(d)
     val reader = spark.read
     val base = declared.fold(reader)(s => reader.schema(s)).parquet(dir)
     val perFile = base
@@ -223,36 +268,54 @@ private[sources] class GraftParquetTable(tableName: String,
     val touched = perFile.filter(_.getLong(1) > 0L)
       .map(r => new File(new java.net.URI(r.getString(0))))
     if (touched.isEmpty) return // nothing matches: leave files alone
+    // survivors: predicate-false files from the scan, PLUS any listed
+    // zero-row files the aggregate never saw — they carry no rows but
+    // dropping them would make this swap look like a data change to a
+    // concurrent validator
+    val seenInScan = perFile
+      .map(r => new File(new java.net.URI(r.getString(0))).getName).toSet
     val clean = perFile.filter(_.getLong(1) == 0L)
-      .map(r => new File(new java.net.URI(r.getString(0))))
-    val d = new File(dir)
+      .map(r => new File(new java.net.URI(r.getString(0)))) ++
+      (listedAtScan diff seenInScan).map(new File(d, _))
     val tmp = new File(s"$dir.rewrite_${System.nanoTime()}")
-    val touchedReader = declared.fold(spark.read)(s => spark.read.schema(s))
-    touchedReader.parquet(touched.map(_.getAbsolutePath).toIndexedSeq: _*)
-      .filter(!cond)
-      .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-    clean.foreach { f =>
-      val target = new File(tmp, f.getName).toPath
-      try Files.createLink(target, f.toPath)
-      catch { case _: UnsupportedOperationException |
-          _: java.nio.file.FileSystemException =>
-        Files.copy(f.toPath, target,
-          StandardCopyOption.REPLACE_EXISTING): Unit
-      }
-    }
-    val schemaJson = new File(d, GraftCatalog.SchemaFile)
-    if (schemaJson.isFile)
-      Files.copy(schemaJson.toPath,
-        new File(tmp, GraftCatalog.SchemaFile).toPath,
-        StandardCopyOption.REPLACE_EXISTING): Unit
-    val trash = new File(s"$dir.trash_${System.nanoTime()}")
-    Files.move(d.toPath, trash.toPath, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp.toPath, d.toPath, StandardCopyOption.ATOMIC_MOVE)
     def rm(x: File): Unit = {
       Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
       x.delete(): Unit
     }
-    rm(trash)
+    val touchedReader = declared.fold(spark.read)(s => spark.read.schema(s))
+    touchedReader.parquet(touched.map(_.getAbsolutePath).toIndexedSeq: _*)
+      .filter(!cond)
+      .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    GraftTxn.commitHook()
+    GraftTxn.withCommitLock(d) {
+      val now = GraftTxn.dataFiles(d)
+      if (now != listedAtScan) {
+        rm(tmp)
+        throw new GraftTxn.CommitConflictException(tableName,
+          (listedAtScan diff now) ++ (now diff listedAtScan))
+      }
+      clean.foreach { f =>
+        val target = new File(tmp, f.getName).toPath
+        try Files.createLink(target, f.toPath)
+        catch { case _: UnsupportedOperationException |
+            _: java.nio.file.FileSystemException =>
+          Files.copy(f.toPath, target,
+            StandardCopyOption.REPLACE_EXISTING): Unit
+        }
+      }
+      val schemaJson = new File(d, GraftCatalog.SchemaFile)
+      if (schemaJson.isFile)
+        Files.copy(schemaJson.toPath,
+          new File(tmp, GraftCatalog.SchemaFile).toPath,
+          StandardCopyOption.REPLACE_EXISTING): Unit
+      // the new directory carries the bumped version (the old marker
+      // is not copied — a swapped-in snapshot IS the next version)
+      GraftTxn.writeVersionMarker(tmp, GraftTxn.version(d) + 1)
+      val trash = new File(s"$dir.trash_${System.nanoTime()}")
+      Files.move(d.toPath, trash.toPath, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp.toPath, d.toPath, StandardCopyOption.ATOMIC_MOVE)
+      rm(trash)
+    }
   }
 
   override def truncateTable(): Boolean = {
@@ -274,6 +337,19 @@ private[sources] class GraftRowLevelOperation(table: GraftParquetTable,
     declared: Option[StructType]) extends RowLevelOperation {
 
   @volatile private var groupFiles: Option[Array[File]] = None
+
+  /** Read snapshot for optimistic conflict validation ([[GraftTxn]]):
+    * the data files present when this statement was planned. */
+  private val readSnapshot: Set[String] = GraftTxn.dataFiles(new File(dir))
+
+  /** The files whose concurrent replacement invalidates this
+    * statement. MERGE reads the whole table (its NOT MATCHED arm is a
+    * full anti-join), so the whole read snapshot conflicts;
+    * DELETE/UPDATE decisions depend only on the rewrite group, so two
+    * statements over disjoint groups both commit (SI semantics). */
+  private[sources] def conflictFileNames(): Set[String] =
+    if (info.command() == RowLevelOperation.Command.MERGE) readSnapshot
+    else groupFiles.map(_.map(_.getName).toSet).getOrElse(readSnapshot)
 
   override def command(): RowLevelOperation.Command = info.command()
 
@@ -369,11 +445,16 @@ private[sources] class GraftRowLevelOperation(table: GraftParquetTable,
           println("WRITEINFO schema=" + writeInfo.schema().catalogString +
             " rowid=" + writeInfo.rowIdSchema() +
             " meta=" + writeInfo.metadataSchema())
-        val inner = table.newWriteBuilder(writeInfo).build()
+        // stage in a hidden side-dir: the rewrite's task phase must
+        // not share the live dir's _temporary with a concurrent
+        // writer (GraftTxn scaladoc — the double-apply hazard)
+        val stage = GraftTxn.newStageDir(new File(dir), "rewrite")
+        val inner = GraftParquetTable.stagedWrite(spark, table.name,
+          stage, writeInfo)
         new Write {
           override def toBatch: BatchWrite =
             new GraftReplaceDataWrite(inner.toBatch, dir, table.schema,
-              () => groupFiles)
+              () => groupFiles, () => conflictFileNames(), stage)
           override def description(): String =
             s"graft-replace-data($dir, group=${groupFiles
               .fold("table")(_.length + " files")})"
@@ -403,7 +484,9 @@ private[sources] class GraftRowLevelOperation(table: GraftParquetTable,
   * mutable-holder trick Spark's own metadata-writing task uses. */
 private[sources] class GraftReplaceDataWrite(inner: BatchWrite,
     dir: String, tableSchema: StructType,
-    groupFiles: () => Option[Array[File]] = () => None)
+    groupFiles: () => Option[Array[File]] = () => None,
+    conflictNames: () => Set[String] = () => Set.empty,
+    stage: File)
   extends BatchWrite {
   private val preexisting: Array[File] =
     Option(new File(dir).listFiles()).getOrElse(Array.empty)
@@ -440,46 +523,120 @@ private[sources] class GraftReplaceDataWrite(inner: BatchWrite,
   override def useCommitCoordinator(): Boolean =
     inner.useCommitCoordinator()
 
+  /** Validate + write + delete + version-bump, one critical section
+    * under the table's commit lock (round-12, [[GraftTxn]]). A
+    * conflict (a file this statement read was replaced by a
+    * concurrent commit) aborts the inner write — its staged part
+    * files are rolled back — and the table keeps exactly the winner's
+    * state; [[GraftTxn.retryOnConflict]] re-runs the statement against
+    * the new snapshot. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    inner.commit(messages)
-    groupFiles() match {
-      case Some(affected) if affected.isEmpty =>
-        // no file matched: drop the EMPTY part files the rewrite
-        // emitted (schema-only artifacts) so a no-match statement
-        // leaves the file set bit-identical — but KEEP any new file
-        // that carries rows: a MERGE whose group pruned to zero files
-        // still legitimately appends its WHEN NOT MATCHED inserts
-        // (round-11; the r10 spelling deleted every new file and
-        // would have dropped such inserts)
-        val pre = preexisting.map(_.getName).toSet
-        Option(new File(dir).listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isFile && !f.getName.startsWith("_") &&
-            !f.getName.startsWith(".") && !pre(f.getName))
-          .filter(f => GraftReplaceDataWrite.parquetRowCount(f) == 0L)
-          .foreach(_.delete())
-      case Some(affected) => affected.foreach(_.delete())
-      case None => preexisting.foreach(_.delete())
+    GraftTxn.commitHook()
+    val d = new File(dir)
+    GraftTxn.withCommitLock(d) {
+      val missing = conflictNames().filterNot(n => new File(d, n).isFile)
+      if (missing.nonEmpty) {
+        conflictAborted = true
+        try inner.abort(messages) catch { case _: Exception => () }
+        GraftTxn.rmTree(stage)
+        throw new GraftTxn.CommitConflictException(dir, missing)
+      }
+      inner.commit(messages) // finalizes into the stage dir
+      groupFiles() match {
+        case Some(affected) if affected.isEmpty =>
+          // no file matched: drop the EMPTY part files the rewrite
+          // emitted (schema-only artifacts) so a no-match statement
+          // leaves the file set bit-identical — but KEEP any new file
+          // that carries rows: a MERGE whose group pruned to zero files
+          // still legitimately appends its WHEN NOT MATCHED inserts
+          // (round-11; the r10 spelling deleted every new file and
+          // would have dropped such inserts). parquetRowCount reads -1
+          // for an unreadable footer — kept, never deleted (ADVICE r11)
+          GraftTxn.dataFiles(stage).map(new File(stage, _))
+            .filter(f => GraftReplaceDataWrite.parquetRowCount(f) == 0L)
+            .foreach(_.delete())
+        case Some(affected) => affected.foreach(_.delete())
+        case None => preexisting.foreach(_.delete())
+      }
+      GraftTxn.promoteStage(stage, d)
+      GraftTxn.bumpVersion(d)
     }
+    GraftTxn.rmTree(stage)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    inner.abort(messages)
+  // set when this commit lost conflict validation and already aborted
+  // its inner write — Spark's writer exec calls abort again on the
+  // propagated exception, which must not double-abort the committer
+  @volatile private var conflictAborted = false
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    if (!conflictAborted) {
+      try inner.abort(messages) catch { case _: Exception => () }
+      GraftTxn.rmTree(stage)
+    }
+  }
+}
+
+/** V2 append commit: the inner write finalizes into its own stage
+  * dir; promotion into the live directory + version bump run under
+  * the table's commit lock. Appends carry no conflict set — they
+  * invalidate nobody's reads ([[GraftTxn]] scaladoc). */
+private[sources] class GraftAppendWrite(inner: BatchWrite, dir: String,
+    stage: File) extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    inner.createBatchWriterFactory(info)
+  override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val d = new File(dir)
+    GraftTxn.withCommitLock(d) {
+      inner.commit(messages) // finalizes into the stage dir
+      GraftTxn.promoteStage(stage, d)
+      GraftTxn.bumpVersion(d)
+    }
+    GraftTxn.rmTree(stage)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    try inner.abort(messages) catch { case _: Exception => () }
+    GraftTxn.rmTree(stage)
+  }
 }
 
 private[sources] object GraftReplaceDataWrite {
   /** Footer-metadata row count of one local parquet file — no data
     * pages read; used only on the (few) files a no-match rewrite just
-    * wrote. */
-  def parquetRowCount(f: File): Long = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(f.getAbsolutePath),
-      new org.apache.hadoop.conf.Configuration())
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
-  }
+    * wrote. Uses the ACTIVE SESSION's hadoopConf (ADVICE r11: a fresh
+    * empty Configuration only resolved paths on the local default
+    * filesystem), and treats an unreadable footer as "keep the file"
+    * (-1 — never zero): throwing here would fail the statement AFTER
+    * the inner commit already ran, and deleting an unreadable file is
+    * the unsafe direction. */
+  def parquetRowCount(f: File): Long =
+    try {
+      val conf = SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    } catch { case _: Exception => -1L }
 }
 
 private[sources] object GraftParquetTable {
+  /** A stock parquet V2 write targeting `stage` instead of the live
+    * directory — the staging-isolation half of the [[GraftTxn]]
+    * protocol (each statement's FileCommitProtocol `_temporary` lives
+    * under its own stage, so concurrent task phases cannot cross-
+    * contaminate a shared job-attempt dir). */
+  def stagedWrite(spark: SparkSession, name: String, stage: File,
+      info: LogicalWriteInfo): Write = {
+    val t = new ParquetTable(s"$name.stage", spark,
+      readOptions(stage.getAbsolutePath), Seq(stage.getAbsolutePath),
+      Some(info.schema()), classOf[ParquetFileFormat])
+    t.newWriteBuilder(info).build()
+  }
+
   /** The `_file` metadata column every graft table exposes. */
   val FileColumn: MetadataColumn = new MetadataColumn {
     override def name(): String = GraftFileScan.FileColumnName

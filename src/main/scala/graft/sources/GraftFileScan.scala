@@ -132,7 +132,7 @@ private[sources] class GraftFileScanBuilder(ss: SparkSession,
   * is ignored — the group can only stay the same or shrink, never
   * grow past the static set or miss a matching file. */
 private[sources] class GraftTaggedParquetScan(inner: ParquetScan,
-    onRuntimeFilter: Set[File] => Unit = _ => ())
+    private val onRuntimeFilter: Set[File] => Unit = _ => ())
   extends ParquetScan(inner.sparkSession, inner.hadoopConf,
     inner.fileIndex, inner.dataSchema, inner.readDataSchema,
     inner.readPartitionSchema, inner.pushedFilters, inner.options,
@@ -184,12 +184,20 @@ private[sources] class GraftTaggedParquetScan(inner: ParquetScan,
     new GraftTaggedReaderFactory(super.createReaderFactory())
 
   // a tagged scan is never plan-equal to the stock scan it wraps —
-  // exchange/scan reuse must not substitute one for the other
+  // exchange/scan reuse must not substitute one for the other. The
+  // group-filter CALLBACK is part of identity too (ADVICE r11): two
+  // field-equal tagged scans carrying different callbacks must not
+  // deduplicate, or a reused scan could feed its runtime narrowing to
+  // the wrong row-level operation's groupFiles and the commit's delete
+  // set would diverge from the actually scanned file set.
   override def equals(obj: Any): Boolean = obj match {
-    case g: GraftTaggedParquetScan => super.equals(g)
+    case g: GraftTaggedParquetScan =>
+      super.equals(g) && (g.onRuntimeFilter eq onRuntimeFilter)
     case _ => false
   }
-  override def hashCode(): Int = super.hashCode() * 31 + 1
+  override def hashCode(): Int =
+    (super.hashCode() * 31 + 1) * 31 +
+      System.identityHashCode(onRuntimeFilter)
 }
 
 /** Appends the partition-constant `_file` string to each row of the

@@ -1,0 +1,214 @@
+package graft.sources
+
+import java.io.File
+
+/** Optimistic concurrency for graft-table commits (VERDICT r11 #1 —
+  * the last row-level-DML capability SURVEY §2.10 filed under
+  * table-format territory, implemented on the catalog's existing
+  * filesystem machinery).
+  *
+  * Protocol (the classic snapshot-validate-commit shape Iceberg/Delta
+  * run against a metastore, here against the table directory itself):
+  *
+  *  - Every statement captures its READ SNAPSHOT (the data-file set,
+  *    and the `_graft_v<N>` version marker) when its row-level
+  *    operation is planned.
+  *  - Every commit — append, copy-on-write DELETE swap, or row-level
+  *    rewrite — runs under the table's COMMIT LOCK, a sibling
+  *    `<dir>.commitlock` file acquired by atomic `createNewFile` (it
+  *    lives OUTSIDE the table directory so the delete path's whole-dir
+  *    swap cannot move it).
+  *  - Under the lock, before applying its delete set, a commit
+  *    VALIDATES: every file of its conflict set must still exist. A
+  *    missing file means a concurrent commit rewrote data this
+  *    statement read → [[GraftTxn.CommitConflictException]], and the
+  *    loser's freshly written part files are rolled back (its inner
+  *    write aborts) — the table keeps exactly the winner's state.
+  *  - A successful commit bumps the version marker, so `version(dir)`
+  *    is a cheap "did anything commit since I read" probe.
+  *
+  * Conflict sets (first-committer-wins, snapshot-isolation-style
+  * write-write detection):
+  *  - MERGE: the whole read snapshot — its NOT MATCHED arm is a
+  *    whole-table read, so ANY concurrent rewrite invalidates it.
+  *  - DELETE/UPDATE: the statement's rewrite group (affected files) —
+  *    two statements touching disjoint files both commit.
+  *  - Appends (CTAS, DataFrame-API writes — the V2 write paths): no
+  *    conflict set — an append invalidates nobody's reads; it just
+  *    serializes under the lock and bumps the version. (SQL INSERT
+  *    goes through Spark's V1 fallback — see the known boundary
+  *    below.)
+  *
+  * Retry is STATEMENT-grain: [[retryOnConflict]] re-runs the SQL
+  * (fresh plan → fresh snapshot), the loser-retries-once-winner-is-
+  * visible semantics the spec pins.
+  *
+  * Staging isolation: every V2 write (row-level rewrite, CTAS/API
+  * append) targets its OWN hidden side-directory `<dir>/_stage_<nonce>`
+  * and its files are PROMOTED into the live directory under the lock
+  * at commit. Without this, two concurrent writes share the live
+  * dir's `_temporary/` FileOutputCommitter staging and the winner's
+  * commitJob sweeps in the loser's staged task files — the silent
+  * double-apply the first spec run caught. Underscore-prefixed
+  * directories are invisible to Spark's file listing, so readers
+  * never see a stage.
+  *
+  * Known boundary (documented, not detected): SQL `INSERT INTO`/
+  * `INSERT OVERWRITE`'s write half run through Spark's analyzer
+  * fallback (`FallBackFileSourceV2` rewrites inserts over any
+  * FileTable to the V1 path), which writes straight into the live
+  * directory outside this protocol — no version bump, no lock. Two
+  * concurrent SQL inserts therefore collide exactly as they would on
+  * a vanilla parquet directory (Spark's own limitation, not a graft
+  * regression), and an insert racing a copy-on-write DELETE's
+  * directory swap can lose its staging. The DELETE side still
+  * detects an insert that LANDED mid-statement (set-equality
+  * validation) and aborts rather than erasing it. Insert-only commits
+  * never conflict with each other (append semantics — duplicate
+  * inserts of the same logical row are the application's concern, as
+  * in every SI system without unique constraints).
+  */
+object GraftTxn {
+  /** Thrown by a losing commit. Message names the table and a sample
+    * of the invalidated files; the statement's writes are rolled back
+    * before this propagates. */
+  final class CommitConflictException(table: String, missing: Iterable[String])
+    extends RuntimeException(
+      s"concurrent commit conflict on $table: ${missing.size} file(s) this " +
+        s"statement read were replaced by another commit " +
+        s"(${missing.take(3).mkString(", ")}); re-run the statement against " +
+        "the new snapshot (graft.sources.GraftTxn.retryOnConflict)")
+
+  private val Marker = "_graft_v"
+  /** A lock older than this is a crashed writer and may be broken. */
+  private[sources] val StaleLockMs = 60000L
+  private[sources] val LockTimeoutMs = 120000L
+
+  /** The table's data files (what reads see): plain files, hidden
+    * (`_`/`.`) names excluded — markers, schema pin, _SUCCESS, crc and
+    * the committer's `_temporary` staging never count. */
+  def dataFiles(dir: File): Set[String] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .map(_.getName).toSet
+
+  /** Committed version of the table: max `_graft_v<N>` marker, 0 for
+    * a table no transactional commit has touched yet. */
+  def version(dir: File): Long =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => Option(f.getName).filter(_.startsWith(Marker))
+        .flatMap(n => n.stripPrefix(Marker).toLongOption))
+      .maxOption.getOrElse(0L)
+
+  /** Write marker v into dir and clear older ones. Caller holds the
+    * lock; a crash between create and clear leaves two markers and
+    * `version` takes the max — still correct. */
+  private[sources] def writeVersionMarker(dir: File, v: Long): Unit = {
+    new File(dir, Marker + v).createNewFile(): Unit
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(Marker) && f.getName != Marker + v)
+      .foreach(_.delete())
+  }
+
+  private[sources] def bumpVersion(dir: File): Unit =
+    writeVersionMarker(dir, version(dir) + 1)
+
+  /** A fresh hidden staging directory INSIDE the table dir (same
+    * filesystem — promotion is an atomic rename; underscore prefix —
+    * invisible to Spark's listing and to [[dataFiles]]). */
+  private[sources] def newStageDir(dir: File, kind: String): File = {
+    val s = new File(dir,
+      s"_stage_${kind}_${System.nanoTime()}_${Thread.currentThread().getId}")
+    s.mkdirs()
+    s
+  }
+
+  /** Move the stage's finalized data files into the live directory.
+    * Part-file names carry the write job's UUID — no collisions. */
+  private[sources] def promoteStage(stage: File, dir: File): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    dataFiles(stage).foreach { n =>
+      Files.move(new File(stage, n).toPath, new File(dir, n).toPath,
+        StandardCopyOption.ATOMIC_MOVE): Unit
+    }
+  }
+
+  private[sources] def rmTree(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  // reentrant per thread: the row-level rewrite's commit nests the raw
+  // write commit; a second acquisition by the holder passes through
+  private val held = new ThreadLocal[java.util.HashSet[String]] {
+    override def initialValue(): java.util.HashSet[String] =
+      new java.util.HashSet[String]()
+  }
+
+  /** Serialize commits on one table: atomic `createNewFile` on the
+    * sibling `<dir>.commitlock`, 20 ms spin, stale-break after
+    * [[StaleLockMs]] (crashed writer), hard timeout. */
+  def withCommitLock[T](dir: File)(body: => T): T = {
+    val abs = dir.getAbsoluteFile
+    val lock = new File(abs.getParentFile, abs.getName + ".commitlock")
+    val key = lock.getAbsolutePath
+    if (held.get.contains(key)) return body
+    val deadline = System.currentTimeMillis() + LockTimeoutMs
+    var acquired = false
+    while (!acquired) {
+      acquired =
+        try lock.createNewFile()
+        catch { case _: java.io.IOException => false }
+      if (!acquired) {
+        val mtime = lock.lastModified() // 0 if it vanished — retry
+        if (mtime > 0 && System.currentTimeMillis() - mtime > StaleLockMs)
+          lock.delete(): Unit // crashed writer; next loop races to recreate
+        else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"graft commit lock timeout on $dir (holder crashed without " +
+              s"cleanup? stale-break engages after ${StaleLockMs / 1000}s)")
+        else Thread.sleep(20)
+      }
+    }
+    held.get.add(key): Unit
+    try body
+    finally { held.get.remove(key): Unit; lock.delete(): Unit }
+  }
+
+  /** Test seam: runs at every commit entry BEFORE the lock, so a spec
+    * can hold N statements at the commit line until all have planned
+    * and executed — the deterministic interleave the concurrency specs
+    * use. Production value is a no-op. */
+  @volatile private[graft] var commitHook: () => Unit = () => ()
+
+  /** Statement-grain retry: re-runs `body` while it fails with a
+    * [[CommitConflictException]] anywhere in the cause chain (Spark
+    * wraps commit errors), up to `maxAttempts` total runs. Each re-run
+    * re-plans against the winner's committed snapshot. */
+  def retryOnConflict[T](maxAttempts: Int = 5)(body: => T): T =
+    retryCounted(maxAttempts)(body)._1
+
+  /** [[retryOnConflict]] returning (result, attemptsUsed) — attempts
+    * is 1 when no conflict occurred. */
+  def retryCounted[T](maxAttempts: Int = 5)(body: => T): (T, Int) = {
+    var attempt = 1
+    while (true) {
+      try return (body, attempt)
+      catch {
+        case t: Throwable if isConflict(t) && attempt < maxAttempts =>
+          attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  @annotation.tailrec
+  private def isConflict(t: Throwable, depth: Int = 0): Boolean =
+    t match {
+      case null => false
+      case _: CommitConflictException => true
+      case _ if depth >= 20 => false // defensive: cyclic cause chains
+      case _ => isConflict(t.getCause, depth + 1)
+    }
+}

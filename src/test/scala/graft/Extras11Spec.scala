@@ -154,10 +154,11 @@ class Extras11Spec extends SparkSpec {
   test("s27: the nested scan's ReadSchema is pruned to the one leaf — " +
       "text bodies never decoded") {
     // stage via the contract row once, then inspect the pruned plan
+    // (round 12: the layout lives in the cross-process artifact tier)
     graft.operators.StorageOps.s27NestedPruning(spark, sf).collect()
-    val dir = Tables.scratchDir("s27_nested", sf)
+    val home = Tables.stagedHome("s27_nested", sf, "documents", "v1")
     val agg = graft.operators.StorageOps.nestedLangCounts(
-      Tables.tune(spark).read.parquet(s"$dir/data"))
+      Tables.tune(spark).read.parquet(home.getAbsolutePath))
     val scans = flattenPlan(agg.queryExecution.executedPlan).collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }

@@ -45,8 +45,11 @@ class Extras4Spec extends SparkSpec {
       assert(g.getAs[String]("pri") == w.getString(3))
       assert(g.getAs[String]("day") == w.getString(4))
     }
-    // the written file really carries nested types
-    val schema = spark.read.parquet(Tables.scratchDir("s19_nested", sf)).schema
+    // the written file really carries nested types (round 12: the
+    // layout lives in the cross-process artifact tier)
+    val schema = spark.read.parquet(
+      Tables.stagedHome("s19_nested", sf, "orders", "v1").getAbsolutePath)
+      .schema
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     assert(schema("meta").dataType.isInstanceOf[StructType])
     assert(schema("tiers").dataType.isInstanceOf[ArrayType])
