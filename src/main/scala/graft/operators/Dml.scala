@@ -284,7 +284,52 @@ object Dml {
     } finally s.sql("DROP TABLE IF EXISTS graft.orders_bs"): Unit
   }
 
+  /** SQL52 — TIME TRAVEL over graft tables (round 12; the snapshot
+    * half of what VERDICT r11 #1's commit protocol enables): every
+    * transactional commit captures its PRE-state as hard links under
+    * `_snapshots/v<N>` ([[graft.sources.GraftTxn]]), and
+    * `VERSION AS OF n` resolves through the catalog's versioned
+    * loadTable to that snapshot — CREATE (v1), UPDATE (v2), DELETE
+    * (v3 = current) each probed side by side in one statement sequence,
+    * including v0 (the empty pre-CTAS table). s21 is this capability's
+    * hand-rolled directory convention; this row is the REAL SQL
+    * surface over the same filesystem mechanics. Claims are exact
+    * integer counts/sums per version; the oracle restates each
+    * version's state from the base table. */
+  def sql52TimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.base",
+      Tables.scratchDir("sql52_cat", sfDir))
+    s.sql("DROP TABLE IF EXISTS graft.nation_tt")
+    Tables.nation(s, sfDir).select(col("n_nationkey"))
+      .createOrReplaceTempView("nation_src52")
+    s.sql("CREATE TABLE graft.nation_tt AS " +
+      "SELECT n_nationkey AS k, CAST(n_nationkey * 10 AS BIGINT) AS v " +
+      "FROM nation_src52") // commit 1
+    try {
+      s.sql("UPDATE graft.nation_tt SET v = v + 1000 WHERE k % 5 = 0") // 2
+      s.sql("DELETE FROM graft.nation_tt WHERE k % 3 = 0") // 3 (swap path)
+      def st(ver: Long): (Long, Long, Long) = {
+        val r = s.sql("SELECT COUNT(*), COALESCE(SUM(k), 0), " +
+          s"COALESCE(SUM(v), 0) FROM graft.nation_tt VERSION AS OF $ver")
+          .head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val v0 = st(0); val v1 = st(1); val v2 = st(2); val v3 = st(3)
+      val cur = s.sql("SELECT COUNT(*) FROM graft.nation_tt")
+        .head().getLong(0)
+      import s.implicits._
+      Seq((v0._1, v1._1, v1._2, v1._3, v2._1, v2._3, v3._1, v3._2,
+          v3._3, cur == v3._1))
+        .toDF("n_v0", "n_v1", "ksum_v1", "vsum_v1", "n_v2", "vsum_v2",
+          "n_v3", "ksum_v3", "vsum_v3", "current_is_v3")
+    } finally s.sql("DROP TABLE IF EXISTS graft.nation_tt"): Unit
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql52_time_travel" -> (sql52TimeTravel _),
     "sql42_catalog_ddl" -> (sql42CatalogDdl _),
     "sql43_insert_dml" -> (sql43InsertDml _),
     "sql44_ctas" -> (sql44Ctas _),
@@ -293,6 +338,24 @@ object Dml {
     "sql51_merge_by_source" -> (sql51MergeBySource _))
 
   val oracles: Map[String, String] = Map(
+    // per-version state algebra over the base table: v1 = the CTAS
+    // projection, v2 = +1000 on k%5=0, v3 = v2 minus k%3=0
+    "sql52_time_travel" ->
+      ("WITH t1 AS (SELECT n_nationkey AS k, " +
+       "CAST(n_nationkey * 10 AS BIGINT) AS v FROM nation), " +
+       "t2 AS (SELECT k, CASE WHEN k % 5 = 0 THEN v + 1000 ELSE v END " +
+       "AS v FROM t1), " +
+       "t3 AS (SELECT * FROM t2 WHERE k % 3 <> 0) " +
+       "SELECT CAST(0 AS BIGINT) AS n_v0, " +
+       "CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n_v1, " +
+       "CAST((SELECT SUM(k) FROM t1) AS BIGINT) AS ksum_v1, " +
+       "CAST((SELECT SUM(v) FROM t1) AS BIGINT) AS vsum_v1, " +
+       "CAST((SELECT COUNT(*) FROM t2) AS BIGINT) AS n_v2, " +
+       "CAST((SELECT SUM(v) FROM t2) AS BIGINT) AS vsum_v2, " +
+       "CAST((SELECT COUNT(*) FROM t3) AS BIGINT) AS n_v3, " +
+       "CAST((SELECT SUM(k) FROM t3) AS BIGINT) AS ksum_v3, " +
+       "CAST((SELECT SUM(v) FROM t3) AS BIGINT) AS vsum_v3, " +
+       "TRUE AS current_is_v3"),
     // post-statement state algebra over the base table: matched keys
     // (<= 1000) take 1.5x price, unmatched-by-source even-custkey rows
     // delete, unmatched odd-custkey rows pass through untouched

@@ -90,16 +90,55 @@ class GraftCatalog extends TableCatalog with SupportsDeleteV2Helpers {
     if (!d.isDirectory)
       throw new NoSuchTableException(
         (ident.namespace() :+ ident.name()).toSeq)
-    val pinned = new File(d, SchemaFile)
-    val declared =
-      if (pinned.isFile)
-        Some(DataType.fromJson(
-          new String(java.nio.file.Files.readAllBytes(pinned.toPath),
-            java.nio.charset.StandardCharsets.UTF_8))
-          .asInstanceOf[StructType])
-      else None
     new GraftParquetTable(ident.toString, SparkSession.active,
-      d.getAbsolutePath, declared)
+      d.getAbsolutePath, pinnedSchema(d))
+  }
+
+  private def pinnedSchema(d: File): Option[StructType] = {
+    val pinned = new File(d, SchemaFile)
+    if (pinned.isFile)
+      Some(DataType.fromJson(
+        new String(java.nio.file.Files.readAllBytes(pinned.toPath),
+          java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[StructType])
+    else None
+  }
+
+  /** TIME TRAVEL (round 12): `SELECT ... FROM graft.t VERSION AS OF n`
+    * resolves here. Version = the `_graft_v<N>` commit counter
+    * ([[GraftTxn]]); every transactional commit captures the
+    * PRE-state as hard links under `_snapshots/v<N>` before mutating,
+    * so version n is the table as of commit n. The current version
+    * reads the live directory; retained older versions read their
+    * snapshot directory (read-only by construction — nothing routes
+    * writes at a snapshot). Retention:
+    * `spark.graft.snapshots.retain` (default 8) — requesting a
+    * pruned or never-captured version errors with the retained list.
+    * TIMESTAMP AS OF is not supported (versions are logical commit
+    * counts; the corpus pins no wall-clock). SQL INSERTs take
+    * Spark's V1 fallback path OUTSIDE the commit protocol (the
+    * [[GraftTxn]] boundary) — like files dropped behind a table
+    * format's back, they mutate the current version in place. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val d = tableDir(ident)
+    if (!d.isDirectory)
+      throw new NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    val v = version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft table versions are commit counters; got '$version'"))
+    val cur = GraftTxn.version(d)
+    if (v == cur) loadTable(ident)
+    else {
+      val snap = GraftTxn.snapshotDir(d, v)
+      if (!snap.isDirectory)
+        throw new IllegalArgumentException(
+          s"no snapshot v$v for $ident (current $cur; retained: " +
+            s"${GraftTxn.snapshotVersions(d).mkString(", ")})")
+      new GraftParquetTable(s"$ident@v$v", SparkSession.active,
+        snap.getAbsolutePath,
+        pinnedSchema(snap).orElse(pinnedSchema(d)))
+    }
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -308,6 +347,17 @@ private[sources] class GraftParquetTable(tableName: String,
         Files.copy(schemaJson.toPath,
           new File(tmp, GraftCatalog.SchemaFile).toPath,
           StandardCopyOption.REPLACE_EXISTING): Unit
+      // time travel across the swap: the retained-snapshot home moves
+      // into the new directory, then the PRE-swap state is captured
+      // into it (hard links from the live dir — their inodes survive
+      // the trash removal), so version history is continuous
+      val snapsOld = new File(d, GraftTxn.SnapshotsDir)
+      val snapsNew = new File(tmp, GraftTxn.SnapshotsDir)
+      if (snapsOld.isDirectory)
+        Files.move(snapsOld.toPath, snapsNew.toPath,
+          StandardCopyOption.ATOMIC_MOVE): Unit
+      GraftTxn.snapshotInto(d, snapsNew)
+      GraftTxn.pruneSnapshots(tmp, GraftTxn.retention)
       // the new directory carries the bumped version (the old marker
       // is not copied — a swapped-in snapshot IS the next version)
       GraftTxn.writeVersionMarker(tmp, GraftTxn.version(d) + 1)
@@ -542,6 +592,8 @@ private[sources] class GraftReplaceDataWrite(inner: BatchWrite,
         throw new GraftTxn.CommitConflictException(dir, missing)
       }
       inner.commit(messages) // finalizes into the stage dir
+      // time travel: capture the pre-state before any delete
+      GraftTxn.snapshotCurrent(d)
       groupFiles() match {
         case Some(affected) if affected.isEmpty =>
           // no file matched: drop the EMPTY part files the rewrite
@@ -560,6 +612,7 @@ private[sources] class GraftReplaceDataWrite(inner: BatchWrite,
       }
       GraftTxn.promoteStage(stage, d)
       GraftTxn.bumpVersion(d)
+      GraftTxn.pruneSnapshots(d, GraftTxn.retention)
     }
     GraftTxn.rmTree(stage)
   }
@@ -590,9 +643,12 @@ private[sources] class GraftAppendWrite(inner: BatchWrite, dir: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val d = new File(dir)
     GraftTxn.withCommitLock(d) {
+      // time travel: the pre-append state is a version too
+      GraftTxn.snapshotCurrent(d)
       inner.commit(messages) // finalizes into the stage dir
       GraftTxn.promoteStage(stage, d)
       GraftTxn.bumpVersion(d)
+      GraftTxn.pruneSnapshots(d, GraftTxn.retention)
     }
     GraftTxn.rmTree(stage)
   }

@@ -139,6 +139,85 @@ object GraftTxn {
     f.delete(): Unit
   }
 
+  // ------------------------------------------------- snapshots (round 12)
+
+  /** Retained-snapshot home inside the table dir (underscore prefix —
+    * invisible to live reads). `_snapshots/v<N>` holds the table's
+    * state AT version N as hard links: zero data copied, old bytes
+    * survive the live file's deletion via link count — the same
+    * mechanics a table format's manifest retention buys, from the
+    * filesystem. */
+  private[sources] val SnapshotsDir = "_snapshots"
+
+  /** Default number of versions retained (override with the runtime
+    * conf `spark.graft.snapshots.retain`). */
+  private[sources] val DefaultRetain = 8
+
+  private[sources] def snapshotDir(dir: File, v: Long): File =
+    new File(new File(dir, SnapshotsDir), "v" + v)
+
+  /** Capture the table's CURRENT state (data files + schema pin) as
+    * snapshot v<version(dir)> under `snapsHome` — called under the
+    * commit lock BEFORE a mutating commit applies its deletes.
+    * Hard-link with copy fallback; built in a temp sibling and
+    * published by one atomic rename (existence == validity, the
+    * artifact-tier rule). Idempotent: an existing snapshot for this
+    * version (a retried commit) is left as is. */
+  private[sources] def snapshotInto(dir: File, snapsHome: File): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val v = version(dir)
+    val snap = new File(snapsHome, "v" + v)
+    if (snap.isDirectory) return
+    val tmp = new File(snapsHome, s"v${v}_build_${System.nanoTime()}")
+    tmp.mkdirs()
+    dataFiles(dir).foreach { n =>
+      val target = new File(tmp, n).toPath
+      try Files.createLink(target, new File(dir, n).toPath)
+      catch { case _: UnsupportedOperationException |
+          _: java.nio.file.FileSystemException =>
+        Files.copy(new File(dir, n).toPath, target,
+          StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+    }
+    val schema = new File(dir, GraftCatalog.SchemaFile)
+    if (schema.isFile)
+      Files.copy(schema.toPath,
+        new File(tmp, GraftCatalog.SchemaFile).toPath,
+        StandardCopyOption.REPLACE_EXISTING): Unit
+    try Files.move(tmp.toPath, snap.toPath,
+      StandardCopyOption.ATOMIC_MOVE): Unit
+    catch { case _: java.nio.file.FileAlreadyExistsException |
+        _: java.nio.file.FileSystemException if snap.isDirectory =>
+      rmTree(tmp) // a concurrent retry published first — equivalent state
+    }
+  }
+
+  private[sources] def snapshotCurrent(dir: File): Unit =
+    snapshotInto(dir, new File(dir, SnapshotsDir))
+
+  /** Retained snapshot versions, ascending. */
+  private[sources] def snapshotVersions(dir: File): Seq[Long] =
+    Option(new File(dir, SnapshotsDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .flatMap(f => Option(f.getName).filter(_.startsWith("v"))
+        .flatMap(_.stripPrefix("v").toLongOption))
+      .toSeq.sorted
+
+  /** Drop the oldest snapshots beyond `retain`. Under the lock. */
+  private[sources] def pruneSnapshots(dir: File, retain: Int): Unit = {
+    val vs = snapshotVersions(dir)
+    if (vs.size > retain)
+      vs.dropRight(retain).foreach(v => rmTree(snapshotDir(dir, v)))
+  }
+
+  /** The session's retention setting (defaults to [[DefaultRetain]]). */
+  private[sources] def retention: Int =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => scala.util.Try(
+        s.conf.get("spark.graft.snapshots.retain").toInt).toOption)
+      .getOrElse(DefaultRetain)
+
   // reentrant per thread: the row-level rewrite's commit nests the raw
   // write commit; a second acquisition by the holder passes through
   private val held = new ThreadLocal[java.util.HashSet[String]] {
