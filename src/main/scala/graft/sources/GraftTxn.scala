@@ -264,7 +264,15 @@ object GraftTxn {
   /** Statement-grain retry: re-runs `body` while it fails with a
     * [[CommitConflictException]] anywhere in the cause chain (Spark
     * wraps commit errors), up to `maxAttempts` total runs. Each re-run
-    * re-plans against the winner's committed snapshot. */
+    * re-plans against the winner's committed snapshot.
+    *
+    * Mid-SCAN invalidation retries too: a statement that planned its
+    * file listing before a concurrent commit and reads after it can
+    * fail with FILE_NOT_EXIST mid-task — the read-side face of the
+    * same optimistic race (the loser just happened to be caught while
+    * scanning instead of at its own commit validation). Those errors
+    * carry a FileNotFoundException / FAILED_READ_FILE in the chain
+    * and are equally safe to re-plan. */
   def retryOnConflict[T](maxAttempts: Int = 5)(body: => T): T =
     retryCounted(maxAttempts)(body)._1
 
@@ -287,6 +295,10 @@ object GraftTxn {
     t match {
       case null => false
       case _: CommitConflictException => true
+      case _: java.io.FileNotFoundException => true // mid-scan invalidation
+      case e if Option(e.getMessage).exists(m =>
+        m.contains("FAILED_READ_FILE") || m.contains("FILE_NOT_EXIST")) =>
+        true
       case _ if depth >= 20 => false // defensive: cyclic cause chains
       case _ => isConflict(t.getCause, depth + 1)
     }

@@ -145,6 +145,33 @@ class GraftTxnSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS txnu.t"): Unit
   }
 
+  test("stress: N concurrent whole-table MERGE increments each land exactly once") {
+    freshCatalog("txns")
+    spark.sql("DROP TABLE IF EXISTS txns.t")
+    spark.sql("CREATE TABLE txns.t AS " +
+      "SELECT id AS k, CAST(0 AS LONG) AS v FROM range(0, 8)")
+    // every writer increments EVERY row — all pairs conflict, so the
+    // lock + snapshot validation must serialize them and retry must
+    // deliver each effect exactly once (the classic lost-update test)
+    val n = 4
+    val amounts = Seq(1L, 10L, 100L, 1000L)
+    val futures = amounts.map { a =>
+      Future(GraftTxn.retryCounted(maxAttempts = n + 2) {
+        spark.sql("MERGE INTO txns.t t USING " +
+          "(SELECT id AS k FROM range(0, 8)) s ON t.k = s.k " +
+          s"WHEN MATCHED THEN UPDATE SET v = t.v + $a").collect(): Unit
+      }._2)
+    }
+    val attempts = futures.map(Await.result(_, 300.seconds))
+    val rows = spark.table("txns.t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (0L until 8L).map(_ -> amounts.sum).toMap
+    assert(rows == expected,
+      s"lost or doubled update: $rows (attempts $attempts)")
+    assert(attempts.sum >= n, s"attempts $attempts")
+    spark.sql("DROP TABLE IF EXISTS txns.t"): Unit
+  }
+
   test("version marker: CTAS, UPDATE, DELETE each bump it monotonically") {
     val base = freshCatalog("txnv")
     spark.sql("DROP TABLE IF EXISTS txnv.t")
