@@ -328,8 +328,77 @@ object Dml {
     } finally s.sql("DROP TABLE IF EXISTS graft.nation_tt"): Unit
   }
 
+  /** PUBLIC version-diff kernel: classify every key of a graft table
+    * between two retained versions — inserted / deleted / changed /
+    * unchanged — through the time-travel surface (one full-outer join
+    * of the two snapshots; the x78 release-diff pattern applied to
+    * table history instead of md5 fingerprints). This is the "what
+    * did that commit change" CDC query a warehouse owner runs before
+    * publishing a restatement; at 100 TB both sides are plain
+    * parquet scans of their snapshot dirs and the join shuffles on
+    * the key. */
+  def versionDiff(spark: SparkSession, table: String, vOld: Long,
+      vNew: Long, keyCols: Seq[String]): DataFrame = {
+    val o = spark.sql(s"SELECT * FROM $table VERSION AS OF $vOld")
+    val n = spark.sql(s"SELECT * FROM $table VERSION AS OF $vNew")
+    val valueCols = o.columns.filterNot(keyCols.contains).toSeq
+    val oR = o.select(keyCols.map(col) ++
+      valueCols.map(c => col(c).as(s"__old_$c")): _*)
+    val nR = n.select(keyCols.map(col) ++
+      valueCols.map(c => col(c).as(s"__new_$c")): _*)
+    val inOld = valueCols.map(c => col(s"__old_$c").isNotNull)
+      .reduceOption(_ || _).getOrElse(lit(true))
+    val inNew = valueCols.map(c => col(s"__new_$c").isNotNull)
+      .reduceOption(_ || _).getOrElse(lit(true))
+    val changed = valueCols.map(c =>
+      !(col(s"__old_$c") <=> col(s"__new_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    // full-outer on the keys: a key missing from one side has every
+    // renamed value column null there (value cols are non-null in the
+    // snapshots themselves — callers with nullable value columns
+    // should diff on an explicit presence column)
+    oR.join(nR, keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        when(!inOld, lit("inserted"))
+          .when(!inNew, lit("deleted"))
+          .when(changed, lit("changed"))
+          .otherwise(lit("unchanged")).as("change_type"): _*)
+  }
+
+  /** X180 — version diff as a contract row: the sql52 history (CTAS
+    * v1 → UPDATE v2 → DELETE v3) diffed v1 → v3 through
+    * [[versionDiff]], aggregated per change class with exact key
+    * sums. Oracle restates the classification as state algebra over
+    * the base table (deleted ⇔ k%3=0; changed ⇔ k%5=0 surviving;
+    * inserted impossible in this history). */
+  def x180VersionDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.base",
+      Tables.scratchDir("x180_cat", sfDir))
+    s.sql("DROP TABLE IF EXISTS graft.nation_vd")
+    Tables.nation(s, sfDir).select(col("n_nationkey"))
+      .createOrReplaceTempView("nation_src180")
+    s.sql("CREATE TABLE graft.nation_vd AS " +
+      "SELECT n_nationkey AS k, CAST(n_nationkey * 10 AS BIGINT) AS v " +
+      "FROM nation_src180") // v1
+    try {
+      s.sql("UPDATE graft.nation_vd SET v = v + 1000 WHERE k % 5 = 0") // 2
+      s.sql("DELETE FROM graft.nation_vd WHERE k % 3 = 0") // 3
+      versionDiff(s, "graft.nation_vd", 1L, 3L, Seq("k"))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n_keys"),
+          coalesce(sum(col("k")), lit(0L)).as("ksum"))
+        .orderBy(col("change_type"))
+        // the aggregate must materialize before the finally-DROP
+        .localCheckpoint(true)
+    } finally s.sql("DROP TABLE IF EXISTS graft.nation_vd"): Unit
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql52_time_travel" -> (sql52TimeTravel _),
+    "x180_version_diff" -> (x180VersionDiff _),
     "sql42_catalog_ddl" -> (sql42CatalogDdl _),
     "sql43_insert_dml" -> (sql43InsertDml _),
     "sql44_ctas" -> (sql44Ctas _),
@@ -338,6 +407,17 @@ object Dml {
     "sql51_merge_by_source" -> (sql51MergeBySource _))
 
   val oracles: Map[String, String] = Map(
+    // the diff classes restated over the base table: DELETE (k%3=0)
+    // wins over the earlier UPDATE (k%5=0) because the deleted key is
+    // absent from v3 regardless of interim changes
+    "x180_version_diff" ->
+      ("WITH d AS (SELECT n_nationkey AS k, " +
+       "CASE WHEN n_nationkey % 3 = 0 THEN 'deleted' " +
+       "WHEN n_nationkey % 5 = 0 THEN 'changed' " +
+       "ELSE 'unchanged' END AS change_type FROM nation) " +
+       "SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_keys, " +
+       "CAST(SUM(k) AS BIGINT) AS ksum FROM d " +
+       "GROUP BY change_type ORDER BY change_type"),
     // per-version state algebra over the base table: v1 = the CTAS
     // projection, v2 = +1000 on k%5=0, v3 = v2 minus k%3=0
     "sql52_time_travel" ->

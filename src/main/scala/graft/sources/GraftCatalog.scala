@@ -114,8 +114,10 @@ class GraftCatalog extends TableCatalog with SupportsDeleteV2Helpers {
     * writes at a snapshot). Retention:
     * `spark.graft.snapshots.retain` (default 8) — requesting a
     * pruned or never-captured version errors with the retained list.
-    * TIMESTAMP AS OF is not supported (versions are logical commit
-    * counts; the corpus pins no wall-clock). SQL INSERTs take
+    * `TIMESTAMP AS OF` resolves through the append-only commit log
+    * ([[GraftTxn.CommitLog]]: one `v,epochMicros` line per bump) to
+    * the newest version committed at or before the asked instant,
+    * then takes the same snapshot path. SQL INSERTs take
     * Spark's V1 fallback path OUTSIDE the commit protocol (the
     * [[GraftTxn]] boundary) — like files dropped behind a table
     * format's back, they mutate the current version in place. */
@@ -139,6 +141,22 @@ class GraftCatalog extends TableCatalog with SupportsDeleteV2Helpers {
         snap.getAbsolutePath,
         pinnedSchema(snap).orElse(pinnedSchema(d)))
     }
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands the instant as epoch
+    * MICROseconds; resolve it against the commit log and delegate to
+    * the versioned path. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val d = tableDir(ident)
+    if (!d.isDirectory)
+      throw new NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    val v = GraftTxn.versionAt(d, timestampMicros).getOrElse(
+      throw new IllegalArgumentException(
+        s"$ident has no commit at or before timestamp " +
+          s"$timestampMicros µs (first commit: " +
+          s"${GraftTxn.commitTimes(d).headOption.fold("none")(_._2.toString)})"))
+    loadTable(ident, v.toString)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -346,6 +364,11 @@ private[sources] class GraftParquetTable(tableName: String,
       if (schemaJson.isFile)
         Files.copy(schemaJson.toPath,
           new File(tmp, GraftCatalog.SchemaFile).toPath,
+          StandardCopyOption.REPLACE_EXISTING): Unit
+      val commitLog = new File(d, GraftTxn.CommitLog)
+      if (commitLog.isFile)
+        Files.copy(commitLog.toPath,
+          new File(tmp, GraftTxn.CommitLog).toPath,
           StandardCopyOption.REPLACE_EXISTING): Unit
       // time travel across the swap: the retained-snapshot home moves
       // into the new directory, then the PRE-swap state is captured

@@ -101,15 +101,54 @@ object GraftTxn {
         .flatMap(n => n.stripPrefix(Marker).toLongOption))
       .maxOption.getOrElse(0L)
 
-  /** Write marker v into dir and clear older ones. Caller holds the
-    * lock; a crash between create and clear leaves two markers and
-    * `version` takes the max — still correct. */
+  /** Append-only commit log: one `v,epochMicros` line per version
+    * bump, written under the lock — what TIMESTAMP AS OF resolves
+    * against (version v's state is current from its commit time until
+    * v+1's). Lives inside the table dir (underscore-hidden); the
+    * delete path's swap copies it across like the schema pin. */
+  private[sources] val CommitLog = "_graft_commits"
+
+  /** Write marker v into dir and clear older ones, and append the
+    * commit time to the log. Caller holds the lock; a crash between
+    * create and clear leaves two markers and `version` takes the
+    * max — still correct. */
   private[sources] def writeVersionMarker(dir: File, v: Long): Unit = {
     new File(dir, Marker + v).createNewFile(): Unit
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(Marker) && f.getName != Marker + v)
       .foreach(_.delete())
+    val micros = System.currentTimeMillis() * 1000L
+    java.nio.file.Files.write(new File(dir, CommitLog).toPath,
+      s"$v,$micros\n".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND): Unit
   }
+
+  /** (version, commitMicros) pairs from the log, ascending by
+    * version. Re-commits of the same version (a broken-lock retry)
+    * keep the LAST time. */
+  private[sources] def commitTimes(dir: File): Seq[(Long, Long)] = {
+    val f = new File(dir, CommitLog)
+    if (!f.isFile) Seq.empty
+    else new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty)
+      .flatMap { line =>
+        line.split(",") match {
+          case Array(v, t) =>
+            for (vv <- v.toLongOption; tt <- t.toLongOption) yield (vv, tt)
+          case _ => None
+        }
+      }
+      .groupBy(_._1).map { case (v, xs) => (v, xs.last._2) }
+      .toSeq.sortBy(_._1)
+  }
+
+  /** TIMESTAMP AS OF resolution: the newest version whose commit time
+    * is ≤ `micros` — that version's state was current at the asked
+    * instant. None if the table had not had its first commit yet. */
+  private[sources] def versionAt(dir: File, micros: Long): Option[Long] =
+    commitTimes(dir).takeWhile(_._2 <= micros).lastOption.map(_._1)
 
   private[sources] def bumpVersion(dir: File): Unit =
     writeVersionMarker(dir, version(dir) + 1)

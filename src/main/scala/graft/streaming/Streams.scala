@@ -1296,6 +1296,80 @@ object Streams {
     Tables.tune(spark).read.parquet(dataDir).orderBy(col("user_id"))
   }
 
+  /** ST27 — TRANSACTIONAL streaming upsert (round 12): st21's serving
+    * upsert re-expressed against a graft CATALOG table — each
+    * micro-batch reduces to its per-user latest rows and MERGEs them
+    * under [[graft.sources.GraftTxn.retryOnConflict]] (the commit-lock
+    * + read-snapshot-validation protocol), with an order-independent
+    * newer-than matched condition. Three properties st21's
+    * read-union-overwrite loop can't give: (a) idempotence through
+    * MERGE semantics — the staged replay duplicates the whole feed and
+    * the second batch no-ops through the matched-but-not-newer arm
+    * instead of relying on recompute; (b) only matched files rewrite
+    * per batch (group-grain copy-on-write), never the whole serving
+    * table; (c) a concurrent reader sees a committed snapshot at every
+    * instant, and a concurrent writer conflicts and retries instead of
+    * interleaving. Oracle: the same latest-event-per-user recompute as
+    * st21 — the serving mechanism changes, the contract doesn't. */
+  def st27StreamTxnUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    // a DEDICATED catalog name: catalog instances are cached per
+    // session at first use, and foreachBatch's session CLONE builds
+    // its own instance from the CURRENT conf — under the shared
+    // "graft" name (whose base another contract row may have already
+    // pinned) the outer session's CREATE and the clone's MERGE would
+    // resolve different base dirs (the full-session Verify run caught
+    // exactly that)
+    s.conf.set("spark.sql.catalog.graft27",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft27.base",
+      Tables.scratchDir("st27_cat", sfDir))
+    s.sql("DROP TABLE IF EXISTS graft27.st27_serve")
+    s.sql("CREATE TABLE graft27.st27_serve (user_id BIGINT, " +
+      "last_ts_us BIGINT, last_event_id BIGINT, last_type STRING, " +
+      "last_value DOUBLE)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("last_ts_us").desc, col("last_event_id").desc)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val schema = Tables.events(s, sfDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage(spark, sfDir, 2))
+        .select(col("user_id"), expr("ts div 1000").as("last_ts_us"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // the temp view lives on the micro-batch's session CLONE —
+          // the MERGE must run there too or it can't resolve the view
+          val bs = batch.sparkSession
+          batch.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+            .createOrReplaceTempView("st27_batch")
+          graft.sources.GraftTxn.retryOnConflict() {
+            bs.sql("MERGE INTO graft27.st27_serve t USING st27_batch b " +
+              "ON t.user_id = b.user_id " +
+              "WHEN MATCHED AND (b.last_ts_us > t.last_ts_us OR " +
+              "(b.last_ts_us = t.last_ts_us AND " +
+              "b.last_event_id > t.last_event_id)) THEN UPDATE SET * " +
+              "WHEN NOT MATCHED THEN INSERT *").collect(): Unit
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table("graft27.st27_serve").orderBy(col("user_id"))
+        .localCheckpoint(true)
+      out
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      s.sql("DROP TABLE IF EXISTS graft27.st27_serve"): Unit
+    }
+  }
+
   /** ST23 — checkpoint recovery (exactly-once resume, VERDICT r7 #5):
     * a stateful grouped aggregate runs over HALF the events through a
     * file-source query with an explicit checkpoint, terminates, and is
@@ -1411,6 +1485,7 @@ object Streams {
     "st23_checkpoint_recovery" -> (st23CheckpointRecovery _),
     "st22_stream_dim_refresh" -> (st22StreamDimRefresh _),
     "st21_stream_upsert" -> (st21StreamUpsert _),
+    "st27_stream_txn_upsert" -> (st27StreamTxnUpsert _),
     "st19_streaming_dedup" -> (st19StreamingDedup _),
     "st26_stream_semdedup" -> (st26StreamSemDedup _),
     "st20_streaming_observe" -> (st20StreamingObserve _),
@@ -1469,6 +1544,15 @@ object Streams {
     // window-top-1 spelling); the duplicated feed makes the same rows
     // arrive twice, so equality here IS the idempotence proof
     "st21_stream_upsert" ->
+      ("SELECT user_id, epoch_us(ts) AS last_ts_us, " +
+       "event_id AS last_event_id, event_type AS last_type, " +
+       "value AS last_value FROM " +
+       "(SELECT *, row_number() OVER (PARTITION BY user_id " +
+       "ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) s " +
+       "WHERE rn = 1 ORDER BY user_id"),
+    // the serving mechanism changes (transactional MERGE loop), the
+    // contract doesn't: same latest-event-per-user recompute as st21
+    "st27_stream_txn_upsert" ->
       ("SELECT user_id, epoch_us(ts) AS last_ts_us, " +
        "event_id AS last_event_id, event_type AS last_type, " +
        "value AS last_value FROM " +

@@ -46,6 +46,40 @@ class GraftTimeTravelSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ttm.t"): Unit
   }
 
+  test("TIMESTAMP AS OF resolves through the commit log to the right version") {
+    freshCatalog("tts")
+    spark.sql("DROP TABLE IF EXISTS tts.t")
+    def utc(ms: Long): String =
+      java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ms))
+    val t0 = System.currentTimeMillis() - 1000
+    spark.sql("CREATE TABLE tts.t AS SELECT id AS k, id AS v " +
+      "FROM range(0, 10)") // v1
+    Thread.sleep(60)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(60)
+    spark.sql("UPDATE tts.t SET v = v + 100 WHERE k >= 0") // v2
+    def sumAt(ts: String): Long =
+      spark.sql("SELECT COALESCE(SUM(v), 0) FROM tts.t " +
+        s"TIMESTAMP AS OF '$ts'").head().getLong(0)
+    val s1 = (0L until 10L).sum
+    assert(sumAt(utc(mid)) == s1, "mid-instant must resolve to v1")
+    assert(sumAt(utc(System.currentTimeMillis() + 1000)) == s1 + 1000,
+      "a future instant must resolve to the current version")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM tts.t TIMESTAMP AS OF '${utc(t0)}'")
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("no commit at or before")),
+      s"wrong error: ${chain(e)}")
+    spark.sql("DROP TABLE IF EXISTS tts.t"): Unit
+  }
+
   test("retention prunes oldest; a pruned version errors with the retained list") {
     freshCatalog("ttr")
     val prev = spark.conf.getOption("spark.graft.snapshots.retain")

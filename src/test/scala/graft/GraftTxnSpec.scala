@@ -145,6 +145,23 @@ class GraftTxnSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS txnu.t"): Unit
   }
 
+  test("a crashed writer's stale lock is broken after the staleness window") {
+    val dir = new File(sys.props("java.io.tmpdir"),
+      s"graft_txn_stale_${System.nanoTime()}")
+    dir.mkdirs()
+    val lock = new File(dir.getParentFile, dir.getName + ".commitlock")
+    assert(lock.createNewFile(), "stale lock plant failed")
+    // a crashed writer: the lock exists and is older than StaleLockMs
+    assert(lock.setLastModified(System.currentTimeMillis() - 120000L))
+    val t0 = System.currentTimeMillis()
+    val ran = GraftTxn.withCommitLock(dir) { "body-ran" }
+    assert(ran == "body-ran")
+    assert(System.currentTimeMillis() - t0 < 30000L,
+      "stale-break must engage, not wait out the full timeout")
+    assert(!lock.exists(), "lock must be released after the body")
+    dir.delete(): Unit
+  }
+
   test("stress: N concurrent whole-table MERGE increments each land exactly once") {
     freshCatalog("txns")
     spark.sql("DROP TABLE IF EXISTS txns.t")
