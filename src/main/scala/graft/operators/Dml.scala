@@ -396,8 +396,54 @@ object Dml {
     } finally s.sql("DROP TABLE IF EXISTS graft.nation_vd"): Unit
   }
 
+  /** X181 — transactional OPTIMIZE (round 12; s18's bin-packing as a
+    * COMMIT-PROTOCOL table operation,
+    * [[graft.sources.GraftMaintenance.compact]]): a 64-file CTAS
+    * layout compacts to ceil(bytes/target) files under the table's
+    * commit lock — read-snapshot validated (a concurrent commit
+    * conflicts instead of losing its write), pre-state snapshotted
+    * (claimed HERE via time travel: the pre-compaction version still
+    * reads and agrees), version bumped. Claims: exact row/key counts
+    * + Det-decimal revenue after compaction, `compacted` (file count
+    * really dropped), `pre_version_equal` (maintenance is
+    * value-neutral AND history survives it). */
+  def x181CompactTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    s.conf.set("spark.sql.catalog.graftm",
+      classOf[graft.sources.GraftCatalog].getName)
+    val base = Tables.scratchDir("x181_cat", sfDir)
+    s.conf.set("spark.sql.catalog.graftm.base", base)
+    s.sql("DROP TABLE IF EXISTS graftm.orders_ct")
+    Tables.orders(s, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .repartition(64)
+      .createOrReplaceTempView("orders_src181")
+    s.sql("CREATE TABLE graftm.orders_ct AS SELECT * FROM orders_src181")
+    try {
+      val dir = new java.io.File(s"$base/orders_ct")
+      val vPre = graft.sources.GraftTxn.version(dir)
+      val (nBefore, nAfter) =
+        graft.sources.GraftMaintenance.compact(s, dir)
+      val r = s.table("graftm.orders_ct").agg(count(lit(1)),
+        coalesce(sum(col("o_totalprice").cast(graft.Det.Money)),
+          lit(java.math.BigDecimal.ZERO).cast(graft.Det.Money)),
+        countDistinct(col("o_orderkey"))).head()
+      val nPre = s.sql("SELECT COUNT(*) FROM graftm.orders_ct " +
+        s"VERSION AS OF $vPre").head().getLong(0)
+      import s.implicits._
+      Seq((r.getLong(0), r.getLong(2), nBefore > nAfter,
+          nPre == r.getLong(0)))
+        .toDF("n_rows", "n_keys", "compacted", "pre_version_equal")
+        .withColumn("revenue",
+          lit(r.getDecimal(1)).cast(graft.Det.Money).cast("double"))
+        .select(col("n_rows"), col("revenue"), col("n_keys"),
+          col("compacted"), col("pre_version_equal"))
+    } finally s.sql("DROP TABLE IF EXISTS graftm.orders_ct"): Unit
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql52_time_travel" -> (sql52TimeTravel _),
+    "x181_compact_table" -> (x181CompactTable _),
     "x180_version_diff" -> (x180VersionDiff _),
     "sql42_catalog_ddl" -> (sql42CatalogDdl _),
     "sql43_insert_dml" -> (sql43InsertDml _),
@@ -407,6 +453,13 @@ object Dml {
     "sql51_merge_by_source" -> (sql51MergeBySource _))
 
   val oracles: Map[String, String] = Map(
+    // value-neutral maintenance: every claim recomputes from orders
+    "x181_compact_table" ->
+      ("SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows, " +
+       "CAST(CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4))) " +
+       "FROM orders) AS DECIMAL(18,4)) AS DOUBLE) AS revenue, " +
+       "CAST((SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT) " +
+       "AS n_keys, TRUE AS compacted, TRUE AS pre_version_equal"),
     // the diff classes restated over the base table: DELETE (k%3=0)
     // wins over the earlier UPDATE (k%5=0) because the deleted key is
     // absent from v3 regardless of interim changes
