@@ -1480,7 +1480,99 @@ object Streams {
       .orderBy(col("hour_start"))
   }
 
+  /** ST28 — STREAMING CDC FEED over graft table history (round 13,
+    * VERDICT r12 #2 — the changeDataFeed analog): the table's commit
+    * log becomes a readStream via the `graft-cdc` DSv2 source
+    * ([[graft.sources.GraftChangeFeed]] — offsets ARE versions, one
+    * micro-batch per commit), and each micro-batch materializes that
+    * commit's row-level changes with
+    * [[graft.operators.Dml.versionDiff]] of consecutive versions
+    * inside foreachBatch (the feed is O(commits); each diff is a full
+    * distributed job over two snapshots — the scale-correct split).
+    * History: CTAS v1 → UPDATE v2 → DELETE v3 → MERGE v4
+    * (update + insert arms). Claims: per-(version, change-class) key
+    * counts/sums of the streamed diffs, plus `compose_ok` — the
+    * latest-event-per-key NET of the streamed batches equals the
+    * BATCH versionDiff(v1, v4), i.e. the streamed concatenation
+    * composes to the end-to-end diff (the VERDICT done-criterion). */
+  def st28StreamChangeFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    s.conf.set("spark.sql.catalog.graft28",
+      classOf[graft.sources.GraftCatalog].getName)
+    val base = Tables.scratchDir("st28_cat", sfDir)
+    s.conf.set("spark.sql.catalog.graft28.base", base)
+    s.sql("DROP TABLE IF EXISTS graft28.nation_cdc")
+    Tables.nation(s, sfDir).select(col("n_nationkey"))
+      .createOrReplaceTempView("nation_src28")
+    s.sql("CREATE TABLE graft28.nation_cdc AS " +
+      "SELECT n_nationkey AS k, CAST(n_nationkey * 10 AS BIGINT) AS v " +
+      "FROM nation_src28") // v1
+    try {
+      s.sql("UPDATE graft28.nation_cdc SET v = v + 1000 WHERE k % 5 = 0") // 2
+      s.sql("DELETE FROM graft28.nation_cdc WHERE k % 3 = 0") // 3
+      s.sql("MERGE INTO graft28.nation_cdc t USING (" +
+        "SELECT k, CAST(k * 10 AS BIGINT) AS v FROM (" +
+        "SELECT 900 AS k UNION ALL SELECT 901 " +
+        "UNION ALL SELECT n_nationkey FROM nation_src28 " +
+        "WHERE n_nationkey % 7 = 1 AND n_nationkey % 3 <> 0)) m " +
+        "ON t.k = m.k " +
+        "WHEN MATCHED THEN UPDATE SET v = t.v + 7 " +
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (m.k, m.v)") // 4
+      val dir = new java.io.File(s"$base/nation_cdc")
+      val outDir = Tables.scratchDir("st28_out", sfDir)
+      org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(outDir), true)
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = s.readStream.format("graft-cdc")
+          .option("tableDir", dir.getAbsolutePath)
+          .option("startVersion", "1") // first emitted batch diffs v1→v2
+          .option("maxVersionsPerBatch", "1")
+          .load()
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val bs = batch.sparkSession // catalog resolves on the clone
+            batch.select(col("version")).collect().foreach { row =>
+              val v = row.getLong(0)
+              graft.operators.Dml
+                .versionDiff(bs, "graft28.nation_cdc", v - 1, v, Seq("k"))
+                .filter(col("change_type") =!= "unchanged")
+                .withColumn("version", lit(v))
+                .write.mode("append").parquet(outDir)
+            }
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      val streamed = Tables.tune(spark).read.parquet(outDir)
+      // compose check: NET of the streamed batches (latest event per
+      // key — sound here: no key is deleted-then-reinserted or reverted
+      // to its original value in this history) == batch versionDiff
+      // over the whole range
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("version").desc)
+      val net = streamed
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("k"), col("change_type")).collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet
+      val full = graft.operators.Dml
+        .versionDiff(s, "graft28.nation_cdc", 1L, 4L, Seq("k"))
+        .filter(col("change_type") =!= "unchanged").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet
+      val composeOk = net == full && net.nonEmpty
+      streamed.groupBy(col("version"), col("change_type"))
+        .agg(count(lit(1)).as("n_keys"),
+          coalesce(sum(col("k")), lit(0L)).as("ksum"))
+        .withColumn("compose_ok", lit(composeOk))
+        .orderBy(col("version"), col("change_type"))
+        .localCheckpoint(true) // must materialize before the finally-DROP
+    } finally s.sql("DROP TABLE IF EXISTS graft28.nation_cdc"): Unit
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st28_stream_change_feed" -> (st28StreamChangeFeed _),
     "st24_join_then_agg" -> (st24JoinThenAgg _),
     "st23_checkpoint_recovery" -> (st23CheckpointRecovery _),
     "st22_stream_dim_refresh" -> (st22StreamDimRefresh _),
@@ -1511,6 +1603,24 @@ object Streams {
     "st18_update_mode" -> (st18UpdateMode _))
 
   val oracles: Map[String, String] = Map(
+    // per-version change classes restated from the base table: v2 =
+    // UPDATE k%5=0 (changed), v3 = DELETE k%3=0 (deleted), v4 = MERGE
+    // updating surviving k%7=1 keys + inserting 900/901
+    "st28_stream_change_feed" ->
+      ("WITH ev AS (" +
+       "SELECT 2 AS version, 'changed' AS change_type, n_nationkey AS k " +
+       "FROM nation WHERE n_nationkey % 5 = 0 " +
+       "UNION ALL SELECT 3, 'deleted', n_nationkey FROM nation " +
+       "WHERE n_nationkey % 3 = 0 " +
+       "UNION ALL SELECT 4, 'changed', n_nationkey FROM nation " +
+       "WHERE n_nationkey % 7 = 1 AND n_nationkey % 3 <> 0 " +
+       "UNION ALL SELECT 4, 'inserted', 900 " +
+       "UNION ALL SELECT 4, 'inserted', 901) " +
+       "SELECT CAST(version AS BIGINT) AS version, change_type, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_keys, " +
+       "CAST(SUM(k) AS BIGINT) AS ksum, TRUE AS compose_ok " +
+       "FROM ev GROUP BY version, change_type " +
+       "ORDER BY version, change_type"),
     // the joined pairs and hourly rollup recomputed in batch; the
     // streaming chain must equal it exactly
     "st24_join_then_agg" ->
