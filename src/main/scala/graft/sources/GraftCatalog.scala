@@ -8,9 +8,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow, ProjectingInternalRow}
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, SupportsDeleteV2, SupportsMetadataColumns, SupportsRowLevelOperations, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, SupportsDeleteV2, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownV2Filters}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.expressions.{Expressions, Expression => VExpression, Literal => VLiteral, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.{And => VAnd, Not => VNot, Or => VOr, Predicate}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -90,8 +90,8 @@ class GraftCatalog extends TableCatalog with SupportsDeleteV2Helpers {
     if (!d.isDirectory)
       throw new NoSuchTableException(
         (ident.namespace() :+ ident.name()).toSeq)
-    new GraftParquetTable(ident.toString, SparkSession.active,
-      d.getAbsolutePath, pinnedSchema(d))
+    new GraftTable(new GraftParquetTable(ident.toString,
+      SparkSession.active, d.getAbsolutePath, pinnedSchema(d)))
   }
 
   private def pinnedSchema(d: File): Option[StructType] = {
@@ -117,10 +117,10 @@ class GraftCatalog extends TableCatalog with SupportsDeleteV2Helpers {
     * `TIMESTAMP AS OF` resolves through the append-only commit log
     * ([[GraftTxn.CommitLog]]: one `v,epochMicros` line per bump) to
     * the newest version committed at or before the asked instant,
-    * then takes the same snapshot path. SQL INSERTs take
-    * Spark's V1 fallback path OUTSIDE the commit protocol (the
-    * [[GraftTxn]] boundary) — like files dropped behind a table
-    * format's back, they mutate the current version in place. */
+    * then takes the same snapshot path. SQL INSERTs commit through
+    * the V2 protocol since round 13 ([[GraftTable]]) — each is its
+    * own version, so insert history time-travels like every other
+    * commit. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val d = tableDir(ident)
     if (!d.isDirectory)
@@ -137,9 +137,9 @@ class GraftCatalog extends TableCatalog with SupportsDeleteV2Helpers {
         throw new IllegalArgumentException(
           s"no snapshot v$v for $ident (current $cur; retained: " +
             s"${GraftTxn.snapshotVersions(d).mkString(", ")})")
-      new GraftParquetTable(s"$ident@v$v", SparkSession.active,
-        snap.getAbsolutePath,
-        pinnedSchema(snap).orElse(pinnedSchema(d)))
+      new GraftTable(new GraftParquetTable(s"$ident@v$v",
+        SparkSession.active, snap.getAbsolutePath,
+        pinnedSchema(snap).orElse(pinnedSchema(d))))
     }
   }
 
@@ -264,25 +264,33 @@ private[sources] class GraftParquetTable(tableName: String,
       b.dataSchema, b.options)
   }
 
-  /** V2 appends (CTAS, DataFrame-API writes) participate in the
-    * optimistic-concurrency protocol (round-12; [[GraftTxn]]): the
-    * write stages in its own hidden side-directory, and the job
-    * commit promotes the files + bumps the version marker under the
-    * table's commit lock. Appends themselves never conflict — they
-    * invalidate nobody's reads. (SQL INSERT INTO/OVERWRITE are
-    * rewritten by Spark's FallBackFileSourceV2 to the V1 path and
-    * never reach this builder — the [[GraftTxn]] known boundary.) */
+  /** V2 writes participate in the optimistic-concurrency protocol
+    * (round-12; [[GraftTxn]]): the write stages in its own hidden
+    * side-directory, and the job commit promotes the files + bumps
+    * the version marker under the table's commit lock. Appends (CTAS,
+    * DataFrame-API writes, and — since round 13 — SQL `INSERT INTO`,
+    * which reaches this builder because [[GraftTable]] is not a
+    * FileTable, so Spark's FallBackFileSourceV2 V1 rewrite no longer
+    * fires) never conflict — they invalidate nobody's reads.
+    * `INSERT OVERWRITE` arrives through [[SupportsTruncate]] and
+    * commits as a whole-table restatement: snapshot, promote the new
+    * files FIRST, then delete every pre-existing data file — one
+    * version. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      private var truncateFirst = false
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
       override def build(): Write = {
-        val stage = GraftTxn.newStageDir(new File(dir), "append")
+        val kind = if (truncateFirst) "overwrite" else "append"
+        val stage = GraftTxn.newStageDir(new File(dir), kind)
         val w = GraftParquetTable.stagedWrite(spark, tableName, stage,
           info)
         new Write {
           override def toBatch: BatchWrite =
-            new GraftAppendWrite(w.toBatch, dir, stage)
+            if (truncateFirst) new GraftOverwriteWrite(w.toBatch, dir, stage)
+            else new GraftAppendWrite(w.toBatch, dir, stage)
           override def description(): String =
-            s"graft-append($dir via ${stage.getName})"
+            s"graft-$kind($dir via ${stage.getName})"
         }
       }
     }
@@ -352,7 +360,7 @@ private[sources] class GraftParquetTable(tableName: String,
       .reduceOption(_ && _).getOrElse(lit(true))
     val d = new File(dir)
     // the LISTED snapshot, not the produced-rows set: a zero-row part
-    // file (e.g. an empty partition of a V1 insert) is on disk but
+    // file (e.g. an empty partition of an append) is on disk but
     // never surfaces in the input_file_name aggregate, and validating
     // against the aggregate would read it as a phantom concurrent
     // commit (false conflict, caught by the first spec run)
@@ -752,6 +760,76 @@ private[sources] class GraftAppendWrite(inner: BatchWrite, dir: String,
     try inner.abort(messages) catch { case _: Exception => () }
     GraftTxn.rmTree(stage)
   }
+}
+
+/** Whole-table restatement (SQL `INSERT OVERWRITE` via the V2
+  * truncate-write path, round 13): snapshot the pre-state, finalize
+  * the new files into the stage, PROMOTE them, then delete every
+  * pre-existing data file — the same transient-duplicate crash
+  * direction as the row-level rewrite. An overwrite reads nothing, so
+  * it carries no conflict set; it serializes under the lock and
+  * restates whatever is current (concurrent readers see a committed
+  * snapshot either side of the version bump). */
+private[sources] class GraftOverwriteWrite(inner: BatchWrite, dir: String,
+    stage: File) extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    inner.createBatchWriterFactory(info)
+  override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val d = new File(dir)
+    GraftTxn.withCommitLock(d) {
+      GraftTxn.snapshotCurrent(d)
+      val pre = GraftTxn.dataFiles(d)
+      inner.commit(messages) // finalizes into the stage dir
+      GraftTxn.promoteStage(stage, d)
+      pre.foreach(n => new File(d, n).delete())
+      GraftTxn.bumpVersion(d)
+      GraftTxn.pruneSnapshots(d, GraftTxn.retention)
+    }
+    GraftTxn.rmTree(stage)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    try inner.abort(messages) catch { case _: Exception => () }
+    GraftTxn.rmTree(stage)
+  }
+}
+
+/** The table the catalog actually hands to Spark: delegates everything
+  * to [[GraftParquetTable]] but is deliberately NOT a FileTable
+  * (round 13) — Spark's `FallBackFileSourceV2` analyzer rule rewrites
+  * `INSERT INTO`/`INSERT OVERWRITE` over any FileTable to the V1
+  * write path (straight into the live directory: no lock, no version,
+  * no snapshot — the [[GraftTxn]] boundary every prior round had to
+  * document). A plain `Table` never matches the rule, so SQL inserts
+  * now plan as V2 `AppendData`/`OverwriteByExpression` and land in the
+  * same staged, locked, versioned commit path as every other write:
+  * inserts join time travel, the CDC feed, and MERGE's phantom-insert
+  * conflict detection. */
+private[sources] class GraftTable(val inner: GraftParquetTable)
+  extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
+  with SupportsRowLevelOperations with SupportsMetadataColumns {
+  override def name(): String = inner.name
+  override def schema(): StructType = inner.schema
+  override def partitioning(): Array[Transform] = Array.empty
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    inner.newScanBuilder(options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    inner.newWriteBuilder(info)
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    inner.canDeleteWhere(predicates)
+  override def deleteWhere(predicates: Array[Predicate]): Unit =
+    inner.deleteWhere(predicates)
+  override def truncateTable(): Boolean = inner.truncateTable()
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    inner.newRowLevelOperationBuilder(info)
+  override def metadataColumns(): Array[MetadataColumn] =
+    inner.metadataColumns()
 }
 
 private[sources] object GraftReplaceDataWrite {

@@ -22,22 +22,40 @@ object GraftMaintenance {
     * the bin count is left untouched (no version bump — maintenance
     * no-ops must not invalidate anything).
     *
+    * CLUSTERED form (round 13 — the `OPTIMIZE ... ZORDER BY` analog,
+    * the transactional face of x26's bare-directory layout):
+    * `clusterBySql` is a SQL expression over the table's columns (a
+    * Morton interleave for 2-D, or a plain key for 1-D); the rewrite
+    * then range-repartitions AND sorts by it, so every output file
+    * owns a disjoint slice of the clustering curve — min/max file
+    * stats become tight and a predicate on EITHER underlying
+    * dimension prunes files/row-groups. A clustering request always
+    * rewrites (re-layout is the point, even when the bin count
+    * already matches).
+    *
     * At 100 TB the same op runs per-partition with the same
-    * arithmetic; the repartition is the only shuffle and its width IS
-    * the output layout. */
+    * arithmetic ([[compactPartitions]]); the repartition is the only
+    * shuffle and its width IS the output layout. */
   def compact(spark: SparkSession, tableDir: File,
-      targetBytes: Long = 262144L): (Int, Int) = {
+      targetBytes: Long = 262144L,
+      clusterBySql: Option[String] = None): (Int, Int) = {
     require(tableDir.isDirectory, s"no graft table at $tableDir")
     val before = GraftTxn.dataFiles(tableDir)
     val totalBytes = before.toSeq.map(n => new File(tableDir, n).length()).sum
     val bins = math.max(1L,
       (totalBytes + targetBytes - 1) / targetBytes).toInt
-    if (bins >= before.size) return (before.size, before.size)
+    if (clusterBySql.isEmpty && bins >= before.size)
+      return (before.size, before.size)
     val stage = GraftTxn.newStageDir(tableDir, "compact")
-    spark.read.parquet(
-        before.toSeq.map(n => new File(tableDir, n).getAbsolutePath): _*)
-      .repartition(bins)
-      .write.mode("overwrite").parquet(stage.getAbsolutePath)
+    val base = spark.read.parquet(
+      before.toSeq.map(n => new File(tableDir, n).getAbsolutePath): _*)
+    val packed = clusterBySql match {
+      case Some(e) =>
+        val c = org.apache.spark.sql.functions.expr(e)
+        base.repartitionByRange(bins, c).sortWithinPartitions(c)
+      case None => base.repartition(bins)
+    }
+    packed.write.mode("overwrite").parquet(stage.getAbsolutePath)
     GraftTxn.commitHook()
     GraftTxn.withCommitLock(tableDir) {
       val now = GraftTxn.dataFiles(tableDir)
@@ -47,8 +65,8 @@ object GraftMaintenance {
           (before diff now) ++ (now diff before))
       }
       GraftTxn.snapshotCurrent(tableDir)
+      GraftTxn.promoteStage(stage, tableDir) // promote first, delete after
       before.foreach(n => new File(tableDir, n).delete())
-      GraftTxn.promoteStage(stage, tableDir)
       GraftTxn.bumpVersion(tableDir)
       GraftTxn.pruneSnapshots(tableDir, GraftTxn.retention)
     }

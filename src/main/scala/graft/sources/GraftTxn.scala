@@ -38,11 +38,13 @@ import java.io.File
   *    insert).
   *  - DELETE/UPDATE: the statement's rewrite group (affected files) —
   *    two statements touching disjoint files both commit.
-  *  - Appends (CTAS, DataFrame-API writes — the V2 write paths): no
-  *    conflict set — an append invalidates nobody's reads; it just
-  *    serializes under the lock and bumps the version. (SQL INSERT
-  *    goes through Spark's V1 fallback — see the known boundary
-  *    below.)
+  *  - Appends (CTAS, DataFrame-API writes, and — round 13 — SQL
+  *    `INSERT INTO`, now a V2 write because the catalog hands Spark a
+  *    non-FileTable wrapper): no conflict set — an append invalidates
+  *    nobody's reads (except a concurrent MERGE's, per the phantom
+  *    rule above); it just serializes under the lock and bumps the
+  *    version. `INSERT OVERWRITE` commits as a whole-table
+  *    restatement through the same staged path.
   *
   * Retry is STATEMENT-grain: [[retryOnConflict]] re-runs the SQL
   * (fresh plan → fresh snapshot), the loser-retries-once-winner-is-
@@ -58,20 +60,19 @@ import java.io.File
   * directories are invisible to Spark's file listing, so readers
   * never see a stage.
   *
-  * Known boundary (documented, not detected): SQL `INSERT INTO`/
-  * `INSERT OVERWRITE`'s write half run through Spark's analyzer
-  * fallback (`FallBackFileSourceV2` rewrites inserts over any
-  * FileTable to the V1 path), which writes straight into the live
-  * directory outside this protocol — no version bump, no lock. Two
-  * concurrent SQL inserts therefore collide exactly as they would on
-  * a vanilla parquet directory (Spark's own limitation, not a graft
-  * regression), and an insert racing a copy-on-write DELETE's
-  * directory swap can lose its staging. The DELETE side still
-  * detects an insert that LANDED mid-statement (set-equality
-  * validation) and aborts rather than erasing it. Insert-only commits
-  * never conflict with each other (append semantics — duplicate
-  * inserts of the same logical row are the application's concern, as
-  * in every SI system without unique constraints).
+  * Former known boundary, CLOSED in round 13: SQL `INSERT INTO`/
+  * `INSERT OVERWRITE` used to run through Spark's analyzer fallback
+  * (`FallBackFileSourceV2` rewrites inserts over any FileTable to the
+  * V1 path — straight into the live directory: no lock, no version).
+  * The catalog now hands Spark [[GraftTable]], a plain `Table`
+  * delegate that is NOT a FileTable, so the rewrite never fires and
+  * SQL inserts plan as V2 `AppendData`/`OverwriteByExpression` inside
+  * this protocol: staged, locked, versioned, snapshot-visible to time
+  * travel and the CDC feed, and detected by MERGE's phantom-insert
+  * validation. Insert-only commits never conflict with each other
+  * (append semantics — duplicate inserts of the same logical row are
+  * the application's concern, as in every SI system without unique
+  * constraints).
   */
 object GraftTxn {
   /** Thrown by a losing commit. Message names the table and a sample
@@ -122,13 +123,20 @@ object GraftTxn {
   /** Write marker v into dir and clear older ones, and append the
     * commit time to the log. Caller holds the lock; a crash between
     * create and clear leaves two markers and `version` takes the
-    * max — still correct. */
+    * max — still correct. The logged time is MONOTONIC over the log
+    * (round 13 — VERDICT r12 watch #3): max(now, last + 1µs), so a
+    * wall-clock step backwards (NTP; a slow-clocked second writer
+    * host on a shared FS) can never record a later version as
+    * earlier-in-time — TIMESTAMP AS OF stays order-consistent with
+    * VERSION AS OF by construction. */
   private[sources] def writeVersionMarker(dir: File, v: Long): Unit = {
     new File(dir, Marker + v).createNewFile(): Unit
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(Marker) && f.getName != Marker + v)
       .foreach(_.delete())
-    val micros = System.currentTimeMillis() * 1000L
+    val lastMicros = commitTimes(dir).lastOption.map(_._2).getOrElse(0L)
+    val micros = math.max(System.currentTimeMillis() * 1000L,
+      lastMicros + 1L)
     java.nio.file.Files.write(new File(dir, CommitLog).toPath,
       s"$v,$micros\n".getBytes(java.nio.charset.StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE,

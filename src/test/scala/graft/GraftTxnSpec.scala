@@ -197,14 +197,14 @@ class GraftTxnSpec extends SparkSpec {
     val dir = new File(base, "t")
     val v1 = GraftTxn.version(dir)
     assert(v1 >= 1L, "CTAS append should bump the version")
-    // SQL INSERT INTO takes Spark's V1 FallBackFileSourceV2 path and
-    // is OUTSIDE the protocol (GraftTxn scaladoc) — data lands, the
-    // version stays; pinned here so a change in Spark's fallback
-    // surfaces as a test delta rather than silent drift
+    // round 13: SQL INSERT INTO now plans as a V2 append (GraftTable
+    // is not a FileTable, so FallBackFileSourceV2's V1 rewrite never
+    // fires) — data lands AND the insert is a versioned commit inside
+    // the protocol, closing the boundary earlier rounds documented
     spark.sql("INSERT INTO txnv.t SELECT id, 0L FROM range(5, 8)")
     assert(spark.table("txnv.t").count() == 8L)
-    assert(GraftTxn.version(dir) == v1,
-      "V1-fallback INSERT is documented as not bumping the version")
+    assert(GraftTxn.version(dir) == v1 + 1,
+      "SQL INSERT must commit through the V2 protocol and bump the version")
     spark.sql("UPDATE txnv.t SET v = v + 1 WHERE k >= 6")
     val v2 = GraftTxn.version(dir)
     assert(v2 > v1, "row-level UPDATE should bump the version")

@@ -177,7 +177,7 @@ class Round13Spec extends SparkSpec {
     assert(afterAlter.schema.fieldNames.toSeq == Seq("k", "v", "tag"))
     assert(afterAlter.filter(col("tag").isNull).count() == 5L,
       "pre-alter files read null for the added column")
-    // writes after the alter carry the column (V1 INSERT fallback path)
+    // writes after the alter carry the column (V2 append commit)
     spark.sql("INSERT INTO alt.t VALUES (100, 200, 'new')")
     assert(spark.table("alt.t").filter(col("tag") === "new").count() == 1L)
     // row-level ops across MIXED files (old without the column, new
@@ -196,6 +196,38 @@ class Round13Spec extends SparkSpec {
     }
     assert(e.getMessage != null)
     spark.sql("DROP TABLE IF EXISTS alt.t"): Unit
+  }
+
+  test("SQL INSERT joins the protocol: versioned, time-travelable, overwrite restates") {
+    val base = freshCatalog("ins")
+    spark.sql("DROP TABLE IF EXISTS ins.t")
+    spark.sql("CREATE TABLE ins.t AS SELECT id AS k FROM range(0, 5)") // v1
+    val dir = new File(base, "t")
+    assert(GraftTxn.version(dir) == 1L)
+    spark.sql("INSERT INTO ins.t SELECT id FROM range(100, 103)") // v2
+    assert(GraftTxn.version(dir) == 2L,
+      "INSERT INTO must be a versioned commit (V2 append path)")
+    assert(spark.table("ins.t").count() == 8L)
+    // the pre-insert state is a retained version
+    assert(spark.sql("SELECT COUNT(*) FROM ins.t VERSION AS OF 1")
+      .head().getLong(0) == 5L)
+    // concurrent INSERTs: appends never conflict — both land, two bumps
+    val fa = Future(spark.sql(
+      "INSERT INTO ins.t SELECT id FROM range(200, 203)").collect())
+    val fb = Future(spark.sql(
+      "INSERT INTO ins.t SELECT id FROM range(300, 303)").collect())
+    Await.result(fa, 120.seconds); Await.result(fb, 120.seconds)
+    assert(spark.table("ins.t").count() == 14L,
+      "concurrent inserts must both land (serialized, never lost)")
+    assert(GraftTxn.version(dir) == 4L)
+    // INSERT OVERWRITE restates the table as one versioned commit
+    spark.sql("INSERT OVERWRITE ins.t SELECT id FROM range(0, 2)") // v5
+    assert(spark.table("ins.t").count() == 2L)
+    assert(GraftTxn.version(dir) == 5L)
+    assert(spark.sql("SELECT COUNT(*) FROM ins.t VERSION AS OF 4")
+      .head().getLong(0) == 14L,
+      "the pre-overwrite state must survive as a retained version")
+    spark.sql("DROP TABLE IF EXISTS ins.t"): Unit
   }
 
   test("partition-scoped OPTIMIZE: untouched partitions byte-identical, one version bump") {

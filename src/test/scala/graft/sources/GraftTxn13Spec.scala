@@ -101,6 +101,21 @@ class GraftTxn13Spec extends AnyFunSuite {
     assert(GraftTxn.versionAt(dir, 800L).isEmpty)
   }
 
+  test("commit-log times are monotonic even when the wall clock steps back") {
+    val dir = freshDir("mono")
+    // a prior commit stamped FAR in the future (a fast-clocked writer,
+    // or an NTP correction about to step this host back)
+    val future = (System.currentTimeMillis() + 3600000L) * 1000L
+    java.nio.file.Files.write(new File(dir, GraftTxn.CommitLog).toPath,
+      s"1,$future\n".getBytes("UTF-8"))
+    GraftTxn.writeVersionMarker(dir, 2L)
+    val times = GraftTxn.commitTimes(dir)
+    assert(times.map(_._1) == Seq(1L, 2L))
+    assert(times(1)._2 == future + 1L,
+      s"v2 must be stamped after v1 regardless of the wall clock: $times")
+    assert(GraftTxn.versionAt(dir, future + 1L) == Some(2L))
+  }
+
   test("FNFE retry is scoped to graft tables: unrelated missing files propagate") {
     // a graft table dir: carries the commit log marker
     val table = freshDir("scope")
