@@ -66,7 +66,14 @@ object ScaleRehearsal {
     "x175_d4_prune", "x179_curation_ladder",
     // ANN
     "l3_topk_cosine", "x8_ivf_ann", "x14_lsh_ann", "x51_pq_ann",
-    "x52_pq_rerank")
+    "x52_pq_rerank",
+    // transactional maintenance (round 13): whole-table, partition-
+    // scoped and clustered OPTIMIZE are full rewrites of the data they
+    // touch — the honest 100-TB claim is exponent ≈ 1 on the touched
+    // bytes (write amplification linear, never super-linear), with
+    // x182 touching only its qualifying partitions
+    "x181_compact_table", "x182_compact_partitions",
+    "x183_clustered_optimize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -91,7 +98,12 @@ object ScaleRehearsal {
       SparkEntry.queries(name)(spark, dir).count(): Unit
       (System.nanoTime() - t0) / 1e9
     }
-    val rows = Selected.filter(SparkEntry.queries.contains).map { q =>
+    // optional subset (comma-separated names) — re-rehearse new rows
+    // without re-paying the whole board
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val rows = Selected.filter(SparkEntry.queries.contains)
+      .filter(q => only.forall(_.contains(q))).map { q =>
       val b1 = timeOne(q, sfDir)
       val b2 = timeOne(q, sfDir)
       val a1 = timeOne(q, ampDir)
@@ -107,7 +119,7 @@ object ScaleRehearsal {
       s"""{"metric":"scale_rehearsal","factor":$factor,"sf":"$sfDir","cpus":$cpus,"rows":[${rows.mkString(",")}]}"""
     println(out)
     val target = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
-      "tools/scale_rehearsal_r12.json")
+      "tools/scale_rehearsal.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(target),
       (out + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     spark.stop()

@@ -76,6 +76,23 @@ object Tables {
       s"graft_${tag}_${(sfDir.hashCode & 0x7fffffff).toHexString}")
       .getAbsolutePath
 
+  /** Register (idempotently) and return a PER-(purpose, corpus) graft
+    * catalog name. Spark caches catalog INSTANCES by name at first
+    * use and never re-reads their options, so one fixed name pointed
+    * at two base dirs in one session (exactly what the scale
+    * rehearsal does — every row runs at sfDir AND the amplified
+    * corpus) silently keeps the FIRST base and the second corpus's
+    * statements land in the wrong directory. Salting the name by
+    * corpus gives each base its own cached instance. */
+  def graftCatalog(spark: SparkSession, tag: String, sfDir: String): String = {
+    val name = s"graft_${tag}_${(sfDir.hashCode & 0x7fffffff).toHexString}"
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.base",
+      scratchDir(s"${tag}_cat", sfDir))
+    name
+  }
+
   /** Root of the CROSS-PROCESS shared artifact space (tmpdir/
     * graft_shared) — build-once/serve-many artifacts (trained PQ models,
     * staged graph adjacency) that a LATER SESSION reuses instead of

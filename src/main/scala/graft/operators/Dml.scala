@@ -409,26 +409,27 @@ object Dml {
     * value-neutral AND history survives it). */
   def x181CompactTable(spark: SparkSession, sfDir: String): DataFrame = {
     val s = Tables.tune(spark)
-    s.conf.set("spark.sql.catalog.graftm",
-      classOf[graft.sources.GraftCatalog].getName)
+    // per-corpus catalog name (round 13): the scale rehearsal runs this
+    // row against TWO corpora in one session, and catalog instances are
+    // cached by name with their first base — see Tables.graftCatalog
+    val cat = Tables.graftCatalog(s, "x181", sfDir)
     val base = Tables.scratchDir("x181_cat", sfDir)
-    s.conf.set("spark.sql.catalog.graftm.base", base)
-    s.sql("DROP TABLE IF EXISTS graftm.orders_ct")
+    s.sql(s"DROP TABLE IF EXISTS $cat.orders_ct")
     Tables.orders(s, sfDir)
       .select(col("o_orderkey"), col("o_totalprice"))
       .repartition(64)
       .createOrReplaceTempView("orders_src181")
-    s.sql("CREATE TABLE graftm.orders_ct AS SELECT * FROM orders_src181")
+    s.sql(s"CREATE TABLE $cat.orders_ct AS SELECT * FROM orders_src181")
     try {
       val dir = new java.io.File(s"$base/orders_ct")
       val vPre = graft.sources.GraftTxn.version(dir)
       val (nBefore, nAfter) =
         graft.sources.GraftMaintenance.compact(s, dir)
-      val r = s.table("graftm.orders_ct").agg(count(lit(1)),
+      val r = s.table(s"$cat.orders_ct").agg(count(lit(1)),
         coalesce(sum(col("o_totalprice").cast(graft.Det.Money)),
           lit(java.math.BigDecimal.ZERO).cast(graft.Det.Money)),
         countDistinct(col("o_orderkey"))).head()
-      val nPre = s.sql("SELECT COUNT(*) FROM graftm.orders_ct " +
+      val nPre = s.sql(s"SELECT COUNT(*) FROM $cat.orders_ct " +
         s"VERSION AS OF $vPre").head().getLong(0)
       import s.implicits._
       Seq((r.getLong(0), r.getLong(2), nBefore > nAfter,
@@ -438,7 +439,7 @@ object Dml {
           lit(r.getDecimal(1)).cast(graft.Det.Money).cast("double"))
         .select(col("n_rows"), col("revenue"), col("n_keys"),
           col("compacted"), col("pre_version_equal"))
-    } finally s.sql("DROP TABLE IF EXISTS graftm.orders_ct"): Unit
+    } finally s.sql(s"DROP TABLE IF EXISTS $cat.orders_ct"): Unit
   }
 
   /** SQL53 — RESTORE TABLE ... TO VERSION (round 13, VERDICT r12 #1):
@@ -589,16 +590,15 @@ object Dml {
     * itself. */
   def x183ClusteredOptimize(spark: SparkSession, sfDir: String): DataFrame = {
     val s = Tables.tune(spark)
-    s.conf.set("spark.sql.catalog.graftz",
-      classOf[graft.sources.GraftCatalog].getName)
+    // per-corpus catalog name — same rehearsal rationale as x181
+    val cat = Tables.graftCatalog(s, "x183", sfDir)
     val base = Tables.scratchDir("x183_cat", sfDir)
-    s.conf.set("spark.sql.catalog.graftz.base", base)
-    s.sql("DROP TABLE IF EXISTS graftz.orders_zo")
+    s.sql(s"DROP TABLE IF EXISTS $cat.orders_zo")
     Tables.orders(s, sfDir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .repartition(16)
       .createOrReplaceTempView("orders_src183")
-    s.sql("CREATE TABLE graftz.orders_zo AS SELECT * FROM orders_src183")
+    s.sql(s"CREATE TABLE $cat.orders_zo AS SELECT * FROM orders_src183")
     try {
       val dir = new java.io.File(s"$base/orders_zo")
       val vPre = graft.sources.GraftTxn.version(dir)
@@ -612,17 +612,17 @@ object Dml {
       // disjointness audited from the WRITTEN layout: per-file z
       // ranges, sorted by min, must never overlap (ties at the
       // boundary allowed — equal z-values may split across files)
-      val ranges = s.table("graftz.orders_zo")
+      val ranges = s.table(s"$cat.orders_zo")
         .groupBy(input_file_name().as("f"))
         .agg(min(expr(zSql)).as("zmin"), max(expr(zSql)).as("zmax"))
         .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
       val zDisjoint = ranges.length > 1 &&
         ranges.sliding(2).forall(p => p(0)._2 <= p(1)._1)
-      val r = s.table("graftz.orders_zo").agg(count(lit(1)),
+      val r = s.table(s"$cat.orders_zo").agg(count(lit(1)),
         coalesce(sum(col("o_totalprice").cast(graft.Det.Money)),
           lit(java.math.BigDecimal.ZERO).cast(graft.Det.Money)),
         countDistinct(col("o_orderkey"))).head()
-      val nPre = s.sql("SELECT COUNT(*) FROM graftz.orders_zo " +
+      val nPre = s.sql(s"SELECT COUNT(*) FROM $cat.orders_zo " +
         s"VERSION AS OF $vPre").head().getLong(0)
       import s.implicits._
       Seq((r.getLong(0), r.getLong(2), nBefore == 16 && nAfter < 16,
@@ -633,7 +633,7 @@ object Dml {
           lit(r.getDecimal(1)).cast(graft.Det.Money).cast("double"))
         .select(col("n_rows"), col("revenue"), col("n_keys"),
           col("packed"), col("z_disjoint"), col("pre_version_equal"))
-    } finally s.sql("DROP TABLE IF EXISTS graftz.orders_zo"): Unit
+    } finally s.sql(s"DROP TABLE IF EXISTS $cat.orders_zo"): Unit
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

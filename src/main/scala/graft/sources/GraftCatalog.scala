@@ -180,8 +180,14 @@ class GraftCatalog extends TableCatalog with SupportsDeleteV2Helpers {
     * columns are nullable top-level fields; existing parquet files
     * simply lack the column and Spark's reader fills nulls — the
     * standard lake add-column semantics (no data rewrite, metadata
-    * only). Other TableChange kinds stay unsupported with a clean
-    * error. */
+    * only). DROP COLUMN is the metadata-only inverse: the pin loses
+    * the field, reads project the remaining columns, and the dropped
+    * values stay in old files until those files rewrite (invisible —
+    * parquet reads only requested columns). RENAME stays unsupported
+    * BY DESIGN: graft reads resolve parquet columns by NAME, so a
+    * rename would silently null every pre-rename file's values — the
+    * failure mode table formats need field-id column mapping to
+    * avoid. Other TableChange kinds error cleanly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val d = tableDir(ident)
     if (!d.isDirectory)
@@ -203,10 +209,23 @@ class GraftCatalog extends TableCatalog with SupportsDeleteV2Helpers {
               _.equalsIgnoreCase(add.fieldNames()(0))),
             s"column ${add.fieldNames()(0)} already exists in $ident")
           schema.add(add.fieldNames()(0), add.dataType(), nullable = true)
+        case (schema, del: TableChange.DeleteColumn) =>
+          require(del.fieldNames().length == 1,
+            "graft ALTER TABLE supports top-level DROP COLUMN only; got " +
+              del.fieldNames().mkString("."))
+          val name = del.fieldNames()(0)
+          val present = schema.fieldNames.exists(_.equalsIgnoreCase(name))
+          if (!present && del.ifExists()) schema
+          else {
+            require(present, s"column $name does not exist in $ident")
+            require(schema.length > 1,
+              s"cannot drop the last column of $ident")
+            StructType(schema.filterNot(_.name.equalsIgnoreCase(name)))
+          }
         case (_, other) =>
           throw new UnsupportedOperationException(
-            s"GraftCatalog ALTER TABLE supports ADD COLUMN only; got " +
-              other.getClass.getSimpleName)
+            s"GraftCatalog ALTER TABLE supports ADD/DROP COLUMN only; " +
+              s"got ${other.getClass.getSimpleName}")
       }
       java.nio.file.Files.write(new File(d, SchemaFile).toPath,
         evolved.json.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit

@@ -106,8 +106,13 @@ class Round13Spec extends SparkSpec {
   test("RESTORE racing a concurrent commit: one conflicts, nothing interleaves") {
     val base = freshCatalog("rsc")
     spark.sql("DROP TABLE IF EXISTS rsc.t")
-    spark.sql("CREATE TABLE rsc.t AS " +
-      "SELECT id AS k, CAST(0 AS LONG) AS v FROM range(0, 10)") // v1
+    // ONE data file: with split files a racing UPDATE whose group is
+    // disjoint from the restored delta may legitimately commit too
+    // (serial-equivalent under SI) — the single file forces the
+    // overlap this test is about, like the DELETE-pair spec
+    spark.range(0, 10).selectExpr("id AS k", "CAST(0 AS LONG) AS v")
+      .coalesce(1).createOrReplaceTempView("rsc_seed")
+    spark.sql("CREATE TABLE rsc.t AS SELECT * FROM rsc_seed") // v1
     spark.sql("UPDATE rsc.t SET v = 1 WHERE k < 5") // v2
     val dir = new File(base, "t")
     val outcomes = withCommitBarrier(2) {
@@ -190,11 +195,25 @@ class Round13Spec extends SparkSpec {
     assert(v1.schema.fieldNames.toSeq == Seq("k", "v"),
       s"pre-alter snapshot must keep its pinned schema: ${v1.schema}")
     assert(v1.count() == 5L)
-    // unsupported change kinds error cleanly
+    // DROP COLUMN is the metadata-only inverse: the column vanishes
+    // from reads, old files keep (invisible) bytes, history keeps the
+    // wider schema
+    val vPreDrop = GraftTxn.version(dir)
+    spark.sql("ALTER TABLE alt.t DROP COLUMN v")
+    assert(GraftTxn.version(dir) == vPreDrop + 1, "DROP is a commit")
+    assert(spark.table("alt.t").schema.fieldNames.toSeq == Seq("k", "tag"))
+    assert(spark.table("alt.t").count() == 6L)
+    assert(spark.sql(s"SELECT * FROM alt.t VERSION AS OF $vPreDrop")
+      .schema.fieldNames.toSeq == Seq("k", "v", "tag"),
+      "the pre-drop snapshot must keep the wider schema")
+    // RENAME is unsupported BY DESIGN (name-based parquet resolution
+    // would null pre-rename files) — clean error, not silent nulls
     val e = intercept[Exception] {
-      spark.sql("ALTER TABLE alt.t DROP COLUMN v").collect()
+      spark.sql("ALTER TABLE alt.t RENAME COLUMN tag TO label").collect()
     }
     assert(e.getMessage != null)
+    assert(spark.table("alt.t").schema.fieldNames.toSeq == Seq("k", "tag"),
+      "a failed ALTER must leave the schema untouched")
     spark.sql("DROP TABLE IF EXISTS alt.t"): Unit
   }
 
