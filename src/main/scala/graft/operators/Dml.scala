@@ -132,10 +132,10 @@ object Dml {
     * run copy-on-write (retained rows rewrite, then swap — what a
     * group-based format's ReplaceData does at table grain); claims
     * collected after every statement, key-sums pinning which rows
-    * survived. UPDATE/MERGE SQL remain the documented boundary
-    * (SURVEY §2.10; the spec pins the clean TABLE_OPERATION error):
-    * they need SupportsRowLevelOperations + format metadata; the
-    * capability is covered by x30/x113/st21/s14. */
+    * survived. (UPDATE/MERGE SQL — once this row's documented
+    * boundary — landed in round 9+ as sql46/sql51 through
+    * SupportsRowLevelOperations; since round 13 the INSERTs here run
+    * as V2 protocol commits too, [[graft.sources.GraftTable]].) */
   def sql45RowLevelSql(spark: SparkSession, sfDir: String): DataFrame = {
     val s = Tables.tune(spark)
     s.conf.set("spark.sql.catalog.graft",

@@ -287,4 +287,42 @@ class Round13Spec extends SparkSpec {
     assert(GraftTxn.version(dir) == vBefore + 1)
     rmTree(dir)
   }
+
+  test("partition-scoped OPTIMIZE conflicts when a touched partition changes under it") {
+    val dir = new File(sys.props("java.io.tmpdir"),
+      s"graft_r13_pcc_${System.nanoTime()}")
+    spark.range(0, 1000)
+      .selectExpr("id AS k", "CAST(id % 2 AS INT) AS p")
+      .repartition(4)
+      .write.partitionBy("p").mode("overwrite")
+      .parquet(dir.getAbsolutePath)
+    val p0 = new File(dir, "p=0")
+    val vBefore = GraftTxn.version(dir)
+    val filesBefore = GraftTxn.dataFiles(p0)
+    // a concurrent commit lands in the TOUCHED partition between the
+    // staging read and the lock: the hook fires exactly there
+    GraftTxn.commitHook = () => {
+      val extra = new File(p0, "part-concurrent-append.parquet")
+      java.nio.file.Files.copy(
+        new File(p0, filesBefore.head).toPath, extra.toPath): Unit
+    }
+    try {
+      val e = intercept[GraftTxn.CommitConflictException] {
+        GraftMaintenance.compactPartitions(spark, dir,
+          where = _ == "p=0", targetBytes = 1L << 30)
+      }
+      assert(e.getMessage.contains("p=0"))
+    } finally GraftTxn.commitHook = () => ()
+    // the loser aborted cleanly: original files + the concurrent
+    // append intact, no stage debris, no version bump
+    assert(GraftTxn.dataFiles(p0) ==
+      filesBefore + "part-concurrent-append.parquet")
+    assert(GraftTxn.version(dir) == vBefore, "a losing commit must not bump")
+    val stray = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_stage_"))
+    assert(stray.isEmpty, s"stage debris: ${stray.map(_.getName).toSeq}")
+    assert(spark.read.parquet(dir.getAbsolutePath)
+      .filter(col("p") === 0).count() > 500L) // original + duplicated file
+    rmTree(dir)
+  }
 }
