@@ -365,6 +365,25 @@ object Dml {
           .otherwise(lit("unchanged")).as("change_type"): _*)
   }
 
+  /** PUBLIC batch change-range face (round 13; the `table_changes`
+    * TVF analog, completing the CDC family: sql52 reads a version,
+    * x180 diffs two versions, st28 streams commits — this returns
+    * EVERY per-commit change in a version range as one frame):
+    * union of [[versionDiff]](v-1, v) for v in (vFrom, vTo], each
+    * tagged with its version, unchanged keys dropped. Requires the
+    * range's snapshots to be retained (same retention contract as
+    * time travel). At 100 TB each term is two snapshot scans joined
+    * on the key; the union is plan-level (no materialization). */
+  def tableChanges(spark: SparkSession, table: String, vFrom: Long,
+      vTo: Long, keyCols: Seq[String]): DataFrame = {
+    require(vFrom < vTo, s"empty version range ($vFrom, $vTo]")
+    ((vFrom + 1) to vTo).map { v =>
+      versionDiff(spark, table, v - 1, v, keyCols)
+        .filter(col("change_type") =!= "unchanged")
+        .withColumn("version", lit(v))
+    }.reduce(_ unionByName _)
+  }
+
   /** X180 — version diff as a contract row: the sql52 history (CTAS
     * v1 → UPDATE v2 → DELETE v3) diffed v1 → v3 through
     * [[versionDiff]], aggregated per change class with exact key

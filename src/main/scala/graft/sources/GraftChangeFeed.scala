@@ -41,11 +41,21 @@ class GraftChangeFeed extends TableProvider
     GraftChangeFeed.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val dir = Option(properties.get("tableDir")).getOrElse(
+    val dir = new File(Option(properties.get("tableDir")).getOrElse(
       throw new IllegalArgumentException(
-        "graft-cdc requires option tableDir=<graft table directory>"))
-    new GraftChangeFeedTable(new File(dir),
-      Option(properties.get("startVersion")).map(_.toLong).getOrElse(0L),
+        "graft-cdc requires option tableDir=<graft table directory>")))
+    // startTimestampUs: resolve "commits after this instant" through
+    // the same commit-log rule as TIMESTAMP AS OF — the feed starts
+    // AFTER the version current at that instant (mutually exclusive
+    // with startVersion)
+    val fromTs = Option(properties.get("startTimestampUs")).map { us =>
+      require(properties.get("startVersion") == null,
+        "graft-cdc: startVersion and startTimestampUs are exclusive")
+      GraftTxn.versionAt(dir, us.toLong).getOrElse(0L)
+    }
+    new GraftChangeFeedTable(dir,
+      fromTs.orElse(
+        Option(properties.get("startVersion")).map(_.toLong)).getOrElse(0L),
       Option(properties.get("maxVersionsPerBatch")).map(_.toLong)
         .getOrElse(1L))
   }

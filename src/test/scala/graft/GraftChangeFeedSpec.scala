@@ -5,7 +5,7 @@ import java.io.File
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.sources.{GraftCatalog, GraftTxn}
+import graft.sources.{GraftCatalog, GraftMaintenance, GraftTxn}
 
 /** The graft-cdc streaming source (round 13): offsets are table
   * versions read from the commit log. The contract row (st28) pins
@@ -96,6 +96,39 @@ class GraftChangeFeedSpec extends SparkSpec {
       .option("startVersion", "2").load()
       .collect().map(_.getLong(0)).sorted
     assert(tail.toSeq == Seq(3L))
+    // startTimestampUs resolves through the commit log: feeding from
+    // v2's commit instant yields exactly the commits AFTER v2
+    val t2 = hist(1)._2
+    val fromTs = spark.read.format("graft-cdc")
+      .option("tableDir", dir.getAbsolutePath)
+      .option("startTimestampUs", t2.toString).load()
+      .collect().map(_.getLong(0)).sorted
+    assert(fromTs.toSeq == Seq(3L), s"from t(v2) expected [3]: ${fromTs.toSeq}")
     spark.sql("DROP TABLE IF EXISTS bf.t"): Unit
+  }
+
+  test("tableChanges returns every per-commit change in a version range") {
+    val base = freshCatalog("tc")
+    spark.sql("DROP TABLE IF EXISTS tc.t")
+    spark.sql("CREATE TABLE tc.t AS " +
+      "SELECT id AS k, id * 10 AS v FROM range(0, 6)") // v1
+    spark.sql("UPDATE tc.t SET v = v + 1 WHERE k < 2") // v2: changed 0,1
+    spark.sql("DELETE FROM tc.t WHERE k = 5") // v3: deleted 5
+    spark.sql("INSERT INTO tc.t VALUES (9, 90)") // v4: inserted 9
+    val got = graft.operators.Dml
+      .tableChanges(spark, "tc.t", 1L, 4L, Seq("k"))
+      .collect().map(r => (r.getAs[Long]("version"), r.getAs[Long]("k"),
+        r.getAs[String]("change_type"))).toSet
+    val want = Set((2L, 0L, "changed"), (2L, 1L, "changed"),
+      (3L, 5L, "deleted"), (4L, 9L, "inserted"))
+    assert(got == want, s"got $got")
+    // the range is snapshot-gated exactly like time travel
+    GraftMaintenance.vacuum(new File(base, "t"), retain = 1): Unit
+    val e = intercept[Exception] {
+      graft.operators.Dml.tableChanges(spark, "tc.t", 1L, 4L, Seq("k"))
+        .collect()
+    }
+    assert(e.getMessage != null)
+    spark.sql("DROP TABLE IF EXISTS tc.t"): Unit
   }
 }
