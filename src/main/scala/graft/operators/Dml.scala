@@ -655,7 +655,61 @@ object Dml {
     } finally s.sql(s"DROP TABLE IF EXISTS $cat.orders_zo"): Unit
   }
 
+  /** SQL55 — stored-procedure CALL surface (round 13): the whole
+    * maintenance lifecycle as pure SQL through the catalog's DSv2
+    * ProcedureCatalog ([[graft.sources.GraftProcedures]]) — `CALL
+    * cat.history(t)` (the DESCRIBE HISTORY analog), `CALL
+    * cat.restore(table => t, version => 1)` (named args), `CALL
+    * cat.optimize(t, bytes, 'key')` (clustered bin-pack), `CALL
+    * cat.vacuum(t, 1)`. Claims: post-restore state equals v1 exactly
+    * (count + Det revenue + keysum recomputed by the oracle from
+    * orders), optimize really packed 8→1 value-neutrally, history saw
+    * all five commits, vacuum reclaimed snapshots — every effect
+    * observed through SQL faces only. sql53/x181/x183 exercise the
+    * same machinery programmatically; this row is the SQL-only
+    * user's path. */
+  def sql55CallProcedures(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val cat = Tables.graftCatalog(s, "sql55", sfDir)
+    s.sql(s"DROP TABLE IF EXISTS $cat.orders_mt")
+    Tables.orders(s, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartition(8)
+      .createOrReplaceTempView("orders_src55")
+    s.sql(s"CREATE TABLE $cat.orders_mt AS SELECT * FROM orders_src55") // 1
+    try {
+      s.sql(s"UPDATE $cat.orders_mt SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_custkey % 3 = 0") // v2
+      s.sql(s"DELETE FROM $cat.orders_mt WHERE o_orderkey % 2 = 0") // v3
+      val restoredTo = s.sql(
+        s"CALL $cat.restore(`table` => 'orders_mt', version => 1)")
+        .head().getLong(0) // v4
+      val opt = s.sql(
+        s"CALL $cat.optimize('orders_mt', ${1L << 40}, 'o_orderkey')")
+        .head() // v5
+      val nCommits = s.sql(s"CALL $cat.history('orders_mt')").count()
+      val removed = s.sql(s"CALL $cat.vacuum('orders_mt', 1)")
+        .head().getLong(0)
+      val r = s.table(s"$cat.orders_mt").agg(count(lit(1)),
+        coalesce(sum(col("o_totalprice").cast(graft.Det.Money)),
+          lit(java.math.BigDecimal.ZERO).cast(graft.Det.Money)),
+        coalesce(sum(col("o_orderkey")), lit(0L))).head()
+      import s.implicits._
+      Seq((r.getLong(0), r.getLong(2), restoredTo == 4L,
+          opt.getLong(0) == 8L && opt.getLong(1) == 1L, nCommits,
+          removed >= 1L))
+        .toDF("n_rows", "keysum", "restored_as_v4", "packed_8_to_1",
+          "n_commits", "vacuumed")
+        .withColumn("revenue",
+          lit(r.getDecimal(1)).cast(graft.Det.Money).cast("double"))
+        .select(col("n_rows"), col("revenue"), col("keysum"),
+          col("restored_as_v4"), col("packed_8_to_1"), col("n_commits"),
+          col("vacuumed"))
+    } finally s.sql(s"DROP TABLE IF EXISTS $cat.orders_mt"): Unit
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql55_call_procedures" -> (sql55CallProcedures _),
     "x183_clustered_optimize" -> (x183ClusteredOptimize _),
     "sql53_restore" -> (sql53Restore _),
     "sql54_schema_evolution" -> (sql54SchemaEvolution _),
@@ -671,6 +725,17 @@ object Dml {
     "sql51_merge_by_source" -> (sql51MergeBySource _))
 
   val oracles: Map[String, String] = Map(
+    // restore-to-v1 makes the final state the plain CTAS projection:
+    // every data claim recomputes from orders; the SQL-face effects
+    // (restore version, packing, history depth, vacuum) are booleans/
+    // counts the engine pins
+    "sql55_call_procedures" ->
+      ("SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows, " +
+       "CAST(CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4))) " +
+       "FROM orders) AS DECIMAL(18,4)) AS DOUBLE) AS revenue, " +
+       "CAST((SELECT SUM(o_orderkey) FROM orders) AS BIGINT) AS keysum, " +
+       "TRUE AS restored_as_v4, TRUE AS packed_8_to_1, " +
+       "CAST(5 AS BIGINT) AS n_commits, TRUE AS vacuumed"),
     // value-neutral clustered maintenance: data claims recompute from
     // orders; layout claims (packed, z-disjoint files, history) are
     // engine-verified booleans

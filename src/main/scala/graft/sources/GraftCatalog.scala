@@ -60,9 +60,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * process, visible to any session pointing at the same base — the
   * lake-native catalog shape.
   */
-class GraftCatalog extends TableCatalog with SupportsDeleteV2Helpers {
+class GraftCatalog extends TableCatalog
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+  with SupportsDeleteV2Helpers {
   private var catName: String = _
   private var base: File = _
+
+  /** SQL stored procedures (round 13): `CALL <cat>.restore/optimize/
+    * vacuum/history(...)` — see [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident,
+      parts => tableDir(Identifier.of(parts.init.toArray, parts.last)),
+      () => SparkSession.active)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.All.map(n => Identifier.of(namespace, n)).toArray
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {

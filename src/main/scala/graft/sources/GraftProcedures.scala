@@ -1,0 +1,149 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+
+import scala.jdk.CollectionConverters._
+
+/** SQL stored procedures for the transactional maintenance surface
+  * (round 13): `CALL graft.restore(...)` / `optimize` / `vacuum` /
+  * `history` through Spark 4's DSv2 ProcedureCatalog — the Iceberg-
+  * style CALL face over exactly the [[GraftMaintenance]] /
+  * [[GraftTxn]] machinery the programmatic rows (sql53, x181–x183)
+  * exercise, so a SQL-only user can run every maintenance operation a
+  * warehouse owner needs without touching Scala:
+  *
+  * {{{
+  *   CALL wh.restore(table => 'accounts', version => 3)
+  *   CALL wh.optimize('accounts', 268435456)            -- bin-pack
+  *   CALL wh.optimize('accounts', 268435456, 'acct')    -- clustered
+  *   CALL wh.vacuum('accounts', 8)
+  *   CALL wh.history('accounts')                        -- DESCRIBE HISTORY
+  * }}}
+  *
+  * Each procedure resolves the table name inside ITS OWN catalog
+  * (namespaced names work: 'ns.t'), runs under the commit protocol
+  * like every other write, and returns its claims as result rows
+  * (a [[LocalScan]] — the values are driver-known facts, not data).
+  * Procedures resolve both bare (`CALL cat.restore`) and
+  * Iceberg-style (`CALL cat.system.restore`) spellings. */
+private[sources] object GraftProcedures {
+
+  /** All procedures, keyed by lower-case name. */
+  def load(ident: Identifier, tableDir: Seq[String] => File,
+      spark: () => org.apache.spark.sql.SparkSession): UnboundProcedure = {
+    // accept `cat.proc` and `cat.system.proc`
+    require(ident.namespace().isEmpty ||
+      ident.namespace().sameElements(Array("system")),
+      s"unknown procedure namespace ${ident.namespace().mkString(".")}")
+    ident.name().toLowerCase(java.util.Locale.ROOT) match {
+      case "restore" => RestoreProc(tableDir)
+      case "optimize" => OptimizeProc(tableDir, spark)
+      case "vacuum" => VacuumProc(tableDir)
+      case "history" => HistoryProc(tableDir)
+      case other => throw new UnsupportedOperationException(
+        s"unknown graft procedure '$other' " +
+          "(have: restore, optimize, vacuum, history)")
+    }
+  }
+
+  val All: Seq[String] = Seq("restore", "optimize", "vacuum", "history")
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private def dir(tableDir: Seq[String] => File, row: InternalRow): File = {
+    val parts = row.getUTF8String(0).toString.split("\\.").toSeq
+    val d = tableDir(parts)
+    require(d.isDirectory, s"no graft table '${parts.mkString(".")}'")
+    d
+  }
+
+  private def result(schema: StructType,
+      out: InternalRow*): java.util.Iterator[Scan] = {
+    val outRows = out.toArray
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] = outRows
+      override def readSchema(): StructType = schema
+    }
+    Seq(scan).iterator.asJava
+  }
+
+  /** Shared shape: every graft procedure is bound by its static
+    * parameter list (no overloads), deterministic = false (they
+    * mutate table state). */
+  private abstract class GraftProc(procName: String,
+      params: Array[ProcedureParameter], out: StructType)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    protected def outSchema: StructType = out
+  }
+
+  private case class RestoreProc(tableDir: Seq[String] => File)
+    extends GraftProc("restore",
+      Array(in("table", StringType), in("version", LongType)),
+      new StructType().add("restored_to_version", LongType, false)) {
+    override def description(): String =
+      "promote a retained snapshot back to live as a NEW validated commit"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val v = GraftMaintenance.restore(dir(tableDir, input), input.getLong(1))
+      result(outSchema, InternalRow(v))
+    }
+  }
+
+  private case class OptimizeProc(tableDir: Seq[String] => File,
+      spark: () => org.apache.spark.sql.SparkSession)
+    extends GraftProc("optimize",
+      Array(in("table", StringType), in("target_bytes", LongType),
+        ProcedureParameter.in("cluster_by", StringType)
+          .defaultValue("CAST(NULL AS STRING)").build()),
+      new StructType().add("files_before", LongType, false)
+        .add("files_after", LongType, false)) {
+    override def description(): String =
+      "transactional bin-pack; optional clustering expression " +
+        "(range-partition + sort, the OPTIMIZE ... ZORDER analog)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val cluster =
+        if (input.isNullAt(2)) None
+        else Option(input.getUTF8String(2)).map(_.toString).filter(_.nonEmpty)
+      val (b, a) = GraftMaintenance.compact(spark(), dir(tableDir, input),
+        input.getLong(1), cluster)
+      result(outSchema, InternalRow(b.toLong, a.toLong))
+    }
+  }
+
+  private case class VacuumProc(tableDir: Seq[String] => File)
+    extends GraftProc("vacuum",
+      Array(in("table", StringType), in("retain", LongType)),
+      new StructType().add("snapshots_removed", LongType, false)) {
+    override def description(): String =
+      "drop retained snapshots beyond `retain` and sweep crashed-writer debris"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val n = GraftMaintenance.vacuum(dir(tableDir, input),
+        input.getLong(1).toInt)
+      result(outSchema, InternalRow(n.toLong))
+    }
+  }
+
+  private case class HistoryProc(tableDir: Seq[String] => File)
+    extends GraftProc("history",
+      Array(in("table", StringType)),
+      new StructType().add("version", LongType, false)
+        .add("committed_us", LongType, false)) {
+    override def description(): String =
+      "the table's commit log (DESCRIBE HISTORY): one row per version"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val rows = GraftTxn.commitTimes(dir(tableDir, input))
+        .map { case (v, t) => InternalRow(v, t) }
+      result(outSchema, rows: _*)
+    }
+  }
+}
