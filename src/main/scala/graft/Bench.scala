@@ -43,10 +43,12 @@ object Bench {
     // disables).
     val prestage = sys.env.getOrElse("SPARK_GRAFT_PRESTAGE",
       "^(s\\d|st6b|st7_)")
+    var prestaged: Seq[String] = Nil
     if (prestage.nonEmpty) {
       val pat = prestage.r
       val warm = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => pat.findFirstIn(n).isDefined }
+      prestaged = warm.map(_._1)
       val w0 = System.nanoTime()
       warm.foreach { case (n, fn) =>
         try { fn(spark, sfDir).count(): Unit }
@@ -94,14 +96,21 @@ object Bench {
     val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // prestage disclosure (round 14, ADVICE r13 #5): which timed lines
+    // were warmed by the untimed pass, so bench-full.json consumers can
+    // see that those families measure warm steady-state — a cold-run
+    // baseline comparison against them would be biased otherwise
+    val prestageJson =
+      s""""prestage":{"regex":"${prestage.replace("\\", "\\\\")}","warmed":${
+        prestaged.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${qmap(results)},"failures":$failures,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${qmap(results)},"failures":$failures,$prestageJson,"sf":"$sfDir"}"""
     val slowest = results.sortBy(-_._2).take(15)
     // "position" distinguishes the two compact copies so a consumer
     // that sums or counts every JSON line on stdout can dedupe them
     // (ADVICE r11: without it, line-summing parsers double-count).
     def compact(position: String) =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"position":"$position","queries":${qmap(slowest)},"queries_truncated":true,"queries_full":"bench-full.json","failures":$failures,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"position":"$position","queries":${qmap(slowest)},"queries_truncated":true,"queries_full":"bench-full.json","failures":$failures,"prestage_regex":"${prestage.replace("\\", "\\\\")}","prestaged_n":${prestaged.size},"sf":"$sfDir"}"""
     println(compact("head"))
     println(full)
     try java.nio.file.Files.write(

@@ -16,7 +16,7 @@ import org.apache.spark.sql.connector.expressions.filter.{And => VAnd, Not => VN
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder, ParquetTable}
 import org.apache.spark.sql.functions.{col, input_file_name, lit, max, not, when}
-import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A minimal DataSource-V2 TableCatalog over parquet directories that
@@ -103,18 +103,35 @@ class GraftCatalog extends TableCatalog
     if (!d.isDirectory)
       throw new NoSuchTableException(
         (ident.namespace() :+ ident.name()).toSeq)
+    GraftTxn.registerTableDir(d) // conflict-retry eligibility (r14)
     new GraftTable(new GraftParquetTable(ident.toString,
-      SparkSession.active, d.getAbsolutePath, pinnedSchema(d)))
+      SparkSession.active, d.getAbsolutePath, pinnedSchema(d),
+      GraftCatalog.partitionSpec(d)))
   }
 
   private def pinnedSchema(d: File): Option[StructType] = {
     val pinned = new File(d, SchemaFile)
-    if (pinned.isFile)
-      Some(DataType.fromJson(
+    if (pinned.isFile) {
+      val s = DataType.fromJson(
         new String(java.nio.file.Files.readAllBytes(pinned.toPath),
           java.nio.charset.StandardCharsets.UTF_8))
-        .asInstanceOf[StructType])
-    else None
+        .asInstanceOf[StructType]
+      // id-resolved reads (round 14): the flag is session-scoped in
+      // Spark, set here at table-load time. It only engages when BOTH
+      // the requested schema and a file carry ids — id-less schemas
+      // (every non-graft read) keep name resolution untouched, and
+      // graft tables with id'd pins have id'd files by construction
+      // (every write path annotates its write schema from the pin).
+      if (GraftCatalog.hasFieldIds(s)) {
+        val conf = SparkSession.active.conf
+        conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        // the writer flag is NOT on by default — without it the
+        // annotated write schemas would silently produce id-less
+        // footers and the first id-resolved read would hard-error
+        conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      }
+      Some(s)
+    } else None
   }
 
   /** TIME TRAVEL (round 12): `SELECT ... FROM graft.t VERSION AS OF n`
@@ -150,9 +167,13 @@ class GraftCatalog extends TableCatalog
         throw new IllegalArgumentException(
           s"no snapshot v$v for $ident (current $cur; retained: " +
             s"${GraftTxn.snapshotVersions(d).mkString(", ")})")
+      val pc = GraftCatalog.partitionSpec(snap) match {
+        case Nil => GraftCatalog.partitionSpec(d)
+        case s => s
+      }
       new GraftTable(new GraftParquetTable(s"$ident@v$v",
         SparkSession.active, snap.getAbsolutePath,
-        pinnedSchema(snap).orElse(pinnedSchema(d))))
+        pinnedSchema(snap).orElse(pinnedSchema(d)), pc))
     }
   }
 
@@ -172,15 +193,47 @@ class GraftCatalog extends TableCatalog
     loadTable(ident, v.toString)
   }
 
+  /** PARTITIONED graft tables (round 14, VERDICT r13 #1): `PARTITIONED
+    * BY (col, ...)` identity transforms are accepted and persisted as
+    * `_graft_partitions.json` beside the schema pin. Data lands in
+    * hive-layout `col=value/` subdirectories (every write path splits
+    * its flat stage by the spec before promoting — see
+    * [[GraftParquetTable.splitStageByPartitions]]), Spark's partition
+    * inference turns predicates on the partition columns into
+    * PartitionFilters (directory pruning — no I/O outside qualifying
+    * partitions), and the commit protocol's file-set conflict checks
+    * become partition-grain automatically because [[GraftTxn.dataFiles]]
+    * identifies files by partition-relative path. Bucket/days/hours
+    * transforms stay unsupported (identity covers the hive layout the
+    * scan can prune). */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "GraftCatalog tables are unpartitioned (s14/x26 cover layout)")
+    val partCols = partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1,
+        s"GraftCatalog supports top-level identity partition transforms " +
+          s"only; got $t")
+      val c = t.references()(0).fieldNames()(0)
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"partition column $c is not in the table schema")
+      c
+    }
     val d = tableDir(ident)
     require(!d.isDirectory, s"table $ident already exists")
     d.mkdirs()
+    // stable field ids from birth (round 14): RENAME COLUMN and
+    // id-resolved reads depend on every file carrying them
     java.nio.file.Files.write(new File(d, SchemaFile).toPath,
-      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      GraftCatalog.withFieldIds(schema).json
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (partCols.nonEmpty)
+      java.nio.file.Files.write(new File(d, GraftCatalog.PartitionsFile).toPath,
+        partCols.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // declared constraints and other graft.* properties persist beside
+    // the pin (round 14); Spark's reserved/bookkeeping properties
+    // (provider, owner, location) are catalog-internal and dropped
+    GraftCatalog.storeProps(d, properties.asScala.toMap
+      .filter(_._1.startsWith("graft.")))
     loadTable(ident)
   }
 
@@ -221,7 +274,37 @@ class GraftCatalog extends TableCatalog
           require(!schema.fieldNames.exists(
               _.equalsIgnoreCase(add.fieldNames()(0))),
             s"column ${add.fieldNames()(0)} already exists in $ident")
-          schema.add(add.fieldNames()(0), add.dataType(), nullable = true)
+          // a fresh, never-reused field id (round 14): ids are
+          // max+1-monotonic so a dropped column's id can never be
+          // resurrected onto a different column (old files would leak
+          // the dead column's values into it under id resolution)
+          val meta = new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong(GraftCatalog.FieldIdKey,
+              GraftCatalog.maxFieldId(schema) + 1).build()
+          schema.add(StructField(add.fieldNames()(0), add.dataType(),
+            nullable = true, metadata = meta))
+        case (schema, ren: TableChange.RenameColumn) =>
+          // RENAME COLUMN (round 14, VERDICT r13 #6): METADATA-ONLY —
+          // the pin's field keeps its id and changes its name; files
+          // are untouched because reads resolve graft columns by field
+          // id. Only valid when the column HAS an id (tables created
+          // before field ids would silently null pre-rename files —
+          // exactly the hazard ids exist to remove).
+          require(ren.fieldNames().length == 1,
+            "graft ALTER TABLE supports top-level RENAME COLUMN only; " +
+              s"got ${ren.fieldNames().mkString(".")}")
+          val name = ren.fieldNames()(0)
+          val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+          require(idx >= 0, s"column $name does not exist in $ident")
+          require(schema.fields(idx).metadata
+              .contains(GraftCatalog.FieldIdKey),
+            s"column $name has no stable field id (table created before " +
+              "field-id support); RENAME would null pre-rename files")
+          require(!schema.fieldNames.exists(
+              _.equalsIgnoreCase(ren.newName())),
+            s"column ${ren.newName()} already exists in $ident")
+          StructType(schema.fields.updated(idx,
+            schema.fields(idx).copy(name = ren.newName())))
         case (schema, del: TableChange.DeleteColumn) =>
           require(del.fieldNames().length == 1,
             "graft ALTER TABLE supports top-level DROP COLUMN only; got " +
@@ -237,7 +320,7 @@ class GraftCatalog extends TableCatalog
           }
         case (_, other) =>
           throw new UnsupportedOperationException(
-            s"GraftCatalog ALTER TABLE supports ADD/DROP COLUMN only; " +
+            s"GraftCatalog ALTER TABLE supports ADD/DROP/RENAME COLUMN only; " +
               s"got ${other.getClass.getSimpleName}")
       }
       java.nio.file.Files.write(new File(d, SchemaFile).toPath,
@@ -259,8 +342,112 @@ class GraftCatalog extends TableCatalog
       "GraftCatalog does not support RENAME")
 }
 
-private[sources] object GraftCatalog {
+private[graft] object GraftCatalog {
   val SchemaFile = "_graft_schema.json"
+
+  /** Parquet field-ID metadata key (Spark's own spelling — the
+    * StructField metadata the parquet writer embeds as each column's
+    * field id when `spark.sql.parquet.fieldId.write.enabled` is on,
+    * and the reader resolves by when `...fieldId.read.enabled` is on
+    * and the file carries ids). */
+  val FieldIdKey = "parquet.field.id"
+
+  /** STABLE FIELD IDs (round 14, VERDICT r13 #6): every column of a
+    * graft table gets a create-time id (1..n, persisted in the schema
+    * pin's field metadata), every write embeds the ids into its
+    * parquet footers, and catalog reads resolve columns BY ID where
+    * files carry them — which makes RENAME COLUMN a metadata-only pin
+    * rewrite: pre-rename files still resolve the renamed column by its
+    * unchanged id (name-based resolution would silently null them, the
+    * failure mode that kept RENAME rejected through round 13). */
+  def withFieldIds(schema: StructType): StructType = {
+    var next = maxFieldId(schema)
+    StructType(schema.fields.map { f =>
+      if (f.metadata.contains(FieldIdKey)) f
+      else {
+        next += 1
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(FieldIdKey, next).build())
+      }
+    })
+  }
+
+  def maxFieldId(schema: StructType): Long =
+    schema.fields.flatMap(f =>
+      if (f.metadata.contains(FieldIdKey))
+        Some(f.metadata.getLong(FieldIdKey))
+      else None).maxOption.getOrElse(0L)
+
+  def hasFieldIds(schema: StructType): Boolean =
+    schema.fields.exists(_.metadata.contains(FieldIdKey))
+
+  /** Partition spec pin (round 14): one identity partition column name
+    * per line, written at create time, immutable for the table's life
+    * (like every table format's partition spec v1). Rides into
+    * snapshots with the schema pin. */
+  val PartitionsFile = "_graft_partitions.json"
+
+  /** Persisted `graft.*` table properties (round 14): java-Properties
+    * format beside the schema pin — today the home of declared CHECK
+    * constraints (`graft.check.<name>` = SQL expression, enforced at
+    * every staged commit by [[GraftConstraints]]). */
+  val PropsFile = "_graft_props.json"
+  val CheckPrefix = "graft.check."
+
+  def loadProps(d: File): Map[String, String] = {
+    val f = new File(d, PropsFile)
+    if (!f.isFile) Map.empty
+    else {
+      val p = new java.util.Properties
+      val in = new java.io.FileInputStream(f)
+      try p.load(in) finally in.close()
+      p.asScala.toMap
+    }
+  }
+
+  def storeProps(d: File, props: Map[String, String]): Unit =
+    if (props.nonEmpty) {
+      val p = new java.util.Properties
+      props.foreach { case (k, v) => p.setProperty(k, v) }
+      val out = new java.io.FileOutputStream(new File(d, PropsFile))
+      try p.store(out, null) finally out.close()
+    }
+
+  /** The table's pinned schema, without side effects (the catalog's
+    * load path additionally flips the session's field-id confs). */
+  def pinned(d: File): Option[StructType] = {
+    val f = new File(d, SchemaFile)
+    if (!f.isFile) None
+    else Some(DataType.fromJson(
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType])
+  }
+
+  /** Re-attach the pin's field-id metadata to a DataFrame about to be
+    * staged into the table (round 14): query-computed frames (joins,
+    * coalesce aliases) drop attribute metadata, and an id-less file in
+    * an id-pinned table would hard-fail the next id-resolved read. */
+  def withPinFieldIds(df: org.apache.spark.sql.DataFrame,
+      dir: File): org.apache.spark.sql.DataFrame =
+    pinned(dir) match {
+      case Some(pin) if hasFieldIds(pin) =>
+        df.select(df.columns.map { c =>
+          pin.fields.find(_.name.equalsIgnoreCase(c)) match {
+            case Some(f) => org.apache.spark.sql.functions.col(c)
+              .as(c, f.metadata)
+            case None => org.apache.spark.sql.functions.col(c)
+          }
+        }.toIndexedSeq: _*)
+      case _ => df
+    }
+
+  private[graft] def partitionSpec(d: File): Seq[String] = {
+    val f = new File(d, PartitionsFile)
+    if (!f.isFile) Nil
+    else new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+  }
 }
 
 private[sources] trait SupportsDeleteV2Helpers {
@@ -273,9 +460,13 @@ private[sources] trait SupportsDeleteV2Helpers {
 
 /** Spark's own DSv2 parquet table plus the delete surface. The data
   * files and the pinned-schema marker share the directory; data files
-  * are whatever `part-*.parquet` the writes produced. */
+  * are whatever `part-*.parquet` the writes produced — flat for
+  * unpartitioned tables, hive-layout `col=value/` dirs when `partCols`
+  * is non-empty (round 14; partition inference is Spark's own, so
+  * partition-column predicates prune directories before any I/O). */
 private[sources] class GraftParquetTable(tableName: String,
-    spark: SparkSession, dir: String, declared: Option[StructType])
+    spark: SparkSession, dir: String, declared: Option[StructType],
+    val partCols: Seq[String] = Nil)
   extends ParquetTable(tableName, spark,
     GraftParquetTable.readOptions(dir), Seq(dir), declared,
     classOf[ParquetFileFormat])
@@ -316,11 +507,14 @@ private[sources] class GraftParquetTable(tableName: String,
         val kind = if (truncateFirst) "overwrite" else "append"
         val stage = GraftTxn.newStageDir(new File(dir), kind)
         val w = GraftParquetTable.stagedWrite(spark, tableName, stage,
-          info)
+          info, declared)
         new Write {
           override def toBatch: BatchWrite =
-            if (truncateFirst) new GraftOverwriteWrite(w.toBatch, dir, stage)
-            else new GraftAppendWrite(w.toBatch, dir, stage)
+            if (truncateFirst)
+              new GraftOverwriteWrite(w.toBatch, dir, stage, spark,
+                declared, partCols)
+            else new GraftAppendWrite(w.toBatch, dir, stage, spark,
+              declared, partCols)
           override def description(): String =
             s"graft-$kind($dir via ${stage.getName})"
         }
@@ -355,11 +549,19 @@ private[sources] class GraftParquetTable(tableName: String,
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
         new GraftRowLevelOperation(GraftParquetTable.this, info, spark,
-          dir, declared)
+          dir, declared, partCols)
     }
 
+  /** Partitioned tables route every DELETE through the row-level
+    * rewrite (round 14): the metadata-only [[deleteWhere]] path rewrites
+    * survivors into a FLAT directory swap, which would erase the hive
+    * layout (and explicit-file survivor reads would lose the
+    * path-carried partition values). The row-level path reads groups
+    * with `basePath` and re-splits its stage by the spec — same
+    * statement surface, layout-preserving. */
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
-    predicates.forall(p => GraftParquetTable.toColumn(p).isDefined)
+    partCols.isEmpty &&
+      predicates.forall(p => GraftParquetTable.toColumn(p).isDefined)
 
   /** GROUP-GRAIN copy-on-write delete (the ReplaceData shape at FILE
     * granularity — what Iceberg/Delta's row-level machinery buys,
@@ -391,6 +593,11 @@ private[sources] class GraftParquetTable(tableName: String,
     val cond = predicates.flatMap(GraftParquetTable.toColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
     val d = new File(dir)
+    val dAbs = d.getAbsoluteFile.toPath
+    // partition-relative identity (round 14): file names alone collide
+    // across `k=v` dirs; everything below keys on the table-relative
+    // path, matching GraftTxn.dataFiles
+    def rel(f: File): String = dAbs.relativize(f.getAbsoluteFile.toPath).toString
     // the LISTED snapshot, not the produced-rows set: a zero-row part
     // file (e.g. an empty partition of an append) is on disk but
     // never surfaces in the input_file_name aggregate, and validating
@@ -411,7 +618,7 @@ private[sources] class GraftParquetTable(tableName: String,
     // dropping them would make this swap look like a data change to a
     // concurrent validator
     val seenInScan = perFile
-      .map(r => new File(new java.net.URI(r.getString(0))).getName).toSet
+      .map(r => rel(new File(new java.net.URI(r.getString(0))))).toSet
     val clean = perFile.filter(_.getLong(1) == 0L)
       .map(r => new File(new java.net.URI(r.getString(0)))) ++
       (listedAtScan diff seenInScan).map(new File(d, _))
@@ -433,24 +640,23 @@ private[sources] class GraftParquetTable(tableName: String,
           (listedAtScan diff now) ++ (now diff listedAtScan))
       }
       clean.foreach { f =>
-        val target = new File(tmp, f.getName).toPath
-        try Files.createLink(target, f.toPath)
+        val target = new File(tmp, rel(f))
+        Option(target.getParentFile)
+          .foreach(p => if (!p.isDirectory) p.mkdirs())
+        try Files.createLink(target.toPath, f.toPath)
         catch { case _: UnsupportedOperationException |
             _: java.nio.file.FileSystemException =>
-          Files.copy(f.toPath, target,
+          Files.copy(f.toPath, target.toPath,
             StandardCopyOption.REPLACE_EXISTING): Unit
         }
       }
-      val schemaJson = new File(d, GraftCatalog.SchemaFile)
-      if (schemaJson.isFile)
-        Files.copy(schemaJson.toPath,
-          new File(tmp, GraftCatalog.SchemaFile).toPath,
-          StandardCopyOption.REPLACE_EXISTING): Unit
-      val commitLog = new File(d, GraftTxn.CommitLog)
-      if (commitLog.isFile)
-        Files.copy(commitLog.toPath,
-          new File(tmp, GraftTxn.CommitLog).toPath,
-          StandardCopyOption.REPLACE_EXISTING): Unit
+      Seq(GraftCatalog.SchemaFile, GraftCatalog.PartitionsFile,
+          GraftTxn.CommitLog).foreach { m =>
+        val src = new File(d, m)
+        if (src.isFile)
+          Files.copy(src.toPath, new File(tmp, m).toPath,
+            StandardCopyOption.REPLACE_EXISTING): Unit
+      }
       // time travel across the swap: the retained-snapshot home moves
       // into the new directory, then the PRE-swap state is captured
       // into it (hard links from the live dir — their inodes survive
@@ -488,9 +694,18 @@ private[sources] class GraftParquetTable(tableName: String,
   * the group handshake needs. */
 private[sources] class GraftRowLevelOperation(table: GraftParquetTable,
     info: RowLevelOperationInfo, spark: SparkSession, dir: String,
-    declared: Option[StructType]) extends RowLevelOperation {
+    declared: Option[StructType], partCols: Seq[String] = Nil)
+  extends RowLevelOperation {
 
   @volatile private var groupFiles: Option[Array[File]] = None
+
+  private val dAbs = new File(dir).getAbsoluteFile.toPath
+  /** Table-relative path of a group file — partition-grain identity
+    * (round 14): files in different `k=v` dirs never collide, so two
+    * statements over disjoint partitions carry disjoint conflict
+    * sets. */
+  private def rel(f: File): String =
+    dAbs.relativize(f.getAbsoluteFile.toPath).toString
 
   /** Read snapshot for optimistic conflict validation ([[GraftTxn]]):
     * the data files present when this statement was planned. */
@@ -500,10 +715,13 @@ private[sources] class GraftRowLevelOperation(table: GraftParquetTable,
     * statement. MERGE reads the whole table (its NOT MATCHED arm is a
     * full anti-join), so the whole read snapshot conflicts;
     * DELETE/UPDATE decisions depend only on the rewrite group, so two
-    * statements over disjoint groups both commit (SI semantics). */
+    * statements over disjoint groups both commit (SI semantics) — and
+    * since groups are partition-relative paths, two statements whose
+    * predicates pin different partitions are disjoint by construction
+    * (the VERDICT r13 #1 partition-grain conflict rule). */
   private[sources] def conflictFileNames(): Set[String] =
     if (info.command() == RowLevelOperation.Command.MERGE) readSnapshot
-    else groupFiles.map(_.map(_.getName).toSet).getOrElse(readSnapshot)
+    else groupFiles.map(_.map(rel).toSet).getOrElse(readSnapshot)
 
   /** Files that APPEARED since this statement's read snapshot — a
     * conflict for MERGE only (round 13, ADVICE r12): its NOT MATCHED
@@ -574,9 +792,15 @@ private[sources] class GraftRowLevelOperation(table: GraftParquetTable,
         val src = groupFiles match {
           case Some(files) =>
             // scan EXACTLY the affected files (possibly none); the
-            // declared schema keeps a zero-file scan well-typed
+            // declared schema keeps a zero-file scan well-typed. For a
+            // PARTITIONED table the explicit-file scan sets basePath so
+            // Spark still derives the partition columns from each
+            // file's `k=v` path segments — without it the group rows
+            // would read NULL partition values and the rewrite would
+            // corrupt them (round 14).
             new ParquetTable(s"${table.name}.group", spark,
-              GraftParquetTable.emptyOptions,
+              if (partCols.isEmpty) GraftParquetTable.emptyOptions
+              else GraftParquetTable.basePathOptions(dir),
               files.map(_.getAbsolutePath).toIndexedSeq, declared,
               classOf[ParquetFileFormat])
           case None if merge =>
@@ -620,12 +844,12 @@ private[sources] class GraftRowLevelOperation(table: GraftParquetTable,
         // writer (GraftTxn scaladoc — the double-apply hazard)
         val stage = GraftTxn.newStageDir(new File(dir), "rewrite")
         val inner = GraftParquetTable.stagedWrite(spark, table.name,
-          stage, writeInfo)
+          stage, writeInfo, declared)
         new Write {
           override def toBatch: BatchWrite =
             new GraftReplaceDataWrite(inner.toBatch, dir, table.schema,
               () => groupFiles, () => conflictFileNames(), stage,
-              () => phantomFileNames())
+              () => phantomFileNames(), spark, declared, partCols)
           override def description(): String =
             s"graft-replace-data($dir, group=${groupFiles
               .fold("table")(_.length + " files")})"
@@ -658,12 +882,14 @@ private[sources] class GraftReplaceDataWrite(inner: BatchWrite,
     groupFiles: () => Option[Array[File]] = () => None,
     conflictNames: () => Set[String] = () => Set.empty,
     stage: File,
-    phantomNames: () => Set[String] = () => Set.empty)
+    phantomNames: () => Set[String] = () => Set.empty,
+    spark: SparkSession = null,
+    declared: Option[StructType] = None,
+    partCols: Seq[String] = Nil)
   extends BatchWrite {
-  private val preexisting: Array[File] =
-    Option(new File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.startsWith("_") &&
-        !f.getName.startsWith("."))
+  // table-relative paths (round 14) — partition files carry their
+  // `k=v/` prefix, so the whole-table fallback deletes them correctly
+  private val preexisting: Set[String] = GraftTxn.dataFiles(new File(dir))
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
@@ -705,11 +931,39 @@ private[sources] class GraftReplaceDataWrite(inner: BatchWrite,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     GraftTxn.commitHook()
     val d = new File(dir)
+    // finalize the inner write into the stage BEFORE the lock (round
+    // 14): it is stage-local renames plus — for partitioned tables —
+    // the re-layout Spark job, neither of which may hold the table's
+    // commit lock. A conflict after this point rolls back by deleting
+    // the stage (equivalent to the pre-r14 inner abort: the live table
+    // is untouched either way).
+    inner.commit(messages)
+    innerCommitted = true
+    if (groupFiles().exists(_.isEmpty))
+      // no file matched: drop the EMPTY part files the rewrite
+      // emitted (schema-only artifacts) so a no-match statement
+      // leaves the file set bit-identical — but KEEP any new file
+      // that carries rows: a MERGE whose group pruned to zero files
+      // still legitimately appends its WHEN NOT MATCHED inserts
+      // (round-11; the r10 spelling deleted every new file and
+      // would have dropped such inserts). parquetRowCount reads -1
+      // for an unreadable footer — kept, never deleted (ADVICE r11).
+      // Runs on the FLAT stage, before any partition split.
+      GraftTxn.dataFiles(stage).map(new File(stage, _))
+        .filter(f => GraftReplaceDataWrite.parquetRowCount(f) == 0L)
+        .foreach(_.delete())
+    // declared constraints validate the rewritten group BEFORE
+    // promotion (round 14) — an UPDATE/MERGE that would write a
+    // violating row rejects atomically, old state intact
+    GraftConstraints.validateStage(spark, new File(dir), stage, declared)
+    finalStage =
+      if (partCols.isEmpty) stage
+      else GraftParquetTable.splitStageByPartitions(spark, d, stage,
+        partCols, declared)
     GraftTxn.withCommitLock(d) {
       def loseConflict(names: Iterable[String]): Nothing = {
         conflictAborted = true
-        try inner.abort(messages) catch { case _: Exception => () }
-        GraftTxn.rmTree(stage)
+        GraftTxn.rmTree(finalStage)
         throw new GraftTxn.CommitConflictException(dir, names)
       }
       val missing = conflictNames().filterNot(n => new File(d, n).isFile)
@@ -719,25 +973,12 @@ private[sources] class GraftReplaceDataWrite(inner: BatchWrite,
       // insert, ADVICE r12); empty for DELETE/UPDATE
       val phantom = phantomNames()
       if (phantom.nonEmpty) loseConflict(phantom)
-      inner.commit(messages) // finalizes into the stage dir
       // time travel: capture the pre-state before any delete
       GraftTxn.snapshotCurrent(d)
       val affectedDelete: Iterable[File] = groupFiles() match {
-        case Some(affected) if affected.isEmpty =>
-          // no file matched: drop the EMPTY part files the rewrite
-          // emitted (schema-only artifacts) so a no-match statement
-          // leaves the file set bit-identical — but KEEP any new file
-          // that carries rows: a MERGE whose group pruned to zero files
-          // still legitimately appends its WHEN NOT MATCHED inserts
-          // (round-11; the r10 spelling deleted every new file and
-          // would have dropped such inserts). parquetRowCount reads -1
-          // for an unreadable footer — kept, never deleted (ADVICE r11)
-          GraftTxn.dataFiles(stage).map(new File(stage, _))
-            .filter(f => GraftReplaceDataWrite.parquetRowCount(f) == 0L)
-            .foreach(_.delete())
-          Nil
+        case Some(affected) if affected.isEmpty => Nil
         case Some(affected) => affected.toSeq
-        case None => preexisting.toSeq
+        case None => preexisting.toSeq.map(n => new File(d, n))
       }
       // PROMOTE FIRST, delete the replaced files AFTER (round 13,
       // ADVICE r12): a crash between the two steps now leaves
@@ -745,23 +986,32 @@ private[sources] class GraftReplaceDataWrite(inner: BatchWrite,
       // the retry/repair deletes the old ones) instead of a live table
       // permanently missing the rewritten rows with no version bump —
       // the recoverable failure direction
-      GraftTxn.promoteStage(stage, d)
+      GraftTxn.promoteStage(finalStage, d)
       affectedDelete.foreach(_.delete())
+      if (partCols.nonEmpty) GraftParquetTable.sweepEmptyPartitionDirs(d)
       GraftTxn.bumpVersion(d)
       GraftTxn.pruneSnapshots(d, GraftTxn.retention)
     }
-    GraftTxn.rmTree(stage)
+    GraftTxn.rmTree(finalStage)
   }
 
-  // set when this commit lost conflict validation and already aborted
-  // its inner write — Spark's writer exec calls abort again on the
-  // propagated exception, which must not double-abort the committer
+  // set when this commit lost conflict validation and already rolled
+  // back its stage — Spark's writer exec calls abort again on the
+  // propagated exception, which must not double-clean
   @volatile private var conflictAborted = false
+  // set once the inner write committed: a later abort (split failure,
+  // promote-time IO error) must NOT call inner.abort — aborting a
+  // committed FileCommitProtocol job is undefined; deleting the stages
+  // is the correct rollback
+  @volatile private var innerCommitted = false
+  @volatile private var finalStage: File = stage
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     if (!conflictAborted) {
-      try inner.abort(messages) catch { case _: Exception => () }
+      if (!innerCommitted)
+        try inner.abort(messages) catch { case _: Exception => () }
       GraftTxn.rmTree(stage)
+      GraftTxn.rmTree(finalStage)
     }
   }
 }
@@ -771,26 +1021,40 @@ private[sources] class GraftReplaceDataWrite(inner: BatchWrite,
   * the table's commit lock. Appends carry no conflict set — they
   * invalidate nobody's reads ([[GraftTxn]] scaladoc). */
 private[sources] class GraftAppendWrite(inner: BatchWrite, dir: String,
-    stage: File) extends BatchWrite {
+    stage: File, spark: SparkSession = null,
+    declared: Option[StructType] = None, partCols: Seq[String] = Nil)
+  extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     inner.createBatchWriterFactory(info)
   override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
+  @volatile private var innerCommitted = false
+  @volatile private var finalStage: File = stage
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val d = new File(dir)
+    inner.commit(messages) // finalizes into the stage dir (outside lock)
+    innerCommitted = true
+    // declared constraints validate the staged rows BEFORE promotion
+    // (round 14) — a violation rejects the whole commit atomically
+    GraftConstraints.validateStage(spark, d, stage, declared)
+    finalStage =
+      if (partCols.isEmpty) stage
+      else GraftParquetTable.splitStageByPartitions(spark, d, stage,
+        partCols, declared)
     GraftTxn.withCommitLock(d) {
       // time travel: the pre-append state is a version too
       GraftTxn.snapshotCurrent(d)
-      inner.commit(messages) // finalizes into the stage dir
-      GraftTxn.promoteStage(stage, d)
+      GraftTxn.promoteStage(finalStage, d)
       GraftTxn.bumpVersion(d)
       GraftTxn.pruneSnapshots(d, GraftTxn.retention)
     }
-    GraftTxn.rmTree(stage)
+    GraftTxn.rmTree(finalStage)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    try inner.abort(messages) catch { case _: Exception => () }
+    if (!innerCommitted)
+      try inner.abort(messages) catch { case _: Exception => () }
     GraftTxn.rmTree(stage)
+    GraftTxn.rmTree(finalStage)
   }
 }
 
@@ -803,27 +1067,40 @@ private[sources] class GraftAppendWrite(inner: BatchWrite, dir: String,
   * restates whatever is current (concurrent readers see a committed
   * snapshot either side of the version bump). */
 private[sources] class GraftOverwriteWrite(inner: BatchWrite, dir: String,
-    stage: File) extends BatchWrite {
+    stage: File, spark: SparkSession = null,
+    declared: Option[StructType] = None, partCols: Seq[String] = Nil)
+  extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     inner.createBatchWriterFactory(info)
   override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
+  @volatile private var innerCommitted = false
+  @volatile private var finalStage: File = stage
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val d = new File(dir)
+    inner.commit(messages) // finalizes into the stage dir (outside lock)
+    innerCommitted = true
+    GraftConstraints.validateStage(spark, d, stage, declared) // round 14
+    finalStage =
+      if (partCols.isEmpty) stage
+      else GraftParquetTable.splitStageByPartitions(spark, d, stage,
+        partCols, declared)
     GraftTxn.withCommitLock(d) {
       GraftTxn.snapshotCurrent(d)
       val pre = GraftTxn.dataFiles(d)
-      inner.commit(messages) // finalizes into the stage dir
-      GraftTxn.promoteStage(stage, d)
+      GraftTxn.promoteStage(finalStage, d)
       pre.foreach(n => new File(d, n).delete())
+      if (partCols.nonEmpty) GraftParquetTable.sweepEmptyPartitionDirs(d)
       GraftTxn.bumpVersion(d)
       GraftTxn.pruneSnapshots(d, GraftTxn.retention)
     }
-    GraftTxn.rmTree(stage)
+    GraftTxn.rmTree(finalStage)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    try inner.abort(messages) catch { case _: Exception => () }
+    if (!innerCommitted)
+      try inner.abort(messages) catch { case _: Exception => () }
     GraftTxn.rmTree(stage)
+    GraftTxn.rmTree(finalStage)
   }
 }
 
@@ -843,7 +1120,11 @@ private[sources] class GraftTable(val inner: GraftParquetTable)
   with SupportsRowLevelOperations with SupportsMetadataColumns {
   override def name(): String = inner.name
   override def schema(): StructType = inner.schema
-  override def partitioning(): Array[Transform] = Array.empty
+  /** Declared identity partitioning (round 14) — reported so Spark's
+    * DESCRIBE/SHOW surfaces and distribution reasoning see the spec;
+    * pruning itself comes from the file index's hive inference. */
+  override def partitioning(): Array[Transform] =
+    inner.partCols.map(c => Expressions.identity(c)).toArray
   override def properties(): util.Map[String, String] = inner.properties()
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -892,11 +1173,40 @@ private[sources] object GraftParquetTable {
     * under its own stage, so concurrent task phases cannot cross-
     * contaminate a shared job-attempt dir). */
   def stagedWrite(spark: SparkSession, name: String, stage: File,
-      info: LogicalWriteInfo): Write = {
+      info: LogicalWriteInfo, declared: Option[StructType] = None): Write = {
+    // FIELD-ID annotation (round 14): Spark's planned write schema
+    // carries the query's attribute metadata, not the pin's — graft
+    // re-attaches the pinned field ids by (case-insensitive) name so
+    // every parquet footer this table ever writes embeds its stable
+    // column ids (the property RENAME COLUMN depends on)
+    val idSchema = declared match {
+      case Some(pin) if GraftCatalog.hasFieldIds(pin) =>
+        StructType(info.schema().fields.map { f =>
+          pin.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+            case Some(p) if p.metadata.contains(GraftCatalog.FieldIdKey) =>
+              f.copy(metadata =
+                new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(f.metadata)
+                  .putLong(GraftCatalog.FieldIdKey,
+                    p.metadata.getLong(GraftCatalog.FieldIdKey)).build())
+            case _ => f
+          }
+        })
+      case _ => info.schema()
+    }
+    val annotated = new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap = info.options()
+      override def queryId(): String = info.queryId()
+      override def schema(): StructType = idSchema
+      override def rowIdSchema(): java.util.Optional[StructType] =
+        info.rowIdSchema()
+      override def metadataSchema(): java.util.Optional[StructType] =
+        info.metadataSchema()
+    }
     val t = new ParquetTable(s"$name.stage", spark,
       readOptions(stage.getAbsolutePath), Seq(stage.getAbsolutePath),
-      Some(info.schema()), classOf[ParquetFileFormat])
-    t.newWriteBuilder(info).build()
+      Some(idSchema), classOf[ParquetFileFormat])
+    t.newWriteBuilder(annotated).build()
   }
 
   /** The `_file` metadata column every graft table exposes. */
@@ -913,6 +1223,52 @@ private[sources] object GraftParquetTable {
 
   val emptyOptions: CaseInsensitiveStringMap =
     new CaseInsensitiveStringMap(util.Collections.emptyMap())
+
+  /** Options for an explicit-FILE scan of a partitioned table:
+    * `basePath` anchors Spark's partition inference at the table root,
+    * so each file's `k=v` path segments still materialize as partition
+    * columns (without it an explicit-file read has no partition
+    * values at all). */
+  def basePathOptions(dir: String): CaseInsensitiveStringMap =
+    new CaseInsensitiveStringMap(Map("basePath" -> dir).asJava)
+
+  /** Re-layout a FLAT stage (partition values as data columns — what
+    * the stock V2 parquet write produces) into hive `k=v/` dirs under
+    * a fresh stage: one Spark job, run OUTSIDE the commit lock. The
+    * flat stage is consumed. At 100 TB this is the dynamic-partition
+    * write every warehouse INSERT pays — the job shuffles nothing
+    * (file-scan → partitioned write) and each task fans its rows into
+    * its partitions' files. */
+  def splitStageByPartitions(spark: SparkSession, dir: File, stage: File,
+      partCols: Seq[String], declared: Option[StructType]): File = {
+    if (GraftTxn.dataFiles(stage).isEmpty) return stage
+    val out = GraftTxn.newStageDir(dir, "psplit")
+    val reader = declared.fold(spark.read)(s => spark.read.schema(s))
+    // mode=append: the fresh stage already holds its alive marker, and
+    // overwrite would sweep the whole dir (marker included)
+    reader.parquet(stage.getAbsolutePath)
+      .write.mode("append").partitionBy(partCols: _*)
+      .parquet(out.getAbsolutePath)
+    GraftTxn.rmTree(stage)
+    out
+  }
+
+  /** Remove `k=v` partition directories left EMPTY by an overwrite or
+    * rewrite's file deletes (bottom-up; non-partition dirs and hidden
+    * entries are never touched). Empty partition dirs are invisible to
+    * reads either way — this is hygiene so listings and conflict sets
+    * do not accumulate dead directories. */
+  def sweepEmptyPartitionDirs(d: File): Unit = {
+    def sweep(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(k => k.isDirectory && k.getName.contains("="))
+        .foreach(sweep)
+      if (f.getName.contains("=") &&
+          Option(f.listFiles()).exists(_.isEmpty))
+        f.delete(): Unit
+    }
+    sweep(d)
+  }
 
   /** V2 Predicate → Catalyst Column for the shapes DELETE statements
     * use: comparisons, IN, IS [NOT] NULL, AND/OR/NOT, ALWAYS_TRUE/

@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, when}
+import org.apache.spark.sql.types.StructType
+
+/** Declared table constraints enforced AT COMMIT (round 14, VERDICT
+  * r13 #7): CHECK expressions declared as `graft.check.<name>` table
+  * properties at CREATE time, and NOT NULL from the pinned schema's
+  * non-nullable fields. Every staged commit (append, overwrite,
+  * row-level rewrite, streaming epoch) validates its staged rows with
+  * ONE aggregate job BEFORE promotion — a violation rejects the WHOLE
+  * commit (stage discarded, no version bump, no partial files), never
+  * just the offending rows: reject-the-commit is the only atomic
+  * choice under multi-writer snapshot isolation (dropping rows
+  * silently would make the committed state differ from the statement
+  * the user ran).
+  *
+  * ANSI CHECK semantics: a row violates only when the expression
+  * evaluates FALSE — NULL passes (the SQL-standard rule). The
+  * validation scans ONLY the staged files (O(commit), never O(table)),
+  * so at 100 TB an append pays one pass over its own new rows.
+  */
+object GraftConstraints {
+
+  final class ConstraintViolationException(table: String,
+      val violations: Seq[(String, Long)])
+    extends RuntimeException(
+      s"constraint violation on $table — commit rejected (no version " +
+        "bump, no partial files): " +
+        violations.map { case (n, c) => s"$n: $c row(s)" }.mkString("; "))
+
+  /** Does this error chain carry a constraint rejection? (Spark wraps
+    * commit-time failures — callers match through the chain.) */
+  def isViolation(t: Throwable): Boolean = {
+    @annotation.tailrec
+    def walk(x: Throwable, depth: Int): Boolean = x match {
+      case null => false
+      case _: ConstraintViolationException => true
+      case _ if depth >= 20 => false
+      case _ => walk(x.getCause, depth + 1)
+    }
+    walk(t, 0)
+  }
+
+  /** The table's declared constraints: (CHECK name→expr, NOT NULL
+    * column names). */
+  def declared(dir: File, pin: Option[StructType])
+      : (Seq[(String, String)], Seq[String]) = {
+    val checks = GraftCatalog.loadProps(dir).toSeq
+      .collect { case (k, v) if k.startsWith(GraftCatalog.CheckPrefix) =>
+        (k.stripPrefix(GraftCatalog.CheckPrefix), v) }
+      .sortBy(_._1)
+    val notNull = pin.toSeq.flatMap(_.fields.filterNot(_.nullable)
+      .map(_.name))
+    (checks, notNull)
+  }
+
+  /** Validate one staged commit. Throws [[ConstraintViolationException]]
+    * naming every violated constraint with its row count; the caller's
+    * abort path removes the stage. A table with no declared
+    * constraints (or an empty stage — e.g. a pure-delete rewrite)
+    * validates for free. */
+  def validateStage(spark: SparkSession, dir: File, stage: File,
+      pin: Option[StructType]): Unit = {
+    val (checks, notNull) = declared(dir, pin)
+    if (checks.isEmpty && notNull.isEmpty) return
+    if (GraftTxn.dataFiles(stage).isEmpty) return
+    val reader = pin.fold(spark.read)(s => spark.read.schema(s))
+    val df = reader.parquet(stage.getAbsolutePath)
+    val cols =
+      checks.map { case (n, sql) =>
+        count(when(!coalesce(expr(sql), lit(true)), 1)).as(s"check_$n") } ++
+      notNull.map(c => count(when(col(c).isNull, 1)).as(s"notnull_$c"))
+    val row = df.agg(cols.head, cols.tail: _*).head()
+    val names =
+      checks.map { case (n, sql) => s"CHECK $n ($sql)" } ++
+      notNull.map(c => s"NOT NULL $c")
+    val violations = names.zipWithIndex
+      .map { case (n, i) => (n, row.getLong(i)) }
+      .filter(_._2 > 0)
+    if (violations.nonEmpty)
+      throw new ConstraintViolationException(dir.getName, violations)
+  }
+}

@@ -40,6 +40,10 @@ object GraftMaintenance {
       targetBytes: Long = 262144L,
       clusterBySql: Option[String] = None): (Int, Int) = {
     require(tableDir.isDirectory, s"no graft table at $tableDir")
+    require(GraftCatalog.partitionSpec(tableDir).isEmpty,
+      s"$tableDir is partitioned — whole-table compact would read its " +
+        "files without their path-carried partition values and flatten " +
+        "the layout; use compactPartitions (round 14)")
     val before = GraftTxn.dataFiles(tableDir)
     val totalBytes = before.toSeq.map(n => new File(tableDir, n).length()).sum
     val bins = math.max(1L,
@@ -108,9 +112,13 @@ object GraftMaintenance {
   def gcDebris(tableDir: File, olderThanMs: Long): Int = {
     val cutoff = System.currentTimeMillis() - olderThanMs
     def stale(f: File): Boolean = f.lastModified() < cutoff
+    // a stage is debris only when its writer STOPPED HEARTBEATING its
+    // alive marker (round 14, ADVICE r13 #1): Spark's task phase writes
+    // under <stage>/_temporary, which never touches the stage root's
+    // mtime, so dir-mtime alone would sweep a live >1h staging job
     val stages = Option(tableDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("_stage_") &&
-        stale(f))
+        !GraftTxn.stageAlive(f, olderThanMs))
     val snapTemps = Option(
         new File(tableDir, GraftTxn.SnapshotsDir).listFiles())
       .getOrElse(Array.empty)
@@ -162,12 +170,14 @@ object GraftMaintenance {
       GraftTxn.snapshotCurrent(tableDir) // the restore is itself undoable
       val want = GraftTxn.dataFiles(snap)
       (want diff now).foreach { n =>
-        val target = new File(tableDir, n).toPath
+        val target = new File(tableDir, n)
+        Option(target.getParentFile)
+          .foreach(p => if (!p.isDirectory) p.mkdirs()) // partition dirs
         val src = new File(snap, n).toPath
-        try Files.createLink(target, src)
+        try Files.createLink(target.toPath, src)
         catch { case _: UnsupportedOperationException |
             _: java.nio.file.FileSystemException =>
-          Files.copy(src, target,
+          Files.copy(src, target.toPath,
             StandardCopyOption.REPLACE_EXISTING): Unit
         }
       }
@@ -206,9 +216,18 @@ object GraftMaintenance {
       where: String => Boolean,
       targetBytes: Long = 262144L): Map[String, (Int, Int)] = {
     require(tableDir.isDirectory, s"no partitioned table at $tableDir")
+    // real partition metadata where available (round 14, VERDICT r13
+    // #1): a graft table's declared spec pins which `k=` prefixes are
+    // partitions — a stray `x=y` directory that is NOT in the spec is
+    // not table data and is never compacted. Bare hive directories
+    // (no spec file) keep the name-shape rule.
+    val declared = GraftCatalog.partitionSpec(tableDir)
     val parts = Option(tableDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.contains("=") &&
-        !f.getName.startsWith("_") && where(f.getName))
+        !f.getName.startsWith("_") &&
+        (declared.isEmpty ||
+          declared.exists(c => f.getName.startsWith(c + "="))) &&
+        where(f.getName))
       .sortBy(_.getName)
     // heavy phase, outside the lock: stage each qualifying partition's
     // bin-packed rewrite under its own hidden side-dir
@@ -238,12 +257,18 @@ object GraftMaintenance {
             s"${tableDir.getName}/${p.getName}",
             (before diff now) ++ (now diff before))
       }
+      // every-version-snapshotted invariant (round 14, ADVICE r13 #2):
+      // the pre-optimize state must be time-travelable like every other
+      // commit's, or a graft-cdc consumer's versionDiff(v-1, v) over
+      // this commit throws "no snapshot"
+      GraftTxn.snapshotCurrent(tableDir)
       val out = staged.map { case (p, before, stage) =>
         GraftTxn.promoteStage(stage, p) // promote first, delete after
         before.foreach(n => new File(p, n).delete())
         p.getName -> (before.size, GraftTxn.dataFiles(p).size)
       }.toMap
       GraftTxn.bumpVersion(tableDir)
+      GraftTxn.pruneSnapshots(tableDir, GraftTxn.retention)
       out
     } finally staged.foreach { case (_, _, stage) => GraftTxn.rmTree(stage) }
   }

@@ -96,14 +96,28 @@ object GraftTxn {
   @volatile private[sources] var StaleLockMs = 60000L
   @volatile private[sources] var LockTimeoutMs = 120000L
 
-  /** The table's data files (what reads see): plain files, hidden
-    * (`_`/`.`) names excluded — markers, schema pin, _SUCCESS, crc and
-    * the committer's `_temporary` staging never count. */
-  def dataFiles(dir: File): Set[String] =
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.startsWith("_") &&
-        !f.getName.startsWith("."))
-      .map(_.getName).toSet
+  /** The table's data files (what reads see) as TABLE-RELATIVE paths:
+    * plain files, hidden (`_`/`.`) names excluded — markers, schema
+    * pin, _SUCCESS, crc and the committer's `_temporary` staging never
+    * count. Since round 14 (partitioned graft tables) the listing
+    * recurses into hive-layout partition directories (`k=v` segments,
+    * any depth), so a partitioned file is identified as
+    * `"pbucket=3/part-....parquet"` — which makes every file-set-based
+    * conflict check PARTITION-GRAIN for free: two statements whose
+    * groups live in different partitions have disjoint sets. Non-`=`
+    * subdirectories are ignored (they are not table data — the rule
+    * Spark's own file listing applies). */
+  def dataFiles(dir: File): Set[String] = {
+    def walk(f: File, prefix: String): Seq[String] =
+      Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap { x =>
+        if (x.getName.startsWith("_") || x.getName.startsWith(".")) Nil
+        else if (x.isFile) Seq(prefix + x.getName)
+        else if (x.isDirectory && x.getName.contains("="))
+          walk(x, prefix + x.getName + "/")
+        else Nil
+      }
+    walk(dir, "").toSet
+  }
 
   /** Committed version of the table: max `_graft_v<N>` marker, 0 for
     * a table no transactional commit has touched yet. */
@@ -175,22 +189,64 @@ object GraftTxn {
   private[sources] def bumpVersion(dir: File): Unit =
     writeVersionMarker(dir, version(dir) + 1)
 
+  /** Liveness marker inside every stage dir (round 14, ADVICE r13 #1):
+    * Spark's task phase writes under `<stage>/_temporary`, which does
+    * NOT touch the stage ROOT's mtime, so a long-running staging job
+    * (>1h compact/merge) looked abandoned to [[GraftMaintenance.gcDebris]]'s
+    * dir-mtime rule and a racing vacuum could sweep a LIVE statement's
+    * stage out from under its promote. The marker is refreshed by a
+    * dedicated heartbeat thread for as long as the stage exists;
+    * gcDebris treats a stage as debris only when BOTH the dir mtime and
+    * the marker have gone stale — i.e. the writer stopped heartbeating
+    * (process death), the same liveness definition the commit lock
+    * uses. */
+  private[sources] val StageAliveMarker = "_graft_stage_alive"
+  @volatile private[sources] var StageHeartbeatMs = 15000L
+
   /** A fresh hidden staging directory INSIDE the table dir (same
     * filesystem — promotion is an atomic rename; underscore prefix —
-    * invisible to Spark's listing and to [[dataFiles]]). */
+    * invisible to Spark's listing and to [[dataFiles]]). Carries a
+    * heartbeated [[StageAliveMarker]] so vacuum's debris GC never
+    * mistakes a live long-running staging job for a crashed one. */
   private[sources] def newStageDir(dir: File, kind: String): File = {
+    registerTableDir(dir)
     val s = new File(dir,
       s"_stage_${kind}_${System.nanoTime()}_${Thread.currentThread().getId}")
     s.mkdirs()
+    val alive = new File(s, StageAliveMarker)
+    alive.createNewFile(): Unit
+    val hb = new Thread(() => {
+      while (s.isDirectory) {
+        alive.setLastModified(System.currentTimeMillis()): Unit
+        try Thread.sleep(StageHeartbeatMs)
+        catch { case _: InterruptedException => () }
+      }
+    }, s"graft-stage-heartbeat-${s.getName}")
+    hb.setDaemon(true)
+    hb.start()
     s
   }
 
-  /** Move the stage's finalized data files into the live directory.
-    * Part-file names carry the write job's UUID — no collisions. */
+  /** Is this stage dir's writer still alive? Fresh = the alive marker
+    * (or, belt-and-braces, the dir itself) was touched within
+    * `windowMs`. A stage created before the marker existed (older
+    * build) degrades to the dir-mtime rule. */
+  private[sources] def stageAlive(stage: File, windowMs: Long): Boolean = {
+    val cutoff = System.currentTimeMillis() - windowMs
+    val marker = new File(stage, StageAliveMarker)
+    marker.lastModified() >= cutoff || stage.lastModified() >= cutoff
+  }
+
+  /** Move the stage's finalized data files into the live directory,
+    * preserving partition-relative paths (parent `k=v` dirs are
+    * created as needed). Part-file names carry the write job's UUID —
+    * no collisions. */
   private[sources] def promoteStage(stage: File, dir: File): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
     dataFiles(stage).foreach { n =>
-      Files.move(new File(stage, n).toPath, new File(dir, n).toPath,
+      val target = new File(dir, n)
+      Option(target.getParentFile).foreach(p => if (!p.isDirectory) p.mkdirs())
+      Files.move(new File(stage, n).toPath, target.toPath,
         StandardCopyOption.ATOMIC_MOVE): Unit
     }
   }
@@ -214,7 +270,7 @@ object GraftTxn {
     * conf `spark.graft.snapshots.retain`). */
   private[sources] val DefaultRetain = 8
 
-  private[sources] def snapshotDir(dir: File, v: Long): File =
+  private[graft] def snapshotDir(dir: File, v: Long): File =
     new File(new File(dir, SnapshotsDir), "v" + v)
 
   /** Capture the table's CURRENT state (data files + schema pin) as
@@ -232,19 +288,24 @@ object GraftTxn {
     val tmp = new File(snapsHome, s"v${v}_build_${System.nanoTime()}")
     tmp.mkdirs()
     dataFiles(dir).foreach { n =>
-      val target = new File(tmp, n).toPath
-      try Files.createLink(target, new File(dir, n).toPath)
+      val target = new File(tmp, n)
+      Option(target.getParentFile).foreach(p => if (!p.isDirectory) p.mkdirs())
+      try Files.createLink(target.toPath, new File(dir, n).toPath)
       catch { case _: UnsupportedOperationException |
           _: java.nio.file.FileSystemException =>
-        Files.copy(new File(dir, n).toPath, target,
+        Files.copy(new File(dir, n).toPath, target.toPath,
           StandardCopyOption.REPLACE_EXISTING): Unit
       }
     }
-    val schema = new File(dir, GraftCatalog.SchemaFile)
-    if (schema.isFile)
-      Files.copy(schema.toPath,
-        new File(tmp, GraftCatalog.SchemaFile).toPath,
-        StandardCopyOption.REPLACE_EXISTING): Unit
+    // metadata riders: the pinned schema and (round 14) the partition
+    // spec travel with every snapshot, so a time-travel read of a
+    // partitioned table reports its layout like the live table does
+    Seq(GraftCatalog.SchemaFile, GraftCatalog.PartitionsFile).foreach { m =>
+      val f = new File(dir, m)
+      if (f.isFile)
+        Files.copy(f.toPath, new File(tmp, m).toPath,
+          StandardCopyOption.REPLACE_EXISTING): Unit
+    }
     try Files.move(tmp.toPath, snap.toPath,
       StandardCopyOption.ATOMIC_MOVE): Unit
     catch { case _: java.nio.file.FileAlreadyExistsException |
@@ -311,6 +372,7 @@ object GraftTxn {
     *    its way out. */
   def withCommitLock[T](dir: File)(body: => T): T = {
     val abs = dir.getAbsoluteFile
+    registerTableDir(abs)
     val lock = new File(abs.getParentFile, abs.getName + ".commitlock")
     val key = lock.getAbsolutePath
     if (held.get.contains(key)) return body
@@ -319,16 +381,19 @@ object GraftTxn {
         s"#${Thread.currentThread().getId}#${System.nanoTime()}"
     val deadline = System.currentTimeMillis() + LockTimeoutMs
     var acquired = false
+    var tokenWritten = false
     while (!acquired) {
       acquired =
         try lock.createNewFile()
         catch { case _: java.io.IOException => false }
       if (acquired) {
         // token write failure is non-fatal: the lock still serializes;
-        // only the release-safety check degrades to mtime freshness
-        try java.nio.file.Files.write(lock.toPath,
-          token.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
-        catch { case _: java.io.IOException => () }
+        // only the release-safety check degrades (tracked — round 14)
+        try {
+          java.nio.file.Files.write(lock.toPath,
+            token.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+          tokenWritten = true
+        } catch { case _: java.io.IOException => () }
       } else {
         val mtime = lock.lastModified() // 0 if it vanished — retry
         if (mtime > 0 && System.currentTimeMillis() - mtime > StaleLockMs)
@@ -356,7 +421,7 @@ object GraftTxn {
       held.get.remove(key): Unit
       hbStop.set(true)
       hb.interrupt()
-      releaseIfOwned(lock, token)
+      releaseIfOwned(lock, token, tokenWritten)
     }
   }
 
@@ -377,15 +442,45 @@ object GraftTxn {
 
   /** Delete the lock only if it still carries OUR token — after a
     * break + re-acquire by another writer, the path holds the new
-    * holder's lock and must survive our release. An unreadable lock
-    * (vanished, or the token write failed at acquisition) falls back
-    * to a plain delete — matching the pre-token behavior. */
-  private[sources] def releaseIfOwned(lock: File, token: String): Unit = {
+    * holder's lock and must survive our release.
+    *
+    * Round-14 hardening (ADVICE r13 #3):
+    *  - The delete is the same ATOMIC rename-to-nonce-then-delete dance
+    *    [[breakStaleLock]] uses, so release can never race a concurrent
+    *    break-and-reacquire into deleting a successor's freshly created
+    *    lock — only one party's rename of the path succeeds.
+    *  - An EMPTY lock is treated as OURS only when our own token write
+    *    failed (`tokenWritten = false`) or the lock stopped being
+    *    heartbeated ([[StaleLockMs]] stale). If we DID write our token,
+    *    an empty lock at release time cannot be ours — it is a
+    *    successor whose token write also failed, and deleting it would
+    *    strip a live holder's lock (the race the old
+    *    `c == token || c.isEmpty` rule had).
+    *  - A vanished lock (read fails) means someone broke ours — nothing
+    *    to release. */
+  private[sources] def releaseIfOwned(lock: File, token: String,
+      tokenWritten: Boolean = true): Unit = {
+    def atomicDelete(): Unit = {
+      val seized = new File(lock.getParentFile,
+        lock.getName +
+          s".released_${System.nanoTime()}_${Thread.currentThread().getId}")
+      try {
+        java.nio.file.Files.move(lock.toPath, seized.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+        seized.delete(): Unit
+      } catch { case _: java.io.IOException => () }
+    }
     val content =
       try Some(new String(java.nio.file.Files.readAllBytes(lock.toPath),
         java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: java.io.IOException => None }
-    if (content.forall(c => c == token || c.isEmpty)) lock.delete(): Unit
+    content match {
+      case Some(c) if c == token => atomicDelete()
+      case Some(c) if c.isEmpty && (!tokenWritten ||
+          System.currentTimeMillis() - lock.lastModified() > StaleLockMs) =>
+        atomicDelete()
+      case _ => () // vanished, or a successor's lock — leave it alone
+    }
   }
 
   /** Test seam: runs at every commit entry BEFORE the lock, so a spec
@@ -431,9 +526,16 @@ object GraftTxn {
       // mid-scan invalidation — but ONLY when the missing path lives
       // under a graft table (ADVICE r12: a genuinely missing source
       // path or dropped non-graft table must propagate on first
-      // failure, not be silently re-run maxAttempts times)
+      // failure, not be silently re-run maxAttempts times). A bare
+      // FileNotFoundException whose message carries NO parseable path
+      // at all (wrapped, relativized, locale-formatted — ADVICE r13
+      // #4) retries too: it cannot be proven non-graft, retry is
+      // bounded by maxAttempts, and losing conflict protection under
+      // concurrency is the worse failure direction.
       case e: java.io.FileNotFoundException
-        if referencesGraftTable(e.getMessage) => true
+        if referencesGraftTable(e.getMessage) ||
+          Option(e.getMessage).forall(m =>
+            PathToken.findFirstIn(m).isEmpty) => true
       case e if Option(e.getMessage).exists(m =>
         (m.contains("FAILED_READ_FILE") || m.contains("FILE_NOT_EXIST")) &&
           referencesGraftTable(m)) =>
@@ -444,22 +546,40 @@ object GraftTxn {
 
   private val PathToken = "file:(/+[^\\s'\"\\)\\]},;]+)|(/[^\\s'\"\\)\\]},;]+)".r
 
+  /** Graft table directories this JVM has SEEN (registered at lock
+    * acquisition, stage creation, and catalog loadTable — round 14,
+    * ADVICE r13 #4): a conflict-retry eligibility signal that does not
+    * depend on regex-extracting an absolute path from exception text.
+    * Bounded by the number of distinct tables a session touches. */
+  private val knownTableDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[sources] def registerTableDir(dir: File): Unit =
+    knownTableDirs.add(dir.getAbsolutePath): Unit
+
   /** Does this error message name a path inside a graft table? True
-    * iff some path token's ancestor directory (up to 4 levels — the
-    * file sits in the table dir, or in `_snapshots/v<N>/` one level
-    * down) carries graft markers: the commit log, the schema pin, a
+    * when a REGISTERED graft table dir string appears anywhere in the
+    * message (robust to wrapped/relativized formatting), or when some
+    * path token's ancestor directory (up to 4 levels — the file sits
+    * in the table dir, or in `_snapshots/v<N>/` one level down)
+    * carries graft markers: the commit log, the schema pin, a
     * `_graft_v` version marker, or a live sibling `.commitlock` (the
     * one signal present even in the instant of the delete path's
     * whole-directory swap, when the table dir itself is mid-rename). */
   private[sources] def referencesGraftTable(msg: String): Boolean =
-    msg != null && PathToken.findAllMatchIn(msg).exists { m =>
+    msg != null && ({
+      val it = knownTableDirs.iterator()
+      var hit = false
+      while (!hit && it.hasNext) hit = msg.contains(it.next())
+      hit
+    } || PathToken.findAllMatchIn(msg).exists { m =>
       val raw = Option(m.group(1)).getOrElse(m.group(2))
       val p = new File("/" + raw.dropWhile(_ == '/'))
       Iterator.iterate(p.getParentFile)(f =>
           if (f == null) null else f.getParentFile)
         .takeWhile(_ != null).take(4)
         .exists(isGraftTableDir)
-    }
+    })
 
   private def isGraftTableDir(d: File): Boolean =
     new File(d, CommitLog).isFile ||

@@ -206,14 +206,40 @@ class Round13Spec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM alt.t VERSION AS OF $vPreDrop")
       .schema.fieldNames.toSeq == Seq("k", "v", "tag"),
       "the pre-drop snapshot must keep the wider schema")
-    // RENAME is unsupported BY DESIGN (name-based parquet resolution
-    // would null pre-rename files) — clean error, not silent nulls
+    // RENAME COLUMN (round 14, VERDICT r13 #6): metadata-only pin
+    // rewrite — reads resolve parquet columns by STABLE FIELD ID, so
+    // pre-rename files keep their values under the new name (the
+    // silent-null hazard that kept rename rejected through r13)
+    val vPreRename = GraftTxn.version(dir)
+    spark.sql("ALTER TABLE alt.t RENAME COLUMN tag TO label")
+    assert(GraftTxn.version(dir) == vPreRename + 1, "RENAME is a commit")
+    assert(spark.table("alt.t").schema.fieldNames.toSeq == Seq("k", "label"))
+    assert(spark.table("alt.t").filter(col("label").isNotNull).count() == 6L,
+      "pre-rename files must read their values under the NEW name")
+    assert(spark.table("alt.t")
+      .filter(col("label") === "backfilled").count() == 5L)
+    // time travel across the boundary: the pre-rename snapshot reads
+    // under the OLD name
+    val preRen = spark.sql(s"SELECT * FROM alt.t VERSION AS OF $vPreRename")
+    assert(preRen.schema.fieldNames.toSeq == Seq("k", "tag"))
+    assert(preRen.filter(col("tag") === "backfilled").count() == 5L,
+      "pre-rename snapshot must read values under the old name")
+    // an ID-LESS column (table predating field ids) still rejects
+    // cleanly instead of nulling old files: strip the ids from the pin
+    // and try
+    val pin = new File(dir, "_graft_schema.json")
+    val stripped = org.apache.spark.sql.types.StructType(
+      spark.table("alt.t").schema.fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, f.dataType,
+          f.nullable)))
+    java.nio.file.Files.write(pin.toPath,
+      stripped.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val e = intercept[Exception] {
-      spark.sql("ALTER TABLE alt.t RENAME COLUMN tag TO label").collect()
+      spark.sql("ALTER TABLE alt.t RENAME COLUMN label TO tag2").collect()
     }
-    assert(e.getMessage != null)
-    assert(spark.table("alt.t").schema.fieldNames.toSeq == Seq("k", "tag"),
-      "a failed ALTER must leave the schema untouched")
+    assert(e.getMessage != null &&
+      e.getMessage.contains("field id"),
+      s"id-less rename must reject cleanly: ${e.getMessage}")
     spark.sql("DROP TABLE IF EXISTS alt.t"): Unit
   }
 

@@ -1,0 +1,326 @@
+package graft
+
+import java.io.File
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftCatalog, GraftTxn}
+
+/** Round-14 capabilities (VERDICT r13): PARTITIONED graft tables —
+  * hive layout under the commit protocol, partition-pruned scans, and
+  * partition-grain conflict detection.
+  *
+  * Determinism: the same commit-barrier pattern as GraftTxnSpec — both
+  * statements are held at commit entry until both have planned and
+  * executed, so the overlap is forced by construction. */
+class Round14Spec extends SparkSpec {
+
+  private def freshCatalog(tag: String): String = {
+    val base = new File(sys.props("java.io.tmpdir"),
+      s"graft_r14_spec_${tag}_${System.nanoTime()}")
+    spark.conf.set(s"spark.sql.catalog.$tag",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$tag.base", base.getAbsolutePath)
+    base.getAbsolutePath
+  }
+
+  private def withCommitBarrier[T](parties: Int)(body: => T): T = {
+    val latch = new CountDownLatch(parties)
+    GraftTxn.commitHook = () => {
+      latch.countDown()
+      latch.await(60, TimeUnit.SECONDS): Unit
+    }
+    try body finally GraftTxn.commitHook = () => ()
+  }
+
+  private def seedPartitioned(cat: String, base: String): File = {
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.range(0, 100)
+      .selectExpr("id AS k", "CAST(id * 3 AS LONG) AS v",
+        "CAST(id % 4 AS INT) AS p")
+      .repartition(4)
+      .createOrReplaceTempView(s"${cat}_seed")
+    spark.sql(s"CREATE TABLE $cat.t PARTITIONED BY (p) AS " +
+      s"SELECT * FROM ${cat}_seed")
+    new File(base, "t")
+  }
+
+  test("partitioned table: hive layout, pinned spec, pruned scan reads 1 of 4 dirs") {
+    val base = freshCatalog("p14a")
+    val dir = seedPartitioned("p14a", base)
+    // layout: every data file below a p=N dir, none at the root
+    val files = GraftTxn.dataFiles(dir)
+    assert(files.nonEmpty && files.forall(_.matches("p=[0-3]/.*")),
+      s"unexpected layout: $files")
+    assert(GraftCatalog.partitionSpec(dir) == Seq("p"))
+    // partition-pruned scan: the physical plan pins a PartitionFilter
+    // on p, and the files actually read all live under p=2/ (1 of 4
+    // directories — the predicate never pays I/O elsewhere)
+    val df = spark.table("p14a.t").filter(col("p") === 2)
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+    val scans = flattenPlan(df.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty, "no BatchScanExec in the plan")
+    val ps = scans.head.scan.asInstanceOf[ParquetScan]
+    assert(ps.partitionFilters.exists(_.references.exists(_.name == "p")),
+      s"PartitionFilters missing p: ${ps.partitionFilters}")
+    val scanned = df.select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    assert(scanned.nonEmpty && scanned.forall(_.contains("p=2/")),
+      s"pruned scan read outside p=2: ${scanned.mkString(", ")}")
+    assert(df.count() == 25)
+    // values: partition column reconstructed from the path, data
+    // columns from the files
+    assert(spark.table("p14a.t").agg(sum(col("v"))).head().getLong(0) ==
+      (0L until 100L).map(_ * 3).sum)
+    spark.sql("DROP TABLE IF EXISTS p14a.t"): Unit
+  }
+
+  test("disjoint-partition writers both commit; same-partition writers conflict") {
+    val base = freshCatalog("p14b")
+    seedPartitioned("p14b", base)
+    def upd(pv: Int, add: Long) =
+      s"UPDATE p14b.t SET v = v + $add WHERE p = $pv"
+    // disjoint partitions: each statement's rewrite group is its own
+    // p=N file set, so neither invalidates the other — both commit on
+    // the FIRST attempt (the lock serializes, nothing conflicts)
+    val attempts = withCommitBarrier(2) {
+      val fa = Future(GraftTxn.retryCounted(5) {
+        spark.sql(upd(0, 100L)).collect(): Unit
+      }._2)
+      val fb = Future(GraftTxn.retryCounted(5) {
+        spark.sql(upd(1, 1000L)).collect(): Unit
+      }._2)
+      Seq(Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    }
+    assert(attempts == Seq(1, 1),
+      s"disjoint-partition writers must not conflict: $attempts")
+    // same partition: the loser's group was replaced — conflict, retry
+    val attempts2 = withCommitBarrier(2) {
+      val fa = Future(GraftTxn.retryCounted(5) {
+        spark.sql(upd(2, 7L)).collect(): Unit
+      }._2)
+      val fb = Future(GraftTxn.retryCounted(5) {
+        spark.sql(upd(2, 11L)).collect(): Unit
+      }._2)
+      Seq(Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    }
+    assert(attempts2.sorted == Seq(1, 2),
+      s"same-partition writers must conflict once: $attempts2")
+    // all four effects landed exactly once
+    val got = spark.table("p14b.t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L until 100L).map { k =>
+      k -> (k * 3 + (k % 4 match {
+        case 0 => 100L; case 1 => 1000L; case 2 => 18L; case _ => 0L
+      }))
+    }.toMap
+    assert(got == want, "post-race state diverged")
+    spark.sql("DROP TABLE IF EXISTS p14b.t"): Unit
+  }
+
+  test("partitioned row-level rewrites and inserts keep the layout; time travel works") {
+    val base = freshCatalog("p14c")
+    val dir = seedPartitioned("p14c", base)
+    spark.sql("INSERT INTO p14c.t VALUES " +
+      "(CAST(900 AS LONG), CAST(1 AS LONG), 1)") // v2
+    spark.sql("UPDATE p14c.t SET v = v + 5 WHERE p = 1") // v3
+    // p=3 ⇔ k ≡ 3 (mod 4); k%3=0 on that slice ⇔ k ≡ 3 (mod 12): 9 rows
+    spark.sql("DELETE FROM p14c.t WHERE p = 3 AND k % 3 = 0") // v4
+    // layout survives every statement kind
+    val files = GraftTxn.dataFiles(dir)
+    assert(files.nonEmpty && files.forall(_.matches("p=[0-3]/.*")),
+      s"layout broken: $files")
+    // state: p=1 rows (incl. the inserted one) took +5; half of p=3
+    // rows deleted
+    assert(spark.table("p14c.t").count() == 100 + 1 - 9)
+    assert(spark.table("p14c.t")
+      .filter(col("k") === 900).head().getLong(1) == 6L)
+    // time travel: the CTAS version still reads, with partition values
+    val v1 = spark.sql("SELECT COUNT(*), SUM(p) FROM p14c.t VERSION AS OF 1")
+      .head()
+    assert(v1.getLong(0) == 100 &&
+      v1.getLong(1) == (0 until 100).map(_ % 4).sum)
+    // the DELETE's rewrite group was partition-scoped: p=0/p=2 files
+    // from the CTAS are still the originals (never rewritten)
+    val v1Files = GraftTxn.dataFiles(GraftTxn.snapshotDir(dir, 3))
+      .filter(n => n.startsWith("p=0/") || n.startsWith("p=2/"))
+    assert(v1Files.subsetOf(files),
+      "untouched partitions were rewritten by a p=3-scoped DELETE")
+    spark.sql("DROP TABLE IF EXISTS p14c.t"): Unit
+  }
+
+  test("versionDiff: ALL-NULL-valued keys classify correctly via presence markers") {
+    val base = freshCatalog("p14e")
+    assert(base.nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS p14e.t")
+    // nullable value column with planted nulls: the pre-r14 inference
+    // (side membership from value-column null-ness) read an all-null
+    // row as ABSENT and misclassified it (VERDICT r13 #5)
+    spark.range(0, 10).selectExpr("id AS k",
+      "CASE WHEN id % 2 = 0 THEN NULL ELSE CAST(id AS LONG) END AS v")
+      .createOrReplaceTempView("p14e_seed")
+    spark.sql("CREATE TABLE p14e.t AS SELECT * FROM p14e_seed") // v1
+    spark.sql("UPDATE p14e.t SET v = 99 WHERE k = 1") // v2
+    spark.sql("DELETE FROM p14e.t WHERE k = 2") // v3 — null-valued key
+    val d = graft.operators.Dml
+      .versionDiff(spark, "p14e.t", 1L, 3L, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d.size == 10)
+    assert(d(0L) == "unchanged", s"null<=>null must be unchanged: $d")
+    assert(d(1L) == "changed")
+    assert(d(2L) == "deleted",
+      s"a deleted all-null-valued key must read deleted, got ${d(2L)}")
+    assert(d(3L) == "unchanged")
+    spark.sql("DROP TABLE IF EXISTS p14e.t"): Unit
+  }
+
+  test("multi-table txn: crash between the two promotes leaves NEITHER visible") {
+    import graft.sources.{GraftMultiTxn, GraftMaintenance}
+    val base = freshCatalog("p14f")
+    spark.sql("DROP TABLE IF EXISTS p14f.fact")
+    spark.sql("DROP TABLE IF EXISTS p14f.audit")
+    spark.sql("CREATE TABLE p14f.fact AS SELECT id AS k, " +
+      "CAST(id AS LONG) AS v FROM range(0, 10)") // v1
+    spark.sql("CREATE TABLE p14f.audit (batch_id BIGINT, n BIGINT)")
+    val factDir = new File(base, "fact")
+    val auditDir = new File(base, "audit")
+    import spark.implicits._
+    val restated = spark.table("p14f.fact")
+      .selectExpr("k", "CAST(v + 100 AS LONG) AS v")
+    val auditRow = Seq((1L, 10L)).toDF("batch_id", "n")
+    // crash INJECTED between the two promotes (audit sorts before
+    // fact, so index 1 = after audit promoted, before fact did)
+    final class SimulatedCrash extends RuntimeException("crash")
+    GraftMultiTxn.promoteHook = i => if (i == 1) throw new SimulatedCrash
+    val thrown = intercept[Exception] {
+      try GraftMultiTxn.run(spark, Seq(
+        GraftMultiTxn.TableWrite(factDir, restated, overwrite = true),
+        GraftMultiTxn.TableWrite(auditDir, auditRow)))
+      finally GraftMultiTxn.promoteHook = _ => ()
+    }
+    assert(thrown.isInstanceOf[SimulatedCrash] ||
+      thrown.getCause.isInstanceOf[SimulatedCrash])
+    // recovery from EITHER participant rolls the pending txn back
+    assert(GraftMultiTxn.recover(auditDir) == 1)
+    assert(spark.table("p14f.audit").count() == 0,
+      "audit's promoted-but-uncommitted rows must be rolled back")
+    assert(spark.table("p14f.fact").filter(col("v") >= 100).count() == 0,
+      "fact must not show the restatement")
+    assert(spark.table("p14f.fact").count() == 10)
+    assert(graft.sources.GraftTxn.version(factDir) == 1L &&
+      graft.sources.GraftTxn.version(auditDir) == 0L,
+      "no version may bump on a rolled-back txn")
+    // recovery is idempotent and cleans its pointers
+    assert(GraftMultiTxn.recover(factDir) == 0)
+    // a subsequent writer proceeds normally (locks were released, no
+    // debris blocks it) and vacuum sweeps the crashed stages
+    spark.sql("INSERT INTO p14f.audit VALUES (2, 3)")
+    assert(spark.table("p14f.audit").count() == 1)
+    GraftMaintenance.gcDebris(factDir, 0L): Unit
+    spark.sql("DROP TABLE IF EXISTS p14f.fact")
+    spark.sql("DROP TABLE IF EXISTS p14f.audit"): Unit
+  }
+
+  test("multi-table txn: a concurrent commit on either table conflicts the whole txn") {
+    import graft.sources.GraftMultiTxn
+    val base = freshCatalog("p14g")
+    spark.sql("DROP TABLE IF EXISTS p14g.fact")
+    spark.sql("DROP TABLE IF EXISTS p14g.audit")
+    spark.sql("CREATE TABLE p14g.fact AS SELECT id AS k, " +
+      "CAST(id AS LONG) AS v FROM range(0, 10)")
+    spark.sql("CREATE TABLE p14g.audit (batch_id BIGINT, n BIGINT)")
+    val factDir = new File(base, "fact")
+    val auditDir = new File(base, "audit")
+    import spark.implicits._
+    val restated = spark.table("p14g.fact")
+      .selectExpr("k", "CAST(v + 100 AS LONG) AS v")
+      .localCheckpoint(true) // pin the pre-conflict read (plan re-use
+      // would otherwise re-read the winner's state and mask the race)
+    // a concurrent UPDATE lands between the txn's staging and its
+    // locks: the commitHook seam fires once, after staging
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    GraftTxn.commitHook = () =>
+      if (fired.compareAndSet(false, true)) {
+        GraftTxn.commitHook = () => ()
+        spark.sql("UPDATE p14g.fact SET v = v + 1 WHERE k = 0")
+      }
+    val e = try intercept[Exception] {
+      GraftMultiTxn.run(spark, Seq(
+        GraftMultiTxn.TableWrite(factDir, restated, overwrite = true),
+        GraftMultiTxn.TableWrite(auditDir,
+          Seq((1L, 10L)).toDF("batch_id", "n"))))
+    } finally GraftTxn.commitHook = () => ()
+    assert(e.isInstanceOf[GraftTxn.CommitConflictException] ||
+      e.getCause.isInstanceOf[GraftTxn.CommitConflictException],
+      s"expected a commit conflict, got $e")
+    // NEITHER table took the losing txn's writes
+    assert(spark.table("p14g.audit").count() == 0)
+    assert(spark.table("p14g.fact").filter(col("v") >= 100).count() == 0)
+    // the concurrent winner's effect is intact
+    assert(spark.table("p14g.fact").filter(col("k") === 0)
+      .head().getLong(1) == 1L)
+    spark.sql("DROP TABLE IF EXISTS p14g.fact")
+    spark.sql("DROP TABLE IF EXISTS p14g.audit"): Unit
+  }
+
+  test("constraints: a violating append rejects atomically — no bump, no partial files") {
+    import graft.sources.{GraftConstraints, GraftTxn}
+    val base = freshCatalog("p14h")
+    spark.sql("DROP TABLE IF EXISTS p14h.t")
+    spark.sql("CREATE TABLE p14h.t (k BIGINT NOT NULL, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.check.v_pos'='v > 0')")
+    spark.sql("INSERT INTO p14h.t VALUES (1, 1.0), (2, 2.0)") // v1
+    val dir = new File(base, "t")
+    val v1 = GraftTxn.version(dir)
+    val files1 = GraftTxn.dataFiles(dir)
+    // CHECK violation: one bad row poisons the whole commit
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO p14h.t VALUES (3, 3.0), (4, -4.0)")
+    }
+    assert(GraftConstraints.isViolation(e), s"not a violation: $e")
+    assert(GraftTxn.version(dir) == v1, "no version bump on rejection")
+    assert(GraftTxn.dataFiles(dir) == files1, "no partial files")
+    assert(spark.table("p14h.t").count() == 2)
+    // NULL check passes (ANSI CHECK: only FALSE violates)
+    spark.sql("INSERT INTO p14h.t VALUES (5, CAST(NULL AS DOUBLE))")
+    assert(spark.table("p14h.t").count() == 3)
+    // a violating row-level UPDATE rejects the same way
+    val v2 = GraftTxn.version(dir)
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE p14h.t SET v = -9.0 WHERE k = 1")
+    }
+    assert(GraftConstraints.isViolation(e2))
+    assert(GraftTxn.version(dir) == v2)
+    assert(spark.table("p14h.t").filter(col("v") < 0).count() == 0)
+    spark.sql("DROP TABLE IF EXISTS p14h.t"): Unit
+  }
+
+  test("compactPartitions honors the declared spec and snapshots the pre-state") {
+    val base = freshCatalog("p14d")
+    val dir = seedPartitioned("p14d", base)
+    // a stray k=v directory that is NOT a declared partition must be
+    // ignored by maintenance (round 14: real partition metadata)
+    val stray = new File(dir, "x=9")
+    stray.mkdirs()
+    val strayFile = new File(stray, "junk.parquet")
+    java.nio.file.Files.write(strayFile.toPath, Array[Byte](1, 2, 3))
+    val vPre = GraftTxn.version(dir)
+    val res = graft.sources.GraftMaintenance.compactPartitions(
+      spark, dir, _ => true, targetBytes = 1L << 40)
+    assert(!res.contains("x=9"), s"stray dir compacted: $res")
+    assert(strayFile.isFile, "stray file was touched")
+    // ADVICE r13 #2: the pre-optimize version is snapshotted — a CDC
+    // consumer's versionDiff over the optimize commit has both sides
+    assert(GraftTxn.snapshotDir(dir, vPre).isDirectory,
+      "pre-optimize state not snapshotted")
+    assert(GraftTxn.version(dir) == vPre + 1)
+    spark.sql("DROP TABLE IF EXISTS p14d.t"): Unit
+  }
+}
