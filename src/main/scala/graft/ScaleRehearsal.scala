@@ -73,7 +73,13 @@ object ScaleRehearsal {
     // bytes (write amplification linear, never super-linear), with
     // x182 touching only its qualifying partitions
     "x181_compact_table", "x182_compact_partitions",
-    "x183_clustered_optimize")
+    "x183_clustered_optimize",
+    // round-14 warehouse frontier: partitioned CTAS + partition-scoped
+    // rewrite (sql56 — the pruned-scan claim is the part that must
+    // stay sublinear), multi-table txn (sql57 — staging is the only
+    // data-sized phase), write-time CDC (st29 — O(changed) per
+    // commit, exponent on the CHANGED bytes)
+    "sql56_partitioned_table", "sql57_multi_table_txn", "st29_cdf_rows")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -249,11 +249,17 @@ class GraftCatalog extends TableCatalog
     * only). DROP COLUMN is the metadata-only inverse: the pin loses
     * the field, reads project the remaining columns, and the dropped
     * values stay in old files until those files rewrite (invisible —
-    * parquet reads only requested columns). RENAME stays unsupported
-    * BY DESIGN: graft reads resolve parquet columns by NAME, so a
-    * rename would silently null every pre-rename file's values — the
-    * failure mode table formats need field-id column mapping to
-    * avoid. Other TableChange kinds error cleanly. */
+    * parquet reads only requested columns). RENAME COLUMN is supported
+    * since round 14 (VERDICT r13 #6) as a metadata-only pin rewrite
+    * over STABLE FIELD IDS: every graft column carries a create-time
+    * id, every graft write embeds the ids into its parquet footers,
+    * and reads resolve by id where files carry them — so pre-rename
+    * files keep their values under the new name, and a time-travel
+    * read of a pre-rename snapshot reads under the old name (each
+    * snapshot keeps its pinned schema). Renaming an id-less column
+    * (a table predating field ids) still rejects cleanly instead of
+    * silently nulling old files. Other TableChange kinds error
+    * cleanly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val d = tableDir(ident)
     if (!d.isDirectory)
@@ -334,7 +340,7 @@ class GraftCatalog extends TableCatalog
   override def dropTable(ident: Identifier): Boolean = {
     val d = tableDir(ident)
     if (!d.isDirectory) false
-    else { rmTree(d); true }
+    else { rmTree(d); GraftCdf.drop(d); true }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
@@ -503,21 +509,30 @@ private[sources] class GraftParquetTable(tableName: String,
     new WriteBuilder with SupportsTruncate {
       private var truncateFirst = false
       override def truncate(): WriteBuilder = { truncateFirst = true; this }
-      override def build(): Write = {
-        val kind = if (truncateFirst) "overwrite" else "append"
-        val stage = GraftTxn.newStageDir(new File(dir), kind)
-        val w = GraftParquetTable.stagedWrite(spark, tableName, stage,
-          info, declared)
-        new Write {
-          override def toBatch: BatchWrite =
-            if (truncateFirst)
-              new GraftOverwriteWrite(w.toBatch, dir, stage, spark,
-                declared, partCols)
-            else new GraftAppendWrite(w.toBatch, dir, stage, spark,
+      override def build(): Write = new Write {
+        private val kind = if (truncateFirst) "overwrite" else "append"
+        // the stage is created lazily in toBatch: a STREAMING write
+        // (round 14, writeStream.toTable) manages per-epoch stages of
+        // its own and must not leave an unused batch stage behind
+        override def toBatch: BatchWrite = {
+          val stage = GraftTxn.newStageDir(new File(dir), kind)
+          val w = GraftParquetTable.stagedWrite(spark, tableName, stage,
+            info, declared)
+          if (truncateFirst)
+            new GraftOverwriteWrite(w.toBatch, dir, stage, spark,
               declared, partCols)
-          override def description(): String =
-            s"graft-$kind($dir via ${stage.getName})"
+          else new GraftAppendWrite(w.toBatch, dir, stage, spark,
+            declared, partCols)
         }
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          require(!truncateFirst,
+            "graft streaming writes are append-mode (each epoch is one " +
+              "append commit); complete/truncate output is unsupported")
+          new GraftStreamingWrite(new File(dir), info.queryId(),
+            info.schema())
+        }
+        override def description(): String = s"graft-$kind($dir)"
       }
     }
 
@@ -631,11 +646,23 @@ private[sources] class GraftParquetTable(tableName: String,
     touchedReader.parquet(touched.map(_.getAbsolutePath).toIndexedSeq: _*)
       .filter(!cond)
       .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    // CDC row images (round 14): the delete's change set is exactly
+    // the matching rows of the touched files — staged pre-lock
+    val cdfBuild =
+      if (GraftCdf.enabled(d)) {
+        val b = GraftCdf.newBuild(d)
+        GraftCdf.writeInto(b,
+          touchedReader.parquet(
+            touched.map(_.getAbsolutePath).toIndexedSeq: _*).filter(cond),
+          "delete")
+        Some(b)
+      } else None
     GraftTxn.commitHook()
     GraftTxn.withCommitLock(d) {
       val now = GraftTxn.dataFiles(d)
       if (now != listedAtScan) {
         rm(tmp)
+        cdfBuild.foreach(GraftCdf.discard)
         throw new GraftTxn.CommitConflictException(tableName,
           (listedAtScan diff now) ++ (now diff listedAtScan))
       }
@@ -675,6 +702,10 @@ private[sources] class GraftParquetTable(tableName: String,
       Files.move(d.toPath, trash.toPath, StandardCopyOption.ATOMIC_MOVE)
       Files.move(tmp.toPath, d.toPath, StandardCopyOption.ATOMIC_MOVE)
       rm(trash)
+      cdfBuild.foreach { b =>
+        GraftCdf.publish(b, d, GraftTxn.version(d))
+        GraftCdf.prune(d, GraftTxn.retention)
+      }
     }
   }
 
@@ -956,6 +987,36 @@ private[sources] class GraftReplaceDataWrite(inner: BatchWrite,
     // promotion (round 14) — an UPDATE/MERGE that would write a
     // violating row rejects atomically, old state intact
     GraftConstraints.validateStage(spark, new File(dir), stage, declared)
+    // CDC row images (round 14): diff the affected OLD files against
+    // the staged NEW rows — pass-through rows cancel (exceptAll), so
+    // the change set is O(changed rows), and an update emits
+    // delete(old image) + insert(new image). Pre-lock: the old files
+    // are stable or validation will fail anyway.
+    cdfBuild =
+      if (GraftCdf.enabled(d)) {
+        val b = GraftCdf.newBuild(d)
+        val oldFiles: Seq[File] = groupFiles() match {
+          case Some(a) => a.toSeq
+          case None => preexisting.toSeq.map(n => new File(d, n))
+        }
+        val newDf =
+          if (GraftTxn.dataFiles(stage).nonEmpty)
+            Some(GraftCdf.readStage(spark, stage, declared))
+          else None
+        val oldDf =
+          if (oldFiles.nonEmpty)
+            Some(GraftCdf.readFiles(spark, d, oldFiles, declared))
+          else None
+        (oldDf, newDf) match {
+          case (Some(o), Some(n)) =>
+            GraftCdf.writeInto(b, n.exceptAll(o), "insert")
+            GraftCdf.writeInto(b, o.exceptAll(n), "delete")
+          case (Some(o), None) => GraftCdf.writeInto(b, o, "delete")
+          case (None, Some(n)) => GraftCdf.writeInto(b, n, "insert")
+          case _ => ()
+        }
+        Some(b)
+      } else None
     finalStage =
       if (partCols.isEmpty) stage
       else GraftParquetTable.splitStageByPartitions(spark, d, stage,
@@ -964,6 +1025,7 @@ private[sources] class GraftReplaceDataWrite(inner: BatchWrite,
       def loseConflict(names: Iterable[String]): Nothing = {
         conflictAborted = true
         GraftTxn.rmTree(finalStage)
+        cdfBuild.foreach(GraftCdf.discard)
         throw new GraftTxn.CommitConflictException(dir, names)
       }
       val missing = conflictNames().filterNot(n => new File(d, n).isFile)
@@ -990,6 +1052,10 @@ private[sources] class GraftReplaceDataWrite(inner: BatchWrite,
       affectedDelete.foreach(_.delete())
       if (partCols.nonEmpty) GraftParquetTable.sweepEmptyPartitionDirs(d)
       GraftTxn.bumpVersion(d)
+      cdfBuild.foreach { b =>
+        GraftCdf.publish(b, d, GraftTxn.version(d))
+        GraftCdf.prune(d, GraftTxn.retention)
+      }
       GraftTxn.pruneSnapshots(d, GraftTxn.retention)
     }
     GraftTxn.rmTree(finalStage)
@@ -1005,6 +1071,7 @@ private[sources] class GraftReplaceDataWrite(inner: BatchWrite,
   // is the correct rollback
   @volatile private var innerCommitted = false
   @volatile private var finalStage: File = stage
+  @volatile private var cdfBuild: Option[File] = None
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     if (!conflictAborted) {
@@ -1012,6 +1079,7 @@ private[sources] class GraftReplaceDataWrite(inner: BatchWrite,
         try inner.abort(messages) catch { case _: Exception => () }
       GraftTxn.rmTree(stage)
       GraftTxn.rmTree(finalStage)
+      cdfBuild.foreach(GraftCdf.discard)
     }
   }
 }
@@ -1037,6 +1105,16 @@ private[sources] class GraftAppendWrite(inner: BatchWrite, dir: String,
     // declared constraints validate the staged rows BEFORE promotion
     // (round 14) — a violation rejects the whole commit atomically
     GraftConstraints.validateStage(spark, d, stage, declared)
+    // CDC row images (round 14): an append's change set IS its staged
+    // rows — written pre-lock from the flat stage, published after the
+    // version bump
+    cdfBuild =
+      if (GraftCdf.enabled(d) && GraftTxn.dataFiles(stage).nonEmpty) {
+        val b = GraftCdf.newBuild(d)
+        GraftCdf.writeInto(b, GraftCdf.readStage(spark, stage, declared),
+          "insert")
+        Some(b)
+      } else None
     finalStage =
       if (partCols.isEmpty) stage
       else GraftParquetTable.splitStageByPartitions(spark, d, stage,
@@ -1046,15 +1124,21 @@ private[sources] class GraftAppendWrite(inner: BatchWrite, dir: String,
       GraftTxn.snapshotCurrent(d)
       GraftTxn.promoteStage(finalStage, d)
       GraftTxn.bumpVersion(d)
+      cdfBuild.foreach { b =>
+        GraftCdf.publish(b, d, GraftTxn.version(d))
+        GraftCdf.prune(d, GraftTxn.retention)
+      }
       GraftTxn.pruneSnapshots(d, GraftTxn.retention)
     }
     GraftTxn.rmTree(finalStage)
   }
+  @volatile private var cdfBuild: Option[File] = None
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     if (!innerCommitted)
       try inner.abort(messages) catch { case _: Exception => () }
     GraftTxn.rmTree(stage)
     GraftTxn.rmTree(finalStage)
+    cdfBuild.foreach(GraftCdf.discard)
   }
 }
 
@@ -1081,6 +1165,18 @@ private[sources] class GraftOverwriteWrite(inner: BatchWrite, dir: String,
     inner.commit(messages) // finalizes into the stage dir (outside lock)
     innerCommitted = true
     GraftConstraints.validateStage(spark, d, stage, declared) // round 14
+    // CDC row images (round 14): a restatement's inserts are the
+    // staged rows (pre-lock); its deletes are the WHOLE pre-state,
+    // read under the lock where that state is stable (an overwrite is
+    // already O(table), the delete images add one read of it)
+    cdfBuild =
+      if (GraftCdf.enabled(d)) {
+        val b = GraftCdf.newBuild(d)
+        if (GraftTxn.dataFiles(stage).nonEmpty)
+          GraftCdf.writeInto(b,
+            GraftCdf.readStage(spark, stage, declared), "insert")
+        Some(b)
+      } else None
     finalStage =
       if (partCols.isEmpty) stage
       else GraftParquetTable.splitStageByPartitions(spark, d, stage,
@@ -1088,19 +1184,30 @@ private[sources] class GraftOverwriteWrite(inner: BatchWrite, dir: String,
     GraftTxn.withCommitLock(d) {
       GraftTxn.snapshotCurrent(d)
       val pre = GraftTxn.dataFiles(d)
+      cdfBuild.foreach { b =>
+        if (pre.nonEmpty)
+          GraftCdf.writeInto(b, GraftCdf.readFiles(spark, d,
+            pre.toSeq.map(n => new File(d, n)), declared), "delete")
+      }
       GraftTxn.promoteStage(finalStage, d)
       pre.foreach(n => new File(d, n).delete())
       if (partCols.nonEmpty) GraftParquetTable.sweepEmptyPartitionDirs(d)
       GraftTxn.bumpVersion(d)
+      cdfBuild.foreach { b =>
+        GraftCdf.publish(b, d, GraftTxn.version(d))
+        GraftCdf.prune(d, GraftTxn.retention)
+      }
       GraftTxn.pruneSnapshots(d, GraftTxn.retention)
     }
     GraftTxn.rmTree(finalStage)
   }
+  @volatile private var cdfBuild: Option[File] = None
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     if (!innerCommitted)
       try inner.abort(messages) catch { case _: Exception => () }
     GraftTxn.rmTree(stage)
     GraftTxn.rmTree(finalStage)
+    cdfBuild.foreach(GraftCdf.discard)
   }
 }
 
@@ -1128,7 +1235,7 @@ private[sources] class GraftTable(val inner: GraftParquetTable)
   override def properties(): util.Map[String, String] = inner.properties()
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     inner.newScanBuilder(options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -1,0 +1,156 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** WRITE-TIME CDC row files (round 14, VERDICT r13 #3 — the Delta
+  * Change Data Feed analog): tables with the property
+  * `graft.cdf.enabled = true` additionally stage, per commit, the
+  * COMMIT'S ROW IMAGES — inserted and deleted rows tagged
+  * `_change_type` — under a sibling directory
+  * `<table>.changes/_commit_version=<v>/`. Updates appear as
+  * delete(old image) + insert(new image), the standard row-image CDC
+  * encoding for engines without stable row ids.
+  *
+  * Why a SIBLING directory with a hive-partition version dir: the
+  * version rides in the PATH (`_commit_version=` is a legal partition
+  * dir — Spark's listing only hides underscore names without `=`), so
+  * change files are written ONCE with no version column baked in, the
+  * whole feed is directly readable by Spark's own (restart-safe,
+  * checkpointed) file stream source — [[rowsStream]] — and the live
+  * table's reads never see them. Being outside the table dir also
+  * survives the delete path's whole-directory swap, like the commit
+  * lock.
+  *
+  * Cost model: O(changed) per commit, never O(table) — appends link
+  * their own rows, rewrites diff ONLY the affected files' rows
+  * (exceptAll old↔new, pass-through rows cancel). The heavy staging
+  * runs OUTSIDE the commit lock; under the lock the publish is one
+  * atomic rename. Retention prunes change versions with snapshots
+  * (same retain count): a feed reader further behind than the
+  * retention window has lost rows — the same contract as time travel.
+  *
+  * Not change-tracked (documented boundary, matching Delta): the
+  * value-neutral maintenance commits (OPTIMIZE/compaction — no row
+  * changes by construction) and multi-table transaction writes.
+  */
+object GraftCdf {
+
+  val ChangeTypeCol = "_change_type"
+  val VersionCol = "_commit_version"
+
+  def enabled(dir: File): Boolean =
+    GraftCatalog.loadProps(dir).get("graft.cdf.enabled").contains("true")
+
+  def changesRoot(dir: File): File = {
+    val abs = dir.getAbsoluteFile
+    new File(abs.getParentFile, abs.getName + ".changes")
+  }
+
+  def changesDir(dir: File, v: Long): File =
+    new File(changesRoot(dir), s"$VersionCol=$v")
+
+  /** Feed schema: the table's columns plus the change-type tag and the
+    * path-carried commit version. */
+  def feedSchema(table: StructType): StructType =
+    StructType(table.fields.toSeq :+
+      StructField(ChangeTypeCol, StringType, nullable = false) :+
+      StructField(VersionCol, LongType, nullable = false))
+
+  /** A fresh hidden build dir for one commit's change rows; staged
+    * OUTSIDE the lock, published by [[publish]]'s atomic rename. */
+  def newBuild(dir: File): File = {
+    val b = new File(changesRoot(dir),
+      s".build_${System.nanoTime()}_${Thread.currentThread().getId}")
+    b.mkdirs()
+    b
+  }
+
+  /** Append `df` rows tagged with `changeType` into the build. */
+  def writeInto(build: File, df: DataFrame, changeType: String): Unit =
+    df.withColumn(ChangeTypeCol, lit(changeType))
+      .write.mode("append").parquet(build.getAbsolutePath)
+
+  /** Under the commit lock, after validation and the version bump:
+    * publish the build as this commit's change set. Empty builds (a
+    * no-op statement) are discarded — a version with no change files
+    * simply contributes no rows to the feed. */
+  def publish(build: File, dir: File, v: Long): Unit = {
+    val files = Option(build.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    if (files.isEmpty) { GraftTxn.rmTree(build); return }
+    val target = changesDir(dir, v)
+    try java.nio.file.Files.move(build.toPath, target.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    catch { case _: java.io.IOException if target.isDirectory =>
+      GraftTxn.rmTree(build) // a retried commit already published
+    }
+  }
+
+  def discard(build: File): Unit = GraftTxn.rmTree(build)
+
+  /** Drop the oldest change versions beyond `retain` — called with
+    * snapshot pruning, same retention contract. */
+  def prune(dir: File, retain: Int): Unit = {
+    val root = changesRoot(dir)
+    val vs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(VersionCol + "="))
+      .flatMap(f => f.getName.stripPrefix(VersionCol + "=").toLongOption
+        .map(_ -> f))
+      .sortBy(_._1)
+    if (vs.length > retain)
+      vs.dropRight(retain).foreach { case (_, f) => GraftTxn.rmTree(f) }
+  }
+
+  /** Remove the whole change feed (DROP TABLE cleanup). */
+  def drop(dir: File): Unit = GraftTxn.rmTree(changesRoot(dir))
+
+  /** Read a commit path's FLAT stage (pre-split: partition values
+    * still data columns) — the insert-image source for appends and
+    * rewrites. */
+  private[sources] def readStage(spark: SparkSession, stage: File,
+      declared: Option[StructType]): DataFrame = {
+    val r = declared.fold(spark.read)(s => spark.read.schema(s))
+    r.parquet(stage.getAbsolutePath)
+  }
+
+  /** Read specific live files of the table — the delete-image source
+    * for rewrites; `basePath` keeps path-carried partition values. */
+  private[sources] def readFiles(spark: SparkSession, dir: File,
+      files: Seq[File], declared: Option[StructType]): DataFrame = {
+    val r = declared.fold(spark.read)(s => spark.read.schema(s))
+      .option("basePath", dir.getAbsolutePath)
+    r.parquet(files.map(_.getAbsolutePath): _*)
+  }
+
+  /** BATCH face of the row feed: every retained change row, with
+    * `_change_type` and the path-carried `_commit_version`. */
+  def rows(spark: SparkSession, dir: File): DataFrame = {
+    val root = changesRoot(dir)
+    root.mkdirs()
+    spark.read
+      .schema(feedSchema(GraftCatalog.pinned(dir).getOrElse(
+        throw new IllegalStateException(s"no schema pin at $dir"))))
+      .option("basePath", root.getAbsolutePath)
+      .parquet(root.getAbsolutePath)
+  }
+
+  /** STREAMING face of the row feed (the `rowLevel` CDC stream —
+    * VERDICT r13 #3): Spark's own file stream source over the change
+    * directory, so restart safety is the engine's checkpointed file
+    * log — a resumed query emits each change file exactly once, no
+    * joins, O(changed) per micro-batch. */
+  def rowsStream(spark: SparkSession, dir: File): DataFrame = {
+    val root = changesRoot(dir)
+    root.mkdirs()
+    spark.readStream
+      .schema(feedSchema(GraftCatalog.pinned(dir).getOrElse(
+        throw new IllegalStateException(s"no schema pin at $dir"))))
+      .option("basePath", root.getAbsolutePath)
+      .parquet(root.getAbsolutePath)
+  }
+}

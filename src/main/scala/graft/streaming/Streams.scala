@@ -1571,7 +1571,155 @@ object Streams {
     } finally s.sql("DROP TABLE IF EXISTS graft28.nation_cdc"): Unit
   }
 
+  /** ST29 — WRITE-TIME CDC row feed (round 14, VERDICT r13 #3; the
+    * Delta Change Data Feed analog, completing the CDC family: st28
+    * streams COMMITS and recomputes diffs, this streams the ROW IMAGES
+    * the commits themselves staged): a table with
+    * `graft.cdf.enabled = true` makes every commit additionally
+    * publish its inserted/deleted row images under
+    * `<table>.changes/_commit_version=<v>/`
+    * ([[graft.sources.GraftCdf]] — O(changed) per commit: appends
+    * write their own rows, rewrites exceptAll-diff only the affected
+    * files, updates emit delete(old)+insert(new)). The feed is Spark's
+    * own checkpointed file stream over that directory — restart-safe
+    * with NO snapshot joins (the st28 consumer's per-version
+    * versionDiff job disappears; the Round14 spec pins restart
+    * behavior). Contract: the sql52 history (CTAS v1 → UPDATE v2 →
+    * DELETE v3) streamed via the row feed, keys re-classified per
+    * version from the row images, must EQUAL `Dml.tableChanges(0, 3)`
+    * recomputed from snapshots — claims are the per-(version, class)
+    * counts/key-sums plus the equivalence boolean. */
+  def st29CdfRows(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val cat = Tables.graftCatalog(s, "st29", sfDir)
+    val base = Tables.scratchDir("st29_cat", sfDir)
+    s.sql(s"DROP TABLE IF EXISTS $cat.nation_cdf")
+    Tables.nation(s, sfDir).select(col("n_nationkey"))
+      .createOrReplaceTempView("nation_src29")
+    s.sql(s"CREATE TABLE $cat.nation_cdf " +
+      "TBLPROPERTIES ('graft.cdf.enabled'='true') AS " +
+      "SELECT n_nationkey AS k, CAST(n_nationkey * 10 AS BIGINT) AS v " +
+      "FROM nation_src29") // v1 — CTAS rows are the first insert images
+    try {
+      s.sql(s"UPDATE $cat.nation_cdf SET v = v + 1000 WHERE k % 5 = 0") // 2
+      s.sql(s"DELETE FROM $cat.nation_cdf WHERE k % 3 = 0") // 3 (swap)
+      val dir = new java.io.File(s"$base/nation_cdf")
+      val outDir = Tables.scratchDir("st29_out", sfDir)
+      val cpDir = Tables.scratchDir("st29_cp", sfDir)
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(cpDir), true)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.sources.GraftCdf.rowsStream(s, dir)
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", cpDir)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val streamed = Tables.tune(s).read.parquet(outDir)
+      // row images → per-(key, version) change class: both sides
+      // present = changed, insert-only = inserted, delete-only =
+      // deleted — the classification tableChanges computes from
+      // snapshot joins, here derived from the feed alone
+      val classified = streamed
+        .groupBy(col("k"), col("_commit_version").as("version"))
+        .agg(max(when(col("_change_type") === "insert", 1)
+            .otherwise(0)).as("ins"),
+          max(when(col("_change_type") === "delete", 1)
+            .otherwise(0)).as("del"))
+        .withColumn("change_type",
+          when(col("ins") === 1 && col("del") === 1, "changed")
+            .when(col("ins") === 1, "inserted")
+            .otherwise("deleted"))
+      val fromFeed = classified
+        .select(col("k"), col("version"), col("change_type"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+        .toSet
+      val fromSnapshots = graft.operators.Dml
+        .tableChanges(s, s"$cat.nation_cdf", 0L, 3L, Seq("k"))
+        .collect()
+        .map(r => (r.getInt(0), r.getAs[Long]("version"),
+          r.getAs[String]("change_type")))
+        .toSet
+      val feedsMatch = fromFeed == fromSnapshots && fromFeed.nonEmpty
+      classified.groupBy(col("version"), col("change_type"))
+        .agg(count(lit(1)).as("n_keys"),
+          coalesce(sum(col("k")), lit(0L)).as("ksum"))
+        .withColumn("feeds_match", lit(feedsMatch))
+        .orderBy(col("version"), col("change_type"))
+        .localCheckpoint(true)
+    } finally s.sql(s"DROP TABLE IF EXISTS $cat.nation_cdf"): Unit
+  }
+
+  /** ST30 — NATIVE STREAMING SINK (round 14, VERDICT r13 #4):
+    * `writeStream.format("graft")` lands each micro-batch as one
+    * transactional graft commit ([[graft.sources.GraftSink]]): staged
+    * per-epoch, promoted under the commit lock, version-bumped,
+    * CDC-published — with EXACTLY-ONCE via the `(queryId, epochId)`
+    * ledger (a replayed epoch no-ops; the Round14 spec drives the
+    * replay seam directly). Contract: nation streamed in TWO
+    * AvailableNow runs against one checkpoint (odd keys, then even) —
+    * run 2 resumes from the checkpoint, so the table ends with exactly
+    * one copy of every row across two commits; a THIRD run with no new
+    * data commits nothing. Claims: count/keysum/valuesum the oracle
+    * restates from nation, the CDF insert count (one change set per
+    * epoch), and the per-run version counters. */
+  def st30GraftSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val cat = Tables.graftCatalog(s, "st30", sfDir)
+    val base = Tables.scratchDir("st30_cat", sfDir)
+    s.sql(s"DROP TABLE IF EXISTS $cat.nation_sink")
+    s.sql(s"CREATE TABLE $cat.nation_sink (k INT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.cdf.enabled'='true')")
+    try {
+      val dir = new java.io.File(s"$base/nation_sink")
+      val cp = Tables.scratchDir("st30_cp", sfDir)
+      org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(cp), true)
+      val rows = Tables.nation(s, sfDir)
+        .select(col("n_nationkey")).collect()
+        .map(r => (r.getInt(0), r.getInt(0).toLong * 10))
+      val (evens, odds) = rows.partition(_._1 % 2 == 0)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+        s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+      import s.implicits._
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Int, Long)]
+      def runOnce(): Unit = {
+        val q = ms.toDS().toDF("k", "v").writeStream.format("graft")
+          .option("tableDir", dir.getAbsolutePath)
+          .option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      ms.addData(evens.toIndexedSeq)
+      runOnce() // epoch 0 → commit v1
+      val vAfter1 = graft.sources.GraftTxn.version(dir)
+      ms.addData(odds.toIndexedSeq)
+      runOnce() // resumes from the checkpoint → epoch 1 → commit v2
+      val vAfter2 = graft.sources.GraftTxn.version(dir)
+      runOnce() // nothing new → no commit
+      val vAfter3 = graft.sources.GraftTxn.version(dir)
+      val r = s.table(s"$cat.nation_sink").agg(count(lit(1)),
+        coalesce(sum(col("k")), lit(0L)),
+        coalesce(sum(col("v")), lit(0L))).head()
+      val nCdfInserts = graft.sources.GraftCdf.rows(s, dir)
+        .filter(col("_change_type") === "insert").count()
+      Seq((r.getLong(0), r.getLong(1), r.getLong(2), nCdfInserts,
+          vAfter1 == 1L && vAfter2 == 2L && vAfter3 == 2L))
+        .toDF("n_rows", "ksum", "vsum", "n_cdf_inserts",
+          "one_commit_per_epoch")
+    } finally s.sql(s"DROP TABLE IF EXISTS $cat.nation_sink"): Unit
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st30_graft_sink" -> (st30GraftSink _),
+    "st29_cdf_rows" -> (st29CdfRows _),
     "st28_stream_change_feed" -> (st28StreamChangeFeed _),
     "st24_join_then_agg" -> (st24JoinThenAgg _),
     "st23_checkpoint_recovery" -> (st23CheckpointRecovery _),
@@ -1606,6 +1754,33 @@ object Streams {
     // per-version change classes restated from the base table: v2 =
     // UPDATE k%5=0 (changed), v3 = DELETE k%3=0 (deleted), v4 = MERGE
     // updating surviving k%7=1 keys + inserting 900/901
+    // the streamed table re-derives from nation: one copy of every
+    // key across the two epochs; CDF saw each row inserted once;
+    // version counters are engine booleans
+    "st30_graft_sink" ->
+      ("SELECT CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_rows, " +
+       "CAST((SELECT SUM(n_nationkey) FROM nation) AS BIGINT) AS ksum, " +
+       "CAST((SELECT SUM(n_nationkey) * 10 FROM nation) AS BIGINT) " +
+       "AS vsum, " +
+       "CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_cdf_inserts, " +
+       "TRUE AS one_commit_per_epoch"),
+    // the row-image feed re-classified per (key, version): v1 = every
+    // seed key inserted (CTAS images), v2 = k%5=0 changed (delete+
+    // insert pair), v3 = k%3=0 deleted; the snapshot-equivalence
+    // boolean is engine-verified against tableChanges
+    "st29_cdf_rows" ->
+      ("WITH ev AS (" +
+       "SELECT 1 AS version, 'inserted' AS change_type, n_nationkey AS k " +
+       "FROM nation " +
+       "UNION ALL SELECT 2, 'changed', n_nationkey FROM nation " +
+       "WHERE n_nationkey % 5 = 0 " +
+       "UNION ALL SELECT 3, 'deleted', n_nationkey FROM nation " +
+       "WHERE n_nationkey % 3 = 0) " +
+       "SELECT CAST(version AS BIGINT) AS version, change_type, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_keys, " +
+       "CAST(SUM(k) AS BIGINT) AS ksum, TRUE AS feeds_match " +
+       "FROM ev GROUP BY version, change_type " +
+       "ORDER BY version, change_type"),
     "st28_stream_change_feed" ->
       ("WITH ev AS (" +
        "SELECT 2 AS version, 'changed' AS change_type, n_nationkey AS k " +

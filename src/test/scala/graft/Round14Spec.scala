@@ -302,6 +302,86 @@ class Round14Spec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS p14h.t"): Unit
   }
 
+  test("streaming sink: a replayed epoch no-ops — exactly-once rows, one commit per epoch") {
+    import graft.sources.{GraftCdf, GraftSinkEpochs, GraftStreamingWrite}
+    val base = freshCatalog("p14i")
+    spark.sql("DROP TABLE IF EXISTS p14i.t")
+    spark.sql("CREATE TABLE p14i.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.cdf.enabled'='true')")
+    val dir = new File(base, "t")
+    val schema = spark.table("p14i.t").schema
+    val w = new GraftStreamingWrite(dir, "qspec", schema)
+    // stage epoch 0's rows exactly where the executor writers would
+    def stageEpoch(epoch: Long, lo: Long, hi: Long): Unit = {
+      val stage = GraftSinkEpochs.epochStage(dir, "qspec", epoch)
+      // the real executor writer embeds the pin's field ids — the
+      // spec's hand-staging must too, or the id-resolved reads reject
+      graft.sources.GraftCatalog.withPinFieldIds(
+        spark.range(lo, hi).selectExpr("id AS k", "id * 2 AS v"), dir)
+        .write.mode("append").parquet(stage.getAbsolutePath)
+    }
+    stageEpoch(0L, 0L, 10L)
+    w.commit(0L, Array.empty)
+    assert(spark.table("p14i.t").count() == 10)
+    assert(GraftTxn.version(dir) == 1L)
+    // the kill/restart REPLAY: same epochId, same data re-staged —
+    // the ledger makes it a no-op (no duplicate rows, no version bump,
+    // no extra change set)
+    stageEpoch(0L, 0L, 10L)
+    w.commit(0L, Array.empty)
+    assert(spark.table("p14i.t").count() == 10,
+      "a replayed epoch must not re-apply")
+    assert(GraftTxn.version(dir) == 1L)
+    // a NEW epoch commits normally, and the change feed holds exactly
+    // one insert image per row per epoch
+    stageEpoch(1L, 10L, 15L)
+    w.commit(1L, Array.empty)
+    assert(spark.table("p14i.t").count() == 15)
+    assert(GraftTxn.version(dir) == 2L)
+    val feed = GraftCdf.rows(spark, dir)
+    assert(feed.count() == 15, "one change row per inserted row")
+    assert(feed.select(col("_commit_version")).distinct().count() == 2,
+      "one commit (change set) per epoch")
+    assert(GraftSinkEpochs.epochCount(dir, "qspec") == 2)
+    spark.sql("DROP TABLE IF EXISTS p14i.t"): Unit
+  }
+
+  test("CDF row feed: checkpointed restart resumes with no re-emission, no gaps") {
+    import graft.sources.GraftCdf
+    val base = freshCatalog("p14j")
+    spark.sql("DROP TABLE IF EXISTS p14j.t")
+    spark.range(0, 10).selectExpr("id AS k", "CAST(id AS LONG) AS v")
+      .createOrReplaceTempView("p14j_seed")
+    spark.sql("CREATE TABLE p14j.t " +
+      "TBLPROPERTIES ('graft.cdf.enabled'='true') AS " +
+      "SELECT * FROM p14j_seed") // v1: 10 insert images
+    val dir = new File(base, "t")
+    val out = new File(sys.props("java.io.tmpdir"),
+      s"graft_r14_cdfout_${System.nanoTime()}")
+    val cp = new File(sys.props("java.io.tmpdir"),
+      s"graft_r14_cdfcp_${System.nanoTime()}")
+    def drain(): Unit = {
+      val q = GraftCdf.rowsStream(spark, dir)
+        .writeStream.format("parquet")
+        .option("path", out.getAbsolutePath)
+        .option("checkpointLocation", cp.getAbsolutePath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // sees v1's images
+    assert(spark.read.parquet(out.getAbsolutePath).count() == 10)
+    // feed DOWN across two commits
+    spark.sql("UPDATE p14j.t SET v = v + 100 WHERE k < 3") // v2: 3+3 images
+    spark.sql("DELETE FROM p14j.t WHERE k = 9") // v3: 1 delete image
+    drain() // restart from the checkpoint
+    val rows = spark.read.parquet(out.getAbsolutePath)
+    assert(rows.count() == 10 + 6 + 1,
+      "restart must emit exactly the missed images: no re-emission, no gaps")
+    assert(rows.groupBy(col("_commit_version")).count().count() == 3)
+    spark.sql("DROP TABLE IF EXISTS p14j.t"): Unit
+  }
+
   test("compactPartitions honors the declared spec and snapshots the pre-state") {
     val base = freshCatalog("p14d")
     val dir = seedPartitioned("p14d", base)
