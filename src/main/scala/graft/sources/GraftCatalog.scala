@@ -678,6 +678,7 @@ private[sources] class GraftParquetTable(tableName: String,
         }
       }
       Seq(GraftCatalog.SchemaFile, GraftCatalog.PartitionsFile,
+          GraftCatalog.PropsFile, GraftSinkEpochs.EpochsFile,
           GraftTxn.CommitLog).foreach { m =>
         val src = new File(d, m)
         if (src.isFile)

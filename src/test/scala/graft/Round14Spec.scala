@@ -382,6 +382,30 @@ class Round14Spec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS p14j.t"): Unit
   }
 
+  test("constraint props and the epoch ledger survive the delete path's dir swap") {
+    import graft.sources.{GraftConstraints, GraftSinkEpochs}
+    val base = freshCatalog("p14k")
+    spark.sql("DROP TABLE IF EXISTS p14k.t")
+    spark.sql("CREATE TABLE p14k.t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.check.v_pos'='v > 0')")
+    val dir = new File(base, "t")
+    spark.sql("INSERT INTO p14k.t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    GraftSinkEpochs.record(dir, "qswap", 7L)
+    // a translatable DELETE takes the whole-directory SWAP path — the
+    // metadata riders (schema pin, props, epoch ledger, commit log)
+    // must travel into the swapped-in directory
+    spark.sql("DELETE FROM p14k.t WHERE k = 2")
+    assert(spark.table("p14k.t").count() == 2)
+    assert(GraftSinkEpochs.committed(dir, "qswap", 7L),
+      "the exactly-once ledger must survive the swap")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO p14k.t VALUES (4, -4.0)")
+    }
+    assert(GraftConstraints.isViolation(e),
+      "declared constraints must survive the swap")
+    spark.sql("DROP TABLE IF EXISTS p14k.t"): Unit
+  }
+
   test("compactPartitions honors the declared spec and snapshots the pre-state") {
     val base = freshCatalog("p14d")
     val dir = seedPartitioned("p14d", base)
