@@ -24,7 +24,12 @@ import scala.jdk.CollectionConverters._
   *   CALL wh.optimize('accounts', 268435456, 'acct')    -- clustered
   *   CALL wh.vacuum('accounts', 8)
   *   CALL wh.history('accounts')                        -- DESCRIBE HISTORY
+  *   CALL wh.recover('accounts')   -- finish half-done multi-table txns
   * }}}
+  *
+  * Round 14: `optimize` on a PARTITIONED table routes to the
+  * per-partition compactor (layout-preserving), and `recover` resolves
+  * half-done [[GraftMultiTxn]] transactions from SQL.
   *
   * Each procedure resolves the table name inside ITS OWN catalog
   * (namespaced names work: 'ns.t'), runs under the commit protocol
@@ -46,13 +51,15 @@ private[sources] object GraftProcedures {
       case "optimize" => OptimizeProc(tableDir, spark)
       case "vacuum" => VacuumProc(tableDir)
       case "history" => HistoryProc(tableDir)
+      case "recover" => RecoverProc(tableDir)
       case other => throw new UnsupportedOperationException(
         s"unknown graft procedure '$other' " +
-          "(have: restore, optimize, vacuum, history)")
+          "(have: restore, optimize, vacuum, history, recover)")
     }
   }
 
-  val All: Seq[String] = Seq("restore", "optimize", "vacuum", "history")
+  val All: Seq[String] =
+    Seq("restore", "optimize", "vacuum", "history", "recover")
 
   private def in(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -114,9 +121,44 @@ private[sources] object GraftProcedures {
       val cluster =
         if (input.isNullAt(2)) None
         else Option(input.getUTF8String(2)).map(_.toString).filter(_.nonEmpty)
-      val (b, a) = GraftMaintenance.compact(spark(), dir(tableDir, input),
-        input.getLong(1), cluster)
-      result(outSchema, InternalRow(b.toLong, a.toLong))
+      val d = dir(tableDir, input)
+      // PARTITIONED tables (round 14): whole-table compact would
+      // flatten the hive layout, so the SQL face routes to the
+      // per-partition form — every declared partition bin-packed
+      // independently, one commit (clustering is per-partition-file
+      // layout territory and stays unsupported there)
+      if (GraftCatalog.partitionSpec(d).nonEmpty) {
+        require(cluster.isEmpty,
+          "OPTIMIZE with a clustering expression is unsupported on " +
+            "partitioned tables; omit cluster_by")
+        val res = GraftMaintenance.compactPartitions(spark(), d,
+          _ => true, input.getLong(1))
+        val b = res.values.map(_._1).sum.toLong
+        val a = res.values.map(_._2).sum.toLong
+        result(outSchema, InternalRow(b, a))
+      } else {
+        val (b, a) = GraftMaintenance.compact(spark(), d,
+          input.getLong(1), cluster)
+        result(outSchema, InternalRow(b.toLong, a.toLong))
+      }
+    }
+  }
+
+  /** `CALL cat.recover('t')` — finish any half-done MULTI-TABLE
+    * transaction touching this table (round 14, [[GraftMultiTxn]]):
+    * pending manifests roll BACK (neither table's writes visible),
+    * committed ones roll FORWARD. Idempotent; returns the number of
+    * transactions resolved. */
+  private case class RecoverProc(tableDir: Seq[String] => File)
+    extends GraftProc("recover",
+      Array(in("table", StringType)),
+      new StructType().add("txns_resolved", LongType, false)) {
+    override def description(): String =
+      "resolve half-done multi-table transactions (rollback pending, " +
+        "roll forward committed)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val n = GraftMultiTxn.recover(dir(tableDir, input))
+      result(outSchema, InternalRow(n.toLong))
     }
   }
 

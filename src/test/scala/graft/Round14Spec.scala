@@ -406,6 +406,33 @@ class Round14Spec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS p14k.t"): Unit
   }
 
+  test("CALL optimize routes partitioned tables per-partition; CALL recover resolves txns") {
+    val base = freshCatalog("p14l")
+    spark.sql("DROP TABLE IF EXISTS p14l.t")
+    spark.range(0, 400).selectExpr("id AS k", "CAST(id % 4 AS INT) AS p")
+      .repartition(8).createOrReplaceTempView("p14l_seed")
+    spark.sql("CREATE TABLE p14l.t PARTITIONED BY (p) AS " +
+      "SELECT * FROM p14l_seed")
+    val dir = new File(base, "t")
+    val before = GraftTxn.dataFiles(dir)
+    assert(before.size > 4, s"need multi-file partitions, got $before")
+    val r = spark.sql(s"CALL p14l.optimize('t', ${1L << 40})").head()
+    assert(r.getLong(0) > r.getLong(1) && r.getLong(1) == 4L,
+      s"partitioned OPTIMIZE must pack per partition: $r")
+    val after = GraftTxn.dataFiles(dir)
+    assert(after.forall(_.matches("p=[0-3]/.*")),
+      s"layout must survive SQL OPTIMIZE: $after")
+    assert(spark.table("p14l.t").count() == 400)
+    // clustering on a partitioned table rejects cleanly
+    val e = intercept[Exception] {
+      spark.sql(s"CALL p14l.optimize('t', ${1L << 40}, 'k')").collect()
+    }
+    assert(e.getMessage != null)
+    // recover is idempotent SQL: nothing half-done → 0 resolved
+    assert(spark.sql("CALL p14l.recover('t')").head().getLong(0) == 0L)
+    spark.sql("DROP TABLE IF EXISTS p14l.t"): Unit
+  }
+
   test("compactPartitions honors the declared spec and snapshots the pre-state") {
     val base = freshCatalog("p14d")
     val dir = seedPartitioned("p14d", base)
