@@ -433,6 +433,62 @@ class Round14Spec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS p14l.t"): Unit
   }
 
+  test("multi-level partitioning: two identity columns nest, prune, and time travel") {
+    val base = freshCatalog("p14m")
+    spark.sql("DROP TABLE IF EXISTS p14m.t")
+    spark.range(0, 120)
+      .selectExpr("id AS k", "CAST(id % 3 AS INT) AS a",
+        "CAST(id % 2 AS INT) AS b")
+      .createOrReplaceTempView("p14m_seed")
+    spark.sql("CREATE TABLE p14m.t PARTITIONED BY (a, b) AS " +
+      "SELECT * FROM p14m_seed")
+    val dir = new File(base, "t")
+    val files = GraftTxn.dataFiles(dir)
+    assert(files.nonEmpty && files.forall(_.matches("a=[0-2]/b=[01]/.*")),
+      s"nested hive layout expected: $files")
+    // pruning on either level
+    val scanned = spark.table("p14m.t")
+      .filter(col("a") === 1 && col("b") === 0)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    assert(scanned.nonEmpty && scanned.forall(_.contains("a=1/b=0/")))
+    assert(spark.table("p14m.t").filter(col("a") === 1).count() == 40)
+    // a rewrite scoped to one leaf partition keeps the nesting
+    spark.sql("UPDATE p14m.t SET k = k + 1000 WHERE a = 2 AND b = 1")
+    val after = GraftTxn.dataFiles(dir)
+    assert(after.forall(_.matches("a=[0-2]/b=[01]/.*")),
+      s"nesting broken by the rewrite: $after")
+    assert(spark.table("p14m.t").filter(col("k") >= 1000).count() == 20)
+    // time travel reads the nested snapshot
+    assert(spark.sql("SELECT COUNT(*) FROM p14m.t VERSION AS OF 1")
+      .head().getLong(0) == 120)
+    spark.sql("DROP TABLE IF EXISTS p14m.t"): Unit
+  }
+
+  test("streaming sink into a PARTITIONED table keeps the hive layout") {
+    import graft.sources.{GraftSinkEpochs, GraftStreamingWrite}
+    val base = freshCatalog("p14n")
+    spark.sql("DROP TABLE IF EXISTS p14n.t")
+    spark.sql("CREATE TABLE p14n.t (k BIGINT, p INT) PARTITIONED BY (p)")
+    val dir = new File(base, "t")
+    val w = new GraftStreamingWrite(dir, "qpart",
+      spark.table("p14n.t").schema)
+    val stage = GraftSinkEpochs.epochStage(dir, "qpart", 0L)
+    graft.sources.GraftCatalog.withPinFieldIds(
+      spark.range(0, 40).selectExpr("id AS k", "CAST(id % 4 AS INT) AS p"),
+      dir).write.mode("append").parquet(stage.getAbsolutePath)
+    w.commit(0L, Array.empty)
+    val files = GraftTxn.dataFiles(dir)
+    assert(files.nonEmpty && files.forall(_.matches("p=[0-3]/.*")),
+      s"epoch commit must split by the spec: $files")
+    assert(spark.table("p14n.t").count() == 40)
+    val scanned = spark.table("p14n.t").filter(col("p") === 2)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    assert(scanned.nonEmpty && scanned.forall(_.contains("p=2/")))
+    spark.sql("DROP TABLE IF EXISTS p14n.t"): Unit
+  }
+
   test("compactPartitions honors the declared spec and snapshots the pre-state") {
     val base = freshCatalog("p14d")
     val dir = seedPartitioned("p14d", base)
