@@ -953,7 +953,66 @@ object Dml {
     }
   }
 
+  /** SQL59 — Iceberg-style METADATA TABLES (round 14): a graft
+    * table's bookkeeping as SQL relations — `cat.t.history` (one row
+    * per commit, from the commit log), `cat.t.files` (live files with
+    * partition + size), `cat.t.snapshots` (retained time-travel
+    * state), `cat.t.partitions` (per-partition footprint) — resolved
+    * by [[graft.sources.GraftCatalog.loadTable]] when the namespace is
+    * a graft table ([[graft.sources.GraftMetaTables]]; a real table
+    * named `history` shadows the relation). Contract: a partitioned
+    * history (CTAS v1 → INSERT v2 → partition-scoped UPDATE v3)
+    * inspected ONLY through the metadata relations, cross-checked
+    * against the filesystem; the one data-derived claim (current row
+    * count) restates from orders. */
+  def sql59MetadataTables(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val cat = Tables.graftCatalog(s, "sql59", sfDir)
+    val base = Tables.scratchDir("sql59_cat", sfDir)
+    s.sql(s"DROP TABLE IF EXISTS $cat.orders_md")
+    Tables.orders(s, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        pmod(col("o_custkey"), lit(4)).cast("int").as("pbucket"))
+      .createOrReplaceTempView("orders_src59")
+    s.sql(s"CREATE TABLE $cat.orders_md PARTITIONED BY (pbucket) AS " +
+      "SELECT * FROM orders_src59") // v1
+    try {
+      s.sql(s"INSERT INTO $cat.orders_md VALUES " +
+        "(CAST(9000001 AS BIGINT), CAST(1.0 AS DOUBLE), 1), " +
+        "(CAST(9000002 AS BIGINT), CAST(2.0 AS DOUBLE), 1)") // v2
+      s.sql(s"UPDATE $cat.orders_md SET o_totalprice = o_totalprice " +
+        "WHERE pbucket = 0") // v3 (identity rewrite of one partition)
+      val dir = new java.io.File(s"$base/orders_md")
+      val hist = s.sql(s"SELECT COUNT(*), MAX(version) " +
+        s"FROM $cat.orders_md.history").head()
+      val filesDf = s.sql(
+        s"SELECT file, partition, size_bytes FROM $cat.orders_md.files")
+      val files = filesDf.collect()
+      val real = graft.sources.GraftTxn.dataFiles(dir)
+      val filesOk = files.length == real.size && files.forall { r =>
+        real.contains(r.getString(0)) &&
+          r.getString(1).startsWith("pbucket=") &&
+          r.getLong(2) == new java.io.File(dir, r.getString(0)).length()
+      }
+      val parts = s.sql(s"SELECT partition, n_files FROM " +
+        s"$cat.orders_md.partitions").collect()
+      val partsOk = parts.length == 4 &&
+        parts.map(_.getLong(1)).sum == real.size &&
+        parts.forall(_.getString(0).startsWith("pbucket="))
+      val nSnaps = s.sql(
+        s"SELECT COUNT(*) FROM $cat.orders_md.snapshots")
+        .head().getLong(0)
+      val nRows = s.table(s"$cat.orders_md").count()
+      import s.implicits._
+      Seq((nRows, hist.getLong(0), hist.getLong(1), nSnaps, filesOk,
+          partsOk))
+        .toDF("n_rows", "n_commits", "max_version", "n_snapshots",
+          "files_ok", "partitions_ok")
+    } finally s.sql(s"DROP TABLE IF EXISTS $cat.orders_md"): Unit
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql59_metadata_tables" -> (sql59MetadataTables _),
     "sql57_multi_table_txn" -> (sql57MultiTableTxn _),
     "sql58_check_constraints" -> (sql58CheckConstraints _),
     "sql56_partitioned_table" -> (sql56PartitionedTable _),
@@ -973,6 +1032,16 @@ object Dml {
     "sql51_merge_by_source" -> (sql51MergeBySource _))
 
   val oracles: Map[String, String] = Map(
+    // the metadata relations' counts are history constants (3 commits,
+    // snapshots v0..v2); the data-derived claim restates from orders;
+    // filesystem cross-checks are engine booleans
+    "sql59_metadata_tables" ->
+      ("SELECT CAST((SELECT COUNT(*) FROM orders) + 2 AS BIGINT) " +
+       "AS n_rows, " +
+       "CAST(3 AS BIGINT) AS n_commits, " +
+       "CAST(3 AS BIGINT) AS max_version, " +
+       "CAST(3 AS BIGINT) AS n_snapshots, " +
+       "TRUE AS files_ok, TRUE AS partitions_ok"),
     // post-txn fact state = the upsert algebra over orders (matched
     // (1000,2000] keys take 2x price, (2000,3000] insert at 2x, ≤1000
     // pass through); audit = one row logging the batch size; versions

@@ -98,11 +98,34 @@ class GraftCatalog extends TableCatalog
       .map(f => Identifier.of(namespace, f.getName))
   }
 
+  /** Existence = a real table DIRECTORY. Deliberately not "loadTable
+    * succeeds": the metadata relations (`t.history` …) resolve through
+    * loadTable too, and counting them as existing would block a user
+    * from creating a real table with one of those names (the shadowing
+    * rule: real tables win). */
+  override def tableExists(ident: Identifier): Boolean =
+    tableDir(ident).isDirectory
+
   override def loadTable(ident: Identifier): Table = {
     val d = tableDir(ident)
-    if (!d.isDirectory)
+    if (!d.isDirectory) {
+      // Iceberg-style metadata relations (round 14): `cat.t.history`
+      // parses as (namespace=[...,"t"], name="history") — when the
+      // NAMESPACE is a graft table and no real directory shadows the
+      // name, serve the metadata table ([[GraftMetaTables]])
+      if (ident.namespace().nonEmpty &&
+          GraftMetaTables.Names.contains(
+            ident.name().toLowerCase(java.util.Locale.ROOT))) {
+        val parent = ident.namespace().foldLeft(base)((f, p) => new File(f, p))
+        if (parent.isDirectory &&
+            new File(parent, SchemaFile).isFile)
+          return GraftMetaTables(
+            ident.name().toLowerCase(java.util.Locale.ROOT), parent,
+            ident.toString)
+      }
       throw new NoSuchTableException(
         (ident.namespace() :+ ident.name()).toSeq)
+    }
     GraftTxn.registerTableDir(d) // conflict-retry eligibility (r14)
     new GraftTable(new GraftParquetTable(ident.toString,
       SparkSession.active, d.getAbsolutePath, pinnedSchema(d),

@@ -489,6 +489,32 @@ class Round14Spec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS p14n.t"): Unit
   }
 
+  test("metadata tables: shadowed by real tables, null partition on flat layout") {
+    val base = freshCatalog("p14o")
+    assert(base.nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS p14o.t")
+    spark.sql("CREATE TABLE p14o.t AS SELECT id AS k FROM range(0, 5)")
+    spark.sql("INSERT INTO p14o.t VALUES (100)")
+    // flat (unpartitioned) table: files rows carry a NULL partition
+    val files = spark.sql("SELECT partition, size_bytes FROM p14o.t.files")
+      .collect()
+    assert(files.nonEmpty && files.forall(r => r.isNullAt(0) &&
+      r.getLong(1) > 0))
+    assert(spark.sql("SELECT COUNT(*) FROM p14o.t.history")
+      .head().getLong(0) == 2L)
+    // a REAL table named `history` under the same namespace shadows
+    // the metadata relation
+    spark.sql("DROP TABLE IF EXISTS p14o.t.history")
+    spark.sql("CREATE TABLE p14o.t.history AS " +
+      "SELECT id AS marker FROM range(0, 7)")
+    assert(spark.sql("SELECT COUNT(*) FROM p14o.t.history")
+      .head().getLong(0) == 7L, "a real table must shadow the relation")
+    assert(spark.table("p14o.t.history").schema.fieldNames
+      .sameElements(Array("marker")))
+    spark.sql("DROP TABLE IF EXISTS p14o.t.history")
+    spark.sql("DROP TABLE IF EXISTS p14o.t"): Unit
+  }
+
   test("compactPartitions honors the declared spec and snapshots the pre-state") {
     val base = freshCatalog("p14d")
     val dir = seedPartitioned("p14d", base)
