@@ -35,7 +35,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *
   * Not change-tracked (documented boundary, matching Delta): the
   * value-neutral maintenance commits (OPTIMIZE/compaction — no row
-  * changes by construction) and multi-table transaction writes.
+  * changes by construction). Multi-table transaction writes ARE
+  * tracked (round 14 addendum): inserts from each table's stage,
+  * deletes from an overwrite's replaced pre-state, published per table
+  * after its version bump.
   */
 object GraftCdf {
 

@@ -70,9 +70,24 @@ object GraftMultiTxn {
     val ordered = writes.sortBy(_.dir.getAbsolutePath)
     ordered.foreach(w => require(w.dir.isDirectory,
       s"no graft table at ${w.dir}"))
-    // 1. read snapshots, then stage (heavy, unlocked)
+    // 1. read snapshots, then stage (heavy, unlocked) — including each
+    // CDF-enabled table's change images (inserts = the staged rows;
+    // deletes = the replaced pre-state for overwrites, consistent with
+    // the read snapshot the lock will validate)
     val snapshots = ordered.map(w => GraftTxn.dataFiles(w.dir))
-    val stages = ordered.map { w =>
+    val cdfBuilds: Seq[Option[File]] = ordered.zip(snapshots).map {
+      case (w, snap) =>
+        if (!GraftCdf.enabled(w.dir)) None
+        else {
+          val pin = GraftCatalog.pinned(w.dir)
+          val b = GraftCdf.newBuild(w.dir)
+          if (w.overwrite && snap.nonEmpty)
+            GraftCdf.writeInto(b, GraftCdf.readFiles(spark, w.dir,
+              snap.toSeq.map(n => new File(w.dir, n)), pin), "delete")
+          Some(b)
+        }
+    }
+    val stages = ordered.zip(cdfBuilds).map { case (w, cdf) =>
       val stage = GraftTxn.newStageDir(w.dir, "mtxn")
       val pin = GraftCatalog.pinned(w.dir)
       // query-computed frames drop field-id metadata — re-attach from
@@ -80,6 +95,11 @@ object GraftMultiTxn {
       GraftCatalog.withPinFieldIds(w.data, w.dir)
         .write.mode("append").parquet(stage.getAbsolutePath)
       GraftConstraints.validateStage(spark, w.dir, stage, pin)
+      cdf.foreach { b =>
+        if (GraftTxn.dataFiles(stage).nonEmpty)
+          GraftCdf.writeInto(b, GraftCdf.readStage(spark, stage, pin),
+            "insert")
+      }
       GraftCatalog.partitionSpec(w.dir) match {
         case Nil => stage
         case pc => GraftParquetTable.splitStageByPartitions(spark, w.dir,
@@ -132,19 +152,32 @@ object GraftMultiTxn {
         s".graft_mtxn_$nonce.committed")
       java.nio.file.Files.move(pending.toPath, committed.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      // 6. deletes + version bumps (crash here → roll forward)
-      entries.foreach { e =>
+      // 6. deletes + version bumps + CDC publish (crash here → roll
+      // forward; a crash between the flip and a publish can lose that
+      // commit's change files — the feed then sees a version with no
+      // rows, same as a value-neutral commit: recoverable via
+      // Dml.versionDiff, never wrong rows)
+      entries.lazyZip(cdfBuilds).foreach { (e, cdf) =>
         if (e.overwrite) {
           e.replaced.foreach(n => new File(e.dir, n).delete())
           GraftParquetTable.sweepEmptyPartitionDirs(e.dir)
         }
         GraftTxn.bumpVersion(e.dir)
+        cdf.foreach { b =>
+          GraftCdf.publish(b, e.dir, GraftTxn.version(e.dir))
+          GraftCdf.prune(e.dir, GraftTxn.retention)
+        }
         GraftTxn.pruneSnapshots(e.dir, GraftTxn.retention)
       }
       // 7. cleanup
       committed.delete(): Unit
       ordered.foreach(w => new File(w.dir, s"_mtxn_ptr_$nonce").delete())
-    } finally stages.foreach(GraftTxn.rmTree)
+    } finally {
+      stages.foreach(GraftTxn.rmTree)
+      // discard any change build that was not published (conflict,
+      // crash-simulated abort) — publish consumed the others
+      cdfBuilds.flatten.filter(_.isDirectory).foreach(GraftCdf.discard)
+    }
   }
 
   /** Crash recovery from any participating table: follow its

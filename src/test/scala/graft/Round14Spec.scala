@@ -515,6 +515,35 @@ class Round14Spec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS p14o.t"): Unit
   }
 
+  test("multi-table txn publishes CDC row images for CDF-enabled tables") {
+    import graft.sources.{GraftCdf, GraftMultiTxn}
+    val base = freshCatalog("p14p")
+    spark.sql("DROP TABLE IF EXISTS p14p.fact")
+    spark.sql("DROP TABLE IF EXISTS p14p.audit")
+    spark.sql("CREATE TABLE p14p.fact " +
+      "TBLPROPERTIES ('graft.cdf.enabled'='true') AS " +
+      "SELECT id AS k, CAST(id AS LONG) AS v FROM range(0, 10)") // v1
+    spark.sql("CREATE TABLE p14p.audit (batch_id BIGINT, n BIGINT)")
+    val factDir = new File(base, "fact")
+    import spark.implicits._
+    GraftMultiTxn.run(spark, Seq(
+      GraftMultiTxn.TableWrite(factDir,
+        spark.table("p14p.fact").selectExpr("k", "CAST(v * 2 AS LONG) AS v"),
+        overwrite = true),
+      GraftMultiTxn.TableWrite(new File(base, "audit"),
+        Seq((1L, 10L)).toDF("batch_id", "n"))))
+    val feed = GraftCdf.rows(spark, factDir)
+    val byVer = feed.groupBy(col("_commit_version"), col("_change_type"))
+      .count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byVer((1L, "insert")) == 10L, s"CTAS images: $byVer")
+    assert(byVer((2L, "insert")) == 10L &&
+      byVer((2L, "delete")) == 10L,
+      s"the txn's restatement must publish old+new images: $byVer")
+    spark.sql("DROP TABLE IF EXISTS p14p.fact")
+    spark.sql("DROP TABLE IF EXISTS p14p.audit"): Unit
+  }
+
   test("compactPartitions honors the declared spec and snapshots the pre-state") {
     val base = freshCatalog("p14d")
     val dir = seedPartitioned("p14d", base)
