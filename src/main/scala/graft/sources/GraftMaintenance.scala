@@ -214,7 +214,8 @@ object GraftMaintenance {
     * I/O, the rest of the table is untouched by construction. */
   def compactPartitions(spark: SparkSession, tableDir: File,
       where: String => Boolean,
-      targetBytes: Long = 262144L): Map[String, (Int, Int)] = {
+      targetBytes: Long = 262144L,
+      clusterBySql: Option[String] = None): Map[String, (Int, Int)] = {
     require(tableDir.isDirectory, s"no partitioned table at $tableDir")
     // real partition metadata where available (round 14, VERDICT r13
     // #1): a graft table's declared spec pins which `k=` prefixes are
@@ -235,13 +236,28 @@ object GraftMaintenance {
       val before = GraftTxn.dataFiles(p)
       val bytes = before.toSeq.map(n => new File(p, n).length()).sum
       val bins = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      if (bins >= before.size) None
+      // a clustering request always rewrites (re-layout is the point —
+      // the whole-table compact's rule, here per partition)
+      if (clusterBySql.isEmpty && bins >= before.size) None
       else {
         val stage = GraftTxn.newStageDir(tableDir, s"compactp")
-        spark.read.parquet(
-            before.toSeq.map(n => new File(p, n).getAbsolutePath): _*)
-          .repartition(bins)
-          .write.mode("overwrite").parquet(stage.getAbsolutePath)
+        val base = spark.read.parquet(
+          before.toSeq.map(n => new File(p, n).getAbsolutePath): _*)
+        // PER-PARTITION CLUSTERING (round 14): range-repartition AND
+        // sort each partition's rows by the clustering expression, so
+        // every output file owns a disjoint slice of the curve WITHIN
+        // its partition — the `OPTIMIZE ... WHERE <partition> ZORDER
+        // BY` combination (partition pruning from the dir, then
+        // min/max file pruning inside it). The expression sees the
+        // partition's DATA columns only (partition values live in the
+        // path, constant within p — clustering on them is meaningless)
+        val packed = clusterBySql match {
+          case Some(e) =>
+            val c = org.apache.spark.sql.functions.expr(e)
+            base.repartitionByRange(bins, c).sortWithinPartitions(c)
+          case None => base.repartition(bins)
+        }
+        packed.write.mode("append").parquet(stage.getAbsolutePath)
         Some((p, before, stage))
       }
     }

@@ -124,15 +124,11 @@ private[sources] object GraftProcedures {
       val d = dir(tableDir, input)
       // PARTITIONED tables (round 14): whole-table compact would
       // flatten the hive layout, so the SQL face routes to the
-      // per-partition form — every declared partition bin-packed
-      // independently, one commit (clustering is per-partition-file
-      // layout territory and stays unsupported there)
+      // per-partition form — every declared partition bin-packed (and,
+      // with cluster_by, range-sorted) independently, one commit
       if (GraftCatalog.partitionSpec(d).nonEmpty) {
-        require(cluster.isEmpty,
-          "OPTIMIZE with a clustering expression is unsupported on " +
-            "partitioned tables; omit cluster_by")
         val res = GraftMaintenance.compactPartitions(spark(), d,
-          _ => true, input.getLong(1))
+          _ => true, input.getLong(1), cluster)
         val b = res.values.map(_._1).sum.toLong
         val a = res.values.map(_._2).sum.toLong
         result(outSchema, InternalRow(b, a))

@@ -423,11 +423,22 @@ class Round14Spec extends SparkSpec {
     assert(after.forall(_.matches("p=[0-3]/.*")),
       s"layout must survive SQL OPTIMIZE: $after")
     assert(spark.table("p14l.t").count() == 400)
-    // clustering on a partitioned table rejects cleanly
-    val e = intercept[Exception] {
-      spark.sql(s"CALL p14l.optimize('t', ${1L << 40}, 'k')").collect()
+    // CLUSTERED per-partition OPTIMIZE (the OPTIMIZE ... ZORDER-within-
+    // partitions combination): small target → several files per
+    // partition, each owning a disjoint k-range WITHIN its partition
+    spark.sql("CALL p14l.optimize('t', 2048, 'k')").collect()
+    val perPart = spark.table("p14l.t")
+      .groupBy(col("p"), input_file_name().as("f"))
+      .agg(min(col("k")).as("kmin"), max(col("k")).as("kmax"))
+      .collect().groupBy(_.getInt(0))
+    val clusteredOk = perPart.values.forall { rs =>
+      val ranges = rs.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
+      ranges.sliding(2).forall(p =>
+        p.length < 2 || p(0)._2 <= p(1)._1)
     }
-    assert(e.getMessage != null)
+    assert(clusteredOk, "per-partition file ranges must be disjoint")
+    assert(GraftTxn.dataFiles(dir).forall(_.matches("p=[0-3]/.*")))
+    assert(spark.table("p14l.t").count() == 400)
     // recover is idempotent SQL: nothing half-done → 0 resolved
     assert(spark.sql("CALL p14l.recover('t')").head().getLong(0) == 0L)
     spark.sql("DROP TABLE IF EXISTS p14l.t"): Unit
