@@ -292,7 +292,33 @@ class GraftCatalog extends TableCatalog
       val base = pinnedSchema(d).getOrElse(throw new IllegalStateException(
         s"graft table $ident has no schema pin; cannot ALTER"))
       GraftTxn.snapshotCurrent(d) // pre-alter state keeps the OLD pin
-      val evolved = changes.foldLeft(base) {
+      // PROPERTY evolution (round 14): `ALTER TABLE ... SET/UNSET
+      // TBLPROPERTIES` against the persisted graft.* props — the
+      // evolvable-constraints path (`graft.check.*` added or dropped
+      // after create; the NEXT commit enforces the new set — existing
+      // rows are not re-validated, the standard lazy-ADD-CONSTRAINT
+      // contract). Non-graft keys error: nothing else is persisted.
+      val propChanges = changes.collect {
+        case sp: TableChange.SetProperty => (sp.property(), Some(sp.value()))
+        case rp: TableChange.RemoveProperty => (rp.property(), None)
+      }
+      if (propChanges.nonEmpty) {
+        propChanges.foreach { case (k, _) =>
+          require(k.startsWith("graft."),
+            s"only graft.* table properties are persisted; got '$k'") }
+        val cur = GraftCatalog.loadProps(d)
+        val next = propChanges.foldLeft(cur) {
+          case (m, (k, Some(v))) => m + (k -> v)
+          case (m, (k, None)) => m - k
+        }
+        val f = new File(d, GraftCatalog.PropsFile)
+        if (next.isEmpty) f.delete(): Unit
+        else GraftCatalog.storeProps(d, next)
+      }
+      val columnChanges = changes.filterNot(c =>
+        c.isInstanceOf[TableChange.SetProperty] ||
+          c.isInstanceOf[TableChange.RemoveProperty])
+      val evolved = columnChanges.foldLeft(base) {
         case (schema, add: TableChange.AddColumn) =>
           require(add.fieldNames().length == 1,
             "graft ALTER TABLE supports top-level ADD COLUMN only; got " +
@@ -501,6 +527,10 @@ private[sources] class GraftParquetTable(tableName: String,
     classOf[ParquetFileFormat])
   with SupportsDeleteV2 with SupportsRowLevelOperations
   with SupportsMetadataColumns {
+
+  /** The persisted graft.* table properties (constraints etc.). */
+  def graftProps: Map[String, String] =
+    GraftCatalog.loadProps(new File(dir))
 
   /** `_file` provenance (the Iceberg convention): resolvable in any
     * read of a graft table, produced by [[GraftFileScanBuilder]] only
@@ -1251,12 +1281,18 @@ private[sources] class GraftTable(val inner: GraftParquetTable)
   with SupportsRowLevelOperations with SupportsMetadataColumns {
   override def name(): String = inner.name
   override def schema(): StructType = inner.schema
+  /** Persisted graft.* properties surface through SHOW TBLPROPERTIES
+    * (round 14) alongside the file-source options. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String](inner.properties())
+    inner.graftProps.foreach { case (k, v) => m.put(k, v): Unit }
+    m
+  }
   /** Declared identity partitioning (round 14) — reported so Spark's
     * DESCRIBE/SHOW surfaces and distribution reasoning see the spec;
     * pruning itself comes from the file index's hive inference. */
   override def partitioning(): Array[Transform] =
     inner.partCols.map(c => Expressions.identity(c)).toArray
-  override def properties(): util.Map[String, String] = inner.properties()
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)

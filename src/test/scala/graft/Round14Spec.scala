@@ -555,6 +555,39 @@ class Round14Spec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS p14p.audit"): Unit
   }
 
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES evolves constraints; SHOW surfaces them") {
+    import graft.sources.GraftConstraints
+    val base = freshCatalog("p14q")
+    assert(base.nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS p14q.t")
+    spark.sql("CREATE TABLE p14q.t (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO p14q.t VALUES (1, -1.0)") // no constraint yet
+    // add a CHECK after create: the NEXT commit enforces it (existing
+    // rows are not re-validated — the lazy ADD CONSTRAINT contract)
+    spark.sql("ALTER TABLE p14q.t SET TBLPROPERTIES " +
+      "('graft.check.v_pos'='v > 0')")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO p14q.t VALUES (2, -2.0)")
+    }
+    assert(GraftConstraints.isViolation(e))
+    assert(spark.table("p14q.t").count() == 1)
+    // surfaced through SHOW TBLPROPERTIES
+    val props = spark.sql("SHOW TBLPROPERTIES p14q.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.check.v_pos").contains("v > 0"), s"$props")
+    // UNSET lifts it
+    spark.sql("ALTER TABLE p14q.t UNSET TBLPROPERTIES " +
+      "('graft.check.v_pos')")
+    spark.sql("INSERT INTO p14q.t VALUES (3, -3.0)")
+    assert(spark.table("p14q.t").count() == 2)
+    // non-graft keys are not persisted — clean error
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE p14q.t SET TBLPROPERTIES ('foo'='bar')")
+    }
+    assert(e2.getMessage != null)
+    spark.sql("DROP TABLE IF EXISTS p14q.t"): Unit
+  }
+
   test("compactPartitions honors the declared spec and snapshots the pre-state") {
     val base = freshCatalog("p14d")
     val dir = seedPartitioned("p14d", base)
