@@ -13,6 +13,8 @@ object Explain {
       else Seq("s2_pushdown", "j11_star", "a1_pricing_summary",
         "l2_minhash_dedup", "l3_topk_cosine", "w5_range_sliding")
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions",
+        classOf[graft.plans.GraftSparkSessionExtensions].getName)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -86,6 +86,8 @@ object ScaleRehearsal {
     val factor = if (args.length > 1) args(1).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions",
+        classOf[graft.plans.GraftSparkSessionExtensions].getName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

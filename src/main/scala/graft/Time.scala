@@ -12,6 +12,8 @@ object Time {
     val names = if (args.length > 1) args.tail.toSeq else Seq("f7_explode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions",
+        classOf[graft.plans.GraftSparkSessionExtensions].getName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

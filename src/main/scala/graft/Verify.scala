@@ -12,6 +12,8 @@ object Verify {
     // heap — any hidden single-partition assumption breaks loudly
     val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions",
+        classOf[graft.plans.GraftSparkSessionExtensions].getName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")

@@ -11,7 +11,9 @@ import graft.api.{TextPipeline, VectorPipeline}
   */
 object ApiDemo {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions",
+        classOf[graft.plans.GraftSparkSessionExtensions].getName).master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

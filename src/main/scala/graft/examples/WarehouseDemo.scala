@@ -17,7 +17,9 @@ import graft.sources.{GraftCatalog, GraftMaintenance, GraftTxn}
   */
 object WarehouseDemo {
   def main(args: Array[String]): Unit = {
-    val spark: SparkSession = SparkSession.builder().master("local[4]")
+    val spark: SparkSession = SparkSession.builder()
+      .config("spark.sql.extensions",
+        classOf[graft.plans.GraftSparkSessionExtensions].getName).master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     import spark.implicits._

@@ -1011,7 +1011,320 @@ object Dml {
     } finally s.sql(s"DROP TABLE IF EXISTS $cat.orders_md"): Unit
   }
 
+  /** SQL60 — MANIFEST-LEVEL FILE SKIPPING (round 15, VERDICT r14 ask
+    * #1): the orders projection lands as 8 RANGE-DISJOINT files
+    * (range-repartitioned CTAS through the commit protocol, which
+    * records every promoted file's parquet-footer min/max into the
+    * table's `_graft_filestats` ledger — [[graft.sources.GraftStats]]).
+    * A range aggregate over the bottom 1/8 of the key space then
+    * opens ≤3 of the 8 files: the graft scan prunes its FILE LIST
+    * against the pushed predicates before any footer or data I/O —
+    * the 100-TB property composing with sql56's partition pruning
+    * (directory pruning first, then per-file range pruning inside
+    * qualifying directories). `CALL optimize(..., cluster_by)` then
+    * repacks the table into new range-disjoint files and the SAME
+    * query still prunes — stats are maintained through maintenance,
+    * not just first write. Claims: the range aggregate the oracle
+    * restates from orders (count / Det revenue / keysum), plus engine
+    * counters (files_listed = 8; pruned + post-optimize pruned). */
+  def sql60FileSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val cat = Tables.graftCatalog(s, "sql60", sfDir)
+    s.sql(s"DROP TABLE IF EXISTS $cat.orders_fs")
+    Tables.orders(s, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .createOrReplaceTempView("orders_src60")
+    s.sql(s"CREATE TABLE $cat.orders_fs AS SELECT * FROM orders_src60")
+    try {
+      val dir = new java.io.File(
+        s"${Tables.scratchDir("sql60_cat", sfDir)}/orders_fs")
+      val nFiles = graft.sources.GraftTxn.dataFiles(dir).size
+      // the SAME threshold arithmetic the oracle restates: integer
+      // floor of max/8 (exact in both engines — /8 is a binary shift)
+      val maxKey = Tables.orders(s, sfDir)
+        .agg(max(col("o_orderkey"))).head().getLong(0)
+      val thresh = maxKey / 8
+      def rangeAgg() = s.table(s"$cat.orders_fs")
+        .filter(col("o_orderkey") <= thresh)
+        .agg(count(lit(1)),
+          coalesce(sum(col("o_totalprice").cast(graft.Det.Money)),
+            lit(java.math.BigDecimal.ZERO).cast(graft.Det.Money)),
+          coalesce(sum(col("o_orderkey")), lit(0L))).head()
+      val r = rangeAgg()
+      val (listed, kept) = graft.sources.GraftStats.lastReport(
+        dir.getAbsolutePath)
+      // stats maintained through OPTIMIZE: repack into ~4 clustered
+      // files, the same range query still prunes and agrees
+      val total = graft.sources.GraftTxn.dataFiles(dir).toSeq
+        .map(n => new java.io.File(dir, n).length()).sum
+      s.sql(s"CALL $cat.optimize('orders_fs', ${math.max(1L, total / 4)}, " +
+        "'o_orderkey')")
+      val r2 = rangeAgg()
+      val (l2, k2) = graft.sources.GraftStats.lastReport(
+        dir.getAbsolutePath)
+      import s.implicits._
+      Seq((r.getLong(0), r.getLong(2), nFiles.toLong,
+          listed == 8 && kept <= 3,
+          l2 > 1 && k2 < l2,
+          r2.getLong(0) == r.getLong(0) &&
+            r2.getDecimal(1) == r.getDecimal(1) &&
+            r2.getLong(2) == r.getLong(2)))
+        .toDF("n_rows", "keysum", "files_listed", "pruned_scan_ok",
+          "optimize_keeps_pruning", "stable_after_optimize")
+        .withColumn("revenue",
+          lit(r.getDecimal(1)).cast(graft.Det.Money).cast("double"))
+        .select(col("n_rows"), col("revenue"), col("keysum"),
+          col("files_listed"), col("pruned_scan_ok"),
+          col("optimize_keeps_pruning"), col("stable_after_optimize"))
+    } finally s.sql(s"DROP TABLE IF EXISTS $cat.orders_fs"): Unit
+  }
+
+  /** SQL61 — TRANSFORM (hidden) PARTITIONING (round 15, VERDICT r14
+    * ask #2): an events table declared `PARTITIONED BY (days(ets))`
+    * lands every write in hive-layout `ets_day=<epochDay>/` dirs with
+    * the DERIVED value in the path and the source timestamp still a
+    * data column — the user-visible schema never shows the derived
+    * column (Iceberg-style hidden partitioning,
+    * [[graft.sources.GraftPartitions]]). A date-range aggregate over
+    * 7 of the corpus's 30 days then reads ONLY the qualifying day
+    * directories: the graft scan translates the predicate on the
+    * SOURCE column into per-file day-ordinal ranges from the path and
+    * prunes before any I/O. Claims: the 7-day aggregate the oracle
+    * restates from events (count / Det value sum / keysum), plus
+    * engine booleans — hive layout on the derived ordinal, derived
+    * column hidden from the schema, and the pruned read touching
+    * exactly the qualifying dirs' files. */
+  def sql61TransformPartitions(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val cat = Tables.graftCatalog(s, "sql61", sfDir)
+    s.sql(s"DROP TABLE IF EXISTS $cat.events_tp")
+    s.sql(s"CREATE TABLE $cat.events_tp " +
+      "(event_id BIGINT, ets TIMESTAMP, user_id BIGINT, value DOUBLE) " +
+      "PARTITIONED BY (days(ets))")
+    Tables.eventsUs(s, sfDir)
+      .selectExpr("event_id", "timestamp_micros(ts) AS ets", "user_id",
+        "value")
+      .createOrReplaceTempView("events_src61")
+    s.sql(s"INSERT INTO $cat.events_tp SELECT * FROM events_src61")
+    try {
+      val dir = new java.io.File(
+        s"${Tables.scratchDir("sql61_cat", sfDir)}/events_tp")
+      val files = graft.sources.GraftTxn.dataFiles(dir)
+      val layoutOk = files.nonEmpty &&
+        files.forall(_.matches("ets_day=\\d+/.*"))
+      val hiddenOk = !s.table(s"$cat.events_tp").columns.contains("ets_day")
+      // 7 qualifying days: 2024-01-08 (epochDay 19730) .. 01-14 (19736)
+      val loDay = java.time.LocalDate.of(2024, 1, 8).toEpochDay
+      val qualifying = files.count { f =>
+        f.split("=")(1).split("/")(0).toLongOption
+          .exists(d => d >= loDay && d < loDay + 7)
+      }
+      val r = s.table(s"$cat.events_tp")
+        .filter(col("ets") >= lit("2024-01-08 00:00:00").cast("timestamp")
+          && col("ets") < lit("2024-01-15 00:00:00").cast("timestamp"))
+        .agg(count(lit(1)),
+          coalesce(sum(col("value").cast(graft.Det.Money)),
+            lit(java.math.BigDecimal.ZERO).cast(graft.Det.Money)),
+          coalesce(sum(col("event_id")), lit(0L))).head()
+      val (listed, kept) = graft.sources.GraftStats.lastReport(
+        dir.getAbsolutePath)
+      val prunedOk = kept < listed && kept == qualifying
+      import s.implicits._
+      Seq((r.getLong(0), r.getLong(2), layoutOk, hiddenOk, prunedOk))
+        .toDF("n_rows", "keysum", "layout_ok", "hidden_ok",
+          "pruned_scan_ok")
+        .withColumn("value_sum",
+          lit(r.getDecimal(1)).cast(graft.Det.Money).cast("double"))
+        .select(col("n_rows"), col("value_sum"), col("keysum"),
+          col("layout_ok"), col("hidden_ok"), col("pruned_scan_ok"))
+    } finally s.sql(s"DROP TABLE IF EXISTS $cat.events_tp"): Unit
+  }
+
+  /** SQL63 — the SQL FACE of the multi-table transaction (round 15,
+    * VERDICT r14 ask #5): sql57's fact-restatement + audit-append
+    * scenario expressed with ZERO Scala API calls — the staged states
+    * are temp VIEWS (`CREATE TEMP VIEW`), and
+    * `CALL cat.txn('fact=overwrite:v1;audit=append:v2')` commits both
+    * atomically through [[graft.sources.GraftMultiTxn]] (locks in
+    * canonical order, snapshot validation, one manifest rename as the
+    * commit point, `CALL recover` crash recovery — the Round15 spec
+    * re-runs the crash story through this face). Claims: identical
+    * algebra to sql57, restated from orders by the oracle, plus the
+    * per-table versions the CALL returned. */
+  def sql63SqlTxnFace(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val cat = Tables.graftCatalog(s, "sql63", sfDir)
+    s.sql(s"DROP TABLE IF EXISTS $cat.fact_st")
+    s.sql(s"DROP TABLE IF EXISTS $cat.audit_st")
+    Tables.orders(s, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .createOrReplaceTempView("orders_src63")
+    s.sql(s"CREATE TABLE $cat.fact_st AS SELECT o_orderkey AS k, " +
+      "o_totalprice AS p FROM orders_src63 WHERE o_orderkey <= 2000") // v1
+    s.sql(s"CREATE TABLE $cat.audit_st (batch_id BIGINT, n_upserts BIGINT)")
+    try {
+      s.sql("CREATE OR REPLACE TEMP VIEW v63_upserts AS " +
+        "SELECT o_orderkey AS k, o_totalprice * 2 AS np " +
+        "FROM orders_src63 WHERE o_orderkey > 1000 AND o_orderkey <= 3000")
+      s.sql(s"CREATE OR REPLACE TEMP VIEW v63_restated AS " +
+        s"SELECT COALESCE(u.k, f.k) AS k, COALESCE(u.np, f.p) AS p " +
+        s"FROM $cat.fact_st f FULL OUTER JOIN v63_upserts u ON f.k = u.k")
+      s.sql("CREATE OR REPLACE TEMP VIEW v63_audit AS " +
+        "SELECT CAST(1 AS BIGINT) AS batch_id, " +
+        "(SELECT COUNT(*) FROM v63_upserts) AS n_upserts")
+      val versions = s.sql(s"CALL $cat.txn(" +
+        "'fact_st=overwrite:v63_restated;audit_st=append:v63_audit')")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val r = s.table(s"$cat.fact_st").agg(count(lit(1)),
+        coalesce(sum(col("p").cast(graft.Det.Money)),
+          lit(java.math.BigDecimal.ZERO).cast(graft.Det.Money)),
+        coalesce(sum(col("k")), lit(0L))).head()
+      val a = s.table(s"$cat.audit_st")
+        .agg(count(lit(1)), coalesce(sum(col("n_upserts")), lit(0L)))
+        .head()
+      val versionsOk = versions == Map("fact_st" -> 2L, "audit_st" -> 1L)
+      import s.implicits._
+      Seq((r.getLong(0), r.getLong(2), a.getLong(0), a.getLong(1),
+          versionsOk))
+        .toDF("n_fact", "keysum_fact", "n_audit", "upserts_logged",
+          "versions_ok")
+        .withColumn("revenue_fact",
+          lit(r.getDecimal(1)).cast(graft.Det.Money).cast("double"))
+        .select(col("n_fact"), col("revenue_fact"), col("keysum_fact"),
+          col("n_audit"), col("upserts_logged"), col("versions_ok"))
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $cat.fact_st")
+      s.sql(s"DROP TABLE IF EXISTS $cat.audit_st"): Unit
+    }
+  }
+
+  /** SQL64 — PERSISTENT VIEWS (round 15, VERDICT r14 ask #6):
+    * `CREATE VIEW cat.v AS SELECT ...` against a graft catalog persists
+    * the view (SQL text + schema + capture context) as a `.graftview`
+    * file beside the table directories, through the DSv2 ViewCatalog
+    * face with the parser-level SQL surface
+    * ([[graft.sources.GraftViewSql]] — Spark 4.1 core still
+    * session-routes view DDL, so graft intercepts like every lakehouse
+    * format). Contract: an aggregate THROUGH the view the oracle
+    * restates from orders; `SHOW VIEWS` lists it; and a SECOND catalog
+    * instance pointed at the same base resolves the view from disk —
+    * the restart-durability story (no session state involved). */
+  def sql64PersistentViews(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val cat = Tables.graftCatalog(s, "sql64", sfDir)
+    s.sql(s"DROP TABLE IF EXISTS $cat.orders_pv")
+    s.sql(s"DROP VIEW IF EXISTS $cat.big_orders")
+    Tables.orders(s, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .createOrReplaceTempView("orders_src64")
+    s.sql(s"CREATE TABLE $cat.orders_pv AS SELECT * FROM orders_src64")
+    try {
+      s.sql(s"CREATE VIEW $cat.big_orders AS " +
+        s"SELECT o_orderkey, o_totalprice FROM $cat.orders_pv " +
+        "WHERE o_orderkey % 10 = 0")
+      // view reads go through SQL (the parser is the view-expansion
+      // seam — spark.table() bypasses it, like every parser-level
+      // lakehouse SQL surface)
+      val r = s.sql(s"SELECT * FROM $cat.big_orders").agg(count(lit(1)),
+        coalesce(sum(col("o_totalprice").cast(graft.Det.Money)),
+          lit(java.math.BigDecimal.ZERO).cast(graft.Det.Money)),
+        coalesce(sum(col("o_orderkey")), lit(0L))).head()
+      val shown = s.sql(s"SHOW VIEWS IN $cat").collect()
+        .map(_.getString(1)).toSet
+      // restart durability: a FRESH catalog instance over the same
+      // base resolves the view from its file, no session state
+      val base = Tables.scratchDir(s"sql64_cat", sfDir)
+      s.conf.set(s"spark.sql.catalog.${cat}b",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.${cat}b.base", base)
+      val n2 = s.sql(s"SELECT COUNT(*) FROM ${cat}b.big_orders")
+        .head().getLong(0)
+      import s.implicits._
+      Seq((r.getLong(0), r.getLong(2), shown.contains("big_orders"),
+          n2 == r.getLong(0)))
+        .toDF("n_rows", "keysum", "show_views_ok", "durable_ok")
+        .withColumn("revenue",
+          lit(r.getDecimal(1)).cast(graft.Det.Money).cast("double"))
+        .select(col("n_rows"), col("revenue"), col("keysum"),
+          col("show_views_ok"), col("durable_ok"))
+    } finally {
+      s.sql(s"DROP VIEW IF EXISTS $cat.big_orders")
+      s.sql(s"DROP TABLE IF EXISTS $cat.orders_pv"): Unit
+    }
+  }
+
+  /** SQL62 — DELETION VECTORS / merge-on-read DELETE (round 15,
+    * VERDICT r14 ask #4): on a table with `graft.dv.enabled = true`, a
+    * small translatable DELETE records the matched ROW POSITIONS as
+    * per-file sidecars ([[graft.sources.GraftDv]]) instead of
+    * rewriting the affected files — `files_rewritten = 0`, write
+    * amplification ∝ deleted rows — and every scan applies the
+    * positions as a reader-side skip. Claims: the post-delete
+    * aggregate the oracle restates from orders, plus engine booleans —
+    * the data-file set is BIT-IDENTICAL across the delete (zero
+    * rewrites), sidecars exist, time travel to the pre-delete version
+    * still reads every row (DV state rides snapshots), and a
+    * `CALL optimize` MATERIALIZES the DVs (sidecars folded in, values
+    * unchanged, files rewritten). */
+  def sql62DeletionVectors(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val cat = Tables.graftCatalog(s, "sql62", sfDir)
+    s.sql(s"DROP TABLE IF EXISTS $cat.orders_dv")
+    Tables.orders(s, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartition(8)
+      .createOrReplaceTempView("orders_src62")
+    s.sql(s"CREATE TABLE $cat.orders_dv " +
+      "TBLPROPERTIES ('graft.dv.enabled'='true') AS " +
+      "SELECT * FROM orders_src62") // v1
+    try {
+      val dir = new java.io.File(
+        s"${Tables.scratchDir("sql62_cat", sfDir)}/orders_dv")
+      val files1 = graft.sources.GraftTxn.dataFiles(dir)
+      val nAll = s.table(s"$cat.orders_dv").count()
+      // a ~1.5% translatable slice → the DV path (ratio default 0.2)
+      val maxKey = Tables.orders(s, sfDir)
+        .agg(max(col("o_orderkey"))).head().getLong(0)
+      val cut = maxKey / 64
+      s.sql(s"DELETE FROM $cat.orders_dv WHERE o_orderkey <= $cut") // v2
+      val noRewrite = graft.sources.GraftTxn.dataFiles(dir) == files1
+      val dvPresent = graft.sources.GraftDv.hasDvs(dir)
+      val r = s.table(s"$cat.orders_dv").agg(count(lit(1)),
+        coalesce(sum(col("o_totalprice").cast(graft.Det.Money)),
+          lit(java.math.BigDecimal.ZERO).cast(graft.Det.Money)),
+        coalesce(sum(col("o_orderkey")), lit(0L))).head()
+      val ttOk = s.sql(s"SELECT COUNT(*) FROM $cat.orders_dv " +
+        "VERSION AS OF 1").head().getLong(0) == nAll
+      // OPTIMIZE materializes: sidecars gone, values stable, rewritten
+      s.sql(s"CALL $cat.optimize('orders_dv', ${1L << 40})")
+      val matOk = !graft.sources.GraftDv.hasDvs(dir) &&
+        graft.sources.GraftTxn.dataFiles(dir) != files1
+      val r2 = s.table(s"$cat.orders_dv").agg(count(lit(1)),
+        coalesce(sum(col("o_orderkey")), lit(0L))).head()
+      val stable = r2.getLong(0) == r.getLong(0) &&
+        r2.getLong(1) == r.getLong(2)
+      import s.implicits._
+      Seq((r.getLong(0), r.getLong(2), noRewrite && dvPresent, ttOk,
+          matOk && stable))
+        .toDF("n_rows", "keysum", "zero_rewrite_dv_ok",
+          "time_travel_ok", "optimize_materializes_ok")
+        .withColumn("revenue",
+          lit(r.getDecimal(1)).cast(graft.Det.Money).cast("double"))
+        .select(col("n_rows"), col("revenue"), col("keysum"),
+          col("zero_rewrite_dv_ok"), col("time_travel_ok"),
+          col("optimize_materializes_ok"))
+    } finally s.sql(s"DROP TABLE IF EXISTS $cat.orders_dv"): Unit
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql62_deletion_vectors" -> (sql62DeletionVectors _),
+    "sql64_persistent_views" -> (sql64PersistentViews _),
+    "sql63_sql_txn_face" -> (sql63SqlTxnFace _),
+    "sql61_transform_partitions" -> (sql61TransformPartitions _),
+    "sql60_file_skipping" -> (sql60FileSkipping _),
     "sql59_metadata_tables" -> (sql59MetadataTables _),
     "sql57_multi_table_txn" -> (sql57MultiTableTxn _),
     "sql58_check_constraints" -> (sql58CheckConstraints _),
@@ -1032,6 +1345,70 @@ object Dml {
     "sql51_merge_by_source" -> (sql51MergeBySource _))
 
   val oracles: Map[String, String] = Map(
+    // the post-DV-delete aggregate restated from orders with the same
+    // floor(max/64) threshold; the zero-rewrite / time-travel /
+    // materialize effects are engine booleans
+    "sql62_deletion_vectors" ->
+      ("WITH t AS (SELECT * FROM orders WHERE o_orderkey > " +
+       "(SELECT CAST(FLOOR(MAX(o_orderkey) / 64.0) AS BIGINT) " +
+       "FROM orders)) " +
+       "SELECT CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS n_rows, " +
+       "CAST(CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4))) " +
+       "FROM t) AS DECIMAL(18,4)) AS DOUBLE) AS revenue, " +
+       "CAST((SELECT SUM(o_orderkey) FROM t) AS BIGINT) AS keysum, " +
+       "TRUE AS zero_rewrite_dv_ok, TRUE AS time_travel_ok, " +
+       "TRUE AS optimize_materializes_ok"),
+    // the aggregate THROUGH the persisted view restated from orders
+    // with the view's own predicate; SHOW VIEWS and the fresh-catalog
+    // re-resolution are engine booleans
+    "sql64_persistent_views" ->
+      ("WITH t AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0) " +
+       "SELECT CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS n_rows, " +
+       "CAST(CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4))) " +
+       "FROM t) AS DECIMAL(18,4)) AS DOUBLE) AS revenue, " +
+       "CAST((SELECT SUM(o_orderkey) FROM t) AS BIGINT) AS keysum, " +
+       "TRUE AS show_views_ok, TRUE AS durable_ok"),
+    // same upsert algebra as sql57 (matched (1000,2000] keys at 2x,
+    // (2000,3000] inserts at 2x, ≤1000 pass through), reached through
+    // the SQL CALL face; versions are engine booleans
+    "sql63_sql_txn_face" ->
+      ("WITH t AS (SELECT o_orderkey AS k, " +
+       "CASE WHEN o_orderkey > 1000 THEN o_totalprice * 2 " +
+       "ELSE o_totalprice END AS p FROM orders WHERE o_orderkey <= 2000 " +
+       "UNION ALL SELECT o_orderkey, o_totalprice * 2 FROM orders " +
+       "WHERE o_orderkey > 2000 AND o_orderkey <= 3000) " +
+       "SELECT CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS n_fact, " +
+       "CAST(CAST((SELECT SUM(CAST(p AS DECIMAL(18,4))) FROM t) " +
+       "AS DECIMAL(18,4)) AS DOUBLE) AS revenue_fact, " +
+       "CAST((SELECT SUM(k) FROM t) AS BIGINT) AS keysum_fact, " +
+       "CAST(1 AS BIGINT) AS n_audit, " +
+       "CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey > 1000 " +
+       "AND o_orderkey <= 3000) AS BIGINT) AS upserts_logged, " +
+       "TRUE AS versions_ok"),
+    // the 7-day window aggregate restated from events (DuckDB reads the
+    // same parquet at µs grain — the eventsUs truncation contract);
+    // layout/hidden/pruning are engine booleans
+    "sql61_transform_partitions" ->
+      ("WITH t AS (SELECT * FROM events WHERE ts >= TIMESTAMP " +
+       "'2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00') " +
+       "SELECT CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS n_rows, " +
+       "CAST(CAST((SELECT SUM(CAST(value AS DECIMAL(18,4))) FROM t) " +
+       "AS DECIMAL(18,4)) AS DOUBLE) AS value_sum, " +
+       "CAST((SELECT SUM(event_id) FROM t) AS BIGINT) AS keysum, " +
+       "TRUE AS layout_ok, TRUE AS hidden_ok, TRUE AS pruned_scan_ok"),
+    // the bottom-1/8-of-keyspace aggregate restated from orders with
+    // the same floor(max/8) threshold arithmetic; file counts and
+    // pruning effects are engine booleans
+    "sql60_file_skipping" ->
+      ("WITH t AS (SELECT * FROM orders WHERE o_orderkey <= " +
+       "(SELECT CAST(FLOOR(MAX(o_orderkey) / 8.0) AS BIGINT) FROM orders)) " +
+       "SELECT CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS n_rows, " +
+       "CAST(CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4))) FROM t) " +
+       "AS DECIMAL(18,4)) AS DOUBLE) AS revenue, " +
+       "CAST((SELECT SUM(o_orderkey) FROM t) AS BIGINT) AS keysum, " +
+       "CAST(8 AS BIGINT) AS files_listed, " +
+       "TRUE AS pruned_scan_ok, TRUE AS optimize_keeps_pruning, " +
+       "TRUE AS stable_after_optimize"),
     // the metadata relations' counts are history constants (3 commits,
     // snapshots v0..v2); the data-derived claim restates from orders;
     // filesystem cross-checks are engine booleans

@@ -138,8 +138,14 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   * session (the driver builds the session, so contract queries use the
   * runtime hook). */
 class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => BandedRangeJoinRule)
+    // persistent-view SQL surface (round 15): CREATE/DROP/SHOW VIEW and
+    // view reads against graft catalogs, intercepted at the parser —
+    // Spark 4.1 core still session-catalog-routes view DDL
+    e.injectParser((session, parser) =>
+      new graft.sources.GraftViewParser(session, parser))
+  }
 }
 
 object GraftExtensions {

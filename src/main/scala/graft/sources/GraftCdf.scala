@@ -75,7 +75,9 @@ object GraftCdf {
   /** Append `df` rows tagged with `changeType` into the build. */
   def writeInto(build: File, df: DataFrame, changeType: String): Unit =
     df.withColumn(ChangeTypeCol, lit(changeType))
-      .write.mode("append").parquet(build.getAbsolutePath)
+      .write.mode("append")
+      .option(GraftParquetTable.FieldIdWriteConf, "true") // r15: scoped
+      .parquet(build.getAbsolutePath)
 
   /** Under the commit lock, after validation and the version bump:
     * publish the build as this commit's change set. Empty builds (a
@@ -96,6 +98,82 @@ object GraftCdf {
 
   def discard(build: File): Unit = GraftTxn.rmTree(build)
 
+  // ---------------------------------------- crash-durable publish (r15)
+
+  /** Publish-intent marker inside the table dir (round 15, VERDICT r14
+    * ask #3): `_graft_cdf_pending_<nonce>` names the staged change
+    * build and the version it belongs to, written BEFORE the version
+    * becomes visible. A crash between the version bump and
+    * [[publish]] used to silently lose that commit's change files
+    * (the feed saw a version with no rows); now [[recoverPending]] —
+    * run at the start of every commit's critical section, by
+    * `CALL recover`, and by the feed's read faces — finishes the
+    * rename, so the feed shows the commit's rows exactly once.
+    * Underscore-prefixed: invisible to data listings and snapshots. */
+  private[sources] val PendingPrefix = "_graft_cdf_pending_"
+
+  /** Record the intent "build B publishes as version v of this table".
+    * Called under the commit lock, before the version bump. */
+  def stagePending(dir: File, build: File, targetV: Long): File =
+    stagePendingInto(dir, build, targetV)
+
+  /** [[stagePending]] variant for the delete path's directory swap:
+    * the intent is written into the BUILD-SIDE dir (`tmp`) so it rides
+    * the swap into the live directory — an intent left in the old dir
+    * would vanish with the trash. The change build itself lives under
+    * the sibling changes root, which survives the swap. */
+  def stagePendingInto(intentHome: File, build: File,
+      targetV: Long): File = {
+    val f = new File(intentHome, PendingPrefix + System.nanoTime())
+    java.nio.file.Files.write(f.toPath,
+      s"${build.getAbsolutePath}\t$targetV".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    f
+  }
+
+  /** Publish the intent's build and clear the marker — the normal
+    * (no-crash) completion, called right after the version bump. */
+  def finishPending(dir: File, intent: File): Unit = {
+    parsePending(intent).foreach { case (build, v) =>
+      if (build.isDirectory) publish(build, dir, v)
+    }
+    intent.delete(): Unit
+  }
+
+  private def parsePending(intent: File): Option[(File, Long)] =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(intent.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      s.split("\t") match {
+        case Array(p, v) => v.toLongOption.map(new File(p) -> _)
+        case _ => None
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Finish any half-done CDC publish on this table. ROLL FORWARD
+    * (intent version already visible → publish + clear) always;
+    * DISCARD of a stale intent (version never became visible — the
+    * writer crashed between staging and its bump) only when the
+    * caller holds the commit lock (`discardStale = true`), because
+    * only the lock excludes a LIVE writer sitting between its own
+    * stagePending and bump. Idempotent; returns intents resolved. */
+  def recoverPending(dir: File, discardStale: Boolean = false): Int = {
+    val intents = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith(PendingPrefix))
+    intents.count { f =>
+      parsePending(f) match {
+        case None => f.delete() // torn/unreadable marker — drop it
+        case Some((build, _)) if !build.isDirectory =>
+          f.delete() // already published (rename consumed the build)
+        case Some((build, v)) if v <= GraftTxn.version(dir) =>
+          publish(build, dir, v); f.delete()
+        case Some((build, _)) if discardStale =>
+          discard(build); f.delete()
+        case _ => false // fresh intent of a possibly-live writer
+      }
+    }
+  }
+
   /** Drop the oldest change versions beyond `retain` — called with
     * snapshot pruning, same retention contract. */
   def prune(dir: File, retain: Int): Unit = {
@@ -115,18 +193,31 @@ object GraftCdf {
   /** Read a commit path's FLAT stage (pre-split: partition values
     * still data columns) — the insert-image source for appends and
     * rewrites. */
-  private[sources] def readStage(spark: SparkSession, stage: File,
+  private[graft] def readStage(spark: SparkSession, stage: File,
       declared: Option[StructType]): DataFrame = {
     val r = declared.fold(spark.read)(s => spark.read.schema(s))
-    r.parquet(stage.getAbsolutePath)
+    r.option(GraftParquetTable.FieldIdReadConf, "true") // r15: scoped
+      .parquet(stage.getAbsolutePath)
   }
 
   /** Read specific live files of the table — the delete-image source
     * for rewrites; `basePath` keeps path-carried partition values. */
   private[sources] def readFiles(spark: SparkSession, dir: File,
       files: Seq[File], declared: Option[StructType]): DataFrame = {
-    val r = declared.fold(spark.read)(s => spark.read.schema(s))
-      .option("basePath", dir.getAbsolutePath)
+    // identity layouts carry partition values in the path → basePath
+    // re-derives them; hidden (transform) layouts keep every column in
+    // the data files and basePath would surface the derived dir as a
+    // phantom column (round 15)
+    // deletion vectors (round 15): delete images must not include
+    // already-deleted positions
+    if (GraftDv.hasDvs(dir))
+      return GraftDv.readWithRowIndex(spark, dir, files, declared)
+        .drop("__pos", "__fkey")
+    val spec = GraftCatalog.partitionSpec(dir)
+    val base = declared.fold(spark.read)(s => spark.read.schema(s))
+      .option(GraftParquetTable.FieldIdReadConf, "true") // r15: scoped
+    val r = if (spec.nonEmpty && !GraftPartitions.isHidden(spec))
+      base.option("basePath", dir.getAbsolutePath) else base
     r.parquet(files.map(_.getAbsolutePath): _*)
   }
 
@@ -135,10 +226,13 @@ object GraftCdf {
   def rows(spark: SparkSession, dir: File): DataFrame = {
     val root = changesRoot(dir)
     root.mkdirs()
+    recoverPending(dir) // forward-only: catch up a crashed publish
+
     spark.read
       .schema(feedSchema(GraftCatalog.pinned(dir).getOrElse(
         throw new IllegalStateException(s"no schema pin at $dir"))))
       .option("basePath", root.getAbsolutePath)
+      .option(GraftParquetTable.FieldIdReadConf, "true") // r15: scoped
       .parquet(root.getAbsolutePath)
   }
 
@@ -150,10 +244,13 @@ object GraftCdf {
   def rowsStream(spark: SparkSession, dir: File): DataFrame = {
     val root = changesRoot(dir)
     root.mkdirs()
+    recoverPending(dir) // forward-only: catch up a crashed publish
+
     spark.readStream
       .schema(feedSchema(GraftCatalog.pinned(dir).getOrElse(
         throw new IllegalStateException(s"no schema pin at $dir"))))
       .option("basePath", root.getAbsolutePath)
+      .option(GraftParquetTable.FieldIdReadConf, "true") // r15: scoped
       .parquet(root.getAbsolutePath)
   }
 }

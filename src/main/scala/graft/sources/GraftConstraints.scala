@@ -69,6 +69,7 @@ object GraftConstraints {
     if (checks.isEmpty && notNull.isEmpty) return
     if (GraftTxn.dataFiles(stage).isEmpty) return
     val reader = pin.fold(spark.read)(s => spark.read.schema(s))
+      .option(GraftParquetTable.FieldIdReadConf, "true") // r15: scoped
     val df = reader.parquet(stage.getAbsolutePath)
     val cols =
       checks.map { case (n, sql) =>

@@ -100,7 +100,8 @@ object GraftFileScan {
   * machinery. */
 private[sources] class GraftFileScanBuilder(ss: SparkSession,
     fileIndex: PartitioningAwareFileIndex, schema: StructType,
-    dataSchema: StructType, options: CaseInsensitiveStringMap)
+    dataSchema: StructType, options: CaseInsensitiveStringMap,
+    tableDir: Option[File] = None)
   extends ParquetScanBuilder(ss, fileIndex, schema, dataSchema, options) {
 
   private var withFile = false
@@ -113,8 +114,124 @@ private[sources] class GraftFileScanBuilder(ss: SparkSession,
 
   override def build(): ParquetScan = {
     val inner = super.build()
-    if (withFile) new GraftTaggedParquetScan(inner) else inner
+    if (withFile) return new GraftTaggedParquetScan(inner)
+    tableDir match {
+      case Some(dir) =>
+        // reader-side multi-txn gate (round 15, VERDICT r14 wrong #1):
+        // while a PENDING multi-table manifest references this table,
+        // its promoted-but-uncommitted staged files are excluded from
+        // the scan — one dir listing (already paid by the catalog), no
+        // cost when no transaction is in flight
+        val gated = GraftMultiTxn.pendingStagedFiles(dir)
+        // manifest-level file skipping (round 15, VERDICT r14 ask #1):
+        // only engages when there are pushed data filters AND the
+        // table has a stats ledger or a transform partition spec —
+        // otherwise the stock scan plans
+        val spec = GraftCatalog.partitionSpec(dir)
+        val skippable = inner.dataFilters.nonEmpty &&
+          (new File(dir, GraftStats.StatsFile).isFile ||
+            GraftPartitions.isHidden(spec))
+        val skipped =
+          if (gated.nonEmpty || skippable)
+            new GraftSkippingParquetScan(inner, dir, gated,
+              if (GraftPartitions.isHidden(spec)) spec else Nil)
+          else inner
+        // deletion vectors (round 15, [[GraftDv]]): apply the sidecar
+        // position sets as a reader-side skip; composes with the
+        // skipping scan (its planInputPartitions runs first)
+        if (GraftDv.hasDvs(dir))
+          new GraftDvParquetScan(skipped, dir,
+            GraftDv.allPositions(ss, dir))
+        else skipped
+      case None => inner
+    }
   }
+}
+
+/** A [[ParquetScan]] that prunes its FILE LIST before any footer or
+  * data I/O (round 15):
+  *
+  *  1. files named by a live pending multi-table manifest are dropped
+  *     unconditionally (they are promoted-but-uncommitted);
+  *  2. files whose recorded column ranges ([[GraftStats]]) cannot
+  *     satisfy the scan's pushed data filters are skipped.
+  *
+  * Both prunings are sound under the same rule: the pushed filters
+  * also remain in the query plan (file-source pushdown is advisory),
+  * so an over-kept file only costs I/O, and a skipped file is PROVEN
+  * empty under the predicate. Partition-directory pruning has already
+  * happened upstream (the file index applies partition filters before
+  * these partitions are planned) — this composes with it. */
+private[sources] class GraftSkippingParquetScan(inner: ParquetScan,
+    val tableDir: File, val excluded: Set[String],
+    val rawSpec: Seq[String] = Nil)
+  extends ParquetScan(inner.sparkSession, inner.hadoopConf,
+    inner.fileIndex, inner.dataSchema, inner.readDataSchema,
+    inner.readPartitionSchema, inner.pushedFilters, inner.options,
+    inner.pushedAggregate, inner.partitionFilters, inner.dataFilters,
+    inner.pushedVariantExtractions) {
+
+  override def description(): String =
+    s"graft-file-skipping(${super.description()})"
+
+  private def relPath(pf: org.apache.spark.sql.execution.datasources.PartitionedFile): String = {
+    val p = new File(new java.net.URI(pf.filePath.urlEncoded))
+      .getAbsoluteFile.toPath
+    tableDir.getAbsoluteFile.toPath.relativize(p).toString
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val stats = GraftStats.load(tableDir)
+    val types = dataSchema.fields
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    // prune on the scan's CATALYST data filters, not just the subset
+    // parquet accepted for row-group pushdown — e.g. timestamp
+    // comparisons are prunable from the ledger/path even when the
+    // parquet filter API declines them
+    val filters = dataFilters
+      .flatMap(GraftSkippingParquetScan.translate).toArray
+    var listed = 0
+    var kept = 0
+    val pruned = super.planInputPartitions().flatMap {
+      case fp: FilePartition =>
+        val files = fp.files.filter { pf =>
+          listed += 1
+          // a file we cannot relativize is kept (conservative)
+          val rel = try Some(relPath(pf)) catch { case _: Exception => None }
+          val keep = rel.forall { r =>
+            !excluded.contains(r) &&
+              (filters.isEmpty || (
+                stats.get(r).forall(fs => filters.forall(f =>
+                  GraftStats.satisfiable(f, fs, types))) &&
+                // transform partitions (round 15): the path's derived
+                // dir values bound the SOURCE column per file
+                (rawSpec.isEmpty || filters.forall(f =>
+                  GraftPartitions.satisfiable(f, r, rawSpec, types)))))
+          }
+          if (keep) kept += 1
+          keep
+        }
+        if (files.isEmpty) None else Some(FilePartition(fp.index, files))
+      case other => Some(other)
+    }
+    GraftStats.lastReport.put(tableDir.getAbsolutePath,
+      (listed, kept)): Unit
+    pruned.zipWithIndex.map {
+      case (fp: FilePartition, i) => FilePartition(i, fp.files): InputPartition
+      case (other, _) => other
+    }
+  }
+
+  // never plan-equal to the stock scan (exchange/scan reuse)
+  override def equals(obj: Any): Boolean = obj match {
+    case g: GraftSkippingParquetScan =>
+      super.equals(g) && g.tableDir == tableDir &&
+        g.excluded == excluded && g.rawSpec == rawSpec
+    case _ => false
+  }
+  override def hashCode(): Int =
+    ((super.hashCode() * 31 + tableDir.hashCode()) * 31 +
+      excluded.hashCode()) * 31 + rawSpec.hashCode()
 }
 
 /** A [[ParquetScan]] that re-splits its partitions to one file each
@@ -224,4 +341,200 @@ private[sources] class GraftTaggedReaderFactory(
       override def close(): Unit = r.close()
     }
   }
+}
+
+private[sources] object GraftSkippingParquetScan {
+  import org.apache.spark.sql.catalyst.{expressions => ce}
+  import org.apache.spark.sql.catalyst.CatalystTypeConverters
+  import org.apache.spark.sql.{sources => sf}
+
+  /** Catalyst data filter → the [[org.apache.spark.sql.sources.Filter]]
+    * subset [[GraftStats.satisfiable]] evaluates. Conservative partial
+    * translation: an untranslatable CONJUNCT of an AND simply drops
+    * (widening — sound for pruning), an untranslatable OR arm kills
+    * the whole OR, everything else returns None (no pruning on it). */
+  def translate(e: ce.Expression): Option[sf.Filter] = {
+    def ext(l: ce.Literal): Any =
+      CatalystTypeConverters.convertToScala(l.value, l.dataType)
+    e match {
+      case ce.EqualTo(a: ce.AttributeReference, l: ce.Literal) =>
+        Some(sf.EqualTo(a.name, ext(l)))
+      case ce.EqualTo(l: ce.Literal, a: ce.AttributeReference) =>
+        Some(sf.EqualTo(a.name, ext(l)))
+      case ce.GreaterThan(a: ce.AttributeReference, l: ce.Literal) =>
+        Some(sf.GreaterThan(a.name, ext(l)))
+      case ce.GreaterThan(l: ce.Literal, a: ce.AttributeReference) =>
+        Some(sf.LessThan(a.name, ext(l)))
+      case ce.GreaterThanOrEqual(a: ce.AttributeReference, l: ce.Literal) =>
+        Some(sf.GreaterThanOrEqual(a.name, ext(l)))
+      case ce.GreaterThanOrEqual(l: ce.Literal, a: ce.AttributeReference) =>
+        Some(sf.LessThanOrEqual(a.name, ext(l)))
+      case ce.LessThan(a: ce.AttributeReference, l: ce.Literal) =>
+        Some(sf.LessThan(a.name, ext(l)))
+      case ce.LessThan(l: ce.Literal, a: ce.AttributeReference) =>
+        Some(sf.GreaterThan(a.name, ext(l)))
+      case ce.LessThanOrEqual(a: ce.AttributeReference, l: ce.Literal) =>
+        Some(sf.LessThanOrEqual(a.name, ext(l)))
+      case ce.LessThanOrEqual(l: ce.Literal, a: ce.AttributeReference) =>
+        Some(sf.GreaterThanOrEqual(a.name, ext(l)))
+      case ce.In(a: ce.AttributeReference, vs)
+          if vs.forall(_.isInstanceOf[ce.Literal]) =>
+        Some(sf.In(a.name,
+          vs.map(v => ext(v.asInstanceOf[ce.Literal])).toArray))
+      case ce.InSet(a: ce.AttributeReference, hs) =>
+        Some(sf.In(a.name, hs.toArray.map(v =>
+          CatalystTypeConverters.convertToScala(v, a.dataType))))
+      case ce.IsNull(a: ce.AttributeReference) => Some(sf.IsNull(a.name))
+      case ce.IsNotNull(a: ce.AttributeReference) =>
+        Some(sf.IsNotNull(a.name))
+      case ce.StartsWith(a: ce.AttributeReference, l: ce.Literal) =>
+        Option(ext(l)).map(v => sf.StringStartsWith(a.name, v.toString))
+      case ce.And(l, r) => (translate(l), translate(r)) match {
+        case (Some(a), Some(b)) => Some(sf.And(a, b))
+        case (some @ Some(_), None) => some // dropping a conjunct widens
+        case (None, some) => some
+      }
+      case ce.Or(l, r) => for { a <- translate(l); b <- translate(r) }
+        yield sf.Or(a, b)
+      case _ => None
+    }
+  }
+}
+// ---- to append to GraftFileScan.scala ----
+
+/** A [[ParquetScan]] wrapper that APPLIES DELETION VECTORS (round 15,
+  * [[GraftDv]]): every file carrying a DV is re-planned as ONE unsplit
+  * partition and read ROW-BASED with parquet row-group/page pushdown
+  * disabled, so the reader's running ordinal is the exact in-file row
+  * index — rows whose ordinal is in the file's deleted-position set
+  * are skipped. Files without DVs keep the inner scan's partitions
+  * (and its pushdown), but the whole scan reads row-based (Spark
+  * requires partition-uniform columnarity; the mixed-mode cost lasts
+  * until OPTIMIZE materializes the DVs — the merge-on-read trade).
+  *
+  * Soundness: the skipped predicates ride in the plan (file-source
+  * pushdown is advisory), so disabling pushdown for DV'd files never
+  * changes results — it only guarantees the ordinal alignment. The
+  * inner scan may itself be a [[GraftSkippingParquetScan]]; its
+  * planInputPartitions runs first, so stats/transform skipping and
+  * the mtxn reader gate compose with DV application. */
+private[sources] class GraftDvParquetScan(inner: ParquetScan,
+    val tableDir: File, positions: Map[String, Array[Long]])
+  extends ParquetScan(inner.sparkSession, inner.hadoopConf,
+    inner.fileIndex, inner.dataSchema, inner.readDataSchema,
+    inner.readPartitionSchema, inner.pushedFilters, inner.options,
+    inner.pushedAggregate, inner.partitionFilters, inner.dataFilters,
+    inner.pushedVariantExtractions) {
+
+  override def description(): String =
+    s"graft-dv(${positions.size} files)(${super.description()})"
+
+  private val dirAbs = tableDir.getAbsolutePath
+
+  private def relOf(
+      pf: org.apache.spark.sql.execution.datasources.PartitionedFile)
+      : Option[String] =
+    try {
+      val p = new File(new java.net.URI(pf.filePath.urlEncoded))
+        .getAbsoluteFile.toPath
+      Some(tableDir.getAbsoluteFile.toPath.relativize(p).toString)
+    } catch { case _: Exception => None }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val base = inner.planInputPartitions()
+    val out = Array.newBuilder[InputPartition]
+    val dvWhole = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.execution.datasources.PartitionedFile]
+    base.foreach {
+      case fp: FilePartition =>
+        val clean = fp.files.filter { pf =>
+          relOf(pf).filter(positions.contains) match {
+            case Some(rel) =>
+              // whole-file single partition; splits of the same file
+              // collapse to one entry
+              if (!dvWhole.contains(rel))
+                dvWhole.put(rel, pf.copy(start = 0, length = pf.fileSize))
+              false
+            case None => true
+          }
+        }
+        if (clean.nonEmpty) out += FilePartition(0, clean)
+      case other => out += other
+    }
+    dvWhole.valuesIterator.foreach(pf =>
+      out += FilePartition(0, Array(pf)))
+    out.result().zipWithIndex.map {
+      case (fp: FilePartition, i) => FilePartition(i, fp.files): InputPartition
+      case (other, _) => other
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // pushdown-free twin for DV'd partitions: ordinals must count
+    // EVERY row of the file, so row groups may not be skipped
+    val cleanScan = new ParquetScan(inner.sparkSession, inner.hadoopConf,
+      inner.fileIndex, inner.dataSchema, inner.readDataSchema,
+      inner.readPartitionSchema, Array.empty, inner.options, None,
+      inner.partitionFilters, Nil, inner.pushedVariantExtractions)
+    new GraftDvReaderFactory(inner.createReaderFactory(),
+      cleanScan.createReaderFactory(), dirAbs, positions)
+  }
+
+  override def equals(obj: Any): Boolean = obj match {
+    case g: GraftDvParquetScan =>
+      super.equals(g) && g.tableDir == tableDir && g.posSig == posSig
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (super.hashCode() * 31 + tableDir.hashCode()) * 31 + posSig.hashCode()
+  private lazy val posSig: Map[String, Seq[Long]] =
+    positions.map { case (k, v) => k -> v.toSeq }
+}
+
+/** Routes DV'd single-file partitions to the pushdown-free row reader
+  * with an ordinal skip; everything else to the inner factory's row
+  * path. Declines columnar reads uniformly (Spark requires one mode
+  * per scan). */
+private[sources] class GraftDvReaderFactory(
+    normal: PartitionReaderFactory, clean: PartitionReaderFactory,
+    dirAbs: String, positions: Map[String, Array[Long]])
+  extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    false
+
+  private def dvOf(partition: InputPartition): Option[Array[Long]] =
+    partition match {
+      case fp: FilePartition if fp.files.length == 1 =>
+        try {
+          val p = new File(new java.net.URI(fp.files.head.filePath
+            .urlEncoded)).getAbsoluteFile.toPath
+          val rel = java.nio.file.Paths.get(dirAbs).toAbsolutePath
+            .relativize(p).toString
+          positions.get(rel)
+        } catch { case _: Exception => None }
+      case _ => None
+    }
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    dvOf(partition) match {
+      case Some(deleted) =>
+        val r = clean.createReader(partition)
+        new PartitionReader[InternalRow] {
+          private var ord = -1L
+          private var i = 0
+          override def next(): Boolean = {
+            while (r.next()) {
+              ord += 1
+              while (i < deleted.length && deleted(i) < ord) i += 1
+              if (i >= deleted.length || deleted(i) != ord) return true
+            }
+            false
+          }
+          override def get(): InternalRow = r.get()
+          override def close(): Unit = r.close()
+        }
+      case None => normal.createReader(partition)
+    }
 }

@@ -44,6 +44,12 @@ object GraftMaintenance {
       s"$tableDir is partitioned — whole-table compact would read its " +
         "files without their path-carried partition values and flatten " +
         "the layout; use compactPartitions (round 14)")
+    // round 15: OPTIMIZE materializes deletion vectors first — the
+    // raw reads below must not resurrect DV-deleted rows, and folding
+    // the DVs in IS part of what OPTIMIZE promises
+    if (GraftDv.hasDvs(tableDir))
+      GraftDv.materialize(spark, tableDir,
+        GraftCatalog.pinned(tableDir)): Unit
     val before = GraftTxn.dataFiles(tableDir)
     val totalBytes = before.toSeq.map(n => new File(tableDir, n).length()).sum
     val bins = math.max(1L,
@@ -51,15 +57,19 @@ object GraftMaintenance {
     if (clusterBySql.isEmpty && bins >= before.size)
       return (before.size, before.size)
     val stage = GraftTxn.newStageDir(tableDir, "compact")
-    val base = spark.read.parquet(
-      before.toSeq.map(n => new File(tableDir, n).getAbsolutePath): _*)
+    val base = spark.read
+      .option(GraftParquetTable.FieldIdReadConf, "true") // r15: scoped
+      .parquet(
+        before.toSeq.map(n => new File(tableDir, n).getAbsolutePath): _*)
     val packed = clusterBySql match {
       case Some(e) =>
         val c = org.apache.spark.sql.functions.expr(e)
         base.repartitionByRange(bins, c).sortWithinPartitions(c)
       case None => base.repartition(bins)
     }
-    packed.write.mode("overwrite").parquet(stage.getAbsolutePath)
+    packed.write.mode("overwrite")
+      .option(GraftParquetTable.FieldIdWriteConf, "true") // r15: scoped
+      .parquet(stage.getAbsolutePath)
     GraftTxn.commitHook()
     GraftTxn.withCommitLock(tableDir) {
       val now = GraftTxn.dataFiles(tableDir)
@@ -187,6 +197,12 @@ object GraftMaintenance {
         Files.copy(snapSchema.toPath,
           new File(tableDir, GraftCatalog.SchemaFile).toPath,
           StandardCopyOption.REPLACE_EXISTING): Unit
+      // deletion-vector state is part of a version (round 15): restore
+      // swaps the live sidecar tree for the snapshot's
+      val liveDv = GraftDv.dvRoot(tableDir)
+      if (liveDv.isDirectory) GraftTxn.rmTree(liveDv)
+      val snapDv = new File(snap, GraftDv.DvDir)
+      if (snapDv.isDirectory) GraftTxn.linkTree(snapDv, liveDv)
       GraftTxn.bumpVersion(tableDir)
       GraftTxn.pruneSnapshots(tableDir, GraftTxn.retention)
       GraftTxn.version(tableDir)
@@ -241,8 +257,10 @@ object GraftMaintenance {
       if (clusterBySql.isEmpty && bins >= before.size) None
       else {
         val stage = GraftTxn.newStageDir(tableDir, s"compactp")
-        val base = spark.read.parquet(
-          before.toSeq.map(n => new File(p, n).getAbsolutePath): _*)
+        val base = spark.read
+          .option(GraftParquetTable.FieldIdReadConf, "true") // r15
+          .parquet(
+            before.toSeq.map(n => new File(p, n).getAbsolutePath): _*)
         // PER-PARTITION CLUSTERING (round 14): range-repartition AND
         // sort each partition's rows by the clustering expression, so
         // every output file owns a disjoint slice of the curve WITHIN
@@ -257,7 +275,9 @@ object GraftMaintenance {
             base.repartitionByRange(bins, c).sortWithinPartitions(c)
           case None => base.repartition(bins)
         }
-        packed.write.mode("append").parquet(stage.getAbsolutePath)
+        packed.write.mode("append")
+          .option(GraftParquetTable.FieldIdWriteConf, "true") // r15
+          .parquet(stage.getAbsolutePath)
         Some((p, before, stage))
       }
     }

@@ -1,0 +1,271 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, expr, pmod, hash => shash}
+import org.apache.spark.sql.types._
+
+/** PARTITION TRANSFORMS (round 15, VERDICT r14 ask #2 — the Iceberg
+  * hidden-partitioning analog): `PARTITIONED BY (days(ts))`,
+  * `months(ts)`, `bucket(n, col)`, `truncate(n, col)` on graft tables.
+  *
+  * Layout: every write derives the partition value from the SOURCE
+  * column in its stage split and lands data in hive-style
+  * `<src>_day=<epochDay>/` (`_month`, `_bucket`, `_trunc`) dirs — but
+  * unlike identity partitioning the source column STAYS a data column
+  * (partitionBy drops only the derived column), and reads run with
+  * `recursiveFileLookup` so the derived dir never surfaces as a
+  * schema column: partitioning is an internal layout property, the
+  * user sees exactly the declared schema (hidden partitioning).
+  *
+  * Pruning: predicates on the SOURCE column translate into per-file
+  * constraints derived from each file's path segments —
+  * [[GraftSkippingParquetScan]] evaluates them (alongside the footer
+  * stats ledger) BEFORE any footer I/O, so a date-range query over a
+  * days-partitioned table reads only qualifying day directories. The
+  * translation is range-based for days/months/truncate/identity and
+  * hash-based for bucket (equality/IN only — the same predicate
+  * classes every table format prunes buckets on); anything else keeps
+  * the file (sound: the predicate also remains in the plan).
+  *
+  * Calendar transforms (days/months) are computed with CALENDAR
+  * functions under the session timezone; the graft engine pins UTC
+  * sessions (Tables.tune / Verify / Bench), and the scan-side range
+  * reconstruction uses UTC — the same contract every event-time
+  * operator in this library already documents.
+  *
+  * Conflict grain: [[GraftTxn.dataFiles]] keys files by
+  * partition-relative path, so two writers touching disjoint derived
+  * partitions (e.g. different days) carry disjoint conflict sets —
+  * the partition-grain concurrency story sql56 pinned, now for
+  * transform partitions.
+  *
+  * Spec persistence: one line per transform in the existing
+  * `_graft_partitions.json` pin — bare `col` lines stay pure identity
+  * (the round-14 format, visible partition columns via Spark's own
+  * inference); `days(col)` / `months(col)` / `bucket(n,col)` /
+  * `truncate(n,col)` lines switch the table to hidden mode. Mixing
+  * identity and transform lines is rejected at create time (one
+  * resolution mode per table). */
+object GraftPartitions {
+
+  sealed trait PartTransform {
+    def source: String
+    /** The derived hive-dir column name. */
+    def dirName: String
+    /** Persisted spec line. */
+    def line: String
+    /** Derive the partition value from the source column; `dt` is the
+      * source column's declared type (truncate is type-directed). */
+    def derive(dt: DataType): Column
+  }
+
+  final case class PDays(source: String) extends PartTransform {
+    val dirName = s"${source}_day"
+    val line = s"days($source)"
+    // epoch-day ordinal (UTC session): calendar-correct and trivially
+    // invertible at scan time
+    def derive(dt: DataType): Column =
+      expr(s"datediff(CAST(`$source` AS DATE), DATE'1970-01-01')")
+  }
+
+  final case class PMonths(source: String) extends PartTransform {
+    val dirName = s"${source}_month"
+    val line = s"months($source)"
+    def derive(dt: DataType): Column =
+      expr(s"(year(`$source`) - 1970) * 12 + month(`$source`) - 1")
+  }
+
+  final case class PBucket(n: Int, source: String) extends PartTransform {
+    val dirName = s"${source}_bucket"
+    val line = s"bucket($n,$source)"
+    // Spark's Murmur3 hash (seed 42) — reproducible at scan time for
+    // literal equality pruning
+    def derive(dt: DataType): Column = pmod(shash(col(source)),
+      org.apache.spark.sql.functions.lit(n))
+  }
+
+  final case class PTruncate(n: Int, source: String) extends PartTransform {
+    val dirName = s"${source}_trunc"
+    val line = s"truncate($n,$source)"
+    def derive(dt: DataType): Column = dt match { // prefix / floor-width
+      case StringType => expr(s"substring(`$source`, 1, $n)")
+      case _ => expr(s"`$source` - pmod(`$source`, $n)")
+    }
+  }
+
+  private val Line = """(?i)(days|months|bucket|truncate)\s*\(([^)]*)\)""".r
+
+  /** Parse a persisted spec line; bare names are identity (legacy). */
+  def parseLine(line: String): Either[String, PartTransform] =
+    line.trim match {
+      case Line(kind, args) =>
+        val a = args.split(",").map(_.trim).filter(_.nonEmpty)
+        kind.toLowerCase match {
+          case "days" if a.length == 1 => Right(PDays(a(0)))
+          case "months" if a.length == 1 => Right(PMonths(a(0)))
+          case "bucket" if a.length == 2 && a(0).toIntOption.exists(_ > 0) =>
+            Right(PBucket(a(0).toInt, a(1)))
+          case "truncate" if a.length == 2 &&
+              a(0).toIntOption.exists(_ > 0) =>
+            Right(PTruncate(a(0).toInt, a(1)))
+          case _ => throw new IllegalArgumentException(
+            s"bad partition transform line '$line'")
+        }
+      case bare => Left(bare) // identity column
+    }
+
+  /** Is this raw spec (the `partitionSpec` lines) hidden-transform? */
+  def isHidden(rawSpec: Seq[String]): Boolean =
+    rawSpec.exists(l => parseLine(l).isRight)
+
+  def transforms(rawSpec: Seq[String]): Seq[PartTransform] =
+    rawSpec.map(parseLine).collect { case Right(t) => t }
+
+  /** Re-layout a FLAT stage under the spec: identity specs partition by
+    * the source columns (values move into the path — round-14
+    * behavior); hidden specs derive the transform columns, partition by
+    * THEM, and keep every source column in the data files. One Spark
+    * job outside the lock; the flat stage is consumed. */
+  def splitStage(spark: org.apache.spark.sql.SparkSession, dir: File,
+      stage: File, rawSpec: Seq[String],
+      declared: Option[StructType]): File = {
+    if (rawSpec.isEmpty || GraftTxn.dataFiles(stage).isEmpty) return stage
+    if (!isHidden(rawSpec))
+      return GraftParquetTable.splitStageByPartitions(spark, dir, stage,
+        rawSpec, declared)
+    val ts = transforms(rawSpec)
+    val out = GraftTxn.newStageDir(dir, "psplit")
+    val reader = declared.fold(spark.read)(s => spark.read.schema(s))
+      .option(GraftParquetTable.FieldIdReadConf, "true")
+    val flat = reader.parquet(stage.getAbsolutePath)
+    val withDerived = ts.foldLeft(flat) { (df, t) =>
+      val srcType = declared.getOrElse(df.schema).fields
+        .find(_.name.equalsIgnoreCase(t.source))
+        .map(_.dataType).getOrElse(StringType)
+      df.withColumn(t.dirName, t.derive(srcType))
+    }
+    withDerived.write.mode("append").partitionBy(ts.map(_.dirName): _*)
+      .option(GraftParquetTable.FieldIdWriteConf, "true")
+      .parquet(out.getAbsolutePath)
+    GraftTxn.rmTree(stage)
+    out
+  }
+
+  // ------------------------------------------------- scan-side pruning
+
+  /** Can `filter` match any row of the file at `relPath`, given the
+    * constraints its partition-dir segments imply? Conservative: an
+    * unparsable segment, unknown transform, or untranslatable filter
+    * keeps the file. */
+  def satisfiable(filter: org.apache.spark.sql.sources.Filter,
+      relPath: String, rawSpec: Seq[String],
+      types: Map[String, DataType]): Boolean = {
+    val ts = transforms(rawSpec)
+    if (ts.isEmpty) return true
+    val segs = relPath.split("/").dropRight(1).flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
+    ts.forall { t =>
+      segs.get(t.dirName) match {
+        case None => true
+        case Some("__HIVE_DEFAULT_PARTITION__") => true // null partition
+        case Some(value) =>
+          val srcType = types.getOrElse(t.source.toLowerCase, NullType)
+          rangeOf(t, value, srcType) match {
+            case Some((lo, hi)) =>
+              // synthetic per-file stats on the SOURCE column: reuse
+              // the ledger evaluator so every pushed-filter shape
+              // prunes identically
+              GraftStats.satisfiable(filter,
+                Map(t.source.toLowerCase ->
+                  GraftStats.ColStat(Some(lo), Some(hi), None, -1L)),
+                types)
+            case None => t match {
+              case b: PBucket => bucketSatisfiable(filter, b,
+                value.toIntOption, srcType)
+              case _ => true
+            }
+          }
+      }
+    }
+  }
+
+  /** The source-column value range a dir value implies, in
+    * [[GraftStats]] canonical encoding (inclusive bounds). None for
+    * bucket (not a range). */
+  private def rangeOf(t: PartTransform, dirValue: String,
+      srcType: DataType): Option[(String, String)] = try {
+    t match {
+      case PDays(_) =>
+        val day = dirValue.toLong
+        srcType match {
+          case DateType => Some((day.toString, day.toString))
+          case TimestampType =>
+            val lo = day * 86400000000L
+            Some((lo.toString, (lo + 86400000000L - 1).toString))
+          case _ => None
+        }
+      case PMonths(_) =>
+        val m = dirValue.toLong
+        val first = java.time.LocalDate.of((1970 + m / 12).toInt,
+          (m % 12 + 1).toInt, 1)
+        val next = first.plusMonths(1)
+        srcType match {
+          case DateType =>
+            Some((first.toEpochDay.toString, (next.toEpochDay - 1).toString))
+          case TimestampType =>
+            Some(((first.toEpochDay * 86400000000L).toString,
+              (next.toEpochDay * 86400000000L - 1).toString))
+          case _ => None
+        }
+      case PTruncate(n, _) => srcType match {
+        case StringType =>
+          // values share the prefix: [prefix, prefix + U+FFFF…]
+          val p = java.net.URLEncoder.encode(dirValue, "UTF-8")
+          val hi = java.net.URLEncoder.encode(
+            dirValue + ("\uFFFF" * 6), "UTF-8")
+          Some((p, hi))
+        case ByteType | ShortType | IntegerType | LongType =>
+          val lo = dirValue.toLong
+          Some((lo.toString, (lo + n - 1).toString))
+        case _ => None
+      }
+      case _: PBucket => None
+    }
+  } catch { case _: Exception => None }
+
+  /** Bucket pruning: equality / IN on the source column (and ANDs
+    * containing one) — the file survives iff some literal hashes into
+    * its bucket. ORs / other shapes keep the file. */
+  private def bucketSatisfiable(filter: org.apache.spark.sql.sources.Filter,
+      b: PBucket, fileBucket: Option[Int], srcType: DataType): Boolean = {
+    import org.apache.spark.sql.sources._
+    val fb = fileBucket.getOrElse(return true)
+    def bucketOf(v: Any): Option[Int] = try {
+      val lit = org.apache.spark.sql.catalyst.expressions.Literal
+        .create(v, srcType)
+      val h = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+        Seq(lit), 42).eval(null).asInstanceOf[Int]
+      Some(((h % b.n) + b.n) % b.n)
+    } catch { case _: Exception => None }
+    def eq(c: String, v: Any): Boolean =
+      !c.equalsIgnoreCase(b.source) ||
+        bucketOf(v).forall(_ == fb)
+    filter match {
+      case EqualTo(c, v) => eq(c, v)
+      case EqualNullSafe(c, v) if v != null => eq(c, v)
+      case In(c, vs) => !c.equalsIgnoreCase(b.source) || vs.isEmpty ||
+        vs.exists(v => bucketOf(v).forall(_ == fb))
+      case And(l, r) => bucketSatisfiable(l, b, fileBucket, srcType) &&
+        bucketSatisfiable(r, b, fileBucket, srcType)
+      case Or(l, r) => bucketSatisfiable(l, b, fileBucket, srcType) ||
+        bucketSatisfiable(r, b, fileBucket, srcType)
+      case _ => true
+    }
+  }
+}

@@ -112,50 +112,100 @@ private[graft] class GraftStreamingWrite(dir: File, queryId: String,
       GraftSinkEpochs.sanitize(queryId), parquetConfs)
   }
 
+  /** One epoch = one transactional commit. Round-15 hardening (ADVICE
+    * r14 #1/#5):
+    *
+    *  - Only the file paths carried in the tasks' COMMIT MESSAGES are
+    *    promoted; anything else in the deterministic stage (a task
+    *    attempt that died after writing its file but before its abort
+    *    ran) is deleted first — an orphan can no longer be committed
+    *    alongside its retry's file as duplicate rows.
+    *  - ALL data-sized work (constraint validation, CDC image build,
+    *    partition split) runs BEFORE the commit lock — the epoch stage
+    *    is private, matching the batch writers' pre-lock pattern; the
+    *    critical section is file moves plus small marker writes.
+    *  - The ledger entry is crash-ATOMIC with promotion via a
+    *    per-epoch INTENT journal ([[GraftSinkEpochs]]): the intent
+    *    (target version, CDC build path, promoted file names) lands
+    *    before the first file moves, the ledger line is the commit
+    *    point, and the intent is cleared last. A replay after ANY
+    *    mid-commit crash either rolls the partial promote BACK (no
+    *    ledger line: un-promote the intent's files, redo from the
+    *    fresh stage) or rolls the tail FORWARD (ledger line present:
+    *    finish the version bump / CDC publish from the intent) — the
+    *    table holds each epoch's rows exactly once and the change
+    *    feed sees exactly one commit per epoch, through crashes at
+    *    every step boundary.
+    *
+    * Known transient (documented): if ANOTHER writer commits between a
+    * mid-promote crash and the epoch's replay (possible only after it
+    * stale-breaks the dead attempt's lock), its snapshot absorbs the
+    * orphaned half-promote; the replay's rollback still restores the
+    * LIVE state to exactly-once — only the interloper's retained
+    * snapshot keeps the transient extra rows, the same bounded window
+    * every promote-then-delete commit has. */
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val stage = GraftSinkEpochs.epochStage(dir, queryId, epochId)
     GraftTxn.commitHook()
-    // validate BEFORE the lock (stage is epoch-private)
-    if (!GraftSinkEpochs.committed(dir, queryId, epochId) &&
-        stage.isDirectory)
+    val already = GraftSinkEpochs.committed(dir, queryId, epochId)
+    var cdfBuild: Option[File] = None
+    var finalStage = stage
+    var hasRows = false
+    if (!already && stage.isDirectory) {
+      // keep ONLY what the committed tasks reported (ADVICE r14 #1)
+      val keep = messages.collect {
+        case GraftSinkCommitMessage(p) => new File(p).getName
+      }.toSet
+      GraftTxn.dataFiles(stage).filterNot(keep)
+        .foreach(n => new File(stage, n).delete(): Unit)
+      hasRows = GraftTxn.dataFiles(stage).nonEmpty
+      // data-sized work pre-lock (ADVICE r14 #5): the stage is private
       GraftConstraints.validateStage(spark, dir, stage, pin)
+      if (hasRows && GraftCdf.enabled(dir)) {
+        val b = GraftCdf.newBuild(dir)
+        GraftCdf.writeInto(b,
+          GraftCdf.readStage(spark, stage, pin), "insert")
+        cdfBuild = Some(b)
+      }
+      if (hasRows)
+        finalStage = GraftPartitions.splitStage(spark, dir, stage,
+          GraftCatalog.partitionSpec(dir), pin)
+    }
     GraftTxn.withCommitLock(dir) {
       if (GraftSinkEpochs.committed(dir, queryId, epochId)) {
-        // REPLAYED epoch (post-recovery re-run): the data already
-        // committed — discard the replay's staged files, no-op.
-        GraftTxn.rmTree(stage)
+        // REPLAYED epoch: the ledger line is the commit point — the
+        // data already committed. Finish any tail a crash cut off
+        // (version bump / CDC publish from the intent), then discard
+        // the replay's staged work.
+        GraftSinkEpochs.finishEpoch(dir, queryId, epochId)
+        GraftTxn.rmTree(finalStage)
+        cdfBuild.foreach(GraftCdf.discard)
       } else {
-        val hasRows = stage.isDirectory &&
-          GraftTxn.dataFiles(stage).nonEmpty
-        val cdfBuild =
-          if (hasRows && GraftCdf.enabled(dir)) {
-            val b = GraftCdf.newBuild(dir)
-            GraftCdf.writeInto(b,
-              GraftCdf.readStage(spark, stage, pin), "insert")
-            Some(b)
-          } else None
-        val finalStage =
-          if (!hasRows) stage
-          else GraftCatalog.partitionSpec(dir) match {
-            case Nil => stage
-            case pc => GraftParquetTable.splitStageByPartitions(spark,
-              dir, stage, pc, pin)
-          }
+        GraftCdf.recoverPending(dir, discardStale = true)
+        // a crashed PRIOR attempt of this epoch may have promoted some
+        // files before recording — un-promote exactly those (intent)
+        GraftSinkEpochs.recoverEpoch(dir, queryId, epochId)
         if (hasRows) {
           GraftTxn.snapshotCurrent(dir)
+          val target = GraftTxn.version(dir) + 1
+          GraftSinkEpochs.writeIntent(dir, queryId, epochId, target,
+            cdfBuild, GraftTxn.dataFiles(finalStage))
           GraftTxn.promoteStage(finalStage, dir)
+          GraftSinkEpochs.record(dir, queryId, epochId) // COMMIT POINT
           GraftTxn.bumpVersion(dir)
           cdfBuild.foreach { b =>
-            GraftCdf.publish(b, dir, GraftTxn.version(dir))
+            GraftCdf.publish(b, dir, target)
             GraftCdf.prune(dir, GraftTxn.retention)
           }
+          GraftSinkEpochs.clearIntent(dir, queryId, epochId)
           GraftTxn.pruneSnapshots(dir, GraftTxn.retention)
+        } else {
+          // the ledger entry is written EVEN for empty epochs, so a
+          // replayed empty epoch stays a no-op too
+          GraftSinkEpochs.record(dir, queryId, epochId)
         }
-        // the ledger entry is written EVEN for empty epochs, so a
-        // replayed empty epoch stays a no-op too
-        GraftSinkEpochs.record(dir, queryId, epochId)
         GraftTxn.rmTree(finalStage)
       }
     }
@@ -200,6 +250,67 @@ private[graft] object GraftSinkEpochs {
       java.nio.charset.StandardCharsets.UTF_8)
       .split("\n").count(_.startsWith(sanitize(queryId) + ","))
   }
+
+  // ------------------------------------ per-epoch intent journal (r15)
+
+  /** The epoch's commit INTENT (round 15, ADVICE r14 #1): written
+    * under the lock before the first file move, cleared last. Content:
+    * target version, the CDC build path (or blank), then the promoted
+    * file names — everything a replay needs to roll a half-done commit
+    * back (no ledger line yet) or forward (ledger line present). */
+  private def intentFile(dir: File, queryId: String, epochId: Long): File =
+    new File(dir, s"_graft_epoch_intent_${sanitize(queryId)}_$epochId")
+
+  def writeIntent(dir: File, queryId: String, epochId: Long,
+      targetVersion: Long, cdfBuild: Option[File],
+      files: Set[String]): Unit =
+    java.nio.file.Files.write(
+      intentFile(dir, queryId, epochId).toPath,
+      (Seq(targetVersion.toString, cdfBuild.fold("")(_.getAbsolutePath)) ++
+        files.toSeq.sorted).mkString("\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)): Unit
+
+  def clearIntent(dir: File, queryId: String, epochId: Long): Unit =
+    intentFile(dir, queryId, epochId).delete(): Unit
+
+  private def readIntent(dir: File, queryId: String,
+      epochId: Long): Option[(Long, Option[File], Seq[String])] = {
+    val f = intentFile(dir, queryId, epochId)
+    if (!f.isFile) None
+    else {
+      val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n", -1).toSeq
+      for (v <- lines.headOption.flatMap(_.toLongOption)) yield
+        (v, lines.lift(1).filter(_.nonEmpty).map(new File(_)),
+          lines.drop(2).filter(_.nonEmpty))
+    }
+  }
+
+  /** UNCOMMITTED epoch with a leftover intent = a prior attempt died
+    * mid-promote: un-promote exactly the intent's files (the fresh
+    * replay stage holds the same data and will re-promote it whole),
+    * discard its CDC build, clear the intent. Under the lock. */
+  def recoverEpoch(dir: File, queryId: String, epochId: Long): Unit =
+    readIntent(dir, queryId, epochId).foreach { case (_, build, files) =>
+      files.foreach(n => new File(dir, n).delete())
+      GraftParquetTable.sweepEmptyPartitionDirs(dir)
+      build.filter(_.isDirectory).foreach(GraftCdf.discard)
+      clearIntent(dir, queryId, epochId)
+    }
+
+  /** COMMITTED epoch with a leftover intent = the crash cut off the
+    * tail after the ledger line: finish the version bump and the CDC
+    * publish from the intent, then clear it. Under the lock. */
+  def finishEpoch(dir: File, queryId: String, epochId: Long): Unit =
+    readIntent(dir, queryId, epochId).foreach { case (target, build, _) =>
+      if (GraftTxn.version(dir) < target)
+        GraftTxn.writeVersionMarker(dir, target)
+      build.filter(_.isDirectory).foreach { b =>
+        GraftCdf.publish(b, dir, target)
+        GraftCdf.prune(dir, GraftTxn.retention)
+      }
+      clearIntent(dir, queryId, epochId)
+    }
 }
 
 /** Serializable executor-side factory: each task writes ONE parquet
@@ -269,5 +380,5 @@ private[sources] class GraftParquetDataWriter(file: File,
   override def close(): Unit = ()
 }
 
-private[sources] case class GraftSinkCommitMessage(path: String)
+private[graft] case class GraftSinkCommitMessage(path: String)
   extends WriterCommitMessage

@@ -1,0 +1,380 @@
+package graft.sources
+
+import java.io.File
+import java.math.BigInteger
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.types._
+
+/** MANIFEST-LEVEL FILE SKIPPING (round 15, VERDICT r14 ask #1 — the
+  * Iceberg/Delta data-skipping analog, re-expressed over the graft
+  * commit protocol).
+  *
+  * At COMMIT time every promoted data file's parquet FOOTER is read
+  * once (driver-side, no data pages) and its per-column min / max /
+  * null-count / row-count land as one line per (file, column) in the
+  * table's append-only stats ledger `_graft_filestats` — a sibling of
+  * the commit log that rides the delete path's directory swap and the
+  * snapshot riders exactly like the schema pin, so time-travel reads
+  * prune too. Entries are keyed by TABLE-RELATIVE path (the
+  * [[GraftTxn.dataFiles]] identity); entries for since-deleted files
+  * are stale-but-harmless (the scan starts from the live listing) and
+  * are dropped whenever the ledger is compacted (4× live files).
+  *
+  * At SCAN time [[GraftSkippingParquetScan]] evaluates the scan's
+  * pushed data filters against each listed file's recorded ranges and
+  * drops files that CANNOT contain a matching row — BEFORE any footer
+  * or data I/O, composing with partition-directory pruning (the
+  * pruned listing is what the stats see). The evaluation is
+  * deliberately conservative: a file with no recorded stats for a
+  * referenced column, an untranslatable predicate shape, or a failed
+  * value conversion always KEEPS the file — skipping is a pure I/O
+  * optimization and can never change results (the pushed filters also
+  * remain in the plan).
+  *
+  * At 100 TB: the ledger is O(live files × stat columns) driver-side
+  * metadata — the same cardinality every table format's manifest
+  * carries — and the per-commit cost is one footer read per staged
+  * file (already local to the committing driver). A range predicate
+  * over a clustered table (OPTIMIZE ... cluster_by writes
+  * range-disjoint files) reads ceil(selectivity × files) instead of
+  * all of them.
+  *
+  * Value encoding: every numeric-ish type (integral, float/double,
+  * decimal, date, timestamp) serializes as an exact decimal string and
+  * compares as BigDecimal — no float-precision unsoundness for 2^53+
+  * longs; strings are URL-encoded (tab-safe) and compare as raw UTF-16
+  * strings, matching Spark's binary collation ordering for the ASCII
+  * range the parquet stats bounds guarantee. Columns whose footer
+  * stats are absent or non-finite record no range (null counts still
+  * do). */
+object GraftStats {
+
+  val StatsFile = "_graft_filestats"
+
+  /** Table property naming the stat-column set; default = every
+    * top-level supported-type column, capped. */
+  val StatsColumnsProp = "graft.stats.columns"
+  val MaxDefaultStatsColumns = 32
+
+  /** One file-column stat line. min/max are None when the footer had
+    * no usable bound (all-null file, non-finite float, missing
+    * stats). */
+  final case class ColStat(min: Option[String], max: Option[String],
+      nullCount: Option[Long], rowCount: Long)
+
+  /** Per-file stats: lower-cased column name → stat. */
+  type FileStats = Map[String, ColStat]
+
+  /** Last skip report per table dir (absolute path) — (files listed,
+    * files kept) of the most recent pruned scan; a claims/spec seam,
+    * not part of the engine contract. */
+  val lastReport = new scala.collection.concurrent.TrieMap[String, (Int, Int)]
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Is this a type we can record and compare soundly? */
+  def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | DateType | TimestampType | StringType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** The stat-column set for a table: the declared property, else the
+    * first [[MaxDefaultStatsColumns]] supported top-level columns. */
+  def statColumns(dir: File, schema: StructType): Seq[StructField] = {
+    val declared = GraftCatalog.loadProps(dir).get(StatsColumnsProp)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    declared match {
+      case Some(names) => names.flatMap(n =>
+        schema.fields.find(f => f.name.equalsIgnoreCase(n) &&
+          supported(f.dataType)))
+      case None => schema.fields.toSeq.filter(f => supported(f.dataType))
+        .take(MaxDefaultStatsColumns)
+    }
+  }
+
+  // ------------------------------------------------------- collection
+
+  /** Read one parquet file's footer and aggregate min/max/nulls per
+    * stat column across its row groups. No data pages are read. */
+  def footerStats(f: File, cols: Seq[StructField]): FileStats = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks
+      val byName = cols.map(c => c.name.toLowerCase -> c).toMap
+      var acc = Map.empty[String, (Option[String], Option[String],
+        Option[Long], Long, Boolean)] // min,max,nulls,rows,boundsOk
+      val it = blocks.iterator()
+      while (it.hasNext) {
+        val b = it.next()
+        val rows = b.getRowCount
+        val cit = b.getColumns.iterator()
+        var seen = Set.empty[String]
+        while (cit.hasNext) {
+          val cc = cit.next()
+          val name = cc.getPath.toDotString.toLowerCase
+          byName.get(name).filterNot(_ => name.contains(".")).foreach { fld =>
+            seen += name
+            val st = cc.getStatistics
+            val (mn, mx, nulls) =
+              if (st == null) (None, None, None)
+              else {
+                val n = if (st.isNumNullsSet) Some(st.getNumNulls) else None
+                if (st.hasNonNullValue)
+                  (fromParquet(st.genericGetMin.asInstanceOf[AnyRef],
+                    fld.dataType),
+                    fromParquet(st.genericGetMax.asInstanceOf[AnyRef],
+                      fld.dataType), n)
+                else if (n.contains(rows)) (None, None, n) // all-null group
+                else (None, None, n)
+              }
+            val allNullGroup = st != null && !st.hasNonNullValue &&
+              st.isNumNullsSet && st.getNumNulls == rows
+            val boundsOk = (mn.isDefined && mx.isDefined) || allNullGroup
+            val prev = acc.getOrElse(name,
+              (None, None, Some(0L), 0L, true))
+            acc += name -> (
+              mergeBound(prev._1, mn, fld.dataType, isMin = true),
+              mergeBound(prev._2, mx, fld.dataType, isMin = false),
+              for (a <- prev._3; b2 <- nulls) yield a + b2,
+              prev._4 + rows,
+              prev._5 && boundsOk)
+          }
+        }
+        // a stat column absent from this row group's chunks (schema
+        // evolution: pre-ADD-COLUMN files) → all its values are null
+        (byName.keySet diff seen).foreach { name =>
+          val prev = acc.getOrElse(name, (None, None, Some(0L), 0L, true))
+          acc += name -> (prev._1, prev._2,
+            prev._3.map(_ + rows), prev._4 + rows, prev._5)
+        }
+      }
+      acc.map { case (name, (mn, mx, nulls, rows, boundsOk)) =>
+        // bounds are only sound if EVERY row group contributed one (a
+        // group with missing stats could hold values outside the range)
+        val ok = boundsOk
+        name -> ColStat(if (ok) mn else None, if (ok) mx else None,
+          nulls, rows)
+      }
+    } finally reader.close()
+  }
+
+  /** Keep the wider bound across row groups. */
+  private def mergeBound(a: Option[String], b: Option[String],
+      dt: DataType, isMin: Boolean): Option[String] = (a, b) match {
+    case (None, x) => x
+    case (x, None) => x
+    case (Some(x), Some(y)) =>
+      val c = compare(x, y, dt)
+      Some(if ((c <= 0) == isMin) x else y)
+  }
+
+  /** Parquet statistics value → canonical string for the Spark type.
+    * None = unusable (non-finite float, unexpected physical type). */
+  private def fromParquet(v: AnyRef, dt: DataType): Option[String] =
+    try (dt, v) match {
+      case (_, null) => None
+      case (FloatType | DoubleType, n: java.lang.Number) =>
+        val d = n.doubleValue()
+        if (java.lang.Double.isFinite(d)) Some(d.toString) else None
+      case (d: DecimalType, n: java.lang.Integer) =>
+        Some(java.math.BigDecimal.valueOf(n.longValue(), d.scale).toString)
+      case (d: DecimalType, n: java.lang.Long) =>
+        Some(java.math.BigDecimal.valueOf(n, d.scale).toString)
+      case (d: DecimalType, b: org.apache.parquet.io.api.Binary) =>
+        Some(new java.math.BigDecimal(
+          new BigInteger(b.getBytes), d.scale).toString)
+      case (StringType, b: org.apache.parquet.io.api.Binary) =>
+        Some(enc(b.toStringUsingUTF8))
+      case (_, n: java.lang.Number) => Some(n.longValue().toString)
+      case _ => None
+    } catch { case _: Exception => None }
+
+  /** Compare two canonical strings under the column type. */
+  def compare(a: String, b: String, dt: DataType): Int = dt match {
+    case StringType => dec(a).compareTo(dec(b))
+    case _ => new java.math.BigDecimal(a)
+      .compareTo(new java.math.BigDecimal(b))
+  }
+
+  // ----------------------------------------------------------- ledger
+
+  /** Append stats for freshly promoted files. Called under the commit
+    * lock, right before the stage's files move ([[GraftTxn.promoteStage]]):
+    * one footer read per staged file, O(commit), driver-side. A
+    * failure to read a footer simply records nothing for that file —
+    * the scan keeps unknown files. */
+  def recordStage(dir: File, stage: File): Unit =
+    try {
+      val pin = GraftCatalog.pinned(dir).getOrElse(return)
+      // identity partition columns live in the PATH, not the data
+      // files — never stat them (the file index prunes on them)
+      val identityParts = GraftCatalog.partitionSpec(dir)
+        .filter(l => GraftPartitions.parseLine(l).isLeft)
+        .map(_.toLowerCase).toSet
+      val cols = statColumns(dir, pin)
+        .filterNot(f => identityParts.contains(f.name.toLowerCase))
+      if (cols.isEmpty) return
+      val lines = new StringBuilder
+      GraftTxn.dataFiles(stage).foreach { rel =>
+        val stats =
+          try footerStats(new File(stage, rel), cols)
+          catch { case _: Exception => Map.empty[String, ColStat] }
+        stats.foreach { case (col, s) =>
+          lines.append(Seq(enc(rel), col,
+            s.min.getOrElse(""), s.max.getOrElse(""),
+            s.nullCount.map(_.toString).getOrElse(""),
+            s.rowCount.toString).mkString("\t")).append('\n'): Unit
+        }
+      }
+      if (lines.nonEmpty)
+        java.nio.file.Files.write(new File(dir, StatsFile).toPath,
+          lines.toString.getBytes(UTF_8),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND): Unit
+      maybeCompact(dir)
+    } catch { case _: Exception => () } // stats are advisory, never fatal
+
+  /** The ledger, newest entry wins per (file, column). */
+  def load(dir: File): Map[String, FileStats] = {
+    val f = new File(dir, StatsFile)
+    if (!f.isFile) return Map.empty
+    val out = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.Map[String, ColStat]]
+    new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8)
+      .split("\n").foreach { line =>
+        val p = line.split("\t", -1)
+        if (p.length == 6) {
+          val file = dec(p(0))
+          out.getOrElseUpdate(file, scala.collection.mutable.Map.empty)
+            .update(p(1), ColStat(
+              Option(p(2)).filter(_.nonEmpty),
+              Option(p(3)).filter(_.nonEmpty),
+              p(4).toLongOption,
+              p(5).toLongOption.getOrElse(-1L)))
+        }
+      }
+    out.map { case (k, v) => k -> v.toMap }.toMap
+  }
+
+  /** Drop stale entries once the ledger outgrows the live file set
+    * 4:1 (under the commit lock — callers hold it). */
+  private def maybeCompact(dir: File): Unit = {
+    val f = new File(dir, StatsFile)
+    if (!f.isFile) return
+    val all = load(dir)
+    val live = GraftTxn.dataFiles(dir)
+    if (all.size > 64 && all.size > 4 * math.max(1, live.size)) {
+      val keep = all.view.filterKeys(k => live.contains(k) ||
+        new File(dir, k).isFile).toMap
+      val lines = keep.flatMap { case (file, cols) =>
+        cols.map { case (col, s) =>
+          Seq(enc(file), col, s.min.getOrElse(""), s.max.getOrElse(""),
+            s.nullCount.map(_.toString).getOrElse(""),
+            s.rowCount.toString).mkString("\t")
+        }
+      }.mkString("", "\n", "\n")
+      java.nio.file.Files.write(f.toPath, lines.getBytes(UTF_8)): Unit
+    }
+  }
+
+  // -------------------------------------------------------- pruning
+
+  import org.apache.spark.sql.sources._
+
+  /** Can `filter` possibly match a row of a file with these stats?
+    * Conservative in every unknown direction. `types` maps lower-cased
+    * column name → Spark type. */
+  def satisfiable(filter: Filter, stats: FileStats,
+      types: Map[String, DataType]): Boolean = {
+    def stat(c: String): Option[(ColStat, DataType)] =
+      for { s <- stats.get(c.toLowerCase); t <- types.get(c.toLowerCase) }
+        yield (s, t)
+    def toCanon(v: Any, dt: DataType): Option[String] = try {
+      (dt, v) match {
+        case (_, null) => None
+        case (StringType, s: String) => Some(enc(s))
+        case (StringType, s: org.apache.spark.unsafe.types.UTF8String) =>
+          Some(enc(s.toString))
+        case (DateType, d: java.sql.Date) => Some(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .fromJavaDate(d).toString)
+        case (DateType, d: java.time.LocalDate) => Some(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .localDateToDays(d).toString)
+        case (TimestampType, t: java.sql.Timestamp) => Some(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .fromJavaTimestamp(t).toString)
+        case (TimestampType, t: java.time.Instant) => Some(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .instantToMicros(t).toString)
+        case (FloatType | DoubleType, n: Number) =>
+          val d = n.doubleValue()
+          if (java.lang.Double.isFinite(d))
+            Some(new java.math.BigDecimal(d).toString) else None
+        case (_: DecimalType, n: java.math.BigDecimal) => Some(n.toString)
+        case (_: DecimalType, n: BigDecimal) => Some(n.toString)
+        case (_, n: Number) => Some(n.longValue().toString)
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+    // range checks: None anywhere → keep (unknown)
+    def cmpMin(c: String, v: Any)(ok: Int => Boolean): Boolean =
+      stat(c).forall { case (s, t) =>
+        (s.min, toCanon(v, t)) match {
+          case (Some(mn), Some(cv)) => ok(compare(mn, cv, t))
+          case (None, _) if allNull(s) => false // no non-null values
+          case _ => true
+        }
+      }
+    def cmpMax(c: String, v: Any)(ok: Int => Boolean): Boolean =
+      stat(c).forall { case (s, t) =>
+        (s.max, toCanon(v, t)) match {
+          case (Some(mx), Some(cv)) => ok(compare(mx, cv, t))
+          case (None, _) if allNull(s) => false
+          case _ => true
+        }
+      }
+    def allNull(s: ColStat): Boolean =
+      s.rowCount >= 0 && s.nullCount.contains(s.rowCount)
+    def contains(c: String, v: Any): Boolean =
+      cmpMin(c, v)(_ <= 0) && cmpMax(c, v)(_ >= 0)
+    filter match {
+      case EqualTo(c, v) => contains(c, v)
+      case EqualNullSafe(c, null) => hasNulls(c, stats)
+      case EqualNullSafe(c, v) => contains(c, v)
+      case LessThan(c, v) => cmpMin(c, v)(_ < 0)
+      case LessThanOrEqual(c, v) => cmpMin(c, v)(_ <= 0)
+      case GreaterThan(c, v) => cmpMax(c, v)(_ > 0)
+      case GreaterThanOrEqual(c, v) => cmpMax(c, v)(_ >= 0)
+      case In(c, vs) => vs.isEmpty || vs.exists(v => contains(c, v))
+      case IsNull(c) => hasNulls(c, stats)
+      case IsNotNull(c) =>
+        stats.get(c.toLowerCase).forall(s => !allNull(s))
+      case StringStartsWith(c, p) =>
+        // exists s in [min,max] with prefix p ⟺ max >= p and
+        // min <= p⌢∞ (approximated by p + many U+FFFF — over-keep safe)
+        cmpMax(c, p)(_ >= 0) &&
+          cmpMin(c, p + ("\uFFFF" * 6))(_ <= 0)
+      case And(l, r) =>
+        satisfiable(l, stats, types) && satisfiable(r, stats, types)
+      case Or(l, r) =>
+        satisfiable(l, stats, types) || satisfiable(r, stats, types)
+      case _ => true // Not, custom, unknown — keep
+    }
+  }
+
+  private def hasNulls(c: String, stats: FileStats): Boolean =
+    stats.get(c.toLowerCase).forall(s =>
+      !s.nullCount.contains(0L)) // unknown → keep
+}

@@ -186,7 +186,7 @@ object GraftTxn {
   private[sources] def versionAt(dir: File, micros: Long): Option[Long] =
     commitTimes(dir).filter(_._2 <= micros).lastOption.map(_._1)
 
-  private[sources] def bumpVersion(dir: File): Unit =
+  private[graft] def bumpVersion(dir: File): Unit =
     writeVersionMarker(dir, version(dir) + 1)
 
   /** Liveness marker inside every stage dir (round 14, ADVICE r13 #1):
@@ -240,9 +240,12 @@ object GraftTxn {
   /** Move the stage's finalized data files into the live directory,
     * preserving partition-relative paths (parent `k=v` dirs are
     * created as needed). Part-file names carry the write job's UUID —
-    * no collisions. */
-  private[sources] def promoteStage(stage: File, dir: File): Unit = {
+    * no collisions. Round 15: the promoted files' footer stats are
+    * recorded into the table's skipping ledger first ([[GraftStats]] —
+    * one footer read per staged file, O(commit), advisory). */
+  private[graft] def promoteStage(stage: File, dir: File): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
+    GraftStats.recordStage(dir, stage)
     dataFiles(stage).foreach { n =>
       val target = new File(dir, n)
       Option(target.getParentFile).foreach(p => if (!p.isDirectory) p.mkdirs())
@@ -251,7 +254,7 @@ object GraftTxn {
     }
   }
 
-  private[sources] def rmTree(f: File): Unit = {
+  private[graft] def rmTree(f: File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
     f.delete(): Unit
   }
@@ -297,21 +300,51 @@ object GraftTxn {
           StandardCopyOption.REPLACE_EXISTING): Unit
       }
     }
-    // metadata riders: the pinned schema and (round 14) the partition
-    // spec travel with every snapshot, so a time-travel read of a
-    // partitioned table reports its layout like the live table does
-    Seq(GraftCatalog.SchemaFile, GraftCatalog.PartitionsFile).foreach { m =>
+    // metadata riders: the pinned schema, (round 14) the partition
+    // spec and (round 15) the skipping-stats ledger travel with every
+    // snapshot, so a time-travel read of a partitioned table reports
+    // its layout — and prunes files — like the live table does
+    Seq(GraftCatalog.SchemaFile, GraftCatalog.PartitionsFile,
+        GraftStats.StatsFile).foreach { m =>
       val f = new File(dir, m)
       if (f.isFile)
         Files.copy(f.toPath, new File(tmp, m).toPath,
           StandardCopyOption.REPLACE_EXISTING): Unit
     }
+    // deletion-vector sidecars ride too (round 15): a version's
+    // snapshot is only correct under ITS deletion state — hard-linked
+    // like the data files
+    val dvRoot = new File(dir, GraftDv.DvDir)
+    if (dvRoot.isDirectory) linkTree(dvRoot, new File(tmp, GraftDv.DvDir))
     try Files.move(tmp.toPath, snap.toPath,
       StandardCopyOption.ATOMIC_MOVE): Unit
     catch { case _: java.nio.file.FileAlreadyExistsException |
         _: java.nio.file.FileSystemException if snap.isDirectory =>
       rmTree(tmp) // a concurrent retry published first — equivalent state
     }
+  }
+
+  /** Hard-link (copy fallback) a small metadata tree — DV sidecars
+    * riding snapshots/restore. Hidden entries skipped (stages). */
+  private[sources] def linkTree(src: File, dst: File): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    Option(src.listFiles()).getOrElse(Array.empty)
+      .filterNot(f => f.getName.startsWith(".") &&
+        f.getName.contains("stage"))
+      .foreach { f =>
+        val t = new File(dst, f.getName)
+        if (f.isDirectory) linkTree(f, t)
+        else {
+          Option(t.getParentFile).foreach(p =>
+            if (!p.isDirectory) p.mkdirs())
+          try Files.createLink(t.toPath, f.toPath)
+          catch { case _: UnsupportedOperationException |
+              _: java.nio.file.FileSystemException =>
+            Files.copy(f.toPath, t.toPath,
+              StandardCopyOption.REPLACE_EXISTING): Unit
+          }
+        }
+      }
   }
 
   private[sources] def snapshotCurrent(dir: File): Unit =
@@ -449,16 +482,19 @@ object GraftTxn {
     *    [[breakStaleLock]] uses, so release can never race a concurrent
     *    break-and-reacquire into deleting a successor's freshly created
     *    lock — only one party's rename of the path succeeds.
-    *  - An EMPTY lock is treated as OURS only when our own token write
-    *    failed (`tokenWritten = false`) or the lock stopped being
-    *    heartbeated ([[StaleLockMs]] stale). If we DID write our token,
-    *    an empty lock at release time cannot be ours — it is a
-    *    successor whose token write also failed, and deleting it would
-    *    strip a live holder's lock (the race the old
-    *    `c == token || c.isEmpty` rule had).
+    *  - An EMPTY lock is deleted only when it has also gone STALE
+    *    (round 15, ADVICE r14 #3 — the staleness check now applies to
+    *    the `tokenWritten = false` branch too): an empty lock at
+    *    release time is ambiguous — it may be ours (our token write
+    *    failed) or a successor's whose token write also failed after
+    *    ours was broken — and a FRESH empty lock is exactly the case
+    *    where a live successor is heartbeating it. Leaving our own
+    *    token-less lock behind costs one stale-break window for the
+    *    next waiter; stripping a live successor's lock costs a
+    *    double-commit. Stale-only delete picks the safe direction.
     *  - A vanished lock (read fails) means someone broke ours — nothing
     *    to release. */
-  private[sources] def releaseIfOwned(lock: File, token: String,
+  private[graft] def releaseIfOwned(lock: File, token: String,
       tokenWritten: Boolean = true): Unit = {
     def atomicDelete(): Unit = {
       val seized = new File(lock.getParentFile,
@@ -474,12 +510,13 @@ object GraftTxn {
       try Some(new String(java.nio.file.Files.readAllBytes(lock.toPath),
         java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: java.io.IOException => None }
+    val _ = tokenWritten // retained for call-site compatibility
     content match {
       case Some(c) if c == token => atomicDelete()
-      case Some(c) if c.isEmpty && (!tokenWritten ||
-          System.currentTimeMillis() - lock.lastModified() > StaleLockMs) =>
+      case Some(c) if c.isEmpty &&
+          System.currentTimeMillis() - lock.lastModified() > StaleLockMs =>
         atomicDelete()
-      case _ => () // vanished, or a successor's lock — leave it alone
+      case _ => () // vanished, fresh-empty, or a successor's — leave it
     }
   }
 

@@ -311,31 +311,34 @@ class Round14Spec extends SparkSpec {
     val dir = new File(base, "t")
     val schema = spark.table("p14i.t").schema
     val w = new GraftStreamingWrite(dir, "qspec", schema)
-    // stage epoch 0's rows exactly where the executor writers would
-    def stageEpoch(epoch: Long, lo: Long, hi: Long): Unit = {
+    // stage epoch 0's rows exactly where the executor writers would,
+    // and return the per-task commit messages the real writers emit —
+    // since round 15 the commit promotes ONLY message-carried files
+    def stageEpoch(epoch: Long, lo: Long,
+        hi: Long): Array[org.apache.spark.sql.connector.write.WriterCommitMessage] = {
       val stage = GraftSinkEpochs.epochStage(dir, "qspec", epoch)
       // the real executor writer embeds the pin's field ids — the
       // spec's hand-staging must too, or the id-resolved reads reject
       graft.sources.GraftCatalog.withPinFieldIds(
         spark.range(lo, hi).selectExpr("id AS k", "id * 2 AS v"), dir)
         .write.mode("append").parquet(stage.getAbsolutePath)
+      GraftTxn.dataFiles(stage).toArray.map(n =>
+        graft.sources.GraftSinkCommitMessage(
+          new File(stage, n).getAbsolutePath))
     }
-    stageEpoch(0L, 0L, 10L)
-    w.commit(0L, Array.empty)
+    w.commit(0L, stageEpoch(0L, 0L, 10L))
     assert(spark.table("p14i.t").count() == 10)
     assert(GraftTxn.version(dir) == 1L)
     // the kill/restart REPLAY: same epochId, same data re-staged —
     // the ledger makes it a no-op (no duplicate rows, no version bump,
     // no extra change set)
-    stageEpoch(0L, 0L, 10L)
-    w.commit(0L, Array.empty)
+    w.commit(0L, stageEpoch(0L, 0L, 10L))
     assert(spark.table("p14i.t").count() == 10,
       "a replayed epoch must not re-apply")
     assert(GraftTxn.version(dir) == 1L)
     // a NEW epoch commits normally, and the change feed holds exactly
     // one insert image per row per epoch
-    stageEpoch(1L, 10L, 15L)
-    w.commit(1L, Array.empty)
+    w.commit(1L, stageEpoch(1L, 10L, 15L))
     assert(spark.table("p14i.t").count() == 15)
     assert(GraftTxn.version(dir) == 2L)
     val feed = GraftCdf.rows(spark, dir)
@@ -488,7 +491,9 @@ class Round14Spec extends SparkSpec {
     graft.sources.GraftCatalog.withPinFieldIds(
       spark.range(0, 40).selectExpr("id AS k", "CAST(id % 4 AS INT) AS p"),
       dir).write.mode("append").parquet(stage.getAbsolutePath)
-    w.commit(0L, Array.empty)
+    w.commit(0L, GraftTxn.dataFiles(stage).toArray.map(n =>
+      graft.sources.GraftSinkCommitMessage(
+        new File(stage, n).getAbsolutePath)))
     val files = GraftTxn.dataFiles(dir)
     assert(files.nonEmpty && files.forall(_.matches("p=[0-3]/.*")),
       s"epoch commit must split by the spec: $files")
