@@ -337,6 +337,52 @@ class Round15Spec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS p15i.t"): Unit
   }
 
+  test("transform partitions: months(d) and truncate(n, s) derive, hide and prune") {
+    import graft.sources.GraftStats
+    val base = freshCatalog("p15q")
+    // months over a DATE column
+    spark.sql("DROP TABLE IF EXISTS p15q.m")
+    spark.sql("CREATE TABLE p15q.m (k BIGINT, d DATE, v DOUBLE) " +
+      "PARTITIONED BY (months(d))")
+    spark.range(0, 120).selectExpr("id AS k",
+      "date_add(DATE'2024-01-01', CAST(id AS INT)) AS d", // Jan..Apr
+      "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("seed15q")
+    spark.sql("INSERT INTO p15q.m SELECT * FROM seed15q")
+    val dirM = new File(base, "m")
+    val filesM = GraftTxn.dataFiles(dirM)
+    assert(filesM.forall(_.matches("d_month=\\d+/.*")), s"layout: $filesM")
+    assert(!spark.table("p15q.m").columns.contains("d_month"))
+    // February only: 29 days of 2024
+    val n = spark.table("p15q.m")
+      .filter(col("d") >= lit("2024-02-01").cast("date") &&
+        col("d") < lit("2024-03-01").cast("date")).count()
+    assert(n == 29)
+    val (lm, km) = GraftStats.lastReport(dirM.getAbsolutePath)
+    val monthDirs = filesM.map(_.split("/")(0)).toSet.size
+    assert(monthDirs == 4)
+    assert(km < lm && km <= lm / 2, s"month prune kept $km of $lm")
+    // truncate(4) over a STRING column: prefix dirs, prefix predicates
+    spark.sql("DROP TABLE IF EXISTS p15q.s")
+    spark.sql("CREATE TABLE p15q.s (k BIGINT, s STRING) " +
+      "PARTITIONED BY (truncate(4, s))")
+    spark.range(0, 100).selectExpr("id AS k",
+      "concat(CASE WHEN id < 50 THEN 'alph' ELSE 'beta' END, " +
+        "'_', CAST(id AS STRING)) AS s")
+      .createOrReplaceTempView("seed15q2")
+    spark.sql("INSERT INTO p15q.s SELECT * FROM seed15q2")
+    val dirS = new File(base, "s")
+    assert(GraftTxn.dataFiles(dirS).forall(_.startsWith("s_trunc=")))
+    assert(spark.table("p15q.s").filter(col("s") >= "beta").count() == 50)
+    val (ls, ks) = GraftStats.lastReport(dirS.getAbsolutePath)
+    assert(ks < ls, s"truncate prune kept $ks of $ls")
+    // values intact through the hidden layout
+    assert(spark.table("p15q.s")
+      .filter(col("s") === "alph_7").count() == 1)
+    spark.sql("DROP TABLE IF EXISTS p15q.m")
+    spark.sql("DROP TABLE IF EXISTS p15q.s"): Unit
+  }
+
   test("transform partitions: writers on DISJOINT days both commit first-try") {
     import java.util.concurrent.{CountDownLatch, TimeUnit}
     import scala.concurrent.{Await, Future}
