@@ -728,11 +728,18 @@ private[sources] class GraftParquetTable(tableName: String,
     * the copy-on-write path (any existing DVs have been materialized
     * first, so its raw reads are sound). */
   private def deleteWhereDv(d: File,
-      cond: org.apache.spark.sql.Column): Boolean = {
+      cond: org.apache.spark.sql.Column,
+      predicates: Array[Predicate]): Boolean = {
     val listed = GraftTxn.dataFiles(d)
     if (listed.isEmpty) return true
+    // round 15: the stats ledger pre-prunes the matching scan (files
+    // it refutes carry no matches and need no positions)
+    val cands = declared.fold(listed)(sch =>
+      GraftStats.candidateFiles(d, listed,
+        predicates.flatMap(GraftParquetTable.toSourceFilter).toSeq, sch))
+    if (cands.isEmpty) return true // proven no-match: no-op delete
     val rw = GraftDv.readWithRowIndex(spark, d,
-      listed.toSeq.sorted.map(n => new File(d, n)), declared)
+      cands.toSeq.sorted.map(n => new File(d, n)), declared)
     val perFile = rw.groupBy(col("__fkey"))
       .agg(sum(when(cond, 1L).otherwise(0L)).as("hits"),
         count(lit(1)).as("rows"))
@@ -827,7 +834,7 @@ private[sources] class GraftParquetTable(tableName: String,
     // non-qualifying delete on a DV-carrying table first MATERIALIZES
     // so the raw reads below stay sound
     if (GraftDv.enabled(d) || GraftDv.hasDvs(d)) {
-      if (deleteWhereDv(d, cond)) return
+      if (deleteWhereDv(d, cond, predicates)) return
     }
     val dAbs = d.getAbsoluteFile.toPath
     // partition-relative identity (round 14): file names alone collide
@@ -840,9 +847,21 @@ private[sources] class GraftParquetTable(tableName: String,
     // against the aggregate would read it as a phantom concurrent
     // commit (false conflict, caught by the first spec run)
     val listedAtScan = GraftTxn.dataFiles(d)
+    // round 15: the stats ledger pre-prunes the discovery scan — files
+    // whose ranges refute the predicates never read; they re-enter as
+    // clean survivors through the listed-minus-seen union below
+    val cand62 = declared.fold(listedAtScan)(sch =>
+      GraftStats.candidateFiles(d, listedAtScan,
+        predicates.flatMap(GraftParquetTable.toSourceFilter).toSeq, sch))
+    if (cand62.isEmpty) return // stats refute every file: no-op delete
     val reader = spark.read
       .option(GraftParquetTable.FieldIdReadConf, "true") // r15: scoped
-    val base = declared.fold(reader)(s => reader.schema(s)).parquet(dir)
+    val base =
+      if (cand62 == listedAtScan)
+        declared.fold(reader)(s => reader.schema(s)).parquet(dir)
+      else declared.fold(reader)(s => reader.schema(s))
+        .parquet(cand62.toSeq.sorted
+          .map(n => new File(d, n).getAbsolutePath): _*)
     val perFile = base
       .groupBy(input_file_name().as("f"))
       .agg(max(when(cond, 1L).otherwise(0L)).as("hit"))
@@ -1043,14 +1062,38 @@ private[sources] class GraftRowLevelOperation(table: GraftParquetTable,
           // (more files rewritten than strictly needed) — sound
           val cond = usable.flatMap(GraftParquetTable.toColumn)
             .reduce(_ && _)
-          val reader = declared.fold(spark.read)(s => spark.read.schema(s))
-            .option(GraftParquetTable.FieldIdReadConf, "true") // r15
-          val perFile = reader.parquet(dir)
-            .groupBy(input_file_name().as("f"))
-            .agg(max(when(cond, 1L).otherwise(0L)).as("hit"))
-            .collect()
-          groupFiles = Some(perFile.filter(_.getLong(1) > 0L)
-            .map(r => new File(new java.net.URI(r.getString(0)))))
+          // round 15: pre-prune the DISCOVERY SCAN with the stats
+          // ledger — files whose recorded ranges refute the predicates
+          // are proven match-free, so the per-file aggregate reads
+          // O(candidates) instead of O(table) (a skipped file is
+          // excluded from the group, value-neutral by construction)
+          val dirFile = new File(dir)
+          val listed = GraftTxn.dataFiles(dirFile)
+          val candidates = declared.fold(listed)(sch =>
+            GraftStats.candidateFiles(dirFile, listed,
+              usable.flatMap(GraftParquetTable.toSourceFilter).toSeq, sch))
+          groupFiles =
+            if (candidates.isEmpty) Some(Array.empty[File])
+            else {
+              val r0 = declared.fold(spark.read)(s => spark.read.schema(s))
+                .option(GraftParquetTable.FieldIdReadConf, "true") // r15
+              val perFile =
+                (if (candidates == listed) r0.parquet(dir)
+                 else {
+                   // explicit candidate files; identity layouts keep
+                   // their path-carried partition values via basePath
+                   val r1 = if (partCols.nonEmpty &&
+                       !GraftPartitions.isHidden(partCols))
+                     r0.option("basePath", dir) else r0
+                   r1.parquet(candidates.toSeq.sorted
+                     .map(n => new File(dirFile, n).getAbsolutePath): _*)
+                 })
+                .groupBy(input_file_name().as("f"))
+                .agg(max(when(cond, 1L).otherwise(0L)).as("hit"))
+                .collect()
+              Some(perFile.filter(_.getLong(1) > 0L)
+                .map(r => new File(new java.net.URI(r.getString(0)))))
+            }
           pushed = usable
         }
         predicates // ALL remain: pruning is file-grain, never row-grain
@@ -1699,6 +1742,67 @@ private[sources] object GraftParquetTable {
         f.delete(): Unit
     }
     sweep(d)
+  }
+
+  /** V2 Predicate → [[org.apache.spark.sql.sources.Filter]] for the
+    * stats evaluator (round 15 — the group-discovery pre-prune).
+    * Partial like the skipping scan's catalyst translator: an
+    * untranslatable AND-conjunct drops (widens — sound for pruning),
+    * an untranslatable OR arm kills the OR, anything else is None. */
+  def toSourceFilter(p: Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.{sources => sf}
+    def ref(e: VExpression): Option[String] = e match {
+      case n: NamedReference if n.fieldNames().length == 1 =>
+        Some(n.fieldNames()(0))
+      case _ => None
+    }
+    def value(e: VExpression): Option[Any] = e match {
+      case l: VLiteral[_] =>
+        Some(CatalystTypeConverters.convertToScala(l.value, l.dataType))
+      case _ => None
+    }
+    def bin(mk: (String, Any) => sf.Filter,
+        flip: (String, Any) => sf.Filter): Option[sf.Filter] = {
+      val c = p.children()
+      if (c.length != 2) None
+      else (ref(c(0)), value(c(1)), ref(c(1)), value(c(0))) match {
+        case (Some(a), Some(v), _, _) => Some(mk(a, v))
+        case (_, _, Some(a), Some(v)) => Some(flip(a, v))
+        case _ => None
+      }
+    }
+    p match {
+      case a: VAnd =>
+        (toSourceFilter(a.left()), toSourceFilter(a.right())) match {
+          case (Some(l), Some(r)) => Some(sf.And(l, r))
+          case (some @ Some(_), None) => some
+          case (None, some) => some
+        }
+      case o: VOr => for { l <- toSourceFilter(o.left())
+                           r <- toSourceFilter(o.right()) } yield sf.Or(l, r)
+      case _: VNot => None // keep (the evaluator cannot negate soundly)
+      case _ => p.name() match {
+        case "=" => bin(sf.EqualTo, sf.EqualTo)
+        case "<=>" => bin(sf.EqualNullSafe, sf.EqualNullSafe)
+        case "<" => bin(sf.LessThan, sf.GreaterThan)
+        case "<=" => bin(sf.LessThanOrEqual, sf.GreaterThanOrEqual)
+        case ">" => bin(sf.GreaterThan, sf.LessThan)
+        case ">=" => bin(sf.GreaterThanOrEqual, sf.LessThanOrEqual)
+        case "IS_NULL" =>
+          p.children().headOption.flatMap(ref).map(sf.IsNull)
+        case "IS_NOT_NULL" =>
+          p.children().headOption.flatMap(ref).map(sf.IsNotNull)
+        case "IN" =>
+          val c = p.children()
+          for {
+            attr <- c.headOption.flatMap(ref)
+            vals <- c.tail.foldLeft(Option(Seq.empty[Any]))((acc, e) =>
+              for { s <- acc; v <- value(e) } yield s :+ v)
+          } yield sf.In(attr, vals.toArray)
+        case _ => None
+      }
+    }
   }
 
   /** V2 Predicate → Catalyst Column for the shapes DELETE statements

@@ -131,11 +131,12 @@ object GraftDv {
   }
 
   /** Stage the matched positions OUTSIDE the lock (one Spark job,
-    * partitioned by file) and return the hidden stage dir. */
+    * partitioned by file). Uses the ordinary heartbeated stage
+    * machinery so a crashed DV delete's debris is swept by vacuum's
+    * gcDebris like every other abandoned stage. */
   private[sources] def stagePositions(spark: SparkSession, dir: File,
       matched: DataFrame): File = {
-    val stage = new File(dvRoot(dir),
-      s".dvstage_${System.nanoTime()}_${Thread.currentThread().getId}")
+    val stage = GraftTxn.newStageDir(dir, "dv")
     matched.select(col("__fkey").as("fkey"), col("__pos").as("pos"))
       .write.mode("append").partitionBy("fkey")
       .parquet(stage.getAbsolutePath)

@@ -377,4 +377,25 @@ object GraftStats {
   private def hasNulls(c: String, stats: FileStats): Boolean =
     stats.get(c.toLowerCase).forall(s =>
       !s.nullCount.contains(0L)) // unknown → keep
+
+  /** The subset of `files` that could contain a row matching ALL of
+    * `filters`, judged by the ledger — the row-level GROUP-DISCOVERY
+    * pre-prune (round 15): a statement's per-file match aggregate only
+    * needs to SCAN files the stats cannot refute, so an UPDATE/DELETE
+    * whose predicate pins a range reads O(candidate files) instead of
+    * O(table) before any rewrite work. Missing ledger/stats/filters →
+    * everything kept (pure optimization; a skipped file is PROVEN
+    * match-free, so excluding it from the rewrite group is value-
+    * neutral). */
+  def candidateFiles(dir: File, files: Set[String],
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      schema: StructType): Set[String] = {
+    if (filters.isEmpty || files.isEmpty) return files
+    val stats = load(dir)
+    if (stats.isEmpty) return files
+    val types = schema.fields.map(f => f.name.toLowerCase -> f.dataType)
+      .toMap
+    files.filter(f => stats.get(f).forall(fs =>
+      filters.forall(flt => satisfiable(flt, fs, types))))
+  }
 }

@@ -643,6 +643,38 @@ class Round15Spec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS p15p.t"): Unit
   }
 
+  test("group discovery pre-prune: updates/deletes stay exact at range boundaries") {
+    import graft.sources.GraftStats
+    val base = freshCatalog("p15r")
+    spark.sql("DROP TABLE IF EXISTS p15r.t")
+    spark.range(0, 4000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .createOrReplaceTempView("seed15r")
+    spark.sql("CREATE TABLE p15r.t AS SELECT * FROM seed15r")
+    val dir = new File(base, "t")
+    assert(new File(dir, GraftStats.StatsFile).isFile)
+    val files1 = GraftTxn.dataFiles(dir)
+    // an UPDATE pinned to one file's range: exactly the boundary rows
+    // update, and files the stats refute are never replaced
+    spark.sql("UPDATE p15r.t SET v = v + 100000 WHERE k >= 998 AND k <= 1002")
+    assert(spark.table("p15r.t").filter(col("v") >= 100000).count() == 5,
+      "boundary rows must all update (pre-prune may never drop a match)")
+    val files2 = GraftTxn.dataFiles(dir)
+    val untouched = files1.intersect(files2)
+    assert(untouched.size >= 5,
+      s"stats-refuted files must survive untouched: kept ${untouched.size} of 8")
+    assert(spark.table("p15r.t").count() == 4000)
+    // a DELETE the stats refute entirely is a no-op (no version bump)
+    val v = GraftTxn.version(dir)
+    spark.sql("DELETE FROM p15r.t WHERE k = 999999")
+    assert(GraftTxn.version(dir) == v, "refuted delete must not commit")
+    assert(spark.table("p15r.t").count() == 4000)
+    // a DELETE at the extreme max still lands
+    spark.sql("DELETE FROM p15r.t WHERE k = 3999")
+    assert(spark.table("p15r.t").count() == 3999)
+    spark.sql("DROP TABLE IF EXISTS p15r.t"): Unit
+  }
+
   test("release safety: a FRESH empty lock is never deleted at release") {
     val home = new File(sys.props("java.io.tmpdir"),
       s"graft_r15_lock_${System.nanoTime()}")
