@@ -128,6 +128,54 @@ object WarehouseDemo {
       .orderBy("_commit_version", "acct")
       .show(20, truncate = false)
 
+    // 9. round-15 surfaces: file skipping, hidden partitioning,
+    // deletion vectors, SQL multi-table txn, persistent views
+    // -- a range-clustered fact table: commits record footer stats and
+    //    range reads open only qualifying files (watch .stats)
+    spark.range(0, 8000)
+      .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .createOrReplaceTempView("facts_src")
+    spark.sql("CREATE TABLE wh.facts " +
+      "TBLPROPERTIES ('graft.dv.enabled'='true') AS " +
+      "SELECT * FROM facts_src")
+    spark.sql("SELECT COUNT(*) AS in_range FROM wh.facts " +
+      "WHERE k BETWEEN 1000 AND 1999").show()
+    val factsDir = new File(base, "facts")
+    val (listed, kept) = graft.sources.GraftStats
+      .lastReport(factsDir.getAbsolutePath)
+    println(s"file skipping: opened $kept of $listed files for the range")
+    // -- a small DELETE takes the deletion-vector path: zero rewrites
+    val filesBefore = GraftTxn.dataFiles(factsDir)
+    spark.sql("DELETE FROM wh.facts WHERE k >= 100 AND k < 120")
+    println(s"DV delete rewrote ${
+      (GraftTxn.dataFiles(factsDir) diff filesBefore).size} files; sidecars:")
+    spark.sql("SELECT * FROM wh.facts.dvs").show(false)
+    spark.sql("CALL wh.optimize('facts', 1073741824)") // folds DVs in
+    // -- hidden partitioning: days(ts) dirs, schema stays clean
+    spark.sql("CREATE TABLE wh.events (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql("INSERT INTO wh.events SELECT id, " +
+      "timestamp_micros(CAST(1704067200000000 + (id % 3) * 86400000000 " +
+      "AS LONG)) FROM range(0, 30)")
+    println("events schema (derived day dir is hidden): " +
+      spark.table("wh.events").columns.mkString(", "))
+    // -- the SQL face of the multi-table transaction
+    spark.sql("CREATE OR REPLACE TEMP VIEW v_restate AS " +
+      "SELECT acct, amount * 10 AS amount, region FROM wh.ledger")
+    spark.sql("CREATE OR REPLACE TEMP VIEW v_audit AS " +
+      "SELECT CAST(2 AS BIGINT) AS batch, CAST(5 AS BIGINT) AS n")
+    spark.sql("CALL wh.txn('ledger=overwrite:v_restate;" +
+      "audit=append:v_audit')").show(false)
+    // -- persistent views: saved beside the tables, restart-durable
+    spark.sql("CREATE VIEW wh.big_facts AS " +
+      "SELECT k, v FROM wh.facts WHERE k >= 4000")
+    spark.sql("SHOW VIEWS IN wh").show(false)
+    spark.sql("SELECT COUNT(*) AS via_view FROM wh.big_facts").show()
+    spark.sql("DROP VIEW wh.big_facts")
+
+    spark.sql("DROP TABLE IF EXISTS wh.facts")
+    spark.sql("DROP TABLE IF EXISTS wh.events")
     spark.sql("DROP TABLE IF EXISTS wh.ledger")
     spark.sql("DROP TABLE IF EXISTS wh.audit")
     spark.sql("DROP TABLE IF EXISTS wh.accounts")

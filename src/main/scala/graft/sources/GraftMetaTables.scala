@@ -18,6 +18,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM wh.accounts.files       -- live data files
   *   SELECT * FROM wh.accounts.snapshots   -- retained time-travel state
   *   SELECT * FROM wh.accounts.partitions  -- per-partition footprint
+  *   SELECT * FROM wh.accounts.stats       -- skipping-ledger min/max (r15)
+  *   SELECT * FROM wh.accounts.dvs         -- deletion-vector sidecars (r15)
   * }}}
   *
   * Resolution: `wh.accounts.history` parses as identifier
@@ -34,7 +36,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[LocalScan]]; cardinality is O(commits) / O(files) / O(partitions),
   * never O(rows of data). */
 private[sources] object GraftMetaTables {
-  val Names: Set[String] = Set("history", "files", "snapshots", "partitions")
+  val Names: Set[String] =
+    Set("history", "files", "snapshots", "partitions", "stats", "dvs")
 
   def apply(kind: String, dir: File, qualified: String): Table =
     new GraftMetaTable(kind, dir, qualified)
@@ -56,6 +59,16 @@ private[sources] class GraftMetaTable(kind: String, dir: File,
       .add("version", LongType, nullable = false)
       .add("n_files", LongType, nullable = false)
       .add("size_bytes", LongType, nullable = false)
+    case "stats" => new StructType()
+      .add("file", StringType, nullable = false)
+      .add("column", StringType, nullable = false)
+      .add("min", StringType, nullable = true)
+      .add("max", StringType, nullable = true)
+      .add("null_count", LongType, nullable = true)
+      .add("row_count", LongType, nullable = false)
+    case "dvs" => new StructType()
+      .add("file", StringType, nullable = false)
+      .add("deleted_positions", LongType, nullable = false)
     case _ => new StructType() // partitions
       .add("partition", StringType, nullable = false)
       .add("n_files", LongType, nullable = false)
@@ -81,6 +94,28 @@ private[sources] class GraftMetaTable(kind: String, dir: File,
           InternalRow(UTF8String.fromString(n), part,
             new File(dir, n).length())
         }
+      case "stats" =>
+        // the SKIPPING LEDGER as rows (round 15) — live files only,
+        // values in the canonical encoding the pruner compares
+        val live = GraftTxn.dataFiles(dir)
+        GraftStats.load(dir).toSeq
+          .filter { case (f, _) => live.contains(f) }
+          .sortBy(_._1)
+          .flatMap { case (f, cols) => cols.toSeq.sortBy(_._1).map {
+            case (c, st) => InternalRow(UTF8String.fromString(f),
+              UTF8String.fromString(c),
+              st.min.map(UTF8String.fromString).orNull,
+              st.max.map(UTF8String.fromString).orNull,
+              st.nullCount.map(Long.box).orNull, st.rowCount)
+          }}.toArray
+      case "dvs" =>
+        // deletion-vector sidecars (round 15): per file, how many
+        // positions are currently deleted-but-unmaterialized
+        val spark = org.apache.spark.sql.SparkSession.active
+        GraftDv.dvFiles(dir).toSeq.sorted.map { rel =>
+          InternalRow(UTF8String.fromString(rel),
+            GraftDv.positionsOf(spark, dir, rel).length.toLong)
+        }.toArray
       case "snapshots" =>
         GraftTxn.snapshotVersions(dir).map { v =>
           val sd = GraftTxn.snapshotDir(dir, v)

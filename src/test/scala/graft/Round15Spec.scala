@@ -675,6 +675,37 @@ class Round15Spec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS p15r.t"): Unit
   }
 
+  test("metadata tables: .stats exposes the skipping ledger, .dvs the sidecars") {
+    val base = freshCatalog("p15s")
+    spark.sql("DROP TABLE IF EXISTS p15s.t")
+    spark.range(0, 1000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .createOrReplaceTempView("seed15s")
+    spark.sql("CREATE TABLE p15s.t " +
+      "TBLPROPERTIES ('graft.dv.enabled'='true') AS SELECT * FROM seed15s")
+    val dir = new File(base, "t")
+    val live = GraftTxn.dataFiles(dir)
+    val stats = spark.sql("SELECT file, `column`, min, max, row_count " +
+      "FROM p15s.t.stats").collect()
+    assert(stats.nonEmpty)
+    assert(stats.map(_.getString(0)).toSet == live,
+      "one stats group per live file")
+    assert(stats.map(_.getString(1)).toSet == Set("k", "v"))
+    // ledger row counts sum to the table's rows, per column
+    assert(stats.filter(_.getString(1) == "k").map(_.getLong(4)).sum == 1000)
+    // a DV delete shows up in .dvs with its position count
+    assert(spark.sql("SELECT COUNT(*) FROM p15s.t.dvs").head().getLong(0) == 0)
+    spark.sql("DELETE FROM p15s.t WHERE k >= 10 AND k < 15")
+    val dvs = spark.sql("SELECT file, deleted_positions FROM p15s.t.dvs")
+      .collect()
+    assert(dvs.map(_.getLong(1)).sum == 5, s"dvs: ${dvs.mkString(",")}")
+    assert(dvs.forall(r => live.contains(r.getString(0))))
+    // OPTIMIZE folds them back out of the relation
+    spark.sql("CALL p15s.optimize('t', 1073741824)")
+    assert(spark.sql("SELECT COUNT(*) FROM p15s.t.dvs").head().getLong(0) == 0)
+    spark.sql("DROP TABLE IF EXISTS p15s.t"): Unit
+  }
+
   test("release safety: a FRESH empty lock is never deleted at release") {
     val home = new File(sys.props("java.io.tmpdir"),
       s"graft_r15_lock_${System.nanoTime()}")
