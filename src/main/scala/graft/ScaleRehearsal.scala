@@ -79,7 +79,17 @@ object ScaleRehearsal {
     // stay sublinear), multi-table txn (sql57 — staging is the only
     // data-sized phase), write-time CDC (st29 — O(changed) per
     // commit, exponent on the CHANGED bytes)
-    "sql56_partitioned_table", "sql57_multi_table_txn", "st29_cdf_rows")
+    "sql56_partitioned_table", "sql57_multi_table_txn", "st29_cdf_rows",
+    // round-15 storage frontier: file skipping (sql60 — the pruned
+    // range read must stay sublinear in table size), hidden
+    // partitioning (sql61 — day-dir pruning dominates), deletion
+    // vectors (sql62 — the DV delete's cost tracks the DELETED rows,
+    // the honest claim is ~flat at fixed match fraction of a bigger
+    // corpus... the row's delete slice scales with the corpus, so
+    // exponent ≈ the slice's share of work), the SQL txn face (sql63 —
+    // staging is the only data-sized phase)
+    "sql60_file_skipping", "sql61_transform_partitions",
+    "sql62_deletion_vectors", "sql63_sql_txn_face")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
