@@ -2,10 +2,10 @@ package graft.sources
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedView}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, Project, ShowViews, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView, DropView, LogicalPlan, Project, SetViewProperties, ShowViews, SubqueryAlias, UnsetViewProperties}
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -45,6 +45,22 @@ private[graft] object GraftViewSql {
       case _ => None
     } catch { case _: Exception => None }
 
+  /** ALTER VIEW children parse as [[UnresolvedView]] (CREATE/DROP use
+    * UnresolvedIdentifier); accept both when the catalog is graft AND
+    * the view file exists (ALTER of a missing view falls through to
+    * Spark's own resolution error). */
+  private def viewParts(session: SparkSession,
+      child: LogicalPlan): Option[Seq[String]] = {
+    val parts = child match {
+      case v: UnresolvedView => Some(v.multipartIdentifier)
+      case i: UnresolvedIdentifier => Some(i.nameParts)
+      case _ => None
+    }
+    parts.filter(p => p.length >= 2 &&
+      graftCatalog(session, p.head).exists(cat =>
+        cat.viewExists(Identifier.of(p.tail.init.toArray, p.last))))
+  }
+
   /** Cycle guard for nested view expansion. */
   private val depth = new ThreadLocal[Integer] {
     override def initialValue(): Integer = 0
@@ -65,6 +81,26 @@ private[graft] object GraftViewSql {
           graftCatalog(session, ui.nameParts.head).isDefined =>
         GraftDropViewCommand(ui.nameParts, dv.ifExists)
       case _ => plan
+    }
+    case av: AlterViewAs => viewParts(session, av.child) match {
+      case Some(parts) =>
+        // ALTER VIEW ... AS = replace with a fresh body (aliases reset)
+        GraftCreateViewCommand(parts, Nil, None, Map.empty,
+          Option(av.originalText), av.query, allowExisting = false,
+          replace = true)
+      case None => plan
+    }
+    case sp: SetViewProperties => viewParts(session, sp.child) match {
+      case Some(parts) =>
+        GraftAlterViewPropsCommand(parts, sp.properties.toSeq
+          .map { case (k, v) => k -> Some(v) }, ifExists = true)
+      case None => plan
+    }
+    case up: UnsetViewProperties => viewParts(session, up.child) match {
+      case Some(parts) =>
+        GraftAlterViewPropsCommand(parts,
+          up.propertyKeys.map(_ -> None), up.ifExists)
+      case None => plan
     }
     case sv: ShowViews => sv.namespace match {
       case ns: UnresolvedNamespace if ns.multipartIdentifier.nonEmpty &&
@@ -199,6 +235,25 @@ private[graft] case class GraftCreateViewCommand(parts: Seq[String],
       m.foreach { case (k, v) => j.put(k, v): Unit }
       j
     }
+  }
+}
+
+/** `ALTER VIEW cat.v SET/UNSET TBLPROPERTIES` — property changes
+  * through the ViewCatalog face. */
+private[graft] case class GraftAlterViewPropsCommand(parts: Seq[String],
+    changes: Seq[(String, Option[String])], ifExists: Boolean)
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    val cat = session.sessionState.catalogManager.catalog(parts.head)
+      .asInstanceOf[GraftCatalog]
+    val ident = Identifier.of(parts.tail.init.toArray, parts.last)
+    val vcs = changes.map {
+      case (k, Some(v)) => ViewChange.setProperty(k, v)
+      case (k, None) => ViewChange.removeProperty(k)
+    }
+    cat.alterView(ident, vcs: _*)
+    Seq.empty
   }
 }
 

@@ -706,6 +706,32 @@ class Round15Spec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS p15s.t"): Unit
   }
 
+  test("persistent views: ALTER VIEW AS and SET/UNSET TBLPROPERTIES") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val base = freshCatalog("p15t")
+    spark.sql("DROP TABLE IF EXISTS p15t.t")
+    spark.sql("CREATE TABLE p15t.t AS SELECT id AS k FROM range(0, 10)")
+    spark.sql("CREATE VIEW p15t.v AS SELECT k FROM p15t.t WHERE k < 3")
+    assert(spark.sql("SELECT COUNT(*) FROM p15t.v").head().getLong(0) == 3)
+    // ALTER VIEW ... AS swaps the body in place
+    spark.sql("ALTER VIEW p15t.v AS SELECT k FROM p15t.t WHERE k >= 3")
+    assert(spark.sql("SELECT COUNT(*) FROM p15t.v").head().getLong(0) == 7)
+    // property evolution through the ViewCatalog face
+    spark.sql("ALTER VIEW p15t.v SET TBLPROPERTIES ('team'='graft')")
+    val cat = spark.sessionState.catalogManager.catalog("p15t")
+      .asInstanceOf[GraftCatalog]
+    val ident = Identifier.of(Array.empty, "v")
+    assert(cat.loadView(ident).properties().get("team") == "graft")
+    spark.sql("ALTER VIEW p15t.v UNSET TBLPROPERTIES ('team')")
+    assert(!cat.loadView(ident).properties().containsKey("team"))
+    // still restart-durable after the alter
+    spark.conf.set("spark.sql.catalog.p15t2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.p15t2.base", base)
+    assert(spark.sql("SELECT COUNT(*) FROM p15t2.v").head().getLong(0) == 7)
+    spark.sql("DROP VIEW p15t.v")
+    spark.sql("DROP TABLE IF EXISTS p15t.t"): Unit
+  }
+
   test("release safety: a FRESH empty lock is never deleted at release") {
     val home = new File(sys.props("java.io.tmpdir"),
       s"graft_r15_lock_${System.nanoTime()}")
