@@ -1319,7 +1319,89 @@ object Dml {
     } finally s.sql(s"DROP TABLE IF EXISTS $cat.orders_dv"): Unit
   }
 
+  /** SQL65 — MERGE-ON-READ UPDATE / MERGE via deletion vectors
+    * (round 16, VERDICT r15 ask #1): on a `graft.dv.enabled` table,
+    * UPDATE and MERGE route through Spark's SupportsDelta row-level
+    * machinery ([[graft.sources.GraftDeltaRowLevelOperation]]) — the
+    * old rows' POSITIONS land as DV sidecars and the new images
+    * APPEND; ZERO existing files rewrite. Three composing DML:
+    * UPDATE ×2 on a ~1.5% key slice, UPDATE +10 on half of it
+    * (positions recorded against the previously APPENDED file —
+    * cross-commit composition), and a MERGE matched-update (+1 on
+    * `key % 97 = 0`). Claims: the fully-composed aggregate the oracle
+    * restates from orders; the v2 CDF class counts (delete = insert =
+    * matched keys, oracle-restated); `zero_rewrite_mor_ok` — every
+    * pre-DML file still present bit-identical and sidecars exist; and
+    * OPTIMIZE materializes with values stable. `graft.dv.maxRatio` is
+    * raised to 0.9 so the second update's 50%-of-one-small-file
+    * positions stay merge-on-read (the default 0.2 guard would fold
+    * them — that behavior is spec-pinned instead). */
+  def sql65DvUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val cat = Tables.graftCatalog(s, "sql65", sfDir)
+    s.sql(s"DROP TABLE IF EXISTS $cat.orders_mor")
+    Tables.orders(s, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartition(8)
+      .createOrReplaceTempView("orders_src65")
+    s.sql(s"CREATE TABLE $cat.orders_mor " +
+      "TBLPROPERTIES ('graft.dv.enabled'='true'," +
+      "'graft.dv.maxRatio'='0.9','graft.cdf.enabled'='true') AS " +
+      "SELECT * FROM orders_src65") // v1
+    try {
+      val dir = new java.io.File(
+        s"${Tables.scratchDir("sql65_cat", sfDir)}/orders_mor")
+      val files1 = graft.sources.GraftTxn.dataFiles(dir)
+      val maxKey = Tables.orders(s, sfDir)
+        .agg(max(col("o_orderkey"))).head().getLong(0)
+      val cut = maxKey / 64
+      val cut2 = cut / 2
+      s.sql(s"UPDATE $cat.orders_mor SET o_totalprice = " +
+        s"o_totalprice * 2 WHERE o_orderkey <= $cut") // v2
+      s.sql(s"UPDATE $cat.orders_mor SET o_totalprice = " +
+        s"o_totalprice + 10 WHERE o_orderkey <= $cut2") // v3
+      Tables.orders(s, sfDir).select(col("o_orderkey").as("mk"))
+        .filter(col("mk") % 97 === 0)
+        .createOrReplaceTempView("merge_src65")
+      s.sql(s"MERGE INTO $cat.orders_mor t USING merge_src65 src " +
+        "ON t.o_orderkey = src.mk " +
+        "WHEN MATCHED THEN UPDATE SET o_totalprice = " +
+        "t.o_totalprice + 1") // v4
+      val filesNow = graft.sources.GraftTxn.dataFiles(dir)
+      val zeroRewrite = files1.subsetOf(filesNow) &&
+        graft.sources.GraftDv.hasDvs(dir)
+      // v2's CDF classes: delete(old image) + insert(new image), one
+      // pair per matched key — counts the oracle restates
+      val cdf = graft.sources.GraftCdf.rows(s, dir)
+        .filter(col("_commit_version") === 2L)
+        .groupBy(col("_change_type")).count().collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      val r = s.table(s"$cat.orders_mor").agg(count(lit(1)),
+        coalesce(sum(col("o_totalprice").cast(graft.Det.Money)),
+          lit(java.math.BigDecimal.ZERO).cast(graft.Det.Money)),
+        coalesce(sum(col("o_orderkey")), lit(0L))).head()
+      // OPTIMIZE folds the DVs in: sidecars gone, values stable
+      s.sql(s"CALL $cat.optimize('orders_mor', ${1L << 40})")
+      val r2 = s.table(s"$cat.orders_mor").agg(count(lit(1)),
+        coalesce(sum(col("o_orderkey")), lit(0L))).head()
+      val matOk = !graft.sources.GraftDv.hasDvs(dir) &&
+        r2.getLong(0) == r.getLong(0) && r2.getLong(1) == r.getLong(2)
+      import s.implicits._
+      Seq((r.getLong(0), r.getLong(2),
+          cdf.getOrElse("delete", 0L), cdf.getOrElse("insert", 0L),
+          zeroRewrite, matOk))
+        .toDF("n_rows", "keysum", "cdf_del_n", "cdf_ins_n",
+          "zero_rewrite_mor_ok", "optimize_materializes_ok")
+        .withColumn("revenue",
+          lit(r.getDecimal(1)).cast(graft.Det.Money).cast("double"))
+        .select(col("n_rows"), col("revenue"), col("keysum"),
+          col("cdf_del_n"), col("cdf_ins_n"),
+          col("zero_rewrite_mor_ok"), col("optimize_materializes_ok"))
+    } finally s.sql(s"DROP TABLE IF EXISTS $cat.orders_mor"): Unit
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql65_dv_update" -> (sql65DvUpdate _),
     "sql62_deletion_vectors" -> (sql62DeletionVectors _),
     "sql64_persistent_views" -> (sql64PersistentViews _),
     "sql63_sql_txn_face" -> (sql63SqlTxnFace _),
@@ -1345,6 +1427,31 @@ object Dml {
     "sql51_merge_by_source" -> (sql51MergeBySource _))
 
   val oracles: Map[String, String] = Map(
+    // the fully-composed merge-on-read UPDATE/MERGE algebra restated
+    // from orders: ×2 below floor(max/64), +10 below half of that,
+    // +1 on key % 97 = 0; CDF v2 counts = the first update's matched
+    // keys; the zero-rewrite / materialize effects are engine booleans
+    "sql65_dv_update" ->
+      ("WITH cuts AS (SELECT CAST(FLOOR(MAX(o_orderkey) / 64.0) AS " +
+       "BIGINT) AS cut, CAST(FLOOR(MAX(o_orderkey) / 128.0) AS BIGINT)" +
+       " AS cut2 FROM orders), " +
+       "t AS (SELECT o_orderkey, " +
+       "CAST(CASE WHEN o_orderkey <= (SELECT cut FROM cuts) " +
+       "THEN o_totalprice * 2 ELSE o_totalprice END " +
+       "+ CASE WHEN o_orderkey <= (SELECT cut2 FROM cuts) " +
+       "THEN 10 ELSE 0 END " +
+       "+ CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END " +
+       "AS DECIMAL(18,4)) AS p FROM orders) " +
+       "SELECT CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS n_rows, " +
+       "CAST(CAST((SELECT SUM(p) FROM t) AS DECIMAL(18,4)) AS DOUBLE)" +
+       " AS revenue, " +
+       "CAST((SELECT SUM(o_orderkey) FROM t) AS BIGINT) AS keysum, " +
+       "CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey <= " +
+       "(SELECT cut FROM cuts)) AS BIGINT) AS cdf_del_n, " +
+       "CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey <= " +
+       "(SELECT cut FROM cuts)) AS BIGINT) AS cdf_ins_n, " +
+       "TRUE AS zero_rewrite_mor_ok, " +
+       "TRUE AS optimize_materializes_ok"),
     // the post-DV-delete aggregate restated from orders with the same
     // floor(max/64) threshold; the zero-rewrite / time-travel /
     // materialize effects are engine booleans

@@ -620,12 +620,13 @@ private[sources] class GraftParquetTable(tableName: String,
   def graftProps: Map[String, String] =
     GraftCatalog.loadProps(new File(dir))
 
-  /** `_file` provenance (the Iceberg convention): resolvable in any
-    * read of a graft table, produced by [[GraftFileScanBuilder]] only
-    * when actually referenced — the key the runtime MERGE group
-    * filter prunes on. */
+  /** `_file` provenance (the Iceberg convention) and `_pos` in-file
+    * ordinals: resolvable in any read of a graft table, produced by
+    * [[GraftFileScanBuilder]] only when actually referenced — `_file`
+    * keys the runtime MERGE group filter; `(_file, _pos)` together
+    * form the merge-on-read delta row id (round 16). */
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(GraftParquetTable.FileColumn)
+    Array(GraftParquetTable.FileColumn, GraftParquetTable.PosColumn)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ParquetScanBuilder = {
@@ -712,6 +713,20 @@ private[sources] class GraftParquetTable(tableName: String,
     // DV-aware group scan and drops the replaced files' sidecars at
     // commit.
     val d0 = new File(dir)
+    // round 16 (VERDICT r15 ask #1): UPDATE / MERGE on a DV-ENABLED
+    // table go MERGE-ON-READ through Spark's SupportsDelta machinery
+    // (positions for the old rows + an append of the new rows, zero
+    // rewrites — [[GraftDeltaRowLevelOperation]]); the group-based
+    // copy-on-write rewrite stays the path for everything else. A
+    // table carrying residual DVs with the property off still
+    // materializes first so the raw group reads stay sound.
+    if (info.command() != RowLevelOperation.Command.DELETE &&
+        GraftDv.enabled(d0))
+      return new RowLevelOperationBuilder {
+        override def build(): RowLevelOperation =
+          new GraftDeltaRowLevelOperation(GraftParquetTable.this, info,
+            spark, dir, declared, partCols)
+      }
     if (info.command() != RowLevelOperation.Command.DELETE &&
         GraftDv.hasDvs(d0))
       GraftTxn.retryOnConflict()(
@@ -1138,7 +1153,7 @@ private[sources] class GraftRowLevelOperation(table: GraftParquetTable,
           case ps: ParquetScan if !merge &&
               GraftDv.hasDvs(new File(dir)) =>
             new GraftDvParquetScan(ps, new File(dir),
-              GraftDv.allPositions(spark, new File(dir)))
+              GraftDv.sidecarRefs(new File(dir)))
           case other => other
         }
         if (merge)
@@ -1665,6 +1680,17 @@ private[sources] object GraftParquetTable {
     override def isNullable: Boolean = false
     override def comment(): String =
       "url-encoded path of the file the row came from"
+  }
+
+  /** `_pos` — in-file row ordinal (round 16): the second half of the
+    * delta row id (non-nullable, Spark's nullableRowIdError rule). */
+  val PosColumn: MetadataColumn = new MetadataColumn {
+    override def name(): String = GraftFileScan.PosColumnName
+    override def dataType(): DataType =
+      org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "in-file row ordinal (deletion-vector row id)"
   }
 
   /** Per-relation field-id resolution flags (round 15, ADVICE r14 #4):

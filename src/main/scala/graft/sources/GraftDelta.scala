@@ -1,0 +1,548 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.JoinedRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownV2Filters, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationInfo, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetTable}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MERGE-ON-READ UPDATE / MERGE via deletion vectors (round 16,
+  * VERDICT r15 ask #1 — the Delta/Iceberg position-delta analog,
+  * re-expressed through Spark's OWN delta row-level machinery).
+  *
+  * On a table with `graft.dv.enabled = true`, UPDATE and MERGE route
+  * through [[org.apache.spark.sql.connector.write.SupportsDelta]]:
+  * Spark's RewriteUpdateTable / RewriteMergeIntoTable then plan a
+  * WriteDelta — only the MATCHED rows flow (no group pass-through),
+  * each update split into a DELETE record carrying the row id
+  * (`_file`, `_pos` — our metadata columns) plus an INSERT record
+  * carrying the new image. The write lands as:
+  *
+  *  - deleted positions → per-file DV sidecar parquet, written by the
+  *    WRITE TASKS directly into a DV stage (commit messages carry the
+  *    file names — only message-listed sidecars promote, the
+  *    GraftSink rule, so a failed task attempt's debris never commits);
+  *  - inserted rows → an ordinary staged parquet append.
+  *
+  * ZERO existing data files are rewritten: write amplification is
+  * O(changed rows), the merge-on-read contract. CDF emits
+  * delete(old image) + insert(new image) exactly like the
+  * copy-on-write rewrite path, so st29-class consumers see identical
+  * change classes. After commit, if any touched file's deleted
+  * positions exceed `graft.dv.maxRatio`, the DVs are MATERIALIZED
+  * (folded into rewritten files, [[GraftDv.materialize]]) as a
+  * follow-on value-neutral commit — the same read-amplification bound
+  * the DV delete path enforces, applied post-hoc because the
+  * delta-vs-group routing decision happens at analysis time, before
+  * the match count is known.
+  *
+  * SCAN: the row id must be the exact in-file ordinal, so the delta
+  * scan reads each candidate file as ONE unsplit row-based partition
+  * with no parquet pushdown (the [[GraftDvParquetScan]] alignment
+  * rule) while SKIPPING already-deleted positions — an UPDATE can
+  * never resurrect or re-update a DV-deleted row. Candidate files are
+  * pre-pruned by the stats ledger ([[GraftStats.candidateFiles]]);
+  * the pushed condition stays in the plan (file-grain pruning only).
+  *
+  * CONCURRENCY: commit validates under the table lock that (a) every
+  * file this statement recorded positions for still exists, and
+  * (b) those files' DV sidecar state is unchanged since the
+  * statement's read snapshot — two racing merge-on-read UPDATEs of
+  * the same row would otherwise both append new images (the
+  * double-insert class); the loser aborts and retries. MERGE keeps
+  * the whole-snapshot + phantom-append conflict rule of the
+  * copy-on-write path (its NOT MATCHED arm reasons over the full
+  * snapshot). Disjoint-file updates commit concurrently (SI).
+  *
+  * At 100 TB: matched rows and their positions flow task-local —
+  * the driver sees only per-file counts and sidecar names; the
+  * scan-side cost is row-based reads of candidate files until the
+  * next OPTIMIZE/threshold materialization, the standard
+  * merge-on-read trade, paid only on opted-in tables. */
+private[sources] class GraftDeltaRowLevelOperation(
+    table: GraftParquetTable, info: RowLevelOperationInfo,
+    spark: SparkSession, dir: String, declared: Option[StructType],
+    partCols: Seq[String])
+  extends RowLevelOperation with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  private val d = new File(dir)
+
+  /** Candidate files the scan narrowed to (stats pre-prune + runtime
+    * narrowing); None = all live files. Scan-cost only — the commit's
+    * conflict set derives from the files positions were actually
+    * recorded for. */
+  @volatile private[sources] var groupFiles: Option[Array[File]] = None
+
+  private[sources] val readSnapshot: Set[String] = GraftTxn.dataFiles(d)
+
+  /** DV sidecar state at plan time, per file — commit validates it
+    * unchanged for every position-touched file (see class doc). */
+  private[sources] val dvSnapshot: Map[String, Seq[String]] =
+    GraftDv.sidecarRefs(d)
+
+  private[sources] def phantomFileNames(): Set[String] =
+    if (info.command() == RowLevelOperation.Command.MERGE)
+      GraftTxn.dataFiles(d) diff readSnapshot
+    else Set.empty
+
+  override def command(): RowLevelOperation.Command = info.command()
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(GraftFileScan.FileColumnName),
+      Expressions.column(GraftFileScan.PosColumnName))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new ScanBuilder with SupportsPushDownV2Filters
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var pushed: Array[Predicate] = Array.empty
+      private var required: StructType =
+        StructType(declared.getOrElse(table.schema).fields :+
+          GraftFileScan.fileField :+ GraftFileScan.posField)
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
+      override def pushPredicates(
+          predicates: Array[Predicate]): Array[Predicate] = {
+        val usable = predicates.filter(p =>
+          GraftParquetTable.toColumn(p).isDefined)
+        if (usable.nonEmpty) {
+          // file-grain pre-prune from the stats ledger only (no
+          // discovery job: a scanned file with no matches simply
+          // produces no delta rows — harmless, unlike the group
+          // rewrite where the group is also the delete set)
+          val listed = GraftTxn.dataFiles(d)
+          val candidates = declared.fold(listed)(sch =>
+            GraftStats.candidateFiles(d, listed,
+              usable.flatMap(GraftParquetTable.toSourceFilter).toSeq,
+              sch))
+          groupFiles = Some(candidates.toSeq.sorted
+            .map(n => new File(d, n)).toArray)
+          pushed = usable
+        }
+        predicates // ALL remain: pruning is file-grain, never row-grain
+      }
+
+      override def pushedPredicates(): Array[Predicate] = pushed
+
+      override def build(): Scan =
+        new GraftDeltaScan(spark, table.name, d,
+          groupFiles.map(_.toSeq).getOrElse(
+            GraftTxn.dataFiles(d).toSeq.sorted.map(n => new File(d, n))),
+          declared, required, GraftDv.sidecarRefs(d), partCols,
+          narrowed => groupFiles = Some(narrowed.toArray))
+    }
+
+  override def newWriteBuilder(
+      wInfo: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite = {
+          val insertStage = GraftTxn.newStageDir(d, "deltains")
+          val dvStage = GraftTxn.newStageDir(d, "dv")
+          val inner = GraftParquetTable.stagedWrite(spark, table.name,
+            insertStage, wInfo, declared)
+          new GraftDeltaBatchWrite(inner.toBatch,
+            GraftDeltaRowLevelOperation.this, spark, d, declared,
+            partCols, insertStage, dvStage, table.name)
+        }
+        override def description(): String =
+          s"graft-delta-write($dir, ${info.command()})"
+      }
+    }
+
+  override def description(): String = s"graft-delta-${info.command()}"
+}
+
+/** The delta scan: every candidate file as ONE unsplit row-based
+  * partition, no parquet pushdown, already-deleted positions skipped,
+  * `_file` / `_pos` appended per row (the row id). Supports runtime
+  * `_file` narrowing (the MERGE matched-file subquery) — monotone
+  * intersection, like the tagged scan. Also serves plain reads that
+  * reference the `_pos` metadata column. */
+private[sources] class GraftDeltaScan(spark: SparkSession,
+    tableName: String, tableDir: File, files: Seq[File],
+    declared: Option[StructType], required: StructType,
+    refs: Map[String, Seq[String]], partCols: Seq[String],
+    onNarrow: Seq[File] => Unit = _ => ())
+  extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  @volatile private var allowed: Option[Set[String]] = None
+
+  private val withFile =
+    required.fieldNames.contains(GraftFileScan.FileColumnName)
+  private val withPos =
+    required.fieldNames.contains(GraftFileScan.PosColumnName)
+
+  private val dataSchema: StructType =
+    StructType(required.fields.filterNot(f =>
+      f.name == GraftFileScan.FileColumnName ||
+        f.name == GraftFileScan.PosColumnName))
+
+  /** The inner reader emits [data columns][identity-partition columns]
+    * (Spark's partition-value append); report exactly that order plus
+    * the tags — Spark rebinds relation attributes by NAME, so order
+    * here is free but must MATCH the physical rows. */
+  override def readSchema(): StructType = {
+    val identity = partCols.nonEmpty && !GraftPartitions.isHidden(partCols)
+    val parts =
+      if (identity)
+        dataSchema.fields.filter(f =>
+          partCols.exists(_.equalsIgnoreCase(f.name)))
+      else Array.empty[org.apache.spark.sql.types.StructField]
+    val data = dataSchema.fields.filterNot(f =>
+      parts.exists(_.name == f.name))
+    StructType(data ++ parts ++
+      (if (withFile) Seq(GraftFileScan.fileField) else Nil) ++
+      (if (withPos) Seq(GraftFileScan.posField) else Nil))
+  }
+
+  override def description(): String =
+    s"graft-delta-scan($tableName, ${files.size} files, " +
+      s"${refs.size} dv'd)"
+
+  override def toBatch: Batch = this
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(GraftFileScan.FileColumnName))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val sets = predicates.flatMap(GraftFileScan.toFileSet)
+    if (sets.nonEmpty) {
+      val next = sets.reduce(_ intersect _)
+      val merged = allowed.fold(next)(_ intersect next)
+      allowed = Some(merged)
+      onNarrow(merged.toSeq.sorted.map(s =>
+        new File(new java.net.URI(s))))
+    }
+  }
+
+  /** Inner stock scan over the (possibly runtime-narrowed) files —
+    * provides the PartitionedFile metadata (partition values for
+    * identity layouts) and the row reader. Never receives pushed
+    * filters or aggregates, so its readers see every physical row. */
+  private lazy val inner: ParquetScan = {
+    val fs = allowed match {
+      case Some(ok) => files.filter { f =>
+        // runtime values are input_file_name() spellings — compare by
+        // decoded absolute path, conservative keep on any mismatch
+        ok.exists(s => try {
+          new File(new java.net.URI(s)).getAbsolutePath ==
+            f.getAbsolutePath
+        } catch { case _: Exception => true })
+      }
+      case None => files
+    }
+    val opts =
+      if (partCols.nonEmpty && !GraftPartitions.isHidden(partCols))
+        GraftParquetTable.basePathOptions(tableDir.getAbsolutePath)
+      else GraftParquetTable.emptyOptions
+    val t = new ParquetTable(s"$tableName.delta", spark, opts,
+      fs.map(_.getAbsolutePath), declared, classOf[ParquetFileFormat])
+    val b = t.newScanBuilder(
+      GraftParquetTable.readOptions(tableDir.getAbsolutePath))
+    b.pruneColumns(dataSchema)
+    b.build()
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // collapse the stock scan's splits to ONE whole-file partition per
+    // file — the ordinal-alignment rule (GraftDvParquetScan)
+    val whole = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.execution.datasources.PartitionedFile]
+    inner.planInputPartitions().foreach {
+      case fp: FilePartition => fp.files.foreach { pf =>
+        val key = pf.filePath.urlEncoded
+        if (!whole.contains(key))
+          whole.put(key, pf.copy(start = 0, length = pf.fileSize))
+      }
+      case other => sys.error(
+        s"GraftDeltaScan expects FilePartitions, got ${other.getClass}")
+    }
+    whole.valuesIterator.zipWithIndex.map { case (pf, i) =>
+      FilePartition(i, Array(pf)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftDeltaReaderFactory(inner.createReaderFactory(),
+      tableDir.getAbsolutePath, refs, withFile, withPos)
+}
+
+/** Row-based whole-file reader: counts physical ordinals, skips the
+  * file's deleted positions (read executor-side from the sidecar
+  * refs), appends (_file, _pos) to each surviving row. */
+private[sources] class GraftDeltaReaderFactory(
+    inner: PartitionReaderFactory, dirAbs: String,
+    refs: Map[String, Seq[String]], withFile: Boolean,
+    withPos: Boolean) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    false
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val fileStr = GraftFileScan.fileOf(partition)
+    val deleted: Array[Long] = (try {
+      val p = new File(new java.net.URI(fileStr)).getAbsoluteFile.toPath
+      val rel = java.nio.file.Paths.get(dirAbs).toAbsolutePath
+        .relativize(p).toString
+      refs.get(rel)
+    } catch { case _: Exception => None })
+      .map(GraftDv.readPositions).getOrElse(Array.empty)
+    val r = inner.createReader(partition)
+    val tagVals: Array[Any] =
+      (if (withFile) Seq[Any](UTF8String.fromString(fileStr)) else Nil)
+        .++(if (withPos) Seq[Any](-1L) else Nil).toArray
+    val posIdx = if (withFile) 1 else 0
+    val tag = new GenericInternalRow(tagVals)
+    new PartitionReader[InternalRow] {
+      private val joined = new JoinedRow
+      private var ord = -1L
+      private var i = 0
+      override def next(): Boolean = {
+        while (r.next()) {
+          ord += 1
+          while (i < deleted.length && deleted(i) < ord) i += 1
+          if (i >= deleted.length || deleted(i) != ord) {
+            if (withPos) tag.update(posIdx, ord)
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = joined(r.get(), tag)
+      override def close(): Unit = r.close()
+    }
+  }
+}
+
+/** Per-task delta writer: INSERT rows delegate to the ordinary staged
+  * parquet writer; DELETE row ids buffer per file and flush at task
+  * commit as one sidecar parquet per touched file, written directly
+  * into the DV stage (task-local I/O — positions never ride a commit
+  * message or the driver). The commit message carries the inner
+  * write's message plus the sidecar file names and per-file counts. */
+private[sources] case class GraftDeltaCommitMessage(
+    inner: WriterCommitMessage, sidecars: Seq[String],
+    posCounts: Map[String, Long]) extends WriterCommitMessage
+
+private[sources] class GraftDeltaWriterFactory(
+    inner: DataWriterFactory, dirAbs: String, dvStageAbs: String)
+  extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(inner.createWriter(partitionId, taskId),
+      dirAbs, dvStageAbs, partitionId, taskId)
+}
+
+private[sources] class GraftDeltaWriter(inner: DataWriter[InternalRow],
+    dirAbs: String, dvStageAbs: String, partitionId: Int, taskId: Long)
+  extends DeltaWriter[InternalRow] {
+
+  private val positions = scala.collection.mutable.HashMap
+    .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+
+  private def relOf(fileStr: String): String =
+    java.nio.file.Paths.get(dirAbs).toAbsolutePath.relativize(
+      new File(new java.net.URI(fileStr)).getAbsoluteFile.toPath)
+      .toString
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    val rel = relOf(id.getUTF8String(0).toString)
+    positions.getOrElseUpdate(rel,
+      scala.collection.mutable.ArrayBuffer.empty[Long]) += id.getLong(1)
+  }
+
+  override def update(meta: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = {
+    // representUpdateAsDeleteAndInsert = true, so Spark splits
+    // updates itself; kept for interface completeness
+    delete(meta, id)
+    insert(row)
+  }
+
+  override def insert(row: InternalRow): Unit = inner.write(row)
+
+  override def commit(): WriterCommitMessage = {
+    val written = positions.toSeq.sortBy(_._1).map { case (rel, poss) =>
+      val kd = new File(dvStageAbs,
+        "fkey=" + ExternalCatalogUtils.escapePathName(rel))
+      kd.mkdirs()
+      val f = new File(kd,
+        f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.parquet")
+      GraftDv.writePositions(f, poss.toArray)
+      (s"${kd.getName}/${f.getName}", rel, poss.length.toLong)
+    }
+    GraftDeltaCommitMessage(inner.commit(), written.map(_._1),
+      written.groupBy(_._2).view
+        .mapValues(_.map(_._3).sum).toMap)
+  }
+
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
+}
+
+/** The delta batch write: finalize the insert stage (ordinary staged
+  * parquet job commit), promote ONLY message-listed sidecars, then
+  * one locked critical section — conflict + DV-state validation,
+  * snapshot, promote, CDF intent, version bump. See the operation's
+  * class doc for the full protocol. */
+private[sources] class GraftDeltaBatchWrite(inner: org.apache.spark.sql.connector.write.BatchWrite,
+    op: GraftDeltaRowLevelOperation, spark: SparkSession, d: File,
+    declared: Option[StructType], partCols: Seq[String],
+    insertStage: File, dvStage: File, tableName: String)
+  extends DeltaBatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory =
+    new GraftDeltaWriterFactory(inner.createBatchWriterFactory(info),
+      d.getAbsolutePath, dvStage.getAbsolutePath)
+
+  override def useCommitCoordinator(): Boolean =
+    inner.useCommitCoordinator()
+
+  @volatile private var conflictAborted = false
+  @volatile private var innerCommitted = false
+  @volatile private var finalStage: File = insertStage
+  @volatile private var cdfBuild: Option[File] = None
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dms = messages.map(_.asInstanceOf[GraftDeltaCommitMessage])
+    inner.commit(dms.map(_.inner))
+    innerCommitted = true
+    // schema-only empty part files (a task that matched nothing) —
+    // drop so a no-insert statement leaves no zero-row debris;
+    // unreadable footers read -1 and are kept (ADVICE r11)
+    GraftTxn.dataFiles(insertStage).map(new File(insertStage, _))
+      .filter(f => GraftReplaceDataWrite.parquetRowCount(f) == 0L)
+      .foreach(_.delete())
+    val posCounts: Map[String, Long] = dms.flatMap(_.posCounts)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val listedSidecars: Seq[String] = dms.flatMap(_.sidecars)
+    GraftConstraints.validateStage(spark, d, insertStage, declared)
+    // CDF row images, staged pre-lock: deletes = the OLD images of
+    // exactly the recorded positions (read through the pre-existing
+    // DV skip, joined to the new position sidecars); inserts = the
+    // staged rows
+    cdfBuild =
+      if (GraftCdf.enabled(d)) {
+        val b = GraftCdf.newBuild(d)
+        if (posCounts.nonEmpty) {
+          val newPos = spark.read
+            .option("basePath", dvStage.getAbsolutePath)
+            .parquet(dvStage.getAbsolutePath)
+            .selectExpr("CAST(fkey AS STRING) AS __fkey",
+              "pos AS __pos")
+          val oldImages = GraftDv.readWithRowIndex(spark, d,
+            posCounts.keys.toSeq.sorted.map(n => new File(d, n)),
+            declared)
+            .join(newPos, Seq("__fkey", "__pos"), "left_semi")
+            .drop("__pos", "__fkey")
+          GraftCdf.writeInto(b, oldImages, "delete")
+        }
+        if (GraftTxn.dataFiles(insertStage).nonEmpty)
+          GraftCdf.writeInto(b,
+            GraftCdf.readStage(spark, insertStage, declared), "insert")
+        Some(b)
+      } else None
+    finalStage = GraftPartitions.splitStage(spark, d, insertStage,
+      partCols, declared)
+    GraftTxn.commitHook()
+    GraftTxn.withCommitLock(d) {
+      GraftCdf.recoverPending(d, discardStale = true)
+      def lose(names: Iterable[String]): Nothing = {
+        conflictAborted = true
+        GraftTxn.rmTree(finalStage)
+        GraftTxn.rmTree(dvStage)
+        cdfBuild.foreach(GraftCdf.discard)
+        throw new GraftTxn.CommitConflictException(tableName, names)
+      }
+      // conflict set: MERGE reasons over the whole snapshot (NOT
+      // MATCHED arm); UPDATE only over position-touched files
+      val conflictSet =
+        if (op.command() == RowLevelOperation.Command.MERGE)
+          op.readSnapshot
+        else posCounts.keySet
+      val missing = conflictSet.filterNot(n => new File(d, n).isFile)
+      if (missing.nonEmpty) lose(missing)
+      // DV-state validation: double-insert guard (class doc)
+      val dvChanged = posCounts.keySet.filter(n =>
+        GraftDv.sidecarPaths(d, n) != op.dvSnapshot.getOrElse(n, Nil))
+      if (dvChanged.nonEmpty) lose(dvChanged)
+      val phantom = op.phantomFileNames()
+      if (phantom.nonEmpty) lose(phantom)
+      GraftTxn.snapshotCurrent(d)
+      GraftTxn.promoteStage(finalStage, d)
+      GraftDv.promoteListed(d, dvStage, listedSidecars)
+      val cdfIntent = cdfBuild.map(b =>
+        GraftCdf.stagePending(d, b, GraftTxn.version(d) + 1))
+      GraftTxn.bumpVersion(d)
+      cdfIntent.foreach { i =>
+        GraftCdf.finishPending(d, i)
+        GraftCdf.prune(d, GraftTxn.retention)
+      }
+      GraftTxn.pruneSnapshots(d, GraftTxn.retention)
+    }
+    GraftTxn.rmTree(finalStage)
+    GraftTxn.rmTree(dvStage)
+    maybeMaterialize(posCounts)
+  }
+
+  /** Post-commit read-amplification guard: if any touched file's
+    * TOTAL deleted positions now exceed `graft.dv.maxRatio` of its
+    * rows (ledger row counts; unknown rows keep the DVs), fold every
+    * DV in as one follow-on value-neutral commit. */
+  private def maybeMaterialize(posCounts: Map[String, Long]): Unit =
+    try {
+      if (posCounts.isEmpty) return
+      val ratio = GraftDv.maxRatio(d)
+      val ledger = GraftStats.load(d)
+      val over = posCounts.keys.exists { rel =>
+        ledger.get(rel)
+          .flatMap(_.values.headOption.map(_.rowCount).filter(_ > 0))
+          .exists { rows =>
+            GraftDv.readPositions(GraftDv.sidecarPaths(d, rel)).length
+              .toDouble > ratio * rows
+          }
+      }
+      if (over)
+        GraftTxn.retryOnConflict()(
+          GraftDv.materialize(spark, d, declared)): Unit
+    } catch { case _: Exception => () } // advisory, never fails the DML
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    if (!conflictAborted) {
+      if (!innerCommitted)
+        try {
+          inner.abort(messages.map {
+            case m: GraftDeltaCommitMessage => m.inner
+            case m => m
+          })
+        } catch { case _: Exception => () }
+      GraftTxn.rmTree(insertStage)
+      GraftTxn.rmTree(finalStage)
+      GraftTxn.rmTree(dvStage)
+      cdfBuild.foreach(GraftCdf.discard)
+    }
+  }
+}

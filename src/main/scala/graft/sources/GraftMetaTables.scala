@@ -110,11 +110,12 @@ private[sources] class GraftMetaTable(kind: String, dir: File,
           }}.toArray
       case "dvs" =>
         // deletion-vector sidecars (round 15): per file, how many
-        // positions are currently deleted-but-unmaterialized
-        val spark = org.apache.spark.sql.SparkSession.active
+        // positions are currently deleted-but-unmaterialized (read
+        // one sidecar at a time — never the whole table's positions)
         GraftDv.dvFiles(dir).toSeq.sorted.map { rel =>
           InternalRow(UTF8String.fromString(rel),
-            GraftDv.positionsOf(spark, dir, rel).length.toLong)
+            GraftDv.readPositions(
+              GraftDv.sidecarPaths(dir, rel)).length.toLong)
         }.toArray
       case "snapshots" =>
         GraftTxn.snapshotVersions(dir).map { v =>

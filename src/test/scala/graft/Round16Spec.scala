@@ -1,0 +1,255 @@
+package graft
+
+import java.io.File
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftCatalog, GraftCdf, GraftDv, GraftStats, GraftTxn}
+
+/** Round-16 merge-on-read DML (VERDICT r15 asks #1 and #3): the
+  * SupportsDelta UPDATE/MERGE path — zero-rewrite pins, cross-commit
+  * composition, the racing-writer DV-state conflict, the ratio
+  * materialization guard, partitioned layouts — plus the
+  * executor-side DV/stats refactor's value-identity claims. */
+class Round16Spec extends SparkSpec {
+
+  private def freshCatalog(tag: String): String = {
+    val base = new File(sys.props("java.io.tmpdir"),
+      s"graft_r16_spec_${tag}_${System.nanoTime()}")
+    spark.conf.set(s"spark.sql.catalog.$tag",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$tag.base", base.getAbsolutePath)
+    base.getAbsolutePath
+  }
+
+  private def mkDvTable(cat: String, base: String, n: Long = 1000,
+      ratio: String = "0.9", cdf: Boolean = false): File = {
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+      s"('graft.dv.enabled'='true','graft.dv.maxRatio'='$ratio'" +
+      (if (cdf) ",'graft.cdf.enabled'='true'" else "") + ") AS " +
+      s"SELECT id AS k, CAST(id * 10 AS BIGINT) AS v FROM range(0, $n)")
+    new File(base, "t")
+  }
+
+  test("merge-on-read UPDATE: zero rewrites, sidecars land, values exact") {
+    val base = freshCatalog("p16a")
+    val dir = mkDvTable("p16a", base)
+    val before = GraftTxn.dataFiles(dir)
+    spark.sql("UPDATE p16a.t SET v = v + 1 WHERE k < 50")
+    val after = GraftTxn.dataFiles(dir)
+    assert(before.subsetOf(after), "no pre-existing file may be rewritten")
+    assert((after diff before).nonEmpty, "new images must append")
+    assert(GraftDv.hasDvs(dir), "old rows must be position-deleted")
+    val r = spark.table("p16a.t").agg(count(lit(1)), sum(col("v"))).head()
+    assert(r.getLong(0) == 1000)
+    assert(r.getLong(1) == (0L until 1000L).map(_ * 10).sum + 50)
+    // the appended files are bit-identical too: positions only ever
+    // reference files; delete images never rewrite
+    spark.sql("DROP TABLE IF EXISTS p16a.t"): Unit
+  }
+
+  test("merge-on-read updates COMPOSE across commits (positions on the appended file)") {
+    val base = freshCatalog("p16b")
+    val dir = mkDvTable("p16b", base)
+    spark.sql("UPDATE p16b.t SET v = v + 1 WHERE k < 40")
+    val filesV2 = GraftTxn.dataFiles(dir)
+    spark.sql("UPDATE p16b.t SET v = v + 100 WHERE k < 20") // hits v2's file
+    assert(filesV2.subsetOf(GraftTxn.dataFiles(dir)))
+    val r = spark.table("p16b.t").agg(sum(col("v"))).head()
+    assert(r.getLong(0) == (0L until 1000L).map(_ * 10).sum + 40 + 2000)
+    // time travel: each version reads its own deletion state
+    assert(spark.sql("SELECT sum(v) FROM p16b.t VERSION AS OF 2")
+      .head().getLong(0) == (0L until 1000L).map(_ * 10).sum + 40)
+    spark.sql("DROP TABLE IF EXISTS p16b.t"): Unit
+  }
+
+  test("racing merge-on-read updates of the SAME rows: loser conflicts and retries (no double-insert)") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val base = freshCatalog("p16c")
+    mkDvTable("p16c", base)
+    val latch = new CountDownLatch(2)
+    GraftTxn.commitHook = () => {
+      latch.countDown()
+      latch.await(60, TimeUnit.SECONDS): Unit
+    }
+    val attempts = try {
+      val fa = Future(GraftTxn.retryCounted(5) {
+        spark.sql("UPDATE p16c.t SET v = v + 100 WHERE k < 30")
+          .collect(): Unit
+      }._2)
+      val fb = Future(GraftTxn.retryCounted(5) {
+        spark.sql("UPDATE p16c.t SET v = v + 1000 WHERE k < 30")
+          .collect(): Unit
+      }._2)
+      Seq(Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    } finally GraftTxn.commitHook = () => ()
+    assert(attempts.sorted == Seq(1, 2),
+      s"same-file writers must serialize via the DV-state conflict: $attempts")
+    // serialized result: BOTH updates applied exactly once
+    val r = spark.table("p16c.t").agg(count(lit(1)), sum(col("v"))).head()
+    assert(r.getLong(0) == 1000, "a double-insert would inflate the count")
+    assert(r.getLong(1) == (0L until 1000L).map(_ * 10).sum + 30 * 1100)
+    spark.sql("DROP TABLE IF EXISTS p16c.t"): Unit
+  }
+
+  test("ratio guard: an update past graft.dv.maxRatio materializes post-commit") {
+    val base = freshCatalog("p16d")
+    val dir = mkDvTable("p16d", base, ratio = "0.2")
+    val before = GraftTxn.dataFiles(dir)
+    spark.sql("UPDATE p16d.t SET v = v + 1 WHERE k % 2 = 0") // 50% > 0.2
+    assert(!GraftDv.hasDvs(dir),
+      "past-ratio positions must fold into rewritten files")
+    assert((before diff GraftTxn.dataFiles(dir)).nonEmpty,
+      "materialization rewrites the DV'd files")
+    val r = spark.table("p16d.t").agg(count(lit(1)), sum(col("v"))).head()
+    assert(r.getLong(0) == 1000)
+    assert(r.getLong(1) == (0L until 1000L).map(_ * 10).sum + 500)
+    spark.sql("DROP TABLE IF EXISTS p16d.t"): Unit
+  }
+
+  test("merge-on-read MERGE: matched update + not-matched insert, zero rewrites") {
+    val base = freshCatalog("p16e")
+    val dir = mkDvTable("p16e", base, cdf = true)
+    val before = GraftTxn.dataFiles(dir)
+    spark.sql("SELECT id AS k, CAST(-7 AS BIGINT) AS v " +
+      "FROM range(990, 1010)").createOrReplaceTempView("src16e")
+    spark.sql("MERGE INTO p16e.t t USING src16e s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(before.subsetOf(GraftTxn.dataFiles(dir)))
+    assert(GraftDv.hasDvs(dir))
+    val r = spark.table("p16e.t").agg(count(lit(1)), sum(col("v"))).head()
+    assert(r.getLong(0) == 1010)
+    assert(r.getLong(1) ==
+      (0L until 990L).map(_ * 10).sum + 20L * -7)
+    // CDF classes: 10 matched deletes + 20 inserts (10 updates' new
+    // images + 10 brand-new keys)
+    val cdf = GraftCdf.rows(spark, dir)
+      .filter(col("_commit_version") === 2L)
+      .groupBy(col("_change_type")).count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(cdf == Map("delete" -> 10L, "insert" -> 20L), s"got $cdf")
+    spark.sql("DROP TABLE IF EXISTS p16e.t"): Unit
+  }
+
+  test("merge-on-read UPDATE on an identity-partitioned table keeps layout and values") {
+    val base = freshCatalog("p16f")
+    spark.sql("DROP TABLE IF EXISTS p16f.t")
+    spark.sql("CREATE TABLE p16f.t (k BIGINT, v BIGINT, p INT) " +
+      "PARTITIONED BY (p) TBLPROPERTIES " +
+      "('graft.dv.enabled'='true','graft.dv.maxRatio'='0.9')")
+    spark.sql("INSERT INTO p16f.t SELECT id, id * 10, " +
+      "CAST(id % 4 AS INT) FROM range(0, 400)")
+    val dir = new File(base, "t")
+    val before = GraftTxn.dataFiles(dir)
+    // keys ≡ 2 (mod 16): spread across every p=2 file, so each file
+    // stays well under maxRatio and the merge-on-read form persists
+    spark.sql("UPDATE p16f.t SET v = v + 1 WHERE p = 2 AND k % 16 = 2")
+    assert(before.subsetOf(GraftTxn.dataFiles(dir)))
+    assert(GraftDv.hasDvs(dir))
+    // new images landed INSIDE the p=2 hive dir, partition value intact
+    val added = GraftTxn.dataFiles(dir) diff before
+    assert(added.nonEmpty && added.forall(_.startsWith("p=2/")),
+      s"new images must re-split into their partition dir: $added")
+    val r = spark.table("p16f.t").filter(col("p") === 2)
+      .agg(count(lit(1)), sum(col("v"))).head()
+    val keys = (0L until 400L).filter(_ % 4 == 2)
+    assert(r.getLong(0) == keys.size)
+    assert(r.getLong(1) == keys.map(_ * 10).sum + keys.count(_ % 16 == 2))
+    spark.sql("DROP TABLE IF EXISTS p16f.t"): Unit
+  }
+
+  test("materialize on a partitioned table keeps hive layout and partition values") {
+    val base = freshCatalog("p16j")
+    spark.sql("DROP TABLE IF EXISTS p16j.t")
+    spark.sql("CREATE TABLE p16j.t (k BIGINT, v BIGINT, p INT) " +
+      "PARTITIONED BY (p) TBLPROPERTIES " +
+      "('graft.dv.enabled'='true','graft.dv.maxRatio'='0.2')")
+    spark.sql("INSERT INTO p16j.t SELECT id, id * 10, " +
+      "CAST(id % 4 AS INT) FROM range(0, 400)")
+    val dir = new File(base, "t")
+    // range-contiguous files: k < 100 ∧ p = 2 fully deletes some
+    // files → past-ratio → the statement materializes post-commit
+    spark.sql("UPDATE p16j.t SET v = v + 1 WHERE p = 2 AND k < 100")
+    assert(!GraftDv.hasDvs(dir), "past-ratio positions must fold")
+    val files = GraftTxn.dataFiles(dir)
+    assert(files.forall(_.matches("^p=\\d/.*")),
+      s"materialize must preserve the hive layout, got $files")
+    val r = spark.table("p16j.t").filter(col("p") === 2)
+      .agg(count(lit(1)), sum(col("v"))).head()
+    val keys = (0L until 400L).filter(_ % 4 == 2)
+    assert(r.getLong(0) == keys.size,
+      "materialized survivors must keep their partition values")
+    assert(r.getLong(1) == keys.map(_ * 10).sum + keys.count(_ < 100))
+    // the other partitions are untouched
+    assert(spark.table("p16j.t").filter(col("p") =!= 2).count() == 300)
+    spark.sql("DROP TABLE IF EXISTS p16j.t"): Unit
+  }
+
+  test("DV sidecars roundtrip executor-side (writePositions/readPositions) and scans ship refs only") {
+    val base = freshCatalog("p16g")
+    val dir = mkDvTable("p16g", base)
+    spark.sql("UPDATE p16g.t SET v = v + 1 WHERE k < 25")
+    val refs = GraftDv.sidecarRefs(dir)
+    assert(refs.nonEmpty)
+    // refs are file NAMES (strings), not position payloads — the
+    // executor reads each file's set locally; assert the roundtrip
+    refs.foreach { case (rel, paths) =>
+      val pos = GraftDv.readPositions(paths)
+      assert(pos.nonEmpty && pos.sameElements(pos.sorted.distinct))
+      assert(pos.sameElements(GraftDv.positionsOf(dir, rel)))
+    }
+    // a scan through the refs-carrying reader equals the logical state
+    assert(spark.table("p16g.t").count() == 1000)
+    spark.sql("DROP TABLE IF EXISTS p16g.t"): Unit
+  }
+
+  test("commit-time stats collect as one executor job; ledger row counts stay exact") {
+    val base = freshCatalog("p16h")
+    spark.sql("DROP TABLE IF EXISTS p16h.t")
+    spark.sql("CREATE TABLE p16h.t AS SELECT id AS k, id * 3 AS v " +
+      "FROM range(0, 900)")
+    val dir = new File(base, "t")
+    val ledger = GraftStats.load(dir)
+    val files = GraftTxn.dataFiles(dir)
+    assert(files.nonEmpty && files.forall(ledger.contains),
+      "every committed file must carry ledger stats")
+    val totalRows = files.toSeq.map(f =>
+      ledger(f).values.head.rowCount).sum
+    assert(totalRows == 900L,
+      s"executor-collected row counts must be exact, got $totalRows")
+    // per-file min/max agree with a real scan of that file
+    val some = files.head
+    val st = ledger(some)("k")
+    val actual = spark.read.parquet(new File(dir, some).getAbsolutePath)
+      .agg(min(col("k")), max(col("k"))).head()
+    assert(st.min.contains(actual.getLong(0).toString) &&
+      st.max.contains(actual.getLong(1).toString))
+    spark.sql("DROP TABLE IF EXISTS p16h.t"): Unit
+  }
+
+  test("DV update CDF delete images are the exact pre-update rows") {
+    val base = freshCatalog("p16i")
+    val dir = mkDvTable("p16i", base, cdf = true)
+    val preImage = spark.table("p16i.t").filter(col("k") < 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.sql("UPDATE p16i.t SET v = v + 5 WHERE k < 15")
+    val changes = GraftCdf.rows(spark, dir)
+      .filter(col("_commit_version") === 2L)
+    val dels = changes.filter(col("_change_type") === "delete")
+      .select(col("k"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ins = changes.filter(col("_change_type") === "insert")
+      .select(col("k"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dels == preImage, "delete images must be the old rows")
+    assert(ins == preImage.map { case (k, v) => (k, v + 5) },
+      "insert images must be the new rows")
+    spark.sql("DROP TABLE IF EXISTS p16i.t"): Unit
+  }
+}
