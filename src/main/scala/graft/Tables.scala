@@ -32,6 +32,15 @@ object Tables {
     // LongType instead; queries treat `ts` as a BIGINT and never emit a raw
     // nanosecond timestamp (oracle compares epoch_ns(ts)).
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Write timestamps as INT64 micros (round 16): Spark's INT96
+    // default is deprecated, carries NO usable parquet min/max stats
+    // (so the skipping ledger cannot range-prune timestamp columns),
+    // and declines filter pushdown. INT64 micros is lossless for
+    // Spark's microsecond timestamps and is what every modern engine
+    // writes. ParquetUtils.prepareWrite reads this from the SESSION
+    // conf (a per-relation option is overwritten there), so it lives
+    // in the engine's session tuning.
+    c.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     // TypedImperativeAggregates (MinHashAgg) run in ObjectHashAggregateExec,
     // which falls back to sort-based aggregation after 128 distinct groups
     // per task by default — far too conservative for a 1 KiB signature

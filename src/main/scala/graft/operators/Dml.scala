@@ -555,12 +555,37 @@ object Dml {
         s.table("graft54.nation_se").schema.fieldNames.contains("label") &&
           preRen.schema.fieldNames.contains("tag") &&
           preRen.filter(col("tag") === "legacy").count() == r.getLong(1)
+      // TYPE WIDENING (round 16, VERDICT r15 ask #6): k INT → BIGINT
+      // is a metadata-only pin rewrite; a value only a BIGINT can
+      // hold then appends, and the aggregate spans MIXED physical
+      // files (old int32 + new int64) through the readers' native
+      // upcast. Time travel to the pre-widen version reads INT;
+      // narrowing (v BIGINT → INT) rejects.
+      val vPreWide = graft.sources.GraftTxn.version(new java.io.File(
+        s"${Tables.scratchDir("sql54_cat", sfDir)}/nation_se"))
+      s.sql("ALTER TABLE graft54.nation_se ALTER COLUMN k TYPE BIGINT")
+      s.sql("INSERT INTO graft54.nation_se VALUES " +
+        "(CAST(5000000000 AS BIGINT), CAST(1 AS BIGINT), 'wide')")
+      val rw = s.table("graft54.nation_se")
+        .agg(count(lit(1)), coalesce(sum(col("k")), lit(0L))).head()
+      val narrowRejected =
+        try {
+          s.sql("ALTER TABLE graft54.nation_se ALTER COLUMN v TYPE INT")
+          false
+        } catch { case _: Exception => true }
+      val widenOk = s.table("graft54.nation_se").schema("k").dataType ==
+          org.apache.spark.sql.types.LongType &&
+        s.sql(s"SELECT * FROM graft54.nation_se VERSION AS OF $vPreWide")
+          .schema("k").dataType ==
+          org.apache.spark.sql.types.IntegerType &&
+        narrowRejected
       import s.implicits._
       Seq((r.getLong(0), nullsAfterAlter, r.getLong(1), r.getLong(2),
           r.getLong(3), widthOld == 2 && widthNew == 3, nLabelLegacy,
-          renameOk))
+          renameOk, rw.getLong(0), rw.getLong(1), widenOk))
         .toDF("n_total", "n_nulls_after_alter", "n_legacy", "n_fresh",
-          "ksum_total", "schema_widths_ok", "n_label_legacy", "rename_ok")
+          "ksum_total", "schema_widths_ok", "n_label_legacy", "rename_ok",
+          "n_total_w", "ksum_w", "widen_ok")
     } finally s.sql("DROP TABLE IF EXISTS graft54.nation_se"): Unit
   }
 
@@ -1400,7 +1425,160 @@ object Dml {
     } finally s.sql(s"DROP TABLE IF EXISTS $cat.orders_mor"): Unit
   }
 
+  /** SQL66 — PARTITION-SPEC EVOLUTION (round 16, VERDICT r15 ask #2 —
+    * the Iceberg spec-id analog): an UNPARTITIONED events table takes
+    * `CALL cat.evolve_partitions('events_se', 'days(ets)')` as a
+    * metadata-only commit ([[graft.sources.GraftPartitions.evolveSpec]]
+    * — spec history line + new spec, nothing moves), then keeps
+    * writing: pre-evolution files stay FLAT at the table root
+    * (range-disjoint on ets via repartitionByRange, so the stats
+    * LEDGER prunes them), post-evolution inserts land hidden
+    * `ets_day=<d>/` dirs (path-pruned). One 7-day-window aggregate
+    * then scans BOTH layouts and the skipping scan prunes EACH FILE
+    * under its own layout's evidence — claims pin kept < listed, all
+    * non-qualifying day dirs pruned, and the old flat files
+    * range-pruned to the ledger bound. Time travel across the
+    * evolution boundary reads the pre-evolution row set. */
+  def sql66SpecEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val cat = Tables.graftCatalog(s, "sql66", sfDir)
+    s.sql(s"DROP TABLE IF EXISTS $cat.events_se")
+    s.sql(s"CREATE TABLE $cat.events_se " +
+      "(event_id BIGINT, ets TIMESTAMP, user_id BIGINT, value DOUBLE)")
+    Tables.eventsUs(s, sfDir)
+      .selectExpr("event_id", "timestamp_micros(ts) AS ets", "user_id",
+        "value")
+      .createOrReplaceTempView("events_src66")
+    // pre-evolution half: flat files, range-disjoint on ets so the
+    // ledger can prune them
+    s.table("events_src66").filter(col("event_id") % 2 === 0)
+      .repartitionByRange(8, col("ets"))
+      .createOrReplaceTempView("events_src66_even")
+    s.sql(s"INSERT INTO $cat.events_se SELECT * FROM events_src66_even")
+    try {
+      val dir = new java.io.File(
+        s"${Tables.scratchDir("sql66_cat", sfDir)}/events_se")
+      val vPre = graft.sources.GraftTxn.version(dir)
+      val nPre = s.table(s"$cat.events_se").count()
+      val sid = s.sql(s"CALL $cat.evolve_partitions('events_se', " +
+        "'days(ets)')").head().getLong(0)
+      s.sql(s"INSERT INTO $cat.events_se SELECT * FROM events_src66 " +
+        "WHERE event_id % 2 = 1")
+      val files = graft.sources.GraftTxn.dataFiles(dir)
+      val (oldFiles, newFiles) = files.partition(!_.contains("/"))
+      val layoutOk = oldFiles.nonEmpty && newFiles.nonEmpty &&
+        newFiles.forall(_.matches("ets_day=\\d+/.*")) && sid == 1L
+      val loDay = java.time.LocalDate.of(2024, 1, 8).toEpochDay
+      val qualifyingNew = newFiles.count { f =>
+        f.split("=")(1).split("/")(0).toLongOption
+          .exists(d => d >= loDay && d < loDay + 7)
+      }
+      val r = s.table(s"$cat.events_se")
+        .filter(col("ets") >= lit("2024-01-08 00:00:00").cast("timestamp")
+          && col("ets") < lit("2024-01-15 00:00:00").cast("timestamp"))
+        .agg(count(lit(1)),
+          coalesce(sum(col("value").cast(graft.Det.Money)),
+            lit(java.math.BigDecimal.ZERO).cast(graft.Det.Money)),
+          coalesce(sum(col("event_id")), lit(0L))).head()
+      val (listed, kept) = graft.sources.GraftStats.lastReport(
+        dir.getAbsolutePath)
+      // day dirs prune exactly; the flat half range-prunes to the
+      // ledger bound (sampled range boundaries: a 7-day window can
+      // span up to ~3 of 8 range-files plus boundary slack — the
+      // claim is kept < listed AND old kept ≤ half the old files)
+      val oldKept = kept - qualifyingNew
+      val prunedOk = listed == files.size && kept < listed &&
+        oldKept <= oldFiles.size / 2
+      val ttOk = s.sql(s"SELECT COUNT(*) FROM $cat.events_se " +
+        s"VERSION AS OF $vPre").head().getLong(0) == nPre
+      import s.implicits._
+      Seq((r.getLong(0), r.getLong(2), layoutOk, prunedOk, ttOk))
+        .toDF("n_rows", "keysum", "layout_ok", "pruned_both_ok",
+          "time_travel_ok")
+        .withColumn("value_sum",
+          lit(r.getDecimal(1)).cast(graft.Det.Money).cast("double"))
+        .select(col("n_rows"), col("value_sum"), col("keysum"),
+          col("layout_ok"), col("pruned_both_ok"), col("time_travel_ok"))
+    } finally s.sql(s"DROP TABLE IF EXISTS $cat.events_se"): Unit
+  }
+
+  /** SQL68 — SESSION TRANSACTIONS: `BEGIN; <DML…>; COMMIT` (round 16,
+    * VERDICT r15 ask #5): sql63's fact-upsert + audit-append scenario
+    * as a plain STATEMENT SEQUENCE — no CALL, no views-as-arguments.
+    * Between BEGIN and COMMIT every DML (MERGE / UPDATE / DELETE /
+    * INSERT) parser-redirects to a hard-linked SHADOW clone
+    * ([[graft.sources.GraftSessionTxn]]), so the full row-level
+    * machinery runs per statement with READ-YOUR-WRITES while the
+    * live tables stay untouched; COMMIT lands everything as ONE
+    * [[graft.sources.GraftMultiTxn]] commit (BEGIN-version validated —
+    * first committer wins), ROLLBACK discards. Claims: sql63's upsert
+    * algebra restated from orders, mid-txn live-version and
+    * read-your-writes booleans, post-commit versions, and a
+    * rollback-discards boolean. */
+  def sql68SessionTxn(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val cat = Tables.graftCatalog(s, "sql68", sfDir)
+    s.sql(s"DROP TABLE IF EXISTS $cat.fact_tx")
+    s.sql(s"DROP TABLE IF EXISTS $cat.audit_tx")
+    Tables.orders(s, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .createOrReplaceTempView("orders_src68")
+    s.sql(s"CREATE TABLE $cat.fact_tx AS SELECT o_orderkey AS k, " +
+      "o_totalprice AS p FROM orders_src68 WHERE o_orderkey <= 2000") // v1
+    s.sql(s"CREATE TABLE $cat.audit_tx (batch_id BIGINT, n_upserts BIGINT)")
+    try {
+      val dirF = new java.io.File(
+        s"${Tables.scratchDir("sql68_cat", sfDir)}/fact_tx")
+      val dirA = new java.io.File(
+        s"${Tables.scratchDir("sql68_cat", sfDir)}/audit_tx")
+      s.sql("CREATE OR REPLACE TEMP VIEW v68_upserts AS " +
+        "SELECT o_orderkey AS k, o_totalprice * 2 AS p " +
+        "FROM orders_src68 WHERE o_orderkey > 1000 AND o_orderkey <= 3000")
+      val nUp = s.table("v68_upserts").count()
+      s.sql("BEGIN")
+      s.sql(s"MERGE INTO $cat.fact_tx t USING v68_upserts u ON t.k = u.k " +
+        "WHEN MATCHED THEN UPDATE SET p = u.p " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      s.sql(s"INSERT INTO $cat.audit_tx VALUES (1, $nUp)")
+      // read-your-writes mid-txn; the LIVE tables are untouched
+      val rywOk = s.sql(s"SELECT COUNT(*) FROM $cat.fact_tx " +
+        "WHERE k > 2000").head().getLong(0) > 0 &&
+        graft.sources.GraftTxn.version(dirF) == 1L &&
+        graft.sources.GraftTxn.version(dirA) == 0L
+      s.sql("COMMIT")
+      val versionsOk = graft.sources.GraftTxn.version(dirF) == 2L &&
+        graft.sources.GraftTxn.version(dirA) == 1L
+      // a second transaction rolls back without a trace
+      s.sql("BEGIN")
+      s.sql(s"DELETE FROM $cat.fact_tx WHERE k > 0")
+      s.sql(s"UPDATE $cat.audit_tx SET n_upserts = -1 WHERE batch_id = 1")
+      s.sql("ROLLBACK")
+      val r = s.table(s"$cat.fact_tx").agg(count(lit(1)),
+        coalesce(sum(col("p").cast(graft.Det.Money)),
+          lit(java.math.BigDecimal.ZERO).cast(graft.Det.Money)),
+        coalesce(sum(col("k")), lit(0L))).head()
+      val a = s.table(s"$cat.audit_tx").head()
+      val rollbackOk = graft.sources.GraftTxn.version(dirF) == 2L &&
+        a.getLong(1) == nUp
+      import s.implicits._
+      Seq((r.getLong(0), r.getLong(2), a.getLong(0), a.getLong(1),
+          rywOk, versionsOk, rollbackOk))
+        .toDF("n_fact", "ksum", "batch_id", "n_upserts",
+          "ryw_ok", "versions_ok", "rollback_ok")
+        .withColumn("fact_sum",
+          lit(r.getDecimal(1)).cast(graft.Det.Money).cast("double"))
+        .select(col("n_fact"), col("fact_sum"), col("ksum"),
+          col("batch_id"), col("n_upserts"), col("ryw_ok"),
+          col("versions_ok"), col("rollback_ok"))
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $cat.fact_tx")
+      s.sql(s"DROP TABLE IF EXISTS $cat.audit_tx"): Unit
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql68_session_txn" -> (sql68SessionTxn _),
+    "sql66_spec_evolution" -> (sql66SpecEvolution _),
     "sql65_dv_update" -> (sql65DvUpdate _),
     "sql62_deletion_vectors" -> (sql62DeletionVectors _),
     "sql64_persistent_views" -> (sql64PersistentViews _),
@@ -1478,6 +1656,22 @@ object Dml {
     // same upsert algebra as sql57 (matched (1000,2000] keys at 2x,
     // (2000,3000] inserts at 2x, ≤1000 pass through), reached through
     // the SQL CALL face; versions are engine booleans
+    // sql63's algebra again, reached through BEGIN/COMMIT statement
+    // sequencing; ryw / versions / rollback effects are engine booleans
+    "sql68_session_txn" ->
+      ("WITH t AS (SELECT o_orderkey AS k, " +
+       "CASE WHEN o_orderkey > 1000 THEN o_totalprice * 2 " +
+       "ELSE o_totalprice END AS p FROM orders WHERE o_orderkey <= 2000 " +
+       "UNION ALL SELECT o_orderkey, o_totalprice * 2 FROM orders " +
+       "WHERE o_orderkey > 2000 AND o_orderkey <= 3000) " +
+       "SELECT CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS n_fact, " +
+       "CAST(CAST((SELECT SUM(CAST(p AS DECIMAL(18,4))) FROM t) " +
+       "AS DECIMAL(18,4)) AS DOUBLE) AS fact_sum, " +
+       "CAST((SELECT SUM(k) FROM t) AS BIGINT) AS ksum, " +
+       "CAST(1 AS BIGINT) AS batch_id, " +
+       "CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey > 1000 " +
+       "AND o_orderkey <= 3000) AS BIGINT) AS n_upserts, " +
+       "TRUE AS ryw_ok, TRUE AS versions_ok, TRUE AS rollback_ok"),
     "sql63_sql_txn_face" ->
       ("WITH t AS (SELECT o_orderkey AS k, " +
        "CASE WHEN o_orderkey > 1000 THEN o_totalprice * 2 " +
@@ -1495,6 +1689,18 @@ object Dml {
     // the 7-day window aggregate restated from events (DuckDB reads the
     // same parquet at µs grain — the eventsUs truncation contract);
     // layout/hidden/pruning are engine booleans
+    // the same 7-day window aggregate as sql61 (BOTH halves are in
+    // the evolved table); layout / dual-layout pruning / time travel
+    // across the evolution boundary are engine booleans
+    "sql66_spec_evolution" ->
+      ("WITH t AS (SELECT * FROM events WHERE ts >= TIMESTAMP " +
+       "'2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00') " +
+       "SELECT CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS n_rows, " +
+       "CAST(CAST((SELECT SUM(CAST(value AS DECIMAL(18,4))) FROM t) " +
+       "AS DECIMAL(18,4)) AS DOUBLE) AS value_sum, " +
+       "CAST((SELECT SUM(event_id) FROM t) AS BIGINT) AS keysum, " +
+       "TRUE AS layout_ok, TRUE AS pruned_both_ok, " +
+       "TRUE AS time_travel_ok"),
     "sql61_transform_partitions" ->
       ("WITH t AS (SELECT * FROM events WHERE ts >= TIMESTAMP " +
        "'2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00') " +
@@ -1624,7 +1830,12 @@ object Dml {
        "TRUE AS schema_widths_ok, " +
        "CAST((SELECT COUNT(*) FROM nation) AS BIGINT) " +
        "AS n_label_legacy, " +
-       "TRUE AS rename_ok"),
+       "TRUE AS rename_ok, " +
+       // post-widen: one BIGINT-only key appended across mixed files
+       "CAST((SELECT COUNT(*) FROM nation) + 3 AS BIGINT) AS n_total_w, " +
+       "CAST((SELECT SUM(n_nationkey) FROM nation) + 900 + 901 " +
+       "+ 5000000000 AS BIGINT) AS ksum_w, " +
+       "TRUE AS widen_ok"),
     // value-neutral maintenance over the partitioned copy: every
     // claim recomputes from orders; layout claims are booleans
     "x182_compact_partitions" ->

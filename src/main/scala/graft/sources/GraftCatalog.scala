@@ -461,9 +461,37 @@ class GraftCatalog extends TableCatalog
               s"cannot drop the last column of $ident")
             StructType(schema.filterNot(_.name.equalsIgnoreCase(name)))
           }
+        case (schema, up: TableChange.UpdateColumnType) =>
+          // TYPE WIDENING (round 16, VERDICT r15 ask #6): a
+          // METADATA-ONLY pin rewrite — files keep their physical
+          // type; Spark 4's parquet readers upcast widened reads
+          // natively (int32→int64/double/decimal, float→double,
+          // decimal precision up — probed both vectorized and row
+          // paths), so no data moves. The field keeps its id; the
+          // stats ledger's canonical numeric strings compare
+          // identically under the wider type; the pre-alter snapshot
+          // keeps the OLD pin, so time travel reads the old type.
+          // NARROWING is rejected — old files could hold values the
+          // narrow type cannot represent.
+          require(up.fieldNames().length == 1,
+            "graft ALTER TABLE supports top-level ALTER COLUMN TYPE " +
+              s"only; got ${up.fieldNames().mkString(".")}")
+          val name = up.fieldNames()(0)
+          val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+          require(idx >= 0, s"column $name does not exist in $ident")
+          val from = schema.fields(idx).dataType
+          val to = up.newDataType()
+          require(GraftCatalog.widens(from, to),
+            s"ALTER COLUMN $name TYPE only widens (integral chain, " +
+              s"float→double, integral→double/decimal, decimal " +
+              s"precision up at fixed scale); ${from.simpleString} → " +
+              s"${to.simpleString} rejected")
+          StructType(schema.fields.updated(idx,
+            schema.fields(idx).copy(dataType = to)))
         case (_, other) =>
           throw new UnsupportedOperationException(
-            s"GraftCatalog ALTER TABLE supports ADD/DROP/RENAME COLUMN only; " +
+            s"GraftCatalog ALTER TABLE supports ADD/DROP/RENAME COLUMN " +
+              s"and ALTER COLUMN TYPE (widening) only; " +
               s"got ${other.getClass.getSimpleName}")
       }
       java.nio.file.Files.write(new File(d, SchemaFile).toPath,
@@ -520,6 +548,33 @@ private[graft] object GraftCatalog {
       if (f.metadata.contains(FieldIdKey))
         Some(f.metadata.getLong(FieldIdKey))
       else None).maxOption.getOrElse(0L)
+
+  /** Is `from` → `to` a lossless WIDENING the parquet readers upcast
+    * natively (round 16)? Integral chain, float→double,
+    * integral→double, integral→decimal with enough digits, decimal
+    * precision up at fixed scale. */
+  def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def rank(dt: DataType): Int = dt match {
+      case ByteType => 1; case ShortType => 2
+      case IntegerType => 3; case LongType => 4; case _ => 0
+    }
+    def digits(dt: DataType): Int = dt match {
+      case ByteType => 3; case ShortType => 5
+      case IntegerType => 10; case LongType => 20; case _ => 99
+    }
+    (from, to) match {
+      case (f, t) if rank(f) > 0 && rank(t) > 0 => rank(f) < rank(t)
+      case (FloatType, DoubleType) => true
+      case (f, DoubleType) if rank(f) > 0 && rank(f) <= 3 => true
+      case (f, d: DecimalType) if rank(f) > 0 =>
+        d.scale == 0 && d.precision >= digits(f)
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+  }
 
   def hasFieldIds(schema: StructType): Boolean =
     schema.fields.exists(_.metadata.contains(FieldIdKey))
@@ -942,6 +997,7 @@ private[sources] class GraftParquetTable(tableName: String,
       // existing entries; the ledger is append-only so both coexist)
       GraftStats.recordStage(d, tmp)
       Seq(GraftCatalog.SchemaFile, GraftCatalog.PartitionsFile,
+          GraftPartitions.SpecHistoryFile,
           GraftCatalog.PropsFile, GraftSinkEpochs.EpochsFile,
           GraftStats.StatsFile, GraftTxn.CommitLog).foreach { m =>
         val src = new File(d, m)

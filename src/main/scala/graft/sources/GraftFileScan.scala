@@ -142,7 +142,10 @@ private[sources] class GraftFileScanBuilder(ss: SparkSession,
         // only engages when there are pushed data filters AND the
         // table has a stats ledger or a transform partition spec —
         // otherwise the stock scan plans
-        val spec = GraftCatalog.partitionSpec(dir)
+        // round 16 (spec evolution): prune under the UNION of the
+        // current and historical transform specs — each file matches
+        // whichever spec's dir segments its path carries
+        val spec = GraftPartitions.pruningSpec(dir)
         val skippable = inner.dataFilters.nonEmpty &&
           (new File(dir, GraftStats.StatsFile).isFile ||
             GraftPartitions.isHidden(spec))

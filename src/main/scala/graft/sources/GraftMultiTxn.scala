@@ -53,7 +53,12 @@ object GraftMultiTxn {
     * upsert path: compute the merged state as a DataFrame, restate);
     * `overwrite = false` appends `data` (never conflicts). */
   case class TableWrite(dir: File, data: DataFrame,
-      overwrite: Boolean = false)
+      overwrite: Boolean = false,
+      // round 16 (session transactions): the version this write's
+      // statements were computed AGAINST — validated unchanged under
+      // the locks, so a concurrent commit on the table between the
+      // transaction's BEGIN-time clone and its COMMIT conflicts
+      expectedVersion: Option[Long] = None)
 
   /** Test seam: called with the 0-based table index before that
     * table's promote — the crash-injection point the atomicity spec
@@ -65,7 +70,10 @@ object GraftMultiTxn {
       cdfBuild: Option[File] = None)
 
   def run(spark: SparkSession, writes: Seq[TableWrite]): Unit = {
-    require(writes.size >= 2, "a multi-table txn spans at least 2 tables")
+    // ≥2 for the standalone multi-table face; a SESSION transaction
+    // (round 16) may legitimately touch one table — the manifest
+    // protocol degenerates cleanly (one lock, one entry)
+    require(writes.nonEmpty, "empty transaction write set")
     require(writes.map(_.dir.getAbsolutePath).distinct.size == writes.size,
       "one write per table")
     val ordered = writes.sortBy(_.dir.getAbsolutePath)
@@ -112,13 +120,22 @@ object GraftMultiTxn {
       case h +: t => GraftTxn.withCommitLock(h)(underLocks(t)(body))
     }
     try underLocks(ordered.map(_.dir)) {
-      // 2. validate every overwrite's read snapshot
+      // 2. validate every overwrite's read snapshot, and (round 16)
+      // every declared expected version — session transactions pin the
+      // BEGIN-time version so a commit that landed between their clone
+      // and their COMMIT conflicts the whole transaction
       ordered.zip(snapshots).foreach { case (w, snap) =>
         if (w.overwrite) {
           val now = GraftTxn.dataFiles(w.dir)
           if (now != snap)
             throw new GraftTxn.CommitConflictException(w.dir.getName,
               (snap diff now) ++ (now diff snap))
+        }
+        w.expectedVersion.foreach { ev =>
+          val now = GraftTxn.version(w.dir)
+          if (now != ev)
+            throw new GraftTxn.CommitConflictException(w.dir.getName,
+              Seq(s"version moved $ev -> $now"))
         }
       }
       // 3. manifest + per-table pointers

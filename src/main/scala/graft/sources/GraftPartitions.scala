@@ -120,6 +120,91 @@ object GraftPartitions {
   def isHidden(rawSpec: Seq[String]): Boolean =
     rawSpec.exists(l => parseLine(l).isRight)
 
+  // -------------------------------------- spec evolution (round 16)
+
+  /** Append-only spec history: one line per evolution —
+    * `specId \t firstVersion \t line1;line2` (spec 0, the create-time
+    * spec, is implicit). Rides snapshots and the delete swap like the
+    * other metadata files. */
+  val SpecHistoryFile = "_graft_spec_history"
+
+  /** PARTITION-SPEC EVOLUTION (round 16, VERDICT r15 ask #2 — the
+    * Iceberg spec-id analog): change a live table's partition spec as
+    * a METADATA-ONLY commit. Existing files KEEP their layout; new
+    * writes land the new spec's derived dirs; scans prune each file
+    * under whichever spec's dir segments its path actually carries
+    * ([[pruningSpec]] feeds the union of all historical transforms to
+    * the skipping scan — a file lacking a transform's dir segment is
+    * conservatively kept and the stats ledger prunes it instead).
+    * Restricted to recursiveFileLookup-compatible layouts: an
+    * UNPARTITIONED or hidden-transform table may evolve to a NEW
+    * hidden-transform spec. Identity layouts are Spark-path-resolved
+    * (mixed listings would corrupt inference) and evolving BACK to
+    * unpartitioned would drop the recursive lookup old dirs need —
+    * both reject cleanly. Returns the new spec id. */
+  def evolveSpec(dir: File, newSpec: Seq[String],
+      pin: Option[StructType]): Long = {
+    require(newSpec.nonEmpty &&
+      transforms(newSpec).size == newSpec.size,
+      "evolved specs must be pure hidden transforms " +
+        "(days/months/bucket/truncate)")
+    pin.foreach { sch =>
+      transforms(newSpec).foreach(t =>
+        require(sch.fieldNames.exists(_.equalsIgnoreCase(t.source)),
+          s"partition source column ${t.source} is not in the schema"))
+    }
+    GraftTxn.withCommitLock(dir) {
+      val cur = GraftCatalog.partitionSpec(dir)
+      require(cur.isEmpty || isHidden(cur),
+        "identity-partitioned tables cannot evolve their spec " +
+          "(the layout is Spark-path-resolved; hidden transforms only)")
+      require(cur != newSpec, "the new spec equals the current spec")
+      GraftTxn.snapshotCurrent(dir)
+      val sid = specHistory(dir).map(_._1).maxOption.getOrElse(0L) + 1
+      val line = s"$sid\t${GraftTxn.version(dir) + 1}\t" +
+        s"${newSpec.mkString(";")}\n"
+      java.nio.file.Files.write(
+        new File(dir, SpecHistoryFile).toPath,
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND): Unit
+      java.nio.file.Files.write(
+        new File(dir, GraftCatalog.PartitionsFile).toPath,
+        newSpec.mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      GraftTxn.bumpVersion(dir)
+      GraftTxn.pruneSnapshots(dir, GraftTxn.retention)
+      sid
+    }
+  }
+
+  /** (specId, firstVersion, spec lines) per evolution, oldest first. */
+  def specHistory(dir: File): Seq[(Long, Long, Seq[String])] = {
+    val f = new File(dir, SpecHistoryFile)
+    if (!f.isFile) return Nil
+    new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty).flatMap { l =>
+        l.split("\t", 3) match {
+          case Array(id, v, spec) =>
+            for { i <- id.toLongOption; vv <- v.toLongOption }
+              yield (i, vv, spec.split(";").toSeq.filter(_.nonEmpty))
+          case _ => None
+        }
+      }
+  }
+
+  /** The transform lines a SCAN should prune under: the current spec
+    * plus every historical one (deduped). Each file prunes under
+    * whichever transform's dir segment its path carries —
+    * [[satisfiable]] keeps files lacking a segment, so feeding the
+    * union is sound across evolution boundaries. */
+  def pruningSpec(dir: File): Seq[String] = {
+    val cur = GraftCatalog.partitionSpec(dir)
+    val hist = specHistory(dir).flatMap(_._3)
+    (cur ++ hist).distinct.filter(l => parseLine(l).isRight)
+  }
+
   def transforms(rawSpec: Seq[String]): Seq[PartTransform] =
     rawSpec.map(parseLine).collect { case Right(t) => t }
 

@@ -305,6 +305,7 @@ object GraftTxn {
     // snapshot, so a time-travel read of a partitioned table reports
     // its layout — and prunes files — like the live table does
     Seq(GraftCatalog.SchemaFile, GraftCatalog.PartitionsFile,
+        GraftPartitions.SpecHistoryFile,
         GraftStats.StatsFile).foreach { m =>
       val f = new File(dir, m)
       if (f.isFile)

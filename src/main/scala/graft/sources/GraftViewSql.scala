@@ -162,7 +162,14 @@ private[graft] object GraftViewSql {
 private[graft] class GraftViewParser(session: SparkSession,
     delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftViewSql.rewrite(session, delegate.parsePlan(sqlText), this)
+    // session transactions (round 16): BEGIN/COMMIT/ROLLBACK are not
+    // Spark SQL — intercept before the delegate; while a transaction
+    // is active, DML targets and touched-table reads redirect to the
+    // shadow catalog (GraftSessionTxn)
+    GraftSessionTxn.statement(sqlText)
+      .orElse(GraftMvSql.statement(session, sqlText, delegate))
+      .getOrElse(GraftSessionTxn.redirect(session,
+        GraftViewSql.rewrite(session, delegate.parsePlan(sqlText), this)))
   // Spark 4.1's parameterized `spark.sql(text, args)` enters HERE, not
   // parsePlan — the interface default silently drops the parameter
   // context, so the wrapper must forward it (PlanLint caught sql40
@@ -170,10 +177,14 @@ private[graft] class GraftViewParser(session: SparkSession,
   override def parsePlanWithParameters(sqlText: String,
       ctx: org.apache.spark.sql.catalyst.parser.ParameterContext)
       : LogicalPlan =
-    GraftViewSql.rewrite(session,
-      delegate.parsePlanWithParameters(sqlText, ctx), this)
+    GraftSessionTxn.statement(sqlText)
+      .orElse(GraftMvSql.statement(session, sqlText, delegate))
+      .getOrElse(GraftSessionTxn.redirect(session,
+        GraftViewSql.rewrite(session,
+          delegate.parsePlanWithParameters(sqlText, ctx), this)))
   override def parseQuery(sqlText: String): LogicalPlan =
-    GraftViewSql.rewrite(session, delegate.parseQuery(sqlText), this)
+    GraftSessionTxn.redirect(session,
+      GraftViewSql.rewrite(session, delegate.parseQuery(sqlText), this))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
