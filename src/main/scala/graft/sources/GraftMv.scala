@@ -198,10 +198,12 @@ private[graft] object GraftMv {
       .select((gcols ++ d.aggs.zipWithIndex.map { case (a, i) =>
         val dcol = if (a.fn == "count") col("__d0")
           else col(s"__d$i")
-        (coalesce(col(a.alias), lit(0).cast(
-          mv.schema(a.alias).dataType)) +
-          coalesce(dcol.cast(mv.schema(a.alias).dataType),
-            lit(0).cast(mv.schema(a.alias).dataType))).as(a.alias)
+        val t = mv.schema(a.alias).dataType
+        // decimal addition widens precision by one — cast back to the
+        // MV's pinned column type so every refresh writes the same
+        // physical layout the MV was created with
+        (coalesce(col(a.alias), lit(0).cast(t)) +
+          coalesce(dcol.cast(t), lit(0).cast(t))).cast(t).as(a.alias)
       }): _*)
       .filter(col(countAlias) > 0)
       .localCheckpoint(true) // materialize BEFORE overwriting the input

@@ -6,6 +6,8 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.spark.sql.types._
 
+import scala.jdk.CollectionConverters._
+
 /** MANIFEST-LEVEL FILE SKIPPING (round 15, VERDICT r14 ask #1 — the
   * Iceberg/Delta data-skipping analog, re-expressed over the graft
   * commit protocol).
@@ -57,11 +59,106 @@ object GraftStats {
   val StatsColumnsProp = "graft.stats.columns"
   val MaxDefaultStatsColumns = 32
 
+  /** Declared EQUALITY-SKIPPING columns (round 16): for each listed
+    * STRING/integral column, commit-time stats additionally build a
+    * per-file BLOOM FILTER over the column's values (executor-side,
+    * one projected column read per file), and point predicates
+    * (`=`/`IN`) prune files whose bloom refutes the value — O(1 file)
+    * group discovery on uuid-ish keys where min/max ranges span the
+    * whole domain. Opt-in: the bloom costs one column read per
+    * committed file. */
+  val BloomColumnsProp = "graft.stats.bloom.columns"
+
+  /** 8192-bit / 4-hash bloom: <1% false positives to ~1k distinct
+    * values per file; a false positive only costs I/O (over-keep). */
+  private val BloomBits = 8192
+  private val BloomHashes = 4
+
+  private[sources] def bloomBitsOf(canon: String): Seq[Int] = {
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(canon, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(canon, 0x85ebca6b)
+    (0 until BloomHashes).map(i =>
+      math.floorMod(h1 + i * h2, BloomBits))
+  }
+
+  /** Is this a type the bloom tier hashes soundly? (Canonical strings
+    * are exact for these.) */
+  private def bloomSupported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case _ => false
+  }
+
+  /** The declared bloom columns present in the schema. */
+  def bloomColumns(dir: File, schema: StructType): Set[String] =
+    GraftCatalog.loadProps(dir).get(BloomColumnsProp)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+      .flatMap(n => schema.fields.find(f =>
+        f.name.equalsIgnoreCase(n) && bloomSupported(f.dataType)))
+      .map(_.name.toLowerCase).toSet
+
+  /** Read ONE column's canonical values from a parquet file
+    * (executor-side Group read, projected to the column) and build
+    * the bloom. None when the column is absent or unprojectable. */
+  private[sources] def buildBloom(f: File, colName: String): Option[String] =
+    try {
+      import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+      import org.apache.parquet.hadoop.example.GroupReadSupport
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.{MessageType, Type}
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val path = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+      val footer = ParquetFileReader.open(
+        HadoopInputFile.fromPath(path, conf))
+      val fileSchema = try footer.getFooter.getFileMetaData.getSchema
+        finally footer.close()
+      val field: Type = fileSchema.getFields.asScala
+        .find(_.getName.equalsIgnoreCase(colName)).getOrElse(return None)
+      if (!field.isPrimitive) return None
+      val projection = new MessageType(fileSchema.getName,
+        java.util.Arrays.asList[Type](field))
+      conf.set(org.apache.parquet.hadoop.api.ReadSupport
+        .PARQUET_READ_SCHEMA, projection.toString)
+      val bits = new java.util.BitSet(BloomBits)
+      val r = ParquetReader.builder(new GroupReadSupport(), path)
+        .withConf(conf).build()
+      try {
+        val ptype = field.asPrimitiveType().getPrimitiveTypeName
+        var g = r.read()
+        while (g != null) {
+          if (g.getFieldRepetitionCount(field.getName) > 0) {
+            val canon = ptype match {
+              case org.apache.parquet.schema.PrimitiveType
+                  .PrimitiveTypeName.BINARY =>
+                Some(enc(g.getBinary(field.getName, 0).toStringUsingUTF8))
+              case org.apache.parquet.schema.PrimitiveType
+                  .PrimitiveTypeName.INT64 =>
+                Some(g.getLong(field.getName, 0).toString)
+              case org.apache.parquet.schema.PrimitiveType
+                  .PrimitiveTypeName.INT32 =>
+                Some(g.getInteger(field.getName, 0).toString)
+              case _ => None
+            }
+            canon match {
+              case Some(c) => bloomBitsOf(c).foreach(bits.set)
+              case None => return None // unhashable physical type
+            }
+          }
+          g = r.read()
+        }
+      } finally r.close()
+      Some(java.util.Base64.getEncoder.encodeToString(bits.toByteArray))
+    } catch { case _: Exception => None }
+
   /** One file-column stat line. min/max are None when the footer had
     * no usable bound (all-null file, non-finite float, missing
-    * stats). */
+    * stats). `bloom` (round 16, VERDICT r15 ask #8) is a base64
+    * BITSET over the column's canonical values — the equality tier
+    * for high-cardinality columns where every file spans the min/max
+    * domain. */
   final case class ColStat(min: Option[String], max: Option[String],
-      nullCount: Option[Long], rowCount: Long)
+      nullCount: Option[Long], rowCount: Long,
+      bloom: Option[String] = None)
 
   /** Per-file stats: lower-cased column name → stat. */
   type FileStats = Map[String, ColStat]
@@ -225,6 +322,20 @@ object GraftStats {
     }.toSeq
   }
 
+  /** [[fileLines]] plus the declared bloom columns' filter lines
+    * (7th tab field — [[load]] accepts both widths). */
+  private[sources] def fileLinesWithBlooms(rel: String, f: File,
+      cols: Seq[StructField], bloomCols: Set[String]): Seq[String] = {
+    val base = fileLines(rel, f, cols)
+    if (bloomCols.isEmpty) return base
+    base.map { line =>
+      val colName = line.split("\t", -1)(1)
+      if (bloomCols.contains(colName))
+        buildBloom(f, colName).fold(line)(b => line + "\t" + b)
+      else line
+    }
+  }
+
   /** Append stats for freshly promoted files. Called under the commit
     * lock, right before the stage's files move
     * ([[GraftTxn.promoteStage]]). The footer reads run EXECUTOR-side
@@ -257,16 +368,19 @@ object GraftStats {
       if (rels.isEmpty) return
       val stageAbs = stage.getAbsolutePath
       val session = org.apache.spark.sql.SparkSession.getActiveSession
+      val bloomCols = bloomColumns(dir, pin)
       val lines: Seq[String] = session match {
         case Some(spark) if rels.size > 1 =>
           val colsB = cols // serialized once per task, O(stat columns)
+          val bloomB = bloomCols
           spark.sparkContext
             .parallelize(rels, math.min(rels.size, 32))
-            .flatMap(rel =>
-              fileLines(rel, new File(stageAbs, rel), colsB))
+            .flatMap(rel => fileLinesWithBlooms(rel,
+              new File(stageAbs, rel), colsB, bloomB))
             .collect().toSeq
         case _ =>
-          rels.flatMap(rel => fileLines(rel, new File(stageAbs, rel), cols))
+          rels.flatMap(rel => fileLinesWithBlooms(rel,
+            new File(stageAbs, rel), cols, bloomCols))
       }
       if (lines.nonEmpty)
         java.nio.file.Files.write(new File(dir, StatsFile).toPath,
@@ -285,14 +399,16 @@ object GraftStats {
     new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8)
       .split("\n").foreach { line =>
         val p = line.split("\t", -1)
-        if (p.length == 6) {
+        if (p.length >= 6) {
           val file = dec(p(0))
           out.getOrElseUpdate(file, scala.collection.mutable.Map.empty)
             .update(p(1), ColStat(
               Option(p(2)).filter(_.nonEmpty),
               Option(p(3)).filter(_.nonEmpty),
               p(4).toLongOption,
-              p(5).toLongOption.getOrElse(-1L)))
+              p(5).toLongOption.getOrElse(-1L),
+              if (p.length >= 7) Option(p(6)).filter(_.nonEmpty)
+              else None))
         }
       }
     out.map { case (k, v) => k -> v.toMap }.toMap
@@ -310,9 +426,9 @@ object GraftStats {
         new File(dir, k).isFile).toMap
       val lines = keep.flatMap { case (file, cols) =>
         cols.map { case (col, s) =>
-          Seq(enc(file), col, s.min.getOrElse(""), s.max.getOrElse(""),
+          (Seq(enc(file), col, s.min.getOrElse(""), s.max.getOrElse(""),
             s.nullCount.map(_.toString).getOrElse(""),
-            s.rowCount.toString).mkString("\t")
+            s.rowCount.toString) ++ s.bloom.toSeq).mkString("\t")
         }
       }.mkString("", "\n", "\n")
       java.nio.file.Files.write(f.toPath, lines.getBytes(UTF_8)): Unit
@@ -379,7 +495,21 @@ object GraftStats {
     def allNull(s: ColStat): Boolean =
       s.rowCount >= 0 && s.nullCount.contains(s.rowCount)
     def contains(c: String, v: Any): Boolean =
-      cmpMin(c, v)(_ <= 0) && cmpMax(c, v)(_ >= 0)
+      cmpMin(c, v)(_ <= 0) && cmpMax(c, v)(_ >= 0) && bloomHas(c, v)
+    // the equality tier (round 16): a present bloom that lacks any of
+    // the value's bits PROVES the file cannot contain it; absent
+    // bloom / unconvertible value → keep
+    def bloomHas(c: String, v: Any): Boolean =
+      stat(c).forall { case (s, t) =>
+        (s.bloom, toCanon(v, t)) match {
+          case (Some(b64), Some(cv)) => try {
+            val bits = java.util.BitSet.valueOf(
+              java.util.Base64.getDecoder.decode(b64))
+            bloomBitsOf(cv).forall(bits.get)
+          } catch { case _: Exception => true }
+          case _ => true
+        }
+      }
     filter match {
       case EqualTo(c, v) => contains(c, v)
       case EqualNullSafe(c, null) => hasNulls(c, stats)

@@ -1717,7 +1717,95 @@ object Streams {
     } finally s.sql(s"DROP TABLE IF EXISTS $cat.nation_sink"): Unit
   }
 
+  /** ST31 — SNAPSHOT-THEN-INCREMENTAL graft streaming source
+    * (round 16, VERDICT r15 ask #7; the Delta-source
+    * backfill-then-follow idiom): `readStream.format(
+    * "graft-snapshot-cdc")` on a CDF-enabled graft table emits the
+    * INITIAL SNAPSHOT as insert images (pinned under the commit lock,
+    * paced by maxFilesPerBatch, DV-aware) and then the WRITE-TIME CDF
+    * tail — one checkpointed query, restart-safe at every offset
+    * ([[graft.sources.GraftSnapshotFeed]]). Contract: nation seeded +
+    * updated (v2), streamed in run 1 (snapshot ONLY — multiple
+    * batches); DELETE (v3) + INSERT (v4) land while the stream is
+    * down; run 2 RESUMES ACROSS THE BOUNDARY and emits exactly the
+    * tail. The multiset `inserts − deletes` reconstructed from the
+    * feed must equal the live table; a third run with no commits
+    * emits nothing. Claims: per-change-type feed counts the oracle
+    * restates from nation, the reconstruction equivalence, and the
+    * run-2/run-3 batch-count booleans. */
+  def st31SnapshotThenTail(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.tune(spark)
+    val cat = Tables.graftCatalog(s, "st31", sfDir)
+    val base = Tables.scratchDir("st31_cat", sfDir)
+    s.sql(s"DROP TABLE IF EXISTS $cat.nation_sf")
+    // explicit repartition(6): AQE never coalesces a user-fixed
+    // partition count, so the snapshot really spans multiple files
+    // (the b1 >= 2 backfill-pacing claim)
+    Tables.nation(s, sfDir)
+      .selectExpr("n_nationkey AS k",
+        "CAST(n_nationkey * 10 AS BIGINT) AS v")
+      .repartition(6)
+      .createOrReplaceTempView("nation_src31")
+    s.sql(s"CREATE TABLE $cat.nation_sf " +
+      "TBLPROPERTIES ('graft.cdf.enabled'='true') AS " +
+      "SELECT * FROM nation_src31")
+    try {
+      s.sql(s"UPDATE $cat.nation_sf SET v = v + 1000 WHERE k % 5 = 0") // 2
+      val dir = new java.io.File(s"$base/nation_sf")
+      val outDir = Tables.scratchDir("st31_out", sfDir)
+      val cpDir = Tables.scratchDir("st31_cp", sfDir)
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(cpDir), true)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      def runOnce(): Long = {
+        val q = s.readStream.format("graft-snapshot-cdc")
+          .option("tableDir", dir.getAbsolutePath)
+          .option("maxFilesPerBatch", "2")
+          .load()
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", cpDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.recentProgress.count(_.numInputRows > 0).toLong
+      }
+      try {
+        val b1 = runOnce() // snapshot backfill only (v2 state)
+        val snapRows = Tables.tune(s).read.parquet(outDir).count()
+        s.sql(s"DELETE FROM $cat.nation_sf WHERE k % 3 = 0") // v3
+        s.sql(s"INSERT INTO $cat.nation_sf VALUES (900, 9000), " +
+          "(901, 9010)") // v4
+        val b2 = runOnce() // resumes ACROSS the boundary: tail only
+        val b3 = runOnce() // no new commits
+        val feed = Tables.tune(s).read.parquet(outDir)
+        val recon = feed.groupBy(col("k"), col("v"))
+          .agg(sum(when(col(graft.sources.GraftCdf.ChangeTypeCol) ===
+            "insert", 1L).otherwise(-1L)).as("m"))
+          .filter(col("m") > 0).select(col("k"), col("v"))
+        val tbl = s.table(s"$cat.nation_sf").select(col("k"), col("v"))
+        val reconOk = recon.exceptAll(tbl).isEmpty &&
+          tbl.exceptAll(recon).isEmpty
+        val phasesOk = b1 >= 2 && // >1 file batch: a REAL backfill pace
+          snapRows == Tables.nation(s, sfDir).count() &&
+          b2 >= 1 && b3 == 0
+        feed.groupBy(col(graft.sources.GraftCdf.ChangeTypeCol)
+            .as("change_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("k")), lit(0L)).as("ksum"))
+          .withColumn("recon_ok", lit(reconOk))
+          .withColumn("phases_ok", lit(phasesOk))
+          .orderBy(col("change_type"))
+          .localCheckpoint(true)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally s.sql(s"DROP TABLE IF EXISTS $cat.nation_sf"): Unit
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st31_snapshot_then_tail" -> (st31SnapshotThenTail _),
     "st30_graft_sink" -> (st30GraftSink _),
     "st29_cdf_rows" -> (st29CdfRows _),
     "st28_stream_change_feed" -> (st28StreamChangeFeed _),
@@ -1751,6 +1839,21 @@ object Streams {
     "st18_update_mode" -> (st18UpdateMode _))
 
   val oracles: Map[String, String] = Map(
+    // the feed's per-class counts restated from nation: inserts = the
+    // whole snapshot (one image per key — the pre-stream UPDATE is
+    // FOLDED IN, not streamed) plus v4's two inserts; deletes = v3's
+    // k%3=0 images; reconstruction/phase pacing are engine booleans
+    "st31_snapshot_then_tail" ->
+      ("WITH ev AS (" +
+       "SELECT 'insert' AS change_type, n_nationkey AS k FROM nation " +
+       "UNION ALL SELECT 'insert', 900 " +
+       "UNION ALL SELECT 'insert', 901 " +
+       "UNION ALL SELECT 'delete', n_nationkey FROM nation " +
+       "WHERE n_nationkey % 3 = 0) " +
+       "SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(k) AS BIGINT) AS ksum, " +
+       "TRUE AS recon_ok, TRUE AS phases_ok " +
+       "FROM ev GROUP BY change_type ORDER BY change_type"),
     // per-version change classes restated from the base table: v2 =
     // UPDATE k%5=0 (changed), v3 = DELETE k%3=0 (deleted), v4 = MERGE
     // updating surviving k%7=1 keys + inserting 900/901

@@ -377,6 +377,163 @@ class Round16Spec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS p16o.t"): Unit
   }
 
+  test("mv refresh: both crash windows resolve exactly-once (no lost delta, no double-apply)") {
+    import graft.sources.GraftMv
+    val base = freshCatalog("p16p")
+    spark.sql("DROP TABLE IF EXISTS p16p.b")
+    spark.sql("CREATE TABLE p16p.b TBLPROPERTIES " +
+      "('graft.cdf.enabled'='true') AS SELECT id AS k, " +
+      "CAST(id % 3 AS INT) AS g, CAST(id AS DECIMAL(12,2)) AS p " +
+      "FROM range(0, 300)")
+    spark.sql("CREATE MATERIALIZED VIEW p16p.mv AS " +
+      "SELECT g, count(*) AS n, sum(p) AS total FROM p16p.b GROUP BY g")
+    val catBase = new File(base)
+    val mvDir = new File(base, "mv")
+    def recompute() = spark.sql(
+      "SELECT g, count(*) AS n, sum(p) AS total FROM p16p.b GROUP BY g")
+    // WINDOW 1: crash BEFORE the MV commit (intent stored, commit
+    // never ran) — the next refresh discards the intent and redoes
+    spark.sql("UPDATE p16p.b SET p = p + 1 WHERE k < 30")
+    GraftTxn.commitHook = () =>
+      throw new RuntimeException("boom: pre-commit crash")
+    try intercept[Exception](
+      GraftMv.refresh(spark, catBase, "mv"))
+    finally GraftTxn.commitHook = () => ()
+    assert(GraftMv.load(GraftMv.defFile(catBase, "mv"))
+      .pendingTo.nonEmpty, "the intent must be durable before the commit")
+    val (v1, _) = GraftMv.refresh(spark, catBase, "mv")
+    assert(v1 == 1L, "the crashed delta must be re-applied")
+    assert(spark.table("p16p.mv").exceptAll(recompute()).isEmpty)
+    // WINDOW 2: crash AFTER the commit but BEFORE the watermark —
+    // constructed via the def API: reset the watermark with an intent
+    // that points at the committed state
+    spark.sql("DELETE FROM p16p.b WHERE k >= 290")
+    val dBefore = GraftMv.load(GraftMv.defFile(catBase, "mv"))
+    val mvVerBefore = GraftTxn.version(mvDir)
+    val (v2, _) = GraftMv.refresh(spark, catBase, "mv")
+    assert(v2 == 1L)
+    val dAfter = GraftMv.load(GraftMv.defFile(catBase, "mv"))
+    GraftMv.store(GraftMv.defFile(catBase, "mv"), dAfter.copy(
+      lastVersion = dBefore.lastVersion,
+      pendingTo = Some(dAfter.lastVersion),
+      mvVersionBefore = Some(mvVerBefore)))
+    val (v3, n3) = GraftMv.refresh(spark, catBase, "mv")
+    assert(v3 == 0L && n3 == 0L,
+      "a committed-but-unwatermarked refresh must roll FORWARD, " +
+        s"never re-apply; got versions=$v3 rows=$n3")
+    assert(spark.table("p16p.mv").exceptAll(recompute()).isEmpty,
+      "double-applying the delta would double the retractions")
+    spark.sql("DROP MATERIALIZED VIEW p16p.mv")
+    spark.sql("DROP TABLE IF EXISTS p16p.b"): Unit
+  }
+
+  test("snapshot-then-tail: offsets resume exactly, mid-snapshot and at the boundary; DV rows excluded") {
+    import graft.sources.{GraftCdf, GraftSnapshotFeedStream, SnapOffset}
+    val base = freshCatalog("p16q")
+    spark.sql("DROP TABLE IF EXISTS p16q.t")
+    spark.range(0, 80).selectExpr("id AS k", "id * 2 AS v")
+      .repartition(4).createOrReplaceTempView("seed16q")
+    spark.sql("CREATE TABLE p16q.t TBLPROPERTIES " +
+      "('graft.cdf.enabled'='true','graft.dv.enabled'='true') AS " +
+      "SELECT * FROM seed16q")
+    // a DV delete BEFORE the stream: snapshot rows must exclude it
+    spark.sql("DELETE FROM p16q.t WHERE k < 4")
+    val dir = new File(base, "t")
+    val schema = GraftCdf.feedSchema(
+      graft.sources.GraftCatalog.pinned(dir).get)
+    def rowsOf(s: GraftSnapshotFeedStream,
+        a: SnapOffset, b: SnapOffset): Long = {
+      val factory = s.createReaderFactory()
+      s.planInputPartitions(a, b).map { p =>
+        val r = factory.createReader(p)
+        var n = 0L
+        while (r.next()) { r.get(): Unit; n += 1 }
+        r.close(); n
+      }.sum
+    }
+    val s1 = new GraftSnapshotFeedStream(dir, schema, 1, 1)
+    val o0 = s1.initialOffset().asInstanceOf[SnapOffset]
+    assert(!o0.tail && o0.idx == 0)
+    val o1 = s1.latestOffset(o0, null).asInstanceOf[SnapOffset]
+    val n1 = rowsOf(s1, o0, o1)
+    // RESTART mid-snapshot: a fresh stream resumes from the offset's
+    // json — the pinned snapshot's sorted file list is the stable
+    // enumeration
+    val s2 = new GraftSnapshotFeedStream(dir, schema, 8, 1)
+    var cur = s2.deserializeOffset(o1.json()).asInstanceOf[SnapOffset]
+    var total = n1
+    var guard = 0
+    while (!cur.tail && guard < 20) {
+      val next = s2.latestOffset(cur, null).asInstanceOf[SnapOffset]
+      total += rowsOf(s2, cur, next)
+      cur = next; guard += 1
+    }
+    assert(total == 76,
+      s"the backfill must emit each surviving row exactly once " +
+        s"(DV rows excluded); got $total")
+    // BOUNDARY restart: new commits land, a fresh stream resumes from
+    // the tail offset and emits exactly the new change images
+    spark.sql("DELETE FROM p16q.t WHERE k >= 76") // 4 delete images
+    spark.sql("INSERT INTO p16q.t VALUES (500, 0)") // 1 insert image
+    val s3 = new GraftSnapshotFeedStream(dir, schema, 8, 10)
+    val t0 = s3.deserializeOffset(cur.json()).asInstanceOf[SnapOffset]
+    val t1 = s3.latestOffset(t0, null).asInstanceOf[SnapOffset]
+    assert(rowsOf(s3, t0, t1) == 5,
+      "the tail must carry exactly the post-boundary change images")
+    // and nothing more
+    val t2 = s3.latestOffset(t1, null).asInstanceOf[SnapOffset]
+    assert(t2 == t1 && rowsOf(s3, t1, t2) == 0)
+    spark.sql("DROP TABLE IF EXISTS p16q.t"): Unit
+  }
+
+  test("bloom tier: point lookups on a declared high-cardinality column keep O(1 file)") {
+    val base = freshCatalog("p16r")
+    spark.sql("DROP TABLE IF EXISTS p16r.t")
+    // uuid-ish keys HASH-distributed across 8 files: every file spans
+    // the whole min/max domain, so the range tier alone keeps all 8
+    // (explicit repartition — AQE never coalesces a fixed count)
+    spark.range(0, 4000)
+      .selectExpr("md5(CAST(id AS STRING)) AS uid", "id AS v")
+      .repartition(8, col("uid"))
+      .createOrReplaceTempView("seed16r")
+    spark.sql("CREATE TABLE p16r.t TBLPROPERTIES " +
+      "('graft.stats.bloom.columns'='uid') AS SELECT * FROM seed16r")
+    val dir = new File(base, "t")
+    val files = GraftTxn.dataFiles(dir)
+    assert(files.size >= 4, s"need a multi-file table, got ${files.size}")
+    val ledger = GraftStats.load(dir)
+    assert(files.forall(f => ledger.get(f)
+      .exists(_.get("uid").exists(_.bloom.nonEmpty))),
+      "every file must carry a uid bloom")
+    val planted = spark.sql(
+      "SELECT md5(CAST(1234 AS STRING))").head().getString(0)
+    val cands = GraftStats.candidateFiles(dir, files,
+      Seq(org.apache.spark.sql.sources.EqualTo("uid", planted)),
+      spark.table("p16r.t").schema)
+    assert(cands.nonEmpty && cands.size <= 2,
+      s"bloom must pin the point lookup to ~1 file; kept ${cands.size} " +
+        s"of ${files.size}")
+    // a value that exists nowhere: every file refutable (tiny FP slack)
+    val absent = GraftStats.candidateFiles(dir, files,
+      Seq(org.apache.spark.sql.sources.EqualTo("uid", "not-a-hash")),
+      spark.table("p16r.t").schema)
+    assert(absent.size <= 1, s"absent key kept ${absent.size}")
+    // the scan itself prunes and still answers correctly
+    val r = spark.table("p16r.t")
+      .filter(col("uid") === planted).collect()
+    assert(r.length == 1 && r(0).getLong(1) == 1234L)
+    val (listed, kept) = GraftStats.lastReport(dir.getAbsolutePath)
+    assert(listed == files.size && kept <= 2,
+      s"the skipping scan must use the bloom: $listed/$kept")
+    // range tier alone would NOT have pruned (domain-spanning files):
+    // a range predicate keeps everything
+    val ranged = GraftStats.candidateFiles(dir, files,
+      Seq(org.apache.spark.sql.sources.GreaterThan("uid", "0")),
+      spark.table("p16r.t").schema)
+    assert(ranged.size == files.size)
+    spark.sql("DROP TABLE IF EXISTS p16r.t"): Unit
+  }
+
   test("DV update CDF delete images are the exact pre-update rows") {
     val base = freshCatalog("p16i")
     val dir = mkDvTable("p16i", base, cdf = true)
