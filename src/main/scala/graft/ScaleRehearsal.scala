@@ -89,7 +89,16 @@ object ScaleRehearsal {
     // exponent ≈ the slice's share of work), the SQL txn face (sql63 —
     // staging is the only data-sized phase)
     "sql60_file_skipping", "sql61_transform_partitions",
-    "sql62_deletion_vectors", "sql63_sql_txn_face")
+    "sql62_deletion_vectors", "sql63_sql_txn_face",
+    // round-16 storage frontier: merge-on-read UPDATE/MERGE (sql65 —
+    // cost tracks the CHANGED rows plus the candidate-file scan, not
+    // affected-file bytes), spec evolution (sql66 — metadata-only
+    // commit; the windowed read's cost tracks kept files under both
+    // layouts), incremental MV refresh (sql67 — ∝ the CDF delta),
+    // session transactions (sql68 — clone links + touched-table
+    // restatement)
+    "sql65_dv_update", "sql66_spec_evolution",
+    "sql67_matview_refresh", "sql68_session_txn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

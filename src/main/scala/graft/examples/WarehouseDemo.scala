@@ -174,6 +174,38 @@ object WarehouseDemo {
     spark.sql("SELECT COUNT(*) AS via_view FROM wh.big_facts").show()
     spark.sql("DROP VIEW wh.big_facts")
 
+    // 10. round-16 surfaces: merge-on-read UPDATE, session
+    // transactions, partition-spec evolution, materialized views
+    // -- merge-on-read UPDATE on the DV-enabled facts: positions +
+    //    an appended file, ZERO rewrites
+    val preUpd = GraftTxn.dataFiles(factsDir)
+    spark.sql("UPDATE wh.facts SET v = v + 0.5 WHERE k % 1000 = 0")
+    println(s"merge-on-read UPDATE rewrote ${
+      (preUpd diff GraftTxn.dataFiles(factsDir)).size} files " +
+      s"(appended ${(GraftTxn.dataFiles(factsDir) diff preUpd).size})")
+    // -- a session transaction: two statements, one atomic commit
+    spark.sql("BEGIN")
+    spark.sql("UPDATE wh.ledger SET amount = amount + 1 WHERE acct = 1")
+    spark.sql("INSERT INTO wh.audit VALUES (3, 1)")
+    spark.sql("COMMIT")
+    println("session txn committed: " +
+      s"ledger v${GraftTxn.version(ledgerDir)}")
+    // -- evolve the events table's spec: months instead of days; old
+    //    day dirs keep pruning, new writes land month dirs
+    spark.sql("CALL wh.evolve_partitions('events', 'months(ts)')").show()
+    spark.sql("INSERT INTO wh.events SELECT id, " +
+      "timestamp_micros(CAST(1706745600000000 + (id % 2) * 86400000000 " +
+      "AS LONG)) FROM range(100, 110)")
+    // -- a materialized view over the ledger, refreshed incrementally
+    //    from the change feed
+    spark.sql("CREATE MATERIALIZED VIEW wh.ledger_mv AS " +
+      "SELECT region, count(*) AS n, sum(amount) AS total " +
+      "FROM wh.ledger GROUP BY region")
+    spark.sql("UPDATE wh.ledger SET amount = amount + 100 WHERE acct = 2")
+    spark.sql("CALL wh.refresh_mv('ledger_mv')").show()
+    spark.sql("SELECT * FROM wh.ledger_mv ORDER BY region").show()
+    spark.sql("DROP MATERIALIZED VIEW wh.ledger_mv")
+
     spark.sql("DROP TABLE IF EXISTS wh.facts")
     spark.sql("DROP TABLE IF EXISTS wh.events")
     spark.sql("DROP TABLE IF EXISTS wh.ledger")

@@ -1357,10 +1357,12 @@ object Dml {
     * restates from orders; the v2 CDF class counts (delete = insert =
     * matched keys, oracle-restated); `zero_rewrite_mor_ok` — every
     * pre-DML file still present bit-identical and sidecars exist; and
-    * OPTIMIZE materializes with values stable. `graft.dv.maxRatio` is
-    * raised to 0.9 so the second update's 50%-of-one-small-file
-    * positions stay merge-on-read (the default 0.2 guard would fold
-    * them — that behavior is spec-pinned instead). */
+    * OPTIMIZE materializes with values stable. `graft.dv.maxRatio`
+    * is 1.0 here — "never fold" — so the zero-rewrite claim holds at
+    * EVERY SF (at sf0.001 the delta-appended files are ~1 row each
+    * and the second update fully deletes some, which a fractional
+    * guard would legitimately materialize; the default-0.2 guard
+    * behavior is spec-pinned in Round16Spec instead). */
   def sql65DvUpdate(spark: SparkSession, sfDir: String): DataFrame = {
     val s = Tables.tune(spark)
     val cat = Tables.graftCatalog(s, "sql65", sfDir)
@@ -1371,7 +1373,7 @@ object Dml {
       .createOrReplaceTempView("orders_src65")
     s.sql(s"CREATE TABLE $cat.orders_mor " +
       "TBLPROPERTIES ('graft.dv.enabled'='true'," +
-      "'graft.dv.maxRatio'='0.9','graft.cdf.enabled'='true') AS " +
+      "'graft.dv.maxRatio'='1.0','graft.cdf.enabled'='true') AS " +
       "SELECT * FROM orders_src65") // v1
     try {
       val dir = new java.io.File(
@@ -1535,14 +1537,20 @@ object Dml {
         "SELECT o_orderkey AS k, o_totalprice * 2 AS p " +
         "FROM orders_src68 WHERE o_orderkey > 1000 AND o_orderkey <= 3000")
       val nUp = s.table("v68_upserts").count()
+      val preSum = s.table(s"$cat.fact_tx")
+        .agg(sum(col("p").cast(graft.Det.Money))).head().getDecimal(0)
       s.sql("BEGIN")
       s.sql(s"MERGE INTO $cat.fact_tx t USING v68_upserts u ON t.k = u.k " +
         "WHEN MATCHED THEN UPDATE SET p = u.p " +
         "WHEN NOT MATCHED THEN INSERT *")
       s.sql(s"INSERT INTO $cat.audit_tx VALUES (1, $nUp)")
-      // read-your-writes mid-txn; the LIVE tables are untouched
-      val rywOk = s.sql(s"SELECT COUNT(*) FROM $cat.fact_tx " +
-        "WHERE k > 2000").head().getLong(0) > 0 &&
+      // read-your-writes mid-txn (the merge doubled >1000 keys'
+      // prices, so the visible sum MOVES at every SF) while the LIVE
+      // tables stay at their pre-txn versions
+      val midSum = s.sql(s"SELECT CAST(SUM(CAST(p AS " +
+        s"${graft.Det.Money.sql})) AS ${graft.Det.Money.sql}) " +
+        s"FROM $cat.fact_tx").head().getDecimal(0)
+      val rywOk = midSum.compareTo(preSum) > 0 &&
         graft.sources.GraftTxn.version(dirF) == 1L &&
         graft.sources.GraftTxn.version(dirA) == 0L
       s.sql("COMMIT")
