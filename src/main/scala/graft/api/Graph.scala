@@ -95,6 +95,15 @@ object Graph {
     val adj = o.groupBy(col("src"))
       .agg(sort_array(collect_list(struct(col("dst_deg").as("d"),
         col("dst").as("v")))).as("ns"))
+    // Round-16 optimization A/B (ProbeTri, 41M wedge pairs, alternating
+    // reps in one JVM): a single-explode higher-order spelling
+    // (explode(flatten(transform(transform(slice)))), building each
+    // node's full pair array) measured ~2x SLOWER (4.5 s vs 2.3 s per
+    // closing pass) than this double posexplode — the generators
+    // stream pairs through whole-stage codegen without materializing
+    // the per-node pair array, and the "array copied per row" worry
+    // does not dominate at O(√m)-bounded out-degrees. Kept as-is;
+    // measured rejection recorded in OPTIMIZATION_r16.md.
     val w = adj
       .select(col("ns"), posexplode(col("ns")).as(Seq("i", "xs")))
       .select(col("i"), col("xs"), posexplode(col("ns")).as(Seq("j", "ys")))
@@ -150,11 +159,28 @@ object Graph {
         .unionByName(e.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
     var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-    for (_ <- 1 to rounds) {
-      val keep = degrees(e).filter(col("deg") >= k).select(col("n"))
-      e = graft.Checkpoints.cut(
-        e.join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
-          .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+    // Round-16 optimizations (A/B'd in ProbeKcore, identical results):
+    // (1) peel by ANTI-joining the set of nodes that fall OUT this
+    //     round instead of SEMI-joining the survivor set — every edge
+    //     endpoint appears in the degree table, so anti(bad) ≡
+    //     semi(keep) row-for-row, but the peel set is the sparse side
+    //     (empty at convergence), so AQE broadcasts it at runtime and
+    //     the edge list is never shuffled for the filter (guide §3.1);
+    // (2) STOP at the fixed point: when a round's peel set is empty,
+    //     that round — and therefore every remaining round — is the
+    //     identity on the edge set, so the final edges are
+    //     bit-identical with or without running them (the simultaneous
+    //     peel is deterministic and stationary once converged). The
+    //     peel set is lineage-cut so the emptiness probe and the joins
+    //     share one materialization.
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
+      val bad = graft.Checkpoints.cut(
+        degrees(e).filter(col("deg") < k).select(col("n")))
+      if (bad.isEmpty) converged = true
+      else e = graft.Checkpoints.cut(
+        e.join(bad.select(col("n").as("a")), Seq("a"), "left_anti")
+          .join(bad.select(col("n").as("b")), Seq("b"), "left_anti")
           .select(col("a"), col("b")))
     }
     val degF = degrees(e)

@@ -34,25 +34,58 @@ object BasketOps {
     * self-join (a basket with > `basketCap` distinct items contributes
     * zero pairs instead of a quadratic blow-up). */
   def coOccurrencePairs(bi: DataFrame, basketCap: Int,
-      minBaskets: Long): DataFrame = {
+      minBaskets: Long): DataFrame =
+    pairsFromCapped(cappedBaskets(bi, basketCap), minBaskets)
+
+  /** The distinct (basket, item) frame with the hot-basket cap applied
+    * (round-16 refactor: the capped frame and the pair generation are
+    * separable so shared memos can reuse each stage). */
+  private[operators] def cappedBaskets(bi: DataFrame,
+      basketCap: Int): DataFrame = {
     val li = bi.select(col("basket"), col("item")).distinct()
     val ok = li.groupBy(col("basket"))
       .agg(count(lit(1)).as("sz")).filter(col("sz") <= basketCap)
       .select(col("basket"))
-    val l2 = li.join(ok, "basket")
+    li.join(ok, "basket")
+  }
+
+  private[operators] def pairsFromCapped(l2: DataFrame,
+      minBaskets: Long): DataFrame =
     l2.select(col("basket"), col("item").as("part_a"))
       .join(l2.select(col("basket"), col("item").as("part_b")), "basket")
       .filter(col("part_a") < col("part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= minBaskets)
-  }
+
+  /** The capped (≤50 distinct parts) ORDER-basket frame, built once per
+    * (session, corpus) — round-16 optimization: x71 and x142 each
+    * rebuilt this distinct + cap + join (x142 twice: once inline for
+    * supports, once inside its pair call); one lineage-cut memo now
+    * serves every consumer, exactly like the customer-grain
+    * [[custBasketsShared]] below. */
+  private[graft] def orderBasketsShared(spark: SparkSession,
+      sfDir: String): DataFrame =
+    graft.Memo(spark, s"order_baskets:$sfDir") {
+      graft.Checkpoints.cut(cappedBaskets(
+        Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey").as("basket"),
+            col("l_partkey").as("item")), basketCap = 50))
+    }
+
+  /** Pair supports at the shared ≥2 lower bound over the shared order
+    * baskets (round-16): x71 reads it outright, x142 filters to its ≥3
+    * operating point — the expensive basket self-join runs once per
+    * session instead of twice. */
+  private[graft] def orderPairs2Shared(spark: SparkSession,
+      sfDir: String): DataFrame =
+    graft.Memo(spark, s"order_pairs2:$sfDir") {
+      graft.Checkpoints.cut(
+        pairsFromCapped(orderBasketsShared(spark, sfDir), minBaskets = 2L))
+    }
 
   def x71CoPurchase(spark: SparkSession, sfDir: String): DataFrame =
-    coOccurrencePairs(
-      Tables.lineitem(spark, sfDir)
-        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
-      basketCap = 50, minBaskets = 2L)
+    orderPairs2Shared(spark, sfDir)
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(100)
 
@@ -71,16 +104,17 @@ object BasketOps {
     * ratios are single IEEE divisions of exact BIGINT products,
     * rounded to 6 dp — no float accumulation anywhere. */
   def x142AssocRules(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
-      .distinct()
-    val ok = li.groupBy(col("basket")).agg(count(lit(1)).as("sz"))
-      .filter(col("sz") <= 50).select(col("basket"))
-    val capped = li.join(ok, "basket")
-    val nBaskets = ok.agg(count(lit(1)).as("n_total"))
+    // round 16: supports, basket count, and pairs all come off the
+    // SHARED capped order-basket memo (x71's frame) — the ≥3 pair set
+    // is exactly the shared ≥2 set filtered, and the qualifying-basket
+    // count is the capped frame's distinct baskets (identical to the
+    // pre-r16 inline ok-count by construction).
+    val capped = orderBasketsShared(spark, sfDir)
+    val nBaskets = capped.select(col("basket")).distinct()
+      .agg(count(lit(1)).as("n_total"))
     val itemN = capped.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
-    val pairs = graft.operators.BasketOps.coOccurrencePairs(li, basketCap = 50,
-      minBaskets = 3L)
+    val pairs = orderPairs2Shared(spark, sfDir)
+      .filter(col("n_orders") >= 3L)
     val rules = pairs.select(col("part_a").as("antecedent"),
         col("part_b").as("consequent"), col("n_orders").as("n_both"))
       .unionByName(pairs.select(col("part_b").as("antecedent"),

@@ -1628,8 +1628,15 @@ object Dml {
       val recomputed = s.sql(s"SELECT st, count(*) AS n_orders, " +
         s"sum(p) AS total FROM $cat.orders_mvb WHERE k % 2 = 0 " +
         "GROUP BY st")
-      val incrementalOk = refreshed.exceptAll(recomputed).isEmpty &&
-        recomputed.exceptAll(refreshed).isEmpty &&
+      // round 16 optimization: both exceptAll directions in ONE
+      // symmetric-diff job (±1 count aggregation — the plan Spark
+      // lowers exceptAll to anyway); empty ⇔ both exceptAlls empty
+      val symDiffEmpty = refreshed.withColumn("__side", lit(1L))
+        .unionByName(recomputed.withColumn("__side", lit(-1L)))
+        .groupBy(refreshed.columns.map(col).toSeq: _*)
+        .agg(sum(col("__side")).as("__d")).filter(col("__d") =!= 0L)
+        .isEmpty
+      val incrementalOk = symDiffEmpty &&
         r.getLong(0) == 3L && r.getLong(1) > 0L &&
         r.getLong(1) < nBase / 2
       val r2 = s.sql(s"CALL $cat.refresh_mv('omv')").head()

@@ -1376,8 +1376,9 @@ private[sources] class GraftReplaceDataWrite(inner: BatchWrite,
           else None
         (oldDf, newDf) match {
           case (Some(o), Some(n)) =>
-            GraftCdf.writeInto(b, n.exceptAll(o), "insert")
-            GraftCdf.writeInto(b, o.exceptAll(n), "delete")
+            // round 16: one fused diff job — same images as the two
+            // exceptAll writes it replaces (see GraftCdf.writeDiff)
+            GraftCdf.writeDiff(b, o, n)
           case (Some(o), None) => GraftCdf.writeInto(b, o, "delete")
           case (None, Some(n)) => GraftCdf.writeInto(b, n, "insert")
           case _ => ()

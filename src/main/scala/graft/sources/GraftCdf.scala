@@ -74,10 +74,41 @@ object GraftCdf {
 
   /** Append `df` rows tagged with `changeType` into the build. */
   def writeInto(build: File, df: DataFrame, changeType: String): Unit =
-    df.withColumn(ChangeTypeCol, lit(changeType))
-      .write.mode("append")
+    writeTagged(build, df.withColumn(ChangeTypeCol, lit(changeType)))
+
+  /** Append rows that already carry [[ChangeTypeCol]] into the build. */
+  def writeTagged(build: File, df: DataFrame): Unit =
+    df.write.mode("append")
       .option(GraftParquetTable.FieldIdWriteConf, "true") // r15: scoped
       .parquet(build.getAbsolutePath)
+
+  /** One-job multiset diff (round 16 optimization): rows only in `n`
+    * land as "insert" images, rows only in `o` as "delete" — exactly
+    * `writeInto(b, n.exceptAll(o), "insert");
+    *  writeInto(b, o.exceptAll(n), "delete")`, the pre-r16 spelling,
+    * but both signed halves come out of ONE aggregation over o ∪ n
+    * instead of two separate anti-diff trees that each re-shuffle both
+    * inputs (guide §2.4: operations keyed the same way share one
+    * exchange). Spark's own `exceptAll` lowers to this very
+    * count-diff-then-replicate shape (sum of ±1 per row group,
+    * Generate over the count), so per-row semantics — null-safe
+    * grouping, NaN/-0.0 normalization, duplicate multiplicity — are
+    * the set-op ones on both spellings. */
+  def writeDiff(build: File, o: DataFrame, n: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{abs, array_repeat, explode, sum, when}
+    val cols = n.columns.toSeq
+    val side = "__graft_cdf_side"
+    val diff = "__graft_cdf_diff"
+    val tagged = o.select(cols.map(col): _*).withColumn(side, lit(-1L))
+      .unionByName(n.select(cols.map(col): _*).withColumn(side, lit(1L)))
+    val images = tagged.groupBy(cols.map(col): _*)
+      .agg(sum(col(side)).as(diff))
+      .filter(col(diff) =!= 0L)
+      .select(cols.map(col) :+ explode(array_repeat(
+        when(col(diff) > 0, lit("insert")).otherwise(lit("delete")),
+        abs(col(diff)).cast("int"))).as(ChangeTypeCol): _*)
+    writeTagged(build, images)
+  }
 
   /** Under the commit lock, after validation and the version bump:
     * publish the build as this commit's change set. Empty builds (a

@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.write.{DataWriter, DataWriterFactory, Delt
 import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetTable}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -447,22 +447,33 @@ private[sources] class GraftDeltaBatchWrite(inner: org.apache.spark.sql.connecto
     cdfBuild =
       if (GraftCdf.enabled(d)) {
         val b = GraftCdf.newBuild(d)
-        if (posCounts.nonEmpty) {
-          val newPos = spark.read
-            .option("basePath", dvStage.getAbsolutePath)
-            .parquet(dvStage.getAbsolutePath)
-            .selectExpr("CAST(fkey AS STRING) AS __fkey",
-              "pos AS __pos")
-          val oldImages = GraftDv.readWithRowIndex(spark, d,
-            posCounts.keys.toSeq.sorted.map(n => new File(d, n)),
-            declared)
-            .join(newPos, Seq("__fkey", "__pos"), "left_semi")
-            .drop("__pos", "__fkey")
-          GraftCdf.writeInto(b, oldImages, "delete")
-        }
-        if (GraftTxn.dataFiles(insertStage).nonEmpty)
-          GraftCdf.writeInto(b,
-            GraftCdf.readStage(spark, insertStage, declared), "insert")
+        // round 16 optimization: the delete images (old rows of the
+        // recorded positions) and the insert images (staged new rows)
+        // are tagged and written in ONE job instead of two — the union
+        // shares the write's fixed cost; rows are identical to the
+        // two-write spelling.
+        val oldImages =
+          if (posCounts.nonEmpty) {
+            val newPos = spark.read
+              .option("basePath", dvStage.getAbsolutePath)
+              .parquet(dvStage.getAbsolutePath)
+              .selectExpr("CAST(fkey AS STRING) AS __fkey",
+                "pos AS __pos")
+            Some(GraftDv.readWithRowIndex(spark, d,
+              posCounts.keys.toSeq.sorted.map(n => new File(d, n)),
+              declared)
+              .join(newPos, Seq("__fkey", "__pos"), "left_semi")
+              .drop("__pos", "__fkey")
+              .withColumn(GraftCdf.ChangeTypeCol, lit("delete")))
+          } else None
+        val insImages =
+          if (GraftTxn.dataFiles(insertStage).nonEmpty)
+            Some(GraftCdf.readStage(spark, insertStage, declared)
+              .withColumn(GraftCdf.ChangeTypeCol, lit("insert")))
+          else None
+        (oldImages.toSeq ++ insImages.toSeq)
+          .reduceOption(_ unionByName _)
+          .foreach(GraftCdf.writeTagged(b, _))
         Some(b)
       } else None
     finalStage = GraftPartitions.splitStage(spark, d, insertStage,

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFu
 import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.functions.{coalesce, col, expr, lit, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, sum, when}
 
 /** MATERIALIZED VIEWS with INCREMENTAL CDF REFRESH (round 16, VERDICT
   * r15 ask #4 — the `.graftview` sibling for AGGREGATES, maintained by
@@ -182,9 +182,15 @@ private[graft] object GraftMv {
       .filter(col("_commit_version") > d.lastVersion &&
         col("_commit_version") <= cur)
     val filtered = d.filterSql.fold(changes)(p => changes.filter(expr(p)))
+    // round 16 optimization: the delta-row count rides the merge job
+    // as an observed metric instead of its own count() job — one fewer
+    // full pass over the change feed per refresh; the value is the
+    // same row count the separate job returned.
+    val obs = new org.apache.spark.sql.Observation(
+      s"graft_mv_delta_${System.nanoTime()}")
     val signed = filtered.withColumn("__m",
       when(col("_change_type") === "insert", 1L).otherwise(-1L))
-    val nDelta = signed.count()
+      .observe(obs, count(lit(1)).as("n"))
     val gcols = d.groupCols.map(col)
     val delta = signed.groupBy(gcols: _*)
       .agg(sum(col("__m")).as("__d0"),
@@ -207,6 +213,7 @@ private[graft] object GraftMv {
       }): _*)
       .filter(col(countAlias) > 0)
       .localCheckpoint(true) // materialize BEFORE overwriting the input
+    val nDelta = obs.get("n").asInstanceOf[Long]
     // intent BEFORE the commit (class doc)
     store(df, d.copy(pendingTo = Some(cur),
       mvVersionBefore = Some(GraftTxn.version(mvDir))))

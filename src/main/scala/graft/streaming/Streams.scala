@@ -210,6 +210,14 @@ object Streams {
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
   }
 
+  // Round-16 optimization A/B, REJECTED: raising the stream-stream
+  // JOIN rows' replay partitions 2→4 looked good in a warm-JIT Time
+  // JVM (st12 3.98→3.46 s) but in bench context (cold JVM, alternating
+  // A/B runs) parts=4 measured equal-to-worse (st12 7.97→11.4 s run 1,
+  // 8.34→8.80 run 2; st15 3.57→4.72/3.85→3.85), and the full-bench
+  // normalized diff showed st14/15/16 regressing. The global default
+  // of 2 stands; -Dgraft.stream.parts remains the experiment lever.
+
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Drop every memory-sink table this object registered. Each replay

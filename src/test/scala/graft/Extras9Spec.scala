@@ -85,9 +85,26 @@ class Extras9Spec extends SparkSpec {
     assert(div == exact)
   }
 
-  test("x71: AQE reuses the self-join's distinct/guard exchanges — the " +
-      "expensive shuffles compute once for both sides") {
-    val df = graft.operators.BasketOps.x71CoPurchase(spark, sf)
+  test("x71: the expensive basket shuffles compute once — one shared " +
+      "materialized pair build per session (round 16), and the memo-free " +
+      "API path still reuses the self-join's exchanges") {
+    // round 16: x71/x142 serve from ONE memoized, lineage-cut pair
+    // frame (sharing by materialization — stronger than within-plan
+    // exchange reuse, and it spans QUERIES, not just join sides)
+    val p1 = graft.operators.BasketOps.orderPairs2Shared(spark, sf)
+    val p2 = graft.operators.BasketOps.orderPairs2Shared(spark, sf)
+    assert(p1 eq p2, "one pair build per (session, corpus)")
+    val scans = flattenPlan(p1.queryExecution.executedPlan).collect {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
+    }
+    assert(scans.nonEmpty, "pairs serve from a materialized checkpoint")
+    // the public per-call API (no memo) keeps the pre-r16 property:
+    // AQE reuses the distinct/guard exchanges across the self-join
+    val df = graft.operators.BasketOps.coOccurrencePairs(
+      Tables.lineitem(spark, sf).select(
+        org.apache.spark.sql.functions.col("l_orderkey").as("basket"),
+        org.apache.spark.sql.functions.col("l_partkey").as("item")),
+      basketCap = 50, minBaskets = 2L)
     df.collect()
     val reused = flattenPlan(df.queryExecution.executedPlan).collect {
       case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
