@@ -1148,7 +1148,7 @@ private[sources] class GraftRowLevelOperation(table: GraftParquetTable,
             else {
               val r0 = declared.fold(spark.read)(s => spark.read.schema(s))
                 .option(GraftParquetTable.FieldIdReadConf, "true") // r15
-              val perFile =
+              val perFile = GraftTxn.described(spark, "group discovery") {
                 (if (candidates == listed) r0.parquet(dir)
                  else {
                    // explicit candidate files; identity layouts keep
@@ -1162,6 +1162,7 @@ private[sources] class GraftRowLevelOperation(table: GraftParquetTable,
                 .groupBy(input_file_name().as("f"))
                 .agg(max(when(cond, 1L).otherwise(0L)).as("hit"))
                 .collect()
+              }
               Some(perFile.filter(_.getLong(1) > 0L)
                 .map(r => new File(new java.net.URI(r.getString(0)))))
             }

@@ -78,9 +78,11 @@ object GraftCdf {
 
   /** Append rows that already carry [[ChangeTypeCol]] into the build. */
   def writeTagged(build: File, df: DataFrame): Unit =
-    df.write.mode("append")
-      .option(GraftParquetTable.FieldIdWriteConf, "true") // r15: scoped
-      .parquet(build.getAbsolutePath)
+    GraftTxn.described(df.sparkSession, "cdf image build") {
+      df.write.mode("append")
+        .option(GraftParquetTable.FieldIdWriteConf, "true") // r15: scoped
+        .parquet(build.getAbsolutePath)
+    }
 
   /** One-job multiset diff (round 16 optimization): rows only in `n`
     * land as "insert" images, rows only in `o` as "delete" — exactly

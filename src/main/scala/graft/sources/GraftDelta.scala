@@ -532,8 +532,20 @@ private[sources] class GraftDeltaBatchWrite(inner: org.apache.spark.sql.connecto
         ledger.get(rel)
           .flatMap(_.values.headOption.map(_.rowCount).filter(_ > 0))
           .exists { rows =>
-            GraftDv.readPositions(GraftDv.sidecarPaths(d, rel)).length
-              .toDouble > ratio * rows
+            // round 16: cheap footer row-count UPPER BOUND first —
+            // sidecar rows ≥ distinct positions (repeated deletes may
+            // duplicate a position), so a bound at-or-under the
+            // threshold proves the exact test fails without reading
+            // any position values; only a bound over the threshold
+            // (or an unreadable footer, -1) pays the exact deduped
+            // read. Same decisions, O(footers) driver I/O on the
+            // common under-threshold path.
+            val paths = GraftDv.sidecarPaths(d, rel)
+            val bounds = paths.map(p =>
+              GraftReplaceDataWrite.parquetRowCount(new File(p)))
+            val boundKnown = bounds.forall(_ >= 0L)
+            (!boundKnown || bounds.sum.toDouble > ratio * rows) &&
+              GraftDv.readPositions(paths).length.toDouble > ratio * rows
           }
       }
       if (over)

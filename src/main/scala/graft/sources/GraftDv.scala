@@ -224,9 +224,11 @@ object GraftDv {
   private[sources] def stagePositions(spark: SparkSession, dir: File,
       matched: DataFrame): File = {
     val stage = GraftTxn.newStageDir(dir, "dv")
-    matched.select(col("__fkey").as("fkey"), col("__pos").as("pos"))
-      .write.mode("append").partitionBy("fkey")
-      .parquet(stage.getAbsolutePath)
+    GraftTxn.described(spark, "dv position staging") {
+      matched.select(col("__fkey").as("fkey"), col("__pos").as("pos"))
+        .write.mode("append").partitionBy("fkey")
+        .parquet(stage.getAbsolutePath)
+    }
     stage
   }
 

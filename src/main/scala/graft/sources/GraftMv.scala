@@ -212,12 +212,16 @@ private[graft] object GraftMv {
           coalesce(dcol.cast(t), lit(0).cast(t))).cast(t).as(a.alias)
       }): _*)
       .filter(col(countAlias) > 0)
-      .localCheckpoint(true) // materialize BEFORE overwriting the input
+    val mergedDone = GraftTxn.described(session, "mv incremental merge") {
+      merged.localCheckpoint(true) // materialize BEFORE overwriting input
+    }
     val nDelta = obs.get("n").asInstanceOf[Long]
     // intent BEFORE the commit (class doc)
     store(df, d.copy(pendingTo = Some(cur),
       mvVersionBefore = Some(GraftTxn.version(mvDir))))
-    overwriteMv(session, mvDir, merged)
+    GraftTxn.described(session, "mv refresh commit") {
+      overwriteMv(session, mvDir, mergedDone)
+    }
     store(df, d.copy(lastVersion = cur))
     (cur - d.lastVersion, nDelta)
   }

@@ -373,11 +373,13 @@ object GraftStats {
         case Some(spark) if rels.size > 1 =>
           val colsB = cols // serialized once per task, O(stat columns)
           val bloomB = bloomCols
-          spark.sparkContext
-            .parallelize(rels, math.min(rels.size, 32))
-            .flatMap(rel => fileLinesWithBlooms(rel,
-              new File(stageAbs, rel), colsB, bloomB))
-            .collect().toSeq
+          GraftTxn.described(spark, "commit stats collection") {
+            spark.sparkContext
+              .parallelize(rels, math.min(rels.size, 32))
+              .flatMap(rel => fileLinesWithBlooms(rel,
+                new File(stageAbs, rel), colsB, bloomB))
+              .collect().toSeq
+          }
         case _ =>
           rels.flatMap(rel => fileLinesWithBlooms(rel,
             new File(stageAbs, rel), cols, bloomCols))

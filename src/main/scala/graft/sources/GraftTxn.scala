@@ -75,6 +75,21 @@ import java.io.File
   * constraints).
   */
 object GraftTxn {
+  /** Label the Spark jobs `body` launches (guide §1.5 — round 16):
+    * engine-internal phases (stats collection, CDF image build, group
+    * discovery, DV staging, MV refresh) each submit their own jobs,
+    * and an unlabeled UI/event log cannot attribute a slow commit to
+    * its phase. Thread-local set/restore, so concurrent statements on
+    * other threads keep their own labels. */
+  def described[T](spark: org.apache.spark.sql.SparkSession,
+      phase: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"graft: $phase")
+    try body
+    finally sc.setJobDescription(prev)
+  }
+
   /** Thrown by a losing commit. Message names the table and a sample
     * of the invalidated files; the statement's writes are rolled back
     * before this propagates. */

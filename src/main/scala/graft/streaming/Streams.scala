@@ -1795,8 +1795,14 @@ object Streams {
             "insert", 1L).otherwise(-1L)).as("m"))
           .filter(col("m") > 0).select(col("k"), col("v"))
         val tbl = s.table(s"$cat.nation_sf").select(col("k"), col("v"))
-        val reconOk = recon.exceptAll(tbl).isEmpty &&
-          tbl.exceptAll(recon).isEmpty
+        // round 16: both exceptAll directions in ONE symmetric-diff
+        // job (±1-count aggregation — exceptAll's own lowering shape);
+        // empty ⇔ both exceptAlls empty, so reconOk is unchanged
+        val reconOk = recon.withColumn("__side", lit(1L))
+          .unionByName(tbl.withColumn("__side", lit(-1L)))
+          .groupBy(col("k"), col("v"))
+          .agg(sum(col("__side")).as("__d")).filter(col("__d") =!= 0L)
+          .isEmpty
         val phasesOk = b1 >= 2 && // >1 file batch: a REAL backfill pace
           snapRows == Tables.nation(s, sfDir).count() &&
           b2 >= 1 && b3 == 0

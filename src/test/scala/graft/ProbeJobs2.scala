@@ -27,8 +27,12 @@ object ProbeJobs2 {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         val site = Option(j.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .flatMap(p => Option(p.getProperty("spark.job.description"))
+            .orElse(Option(p.getProperty("callSite.short"))))
           .getOrElse("?")
+        if (sys.env.contains("GRAFT_PROBE_KEYS") && j.properties != null)
+          System.err.println(s"[keys] job ${j.jobId}: " +
+            j.properties.stringPropertyNames().toArray.mkString(","))
         starts.put(j.jobId, (System.nanoTime(), site)): Unit
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
@@ -37,6 +41,10 @@ object ProbeJobs2 {
         }
     })
     SparkEntry.queries("s1_scan")(spark, sfDir).count()
+    // label plumbing self-check: this job must print as "graft: probe"
+    graft.sources.GraftTxn.described(spark, "probe") {
+      spark.range(10).count()
+    }
     Thread.sleep(500)
     // second run = warm numbers; first run reported too
     (1 to 2).foreach { i =>
