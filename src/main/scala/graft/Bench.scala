@@ -53,6 +53,7 @@ object Bench {
       prestaged = warm.map(_._1)
       val w0 = System.nanoTime()
       warm.foreach { case (n, fn) =>
+        BuildLog.setCurrent(s"prestage:$n")
         try { fn(spark, sfDir).count(): Unit }
         catch { case e: Throwable =>
           System.err.println(s"[bench] prestage $n failed (non-fatal): " +
@@ -72,12 +73,14 @@ object Bench {
       only.forall(_.exists(_.findFirstIn(n).isDefined))
     }
     val results = selected.map { case (name, fn) =>
+      BuildLog.setCurrent(name)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
       }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    BuildLog.setCurrent("")
     // Self-reporting contract (VERDICT r10 #3): the full per-query line
     // at ~360 queries is ~11 KB — larger than the driver's stdout
     // capture budget in either direction, so whichever end the capture
@@ -105,8 +108,17 @@ object Bench {
     val prestageJson =
       s""""prestage":{"regex":"${prestage.replace("\\", "\\\\")}","warmed":${
         prestaged.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    // round 17 (VERDICT r16 ask #7, additions-only): which queries'
+    // timed lines BUILT shared artifacts / session memos this run —
+    // the per-query map is only comparable across runs with this in
+    // hand (a build-paying line vs a riding line is an accounting
+    // difference, not a perf one)
+    val artifactsJson = "\"artifacts_built\":" +
+      BuildLog.snapshot().toSeq.sortBy(_._1).map { case (q, as) =>
+        "\"" + q + "\":" + as.map("\"" + _ + "\"").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${qmap(results)},"failures":$failures,$prestageJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${qmap(results)},"failures":$failures,$prestageJson,$artifactsJson,"sf":"$sfDir"}"""
     val slowest = results.sortBy(-_._2).take(15)
     // "position" distinguishes the two compact copies so a consumer
     // that sums or counts every JSON line on stdout can dedupe them

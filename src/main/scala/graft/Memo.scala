@@ -43,6 +43,7 @@ object Memo {
     if (hit != null) hit
     else {
       val built = build
+      BuildLog.note(s"memo:$key") // r17: bench attribution, see BuildLog
       val prev = perSession.putIfAbsent(key, built)
       if (prev != null) prev else built
     }

@@ -26,7 +26,11 @@ object Tables {
   def tune(spark: SparkSession): SparkSession = {
     val c = spark.conf
     c.set("spark.sql.session.timeZone", "UTC")
-    c.set("spark.sql.adaptive.enabled", "true")
+    // honored unless a scoped AQE-off section is active (round 17:
+    // GraphOps.withAqeOff freezes AQE around eager iterative cuts;
+    // loaders called inside such a section must not re-enable it)
+    if (c.get("spark.graft.aqe.freeze", "false") != "true")
+      c.set("spark.sql.adaptive.enabled", "true")
     // events.parquet carries INT64 TIMESTAMP(NANOS,false), which the default
     // Spark 4 reader rejects (PARQUET_TYPE_ILLEGAL). Read it as epoch-nano
     // LongType instead; queries treat `ts` as a BIGINT and never emit a raw
@@ -159,6 +163,7 @@ object Tables {
     try {
       Files.move(temp.toPath, target.toPath,
         StandardCopyOption.ATOMIC_MOVE)
+      BuildLog.note(target.getName) // r17: bench attribution, see BuildLog
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException |

@@ -27,24 +27,79 @@ object Graph {
   private def dec(c: org.apache.spark.sql.Column) =
     sum(c.cast(DecimalType(28, 15))).cast("double")
 
+  /** Node-count gate for the scaled-long exact-sum fast path (round 17,
+    * guide §"expressions and codegen" — VERDICT r16 ask #1's "scaled-long
+    * exact partial sums" with the overflow proof made explicit).
+    *
+    * Both iterative float kernels (PageRank, HITS) sum per-row
+    * contributions that are EXACT 10-dp decimals (`round(x, 10)`), and
+    * the decimal spelling `sum(cast(c as DECIMAL(28,15)))` allocates a
+    * non-long-backed Decimal + BigDecimal add per row — the dominant
+    * per-task cost of the warm iterations (ProbeStages r17: x111 warm
+    * taskSec 41 at 32 threads, almost all in the 16-task join+agg map
+    * stages). When every contribution is provably small, the SAME exact
+    * sum is computable in primitive longs: S = Σ round(c·1e10) with
+    * c·1e10 integral.
+    *
+    * Exactness proof, step by step, for contributions 0 ≤ c ≤ B where
+    * B ≤ 2·`FastSumNodeBound` = 1e5 (PageRank: total rank mass starts at
+    * N ≤ nodeBound and stays ≤ 2N under the damped update, so any
+    * single rank — and hence any contribution rank/deg — is ≤ 2N; HITS:
+    * normalized scores are ≤ 1, first-round raw sums are ≤ N):
+    *  1. round(c, 10) yields the nearest double d to the exact 10-dp
+    *     decimal v; |d − v| ≤ v·1.1e-16.
+    *  2. d·1e10 in IEEE has one more rounding: the computed value
+    *     differs from v·1e10 (an integer) by ≤ v·1e10·2.3e-16
+    *     ≤ 1e5·1e10·2.3e-16 = 0.23 < 0.5, so HALF_UP rounding to scale 0
+    *     recovers the integer v·1e10 exactly, and the long cast is exact.
+    *  3. Per-group sums are bounded by (total mass)·1e10 ≤ 2e15 < 2^53
+    *     < Long.MaxValue: no overflow, and the closing cast to double is
+    *     exact, so double division by 1e10 (a power of ten below 2^53,
+    *     exactly representable) returns the correctly rounded double of
+    *     S/1e10 — bit-identical to DECIMAL's toDouble of the same exact
+    *     sum.
+    * Outside the gate (nodeBound unknown or large) the kernels keep the
+    * decimal spelling, so results are identical at EVERY scale — the
+    * fast path is a provably-equal rewrite, not an approximation
+    * (GraphSpec pins equality of the two spellings; the x111/x140
+    * oracles re-verify end to end). */
+  private[graft] val FastSumNodeBound = 50000L
+
+  /** The scaled-long exact sum of 10-dp contributions (see
+    * [[FastSumNodeBound]] for the equality proof and bounds). */
+  private def longSum(c: org.apache.spark.sql.Column) =
+    sum(round(c * lit(1e10d), 0).cast("long")).cast("double") / lit(1e10d)
+
   /** PageRank (Brin/Page 1998; damping 0.85, non-normalized form with
     * initial rank 1) over a directed edge frame whose source
     * OUT-DEGREE column is precomputed — the production entry when the
     * degree-annotated adjacency is a persisted table (the x111 staged
     * adjacency). See the class doc for the determinism policy. */
   def pageRankWithDeg(edges: DataFrame, srcCol: String, dstCol: String,
-      degCol: String, iters: Int): DataFrame = {
+      degCol: String, iters: Int): DataFrame =
+    pageRankWithDeg(edges, srcCol, dstCol, degCol, iters, 0L)
+
+  /** As [[pageRankWithDeg]], with an optional caller-supplied UPPER
+    * BOUND on the node count (0 = unknown). A small proven bound
+    * (≤ [[FastSumNodeBound]]) switches the exact per-iteration sum from
+    * DECIMAL(28,15) to scaled longs — identical results (see the
+    * equality proof at [[FastSumNodeBound]]), codegen-primitive task
+    * work. Callers with a staged adjacency derive the bound from
+    * parquet footer stats (max node id), so the switch costs no job. */
+  def pageRankWithDeg(edges: DataFrame, srcCol: String, dstCol: String,
+      degCol: String, iters: Int, nodeBound: Long): DataFrame = {
+    val fast = nodeBound > 0L && nodeBound <= FastSumNodeBound
     val ed = edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
       col(degCol).as("deg"))
     var ranks = ed.select(col("a").as("node")).distinct()
       .withColumn("rank", lit(1.0))
     for (_ <- 1 to iters) {
+      val c = round(col("rank") / col("deg"), 10).as("c")
+      val esum = if (fast) longSum(col("c")) else dec(col("c"))
       ranks = ed.join(ranks, ed("a") === ranks("node"))
-        .select(col("b"), round(col("rank") / col("deg"), 10).as("c"))
+        .select(col("b"), c)
         .groupBy(col("b"))
-        .agg((lit(0.15) + lit(0.85) *
-          sum(col("c").cast(DecimalType(28, 15))).cast("double"))
-          .as("rank"))
+        .agg((lit(0.15) + lit(0.85) * esum).as("rank"))
         .select(col("b").as("node"), col("rank"))
     }
     ranks
@@ -75,7 +130,28 @@ object Graph {
     * (the wedge side is the big one; sorting it for a merge join is
     * the plan's real cost). */
   def triangleCensus(edges: DataFrame, srcCol: String = "a",
-      dstCol: String = "b"): DataFrame = {
+      dstCol: String = "b"): DataFrame =
+    triangleCensus(edges, srcCol, dstCol, closeBloomItems = 0L)
+
+  /** As [[triangleCensus]], with an optional Bloom pre-filter on the
+    * wedge stream ahead of the closing join (round 17, guide §3.2).
+    * The wedge stream is the BIG side of the closing SHUFFLE_HASH join
+    * (O(Σ out-deg²) pairs — 41M at sf0.1 for 1.2M edges) and only the
+    * closing wedges survive it (1.88M = 4.6% at sf0.1), so almost the
+    * entire wedge exchange is wasted bytes. `closeBloomItems > 0`
+    * builds a Bloom filter over xxhash64(src, dst) of the oriented
+    * edge list (expectedNumItems = the caller's EXACT edge count, e.g.
+    * from staged parquet footers; 1% fpp ≈ 9.6 bits/edge) and drops
+    * definitely-non-closing wedges BEFORE the exchange. False
+    * positives only add a little shuffle; the exact equi-join still
+    * decides membership, so the census is identical — the pre-filter
+    * is a bytes optimization, never a semantics one. Callers gate on
+    * edge count (the filter must stay broadcast-small); 0 keeps the
+    * plain plan. A broadcast-hash spelling of the same idea was
+    * measured and REJECTED (r17: 42.7→181 taskSec — the generator+
+    * probe fusion serializes and the per-probe cost triples). */
+  def triangleCensus(edges: DataFrame, srcCol: String,
+      dstCol: String, closeBloomItems: Long): DataFrame = {
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
     val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -109,7 +185,15 @@ object Graph {
       .select(col("i"), col("xs"), posexplode(col("ns")).as(Seq("j", "ys")))
       .filter(col("j") > col("i"))
       .select(col("xs.v").as("x"), col("ys.v").as("y"))
-    val tri = w.join(o.as("e3").hint("shuffle_hash"),
+    val wf =
+      if (closeBloomItems > 0L) {
+        val bf = o.select(xxhash64(col("src"), col("dst")).as("h"))
+          .stat.bloomFilter("h", closeBloomItems, 0.01)
+        val bfB = edges.sparkSession.sparkContext.broadcast(bf)
+        val mightClose = udf((h: Long) => bfB.value.mightContainLong(h))
+        w.filter(mightClose(xxhash64(col("x"), col("y"))))
+      } else w
+    val tri = wf.join(o.as("e3").hint("shuffle_hash"),
         col("x") === col("e3.src") && col("y") === col("e3.dst"))
       .agg(count(lit(1)).as("n_triangles"))
     nNodes.crossJoin(nEdges).crossJoin(wedges).crossJoin(tri)
@@ -158,7 +242,15 @@ object Graph {
       e.select(col("a").as("n"))
         .unionByName(e.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // ADVICE r16: drop NULL-endpoint edges up front — the r16 peel
+    // anti-joins the BAD set, and a NULL endpoint matches neither a
+    // semi(keep) nor an anti(bad) probe, so without this filter a null
+    // edge would survive every round where the pre-r16 semi spelling
+    // dropped it in round 1. The shipped corpora have no null
+    // endpoints (edge frames come from inner joins on non-null keys);
+    // this pins the equivalence for arbitrary callers.
     var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
     // Round-16 optimizations (A/B'd in ProbeKcore, identical results):
     // (1) peel by ANTI-joining the set of nodes that fall OUT this
     //     round instead of SEMI-joining the survivor set — every edge
@@ -233,12 +325,24 @@ object Graph {
     * lineage-cut (it feeds both the norm scalar and the scores —
     * uncut, the plan doubles per round). */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int): DataFrame =
+    hits(edges, srcCol, dstCol, rounds, 0L)
+
+  /** As [[hits]], with an optional node-count upper bound (0 = unknown)
+    * gating the scaled-long exact-sum fast path — same contract and
+    * proof as [[pageRankWithDeg]]: contributions are 10-dp-rounded
+    * scores ≤ 1 (≤ nodeBound for the first raw sums), so within the
+    * gate the long spelling is bit-identical to the decimal one. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, nodeBound: Long): DataFrame = {
     require(rounds >= 1, s"hits() needs at least one round, got $rounds")
+    val fast = nodeBound > 0L && nodeBound <= FastSumNodeBound
+    def esum(c: org.apache.spark.sql.Column) =
+      if (fast) longSum(c) else dec(c)
     val e = edges.select(col(srcCol).as("s"), col(dstCol).as("c"))
     def l1normalize(df: DataFrame): DataFrame = {
       val raw = graft.Checkpoints.cut(df)
-      val s = raw.agg(dec(round(col("raw"), 10)).as("l1"))
+      val s = raw.agg(esum(round(col("raw"), 10)).as("l1"))
       raw.crossJoin(broadcast(s))
         .select(col("node"), round(col("raw") / col("l1"), 10).as("score"))
     }
@@ -249,12 +353,12 @@ object Graph {
       auth = l1normalize(
         e.join(hub, e("s") === hub("node"))
           .select(e("c"), round(col("score"), 10).as("contrib"))
-          .groupBy(col("c")).agg(dec(col("contrib")).as("raw"))
+          .groupBy(col("c")).agg(esum(col("contrib")).as("raw"))
           .select(col("c").as("node"), col("raw")))
       hub = l1normalize(
         e.join(auth, e("c") === auth("node"))
           .select(e("s"), round(col("score"), 10).as("contrib"))
-          .groupBy(col("s")).agg(dec(col("contrib")).as("raw"))
+          .groupBy(col("s")).agg(esum(col("contrib")).as("raw"))
           .select(col("s").as("node"), col("raw")))
     }
     hub.select(lit("hub").as("kind"), col("node"), col("score"))

@@ -1379,8 +1379,13 @@ object Dml {
       val dir = new java.io.File(
         s"${Tables.scratchDir("sql65_cat", sfDir)}/orders_mor")
       val files1 = graft.sources.GraftTxn.dataFiles(dir)
-      val maxKey = Tables.orders(s, sfDir)
-        .agg(max(col("o_orderkey"))).head().getLong(0)
+      // round 17 (guide §6): the max key comes from the input parquet's
+      // exact INT64 footer stats (driver metadata, no scan job);
+      // unusable stats fall back to the aggregate — same value
+      val maxKey = GraphOps.footerMaxLong(
+          new java.io.File(s"$sfDir/orders.parquet"), "o_orderkey")
+        .getOrElse(Tables.orders(s, sfDir)
+          .agg(max(col("o_orderkey"))).head().getLong(0))
       val cut = maxKey / 64
       val cut2 = cut / 2
       s.sql(s"UPDATE $cat.orders_mor SET o_totalprice = " +

@@ -50,10 +50,10 @@ object GraphOps {
       // contract output decodes back to 's…'/'c…' ([[decodeNode]]) so
       // the oracle never sees the coding. The dictionary-coding move
       // every 100 TB graph job makes before iterating.
-      val fp = Tables.corpusFingerprint(sfDir, "lineitem") + "|" +
-        Tables.corpusFingerprint(sfDir, "orders") + "|b16L"
-      val home = Tables.sharedDir("x111_edges", sfDir, fp)
-      if (!home.isDirectory) {
+      val nb = adjBuckets(sfDir)
+      val home = adjHome(sfDir)
+      var built: Option[DataFrame] = None
+      if (!home.isDirectory) withAqeOff(spark, nb) {
         val sc = Tables.lineitem(spark, sfDir)
           .select(col("l_orderkey"), col("l_suppkey"))
           .join(Tables.orders(spark, sfDir)
@@ -62,51 +62,199 @@ object GraphOps {
           .select((col("l_suppkey") * 2).cast("long").as("a"),
             (col("o_custkey") * 2 + 1).cast("long").as("b"))
           .distinct()
-          // materialize ONCE: the union's two branches, the degree
-          // aggregate, and the final join would otherwise each re-run
-          // the fact join + distinct (4x the dominant cold cost).
-          // Checkpoints seam: reliable/table modes by config
+          // materialize ONCE: the union's two branches would otherwise
+          // each re-run the fact join + distinct (the dominant cold
+          // cost). Checkpoints seam: reliable/table modes by config
           .transform(graft.Checkpoints.cut)
         val edges = sc.unionByName(
           sc.select(col("b").as("a"), col("a").as("b")))
-        val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
         // BUCKETED on the join key (x10's machinery): the edge table —
         // the BIG side of every PageRank iteration — carries hash(a)
-        // partitioning in its layout, so each iteration's SMJ exchanges
+        // partitioning in its layout, so each iteration's joins exchange
         // only the node-sized rank vector and the edges are never
-        // re-shuffled (the naive localCheckpoint form re-exchanged the
-        // edge scan five times). On a cluster this is the
-        // pre-partitioned adjacency every iterative graph job stages
-        // first. Write lands in a temp dir THROUGH a temp catalog
-        // entry (bucket layout comes from saveAsTable), then the
-        // entry drops (external table — files stay) and the dir
-        // publishes atomically.
+        // re-shuffled. Round 17 (guide §2.4): the out-degree annotation
+        // is a COUNT WINDOW over the same hash(a) exchange the bucketed
+        // write needs anyway — the r16 spelling's separate degree
+        // aggregate + join + re-repartition (three exchanges) collapse
+        // to ONE exchange shared by window and layout; rows (a, b, deg)
+        // are identical by definition (count per source key). Write
+        // lands in a temp dir THROUGH a temp catalog entry (bucket
+        // layout comes from saveAsTable), then the entry drops
+        // (external table — files stay) and the dir publishes
+        // atomically.
         val tmp = Tables.sharedBuildDir(home)
         val buildTbl = s"${tbl}_build"
         s.sql(s"DROP TABLE IF EXISTS $buildTbl")
         // repartition to the bucket spec BEFORE the write: without it
-        // every task writes a file per bucket (tasks × 16 small files —
-        // measured ~10 s of the cold cost); aligned, it's 16 files
-        edges.join(deg, "a").repartition(16, col("a"))
-          .write.mode("overwrite").option("path", tmp.getAbsolutePath)
-          .bucketBy(16, "a").sortBy("a").saveAsTable(buildTbl)
+        // every task writes a file per bucket (tasks × nb small files);
+        // aligned, it's nb files and the window sorts each bucket once
+        val ann = edges.repartition(nb, col("a"))
+          .withColumn("deg",
+            count(lit(1)).over(Window.partitionBy(col("a"))))
+        // round 17: the building session serves ITSELF from the built
+        // frame — cache it so the bucketed write doubles as the cache
+        // fill (same hash(a, nb) partitioning + per-bucket sort the
+        // registered table would give), skipping the re-read + count
+        // the reuse branch pays
+        ann.cache()
+        ann.write.mode("overwrite").option("path", tmp.getAbsolutePath)
+          .bucketBy(nb, "a").sortBy("a").saveAsTable(buildTbl)
         s.sql(s"DROP TABLE IF EXISTS $buildTbl")
         Tables.publishShared(tmp, home)
+        built = Some(ann)
       }
       // per-session registration over the staged files: DDL carries the
       // same bucket spec, so scans keep hash(a) output partitioning
       // (the spec pins single-Exchange iterations on the reloaded table)
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       s.sql(s"CREATE TABLE $tbl (a BIGINT, b BIGINT, deg BIGINT) " +
-        "USING parquet CLUSTERED BY (a) SORTED BY (a) INTO 16 BUCKETS " +
+        s"USING parquet CLUSTERED BY (a) SORTED BY (a) INTO $nb BUCKETS " +
         s"LOCATION '${home.getAbsolutePath}'")
-      // cache across iterations (InMemoryRelation keeps the bucketed
-      // child's output partitioning): iteration 1 pays one parquet
-      // scan, iterations 2..n scan memory — `persist(MEMORY_AND_DISK)`
-      // on the adjacency is the standard iterative-job move on a
-      // cluster, and here it removes 4 of the 5 cold file scans
-      s.table(tbl).cache()   // (a, b, deg) — long-coded nodes
+      built.getOrElse {
+        // cache across iterations (InMemoryRelation keeps the bucketed
+        // child's output partitioning): iteration 1 pays one parquet
+        // scan, iterations 2..n scan memory — `persist(MEMORY_AND_DISK)`
+        // on the adjacency is the standard iterative-job move on a
+        // cluster, and here it removes 4 of the 5 cold file scans.
+        // Round 17: FILL the cache here with one count — the first
+        // consumer's plan submits its init-ranks and iteration-1
+        // subtrees concurrently, and both racing to fill an empty cache
+        // doubled the scan (ProbeStages: two parallel 8 s fill stages).
+        val t = s.table(tbl).cache() // (a, b, deg) — long-coded nodes
+        t.count()
+        t
+      }
     }
+
+  /** Run `f` (query CONSTRUCTION containing eager lineage cuts) with
+    * AQE off and a data-proportional shuffle width, restoring the
+    * session confs after — each cut execution collapses to one job
+    * (instead of one per exchange stage) over `width` right-sized
+    * partitions (instead of the global partition count AQE would have
+    * coalesced). Semantics-free: neither conf changes results. */
+  private def withAqeOff[T](spark: SparkSession, width: Int)(f: => T): T = {
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevP = spark.conf.get("spark.sql.shuffle.partitions")
+    // the freeze marker keeps Tables.tune (called by loaders inside the
+    // section) from re-enabling AQE mid-scope
+    spark.conf.set("spark.graft.aqe.freeze", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(2, math.min(width, prevP.toInt)).toString)
+    try f finally {
+      spark.conf.set("spark.graft.aqe.freeze", "false")
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      spark.conf.set("spark.sql.shuffle.partitions", prevP)
+    }
+  }
+
+  /** Node-proportional shuffle width for the iterative kernels' cut
+    * executions: one partition per ~2k nodes (node-sized vectors are
+    * the only thing these exchanges carry), capped by the session's
+    * configured width — grows with the corpus, never a local constant. */
+  private def iterWidth(spark: SparkSession, sfDir: String): Int = {
+    val n = adjNodeBound(spark, sfDir)
+    if (n <= 0L) Int.MaxValue else math.max(2L, n / 2000L).toInt
+  }
+
+  /** Data-proportional bucket count for the staged adjacency (round 17,
+    * guide §2 right-sizing): one bucket per ~64 MB of fact input
+    * (lineitem + orders parquet bytes), rounded up to a power of two,
+    * clamped to [8, 1024] — 8 at the test SFs, growing with the corpus
+    * instead of a constant tuned to either local mode or a cluster. */
+  private def adjBuckets(sfDir: String): Int = {
+    val bytes =
+      java.nio.file.Files.size(
+        java.nio.file.Paths.get(s"$sfDir/lineitem.parquet")) +
+      java.nio.file.Files.size(
+        java.nio.file.Paths.get(s"$sfDir/orders.parquet"))
+    val want = (bytes / (64L << 20)).toInt + 1
+    var nb = 8
+    while (nb < want && nb < 1024) nb *= 2
+    nb
+  }
+
+  /** Home dir of the staged trade adjacency (fingerprint-named; the
+    * bucket count is part of the key, so a corpus-size change that
+    * moves [[adjBuckets]] re-stages instead of mis-registering). */
+  private[graft] def adjHome(sfDir: String): java.io.File = {
+    val fp = Tables.corpusFingerprint(sfDir, "lineitem") + "|" +
+      Tables.corpusFingerprint(sfDir, "orders") + s"|b${adjBuckets(sfDir)}Lw"
+    Tables.sharedDir("x111_edges", sfDir, fp)
+  }
+
+  /** Upper bound on the trade graph's node count, from the STAGED
+    * adjacency's parquet footer max(a) — driver-side metadata reads,
+    * no Spark job (round 17; gates the scaled-long exact-sum fast path
+    * in [[graft.api.Graph.FastSumNodeBound]]). Node ids are the dense
+    * 2k/2k+1 coding, so N ≤ max(a) + 1; 0 when footer stats are
+    * unusable (callers then keep the decimal path — same results). */
+  private def adjNodeBound(spark: SparkSession, sfDir: String): Long =
+    footerMaxLong(adjHome(sfDir), "a").map(_ + 2L).getOrElse(0L)
+
+  /** Driver-side exact row count of a parquet dir from its footers
+    * (~ms; no Spark job). None when the dir is missing or unreadable. */
+  private[operators] def footerRowCount(dir: java.io.File): Option[Long] = {
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (files.isEmpty) return None
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    try Some(files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum)
+    catch { case _: Exception => None }
+  }
+
+  /** Driver-side exact max of a BIGINT column across a parquet file's
+    * or dir's footers (~ms; no job). None unless every file carries
+    * usable stats for the column. Spark-written INT64 min/max stats
+    * are exact (no truncation for fixed-width types). */
+  private[operators] def footerMaxLong(dir: java.io.File,
+      colName: String): Option[Long] = {
+    val files =
+      if (dir.isFile) Array(dir)
+      else Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (files.isEmpty) return None
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    var mx = Long.MinValue
+    var ok = true
+    files.foreach { f =>
+      if (ok) try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val it = r.getFooter.getBlocks.iterator()
+          while (it.hasNext && ok) {
+            val cit = it.next().getColumns.iterator()
+            var seen = false
+            while (cit.hasNext && ok) {
+              val cc = cit.next()
+              if (cc.getPath.toDotString == colName) {
+                seen = true
+                val st = cc.getStatistics
+                if (st == null || !st.hasNonNullValue) ok = false
+                else st.genericGetMax match {
+                  case l: java.lang.Long => mx = math.max(mx, l.longValue)
+                  case _ => ok = false
+                }
+              }
+            }
+            if (!seen) ok = false
+          }
+        } finally r.close()
+      } catch { case _: Exception => ok = false }
+    }
+    if (ok && mx != Long.MinValue) Some(mx) else None
+  }
 
   /** Decode a long-coded node id back to its 's…'/'c…' name. */
   private[operators] def decodeNode(node: org.apache.spark.sql.Column) =
@@ -134,11 +282,26 @@ object GraphOps {
     * partial-order-independent and the 5-step trajectory is bitwise
     * reproducible; the oracle unrolls the same five steps as CTEs.
     * Output rounded to 6 dp with rank-then-node total order. */
-  def x111PageRank(spark: SparkSession, sfDir: String): DataFrame =
-    pageRank(tradeEdges(spark, sfDir), iters = 5)
+  def x111PageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = tradeEdges(spark, sfDir) // ensures the staged build
+    // Round 17: run the five iterations EAGERLY through one lineage cut
+    // under AQE-off + node-proportional width ([[withAqeOff]]) — the
+    // whole chain executes as ONE job whose rank exchanges match the
+    // bucketed adjacency's width (zero edge re-shuffles, no per-stage
+    // AQE job round-trips; was 13 AQE jobs warm), and the caller's
+    // action just top-k's the materialized 20-column vector. Results
+    // are unchanged: the cut is the same materialization seam every
+    // iterative kernel already uses.
+    val ranks = withAqeOff(spark, iterWidth(spark, sfDir)) {
+      graft.Checkpoints.cut(
+        graft.api.Graph.pageRankWithDeg(edges, "a", "b", "deg", iters = 5,
+          nodeBound = adjNodeBound(spark, sfDir)))
+    }
+    ranks
       .select(decodeNode(col("node")).as("node"),
         round(col("rank"), 6).as("rank"))
       .orderBy(col("rank").desc, col("node")).limit(20)
+  }
 
   /** The iteration core over a degree-annotated directed edge list
     * (a, b, deg-of-a); see [[x111PageRank]] for the determinism
@@ -165,8 +328,21 @@ object GraphOps {
     * self-join-hot-key rule rejected the naive id orientation on this
     * very corpus). Wedges are pure integer arithmetic off the degree
     * table — no second pass. */
-  def x112Triangles(spark: SparkSession, sfDir: String): DataFrame =
-    triangleCensus(coPurchaseEdges(spark, sfDir))
+  def x112Triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = coPurchaseEdges(spark, sfDir) // ensures the staged build
+    // Round 17 (guide §3.2): Bloom-prefilter the wedge stream ahead of
+    // the closing join — only 4.6% of wedges close at sf0.1, so the
+    // 41M-row wedge exchange is almost all waste. The filter's
+    // expectedNumItems is the EXACT staged edge count from parquet
+    // footers (driver metadata, no job); gated to ≤100M edges so the
+    // broadcast filter stays ≤~120MB — a 100 TB corpus's edge list
+    // falls back to the plain shuffle-hash plan. Results identical
+    // (the exact join still decides; see triangleCensus).
+    val edgeRows = footerRowCount(copurchaseHome(sfDir)).getOrElse(0L)
+    graft.api.Graph.triangleCensus(e, "a", "b",
+      closeBloomItems = if (edgeRows > 0L && edgeRows <= 100000000L)
+        edgeRows else 0L)
+  }
 
   /** The canonical (a < b) co-purchase part edge set, memoized per
     * (session, corpus) AND staged cross-session under the shared root
@@ -174,13 +350,20 @@ object GraphOps {
     * peel share one build, and a LATER PROCESS reloads the staged
     * parquet instead of re-running the order-keyed self-join +
     * distinct (~2/3 of either consumer's cold line). */
+  /** Home dir of the staged co-purchase edge set (fingerprint-named). */
+  private def copurchaseHome(sfDir: String): java.io.File = {
+    val fp = Tables.corpusFingerprint(sfDir, "lineitem") + "|copurch"
+    Tables.sharedDir("copurchase", sfDir, fp)
+  }
+
   private[operators] def coPurchaseEdges(spark: SparkSession,
       sfDir: String): DataFrame =
     graft.Memo(spark, s"copurchase:$sfDir") {
       val s = Tables.tune(spark)
-      val fp = Tables.corpusFingerprint(sfDir, "lineitem") + "|copurch"
-      val home = Tables.sharedDir("copurchase", sfDir, fp)
-      if (!home.isDirectory) {
+      val home = copurchaseHome(sfDir)
+      // round 17: build AQE-off at fact-proportional width — one job
+      // instead of one per exchange stage; same rows
+      if (!home.isDirectory) withAqeOff(spark, adjBuckets(sfDir)) {
         val li = Tables.lineitem(spark, sfDir)
           .select(col("l_orderkey"), col("l_partkey"))
         val edges = li.as("x").join(li.as("y"),
@@ -227,8 +410,13 @@ object GraphOps {
   def x135Sssp(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // source = supplier 1, long-coded 2·1 = 2 (the adjacency's coding)
-    ssspFrom(tradeAdjacency(spark, sfDir),
+    // round 17: the six per-round cuts execute eagerly — run them
+    // AQE-off at node-proportional width (see x111) — same results
+    val dist = withAqeOff(spark, iterWidth(spark, sfDir)) {
+      ssspFrom(tradeAdjacency(spark, sfDir),
         Seq((2L, 0L)).toDF("node", "dist"), SsspRounds)
+    }
+    dist
       .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("dist"))
   }
@@ -261,8 +449,20 @@ object GraphOps {
     * endpoint-union degree aggregate + two semi joins — all keyed by
     * node, edges shrink monotonically; lineage cut per round through
     * the Checkpoints seam. Oracle unrolls the same rounds as CTEs. */
-  def x136KCore(spark: SparkSession, sfDir: String): DataFrame =
-    kCore(coPurchaseEdges(spark, sfDir), KCoreK, KCoreRounds)
+  def x136KCore(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = coPurchaseEdges(spark, sfDir)
+    // round 17: the per-round peel cuts + emptiness probes execute
+    // eagerly — run them AQE-off at edge-proportional width (see x111)
+    withAqeOff(spark, cpWidth(sfDir)) { kCore(e, KCoreK, KCoreRounds) }
+  }
+
+  /** Edge-proportional shuffle width for the co-purchase-graph loops:
+    * one partition per ~250k staged edge rows (footer counts, no job),
+    * capped by the session width inside [[withAqeOff]]. */
+  private def cpWidth(sfDir: String): Int = {
+    val rows = footerRowCount(copurchaseHome(sfDir)).getOrElse(0L)
+    if (rows <= 0L) Int.MaxValue else math.max(2L, rows / 250000L).toInt
+  }
 
   private val KCoreK = 3
   private val KCoreRounds = 8
@@ -320,11 +520,16 @@ object GraphOps {
         Tables.corpusFingerprint(sfDir, "orders") + s"|lpa$LpaRounds"
       val home = Tables.sharedDir("lpalabels", sfDir, fp)
       if (!home.isDirectory) {
-        val labels = labelPropagation(
-          coPurchaseEdges(spark, sfDir), LpaRounds)
-        val tmp = Tables.sharedBuildDir(home)
-        labels.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        Tables.publishShared(tmp, home)
+        val edges = coPurchaseEdges(spark, sfDir) // build outside scope
+        // round 17: the four per-round cuts execute eagerly — build
+        // AQE-off at edge-proportional width (see x111); the write
+        // itself also runs inside the scope (same width)
+        withAqeOff(spark, cpWidth(sfDir)) {
+          val labels = labelPropagation(edges, LpaRounds)
+          val tmp = Tables.sharedBuildDir(home)
+          labels.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+          Tables.publishShared(tmp, home)
+        }
       }
       s.read.parquet(home.getAbsolutePath)
     }
@@ -362,7 +567,17 @@ object GraphOps {
     val e = tradeEdgesShared(spark, sfDir)
       .filter(col("a") % 2 === 0)        // supplier→customer orientation
       .select(col("a").as("s"), col("b").as("c"))
-    val scored = hits(e, HitsRounds)
+    // Round 17: the six per-half-round lineage cuts execute EAGERLY at
+    // construction, and under AQE each cut's tiny plan fans out into
+    // 3+ driver-round-trip jobs (ProbeStages: 42 jobs, taskSec 7.5 —
+    // pure fixed cost at this node count). Building the iteration
+    // under adaptive=false packs each cut into one job; results are
+    // unaffected (AQE never changes semantics) and the conf is
+    // restored before the caller's action runs.
+    val scored = withAqeOff(spark, iterWidth(spark, sfDir)) {
+      graft.api.Graph.hits(e, "s", "c", HitsRounds,
+        nodeBound = adjNodeBound(spark, sfDir))
+    }
     scored
       .select(col("kind"), decodeNode(col("node")).as("node"),
         round(col("score"), 6).as("score"))

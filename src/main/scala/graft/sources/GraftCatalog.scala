@@ -1148,7 +1148,7 @@ private[sources] class GraftRowLevelOperation(table: GraftParquetTable,
             else {
               val r0 = declared.fold(spark.read)(s => spark.read.schema(s))
                 .option(GraftParquetTable.FieldIdReadConf, "true") // r15
-              val perFile = GraftTxn.described(spark, "group discovery") {
+              val perFile = GraftTxn.describedNoAqe(spark, "group discovery") {
                 (if (candidates == listed) r0.parquet(dir)
                  else {
                    // explicit candidate files; identity layouts keep

@@ -78,7 +78,7 @@ object GraftCdf {
 
   /** Append rows that already carry [[ChangeTypeCol]] into the build. */
   def writeTagged(build: File, df: DataFrame): Unit =
-    GraftTxn.described(df.sparkSession, "cdf image build") {
+    GraftTxn.describedNoAqe(df.sparkSession, "cdf image build") {
       df.write.mode("append")
         .option(GraftParquetTable.FieldIdWriteConf, "true") // r15: scoped
         .parquet(build.getAbsolutePath)
@@ -103,12 +103,22 @@ object GraftCdf {
     val diff = "__graft_cdf_diff"
     val tagged = o.select(cols.map(col): _*).withColumn(side, lit(-1L))
       .unionByName(n.select(cols.map(col): _*).withColumn(side, lit(1L)))
+    // ADVICE r16: a per-row multiplicity delta above Int.MaxValue would
+    // wrap negative in the int cast and array_repeat would silently
+    // emit nothing — guard with raise_error (theoretical at any sane
+    // scale: it needs >2^31 identical full rows changing in one commit,
+    // but silent loss is never an acceptable failure mode)
+    import org.apache.spark.sql.functions.raise_error
+    val mult = when(abs(col(diff)) > lit(Int.MaxValue.toLong),
+        raise_error(lit("graft cdf: per-row multiplicity delta exceeds " +
+          "Int.MaxValue — change images cannot be materialized")))
+      .otherwise(abs(col(diff))).cast("int")
     val images = tagged.groupBy(cols.map(col): _*)
       .agg(sum(col(side)).as(diff))
       .filter(col(diff) =!= 0L)
       .select(cols.map(col) :+ explode(array_repeat(
         when(col(diff) > 0, lit("insert")).otherwise(lit("delete")),
-        abs(col(diff)).cast("int"))).as(ChangeTypeCol): _*)
+        mult)).as(ChangeTypeCol): _*)
     writeTagged(build, images)
   }
 

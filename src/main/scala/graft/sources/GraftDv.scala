@@ -224,7 +224,7 @@ object GraftDv {
   private[sources] def stagePositions(spark: SparkSession, dir: File,
       matched: DataFrame): File = {
     val stage = GraftTxn.newStageDir(dir, "dv")
-    GraftTxn.described(spark, "dv position staging") {
+    GraftTxn.describedNoAqe(spark, "dv position staging") {
       matched.select(col("__fkey").as("fkey"), col("__pos").as("pos"))
         .write.mode("append").partitionBy("fkey")
         .parquet(stage.getAbsolutePath)

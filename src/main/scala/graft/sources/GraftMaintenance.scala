@@ -38,7 +38,14 @@ object GraftMaintenance {
     * shuffle and its width IS the output layout. */
   def compact(spark: SparkSession, tableDir: File,
       targetBytes: Long = 262144L,
-      clusterBySql: Option[String] = None): (Int, Int) = {
+      clusterBySql: Option[String] = None): (Int, Int) =
+    GraftTxn.describedNoAqe(spark, "optimize compact") {
+      compactBody(spark, tableDir, targetBytes, clusterBySql)
+    }
+
+  private def compactBody(spark: SparkSession, tableDir: File,
+      targetBytes: Long,
+      clusterBySql: Option[String]): (Int, Int) = {
     require(tableDir.isDirectory, s"no graft table at $tableDir")
     require(GraftCatalog.partitionSpec(tableDir).isEmpty,
       s"$tableDir is partitioned — whole-table compact would read its " +

@@ -212,14 +212,27 @@ private[graft] object GraftMv {
           coalesce(dcol.cast(t), lit(0).cast(t))).cast(t).as(a.alias)
       }): _*)
       .filter(col(countAlias) > 0)
-    val mergedDone = GraftTxn.described(session, "mv incremental merge") {
+    val mergedDone = GraftTxn.describedNoAqe(session, "mv incremental merge") {
       merged.localCheckpoint(true) // materialize BEFORE overwriting input
     }
-    val nDelta = obs.get("n").asInstanceOf[Long]
+    // ADVICE r16: BOUNDED wait for the observed metric — it arrives
+    // with the localCheckpoint action above on the pinned Spark, but a
+    // future change to the checkpoint action path must degrade to a
+    // recount of the delta, never a hang
+    val nDelta =
+      try {
+        import scala.concurrent.duration.DurationInt
+        val metrics = scala.concurrent.Await.result(
+          scala.concurrent.Future(obs.get)(
+            scala.concurrent.ExecutionContext.global), 10.seconds)
+        metrics("n").asInstanceOf[Long]
+      } catch {
+        case _: java.util.concurrent.TimeoutException => signed.count()
+      }
     // intent BEFORE the commit (class doc)
     store(df, d.copy(pendingTo = Some(cur),
       mvVersionBefore = Some(GraftTxn.version(mvDir))))
-    GraftTxn.described(session, "mv refresh commit") {
+    GraftTxn.describedNoAqe(session, "mv refresh commit") {
       overwriteMv(session, mvDir, mergedDone)
     }
     store(df, d.copy(lastVersion = cur))

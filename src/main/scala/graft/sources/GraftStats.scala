@@ -373,7 +373,7 @@ object GraftStats {
         case Some(spark) if rels.size > 1 =>
           val colsB = cols // serialized once per task, O(stat columns)
           val bloomB = bloomCols
-          GraftTxn.described(spark, "commit stats collection") {
+          GraftTxn.describedNoAqe(spark, "commit stats collection") {
             spark.sparkContext
               .parallelize(rels, math.min(rels.size, 32))
               .flatMap(rel => fileLinesWithBlooms(rel,

@@ -90,6 +90,41 @@ object GraftTxn {
     finally sc.setJobDescription(prev)
   }
 
+  /** [[described]] plus AQE off for the section (round 17, guide §1
+    * fixed costs): engine-internal phases run SMALL fixed-shape queries
+    * (a CDF image diff, a stats scan, an optimize rewrite) where AQE
+    * contributes nothing but one extra driver-round-trip job per
+    * exchange — measured on sql65: 4 jobs for one CDF image build, 48
+    * jobs for the whole row. Disabling AQE inside the section packs
+    * each phase into one job; results are unaffected (AQE re-plans,
+    * never re-defines), and the session conf is restored on exit. The
+    * `spark.graft.aqe.freeze` marker keeps Tables.tune — reached
+    * through operators a phase may call — from re-enabling it.
+    * Set/restore is session-global (like the replay partition override
+    * in Streams.runToTable): statements on one session are serial in
+    * this engine's execution model. */
+  def describedNoAqe[T](spark: org.apache.spark.sql.SparkSession,
+      phase: String)(body: => T): T = described(spark, phase) {
+    val c = spark.conf
+    val ThresholdKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val prevF = c.get("spark.graft.aqe.freeze", "false")
+    val prevA = c.get("spark.sql.adaptive.enabled", "true")
+    val prevT = c.get(ThresholdKey, "32")
+    c.set("spark.graft.aqe.freeze", "true")
+    c.set("spark.sql.adaptive.enabled", "false")
+    // engine phases read EXPLICIT file lists the protocol already
+    // enumerated — the default threshold (32) turns listing >32 such
+    // paths into a Spark job (measured: one listing job per optimize);
+    // driver-side stat calls are strictly cheaper at engine list sizes
+    c.set(ThresholdKey, "100000")
+    try body
+    finally {
+      c.set("spark.graft.aqe.freeze", prevF)
+      c.set("spark.sql.adaptive.enabled", prevA)
+      c.set(ThresholdKey, prevT)
+    }
+  }
+
   /** Thrown by a losing commit. Message names the table and a sample
     * of the invalidated files; the statement's writes are rolled back
     * before this propagates. */

@@ -229,6 +229,22 @@ object Streams {
       spark.catalog.dropTempView(s"graft_sink_$i")
     }
 
+  /** Disable AQE on a foreachBatch micro-batch's session CLONE (round
+    * 17, guide §1/§2 fixed costs): Spark disables AQE for the streaming
+    * plan itself, but each foreachBatch BODY runs as a regular batch
+    * query on the clone, where AQE turns every exchange into its own
+    * job — at replay batch sizes that is pure driver-round-trip
+    * overhead (measured: st19 41 jobs warm, wall 4.6 s for 3.5 s of
+    * task time). The clone dies with the query, so nothing to restore;
+    * the freeze marker keeps Tables.tune (reached through operators
+    * called inside bodies) from re-enabling it mid-query. Results are
+    * unaffected — AQE re-plans, never re-defines. */
+  private def aqeOffBatch(batch: DataFrame): Unit = {
+    val c = batch.sparkSession.conf
+    c.set("spark.graft.aqe.freeze", "true")
+    c.set("spark.sql.adaptive.enabled", "false")
+  }
+
   /** Run a streaming frame to completion into a memory sink, return it.
     *
     * Shuffle partitions are dropped to 2 for the micro-batch run: each
@@ -950,6 +966,7 @@ object Streams {
         .select(col("event_id"), col("user_id"), col("value"))
         .writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          aqeOffBatch(batch)
           batch.withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(dir)
         }
@@ -1109,6 +1126,7 @@ object Streams {
         .parquet(dir)
         .writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          aqeOffBatch(batch)
           val batchC = batch.join(
             Clustering.assignToCentroids(batch, "vec_id", "embedding", cents)
               .withColumnRenamed("vid", "vec_id"), "vec_id")
@@ -1146,6 +1164,7 @@ object Streams {
         .parquet(dir.toString)
         .writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          aqeOffBatch(batch)
           val pSh = TextPipeline.shingleHashes(batch, "doc_id", "text", 3)
           val dropped = TextPipeline.probePrefixIndex(idx, pSh)
             .select(col("doc_new")).distinct()
@@ -1233,6 +1252,7 @@ object Streams {
         .parquet(dir)
         .writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          aqeOffBatch(batch)
           // production: re-read the dim path here; the replay pins the
           // version to the batch id so the oracle can reproduce it
           batch.select(col("doc_id"), col("lang"))
@@ -1287,6 +1307,7 @@ object Streams {
           col("event_type").as("last_type"), col("value").as("last_value"))
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
+          aqeOffBatch(batch)
           val existing =
             if (fs.exists(new org.apache.hadoop.fs.Path(dataDir)))
               s.read.parquet(dataDir)
@@ -1351,6 +1372,7 @@ object Streams {
           col("event_type").as("last_type"), col("value").as("last_value"))
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
+          aqeOffBatch(batch)
           // the temp view lives on the micro-batch's session CLONE —
           // the MERGE must run there too or it can't resolve the view
           val bs = batch.sparkSession
@@ -1541,6 +1563,7 @@ object Streams {
           .load()
           .writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
+            aqeOffBatch(batch)
             val bs = batch.sparkSession // catalog resolves on the clone
             batch.select(col("version")).collect().foreach { row =>
               val v = row.getLong(0)

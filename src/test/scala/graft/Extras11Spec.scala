@@ -540,14 +540,11 @@ class Extras11Spec extends SparkSpec {
   test("x111 adjacency: a fresh session re-serves the shared staged " +
       "bucketed table — identical ranks, no rebuild, no edge re-shuffle") {
     val first = GraphOps.x111PageRank(spark, sf).collect()
-    // the shared home must now exist (fingerprint-named => current)
-    val fp = Tables.corpusFingerprint(sf, "lineitem") + "|" +
-      // must match the operator's cfg exactly ("b16L", the long-coded
-      // adjacency) — round 11's version-salted sharedDir exposed that
-      // this spec's stale "b16" spelling only passed against a
-      // leftover pre-long-coding artifact in tmp
-      Tables.corpusFingerprint(sf, "orders") + "|b16L"
-    val home = Tables.sharedDir("x111_edges", sf, fp)
+    // the shared home must now exist (fingerprint-named => current) —
+    // resolved through the operator's own key helper (round 11's
+    // version-salted sharedDir exposed that a stale spec-side copy of
+    // the cfg string only passes against leftover artifacts in tmp)
+    val home = GraphOps.adjHome(sf)
     assert(home.isDirectory, "staged adjacency must be published")
     val stagedAt = home.lastModified()
     // a NEW session has an empty memo -> takes the reuse path: DDL
