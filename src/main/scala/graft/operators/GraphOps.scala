@@ -126,27 +126,9 @@ object GraphOps {
       }
     }
 
-  /** Run `f` (query CONSTRUCTION containing eager lineage cuts) with
-    * AQE off and a data-proportional shuffle width, restoring the
-    * session confs after — each cut execution collapses to one job
-    * (instead of one per exchange stage) over `width` right-sized
-    * partitions (instead of the global partition count AQE would have
-    * coalesced). Semantics-free: neither conf changes results. */
-  private def withAqeOff[T](spark: SparkSession, width: Int)(f: => T): T = {
-    val prevA = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val prevP = spark.conf.get("spark.sql.shuffle.partitions")
-    // the freeze marker keeps Tables.tune (called by loaders inside the
-    // section) from re-enabling AQE mid-scope
-    spark.conf.set("spark.graft.aqe.freeze", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(2, math.min(width, prevP.toInt)).toString)
-    try f finally {
-      spark.conf.set("spark.graft.aqe.freeze", "false")
-      spark.conf.set("spark.sql.adaptive.enabled", prevA)
-      spark.conf.set("spark.sql.shuffle.partitions", prevP)
-    }
-  }
+  /** See [[graft.Checkpoints.withAqeOff]] — the one shared spelling. */
+  private def withAqeOff[T](spark: SparkSession, width: Int)(f: => T): T =
+    graft.Checkpoints.withAqeOff(spark, width)(f)
 
   /** Node-proportional shuffle width for the iterative kernels' cut
     * executions: one partition per ~2k nodes (node-sized vectors are

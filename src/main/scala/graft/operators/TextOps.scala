@@ -70,10 +70,17 @@ object TextOps {
     val docs = Tables.documents(spark, sfDir)
     val words = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("word"))
-    val tf = words.groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"))
-    val df = words.select(col("doc_id"), col("word")).distinct()
-      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // round 17 (guide §2.4): tf feeds both the scoring join and the
+    // document-frequency table — cut it once (AQE-off: the eager cut is
+    // one job) and derive df FROM it: tf already has exactly one row
+    // per (doc, word), so grouping tf by word counts distinct docs per
+    // word — the old explode+distinct recomputation, exchange for
+    // exchange, with one fewer corpus scan and aggregate.
+    val tf = graft.Checkpoints.withAqeOff(spark, docWidth(sfDir)) {
+      graft.Checkpoints.cut(words.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf")))
+    }
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("word").asc)
@@ -90,6 +97,14 @@ object TextOps {
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("word").as("top_word"), col("tfidf"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-proportional shuffle width for eager text cuts: one
+    * partition per ~64 MB of documents parquet, min 2. */
+  private def docWidth(sfDir: String): Int = {
+    val bytes = java.nio.file.Files.size(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+    math.max(2L, bytes / (64L << 20)).toInt
   }
 
   /** L6 — word 3-gram extraction (feeds the MinHash pipeline). */

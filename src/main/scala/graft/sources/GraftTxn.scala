@@ -105,24 +105,11 @@ object GraftTxn {
     * this engine's execution model. */
   def describedNoAqe[T](spark: org.apache.spark.sql.SparkSession,
       phase: String)(body: => T): T = described(spark, phase) {
-    val c = spark.conf
-    val ThresholdKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-    val prevF = c.get("spark.graft.aqe.freeze", "false")
-    val prevA = c.get("spark.sql.adaptive.enabled", "true")
-    val prevT = c.get(ThresholdKey, "32")
-    c.set("spark.graft.aqe.freeze", "true")
-    c.set("spark.sql.adaptive.enabled", "false")
-    // engine phases read EXPLICIT file lists the protocol already
-    // enumerated — the default threshold (32) turns listing >32 such
-    // paths into a Spark job (measured: one listing job per optimize);
-    // driver-side stat calls are strictly cheaper at engine list sizes
-    c.set(ThresholdKey, "100000")
-    try body
-    finally {
-      c.set("spark.graft.aqe.freeze", prevF)
-      c.set("spark.sql.adaptive.enabled", prevA)
-      c.set(ThresholdKey, prevT)
-    }
+    // ref-counted + thread-safe: concurrent statements' scopes must
+    // not capture each other's "off" state as a restore value — see
+    // [[graft.AqeOff]] (Round14Spec's concurrent-commit tests caught
+    // exactly that leak in the plain set/restore spelling)
+    graft.AqeOff(spark)(body)
   }
 
   /** Thrown by a losing commit. Message names the table and a sample

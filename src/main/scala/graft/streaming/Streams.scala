@@ -266,6 +266,20 @@ object Streams {
     val parts = sys.props.get("graft.stream.parts")
       .map(_.toInt).getOrElse(partitions)
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // -Dgraft.stream.store=rocksdb|hdfs — round-17 state-store A/B
+    // lever (VERDICT r16 ask #2); unset keeps each query's own choice
+    val prevStore = spark.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass")
+    sys.props.get("graft.stream.store").foreach {
+      case "rocksdb" => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      case _ => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "HDFSBackedStateStoreProvider")
+    }
     // The trailing no-data micro-batch only advances the watermark to
     // evict state; none of the contract sinks depend on it (Complete /
     // Update re-emit on data batches; dedup and the inner join emit
@@ -290,6 +304,12 @@ object Streams {
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      if (sys.props.contains("graft.stream.store")) prevStore match {
+        case Some(p) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
     }
     spark.table(name)
   }
